@@ -1,0 +1,80 @@
+"""Array / map higher-order functions (SURVEY.md 2.H4-H5).
+
+These are the substrate of the embedding math in pipeline/similarity.py:
+dot products and norms are expressed with aggregate()/zip_with() so
+they run JVM-side (no Python UDF in the hot path). Both engines fold
+lists left-to-right in double precision, so the results hash-match
+(rounded to 6 dp as a cushion).
+
+Array-typed columns never appear in verified output - containers are
+reduced to scalars or joined into strings, because the driver's value
+hash may normalize list types differently per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+
+
+@register("h4_array_ops", "H4", """
+SELECT vec_id,
+       LEN(embedding) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       ROUND(CAST(LIST_AGGREGATE(embedding, 'min') AS DOUBLE), 6) AS vmin,
+       ROUND(CAST(LIST_AGGREGATE(embedding, 'max') AS DOUBLE), 6) AS vmax,
+       ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS norm2,
+       LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_positive
+FROM embeddings
+""", "Higher-order array ops: size/index/min/max/transform+aggregate/filter")
+def h4_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(sq_sum, 6).alias("norm2"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register("h4_explode", "H4", """
+SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+FROM documents
+WHERE doc_id % 50 = 0
+""", "explode/unnest: one row per array element (the tokenizer primitive)")
+def h4_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@register("h5_map_ops", "H5", """
+SELECT event_id,
+       MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS type_val,
+       ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(
+           MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]))), ',') AS keys_sorted
+FROM events
+WHERE event_id % 100 = 0
+""", "Map construction + element access + key listing")
+def h5_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )

@@ -1,0 +1,53 @@
+"""JSON functions (SURVEY.md 2.H6) over events.props.
+
+The ES side of the sync carries JSON documents (SURVEY.md 1.1), so the
+engine owns JSON extraction/construction. events.props is observed as
+'{"k": <int>}' (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+@register("h6_json_extract", "H6", """
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k_path,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_extract,
+       (JSON_EXTRACT(props, '$.k') IS NOT NULL) AS has_k,
+       (JSON_EXTRACT(props, '$.missing') IS NOT NULL) AS has_missing
+FROM events
+""", "JSON path extraction (get_json_object / from_json struct access)")
+def h6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", PROPS_SCHEMA)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_path"),
+        parsed.getField("k").alias("k_extract"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
+    )
+
+
+@register("h6_json_aggregate", "H6", """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_total,
+       COUNT(*) FILTER (WHERE CAST(props->>'k' AS BIGINT) >= 50) AS n_high_k
+FROM events
+GROUP BY event_type
+""", "Filter + aggregate on a JSON-extracted field (schema-on-read path)")
+def h6_json_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.withColumn("k", k).groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("k_total"),
+        F.count(F.when(F.col("k") >= 50, 1)).alias("n_high_k"),
+    )

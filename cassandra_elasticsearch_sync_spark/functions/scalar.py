@@ -1,0 +1,126 @@
+"""String / datetime / math / hash scalar families (SURVEY.md 2.H1-H3, H7).
+
+All of these run JVM-side inside whole-stage codegen - no Python UDFs.
+Cross-engine gotchas handled here:
+
+- dayofweek: Spark is 1=Sunday..7, DuckDB dayofweek() is 0=Sunday..6;
+  we normalize to DuckDB's convention (dow = Spark dayofweek - 1).
+- datediff argument order: Spark datediff(end, start), DuckDB
+  date_diff('day', start, end).
+- log/exp/pow go through ROUND(x, 6): JVM StrictMath vs libm may differ
+  in the last ulp even on identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+
+
+@register("h1_string_funcs", "H1", """
+SELECT doc_id,
+       LENGTH(text) AS text_len,
+       UPPER(lang) AS lang_up,
+       SUBSTRING(text, 1, 20) AS head20,
+       STRING_SPLIT(text, ' ')[1] AS first_token,
+       CONCAT(lang, '-', source) AS lang_source,
+       POSITION('scan' IN text) AS scan_pos,
+       REGEXP_EXTRACT(text, '[a-z]+') AS first_word,
+       REGEXP_REPLACE(text, '[aeiou]', '_', 'g') AS devoweled_head,
+       LEVENSHTEIN(lang, 'en') AS lang_dist
+FROM documents
+""", "String family: length/case/substring/split/concat/position/regex/levenshtein")
+def h1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.upper("lang").alias("lang_up"),
+        F.substring("text", 1, 20).alias("head20"),
+        F.split(F.col("text"), " ").getItem(0).alias("first_token"),
+        F.concat_ws("-", "lang", "source").alias("lang_source"),
+        F.instr("text", "scan").alias("scan_pos"),
+        F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled_head"),
+        F.levenshtein("lang", F.lit("en")).alias("lang_dist"),
+    )
+
+
+@register("h2_datetime_funcs", "H2", """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS y,
+       EXTRACT(month FROM o_orderdate) AS m,
+       EXTRACT(day FROM o_orderdate) AS d,
+       DAYOFWEEK(o_orderdate) AS dow,
+       STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+       STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+       CAST(EPOCH(DATE_TRUNC('second', o_orderdate)) AS BIGINT) AS epoch_s
+FROM orders
+""", "Datetime family: parts, truncation, diff, add, epoch")
+def h2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+         .alias("days_since_95"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+         .alias("plus_30d"),
+        F.unix_timestamp(F.date_trunc("second", "o_orderdate")).alias("epoch_s"),
+    )
+
+
+@register("h3_math_funcs", "H3", """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 2) AS price_r2,
+       ABS(l_discount - 0.05) AS disc_dev,
+       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       ROUND(POW(l_quantity, 2), 6) AS qty_sq,
+       ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+       ROUND(LN(l_extendedprice), 6) AS price_ln,
+       ROUND(EXP(l_discount), 6) AS disc_exp,
+       CAST(SIGN(l_quantity - 25.0) AS INT) AS qty_side
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""", "Math family (libm-sensitive ops rounded to 6 dp)")
+def h3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price_r2"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.signum(F.col("l_quantity") - 25.0).cast("int").alias("qty_side"),
+    )
+
+
+@register("h7_hash_funcs", "H7", """
+SELECT doc_id,
+       MD5(text) AS md5_hex,
+       SHA256(text) AS sha256_hex
+FROM documents
+""", "Cryptographic content hashes - the exact-dedup keys (K1). "
+     "xxhash64 is used internally for MinHash (K2) but has no DuckDB "
+     "twin, so the verified surface uses md5/sha256.")
+def h7_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+    )

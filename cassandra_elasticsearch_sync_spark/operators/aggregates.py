@@ -1,0 +1,286 @@
+"""Aggregation operators (SURVEY.md section 2.D) + the flagship query.
+
+All double aggregations use the exact-decimal strategy from parity.py,
+so the DuckDB oracle hash-matches bit-for-bit without tolerance.
+
+Scale notes (100 TB): every groupBy here compiles to partial
+HashAggregate -> shuffle on the group keys -> final HashAggregate, so
+the shuffle carries one row per (partition, group), not the raw data.
+Group-key cardinalities (returnflag x linestatus = 6, event_type = 5,
+priorities = 5) stay tiny at any scale; the customer-keyed aggregates
+shuffle on a dense high-cardinality key, which AQE coalesces/splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.parity import DEC, davg, dsum
+from cassandra_elasticsearch_sync_spark.registry import register
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("flagship_pricing_summary", "D1", _Q1_ORACLE,
+          "TPC-H Q1-style pricing summary: filter + 6-group agg over lineitem")
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.expr("l_shipdate <= TIMESTAMP_NTZ '2000-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register("d2_global_agg", "D2", """
+SELECT
+  COUNT(*) AS n_rows,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(l_discount) AS avg_discount,
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty
+FROM lineitem
+""", "Global (ungrouped) aggregate over lineitem")
+def d2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        davg("l_discount").alias("avg_discount"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register("d3_count_distinct", "D3", """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""", "Exact distinct user count per event type")
+def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register("d4_approx_count_distinct", "D4", None,
+          "HyperLogLog++ cardinality (approx - rows-only check; Spark and "
+          "DuckDB sketches differ by design)")
+def d4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+
+
+_D5_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(l_quantity) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+       ROUND((sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 6) AS corr_qty_disc
+FROM s
+"""
+
+
+@register("d5_stat_aggs", "D5", _D5_ORACLE,
+          "stddev/variance/corr from exact decimal sums (deterministic "
+          "across engines; Spark's native stddev has order-dependent "
+          "float merges that can never hash-match). The correlated pair "
+          "is (quantity, discount): both 2-dp columns, so every rescale "
+          "is exact - price^2 sums exceed 2^53 at any lossless scale.")
+def d5_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(x).alias("n"),
+        dsum(x, 2).alias("sx"),
+        dsum(x * x, 4).alias("sxx"),
+        dsum(y, 2).alias("sy"),
+        dsum(y * y, 4).alias("syy"),
+        dsum(x * y, 4).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_qty"),
+        F.round((sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)), 6)
+         .alias("corr_qty_disc"),
+    )
+
+
+@register("d6_percentiles", "D6", """
+SELECT l_returnflag,
+       ROUND(MEDIAN(l_quantity), 6) AS median_qty,
+       ROUND(QUANTILE_CONT(l_quantity, 0.9), 6) AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+""", "Exact median / interpolated quantile per group")
+def d6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+    )
+
+
+@register("d7_collect_strings", "D7", """
+SELECT o_orderpriority,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), ',') AS statuses,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""", "collect_set per group, sorted and joined to a string so the hash "
+     "is order- and container-type-insensitive")
+def d7_collect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count("*").alias("n"),
+    )
+
+
+@register("d8_having", "D8", """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""", "Post-aggregation filter (HAVING)")
+def d8_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("spend"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register("d9_rollup", "D9", """
+SELECT COALESCE(r_name, '(all)') AS region_name,
+       COALESCE(n_name, '(all)') AS nation_name,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       COUNT(*) AS n_customers,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""", "Multi-granularity rollup with grouping() flags over the "
+     "customer->nation->region star")
+def d9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "g_region",
+            "g_nation",
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_D10_ORACLE = """
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY 1
+"""
+
+
+@register("d10_pivot", "D10", _D10_ORACLE,
+          "Pivot event_type categories into columns (explicit value list "
+          "so the plan is one pass; missing combos coalesced to 0)")
+def d10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register("d11_max_by", "D11", """
+SELECT c_mktsegment, top_customer, top_bal
+FROM (SELECT c_mktsegment, c_name AS top_customer, c_acctbal AS top_bal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+      FROM customer)
+WHERE rn = 1
+""", "Deterministic arg-max per group (LWW in aggregate form; the "
+     "(value, key) composite struct makes ties deterministic). DuckDB "
+     "1.0's arg_max lacks composite ordering keys, so the oracle uses "
+     "the equivalent window form.")
+def d11_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("top_customer"),
+        F.max("c_acctbal").alias("top_bal"),
+    )

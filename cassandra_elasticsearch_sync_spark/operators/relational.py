@@ -1,0 +1,310 @@
+"""Projection / filter / type-bridge (SURVEY.md 2.B) and joins (2.C).
+
+The type-bridge row (B4) is the sync engine's core projection: the
+reference bridges CQL types <-> ES JSON types per record
+(SURVEY.md 1.2); here it is a single declarative select that Catalyst
+folds into the scan.
+
+Timestamp discipline: events.ts is ns in parquet but micros in Spark,
+so every cross-row timestamp comparison in a verified query happens at
+second granularity (identical floors in both engines) and every
+timestamp output is a formatted string. See parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.parity import fmt_ts
+from cassandra_elasticsearch_sync_spark.registry import register
+
+
+@register("b1_project", "B1", """
+SELECT c_custkey AS custkey,
+       UPPER(c_name) AS name_upper,
+       c_mktsegment AS segment,
+       c_acctbal * 2.0 AS double_bal
+FROM customer
+""", "Projection: selection, aliasing, computed columns")
+def b1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal") * 2.0).alias("double_bal"),
+    )
+
+
+@register("b2_filter_comparison", "B2", """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       STRFTIME(l_shipdate, '%Y-%m-%d') AS ship_day
+FROM lineitem
+WHERE l_quantity > 45.0 AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+""", "Comparison filters on double + timestamp (pushed to the parquet scan)")
+def b2_filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45.0)
+        & F.expr("l_shipdate >= TIMESTAMP_NTZ '2001-01-01 00:00:00'")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+@register("b3_filter_predicates", "B3", """
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderstatus IN ('F', 'P')
+  AND (o_totalprice BETWEEN 100000 AND 200000 OR o_orderpriority LIKE '1-%')
+  AND NOT (o_orderpriority = '5-LOW' AND o_totalprice < 150000)
+  AND o_custkey IS NOT NULL
+""", "Predicate calculus: IN / BETWEEN / LIKE / NOT / IS NOT NULL")
+def b3_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & (F.col("o_totalprice").between(100000, 200000) | F.col("o_orderpriority").like("1-%"))
+        & ~((F.col("o_orderpriority") == "5-LOW") & (F.col("o_totalprice") < 150000))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@register("b4_type_bridge", "B4", """
+SELECT CAST(event_id AS VARCHAR) AS id_str,
+       STRFTIME(DATE_TRUNC('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_str,
+       CAST(CAST(value AS DECIMAL(18,3)) AS VARCHAR) AS value_dec_str,
+       CAST(user_id AS INT) AS user_id_int,
+       LENGTH(props) AS props_len
+FROM events
+""", "CQL<->ES<->Spark type bridge (SURVEY.md 1.2): id to string, "
+     "timestamp normalization, double->decimal->string, narrowing cast")
+def b4_type_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("id_str"),
+        fmt_ts("ts").alias("ts_str"),
+        F.col("value").cast("decimal(18,3)").cast("string").alias("value_dec_str"),
+        F.col("user_id").cast("int").alias("user_id_int"),
+        F.length("props").alias("props_len"),
+    )
+
+
+@register("b5_distinct", "B5", """
+SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+""", "Exact distinct (hash aggregate on all columns)")
+def b5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register("b6_conditional", "B6", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'big'
+            WHEN o_totalprice > 150000 THEN 'mid'
+            ELSE 'small' END AS size_class,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+       GREATEST(o_custkey, o_orderkey % 1000) AS g,
+       LEAST(o_custkey, o_orderkey % 1000) AS l
+FROM orders
+""", "CASE WHEN / coalesce / nullif / greatest / least (LWW building blocks)")
+def b6_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+         .when(F.col("o_totalprice") > 150000, "mid")
+         .otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias("status_norm"),
+        F.greatest("o_custkey", F.col("o_orderkey") % 1000).alias("g"),
+        F.least("o_custkey", F.col("o_orderkey") % 1000).alias("l"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (2.C). Dimension sides carry broadcast() hints; fact-fact joins
+# shuffle on the join key, which is what you want at 100 TB (AQE handles
+# skew splits at runtime).
+# --------------------------------------------------------------------------
+
+
+@register("c1_inner_join", "C1", """
+SELECT o_orderkey, c_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 250000
+""", "Inner equi-join orders x customer (customer side broadcast-able)")
+def c1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.filter(F.col("o_totalprice") > 250000)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+    )
+
+
+@register("c2_left_join", "C2", """
+SELECT c_custkey, COALESCE(o_orderkey, -1) AS orderkey_or_missing,
+       COALESCE(o_totalprice, 0.0) AS price_or_zero
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 400000
+""", "Left outer join with join-side predicate; unmatched rows kept")
+def c2_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000), "left"
+    ).select(
+        "c_custkey",
+        F.coalesce("o_orderkey", F.lit(-1)).alias("orderkey_or_missing"),
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+    )
+
+
+@register("c3_full_outer", "C3", """
+WITH a AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+     b AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0)
+SELECT COALESCE(a.c_custkey, b.c_custkey) AS key,
+       (a.c_custkey IS NOT NULL) AS in_a,
+       (b.c_custkey IS NOT NULL) AS in_b
+FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+""", "Full outer join - the snapshot-diff core of the sync engine (L1)")
+def c3_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    a = c.filter(F.col("c_custkey") % 2 == 0).alias("a")
+    b = c.filter(F.col("c_custkey") % 3 == 0).alias("b")
+    return a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full").select(
+        F.coalesce("a.c_custkey", "b.c_custkey").alias("key"),
+        F.col("a.c_custkey").isNotNull().alias("in_a"),
+        F.col("b.c_custkey").isNotNull().alias("in_b"),
+    )
+
+
+@register("c4_semi_join", "C4", """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+""", "Left semi join (EXISTS)")
+def c4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register("c5_anti_join", "C5", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""", "Left anti join (NOT EXISTS) - insert/delete detection in sync")
+def c5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register("c6_cross_join", "C6", """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""", "Guarded cartesian product (two tiny dimensions)")
+def c6_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@register("c7_range_join", "C7", """
+SELECT s_suppkey, COUNT(*) AS n_richer_customers
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+GROUP BY s_suppkey
+""", "Theta join: equi key + range predicate (supplier vs richer same-nation customers)")
+def c7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal))
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer_customers"))
+    )
+
+
+_C8_ORACLE = """
+WITH c AS (SELECT event_id, user_id, DATE_TRUNC('second', ts) AS ts_s
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, DATE_TRUNC('second', ts) AS ts_s
+           FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       STRFTIME(MAX(p.ts_s), '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts_s <= c.ts_s
+GROUP BY c.event_id, c.user_id
+"""
+
+
+@register("c8_asof_join", "C8", _C8_ORACLE,
+          "As-of join: for each click, the latest purchase at-or-before it "
+          "per user. Implemented as union + last(ignorenulls) over an "
+          "ordered window - one shuffle on user_id, no pair blowup (the "
+          "join+groupBy formulation the oracle uses would be quadratic per "
+          "key at scale). Second-granularity comparison: events.ts is ns "
+          "in parquet, micros in Spark, so raw comparison can never agree.")
+def c8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_trunc("second", "ts").alias("ts_s"),
+            F.when(F.col("event_type") == "purchase", F.date_trunc("second", "ts")).alias("p_ts"),
+        )
+    )
+    # Purchases sort before clicks at the same second so `<=` holds.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts_s"),
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+            F.col("event_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("last_p", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("last_p", "yyyy-MM-dd HH:mm:ss").alias("last_purchase_ts"),
+        )
+    )
+
+
+@register("c9_self_join", "C9", """
+WITH c AS (SELECT user_id, CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+           FROM events WHERE event_type = 'click'),
+     e AS (SELECT user_id, CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+           FROM events WHERE event_type = 'error')
+SELECT c.user_id, COUNT(*) AS n_errors_after_click
+FROM c JOIN e ON c.user_id = e.user_id AND e.es BETWEEN c.es AND c.es + 600
+GROUP BY c.user_id
+""", "Self join: errors within 10 minutes after a click, per user "
+     "(epoch-second granularity for cross-engine determinism)")
+def c9_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "es", F.unix_timestamp(F.date_trunc("second", "ts"))
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "es").alias("c")
+    e = ev.filter(F.col("event_type") == "error").select("user_id", "es").alias("e")
+    return (
+        c.join(
+            e,
+            (F.col("c.user_id") == F.col("e.user_id"))
+            & F.col("e.es").between(F.col("c.es"), F.col("c.es") + 600),
+        )
+        .groupBy(F.col("c.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_errors_after_click"))
+    )

@@ -1,0 +1,49 @@
+"""Set operations (SURVEY.md 2.G) - the two-store merge primitives."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+
+
+def _year_custkeys(spark, sf_dir, year: int) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+
+@register("g1_union_all", "G1", """
+SELECT o_custkey, COUNT(*) AS n
+FROM (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      UNION ALL
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)
+GROUP BY o_custkey
+""", "Bag union of two store slices, then per-key counts")
+def g1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _year_custkeys(spark, sf_dir, 1995)
+    b = _year_custkeys(spark, sf_dir, 1996)
+    return a.unionAll(b).groupBy("o_custkey").agg(F.count("*").alias("n"))
+
+
+@register("g2_intersect", "G2", """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+""", "Set intersection: customers active in both years")
+def g2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _year_custkeys(spark, sf_dir, 1995).intersect(
+        _year_custkeys(spark, sf_dir, 1996)
+    )
+
+
+@register("g3_except_all", "G3", """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+""", "Bag difference (exceptAll): 1995 order slots not offset by 1996 ones")
+def g3_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _year_custkeys(spark, sf_dir, 1995).exceptAll(
+        _year_custkeys(spark, sf_dir, 1996)
+    )

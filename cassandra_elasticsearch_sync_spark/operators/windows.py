@@ -1,0 +1,143 @@
+"""Window functions (SURVEY.md 2.E).
+
+Every window carries a total order (deterministic tiebreak on a key
+column) because the driver's value-hash is exact: rank ties or frame
+boundaries that depend on an ambiguous sort would differ between
+engines even on identical data.
+
+Scale note: all windows partition by a real key (mktsegment, user_id),
+so state is distributed; there is no global unpartitioned window in the
+verified surface except inside top-k after a LIMIT-sized reduction.
+Running double sums inside frames use the exact-decimal trick
+(parity.dsum_w) - window sums are order-sensitive float folds
+otherwise (DuckDB uses segment trees, Spark streams the frame; only
+exact decimal arithmetic hash-matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.parity import DEC
+from cassandra_elasticsearch_sync_spark.registry import register
+
+
+@register("e1_ranking", "E1", """
+SELECT c_custkey, c_mktsegment,
+       ROW_NUMBER()  OVER w AS rn,
+       RANK()        OVER w AS rnk,
+       DENSE_RANK()  OVER w AS drnk,
+       NTILE(4)      OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST()    OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""", "Ranking family over a keyed window with total-order tiebreak")
+def e1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register("e2_lag_lead", "E2", """
+WITH e AS (SELECT event_id, user_id, value,
+                  CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+           FROM events)
+SELECT event_id, user_id,
+       es - LAG(es)  OVER w AS secs_since_prev,
+       LEAD(value)   OVER w AS next_value,
+       LAG(value, 2, -1.0) OVER w AS value_2_back
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+""", "lag/lead offsets per user (sessionization deltas)")
+def e2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("es") - F.lag("es").over(w)).alias("secs_since_prev"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("value_2_back"),
+    )
+
+
+@register("e3_frame_aggs", "E3", """
+SELECT event_id, user_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10)))
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS DOUBLE) AS running_sum,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10)))
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS moving_sum_4,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_in_frame
+FROM events
+""", "Frame aggregates: running + moving sums (exact decimal inside the frame)")
+def e3_frame_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-3, Window.currentRow)
+    dec_val = F.col("value").cast(DEC)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec_val).over(run).cast("decimal(38,6)").cast("double").alias("running_sum"),
+        F.sum(dec_val).over(mov).cast("decimal(38,6)").cast("double").alias("moving_sum_4"),
+        F.count("*").over(mov).alias("n_in_frame"),
+    )
+
+
+@register("e4_topk_per_group", "E4", """
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+WHERE rn <= 3
+""", "Per-group top-k (also the LWW-resolve shape, SURVEY.md 2.L row L3)")
+def e4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register("e5_first_last_value", "E5", """
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey)  OVER w AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""", "first_value/last_value with an explicit full frame")
+def e5_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )

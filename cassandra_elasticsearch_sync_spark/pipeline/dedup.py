@@ -1,0 +1,273 @@
+"""Deduplication operators (SURVEY.md 2.K rows K1-K2 + SimHash).
+
+Four strategies, each a first-class verified query on `documents`:
+
+- K1 exact: content-hash groupBy. One shuffle on the hash; at 100 TB
+  the hash groupBy is the cheapest possible full-corpus dedup.
+- K2 MinHash-LSH: shingle -> 64 seeded minhashes -> 16 bands x 4 rows
+  -> band-bucket self-join -> exact-Jaccard verification of candidates.
+  All hashing is seeded-deterministic (pipeline/hashing.py); the
+  banding keeps the join linear in corpus size instead of O(n^2).
+  With the corpus's planted near-dups at J >= 0.9, recall at tau=0.7 is
+  1 - (1 - 0.9^4)^16 ~ 1 - 4e-8, so the verified output equals the
+  brute-force oracle (asserted by the driver's hash-compare AND by the
+  k2b twin query below).
+- K2b brute n-gram Jaccard: the same final semantics via explode +
+  shingle-equijoin + group count - the shape the oracle uses. Kept as
+  a first-class operator because at moderate scale (<10M docs) it is
+  simpler and exactly correct; K2 is the 100 TB path.
+- SimHash: 60-bit fingerprint; near-dup pairs via banded hamming
+  search. The 10x6-bit banding is EXACT by pigeonhole: hamming <= 9
+  implies at least one of 10 bands is untouched, so candidate
+  generation has 100% recall for the tau=8 threshold, no probability
+  involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
+from cassandra_elasticsearch_sync_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# K1: exact dedup
+# ---------------------------------------------------------------------------
+
+@register("k1_exact_dedup", "K1", """
+SELECT MD5(LOWER(TRIM(text))) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""", "Exact dedup by normalized-content hash; keeps the lowest doc_id")
+def k1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.md5(F.lower(F.trim("text"))))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingling (3-token shingles over whitespace tokens, set semantics)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> array_join(slice(split(text, ' '), i, 3), ' ')))"
+)
+
+_SHINGLES_SQL = """
+tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+              LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+2], ' ')
+                             FOR i IN RANGE(1, LEN(t) - 1)]) AS s
+       FROM tok WHERE LEN(t) >= 3),
+e AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+"""
+
+_JACCARD_PAIRS_ORACLE = "WITH " + _SHINGLES_SQL + """
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2: MinHash + LSH (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.7
+
+_MINHASH_EXPR = (
+    f"transform(sequence(0, {N_HASHES - 1}), j -> "
+    "array_min(transform(sh, s -> "
+    "CAST(CONV(SUBSTR(MD5(CONCAT(CAST(j AS STRING), '|', s)), 1, 15), 16, 10) AS BIGINT))))"
+)
+
+
+@register("k2_minhash_lsh_pairs", "K2", _JACCARD_PAIRS_ORACLE,
+          "Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard "
+          "verification. Oracle is the brute-force pair set: equality "
+          "holds because banding recall at the corpus's J>=0.9 dup level "
+          "is 1-4e-8 (and the driver hash proves it on this corpus).")
+def k2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    mh = sh.select("doc_id", "sh", F.expr(_MINHASH_EXPR).alias("mh"))
+
+    # Band signature: md5 over the band's minhash values (internal only -
+    # never compared against the oracle, so any deterministic hash works).
+    bands = mh.select(
+        "doc_id",
+        "mh",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("mh", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verification on candidates only.
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_raw",
+            F.col("i").cast("double") / (F.size("sh_a") + F.size("sh_b") - F.col("i")),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+@register("k2b_ngram_jaccard_pairs", "K2", _JACCARD_PAIRS_ORACLE,
+          "Same near-dup semantics via distributed explode + shingle "
+          "equi-join + group count (exact at any recall; quadratic only "
+          "within shared-shingle buckets)")
+def k2b_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sz = sh.select("doc_id", F.size("sh").alias("n"))
+    ea = e.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        ea.join(eb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sza, "doc_a").join(szb, "doc_b")
+        .filter(j >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 60-bit fingerprints + exact banded hamming near-dup search
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+HAMMING_THRESHOLD = 8
+N_SIM_BANDS = 10          # 10 bands x 6 bits; pigeonhole-exact for tau <= 9
+SIM_BAND_BITS = 6
+
+_SIMHASH_SQL = """
+tok AS (SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+        FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || SUBSTR(MD5(w), 1, 15)) AS BIGINT) AS hv
+      FROM tok),
+votes AS (SELECT doc_id, k,
+                 SUM(CASE WHEN (hv >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h, RANGE(60) r(k) GROUP BY doc_id, k),
+simh AS (SELECT doc_id,
+                CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k)
+                              ELSE 0 END) AS BIGINT) AS simhash
+         FROM votes GROUP BY doc_id)
+"""
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("w")
+    )
+    h = tok.select("doc_id", portable_hash60(F.col("w")).alias("hv"))
+    votes = (
+        h.select("doc_id", "hv",
+                 F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("k"))
+        .groupBy("doc_id", "k")
+        .agg(F.sum(F.when(F.expr("(shiftright(hv, k) & 1)") == 1, 1).otherwise(-1)).alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), k)")).otherwise(F.lit(0))
+        ).cast("bigint").alias("simhash")
+    )
+
+
+@register("k_simhash_fingerprint", "K2", "WITH " + _SIMHASH_SQL +
+          "SELECT doc_id, simhash FROM simh",
+          "60-bit SimHash document fingerprint (majority vote per bit over "
+          "token hashes; fully deterministic, oracle-checked value-for-value)")
+def k_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(spark, sf_dir)
+
+
+@register("k_simhash_near_pairs", "K2", "WITH " + _SIMHASH_SQL + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INT) AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+""", "SimHash near-dup pairs via banded hamming search: 10 bands x 6 "
+     "bits -> pigeonhole guarantees a clean band for hamming <= 9, so "
+     "candidate generation is EXACT (oracle brute-forces all pairs)")
+def k_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    simh = simhash_fingerprints(spark, sf_dir)
+    bands = simh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SIM_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "chunk", F.expr(f"shiftright(simhash, band * {SIM_BAND_BITS}) & {2**SIM_BAND_BITS - 1}")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int"))
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,191 @@
+"""Embedding similarity search (SURVEY.md 2.K row K3).
+
+Three tiers over `embeddings` (array<float> dim=64):
+
+- k3_cosine_topk: brute-force top-k for a query set - the exactness
+  baseline. Corpus norms are precomputed once; queries are broadcast,
+  so the plan is a single corpus scan regardless of corpus size
+  (cost ~ |corpus| x |queries|).
+- ann_ivf_topk: IVF-style probe - candidates restricted to the query's
+  cluster (the corpus `label` stands in for a centroid assignment; in
+  production the assignment comes from k-means, same plan shape). At
+  100 TB this turns top-k from a full scan into a partition-pruned
+  scan of ~1/n_clusters of the corpus.
+- k_embedding_dup_pairs: near-duplicate detection in embedding space
+  (cosine >= tau over all pairs, label-blocked to bound the join).
+
+All vector math runs JVM-side through zip_with/aggregate higher-order
+functions in double precision - no Python UDF on the hot path. Both
+engines fold 64 elements sequentially, so values hash-match at 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+
+TOP_K = 5
+QUERY_FILTER = "vec_id % 100 = 0"
+DUP_COS_THRESHOLD = 0.8
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """<a,b> in double precision, JVM-side. DuckDB twin:
+    (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT UNNEST(a) x, UNNEST(b) y))"""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+_NORMED_SQL = """
+e AS (SELECT vec_id, label, embedding,
+             SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   FROM (SELECT UNNEST(embedding) x, UNNEST(embedding) y))) AS nrm
+      FROM embeddings)
+"""
+
+_K3_ORACLE = "WITH " + _NORMED_SQL + f"""
+, q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE {QUERY_FILTER})
+, p AS (SELECT qid, e.vec_id AS cid,
+               ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                      FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+                     / (qn * e.nrm), 6) AS cos_sim
+        FROM q, e WHERE e.vec_id <> qid)
+SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, cid) AS rn FROM p)
+WHERE rn <= {TOP_K}
+"""
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", "embedding", norm("embedding").alias("nrm"))
+
+
+def _topk(corpus: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Broadcast the query set against the corpus; per-query top-k via
+    window (rank ties broken on rounded cosine, then candidate id)."""
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = corpus.alias("c").join(
+        F.broadcast(q).alias("q"), F.expr("c.vec_id <> q.qid")
+    )
+    cos = F.round(
+        dot(F.col("q.qe"), F.col("c.embedding")) / (F.col("q.qn") * F.col("c.nrm")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        c.select(
+            F.col("q.qid").alias("qid"),
+            F.col("c.vec_id").alias("cid"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register("k3_cosine_topk", "K3", _K3_ORACLE,
+          "Brute-force cosine top-k: broadcast query set, one corpus scan, "
+          "per-query top-k window")
+def k3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normed(spark, sf_dir)
+    queries = e.filter(F.expr(QUERY_FILTER))
+    return _topk(e, queries, TOP_K)
+
+
+_ANN_ORACLE = "WITH " + _NORMED_SQL + f"""
+, q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, nrm AS qn
+        FROM e WHERE {QUERY_FILTER})
+, p AS (SELECT qid, e.vec_id AS cid,
+               ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                      FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+                     / (qn * e.nrm), 6) AS cos_sim
+        FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> qid)
+SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, cid) AS rn FROM p)
+WHERE rn <= 3
+"""
+
+
+@register("ann_ivf_topk", "K3", _ANN_ORACLE,
+          "IVF-style ANN: probe only the query's cluster (label = centroid "
+          "assignment stand-in) - the partition-pruned scale path")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normed(spark, sf_dir)
+    q = e.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.alias("c").join(
+        F.broadcast(q).alias("q"),
+        (F.col("c.label") == F.col("q.qlabel")) & F.expr("c.vec_id <> q.qid"),
+    )
+    cos = F.round(
+        dot(F.col("q.qe"), F.col("c.embedding")) / (F.col("q.qn") * F.col("c.nrm")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        c.select(
+            F.col("q.qid").alias("qid"),
+            F.col("c.vec_id").alias("cid"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+_DUP_ORACLE = "WITH " + _NORMED_SQL + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+              FROM (SELECT UNNEST(a.embedding) x, UNNEST(b.embedding) y))
+             / (a.nrm * b.nrm), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       FROM (SELECT UNNEST(a.embedding) x, UNNEST(b.embedding) y))
+      / (a.nrm * b.nrm) >= {DUP_COS_THRESHOLD}
+"""
+
+
+@register("k_embedding_dup_pairs", "K3", _DUP_ORACLE,
+          "Embedding-cosine near-duplicate pairs, label-blocked: the "
+          "pair join never crosses cluster boundaries, bounding the "
+          "quadratic term to within-cluster sizes")
+def k_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normed(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cos_raw = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        pairs.withColumn("cos_raw", cos_raw)
+        .filter(F.col("cos_raw") >= DUP_COS_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )

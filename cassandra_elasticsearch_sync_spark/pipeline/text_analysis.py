@@ -1,0 +1,234 @@
+"""Text-analysis operators (SURVEY.md 2.K rows K4-K5 + mandated extras:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+Everything is explode + groupBy + broadcast-lexicon joins - the
+canonical distributed text-stats shape: token streams shuffle on the
+token (bounded vocabulary => tiny shuffle), per-doc stats shuffle on
+doc_id. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+
+# Scoring lexicon over the corpus's observed vocabulary (FIXTURES.md).
+# Defined once here; the oracle embeds the same pairs as a VALUES list.
+LEXICON: dict[str, float] = {
+    "fast": 2.0,
+    "slow": -2.0,
+    "big": 1.0,
+    "small": -0.5,
+    "merge": 0.5,
+    "scan": -1.0,
+    "query": 1.5,
+    "spark": 3.0,
+}
+
+_LEXICON_VALUES = ", ".join(f"('{w}', {s})" for w, s in sorted(LEXICON.items()))
+
+# English function words present in the synthetic vocabulary.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register("k4_term_stats", "K4", """
+SELECT w AS token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents)
+GROUP BY w
+""", "Corpus term statistics: term frequency + document frequency")
+def k4_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+@register("k4_tfidf", "K4", """
+WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+             FROM documents),
+tf AS (SELECT doc_id, w AS token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df
+       FROM (SELECT DISTINCT doc_id, w AS token FROM tok) GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token,
+       ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+""", "TF-IDF per (doc, token): two aggregates + a broadcast join; the "
+     "corpus size joins in as a broadcast scalar, never a collect()")
+def k4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register("k4_bigrams", "K4", """
+WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
+bg AS (SELECT doc_id, UNNEST([ARRAY_TO_STRING(t[i:i+1], ' ')
+                              FOR i IN RANGE(1, LEN(t))]) AS bigram
+       FROM tok WHERE LEN(t) >= 2)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""", "Top-20 bigrams (n-gram generation via sequence+slice, total-order top-k)")
+def k4_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.filter(F.size(F.split("text", " ")) >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
+                "i -> array_join(slice(split(lower(text), ' '), i, 2), ' '))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@register("k5_keyword_score", "K5", f"""
+WITH lex(word, score) AS (VALUES {_LEXICON_VALUES}),
+tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents)
+SELECT doc_id,
+       ROUND(CAST(SUM(CAST(score AS DECIMAL(38,10))) AS DOUBLE)
+             / COUNT(score), 6) AS sentiment,
+       COUNT(*) AS n_scored_tokens
+FROM tok JOIN lex ON w = word
+GROUP BY doc_id
+""", "Lexicon sentiment/keyword scoring: broadcast lexicon join + per-doc "
+     "average (EDBT'16 pattern, SURVEY.md P:6)")
+def k5_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        sorted(LEXICON.items()), schema="word string, score double"
+    )
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    return (
+        tok.join(F.broadcast(lex), tok.w == lex.word)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("score").cast("decimal(38,10)")).cast("double")
+                / F.count("score"),
+                6,
+            ).alias("sentiment"),
+            F.count("*").alias("n_scored_tokens"),
+        )
+    )
+
+
+@register("k_lang_id", "K4", f"""
+WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents)
+SELECT doc_id,
+       ROUND(CAST(LEN(LIST_FILTER(t, x -> LIST_CONTAINS([{_STOP_SQL}], x))) AS DOUBLE)
+             / LEN(t), 6) AS stop_ratio,
+       CASE WHEN CAST(LEN(LIST_FILTER(t, x -> LIST_CONTAINS([{_STOP_SQL}], x))) AS DOUBLE)
+                 / LEN(t) >= 0.05
+            THEN 'en' ELSE 'other' END AS predicted_lang
+FROM tok
+""", "Heuristic language ID: function-word (stopword) ratio against an "
+     "English seed list - the n-gram-free baseline classifier")
+def k_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    ratio = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size(t)
+    return d.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("predicted_lang"),
+    )
+
+
+@register("k_quality_score", "K4", """
+WITH f AS (
+  SELECT doc_id,
+         n_chars,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS n_uniq,
+         LEN(REGEXP_EXTRACT_ALL(text, '[^a-z ]')) AS n_nonalpha
+  FROM documents)
+SELECT doc_id, n_tokens, n_uniq,
+       ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5
+             + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.4
+             + CASE WHEN n_nonalpha = 0 THEN 0.1 ELSE 0.0 END, 6) AS quality
+FROM f
+""", "Document quality score: length + lexical diversity + charset "
+     "cleanliness composite (pretraining-filter heuristic)")
+def k_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower("text"), " "))).alias("n_uniq"),
+        F.size(F.regexp_extract_all("text", F.lit("[^a-z ]"), 0)).alias("n_nonalpha"),
+    )
+    quality = (
+        F.least(F.col("n_tokens").cast("double") / 100, F.lit(1.0)) * 0.5
+        + (F.col("n_uniq").cast("double") / F.col("n_tokens")) * 0.4
+        + F.when(F.col("n_nonalpha") == 0, 0.1).otherwise(0.0)
+    )
+    return f.select(
+        "doc_id", "n_tokens", "n_uniq", F.round(quality, 6).alias("quality")
+    )
+
+
+@register("k_token_count", "K4", """
+SELECT doc_id,
+       LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+       LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+FROM documents
+""", "Token counting: whitespace split + BPE-ish regex segmentation")
+def k_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+         .alias("bpe_ish_tokens"),
+    )
+
+
+@register("k_fingerprint_rolling", "K4", """
+SELECT doc_id,
+       LIST_REDUCE(
+         LIST_PREPEND(CAST(0 AS BIGINT),
+           LIST_TRANSFORM(STRING_SPLIT(LOWER(text), ' '),
+             w -> CAST(('0x' || SUBSTR(MD5(w), 1, 15)) AS BIGINT) % 1000003)),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents
+""", "Order-sensitive rolling-hash fingerprint over the token stream "
+     "(polynomial fold mod 1e9+7; detects reorderings that set-based "
+     "hashes miss)")
+def k_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fold = F.expr(
+        "aggregate(transform(split(lower(text), ' '), "
+        "w -> CAST(CONV(SUBSTR(MD5(w), 1, 15), 16, 10) AS BIGINT) % 1000003), "
+        "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+    return d.select("doc_id", fold.alias("fingerprint"))

@@ -1,0 +1,270 @@
+"""Sync operators L1-L6: diff / delta / LWW / upsert / deletes / full sync.
+
+Semantics reconstructed from the driver contract (SURVEY.md 0.2): each
+record carries a key and a version timestamp; a sync cycle classifies
+keys across the two store snapshots, resolves concurrent edits by
+last-write-wins on version (deterministic side tiebreak), and applies
+an idempotent upsert set to each side.
+
+Test fixture (FIXTURES.md "two-snapshot recipe", plus a deterministic
+deletion set so L5 is non-trivial):
+
+- side A ("Cassandra"): orders with o_orderdate <  2000-01-01
+- side B ("ES"):        orders with o_orderdate >= 1997-01-01,
+    minus keys with o_orderkey % 97 = 0   (simulated deletes on B),
+    and a local edit where o_orderkey % 10 = 0: price * 1.1 and
+    version bumped by one day (these win LWW in the overlap).
+- key = o_orderkey, version = o_orderdate, payload = price.
+
+Scale notes: the diff is one full-outer sort-merge join on the key -
+the canonical shape for a 100 TB two-store reconciliation (both sides
+shuffle-partitioned by key once; AQE splits skewed keys). The LWW
+merge is a per-key top-1 window after a union - a single shuffle, no
+join blowup. At 100 TB the upsert apply would target an ACID table
+format; on plain parquet it is a full-snapshot rewrite (apply_upserts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.parity import fmt_ts
+from cassandra_elasticsearch_sync_spark.registry import register
+
+# DuckDB twins of the snapshot builders; prepended to every L oracle.
+_SIDES_SQL = """
+WITH side_a AS (
+  SELECT o_orderkey AS key, o_totalprice AS price, o_orderdate AS version
+  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+),
+side_b AS (
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_orderdate + INTERVAL 1 DAY
+              ELSE o_orderdate END AS version
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderkey % 97 <> 0
+)
+"""
+
+
+def side_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "Cassandra" snapshot: key/price/version."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.expr("o_orderdate < TIMESTAMP_NTZ '2000-01-01 00:00:00'")).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("version"),
+    )
+
+
+def side_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "ES" snapshot: overlapping window + local edits + deletes."""
+    o = load_table(spark, sf_dir, "orders")
+    edited = F.col("o_orderkey") % 10 == 0
+    return (
+        o.filter(F.expr("o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.when(edited, F.col("o_totalprice") * 1.1)
+             .otherwise(F.col("o_totalprice")).alias("price"),
+            F.when(edited, F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+             .otherwise(F.col("o_orderdate")).alias("version"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L1: snapshot diff
+# --------------------------------------------------------------------------
+
+@register("l1_snapshot_diff", "L1", _SIDES_SQL + """
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN b.key IS NULL THEN 'only_a'
+            WHEN a.key IS NULL THEN 'only_b'
+            WHEN a.version = b.version AND a.price = b.price THEN 'equal'
+            ELSE 'conflict' END AS label,
+       STRFTIME(DATE_TRUNC('second', a.version), '%Y-%m-%d %H:%M:%S') AS version_a,
+       STRFTIME(DATE_TRUNC('second', b.version), '%Y-%m-%d %H:%M:%S') AS version_b,
+       a.price AS price_a,
+       b.price AS price_b
+FROM side_a a FULL OUTER JOIN side_b b ON a.key = b.key
+""", "Snapshot diff: classify every key as only_a/only_b/equal/conflict "
+     "(one full-outer join on the sync key)")
+def l1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = side_a(spark, sf_dir).alias("a")
+    b = side_b(spark, sf_dir).alias("b")
+    ak, bk = F.col("a.key"), F.col("b.key")
+    return a.join(b, ak == bk, "full").select(
+        F.coalesce(ak, bk).alias("key"),
+        F.when(bk.isNull(), "only_a")
+         .when(ak.isNull(), "only_b")
+         .when((F.col("a.version") == F.col("b.version"))
+               & (F.col("a.price") == F.col("b.price")), "equal")
+         .otherwise("conflict").alias("label"),
+        fmt_ts(F.col("a.version")).alias("version_a"),
+        fmt_ts(F.col("b.version")).alias("version_b"),
+        F.col("a.price").alias("price_a"),
+        F.col("b.price").alias("price_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L2: delta extraction (the batch form of the incremental sync read)
+# --------------------------------------------------------------------------
+
+@register("l2_delta_extraction", "L2", _SIDES_SQL + """
+SELECT key, price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM side_b
+WHERE version > TIMESTAMP '1999-06-01 00:00:00'
+""", "Rows changed since the last sync watermark (predicate pushes to scan; "
+     "streaming twin is the watermark in streaming/incremental.py)")
+def l2_delta_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = side_b(spark, sf_dir)
+    return b.filter(F.expr("version > TIMESTAMP_NTZ '1999-06-01 00:00:00'")).select(
+        "key", "price", fmt_ts("version").alias("version_s")
+    )
+
+
+# --------------------------------------------------------------------------
+# L3 / L6: LWW merge (union + per-key top-1) = the synced final state
+# --------------------------------------------------------------------------
+
+def lww_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Resolve two keyed+versioned snapshots to one: per key, keep the
+    row with the greatest version; tie -> side 'b' wins (deterministic).
+
+    One union + one shuffle on key (window top-1). No join: at 100 TB
+    a union+window shuffles each side once, the same cost as the
+    full-outer join but with trivially skew-splittable state.
+    """
+    u = a.withColumn("side", F.lit("a")).unionByName(b.withColumn("side", F.lit("b")))
+    w = Window.partitionBy("key").orderBy(F.col("version").desc(), F.col("side").desc())
+    return u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+_L3_ORACLE = _SIDES_SQL + """
+, u AS (
+  SELECT key, price, version, 'a' AS side FROM side_a
+  UNION ALL
+  SELECT key, price, version, 'b' AS side FROM side_b
+)
+SELECT key, side, price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                   ORDER BY version DESC, side DESC) AS rn
+      FROM u)
+WHERE rn = 1
+"""
+
+
+@register("l3_lww_merge", "L3", _L3_ORACLE,
+          "Last-write-wins conflict resolution across both snapshots; "
+          "the output IS the converged store state (full-sync result, L6)")
+def l3_lww_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = lww_merge(side_a(spark, sf_dir), side_b(spark, sf_dir))
+    return merged.select("key", "side", "price", fmt_ts("version").alias("version_s"))
+
+
+@register("l6_full_sync_stats", "L6", _L3_ORACLE.replace(
+    """SELECT key, side, price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM""", """SELECT side, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(38,10))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+FROM""") + " GROUP BY side",
+    "Full-sync bootstrap summary: which side won how many keys, and the "
+    "converged total (scan -> type bridge -> merge -> stats)")
+def l6_full_sync_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = lww_merge(side_a(spark, sf_dir), side_b(spark, sf_dir))
+    return merged.groupBy("side").agg(
+        F.count("*").alias("n_rows"),
+        # Scale 6: the % 10 = 0 edits multiply 2-dp prices by 1.1, so the
+        # summed content has >2 dp; 6 is lossless and fits 2^53 here.
+        F.sum(F.col("price").cast("decimal(38,10)"))
+         .cast("decimal(38,6)").cast("double").alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L4: idempotent upsert set
+# --------------------------------------------------------------------------
+
+_L4_ORACLE = _SIDES_SQL + """
+, u AS (
+  SELECT key, price, version, 'a' AS side FROM side_a
+  UNION ALL
+  SELECT key, price, version, 'b' AS side FROM side_b
+),
+final AS (
+  SELECT key, price, version FROM
+    (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY version DESC, side DESC) AS rn FROM u)
+  WHERE rn = 1
+)
+SELECT f.key, f.price,
+       STRFTIME(DATE_TRUNC('second', f.version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM final f LEFT JOIN side_a a ON f.key = a.key
+WHERE a.key IS NULL OR f.version <> a.version OR f.price <> a.price
+"""
+
+
+@register("l4_upsert_set", "L4", _L4_ORACLE,
+          "The exact row set to apply to store A so it converges; "
+          "re-application is a no-op (idempotence property-tested)")
+def l4_upsert_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = side_a(spark, sf_dir)
+    merged = lww_merge(a, side_b(spark, sf_dir)).select("key", "price", "version")
+    f, aa = merged.alias("f"), a.alias("a")
+    return (
+        f.join(aa, F.col("f.key") == F.col("a.key"), "left")
+        .filter(
+            F.col("a.key").isNull()
+            | (F.col("f.version") != F.col("a.version"))
+            | (F.col("f.price") != F.col("a.price"))
+        )
+        .select(
+            F.col("f.key").alias("key"),
+            F.col("f.price").alias("price"),
+            fmt_ts(F.col("f.version")).alias("version_s"),
+        )
+    )
+
+
+def apply_upserts(target: DataFrame, upserts: DataFrame) -> DataFrame:
+    """Apply a keyed upsert set: replace matching keys, add new ones.
+
+    On plain parquet this is the honest merge (anti join + union); on an
+    ACID table format at 100 TB it becomes MERGE INTO. Idempotent by
+    construction: applying the same set twice is a no-op.
+    """
+    keep = target.join(upserts.select("key"), "key", "left_anti")
+    return keep.unionByName(upserts)
+
+
+# --------------------------------------------------------------------------
+# L5: deletion propagation
+# --------------------------------------------------------------------------
+
+@register("l5_deletion_propagation", "L5", _SIDES_SQL + """
+SELECT a.key,
+       STRFTIME(DATE_TRUNC('second', a.version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM side_a a LEFT JOIN side_b b ON a.key = b.key
+WHERE b.key IS NULL
+  AND a.version >= TIMESTAMP '1997-01-01 00:00:00'
+""", "Keys to delete from A: absent on B although inside B's covered "
+     "window (=> deleted there, not merely unsynced). Interpretation "
+     "flagged in SURVEY.md 2.L row L5.")
+def l5_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = side_a(spark, sf_dir).alias("a")
+    b = side_b(spark, sf_dir).alias("b")
+    return (
+        a.join(b, F.col("a.key") == F.col("b.key"), "left_anti")
+        .filter(F.expr("version >= TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        .select(F.col("key"), fmt_ts("version").alias("version_s"))
+    )
