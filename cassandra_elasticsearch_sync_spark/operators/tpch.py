@@ -1,0 +1,129 @@
+"""TPC-H-shaped headline queries (bench workload + C/D-tier composites).
+
+These are the classic multi-join analytical shapes on the corpus's
+star schema - the queries BASELINE.md benchmarks. Plans to expect
+(verify with .explain): Q3/Q5 broadcast every dimension side under the
+64 MB threshold and shuffle only the fact tables; Q6 is a pure
+scan+filter+agg with every predicate pushed into the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.parity import DEC
+from cassandra_elasticsearch_sync_spark.registry import register
+
+_REV = "CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE)"
+
+
+def _revenue() -> F.Column:
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return F.sum(disc_price.cast(DEC)).cast("decimal(38,4)").cast("double")
+
+
+@register("q3_shipping_priority", "C1+D1+F3", f"""
+SELECT o_orderkey,
+       {_REV} AS revenue,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""", "Q3-style: 3-way join + grouped revenue + total-order top-10")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > TIMESTAMP_NTZ '1998-03-15 00:00:00'")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register("q5_local_supplier_volume", "C1+D1", f"""
+SELECT n_name,
+       {_REV} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""", "Q5-style: 6-way star join, dimensions broadcast, facts shuffled once")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+        & F.expr("o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+@register("q6_forecast_revenue", "B2+D2", """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)))
+            AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""", "Q6-style: pure scan + pushed-down filters + global agg (the "
+     "I/O-bound shape; PushedFilters should list all three predicates)")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+            & F.expr("l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
+            .cast("decimal(38,4)").cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )

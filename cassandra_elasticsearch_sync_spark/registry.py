@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         windows,
         setops,
         sorts,
+        tpch,
     )
     from cassandra_elasticsearch_sync_spark.functions import (  # noqa: F401
         scalar,
