@@ -89,4 +89,6 @@ def _ensure_loaded() -> None:
         text_analysis,
         multimodal,
     )
+    from cassandra_elasticsearch_sync_spark.streaming import incremental  # noqa: F401
+    from cassandra_elasticsearch_sync_spark.sources import readers  # noqa: F401
     _LOADED = True

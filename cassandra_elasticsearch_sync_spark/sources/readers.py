@@ -1,0 +1,110 @@
+"""Store sources/sinks (SURVEY.md 2.A rows A1-A8).
+
+The two real stores behind the reference are Cassandra (partition-
+keyed table) and Elasticsearch (JSON document index). In production
+this module is the single place the connector formats are named:
+
+    cassandra: spark.read.format("org.apache.spark.sql.cassandra")
+                    .options(table=..., keyspace=...)   # token-range
+                                                        # parallel scan
+    es:        spark.read.format("es").option("es.resource", index)
+                                                        # scan-and-scroll
+                                                        # + pushdown
+
+Neither connector ships in this container, so both sources resolve to
+the parquet stand-in (same schema contract); every operator upstream
+is agnostic. The *semantic* projections each store needs - the ES
+_id/_version/_source document shape, JSON schema-on-read ingest - are
+real and oracle-verified below.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+
+
+def cassandra_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """A2: Cassandra-table source (parquet stand-in; see module doc)."""
+    return load_table(spark, sf_dir, table)
+
+
+def es_index(spark: SparkSession, sf_dir: str, index: str) -> DataFrame:
+    """A3: ES-index source (parquet stand-in; see module doc)."""
+    return load_table(spark, sf_dir, index)
+
+
+def write_snapshot(df: DataFrame, path: str) -> None:
+    """A6: batch sink - atomic-enough snapshot write for local parquet."""
+    df.write.mode("overwrite").parquet(path)
+
+
+@register("a3_es_doc_projection", "A3", """
+SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+       CAST(EPOCH(DATE_TRUNC('second', o_orderdate)) AS BIGINT) AS _version,
+       o_orderstatus AS status,
+       o_totalprice AS totalprice
+FROM orders
+""", "The ES document shape: _id string, _version from the record "
+     "version, typed source fields (SURVEY.md 1.1 row mapping)")
+def a3_es_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.unix_timestamp(F.date_trunc("second", "o_orderdate")).alias("_version"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+@register("a4_json_ingest", "A4", """
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""", "Schema-on-read JSON ingest: documents round-trip through JSON "
+     "lines (the ES _source wire shape) with an explicit read schema, "
+     "then aggregate; the oracle reads the original table - equality "
+     "proves the ingest is lossless")
+def a4_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"ces_json_ingest_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    d.write.mode("overwrite").json(scratch)
+    ingested = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(scratch)
+    return ingested.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register("a4_csv_ingest", "A4", """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+""", "CSV ingest with explicit schema (same lossless-round-trip proof "
+     "as a4_json_ingest; doubles survive via round-trip-exact repr)")
+def a4_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"ces_csv_ingest_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    c.write.mode("overwrite").option("header", True).csv(scratch)
+    ingested = spark.read.schema(
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string"
+    ).option("header", True).csv(scratch)
+    return ingested.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,10)"))
+         .cast("decimal(38,2)").cast("double").alias("total_bal"),
+    )

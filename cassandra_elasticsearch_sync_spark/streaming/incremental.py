@@ -1,0 +1,330 @@
+"""Streaming operators: watermarked windows, dedup, stream joins, and
+the end-to-end incremental sync loop (L7).
+
+Verification strategy (SURVEY.md 2.I): every windowed aggregation is
+registered as a *batch* query on `events` with a DuckDB oracle (same
+window semantics, hash-checked), and the streaming twin is asserted
+equal to the batch result in tests/test_streaming.py by running it
+with trigger(availableNow) - honest coverage for operators the oracle
+cannot execute. The one exception is l7_incremental_sync_stream, which
+IS a real multi-micro-batch streaming run and still hash-matches the
+batch l3 oracle, because LWW merge is associative/commutative across
+micro-batches.
+
+Scale notes: windows and dedup state partition by (window, key) /
+event_id - standard distributed state-store sharding. The foreachBatch
+merge rewrites the target snapshot per batch because plain parquet has
+no row-level upsert; on a 100 TB deployment the target is an ACID
+table (Delta/Iceberg MERGE INTO) and the rest of the pipeline is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+from cassandra_elasticsearch_sync_spark.sync.ops import lww_merge, side_a, side_b
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+# ---------------------------------------------------------------------------
+# Batch-equivalent window aggregations (oracle-checked; streaming twins
+# of each are exercised in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+@register("i2_tumbling_window", "I2", """
+SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', DATE_TRUNC('second', ts)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""", "Tumbling 1h window aggregate (batch form of the watermarked "
+     "streaming aggregation; F.window start == time_bucket)")
+def i2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.date_trunc("second", "ts"), "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+             .cast("decimal(38,6)").cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register("i3_sliding_window", "I3", """
+WITH s AS (
+  SELECT TIME_BUCKET(INTERVAL '15 minutes', DATE_TRUNC('second', ts))
+           - k * INTERVAL '15 minutes' AS window_start,
+         DATE_TRUNC('second', ts) AS ts_s
+  FROM events, RANGE(4) r(k)
+)
+SELECT STRFTIME(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n
+FROM s
+WHERE ts_s < window_start + INTERVAL '1 hour'
+GROUP BY 1
+""", "Sliding 1h/15min window counts (each row lands in 4 overlapping "
+     "windows; the oracle materializes the same 4 offsets explicitly)")
+def i3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.date_trunc("second", "ts"), "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
+@register("i4_sessionization", "I4", """
+WITH e AS (
+  SELECT user_id,
+         CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+  FROM events
+),
+flagged AS (
+  SELECT user_id, es,
+         CASE WHEN es - LAG(es) OVER w > 1800 OR LAG(es) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+),
+sessions AS (
+  SELECT user_id, es,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY es
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(es) AS session_start_es,
+       MAX(es) - MIN(es) AS duration_s,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""", "Gap-based sessionization (30 min) via gaps-and-islands - the "
+     "batch twin of F.session_window, asserted equivalent in tests")
+def i4_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp(F.date_trunc("second", "ts")).alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("es") - F.lag("es").over(w) > 1800) | F.lag("es").over(w).isNull(), 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.min("es").alias("session_start_es"),
+        (F.max("es") - F.min("es")).alias("duration_s"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming builders (library surface; exercised in tests)
+# ---------------------------------------------------------------------------
+
+def stage_events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Write events as n_chunks parquet files into a scratch dir so the
+    file source sees multiple discrete arrivals (one per micro-batch
+    with maxFilesPerTrigger=1).
+
+    Chunks are TIME-ordered (ntile over ts): the file source replays
+    them oldest-first, like a real at-least-once feed. Arbitrary-order
+    chunks would be dropped as late data once the watermark advances -
+    correct watermark semantics, wrong test fixture.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+    )
+    out = tempfile.mkdtemp(prefix="ces_events_stream_")
+    for i in range(1, n_chunks + 1):
+        ev.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+    return out
+
+
+def read_events_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+    )
+
+
+def tumbling_counts_stream(events: DataFrame) -> DataFrame:
+    """I1+I2: watermarked tumbling window aggregate."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.date_trunc("second", "ts"), "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+             .cast("decimal(38,6)").cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame) -> DataFrame:
+    """I4: native session windows (30 min gap) per user."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window(F.date_trunc("second", "ts"), "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start_es"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """I5: drop re-deliveries by event_id within the watermark."""
+    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, weights: DataFrame) -> DataFrame:
+    """I8: enrich the stream against a broadcast static dimension."""
+    return events.join(F.broadcast(weights), "event_type")
+
+
+def stream_stream_join(events: DataFrame) -> DataFrame:
+    """I9: clicks joined to errors of the same user within 10 minutes
+    (both sides watermarked; the range condition bounds state)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+                F.col("event_id").alias("error_id"))
+        .withWatermark("e_ts", "30 minutes")
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            "user_id = e_user AND e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+    ).select("user_id", "click_id", "error_id")
+
+
+# ---------------------------------------------------------------------------
+# L7: the incremental sync loop, end to end
+# ---------------------------------------------------------------------------
+
+class _SnapshotStore:
+    """A keyed store on plain parquet with snapshot-swap upserts.
+
+    Stand-in for the Cassandra/ES target: merge(batch) = LWW of the
+    current snapshot with the batch, written to a fresh versioned dir
+    (readers never see partial writes). On an ACID table format this
+    whole class collapses to MERGE INTO.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, init: DataFrame):
+        self.spark = spark
+        self.root = root
+        self.version = 0
+        init.write.mode("overwrite").parquet(self._path(0))
+
+    def _path(self, v: int) -> str:
+        return os.path.join(self.root, f"v{v}")
+
+    def current(self) -> DataFrame:
+        return self.spark.read.parquet(self._path(self.version))
+
+    def merge(self, batch: DataFrame) -> None:
+        merged = lww_merge(self.current(), batch)
+        self.version += 1
+        merged.write.mode("overwrite").parquet(self._path(self.version))
+
+
+def l7_run_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full L7 loop: bootstrap store A, stream side-B deltas in
+    micro-batches, foreachBatch-merge with LWW, return the converged
+    snapshot. Deterministic regardless of batch boundaries because LWW
+    is associative and commutative over versions."""
+    a = side_a(spark, sf_dir).withColumn("side", F.lit("a"))
+    b = side_b(spark, sf_dir).withColumn("side", F.lit("b"))
+
+    staged = tempfile.mkdtemp(prefix="ces_l7_deltas_")
+    n_chunks = 3
+    for i in range(n_chunks):
+        b.filter(F.col("key") % n_chunks == i).coalesce(1).write.mode("append").parquet(staged)
+
+    store_root = tempfile.mkdtemp(prefix="ces_l7_store_")
+    checkpoint = tempfile.mkdtemp(prefix="ces_l7_ckpt_")
+    store = _SnapshotStore(spark, store_root, a)
+
+    deltas = (
+        spark.readStream.schema("key bigint, price double, version timestamp, side string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        deltas.writeStream.foreachBatch(lambda df, _id: store.merge(df))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    result = store.current()
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return result
+
+
+# The streaming loop converges to exactly the batch LWW merge, so the
+# oracle is l3's SQL (same output columns).
+from cassandra_elasticsearch_sync_spark.sync.ops import _L3_ORACLE  # noqa: E402
+
+
+@register("l7_incremental_sync_stream", "L7", _L3_ORACLE,
+          "The reference's incremental sync loop as Structured Streaming: "
+          "file-source deltas in 3 micro-batches -> foreachBatch LWW merge "
+          "into a snapshot-swap parquet store -> converged state. "
+          "Hash-matches the BATCH l3 oracle because LWW is associative "
+          "across micro-batches - the streaming/batch equivalence the "
+          "survey demands, proven by the driver's own gate.")
+def l7_incremental_sync_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.parity import fmt_ts
+
+    snap = l7_run_incremental_sync(spark, sf_dir)
+    return snap.select("key", "side", "price", fmt_ts("version").alias("version_s"))

@@ -140,11 +140,20 @@ def lww_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Resolve two keyed+versioned snapshots to one: per key, keep the
     row with the greatest version; tie -> side 'b' wins (deterministic).
 
+    If an input already carries a ``side`` column it is preserved - the
+    incremental loop (L7) folds batches into an accumulated store whose
+    rows must keep their original provenance, not be re-stamped per
+    merge.
+
     One union + one shuffle on key (window top-1). No join: at 100 TB
     a union+window shuffles each side once, the same cost as the
     full-outer join but with trivially skew-splittable state.
     """
-    u = a.withColumn("side", F.lit("a")).unionByName(b.withColumn("side", F.lit("b")))
+    if "side" not in a.columns:
+        a = a.withColumn("side", F.lit("a"))
+    if "side" not in b.columns:
+        b = b.withColumn("side", F.lit("b"))
+    u = a.unionByName(b)
     w = Window.partitionBy("key").orderBy(F.col("version").desc(), F.col("side").desc())
     return u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 

@@ -1,0 +1,108 @@
+"""Streaming twins vs their oracle-checked batch equivalents, plus the
+stateful/join/dedup operators the DuckDB oracle cannot run."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.registry import all_specs
+from cassandra_elasticsearch_sync_spark.streaming import incremental as inc
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged(spark):
+    d = inc.stage_events_stream(spark, SF_DIR, n_chunks=4)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(stream_df, name, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return stream_df.sparkSession.table(name)
+
+
+def _norm(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, staged):
+    ev = inc.read_events_stream(spark, staged)
+    got = _run_to_memory(inc.tumbling_counts_stream(ev), "t_tumbling")
+    want = all_specs()["i2_tumbling_window"].fn(spark, SF_DIR)
+    assert _norm(got) == _norm(want)
+
+
+def test_session_window_stream_equals_batch(spark, staged):
+    ev = inc.read_events_stream(spark, staged)
+    got = _run_to_memory(inc.session_window_stream(ev), "t_session")
+    want = (
+        all_specs()["i4_sessionization"].fn(spark, SF_DIR)
+        .select("user_id", "session_start_es", "n_events")
+    )
+    assert _norm(got) == _norm(want)
+
+
+def test_dedup_stream_drops_redeliveries(spark, staged):
+    ev = inc.read_events_stream(spark, staged)
+    # Simulate at-least-once delivery: union the stream with itself.
+    doubled = ev.union(ev)
+    got = _run_to_memory(inc.dedup_stream(doubled), "t_dedup", mode="append")
+    n_unique = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert got.count() == n_unique
+
+
+def test_stream_static_join(spark, staged):
+    ev = inc.read_events_stream(spark, staged)
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("error", -1.0), ("signup", 3.0), ("view", 0.5)],
+        "event_type string, weight double",
+    )
+    got = _run_to_memory(
+        inc.stream_static_join(ev, weights).select("event_id", "weight"),
+        "t_static_join",
+        mode="append",
+    )
+    assert got.filter(F.col("weight").isNull()).count() == 0
+    assert got.count() == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_stream_stream_join_matches_batch_join(spark, staged):
+    ev = inc.read_events_stream(spark, staged)
+    got = _run_to_memory(inc.stream_stream_join(ev), "t_ss_join", mode="append")
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    b = load_table(spark, SF_DIR, "events")
+    clicks = b.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    errors = b.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    want = clicks.join(
+        errors,
+        F.expr("user_id = e_user AND e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 10 MINUTES"),
+    ).select("user_id", "click_id", "error_id")
+    assert _norm(got) == _norm(want)
+
+
+def test_l7_streaming_converges_to_batch_lww(spark):
+    from cassandra_elasticsearch_sync_spark.sync.ops import lww_merge, side_a, side_b
+
+    got = inc.l7_run_incremental_sync(spark, SF_DIR).select("key", "side", "price")
+    want = lww_merge(
+        side_a(spark, SF_DIR).withColumn("side", F.lit("a")),
+        side_b(spark, SF_DIR).withColumn("side", F.lit("b")),
+    ).select("key", "side", "price")
+    assert _norm(got) == _norm(want)
