@@ -284,3 +284,31 @@ def d11_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("top_customer"),
         F.max("c_acctbal").alias("top_bal"),
     )
+
+
+@register("d9b_cube", "D9", """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""", "Cube: all 2^k grouping-set combinations with grouping() flags")
+def d9b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )

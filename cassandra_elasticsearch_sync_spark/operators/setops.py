@@ -47,3 +47,26 @@ def g3_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _year_custkeys(spark, sf_dir, 1995).exceptAll(
         _year_custkeys(spark, sf_dir, 1996)
     )
+
+
+@register("g1b_union_by_name", "G1", """
+SELECT key, price, COALESCE(bal, 0.0) AS bal
+FROM (
+  SELECT o_orderkey AS key, o_totalprice AS price, NULL::DOUBLE AS bal
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT c_custkey AS key, NULL::DOUBLE AS price, c_acctbal AS bal
+  FROM customer WHERE c_custkey % 10 = 0
+)
+""", "Name-aligned union with missing columns (two heterogeneous store "
+     "schemas merged - the ES-doc vs CQL-row reconciliation shape)")
+def g1b_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
+    )
+    return o.unionByName(c, allowMissingColumns=True).select(
+        "key", "price", F.coalesce("bal", F.lit(0.0)).alias("bal")
+    )

@@ -141,3 +141,37 @@ def e5_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w).alias("last_order"),
     )
+
+
+@register("e3b_range_window", "E3", """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es,
+                  value
+           FROM events)
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS DECIMAL(38,6)) AS DOUBLE)
+         AS value_last_hour
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""", "rangeBetween frame on epoch seconds: sliding 1h per-row window "
+     "(value-based frame, not row-count-based)")
+def e3b_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast(DEC)).over(w)
+         .cast("decimal(38,6)").cast("double").alias("value_last_hour"),
+    )

@@ -1,0 +1,164 @@
+"""Time-series operators (SURVEY.md 2.K rows K7-K8).
+
+K7 similarity uses per-user daily *count* vectors and the inner-join
+distance decomposition
+
+    dist^2(a, b) = sum(a_d^2) + sum(b_d^2) - 2 * sum_{shared d} a_d b_d
+
+so missing days contribute their squared term automatically and the
+whole computation stays in exact integer arithmetic - no float-order
+hazards, and no day-grid materialization: one groupBy for the norms,
+one inner join on day for the cross term. At 100 TB that is two
+shuffles on (user, day) - the minimal shape for all-pairs-to-query
+series distance.
+
+K8 (incremental top-k) lives as the streaming query below plus
+tests/test_streaming.py: a foreachBatch fold that keeps a k-row state
+table; merging per batch is associative, so the converged result
+equals the batch top-k and is verified by the same oracle shape as F3.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+
+QUERY_USER = 0
+TOPK_N = 10
+
+_K7_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id,
+         DATE_DIFF('day', DATE '2024-01-01', CAST(DATE_TRUNC('day', ts) AS DATE)) AS d,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+q AS (SELECT d, c FROM daily WHERE user_id = {QUERY_USER}),
+qn AS (SELECT CAST(SUM(c * c) AS BIGINT) AS qq FROM q),
+norms AS (SELECT user_id, CAST(SUM(c * c) AS BIGINT) AS cc
+          FROM daily WHERE user_id <> {QUERY_USER} GROUP BY user_id),
+cross_t AS (SELECT daily.user_id, CAST(SUM(daily.c * q.c) AS BIGINT) AS cq
+            FROM daily JOIN q USING (d)
+            WHERE daily.user_id <> {QUERY_USER}
+            GROUP BY daily.user_id)
+SELECT user_id, dist2, CAST(rn AS INT) AS rank
+FROM (SELECT norms.user_id,
+             norms.cc + qn.qq - 2 * COALESCE(cross_t.cq, 0) AS dist2,
+             ROW_NUMBER() OVER (ORDER BY norms.cc + qn.qq - 2 * COALESCE(cross_t.cq, 0),
+                                norms.user_id) AS rn
+      FROM norms CROSS JOIN qn
+      LEFT JOIN cross_t ON norms.user_id = cross_t.user_id)
+WHERE rn <= 5
+"""
+
+
+@register("k7_timeseries_similarity", "K7", _K7_ORACLE,
+          "Nearest users to the query user by Euclidean distance between "
+          "daily activity-count series (exact integer algebra; missing "
+          "days handled by the norm decomposition, no day grid)")
+def k7_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.count("*").alias("c"))
+    )
+    q = daily.filter(F.col("user_id") == QUERY_USER).select("d", F.col("c").alias("qc"))
+    qn = q.agg(F.sum(F.col("qc") * F.col("qc")).cast("bigint").alias("qq"))
+    others = daily.filter(F.col("user_id") != QUERY_USER)
+    norms = others.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("cc")
+    )
+    cross_t = (
+        others.join(F.broadcast(q), "d")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") * F.col("qc")).cast("bigint").alias("cq"))
+    )
+    dist2 = F.col("cc") + F.col("qq") - 2 * F.coalesce(F.col("cq"), F.lit(0))
+    w = Window.orderBy(F.col("dist2"), F.col("user_id"))
+    return (
+        norms.crossJoin(F.broadcast(qn))
+        .join(cross_t, "user_id", "left")
+        .withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("user_id", "dist2", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K8: incremental top-k maintenance
+# ---------------------------------------------------------------------------
+
+_K8_ORACLE = f"""
+SELECT event_id, user_id, value
+FROM events
+ORDER BY value DESC, event_id
+LIMIT {TOPK_N}
+"""
+
+
+def topk_fold(current: DataFrame, batch: DataFrame, k: int = TOPK_N) -> DataFrame:
+    """One incremental step: top-k of (running top-k  UNION  new batch).
+    Associative + commutative over batches, so any arrival order
+    converges to the global top-k. State is k rows - constant."""
+    return (
+        current.unionByName(batch)
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(k)
+    )
+
+
+@register("k8_incremental_topk", "K8", _K8_ORACLE,
+          "Incremental top-k maintenance under appends: streaming "
+          "foreachBatch fold of a k-row state table; the converged state "
+          "hash-matches the batch global top-k oracle (EDBT'20 pattern, "
+          "SURVEY.md P:5)")
+def k8_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.streaming.incremental import (
+        read_events_stream,
+        stage_events_stream,
+    )
+
+    staged = stage_events_stream(spark, sf_dir, n_chunks=3)
+    checkpoint = tempfile.mkdtemp(prefix="ces_k8_ckpt_")
+    state = {"top": None}
+
+    def fold(batch_df: DataFrame, _id: int) -> None:
+        b = batch_df.select("event_id", "user_id", "value")
+        # Collapse the batch to its own top-k first (k rows cross the
+        # driver boundary, never the batch).
+        b_top = b.orderBy(F.col("value").desc(), F.col("event_id")).limit(TOPK_N)
+        rows = b_top.collect()
+        if state["top"] is None:
+            state["top"] = rows
+        else:
+            merged = state["top"] + rows
+            merged.sort(key=lambda r: (-r["value"], r["event_id"]))
+            state["top"] = merged[:TOPK_N]
+
+    q = (
+        read_events_stream(spark, staged)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(
+        state["top"], "event_id bigint, user_id bigint, value double"
+    )

@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         setops,
         sorts,
         tpch,
+        udfs,
     )
     from cassandra_elasticsearch_sync_spark.functions import (  # noqa: F401
         scalar,
@@ -88,6 +89,7 @@ def _ensure_loaded() -> None:
         similarity,
         text_analysis,
         multimodal,
+        timeseries,
     )
     from cassandra_elasticsearch_sync_spark.streaming import incremental  # noqa: F401
     from cassandra_elasticsearch_sync_spark.sources import readers  # noqa: F401
