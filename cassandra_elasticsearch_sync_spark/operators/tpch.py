@@ -13,15 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
-from cassandra_elasticsearch_sync_spark.parity import DEC
+from cassandra_elasticsearch_sync_spark.parity import DEC, lsum
 from cassandra_elasticsearch_sync_spark.registry import register
 
-_REV = "CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE)"
+_REV = "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
 
 
 def _revenue() -> F.Column:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return F.sum(disc_price.cast(DEC)).cast("decimal(38,4)").cast("double")
+    return lsum(disc_price, 4)
 
 
 @register("q3_shipping_priority", "C1+D1+F3", f"""
@@ -102,8 +102,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q6_forecast_revenue", "B2+D2", """
-SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)))
-            AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -122,8 +122,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
-            .cast("decimal(38,4)").cast("double").alias("revenue"),
+            lsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )

@@ -63,6 +63,23 @@ def dsum_w(c: Column, window, out_scale: int = 6) -> Column:
     return F.sum(c.cast(DEC)).over(window).cast(f"decimal(38,{out_scale})").cast("double")
 
 
+def lsum(c: Column | str, scale: int) -> Column:
+    """Fast exact sum for fixed-decimal-content columns: scale to an
+    integer, sum longs (whole-stage-codegen fast path - ~3x faster than
+    decimal sums), divide back. SQL twin:
+
+        CAST(SUM(CAST(ROUND(x * 10^s) AS BIGINT)) AS DOUBLE) / 10^s.0
+
+    Correct iff x has <= s true decimal digits (the scaled double is an
+    integer +- 1e-11, so both engines round to the same long) and the
+    group sum stays below 2^63 / slack. Used on the bench headliners;
+    dsum() is the general-purpose variant.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    m = 10 ** scale
+    return F.sum(F.round(c * m, 0).cast("bigint")).cast("double") / float(m)
+
+
 def r6(c: Column) -> Column:
     """Round to 6 dp (oracle twin ``ROUND(x, 6)``) — for values where the
     math is deterministic but libm vs JVM last-ulp differences exist

@@ -113,15 +113,11 @@ MERSENNE_P = 2**31 - 1
 _COEF = [((j * 2654435761 + 1) % MERSENNE_P or 1, (j * 40503 + 17) % MERSENNE_P)
          for j in range(N_HASHES)]
 
-_BASE_HASH_EXPR = (
-    "transform(sh, s -> "
-    f"CAST(CONV(SUBSTR(MD5(s), 1, 15), 16, 10) AS BIGINT) % {MERSENNE_P})"
-)
-
-_MINHASH_EXPR = "array(" + ", ".join(
-    f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {MERSENNE_P}L))"
-    for a, b in _COEF
-) + ")"
+# xxhash64, not the portable md5 hash: minhash internals never reach
+# the oracle (the verified output is the exact-Jaccard pair set), so
+# the base hash only needs determinism within Spark - and xxhash64 is
+# ~10x cheaper than md5 over millions of shingles.
+_BASE_HASH_SQL = f"pmod(xxhash64(shingle), {MERSENNE_P})"
 
 
 @register("k2_minhash_lsh_pairs", "K2", _JACCARD_PAIRS_ORACLE,
@@ -135,9 +131,23 @@ def k2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once. Tiny relative to executor memory at any SF (arrays of
     # string shingles, ~6 KB/doc).
     sh = _shingled(spark, sf_dir).persist()
-    mh = sh.select(
-        "doc_id", "sh", F.expr(_BASE_HASH_EXPR).alias("hs")
-    ).select("doc_id", "sh", F.expr(_MINHASH_EXPR).alias("mh"))
+    # Minhash via explode + 64 min() aggregates: higher-order-function
+    # lambdas are interpreted per element, but aggregate expressions are
+    # whole-stage-codegen'd, and partial (map-side) min means the
+    # shuffle carries 64 longs per doc, not per shingle. ~3x faster
+    # than the transform/array_min formulation at sf0.1.
+    hashed = sh.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select("doc_id", F.expr(_BASE_HASH_SQL).alias("h"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"(h * {a}L + {b}L) % {MERSENNE_P}L")).alias(f"m{j}")
+            for j, (a, b) in enumerate(_COEF)
+        ]
+    )
+    mh = mins.select(
+        "doc_id", F.array(*[f"m{j}" for j in range(N_HASHES)]).alias("mh")
+    )
 
     # Band signature: arithmetic fold of the band's minhash values
     # (internal only - never compared against the oracle, so any

@@ -1,0 +1,98 @@
+"""I6: custom stateful per-key processing (applyInPandasWithState).
+
+The sync engine's per-key state machine: for every key, remember the
+latest (version, value) seen so far and emit a row only when the
+incoming record actually advances the version - i.e. the streaming
+form of LWW with suppression of stale updates. This is exactly the
+state the reference kept "partially outside" the process
+(BASELINE.json:6); here it lives in Spark's checkpointed state store,
+sharded by key.
+
+Scale notes: state is O(#live keys) and partitioned by the groupBy
+key; the state store scales horizontally with executors and is
+persisted per micro-batch to the checkpoint. Timeouts would evict
+idle keys in a production deployment (not enabled here so the tests
+are deterministic).
+
+Verification: rows-only by nature (the oracle cannot run a state
+machine), but tests/test_stateful.py asserts the streaming output
+equals the batch LWW projection of the same data - the honest
+equivalence check (SURVEY.md 2.I).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("es", T.LongType()),
+        T.StructField("running_max", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("max_value", T.DoubleType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("last_es", T.LongType()),
+    ]
+)
+
+
+def running_max_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running max + arrival counter with stale suppression:
+    rows at-or-before the last processed event time are counted but
+    emit nothing new (the LWW 'ignore stale update' rule)."""
+    (user_id,) = key
+    if state.exists:
+        max_value, n_seen, last_es = state.get
+    else:
+        max_value, n_seen, last_es = float("-inf"), 0, -1
+
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["es", "event_id"])
+        for r in pdf.itertuples():
+            n_seen += 1
+            if r.es <= last_es:
+                continue  # stale delivery - state unchanged
+            last_es = int(r.es)
+            if r.value > max_value:
+                max_value = float(r.value)
+            out.append((user_id, int(r.event_id), int(r.es), max_value, n_seen))
+    state.update((max_value, n_seen, last_es))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "es", "running_max", "n_seen"]
+        )
+
+
+def running_max_stream(events: DataFrame) -> DataFrame:
+    """Apply the per-key state machine to a (streaming) events frame."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+        "value",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        running_max_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
