@@ -124,3 +124,92 @@ def h7_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("md5_hex"),
         F.sha2("text", 256).alias("sha256_hex"),
     )
+
+
+@register("h1b_string_funcs_ext", "H1", """
+SELECT doc_id,
+       LPAD(lang, 5, '*') AS lang_pad,
+       RPAD(source, 8, '.') AS src_pad,
+       TRANSLATE(lang, 'aeiou', 'AEIOU') AS lang_tr,
+       REPEAT(lang, 2) AS lang2,
+       REVERSE(source) AS src_rev,
+       LEFT(text, 5) AS head5,
+       RIGHT(text, 5) AS tail5,
+       CONTAINS(text, 'merge') AS has_merge,
+       STARTS_WITH(text, 'the') AS starts_the,
+       ENDS_WITH(source, '1') AS ends_1,
+       SPLIT_PART(source, 'c', 2) AS src_num
+FROM documents
+""", "Extended string family: pad/translate/repeat/reverse/left/right/"
+     "contains/starts/ends/split_part")
+def h1b_string_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lpad("lang", 5, "*").alias("lang_pad"),
+        F.rpad("source", 8, ".").alias("src_pad"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_tr"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.reverse("source").alias("src_rev"),
+        F.substring("text", 1, 5).alias("head5"),
+        F.substring(F.col("text"), -5, 5).alias("tail5"),
+        F.col("text").contains("merge").alias("has_merge"),
+        F.col("text").startswith("the").alias("starts_the"),
+        F.col("source").endswith("1").alias("ends_1"),
+        F.split_part("source", F.lit("c"), F.lit(2)).alias("src_num"),
+    )
+
+
+@register("h2b_datetime_funcs_ext", "H2", """
+SELECT o_orderkey,
+       QUARTER(o_orderdate) AS q,
+       WEEKOFYEAR(o_orderdate) AS iso_week,
+       STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+       STRFTIME(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY, '%Y-%m-%d') AS week_before,
+       DAYOFYEAR(o_orderdate) AS doy
+FROM orders
+""", "Extended datetime family: quarter/ISO week/last_day/add_months/"
+     "date_sub/dayofyear")
+def h2b_datetime_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("q"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("next_month"),
+        F.date_format(F.date_sub(d, 7), "yyyy-MM-dd").alias("week_before"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )
+
+
+@register("h3b_math_funcs_ext", "H3", """
+SELECT l_orderkey, l_linenumber,
+       MOD(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
+       ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+       ROUND(LOG2(l_quantity), 6) AS qty_log2,
+       ROUND(SIN(l_discount), 6) AS disc_sin,
+       ROUND(ATAN2(l_quantity, l_extendedprice), 6) AS angle,
+       ROUND(CBRT(l_quantity), 6) AS qty_cbrt,
+       ROUND(DEGREES(l_discount), 6) AS disc_deg,
+       ROUND(RADIANS(l_quantity), 6) AS qty_rad
+FROM lineitem
+WHERE l_orderkey % 200 = 0
+""", "Extended math family: mod/log10/log2/trig/cbrt/degrees/radians "
+     "(libm-sensitive ops rounded)")
+def h3b_math_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.log2("l_quantity"), 6).alias("qty_log2"),
+        F.round(F.sin("l_discount"), 6).alias("disc_sin"),
+        F.round(F.atan2("l_quantity", "l_extendedprice"), 6).alias("angle"),
+        F.round(F.cbrt("l_quantity"), 6).alias("qty_cbrt"),
+        F.round(F.degrees("l_discount"), 6).alias("disc_deg"),
+        F.round(F.radians("l_quantity"), 6).alias("qty_rad"),
+    )

@@ -301,3 +301,74 @@ def k_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate CLUSTERS: connected components of the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = "WITH RECURSIVE " + _SHINGLES_SQL.lstrip() + """
+, pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+),
+edges(a, b) AS (
+  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register("k2c_dup_clusters", "K2", _CLUSTERS_ORACLE,
+          "Near-duplicate CLUSTERS: connected components of the pair graph "
+          "via iterative min-label propagation (each doc gets the smallest "
+          "doc_id reachable through near-dup edges). The oracle runs the "
+          "same closure as a recursive CTE - an iterative algorithm that "
+          "still hash-checks. At web scale swap the loop for the "
+          "alternating big-star/small-star algorithm; the per-iteration "
+          "plan (join + groupBy min) is identical.")
+def k2c_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = k2b_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    # Label propagation to fixpoint: label(node) <- min(label, labels of
+    # neighbors). Near-dup components are tiny (pairs/triples), so this
+    # converges in 2-3 iterations; the loop is a driver-side fixpoint
+    # check over a fully distributed per-iteration plan.
+    labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.doc_a, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
         sorts,
         tpch,
         udfs,
+        skew,
     )
     from cassandra_elasticsearch_sync_spark.functions import (  # noqa: F401
         scalar,

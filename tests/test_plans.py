@@ -1,0 +1,53 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (broadcasts, pushdown, top-k without full sort) must survive
+refactors. These read .explain output, not timings, so they are stable
+on any machine."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_elasticsearch_sync_spark.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_specs()[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_broadcasts_all_dimensions(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "l_shipdate" in plan.split("DataFilters")[1][:400]
+    # ReadSchema prunes to the 4 referenced columns of 11.
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_comment" not in read_schema
+    assert read_schema.count("l_") <= 5, read_schema
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "f3_global_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_flagship_partial_aggregation(spark):
+    plan = _plan(spark, "flagship_pricing_summary")
+    # partial (map-side) + final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_c1_broadcasts_filtered_dimension(spark):
+    plan = _plan(spark, "c1_inner_join")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_k5_broadcasts_lexicon(spark):
+    plan = _plan(spark, "k5_keyword_score")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
