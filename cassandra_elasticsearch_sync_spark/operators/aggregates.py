@@ -314,3 +314,15 @@ def d9b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register("d6b_approx_percentiles", "D6", None,
+          "approx_percentile sketch (t-digest-family; rows-only check - "
+          "Spark's and DuckDB's sketches legitimately differ). The exact "
+          "variant is d6_percentiles.")
+def d6b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("approx_p99_price"),
+    )
