@@ -1,0 +1,83 @@
+"""Storage-layout primitives for scale: bucketing, partitioned writes,
+and the persisted sync watermark.
+
+These are the three physical-layout levers a 100 TB deployment of the
+sync engine pulls:
+
+- **Bucketing** (write_bucketed): pre-shuffle both fact tables into the
+  same bucket layout on the join/sync key; every subsequent join or
+  LWW merge on that key runs WITHOUT an Exchange - the shuffle is paid
+  once at write time, amortized over every sync cycle. This is the
+  batch analogue of Cassandra's token-range co-location.
+- **Date partitioning** (write_date_partitioned): sync targets laid out
+  by event date; delta extraction (L2) then prunes partitions at plan
+  time instead of filtering rows at run time.
+- **Watermark table** (save/load_watermark): the reference keeps the
+  last-sync timestamp outside the process (SURVEY.md 0.2); the batch
+  engine persists it as a tiny parquet state table next to the target
+  (streaming mode uses the checkpoint instead).
+
+Verified by tests/test_storage.py via plan assertions (no Exchange on
+bucketed joins; PartitionFilters on pruned scans) and value checks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 8
+) -> None:
+    """Persist df as a bucketed+sorted managed table (parquet).
+
+    Joins between two tables bucketed identically on the join key skip
+    both the Exchange and (with sortBy) the Sort of a sort-merge join.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str) -> None:
+    """Write df date-partitioned (sync-target layout): one directory per
+    day of ts_col; date-ranged reads prune at plan time."""
+    (
+        df.withColumn("_day", F.date_format(F.date_trunc("day", ts_col), "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("_day")
+        .parquet(path)
+    )
+
+
+def save_watermark(spark: SparkSession, state_dir: str, ts: dt.datetime) -> None:
+    """Persist the high-watermark (last successfully synced version)."""
+    spark.createDataFrame([(ts,)], "watermark timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "watermark"))
+
+
+def load_watermark(spark: SparkSession, state_dir: str) -> dt.datetime | None:
+    path = os.path.join(state_dir, "watermark")
+    try:
+        rows = spark.read.parquet(path).collect()
+    except Exception:
+        return None
+    return rows[0]["watermark"] if rows else None
+
+
+def extract_delta_since(snapshot: DataFrame, watermark: dt.datetime | None) -> DataFrame:
+    """L2 with persisted state: rows newer than the stored watermark
+    (everything, on first sync). The version predicate reaches the
+    scan - on a date-partitioned target it prunes whole partitions."""
+    if watermark is None:
+        return snapshot
+    return snapshot.filter(F.col("version") > F.lit(watermark))

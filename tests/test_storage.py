@@ -1,0 +1,73 @@
+"""Storage-layout scale features: bucketed co-located joins, partition
+pruning, watermark persistence."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.sources import storage
+from cassandra_elasticsearch_sync_spark.sync.ops import side_b
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    storage.write_bucketed(o, "b_orders", "o_orderkey", 4)
+    storage.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4
+    )
+    try:
+        # Disable broadcast so the planner must pick SMJ - the point is
+        # that bucketing removes the Exchange under it.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+        # and the result is still correct
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes(spark):
+    out = tempfile.mkdtemp(prefix="ces_part_")
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        storage.write_date_partitioned(ev, out, "ts")
+        back = spark.read.parquet(out).filter(F.col("_day") == "2024-01-05")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_day" in plan.split("PartitionFilters")[1][:200], \
+            plan[:1500]
+        want = ev.filter(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == "2024-01-05"
+        ).count()
+        assert back.count() == want and want > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_watermark_roundtrip_and_delta(spark):
+    state = tempfile.mkdtemp(prefix="ces_wm_")
+    try:
+        assert storage.load_watermark(spark, state) is None
+        wm = dt.datetime(1999, 6, 1)
+        storage.save_watermark(spark, state, wm)
+        got = storage.load_watermark(spark, state)
+        assert got == wm
+        b = side_b(spark, SF_DIR)
+        delta = storage.extract_delta_since(b, got)
+        assert delta.count() == b.filter(F.col("version") > F.lit(wm)).count()
+        assert storage.extract_delta_since(b, None).count() == b.count()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
