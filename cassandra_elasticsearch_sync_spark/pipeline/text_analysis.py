@@ -232,3 +232,75 @@ def k_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
     )
     return d.select("doc_id", fold.alias("fingerprint"))
+
+
+@register("k_chunk_text", "K4", """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         UNNEST(RANGE(CAST(CEIL(n_chars / 200.0) AS BIGINT))) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       chunk_idx * 150 + 1 AS start_pos,
+       SUBSTRING((SELECT text FROM documents d WHERE d.doc_id = c.doc_id),
+                 CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk
+FROM c
+WHERE chunk_idx * 150 < n_chars
+""", "Fixed-size chunking with overlap (200-char windows, 150-char "
+     "stride): the RAG/context-window chunker as pure explode+substring")
+def k_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    window, stride = 200, 150
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.expr(f"CAST(CEIL(n_chars / {window}.0) AS BIGINT) - 1")
+                )
+            ).alias("chunk_idx"),
+        )
+        .filter(F.col("chunk_idx") * stride < F.col("n_chars"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride + 1).alias("start_pos"),
+            F.expr(f"substring(text, CAST(chunk_idx * {stride} + 1 AS INT), {window})")
+             .alias("chunk"),
+        )
+    )
+
+
+@register("k_pack_sequences", "K4", """
+WITH t AS (
+  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // 512 AS BIGINT) AS pack_id,
+       CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+FROM c
+""", "Greedy sequence packing for pretraining: documents packed into "
+     "~512-token bins by running token cumsum (deterministic doc_id "
+     "order; straddling allowed - the standard concat-then-split "
+     "packing). One window over the corpus, no driver loop.")
+def k_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CAST(cum_before div 512 AS BIGINT)").alias("pack_id"),
+        (F.col("cum_before") % 512).alias("offset_in_pack"),
+    )
