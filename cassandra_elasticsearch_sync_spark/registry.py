@@ -91,7 +91,8 @@ def _ensure_loaded() -> None:
         text_analysis,
         multimodal,
         timeseries,
+        search,
     )
     from cassandra_elasticsearch_sync_spark.streaming import incremental  # noqa: F401
-    from cassandra_elasticsearch_sync_spark.sources import readers  # noqa: F401
+    from cassandra_elasticsearch_sync_spark.sources import readers, es_query  # noqa: F401
     _LOADED = True

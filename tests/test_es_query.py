@@ -1,0 +1,67 @@
+"""ES query-DSL translator: DSL results == equivalent native filters,
+and the compiled predicate reaches the parquet scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.sources.es_query import compile_query, es_search
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_term_terms_range_bool(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    q = {
+        "bool": {
+            "must": [
+                {"terms": {"o_orderstatus": ["F", "P"]}},
+                {"range": {"o_totalprice": {"gte": 100000, "lt": 300000}}},
+            ],
+            "must_not": [{"term": {"o_orderpriority": "5-LOW"}}],
+        }
+    }
+    got = es_search(o, q).count()
+    want = o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & (F.col("o_totalprice") >= 100000)
+        & (F.col("o_totalprice") < 300000)
+        & (F.col("o_orderpriority") != "5-LOW")
+    ).count()
+    assert got == want and got > 0
+
+
+def test_match_and_prefix(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    got = es_search(d, {"match": {"text": "spark MERGE"}}).count()
+    want = d.filter(
+        F.array_contains(F.split(F.lower("text"), " "), "spark")
+        | F.array_contains(F.split(F.lower("text"), " "), "merge")
+    ).count()
+    assert got == want and got > 0
+    assert es_search(d, {"prefix": {"source": "src1"}}).count() == \
+        d.filter(F.col("source").startswith("src1")).count()
+
+
+def test_should_is_or(spark):
+    c = load_table(spark, SF_DIR, "customer")
+    q = {"bool": {"should": [{"term": {"c_mktsegment": "BUILDING"}},
+                             {"term": {"c_mktsegment": "MACHINERY"}}]}}
+    assert es_search(c, q).count() == c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).count()
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    filtered = es_search(o, {"term": {"o_orderstatus": "F"}}).select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan.split("DataFilters")[1][:200], plan[:1200]
+
+
+def test_match_all_and_exists(spark):
+    e = load_table(spark, SF_DIR, "events")
+    assert es_search(e, {"match_all": {}}).count() == e.count()
+    assert es_search(e, {"exists": {"field": "props"}}).count() == \
+        e.filter(F.col("props").isNotNull()).count()
