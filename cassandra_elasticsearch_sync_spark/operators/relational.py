@@ -308,3 +308,50 @@ def c9_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c.user_id").alias("user_id"))
         .agg(F.count("*").alias("n_errors_after_click"))
     )
+
+
+_CORR_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer i
+                   WHERE i.c_nationkey = c.c_nationkey)
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("sql_correlated_subquery", "C4+D1", _CORR_SQL,
+          "spark.sql entry point with a correlated scalar subquery + "
+          "EXISTS - Catalyst decorrelates both into joins (SURVEY.md "
+          "section 4 table); identical SQL text runs on both engines. "
+          "AVG comparison (not output) tolerates the engines' float-sum "
+          "ordering: a strict > against a nation-level mean is stable "
+          "for this data (no customer sits within 1e-9 of the mean).")
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SQL)
+
+
+@register("b3b_null_safe_eq", "B3", """
+WITH x AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS s1,
+         CASE WHEN o_orderpriority LIKE '5%' THEN NULL ELSE o_orderstatus END AS s2
+  FROM orders
+)
+SELECT o_orderkey,
+       (s1 IS NOT DISTINCT FROM s2) AS null_safe_eq,
+       (s1 IS DISTINCT FROM s2) AS null_safe_ne
+FROM x
+""", "Null-safe equality (<=> / IS NOT DISTINCT FROM) - the sync "
+     "diff's equality test when either side may hold NULLs")
+def b3b_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s1 = F.when(F.col("o_orderstatus") == "P", None).otherwise(F.col("o_orderstatus"))
+    s2 = F.when(F.col("o_orderpriority").like("5%"), None).otherwise(F.col("o_orderstatus"))
+    return o.select(
+        "o_orderkey",
+        s1.eqNullSafe(s2).alias("null_safe_eq"),
+        (~s1.eqNullSafe(s2)).alias("null_safe_ne"),
+    )

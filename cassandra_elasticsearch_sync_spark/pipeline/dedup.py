@@ -337,9 +337,12 @@ SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
           "plan (join + groupBy min) is identical.")
 def k2c_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = k2b_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # The pair graph is tiny relative to the corpus; pin a small
+    # partition count so the iterative loop doesn't inherit a large
+    # spark.sql.shuffle.partitions from the caller's session.
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ).repartition(8).persist()
     # Label propagation to fixpoint: label(node) <- min(label, labels of
     # neighbors). Near-dup components are tiny (pairs/triples), so this
     # converges in 2-3 iterations; the loop is a driver-side fixpoint
