@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
-from cassandra_elasticsearch_sync_spark.parity import DEC, davg, dsum, lsum
+from cassandra_elasticsearch_sync_spark.parity import davg, dsum, lsum
 from cassandra_elasticsearch_sync_spark.registry import register
 
 _Q1_ORACLE = """

@@ -9,7 +9,7 @@ column that encodes the position in the values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table

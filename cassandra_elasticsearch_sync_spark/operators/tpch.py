@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
-from cassandra_elasticsearch_sync_spark.parity import DEC, lsum
+from cassandra_elasticsearch_sync_spark.parity import lsum
 from cassandra_elasticsearch_sync_spark.registry import register
 
 _REV = "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"

@@ -26,7 +26,6 @@ Differences from the 2013-era script, by design:
 
 from __future__ import annotations
 
-import datetime as dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession
