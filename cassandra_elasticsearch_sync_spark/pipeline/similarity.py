@@ -231,3 +231,16 @@ def k_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("qv").alias("q_max"),
         )
     )
+
+
+def topk_auto(spark: SparkSession, sf_dir: str, k: int = TOP_K,
+              brute_force_limit: int = 100_000) -> DataFrame:
+    """Adaptive similarity search (SURVEY.md section 4, rewrite 2):
+    brute-force scan for small corpora, cluster-probed (IVF) search
+    above `brute_force_limit` rows. The strategy choice is a cheap
+    count() pre-flight in library code - a planning decision expressed
+    as two DataFrame shapes, never a custom Catalyst rule."""
+    e = _normed(spark, sf_dir)
+    if e.count() <= brute_force_limit:
+        return _topk(e, e.filter(F.expr(QUERY_FILTER)), k)
+    return ann_ivf_topk(spark, sf_dir)
