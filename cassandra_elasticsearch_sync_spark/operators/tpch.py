@@ -126,3 +126,113 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@register("q4_late_orders", "C4+D1", """
+SELECT o_orderpriority, COUNT(*) AS n_late
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""", "Q4-style: EXISTS semi-join (orders with any lineitem shipped "
+     ">60 days after order) + priority counts")
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late"))
+
+
+@register("q12_priority_buckets", "D1+B6", """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_returnflag
+""", "Q12-style: conditional (CASE) aggregation over a fact-fact join")
+def q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register("q14_promo_share", "C1+D2", """
+SELECT ROUND(
+         100.0 * (CAST(SUM(CAST(ROUND(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END * 10000)
+                       AS BIGINT)) AS DOUBLE) / 10000.0)
+         / (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS DOUBLE) / 10000.0), 6) AS promo_share_pct,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+""", "Q14-style: promo revenue share (conditional scaled-long sums; "
+     "part side broadcast)")
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+        & F.expr("l_shipdate < TIMESTAMP_NTZ '1997-07-01 00:00:00'")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    num = F.sum(F.round(promo_rev * 10000, 0).cast("bigint")).cast("double") / 10000.0
+    den = F.sum(F.round(rev * 10000, 0).cast("bigint")).cast("double") / 10000.0
+    return j.agg(
+        F.round(100.0 * num / den, 6).alias("promo_share_pct"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("q18_large_orders", "D8+C4", """
+SELECT c_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 15000)
+GROUP BY c_custkey, o_orderkey
+""", "Q18-style: IN over a grouped-HAVING subquery (large-quantity "
+     "orders), then 3-way join + per-order totals")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # Integer threshold comparison: a float-sum HAVING could flip for a
+    # group landing exactly on the boundary (engine summation order).
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint")).alias("q"))
+        .filter(F.col("q") > 15000)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                li.l_orderkey == F.col("big_key"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg((F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint"))
+              .cast("double") / 100.0).alias("total_qty"))
+    )
