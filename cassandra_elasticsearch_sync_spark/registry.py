@@ -93,6 +93,6 @@ def _ensure_loaded() -> None:
         timeseries,
         search,
     )
-    from cassandra_elasticsearch_sync_spark.streaming import incremental  # noqa: F401
+    from cassandra_elasticsearch_sync_spark.streaming import incremental, stateful  # noqa: F401
     from cassandra_elasticsearch_sync_spark.sources import readers, es_query  # noqa: F401
     _LOADED = True

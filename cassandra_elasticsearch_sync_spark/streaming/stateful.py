@@ -96,3 +96,47 @@ def running_max_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Registered rows-only query form (driver-runnable): executes the state
+# machine over the staged event stream with trigger(availableNow) and
+# returns the emitted rows as a batch DataFrame.
+# --------------------------------------------------------------------------
+
+from cassandra_elasticsearch_sync_spark.registry import register  # noqa: E402
+
+
+@register("i6_stateful_running_max", "I6", None,
+          "applyInPandasWithState per-user state machine (running max + "
+          "stale-delivery suppression). Rows-only: the oracle cannot run "
+          "a state machine; batch equivalence is asserted in "
+          "tests/test_stateful.py.")
+def i6_stateful_running_max(spark, sf_dir):
+    import shutil
+
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.streaming.incremental import (
+        read_events_stream,
+        stage_events_stream,
+    )
+
+    staged = stage_events_stream(spark, sf_dir, n_chunks=3)
+    ckpt = tempfile.mkdtemp(prefix="ces_i6_ckpt_")
+    name = "i6_stateful_out"
+    q = (
+        running_max_stream(read_events_stream(spark, staged))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name).persist()
+    out.count()  # materialize before the scratch dirs vanish
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
