@@ -326,3 +326,37 @@ def d6b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
         F.percentile_approx("l_extendedprice", 0.99, 1000).alias("approx_p99_price"),
     )
+
+
+@register("util_profile_orders", "D2", """
+SELECT 'o_totalprice' AS col,
+       COUNT(*) AS n,
+       COUNT(o_totalprice) AS n_nonnull,
+       COUNT(DISTINCT o_totalprice) AS n_distinct,
+       MIN(o_totalprice) AS vmin,
+       MAX(o_totalprice) AS vmax
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+""", "Table profiling: per-column null/distinct/min/max stats - the "
+     "data-quality sweep a pipeline runs before training ingestion")
+def util_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, cast_double: bool):
+        c = F.col(col)
+        vmin, vmax = F.min(c), F.max(c)
+        if cast_double:
+            vmin, vmax = vmin.cast("double"), vmax.cast("double")
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n"),
+            F.count(c).alias("n_nonnull"),
+            F.countDistinct(c).alias("n_distinct"),
+            vmin.alias("vmin"),
+            vmax.alias("vmax"),
+        )
+
+    return prof("o_totalprice", False).unionByName(prof("o_custkey", True))

@@ -236,3 +236,75 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint"))
               .cast("double") / 100.0).alias("total_qty"))
     )
+
+
+@register("q7_nation_volume", "C1+D1", f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       EXTRACT(year FROM l_shipdate) AS ship_year,
+       {_REV} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+""", "Q7-style: bidirectional two-nation trade volume (nation aliased "
+     "twice, OR pair predicate, year rollup)")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(pair)
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+@register("q10_returned_items", "C1+D1+F3", f"""
+SELECT c_custkey, c_name, n_name,
+       {_REV} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""", "Q10-style: returned-item revenue ranking (4-way join, top-20 "
+     "with total order on the exact scaled-long revenue)")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+        & F.expr("o_orderdate < TIMESTAMP_NTZ '1997-07-01 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
