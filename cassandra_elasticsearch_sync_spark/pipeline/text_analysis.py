@@ -304,3 +304,86 @@ def k_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(cum_before div 512 AS BIGINT)").alias("pack_id"),
         (F.col("cum_before") % 512).alias("offset_in_pack"),
     )
+
+
+_PIPELINE_ORACLE = f"""
+WITH kept AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents GROUP BY MD5(LOWER(TRIM(text)))
+),
+docs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)
+),
+feat AS (
+  SELECT doc_id,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS n_uniq,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+              x -> LIST_CONTAINS([{_STOP_SQL}], x))) AS DOUBLE)
+           / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio
+  FROM docs
+),
+filtered AS (
+  SELECT doc_id, n_tokens FROM feat
+  WHERE stop_ratio >= 0.05
+    AND CAST(n_uniq AS DOUBLE) / n_tokens >= 0.3
+    AND n_tokens >= 20
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - n_tokens) // 512 AS pack_id
+  FROM filtered
+)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY pack_id
+"""
+
+
+@register("k_pipeline_end_to_end", "K1+K4", _PIPELINE_ORACLE,
+          "The whole training-data pipeline as ONE composed plan: exact "
+          "dedup -> quality + language filters -> greedy 512-token "
+          "sequence packing -> per-pack manifest. Every stage is a "
+          "narrow/shuffle-minimal transform; Catalyst fuses the filters "
+          "into the scan and the packing is one window pass.")
+def k_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        d.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = d.join(kept, "doc_id").select("doc_id", "text")
+    toks = F.split("text", " ")
+    ltoks = F.split(F.lower("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(ltoks)).alias("n_uniq"),
+        (F.size(F.filter(ltoks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+         / F.size(toks)).alias("stop_ratio"),
+    )
+    filtered = feat.filter(
+        (F.col("stop_ratio") >= 0.05)
+        & (F.col("n_uniq").cast("double") / F.col("n_tokens") >= 0.3)
+        & (F.col("n_tokens") >= 20)
+    ).select("doc_id", "n_tokens")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = (
+        filtered.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("pack_id", F.expr("(cum - n_tokens) div 512").cast("bigint"))
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
