@@ -1,0 +1,137 @@
+"""Product-analytics + dataset-shaping operators.
+
+Rounding out the engine's "a user could run every query they run
+today" claim: deterministic sampling (the train/eval split),
+frequency-ranked vocabulary building (tokenizer prep), event funnels,
+and cohort retention - the standard event-analytics shapes over the
+`events` table, each one shuffle-minimal and oracle-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+
+
+@register("k_deterministic_sample", "K1", """
+SELECT doc_id, lang,
+       CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+       (CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10)
+         AS in_eval_split
+FROM documents
+""", "Deterministic hash-bucket sampling: the reproducible train/eval "
+     "split (hash(id) mod 100) - never rand(), so every engine, every "
+     "run, every executor agrees on membership")
+def k_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash60(F.col("doc_id").cast("string")) % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        (bucket < 10).alias("in_eval_split"),
+    )
+
+
+@register("k_build_vocab", "K4", """
+WITH tf AS (
+  SELECT w AS token, COUNT(*) AS tf
+  FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents)
+  GROUP BY w
+)
+SELECT token, tf,
+       CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS INT) AS token_id
+FROM tf
+""", "Vocabulary building: tokens ranked by corpus frequency with "
+     "deterministic tiebreak -> dense token ids (tokenizer prep)")
+def k_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return tf.withColumn("token_id", F.row_number().over(w).cast("int"))
+
+
+@register("funnel_conversion", "E2+I4", """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'
+                  THEN CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click'
+                  THEN CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_signup) AS n_signed_up,
+       COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS n_clicked_after_signup,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END)
+         AS n_full_funnel
+FROM firsts
+""", "Event funnel: signup -> click -> purchase ordered-first-occurrence "
+     "conversion counts (one groupBy; no joins, no self-scan)")
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+    )
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("es")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signed_up"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1))
+         .alias("n_clicked_after_signup"),
+        F.count(
+            F.when((F.col("t_purchase") > F.col("t_click"))
+                   & (F.col("t_click") > F.col("t_signup")), 1)
+        ).alias("n_full_funnel"),
+    )
+
+
+@register("cohort_retention", "H2+D1", """
+WITH d AS (
+  SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort,
+       DATE_DIFF('day', cohort_day, day) AS day_offset,
+       COUNT(DISTINCT d.user_id) AS active_users
+FROM d JOIN cohort ON d.user_id = cohort.user_id
+WHERE DATE_DIFF('day', cohort_day, day) <= 7
+GROUP BY cohort_day, day_offset
+""", "Cohort retention: users bucketed by first-seen day, distinct "
+     "actives per (cohort, day offset) for the first week")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = ev.join(F.broadcast(cohort), "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort_day")
+    )
+    return (
+        j.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"), "day_offset"
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
