@@ -244,3 +244,51 @@ def topk_auto(spark: SparkSession, sf_dir: str, k: int = TOP_K,
     if e.count() <= brute_force_limit:
         return _topk(e, e.filter(F.expr(QUERY_FILTER)), k)
     return ann_ivf_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Arrow/numpy scale path: the one place Python beats the JVM here
+# ---------------------------------------------------------------------------
+
+@register("k3_cosine_topk_arrow", "K3", None,
+          "Brute-force cosine top-k via mapInPandas + numpy GEMM: each "
+          "Arrow batch of corpus vectors is one (batch x dim) @ (dim x "
+          "n_queries) matmul against the broadcast query matrix - BLAS "
+          "beats interpreted higher-order functions ~10x per element at "
+          "scale. Rows-only check: BLAS summation order differs from "
+          "the oracle's sequential fold in the last ulp, so exact "
+          "hash-parity is impossible BY DESIGN; equivalence to the "
+          "JVM variant is asserted in tests/test_similarity_arrow.py.")
+def k3_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q_rows = e.filter(F.expr(QUERY_FILTER)).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    bq = spark.sparkContext.broadcast((qids, qm, qn))
+
+    def score(batches):
+        b_qids, b_qm, b_qn = bq.value
+        for pdf in batches:
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cn = np.linalg.norm(cm, axis=1)
+            cos = (cm @ b_qm.T) / np.outer(cn, b_qn)          # (batch, nq)
+            cids = pdf["vec_id"].to_numpy()
+            n_b, n_q = cos.shape
+            yield pd.DataFrame({
+                "qid": np.repeat(b_qids, n_b),
+                "cid": np.tile(cids, n_q),
+                "cos_sim": np.round(cos.T.ravel(), 6),
+            })
+
+    pairs = e.select("vec_id", "embedding").mapInPandas(
+        score, "qid bigint, cid bigint, cos_sim double"
+    ).filter(F.col("cid") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
