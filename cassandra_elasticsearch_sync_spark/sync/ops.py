@@ -277,3 +277,134 @@ def l5_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("version >= TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
         .select(F.col("key"), fmt_ts("version").alias("version_s"))
     )
+
+
+# --------------------------------------------------------------------------
+# L3b: FIELD-level LWW (per-column winners - the Cassandra cell model)
+# --------------------------------------------------------------------------
+
+_FIELD_SIDES_SQL = _SIDES_SQL + """
+, fa AS (
+  SELECT key, price, o.o_orderstatus AS status,
+         version AS price_version,
+         version + (key % 3 - 1) * INTERVAL 1 DAY AS status_version
+  FROM side_a JOIN orders o ON side_a.key = o.o_orderkey
+),
+fb AS (
+  SELECT key, price, o.o_orderstatus AS status,
+         version AS price_version,
+         version + (key % 5 - 2) * INTERVAL 1 DAY AS status_version
+  FROM side_b JOIN orders o ON side_b.key = o.o_orderkey
+)
+"""
+
+
+@register("l3b_field_lww_merge", "L3", _FIELD_SIDES_SQL + """
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN a.key IS NULL THEN b.price
+            WHEN b.key IS NULL THEN a.price
+            WHEN b.price_version >= a.price_version THEN b.price
+            ELSE a.price END AS price,
+       CASE WHEN a.key IS NULL THEN b.status
+            WHEN b.key IS NULL THEN a.status
+            WHEN b.status_version >= a.status_version THEN b.status
+            ELSE a.status END AS status,
+       CASE WHEN a.key IS NULL THEN 'b' WHEN b.key IS NULL THEN 'a'
+            WHEN b.price_version >= a.price_version THEN 'b' ELSE 'a' END AS price_from,
+       CASE WHEN a.key IS NULL THEN 'b' WHEN b.key IS NULL THEN 'a'
+            WHEN b.status_version >= a.status_version THEN 'b' ELSE 'a' END AS status_from
+FROM fa a FULL OUTER JOIN fb b ON a.key = b.key
+""", "FIELD-level LWW: each column resolves independently by its own "
+     "write timestamp (Cassandra's cell-level reconciliation) - a "
+     "merged row can mix fields from both stores. Per-field versions "
+     "derived deterministically from the fixture.")
+def l3b_field_lww_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), "o_orderstatus"
+    )
+
+    def with_fields(side: DataFrame, mod: int, shift: int) -> DataFrame:
+        return side.join(o, "key").select(
+            "key",
+            "price",
+            F.col("o_orderstatus").alias("status"),
+            F.col("version").alias("price_version"),
+            (F.col("version")
+             + ((F.col("key") % mod - shift)) * F.expr("INTERVAL 1 DAY")
+             ).alias("status_version"),
+        )
+
+    a = with_fields(side_a(spark, sf_dir), 3, 1).alias("a")
+    b = with_fields(side_b(spark, sf_dir), 5, 2).alias("b")
+    ak, bk = F.col("a.key"), F.col("b.key")
+    j = a.join(b, ak == bk, "full")
+
+    def pick(field: str, version: str):
+        return (
+            F.when(ak.isNull(), F.col(f"b.{field}"))
+            .when(bk.isNull(), F.col(f"a.{field}"))
+            .when(F.col(f"b.{version}") >= F.col(f"a.{version}"), F.col(f"b.{field}"))
+            .otherwise(F.col(f"a.{field}"))
+        )
+
+    def origin(version: str):
+        return (
+            F.when(ak.isNull(), "b").when(bk.isNull(), "a")
+            .when(F.col(f"b.{version}") >= F.col(f"a.{version}"), "b")
+            .otherwise("a")
+        )
+
+    return j.select(
+        F.coalesce(ak, bk).alias("key"),
+        pick("price", "price_version").alias("price"),
+        pick("status", "status_version").alias("status"),
+        origin("price_version").alias("price_from"),
+        origin("status_version").alias("status_from"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L5b: tombstone deletes (the modern deletion-propagation semantics)
+# --------------------------------------------------------------------------
+
+_TOMBSTONE_SQL = _SIDES_SQL + """
+, ta AS (SELECT key, price, version, FALSE AS deleted FROM side_a),
+tb AS (
+  SELECT key, price,
+         CASE WHEN key % 50 = 0 THEN version + INTERVAL 30 DAY ELSE version END AS version,
+         (key % 50 = 0) AS deleted
+  FROM side_b
+),
+u AS (
+  SELECT key, price, version, deleted, 'a' AS side FROM ta
+  UNION ALL
+  SELECT key, price, version, deleted, 'b' AS side FROM tb
+),
+winner AS (
+  SELECT key, price, version, deleted FROM
+    (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY version DESC, side DESC) AS rn FROM u)
+  WHERE rn = 1
+)
+"""
+
+
+@register("l5b_tombstone_merge", "L5", _TOMBSTONE_SQL + """
+SELECT key, price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM winner WHERE NOT deleted
+""", "Tombstone deletion propagation: deletes are versioned rows that "
+     "compete in LWW like any write (the Cassandra tombstone model); "
+     "a key vanishes from the converged state only if the tombstone is "
+     "the newest version. Subsumes the anti-join heuristic of L5.")
+def l5b_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = side_a(spark, sf_dir).withColumn("deleted", F.lit(False))
+    b = side_b(spark, sf_dir).withColumn("deleted", F.col("key") % 50 == 0).withColumn(
+        "version",
+        F.when(F.col("key") % 50 == 0,
+               F.col("version") + F.expr("INTERVAL 30 DAY")).otherwise(F.col("version")),
+    )
+    merged = lww_merge(a, b)
+    return merged.filter(~F.col("deleted")).select(
+        "key", "price", fmt_ts("version").alias("version_s")
+    )
