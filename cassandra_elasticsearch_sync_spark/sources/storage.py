@@ -81,3 +81,13 @@ def extract_delta_since(snapshot: DataFrame, watermark: dt.datetime | None) -> D
     if watermark is None:
         return snapshot
     return snapshot.filter(F.col("version") > F.lit(watermark))
+
+
+def compact_snapshot(spark: SparkSession, path: str, out_path: str,
+                     target_files: int = 8) -> None:
+    """Small-file compaction: rewrite a snapshot directory into
+    `target_files` files. Every incremental cycle's snapshot-swap can
+    fragment the store; periodic compaction keeps scan parallelism
+    aligned with file count (the 100 TB analogue is the table format's
+    OPTIMIZE/rewrite-data-files action)."""
+    spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(out_path)

@@ -408,3 +408,49 @@ def l5b_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(~F.col("deleted")).select(
         "key", "price", fmt_ts("version").alias("version_s")
     )
+
+
+# --------------------------------------------------------------------------
+# L8: changefeed derivation (snapshot pair -> CDC events)
+# --------------------------------------------------------------------------
+
+@register("l8_changefeed", "L1+L4", _SIDES_SQL + """
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN a.key IS NULL THEN 'insert'
+            WHEN b.key IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       b.price AS new_price,
+       a.price AS old_price,
+       STRFTIME(DATE_TRUNC('second', COALESCE(b.version, a.version)),
+                '%Y-%m-%d %H:%M:%S') AS change_version
+FROM side_a a FULL OUTER JOIN side_b b ON a.key = b.key
+WHERE a.key IS NULL OR b.key IS NULL
+   OR a.version <> b.version OR a.price <> b.price
+""", "Changefeed derivation: the CDC event stream that transforms "
+     "snapshot A into snapshot B (insert/update/delete with old+new "
+     "values) - the inverse of apply_upserts, and what a 2013-era "
+     "Cassandra without CDC must reconstruct by diffing. One full-outer "
+     "join; at 100 TB both sides bucket on the key so the diff is "
+     "shuffle-free (sources/storage.py bucketing).")
+def l8_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = side_a(spark, sf_dir).alias("a")
+    b = side_b(spark, sf_dir).alias("b")
+    ak, bk = F.col("a.key"), F.col("b.key")
+    return (
+        a.join(b, ak == bk, "full")
+        .filter(
+            ak.isNull() | bk.isNull()
+            | (F.col("a.version") != F.col("b.version"))
+            | (F.col("a.price") != F.col("b.price"))
+        )
+        .select(
+            F.coalesce(ak, bk).alias("key"),
+            F.when(ak.isNull(), "insert")
+             .when(bk.isNull(), "delete")
+             .otherwise("update").alias("op"),
+            F.col("b.price").alias("new_price"),
+            F.col("a.price").alias("old_price"),
+            fmt_ts(F.coalesce(F.col("b.version"), F.col("a.version")))
+             .alias("change_version"),
+        )
+    )

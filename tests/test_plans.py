@@ -51,3 +51,19 @@ def test_c1_broadcasts_filtered_dimension(spark):
 def test_k5_broadcasts_lexicon(spark):
     plan = _plan(spark, "k5_keyword_score")
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    """AQE must shrink the 32 planned shuffle partitions for a tiny
+    aggregation at runtime (the knob that keeps small syncs cheap and
+    big syncs parallel with the same config)."""
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+
+    df = (
+        load_table(spark, SF_DIR, "customer")
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    df.collect()  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan, plan[:1500]

@@ -71,3 +71,38 @@ def test_watermark_roundtrip_and_delta(spark):
         assert storage.extract_delta_since(b, None).count() == b.count()
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_compaction_preserves_data_and_reduces_files(spark):
+    import glob
+    out = tempfile.mkdtemp(prefix="ces_compact_")
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        ev.repartition(24).write.mode("overwrite").parquet(f"{out}/frag")
+        n_frag = len(glob.glob(f"{out}/frag/part-*"))
+        storage.compact_snapshot(spark, f"{out}/frag", f"{out}/compact", 2)
+        n_comp = len(glob.glob(f"{out}/compact/part-*"))
+        assert n_comp < n_frag and n_comp <= 2
+        assert spark.read.parquet(f"{out}/compact").count() == ev.count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_json_ingest_corrupt_record_handling(spark):
+    out = tempfile.mkdtemp(prefix="ces_corrupt_")
+    try:
+        good = '{"doc_id": 1, "text": "ok", "lang": "en"}'
+        bad = '{"doc_id": 2, "text": BROKEN'
+        with open(f"{out}/data.json", "w") as f:
+            f.write(good + "\n" + bad + "\n")
+        df = spark.read.schema(
+            "doc_id bigint, text string, lang string, _corrupt_record string"
+        ).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).json(out)
+        rows = {r["doc_id"]: r for r in df.collect()}
+        assert rows[1]["text"] == "ok" and rows[1]["_corrupt_record"] is None
+        corrupt = [r for r in rows.values() if r["_corrupt_record"] is not None]
+        assert len(corrupt) == 1 and "BROKEN" in corrupt[0]["_corrupt_record"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
