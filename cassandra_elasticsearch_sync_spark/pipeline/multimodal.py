@@ -146,3 +146,73 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def k6_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_table(spark, sf_dir).select("doc_id", "payload")
     return m.mapInPandas(decode_image_batch, DECODED_SCHEMA)
+
+
+@register("k6b_struct_metadata", "K6", """
+SELECT doc_id,
+       'image/fake' AS mime,
+       n_chars AS n_bytes_declared,
+       source AS origin
+FROM documents
+WHERE source IN ('src1', 'src2') AND n_chars > 200
+""", "Typed-metadata predicate on the multimodal table: filter and "
+     "project nested struct fields (Catalyst flattens the struct "
+     "accesses; on parquet-born structs the filter pushes to the scan)")
+def k6b_struct_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    return (
+        m.filter(
+            F.col("meta.origin").isin("src1", "src2")
+            & (F.col("meta.n_bytes_declared") > 200)
+        )
+        .select(
+            "doc_id",
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.n_bytes_declared").alias("n_bytes_declared"),
+            F.col("meta.origin").alias("origin"),
+        )
+    )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB 'audio featurizer': treats the payload bytes as a fake
+    PCM-ish waveform (centered at 128) and computes deterministic
+    features. Real deployment: soundfile/librosa decode with identical
+    signature and schema."""
+    for pdf in batches:
+        feats = []
+        for raw in pdf["payload"]:
+            wave = [b - 128 for b in raw]
+            n = len(wave)
+            mean_amp = round(sum(abs(w) for w in wave) / n, 6) if n else 0.0
+            zc = sum(
+                1 for i in range(1, n) if (wave[i - 1] < 0) != (wave[i] < 0)
+            )
+            feats.append((n, mean_amp, zc))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_samples": [f[0] for f in feats],
+                "mean_amp": [f[1] for f in feats],
+                "zero_crossings": [f[2] for f in feats],
+            }
+        )
+
+
+@register("k6c_audio_features_stub", "K6", None,
+          "mapInPandas audio featurizer stub (deterministic fake PCM "
+          "features from the binary payload; rows-only - the Arrow "
+          "plumbing and schema are the verified parts)")
+def k6c_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+    return m.mapInPandas(audio_features_batch, AUDIO_SCHEMA)
