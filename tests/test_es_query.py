@@ -65,3 +65,16 @@ def test_match_all_and_exists(spark):
     assert es_search(e, {"match_all": {}}).count() == e.count()
     assert es_search(e, {"exists": {"field": "props"}}).count() == \
         e.filter(F.col("props").isNotNull()).count()
+
+
+def test_unsupported_clause_errors_clearly():
+    import pytest
+    with pytest.raises(ValueError, match="unsupported ES query clause: fuzzy"):
+        compile_query({"fuzzy": {"text": "spark"}})
+    with pytest.raises(ValueError, match="single-clause"):
+        compile_query({"term": {"a": 1}, "range": {"b": {}}})
+
+
+def test_empty_bool_matches_all(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    assert es_search(o, {"bool": {}}).count() == o.count()
