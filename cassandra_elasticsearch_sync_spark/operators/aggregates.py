@@ -360,3 +360,23 @@ def util_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return prof("o_totalprice", False).unionByName(prof("o_custkey", True))
+
+
+@register("d9c_grouping_sets", "D9", """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""", "Explicit GROUPING SETS (the general form rollup/cube compile to): "
+     "status-only, priority-only, and grand-total groups in one pass")
+def d9c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_d9c_orders")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               COUNT(*) AS n
+        FROM _d9c_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
