@@ -93,6 +93,7 @@ def _ensure_loaded() -> None:
         timeseries,
         search,
         analytics,
+        sketches,
     )
     from cassandra_elasticsearch_sync_spark.streaming import incremental, stateful  # noqa: F401
     from cassandra_elasticsearch_sync_spark.sources import readers, es_query  # noqa: F401
