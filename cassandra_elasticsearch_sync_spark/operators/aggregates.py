@@ -380,3 +380,31 @@ def d9c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _d9c_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+@register("d2b_null_skipping_aggs", "D2", """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN value < 50 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(v) AS n_nonnull,
+       CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DECIMAL(38,2)) AS DOUBLE) AS v_sum,
+       CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(v) AS v_avg,
+       MIN(v) AS v_min
+FROM e GROUP BY event_type
+""", "Null-skipping aggregate semantics: COUNT(*) vs COUNT(col), and "
+     "sum/avg/min over a sparsely-null column agree with SQL null rules "
+     "in both engines")
+def d2b_null_skipping_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 50, None).otherwise(F.col("value"))
+    return ev.withColumn("v", v).groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        dsum("v").alias("v_sum"),
+        davg("v").alias("v_avg"),
+        F.min("v").alias("v_min"),
+    )

@@ -175,3 +175,31 @@ def e3b_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).over(w)
          .cast("decimal(38,6)").cast("double").alias("value_last_hour"),
     )
+
+
+@register("e5b_last_nonnull", "E5", """
+WITH e AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+  FROM events
+)
+SELECT event_id, user_id,
+       LAST_VALUE(purchase_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+FROM e
+""", "last_value IGNORE NULLS: forward-fill of the most recent "
+     "purchase amount per user (the gap-filling primitive)")
+def e5b_last_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.withColumn("purchase_value", pv).select(
+        "event_id",
+        "user_id",
+        F.last("purchase_value", ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
