@@ -292,3 +292,70 @@ def k3_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means: the real IVF centroid builder (iterative DataFrame loop)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit_assign(spark: SparkSession, sf_dir: str, k: int = 10,
+                      iters: int = 3) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings: centroids
+    initialize from the k lowest vec_ids (no randomness), then
+    `iters` rounds of assign (broadcast centroids, argmin distance)
+    + recompute (mean per cluster). Each round is one corpus scan and
+    one tiny groupBy - the standard distributed k-means shape. The
+    'label' column ann_ivf_topk uses as a centroid stand-in is exactly
+    what this produces in production."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    centroids = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
+    ]
+
+    def assign(cents) -> DataFrame:
+        bc = spark.sparkContext.broadcast(cents)
+
+        import numpy as np
+        import pandas as pd
+
+        def a(batches):
+            cmat = np.array([c for _, c in bc.value], dtype=np.float64)
+            cids = np.array([i for i, _ in bc.value], dtype=np.int64)
+            for pdf in batches:
+                m = np.array(list(pdf["embedding"]), dtype=np.float64)
+                # argmin over squared euclidean; ties -> lowest centroid id
+                d2 = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                best = cids[np.argmin(d2, axis=1)]
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "cluster": best})
+
+        return e.mapInPandas(a, "vec_id bigint, cluster int")
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        means = (
+            assigned.join(e, "vec_id")
+            .groupBy("cluster")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}")
+                        for i in range(64)
+                    ]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        centroids = [(r["cluster"], [float(x) for x in r["centroid"]]) for r in means]
+        centroids.sort()
+    return assign(centroids)
+
+
+@register("k_kmeans_assign", "K3", None,
+          "Deterministic Lloyd's k-means (3 iterations, lowest-id init) "
+          "producing the IVF centroid assignment; rows-only (iterative "
+          "float algorithm - not SQL-expressible), quality asserted "
+          "against the corpus labels in tests/test_kmeans.py.")
+def k_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_fit_assign(spark, sf_dir, k=10, iters=3)
