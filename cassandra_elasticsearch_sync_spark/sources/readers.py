@@ -108,3 +108,31 @@ def a4_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c_acctbal").cast("decimal(38,10)"))
          .cast("decimal(38,2)").cast("double").alias("total_bal"),
     )
+
+
+def es_bulk_lines(df, id_col: str, index: str):
+    """A7 write-side for the ES store: render a DataFrame as the
+    _bulk-API line stream (action line + source line per record).
+    In production these lines feed `elasticsearch-hadoop`'s bulk
+    writer or a foreachBatch HTTP sink; here the rendering itself is
+    the verified part (tests parse the lines back).
+
+    One output row per input row, two JSON documents per row - kept as
+    separate columns so the sink can interleave them without another
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(index).alias("_index"),
+                F.col(id_col).cast("string").alias("_id"),
+            ).alias("index")
+        )
+    )
+    source = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        action.alias("action_line"),
+        source.alias("source_line"),
+    )

@@ -78,3 +78,22 @@ def test_unsupported_clause_errors_clearly():
 def test_empty_bool_matches_all(spark):
     o = load_table(spark, SF_DIR, "orders")
     assert es_search(o, {"bool": {}}).count() == o.count()
+
+
+def test_es_bulk_lines_roundtrip(spark):
+    import json
+
+    from cassandra_elasticsearch_sync_spark.sources.readers import es_bulk_lines
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(50)
+    bulk = es_bulk_lines(o, "o_orderkey", "orders_idx").collect()
+    assert len(bulk) == 50
+    for r in bulk:
+        action = json.loads(r["action_line"])
+        assert action["index"]["_index"] == "orders_idx"
+        assert action["index"]["_id"] == r["_id"]
+        src = json.loads(r["source_line"])
+        assert str(src["o_orderkey"]) == r["_id"]
+        assert set(src) == {"o_orderkey", "o_orderstatus", "o_totalprice"}
