@@ -40,3 +40,19 @@ def test_rows_only_queries_run(spark):
             df = spec.fn(spark, SF_DIR)
             assert df.columns, name
             assert df.count() >= 0, name
+
+
+def test_harness_detects_mismatches(spark):
+    """Meta-test: the comparison harness must actually catch value,
+    count, and column differences (guards against a vacuous gate)."""
+    from tests.oracle_harness import compare, duck_connection
+
+    con = duck_connection(SF_DIR)
+    df = SPECS["d3_count_distinct"].fn(spark, SF_DIR)
+    wrong_value = "SELECT event_type, COUNT(DISTINCT user_id) + 1 AS n_users, COUNT(*) AS n_events FROM events GROUP BY event_type"
+    assert not compare("wrong_value", df, con, wrong_value).ok
+    wrong_rows = "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events GROUP BY event_type LIMIT 2"
+    assert not compare("wrong_rows", df, con, wrong_rows).ok
+    wrong_cols = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+    assert not compare("wrong_cols", df, con, wrong_cols).ok
+    con.close()

@@ -67,3 +67,22 @@ def test_aqe_coalesces_small_shuffle(spark):
     df.collect()  # materialize so AQE finalizes the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan, plan[:1500]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Semantics preservation: the salted join returns exactly the rows
+    of the plain equi-join (salting only changes the physical spread)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    from cassandra_elasticsearch_sync_spark.operators.skew import salted_join
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    salted = salted_join(o, c, "o_custkey", F.col("o_orderkey"), n_salts=5)
+    plain = o.join(c, "o_custkey")
+    got = sorted(tuple(r) for r in salted.select("o_orderkey", "c_name").collect())
+    want = sorted(tuple(r) for r in plain.select("o_orderkey", "c_name").collect())
+    assert got == want

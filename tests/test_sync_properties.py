@@ -76,3 +76,32 @@ def test_deletion_set_disjoint_from_upsert_keys(spark):
     ups = {r["key"] for r in l4(spark, SF_DIR).collect()}
     dels = {r["key"] for r in l5(spark, SF_DIR).collect()}
     assert ups.isdisjoint(dels)
+
+
+def test_three_way_merge_order_independent(spark):
+    """Folding three snapshots converges to the same (key, version) map
+    regardless of merge order - the associativity that makes L7's
+    micro-batching and any multi-store topology safe."""
+    from pyspark.sql import functions as F
+
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    parts = [
+        o.filter(F.col("o_orderkey") % 3 == i).select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("version"),
+        ).withColumn("side", F.lit(s))
+        for i, s in ((0, "a"), (1, "b"), (2, "c"))
+    ]
+    # overlap: part c also contains %3==0 keys with bumped versions
+    bump = parts[0].withColumn("version", F.col("version") + F.expr("INTERVAL 5 DAYS")) \
+                   .withColumn("side", F.lit("c"))
+    c = parts[2].unionByName(bump)
+
+    left = lww_merge(lww_merge(parts[0], parts[1]), c)
+    right = lww_merge(parts[0], lww_merge(parts[1], c))
+    l = sorted((r["key"], r["version"]) for r in left.collect())
+    r = sorted((r["key"], r["version"]) for r in right.collect())
+    assert l == r
