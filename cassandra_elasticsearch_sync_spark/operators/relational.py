@@ -355,3 +355,32 @@ def b3b_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.eqNullSafe(s2).alias("null_safe_eq"),
         (~s1.eqNullSafe(s2)).alias("null_safe_ne"),
     )
+
+
+@register("b3c_not_in_null_semantics", "B3", """
+SELECT COUNT(*) AS n_not_in_with_null,
+       (SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'P')) AS n_not_in_clean
+FROM customer
+WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 1 THEN NULL
+                                    ELSE o_custkey END
+                        FROM orders)
+""", "NOT IN three-valued-logic trap: a NULL in the subquery list makes "
+     "NOT IN empty (both engines implement standard 3VL); the clean "
+     "variant counts normally. Parity on the semantics everyone gets "
+     "wrong.")
+def b3c_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT COUNT(*) AS n_not_in_with_null,
+               (SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                        WHERE o_orderstatus = 'P')) AS n_not_in_clean
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 1 THEN NULL
+                                            ELSE o_custkey END
+                                FROM orders)
+    """)

@@ -135,3 +135,22 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register("value_histogram", "D1", """
+SELECT CAST(FLOOR(value / 25.0) AS INT) AS bin,
+       25.0 * CAST(FLOOR(value / 25.0) AS INT) AS bin_low,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""", "Fixed-width histogram of event values (floor-bucketing on "
+     "identical doubles is engine-agnostic; the profiling companion "
+     "to util_profile_orders)")
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 25.0).cast("int")
+    return (
+        ev.withColumn("bin", bin_)
+        .groupBy("bin", (25.0 * F.col("bin")).alias("bin_low"))
+        .agg(F.count("*").alias("n"))
+    )
