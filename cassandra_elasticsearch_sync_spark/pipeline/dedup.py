@@ -396,6 +396,13 @@ def k2c_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        # Release the superseded iteration's cache (long driver sessions
+        # run many queries; leaked per-iteration persists add up).
+        if hasattr(labels, "unpersist") and labels is not new_labels:
+            try:
+                labels.unpersist()
+            except Exception:
+                pass
         labels = new_labels
         if changed == 0:
             break
