@@ -262,6 +262,7 @@ class _SnapshotStore:
         self.spark = spark
         self.root = root
         self.version = 0
+        self.applied_batches: set[int] = set()
         init.write.mode("overwrite").parquet(self._path(0))
 
     def _path(self, v: int) -> str:
@@ -270,7 +271,14 @@ class _SnapshotStore:
     def current(self) -> DataFrame:
         return self.spark.read.parquet(self._path(self.version))
 
-    def merge(self, batch: DataFrame) -> None:
+    def merge(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        # Exactly-once bookkeeping: foreachBatch re-delivers a batch id
+        # after a restart; skipping it is free because ids are stable.
+        # (Even without this, re-merging is safe: LWW is idempotent.)
+        if batch_id is not None:
+            if batch_id in self.applied_batches:
+                return
+            self.applied_batches.add(batch_id)
         merged = lww_merge(self.current(), batch)
         self.version += 1
         merged.write.mode("overwrite").parquet(self._path(self.version))
@@ -299,7 +307,7 @@ def l7_run_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
     q = (
-        deltas.writeStream.foreachBatch(lambda df, _id: store.merge(df))
+        deltas.writeStream.foreachBatch(lambda df, bid: store.merge(df, bid))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
