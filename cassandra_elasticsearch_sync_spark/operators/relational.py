@@ -384,3 +384,53 @@ def b3c_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             ELSE o_custkey END
                                 FROM orders)
     """)
+
+
+_C8B_ORACLE = """
+WITH c AS (SELECT event_id, user_id, DATE_TRUNC('second', ts) AS ts_s
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, DATE_TRUNC('second', ts) AS ts_s
+           FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       STRFTIME(MIN(p.ts_s), '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts_s >= c.ts_s
+GROUP BY c.event_id, c.user_id
+"""
+
+
+@register("c8b_forward_asof_join", "C8", _C8B_ORACLE,
+          "Forward as-of join: for each click, the EARLIEST purchase "
+          "at-or-after it per user (time-to-conversion shape) - the "
+          "mirror of c8, via first(ignorenulls) over a descending scan")
+def c8b_forward_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_trunc("second", "ts").alias("ts_s"),
+            F.when(F.col("event_type") == "purchase", F.date_trunc("second", "ts")).alias("p_ts"),
+        )
+    )
+    # Scan in DESCENDING time so "last non-null purchase" = the earliest
+    # purchase at-or-after each row; purchases sort first within a second.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts_s").desc(),
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+            F.col("event_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("next_p", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("next_p", "yyyy-MM-dd HH:mm:ss").alias("next_purchase_ts"),
+        )
+    )

@@ -203,3 +203,22 @@ def e5b_last_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last("purchase_value", ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@register("e4b_topk_with_ties", "E4", """
+SELECT c_mktsegment, c_custkey, c_acctbal
+FROM (SELECT *, RANK() OVER (PARTITION BY c_mktsegment
+                             ORDER BY ROUND(c_acctbal, 0) DESC) AS rnk
+      FROM customer)
+WHERE rnk <= 3
+""", "Top-k WITH TIES: rank() keeps every row tied at the boundary "
+     "(row_number's e4 picks exactly k) - ranking on a coarsened key "
+     "so ties actually occur")
+def e4b_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.round("c_acctbal", 0).desc())
+    return (
+        c.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )

@@ -25,7 +25,7 @@ Four strategies, each a first-class verified query on `documents`:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
@@ -408,3 +408,26 @@ def k2c_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+@register("k1b_dedup_keep_longest", "K1", """
+SELECT content_hash, keep_doc_id FROM (
+  SELECT MD5(LOWER(TRIM(text))) AS content_hash, doc_id AS keep_doc_id,
+         ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(text)))
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn = 1
+""", "Exact dedup with a quality-keep policy: retain the LONGEST copy "
+     "per content hash (tie -> lowest id) - the usual pretraining "
+     "choice when duplicates differ by truncation")
+def k1b_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("content_hash", F.md5(F.lower(F.trim("text"))))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("content_hash", F.col("doc_id").alias("keep_doc_id"))
+    )
