@@ -51,3 +51,35 @@ def h6_json_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("k_total"),
         F.count(F.when(F.col("k") >= 50, 1)).alias("n_high_k"),
     )
+
+
+@register("h6b_nested_json", "H6", """
+WITH j AS (
+  SELECT event_id,
+         '{"meta":{"type":"' || event_type || '","tags":[' ||
+         CAST(user_id % 5 AS VARCHAR) || ',' ||
+         CAST(user_id % 7 AS VARCHAR) || ']}}' AS doc
+  FROM events WHERE event_id % 50 = 0
+)
+SELECT event_id,
+       JSON_EXTRACT_STRING(doc, '$.meta.type') AS type_val,
+       CAST(JSON_EXTRACT_STRING(doc, '$.meta.tags[0]') AS BIGINT) AS tag0,
+       CAST(JSON_EXTRACT_STRING(doc, '$.meta.tags[1]') AS BIGINT) AS tag1
+FROM j
+""", "Nested-object + array-index JSON paths: document built "
+     "deterministically in-query (identical strings both engines), "
+     "then extracted via $.a.b[i] paths - the deep-JSON half of the "
+     "ES document bridge")
+def h6b_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    doc = F.concat(
+        F.lit('{"meta":{"type":"'), F.col("event_type"), F.lit('","tags":['),
+        (F.col("user_id") % 5).cast("string"), F.lit(","),
+        (F.col("user_id") % 7).cast("string"), F.lit("]}}"),
+    )
+    return ev.withColumn("doc", doc).select(
+        "event_id",
+        F.get_json_object("doc", "$.meta.type").alias("type_val"),
+        F.get_json_object("doc", "$.meta.tags[0]").cast("bigint").alias("tag0"),
+        F.get_json_object("doc", "$.meta.tags[1]").cast("bigint").alias("tag1"),
+    )

@@ -56,3 +56,16 @@ def test_harness_detects_mismatches(spark):
     wrong_cols = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
     assert not compare("wrong_cols", df, con, wrong_cols).ok
     con.close()
+
+
+def test_coverage_doc_matches_registry():
+    """COVERAGE.md's generated table must list exactly the registered
+    query names (guards against doc drift)."""
+    import re
+
+    text = open("COVERAGE.md").read()
+    table_part = text.split("## Rows covered by library functions")[0]
+    documented = set(re.findall(r"\| [A-Z0-9+]+ \| `([a-z0-9_]+)` \|", table_part))
+    registered = set(all_specs())
+    assert documented == registered, (
+        sorted(registered - documented), sorted(documented - registered))
