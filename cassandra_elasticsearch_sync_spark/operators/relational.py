@@ -434,3 +434,13 @@ def c8b_forward_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("next_p", "yyyy-MM-dd HH:mm:ss").alias("next_purchase_ts"),
         )
     )
+
+
+@register("b2b_empty_result", "B2", """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 0
+""", "Empty result set: an unsatisfiable pushed-down predicate - "
+     "verifies the whole compare pipeline (schema + zero rows) on "
+     "empty outputs")
+def b2b_empty_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_totalprice") < 0).select("o_orderkey", "o_totalprice")
