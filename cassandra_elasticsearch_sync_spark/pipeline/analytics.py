@@ -154,3 +154,79 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin", (25.0 * F.col("bin")).alias("bin_low"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register("fuzzy_name_match", "H1+C9", """
+WITH c AS (SELECT c_custkey, c_name, SUBSTRING(c_name, 1, 17) AS blk FROM customer)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       LEVENSHTEIN(a.c_name, b.c_name) AS edit_dist
+FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 1
+""", "Entity resolution: fuzzy name matching with prefix blocking "
+     "(candidate pairs only within a 17-char block -> linear, not "
+     "quadratic) + Levenshtein verification - the classic ER shape")
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 17).alias("blk")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .withColumn("edit_dist", F.levenshtein(F.col("a.c_name"), F.col("b.c_name")))
+        .filter(F.col("edit_dist") <= 1)
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            "edit_dist",
+        )
+    )
+
+
+@register("share_of_total", "E3+D1", """
+WITH s AS (
+  SELECT event_type,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,6)) AS DOUBLE) AS v
+  FROM events GROUP BY event_type
+)
+SELECT event_type, v,
+       ROUND(v / SUM(v) OVER (), 6) AS share
+FROM s
+""", "Ratio-to-report: each group's exact-decimal total divided by the "
+     "windowed grand total (identical doubles -> identical division)")
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(38,10)"))
+         .cast("decimal(38,6)").cast("double").alias("v")
+    )
+    w = Window.partitionBy()
+    return s.select(
+        "event_type", "v", F.round(F.col("v") / F.sum("v").over(w), 6).alias("share")
+    )
+
+
+@register("price_deciles", "E1+D1", """
+WITH d AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM d GROUP BY decile
+""", "Decile statistics: ntile bucketing with a total order, then "
+     "per-bucket count/min/max (the distribution profile report)")
+def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
