@@ -408,3 +408,34 @@ def d2b_null_skipping_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("v").alias("v_avg"),
         F.min("v").alias("v_min"),
     )
+
+
+@register("dq_suite", "C5+D2", """
+SELECT
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+    AS childless_orders,
+  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                         GROUP BY o_orderkey HAVING COUNT(*) > 1))
+    AS duplicate_order_keys,
+  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS null_custkeys
+""", "Data-quality suite: referential integrity (orphans both ways), "
+     "key uniqueness, and null violations in one scalar report - the "
+     "pre-ingestion gate a training pipeline runs on every snapshot")
+def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count()
+    childless = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").count()
+    dup_keys = (
+        o.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    )
+    null_keys = o.filter(F.col("o_custkey").isNull()).count()
+    return spark.createDataFrame(
+        [(orphans, childless, dup_keys, null_keys)],
+        "orphan_lineitems bigint, childless_orders bigint, "
+        "duplicate_order_keys bigint, null_custkeys bigint",
+    )

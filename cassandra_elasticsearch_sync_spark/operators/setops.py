@@ -70,3 +70,15 @@ def g1b_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionByName(c, allowMissingColumns=True).select(
         "key", "price", F.coalesce("bal", F.lit(0.0)).alias("bal")
     )
+
+
+@register("g2b_intersect_all", "G2", """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+""", "Bag intersection (intersectAll): keeps multiplicity - min of the "
+     "two sides' per-key counts")
+def g2b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _year_custkeys(spark, sf_dir, 1995).intersectAll(
+        _year_custkeys(spark, sf_dir, 1996)
+    )
