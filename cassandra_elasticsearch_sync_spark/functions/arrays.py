@@ -78,3 +78,43 @@ def h5_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_val"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
     )
+
+
+@register("h4b_array_set_ops", "H4", """
+WITH t AS (
+  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+         LIST_DISTINCT(STRING_SPLIT(LOWER(d1.text), ' ')) AS ta,
+         LIST_DISTINCT(STRING_SPLIT(LOWER(d2.text), ' ')) AS tb
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+  WHERE d1.doc_id % 20 = 0
+)
+SELECT doc_a, doc_b,
+       LEN(LIST_DISTINCT(LIST_CONCAT(ta, tb))) AS union_size,
+       LEN(LIST_INTERSECT(ta, tb)) AS intersect_size,
+       LEN(LIST_FILTER(ta, x -> NOT LIST_CONTAINS(tb, x))) AS except_size,
+       (LEN(LIST_INTERSECT(ta, tb)) > 0) AS overlaps
+FROM t
+""", "Array set algebra: union/intersect/except sizes + overlap flag "
+     "between adjacent documents' token sets (containers reduced to "
+     "scalars per the no-collections-in-output rule)")
+def h4b_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("ta"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("tb"),
+    )
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_union("ta", "tb")).alias("union_size"),
+            F.size(F.array_intersect("ta", "tb")).alias("intersect_size"),
+            F.size(F.array_except("ta", "tb")).alias("except_size"),
+            F.arrays_overlap("ta", "tb").alias("overlaps"),
+        )
+    )

@@ -387,3 +387,29 @@ def k_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register("k4c_char_trigrams", "K4", """
+WITH tg AS (
+  SELECT doc_id,
+         UNNEST([SUBSTRING(text, i, 3) FOR i IN RANGE(1, LENGTH(text) - 1)]) AS trigram
+  FROM documents WHERE doc_id % 100 = 0
+)
+SELECT trigram, COUNT(*) AS n
+FROM tg
+GROUP BY trigram
+HAVING COUNT(*) >= 5
+""", "Character trigrams (the language-ID / fuzzy-search feature space; "
+     "word shingles are k2's document-level analogue)")
+def k4c_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    tg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+            )
+        ).alias("trigram")
+    )
+    return (
+        tg.groupBy("trigram").agg(F.count("*").alias("n")).filter(F.col("n") >= 5)
+    )
