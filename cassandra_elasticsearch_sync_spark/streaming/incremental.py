@@ -336,3 +336,16 @@ def l7_incremental_sync_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snap = l7_run_incremental_sync(spark, sf_dir)
     return snap.select("key", "side", "price", fmt_ts("version").alias("version_s"))
+
+
+def sliding_counts_stream(events: DataFrame) -> DataFrame:
+    """I3: watermarked sliding-window counts (1h window, 15min slide)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.date_trunc("second", "ts"), "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )

@@ -106,3 +106,10 @@ def test_l7_streaming_converges_to_batch_lww(spark):
         side_b(spark, SF_DIR).withColumn("side", F.lit("b")),
     ).select("key", "side", "price")
     assert _norm(got) == _norm(want)
+
+
+def test_sliding_stream_equals_batch(spark, staged):
+    ev = inc.read_events_stream(spark, staged)
+    got = _run_to_memory(inc.sliding_counts_stream(ev), "t_sliding")
+    want = all_specs()["i3_sliding_window"].fn(spark, SF_DIR)
+    assert _norm(got) == _norm(want)
