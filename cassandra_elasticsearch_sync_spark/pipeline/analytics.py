@@ -9,7 +9,7 @@ and cohort retention - the standard event-analytics shapes over the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
@@ -50,14 +50,23 @@ FROM tf
 """, "Vocabulary building: tokens ranked by corpus frequency with "
      "deterministic tiebreak -> dense token ids (tokenizer prep)")
 def k_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("tf"))
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
-    return tf.withColumn("token_id", F.row_number().over(w).cast("int"))
+    # Two-pass global rank (range partition + per-partition row_number +
+    # broadcast offsets) - parallel at any vocab size, unlike a bare
+    # Window.orderBy which funnels every token through one partition.
+    ranked, _ = with_global_order(
+        tf, [F.col("tf").desc(), F.col("token")], rank_col="token_id"
+    )
+    return ranked.select("token", "tf", F.col("token_id").cast("int").alias("token_id"))
 
 
 @register("funnel_conversion", "E2+I4", """
@@ -186,23 +195,30 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("share_of_total", "E3+D1", """
 WITH s AS (
   SELECT event_type,
-         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,6)) AS DOUBLE) AS v
+         CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,6)) AS dv
   FROM events GROUP BY event_type
-)
-SELECT event_type, v,
-       ROUND(v / SUM(v) OVER (), 6) AS share
-FROM s
+),
+t AS (SELECT SUM(dv) AS tot FROM s)
+SELECT event_type, CAST(dv AS DOUBLE) AS v,
+       ROUND(CAST(dv AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM s CROSS JOIN t
 """, "Ratio-to-report: each group's exact-decimal total divided by the "
-     "windowed grand total (identical doubles -> identical division)")
+     "broadcast grand total. The grand total is an exact DECIMAL sum "
+     "(order-independent on both engines), joined in as a broadcast "
+     "scalar - no empty-partition window, no float-summation-order "
+     "hazard.")
 def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     s = ev.groupBy("event_type").agg(
         F.sum(F.col("value").cast("decimal(38,10)"))
-         .cast("decimal(38,6)").cast("double").alias("v")
+         .cast("decimal(38,6)").alias("dv")
     )
-    w = Window.partitionBy()
-    return s.select(
-        "event_type", "v", F.round(F.col("v") / F.sum("v").over(w), 6).alias("share")
+    t = s.agg(F.sum("dv").alias("tot"))
+    v = F.col("dv").cast("double")
+    return s.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        v.alias("v"),
+        F.round(v / F.col("tot").cast("double"), 6).alias("share"),
     )
 
 
@@ -216,17 +232,21 @@ SELECT decile, COUNT(*) AS n,
        MIN(o_totalprice) AS lo,
        MAX(o_totalprice) AS hi
 FROM d GROUP BY decile
-""", "Decile statistics: ntile bucketing with a total order, then "
-     "per-bucket count/min/max (the distribution profile report)")
+""", "Decile statistics: exact NTILE(10) bucketing via the two-pass "
+     "distributed rank (range partition + broadcast offsets), then "
+     "per-bucket count/min/max (the distribution profile report). "
+     "Equivalent to a global ntile window but parallel at any scale.")
 def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-        )
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_ntile,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    d = with_global_ntile(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")], 10, bucket_col="decile"
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )

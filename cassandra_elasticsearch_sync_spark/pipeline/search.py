@@ -16,10 +16,13 @@ so the only libm-sensitive op is ln.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+    topk_with_rank,
+)
 from cassandra_elasticsearch_sync_spark.registry import register
 
 K1 = 1.2
@@ -78,10 +81,12 @@ def k_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
     )
-    w = Window.orderBy(F.round("score", 6).desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("bm25", F.round("score", 6))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "bm25", "rank")
+    # Top-20 via sort+limit (distributed TakeOrdered, never a global
+    # sort), then rank attached over the 20 surviving rows only.
+    top = topk_with_rank(
+        scored.withColumn("bm25", F.round("score", 6)),
+        [("bm25", False), ("doc_id", True)],
+        20,
+        rank_col="rank",
     )
+    return top.select("doc_id", "bm25", F.col("rank").cast("int").alias("rank"))

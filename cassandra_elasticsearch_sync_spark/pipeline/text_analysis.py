@@ -290,14 +290,20 @@ FROM c
 """, "Greedy sequence packing for pretraining: documents packed into "
      "~512-token bins by running token cumsum (deterministic doc_id "
      "order; straddling allowed - the standard concat-then-split "
-     "packing). One window over the corpus, no driver loop.")
+     "packing). Two-pass distributed cumsum (range partition + "
+     "broadcast partition offsets), no single-partition window, no "
+     "driver loop.")
 def k_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    c, _ = with_global_order(
+        t, [F.col("doc_id")], cumsum_of="n_tokens", cumsum_col="cum"
+    )
+    c = c.withColumn("cum_before", F.col("cum") - F.col("n_tokens"))
     return c.select(
         "doc_id",
         "n_tokens",
@@ -350,9 +356,12 @@ GROUP BY pack_id
           "dedup -> quality + language filters -> greedy 512-token "
           "sequence packing -> per-pack manifest. Every stage is a "
           "narrow/shuffle-minimal transform; Catalyst fuses the filters "
-          "into the scan and the packing is one window pass.")
+          "into the scan and the packing is the two-pass distributed "
+          "cumsum (parallel windows only).")
 def k_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     kept = (
@@ -376,10 +385,11 @@ def k_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_uniq").cast("double") / F.col("n_tokens") >= 0.3)
         & (F.col("n_tokens") >= 20)
     ).select("doc_id", "n_tokens")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    packed = (
-        filtered.withColumn("cum", F.sum("n_tokens").over(w))
-        .withColumn("pack_id", F.expr("(cum - n_tokens) div 512").cast("bigint"))
+    cumd, _ = with_global_order(
+        filtered, [F.col("doc_id")], cumsum_of="n_tokens", cumsum_col="cum"
+    )
+    packed = cumd.withColumn(
+        "pack_id", F.expr("(cum - n_tokens) div 512").cast("bigint")
     )
     return packed.groupBy("pack_id").agg(
         F.count("*").alias("n_docs"),

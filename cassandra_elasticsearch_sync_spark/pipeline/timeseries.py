@@ -22,10 +22,13 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+    topk_with_rank,
+)
 from cassandra_elasticsearch_sync_spark.registry import register
 
 QUERY_USER = 0
@@ -85,15 +88,16 @@ def k7_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("qc")).cast("bigint").alias("cq"))
     )
     dist2 = F.col("cc") + F.col("qq") - 2 * F.coalesce(F.col("cq"), F.lit(0))
-    w = Window.orderBy(F.col("dist2"), F.col("user_id"))
-    return (
+    scored = (
         norms.crossJoin(F.broadcast(qn))
         .join(cross_t, "user_id", "left")
         .withColumn("dist2", dist2)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("user_id", "dist2", "rank")
     )
+    # Top-5 via sort+limit (distributed), rank attached over 5 rows.
+    top = topk_with_rank(
+        scored, [("dist2", True), ("user_id", True)], 5, rank_col="rank"
+    )
+    return top.select("user_id", "dist2", F.col("rank").cast("int").alias("rank"))
 
 
 # ---------------------------------------------------------------------------

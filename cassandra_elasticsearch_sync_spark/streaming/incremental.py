@@ -154,15 +154,21 @@ def stage_events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> 
     file source sees multiple discrete arrivals (one per micro-batch
     with maxFilesPerTrigger=1).
 
-    Chunks are TIME-ordered (ntile over ts): the file source replays
-    them oldest-first, like a real at-least-once feed. Arbitrary-order
-    chunks would be dropped as late data once the watermark advances -
-    correct watermark semantics, wrong test fixture.
+    Chunks are TIME-ordered (exact distributed ntile over ts): the file
+    source replays them oldest-first, like a real at-least-once feed.
+    Arbitrary-order chunks would be dropped as late data once the
+    watermark advances - correct watermark semantics, wrong test
+    fixture.
     """
-    from pyspark.sql import Window
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_ntile,
+    )
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+    ev = with_global_ntile(
+        load_table(spark, sf_dir, "events"),
+        [F.col("ts"), F.col("event_id")],
+        n_chunks,
+        bucket_col="chunk",
     )
     out = tempfile.mkdtemp(prefix="ces_events_stream_")
     for i in range(1, n_chunks + 1):

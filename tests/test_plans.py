@@ -69,6 +69,38 @@ def test_aqe_coalesces_small_shuffle(spark):
     assert "AQEShuffleRead" in plan, plan[:1500]
 
 
+# Queries that historically used a global (no-partitionBy) window and
+# were rewritten onto the two-pass distributed rank/cumsum or the
+# window-free top-k (operators/distributed_order.py). A regression that
+# reintroduces a single-partition WindowExec - the one shape that
+# funnels the whole table through one task at 100 TB - must fail here.
+_REWRITTEN_GLOBAL_WINDOW_QUERIES = [
+    "price_deciles",
+    "k_build_vocab",
+    "share_of_total",
+    "k_pack_sequences",
+    "k_pipeline_end_to_end",
+    "k_bm25_search",
+    "k7_timeseries_similarity",
+]
+
+
+@pytest.mark.parametrize("name", _REWRITTEN_GLOBAL_WINDOW_QUERIES)
+def test_no_unpartitioned_window(spark, name):
+    plan = _plan(spark, name)
+    for line in plan.splitlines():
+        if "Window [" in line:
+            # A partitioned Window prints three bracket groups
+            # (exprs, partitionSpec, orderSpec); an unpartitioned one
+            # only two.
+            assert line.count("], [") >= 2, f"{name}: single-partition window:\n{line}"
+
+
+def test_topk_with_rank_avoids_global_sort(spark):
+    plan = _plan(spark, "k_bm25_search")
+    assert "TakeOrderedAndProject" in plan or "LocalLimit" in plan, plan[:2000]
+
+
 def test_salted_join_equals_plain_join(spark):
     """Semantics preservation: the salted join returns exactly the rows
     of the plain equi-join (salting only changes the physical spread)."""
