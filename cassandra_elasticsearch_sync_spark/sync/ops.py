@@ -145,6 +145,13 @@ def lww_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     rows must keep their original provenance, not be re-stamped per
     merge.
 
+    The resolution order is (version DESC, side DESC, payload DESC):
+    after folds both inputs can carry the SAME preserved side, so rows
+    tying on (version, side) with different payloads would otherwise
+    resolve arbitrarily via row_number - the payload columns (every
+    column except key/version/side, in name order) are the final
+    deterministic tiebreak.
+
     One union + one shuffle on key (window top-1). No join: at 100 TB
     a union+window shuffles each side once, the same cost as the
     full-outer join but with trivially skew-splittable state.
@@ -154,7 +161,10 @@ def lww_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     if "side" not in b.columns:
         b = b.withColumn("side", F.lit("b"))
     u = a.unionByName(b)
-    w = Window.partitionBy("key").orderBy(F.col("version").desc(), F.col("side").desc())
+    payload = sorted(c for c in u.columns if c not in ("key", "version", "side"))
+    order = [F.col("version").desc(), F.col("side").desc()]
+    order += [F.col(c).desc() for c in payload]
+    w = Window.partitionBy("key").orderBy(*order)
     return u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
 
@@ -167,7 +177,7 @@ _L3_ORACLE = _SIDES_SQL + """
 SELECT key, side, price,
        STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
-                                   ORDER BY version DESC, side DESC) AS rn
+                                   ORDER BY version DESC, side DESC, price DESC) AS rn
       FROM u)
 WHERE rn = 1
 """
@@ -213,7 +223,7 @@ _L4_ORACLE = _SIDES_SQL + """
 final AS (
   SELECT key, price, version FROM
     (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
-                                  ORDER BY version DESC, side DESC) AS rn FROM u)
+                                  ORDER BY version DESC, side DESC, price DESC) AS rn FROM u)
   WHERE rn = 1
 )
 SELECT f.key, f.price,
@@ -383,7 +393,7 @@ u AS (
 winner AS (
   SELECT key, price, version, deleted FROM
     (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
-                                  ORDER BY version DESC, side DESC) AS rn FROM u)
+                                  ORDER BY version DESC, side DESC, deleted DESC, price DESC) AS rn FROM u)
   WHERE rn = 1
 )
 """
