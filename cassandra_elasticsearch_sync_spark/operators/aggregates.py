@@ -13,7 +13,7 @@ shuffle on a dense high-cardinality key, which AQE coalesces/splits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
@@ -426,16 +426,34 @@ SELECT
      "key uniqueness, and null violations in one scalar report - the "
      "pre-ingestion gate a training pipeline runs on every snapshot")
 def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE fused plan, one action (was: four separate driver-side
+    # .count() jobs). Both tables collapse to per-key aggregates first
+    # (map-side partial aggregation), then a single full-outer join on
+    # the key carries every check: a key missing on the orders side
+    # marks its lineitems orphaned, a key missing on the lineitem side
+    # marks the orders childless, o_cnt > 1 marks duplicates, and the
+    # per-key null-custkey counts sum up globally. NULL keys never
+    # join (plain `=`), which exactly reproduces NOT EXISTS semantics
+    # for NULL foreign keys on both engines.
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count()
-    childless = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").count()
-    dup_keys = (
-        o.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    lg = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("li_cnt")
     )
-    null_keys = o.filter(F.col("o_custkey").isNull()).count()
-    return spark.createDataFrame(
-        [(orphans, childless, dup_keys, null_keys)],
-        "orphan_lineitems bigint, childless_orders bigint, "
-        "duplicate_order_keys bigint, null_custkeys bigint",
+    og = o.groupBy(F.col("o_orderkey").alias("key")).agg(
+        F.count("*").alias("o_cnt"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_cust"),
+    )
+    j = og.join(lg, "key", "full_outer")
+
+    def z(c: Column) -> Column:
+        return F.coalesce(c, F.lit(0)).cast("bigint")
+
+    return j.agg(
+        z(F.sum(F.when(F.col("o_cnt").isNull(), F.col("li_cnt"))))
+            .alias("orphan_lineitems"),
+        z(F.sum(F.when(F.col("li_cnt").isNull(), F.col("o_cnt"))))
+            .alias("childless_orders"),
+        z(F.count(F.when(F.col("o_cnt") > 1, 1))).alias("duplicate_order_keys"),
+        z(F.sum("null_cust")).alias("null_custkeys"),
     )

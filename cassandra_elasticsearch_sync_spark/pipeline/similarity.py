@@ -28,7 +28,13 @@ from cassandra_elasticsearch_sync_spark.catalog import load_table
 from cassandra_elasticsearch_sync_spark.registry import register
 
 TOP_K = 5
-QUERY_FILTER = "vec_id % 100 = 0"
+# The broadcast query set must be BOUNDED, not corpus-proportional: a
+# bare `vec_id % 100 = 0` is 1% of the corpus and would outgrow the
+# broadcast limit at 100x the data. The `vec_id < 6400` cap fixes the
+# set at <= 64 vectors (64 x 64 floats ~ 16 KiB broadcast) at ANY
+# corpus size; at the test scale factors (max vec_id 1999) it is a
+# no-op, so results are unchanged.
+QUERY_FILTER = "vec_id % 100 = 0 AND vec_id < 6400"
 DUP_COS_THRESHOLD = 0.8
 
 

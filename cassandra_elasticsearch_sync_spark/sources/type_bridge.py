@@ -56,12 +56,24 @@ def spark_to_cql(dt: T.DataType) -> str:
     if isinstance(dt, T.MapType):
         return f"map<{spark_to_cql(dt.keyType)}, {spark_to_cql(dt.valueType)}>"
     if isinstance(dt, T.StructType):
-        inner = ", ".join(f"{f.name} {spark_to_cql(f.dataType)}" for f in dt.fields)
-        return f"tuple<{inner}>" if not inner else f"frozen<tuple<{inner}>>"
+        # CQL tuple types are positional and UNNAMED - `frozen<tuple<
+        # name type, ...>>` is invalid DDL that Cassandra rejects.
+        # Field names only survive through a user-defined type; use
+        # cql_udt()/cql_ddl() when names must be preserved.
+        inner = ", ".join(spark_to_cql(f.dataType) for f in dt.fields)
+        return f"frozen<tuple<{inner}>>"
     try:
         return _SPARK_TO_CQL[type(dt)]
     except KeyError:
         raise TypeError(f"no CQL mapping for Spark type {dt}") from None
+
+
+def cql_udt(name: str, st: T.StructType) -> str:
+    """CREATE TYPE DDL for a struct whose field names must survive on
+    the Cassandra side (CQL tuples are positional; only a UDT carries
+    names)."""
+    fields = ",\n  ".join(f"{f.name} {spark_to_cql(f.dataType)}" for f in st.fields)
+    return f"CREATE TYPE {name} (\n  {fields}\n)"
 
 
 def spark_to_es(dt: T.DataType) -> dict:
@@ -84,12 +96,28 @@ def spark_to_es(dt: T.DataType) -> dict:
 
 
 def cql_ddl(schema: T.StructType, table: str, partition_key: str) -> str:
-    """CREATE TABLE DDL for the Cassandra side of a sync pair."""
-    cols = ",\n  ".join(f"{f.name} {spark_to_cql(f.dataType)}" for f in schema.fields)
-    return (
-        f"CREATE TABLE {table} (\n  {cols},\n"
+    """CREATE TABLE DDL for the Cassandra side of a sync pair.
+
+    Top-level struct columns become UDTs named ``{table}_{column}``
+    (emitted as CREATE TYPE statements ahead of the table) so their
+    field names survive; nested structs below collections fall back to
+    positional tuples via spark_to_cql.
+    """
+    udts: list[str] = []
+    cols = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            udt_name = f"{table}_{f.name}"
+            udts.append(cql_udt(udt_name, f.dataType))
+            cols.append(f"{f.name} frozen<{udt_name}>")
+        else:
+            cols.append(f"{f.name} {spark_to_cql(f.dataType)}")
+    body = ",\n  ".join(cols)
+    table_ddl = (
+        f"CREATE TABLE {table} (\n  {body},\n"
         f"  PRIMARY KEY ({partition_key})\n)"
     )
+    return ";\n\n".join([*udts, table_ddl])
 
 
 def es_index_mapping(schema: T.StructType) -> str:

@@ -288,6 +288,16 @@ class _SnapshotStore:
         merged = lww_merge(self.current(), batch)
         self.version += 1
         merged.write.mode("overwrite").parquet(self._path(self.version))
+        # The write above materialized the new snapshot, so the old one
+        # is unreachable by readers - drop it rather than accumulating
+        # one full copy of the store per micro-batch.
+        shutil.rmtree(self._path(self.version - 1), ignore_errors=True)
+
+
+# The converged snapshot must outlive the lazy DataFrame returned to
+# the caller, so a run can only reap the PREVIOUS run's store - each
+# run leaves exactly one final snapshot behind, collected here.
+_L7_PRIOR_ROOTS: list[str] = []
 
 
 def l7_run_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,6 +305,8 @@ def l7_run_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches, foreachBatch-merge with LWW, return the converged
     snapshot. Deterministic regardless of batch boundaries because LWW
     is associative and commutative over versions."""
+    while _L7_PRIOR_ROOTS:
+        shutil.rmtree(_L7_PRIOR_ROOTS.pop(), ignore_errors=True)
     a = side_a(spark, sf_dir).withColumn("side", F.lit("a"))
     b = side_b(spark, sf_dir).withColumn("side", F.lit("b"))
 
@@ -322,6 +334,7 @@ def l7_run_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = store.current()
     shutil.rmtree(staged, ignore_errors=True)
     shutil.rmtree(checkpoint, ignore_errors=True)
+    _L7_PRIOR_ROOTS.append(store_root)
     return result
 
 

@@ -83,21 +83,38 @@ class SyncEngine:
 
     # -- L7: one incremental cycle ---------------------------------------
     def incremental_cycle(self) -> int:
-        """Read rows changed since the watermark on each side, apply
-        them to the other side (LWW), advance the watermark. Returns
-        the number of delta rows shipped (0 => stores were in sync)."""
+        """Read rows changed at-or-after the watermark on each side,
+        apply the ones the other side is missing (LWW), advance the
+        watermark. Returns the number of rows shipped (0 => in sync).
+
+        The watermark boundary is INCLUSIVE (extract_delta_since uses
+        >=): the watermark is max(version) of the rows seen, so a
+        concurrent write landing later with version exactly equal to it
+        must still be picked up next cycle. Inclusive extraction would
+        re-ship the boundary rows forever, so each delta is anti-joined
+        on the full payload (every column but the provenance `side`)
+        against the other store: `n` counts only rows the other side
+        actually lacks, which keeps 0 an honest convergence signal AND
+        skips the no-op overwrite on quiet cycles.
+        """
         wm = load_watermark(self.spark, self.state_dir)
         delta_a = extract_delta_since(self.a.read(), wm).persist()
         delta_b = extract_delta_since(self.b.read(), wm).persist()
-        n = delta_a.count() + delta_b.count()
+        cols = [c for c in delta_a.columns if c != "side"]
+        ship_a = delta_a.join(self.b.read(), cols, "left_anti").persist()
+        ship_b = delta_b.join(self.a.read(), cols, "left_anti").persist()
+        n = ship_a.count() + ship_b.count()
         if n:
-            new_b = lww_merge(self.b.read(), delta_a)
-            new_a = lww_merge(self.a.read(), delta_b)
+            new_b = lww_merge(self.b.read(), ship_a)
+            new_a = lww_merge(self.a.read(), ship_b)
             self.a.overwrite(new_a)
             self.b.overwrite(new_b)
-            self._advance_watermark(delta_a.unionByName(delta_b))
-        delta_a.unpersist()
-        delta_b.unpersist()
+        # Advance over everything SEEN, not just shipped: rows present
+        # on both sides up to v are already synced, and the inclusive
+        # boundary still catches a straggler landing at exactly v.
+        self._advance_watermark(delta_a.unionByName(delta_b))
+        for df in (ship_a, ship_b, delta_a, delta_b):
+            df.unpersist()
         return n
 
     def _advance_watermark(self, applied: DataFrame) -> None:

@@ -67,7 +67,10 @@ def test_watermark_roundtrip_and_delta(spark):
         assert got == wm
         b = side_b(spark, SF_DIR)
         delta = storage.extract_delta_since(b, got)
-        assert delta.count() == b.filter(F.col("version") > F.lit(wm)).count()
+        # Inclusive boundary: rows AT the watermark re-ship (idempotent
+        # applies make that safe; a strict > would lose equal-version
+        # concurrent writes that land after the watermark advance).
+        assert delta.count() == b.filter(F.col("version") >= F.lit(wm)).count()
         assert storage.extract_delta_since(b, None).count() == b.count()
     finally:
         shutil.rmtree(state, ignore_errors=True)

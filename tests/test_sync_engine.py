@@ -65,3 +65,26 @@ def test_incremental_ships_local_edit(spark):
         assert eng.incremental_cycle() == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_equal_version_boundary_write_is_not_lost(spark):
+    """A write landing AFTER the watermark advance with version exactly
+    EQUAL to the watermark must still ship (inclusive >= boundary);
+    a strict > would silently drop it forever."""
+    from cassandra_elasticsearch_sync_spark.sources.storage import load_watermark
+
+    eng, root = _mk_engine(spark)
+    try:
+        eng.full_sync()
+        wm = load_watermark(spark, f"{root}/state")
+        new_row = spark.createDataFrame(
+            [(999999, 123.45, wm, "b")], "key bigint, price double, "
+            "version timestamp, side string"
+        )
+        eng.b.overwrite(eng.b.read().unionByName(new_row))
+        assert eng.incremental_cycle() >= 1
+        assert eng.a.read().filter(F.col("key") == 999999).count() == 1
+        assert eng.in_sync()
+        assert eng.incremental_cycle() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

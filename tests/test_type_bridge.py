@@ -7,6 +7,7 @@ from pyspark.sql import types as T
 from cassandra_elasticsearch_sync_spark.catalog import load_table
 from cassandra_elasticsearch_sync_spark.sources.type_bridge import (
     cql_ddl,
+    cql_udt,
     es_index_mapping,
     spark_to_cql,
     spark_to_es,
@@ -34,8 +35,19 @@ def test_nested_and_collection_types():
     assert spark_to_es(arr) == {"type": "float"}
     m = T.MapType(T.StringType(), T.LongType())
     assert spark_to_cql(m) == "map<text, bigint>"
-    st = T.StructType([T.StructField("a", T.IntegerType())])
-    assert "tuple<a int>" in spark_to_cql(st)
-    assert spark_to_es(st) == {"properties": {"a": {"type": "integer"}}}
+    # CQL tuples are positional and unnamed; names need a UDT.
+    st = T.StructType([
+        T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType()),
+    ])
+    assert spark_to_cql(st) == "frozen<tuple<int, text>>"
+    assert cql_udt("pt", st) == "CREATE TYPE pt (\n  a int,\n  b text\n)"
+    ddl = cql_ddl(
+        T.StructType([T.StructField("id", T.LongType()), T.StructField("meta", st)]),
+        "docs", "id",
+    )
+    assert "CREATE TYPE docs_meta" in ddl and "meta frozen<docs_meta>" in ddl
+    assert spark_to_es(st) == {
+        "properties": {"a": {"type": "integer"}, "b": {"type": "keyword"}}
+    }
     assert spark_to_cql(T.BinaryType()) == "blob"
     assert spark_to_es(T.BinaryType()) == {"type": "binary"}
