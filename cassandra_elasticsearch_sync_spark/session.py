@@ -20,6 +20,10 @@ from pyspark.sql import SparkSession
 # partition number from the env and let AQE shrink it.
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+# AQE is the right default for cluster scale (runtime coalesce, skew
+# splits); at the sub-GB bench scale its per-stage re-planning is pure
+# overhead, so bench.py switches it off via this env.
+DEFAULT_AQE = os.environ.get("SPARK_GRAFT_AQE", "true").lower() != "false"
 
 
 def get_spark(app_name: str = "cassandra-elasticsearch-sync-spark",
@@ -46,7 +50,7 @@ def get_spark(app_name: str = "cassandra-elasticsearch-sync-spark",
         # catalog rebuilds the timestamp with exact integer division.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- scale: adaptive execution ---
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(DEFAULT_AQE).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

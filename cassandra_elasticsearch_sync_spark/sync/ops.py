@@ -148,13 +148,18 @@ def lww_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     The resolution order is (version DESC, side DESC, payload DESC):
     after folds both inputs can carry the SAME preserved side, so rows
     tying on (version, side) with different payloads would otherwise
-    resolve arbitrarily via row_number - the payload columns (every
-    column except key/version/side, in name order) are the final
-    deterministic tiebreak.
+    resolve arbitrarily - the payload columns (every column except
+    key/version/side, in name order) are the final deterministic
+    tiebreak.
 
-    One union + one shuffle on key (window top-1). No join: at 100 TB
-    a union+window shuffles each side once, the same cost as the
-    full-outer join but with trivially skew-splittable state.
+    Physical shape: union + ONE hash aggregation on key, where the
+    winner is max(struct(version, side, payload...)) - structs compare
+    lexicographically by field order, so the max IS the top-1 of the
+    resolution order. Unlike a window top-1 (shuffle every row, then
+    sort each key group), the partial max combines map-side: the
+    shuffle carries one candidate per (task, key) and a hot key
+    collapses before it moves - strictly better at 100 TB, and
+    measurably faster at bench scale (no sort).
     """
     if "side" not in a.columns:
         a = a.withColumn("side", F.lit("a"))
@@ -162,10 +167,11 @@ def lww_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         b = b.withColumn("side", F.lit("b"))
     u = a.unionByName(b)
     payload = sorted(c for c in u.columns if c not in ("key", "version", "side"))
-    order = [F.col("version").desc(), F.col("side").desc()]
-    order += [F.col(c).desc() for c in payload]
-    w = Window.partitionBy("key").orderBy(*order)
-    return u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    ordcols = ["version", "side", *payload]
+    winner = u.groupBy("key").agg(F.max(F.struct(*ordcols)).alias("_w"))
+    return winner.select(
+        "key", *[F.col(f"_w.{c}").alias(c) for c in ordcols]
+    ).select(*u.columns)
 
 
 _L3_ORACLE = _SIDES_SQL + """
