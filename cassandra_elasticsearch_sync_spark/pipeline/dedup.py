@@ -145,49 +145,61 @@ _COEF = [((j * 2654435761 + 1) % MERSENNE_P or 1, (j * 40503 + 17) % MERSENNE_P)
 _BASE_HASH_SQL = f"pmod(xxhash64(shingle), {MERSENNE_P})"
 
 
-@register("k2_minhash_lsh_pairs", "K2", _JACCARD_PAIRS_ORACLE,
-          "Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard "
-          "verification. Oracle is the brute-force pair set: equality "
-          "holds because banding recall at the corpus's J>=0.9 dup level "
-          "is 1-4e-8 (and the driver hash proves it on this corpus).")
-def k2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shingled relation feeds three consumers (minhash + both sides
-    # of the verification join); cache it so tokenize/shingle/distinct
-    # runs once. Tiny relative to executor memory at any SF (arrays of
-    # string shingles, ~6 KB/doc). Arrow-vectorized shingling: the
-    # declarative twin (_shingled) is the k2b/oracle shape.
-    sh = _shingled_arrow(spark, sf_dir).persist()
-    # Minhash via explode + 64 min() aggregates: higher-order-function
-    # lambdas are interpreted per element, but aggregate expressions are
-    # whole-stage-codegen'd, and partial (map-side) min means the
-    # shuffle carries 64 longs per doc, not per shingle. ~3x faster
-    # than the transform/array_min formulation at sf0.1.
+def _hash_coefs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients for any signature
+    width (the first 64 are _COEF; the formula extends past that)."""
+    return [((j * 2654435761 + 1) % MERSENNE_P or 1, (j * 40503 + 17) % MERSENNE_P)
+            for j in range(n_hashes)]
+
+
+def minhash_lsh_pairs(
+    sh: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Parametric MinHash-LSH near-dup pairs over a shingled relation
+    (doc_id, sh array<string>). Banding (b, r) is the recall/cost knob:
+    a pair at Jaccard J survives with prob 1-(1-J^r)^b - e.g. the
+    default 16x4 gives 1-4e-8 at J=0.9 but only ~0.997 at J=0.74, while
+    32x2 gives 1-1e-11 at J=0.74 at 2x the bucket-join volume. Choose
+    r ~ log(1/J_target) and b to hit the recall budget; exact-Jaccard
+    verification downstream removes every false positive, so banding
+    only ever costs recall, never precision.
+    """
+    n_hashes = n_bands * rows_per_band
+    sh = sh.persist()
+    # Minhash via explode + n_hashes min() aggregates: higher-order-
+    # function lambdas are interpreted per element, but aggregate
+    # expressions are whole-stage-codegen'd, and partial (map-side) min
+    # means the shuffle carries n_hashes longs per doc, not per
+    # shingle. ~3x faster than the transform/array_min formulation.
     hashed = sh.select(
         "doc_id", F.explode("sh").alias("shingle")
     ).select("doc_id", F.expr(_BASE_HASH_SQL).alias("h"))
     mins = hashed.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"(h * {a}L + {b}L) % {MERSENNE_P}L")).alias(f"m{j}")
-            for j, (a, b) in enumerate(_COEF)
+            for j, (a, b) in enumerate(_hash_coefs(n_hashes))
         ]
     )
     mh = mins.select(
-        "doc_id", F.array(*[f"m{j}" for j in range(N_HASHES)]).alias("mh")
+        "doc_id", F.array(*[f"m{j}" for j in range(n_hashes)]).alias("mh")
     )
 
     # Band signature: arithmetic fold of the band's minhash values
     # (internal only - never compared against the oracle, so any
-    # deterministic combine works; values < 2^31 so a 4-step polynomial
+    # deterministic combine works; values < 2^31 so the polynomial
     # fold stays far below 2^63).
     bands = mh.select(
         "doc_id",
         "mh",
-        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).select(
         "doc_id",
         "band",
         F.aggregate(
-            F.slice("mh", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+            F.slice("mh", F.col("band") * rows_per_band + 1, rows_per_band),
             F.lit(0).cast("bigint"),
             lambda acc, x: (acc % 2147483647) * 1000003 + x,
         ).alias("sig"),
@@ -209,11 +221,25 @@ def k2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_raw",
             F.col("i").cast("double") / (F.size("sh_a") + F.size("sh_b") - F.col("i")),
         )
-        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard_raw") >= threshold)
     )
     return verified.select(
         "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
     )
+
+
+@register("k2_minhash_lsh_pairs", "K2", _JACCARD_PAIRS_ORACLE,
+          "Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard "
+          "verification. Oracle is the brute-force pair set: equality "
+          "holds because banding recall at the corpus's J>=0.9 dup level "
+          "is 1-4e-8 (and the driver hash proves it on this corpus). "
+          "Banding is parametric (minhash_lsh_pairs) - near-threshold "
+          "corpora use more bands x fewer rows, tested on a planted "
+          "J~0.74 corpus in test_lsh_banding.py.")
+def k2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-vectorized shingling: the declarative twin (_shingled) is
+    # the k2b/oracle shape.
+    return minhash_lsh_pairs(_shingled_arrow(spark, sf_dir))
 
 
 @register("k2b_ngram_jaccard_pairs", "K2", _JACCARD_PAIRS_ORACLE,
@@ -355,59 +381,19 @@ SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 
 @register("k2c_dup_clusters", "K2", _CLUSTERS_ORACLE,
           "Near-duplicate CLUSTERS: connected components of the pair graph "
-          "via iterative min-label propagation (each doc gets the smallest "
-          "doc_id reachable through near-dup edges). The oracle runs the "
+          "via alternating large-star/small-star (Kiveris et al. SOCC'14) "
+          "- O(log n) rounds on ANY graph shape, join+min-aggregate per "
+          "round, O(1) driver-side fixpoint check. The oracle runs the "
           "same closure as a recursive CTE - an iterative algorithm that "
-          "still hash-checks. At web scale swap the loop for the "
-          "alternating big-star/small-star algorithm; the per-iteration "
-          "plan (join + groupBy min) is identical.")
+          "still hash-checks.")
 def k2c_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = k2b_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # The pair graph is tiny relative to the corpus; pin a small
-    # partition count so the iterative loop doesn't inherit a large
-    # spark.sql.shuffle.partitions from the caller's session.
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).repartition(8).persist()
-    # Label propagation to fixpoint: label(node) <- min(label, labels of
-    # neighbors). Near-dup components are tiny (pairs/triples), so this
-    # converges in 2-3 iterations; the loop is a driver-side fixpoint
-    # check over a fully distributed per-iteration plan.
-    labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
+    from cassandra_elasticsearch_sync_spark.pipeline.graph import (
+        connected_components,
     )
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .groupBy("doc_a")
-            .agg(F.min("lbl").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.doc_a, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias("lbl"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        # Release the superseded iteration's cache (long driver sessions
-        # run many queries; leaked per-iteration persists add up).
-        if hasattr(labels, "unpersist") and labels is not new_labels:
-            try:
-                labels.unpersist()
-            except Exception:
-                pass
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+    pairs = k2b_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = connected_components(pairs)
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 @register("k1b_dedup_keep_longest", "K1", """

@@ -1,0 +1,137 @@
+"""Distributed connected components: alternating large-star/small-star.
+
+The label-propagation loop k2c used in round 1 converges in
+O(graph diameter) rounds - fine for near-dup families (pairs/triples),
+pathological for adversarial graphs (a 1M-node path = 1M rounds). The
+alternating algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SOCC'14), converges in O(log n) rounds on ANY
+graph, with every round a plain join+groupBy plan - the web-scale CC
+shape GraphX/GraphFrames use. No driver-side data beyond the O(1)
+fixpoint check.
+
+- large-star(u): connect every strictly-larger neighbor of u to
+  m(u) = min(N(u) ∪ {u}).
+- small-star(u): connect every strictly-smaller neighbor of u, and u
+  itself, to m(u) = min(smaller-neighbors ∪ {u}).
+
+At the fixpoint every node points directly at its component minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _undirected(e: DataFrame) -> DataFrame:
+    return e.select("x", "y").union(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    und = _undirected(e)
+    m = und.groupBy("x").agg(F.min("y").alias("mn"))
+    m = m.select("x", F.least("mn", "x").alias("m"))
+    # No distinct here: duplicate edges don't change small-star's
+    # min-aggregates, and the round ends with one distinct anyway -
+    # one less shuffle per round.
+    return (
+        und.filter(F.col("y") > F.col("x"))
+        .join(m, "x")
+        .select(F.col("y").alias("x"), F.col("m").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    und = _undirected(e)
+    smaller = und.filter(F.col("y") < F.col("x"))
+    m = smaller.groupBy("x").agg(F.min("y").alias("m"))
+    return (
+        smaller.join(m, "x")
+        .select(F.col("y").alias("x"), F.col("m").alias("y"))
+        .union(m.select(F.col("x"), F.col("m").alias("y")))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
+    max_rounds: int = 40, n_partitions: int = 8,
+) -> tuple[DataFrame, int]:
+    """Component label (= min reachable node id) for every node of the
+    undirected pair graph. Returns (labels, rounds_used); labels has
+    columns (node, cluster_id).
+
+    Each round is two fully distributed join+min-aggregate plans; the
+    only driver-side step is the O(1) has-anything-changed check.
+    """
+    # Iterative DataFrame algorithms MUST truncate lineage each round:
+    # every round references the previous edge set ~6 times (two star
+    # transforms, each a union+join), so without truncation the logical
+    # plan grows 6^rounds nodes and Catalyst analysis goes exponential.
+    # localCheckpoint(eager) materializes the round and restarts the
+    # plan from a leaf (on a cluster, a checkpoint dir does the same
+    # with fault tolerance).
+    #
+    # Per-round configs, restored on exit: whole-stage codegen OFF
+    # (every round has fresh expr-ids -> janino recompiles the same
+    # join+agg pipeline each time, ~3x the round cost at small scale)
+    # and the loop's own shuffle-partition count (a vanilla driver
+    # session defaults to 200 -> hundreds of empty tasks per round).
+    spark = pairs.sparkSession
+    old_wscg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        return _cc_loop(pairs, a, b, max_rounds, n_partitions)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", old_wscg)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _cc_loop(
+    pairs: DataFrame, a: str, b: str, max_rounds: int, n_partitions: int
+) -> tuple[DataFrame, int]:
+    edges = (
+        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .repartition(n_partitions)
+        .localCheckpoint(eager=True)
+    )
+    nodes = _undirected(edges).select(F.col("x").alias("node")).distinct()
+
+    def _sig(e: DataFrame) -> tuple:
+        # O(1)-driver convergence signature: the star transforms emit
+        # distinct edge sets, so (count, bit_xor of xxhash64(x,y))
+        # equality across rounds means set equality (2^-64 collision
+        # odds; xor is order-insensitive and cannot overflow under
+        # ANSI) - one tiny agg job instead of two exceptAll jobs.
+        r = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(x, y))").alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig = _sig(edges)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _sig(new_edges)
+        edges = new_edges
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # Fixpoint edges are (node -> component min); roots have no
+    # outgoing edge and label themselves.
+    labels = (
+        nodes.join(edges, nodes.node == edges.x, "left")
+        .groupBy("node")
+        .agg(F.min(F.coalesce("y", "node")).alias("cluster_id"))
+    )
+    return labels, rounds
