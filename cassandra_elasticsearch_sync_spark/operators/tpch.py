@@ -308,3 +308,68 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register("q8_market_share", "C1+D1+B6", """
+WITH flat AS (
+  SELECT CAST(DATE_PART('year', o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       ROUND(
+         CAST(SUM(CAST(ROUND((CASE WHEN supp_nation = 'NATION_3'
+                                    THEN volume ELSE 0 END) * 10000) AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(ROUND(volume * 10000) AS BIGINT)) AS DOUBLE),
+         6) AS mkt_share
+FROM flat
+GROUP BY o_year
+""", "Q8-style market share: 8-way star join (nation joined TWICE - "
+     "customer side and supplier side), conditional scaled-long revenue "
+     "ratio per year. All seven dimension sides broadcast; lineitem is "
+     "the only shuffled relation - the plan a 100 TB star join needs.")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+        & F.expr("o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    german = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+
+    def scaled(colexpr):
+        return F.sum(F.round(colexpr * 10000, 0).cast("bigint")).cast("double")
+
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(scaled(german) / scaled(volume), 6).alias("mkt_share"))
+    )

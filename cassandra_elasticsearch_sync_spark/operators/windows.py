@@ -222,3 +222,28 @@ def e4b_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "c_custkey", "c_acctbal")
     )
+
+
+@register("e6_distribution_functions", "E1", """
+SELECT l_orderkey, l_linenumber,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(NTILE(2) OVER w AS INT) AS half
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber)
+""", "Distribution window functions (percent_rank / cume_dist / ntile) "
+     "over each order's line items. The partition key is the "
+     "high-cardinality l_orderkey with a bounded group size (<= 7 "
+     "lines/order), so the window parallelizes at any scale - the "
+     "scale-safe home for distribution functions (corpus-wide ranks "
+     "go through operators/distributed_order.py instead).")
+def e6_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice", "l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(2).over(w).cast("int").alias("half"),
+    )

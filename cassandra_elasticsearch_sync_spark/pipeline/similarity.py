@@ -365,3 +365,44 @@ def kmeans_fit_assign(spark: SparkSession, sf_dir: str, k: int = 10,
           "against the corpus labels in tests/test_kmeans.py.")
 def k_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_assign(spark, sf_dir, k=10, iters=3)
+
+
+_RANGE_ORACLE = "WITH " + _NORMED_SQL + f"""
+, q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE {QUERY_FILTER})
+SELECT qid, e.vec_id AS cid,
+       ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+              FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+             / (qn * e.nrm), 6) AS cos_sim
+FROM q, e
+WHERE e.vec_id <> qid
+  AND ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+             FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+            / (qn * e.nrm), 6) >= 0.25
+"""
+
+
+@register("k3b_range_search", "K3", _RANGE_ORACLE,
+          "Cosine RANGE search (all neighbors above a similarity floor, "
+          "not top-k): broadcast bounded query set, one corpus scan, "
+          "per-pair threshold filter - retrieval's 'give me everything "
+          "relevant enough' complement to k3's fixed-k. The filter is "
+          "on the 6-dp-rounded cosine so the cut is engine-agnostic.")
+def k3b_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normed(spark, sf_dir)
+    q = e.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.alias("c").join(F.broadcast(q).alias("q"), F.expr("c.vec_id <> q.qid"))
+    cos = F.round(
+        dot(F.col("q.qe"), F.col("c.embedding")) / (F.col("q.qn") * F.col("c.nrm")), 6
+    )
+    return (
+        c.select(
+            F.col("q.qid").alias("qid"),
+            F.col("c.vec_id").alias("cid"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.25)
+    )

@@ -423,3 +423,85 @@ def k4c_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tg.groupBy("trigram").agg(F.count("*").alias("n")).filter(F.col("n") >= 5)
     )
+
+
+@register("k_repetition_ratio", "K4", """
+WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
+bg AS (SELECT doc_id, UNNEST([ARRAY_TO_STRING(t[i:i+1], ' ')
+                              FOR i IN RANGE(1, LEN(t))]) AS bigram
+       FROM tok WHERE LEN(t) >= 2),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+SELECT doc_id,
+       MAX(c) AS top_bigram_count,
+       SUM(c) AS n_bigrams,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repetition_ratio
+FROM cnt GROUP BY doc_id
+""", "Repetition ratio (Gopher-style quality filter): the most frequent "
+     "bigram's share of all bigrams per document - boilerplate and "
+     "looped generations score high. Two hash aggregations on "
+     "high-cardinality keys (doc_id x bigram, then doc_id): no windows, "
+     "no joins, shuffle-minimal at any corpus size.")
+def k_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.filter(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
+                "i -> array_join(slice(split(lower(text), ' '), i, 2), ' '))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"),
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("repetition_ratio"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "to", "and")
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register("k_gopher_quality", "K4", f"""
+WITH m AS (
+  SELECT doc_id,
+         LEN(STRING_SPLIT(text, ' ')) AS n_words,
+         CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+           / LEN(STRING_SPLIT(text, ' ')) AS mean_word_len,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                              w -> w IN ({_STOP_IN}))) AS DOUBLE)
+           / LEN(STRING_SPLIT(text, ' ')) AS stop_frac
+  FROM documents
+)
+SELECT doc_id, n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(stop_frac, 6) AS stop_frac,
+       (n_words >= 20 AND mean_word_len BETWEEN 2 AND 10 AND stop_frac >= 0.01)
+         AS keep
+FROM m
+""", "Gopher-style document quality flags: word count, mean word "
+     "length, stopword fraction, and the conjunctive keep decision "
+     "(Rae et al. 2021's repetition/quality gate family, the "
+     "pretraining pre-filter). Pure per-row expressions - embarrassingly "
+     "parallel, no shuffle at all. The list lambda runs once per doc "
+     "(not per token per hash like the MinHash hot path), so the "
+     "interpreted higher-order function is fine here.")
+def k_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    stop_frac = (
+        F.size(F.expr(f"filter(split(lower(text), ' '), w -> w IN ({stop_in}))"))
+        .cast("double") / n_words
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_frac, 6).alias("stop_frac"),
+        ((n_words >= 20) & mean_wl.between(2, 10) & (stop_frac >= 0.01)).alias("keep"),
+    )

@@ -470,3 +470,37 @@ def l8_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("change_version"),
         )
     )
+
+
+@register("l9_conflict_audit", "L1+L3", _SIDES_SQL + """
+SELECT key,
+       a.price AS price_a, b.price AS price_b,
+       STRFTIME(DATE_TRUNC('second', a.version), '%Y-%m-%d %H:%M:%S') AS version_a_s,
+       STRFTIME(DATE_TRUNC('second', b.version), '%Y-%m-%d %H:%M:%S') AS version_b_s,
+       CASE WHEN a.version > b.version THEN 'a'
+            WHEN b.version > a.version THEN 'b'
+            ELSE 'tie' END AS newer_side
+FROM side_a a JOIN side_b b USING (key)
+WHERE a.price <> b.price OR a.version <> b.version
+""", "Conflict audit log: keys BOTH stores hold with diverging payload "
+     "or version, with which side is newer - the reconciliation report "
+     "an operator reviews before trusting an LWW run (the reference "
+     "syncs silently; an audit trail is what production adds first). "
+     "One inner join on the key, same shuffle shape as the L1 diff.")
+def l9_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = side_a(spark, sf_dir).alias("a")
+    b = side_b(spark, sf_dir).alias("b")
+    av, bv = F.col("a.version"), F.col("b.version")
+    return (
+        a.join(b, F.col("a.key") == F.col("b.key"))
+        .filter((F.col("a.price") != F.col("b.price")) | (av != bv))
+        .select(
+            F.col("a.key").alias("key"),
+            F.col("a.price").alias("price_a"),
+            F.col("b.price").alias("price_b"),
+            fmt_ts(av).alias("version_a_s"),
+            fmt_ts(bv).alias("version_b_s"),
+            F.when(av > bv, "a").when(bv > av, "b").otherwise("tie")
+             .alias("newer_side"),
+        )
+    )
