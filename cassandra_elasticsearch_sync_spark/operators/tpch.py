@@ -373,3 +373,33 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.round(scaled(german) / scaled(volume), 6).alias("mkt_share"))
     )
+
+
+@register("q13_order_count_distribution", "C2+D1", """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""", "Q13-style: orders-per-customer distribution (left join keeps the "
+     "zero-order customers, two stacked hash aggregations; COUNT(col) "
+     "null-skipping makes the no-match customers count 0). Both "
+     "aggregations combine map-side; the second one's key space is "
+     "tiny, so the plan is one fact shuffle + one micro shuffle.")
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

@@ -250,3 +250,43 @@ def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@register("k_dataset_card", "K4+D9", """
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,10))) AS DECIMAL(38,0)) AS BIGINT)
+         AS total_chars,
+       ROUND(CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE)
+             / COUNT(*), 6) AS mean_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+""", "Dataset card: per-(source, lang) document counts and length "
+     "stats with rollup subtotals - the one-scan summary a curation "
+     "pipeline publishes alongside every training snapshot. ROLLUP "
+     "adds the marginals in the same single aggregation pass.")
+def k_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_chars_dec = F.col("n_chars").cast("decimal(38,10)")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_chars_dec).cast("decimal(38,0)").cast("bigint")
+             .alias("total_chars"),
+            F.round(
+                F.sum(n_chars_dec).cast("decimal(38,4)").cast("double")
+                / F.count("*"), 6
+            ).alias("mean_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs", "total_chars", "mean_chars", "min_chars", "max_chars",
+        )
+    )

@@ -417,3 +417,27 @@ def k1b_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("content_hash", F.col("doc_id").alias("keep_doc_id"))
     )
+
+
+@register("k2d_cluster_stats", "K2", _CLUSTERS_ORACLE.replace(
+    "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    """
+, labels AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY node)
+SELECT cluster_id,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM labels GROUP BY cluster_id
+"""),
+    "Duplicate-cluster statistics: size and id-range per connected "
+    "component - the dedup report that decides the keep-one policy "
+    "(keep cluster minimum = drop n_docs-1 copies). One extra tiny "
+    "aggregation over the CC labels.")
+def k2d_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = k2c_dup_clusters(spark, sf_dir)
+    return labels.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

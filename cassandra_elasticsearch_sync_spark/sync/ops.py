@@ -504,3 +504,44 @@ def l9_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("newer_side"),
         )
     )
+
+
+@register("l10_three_way_merge", "L3+L6", _SIDES_SQL + """
+, side_c AS (
+  SELECT o_orderkey AS key,
+         o_totalprice * 0.9 AS price,
+         o_orderdate + INTERVAL 2 DAY AS version
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    AND o_orderkey % 5 = 0
+),
+u AS (
+  SELECT key, price, version, 'a' AS side FROM side_a
+  UNION ALL SELECT key, price, version, 'b' AS side FROM side_b
+  UNION ALL SELECT key, price, version, 'c' AS side FROM side_c
+)
+SELECT key, side, price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                   ORDER BY version DESC, side DESC, price DESC) AS rn
+      FROM u)
+WHERE rn = 1
+""", "Three-store LWW convergence: the reference syncs exactly two "
+     "stores; a third replica (side_c: a late bulk re-price feed) folds "
+     "in through the SAME associative max(struct) merge - lww_merge "
+     "composes n-way because last-write-wins is a semilattice join. "
+     "Still one union + one hash aggregation, shuffling each store once.")
+def l10_three_way_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c_side = (
+        o.filter(F.expr("o_orderdate >= TIMESTAMP_NTZ '1999-01-01 00:00:00'"))
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice") * 0.9).alias("price"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).alias("version"),
+        )
+        .withColumn("side", F.lit("c"))
+    )
+    merged = lww_merge(lww_merge(side_a(spark, sf_dir), side_b(spark, sf_dir)), c_side)
+    return merged.select("key", "side", "price", fmt_ts("version").alias("version_s"))
