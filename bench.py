@@ -113,10 +113,11 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        # min of two runs: the first run includes codegen/plan compile,
-        # the second is the steady state a resident service would see.
+        # min of three runs: the first includes codegen/plan compile,
+        # the min is the steady state a resident service would see
+        # (run-to-run GC/scheduler variance is ~±0.1 s per query).
         times = []
-        for _ in range(2):
+        for _ in range(3):
             df = qs[name](spark, run_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
