@@ -505,3 +505,44 @@ def k_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_frac, 6).alias("stop_frac"),
         ((n_words >= 20) & mean_wl.between(2, 10) & (stop_frac >= 0.01)).alias("keep"),
     )
+
+
+@register("k_bigram_lm", "K4", """
+WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
+bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+       FROM tok, UNNEST(RANGE(1, LEN(t))) AS r(i)
+       WHERE LEN(t) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c) AS n FROM c2 GROUP BY w1)
+SELECT c2.w1, c2.w2, c2.c AS pair_count,
+       ROUND(CAST(c2.c AS DOUBLE) / c1.n, 6) AS cond_prob
+FROM c2 JOIN c1 ON c2.w1 = c1.w1
+WHERE c2.c >= 20
+""", "Bigram language model table: P(w2|w1) = count(w1 w2)/count(w1 ·) "
+     "for pairs seen >= 20 times - the classical n-gram LM estimation "
+     "every corpus-statistics pipeline starts from. Two hash "
+     "aggregations + one join on the (distinct-bigram-sized, not "
+     "corpus-sized) count table; the count(w1) side re-aggregates from "
+     "the bigram counts instead of re-scanning the corpus.")
+def k_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.filter(F.size(F.split("text", " ")) >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
+                "i -> struct(element_at(split(lower(text), ' '), i) AS w1, "
+                "            element_at(split(lower(text), ' '), i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("n"))
+    return (
+        c2.join(c1, "w1")
+        .filter(F.col("c") >= 20)
+        .select(
+            "w1", "w2",
+            F.col("c").alias("pair_count"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias("cond_prob"),
+        )
+    )

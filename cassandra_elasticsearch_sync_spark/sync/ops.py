@@ -152,14 +152,16 @@ def lww_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     key/version/side, in name order) are the final deterministic
     tiebreak.
 
-    Physical shape: union + ONE hash aggregation on key, where the
-    winner is max(struct(version, side, payload...)) - structs compare
+    Physical shape: union + ONE aggregation on key, where the winner
+    is max(struct(version, side, payload...)) - structs compare
     lexicographically by field order, so the max IS the top-1 of the
-    resolution order. Unlike a window top-1 (shuffle every row, then
-    sort each key group), the partial max combines map-side: the
-    shuffle carries one candidate per (task, key) and a hot key
-    collapses before it moves - strictly better at 100 TB, and
-    measurably faster at bench scale (no sort).
+    resolution order. Struct max compiles to a SortAggregate (struct
+    buffers aren't hash-aggregable), but the property that scales is
+    the PARTIAL max before the exchange: unlike a window top-1
+    (shuffle every raw row, then sort each key group), the shuffle
+    carries one candidate per (task, key) and a hot key collapses
+    map-side - strictly less shuffle at 100 TB, and measurably faster
+    at bench scale (l3 0.63 -> 0.31 s).
     """
     if "side" not in a.columns:
         a = a.withColumn("side", F.lit("a"))

@@ -118,3 +118,32 @@ def test_salted_join_equals_plain_join(spark):
     got = sorted(tuple(r) for r in salted.select("o_orderkey", "c_name").collect())
     want = sorted(tuple(r) for r in plain.select("o_orderkey", "c_name").collect())
     assert got == want
+
+
+def test_q8_star_join_is_all_broadcast(spark):
+    """Q8's seven dimension sides must broadcast; the only shuffle in
+    the plan feeds the final aggregation - at 100 TB lineitem is the
+    single shuffled relation."""
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") == 7, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_e6_window_is_partitioned(spark):
+    """Distribution functions must run over the high-cardinality
+    l_orderkey partitioning, never a global window."""
+    plan = _plan(spark, "e6_distribution_functions")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "l_orderkey" in line, line
+
+
+def test_lww_merge_is_partial_aggregate_not_window(spark):
+    """The LWW merge must stay a partial-aggregating max(struct) (the
+    shuffle carries one candidate per task x key, hot keys collapse
+    map-side); a window top-1 here would shuffle every raw row. Struct
+    max compiles to SortAggregate (not hash-aggregable), which is fine:
+    the partial_max before the exchange is the property that scales."""
+    plan = _plan(spark, "l3_lww_merge")
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_max(struct" in plan, plan[:2000]
