@@ -403,3 +403,268 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@register("q17_small_quantity_revenue", "C1+D1+SQ", """
+WITH pa AS (
+  SELECT l_partkey AS pa_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
+           AS qty_thresh
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa   ON pa_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND l_quantity < qty_thresh
+""", "Q17-style: revenue lost to small-quantity orders - correlated "
+     "AVG subquery decorrelated into a per-part aggregate that joins "
+     "back to the fact table. The per-part threshold table is "
+     "part-cardinality (tiny vs lineitem), so it broadcasts; lineitem "
+     "is scanned twice but never shuffled on a row basis. l_quantity "
+     "is integral, so SUM(BIGINT)/COUNT is bit-exact in both engines "
+     "and the 0.2x threshold compare is deterministic.")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count("*")
+            )
+        ).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(pa), li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (lsum("l_extendedprice", 2) / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@register("q19_bracket_revenue", "B3+C1+D2", f"""
+SELECT {_REV} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""", "Q19-style: disjunctive bracket predicates across both join "
+     "sides. Catalyst extracts the common constraints it can (join "
+     "key null-filters) and evaluates the OR post-join; the part side "
+     "still broadcasts, so the disjunction never forces a shuffle "
+     "join. One scan each side, one scalar aggregate.")
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(bracket).agg(_revenue().alias("revenue"))
+
+
+@register("q15_top_supplier", "C1+D1+SQ", f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""", "Q15-style: top supplier by quarterly revenue - the MAX scalar "
+     "subquery becomes an agg-of-agg broadcast, never a global sort. "
+     "Revenue goes through the scaled-long exact sum, so the equality "
+     "against MAX is bit-exact in both engines. rev is "
+     "supplier-cardinality; both the max and the supplier dim "
+     "broadcast.")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+        & F.expr("l_shipdate < TIMESTAMP_NTZ '1997-04-01 00:00:00'")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _revenue().alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register("q9_product_profit", "C1+D1", """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)
+                - 5 * CAST(ROUND(p_retailprice * l_quantity * 100) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(YEAR(o_orderdate) AS INT)
+""", "Q9-style: product-line profit by supplier nation and year. The "
+     "reference schema has no partsupp/supplycost, so cost is modeled "
+     "as 5% of retailprice x quantity; both terms are scaled to exact "
+     "longs BEFORE the subtraction (retailprice has 2 decimals, "
+     "quantity is integral), so the whole profit sum is integer "
+     "arithmetic - no float summation order anywhere. Part/supplier/"
+     "nation broadcast; orders and lineitem are the shuffled facts.")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    scaled_profit = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("bigint")
+        - 5 * F.round(F.col("p_retailprice") * F.col("l_quantity") * 100, 0)
+        .cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(scaled_profit).cast("double") / 10000.0).alias("sum_profit"))
+    )
+
+
+@register("q21_sole_late_shipper", "C1+C4+C5+D1", """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS nsupp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+  FROM lo GROUP BY l_orderkey
+),
+sole AS (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo JOIN per_order USING (l_orderkey)
+  WHERE lo.late AND per_order.nsupp >= 2 AND per_order.nlate = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""", "Q21-style: suppliers who were the SOLE late shipper in a "
+     "multi-supplier finalized order (late = shipped >60 days after "
+     "the order date; the reference schema has no commit/receipt "
+     "dates). The classic EXISTS / NOT EXISTS pair decorrelates into "
+     "one per-order aggregate (distinct suppliers, distinct late "
+     "suppliers) joined back - two scans of the joined fact, both "
+     "combining map-side, no correlated re-execution.")
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    sole = (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@register("q22_idle_customers", "C5+D1+SQ", """
+WITH avg_bal AS (
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DECIMAL(38,4))
+              AS DOUBLE) / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT ab FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""", "Q22-style: wealthy customers with no RECENT order (none since "
+     "1998-01-01), by nation - the schema has no phone country "
+     "codes, so nationkey is the grouping, and the corpus's order "
+     "history covers every customer, so 'never ordered' is vacuous "
+     "and the idle-account cutoff carries the anti-join semantics. "
+     "The AVG scalar subquery is an agg-of-agg broadcast (exact "
+     "decimal sum -> bit-identical threshold in both engines); the "
+     "NOT EXISTS is a left-anti join against the date-filtered "
+     "orders key set (filter pushed to the scan). One shuffle each "
+     "for the anti join and the final tiny aggregate.")
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal", 4) / F.count("c_acctbal")).alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -290,3 +290,30 @@ def k_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "total_chars", "mean_chars", "min_chars", "max_chars",
         )
     )
+
+
+@register("k_data_mixture", "K1", """
+SELECT doc_id, lang, source
+FROM documents
+WHERE (doc_id * 1000003 + 17) % 100 <
+      CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 40 WHEN 'de' THEN 30
+                WHEN 'es' THEN 20 ELSE 10 END
+""", "Mixture resampling: down-sample each language stratum to a "
+     "target rate (en 50% ... zh 10%) - how a pretraining mix is "
+     "reweighted. Membership is a pure function of the id (affine "
+     "hash mod 100), so the sample is reproducible across engines, "
+     "runs, and executors, and the filter pushes all the way into "
+     "the scan: no shuffle, no rand(), no per-partition state. "
+     "Arithmetic stays < 2^53, safe under ANSI mode at any sf.")
+def k_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "fr", 40)
+        .when(F.col("lang") == "de", 30)
+        .when(F.col("lang") == "es", 20)
+        .otherwise(10)
+    )
+    return d.filter((F.col("doc_id") * 1000003 + 17) % 100 < rate).select(
+        "doc_id", "lang", "source"
+    )

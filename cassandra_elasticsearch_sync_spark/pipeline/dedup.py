@@ -441,3 +441,107 @@ def k2d_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval hygiene: benchmark decontamination + duplicated-ngram fraction
+# ---------------------------------------------------------------------------
+
+_GRAMS8_SQL = """
+tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id,
+             UNNEST(LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+7], ' ')
+                                   FOR i IN RANGE(1, LEN(t) - 6)])) AS gram
+      FROM tok WHERE LEN(t) >= 8)
+"""
+
+
+@register("k_decontaminate", "K2", "WITH " + _GRAMS8_SQL + """
+, ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 10 = 0),
+  tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.gram) AS n_contaminated_grams,
+       COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.gram = ev.gram
+GROUP BY tr.doc_id
+""", "Benchmark decontamination (GPT-3 appendix-C style): flag every "
+     "training document sharing an exact 8-token n-gram with the held-"
+     "out eval split (doc_id % 10 = 0 stands in for the benchmark "
+     "suite). Shape: distinct 8-grams per doc -> equi-join on gram -> "
+     "per-doc hit counts. At 100 TB the eval side is a fixed-size "
+     "benchmark suite, so its distinct-gram set broadcasts and the "
+     "train side never shuffles; here both sides are corpus-derived "
+     "so Spark picks the join side itself.")
+def k_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 8
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 7), "
+                "i -> array_join(slice(split(text, ' '), i, 8), ' ')))"
+            )
+        ).alias("gram"),
+    )
+    ev = grams.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    tr = grams.filter(F.col("doc_id") % 10 != 0)
+    return (
+        tr.join(ev, "gram")
+        .groupBy(tr.doc_id)
+        .agg(
+            F.countDistinct("gram").alias("n_contaminated_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+@register("k_dup_ngram_fraction", "K2", """
+WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id,
+             UNNEST(LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+4], ' ')
+                                   FOR i IN RANGE(1, LEN(t) - 3)])) AS gram
+      FROM tok WHERE LEN(t) >= 5),
+df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(*) FILTER (df > 1) AS n_dup_grams,
+       ROUND(CAST(COUNT(*) FILTER (df > 1) AS DOUBLE) / COUNT(*), 6)
+         AS dup_frac
+FROM g JOIN df USING (gram)
+GROUP BY doc_id
+""", "Cross-document duplicated-5-gram fraction (the RefinedWeb/"
+     "MassiveText quality signal): per document, the share of its "
+     "distinct 5-grams that also occur in at least one other "
+     "document. Shape: explode distinct grams -> gram doc-frequency "
+     "aggregate -> join back -> per-doc conditional count. Both "
+     "aggregations combine map-side; the join key is the gram table "
+     "(distinct-gram-sized, not corpus-sized). The ratio is one "
+     "integer/integer divide - deterministic.")
+def k_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 5
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), "
+                "i -> array_join(slice(split(text, ' '), i, 5), ' ')))"
+            )
+        ).alias("gram"),
+    )
+    df = g.groupBy("gram").agg(F.count("*").alias("df"))
+    dup = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        g.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.alias("n_dup_grams"),
+            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
