@@ -247,3 +247,39 @@ def e6_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(2).over(w).cast("int").alias("half"),
     )
+
+
+@register("e7_month_over_month", "E2+D1", """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, revenue,
+       ROUND((revenue - LAG(revenue) OVER w)
+             / LAG(revenue) OVER w, 6) AS mom_change
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+""", "Month-over-month revenue change per priority class: the lag "
+     "window runs over the AGGREGATED table (priorities x months = "
+     "a few hundred rows at any corpus size), never the raw facts - "
+     "the aggregate-then-window ordering is what keeps a trend query "
+     "scale-safe. Revenue is the scaled-long exact sum, so the "
+     "(cur-prev)/prev divide sees bit-identical inputs in both "
+     "engines.")
+def e7_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.parity import lsum
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+    ).agg(lsum("o_totalprice", 2).alias("revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_orderpriority", "month", "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"),
+    )

@@ -317,3 +317,46 @@ def k_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter((F.col("doc_id") * 1000003 + 17) % 100 < rate).select(
         "doc_id", "lang", "source"
     )
+
+
+@register("k_user_zscore", "K4+D5", """
+WITH stats AS (
+  SELECT user_id,
+         COUNT(value) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,2))
+              AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,10)))
+                   AS DECIMAL(38,4)) AS DOUBLE) AS sxx
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id, value,
+       ROUND((value - sx / n)
+             / SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+FROM events e JOIN stats USING (user_id)
+WHERE n >= 5
+  AND ABS((value - sx / n)
+          / SQRT((sxx - sx * sx / n) / (n - 1))) > 2.5
+""", "Per-user outlier detection: z-score of each event value against "
+     "that user's own mean/stddev, flagging |z| > 2.5 - the per-entity "
+     "anomaly pass a metrics pipeline runs before training on event "
+     "streams. Shape: one grouped stats aggregate (exact decimal sums "
+     "-> deterministic mean/stddev in both engines, same textbook "
+     "formula as D5), joined back to the facts; both sides shuffle on "
+     "user_id once, stats combine map-side.")
+def k_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    stats = e.groupBy("user_id").agg(
+        F.count("value").alias("n"),
+        dsum(x, 2).alias("sx"),
+        dsum(x * x, 4).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (x - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return (
+        e.join(stats, "user_id")
+        .filter((n >= 5) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
+    )

@@ -406,3 +406,39 @@ def k3b_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.25)
     )
+
+
+@register("k_centroids_exact", "K3", """
+WITH ex AS (
+  SELECT label, UNNEST(embedding) AS x,
+         UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim
+  FROM embeddings
+)
+SELECT label, dim,
+       ROUND(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1099511627776.0)
+                           AS HUGEINT)) AS DOUBLE)
+             / 1099511627776.0 / COUNT(*), 6) AS centroid_val
+FROM ex GROUP BY label, dim
+""", "Exact per-label centroid (the k-means M-step / mean-pooled class "
+     "embedding), long format (label, dim, value). Cross-row float "
+     "sums are order-dependent, and float32 values are dyadic so "
+     "decimal rounding can land on half-up/half-even ties - instead "
+     "each element is scaled by 2^40 and floored, which is EXACT for "
+     "float32 magnitudes < 2^13 (the product is an integer-valued "
+     "double), and the integer sum is order-independent in any "
+     "engine. Shape: posexplode -> one hash aggregate keyed on "
+     "(label, dim) - combines map-side, 64 x n_labels output rows.")
+def k_centroids_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "x")
+    scaled = F.floor(F.col("x").cast("double") * F.lit(1099511627776.0))
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(scaled.cast("decimal(38,0)")).cast("double")
+            / 1099511627776.0
+            / F.count("*"),
+            6,
+        ).alias("centroid_val")
+    )

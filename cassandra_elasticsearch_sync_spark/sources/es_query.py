@@ -122,3 +122,138 @@ def a3b_es_dsl_search(spark, sf_dir):
     return es_search(o, _DSL_DEMO).select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
+
+
+# ---------------------------------------------------------------------------
+# ES aggregations DSL -> DataFrame aggregation plans
+# ---------------------------------------------------------------------------
+
+def _metric_column(name: str, spec: dict):
+    """One ES metric sub-agg -> an exact-parity Spark aggregate column.
+
+    sum/avg run through the decimal-exact helpers (parity.py) so the
+    result hash-matches any engine; min/max/value_count are already
+    order-independent.
+    """
+    from cassandra_elasticsearch_sync_spark.parity import davg, dsum
+
+    (kind, body), = spec.items()
+    field = body["field"]
+    if kind == "sum":
+        return dsum(field, 2).alias(name)
+    if kind == "avg":
+        return F.round(davg(field, 4), 6).alias(name)
+    if kind == "min":
+        return F.min(field).alias(name)
+    if kind == "max":
+        return F.max(field).alias(name)
+    if kind == "value_count":
+        return F.count(field).alias(name)
+    raise ValueError(f"unsupported metric agg {kind!r}")
+
+
+def es_aggregate(df: DataFrame, aggs: dict) -> DataFrame:
+    """Run an ES aggregations-DSL dict against a DataFrame.
+
+    Supported bucket aggs (one top-level bucket, ES's common shape):
+      {"<name>": {"terms": {"field": f, "size": n}, "aggs": {...}}}
+      {"<name>": {"date_histogram": {"field": f,
+                                     "calendar_interval": "month"},
+                  "aggs": {...}}}
+
+    terms buckets order by doc_count desc with the bucket key as the
+    deterministic tiebreak (ES semantics + reproducibility), sized via
+    a distributed TakeOrderedAndProject - never a global single-
+    partition window. date_histogram truncates to the calendar unit
+    JVM-side so the bucket key is a plain string.
+    """
+    (name, spec), = aggs.items()
+    sub = [
+        _metric_column(n, s) for n, s in spec.get("aggs", {}).items()
+    ]
+    if "terms" in spec:
+        field = spec["terms"]["field"]
+        size = spec["terms"].get("size", 10)
+        out = (
+            df.groupBy(F.col(field).alias("key"))
+            .agg(F.count("*").alias("doc_count"), *sub)
+            .orderBy(F.col("doc_count").desc(), F.col("key"))
+            .limit(size)
+        )
+        return out
+    if "date_histogram" in spec:
+        body = spec["date_histogram"]
+        unit = {"month": "yyyy-MM", "day": "yyyy-MM-dd", "year": "yyyy"}[
+            body["calendar_interval"]
+        ]
+        key = F.date_format(F.col(body["field"]), unit).alias("key")
+        return df.groupBy(key).agg(F.count("*").alias("doc_count"), *sub)
+    raise ValueError(f"unsupported bucket agg in {spec!r}")
+
+
+_AGGS_TERMS_DEMO = {
+    "by_priority": {
+        "terms": {"field": "o_orderpriority", "size": 3},
+        "aggs": {
+            "total_price": {"sum": {"field": "o_totalprice"}},
+            "avg_price": {"avg": {"field": "o_totalprice"}},
+            "max_price": {"max": {"field": "o_totalprice"}},
+        },
+    }
+}
+
+
+@register("a3c_es_terms_agg", "A3", """
+SELECT key, doc_count, total_price, avg_price, max_price FROM (
+  SELECT o_orderpriority AS key,
+         COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+              AS DOUBLE) AS total_price,
+         ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                         AS DECIMAL(38,4)) AS DOUBLE)
+               / COUNT(o_totalprice), 6) AS avg_price,
+         MAX(o_totalprice) AS max_price
+  FROM orders
+  WHERE o_orderstatus IN ('F', 'P')
+  GROUP BY o_orderpriority
+) ORDER BY doc_count DESC, key LIMIT 3
+""", "ES aggregations-DSL execution: a filtered terms bucket agg with "
+     "sum/avg/max metric sub-aggs compiled to one grouped aggregation "
+     "+ distributed top-size - the search-engine facet workload the "
+     "reference's ES side serves, expressed as a single Catalyst agg "
+     "(metrics decimal-exact for cross-engine hashes).")
+def a3c_es_terms_agg(spark, sf_dir):
+    o = es_search(load_table(spark, sf_dir, "orders"),
+                  {"terms": {"o_orderstatus": ["F", "P"]}})
+    return es_aggregate(o, _AGGS_TERMS_DEMO)
+
+
+_AGGS_HIST_DEMO = {
+    "per_month": {
+        "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+        "aggs": {
+            "revenue": {"sum": {"field": "o_totalprice"}},
+            "n_orders": {"value_count": {"field": "o_orderkey"}},
+        },
+    }
+}
+
+
+@register("a3d_es_date_histogram", "A3", """
+SELECT STRFTIME(o_orderdate, '%Y-%m') AS key,
+       COUNT(*) AS doc_count,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue,
+       COUNT(o_orderkey) AS n_orders
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY STRFTIME(o_orderdate, '%Y-%m')
+""", "ES date_histogram aggregation: calendar-month buckets with "
+     "revenue + count sub-aggs over a term-filtered stream - one "
+     "grouped aggregation keyed on the formatted month string "
+     "(formatting JVM-side keeps the key a plain string; the month "
+     "key space is tiny so the final shuffle is a few hundred rows).")
+def a3d_es_date_histogram(spark, sf_dir):
+    o = es_search(load_table(spark, sf_dir, "orders"),
+                  {"term": {"o_orderstatus": "O"}})
+    return es_aggregate(o, _AGGS_HIST_DEMO)
