@@ -668,3 +668,246 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q11/Q16/Q20 - the four queries whose original form needs PARTSUPP.
+# The corpus has no partsupp table, so the supply relationship is
+# derived from lineitem history (same adaptation q9 uses for supply
+# cost): a (part, supplier) pair exists iff that supplier ever shipped
+# that part, and its "supply cost" / "stock" stand-ins are exact
+# cent-scaled aggregates over those shipments. With these four, all 22
+# TPC-H query shapes are covered.
+# ---------------------------------------------------------------------------
+
+_SUPPLY = """
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+@register("q2_min_cost_supplier", "C1+D1+SQ", f"""
+WITH supply AS ({_SUPPLY}),
+eu AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (
+  SELECT partkey, MIN(cost_c) AS best_c
+  FROM supply JOIN eu ON suppkey = s_suppkey
+  GROUP BY partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost
+FROM part
+JOIN supply ON p_partkey = partkey
+JOIN eu     ON suppkey = s_suppkey
+JOIN best   USING (partkey)
+WHERE p_size = 15 AND p_type = 'STANDARD' AND cost_c = best_c
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""", "Q2-style minimum-cost supplier: for each qualifying part, the "
+     "EUROPE supplier(s) achieving the minimum supply cost. The "
+     "correlated MIN subquery decorrelates into a per-part agg that "
+     "joins back (the classic Catalyst rewrite, done explicitly). "
+     "supply is (part,supplier)-cardinality - orders of magnitude "
+     "under lineitem - and every dimension side broadcasts; lineitem "
+     "shuffles once on its grouping key. Cost is an exact cent-scaled "
+     "MIN, so the equality against the per-part best is bit-exact. "
+     "Ties on best cost keep every achieving supplier in both "
+     "engines; the ORDER BY suffix (s_name, p_partkey) is a total "
+     "order, so LIMIT 100 is deterministic.")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cost_c")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu_supply = supply.join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey"))
+    best = eu_supply.groupBy("partkey").agg(F.min("cost_c").alias("best_c"))
+    return (
+        eu_supply.join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .join(best, "partkey")
+        .filter(F.col("cost_c") == F.col("best_c"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            (F.col("cost_c").cast("double") / 100.0).alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register("q11_important_stock", "C1+D8+SQ", """
+WITH v AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS val_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_9', 'NATION_13')
+  GROUP BY 1
+)
+SELECT partkey, CAST(val_c AS DOUBLE) / 100.0 AS value
+FROM v
+WHERE CAST(val_c AS DOUBLE) > (SELECT CAST(SUM(val_c) AS DOUBLE) * 0.001 FROM v)
+ORDER BY value DESC, partkey
+""", "Q11-style important stock: parts whose shipped value through "
+     "a 3-nation supplier group exceeds 0.1% of the group total. The "
+     "HAVING-over-scalar-subquery becomes agg -> agg-of-agg -> "
+     "broadcast threshold join - two passes over a part-cardinality "
+     "intermediate, never a re-scan of lineitem. Values are exact "
+     "cent-scaled longs; the 0.1% threshold is the same "
+     "double-product in both engines, so the > compare is "
+     "deterministic even at the boundary.")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_9", "NATION_13")
+    )
+    v = (
+        li.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+                    "s_suppkey"
+                )
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("val_c")
+        )
+    )
+    thresh = v.agg((F.sum("val_c").cast("double") * 0.001).alias("thr"))
+    return (
+        v.join(F.broadcast(thresh), F.col("val_c").cast("double") > F.col("thr"))
+        .select(
+            "partkey", (F.col("val_c").cast("double") / 100.0).alias("value")
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@register("q16_supplier_relationship", "C5+D3", """
+SELECT p_brand, p_size, COUNT(DISTINCT suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem) ps
+JOIN part ON p_partkey = partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 15, 23)
+  AND suppkey NOT IN (SELECT s_suppkey FROM supplier
+                      WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+""", "Q16-style supplier relationship: how many distinct suppliers "
+     "can ship each (brand, size) bucket, excluding one brand, the "
+     "PROMO type class, and 'complaint' suppliers (names ending in "
+     "7 stand in for the comment scan). The NOT IN becomes a "
+     "left-anti join against a broadcast key set (s_suppkey is "
+     "non-null, so anti == NOT IN); the distinct (part,supplier) "
+     "projection collapses lineitem before any join, and the "
+     "count-distinct shuffles the already-small pair set once.")
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").endswith("7")
+    ).select("s_suppkey")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register("q20_potential_promotion", "C4+D1+SQ", """
+WITH pq AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_all_c,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+                  THEN CAST(ROUND(l_quantity * 100) AS BIGINT)
+                  ELSE 0 END) AS qty_98_c
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_13')
+  AND s_suppkey IN (
+    SELECT suppkey FROM pq JOIN part ON p_partkey = partkey
+    WHERE p_name LIKE 'small%'
+      AND qty_98_c > 0 AND qty_all_c > 2 * qty_98_c)
+ORDER BY s_name
+""", "Q20-style potential promotion: suppliers in two nations holding "
+     "surplus stock of 'small…' parts - the availqty > half-of-"
+     "shipped predicate maps to lifetime shipped quantity exceeding "
+     "twice the 1998 volume (stock stand-in from shipment history). "
+     "The nested IN subqueries become one left-semi join against the "
+     "qualifying (part,supplier) pair set, which is aggregated once "
+     "from lineitem with a conditional partial agg (no second scan "
+     "for the date window). Quantities are exact cent-scaled longs, "
+     "so the 2x compare never sees float drift; ORDER BY the unique "
+     "s_name is a total order.")
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_13")
+    )
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    in_98 = F.expr(
+        "l_shipdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+    ) & F.expr("l_shipdate < TIMESTAMP_NTZ '1999-01-01 00:00:00'")
+    pq = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.sum(qc).alias("qty_all_c"),
+        F.sum(F.when(in_98, qc).otherwise(F.lit(0))).alias("qty_98_c"),
+    )
+    qual = (
+        pq.join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .filter(
+            (F.col("qty_98_c") > 0)
+            & (F.col("qty_all_c") > 2 * F.col("qty_98_c"))
+        )
+        .select("suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qual, s.s_suppkey == qual.suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
