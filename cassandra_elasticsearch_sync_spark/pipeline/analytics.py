@@ -360,3 +360,54 @@ def k_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((n >= 5) & (F.abs(z) > 2.5))
         .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+@register("k_train_val_test", "K1", """
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN (doc_id * 1000003 + 17) % 100 < 80 THEN 'train'
+              WHEN (doc_id * 1000003 + 17) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+),
+totals AS (SELECT source, COUNT(*) AS n_src FROM assigned GROUP BY source)
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_src, 6) AS share
+FROM assigned JOIN totals USING (source)
+GROUP BY source, split, n_src
+ORDER BY source, split
+""", "Deterministic 80/10/10 train/val/test split: each doc's split is "
+     "a pure function of doc_id (affine hash mod 100 - the same "
+     "engine-neutral trick as k_data_mixture), so the assignment is "
+     "reproducible across engines, runs, and cluster sizes - no "
+     "sampling state, no shuffle to assign. The report joins "
+     "per-source totals back (broadcast - source count is tiny) to "
+     "show per-source split shares, the balance check run before "
+     "training.")
+def k_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 1000003 + 17) % 100
+    assigned = d.select(
+        "source",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
+    )
+    totals = assigned.groupBy("source").agg(F.count("*").alias("n_src"))
+    return (
+        assigned.join(F.broadcast(totals), "source")
+        .groupBy("source", "split", "n_src")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "source", "split", "n_docs", "total_chars",
+            F.round(F.col("n_docs").cast("double") / F.col("n_src"), 6).alias("share"),
+        )
+        .orderBy("source", "split")
+    )

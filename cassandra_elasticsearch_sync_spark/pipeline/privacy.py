@@ -1,0 +1,182 @@
+"""PII detection / redaction + URL analysis (SURVEY.md 2.K row K4).
+
+The privacy pass every training-data pipeline runs before release:
+find emails / phone numbers / IP addresses, count them, and redact
+them with typed placeholders. The corpus text is synthetic word-salad
+with no real PII, so each query first *injects* PII deterministically
+from doc_id (the same pure-SQL expression on both engines - no
+randomness, no UDF) and then detects/redacts it; the detection logic
+never knows which docs were seeded, so the regex path is exercised
+for real, including the no-match docs.
+
+Regex parity note: Spark compiles Java regex, DuckDB compiles RE2.
+The patterns below stay inside the common subset - character classes,
++/{n,} quantifiers, one capture group, no lookaround, no backrefs -
+so both engines match identical spans. Spark's regexp_replace is
+global by default; DuckDB needs the explicit 'g' flag.
+
+Scale shape: every operator here is a single narrow projection -
+per-row regex work, no shuffle at all until the final (tiny) agg.
+At 100 TB this is the embarrassingly-parallel map stage; the regexes
+are compiled once per task by the JVM, not per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.registry import register
+
+EMAIL_PAT = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}"
+PHONE_PAT = r"555-[0-9]{4}"
+IP_PAT = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+URL_PAT = r"https?://[A-Za-z0-9.-]+/[A-Za-z0-9./-]*"
+DOMAIN_PAT = r"https?://([A-Za-z0-9.-]+)/"
+
+# Deterministic PII seeding: ~1/3 of docs get an email, ~1/5 a phone,
+# ~1/7 an IP (overlapping - a doc can carry all three). Same literal
+# SQL on the oracle side.
+_SEED_SQL = """
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                 ELSE '' END AS raw
+  FROM documents
+"""
+
+
+def _seed_pii(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"),
+                 F.lit("@mail.example.com")),
+    ).otherwise("")
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" call 555-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise("")
+    ip = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                 F.lit("."), ((did * 7) % 256).cast("string"),
+                 F.lit("."), ((did * 13) % 256).cast("string")),
+    ).otherwise("")
+    return d.select(
+        "doc_id", "source",
+        F.concat(F.col("text"), email, phone, ip).alias("raw"),
+    )
+
+
+@register("k_pii_scrub", "K4", rf"""
+WITH seeded AS ({_SEED_SQL})
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(raw, '{EMAIL_PAT}')) AS n_emails,
+       LEN(REGEXP_EXTRACT_ALL(raw, '{PHONE_PAT}')) AS n_phones,
+       LEN(REGEXP_EXTRACT_ALL(raw, '{IP_PAT}')) AS n_ips,
+       REGEXP_REPLACE(
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(raw, '{EMAIL_PAT}', '<EMAIL>', 'g'),
+           '{PHONE_PAT}', '<PHONE>', 'g'),
+         '{IP_PAT}', '<IP>', 'g') AS clean
+FROM seeded
+WHERE doc_id % 3 = 0 OR doc_id % 5 = 0 OR doc_id % 7 = 0
+""", "PII scrub: count + redact emails, phone numbers, and IPv4 "
+     "addresses with typed placeholders (<EMAIL>/<PHONE>/<IP>), the "
+     "privacy pass before a corpus release. PII is seeded "
+     "deterministically from doc_id (synthetic corpus has none), then "
+     "detected by regexes the seeding never told about; redaction "
+     "order email->phone->ip is fixed so the engines transform "
+     "identically. Pure narrow map over the scan - zero shuffles; "
+     "the full redacted string is hash-compared, so every byte of "
+     "the replacement logic is verified.")
+def k_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _seed_pii(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    raw = F.col("raw")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, EMAIL_PAT, "<EMAIL>"),
+            PHONE_PAT, "<PHONE>"),
+        IP_PAT, "<IP>")
+    return d.filter((did % 3 == 0) | (did % 5 == 0) | (did % 7 == 0)).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_PAT), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(PHONE_PAT), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(raw, F.lit(IP_PAT), 0)).alias("n_ips"),
+        clean.alias("clean"),
+    )
+
+
+_URL_SEED_SQL = """
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' see '
+                      || CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END
+                      || '://site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS raw
+  FROM documents
+"""
+
+
+@register("k_url_domains", "K4", rf"""
+WITH seeded AS ({_URL_SEED_SQL})
+SELECT REGEXP_EXTRACT(raw, '{DOMAIN_PAT}', 1) AS domain,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(CASE WHEN raw LIKE '%https://%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_https
+FROM seeded
+WHERE REGEXP_MATCHES(raw, '{URL_PAT}')
+GROUP BY 1
+ORDER BY n_urls DESC, domain
+""", "URL/domain statistics: extract the domain of each doc's URL and "
+     "aggregate per-domain counts + https share - the link-graph "
+     "profile a web-corpus pipeline computes for source weighting and "
+     "blocklists. URLs are seeded deterministically (half the docs, "
+     "7 domains, mixed schemes); extraction is a single capture-group "
+     "regex in the common Java/RE2 subset. One narrow map + one tiny "
+     "7-row aggregate; the domain key space is bounded, so the "
+     "shuffle is negligible at any corpus size.")
+def k_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" see "),
+            F.when(did % 4 == 0, F.lit("http")).otherwise(F.lit("https")),
+            F.lit("://site"), (did % 7).cast("string"),
+            F.lit(".example.org/p/"), did.cast("string"),
+        ),
+    ).otherwise("")
+    seeded = d.select(
+        "doc_id", F.concat(F.col("text"), url).alias("raw")
+    )
+    return (
+        seeded.filter(F.col("raw").rlike(URL_PAT))
+        .groupBy(F.regexp_extract(F.col("raw"), DOMAIN_PAT, 1).alias("domain"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(
+                F.when(F.col("raw").contains("https://"), 1).otherwise(0)
+            ).cast("bigint").alias("n_https"),
+        )
+        .orderBy(F.col("n_urls").desc(), "domain")
+    )

@@ -137,6 +137,7 @@ def _ensure_loaded() -> None:
         timeseries,
         search,
         analytics,
+        privacy,
         sketches,
     )
     from cassandra_elasticsearch_sync_spark.streaming import incremental, stateful  # noqa: F401
