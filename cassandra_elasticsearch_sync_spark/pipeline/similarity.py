@@ -442,3 +442,49 @@ def k_centroids_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_val")
     )
+
+
+@register("k_normalize_embeddings", "K3", """
+WITH nrm AS (
+  SELECT vec_id, embedding,
+         SQRT(CAST(LIST_SUM(LIST_TRANSFORM(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                * 1099511627776.0) AS BIGINT)))
+              AS DOUBLE) / 1099511627776.0) AS l2
+  FROM embeddings
+)
+SELECT vec_id, dim,
+       ROUND(CAST(x AS DOUBLE) / l2, 6) AS val
+FROM (SELECT vec_id, l2,
+             UNNEST(embedding) AS x,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim
+      FROM nrm)
+""", "L2-normalize every embedding (the precursor to cosine ops: "
+     "normalized dot == cosine), emitted in long (vec_id, dim, val) "
+     "form. The squared-norm sum is made order-independent by the "
+     "same 2^40 scale-and-floor trick as k_centroids_exact - each "
+     "x^2 term floors to an exact integer, the BIGINT sum is "
+     "permutation-safe, and SQRT/division are correctly-rounded IEEE "
+     "ops, so both engines derive the bit-identical scale factor. "
+     "Pure narrow map over the scan - no shuffle at any corpus size.")
+def k_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") * x.cast("double") * F.lit(1099511627776.0)
+        ).cast("bigint"),
+    )
+    l2 = F.sqrt(
+        F.aggregate(sq, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+        .cast("double") / F.lit(1099511627776.0)
+    )
+    return (
+        e.select("vec_id", l2.alias("l2"),
+                 F.posexplode("embedding").alias("dim0", "x"))
+        .select(
+            "vec_id",
+            (F.col("dim0") + 1).alias("dim"),
+            F.round(F.col("x").cast("double") / F.col("l2"), 6).alias("val"),
+        )
+    )

@@ -546,3 +546,67 @@ def k_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c").cast("double") / F.col("n"), 6).alias("cond_prob"),
         )
     )
+
+
+@register("k_pmi_cooccurrence", "K4", """
+WITH tok AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+        FROM documents)
+),
+nw AS (SELECT w, COUNT(*) AS n_w FROM tok GROUP BY w),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n12
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT w1, w2, n12,
+       ROUND(LN(CAST(n12 AS DOUBLE) * n_docs
+                / (CAST(a.n_w AS DOUBLE) * b.n_w)), 6) AS pmi
+FROM pairs
+JOIN nw a ON w1 = a.w
+JOIN nw b ON w2 = b.w
+CROSS JOIN n
+WHERE n12 >= 20
+""", "Pointwise mutual information of word pairs co-occurring in the "
+     "same document - the collocation statistic behind phrase mining "
+     "and word-association features. Shape: distinct (doc,word) pairs "
+     "self-join on doc_id (per-doc pair fan-out is bounded by the "
+     "vocabulary, so the join output is linear in the corpus), then "
+     "one pair-keyed aggregate; the unigram counts and the global doc "
+     "count broadcast back onto the pair table. PMI's argument is a "
+     "ratio of exact integers, so LN sees the identical double in "
+     "both engines.")
+def k_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).distinct()
+    nw = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.w") < F.col("b.w")))
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").alias("n12"))
+        .filter(F.col("n12") >= 20)
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        pairs.join(F.broadcast(nw.withColumnRenamed("w", "w1")
+                               .withColumnRenamed("n_w", "nw1")), "w1")
+        .join(F.broadcast(nw.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("n_w", "nw2")), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1", "w2", "n12",
+            F.round(
+                F.log(
+                    F.col("n12").cast("double") * F.col("n_docs")
+                    / (F.col("nw1").cast("double") * F.col("nw2"))
+                ), 6,
+            ).alias("pmi"),
+        )
+    )
