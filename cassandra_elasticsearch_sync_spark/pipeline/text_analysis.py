@@ -610,3 +610,98 @@ def k_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register("k4d_tfidf_doc_similarity", "K2+K4", """
+WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+             FROM documents),
+tf AS (SELECT doc_id, w AS token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df
+       FROM (SELECT DISTINCT doc_id, w AS token FROM tok) GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (SELECT tf.doc_id, tf.token,
+             CAST(FLOOR(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df)
+                        * 1048576.0) AS BIGINT) AS wq
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+nrm AS (SELECT doc_id, SUM(wq * wq) AS s FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS q_doc, b.doc_id AS doc, SUM(a.wq * b.wq) AS dot
+         FROM w a JOIN w b ON a.token = b.token AND a.doc_id <> b.doc_id
+         WHERE a.doc_id % 25 = 0
+         GROUP BY 1, 2),
+cos AS (SELECT q_doc, doc,
+               ROUND(CAST(dot AS DOUBLE)
+                     / (SQRT(CAST(na.s AS DOUBLE)) * SQRT(CAST(nb.s AS DOUBLE))),
+                     6) AS cos_sim
+        FROM dots
+        JOIN nrm na ON q_doc = na.doc_id
+        JOIN nrm nb ON doc = nb.doc_id)
+SELECT q_doc, doc, cos_sim FROM (
+  SELECT q_doc, doc, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_doc
+                            ORDER BY cos_sim DESC, doc) AS rn
+  FROM cos)
+WHERE rn <= 5
+""", "Sparse-vector document similarity: top-5 nearest docs per query "
+     "doc under TF-IDF cosine, computed entirely through the inverted "
+     "index (postings join on token) - the sparse counterpart of the "
+     "dense k3 embedding path, and the retrieval shape BM25/dedup "
+     "pipelines share. The query side is a bounded slice (doc_id%25, "
+     "~4% of docs) so its postings broadcast and the pair space stays "
+     "linear in the corpus; the per-query top-5 window partitions on "
+     "q_doc (scale-safe). Weights are floor(tfidf*2^20) BIGINTs, so "
+     "dots and norms are exact integer sums in any engine and the "
+     "final cosine divide is a deterministic IEEE op.")
+def k4d_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "token",
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.lit(1048576.0)
+            ).cast("bigint").alias("wq"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("s"))
+    q = (
+        w.filter(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id").alias("q_doc"), "token", F.col("wq").alias("wq_q"))
+    )
+    dots = (
+        w.join(F.broadcast(q), "token")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", F.col("doc_id").alias("doc"))
+        .agg(F.sum(F.col("wq_q") * F.col("wq")).alias("dot"))
+    )
+    cos = (
+        dots.join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("q_doc"),
+                                   F.col("s").alias("s_q"))),
+            "q_doc",
+        )
+        .join(nrm.withColumnRenamed("doc_id", "doc").withColumnRenamed("s", "s_d"),
+              "doc")
+        .select(
+            "q_doc", "doc",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("s_q").cast("double"))
+                   * F.sqrt(F.col("s_d").cast("double"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    win = Window.partitionBy("q_doc").orderBy(F.col("cos_sim").desc(), F.col("doc"))
+    return (
+        cos.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("q_doc", "doc", "cos_sim")
+    )
