@@ -152,6 +152,73 @@ def _hash_coefs(n_hashes: int) -> list[tuple[int, int]]:
             for j in range(n_hashes)]
 
 
+def band_signatures(
+    sh: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, band, sig): the LSH bucket index rows.
+
+    Minhash via explode + n_hashes min() aggregates: higher-order-
+    function lambdas are interpreted per element, but aggregate
+    expressions are whole-stage-codegen'd, and partial (map-side) min
+    means the shuffle carries n_hashes longs per doc, not per
+    shingle. ~3x faster than the transform/array_min formulation.
+    The band signature is an arithmetic fold of the band's minhash
+    values (internal only - never compared against the oracle, so any
+    deterministic combine works; values < 2^31 so the polynomial fold
+    stays far below 2^63).
+    """
+    n_hashes = n_bands * rows_per_band
+    hashed = sh.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select("doc_id", F.expr(_BASE_HASH_SQL).alias("h"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"(h * {a}L + {b}L) % {MERSENNE_P}L")).alias(f"m{j}")
+            for j, (a, b) in enumerate(_hash_coefs(n_hashes))
+        ]
+    )
+    mh = mins.select(
+        "doc_id", F.array(*[f"m{j}" for j in range(n_hashes)]).alias("mh")
+    )
+    return mh.select(
+        "doc_id",
+        "mh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.aggregate(
+            F.slice("mh", F.col("band") * rows_per_band + 1, rows_per_band),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc % 2147483647) * 1000003 + x,
+        ).alias("sig"),
+    )
+
+
+def exact_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against the shingled relation; false positives from any candidate
+    generator die here, so candidates only ever cost recall."""
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_raw",
+            F.col("i").cast("double") / (F.size("sh_a") + F.size("sh_b") - F.col("i")),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     sh: DataFrame,
     n_bands: int = N_BANDS,
@@ -167,43 +234,8 @@ def minhash_lsh_pairs(
     verification downstream removes every false positive, so banding
     only ever costs recall, never precision.
     """
-    n_hashes = n_bands * rows_per_band
     sh = sh.persist()
-    # Minhash via explode + n_hashes min() aggregates: higher-order-
-    # function lambdas are interpreted per element, but aggregate
-    # expressions are whole-stage-codegen'd, and partial (map-side) min
-    # means the shuffle carries n_hashes longs per doc, not per
-    # shingle. ~3x faster than the transform/array_min formulation.
-    hashed = sh.select(
-        "doc_id", F.explode("sh").alias("shingle")
-    ).select("doc_id", F.expr(_BASE_HASH_SQL).alias("h"))
-    mins = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"(h * {a}L + {b}L) % {MERSENNE_P}L")).alias(f"m{j}")
-            for j, (a, b) in enumerate(_hash_coefs(n_hashes))
-        ]
-    )
-    mh = mins.select(
-        "doc_id", F.array(*[f"m{j}" for j in range(n_hashes)]).alias("mh")
-    )
-
-    # Band signature: arithmetic fold of the band's minhash values
-    # (internal only - never compared against the oracle, so any
-    # deterministic combine works; values < 2^31 so the polynomial
-    # fold stays far below 2^63).
-    bands = mh.select(
-        "doc_id",
-        "mh",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).select(
-        "doc_id",
-        "band",
-        F.aggregate(
-            F.slice("mh", F.col("band") * rows_per_band + 1, rows_per_band),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: (acc % 2147483647) * 1000003 + x,
-        ).alias("sig"),
-    )
+    bands = band_signatures(sh, n_bands, rows_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
@@ -211,21 +243,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verification on candidates only.
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard_raw",
-            F.col("i").cast("double") / (F.size("sh_a") + F.size("sh_b") - F.col("i")),
-        )
-        .filter(F.col("jaccard_raw") >= threshold)
-    )
-    return verified.select(
-        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
-    )
+    return exact_jaccard(cand, sh, threshold)
 
 
 @register("k2_minhash_lsh_pairs", "K2", _JACCARD_PAIRS_ORACLE,
@@ -545,3 +563,100 @@ def k_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K2e: streaming incremental LSH (documents arrive in batches; the
+# bucket index grows monotonically; near-dup pairs are emitted the
+# moment their second member arrives)
+# ---------------------------------------------------------------------------
+
+@register("k2e_streaming_lsh_pairs", "K2+I10", _JACCARD_PAIRS_ORACLE,
+          "Incremental near-dup detection under appends: documents "
+          "stream in as micro-batches; each batch's band signatures "
+          "are merged into a persistent LSH bucket index "
+          "(parquet-backed - the store-table stand-in, same pattern "
+          "as L7's snapshot store), and candidate pairs are emitted "
+          "by joining ONLY the new batch's signatures against the "
+          "cumulative index - each pair surfaces exactly once, in the "
+          "batch where its second member arrives, and per-batch work "
+          "is O(batch x collisions), never a corpus rescan. The "
+          "converged pair set, exact-Jaccard-verified, hash-matches "
+          "the batch brute-force oracle - streaming and batch dedup "
+          "agree row-for-row.")
+def k2e_streaming_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_ntile,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # Stage the corpus as 3 discrete arrivals (deterministic doc_id
+    # ranges via exact distributed ntile - no single-partition sort).
+    staged = tempfile.mkdtemp(prefix="ces_k2e_docs_")
+    chunked = with_global_ntile(d, [F.col("doc_id")], 3, bucket_col="chunk")
+    for i in range(1, 4):
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+
+    index_dir = tempfile.mkdtemp(prefix="ces_k2e_index_")
+    pairs_dir = tempfile.mkdtemp(prefix="ces_k2e_pairs_")
+    checkpoint = tempfile.mkdtemp(prefix="ces_k2e_ckpt_")
+    seen_any = {"pairs": False}
+
+    def fold(batch_df: DataFrame, _id: int) -> None:
+        sh = batch_df.filter(F.size(F.split("text", " ")) >= 3).select(
+            "doc_id", F.expr(_SHINGLES_EXPR).alias("sh")
+        )
+        bands = band_signatures(sh)
+        # Merge the batch into the bucket index FIRST, then probe the
+        # cumulative index with the batch: a pair (a < b) is emitted in
+        # the batch where its later member lands (in-batch pairs
+        # included), so the union over batches is exactly the batch
+        # candidate set, each pair once.
+        bands.write.mode("append").parquet(index_dir)
+        index = spark.read.parquet(index_dir)
+        cand = (
+            bands.alias("n")
+            .join(
+                index.alias("i"),
+                (F.col("n.band") == F.col("i.band"))
+                & (F.col("n.sig") == F.col("i.sig"))
+                & (F.col("i.doc_id") < F.col("n.doc_id")),
+            )
+            .select(
+                F.col("i.doc_id").alias("doc_a"),
+                F.col("n.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        if cand.limit(1).count() > 0:
+            cand.write.mode("append").parquet(pairs_dir)
+            seen_any["pairs"] = True
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    if seen_any["pairs"]:
+        cand_all = spark.read.parquet(pairs_dir).distinct()
+        sh_full = _shingled(spark, sf_dir)
+        out = exact_jaccard(cand_all, sh_full).localCheckpoint(eager=True)
+    else:
+        out = spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, jaccard double"
+        )
+    for p in (staged, index_dir, pairs_dir, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+    return out
