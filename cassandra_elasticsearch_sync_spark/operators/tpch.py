@@ -768,16 +768,19 @@ WITH v AS (
 )
 SELECT partkey, CAST(val_c AS DOUBLE) / 100.0 AS value
 FROM v
-WHERE CAST(val_c AS DOUBLE) > (SELECT CAST(SUM(val_c) AS DOUBLE) * 0.001 FROM v)
+WHERE CAST(val_c AS DOUBLE)
+      > (SELECT CAST(SUM(val_c) AS DOUBLE) * 2.0 / COUNT(*) FROM v)
 ORDER BY value DESC, partkey
 """, "Q11-style important stock: parts whose shipped value through "
-     "a 3-nation supplier group exceeds 0.1% of the group total. The "
-     "HAVING-over-scalar-subquery becomes agg -> agg-of-agg -> "
-     "broadcast threshold join - two passes over a part-cardinality "
-     "intermediate, never a re-scan of lineitem. Values are exact "
-     "cent-scaled longs; the 0.1% threshold is the same "
-     "double-product in both engines, so the > compare is "
-     "deterministic even at the boundary.")
+     "a 3-nation supplier group exceeds 2x the mean per-part value. "
+     "TPC-H scales its q11 fraction by 1/SF; a mean-relative cut is "
+     "the equivalent self-scaling form (a fixed fraction goes vacuous "
+     "as the part count grows). The HAVING-over-scalar-subquery "
+     "becomes agg -> agg-of-agg -> broadcast threshold join - two "
+     "passes over a part-cardinality intermediate, never a re-scan "
+     "of lineitem. Values are exact cent-scaled longs; the threshold "
+     "is the same double expression in both engines, so the > "
+     "compare is deterministic even at the boundary.")
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -800,7 +803,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val_c")
         )
     )
-    thresh = v.agg((F.sum("val_c").cast("double") * 0.001).alias("thr"))
+    thresh = v.agg(
+        (F.sum("val_c").cast("double") * 2.0 / F.count("*")).alias("thr")
+    )
     return (
         v.join(F.broadcast(thresh), F.col("val_c").cast("double") > F.col("thr"))
         .select(
