@@ -213,3 +213,35 @@ def h3b_math_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees("l_discount"), 6).alias("disc_deg"),
         F.round(F.radians("l_quantity"), 6).alias("qty_rad"),
     )
+
+
+@register("h3c_bitwise_funcs", "H3", """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 65535) AS toggled,
+       (o_orderkey & 1023) << 2 AS shifted_up,
+       o_orderkey >> 3 AS shifted_down,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount,
+       CASE WHEN (o_orderkey & 1) = 1 THEN 'odd' ELSE 'even' END AS parity
+FROM orders
+WHERE o_orderkey % 97 = 0
+""", "Bitwise function bridge: AND/OR/XOR masks, shifts, popcount, "
+     "and bit-test - the flag-field and partition-key manipulations "
+     "a sync engine does on packed ID/status words. All pure "
+     "narrow-map integer ops inside whole-stage codegen; shift input "
+     "is masked to 10 bits so the result is identical bigint math in "
+     "both engines.")
+def h3c_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("low_byte"),
+        k.bitwiseOR(4096).alias("with_flag"),
+        k.bitwiseXOR(65535).alias("toggled"),
+        F.shiftleft(k.bitwiseAND(1023), 2).cast("bigint").alias("shifted_up"),
+        F.shiftright(k, 3).cast("bigint").alias("shifted_down"),
+        F.bit_count(k).cast("int").alias("popcount"),
+        F.when(k.bitwiseAND(1) == 1, "odd").otherwise("even").alias("parity"),
+    )

@@ -283,3 +283,33 @@ def e7_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "month", "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"),
     )
+
+
+@register("e8_nth_value", "E5", """
+SELECT l_orderkey, l_linenumber,
+       NTH_VALUE(l_extendedprice, 2) OVER w AS second_price,
+       LEAD(l_extendedprice, 2, -1.0) OVER w AS price_after_next,
+       LAG(l_linenumber, 1, CAST(0 AS INT)) OVER w AS prev_line
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""", "Window navigation beyond first/last: NTH_VALUE over the full "
+     "frame plus multi-offset LEAD/LAG with explicit defaults - the "
+     "line-level 'compare against the order's 2nd line' shape. "
+     "Partitioned by l_orderkey (bounded frames per key, scale-safe); "
+     "prices compare exactly as untouched parquet doubles.")
+def e8_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+        F.lead("l_extendedprice", 2, -1.0).over(wo).alias("price_after_next"),
+        F.lag("l_linenumber", 1, 0).over(wo).alias("prev_line"),
+    )
