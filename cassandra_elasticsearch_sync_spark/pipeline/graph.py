@@ -135,3 +135,129 @@ def _cc_loop(
         .agg(F.min(F.coalesce("y", "node")).alias("cluster_id"))
     )
     return labels, rounds
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, integer-exact)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table  # noqa: E402
+from cassandra_elasticsearch_sync_spark.registry import register  # noqa: E402
+
+_PR_SCALE = 1 << 40  # 2^40 fixed-point scale; see pipeline/parity notes
+_PR_ROUNDS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration PageRank in pure integer arithmetic.
+
+    Every quantity is a scaled bigint (rank * 2^40) and every step is
+    integer division / multiplication / sum - exact and
+    order-independent in both engines, so the hash compare is safe
+    despite PageRank being a float algorithm everywhere else.
+    Dangling-node mass is dropped (the damping term keeps ranks
+    positive), a documented variant choice applied identically on
+    both sides.
+    """
+    head = f"""
+WITH edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+params AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({_PR_SCALE} // n AS BIGINT) AS r
+       FROM nodes CROSS JOIN params)"""
+    its = []
+    for i in range(1, _PR_ROUNDS + 1):
+        its.append(f""",
+it{i} AS (
+  SELECT nd.node,
+         CAST((15 * ({_PR_SCALE} // p.n)
+               + 85 * COALESCE(SUM(prev.r // d.outdeg), 0)) // 100
+              AS BIGINT) AS r
+  FROM nodes nd
+  CROSS JOIN params p
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN {'r0' if i == 1 else f'it{i - 1}'} prev ON prev.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY nd.node, p.n
+)""")
+    tail = f"""
+SELECT node, ROUND(CAST(r AS DOUBLE) / {float(_PR_SCALE)!r}, 6) AS pagerank
+FROM it{_PR_ROUNDS}
+"""
+    return head + "".join(its) + tail
+
+
+@register("k2f_nation_pagerank", "K2", _pagerank_oracle(),
+          "PageRank (d=0.85, 5 synchronous iterations) over the "
+          "nation-level trade graph (distinct customer-nation -> "
+          "supplier-nation edges derived from the order/lineitem "
+          "fact join). The iterative-graph-algorithm shape on a "
+          "DataFrame engine: each round is join(edges, rank) -> "
+          "integer per-edge contribution -> hash groupBy sum -> "
+          "damped update; at 100 TB the edge list is the data-sized "
+          "side and every round shuffles only on node keys (same "
+          "plan family as the large-star/small-star CC above). "
+          "Cross-engine exactness: ranks are 2^40-scaled bigints and "
+          "every operation is integer mul/div/sum (order-independent, "
+          "overflow-free: 85 * 2^40 << 2^63), so a float algorithm "
+          "becomes hash-comparable; the unrolled-CTE oracle applies "
+          "identical arithmetic. Unlike the CC loop, no per-round "
+          "localCheckpoint is needed: rank is referenced once per "
+          "round, so the plan grows linearly over a FIXED 5 rounds "
+          "rather than exponentially to a data-dependent fixpoint.")
+def k2f_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    params = nodes.agg(F.count("*").alias("n"))
+
+    rank = nodes.crossJoin(params).select(
+        "node", F.expr(f"CAST({_PR_SCALE} div n AS BIGINT)").alias("r")
+    )
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            edges.join(rank, edges.src == rank.node)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r div outdeg").alias("contrib"))
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        rank = (
+            nodes.join(summed, nodes.node == summed.dst, "left")
+            .crossJoin(params)
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((15 * ({_PR_SCALE} div n) + 85 * COALESCE(s, 0))"
+                    " div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return rank.select(
+        "node",
+        F.round(F.col("r").cast("double") / float(_PR_SCALE), 6).alias("pagerank"),
+    )

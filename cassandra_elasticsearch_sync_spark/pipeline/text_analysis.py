@@ -705,3 +705,86 @@ def k4d_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_doc", "doc", "cos_sim")
     )
+
+
+@register("k4f_winnowing", "K4", """
+WITH words AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS w,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, pos,
+         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_words
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+hashes AS (
+  SELECT doc_id, pos, SUBSTR(MD5(sh), 1, 16) AS h, n_words - 2 AS n_sh
+  FROM shingles WHERE pos + 2 < n_words
+),
+mins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         pos, n_sh
+  FROM hashes
+)
+SELECT doc_id,
+       COUNT(DISTINCT fp) AS n_fingerprints,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT fp)), ',') AS fingerprints
+FROM mins
+WHERE pos + 3 < n_sh
+GROUP BY doc_id
+""", "Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
+     "SIGMOD'03 - the MOSS local fingerprinting scheme): hash every "
+     "3-word shingle, then keep the minimum hash of each sliding "
+     "window of 4 consecutive shingles. Guarantees any shared run of "
+     ">= 6 words between two documents shares a fingerprint, at ~1/4 "
+     "the storage of full shingle sets - the substring-dedup index "
+     "shape for a 100 TB corpus where whole-doc hashes miss partial "
+     "copies. All windows are PARTITIONED BY doc_id (scale-safe, no "
+     "global ordering); the hash is MD5 hex (identical in both "
+     "engines), and the per-doc fingerprint set is emitted sorted so "
+     "the output hash is order-insensitive.")
+def k4f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    cnt = Window.partitionBy("doc_id")
+    shingles = words.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+        ).alias("sh"),
+        F.count("*").over(cnt).alias("n_words"),
+    )
+    hashes = shingles.filter(F.col("pos") + 2 < F.col("n_words")).select(
+        "doc_id",
+        "pos",
+        F.substring(F.md5("sh"), 1, 16).alias("h"),
+        (F.col("n_words") - 2).alias("n_sh"),
+    )
+    mins = hashes.select(
+        "doc_id",
+        "pos",
+        "n_sh",
+        F.min("h").over(win.rowsBetween(0, 3)).alias("fp"),
+    )
+    return (
+        mins.filter(F.col("pos") + 3 < F.col("n_sh"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.array_join(F.array_sort(F.collect_set("fp")), ",").alias(
+                "fingerprints"
+            ),
+        )
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
@@ -219,4 +219,67 @@ def k7b_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
             F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
         )
+    )
+
+
+_EWMA_NUM = (
+    "COALESCE(l0, 0.0) * 1.0 + COALESCE(l1, 0.0) * 0.5 + "
+    "COALESCE(l2, 0.0) * 0.25 + COALESCE(l3, 0.0) * 0.125 + "
+    "COALESCE(l4, 0.0) * 0.0625 + COALESCE(l5, 0.0) * 0.03125 + "
+    "COALESCE(l6, 0.0) * 0.015625 + COALESCE(l7, 0.0) * 0.0078125"
+)
+_EWMA_DEN = (
+    "(CASE WHEN l0 IS NULL THEN 0.0 ELSE 1.0 END) + "
+    "(CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END) + "
+    "(CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END) + "
+    "(CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END) + "
+    "(CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END) + "
+    "(CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.03125 END) + "
+    "(CASE WHEN l6 IS NULL THEN 0.0 ELSE 0.015625 END) + "
+    "(CASE WHEN l7 IS NULL THEN 0.0 ELSE 0.0078125 END)"
+)
+
+_EWMA_LAGS_SQL = ",\n         ".join(
+    ["value AS l0"]
+    + [
+        f"LAG(value, {i}) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS l{i}"
+        for i in range(1, 8)
+    ]
+)
+
+
+@register("k7c_ewma_smoothing", "K7+E2", f"""
+WITH lagged AS (
+  SELECT event_id, event_type,
+         {_EWMA_LAGS_SQL}
+  FROM events
+)
+SELECT event_id, event_type,
+       ROUND(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma8
+FROM lagged
+""", "Exponentially-weighted moving average (alpha=0.5, depth 8) of "
+     "the event value stream per event_type - the smoothing feature "
+     "every monitoring / training-signal pipeline derives before "
+     "thresholding. Expressed as 8 bounded LAGs on a window "
+     "PARTITIONED by event_type (never a global window), so the plan "
+     "is one shuffle on the partition key + a linear per-partition "
+     "pass - the 100 TB shape. Partial histories reweight over the "
+     "available lags (COALESCE terms drop out of numerator and "
+     "denominator together). Float parity: the weights are exact "
+     "binary fractions (0.5^i), every product/sum is a per-row IEEE "
+     "op in identical textual order in both engines, so the doubles "
+     "are bit-equal; ordering is total via (ts, event_id).")
+def k7c_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("l0"),
+        *[F.lag("value", i).over(w).alias(f"l{i}") for i in range(1, 8)],
+    )
+    return lagged.select(
+        "event_id",
+        "event_type",
+        F.round(F.expr(_EWMA_NUM) / F.expr(_EWMA_DEN), 6).alias("ewma8"),
     )

@@ -132,6 +132,7 @@ def _ensure_loaded() -> None:
     from cassandra_elasticsearch_sync_spark.sync import ops as sync_ops  # noqa: F401
     from cassandra_elasticsearch_sync_spark.pipeline import (  # noqa: F401
         dedup,
+        graph,
         similarity,
         text_analysis,
         multimodal,
