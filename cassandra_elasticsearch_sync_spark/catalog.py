@@ -50,13 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (PushedFilters/ReadSchema), which at 100 TB is the difference
     between scanning a partition and scanning the lake.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    outright unless it is read as a raw nanosecond long
-    (``spark.sql.legacy.parquet.nanosAsLong``). We set that conf at
-    runtime (the driver may hand us its own session) and rebuild the
-    timestamp with exact integer division — the ns epoch (~1.7e18)
-    exceeds double's 2^53 exact range, so float division would corrupt
-    microseconds.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (round-1
+    corpus) and TIMESTAMP(MICROS) (round-2 corpus). Spark 4 rejects
+    NANOS outright unless it is read as a raw nanosecond long
+    (``spark.sql.legacy.parquet.nanosAsLong``); we set that conf at
+    runtime (the driver may hand us its own session) and, ONLY when the
+    column actually arrives as a long, rebuild the timestamp with exact
+    integer division — the ns epoch (~1.7e18) exceeds double's 2^53
+    exact range, so float division would corrupt microseconds. A MICROS
+    corpus reads natively as timestamp and passes through untouched.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -68,7 +70,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # NANOS corpus read as raw long
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Normalize to the session-TZ timestamp every operator was
+            # written against; session TZ is pinned UTC above, so this
+            # is a pure type relabel of the same wall-clock instant.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
