@@ -457,3 +457,33 @@ def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         z(F.count(F.when(F.col("o_cnt") > 1, 1))).alias("duplicate_order_keys"),
         z(F.sum("null_cust")).alias("null_custkeys"),
     )
+
+
+@register("d6c_percentiles_by_group", "D6", """
+SELECT o_orderpriority,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.25), 6) AS p25,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.50), 6) AS p50,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.75), 6) AS p75,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.95), 6) AS p95
+FROM orders
+GROUP BY o_orderpriority
+""", "Percentile profile BY group in one aggregate pass - the "
+     "quartile/tail summary behind pricing dashboards. Both engines "
+     "interpolate order statistics with lo + (hi-lo)*frac on the "
+     "same doubles, so 6-dp rounding is cosmetic, not load-bearing. "
+     "Scale note: exact per-group percentiles concentrate each "
+     "group's values at its reducer; the group-key cardinality here "
+     "(priority classes) is tiny and fixed, which is exactly when "
+     "the exact form is affordable - for high-cardinality keys or "
+     "100 TB facts, approx_percentile (mergeable t-digest) is the "
+     "drop-in scale path with this identical query shape.")
+def d6c_percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pct = [0.25, 0.50, 0.75, 0.95]
+    names = ["p25", "p50", "p75", "p95"]
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 6).alias(n)
+            for p, n in zip(pct, names)
+        ]
+    )

@@ -411,3 +411,61 @@ def k_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@register("k_mad_outliers", "K4+D6", """
+WITH med AS (
+  SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, med.med, ABS(e.value - med.med) AS dev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, MIN(med) AS med, QUANTILE_CONT(dev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       ROUND(MIN(d.med), 6) AS med,
+       ROUND(MIN(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""", "Robust anomaly detection: median-absolute-deviation outliers "
+     "per event_type (|v - median| > 3*MAD), the heavy-tail-safe "
+     "alternative to z-scores for monitoring metrics. Three "
+     "aggregate passes (median, MAD, flag-count) with the tiny "
+     "per-type medians broadcast back - no windows anywhere. Float "
+     "parity: both engines interpolate the middle pair with "
+     "lo + (hi-lo)*frac on identical doubles, the deviations are "
+     "per-row IEEE ops, and the 3*MAD threshold compares bit-equal "
+     "values. Scale note: EXACT per-key medians require the per-key "
+     "value multiset at one reducer (Spark's percentile() "
+     "accumulates a counts map); the oracle gate forces exactness "
+     "here - at 100 TB swap in approx_percentile (t-digest, "
+     "mergeable map-side) with the same downstream shape.")
+def k_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.percentile("dev", F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -283,3 +283,163 @@ def k7c_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.expr(_EWMA_NUM) / F.expr(_EWMA_DEN), 6).alias("ewma8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K7d: event-transition matrix (Markov chain over the event stream)
+# ---------------------------------------------------------------------------
+
+@register("k7d_event_transitions", "K7+E2", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type
+  FROM events
+),
+t AS (
+  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS prob
+FROM t
+""", "First-order Markov transition matrix of the per-user event "
+     "stream: LAG over a window PARTITIONED by user_id (bounded "
+     "per-key history, scale-safe), then a count per (from, to) pair "
+     "and a row-probability normalization over the AGGREGATED "
+     "|types|^2-row table. The session-path model behind churn "
+     "prediction and next-event recommendation. Probability is a "
+     "single bigint/bigint divide - bit-identical in both engines. "
+     "Ordering inside each user stream is total via (ts, event_id).")
+def k7d_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    trans = (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    # Normalization window runs over the aggregated |types|^2 table
+    # (25 rows here, bounded by the type vocabulary at any corpus
+    # size), partitioned by from_type - never over raw events.
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type", "to_type", "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K7e: daily new / cumulative distinct users (two-pass scalable cumsum)
+# ---------------------------------------------------------------------------
+
+@register("k7e_cumulative_users", "K7+D3", """
+WITH fd AS (
+  SELECT user_id, MIN(CAST(DATE_TRUNC('day', ts) AS DATE)) AS day
+  FROM events GROUP BY user_id
+),
+nu AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM nu
+""", "Cumulative-distinct-users-over-time without COUNT(DISTINCT) "
+     "windows (which no engine distributes): first-touch per user is "
+     "a plain min-aggregate, daily new-user counts a second "
+     "aggregate, and the running total uses the two-pass "
+     "partition-offset cumsum from operators/distributed_order.py - "
+     "per-partition stats, broadcast offsets, per-partition windows. "
+     "No single-partition WindowExec at any corpus size; the growth "
+     "curve every launch dashboard plots.")
+def k7e_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(F.count("*").alias("new_users"))
+    ranked, _ = with_global_order(
+        daily, [F.col("day")], cumsum_of="new_users", cumsum_col="cum_users"
+    )
+    return ranked.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.col("cum_users").cast("bigint").alias("cum_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K7f: lag-1 autocorrelation of the daily series, exact integer sums
+# ---------------------------------------------------------------------------
+
+@register("k7f_autocorrelation", "K7+D5", """
+WITH daily AS (
+  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS d, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT event_type, c,
+         LAG(c) OVER (PARTITION BY event_type ORDER BY d) AS pc
+  FROM daily
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(pc) AS sx, SUM(c) AS sy, SUM(pc * c) AS sxy,
+         SUM(pc * pc) AS sxx, SUM(c * c) AS syy
+  FROM pairs WHERE pc IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf1
+FROM s
+""", "Lag-1 autocorrelation of the daily event-count series per "
+     "event_type - the seasonality screen run before forecasting. "
+     "The series is built by a distributed aggregate; the LAG window "
+     "is partitioned by event_type over the aggregated (type, day) "
+     "table; Pearson r comes from six exact bigint sums folded "
+     "through the textbook formula, so both engines perform the same "
+     "few IEEE ops on identical integers - bit-equal at 6 dp. "
+     "Never computes corr() directly over floats (summation-order "
+     "dependent) and never windows over raw events.")
+def k7f_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = daily.select(
+        "event_type", "c", F.lag("c").over(w).alias("pc")
+    ).filter(F.col("pc").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("pc").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("pc") * F.col("c")).alias("sxy"),
+        F.sum(F.col("pc") * F.col("pc")).alias("sxx"),
+        F.sum(F.col("c") * F.col("c")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) \
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("acf1"),
+    )
