@@ -190,3 +190,90 @@ def topk_with_rank(
         joined.groupBy(*[F.col(f"__tk_a.{c}") for c in top.columns])
         .agg((F.count(F.col(f"__tk_b.{first_key}")) + 1).alias(rank_col))
     )
+
+
+def with_grouped_order(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact per-group ``row_number`` WITHOUT putting any group on a
+    single partition.
+
+    ``Window.partitionBy(group).orderBy(...)`` ships each group's every
+    row to one task - fine for high-cardinality keys, fatal when a
+    handful of segments each hold 1/5 of a 100 TB fact table. The
+    two-pass shape generalizes: range-repartition on
+    ``(group, order...)`` (a group spans several *contiguous*
+    partitions), count rows per (partition, group) - at most
+    P + G - 1 tiny rows to the driver - turn those into per-(partition,
+    group) rank offsets, then run the window partitioned by
+    ``(partition_id, group)``: every window is bounded by the partition
+    size regardless of group skew, and ``row_number + offset`` is
+    bit-identical to the single-task grouped window because range
+    partitions are contiguous in the total order.
+    """
+    gcols = [F.col(g) for g in group_cols]
+    _release_previous()
+    rp = (
+        df.repartitionByRange(*gcols, *order_exprs)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _last_persisted.append(rp)
+    stats = rp.groupBy(_PID, *group_cols).count().collect()
+    # Offsets: rows of the same group in earlier (lower-pid) partitions.
+    per_group_running: dict[tuple, int] = {}
+    rows = []
+    for r in sorted(stats, key=lambda r: r[_PID]):
+        key = tuple(r[g] for g in group_cols)
+        off = per_group_running.get(key, 0)
+        rows.append((r[_PID], *key, off))
+        per_group_running[key] = off + r["count"]
+    spark = df.sparkSession
+    if not rows:
+        return rp.drop(_PID).withColumn(rank_col, F.lit(None).cast("long"))
+    gschema = ", ".join(
+        f"`{g}` {dict(df.dtypes)[g]}" for g in group_cols
+    )
+    offsets = spark.createDataFrame(
+        rows, schema=f"{_PID} int, {gschema}, {_ROFF} long"
+    )
+    w = Window.partitionBy(_PID, *group_cols).orderBy(*order_exprs)
+    out = rp.join(F.broadcast(offsets), [_PID, *group_cols])
+    out = out.withColumn(rank_col, F.row_number().over(w) + F.col(_ROFF))
+    return out.drop(_PID, _ROFF)
+
+
+def with_grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    n_buckets: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact per-group ``NTILE(n)`` on top of :func:`with_grouped_order`.
+
+    SQL NTILE gives each bucket ``n_g // b`` rows, the first
+    ``n_g % b`` buckets one extra, where ``n_g`` is the GROUP's row
+    count. Group sizes are joined back (broadcast - one row per group)
+    and the bucket id is pure columnar arithmetic on the grouped rank,
+    so the result matches ``NTILE(b) OVER (PARTITION BY group ORDER BY
+    ...)`` bit-for-bit with no skewed window anywhere.
+    """
+    ranked = with_grouped_order(df, group_cols, order_exprs, rank_col="__do_grank")
+    sizes = ranked.groupBy(*group_cols).agg(F.count("*").alias("__do_gn"))
+    r, n = F.col("__do_grank"), F.col("__do_gn")
+    base, rem = (n / n_buckets).cast("long"), n % n_buckets
+    cut = rem * (base + 1)
+    bucket = (
+        F.when(base == 0, r)
+        .when(r <= cut, F.ceil(r / (base + 1)))
+        .otherwise(rem + F.ceil((r - cut) / base))
+    )
+    return (
+        ranked.join(F.broadcast(sizes), group_cols)
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("__do_grank", "__do_gn")
+    )

@@ -313,3 +313,54 @@ def e8_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("l_extendedprice", 2, -1.0).over(wo).alias("price_after_next"),
         F.lag("l_linenumber", 1, 0).over(wo).alias("prev_line"),
     )
+
+
+@register("e9_decile_by_segment", "E1+D1", """
+WITH seg AS (
+  SELECT c_mktsegment AS segment, o_totalprice, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+t AS (
+  SELECT segment, o_totalprice,
+         CAST(NTILE(10) OVER (PARTITION BY segment
+                              ORDER BY o_totalprice, o_orderkey) AS INT)
+           AS decile
+  FROM seg
+)
+SELECT segment, decile, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue
+FROM t
+GROUP BY segment, decile
+""", "Per-segment price deciles over the full orders fact - the "
+     "grouped analogue of price_deciles. A naive NTILE window "
+     "partitioned by market segment puts ~1/5 of ALL orders on one "
+     "task at any scale; this uses with_grouped_ntile "
+     "(operators/distributed_order.py): range partition on "
+     "(segment, price, key), per-(partition, group) counts to the "
+     "driver (P+G-1 tiny rows), broadcast offsets, windows bounded "
+     "by partition size - bit-identical to SQL NTILE semantics, "
+     "skew-proof. The rank order (price, orderkey) is total, so "
+     "bucket assignment is deterministic in both engines.")
+def e9_decile_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_grouped_ntile,
+    )
+    from cassandra_elasticsearch_sync_spark.parity import lsum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_totalprice", "o_orderkey"
+    )
+    tiled = with_grouped_ntile(
+        seg,
+        ["segment"],
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        10,
+        bucket_col="decile",
+    )
+    return tiled.groupBy("segment", "decile").agg(
+        F.count("*").alias("n_orders"),
+        lsum("o_totalprice", 2).alias("revenue"),
+    )

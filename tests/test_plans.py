@@ -147,3 +147,41 @@ def test_lww_merge_is_partial_aggregate_not_window(spark):
     plan = _plan(spark, "l3_lww_merge")
     assert "Window" not in plan, plan[:2000]
     assert "partial_max(struct" in plan, plan[:2000]
+
+
+def test_grouped_ntile_matches_naive_window(spark):
+    """with_grouped_ntile (two-pass, skew-proof) must reproduce SQL
+    NTILE(PARTITION BY group) bit-for-bit, and its plan must contain
+    no window partitioned by the bare group key (every window carries
+    the partition-id column, bounding it by partition size)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_grouped_ntile,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    order = [F.col("o_totalprice"), F.col("o_orderkey")]
+    ours = with_grouped_ntile(
+        o, ["o_orderpriority"], order, 7, bucket_col="b"
+    ).select("o_orderkey", "b")
+    naive = o.select(
+        "o_orderkey",
+        F.ntile(7)
+        .over(Window.partitionBy("o_orderpriority").orderBy(*order))
+        .alias("b"),
+    )
+    assert ours.exceptAll(naive).count() == 0
+    assert naive.exceptAll(ours).count() == 0
+
+    plan = ours._jdf.queryExecution().executedPlan().toString()
+    import re
+    # The load-bearing assertion: no window spec partitioned ONLY by the
+    # group column (that would be the skewed single-task-per-group shape).
+    assert not re.search(
+        r"windowspecdefinition\(o_orderpriority#\d+, o_totalprice", plan
+    ), "found a window partitioned by the bare group key"
