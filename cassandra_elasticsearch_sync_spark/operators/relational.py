@@ -444,3 +444,57 @@ SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 0
 def b2b_empty_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_totalprice") < 0).select("o_orderkey", "o_totalprice")
+
+
+_C7B_ORACLE = """
+WITH iv AS (
+  SELECT o_custkey AS cust, l_orderkey AS ok,
+         MIN(o_orderdate) AS s, MAX(l_shipdate) AS e
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT a.cust,
+       COUNT(*) AS n_overlap_pairs,
+       CAST(MAX(DATE_DIFF('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)))
+            AS BIGINT) AS max_overlap_days
+FROM iv a JOIN iv b
+  ON a.cust = b.cust AND a.ok < b.ok
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.cust
+"""
+
+
+@register("c7b_interval_overlap_join", "C7", _C7B_ORACLE,
+          "Interval-interval overlap join: per customer, pairs of "
+          "their orders whose fulfilment windows [orderdate, last "
+          "shipdate] overlap, with the widest overlap in days. The "
+          "join is EQUI-keyed on the customer (the overlap predicate "
+          "is a residual filter), so it shuffles once on a "
+          "high-cardinality key and each task compares only one "
+          "customer's handful of intervals - the bounded-blocking "
+          "shape that keeps interval joins linear at 100 TB, vs the "
+          "quadratic unkeyed theta-join. Day arithmetic is all "
+          "integer dates; counts are exact.")
+def c7b_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("l_orderkey").alias("ok"))
+        .agg(F.min("o_orderdate").alias("s"), F.max("l_shipdate").alias("e"))
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cust") == F.col("b.cust"))
+        & (F.col("a.ok") < F.col("b.ok"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    )
+    overlap_days = F.datediff(
+        F.least(F.col("a.e"), F.col("b.e")), F.greatest(F.col("a.s"), F.col("b.s"))
+    )
+    return pairs.groupBy(F.col("a.cust").alias("cust")).agg(
+        F.count("*").alias("n_overlap_pairs"),
+        F.max(overlap_days).cast("bigint").alias("max_overlap_days"),
+    )

@@ -152,6 +152,25 @@ def _metric_column(name: str, spec: dict):
     raise ValueError(f"unsupported metric agg {kind!r}")
 
 
+def _metric_columns(name: str, spec: dict) -> list:
+    """ES metric sub-agg -> aggregate columns. Multi-valued metrics
+    (``stats``) flatten to ``<name>_count/_min/_max/_sum/_avg`` the
+    way ES clients flatten the response object."""
+    from cassandra_elasticsearch_sync_spark.parity import davg, dsum
+
+    (kind, body), = spec.items()
+    if kind == "stats":
+        field = body["field"]
+        return [
+            F.count(field).alias(f"{name}_count"),
+            F.min(field).alias(f"{name}_min"),
+            F.max(field).alias(f"{name}_max"),
+            dsum(field, 2).alias(f"{name}_sum"),
+            F.round(davg(field, 4), 6).alias(f"{name}_avg"),
+        ]
+    return [_metric_column(name, spec)]
+
+
 def es_aggregate(df: DataFrame, aggs: dict) -> DataFrame:
     """Run an ES aggregations-DSL dict against a DataFrame.
 
@@ -169,7 +188,7 @@ def es_aggregate(df: DataFrame, aggs: dict) -> DataFrame:
     """
     (name, spec), = aggs.items()
     sub = [
-        _metric_column(n, s) for n, s in spec.get("aggs", {}).items()
+        c for n, s in spec.get("aggs", {}).items() for c in _metric_columns(n, s)
     ]
     if "terms" in spec:
         field = spec["terms"]["field"]
@@ -188,6 +207,26 @@ def es_aggregate(df: DataFrame, aggs: dict) -> DataFrame:
         ]
         key = F.date_format(F.col(body["field"]), unit).alias("key")
         return df.groupBy(key).agg(F.count("*").alias("doc_count"), *sub)
+    if "range" in spec:
+        body = spec["range"]
+        field, ranges = body["field"], body["ranges"]
+        # ES range-agg key convention: "from-to" with "*" for open ends.
+        expr = None
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(field) >= lo)   # ES: from inclusive
+            if hi is not None:
+                cond = cond & (F.col(field) < hi)    # ES: to exclusive
+            expr = F.when(cond, key) if expr is None else expr.when(cond, key)
+        return (
+            df.withColumn("key", expr)
+            .filter(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.count("*").alias("doc_count"), *sub)
+        )
     raise ValueError(f"unsupported bucket agg in {spec!r}")
 
 
@@ -257,3 +296,49 @@ def a3d_es_date_histogram(spark, sf_dir):
     o = es_search(load_table(spark, sf_dir, "orders"),
                   {"term": {"o_orderstatus": "O"}})
     return es_aggregate(o, _AGGS_HIST_DEMO)
+
+
+_AGGS_RANGE_DEMO = {
+    "price_bands": {
+        "range": {
+            "field": "o_totalprice",
+            "ranges": [
+                {"to": 100000},
+                {"from": 100000, "to": 300000},
+                {"from": 300000},
+            ],
+        },
+        "aggs": {"price": {"stats": {"field": "o_totalprice"}}},
+    }
+}
+
+
+@register("a3e_es_range_stats_agg", "A3", """
+SELECT key, COUNT(*) AS doc_count,
+       COUNT(o_totalprice) AS price_count,
+       MIN(o_totalprice) AS price_min,
+       MAX(o_totalprice) AS price_max,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS price_sum,
+       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                       AS DECIMAL(38,4)) AS DOUBLE)
+             / COUNT(o_totalprice), 6) AS price_avg
+FROM (
+  SELECT o_totalprice,
+         CASE WHEN o_totalprice < 100000 THEN '*-100000'
+              WHEN o_totalprice >= 100000 AND o_totalprice < 300000
+                THEN '100000-300000'
+              WHEN o_totalprice >= 300000 THEN '300000-*'
+         END AS key
+  FROM orders
+)
+WHERE key IS NOT NULL
+GROUP BY key
+""", "ES range aggregation with a stats metric sub-agg: price bands "
+     "(from-inclusive / to-exclusive, ES semantics) each carrying the "
+     "flattened count/min/max/sum/avg stats object - the faceted-"
+     "navigation workload. Compiles to ONE grouped aggregation over a "
+     "CASE bucket key; sum/avg are decimal-exact (parity.py) so the "
+     "stats hash-match across engines at any scale.")
+def a3e_es_range_stats_agg(spark, sf_dir):
+    return es_aggregate(load_table(spark, sf_dir, "orders"), _AGGS_RANGE_DEMO)
