@@ -136,3 +136,51 @@ def es_bulk_lines(df, id_col: str, index: str):
         action.alias("action_line"),
         source.alias("source_line"),
     )
+
+
+@register("a4b_schema_evolution", "A4", """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       COUNT(o_comment_len) AS n_with_new_col,
+       CAST(COALESCE(SUM(o_comment_len), 0) AS BIGINT) AS sum_new_col
+FROM (
+  SELECT o_orderpriority, CAST(NULL AS BIGINT) AS o_comment_len
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderpriority, o_orderkey % 97 AS o_comment_len
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderpriority
+""", "Schema evolution on read: a v1 snapshot written WITHOUT a "
+     "column and a v2 snapshot WITH it are read back as ONE dataset "
+     "via mergeSchema - the additive-column migration every "
+     "long-lived store goes through (Cassandra ALTER TABLE ADD / ES "
+     "dynamic mapping). v1 rows surface the new column as NULL; the "
+     "aggregate proves null-vs-present accounting is exact. The "
+     "oracle reconstructs the same union from the base table, so "
+     "equality shows the merged read is lossless. Scale note: "
+     "mergeSchema pays a per-file footer read at planning time - on "
+     "a 100 TB lake pin the merged schema in a catalog/metastore and "
+     "read with an explicit schema instead (same result, no footer "
+     "sweep); the read path here proves the semantics.")
+def a4b_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"ces_schema_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderpriority")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority",
+        (F.col("o_orderkey") % 97).alias("o_comment_len"),
+    )
+    v1.write.mode("overwrite").parquet(f"{scratch}/v=1")
+    v2.write.mode("overwrite").parquet(f"{scratch}/v=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{scratch}/v=1", f"{scratch}/v=2"
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count("o_comment_len").alias("n_with_new_col"),
+        F.coalesce(F.sum("o_comment_len"), F.lit(0)).cast("bigint").alias("sum_new_col"),
+    )
