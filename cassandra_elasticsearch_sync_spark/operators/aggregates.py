@@ -487,3 +487,31 @@ def d6c_percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, n in zip(pct, names)
         ]
     )
+
+
+@register("d12_boolean_aggs", "D2", """
+SELECT event_type,
+       COUNT(*) FILTER (WHERE value > 100) AS n_high,
+       BOOL_AND(value > 0) AS all_positive,
+       BOOL_OR(value < 0) AS any_negative,
+       ROUND(CAST(COUNT(*) FILTER (WHERE value > 100) AS DOUBLE)
+             / COUNT(*), 6) AS frac_high
+FROM events
+GROUP BY event_type
+""", "Boolean/conditional aggregate family: filtered count (count_if), "
+     "universal and existential predicates (bool_and / bool_or - "
+     "every/any), and the derived fraction - the data-quality "
+     "assertion shapes. All are partial-aggregatable single-pass "
+     "aggregates (count_if is a sum of 0/1; bool_and/or are min/max "
+     "on booleans), so the plan is one scan + one shuffle of "
+     "|types| rows; the fraction divides two exact bigints.")
+def d12_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_high"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") < 0).alias("any_negative"),
+        F.round(
+            F.count_if(F.col("value") > 100).cast("double") / F.count("*"), 6
+        ).alias("frac_high"),
+    )

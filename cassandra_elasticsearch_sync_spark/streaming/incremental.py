@@ -441,3 +441,54 @@ def i10_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     for p in (staged, checkpoint, store_root):
         shutil.rmtree(p, ignore_errors=True)
     return out
+
+
+@register("i5_streaming_dedup", "I5", """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,6))
+            AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""", "Streaming exactly-once dedup under at-least-once delivery: the "
+     "staged feed RE-DELIVERS the two oldest chunks (copies appended "
+     "after the tail, like a source retry after an ack loss), and the "
+     "stream drops re-deliveries with dropDuplicates on the event "
+     "key before an append-mode parquet sink. The converged store "
+     "hash-matches the batch aggregate over the original table - "
+     "proof no duplicate survived and no original was lost. State is "
+     "the seen-key set, hash-partitioned across the cluster (the "
+     "production form bounds it with a watermark on the key's event "
+     "time - I1/I7 cover watermark semantics; the oracle gate here "
+     "needs every key retained).")
+def i5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    staged = stage_events_stream(spark, sf_dir, n_chunks=4)
+    for f in sorted(glob.glob(os.path.join(staged, "*.parquet")))[:2]:
+        shutil.copy(f, f.replace(".parquet", "-redelivered.parquet"))
+    checkpoint = tempfile.mkdtemp(prefix="ces_i5_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_i5_out_")
+    q = (
+        read_events_stream(spark, staged)
+        .dropDuplicates(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    deduped = spark.read.parquet(outdir)
+    out = (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("decimal(38,6)").cast("double").alias("total_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for p in (staged, checkpoint, outdir):
+        shutil.rmtree(p, ignore_errors=True)
+    return out
