@@ -736,3 +736,50 @@ def k1c_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K2h: containment / overlap-coefficient pairs (subset-superset dups)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = "WITH " + _SHINGLES_SQL + """
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS overlap_coef
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+"""
+
+
+@register("k2h_containment_pairs", "K2", _CONTAINMENT_ORACLE,
+          "Subset/superset duplicate pairs via the overlap coefficient "
+          "|A&B| / min(|A|,|B|): a snippet quoted whole inside a longer "
+          "doc scores ~1.0 here but low on Jaccard (the union is "
+          "dominated by the superset), so Jaccard-only dedup keeps "
+          "both copies - this is the standard second net for "
+          "training-corpus cleaning. Same scale shape as k2b: explode "
+          "shingles, equi-join postings (quadratic ONLY within a "
+          "shared-shingle bucket), group-count intersections, join "
+          "back the two set sizes; the coefficient is one "
+          "bigint/bigint divide - bit-identical across engines.")
+def k2h_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sz = sh.select("doc_id", F.size("sh").alias("n"))
+    ea = e.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        ea.join(eb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    oc = F.col("i").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sza, "doc_a").join(szb, "doc_b")
+        .filter(oc >= 0.8)
+        .select("doc_a", "doc_b", F.round(oc, 6).alias("overlap_coef"))
+    )
