@@ -788,3 +788,45 @@ def k4f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("k_char_class_profile", "K4", """
+SELECT lang,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g'))) AS DOUBLE)
+             / SUM(LENGTH(text)), 6) AS frac_alpha,
+       ROUND(CAST(SUM(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) AS DOUBLE)
+             / SUM(LENGTH(text)), 6) AS frac_digit,
+       ROUND(CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS DOUBLE)
+             / SUM(LENGTH(text)), 6) AS frac_space
+FROM documents
+WHERE LENGTH(text) > 0
+GROUP BY lang
+""", "Character-class profile per language: alpha/digit/whitespace "
+     "shares of the corpus - the cheap encoding-corruption and "
+     "boilerplate screen run before training (a lang bucket whose "
+     "digit share spikes is usually tables/logs, not prose). Class "
+     "counts come from length deltas under class-stripping "
+     "regexp_replace (the [A-Za-z]/[0-9] classes mean the same thing "
+     "in Java regex and RE2), summed as exact bigints per lang; each "
+     "share is one bigint/bigint divide. One scan, one small "
+     "shuffle - the plan a 100 TB profile run needs.")
+def k_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ln = F.length("text")
+    alpha = ln - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    digit = ln - F.length(F.regexp_replace("text", "[0-9]", ""))
+    space = ln - F.length(F.regexp_replace("text", " ", ""))
+    agg = d.groupBy("lang").agg(
+        F.sum(ln).cast("bigint").alias("total_chars"),
+        F.sum(alpha).alias("s_alpha"),
+        F.sum(digit).alias("s_digit"),
+        F.sum(space).alias("s_space"),
+    )
+    t = F.col("total_chars")
+    return agg.select(
+        "lang", "total_chars",
+        F.round(F.col("s_alpha").cast("double") / t, 6).alias("frac_alpha"),
+        F.round(F.col("s_digit").cast("double") / t, 6).alias("frac_digit"),
+        F.round(F.col("s_space").cast("double") / t, 6).alias("frac_space"),
+    )

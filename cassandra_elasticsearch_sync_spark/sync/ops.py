@@ -547,3 +547,43 @@ def l10_three_way_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = lww_merge(lww_merge(side_a(spark, sf_dir), side_b(spark, sf_dir)), c_side)
     return merged.select("key", "side", "price", fmt_ts("version").alias("version_s"))
+
+
+@register("l11_sync_lag_percentiles", "L7+D6", """
+WITH gaps AS (
+  SELECT event_type,
+         EPOCH_US(ts) - LAG(EPOCH_US(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(gap_us) AS n_gaps,
+       ROUND(QUANTILE_CONT(gap_us, 0.5) / 1000000.0, 6) AS p50_s,
+       ROUND(QUANTILE_CONT(gap_us, 0.95) / 1000000.0, 6) AS p95_s,
+       ROUND(MAX(gap_us) / 1000000.0, 6) AS max_s
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""", "Sync-health monitoring: inter-arrival gap percentiles per "
+     "change-stream partition (event_type stands in for the "
+     "token-range/shard) - the p95 lag panel every replication "
+     "pipeline alarms on. LAG over a window PARTITIONED by the "
+     "stream key (bounded per-key history), gaps in exact integer "
+     "microseconds (unix_micros/EPOCH_US agree because the session "
+     "TZ is pinned UTC), percentile interpolation on integers, one "
+     "final divide to seconds - every number bit-reproducible. "
+     "Same exact-percentile scale caveat as k_mad_outliers: per-key "
+     "multisets at the reducer; swap approx_percentile at 100 TB.")
+def l11_sync_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1000000.0, 6).alias("p50_s"),
+        F.round(F.percentile("gap_us", F.lit(0.95)) / 1000000.0, 6).alias("p95_s"),
+        F.round(F.max("gap_us") / 1000000.0, 6).alias("max_s"),
+    )
