@@ -488,3 +488,52 @@ def k_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("x").cast("double") / F.col("l2"), 6).alias("val"),
         )
     )
+
+
+@register("k3d_partitioned_knn_join", "K3", _K3_ORACLE,
+          "kNN JOIN with partition-local candidate pruning - the "
+          "scale-out upgrade of k3_cosine_topk's per-query window. "
+          "That window puts the WHOLE corpus in every query's "
+          "partition; here each scan partition first keeps only its "
+          "own top-k per query (window over (query, partition-id) - "
+          "bounded by partition size), so the global ranking then "
+          "runs over <= partitions x k candidates per query instead "
+          "of N. Pruning is lossless: a vector outside its "
+          "partition's top-k under (cos desc, id) cannot enter the "
+          "global top-k under the same total order, so the result "
+          "hash-matches the brute-force oracle exactly. The "
+          "partition-id column only shapes pruning, never the "
+          "output, so scan-split nondeterminism is invisible.")
+def k3d_partitioned_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normed(spark, sf_dir)
+    q = (
+        e.filter(F.expr(QUERY_FILTER))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    c = e.alias("c").join(F.broadcast(q).alias("q"), F.expr("c.vec_id <> q.qid"))
+    cos = F.round(
+        dot(F.col("q.qe"), F.col("c.embedding")) / (F.col("q.qn") * F.col("c.nrm")), 6
+    )
+    scored = c.select(
+        F.col("q.qid").alias("qid"),
+        F.col("c.vec_id").alias("cid"),
+        cos.alias("cos_sim"),
+        F.spark_partition_id().alias("pid"),
+    )
+    w_local = Window.partitionBy("qid", "pid").orderBy(
+        F.col("cos_sim").desc(), F.col("cid")
+    )
+    cand = (
+        scored.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= TOP_K)
+        .drop("lrk", "pid")
+    )
+    w_global = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_global).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -20,7 +20,8 @@ from cassandra_elasticsearch_sync_spark.session import get_spark
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BIG = "/tmp/ces_scale_smoke"
 PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
-         "k1_exact_dedup", "k2_minhash_lsh_pairs", "k3_cosine_topk")
+         "k1_exact_dedup", "k2_minhash_lsh_pairs", "k3_cosine_topk",
+         "e9_decile_by_segment", "k7e_cumulative_users", "c7b_interval_overlap_join")
 
 
 def main() -> None:
