@@ -118,3 +118,47 @@ def h4b_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.arrays_overlap("ta", "tb").alias("overlaps"),
         )
     )
+
+
+@register("h4c_higher_order_funcs", "H4", """
+SELECT vec_id,
+       LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_pos,
+       LIST_SUM(LIST_TRANSFORM(embedding,
+           x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) = LEN(embedding)
+         AS all_pos,
+       ROUND(CAST(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(FLOOR(ABS(CAST(x AS DOUBLE))
+                                 * 1099511627776.0) AS BIGINT)))
+             AS DOUBLE) / 1099511627776.0, 6) AS l1_norm,
+       LIST_INDEXOF(embedding, LIST_MAX(embedding)) AS argmax_dim
+FROM embeddings
+WHERE vec_id % 50 = 0
+""", "Higher-order array function family - filter (count of positive "
+     "components), forall (all-positive flag), transform+aggregate "
+     "(L1 norm via the 2^40 scale-and-floor exact-integer fold, same "
+     "trick as k_normalize_embeddings), and array_position+array_max "
+     "(argmax dimension). All evaluate inside the JVM row pipeline - "
+     "no UDF, no shuffle, no explode: the lambda-calculus subset of "
+     "the engine a feature-engineering user leans on per-vector at "
+     "100 TB. Exact parity: counts and argmax are integers; the L1 "
+     "fold sums exact bigints so the divide is bit-identical.")
+def h4c_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0)
+    scaled_abs = F.transform(
+        "embedding",
+        lambda x: F.floor(F.abs(x.cast("double")) * F.lit(1099511627776.0)).cast(
+            "bigint"
+        ),
+    )
+    l1 = (
+        F.aggregate(scaled_abs, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+        .cast("double") / F.lit(1099511627776.0)
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.forall("embedding", lambda x: x > 0).alias("all_pos"),
+        F.round(l1, 6).alias("l1_norm"),
+        F.array_position("embedding", F.array_max("embedding"))
+        .cast("bigint").alias("argmax_dim"),
+    )

@@ -830,3 +830,43 @@ def k_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_digit").cast("double") / t, 6).alias("frac_digit"),
         F.round(F.col("s_space").cast("double") / t, 6).alias("frac_space"),
     )
+
+
+@register("k_token_entropy", "K4", """
+WITH tok AS (
+  SELECT lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t FROM documents
+),
+cnt AS (
+  SELECT lang, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab,
+       ROUND(LN(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 6) AS entropy_nats
+FROM cnt
+GROUP BY lang
+""", "Shannon entropy of the unigram distribution per language - the "
+     "repetitiveness / diversity score a corpus report carries next "
+     "to the dup rate (boilerplate-heavy crawls show up as entropy "
+     "collapse). Uses H = ln N - (sum c*ln c)/N so both engines "
+     "compute logs of exact INTEGER counts (not of float "
+     "probabilities): each ln is one correctly-rounded IEEE op on "
+     "the same value and the c*ln(c) sum runs in the same "
+     "aggregation tree at 6-dp tolerance. Two hash aggregates on "
+     "(lang, token) then (lang) - the word-count plan, linear and "
+     "skew-free at any corpus size.")
+def k_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    cnt = tok.groupBy("lang", "t").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("double")
+    s = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    return cnt.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.round(F.log(n) - s / n, 6).alias("entropy_nats"),
+    )

@@ -82,3 +82,20 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, partitioned_ev
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, partitioned_events):
+    """Dynamic partition pruning: joining the partitioned fact to a
+    FILTERED tiny dimension must inject the dim's keys as a runtime
+    partition filter on the fact scan (dynamicpruning expression in
+    the plan) - at 100 TB this is what turns 'join against 3 of 500
+    event types' into a 3-directory scan without the user naming the
+    partitions."""
+    fact = spark.read.parquet(partitioned_events)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 9.9)],
+        "event_type string, weight double",
+    ).filter("weight > 0.6")
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
