@@ -870,3 +870,57 @@ def k_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("vocab"),
         F.round(F.log(n) - s / n, 6).alias("entropy_nats"),
     )
+
+
+@register("k_bigram_surprisal", "K4", """
+WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
+db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM tok, UNNEST(RANGE(1, LEN(t))) AS r(i)
+       WHERE LEN(t) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c2 GROUP BY w1)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND((SUM(LN(CAST(c1 AS DOUBLE))) - SUM(LN(CAST(c12 AS DOUBLE))))
+             / COUNT(*), 6) AS avg_nll
+FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+""", "Per-document surprisal under the corpus's own bigram LM: "
+     "avg -ln P(w2|w1) = (sum ln c(w1) - sum ln c(w1,w2)) / n - the "
+     "perplexity-proxy quality filter (high-surprisal docs are "
+     "gibberish/OCR noise, near-zero ones are boilerplate). No "
+     "smoothing needed: every doc bigram exists in the corpus it "
+     "came from. Scale shape: bigram explode -> count table "
+     "(distinct-bigram-sized) -> equi-join doc bigrams back, two "
+     "hash aggs + two joins, all on token keys. Float parity: logs "
+     "are taken of exact INTEGER counts only (one correctly-rounded "
+     "IEEE ln per term, same value both engines), summed per doc at "
+     "6-dp tolerance - same discipline as k_token_entropy.")
+def k_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    db = d.filter(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
+                "i -> struct(element_at(split(lower(text), ' '), i) AS w1, "
+                "            element_at(split(lower(text), ' '), i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = db.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        db.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                (
+                    F.sum(F.log(F.col("c1").cast("double")))
+                    - F.sum(F.log(F.col("c12").cast("double")))
+                ) / F.count("*"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

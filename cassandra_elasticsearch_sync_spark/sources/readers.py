@@ -184,3 +184,45 @@ def a4b_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_comment_len").alias("n_with_new_col"),
         F.coalesce(F.sum("o_comment_len"), F.lit(0)).cast("bigint").alias("sum_new_col"),
     )
+
+
+@register("a2b_token_range_scan", "A2", """
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS token
+  FROM orders
+)
+SELECT CAST(token // 144115188075855872 AS INT) AS token_range,
+       COUNT(*) AS n_rows,
+       MIN(token) AS min_token,
+       MAX(token) AS max_token
+FROM t
+GROUP BY 1
+""", "Token-range parallel scan - the semantic core of the Cassandra "
+     "source (A2): the partitioner hashes each partition key onto a "
+     "token ring, the ring splits into contiguous ranges, and each "
+     "executor scans one range independently (this is exactly how "
+     "the spark-cassandra-connector parallelizes, one Spark "
+     "partition per token range). Here the ring is the 60-bit "
+     "portable-hash space split into 8 equal ranges (2^60/8 = "
+     "144115188075855872); the per-range row counts prove the hash "
+     "spreads keys uniformly - the property that makes token-range "
+     "scans balance at 100 TB. No connector jar in this container; "
+     "the partitioning semantics are what is verifiable, and are.")
+def a2b_token_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    token = portable_hash60(F.col("o_orderkey").cast("string"))
+    return (
+        o.select(token.alias("token"))
+        .groupBy(
+            F.expr("token div 144115188075855872").cast("int").alias("token_range")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("token").alias("min_token"),
+            F.max("token").alias("max_token"),
+        )
+    )
