@@ -498,3 +498,56 @@ def c7b_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_overlap_pairs"),
         F.max(overlap_days).cast("bigint").alias("max_overlap_days"),
     )
+
+
+_C7C_ORACLE = """
+WITH probe AS (
+  SELECT event_id, ts FROM events WHERE user_id = 0
+)
+SELECT p.event_id, COUNT(*) AS n_nearby
+FROM probe p JOIN events e
+  ON e.event_id <> p.event_id
+ AND e.ts BETWEEN p.ts - INTERVAL 15 MINUTE AND p.ts + INTERVAL 15 MINUTE
+GROUP BY p.event_id
+"""
+
+
+@register("c7c_band_join_bucketed", "C7", _C7C_ORACLE,
+          "Band join (|t_a - t_b| <= 15 min) executed scale-safely: a "
+          "raw time-proximity theta-join is quadratic, so each probe "
+          "row is EXPANDED to its 15-minute bin and both neighbors "
+          "(3 rows), the corpus is keyed by its single bin, and the "
+          "band condition becomes one EQUI-join on the bin plus a "
+          "residual range filter - the standard bucketization that "
+          "turns every proximity join (time, price, geo-grid) into a "
+          "shuffle-on-key plan. Any corpus row is at most one bin "
+          "away from a matching probe, so expansion loses nothing; "
+          "the oracle is the direct theta-join.")
+def c7c_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    band_us = 15 * 60 * 1000000  # 15 min in microseconds
+    probe = (
+        ev.filter(F.col("user_id") == 0)
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.unix_micros("ts").alias("p_us"),
+        )
+        .withColumn("bin", F.explode(F.array(
+            F.expr(f"p_us div {band_us} - 1"),
+            F.expr(f"p_us div {band_us}"),
+            F.expr(f"p_us div {band_us} + 1"),
+        )))
+    )
+    corpus = ev.select(
+        F.col("event_id").alias("c_id"), F.unix_micros("ts").alias("c_us")
+    ).withColumn("bin", F.expr(f"c_us div {band_us}"))
+    joined = probe.join(corpus, "bin").filter(
+        (F.col("c_id") != F.col("p_id"))
+        & (F.col("c_us") >= F.col("p_us") - band_us)
+        & (F.col("c_us") <= F.col("p_us") + band_us)
+    )
+    return (
+        joined.select("p_id", "c_id").distinct()
+        .groupBy(F.col("p_id").alias("event_id"))
+        .agg(F.count("*").alias("n_nearby"))
+    )

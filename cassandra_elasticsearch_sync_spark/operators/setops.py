@@ -82,3 +82,22 @@ def g2b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _year_custkeys(spark, sf_dir, 1995).intersectAll(
         _year_custkeys(spark, sf_dir, 1996)
     )
+
+
+@register("g1c_union_distinct", "G1", """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+""", "UNION (distinct) - the dedup union completing the set-op "
+     "family: nations having a high-balance customer OR supplier. "
+     "Catalyst plans union-then-hash-aggregate, so the distinct "
+     "costs one shuffle of the (already filter-reduced) union - "
+     "pushdown reaches both scans.")
+def g1c_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
