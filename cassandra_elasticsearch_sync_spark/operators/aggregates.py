@@ -13,7 +13,7 @@ shuffle on a dense high-cardinality key, which AQE coalesces/splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
@@ -514,4 +514,40 @@ def d12_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.count_if(F.col("value") > 100).cast("double") / F.count("*"), 6
         ).alias("frac_high"),
+    )
+
+
+@register("d13_mode_per_group", "D11+D1", """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket AS modal_bucket, n AS modal_count
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, bucket) AS rn
+      FROM c)
+WHERE rn = 1
+""", "Deterministic per-group mode (most frequent value bucket): "
+     "count per (group, bucket), then the top row under the TOTAL "
+     "order (count desc, bucket asc) - never a bare mode() "
+     "aggregate, whose tie-breaking is engine-defined and would "
+     "hash-diverge. The ranking window runs over the AGGREGATED "
+     "count table (|groups| x |buckets| rows, bounded at any corpus "
+     "size), partitioned by group. floor(value/50) is exact on "
+     "doubles; counts are exact bigints.")
+def d13_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("bucket"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").alias("modal_bucket"),
+            F.col("n").alias("modal_count"),
+        )
     )

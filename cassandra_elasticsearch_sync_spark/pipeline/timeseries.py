@@ -443,3 +443,57 @@ def k7f_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(num / den, 6).alias("acf1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K7g: peak detection on the daily series
+# ---------------------------------------------------------------------------
+
+@register("k7g_peak_detection", "K7+E2", """
+WITH daily AS (
+  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS d, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+n AS (
+  SELECT event_type, d, c,
+         LAG(c)  OVER w AS prev_c,
+         LEAD(c) OVER w AS next_c
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day, c AS n_events
+FROM n
+WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+  AND c > prev_c AND c > next_c
+""", "Local-maximum (peak) detection on the daily event-count series "
+     "per type: a day strictly above both neighbors - the spike "
+     "screen behind incident review and seasonality checks. "
+     "Aggregate first (distributed), then LAG/LEAD over the "
+     "AGGREGATED (type, day) table partitioned by type; strict "
+     "integer comparisons, no thresholds to tune, no floats "
+     "anywhere.")
+def k7g_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    n = daily.select(
+        "event_type", "d", "c",
+        F.lag("c").over(w).alias("prev_c"),
+        F.lead("c").over(w).alias("next_c"),
+    )
+    return (
+        n.filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("c") > F.col("prev_c"))
+            & (F.col("c") > F.col("next_c"))
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("c").alias("n_events"),
+        )
+    )
