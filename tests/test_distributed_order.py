@@ -1,0 +1,78 @@
+"""Property tests for the skew-proof distributed-order primitives:
+with_grouped_order / with_grouped_ntile must agree with the naive
+single-task window on ANY input - including the shapes that break
+naive implementations (one giant group, empty input, all-ties,
+single-row groups)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+    with_global_ntile,
+    with_grouped_ntile,
+    with_grouped_order,
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),          # group key (skew-prone)
+        st.integers(min_value=-50, max_value=50),  # order value (ties likely)
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _df(spark, rows):
+    # (group, value, uid): uid makes the order total, as the contract
+    # requires.
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    return spark.createDataFrame(data, "g string, v int, uid int")
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=rows_strategy)
+def test_grouped_order_matches_naive_window(spark, rows):
+    df = _df(spark, rows)
+    order = [F.col("v"), F.col("uid")]
+    ours = {
+        (r.g, r.uid, r.rk)
+        for r in with_grouped_order(df, ["g"], order, rank_col="rk").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "uid")
+    naive = {
+        (r.g, r.uid, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert ours == naive
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=rows_strategy, n_buckets=st.sampled_from([1, 3, 7]))
+def test_grouped_ntile_matches_naive_window(spark, rows, n_buckets):
+    df = _df(spark, rows)
+    order = [F.col("v"), F.col("uid")]
+    ours = {
+        (r.g, r.uid, r.b)
+        for r in with_grouped_ntile(
+            df, ["g"], order, n_buckets, bucket_col="b"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "uid")
+    naive = {
+        (r.g, r.uid, r.b)
+        for r in df.withColumn("b", F.ntile(n_buckets).over(w)).collect()
+    }
+    assert ours == naive
+
+
+def test_global_ntile_empty_input(spark):
+    df = spark.createDataFrame([], "v int, uid int")
+    out = with_global_ntile(df, [F.col("v"), F.col("uid")], 4, bucket_col="b")
+    assert out.count() == 0
