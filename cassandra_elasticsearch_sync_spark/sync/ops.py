@@ -587,3 +587,84 @@ def l11_sync_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_us", F.lit(0.95)) / 1000000.0, 6).alias("p95_s"),
         F.round(F.max("gap_us") / 1000000.0, 6).alias("max_s"),
     )
+
+
+@register("l12_time_travel_read", "L1+A7", """
+WITH v1 AS (
+  SELECT o_orderkey AS key, o_orderpriority AS pri, o_totalprice AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+),
+ins2 AS (
+  SELECT o_orderkey AS key, o_orderpriority AS pri, o_totalprice AS price
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+),
+v2 AS (
+  SELECT key, pri,
+         CASE WHEN key % 100 = 0 THEN price * 1.1 ELSE price END AS price
+  FROM v1
+  UNION ALL
+  SELECT key, pri, price FROM ins2
+)
+SELECT pri, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(38,10))) AS DECIMAL(38,4))
+            AS DOUBLE) AS revenue
+FROM v2
+GROUP BY pri
+""", "Snapshot-versioned time travel: the store keeps every sync "
+     "cycle's full snapshot as an immutable version directory "
+     "(v1: pre-1995 orders; v2: + 1995-96 inserts and a 10% reprice "
+     "of every key%100==0 row; v3: everything) and a reader pins "
+     "version 2 - 'the table as of cycle 2', the audit/debug/"
+     "reproducibility read a lakehouse MERGE sink gives via Delta/"
+     "Iceberg snapshot IDs and this engine gives via its "
+     "snapshot-swap store layout (A7). The query round-trips v2 "
+     "through parquet and aggregates; the oracle reconstructs v2 "
+     "relationally - equality proves version isolation (no v3 rows "
+     "leak, updates-in-place at v2 visible). Writes are immutable "
+     "and version selection is planning-time directory choice, so "
+     "time travel costs nothing at read scale.")
+def l12_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderdate",
+    )
+    v1 = base.filter(F.expr("o_orderdate < TIMESTAMP_NTZ '1995-01-01 00:00:00'"))
+    ins2 = base.filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'")
+        & F.expr("o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    )
+    v2 = v1.withColumn(
+        "price",
+        F.when(F.col("key") % 100 == 0, F.col("price") * 1.1).otherwise(
+            F.col("price")
+        ),
+    ).unionByName(ins2)
+    v3 = v2.unionByName(
+        base.filter(F.expr("o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    )
+    root = tempfile.mkdtemp(prefix="ces_timetravel_")
+    try:
+        for ver, df in (("v1", v1), ("v2", v2), ("v3", v3)):
+            df.select("key", "pri", "price").write.mode("overwrite").parquet(
+                os.path.join(root, ver)
+            )
+        pinned = spark.read.parquet(os.path.join(root, "v2"))  # time travel
+        from cassandra_elasticsearch_sync_spark.parity import dsum
+
+        out = (
+            pinned.groupBy("pri")
+            .agg(F.count("*").alias("n"), dsum("price", 4).alias("revenue"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

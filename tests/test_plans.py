@@ -185,3 +185,41 @@ def test_grouped_ntile_matches_naive_window(spark):
     assert not re.search(
         r"windowspecdefinition\(o_orderpriority#\d+, o_totalprice", plan
     ), "found a window partitioned by the bare group key"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: a join where one key holds 90% of the
+    rows must come out of adaptive execution with the skewed
+    partition SPLIT (the SortMergeJoin node carries skew=true in the
+    final plan) - the runtime answer to hot keys at 100 TB when
+    salting wasn't applied up front. Thresholds are scaled down so
+    the sub-GB test input trips the same code path a hot production
+    partition would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0][0] == 180100  # 180k hot-key rows + 100 tail
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert any("skew=true" in line for line in plan.splitlines()), plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
