@@ -143,5 +143,9 @@ def _ensure_loaded() -> None:
         sketches,
     )
     from cassandra_elasticsearch_sync_spark.streaming import incremental, stateful  # noqa: F401
-    from cassandra_elasticsearch_sync_spark.sources import readers, es_query  # noqa: F401
+    from cassandra_elasticsearch_sync_spark.sources import (  # noqa: F401
+        es_query,
+        python_source,
+        readers,
+    )
     _LOADED = True

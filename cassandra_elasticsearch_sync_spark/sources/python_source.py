@@ -1,0 +1,119 @@
+"""Custom Python DataSource (Spark 4 DataSource-V2 Python API): the
+engine's pluggable-connector surface, demonstrated end-to-end.
+
+A production deployment points this API at Cassandra (token-range
+splits) or ES (slice-scroll splits); neither server exists in this
+container, so the registered demo source is a DETERMINISTIC CDC feed
+generator - but the mechanics are the real connector mechanics:
+
+- ``partitions()`` returns the split set; Spark schedules ONE TASK PER
+  SPLIT, exactly how the Cassandra connector maps token ranges and the
+  ES connector maps index slices to input partitions (a2b shows the
+  token math itself);
+- each ``read(partition)`` runs executor-side, yielding only its
+  split's rows - the driver never materializes the feed;
+- the source declares its schema up front (schema-on-connect, like a
+  CQL table or ES mapping).
+
+The demo feed is pure arithmetic on the sequence number, so every
+engine/run agrees row-for-row and the DuckDB oracle can reconstruct
+the identical feed relationally (RANGE + the same expressions) -
+giving a HASH-checked custom source, not just a smoke test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from cassandra_elasticsearch_sync_spark.registry import register
+
+N_EVENTS = 10000
+N_KEYS = 1000
+N_SPLITS = 8
+
+
+class _CdcFeedReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", N_EVENTS))
+        self.splits = int(options.get("splits", N_SPLITS))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.splits)]
+
+    def read(self, partition):
+        # Executor-side: yield only this split's slice of the feed.
+        for seq in range(partition.value, self.n, self.splits):
+            op = "D" if seq % 7 == 0 else "U"
+            price = float((seq * 31) % 9973) / 100.0
+            yield (seq, seq % N_KEYS, op, price)
+
+
+class CdcFeedSource(DataSource):
+    """spark.read.format("cdc_feed").option("n", ...).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_feed"
+
+    def schema(self) -> str:
+        return "seq bigint, key bigint, op string, price double"
+
+    def reader(self, schema):
+        return _CdcFeedReader(self.options)
+
+
+def register_cdc_source(spark: SparkSession) -> None:
+    # Re-registration under the same name is an overwrite, but stay
+    # defensive for driver sessions that pre-registered it.
+    try:
+        spark.dataSource.register(CdcFeedSource)
+    except Exception:
+        pass
+
+
+@register("a10_python_datasource_cdc", "A2+L4", f"""
+WITH seqs AS (SELECT UNNEST(RANGE(0, {N_EVENTS})) AS seq),
+cdc AS (
+  SELECT seq, seq % {N_KEYS} AS key,
+         CASE WHEN seq % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST((seq * 31) % 9973 AS DOUBLE) / 100.0 AS price
+  FROM seqs
+),
+latest AS (
+  SELECT key, ARG_MAX(op, seq) AS op, ARG_MAX(price, seq) AS price
+  FROM cdc GROUP BY key
+)
+SELECT COUNT(*) AS n_live,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS total_price
+FROM latest WHERE op = 'U'
+""", "Custom connector end-to-end: a Python DataSource (Spark 4 "
+     "DSv2 API - the socket a real Cassandra/ES connector plugs "
+     "into) emits a deterministic CDC feed across 8 executor-side "
+     "splits; the engine folds it to final state with the L-tier "
+     "semantics (latest op per key wins via max_by on the sequence, "
+     "deletes drop the key) and the DuckDB oracle reconstructs the "
+     "identical feed relationally - so the custom source is "
+     "HASH-verified, not just smoke-tested. One narrow scan (one "
+     "task per split, no driver materialization) + one partial-agg "
+     "shuffle on the key.")
+def a10_python_datasource_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_cdc_source(spark)
+    feed = (
+        spark.read.format("cdc_feed")
+        .option("n", N_EVENTS)
+        .option("splits", N_SPLITS)
+        .load()
+    )
+    latest = feed.groupBy("key").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("price", "seq").alias("price"),
+    )
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    return (
+        latest.filter(F.col("op") == "U")
+        .agg(F.count("*").alias("n_live"), dsum("price", 2).alias("total_price"))
+    )
