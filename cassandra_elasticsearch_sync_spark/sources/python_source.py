@@ -117,3 +117,78 @@ def a10_python_datasource_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest.filter(F.col("op") == "U")
         .agg(F.count("*").alias("n_live"), dsum("price", 2).alias("total_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Write side: an ES _bulk sink through the same DSv2 Python API
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _BulkCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path, self.n = path, n
+
+
+class _EsBulkWriter(DataSourceWriter):
+    """Renders each task's rows as the ES _bulk wire format (action
+    line + source line) into a task-private temp file; the DRIVER-side
+    commit() renames every temp file at once - the same two-phase
+    all-or-nothing contract a real bulk-HTTP sink needs for exactly-
+    once batches (write task-local, publish on global commit, delete
+    on abort). In production write() would POST its batch and return
+    the item statuses; the file form keeps it verifiable offline."""
+
+    def __init__(self, options):
+        self.dir = options["path"]
+        self.index = options.get("index", "docs")
+        self.id_col = options.get("id_col", "id")
+
+    def write(self, rows):
+        _os.makedirs(self.dir, exist_ok=True)
+        tmp = _os.path.join(self.dir, f"_tmp_{_uuid.uuid4().hex}.bulk")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in rows:
+                d = row.asDict()
+                f.write(_json.dumps(
+                    {"index": {"_index": self.index, "_id": str(d[self.id_col])}},
+                    sort_keys=True) + "\n")
+                f.write(_json.dumps(d, default=str, sort_keys=True) + "\n")
+                n += 1
+        return _BulkCommit(tmp, n)
+
+    def commit(self, messages):
+        for m in messages:
+            _os.rename(m.path, m.path.replace("_tmp_", "part_"))
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
+class EsBulkSink(DataSource):
+    """df.write.format("es_bulk_sink").option("path", dir)
+    .option("index", name).option("id_col", key).mode("append").save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "es_bulk_sink"
+
+    def writer(self, schema, overwrite):
+        return _EsBulkWriter(self.options)
+
+
+def register_bulk_sink(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(EsBulkSink)
+    except Exception:
+        pass
