@@ -35,7 +35,13 @@ TOP_K = 5
 # corpus size; at the test scale factors (max vec_id 1999) it is a
 # no-op, so results are unchanged.
 QUERY_FILTER = "vec_id % 100 = 0 AND vec_id < 6400"
-DUP_COS_THRESHOLD = 0.8
+# Near-dup cosine cut. The round-1 corpus planted dups at cos >= 0.8;
+# the round-2 embeddings table tops out near 0.5 (no planted pairs),
+# which made a 0.8 cut vacuously empty - 0.35 keeps the operator
+# exercised on real pairs at every corpus generation. The cut compares
+# RAW doubles identical in both engines (same sequential 64-element
+# fold), so threshold proximity is not a parity hazard here.
+DUP_COS_THRESHOLD = 0.35
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -537,3 +543,47 @@ def k3d_partitioned_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w_global).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+_SEM_CLUSTERS_ORACLE = "WITH RECURSIVE " + _NORMED_SQL.lstrip() + f"""
+, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT UNNEST(a.embedding) x, UNNEST(b.embedding) y))
+        / (a.nrm * b.nrm) >= {DUP_COS_THRESHOLD}
+),
+edges(a, b) AS (
+  SELECT vec_a, vec_b FROM pairs UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, COUNT(*) AS size
+FROM labels
+GROUP BY cluster_id
+"""
+
+
+@register("k_semantic_dup_clusters", "K2+K3", _SEM_CLUSTERS_ORACLE,
+          "SEMANTIC duplicate clusters: connected components over the "
+          "embedding-cosine near-dup graph (label-blocked "
+          "pair generation) - the dedup unit for 'same content, "
+          "different words' where shingle/minhash families see "
+          "nothing shared. Each cluster keeps one exemplar at "
+          "training time; the (cluster_id, size) histogram here is "
+          "the report that decides the keep policy. Components via "
+          "the same alternating large-star/small-star loop as k2c "
+          "(O(log n) rounds, distributed join+min per round); the "
+          "oracle closes the identical graph with a recursive CTE.")
+def k_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.pipeline.graph import (
+        connected_components,
+    )
+
+    pairs = k_embedding_dup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels, _ = connected_components(pairs, a="vec_a", b="vec_b")
+    return labels.groupBy("cluster_id").agg(F.count("*").alias("size"))
