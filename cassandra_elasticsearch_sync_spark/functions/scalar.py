@@ -245,3 +245,35 @@ def h3c_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).cast("int").alias("popcount"),
         F.when(k.bitwiseAND(1) == 1, "odd").otherwise("even").alias("parity"),
     )
+
+
+@register("h2c_calendar_funcs", "H2", """
+SELECT o_orderkey,
+       STRFTIME(LAST_DAY(o_orderdate), '%Y-%m-%d') AS month_end,
+       STRFTIME(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+       CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+       CAST(ISODOW(o_orderdate) AS INT) AS iso_dow,
+       CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                      LAST_DAY(o_orderdate)) AS INT) AS days_to_month_end
+FROM orders
+WHERE o_orderkey % 20 = 0
+""", "Calendar arithmetic family: month-end (LAST_DAY), calendar-"
+     "clamped month addition (Jan 31 + 1 month = Feb 28 in BOTH "
+     "engines - add_months / +INTERVAL MONTH share the clamp rule), "
+     "quarter, ISO day-of-week (Spark's weekday() is 0=Monday, "
+     "DuckDB's ISODOW 1=Monday - bridged with +1, never the "
+     "Sunday-anchored dayofweek() whose origin differs per engine), "
+     "and a day-countdown. All outputs are formatted dates or small "
+     "ints - no raw timestamps, per the parity rules. Narrow "
+     "projection, filter pushed to the scan.")
+def h2c_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+        F.quarter(d).cast("int").alias("qtr"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.datediff(F.last_day(d), d.cast("date")).cast("int").alias("days_to_month_end"),
+    )

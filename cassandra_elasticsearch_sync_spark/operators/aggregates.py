@@ -551,3 +551,29 @@ def d13_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_count"),
         )
     )
+
+
+_TABLES_ALL = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings")
+
+_UTIL_COUNTS_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS tbl, COUNT(*) AS n FROM {t}" for t in _TABLES_ALL
+)
+
+
+@register("util_table_counts", "A1+G1", _UTIL_COUNTS_ORACLE,
+          "Catalog sweep: row count of every table the engine serves, "
+          "as one union plan - the smoke query a migration runs first "
+          "(and proof the catalog module loads all ten tables). Each "
+          "branch is a metadata-cheap count-star scan; parquet "
+          "footers make these near-free at any scale.")
+def util_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t in _TABLES_ALL:
+        c = (
+            load_table(spark, sf_dir, t)
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(t).alias("tbl"), "n")
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
