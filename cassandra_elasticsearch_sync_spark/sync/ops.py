@@ -668,3 +668,73 @@ def l12_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register("l13_checksum_reconciliation", "L1+H7", _SIDES_SQL + """
+, ha AS (
+  SELECT key % 64 AS bucket,
+         CAST(('0x' || SUBSTR(MD5(
+             CAST(key AS VARCHAR) || '|' ||
+             CAST(CAST(price AS DECIMAL(14,2)) AS VARCHAR) || '|' ||
+             STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S')
+           ), 1, 15)) AS BIGINT) AS rh
+  FROM side_a
+),
+hb AS (
+  SELECT key % 64 AS bucket,
+         CAST(('0x' || SUBSTR(MD5(
+             CAST(key AS VARCHAR) || '|' ||
+             CAST(CAST(price AS DECIMAL(14,2)) AS VARCHAR) || '|' ||
+             STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S')
+           ), 1, 15)) AS BIGINT) AS rh
+  FROM side_b
+),
+ca AS (SELECT bucket, BIT_XOR(rh) AS sig, COUNT(*) AS n FROM ha GROUP BY bucket),
+cb AS (SELECT bucket, BIT_XOR(rh) AS sig, COUNT(*) AS n FROM hb GROUP BY bucket)
+SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+       COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b,
+       (ca.sig IS NOT NULL AND cb.sig IS NOT NULL AND ca.sig = cb.sig
+        AND ca.n = cb.n) AS in_sync
+FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+""", "Checksum reconciliation (anti-entropy): instead of shipping "
+     "both stores to compare row-by-row, each side reduces every "
+     "key bucket to an order-independent XOR of portable row "
+     "hashes; only the per-bucket (signature, count) pairs - 64 "
+     "tiny rows per store, whatever the data size - cross the "
+     "network, and a signature mismatch marks the bucket for "
+     "targeted repair. This is Cassandra's Merkle-tree repair / "
+     "DynamoDB anti-entropy shape, one level deep; nesting the "
+     "same reduction gives the full tree. The row hash covers "
+     "key, 2-dp price and second-truncated version through the "
+     "engine's portable md5-60 (identical in both engines); XOR "
+     "is commutative so no ordering is ever needed.")
+def l13_checksum_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
+
+    def bucketed_sig(df: DataFrame) -> DataFrame:
+        payload = F.concat_ws(
+            "|",
+            F.col("key").cast("string"),
+            F.col("price").cast("decimal(14,2)").cast("string"),
+            fmt_ts("version"),
+        )
+        return (
+            df.select((F.col("key") % 64).alias("bucket"),
+                      portable_hash60(payload).alias("rh"))
+            .groupBy("bucket")
+            .agg(F.expr("bit_xor(rh)").alias("sig"), F.count("*").alias("n"))
+        )
+    ca = bucketed_sig(side_a(spark, sf_dir)).alias("ca")
+    cb = bucketed_sig(side_b(spark, sf_dir)).alias("cb")
+    j = ca.join(cb, F.col("ca.bucket") == F.col("cb.bucket"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("ca.bucket"), F.col("cb.bucket")).alias("bucket"),
+        F.coalesce(F.col("ca.n"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("cb.n"), F.lit(0)).alias("n_b"),
+        (
+            F.col("ca.sig").isNotNull()
+            & F.col("cb.sig").isNotNull()
+            & (F.col("ca.sig") == F.col("cb.sig"))
+            & (F.col("ca.n") == F.col("cb.n"))
+        ).alias("in_sync"),
+    )
