@@ -469,3 +469,53 @@ def k_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register("k_vocab_coverage", "K4+F1", """
+WITH tok AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t FROM documents
+),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM cnt
+)
+SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS cov_100,
+       ROUND(CAST(SUM(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS cov_1000,
+       ROUND(CAST(SUM(CASE WHEN rk <= 5000 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS cov_5000
+FROM ranked
+""", "Tokenizer vocabulary coverage curve: what fraction of all "
+     "corpus tokens the top-100/1k/5k vocabulary entries absorb - "
+     "the number that decides vocab size before training a "
+     "tokenizer (the UNK-rate budget). Token counts aggregate "
+     "distributedly; the frequency ranking runs over the "
+     "VOCAB-sized count table through the two-pass global order "
+     "(no single-partition window, same primitive as "
+     "k_build_vocab); coverages are exact bigint ratios.")
+def k_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
+    ranked, _ = with_global_order(
+        cnt, [F.col("c").desc(), F.col("t")], rank_col="rk"
+    )
+    cov = lambda k: F.round(
+        F.sum(F.when(F.col("rk") <= k, F.col("c")).otherwise(0)).cast("double")
+        / F.sum("c"),
+        6,
+    )
+    return ranked.agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        cov(100).alias("cov_100"),
+        cov(1000).alias("cov_1000"),
+        cov(5000).alias("cov_5000"),
+    )
