@@ -197,6 +197,8 @@ def with_grouped_order(
     group_cols: list[str],
     order_exprs: list[Column],
     rank_col: str = "rank",
+    cumsum_of: str | None = None,
+    cumsum_col: str | None = None,
 ) -> DataFrame:
     """Exact per-group ``row_number`` WITHOUT putting any group on a
     single partition.
@@ -222,28 +224,44 @@ def with_grouped_order(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _last_persisted.append(rp)
-    stats = rp.groupBy(_PID, *group_cols).count().collect()
-    # Offsets: rows of the same group in earlier (lower-pid) partitions.
+    aggs = [F.count("*").alias("count")]
+    if cumsum_of is not None:
+        aggs.append(F.sum(cumsum_of).alias("_gsum"))
+    stats = rp.groupBy(_PID, *group_cols).agg(*aggs).collect()
+    # Offsets: rows (and sums) of the same group in earlier (lower-pid)
+    # partitions.
     per_group_running: dict[tuple, int] = {}
+    per_group_sum: dict[tuple, int] = {}
     rows = []
     for r in sorted(stats, key=lambda r: r[_PID]):
         key = tuple(r[g] for g in group_cols)
         off = per_group_running.get(key, 0)
-        rows.append((r[_PID], *key, off))
+        soff = per_group_sum.get(key, 0)
+        rows.append((r[_PID], *key, off, soff))
         per_group_running[key] = off + r["count"]
+        if cumsum_of is not None:
+            per_group_sum[key] = soff + (r["_gsum"] or 0)
     spark = df.sparkSession
     if not rows:
-        return rp.drop(_PID).withColumn(rank_col, F.lit(None).cast("long"))
+        out = rp.drop(_PID).withColumn(rank_col, F.lit(None).cast("long"))
+        if cumsum_col:
+            out = out.withColumn(cumsum_col, F.lit(None).cast("long"))
+        return out
     gschema = ", ".join(
         f"`{g}` {dict(df.dtypes)[g]}" for g in group_cols
     )
     offsets = spark.createDataFrame(
-        rows, schema=f"{_PID} int, {gschema}, {_ROFF} long"
+        rows, schema=f"{_PID} int, {gschema}, {_ROFF} long, {_SOFF} long"
     )
     w = Window.partitionBy(_PID, *group_cols).orderBy(*order_exprs)
     out = rp.join(F.broadcast(offsets), [_PID, *group_cols])
     out = out.withColumn(rank_col, F.row_number().over(w) + F.col(_ROFF))
-    return out.drop(_PID, _ROFF)
+    if cumsum_col:
+        run = F.sum(cumsum_of).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(cumsum_col, run + F.col(_SOFF))
+    return out.drop(_PID, _ROFF, _SOFF)
 
 
 def with_grouped_ntile(

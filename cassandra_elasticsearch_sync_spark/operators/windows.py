@@ -364,3 +364,71 @@ def e9_decile_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         lsum("o_totalprice", 2).alias("revenue"),
     )
+
+
+@register("e10_pareto_revenue_share", "E3+D1", """
+WITH o AS (
+  SELECT o_orderpriority AS pri, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+c AS (
+  SELECT pri, o_orderkey, cents,
+         SUM(cents) OVER (PARTITION BY pri
+                          ORDER BY cents DESC, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cents,
+         ROW_NUMBER() OVER (PARTITION BY pri
+                            ORDER BY cents DESC, o_orderkey) AS rk,
+         SUM(cents) OVER (PARTITION BY pri) AS tot_cents,
+         COUNT(*) OVER (PARTITION BY pri) AS n
+  FROM o
+)
+SELECT pri,
+       CAST(MIN(rk) AS BIGINT) AS orders_to_half_revenue,
+       ROUND(CAST(MIN(rk) AS DOUBLE) / MIN(n), 6) AS frac_of_orders
+FROM c
+WHERE cum_cents * 2 >= tot_cents
+GROUP BY pri
+""", "Pareto concentration report: per priority class, how many of "
+     "the largest orders carry HALF the class revenue (and what "
+     "fraction of the order count that is) - the 80/20 skew check "
+     "run before capacity planning. The cumulative revenue is the "
+     "GROUPED two-pass cumsum (with_grouped_order + cumsum: "
+     "range-partitioned, per-(partition,group) windows, broadcast "
+     "offsets - no group ever pinned to one task); revenue is exact "
+     "scaled-long cents so the half-total comparison is pure "
+     "integer arithmetic. The oracle's naive partitioned window "
+     "hash-matches it bit-for-bit.")
+def e10_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_grouped_order,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    cum = with_grouped_order(
+        o, ["pri"],
+        [F.col("cents").desc(), F.col("o_orderkey")],
+        rank_col="rk", cumsum_of="cents", cumsum_col="cum_cents",
+    )
+    totals = cum.groupBy("pri").agg(
+        F.sum("cents").alias("tot_cents"), F.count("*").alias("n")
+    )
+    j = cum.join(F.broadcast(totals), "pri").filter(
+        F.col("cum_cents") * 2 >= F.col("tot_cents")
+    )
+    half = j.groupBy("pri").agg(
+        F.min("rk").cast("bigint").alias("orders_to_half_revenue"),
+        F.min("n").alias("n"),
+    )
+    return half.select(
+        "pri",
+        "orders_to_half_revenue",
+        F.round(
+            F.col("orders_to_half_revenue").cast("double") / F.col("n"), 6
+        ).alias("frac_of_orders"),
+    )

@@ -497,3 +497,59 @@ def k7g_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K7h: day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+@register("k7h_dow_seasonality", "K7+D1", """
+WITH daily AS (
+  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS d, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+dow AS (
+  SELECT event_type, CAST(ISODOW(d) AS INT) AS iso_dow,
+         SUM(c) AS tot, COUNT(*) AS n_days
+  FROM daily GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, SUM(tot) AS g_tot, SUM(n_days) AS g_days
+  FROM dow GROUP BY event_type
+)
+SELECT dow.event_type, iso_dow, CAST(tot AS BIGINT) AS n_events,
+       ROUND((CAST(tot AS DOUBLE) / n_days)
+             / (CAST(g_tot AS DOUBLE) / g_days), 6) AS seasonal_index
+FROM dow JOIN base ON dow.event_type = base.event_type
+""", "Day-of-week seasonality index per event_type: mean events on "
+     "each ISO weekday divided by the overall daily mean - index "
+     "1.2 on Mondays means 20% above trend, the profile that feeds "
+     "capacity planning and the denominator for seasonally-adjusted "
+     "anomaly checks. Two nested aggregates (daily, then weekday) "
+     "plus a broadcast of the per-type baseline; the index divides "
+     "two exact-integer ratios in a fixed IEEE order, so 6-dp "
+     "rounding is cosmetic. Weekday via ISODOW both sides (never "
+     "the Sunday-anchored dayofweek whose origin is engine-"
+     "defined).")
+def k7h_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    dow = daily.groupBy(
+        "event_type", (F.weekday("d") + 1).cast("int").alias("iso_dow")
+    ).agg(F.sum("c").alias("tot"), F.count("*").alias("n_days"))
+    base = dow.groupBy("event_type").agg(
+        F.sum("tot").alias("g_tot"), F.sum("n_days").alias("g_days")
+    )
+    j = dow.join(F.broadcast(base), "event_type")
+    return j.select(
+        "event_type", "iso_dow",
+        F.col("tot").cast("bigint").alias("n_events"),
+        F.round(
+            (F.col("tot").cast("double") / F.col("n_days"))
+            / (F.col("g_tot").cast("double") / F.col("g_days")),
+            6,
+        ).alias("seasonal_index"),
+    )
