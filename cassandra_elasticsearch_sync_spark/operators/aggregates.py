@@ -577,3 +577,36 @@ def util_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = c if out is None else out.unionByName(c)
     return out
+
+
+@register("d14_weighted_avg", "D2", """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT))
+            AS DOUBLE) / 100.0
+         AS weighted_price_mass,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT))
+                  AS DOUBLE)
+             / 100.0 / SUM(l_quantity), 6) AS qty_weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""", "Quantity-weighted average price per return flag - the "
+     "weighted-mean aggregate every pricing/quality pipeline needs "
+     "(plain avg() over line items would over-weight small lines). "
+     "The weighted mass sums exactly as scaled longs (price has 2 "
+     "decimals, quantity is integral, so price*qty*100 is integer-"
+     "valued in double and both engines round it to the same long); "
+     "the denominator sum of integral quantities is exact in "
+     "double; one divide at the end. Single scan, partial-agg "
+     "shuffle of |flags| rows.")
+def d14_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    mass = (
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_quantity") * 100, 0)
+            .cast("bigint")
+        ).cast("double") / 100.0
+    )
+    return li.groupBy("l_returnflag").agg(
+        mass.alias("weighted_price_mass"),
+        F.round(mass / F.sum("l_quantity"), 6).alias("qty_weighted_avg_price"),
+    )

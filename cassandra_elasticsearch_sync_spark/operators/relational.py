@@ -551,3 +551,36 @@ def c7c_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_id").alias("event_id"))
         .agg(F.count("*").alias("n_nearby"))
     )
+
+
+@register("c10_relational_division", "C4+D3", """
+SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey IN (
+  SELECT o_custkey FROM orders
+  GROUP BY o_custkey
+  HAVING COUNT(DISTINCT o_orderpriority) = 5
+)
+GROUP BY o_custkey
+""", "Relational DIVISION ('customers who have ordered under ALL "
+     "five priority classes'): the universal-quantifier query shape "
+     "(suppliers covering every region, users hitting every "
+     "funnel step). Expressed as group + count-distinct == |domain| "
+     "+ semi-join back - one aggregate and one equi-join, instead "
+     "of the textbook double-NOT-EXISTS whose nested correlated "
+     "anti-joins Catalyst cannot decorrelate as cheaply. The "
+     "count-distinct here is over a 5-value column - partial "
+     "aggregation collapses it map-side.")
+def c10_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    covering = (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("np"))
+        .filter(F.col("np") == 5)
+        .select("o_custkey")
+    )
+    return (
+        o.join(covering, "o_custkey", "left_semi")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
