@@ -101,3 +101,33 @@ def g1c_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(s.select(F.col("s_nationkey").alias("nationkey")))
         .distinct()
     )
+
+
+@register("g4_symmetric_difference", "G3+L1", """
+WITH a AS (SELECT o_orderkey AS key FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+b AS (SELECT o_orderkey AS key FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+SELECT 'a_only' AS side, key FROM (SELECT key FROM a EXCEPT SELECT key FROM b)
+UNION ALL
+SELECT 'b_only' AS side, key FROM (SELECT key FROM b EXCEPT SELECT key FROM a)
+""", "Symmetric difference with side labels - the reconciliation "
+     "set report ('keys only in the recent window' vs 'keys only "
+     "in the urgent class') that completes the set-op family; "
+     "l13's checksums say WHICH buckets diverge, this says WHICH "
+     "KEYS. Two left-anti joins under the hood, each shuffling "
+     "only its filtered side; both filters reach the scans.")
+def g4_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    ).select(F.col("o_orderkey").alias("key"))
+    b = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_orderkey").alias("key"))
+    return (
+        a.exceptAll(b).distinct().select(F.lit("a_only").alias("side"), "key")
+        .unionByName(
+            b.exceptAll(a).distinct().select(F.lit("b_only").alias("side"), "key")
+        )
+    )

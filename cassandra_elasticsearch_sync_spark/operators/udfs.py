@@ -160,3 +160,45 @@ def j7_sql_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c_custkey, seg_key(c_mktsegment, c_nationkey) AS seg_key FROM _j7_customer"
     )
+
+
+@register("j8_cogroup_apply_in_pandas", "J4+C3", """
+WITH early AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey
+),
+late AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY o_custkey
+)
+SELECT COALESCE(early.o_custkey, late.o_custkey) AS custkey,
+       COALESCE(early.n, 0) AS n_early,
+       COALESCE(late.n, 0) AS n_late
+FROM early FULL OUTER JOIN late ON early.o_custkey = late.o_custkey
+""", "Cogrouped applyInPandas (the J-tier API j4 does not touch): "
+     "TWO DataFrames cogrouped on the key, each key's pair of "
+     "pandas frames handed to one Python function - the shape for "
+     "custom cross-source per-key logic (era-over-era comparison, "
+     "pandas-side as-of merges, per-key reconciliation that needs "
+     "imperative code). Arrow moves both sides; the function here "
+     "counts each era, and the oracle's full-outer-join of two "
+     "aggregates must match exactly - including keys present in "
+     "only one era (one of the two frames arrives EMPTY, the edge "
+     "case this API is prone to getting wrong).")
+def j8_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    early = o.filter(
+        F.expr("o_orderdate < TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+    ).select("o_custkey", "o_orderkey")
+    late = o.filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+    ).select("o_custkey", "o_orderkey")
+
+    def era_counts(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": [key[0]], "n_early": [len(left)], "n_late": [len(right)]}
+        )
+
+    return early.groupBy("o_custkey").cogroup(late.groupBy("o_custkey")).applyInPandas(
+        era_counts, "custkey bigint, n_early bigint, n_late bigint"
+    )

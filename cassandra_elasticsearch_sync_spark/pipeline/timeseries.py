@@ -553,3 +553,66 @@ def k7h_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K7i: two-sample Kolmogorov-Smirnov drift statistic
+# ---------------------------------------------------------------------------
+
+@register("k7i_ks_drift", "K7+D6", """
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('click', 'view')
+),
+v AS (
+  SELECT value,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS n1,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS n2
+  FROM s GROUP BY value
+),
+c AS (
+  SELECT SUM(n1) OVER w AS c1, SUM(n2) OVER w AS c2
+  FROM v WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+),
+t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM v)
+SELECT ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)), 6)
+         AS ks_d,
+       CAST(t1 AS BIGINT) AS n_click,
+       CAST(t2 AS BIGINT) AS n_view
+FROM c, t GROUP BY t1, t2
+""", "Two-sample Kolmogorov-Smirnov statistic between the click and "
+     "view value distributions - THE nonparametric drift test a "
+     "monitoring pipeline runs between yesterday's and today's "
+     "feature distribution. Exact despite ties: per-VALUE counts "
+     "aggregate first (distinct-value-sized table), both empirical "
+     "CDFs come from ONE two-pass distributed cumsum with the two "
+     "counts packed into a single long (n1*2^32 + n2 - exact while "
+     "each sample stays under 2^31 rows; unpack via div/mod), and "
+     "D = max |F1-F2| is an aggregate over identical doubles in "
+     "both engines. No single-partition window at any scale; the "
+     "oracle's naive global window hash-matches it.")
+def k7i_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    P = 4294967296  # 2^32
+    v = ev.groupBy("value").agg(
+        F.count_if(F.col("event_type") == "click").alias("n1"),
+        F.count_if(F.col("event_type") == "view").alias("n2"),
+    ).withColumn("packed", F.col("n1") * P + F.col("n2"))
+    cum, totals = with_global_order(
+        v, [F.col("value")], cumsum_of="packed", cumsum_col="cum_packed"
+    )
+    t1, t2 = totals["sum"] // P, totals["sum"] % P
+    c1 = F.expr(f"cum_packed div {P}").cast("double")
+    c2 = (F.col("cum_packed") % P).cast("double")
+    d = F.abs(c1 / F.lit(float(t1)) - c2 / F.lit(float(t2)))
+    return cum.agg(
+        F.round(F.max(d), 6).alias("ks_d"),
+        F.lit(t1).cast("bigint").alias("n_click"),
+        F.lit(t2).cast("bigint").alias("n_view"),
+    )
