@@ -616,3 +616,58 @@ def k7i_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(t1).cast("bigint").alias("n_click"),
         F.lit(t2).cast("bigint").alias("n_view"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K7j: Population Stability Index (bucketed drift)
+# ---------------------------------------------------------------------------
+
+@register("k7j_psi_drift", "K7+D1", """
+WITH s AS (
+  SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket
+  FROM events WHERE event_type IN ('click', 'view')
+),
+b AS (
+  SELECT bucket,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS c1,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS c2
+  FROM s GROUP BY bucket
+),
+t AS (SELECT SUM(c1) AS t1, SUM(c2) AS t2 FROM b)
+SELECT ROUND(SUM((CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)
+                 * (LN(CAST(c1 AS DOUBLE) * t2)
+                    - LN(CAST(c2 AS DOUBLE) * t1))), 6) AS psi,
+       COUNT(*) AS n_buckets
+FROM b, t
+WHERE c1 > 0 AND c2 > 0
+GROUP BY ()
+""", "Population Stability Index between the click and view value "
+     "distributions over fixed-width buckets - the scorecard-"
+     "monitoring drift metric (PSI > 0.25 = investigate) that "
+     "complements k7i's KS: PSI weights every bucket, KS takes the "
+     "worst point. ln(p1/p2) is computed as ln(c1*t2) - ln(c2*t1): "
+     "logs of EXACT integer products (each < 2^53), one correctly-"
+     "rounded IEEE op per term in both engines - never a log of a "
+     "pre-divided float ratio. Zero-count buckets are excluded "
+     "(standard practice; the alternative epsilon-smoothing is a "
+     "one-line change). One aggregate over the bucket table; "
+     "bucket count is bounded by the value range at any scale.")
+def k7j_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    b = ev.groupBy(
+        F.floor(F.col("value") / 50).cast("bigint").alias("bucket")
+    ).agg(
+        F.count_if(F.col("event_type") == "click").alias("c1"),
+        F.count_if(F.col("event_type") == "view").alias("c2"),
+    )
+    t = b.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    j = b.crossJoin(F.broadcast(t)).filter((F.col("c1") > 0) & (F.col("c2") > 0))
+    c1d, c2d = F.col("c1").cast("double"), F.col("c2").cast("double")
+    t1d, t2d = F.col("t1").cast("double"), F.col("t2").cast("double")
+    term = (c1d / t1d - c2d / t2d) * (F.log(c1d * t2d) - F.log(c2d * t1d))
+    return j.agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        F.count("*").alias("n_buckets"),
+    )
