@@ -432,3 +432,52 @@ def e10_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("orders_to_half_revenue").cast("double") / F.col("n"), 6
         ).alias("frac_of_orders"),
     )
+
+
+@register("e11_churn_gaps", "E2+D1", """
+WITH g AS (
+  SELECT o_orderpriority,
+         DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                   CAST(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate,
+                                                         o_orderkey) AS DATE))
+           AS gap_days
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(gap_days) AS n_gaps,
+       CAST(SUM(CASE WHEN gap_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churn_gaps,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+       ROUND(CAST(SUM(CASE WHEN gap_days > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(gap_days), 6) AS churn_gap_rate
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY o_orderpriority
+""", "Churn-gap detection: per customer, the day gap to their NEXT "
+     "order (LEAD over a window partitioned by the high-cardinality "
+     "customer key - bounded per-key history, scale-safe), then the "
+     "share of gaps exceeding 90 days per priority class - the "
+     "dormancy signal a retention model trains on. Integer day "
+     "arithmetic end to end; the rate divides two exact bigints. "
+     "Ordering is total via (orderdate, orderkey).")
+def e11_churn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_orderpriority",
+        F.datediff(
+            F.lead("o_orderdate").over(w).cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return g.groupBy("o_orderpriority").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.sum(F.when(F.col("gap_days") > 90, 1).otherwise(0))
+        .cast("bigint").alias("n_churn_gaps"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.round(
+            F.sum(F.when(F.col("gap_days") > 90, 1).otherwise(0)).cast("double")
+            / F.count("gap_days"),
+            6,
+        ).alias("churn_gap_rate"),
+    )

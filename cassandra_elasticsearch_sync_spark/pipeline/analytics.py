@@ -519,3 +519,58 @@ def k_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov(1000).alias("cov_1000"),
         cov(5000).alias("cov_5000"),
     )
+
+
+@register("k_temporal_split", "K1+D6", """
+WITH d AS (
+  SELECT event_type, value,
+         CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+  FROM events
+),
+cut AS (
+  SELECT MAX(day) AS cutoff FROM (
+    SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rk,
+           COUNT(*) OVER () AS n
+    FROM (SELECT DISTINCT day FROM d)
+  ) WHERE rk <= CEIL(0.8 * n)
+)
+SELECT event_type,
+       CASE WHEN day <= cutoff THEN 'train' ELSE 'eval' END AS split,
+       COUNT(*) AS n,
+       STRFTIME(MIN(day), '%Y-%m-%d') AS first_day,
+       STRFTIME(MAX(day), '%Y-%m-%d') AS last_day
+FROM d, cut
+GROUP BY 1, 2
+""", "TEMPORAL train/eval split: cutoff at the 80th-percentile "
+     "DISTINCT day, train = everything at or before it - the "
+     "leakage-safe complement to the hash split "
+     "(k_train_val_test): models evaluated on the future, never on "
+     "interleaved samples of the same period. The cutoff is the "
+     "ceil(0.8*n)-th distinct day - a discrete rank statistic "
+     "(exact, no interpolation, it IS one of the days) computed "
+     "over the distinct-day list, which is CALENDAR-bounded (a few "
+     "thousand rows after decades), so collecting it to the driver "
+     "is a metadata step, same as the two-pass partition stats; "
+     "the literal cutoff then labels one scan. Split sizes and era "
+     "boundaries per event_type are the audit output.")
+def k_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", "value", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    import math
+
+    days = sorted(r.day for r in d.select("day").distinct().collect())
+    cutoff = days[math.ceil(0.8 * len(days)) - 1]
+    return (
+        d.withColumn(
+            "split",
+            F.when(F.col("day") <= F.lit(cutoff), "train").otherwise("eval"),
+        )
+        .groupBy("event_type", "split")
+        .agg(
+            F.count("*").alias("n"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        )
+    )
