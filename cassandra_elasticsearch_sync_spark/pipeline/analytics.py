@@ -574,3 +574,38 @@ def k_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
         )
     )
+
+
+@register("k_apdex_score", "K4+D2", """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_satisfied,
+       CAST(SUM(CASE WHEN value > 100 AND value <= 400 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tolerating,
+       ROUND((CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS DOUBLE)
+              + 0.5 * SUM(CASE WHEN value > 100 AND value <= 400
+                               THEN 1 ELSE 0 END))
+             / COUNT(*), 6) AS apdex
+FROM events
+GROUP BY event_type
+""", "Apdex score per event_type (value read as a latency: "
+     "satisfied <= T, tolerating <= 4T, frustrated beyond) - the "
+     "industry-standard user-satisfaction rollup for service "
+     "monitoring, and the canonical 'conditional aggregate with a "
+     "weighted numerator' shape. The 0.5 weight is an exact binary "
+     "fraction over exact bigint counts, so the score is one "
+     "deterministic IEEE divide in both engines. Single scan, "
+     "|types|-row shuffle.")
+def k_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sat = F.sum(F.when(F.col("value") <= 100, 1).otherwise(0))
+    tol = F.sum(
+        F.when((F.col("value") > 100) & (F.col("value") <= 400), 1).otherwise(0)
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        sat.cast("bigint").alias("n_satisfied"),
+        tol.cast("bigint").alias("n_tolerating"),
+        F.round((sat.cast("double") + 0.5 * tol) / F.count("*"), 6).alias("apdex"),
+    )
