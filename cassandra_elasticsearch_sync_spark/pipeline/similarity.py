@@ -587,3 +587,92 @@ def k_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = k_embedding_dup_pairs(spark, sf_dir).select("vec_a", "vec_b")
     labels, _ = connected_components(pairs, a="vec_a", b="vec_b")
     return labels.groupBy("cluster_id").agg(F.count("*").alias("size"))
+
+
+_NDCG_ORACLE = "WITH " + _NORMED_SQL + f"""
+, q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, nrm AS qn
+        FROM e WHERE {QUERY_FILTER})
+, p AS (SELECT qid, qlabel, e.vec_id AS cid, e.label AS clabel,
+               ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                      FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+                     / (qn * e.nrm), 6) AS cos_sim
+        FROM q, e WHERE e.vec_id <> qid)
+, top AS (
+  SELECT qid, CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS rel, rn
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, cid) AS rn FROM p)
+  WHERE rn <= {TOP_K}
+),
+ideal AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, rn) AS irn,
+         rn
+  FROM top
+),
+g AS (
+  SELECT qid,
+         SUM(CAST(rel AS DOUBLE) / LOG2(CAST(rn + 1 AS DOUBLE))) AS dcg,
+         SUM(CAST(rel AS DOUBLE) / LOG2(CAST(irn + 1 AS DOUBLE))) AS idcg,
+         CAST(SUM(rel) AS BIGINT) AS n_relevant
+  FROM ideal GROUP BY qid
+)
+SELECT qid, n_relevant,
+       ROUND(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+FROM g
+""".replace("LOG2(CAST(rn + 1 AS DOUBLE))",
+            "(LN(CAST(rn + 1 AS DOUBLE)) / LN(2.0))").replace(
+            "LOG2(CAST(irn + 1 AS DOUBLE))",
+            "(LN(CAST(irn + 1 AS DOUBLE)) / LN(2.0))")
+
+
+@register("k3e_ndcg_eval", "K3+D5", _NDCG_ORACLE,
+          "Search-quality evaluation: NDCG@5 per query over the "
+          "brute-force cosine top-5, with relevance = label match - "
+          "the offline ranking metric every retrieval pipeline "
+          "reports before swapping an ANN index in. DCG uses "
+          "ln(rank+1)/ln(2) so both engines take logs of the same "
+          "small INTEGERS (one correctly-rounded op each, identical "
+          "ulp) rather than a library log2 whose rounding is "
+          "implementation-defined; the ideal ordering re-ranks the "
+          "same 5 rows per query (window over the top-k result, "
+          "bounded), and NDCG stays per-query - no cross-query "
+          "float averaging to introduce summation-order hazards.")
+def k3e_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normed(spark, sf_dir)
+    q = e.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.alias("c").join(F.broadcast(q).alias("q"), F.expr("c.vec_id <> q.qid"))
+    cos = F.round(
+        dot(F.col("q.qe"), F.col("c.embedding")) / (F.col("q.qn") * F.col("c.nrm")), 6
+    )
+    scored = c.select(
+        F.col("q.qid").alias("qid"),
+        (F.col("q.qlabel") == F.col("c.label")).cast("int").alias("rel"),
+        F.col("c.vec_id").alias("cid"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    )
+    wi = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("rn"))
+    ideal = top.withColumn("irn", F.row_number().over(wi))
+    ln2 = 0.6931471805599453
+    dcg = F.sum(F.col("rel").cast("double") /
+                (F.log((F.col("rn") + 1).cast("double")) / F.lit(ln2)))
+    idcg = F.sum(F.col("rel").cast("double") /
+                 (F.log((F.col("irn") + 1).cast("double")) / F.lit(ln2)))
+    g = ideal.groupBy("qid").agg(
+        dcg.alias("dcg"), idcg.alias("idcg"),
+        F.sum("rel").cast("bigint").alias("n_relevant"),
+    )
+    return g.select(
+        "qid", "n_relevant",
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0), 6
+        ).alias("ndcg"),
+    )
