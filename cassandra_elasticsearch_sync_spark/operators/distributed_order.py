@@ -216,6 +216,11 @@ def with_grouped_order(
     bit-identical to the single-task grouped window because range
     partitions are contiguous in the total order.
     """
+    if cumsum_col is not None and cumsum_of is None:
+        raise ValueError(
+            "with_grouped_order: cumsum_col requires cumsum_of "
+            "(the column to accumulate)"
+        )
     gcols = [F.col(g) for g in group_cols]
     _release_previous()
     rp = (
@@ -254,7 +259,17 @@ def with_grouped_order(
         rows, schema=f"{_PID} int, {gschema}, {_ROFF} long, {_SOFF} long"
     )
     w = Window.partitionBy(_PID, *group_cols).orderBy(*order_exprs)
-    out = rp.join(F.broadcast(offsets), [_PID, *group_cols])
+    # NULL is a normal window partition: join offsets back null-safely so
+    # NULL-keyed groups keep their rows (a plain equi-join would drop them).
+    ra, oa = rp.alias("__do_rp"), F.broadcast(offsets).alias("__do_off")
+    cond = F.col(f"__do_rp.{_PID}") == F.col(f"__do_off.{_PID}")
+    for g in group_cols:
+        cond = cond & F.col(f"__do_rp.`{g}`").eqNullSafe(
+            F.col(f"__do_off.`{g}`")
+        )
+    out = ra.join(oa, cond).select(
+        "__do_rp.*", f"__do_off.{_ROFF}", f"__do_off.{_SOFF}"
+    )
     out = out.withColumn(rank_col, F.row_number().over(w) + F.col(_ROFF))
     if cumsum_col:
         run = F.sum(cumsum_of).over(
@@ -290,8 +305,14 @@ def with_grouped_ntile(
         .when(r <= cut, F.ceil(r / (base + 1)))
         .otherwise(rem + F.ceil((r - cut) / base))
     )
+    # Null-safe join: NULL group keys are legitimate NTILE partitions.
+    ka, sa = ranked.alias("__nt_r"), F.broadcast(sizes).alias("__nt_s")
+    cond = F.lit(True)
+    for g in group_cols:
+        cond = cond & F.col(f"__nt_r.`{g}`").eqNullSafe(F.col(f"__nt_s.`{g}`"))
     return (
-        ranked.join(F.broadcast(sizes), group_cols)
+        ka.join(sa, cond)
+        .select("__nt_r.*", "__nt_s.__do_gn")
         .withColumn(bucket_col, bucket.cast("int"))
         .drop("__do_grank", "__do_gn")
     )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from cassandra_elasticsearch_sync_spark.catalog import load_table
 from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
 from cassandra_elasticsearch_sync_spark.registry import register
+from cassandra_elasticsearch_sync_spark.streaming.control import await_bounded
 
 # ---------------------------------------------------------------------------
 # K1: exact dedup
@@ -647,7 +648,7 @@ def k2e_streaming_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_bounded(q, 300)
 
     if seen_any["pairs"]:
         cand_all = spark.read.parquet(pairs_dir).distinct()

@@ -30,6 +30,7 @@ from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
     topk_with_rank,
 )
 from cassandra_elasticsearch_sync_spark.registry import register
+from cassandra_elasticsearch_sync_spark.streaming.control import await_bounded
 
 QUERY_USER = 0
 TOPK_N = 10
@@ -158,7 +159,7 @@ def k8_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_bounded(q, 300)
     import shutil
 
     shutil.rmtree(staged, ignore_errors=True)

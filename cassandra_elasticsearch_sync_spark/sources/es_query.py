@@ -211,7 +211,10 @@ def es_aggregate(df: DataFrame, aggs: dict) -> DataFrame:
         body = spec["range"]
         field, ranges = body["field"], body["ranges"]
         # ES range-agg key convention: "from-to" with "*" for open ends.
-        expr = None
+        # ES places a doc in EVERY matching range (ranges may overlap),
+        # so we build the array of all matching keys and explode - one
+        # scan regardless of range count, overlap-correct.
+        entries = []
         for r in ranges:
             lo, hi = r.get("from"), r.get("to")
             key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
@@ -220,10 +223,10 @@ def es_aggregate(df: DataFrame, aggs: dict) -> DataFrame:
                 cond = cond & (F.col(field) >= lo)   # ES: from inclusive
             if hi is not None:
                 cond = cond & (F.col(field) < hi)    # ES: to exclusive
-            expr = F.when(cond, key) if expr is None else expr.when(cond, key)
+            entries.append(F.when(cond, F.lit(key)))
+        keys = F.array_compact(F.array(*entries))
         return (
-            df.withColumn("key", expr)
-            .filter(F.col("key").isNotNull())
+            df.withColumn("key", F.explode(keys))
             .groupBy("key")
             .agg(F.count("*").alias("doc_count"), *sub)
         )

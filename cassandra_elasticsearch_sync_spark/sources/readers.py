@@ -21,6 +21,7 @@ real and oracle-verified below.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -165,25 +166,28 @@ GROUP BY o_orderpriority
      "sweep); the read path here proves the semantics.")
 def a4b_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        f"ces_schema_evo_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderpriority")
-    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", "o_orderpriority",
-        (F.col("o_orderkey") % 97).alias("o_comment_len"),
-    )
-    v1.write.mode("overwrite").parquet(f"{scratch}/v=1")
-    v2.write.mode("overwrite").parquet(f"{scratch}/v=2")
-    merged = spark.read.option("mergeSchema", True).parquet(
-        f"{scratch}/v=1", f"{scratch}/v=2"
-    )
-    return merged.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"),
-        F.count("o_comment_len").alias("n_with_new_col"),
-        F.coalesce(F.sum("o_comment_len"), F.lit(0)).cast("bigint").alias("sum_new_col"),
-    )
+    # Private scratch dir per invocation (concurrent sessions on the
+    # same sf must not race on a shared path), torn down in finally -
+    # the result is checkpointed eagerly so deletion is safe.
+    scratch = tempfile.mkdtemp(prefix="ces_schema_evo_")
+    try:
+        v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderpriority")
+        v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderpriority",
+            (F.col("o_orderkey") % 97).alias("o_comment_len"),
+        )
+        v1.write.mode("overwrite").parquet(f"{scratch}/v=1")
+        v2.write.mode("overwrite").parquet(f"{scratch}/v=2")
+        merged = spark.read.option("mergeSchema", True).parquet(
+            f"{scratch}/v=1", f"{scratch}/v=2"
+        )
+        return merged.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.count("o_comment_len").alias("n_with_new_col"),
+            F.coalesce(F.sum("o_comment_len"), F.lit(0)).cast("bigint").alias("sum_new_col"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 @register("a2b_token_range_scan", "A2", """

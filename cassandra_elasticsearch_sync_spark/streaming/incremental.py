@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
 from cassandra_elasticsearch_sync_spark.registry import register
+from cassandra_elasticsearch_sync_spark.streaming.control import await_bounded
 from cassandra_elasticsearch_sync_spark.sync.ops import lww_merge, side_a, side_b
 
 EVENTS_STREAM_SCHEMA = (
@@ -330,7 +331,7 @@ def l7_run_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_bounded(q, 300)
     result = store.current()
     shutil.rmtree(staged, ignore_errors=True)
     shutil.rmtree(checkpoint, ignore_errors=True)
@@ -428,7 +429,7 @@ def i10_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_bounded(q, 300)
 
     state = spark.read.parquet(os.path.join(store_root, f"v{version['n']}"))
     total = F.col("sum_value").cast("decimal(38,6)").cast("double")
@@ -478,7 +479,7 @@ def i5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_bounded(q, 300)
     deduped = spark.read.parquet(outdir)
     out = (
         deduped.groupBy("event_type")

@@ -105,6 +105,7 @@ def running_max_stream(events: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from cassandra_elasticsearch_sync_spark.registry import register  # noqa: E402
+from cassandra_elasticsearch_sync_spark.streaming.control import await_bounded  # noqa: E402
 
 
 @register("i6_stateful_running_max", "I6", None,
@@ -134,7 +135,7 @@ def i6_stateful_running_max(spark, sf_dir):
         .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination(300)
+    await_bounded(q, 300)
     out = spark.table(name).persist()
     out.count()  # materialize before the scratch dirs vanish
     shutil.rmtree(staged, ignore_errors=True)

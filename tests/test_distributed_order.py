@@ -76,3 +76,54 @@ def test_global_ntile_empty_input(spark):
     df = spark.createDataFrame([], "v int, uid int")
     out = with_global_ntile(df, [F.col("v"), F.col("uid")], 4, bucket_col="b")
     assert out.count() == 0
+
+
+def test_grouped_order_null_group_keys(spark):
+    """NULL is a legitimate window partition: rows whose group key is
+    NULL must keep exact ranks (a plain equi-join on the offsets would
+    silently drop them - ADVICE r2)."""
+    data = [
+        (None, 5, 0), ("a", 3, 1), (None, 1, 2), ("a", 7, 3),
+        (None, 9, 4), ("b", 2, 5), (None, 5, 6),
+    ]
+    df = spark.createDataFrame(data, "g string, v int, uid int")
+    order = [F.col("v"), F.col("uid")]
+    ours = {
+        (r.g, r.uid, r.rk)
+        for r in with_grouped_order(df, ["g"], order, rank_col="rk").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "uid")
+    naive = {
+        (r.g, r.uid, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert ours == naive
+    assert len(ours) == len(data)  # no NULL-group row dropped
+
+
+def test_grouped_ntile_null_group_keys(spark):
+    data = [(None, v, i) for i, v in enumerate([4, 1, 9, 2, 7])] + [
+        ("a", 3, 10), ("a", 8, 11)
+    ]
+    df = spark.createDataFrame(data, "g string, v int, uid int")
+    order = [F.col("v"), F.col("uid")]
+    ours = {
+        (r.g, r.uid, r.b)
+        for r in with_grouped_ntile(df, ["g"], order, 3, bucket_col="b").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "uid")
+    naive = {
+        (r.g, r.uid, r.b)
+        for r in df.withColumn("b", F.ntile(3).over(w)).collect()
+    }
+    assert ours == naive
+
+
+def test_grouped_order_cumsum_param_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 0)], "g string, v int, uid int")
+    with pytest.raises(ValueError, match="cumsum_col requires cumsum_of"):
+        with_grouped_order(
+            df, ["g"], [F.col("v"), F.col("uid")], cumsum_col="cs"
+        )

@@ -97,3 +97,27 @@ def test_es_bulk_lines_roundtrip(spark):
         src = json.loads(r["source_line"])
         assert str(src["o_orderkey"]) == r["_id"]
         assert set(src) == {"o_orderkey", "o_orderstatus", "o_totalprice"}
+
+
+def test_range_agg_overlapping_ranges(spark):
+    """ES range-agg semantics: a doc lands in EVERY matching range when
+    ranges overlap (ADVICE r2) - not just the first."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_aggregate
+
+    df = spark.createDataFrame(
+        [(50,), (150,), (250,), (350,)], "price int"
+    )
+    out = es_aggregate(df, {
+        "bands": {
+            "range": {
+                "field": "price",
+                "ranges": [
+                    {"to": 200},                  # 50, 150
+                    {"from": 100, "to": 300},     # 150, 250  (overlaps)
+                    {"from": 300},                # 350
+                ],
+            },
+        }
+    })
+    got = {r.key: r.doc_count for r in out.collect()}
+    assert got == {"*-200": 2, "100-300": 2, "300-*": 1}
