@@ -493,3 +493,108 @@ def i5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (staged, checkpoint, outdir):
         shutil.rmtree(p, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# I8 / I9: stream-static and stream-stream joins as oracle-backed runs
+# ---------------------------------------------------------------------------
+
+_I8_WEIGHTS = [
+    ("click", 1.0), ("purchase", 5.0), ("error", -1.0),
+    ("signup", 3.0), ("view", 0.5),
+]
+
+
+@register("i8_stream_static_join", "I8", """
+WITH w AS (
+  SELECT * FROM (VALUES
+    ('click', 1.0), ('purchase', 5.0), ('error', -1.0),
+    ('signup', 3.0), ('view', 0.5)
+  ) AS t(event_type, weight)
+)
+SELECT e.event_type,
+       CAST(w.weight AS DOUBLE) AS weight,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DECIMAL(38,6))
+            AS DOUBLE) AS total_value
+FROM events e JOIN w ON e.event_type = w.event_type
+GROUP BY 1, 2
+""", "Stream-static join, really run as a stream: the events feed "
+     "(time-ordered micro-batches) is enriched against a BROADCAST "
+     "static dimension - no shuffle, no state, the dimension rides to "
+     "every executor once per batch, which is exactly how a 100 TB/day "
+     "stream joins a reference table. The enriched append sink is then "
+     "aggregated per (event_type, weight) and hash-matches the batch "
+     "join oracle - proof no row was lost or duplicated across "
+     "micro-batches and every row found its dimension match.")
+def i8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_events_stream(spark, sf_dir, n_chunks=4)
+    checkpoint = tempfile.mkdtemp(prefix="ces_i8_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_i8_out_")
+    try:
+        weights = spark.createDataFrame(
+            _I8_WEIGHTS, "event_type string, weight double"
+        )
+        q = (
+            stream_static_join(read_events_stream(spark, staged), weights)
+            .select("event_id", "event_type", "weight", "value")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_bounded(q, 300)
+        enriched = spark.read.parquet(outdir)
+        return (
+            enriched.groupBy("event_type", "weight")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(38,10)"))
+                .cast("decimal(38,6)").cast("double").alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for p in (staged, checkpoint, outdir):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+@register("i9_stream_stream_join", "I9", """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       e.event_id AS error_id
+FROM events c JOIN events e
+  ON c.event_type = 'click' AND e.event_type = 'error'
+ AND e.user_id = c.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+""", "Stream-stream interval join, really run as a stream: clicks "
+     "join errors of the same user within 10 minutes, BOTH sides "
+     "watermarked at 30 minutes so the state store provably evicts "
+     "(the range condition bounds each side's buffer to watermark + "
+     "interval - the only shape that survives unbounded input). The "
+     "30 min watermark exceeds the 10 min join window, so no "
+     "cross-micro-batch match is dropped, and the append sink "
+     "hash-matches the batch self-join oracle exactly.")
+def i9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_events_stream(spark, sf_dir, n_chunks=4)
+    checkpoint = tempfile.mkdtemp(prefix="ces_i9_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_i9_out_")
+    try:
+        q = (
+            stream_stream_join(read_events_stream(spark, staged))
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_bounded(q, 300)
+        return spark.read.parquet(outdir).select(
+            "user_id", "click_id", "error_id"
+        ).localCheckpoint(eager=True)
+    finally:
+        for p in (staged, checkpoint, outdir):
+            shutil.rmtree(p, ignore_errors=True)
