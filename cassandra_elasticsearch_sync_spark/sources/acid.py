@@ -1,0 +1,281 @@
+"""ACID MERGE INTO over plain parquet: manifests + atomic pointer swap.
+
+The A7 upsert sink's production form is an ACID table format (Delta /
+Iceberg ``MERGE INTO``). No such jars exist in this container, so this
+module implements the same transactional design from first principles -
+the three ideas every lakehouse format shares:
+
+1. **Immutable data files + a manifest.** Data lives in
+   ``data/<uuid>.parquet`` files that are never modified in place. A
+   commit is a JSON manifest (``_manifests/v{N}.json``) listing the
+   exact files of that snapshot. Readers resolve ``_latest`` -> manifest
+   -> file list once at planning time and then read only immutable
+   files, so a concurrent writer can NEVER make a reader see a torn
+   snapshot (snapshot isolation for free).
+2. **O(1) atomic commit.** The commit point is a single
+   ``os.replace`` of the ``_latest`` pointer - atomic on POSIX. Crash
+   anywhere before the swap leaves the table exactly at the previous
+   version (orphan data files / manifests are invisible and reclaimed
+   by vacuum). Version claims use ``O_CREAT|O_EXCL`` and the pointer
+   check runs under a short ``flock`` so two writers based on the same
+   snapshot cannot both commit (optimistic concurrency; the loser gets
+   ``CommitConflict`` and retries on the fresh snapshot). On an object
+   store the flock becomes the format's conditional-put / commit
+   service - same protocol, different lock.
+3. **Copy-on-write MERGE.** ``merge_into`` rewrites ONLY the data
+   files that actually contain matched keys (found by joining the
+   source keys against the target WITH ``input_file_name`` - a
+   files-not-rows sized driver list, same as a format's file-skipping
+   index). Untouched files are carried into the new manifest verbatim.
+   A merge touching 1% of a 100 TB table rewrites 1% of it, not 100% -
+   the property the round-2 snapshot-swap store lacked.
+
+MERGE semantics (ANSI-ish, the subset the sync engine needs):
+  WHEN MATCHED [AND matched_condition] THEN UPDATE SET * (source row)
+  WHEN MATCHED AND delete_condition    THEN DELETE
+  WHEN NOT MATCHED                     THEN INSERT *
+Source must have at most one row per key (classic MERGE precondition;
+validated cheaply because the check is a per-key count on the source,
+which is the small side of any sane merge).
+"""
+
+from __future__ import annotations
+
+import fcntl
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_DATA = "data"
+_MANIFESTS = "_manifests"
+_LATEST = "_latest"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed since this transaction's snapshot was
+    read. Re-read and retry (merges here are idempotent, L4)."""
+
+
+class AcidParquetTable:
+    """A transactional keyed table: snapshot reads, atomic commits,
+    copy-on-write MERGE INTO."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+        os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
+
+    # -- snapshot resolution ----------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, _LATEST)
+
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self.root, _MANIFESTS, f"v{v}.json")
+
+    def current_version(self) -> int:
+        """0 = empty table (no commit yet)."""
+        try:
+            with open(self._pointer_path()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _manifest(self, v: int) -> dict:
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: the file list is resolved NOW; later commits
+        do not change what this DataFrame scans (time travel via
+        ``version=``)."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise ValueError("table has no committed snapshot yet")
+        m = self._manifest(v)
+        schema = StructType.fromJson(m["schema"])
+        if not m["files"]:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*m["files"])
+
+    # -- write paths -------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame) -> list[str]:
+        """Write ``df`` as immutable data files, return their paths.
+        Each Spark task writes its own part file; we keep the directory
+        as the manifest unit to stay file-count-frugal at small scale
+        (a real format tracks part files individually - same protocol)."""
+        d = os.path.join(self.root, _DATA, uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(d)
+        return [d]
+
+    def _commit(self, base_version: int, files: list[str], schema: StructType) -> int:
+        """Two-phase commit: claim the next manifest with O_EXCL, then
+        swap the pointer under the commit lock iff the table is still at
+        ``base_version``."""
+        existing = [
+            int(f[1:-5])
+            for f in os.listdir(os.path.join(self.root, _MANIFESTS))
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        next_v = max([self.current_version(), *existing], default=0) + 1
+        manifest = {
+            "version": next_v,
+            "base": base_version,
+            "files": files,
+            "schema": schema.jsonValue(),
+        }
+        # Phase 1: claim the version number (exclusive create).
+        fd = os.open(
+            self._manifest_path(next_v), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        # Phase 2: pointer swap, guarded so a concurrent commit based on
+        # the same snapshot cannot be silently overwritten.
+        lock_path = os.path.join(self.root, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if self.current_version() != base_version:
+                    os.unlink(self._manifest_path(next_v))  # abort claim
+                    raise CommitConflict(
+                        f"table advanced past v{base_version}; retry merge"
+                    )
+                tmp = self._pointer_path() + f".tmp.{os.getpid()}"
+                with open(tmp, "w") as fh:
+                    fh.write(str(next_v))
+                os.replace(tmp, self._pointer_path())  # THE commit point
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        return next_v
+
+    def init(self, df: DataFrame) -> int:
+        """Create the first snapshot (or append a full overwrite)."""
+        files = self._write_data_files(df)
+        return self._commit(self.current_version(), files, df.schema)
+
+    # -- MERGE INTO --------------------------------------------------------
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        matched_condition: Column | None = None,
+        delete_condition: Column | None = None,
+    ) -> int:
+        """ANSI-style MERGE with copy-on-write file rewrites.
+
+        ``matched_condition`` / ``delete_condition`` see the matched
+        pair as ``src`` / ``tgt`` aliases (e.g.
+        ``F.col("src.version") > F.col("tgt.version")``). A matched row
+        is deleted when ``delete_condition`` holds, else updated to the
+        source row when ``matched_condition`` holds (always, if None),
+        else kept. Unmatched source rows are inserted (unless they
+        satisfy ``delete_condition`` with tgt NULL - deletes of absent
+        keys are no-ops, tombstone-friendly).
+        """
+        base = self.current_version()
+        manifest = self._manifest(base)
+        schema = StructType.fromJson(manifest["schema"])
+        target = self.read(base)
+
+        dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+        if not dup.isEmpty():
+            raise ValueError(
+                "MERGE source has multiple rows per key; aggregate it "
+                "first (e.g. LWW top-1) - ANSI MERGE requires <=1"
+            )
+
+        # File-level pruning: which data files hold matched keys?
+        # (files-not-rows sized collect - the format's skipping index.)
+        with_file = target.withColumn("__f", F.input_file_name())
+        skeys = source.select(*keys).distinct()
+        hit_rows = (
+            with_file.join(F.broadcast(skeys), keys, "left_semi")
+            .select("__f").distinct().collect()
+        )
+        def _strip_scheme(p: str) -> str:
+            return p[7:] if p.startswith("file://") else p
+
+        hit_files = {_strip_scheme(r["__f"]) for r in hit_rows}
+        all_files = list(manifest["files"])
+        # A manifest entry is a directory; it is "affected" if any of
+        # its part files got a hit.
+        affected = [
+            d for d in all_files
+            if any(h.startswith(d.rstrip("/") + "/") for h in hit_files)
+        ]
+        untouched = [d for d in all_files if d not in affected]
+
+        tgt_aff = (
+            self.spark.read.schema(schema).parquet(*affected)
+            if affected
+            else self.spark.createDataFrame([], schema)
+        )
+        src, tgt = source.alias("src"), tgt_aff.alias("tgt")
+        # Explicit join condition (a USING-style name list would coalesce
+        # the key columns and break src./tgt. references below).
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(f"tgt.`{k}`") == F.col(f"src.`{k}`"))
+        joined = tgt.join(src, cond, "full_outer")
+        t_key = F.col(f"tgt.{keys[0]}")
+        s_key = F.col(f"src.{keys[0]}")
+
+        upd = matched_condition if matched_condition is not None else F.lit(True)
+        dele = delete_condition if delete_condition is not None else F.lit(False)
+        take_src = (
+            # INSERT: no target row
+            t_key.isNull()
+            # UPDATE: matched and condition holds
+            | (s_key.isNotNull() & upd)
+        )
+        keep = ~(s_key.isNotNull() & t_key.isNotNull() & dele) & ~(
+            t_key.isNull() & dele
+        )
+        cols = [
+            F.when(take_src, F.col(f"src.{c}")).otherwise(F.col(f"tgt.{c}")).alias(c)
+            if c not in keys
+            else F.coalesce(F.col(f"tgt.{c}"), F.col(f"src.{c}")).alias(c)
+            for c in schema.names
+        ]
+        rewritten = joined.filter(keep).select(*cols)
+
+        new_files = list(untouched)
+        if not rewritten.isEmpty():
+            new_files += self._write_data_files(rewritten)
+        return self._commit(base, new_files, schema)
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, retain_last: int = 2) -> list[str]:
+        """Drop manifests older than the last ``retain_last`` committed
+        versions and delete data directories no retained manifest
+        references. Standard lakehouse retention tradeoff: a reader
+        pinned to a vacuumed snapshot fails (same as Delta VACUUM)."""
+        import shutil
+
+        cur = self.current_version()
+        keep_versions = {v for v in range(max(1, cur - retain_last + 1), cur + 1)
+                         if os.path.exists(self._manifest_path(v))}
+        referenced: set[str] = set()
+        for v in keep_versions:
+            referenced.update(self._manifest(v)["files"])
+        removed = []
+        data_root = os.path.join(self.root, _DATA)
+        for d in os.listdir(data_root):
+            full = os.path.join(data_root, d)
+            if full not in referenced:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        for f in os.listdir(os.path.join(self.root, _MANIFESTS)):
+            v = int(f[1:-5])
+            if v not in keep_versions:
+                os.unlink(os.path.join(self.root, _MANIFESTS, f))
+        return removed

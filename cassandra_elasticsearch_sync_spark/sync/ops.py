@@ -738,3 +738,50 @@ def l13_checksum_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ca.n") == F.col("cb.n"))
         ).alias("in_sync"),
     )
+
+
+@register("l14_acid_merge_upsert", "A7+L4", _SIDES_SQL + """
+SELECT key, price, version_s FROM (
+  SELECT COALESCE(t.key, s.key) AS key,
+         CASE WHEN s.key IS NOT NULL AND (t.key IS NULL OR s.version > t.version)
+              THEN s.price ELSE t.price END AS price,
+         STRFTIME(DATE_TRUNC('second',
+           CASE WHEN s.key IS NOT NULL AND (t.key IS NULL OR s.version > t.version)
+                THEN s.version ELSE t.version END), '%Y-%m-%d %H:%M:%S') AS version_s,
+         CASE WHEN s.key IS NOT NULL AND s.key % 100 = 0 THEN 1 ELSE 0 END AS deleted
+  FROM side_a t FULL OUTER JOIN side_b s ON t.key = s.key
+) WHERE deleted = 0
+""", "ACID MERGE INTO (sources/acid.py): side_a is committed as a "
+     "manifest-backed transactional table, then side_b merges in with "
+     "WHEN MATCHED AND src.version > tgt.version THEN UPDATE (LWW), "
+     "WHEN MATCHED AND src.key % 100 = 0 THEN DELETE, WHEN NOT "
+     "MATCHED THEN INSERT (deletes of absent keys are no-ops). The "
+     "read-back snapshot hash-matches the relational oracle - MERGE "
+     "semantics, not just convergence. Scale shape: copy-on-write "
+     "rewrites only data files containing matched keys (file-pruned "
+     "via a broadcast semi-join on source keys), the commit is one "
+     "atomic pointer swap, and concurrent readers keep their snapshot "
+     "- the Delta/Iceberg upsert path the A7 sink upgrades to at "
+     "100 TB, demonstrated and tested (tests/test_acid_merge.py), "
+     "not just documented.")
+def l14_acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    root = tempfile.mkdtemp(prefix="ces_acid_merge_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(side_a(spark, sf_dir))
+        t.merge_into(
+            side_b(spark, sf_dir),
+            ["key"],
+            matched_condition=F.col("src.version") > F.col("tgt.version"),
+            delete_condition=F.col("src.key") % 100 == 0,
+        )
+        return t.read().select(
+            "key", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

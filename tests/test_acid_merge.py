@@ -1,0 +1,185 @@
+"""ACID MERGE INTO (sources/acid.py): transactional semantics the
+snapshot-swap store could not provide - snapshot isolation for
+concurrent readers, atomic commit, optimistic-concurrency conflicts,
+copy-on-write file pruning, crash safety, vacuum retention."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.sources.acid import (
+    AcidParquetTable,
+    CommitConflict,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="ces_acid_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _table(spark, root, rows):
+    t = AcidParquetTable(spark, root)
+    t.init(spark.createDataFrame(rows, "key bigint, price double, version int"))
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_update_insert(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)])
+    src = spark.createDataFrame(
+        [(2, 99.0, 2), (4, 40.0, 2)], "key bigint, price double, version int"
+    )
+    t.merge_into(src, ["key"])
+    assert _rows(t.read()) == [
+        (1, 10.0, 1), (2, 99.0, 2), (3, 30.0, 1), (4, 40.0, 2)
+    ]
+
+
+def test_merge_conditional_update_lww(spark, root):
+    """WHEN MATCHED AND src.version > tgt.version THEN UPDATE - the
+    sync engine's LWW apply as a MERGE."""
+    t = _table(spark, root, [(1, 10.0, 5), (2, 20.0, 1)])
+    src = spark.createDataFrame(
+        [(1, 11.0, 3), (2, 22.0, 9)], "key bigint, price double, version int"
+    )
+    t.merge_into(
+        src, ["key"],
+        matched_condition=F.col("src.version") > F.col("tgt.version"),
+    )
+    # key 1: source older -> target kept; key 2: source newer -> updated
+    assert _rows(t.read()) == [(1, 10.0, 5), (2, 22.0, 9)]
+
+
+def test_merge_delete_clause(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)])
+    src = spark.createDataFrame(
+        [(2, 0.0, 2), (3, 33.0, 2), (9, 0.0, 2)],
+        "key bigint, price double, version int",
+    )
+    t.merge_into(
+        src, ["key"], delete_condition=F.col("src.price") == 0.0
+    )
+    # key 2 deleted; key 3 updated; key 9 delete-of-absent is a no-op
+    assert _rows(t.read()) == [(1, 10.0, 1), (3, 33.0, 2)]
+
+
+def test_merge_rejects_dup_source_keys(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1)])
+    src = spark.createDataFrame(
+        [(1, 1.0, 1), (1, 2.0, 2)], "key bigint, price double, version int"
+    )
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        t.merge_into(src, ["key"])
+
+
+def test_snapshot_isolation_concurrent_reader(spark, root):
+    """A reader that resolved its snapshot BEFORE a merge keeps seeing
+    the old data afterwards - data files are immutable and the commit
+    only moves a pointer."""
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    pinned = t.read()          # snapshot resolved now
+    pinned_v = t.current_version()
+    src = spark.createDataFrame([(1, 99.0, 2)], "key bigint, price double, version int")
+    t.merge_into(src, ["key"])
+    t.merge_into(
+        spark.createDataFrame([(2, 88.0, 3)], "key bigint, price double, version int"),
+        ["key"],
+    )
+    # The pinned DataFrame still evaluates against the old snapshot.
+    assert _rows(pinned) == [(1, 10.0, 1), (2, 20.0, 1)]
+    # Time travel reaches it by version number too.
+    assert _rows(t.read(version=pinned_v)) == [(1, 10.0, 1), (2, 20.0, 1)]
+    assert _rows(t.read()) == [(1, 99.0, 2), (2, 88.0, 3)]
+
+
+def test_commit_conflict_detected(spark, root):
+    """Two writers based on the same snapshot: the second commit must
+    raise CommitConflict, not silently clobber the first."""
+    t1 = _table(spark, root, [(1, 10.0, 1)])
+    t2 = AcidParquetTable(spark, t1.root)
+    base = t1.current_version()
+    src1 = spark.createDataFrame([(1, 11.0, 2)], "key bigint, price double, version int")
+    src2 = spark.createDataFrame([(1, 12.0, 3)], "key bigint, price double, version int")
+    # Writer 1 commits first.
+    t1.merge_into(src1, ["key"])
+    # Writer 2 simulates having planned against the stale base version
+    # by committing directly at that base.
+    files = t2._write_data_files(src2)
+    with pytest.raises(CommitConflict):
+        t2._commit(base, files, src2.schema)
+    # Table still shows writer 1's result; retry on fresh snapshot works.
+    assert _rows(t2.read()) == [(1, 11.0, 2)]
+    t2.merge_into(src2, ["key"])
+    assert _rows(t2.read()) == [(1, 12.0, 3)]
+
+
+def test_crash_before_pointer_swap_is_invisible(spark, root):
+    """A manifest written but never pointed at (crash between phase 1
+    and phase 2) leaves readers untouched and does not wedge later
+    commits."""
+    t = _table(spark, root, [(1, 10.0, 1)])
+    v = t.current_version()
+    # Simulate the crash: orphan manifest claimed, pointer never moved.
+    orphan = t._manifest_path(v + 1)
+    with open(orphan, "w") as fh:
+        fh.write('{"version": %d, "base": %d, "files": [], "schema": {}}' % (v + 1, v))
+    assert t.current_version() == v
+    assert _rows(t.read()) == [(1, 10.0, 1)]
+    # Next merge claims a HIGHER version (v+2), not the orphan.
+    src = spark.createDataFrame([(2, 20.0, 1)], "key bigint, price double, version int")
+    new_v = t.merge_into(src, ["key"])
+    assert new_v == v + 2
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, 20.0, 1)]
+
+
+def test_copy_on_write_prunes_untouched_files(spark, root):
+    """A merge touching keys in one data file must carry the other
+    file(s) into the new manifest unchanged - rewrite cost scales with
+    affected data, not table size."""
+    t = AcidParquetTable(spark, root)
+    df1 = spark.createDataFrame([(i, 1.0, 1) for i in range(10)],
+                                "key bigint, price double, version int")
+    t.init(df1)
+    # Second commit adds a second data directory (append-style merge of
+    # brand-new keys rewrites nothing, only inserts).
+    df2 = spark.createDataFrame([(i, 2.0, 1) for i in range(100, 110)],
+                                "key bigint, price double, version int")
+    t.merge_into(df2, ["key"])
+    m2 = t._manifest(t.current_version())
+    assert len(m2["files"]) == 2  # original dir untouched + new inserts dir
+
+    # Now update ONLY keys in the second dir: dir 1 must be carried over.
+    src = spark.createDataFrame([(105, 9.9, 2)], "key bigint, price double, version int")
+    t.merge_into(src, ["key"])
+    m3 = t._manifest(t.current_version())
+    carried = set(m2["files"]) & set(m3["files"])
+    assert len(carried) == 1          # exactly the untouched dir survived
+    assert len(m3["files"]) == 2      # untouched + one rewritten dir
+    got = {r["key"]: r["price"] for r in t.read().collect()}
+    assert got[105] == 9.9 and got[0] == 1.0 and len(got) == 20
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1)])
+    for i in range(4):
+        src = spark.createDataFrame([(1, float(i), i + 2)],
+                                    "key bigint, price double, version int")
+        t.merge_into(src, ["key"])
+    data_root = os.path.join(root, "data")
+    before = len(os.listdir(data_root))
+    removed = t.vacuum(retain_last=2)
+    after = len(os.listdir(data_root))
+    assert removed and after < before
+    # Current snapshot still reads fine after vacuum.
+    assert {r["price"] for r in t.read().collect()} == {3.0}
