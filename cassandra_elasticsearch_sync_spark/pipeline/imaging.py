@@ -1,0 +1,134 @@
+"""Pure-python image header codec for the K6 multimodal decode path.
+
+No PIL/ffmpeg exists in this container, but image *header* parsing
+needs only the public file-format specs (PNG RFC 2083 / ISO 15948,
+JPEG ITU-T T.81, GIF89a): a few fixed offsets and marker scans over
+bytes. This module implements
+  - a parser: bytes -> (format, width, height) for PNG / JPEG / GIF,
+    None on anything unparseable (truncated, wrong magic), and
+  - a synthesizer: deterministic, VALID minimal files with planted
+    dimensions (PNG with correct CRCs, JPEG with JFIF+COM+SOF0
+    segments so the parser must really scan markers, GIF with a
+    logical screen descriptor).
+
+The synthesizer makes the decode operator honestly verifiable without
+shipping binary fixtures: payloads are generated from doc_id, the
+parser recovers the dimensions from the BYTES, and the oracle recomputes
+the planted dimensions relationally - if the parser cheated (e.g. read
+doc_id instead of the bytes), the synthesis round-trip test and the
+planted-vs-parsed hash match would both catch it.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+# -- synthesis ---------------------------------------------------------------
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """Minimal valid PNG: signature, IHDR (with real CRC), one IDAT
+    holding a single zlib-compressed filter-0 scanline block, IEND."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    # One row of filter byte + width grayscale pixels, repeated height
+    # times would be huge; a single compressed empty-ish payload keeps
+    # the file tiny (the parser reads IHDR only - like every header
+    # sniffer, including PIL's lazy open()).
+    idat = zlib.compress(b"\x00" * min(width + 1, 64))
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def jpeg_bytes(width: int, height: int, comment: bytes = b"") -> bytes:
+    """Minimal valid JPEG prefix: SOI, JFIF APP0, COM (variable length,
+    forces real marker scanning), DQT stub, SOF0 with the dimensions,
+    EOI. Decoders of full image data would want more; header parsers
+    (and this module's) stop at SOF0."""
+    app0_body = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", len(app0_body) + 2) + app0_body
+    com = b"\xff\xfe" + struct.pack(">H", len(comment) + 2) + comment
+    dqt_body = b"\x00" + bytes(64)
+    dqt = b"\xff\xdb" + struct.pack(">H", len(dqt_body) + 2) + dqt_body
+    sof_body = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", len(sof_body) + 2) + sof_body
+    return b"\xff\xd8" + app0 + com + dqt + sof0 + b"\xff\xd9"
+
+
+def gif_bytes(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer."""
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\x00\x00\x00"  # no GCT, bg 0, aspect 0
+        + b"\x3b"          # trailer
+    )
+
+
+def synth_image(doc_id: int) -> bytes:
+    """Deterministic format + dimensions from doc_id (the planted
+    ground truth the k6 oracle recomputes relationally)."""
+    width = doc_id % 640 + 1
+    height = (doc_id * 7) % 480 + 16
+    fmt = doc_id % 3
+    if fmt == 0:
+        return png_bytes(width, height)
+    if fmt == 1:
+        # doc_id-dependent comment length exercises the marker scan
+        return jpeg_bytes(width, height, b"c" * (doc_id % 19))
+    return gif_bytes(width, height)
+
+
+# -- parsing -----------------------------------------------------------------
+
+_SOF_MARKERS = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def parse_image(raw: bytes | None) -> tuple[str, int, int] | None:
+    """Sniff (format, width, height) from image bytes; None if the
+    payload is not a parseable PNG/JPEG/GIF header."""
+    if not raw or len(raw) < 10:
+        return None
+    try:
+        if raw[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(raw) < 24 or raw[12:16] != b"IHDR":
+                return None
+            w, h = struct.unpack(">II", raw[16:24])
+            return ("png", w, h)
+        if raw[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", raw[6:10])
+            return ("gif", w, h)
+        if raw[:2] == b"\xff\xd8":
+            i = 2
+            n = len(raw)
+            while i + 4 <= n:
+                if raw[i] != 0xFF:
+                    return None
+                marker = raw[i + 1]
+                if marker == 0xD9:  # EOI before any SOF
+                    return None
+                if marker in _SOF_MARKERS:
+                    if i + 9 > n:
+                        return None
+                    h, w = struct.unpack(">HH", raw[i + 5: i + 9])
+                    return ("jpeg", w, h)
+                seg_len = struct.unpack(">H", raw[i + 2: i + 4])[0]
+                i += 2 + seg_len
+            return None
+    except struct.error:
+        return None
+    return None

@@ -3,16 +3,17 @@
 Images/audio/video ride through the engine as opaque `binary` columns
 with a typed metadata struct - exactly how the sync engine's blob
 bridge works (CQL blob <-> ES base64, SURVEY.md 1.2). The corpus has
-no real media, so the payload is the document text encoded as bytes;
-the *plumbing* (schema, base64 bridge, Arrow-batched decode UDF,
-frame-sample explode) is real and tested.
+no real media, so image payloads are SYNTHESIZED: deterministic, valid
+PNG/JPEG/GIF files with planted dimensions (pipeline/imaging.py), and
+the decode operator parses format/width/height back OUT OF THE BYTES
+with a pure-python header parser - a real decode, oracle-checked
+against the planted ground truth (k6_image_decode). The mapInPandas
+mechanics - explicit output schema, Arrow batching, per-partition
+iteration - are the production shape; swapping the header parser for a
+full PIL/ffmpeg pixel decode changes one function body.
 
-The decode step is a clearly-marked STUB: the container has no image/
-audio libraries, so `decode_image_batch` computes a deterministic fake
-"decode" from the raw bytes (and documents the one-line swap to a real
-PIL/ffmpeg call). Spark-side mechanics - mapInPandas with an explicit
-output schema, Arrow batching, per-partition iteration - are the real
-production shape.
+The AUDIO featurizer is still a clearly-marked STUB (no PCM codec in
+the container); its Arrow plumbing and schema are the verified parts.
 """
 
 from __future__ import annotations
@@ -92,60 +93,81 @@ def k6_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Arrow-batched decode stub (rows-only verification: the decode itself is
-# fake, but the mapInPandas plumbing is the production shape)
+# Arrow-batched REAL image decode: synthesized valid PNG/JPEG/GIF payloads,
+# header-parsed back to (format, width, height) from the bytes alone
 # ---------------------------------------------------------------------------
 
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("fake_width", T.IntegerType()),
-        T.StructField("fake_height", T.IntegerType()),
-        T.StructField("checksum", T.LongType()),
     ]
 )
 
-USE_REAL_DECODER = False  # flip when PIL/ffmpeg are available
+
+def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload) where payload is a VALID minimal
+    PNG/JPEG/GIF file with dimensions planted deterministically from
+    doc_id (pipeline/imaging.py). Synthesis runs as an Arrow-batched
+    pandas UDF - the ingest-side shape of any binary-column builder."""
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import synth_image
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(lambda d: synth_image(int(d)))
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", synth("doc_id").alias("payload"))
 
 
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched 'decode'.
-
-    STUB: real deployment replaces the body of `_decode_one` with e.g.
-    ``PIL.Image.open(io.BytesIO(raw)).size`` - the signature, schema,
-    and batching stay identical. The fake is deterministic so tests can
-    assert on it.
-    """
-
-    def _decode_one(raw: bytes) -> tuple[int, int, int, int]:
-        if USE_REAL_DECODER:
-            raise NotImplementedError("no image library in this container")
-        n = len(raw)
-        w = n % 640 + 1
-        h = n % 480 + 1
-        checksum = sum(raw[:64]) if n else 0
-        return n, w, h, checksum
+    """Arrow-batched image decode: parses format/width/height out of
+    the payload BYTES (PNG IHDR / JPEG SOF marker scan / GIF LSD) with
+    the pure-python header parser. Unparseable payloads yield NULLs -
+    the skip-don't-crash behavior a 100 TB media crawl needs. A full
+    pixel decode (PIL/ffmpeg) swaps in here with the same signature,
+    schema, and batching."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import parse_image
 
     for pdf in batches:
-        decoded = [_decode_one(r) for r in pdf["payload"]]
+        decoded = [parse_image(r) for r in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
-                "n_bytes": [d[0] for d in decoded],
-                "fake_width": [d[1] for d in decoded],
-                "fake_height": [d[2] for d in decoded],
-                "checksum": [d[3] for d in decoded],
+                "format": [d[0] if d else None for d in decoded],
+                "width": [d[1] if d else None for d in decoded],
+                "height": [d[2] if d else None for d in decoded],
+                "n_bytes": [len(r) if r is not None else None for r in pdf["payload"]],
             }
         )
 
 
-@register("k6_decode_stub", "K6", None,
-          "mapInPandas Arrow-batched media decode (stubbed decoder; "
-          "rows-only check - the plumbing is the verified part)")
-def k6_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = media_table(spark, sf_dir).select("doc_id", "payload")
-    return m.mapInPandas(decode_image_batch, DECODED_SCHEMA)
+@register("k6_image_decode", "K6", """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+            WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       CAST(doc_id % 640 + 1 AS INT) AS width,
+       CAST((doc_id * 7) % 480 + 16 AS INT) AS height
+FROM documents
+""", "REAL image decode over binary columns: payloads are valid "
+     "minimal PNG/JPEG/GIF files (correct CRCs / marker segments) "
+     "synthesized with dimensions planted from doc_id, and the "
+     "operator recovers format+width+height FROM THE BYTES with a "
+     "pure-python header parser inside an Arrow-batched mapInPandas. "
+     "The oracle recomputes the planted dimensions relationally, so a "
+     "hash match proves the parser actually decoded the bytes. "
+     "Scale: stays Arrow-batched end to end, no driver collect; a "
+     "full pixel decoder swaps into the same batch function.")
+def k6_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = image_table(spark, sf_dir)
+    return m.mapInPandas(decode_image_batch, DECODED_SCHEMA).select(
+        "doc_id", "format", "width", "height"
+    )
 
 
 @register("k6b_struct_metadata", "K6", """

@@ -1,0 +1,63 @@
+"""Pure-python image header codec (pipeline/imaging.py): synthesis
+round-trips through the parser; malformed payloads degrade to None."""
+
+from __future__ import annotations
+
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+    gif_bytes,
+    jpeg_bytes,
+    parse_image,
+    png_bytes,
+    synth_image,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(w=st.integers(1, 65535), h=st.integers(1, 65535))
+def test_roundtrip_all_formats(w, h):
+    assert parse_image(png_bytes(w, h)) == ("png", w, h)
+    assert parse_image(jpeg_bytes(w, h, b"x" * (w % 23))) == ("jpeg", w, h)
+    assert parse_image(gif_bytes(w, h)) == ("gif", w, h)
+
+
+@settings(max_examples=30, deadline=None)
+@given(doc_id=st.integers(0, 10**9))
+def test_synth_matches_planted_dims(doc_id):
+    fmt, w, h = parse_image(synth_image(doc_id))
+    assert fmt == ("png", "jpeg", "gif")[doc_id % 3]
+    assert w == doc_id % 640 + 1
+    assert h == (doc_id * 7) % 480 + 16
+
+
+def test_png_crc_is_valid():
+    raw = png_bytes(12, 34)
+    # IHDR chunk: length at 8..12, tag+body at 12..29, CRC at 29..33
+    body = raw[12:29]
+    import struct
+
+    crc = struct.unpack(">I", raw[29:33])[0]
+    assert crc == (zlib.crc32(body) & 0xFFFFFFFF)
+
+
+def test_malformed_payloads_return_none():
+    assert parse_image(None) is None
+    assert parse_image(b"") is None
+    assert parse_image(b"not an image at all") is None
+    assert parse_image(png_bytes(5, 5)[:15]) is None      # truncated PNG
+    assert parse_image(b"\xff\xd8\xff\xd9") is None       # JPEG with no SOF
+    assert parse_image(b"\xff\xd8\x00\x00\x00\x00") is None  # bad marker
+    # GIF magic but truncated descriptor
+    assert parse_image(b"GIF89a\x01\x00") is None
+
+
+def test_jpeg_marker_scan_skips_segments():
+    """The parser must skip APP0/COM/DQT by their length fields, not
+    assume SOF at a fixed offset."""
+    long_comment = b"z" * 1000
+    raw = jpeg_bytes(321, 123, long_comment)
+    assert parse_image(raw) == ("jpeg", 321, 123)
