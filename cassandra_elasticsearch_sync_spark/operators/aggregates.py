@@ -610,3 +610,26 @@ def d14_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         mass.alias("weighted_price_mass"),
         F.round(mass / F.sum("l_quantity"), 6).alias("qty_weighted_avg_price"),
     )
+
+
+@register("d6d_approx_percentiles_highcard", "D6", None,
+          "The high-cardinality scale path for per-group percentiles: "
+          "approx_percentile per USER (thousands of keys) instead of "
+          "exact percentile per priority class. approx_percentile is a "
+          "mergeable quantile sketch, so the plan is partial aggregation "
+          "map-side + merge - no per-key value multiset ever "
+          "concentrates at a reducer, which is what makes percentiles "
+          "affordable over 100 TB with millions of keys. Rows-only by "
+          "design (sketch results are engine-specific); the exact twin "
+          "d6c is the hash-checked correctness anchor, and "
+          "tests/test_skew_percentiles.py proves the mergeable plan "
+          "shape at 1M groups.")
+def d6d_approx_percentiles_highcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.approx_percentile("value", F.lit(0.5), F.lit(1000)), 6)
+         .alias("p50_approx"),
+        F.round(F.approx_percentile("value", F.lit(0.95), F.lit(1000)), 6)
+         .alias("p95_approx"),
+    )

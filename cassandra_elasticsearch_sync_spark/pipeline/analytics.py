@@ -609,3 +609,36 @@ def k_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol.cast("bigint").alias("n_tolerating"),
         F.round((sat.cast("double") + 0.5 * tol) / F.count("*"), 6).alias("apdex"),
     )
+
+
+@register("k_mad_outliers_approx", "K4+D6", None,
+          "MAD outlier detection with approx_percentile medians - the "
+          "documented 100 TB swap for k_mad_outliers, registered so the "
+          "scale path is executed, not just described. Same three-pass "
+          "broadcast shape; the per-key median/MAD come from mergeable "
+          "quantile sketches (map-side partial aggregation), so no "
+          "per-key value multiset concentrates at a reducer. Rows-only "
+          "by design; the exact twin k_mad_outliers is hash-checked.")
+def k_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.approx_percentile("dev", F.lit(0.5), F.lit(10000)).alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -785,3 +785,28 @@ def l14_acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l11b_sync_lag_percentiles_approx", "L7+D6", None,
+          "Sync-lag monitoring with approx_percentile - the scale form "
+          "of l11 for when the stream key is a real shard id with "
+          "millions of values. The LAG window stays per-key (bounded "
+          "history); the gap quantiles come from mergeable sketches, "
+          "so the aggregation is map-side partial + merge regardless "
+          "of key cardinality. Rows-only by design; l11 is the exact "
+          "hash-checked twin.")
+def l11b_sync_lag_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.approx_percentile("gap_us", F.lit(0.5), F.lit(10000)) / 1000000.0, 6)
+         .alias("p50_s"),
+        F.round(F.approx_percentile("gap_us", F.lit(0.95), F.lit(10000)) / 1000000.0, 6)
+         .alias("p95_s"),
+        F.round(F.max("gap_us") / 1000000.0, 6).alias("max_s"),
+    )
