@@ -113,3 +113,73 @@ def test_sliding_stream_equals_batch(spark, staged):
     got = _run_to_memory(inc.sliding_counts_stream(ev), "t_sliding")
     want = all_specs()["i3_sliding_window"].fn(spark, SF_DIR)
     assert _norm(got) == _norm(want)
+
+
+def test_stream_stream_join_state_is_watermark_bounded(spark):
+    """The classic 100 TB streaming failure mode: without eviction a
+    stream-stream join buffers BOTH full streams forever. With both
+    sides watermarked (30 min) and the range condition bounding the
+    match window (10 min), the state store must (a) evict rows as the
+    watermark advances and (b) plateau far below total input size."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # 12 time-ordered chunks, 1000 events each, one event/6s => ~100
+    # minutes per chunk boundary window; clicks and errors alternate
+    # users so joins happen within chunks and across neighbors.
+    n, per_chunk = 12_000, 1_000
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 6).alias("ts"),
+            (F.col("id") % 50).alias("user_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("click")).otherwise(F.lit("error"))
+             .alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    staged = tempfile.mkdtemp(prefix="ces_i9_state_")
+    for i in range(n // per_chunk):
+        base.filter(
+            (F.col("event_id") >= i * per_chunk)
+            & (F.col("event_id") < (i + 1) * per_chunk)
+        ).coalesce(1).write.mode("append").parquet(staged)
+
+    outdir = tempfile.mkdtemp(prefix="ces_i9_state_out_")
+    ckpt = tempfile.mkdtemp(prefix="ces_i9_state_ckpt_")
+    try:
+        q = (
+            inc.stream_stream_join(inc.read_events_stream(spark, staged))
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        progress = [json.loads(p.json) for p in q.recentProgress]
+        state = [
+            (p["batchId"], p["stateOperators"][0]["numRowsTotal"],
+             p["stateOperators"][0]["numRowsRemoved"])
+            for p in progress
+            if p.get("stateOperators")
+        ]
+        assert state, "no state-operator progress captured"
+        removed_total = sum(s[2] for s in state)
+        max_state = max(s[1] for s in state)
+        # (a) eviction actually happened
+        assert removed_total > 0, state
+        # (b) buffered state stays far below total input: the watermark
+        # keeps only ~40 min of each side (~800 rows) vs 12k input.
+        assert max_state < n // 4, f"state grew unbounded: {state}"
+    finally:
+        import shutil as _sh
+
+        for p in (staged, outdir, ckpt):
+            _sh.rmtree(p, ignore_errors=True)
