@@ -66,9 +66,19 @@ def compile_query(q: dict) -> Column:
             F.array_contains(F.split(F.lower(field), " "), t) for t in toks
         ]
         return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
+    if kind == "multi_match":
+        # OR of per-field match: doc matches if ANY listed field
+        # contains ANY query token (best_fields-style boolean shape).
+        text, fields = body["query"], body["fields"]
+        per_field = [compile_query({"match": {f: text}}) for f in fields]
+        return reduce(lambda a, b: a | b, per_field) if per_field else F.lit(False)
     if kind == "bool":
+        # Fully recursive: clauses may themselves be bool queries to
+        # any depth ((A or (B and not C)) and D ...). `filter` is ES's
+        # non-scoring must - identical predicate semantics here because
+        # this engine compiles to filters, not scores.
         parts: list[Column] = []
-        for clause in body.get("must", []):
+        for clause in (*body.get("must", []), *body.get("filter", [])):
             parts.append(compile_query(clause))
         should = [compile_query(c) for c in body.get("should", [])]
         if should:
@@ -345,3 +355,54 @@ GROUP BY key
      "stats hash-match across engines at any scale.")
 def a3e_es_range_stats_agg(spark, sf_dir):
     return es_aggregate(load_table(spark, sf_dir, "orders"), _AGGS_RANGE_DEMO)
+
+
+_NESTED_DSL_DEMO = {
+    "bool": {
+        "must": [
+            {"multi_match": {"query": "vector merge", "fields": ["text", "source"]}},
+            {
+                "bool": {
+                    "should": [
+                        {"term": {"lang": "en"}},
+                        {
+                            "bool": {
+                                "must": [
+                                    {"term": {"lang": "fr"}},
+                                    {"range": {"n_chars": {"gte": 300}}},
+                                ]
+                            }
+                        },
+                    ]
+                }
+            },
+        ],
+        "filter": [{"range": {"n_chars": {"gt": 50}}}],
+        "must_not": [{"term": {"source": "src13"}}],
+    }
+}
+
+
+@register("a3f_es_nested_bool_multimatch", "A3", """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (LIST_CONTAINS(STRING_SPLIT(LOWER(text), ' '), 'vector')
+       OR LIST_CONTAINS(STRING_SPLIT(LOWER(text), ' '), 'merge')
+       OR LIST_CONTAINS(STRING_SPLIT(LOWER(source), ' '), 'vector')
+       OR LIST_CONTAINS(STRING_SPLIT(LOWER(source), ' '), 'merge'))
+  AND (lang = 'en' OR (lang = 'fr' AND n_chars >= 300))
+  AND n_chars > 50
+  AND NOT source = 'src13'
+""", "ES bool-DSL with NESTED bool clauses plus multi_match - the two "
+     "most-used real-world ES query shapes the round-2 compiler had "
+     "not yet demonstrated. multi_match ORs the match predicate "
+     "across fields; the inner bool nests a should-of-(term | "
+     "must-of-term+range); `filter` compiles like must (non-scoring "
+     "filter context). The whole tree folds into ONE Catalyst "
+     "predicate, so the parquet scan still sees a single pushed "
+     "filter - compile-time recursion, not query-time iteration.")
+def a3f_es_nested_bool_multimatch(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_search(d, _NESTED_DSL_DEMO).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -230,3 +230,94 @@ def a2b_token_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("token").alias("max_token"),
         )
     )
+
+
+@register("a2c_per_partition_limit", "A2", """
+SELECT o_custkey, o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""", "Cassandra PER PARTITION LIMIT semantics: the table modeled as "
+     "PRIMARY KEY ((o_custkey), o_orderdate DESC, o_orderkey) - "
+     "partition key hashed to the token ring, rows ordered by the "
+     "clustering key within each partition - and the query returns "
+     "the newest 3 rows of EVERY partition, exactly what `SELECT ... "
+     "PER PARTITION LIMIT 3` streams. In Spark this is a per-key "
+     "window over the clustering order: each partition's rows are "
+     "already co-located by the shuffle on the partition key, groups "
+     "are customer-sized (bounded), and no global sort exists "
+     "anywhere - the same locality Cassandra's SSTable layout gives "
+     "the native scan.")
+def a2c_per_partition_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+        )
+    )
+
+
+@register("a2d_clustering_range_scan", "A2", """
+WITH t AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS token
+  FROM orders
+)
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+       STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS last_date,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS slice_revenue
+FROM t
+WHERE token // 144115188075855872 = 2
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_custkey
+""", "Cassandra clustering-key range scan within ONE token range: the "
+     "executor that owns ring slice #2 scans its partitions in token "
+     "order and applies the clustering-key predicate (o_orderdate in "
+     "[1995, 1997)) as a contiguous SSTable slice - `WHERE "
+     "token(o_custkey) >= lo AND token(o_custkey) < hi AND "
+     "o_orderdate >= X AND o_orderdate < Y` in CQL. Here the token "
+     "filter is the same 60-bit portable hash the a2b ring split "
+     "uses (cross-engine-exact MD5 math) and the clustering "
+     "predicate pushes to the parquet scan the way the clustering "
+     "slice prunes SSTable blocks. Per-partition aggregates prove "
+     "the slice's content exactly.")
+def a2d_clustering_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    token = portable_hash60(F.col("o_custkey").cast("string"))
+    return (
+        o.withColumn("token", token)
+        .filter(
+            (F.expr("token div 144115188075855872") == 2)
+            & F.expr("o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'")
+            & F.expr("o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+            dsum("o_totalprice", 2).alias("slice_revenue"),
+        )
+    )

@@ -121,3 +121,23 @@ def test_range_agg_overlapping_ranges(spark):
     })
     got = {r.key: r.doc_count for r in out.collect()}
     assert got == {"*-200": 2, "100-300": 2, "300-*": 1}
+
+
+def test_multi_match_and_nested_bool_filter(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_search
+
+    df = spark.createDataFrame(
+        [("alpha beta", "news", 10), ("gamma delta", "blog", 99),
+         ("beta gamma", "news", 5)],
+        "body string, channel string, score int",
+    )
+    q = {
+        "bool": {
+            "must": [
+                {"multi_match": {"query": "alpha gamma", "fields": ["body", "channel"]}}
+            ],
+            "filter": [{"range": {"score": {"gte": 6}}}],
+        }
+    }
+    got = {r.body for r in es_search(df, q).collect()}
+    assert got == {"alpha beta", "gamma delta"}
