@@ -43,7 +43,12 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 # Scale-matched knobs - must be set before the session module loads.
-os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+# 4 shuffle partitions (round 3, measured): at sf0.1 every shuffle is
+# KBs; halving 8 -> 4 cut per-stage task-launch overhead nearly 2x on
+# every headline query (e.g. e4 0.117 -> 0.065 s, q5 0.255 -> 0.137 s,
+# flagship 0.158 -> 0.105 s) with no query slower. On a cluster the
+# session default (32 + AQE coalesce) applies - env switch, not a fork.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
 os.environ.setdefault("SPARK_GRAFT_AQE", "false")
 
 from cassandra_elasticsearch_sync_spark.catalog import TABLES  # noqa: E402
@@ -69,7 +74,7 @@ HEADLINE = [
 # Files per table after ingest: enough row groups that a scan
 # parallelizes across cores, few enough that per-file open cost stays
 # negligible. Small dims stay single-file.
-_INGEST_FILES = {"lineitem": 16, "orders": 16, "events": 16,
+_INGEST_FILES = {"lineitem": 16, "orders": 16, "events": 8,
                  "documents": 8, "embeddings": 8}
 
 
