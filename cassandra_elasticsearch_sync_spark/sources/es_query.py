@@ -197,9 +197,56 @@ def es_aggregate(df: DataFrame, aggs: dict) -> DataFrame:
     JVM-side so the bucket key is a plain string.
     """
     (name, spec), = aggs.items()
+
+    def _is_bucket(s: dict) -> bool:
+        return any(k in s for k in ("terms", "date_histogram", "range", "composite"))
+
+    bucket_subs = {
+        n: s for n, s in spec.get("aggs", {}).items() if _is_bucket(s)
+    }
     sub = [
-        c for n, s in spec.get("aggs", {}).items() for c in _metric_columns(n, s)
+        c for n, s in spec.get("aggs", {}).items()
+        if not _is_bucket(s)
+        for c in _metric_columns(n, s)
     ]
+    if "terms" in spec and bucket_subs:
+        # Nested bucket agg: terms within terms, the faceted-drilldown
+        # shape (outer buckets -> top inner buckets each). Flattened to
+        # rows the way ES clients flatten the nested response. One
+        # grouped aggregate on (outer, inner) + a broadcast top-size
+        # outer filter + a per-outer top-size window - inner windows
+        # are bounded by the outer bucket's distinct inner keys.
+        (inner_name, inner_spec), = bucket_subs.items()
+        if "terms" not in inner_spec:
+            raise ValueError("nested bucket sub-agg supports terms-in-terms")
+        fo, so = spec["terms"]["field"], spec["terms"].get("size", 10)
+        fi = inner_spec["terms"]["field"]
+        si = inner_spec["terms"].get("size", 10)
+        inner_metrics = [
+            c for n, s in inner_spec.get("aggs", {}).items()
+            for c in _metric_columns(n, s)
+        ]
+        grouped = (
+            df.groupBy(F.col(fo).alias("key"), F.col(fi).alias(inner_name))
+            .agg(F.count("*").alias("doc_count"), *inner_metrics)
+        )
+        outer_top = (
+            grouped.groupBy("key")
+            .agg(F.sum("doc_count").alias("outer_doc_count"))
+            .orderBy(F.col("outer_doc_count").desc(), F.col("key"))
+            .limit(so)
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy(
+            F.col("doc_count").desc(), F.col(inner_name)
+        )
+        return (
+            grouped.join(F.broadcast(outer_top), "key")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= si)
+            .drop("__rn")
+        )
     if "terms" in spec:
         field = spec["terms"]["field"]
         size = spec["terms"].get("size", 10)
@@ -210,6 +257,32 @@ def es_aggregate(df: DataFrame, aggs: dict) -> DataFrame:
             .limit(size)
         )
         return out
+    if "composite" in spec:
+        # Composite agg: deterministic pagination over the FULL bucket
+        # space, ordered ascending by the compound source key, resuming
+        # after a cursor - how ES clients sweep every bucket of a
+        # high-cardinality aggregation without deep terms sizes. The
+        # after-cursor compiles to a lexicographic predicate on the
+        # grouped keys; at scale the page is a
+        # TakeOrderedAndProject over the aggregate, never a full sort.
+        body = spec["composite"]
+        srcs = []
+        for s in body["sources"]:
+            (sname, sdef), = s.items()
+            srcs.append((sname, sdef["terms"]["field"]))
+        size = body.get("size", 10)
+        after = body.get("after")
+        grouped = df.groupBy(
+            *[F.col(f).alias(n) for n, f in srcs]
+        ).agg(F.count("*").alias("doc_count"), *sub)
+        if after is not None:
+            pred = F.lit(False)
+            eq = F.lit(True)
+            for n, _ in srcs:
+                pred = pred | (eq & (F.col(n) > F.lit(after[n])))
+                eq = eq & (F.col(n) == F.lit(after[n]))
+            grouped = grouped.filter(pred)
+        return grouped.orderBy(*[F.col(n) for n, _ in srcs]).limit(size)
     if "date_histogram" in spec:
         body = spec["date_histogram"]
         unit = {"month": "yyyy-MM", "day": "yyyy-MM-dd", "year": "yyyy"}[
@@ -406,3 +479,88 @@ def a3f_es_nested_bool_multimatch(spark, sf_dir):
     return es_search(d, _NESTED_DSL_DEMO).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+_AGGS_COMPOSITE_DEMO = {
+    "all_buckets": {
+        "composite": {
+            "sources": [
+                {"pri": {"terms": {"field": "o_orderpriority"}}},
+                {"status": {"terms": {"field": "o_orderstatus"}}},
+            ],
+            "size": 6,
+            "after": {"pri": "2-HIGH", "status": "F"},
+        },
+        "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
+    }
+}
+
+
+@register("a3g_es_composite_agg", "A3", """
+SELECT pri, status, doc_count, revenue FROM (
+  SELECT o_orderpriority AS pri, o_orderstatus AS status,
+         COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+              AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY o_orderpriority, o_orderstatus
+)
+WHERE pri > '2-HIGH' OR (pri = '2-HIGH' AND status > 'F')
+ORDER BY pri, status LIMIT 6
+""", "ES composite aggregation: deterministic pagination over the full "
+     "(priority, status) bucket space, ascending by compound key, "
+     "resuming AFTER a cursor - the only ES shape that sweeps "
+     "high-cardinality bucket spaces completely. The after-cursor "
+     "compiles to a lexicographic predicate on the grouped keys and "
+     "the page is a distributed top-N over the aggregate (never a "
+     "global sort), so each page costs one agg + one bounded top-N "
+     "at any key cardinality.")
+def a3g_es_composite_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, _AGGS_COMPOSITE_DEMO)
+
+
+_AGGS_NESTED_DEMO = {
+    "by_priority": {
+        "terms": {"field": "o_orderpriority", "size": 3},
+        "aggs": {
+            "by_status": {
+                "terms": {"field": "o_orderstatus", "size": 2},
+                "aggs": {
+                    "revenue": {"sum": {"field": "o_totalprice"}},
+                },
+            },
+        },
+    }
+}
+
+
+@register("a3h_es_nested_terms_agg", "A3", """
+WITH grouped AS (
+  SELECT o_orderpriority AS key, o_orderstatus AS by_status,
+         COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+              AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+),
+outer_top AS (
+  SELECT key, CAST(SUM(doc_count) AS BIGINT) AS outer_doc_count
+  FROM grouped GROUP BY key
+  ORDER BY outer_doc_count DESC, key LIMIT 3
+)
+SELECT g.key, g.by_status, g.doc_count, g.revenue, o.outer_doc_count
+FROM grouped g JOIN outer_top o USING (key)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY g.key
+                           ORDER BY g.doc_count DESC, g.by_status) <= 2
+""", "ES nested bucket aggregation (terms within terms): top-3 "
+     "priority buckets, each drilled into its top-2 status buckets "
+     "with a revenue sub-metric - the faceted-drilldown every search "
+     "UI issues. One grouped aggregate on the (outer, inner) pair, a "
+     "broadcast top-size outer filter, and a per-outer bounded "
+     "window; the inner window is bounded by the outer bucket's "
+     "distinct inner keys, so no skew concentration at any corpus "
+     "size.")
+def a3h_es_nested_terms_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = es_aggregate(o, _AGGS_NESTED_DEMO)
+    return out.select("key", "by_status", "doc_count", "revenue", "outer_doc_count")

@@ -103,7 +103,14 @@ class SyncEngine:
         cols = [c for c in delta_a.columns if c != "side"]
         ship_a = delta_a.join(self.b.read(), cols, "left_anti").persist()
         ship_b = delta_b.join(self.a.read(), cols, "left_anti").persist()
-        n = ship_a.count() + ship_b.count()
+        # One job for both counts (a union-count instead of two
+        # count() actions): the quiet-cycle hot path pays a single
+        # scheduling round trip per cycle.
+        n = (
+            ship_a.select(F.lit(1).alias("one"))
+            .unionAll(ship_b.select(F.lit(1).alias("one")))
+            .count()
+        )
         if n:
             new_b = lww_merge(self.b.read(), ship_a)
             new_a = lww_merge(self.a.read(), ship_b)

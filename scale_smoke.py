@@ -1,15 +1,28 @@
 #!/usr/bin/env python3
-"""Scale smoke: replicate sf0.1 10x into /tmp (~sf1: 6M-row lineitem,
-50k docs with heavy dup families) and time the headline operators.
-Evidence for the README's scaling claims; not part of the driver gate.
+"""Scale smoke: replicate sf0.1 into /tmp at two scale points and time
+the headline operators at each - evidence that the scaling curve holds
+across a decade, not a single point. Not part of the driver gate.
 
-Usage: python scale_smoke.py
+Point A (~sf1):  10x facts, 10x documents, base embeddings.
+Point B (~sf6):  60x facts (36M-row lineitem), 30x documents, 100x
+                 embeddings (50k vectors).
+
+documents scale slower than facts on purpose: replication multiplies
+DUP-FAMILY sizes, and k2's candidate-pair output grows quadratically in
+family multiplicity - at 30x the pair count is ~9x the 10x point's by
+construction, so the interesting signal is that RUNTIME grows like the
+OUTPUT (the join is bounded by real work), not like corpus^2.
+embeddings replicate with fresh vec_ids (real corpus growth, constant
+dup structure), so k3 measures a genuinely 100x-larger ANN corpus.
+
+Usage: python scale_smoke.py [--quick]   (--quick = point A only)
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import sys
 import time
 
 import pyspark.sql.functions as F
@@ -18,38 +31,87 @@ from cassandra_elasticsearch_sync_spark.registry import all_specs
 from cassandra_elasticsearch_sync_spark.session import get_spark
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BIG = "/tmp/ces_scale_smoke"
 PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
          "k1_exact_dedup", "k2_minhash_lsh_pairs", "k3_cosine_topk",
          "e9_decile_by_segment", "k7e_cumulative_users", "c7b_interval_overlap_join")
 
+SMALL = ("region", "nation", "customer", "supplier", "part")
 
-def main() -> None:
-    spark = get_spark(app_name="scale-smoke")
-    spark.sparkContext.setLogLevel("ERROR")
-    shutil.rmtree(BIG, ignore_errors=True)
-    os.makedirs(BIG)
-    small = ("region", "nation", "customer", "supplier", "part", "embeddings")
-    for t in small:
-        spark.read.parquet(f"{BASE}/{t}.parquet").write.parquet(f"{BIG}/{t}.parquet")
+
+def build(spark, root: str, facts_x: int, docs_x: int, emb_x: int) -> float:
+    """Materialize a replicated corpus; returns build seconds."""
+    t0 = time.perf_counter()
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    for t in SMALL:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.parquet(f"{root}/{t}.parquet")
+    # Facts: replicate via a range cross join (one wide scan, no
+    # n-way union plan), keys untouched (join selectivity preserved).
     for t in ("lineitem", "orders", "events"):
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
-        out = df
-        for _ in range(9):
-            out = out.union(df)
-        out.write.parquet(f"{BIG}/{t}.parquet")
+        (
+            df.crossJoin(F.broadcast(spark.range(facts_x).select(F.col("id").alias("__rep"))))
+            .drop("__rep")
+            .repartition(32)
+            .write.parquet(f"{root}/{t}.parquet")
+        )
     d = spark.read.parquet(f"{BASE}/documents.parquet")
-    out = d
-    for i in range(1, 10):
-        out = out.union(d.withColumn("doc_id", F.col("doc_id") + 100000 * i))
-    out.write.parquet(f"{BIG}/documents.parquet")
+    (
+        d.crossJoin(F.broadcast(spark.range(docs_x).select(F.col("id").alias("__rep"))))
+        .select(
+            (F.col("doc_id") + F.col("__rep") * 1_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        .repartition(16)
+        .write.parquet(f"{root}/documents.parquet")
+    )
+    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    (
+        e.crossJoin(F.broadcast(spark.range(emb_x).select(F.col("id").alias("__rep"))))
+        .select(
+            (F.col("vec_id") + F.col("__rep") * 1_000_000).alias("vec_id"),
+            "embedding", "label",
+        )
+        .repartition(16)
+        .write.parquet(f"{root}/embeddings.parquet")
+    )
+    return time.perf_counter() - t0
 
+
+def run_point(spark, label: str, root: str) -> dict[str, float]:
     specs = all_specs()
+    out: dict[str, float] = {}
     for name in PICKS:
         t0 = time.perf_counter()
-        specs[name].fn(spark, BIG).write.mode("overwrite").format("noop").save()
-        print(f"{name}: {time.perf_counter() - t0:.1f}s at ~10x {BASE}")
-    shutil.rmtree(BIG, ignore_errors=True)
+        specs[name].fn(spark, root).write.mode("overwrite").format("noop").save()
+        out[name] = time.perf_counter() - t0
+        print(f"  {label} {name}: {out[name]:.1f}s", flush=True)
+    return out
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    points = [("A(~sf1)", "/tmp/ces_scale_A", 10, 10, 10)]
+    if not quick:
+        points.append(("B(~sf6)", "/tmp/ces_scale_B", 60, 30, 100))
+
+    results = {}
+    for label, root, fx, dx, ex in points:
+        b = build(spark, root, fx, dx, ex)
+        print(f"{label}: corpus built in {b:.0f}s "
+              f"(facts x{fx}, docs x{dx}, embeddings x{ex})", flush=True)
+        results[label] = run_point(spark, label, root)
+        shutil.rmtree(root, ignore_errors=True)
+
+    if len(results) == 2:
+        a, b = results["A(~sf1)"], results["B(~sf6)"]
+        print("\nquery                              A(~sf1)  B(~sf6)  "
+              "time-ratio (data-ratio 6x facts / 3x docs / 10x emb)")
+        for n in PICKS:
+            print(f"{n:34s} {a[n]:7.1f}  {b[n]:7.1f}  {b[n]/max(a[n],1e-9):5.1f}x")
 
 
 if __name__ == "__main__":
