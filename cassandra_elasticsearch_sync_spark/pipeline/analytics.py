@@ -642,3 +642,48 @@ def k_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register("k_weighted_sample", "K1", """
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS hv
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       ROUND(CAST(n_chars AS DOUBLE) / CAST(hv + 1 AS DOUBLE) * 1e15, 6)
+         AS priority
+FROM h
+ORDER BY CAST(n_chars AS DOUBLE) / CAST(hv + 1 AS DOUBLE) DESC, doc_id
+LIMIT 50
+""", "Weighted sampling without replacement via PRIORITY SAMPLING "
+     "(Duffield-Lund-Thorup): each row gets priority w / u with "
+     "u ~ Uniform derived from the portable 60-bit hash of its id, "
+     "and the sample is the global top-k by priority - inclusion "
+     "probability proportional to weight (here n_chars: longer "
+     "documents sampled more, the standard pretraining upweighting). "
+     "Deterministic: no rand() anywhere, so every engine/run/executor "
+     "agrees row-for-row. Float-parity-safe BY CONSTRUCTION: the "
+     "priority is a single IEEE divide of two exactly-converted "
+     "integers (no pow/log, which is why this beats the classic "
+     "A-ES u^(1/w) formulation for cross-engine verification - same "
+     "distribution family, libm-free). The top-k compiles to "
+     "TakeOrderedAndProject: per-partition heaps of k, no global "
+     "sort, the 100 TB shape.")
+def k_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    hv = portable_hash60(F.col("doc_id").cast("string"))
+    pri = F.col("n_chars").cast("double") / (hv + F.lit(1)).cast("double")
+    return (
+        d.select(
+            "doc_id", "lang", "n_chars",
+            pri.alias("_pri"),
+            F.round(pri * F.lit(1e15), 6).alias("priority"),
+        )
+        .orderBy(F.col("_pri").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "lang", "n_chars", "priority")
+    )

@@ -784,3 +784,83 @@ def k2h_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(oc >= 0.8)
         .select("doc_a", "doc_b", F.round(oc, 6).alias("overlap_coef"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K1+K4: eval-set decontamination (n-gram overlap against the train split)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # 8-token grams, the GPT-3/PaLM-style contamination unit
+
+_K1_DECON_ORACLE = """
+WITH h AS (
+  SELECT doc_id, text,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS b
+  FROM documents
+),
+tok AS (SELECT doc_id, b, STRING_SPLIT(text, ' ') AS t FROM h),
+g AS (
+  SELECT doc_id, b,
+         UNNEST(LIST_DISTINCT([ARRAY_TO_STRING(t[i:i+7], ' ')
+                               FOR i IN RANGE(1, LEN(t) - 6)])) AS gram
+  FROM tok WHERE LEN(t) >= 8
+),
+ev AS (SELECT DISTINCT gram, doc_id AS eval_doc FROM g WHERE b < 10),
+tr AS (SELECT doc_id, gram FROM g WHERE b >= 10)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.gram) AS n_contaminated_grams,
+       COUNT(DISTINCT ev.eval_doc) AS n_eval_docs
+FROM tr JOIN ev USING (gram)
+GROUP BY 1
+"""
+
+_DECON_GRAMS_EXPR = (
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 7), "
+    "i -> array_join(slice(split(text, ' '), i, 8), ' ')))"
+)
+
+
+@register("k1_decontamination", "K1+K4", _K1_DECON_ORACLE,
+          "Test-set decontamination: flag training documents sharing "
+          "any 8-token gram with the held-out eval split (the same "
+          "deterministic hash-bucket split as k_deterministic_sample, "
+          "buckets 0-9). The contamination check every serious "
+          "pretraining pipeline runs before training - verbatim eval "
+          "leakage inflates benchmarks silently. Shape: both sides "
+          "shingle once (higher-order transform, JVM-side), the eval "
+          "gram set is ~10% of the corpus and BROADCAST, so the "
+          "probe is a map-side hash join against the full training "
+          "scan - no shuffle of the big side, which is what makes "
+          "this affordable at 100 TB (the eval set is fixed-size by "
+          "construction; if it outgrew broadcast you shuffle on gram, "
+          "same plan minus the hint). Output: per contaminated train "
+          "doc, how many distinct grams leak and how many eval docs "
+          "they reach.")
+def k1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash60(F.col("doc_id").cast("string")) % 100
+    g = (
+        d.filter(F.size(F.split("text", " ")) >= _DECON_N)
+        .select(
+            "doc_id",
+            bucket.alias("b"),
+            F.explode(F.expr(_DECON_GRAMS_EXPR)).alias("gram"),
+        )
+    )
+    ev = (
+        g.filter(F.col("b") < 10)
+        .select("gram", F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    tr = g.filter(F.col("b") >= 10).select("doc_id", "gram")
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_contaminated_grams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )

@@ -315,3 +315,93 @@ def k2g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     return nodes.crossJoin(edges).crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# K2h: degree-oriented triangle counting (the adversarial-skew-proof form)
+# ---------------------------------------------------------------------------
+
+_K2H_ORACLE = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM o e1
+  JOIN o e2 ON e1.dst = e2.src
+  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+od AS (SELECT MAX(c) AS max_outdeg
+       FROM (SELECT src, COUNT(*) AS c FROM o GROUP BY 1))
+SELECT n_triangles, max_outdeg FROM tri, od
+"""
+
+
+@register("k2h_triangle_degree_oriented", "K2", _K2H_ORACLE,
+          "Degree-oriented triangle counting (Cohen / Suri-Vassilvitskii "
+          "MR-style): orient each undirected edge from the lower-(degree, "
+          "id) endpoint to the higher, then close wedges with the same "
+          "two equi-joins as k2g. The orientation is acyclic and total, "
+          "so every triangle is counted exactly once AND every wedge "
+          "list is anchored at its lowest-degree corner - out-degrees "
+          "are bounded by O(sqrt(|E|)) even on power-law graphs, which "
+          "is what keeps the wedge join from exploding on a celebrity "
+          "node at 100 TB (id-orientation, k2g, has no such bound: a "
+          "low-id hub owns every wedge). max_outdeg is reported so the "
+          "bound is visible in the output; the count is orientation- "
+          "invariant and must equal k2g's. Degrees come from one "
+          "groupBy over the symmetrized edge list; the two degree "
+          "lookups are broadcast joins (|V| << |E|).")
+def k2h_triangle_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(e3, (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    od = (
+        o.groupBy("src").agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("max_outdeg"))
+    )
+    return tri.crossJoin(od)

@@ -672,3 +672,183 @@ def k7j_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 6).alias("psi"),
         F.count("*").alias("n_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K7k: Holt linear (double-exponential) smoothing - a genuinely sequential
+# recurrence, the class of operator that CANNOT be a window closed form
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5    # exact binary fractions: every product is one
+_HOLT_BETA = 0.25    # correctly-rounded IEEE op in both engines
+_HOLT_HORIZON = 7
+
+_K7K_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS d,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,6))
+              AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn, x
+  FROM daily
+),
+nn AS (SELECT event_type, MAX(rn) AS n FROM seq GROUP BY 1),
+hw AS (
+  SELECT s1.event_type, CAST(1 AS BIGINT) AS rn, s1.x AS s, s2.x - s1.x AS b
+  FROM seq s1 JOIN seq s2
+    ON s1.event_type = s2.event_type AND s1.rn = 1 AND s2.rn = 2
+  UNION ALL
+  SELECT h.event_type, h.rn + 1,
+         {_HOLT_ALPHA} * d.x + {1 - _HOLT_ALPHA} * (h.s + h.b),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * d.x + {1 - _HOLT_ALPHA} * (h.s + h.b)) - h.s)
+           + {1 - _HOLT_BETA} * h.b
+  FROM hw h JOIN seq d ON d.event_type = h.event_type AND d.rn = h.rn + 1
+)
+SELECT h.event_type, ROUND(h.s, 6) AS level, ROUND(h.b, 6) AS trend,
+       ROUND(h.s + {_HOLT_HORIZON} * h.b, 6) AS forecast_7d
+FROM hw h JOIN nn ON h.event_type = nn.event_type AND h.rn = nn.n
+"""
+
+
+@register("k7k_holt_linear", "K7", _K7K_ORACLE,
+          "Holt linear (double-exponential) smoothing of the per-type "
+          "daily revenue series, forecast 7 steps ahead. The recurrence "
+          "s_t = a*x_t + (1-a)*(s+b); b_t = B*(s_t - s) + (1-B)*b is "
+          "inherently sequential - no window closed form exists (the "
+          "coupled level/trend recursion is a 2x2 matrix power) - so "
+          "this is the textbook applyInPandas case: groups hash to "
+          "executors, each group's bounded daily series (one row per "
+          "day) is folded in one Arrow batch. At 100 TB the raw events "
+          "collapse to |types| x |days| rows in the daily pre-aggregate "
+          "(partial map-side sum), so state per group stays tiny no "
+          "matter the event volume. Parity: the oracle runs the "
+          "IDENTICAL binary64 recurrence as a recursive CTE - same "
+          "operation order, alpha/beta exact binary fractions, daily "
+          "inputs exact via the decimal-sum bridge - so the doubles "
+          "are bit-equal; groups with <2 days drop on both sides.")
+def k7k_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("decimal(38,6)").cast("double").alias("x")
+        )
+    )
+    a, b_ = _HOLT_ALPHA, _HOLT_BETA
+    h = _HOLT_HORIZON
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        xs = pdf["x"].tolist()
+        if len(xs) < 2:
+            return pd.DataFrame(
+                {"event_type": [], "level": [], "trend": [], "forecast_7d": []}
+            )
+        s, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            s_new = a * x + (1 - a) * (s + b)
+            b = b_ * (s_new - s) + (1 - b_) * b
+            s = s_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "level": [s],
+                "trend": [b],
+                "forecast_7d": [s + h * b],
+            }
+        )
+
+    raw = daily.groupBy("event_type").applyInPandas(
+        holt, "event_type string, level double, trend double, forecast_7d double"
+    )
+    # round in Spark SQL, not Python: SQL ROUND is half-up in both
+    # engines, Python round() is banker's - a latent parity trap on
+    # dyadic midpoints
+    return raw.select(
+        "event_type",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_7d", 6).alias("forecast_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K7l: per-group OLS linear trend (closed-form regression from exact sums)
+# ---------------------------------------------------------------------------
+
+_K7L_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(DATE_TRUNC('day', ts) AS DATE) - DATE '1970-01-01' AS x,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,6))
+              AS DECIMAL(18,6)) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(x) AS DOUBLE) AS sxd,
+         CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS DOUBLE) AS sxxd,
+         CAST(SUM(y) AS DOUBLE) AS syd,
+         CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxyd
+  FROM daily GROUP BY 1
+)
+SELECT event_type,
+       ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+       ROUND((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+             / nd, 6) AS intercept
+FROM s
+"""
+
+
+@register("k7l_linear_trend", "K7+D5", _K7L_ORACLE,
+          "Per-group OLS linear trend (slope + intercept) of daily "
+          "revenue vs epoch day, via the closed form slope = "
+          "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2). All five sufficient "
+          "statistics are EXACT: integer sums for x terms, decimal "
+          "sums for y terms (order-free, overflow-checked: x*y is "
+          "DECIMAL(10,0)*DECIMAL(18,6) -> 29 digits, within 38), so "
+          "the reduction is one map-side-partial groupBy over the "
+          "daily pre-aggregate and the only float arithmetic is the "
+          "final per-group scalar formula, written in identical "
+          "textual order in both engines (every +,-,*,/ one "
+          "correctly-rounded IEEE op on exactly-converted inputs). "
+          "The regression-per-key shape behind trend features and "
+          "drift alarms; at 100 TB it is two shuffles (day rollup, "
+          "then group rollup) with no per-row Python anywhere.")
+def k7l_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01")).alias("x"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("decimal(38,6)").cast("decimal(18,6)").alias("y")
+        )
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("nd"),
+        F.sum("x").cast("double").alias("sxd"),
+        F.sum(F.col("x").cast("bigint") * F.col("x").cast("bigint"))
+        .cast("double").alias("sxxd"),
+        F.sum("y").cast("double").alias("syd"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y"))
+        .cast("double").alias("sxyd"),
+    )
+    slope = (F.col("nd") * F.col("sxyd") - F.col("sxd") * F.col("syd")) / (
+        F.col("nd") * F.col("sxxd") - F.col("sxd") * F.col("sxd")
+    )
+    return s.select(
+        "event_type",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("syd") - slope * F.col("sxd")) / F.col("nd"), 6)
+        .alias("intercept"),
+    )

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Driver-twin parity sweep over the FULL registry on a vanilla session.
+
+Mirrors the driver's correctness gate exactly: a default
+``SparkSession.builder.master('local[8]').getOrCreate()`` (no engine
+confs), every oracle-backed query compared against its DuckDB twin at
+sf0.01 via tests/oracle_harness.compare. Rows-only queries are executed
+and row-counted (the driver's weaker check). Appends nothing; writes
+the log to stdout — redirect into PARITY_LOG_r{N}.txt.
+
+Usage: python tools/parity_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from oracle_harness import compare, duck_connection  # noqa: E402
+from cassandra_elasticsearch_sync_spark import registry  # noqa: E402
+
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+con = duck_connection(sf_dir)
+
+specs = registry.all_specs()
+t0 = time.time()
+n_ok = n_fail = n_rows_only = 0
+fails: list[str] = []
+for name, spec in specs.items():
+    try:
+        df = spec.fn(spark, sf_dir)
+        if spec.oracle is None:
+            n = df.count()
+            print(f"{name}: ROWS-ONLY ({n} rows)", flush=True)
+            n_rows_only += 1
+            continue
+        res = compare(name, df, con, spec.oracle)
+        print(res, flush=True)
+        if res.ok:
+            n_ok += 1
+        else:
+            n_fail += 1
+            fails.append(name)
+    except Exception as e:  # noqa: BLE001 - sweep must finish
+        print(f"{name}: ERROR {type(e).__name__}: {e}", flush=True)
+        n_fail += 1
+        fails.append(name)
+
+print(f"\n== SWEEP {n_ok} OK / {n_fail} FAIL / {n_rows_only} rows-only "
+      f"of {len(specs)} at {sf_dir} in {time.time() - t0:.0f}s ==")
+if fails:
+    print("FAILED:", ", ".join(fails))
+    sys.exit(1)
