@@ -181,7 +181,8 @@ def _metric_columns(name: str, spec: dict) -> list:
     return [_metric_column(name, spec)]
 
 
-def es_aggregate(df: DataFrame, aggs: dict) -> DataFrame:
+def es_aggregate(df: DataFrame, aggs: dict,
+                 background: DataFrame | None = None) -> DataFrame:
     """Run an ES aggregations-DSL dict against a DataFrame.
 
     Supported bucket aggs (one top-level bucket, ES's common shape):
@@ -199,7 +200,45 @@ def es_aggregate(df: DataFrame, aggs: dict) -> DataFrame:
     (name, spec), = aggs.items()
 
     def _is_bucket(s: dict) -> bool:
-        return any(k in s for k in ("terms", "date_histogram", "range", "composite"))
+        return any(k in s for k in ("terms", "date_histogram", "range", "composite",
+                                    "significant_terms"))
+
+    if "significant_terms" in spec:
+        # significant_terms: which terms are OVER-represented in the
+        # foreground (the query-filtered df) vs the background (the
+        # whole index)? Scored with ES's default JLH:
+        #   (fg% - bg%) * (fg% / bg%)
+        # - the "what makes this slice different" facet behind anomaly
+        # drill-downs and guided navigation. Shape: one groupBy on
+        # each side (both map-side partial), the per-term join and the
+        # two 1-row totals are broadcast - at 100 TB the heavy scans
+        # reduce before anything shuffles. Score arithmetic is four
+        # IEEE ops on exactly-converted counts, in identical textual
+        # order in the oracle - bit-parity safe, no libm.
+        if background is None:
+            raise ValueError("significant_terms needs the background df")
+        body = spec["significant_terms"]
+        field, size = body["field"], body.get("size", 10)
+        fg = df.groupBy(F.col(field).alias("key")).agg(
+            F.count("*").alias("doc_count"))
+        bg = background.groupBy(F.col(field).alias("key")).agg(
+            F.count("*").alias("bg_count"))
+        fg_n = df.agg(F.count("*").alias("fg_n"))
+        bg_n = background.agg(F.count("*").alias("bg_n"))
+        fgp = F.col("doc_count").cast("double") / F.col("fg_n").cast("double")
+        bgp = F.col("bg_count").cast("double") / F.col("bg_n").cast("double")
+        score = (fgp - bgp) * (fgp / bgp)
+        return (
+            fg.join(F.broadcast(bg), "key")
+            .crossJoin(F.broadcast(fg_n))
+            .crossJoin(F.broadcast(bg_n))
+            .select("key", "doc_count", "bg_count",
+                    F.round(score, 6).alias("score"), score.alias("_s"))
+            .filter(F.col("_s") > 0)
+            .orderBy(F.col("_s").desc(), "key")
+            .limit(size)
+            .drop("_s")
+        )
 
     bucket_subs = {
         n: s for n, s in spec.get("aggs", {}).items() if _is_bucket(s)
@@ -564,3 +603,47 @@ def a3h_es_nested_terms_agg(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     out = es_aggregate(o, _AGGS_NESTED_DEMO)
     return out.select("key", "by_status", "doc_count", "revenue", "outer_doc_count")
+
+
+@register("a3i_es_significant_terms", "A3", """
+WITH fg AS (
+  SELECT lang AS key, COUNT(*) AS doc_count
+  FROM documents WHERE source = 'src0' GROUP BY 1
+),
+bg AS (SELECT lang AS key, COUNT(*) AS bg_count FROM documents GROUP BY 1),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM documents WHERE source = 'src0') AS fg_n,
+         (SELECT COUNT(*) FROM documents) AS bg_n
+)
+SELECT key, doc_count, bg_count,
+       ROUND((CAST(doc_count AS DOUBLE) / CAST(fg_n AS DOUBLE)
+              - CAST(bg_count AS DOUBLE) / CAST(bg_n AS DOUBLE))
+             * ((CAST(doc_count AS DOUBLE) / CAST(fg_n AS DOUBLE))
+                / (CAST(bg_count AS DOUBLE) / CAST(bg_n AS DOUBLE))), 6)
+         AS score
+FROM fg JOIN bg USING (key), tot
+WHERE (CAST(doc_count AS DOUBLE) / CAST(fg_n AS DOUBLE)
+       - CAST(bg_count AS DOUBLE) / CAST(bg_n AS DOUBLE))
+      * ((CAST(doc_count AS DOUBLE) / CAST(fg_n AS DOUBLE))
+         / (CAST(bg_count AS DOUBLE) / CAST(bg_n AS DOUBLE))) > 0
+ORDER BY (CAST(doc_count AS DOUBLE) / CAST(fg_n AS DOUBLE)
+          - CAST(bg_count AS DOUBLE) / CAST(bg_n AS DOUBLE))
+         * ((CAST(doc_count AS DOUBLE) / CAST(fg_n AS DOUBLE))
+            / (CAST(bg_count AS DOUBLE) / CAST(bg_n AS DOUBLE))) DESC, key
+LIMIT 5
+""", "ES significant_terms aggregation, JLH-scored: which languages "
+     "are over-represented among src0 documents relative to the whole "
+     "corpus - the 'what makes this slice different' facet behind "
+     "anomaly drill-down and guided navigation. Foreground = the "
+     "term-query search context, background = the full index, score "
+     "= (fg% - bg%) * (fg% / bg%), positive scores only, ES's "
+     "default. Both sides reduce with one grouped count each before "
+     "the broadcast join, so nothing big ever shuffles.")
+def a3i_es_significant_terms(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    fg = es_search(d, {"term": {"source": "src0"}})
+    return es_aggregate(
+        fg,
+        {"sig_langs": {"significant_terms": {"field": "lang", "size": 5}}},
+        background=d,
+    )

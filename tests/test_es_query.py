@@ -141,3 +141,32 @@ def test_multi_match_and_nested_bool_filter(spark):
     }
     got = {r.body for r in es_search(df, q).collect()}
     assert got == {"alpha beta", "gamma delta"}
+
+
+def test_significant_terms_needs_background(spark):
+    import pytest as _pytest
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_aggregate
+
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS lang")
+    with _pytest.raises(ValueError, match="background"):
+        es_aggregate(df, {"s": {"significant_terms": {"field": "lang"}}})
+
+
+def test_significant_terms_jlh_scoring(spark):
+    """Hand-checked JLH: fg = 3 'a' + 1 'b', bg = 4 'a' + 4 'b'.
+    'a': fg%=0.75, bg%=0.5 -> (0.25)*(1.5)=0.375, positive.
+    'b': fg%=0.25, bg%=0.5 -> negative, excluded."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_aggregate
+
+    bg = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 4, "lang string"
+    )
+    fg = spark.createDataFrame([("a",)] * 3 + [("b",)], "lang string")
+    out = es_aggregate(
+        fg, {"s": {"significant_terms": {"field": "lang", "size": 5}}},
+        background=bg,
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["key"] == "a" and row["doc_count"] == 3 and row["bg_count"] == 4
+    assert abs(row["score"] - 0.375) < 1e-9
