@@ -852,3 +852,126 @@ def k7l_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("syd") - slope * F.col("sxd")) / F.col("nd"), 6)
         .alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K7m: Holt-Winters triple (additive seasonal) smoothing, period 7
+# ---------------------------------------------------------------------------
+
+_HW_A, _HW_B, _HW_G = 0.5, 0.25, 0.25   # exact binary fractions
+_HW_M = 7                                # weekly seasonality on daily data
+
+# left-fold sums so the float-op order matches the Python loop exactly
+_HW_S0 = "(((((((l[1]+l[2])+l[3])+l[4])+l[5])+l[6])+l[7])/7)"
+_HW_B0 = ("((((((((l[8]-l[1])+(l[9]-l[2]))+(l[10]-l[3]))+(l[11]-l[4]))"
+          "+(l[12]-l[5]))+(l[13]-l[6]))+(l[14]-l[7]))/49)")
+_HW_SNEW = "(0.5*(d.x - h.cs[1]) + 0.5*(h.s + h.b))"
+
+_K7M_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS d,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,6))
+              AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn, x
+  FROM daily
+),
+nn AS (SELECT event_type, MAX(rn) AS n FROM seq GROUP BY 1 HAVING MAX(rn) >= 14),
+seed AS (
+  SELECT s.event_type, l FROM (
+    SELECT event_type, LIST(x ORDER BY rn) AS l
+    FROM seq WHERE rn <= 14 GROUP BY event_type
+  ) s JOIN nn ON s.event_type = nn.event_type
+),
+hw AS (
+  SELECT event_type, CAST(7 AS BIGINT) AS rn,
+         {_HW_S0} AS s,
+         {_HW_B0} AS b,
+         [l[1]-{_HW_S0}, l[2]-{_HW_S0}, l[3]-{_HW_S0}, l[4]-{_HW_S0},
+          l[5]-{_HW_S0}, l[6]-{_HW_S0}, l[7]-{_HW_S0}] AS cs
+  FROM seed
+  UNION ALL
+  SELECT h.event_type, h.rn + 1,
+         {_HW_SNEW},
+         0.25*({_HW_SNEW} - h.s) + 0.75*h.b,
+         h.cs[2:7] || [0.25*(d.x - {_HW_SNEW}) + 0.75*h.cs[1]]
+  FROM hw h JOIN seq d ON d.event_type = h.event_type AND d.rn = h.rn + 1
+)
+SELECT h.event_type, ROUND(h.s, 6) AS level, ROUND(h.b, 6) AS trend,
+       ROUND((h.s + h.b) + h.cs[1], 6) AS forecast_1d
+FROM hw h JOIN nn ON h.event_type = nn.event_type AND h.rn = nn.n
+"""
+
+
+@register("k7m_holt_winters", "K7", _K7M_ORACLE,
+          "Holt-Winters triple-exponential smoothing (additive weekly "
+          "seasonality, period 7) over the per-type daily revenue "
+          "series: level + trend + a rolling 7-slot seasonal state, "
+          "Hyndman-style initialization from the first two seasons, "
+          "1-step-ahead forecast. Like k7k this is irreducibly "
+          "sequential, so Spark runs it as applyInPandas over the "
+          "daily pre-aggregate (bounded one-row-per-day state per "
+          "group); the oracle replays the SAME binary64 recurrence as "
+          "a recursive CTE carrying the seasonal window as a LIST "
+          "column. Every float op - the left-fold seed means, the "
+          "three smoothing updates, the list shift - is written in "
+          "identical order on both sides with exact-binary-fraction "
+          "coefficients, so results are bit-equal before the final "
+          "6 dp round. Groups with fewer than two seasons drop on "
+          "both sides.")
+def k7m_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("decimal(38,6)").cast("double").alias("x")
+        )
+    )
+    m = _HW_M
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        xs = pdf["x"].tolist()
+        if len(xs) < 2 * m:
+            return pd.DataFrame(
+                {"event_type": [], "level": [], "trend": [], "forecast_1d": []}
+            )
+        s = xs[0]
+        for x in xs[1:m]:
+            s = s + x
+        s = s / m
+        b = xs[m] - xs[0]
+        for i in range(1, m):
+            b = b + (xs[m + i] - xs[i])
+        b = b / (m * m)
+        cs = [x - s for x in xs[:m]]
+        for x in xs[m:]:
+            s_new = _HW_A * (x - cs[0]) + (1 - _HW_A) * (s + b)
+            b = _HW_B * (s_new - s) + (1 - _HW_B) * b
+            c_new = _HW_G * (x - s_new) + (1 - _HW_G) * cs[0]
+            cs = cs[1:] + [c_new]
+            s = s_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "level": [s],
+                "trend": [b],
+                "forecast_1d": [(s + b) + cs[0]],
+            }
+        )
+
+    raw = daily.groupBy("event_type").applyInPandas(
+        hw, "event_type string, level double, trend double, forecast_1d double"
+    )
+    return raw.select(
+        "event_type",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_1d", 6).alias("forecast_1d"),
+    )
