@@ -647,3 +647,61 @@ def a3i_es_significant_terms(spark, sf_dir):
         {"sig_langs": {"significant_terms": {"field": "lang", "size": 5}}},
         background=d,
     )
+
+
+def es_search_page(df: DataFrame, query: dict, sort: list[tuple[str, str]],
+                   search_after: list | None = None, size: int = 10) -> DataFrame:
+    """ES search_after hit pagination: filtered hits ordered by a
+    compound sort key, resuming strictly after a cursor row.
+
+    `sort` is [(field, "asc"|"desc"), ...] - ES requires a total order
+    (last key a unique tiebreak) and so do we. The cursor compiles to
+    the lexicographic strictly-after predicate RESPECTING per-field
+    direction (a desc field means "after" = smaller), so each page is
+    filter + TakeOrderedAndProject: per-partition heaps of `size`,
+    no global sort, no deep OFFSET scan - the same reason ES itself
+    deprecated from+size in favor of search_after.
+    """
+    out = es_search(df, query)
+    if search_after is not None:
+        if len(search_after) != len(sort):
+            raise ValueError("cursor arity must match sort arity")
+        pred, eq = F.lit(False), F.lit(True)
+        for (field, direction), v in zip(sort, search_after):
+            c = F.col(field)
+            after = c < F.lit(v) if direction == "desc" else c > F.lit(v)
+            pred = pred | (eq & after)
+            eq = eq & (c == F.lit(v))
+        out = out.filter(pred)
+    order = [
+        F.col(f).desc() if d == "desc" else F.col(f).asc() for f, d in sort
+    ]
+    return out.orderBy(*order).limit(size)
+
+
+@register("a3j_es_search_after", "A3", """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O'
+  AND (o_totalprice < 400000.0
+       OR (o_totalprice = 400000.0 AND o_orderkey > 0))
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""", "ES search_after pagination of sorted HITS (the document-level "
+     "twin of the a3g composite bucket cursor): a filtered search "
+     "ordered by (o_totalprice desc, o_orderkey asc) resuming "
+     "strictly after the cursor [400000.0, 0]. The cursor compiles "
+     "to a direction-aware lexicographic predicate, so every page is "
+     "one TakeOrderedAndProject over the filtered scan - constant "
+     "memory per page at any corpus size, exactly why ES deprecated "
+     "from+size deep paging. Decimal price comparisons are exact in "
+     "both engines.")
+def a3j_es_search_after(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_search_page(
+        o,
+        {"term": {"o_orderstatus": "O"}},
+        sort=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        search_after=[400000.0, 0],
+        size=10,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")

@@ -170,3 +170,30 @@ def test_significant_terms_jlh_scoring(spark):
     row = out[0]
     assert row["key"] == "a" and row["doc_count"] == 3 and row["bg_count"] == 4
     assert abs(row["score"] - 0.375) < 1e-9
+
+
+def test_search_after_direction_aware_cursor(spark):
+    """Page 2 must start strictly after page 1's last row under a
+    mixed-direction sort, with no overlap and no gap."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_search_page
+
+    df = spark.createDataFrame(
+        [(i, float(100 - (i % 5))) for i in range(20)], "id long, score double"
+    )
+    sort = [("score", "desc"), ("id", "asc")]
+    p1 = es_search_page(df, {"match_all": {}}, sort, size=7).collect()
+    cursor = [p1[-1]["score"], p1[-1]["id"]]
+    p2 = es_search_page(df, {"match_all": {}}, sort, search_after=cursor,
+                        size=7).collect()
+    everything = es_search_page(df, {"match_all": {}}, sort, size=14).collect()
+    assert p1 + p2 == everything
+
+
+def test_search_after_cursor_arity_checked(spark):
+    import pytest as _pytest
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_search_page
+
+    df = spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS score")
+    with _pytest.raises(ValueError, match="arity"):
+        es_search_page(df, {"match_all": {}}, [("score", "desc"), ("id", "asc")],
+                       search_after=[1.0], size=5)

@@ -223,3 +223,26 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """The eval-split gram set must broadcast: the training-corpus scan
+    (the 100 TB side) never shuffles on gram."""
+    plan = _plan(spark, "k1_decontamination")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_degree_oriented_triangles_broadcast_degrees(spark):
+    """Degree lookups join |V|-sized tables against |E|-sized edges -
+    both must be broadcast, never an edge shuffle per lookup."""
+    plan = _plan(spark, "k2h_triangle_degree_oriented")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """Priority sampling's top-k must compile to TakeOrderedAndProject
+    (per-partition heaps), not a global sort."""
+    plan = _plan(spark, "k_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Sort " not in plan, plan[:1500]
