@@ -141,6 +141,7 @@ def _ensure_loaded() -> None:
         analytics,
         privacy,
         sketches,
+        pq,
     )
     from cassandra_elasticsearch_sync_spark.streaming import incremental, stateful  # noqa: F401
     from cassandra_elasticsearch_sync_spark.sources import (  # noqa: F401
