@@ -141,3 +141,79 @@ def i6_stateful_running_max(spark, sf_dir):
     shutil.rmtree(staged, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# I6b: the state machine's CONVERGED state, oracle-backed. A state
+# machine's emission log is batching-dependent, but its final state is
+# a pure function of the (deterministically ordered) input - so replay
+# the stream once (availableNow over a single time-ordered file, i.e.
+# per-user processing order = (es, event_id) exactly), take the LAST
+# emission per user, and hash-match it against the SQL twin: per
+# (user, second) only the first row by event_id advances the machine
+# (stale suppression), the running max folds over those rows.
+# --------------------------------------------------------------------------
+
+
+@register("i6b_stateful_final_state", "I6", """
+WITH p AS (
+  SELECT user_id,
+         CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es,
+         event_id, value
+  FROM events
+),
+r AS (
+  SELECT user_id, es, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, es ORDER BY event_id) AS rn
+  FROM p
+)
+SELECT user_id,
+       MAX(CASE WHEN rn = 1 THEN value END) AS running_max,
+       MAX(es) AS last_es
+FROM r GROUP BY user_id
+""", "Converged final state of the I6 per-user state machine, "
+     "oracle-backed: the stream replays the time-ordered feed with "
+     "trigger(availableNow) through applyInPandasWithState (real "
+     "state store, real Arrow state passing), the last emission per "
+     "user IS the final (running_max, last_es) state, and it must "
+     "hash-match the declarative twin - per (user, second) only the "
+     "first row by event_id advances the machine, later same-second "
+     "deliveries are suppressed as stale. Single time-ordered file "
+     "so the replay order is a pure function of the data (the "
+     "multi-batch persistence path stays covered by i6 + "
+     "tests/test_stateful.py).")
+def i6b_stateful_final_state(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassandra_elasticsearch_sync_spark.streaming.incremental import (
+        read_events_stream,
+        stage_events_stream,
+    )
+
+    staged = stage_events_stream(spark, sf_dir, n_chunks=1)
+    ckpt = tempfile.mkdtemp(prefix="ces_i6b_ckpt_")
+    name = "i6b_stateful_out"
+    q = (
+        running_max_stream(read_events_stream(spark, staged))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    await_bounded(q, 300)
+    emitted = spark.table(name).persist()
+    emitted.count()  # materialize before the scratch dirs vanish
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    w = Window.partitionBy("user_id").orderBy(F.col("es").desc(), F.col("event_id"))
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "running_max", F.col("es").alias("last_es"))
+    )
