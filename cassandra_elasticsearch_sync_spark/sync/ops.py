@@ -429,6 +429,49 @@ def l5b_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L5c: gc_grace tombstone compaction (when is a delete safe to forget?)
+# --------------------------------------------------------------------------
+
+@register("l5c_gc_grace_purge", "L5", _TOMBSTONE_SQL + """
+, now_t AS (SELECT MAX(version) AS now FROM winner)
+SELECT key, price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s,
+       CASE WHEN deleted THEN 'tombstone_retained' ELSE 'live' END AS status
+FROM winner, now_t
+WHERE NOT deleted OR version >= now - INTERVAL 400 DAY
+""", "gc_grace_seconds compaction semantics: tombstones must OUTLIVE "
+     "the repair window (so every replica/follower hears about the "
+     "delete) and only then may be forgotten - purging early "
+     "resurrects deleted rows from a lagging replica, keeping them "
+     "forever bloats every scan. The compacted state = live rows + "
+     "tombstones younger than now - grace (400 days against the "
+     "corpus max version, deterministic); older tombstones vanish. "
+     "One broadcast 1-row 'now' against the merged state - the same "
+     "plan shape at any scale. Complements l5b (which proves deletes "
+     "WIN the merge) with the lifecycle end (when the marker itself "
+     "may die).")
+def l5c_gc_grace_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = side_a(spark, sf_dir).withColumn("deleted", F.lit(False))
+    b = side_b(spark, sf_dir).withColumn("deleted", F.col("key") % 50 == 0).withColumn(
+        "version",
+        F.when(F.col("key") % 50 == 0,
+               F.col("version") + F.expr("INTERVAL 30 DAY")).otherwise(F.col("version")),
+    )
+    merged = lww_merge(a, b)
+    now = merged.agg(F.max("version").alias("now"))
+    return (
+        merged.crossJoin(F.broadcast(now))
+        .filter(~F.col("deleted")
+                | (F.col("version") >= F.col("now") - F.expr("INTERVAL 400 DAY")))
+        .select(
+            "key", "price", fmt_ts("version").alias("version_s"),
+            F.when(F.col("deleted"), "tombstone_retained")
+             .otherwise("live").alias("status"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # L8: changefeed derivation (snapshot pair -> CDC events)
 # --------------------------------------------------------------------------
 
