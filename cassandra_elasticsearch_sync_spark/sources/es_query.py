@@ -57,6 +57,14 @@ def compile_query(q: dict) -> Column:
     if kind == "prefix":
         (field, value), = body.items()
         return F.col(field).startswith(value)
+    if kind == "wildcard":
+        # ES wildcard: * = any run, ? = any one char. Compile to LIKE
+        # with SQL metacharacters escaped so literal %/_ in the
+        # pattern stay literal.
+        (field, value), = body.items()
+        pat = (str(value).replace("\\", "\\\\").replace("%", "\\%")
+               .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+        return F.col(field).like(pat)
     if kind == "match":
         # OR over whitespace tokens of the query text, word-boundary
         # containment on the document field (analyzer = whitespace).
@@ -705,3 +713,79 @@ def a3j_es_search_after(spark, sf_dir):
         search_after=[400000.0, 0],
         size=10,
     ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+def es_function_score(df: DataFrame, query: dict, functions: list[dict],
+                      sort_tiebreak: str, score_mode: str = "sum",
+                      size: int = 10) -> DataFrame:
+    """ES function_score in filter context: hits matching `query` are
+    scored by a list of scoring functions and returned top-`size`.
+
+    Supported functions (the arithmetic core - no libm, so scores are
+    bit-identical across engines):
+      {"field_value_factor": {"field": f, "factor": c}}  -> c * field
+      {"filter": <query-DSL>, "weight": w}               -> w if match else 0
+    score_mode: "sum" | "multiply" (ES's combine step). Ordering is
+    total via (score desc, tiebreak asc); the page is one
+    TakeOrderedAndProject over the filtered scan.
+    """
+    terms = []
+    for fn in functions:
+        if "field_value_factor" in fn:
+            body = fn["field_value_factor"]
+            terms.append(F.col(body["field"]).cast("double")
+                         * F.lit(float(body.get("factor", 1.0))))
+        elif "filter" in fn:
+            terms.append(
+                F.when(compile_query(fn["filter"]),
+                       F.lit(float(fn.get("weight", 1.0)))).otherwise(F.lit(0.0))
+            )
+        else:
+            raise ValueError(f"unsupported scoring function {fn!r}")
+    if not terms:
+        raise ValueError("function_score needs at least one function")
+    score = terms[0]
+    for t in terms[1:]:
+        score = (score * t) if score_mode == "multiply" else (score + t)
+    return (
+        es_search(df, query)
+        .withColumn("score", F.round(score, 6))
+        .withColumn("_s", score)
+        .orderBy(F.col("_s").desc(), F.col(sort_tiebreak).asc())
+        .limit(size)
+        .drop("_s")
+    )
+
+
+@register("a3k_es_function_score", "A3", """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ROUND(CAST(o_totalprice AS DOUBLE) * 0.5
+             + (CASE WHEN o_orderpriority LIKE '1-%' THEN 1000.0 ELSE 0.0 END),
+             6) AS score
+FROM orders
+WHERE o_orderstatus = 'F'
+ORDER BY CAST(o_totalprice AS DOUBLE) * 0.5
+         + (CASE WHEN o_orderpriority LIKE '1-%' THEN 1000.0 ELSE 0.0 END) DESC,
+         o_orderkey ASC
+LIMIT 10
+""", "ES function_score in filter context: finished orders scored by "
+     "field_value_factor(o_totalprice, 0.5) summed with a weight-1000 "
+     "boost for wildcard-matched urgent priorities ('1-*' -> LIKE), "
+     "top 10 by score - the query-time ranking recipe behind boosted "
+     "search and promotion rules. Score arithmetic is multiply/add of "
+     "exactly-converted values (factor and weight are exact binary "
+     "representables, no libm), so both engines agree bitwise; the "
+     "page is one TakeOrderedAndProject over the filtered scan.")
+def a3k_es_function_score(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_function_score(
+        o,
+        {"term": {"o_orderstatus": "F"}},
+        [
+            {"field_value_factor": {"field": "o_totalprice", "factor": 0.5}},
+            {"filter": {"wildcard": {"o_orderpriority": "1-*"}}, "weight": 1000.0},
+        ],
+        sort_tiebreak="o_orderkey",
+        score_mode="sum",
+        size=10,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice", "score")

@@ -197,3 +197,38 @@ def test_search_after_cursor_arity_checked(spark):
     with _pytest.raises(ValueError, match="arity"):
         es_search_page(df, {"match_all": {}}, [("score", "desc"), ("id", "asc")],
                        search_after=[1.0], size=5)
+
+
+def test_wildcard_escapes_sql_metachars(spark):
+    """* and ? translate; literal % and _ in the pattern must NOT
+    become SQL wildcards."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_search
+
+    df = spark.createDataFrame(
+        [("a_b",), ("axb",), ("50%",), ("50x",), ("a?b",)], "s string"
+    )
+    assert {r["s"] for r in es_search(df, {"wildcard": {"s": "a?b"}}).collect()} == {
+        "a_b", "axb", "a?b"
+    }
+    assert {r["s"] for r in es_search(df, {"wildcard": {"s": "50%"}}).collect()} == {
+        "50%"
+    }
+    assert {r["s"] for r in es_search(df, {"wildcard": {"s": "a_b"}}).collect()} == {
+        "a_b"
+    }
+
+
+def test_function_score_multiply_mode(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_function_score
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double")
+    out = es_function_score(
+        df, {"match_all": {}},
+        [
+            {"field_value_factor": {"field": "v", "factor": 2.0}},
+            {"filter": {"range": {"v": {"gte": 20}}}, "weight": 0.5},
+        ],
+        sort_tiebreak="id", score_mode="multiply", size=3,
+    ).collect()
+    # scores: v*2 * (0.5 if v>=20 else 0) -> 30: 30, 20: 20, 10: 0
+    assert [(r["id"], r["score"]) for r in out] == [(3, 30.0), (2, 20.0), (1, 0.0)]
