@@ -114,7 +114,98 @@ class AcidParquetTable:
         df.write.mode("errorifexists").parquet(d)
         return [d]
 
-    def _commit(self, base_version: int, files: list[str], schema: StructType) -> int:
+    # -- column statistics (the file-skipping index) ------------------------
+
+    _STATS_TYPES = ("integer", "long", "short", "byte", "float", "double",
+                    "string", "date", "timestamp", "timestamp_ntz")
+
+    def _collect_stats(self, files: list[str], schema: StructType) -> dict:
+        """Per-manifest-entry min/max for every stats-eligible column -
+        one tiny aggregate job per new entry, written into the manifest
+        exactly like a format's file-level column stats. Values are
+        JSON-encoded: numerics native, temporal/decimal as ISO/plain
+        strings (ISO compares lexicographically, so pruning needs no
+        type reconstruction)."""
+        stats: dict[str, dict] = {}
+        cols = []
+        for f in schema.fields:
+            t = f.dataType.typeName()
+            if t in self._STATS_TYPES or t.startswith("decimal"):
+                cols.append(f.name)
+        if not cols:
+            return stats
+        for d in files:
+            row = (
+                self.spark.read.schema(schema).parquet(d)
+                .agg(*[F.min(c).alias(f"__min_{c}") for c in cols],
+                     *[F.max(c).alias(f"__max_{c}") for c in cols])
+                .collect()[0]
+            )
+
+            def enc(v):
+                if v is None or isinstance(v, (int, float)):
+                    return v
+                return str(v)  # Decimal / datetime / date / str
+
+            stats[d] = {
+                c: [enc(row[f"__min_{c}"]), enc(row[f"__max_{c}"])] for c in cols
+            }
+        return stats
+
+    @staticmethod
+    def _range_may_overlap(file_range, lo, hi) -> bool:
+        """Conservative intersection test; missing stats keep the file."""
+        fmin, fmax = file_range
+        if fmin is None or fmax is None:
+            return True
+
+        def cmp_ge(a, b):  # a >= b with mixed-but-consistent encodings
+            return str(a) >= str(b) if isinstance(a, str) or isinstance(b, str) else a >= b
+
+        if lo is not None and not cmp_ge(fmax, lo):
+            return False
+        if hi is not None and not cmp_ge(hi, fmin):
+            return False
+        return True
+
+    def candidate_files(self, col: str, lo=None, hi=None,
+                        version: int | None = None) -> list[str]:
+        """Manifest entries whose [min, max] for ``col`` may intersect
+        [lo, hi] (inclusive; None = unbounded). Entries without stats
+        are kept - pruning is always sound, never required."""
+        v = self.current_version() if version is None else version
+        m = self._manifest(v)
+        stats = m.get("stats", {})
+        out = []
+        for d in m["files"]:
+            s = stats.get(d, {}).get(col)
+            if s is None or self._range_may_overlap(s, lo, hi):
+                out.append(d)
+        return out
+
+    def read_where(self, col: str, lo=None, hi=None,
+                   version: int | None = None) -> DataFrame:
+        """Stats-pruned snapshot read: skip manifest entries whose
+        column range cannot match, then apply the residual filter -
+        rows equal a full read + filter, bytes scanned do not. This is
+        the planning step a real format runs on its file-level stats;
+        at 100 TB on a time- or key-clustered table it is the
+        difference between scanning a day and scanning a decade."""
+        v = self.current_version() if version is None else version
+        m = self._manifest(v)
+        schema = StructType.fromJson(m["schema"])
+        cand = self.candidate_files(col, lo, hi, version=v)
+        if not cand:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(*cand)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def _commit(self, base_version: int, files: list[str], schema: StructType,
+                stats: dict | None = None) -> int:
         """Two-phase commit: claim the next manifest with O_EXCL, then
         swap the pointer under the commit lock iff the table is still at
         ``base_version``."""
@@ -128,6 +219,7 @@ class AcidParquetTable:
             "version": next_v,
             "base": base_version,
             "files": files,
+            "stats": stats or {},
             "schema": schema.jsonValue(),
         }
         # Phase 1: claim the version number (exclusive create).
@@ -158,7 +250,8 @@ class AcidParquetTable:
     def init(self, df: DataFrame) -> int:
         """Create the first snapshot (or append a full overwrite)."""
         files = self._write_data_files(df)
-        return self._commit(self.current_version(), files, df.schema)
+        stats = self._collect_stats(files, df.schema)
+        return self._commit(self.current_version(), files, df.schema, stats)
 
     # -- MERGE INTO --------------------------------------------------------
 
@@ -193,8 +286,32 @@ class AcidParquetTable:
             )
 
         # File-level pruning: which data files hold matched keys?
-        # (files-not-rows sized collect - the format's skipping index.)
-        with_file = target.withColumn("__f", F.input_file_name())
+        # Two stages, like a real format: (1) STATS pruning - skip
+        # manifest entries whose key range cannot intersect the
+        # source's key range without reading them at all; (2) a
+        # semi-join probe over the survivors (files-not-rows sized
+        # collect - the skipping index for entries stats can't rule
+        # out).
+        probe_dirs = list(manifest["files"])
+        if len(keys) == 1 and manifest.get("stats"):
+            kb = source.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).collect()[0]
+            stats = manifest["stats"]
+            probe_dirs = [
+                d for d in probe_dirs
+                if stats.get(d, {}).get(keys[0]) is None
+                or self._range_may_overlap(
+                    stats[d][keys[0]],
+                    kb["lo"] if isinstance(kb["lo"], (int, float)) else str(kb["lo"]),
+                    kb["hi"] if isinstance(kb["hi"], (int, float)) else str(kb["hi"]),
+                )
+            ]
+        if probe_dirs:
+            probe = self.spark.read.schema(schema).parquet(*probe_dirs)
+        else:
+            probe = self.spark.createDataFrame([], schema)
+        with_file = probe.withColumn("__f", F.input_file_name())
         skeys = source.select(*keys).distinct()
         hit_rows = (
             with_file.join(F.broadcast(skeys), keys, "left_semi")
@@ -248,9 +365,17 @@ class AcidParquetTable:
         rewritten = joined.filter(keep).select(*cols)
 
         new_files = list(untouched)
+        fresh: list[str] = []
         if not rewritten.isEmpty():
-            new_files += self._write_data_files(rewritten)
-        return self._commit(base, new_files, schema)
+            fresh = self._write_data_files(rewritten)
+            new_files += fresh
+        # Stats carry over verbatim for untouched entries (their bytes
+        # did not change - the CoW payoff extends to the index) and are
+        # recomputed only for the rewritten entries.
+        base_stats = manifest.get("stats", {})
+        stats = {d: base_stats[d] for d in untouched if d in base_stats}
+        stats.update(self._collect_stats(fresh, schema))
+        return self._commit(base, new_files, schema, stats)
 
     # -- maintenance -------------------------------------------------------
 

@@ -183,3 +183,80 @@ def test_vacuum_reclaims_unreferenced_files(spark, root):
     assert removed and after < before
     # Current snapshot still reads fine after vacuum.
     assert {r["price"] for r in t.read().collect()} == {3.0}
+
+
+# --------------------------------------------------------------------------
+# Column statistics + file skipping
+# --------------------------------------------------------------------------
+
+
+def _two_range_table(spark, root):
+    """Two data dirs with disjoint key ranges: [0,9] and [100,109]."""
+    t = AcidParquetTable(spark, root)
+    t.init(spark.createDataFrame([(i, 1.0, 1) for i in range(10)],
+                                 "key bigint, price double, version int"))
+    t.merge_into(
+        spark.createDataFrame([(i, 2.0, 1) for i in range(100, 110)],
+                              "key bigint, price double, version int"),
+        ["key"],
+    )
+    return t
+
+
+def test_manifest_records_column_stats(spark, root):
+    t = _two_range_table(spark, root)
+    m = t._manifest(t.current_version())
+    assert set(m["stats"]) == set(m["files"])
+    ranges = sorted(tuple(s["key"]) for s in m["stats"].values())
+    assert ranges == [(0, 9), (100, 109)]
+
+
+def test_read_where_prunes_files_and_matches_full_scan(spark, root):
+    t = _two_range_table(spark, root)
+    # Planning: only the [100,109] dir may match key >= 50.
+    cand = t.candidate_files("key", lo=50)
+    assert len(cand) == 1
+    # Correctness: pruned read == full read + filter, row for row.
+    pruned = sorted(tuple(r) for r in t.read_where("key", lo=50).collect())
+    full = sorted(tuple(r)
+                  for r in t.read().filter(F.col("key") >= 50).collect())
+    assert pruned == full and len(pruned) == 10
+    # Unbounded read_where keeps everything.
+    assert len(t.candidate_files("key")) == 2
+
+
+def test_read_where_without_stats_is_sound(spark, root):
+    """Manifests written before stats existed (or columns without
+    stats) must never be pruned - skipping is an optimization, not a
+    correctness dependency."""
+    import json
+
+    t = _two_range_table(spark, root)
+    mp = t._manifest_path(t.current_version())
+    m = json.load(open(mp))
+    m["stats"] = {}
+    json.dump(m, open(mp, "w"))
+    assert len(t.candidate_files("key", lo=50)) == 2
+    assert len(t.read_where("key", lo=50).collect()) == 10
+
+
+def test_merge_probe_uses_stats_pruning(spark, root):
+    """A merge whose source keys fall wholly in one dir's range must
+    carry the other dir over - now provable even without reading it:
+    the stats prune it from the PROBE, not just the rewrite."""
+    t = _two_range_table(spark, root)
+    m_before = t._manifest(t.current_version())
+    src = spark.createDataFrame([(105, 9.9, 2)],
+                                "key bigint, price double, version int")
+    t.merge_into(src, ["key"])
+    m_after = t._manifest(t.current_version())
+    carried = set(m_before["files"]) & set(m_after["files"])
+    assert len(carried) == 1
+    # The carried dir kept its stats verbatim; the rewritten dir got
+    # fresh ones covering the updated range.
+    (carried_dir,) = carried
+    assert m_after["stats"][carried_dir] == m_before["stats"][carried_dir]
+    ranges = sorted(tuple(s["key"]) for s in m_after["stats"].values())
+    assert ranges == [(0, 9), (100, 109)]
+    got = {r["key"]: r["price"] for r in t.read().collect()}
+    assert got[105] == 9.9 and len(got) == 20
