@@ -1,4 +1,4 @@
-"""ACID MERGE INTO over plain parquet: manifests + atomic pointer swap.
+"""ACID MERGE INTO over plain parquet: manifests + conditional-put commits.
 
 The A7 upsert sink's production form is an ACID table format (Delta /
 Iceberg ``MERGE INTO``). No such jars exist in this container, so this
@@ -8,20 +8,23 @@ the three ideas every lakehouse format shares:
 1. **Immutable data files + a manifest.** Data lives in
    ``data/<uuid>.parquet`` files that are never modified in place. A
    commit is a JSON manifest (``_manifests/v{N}.json``) listing the
-   exact files of that snapshot. Readers resolve ``_latest`` -> manifest
+   exact files of that snapshot. Readers resolve the highest manifest
    -> file list once at planning time and then read only immutable
    files, so a concurrent writer can NEVER make a reader see a torn
    snapshot (snapshot isolation for free).
-2. **O(1) atomic commit.** The commit point is a single
-   ``os.replace`` of the ``_latest`` pointer - atomic on POSIX. Crash
-   anywhere before the swap leaves the table exactly at the previous
-   version (orphan data files / manifests are invisible and reclaimed
-   by vacuum). Version claims use ``O_CREAT|O_EXCL`` and the pointer
-   check runs under a short ``flock`` so two writers based on the same
-   snapshot cannot both commit (optimistic concurrency; the loser gets
-   ``CommitConflict`` and retries on the fresh snapshot). On an object
-   store the flock becomes the format's conditional-put / commit
-   service - same protocol, different lock.
+2. **O(1) atomic commit via conditional put.** The commit point is
+   the exclusive creation (``O_CREAT|O_EXCL``) of manifest
+   ``v{base+1}`` - exactly S3's conditional PUT (If-None-Match) or a
+   commit service's compare-and-swap, so the protocol ports to an
+   object store UNCHANGED, no lock files, no flock. Two writers based
+   on the same snapshot race to create the same manifest name; the
+   filesystem picks exactly one winner, the loser gets
+   ``CommitConflict`` and retries on the fresh snapshot (optimistic
+   concurrency). The current version is the highest manifest on disk;
+   base+1 claiming keeps the chain contiguous by construction. Crash
+   before the manifest create leaves only invisible orphan data files
+   (reclaimed by vacuum); crash after it IS a completed commit - the
+   data files were durable first.
 3. **Copy-on-write MERGE.** ``merge_into`` rewrites ONLY the data
    files that actually contain matched keys (found by joining the
    source keys against the target WITH ``input_file_name`` - a
@@ -41,7 +44,6 @@ which is the small side of any sane merge).
 
 from __future__ import annotations
 
-import fcntl
 import json
 import os
 import uuid
@@ -52,7 +54,6 @@ from pyspark.sql.types import StructType
 
 _DATA = "data"
 _MANIFESTS = "_manifests"
-_LATEST = "_latest"
 
 
 class CommitConflict(RuntimeError):
@@ -72,19 +73,20 @@ class AcidParquetTable:
 
     # -- snapshot resolution ----------------------------------------------
 
-    def _pointer_path(self) -> str:
-        return os.path.join(self.root, _LATEST)
-
     def _manifest_path(self, v: int) -> str:
         return os.path.join(self.root, _MANIFESTS, f"v{v}.json")
 
     def current_version(self) -> int:
-        """0 = empty table (no commit yet)."""
-        try:
-            with open(self._pointer_path()) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return 0
+        """Highest committed manifest; 0 = empty table (no commit yet).
+        A manifest file IS a commit (creation is the atomic commit
+        point), so a directory listing is the source of truth - the
+        same LIST-then-max a format's catalog does on an object store."""
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(os.path.join(self.root, _MANIFESTS))
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=0)
 
     def _manifest(self, v: int) -> dict:
         with open(self._manifest_path(v)) as fh:
@@ -206,15 +208,16 @@ class AcidParquetTable:
 
     def _commit(self, base_version: int, files: list[str], schema: StructType,
                 stats: dict | None = None) -> int:
-        """Two-phase commit: claim the next manifest with O_EXCL, then
-        swap the pointer under the commit lock iff the table is still at
-        ``base_version``."""
-        existing = [
-            int(f[1:-5])
-            for f in os.listdir(os.path.join(self.root, _MANIFESTS))
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        next_v = max([self.current_version(), *existing], default=0) + 1
+        """Conditional-put commit: atomically create manifest
+        ``v{base+1}``. Creation succeeding IS the commit; creation
+        failing means another writer committed on the same base first -
+        the optimistic-concurrency loser raises ``CommitConflict``.
+        To make the claim itself atomic-with-content, the manifest body
+        is written to a private temp file first and ``os.link``ed into
+        the claimed name (link fails with EEXIST exactly like a
+        conditional put; readers can never observe a half-written
+        manifest)."""
+        next_v = base_version + 1
         manifest = {
             "version": next_v,
             "base": base_version,
@@ -222,29 +225,20 @@ class AcidParquetTable:
             "stats": stats or {},
             "schema": schema.jsonValue(),
         }
-        # Phase 1: claim the version number (exclusive create).
-        fd = os.open(
-            self._manifest_path(next_v), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
-        with os.fdopen(fd, "w") as fh:
+        tmp = os.path.join(self.root, _MANIFESTS,
+                           f".tmp.{os.getpid()}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        # Phase 2: pointer swap, guarded so a concurrent commit based on
-        # the same snapshot cannot be silently overwritten.
-        lock_path = os.path.join(self.root, "_commit.lock")
-        with open(lock_path, "w") as lock:
-            fcntl.flock(lock, fcntl.LOCK_EX)
-            try:
-                if self.current_version() != base_version:
-                    os.unlink(self._manifest_path(next_v))  # abort claim
-                    raise CommitConflict(
-                        f"table advanced past v{base_version}; retry merge"
-                    )
-                tmp = self._pointer_path() + f".tmp.{os.getpid()}"
-                with open(tmp, "w") as fh:
-                    fh.write(str(next_v))
-                os.replace(tmp, self._pointer_path())  # THE commit point
-            finally:
-                fcntl.flock(lock, fcntl.LOCK_UN)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self._manifest_path(next_v))  # THE commit point
+        except FileExistsError:
+            raise CommitConflict(
+                f"table advanced past v{base_version}; retry merge"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return next_v
 
     def init(self, df: DataFrame) -> int:

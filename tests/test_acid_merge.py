@@ -85,8 +85,8 @@ def test_merge_rejects_dup_source_keys(spark, root):
 
 def test_snapshot_isolation_concurrent_reader(spark, root):
     """A reader that resolved its snapshot BEFORE a merge keeps seeing
-    the old data afterwards - data files are immutable and the commit
-    only moves a pointer."""
+    the old data afterwards - data files are immutable and a commit
+    only adds a new manifest."""
     t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
     pinned = t.read()          # snapshot resolved now
     pinned_v = t.current_version()
@@ -124,22 +124,29 @@ def test_commit_conflict_detected(spark, root):
     assert _rows(t2.read()) == [(1, 12.0, 3)]
 
 
-def test_crash_before_pointer_swap_is_invisible(spark, root):
-    """A manifest written but never pointed at (crash between phase 1
-    and phase 2) leaves readers untouched and does not wedge later
-    commits."""
+def test_crash_before_manifest_create_is_invisible(spark, root):
+    """The commit point is the conditional-put of the manifest. A
+    writer that crashed AFTER writing data files but BEFORE creating
+    its manifest leaves only orphan data dirs: readers see the old
+    snapshot, later commits proceed normally, and vacuum reclaims the
+    orphans."""
     t = _table(spark, root, [(1, 10.0, 1)])
     v = t.current_version()
-    # Simulate the crash: orphan manifest claimed, pointer never moved.
-    orphan = t._manifest_path(v + 1)
-    with open(orphan, "w") as fh:
-        fh.write('{"version": %d, "base": %d, "files": [], "schema": {}}' % (v + 1, v))
+    # Simulate the crash: data files durable, no manifest claims them.
+    orphan_src = spark.createDataFrame(
+        [(9, 99.0, 9)], "key bigint, price double, version int"
+    )
+    (orphan_dir,) = t._write_data_files(orphan_src)
     assert t.current_version() == v
     assert _rows(t.read()) == [(1, 10.0, 1)]
-    # Next merge claims a HIGHER version (v+2), not the orphan.
+    # Later commits are unaffected and claim the next version.
     src = spark.createDataFrame([(2, 20.0, 1)], "key bigint, price double, version int")
     new_v = t.merge_into(src, ["key"])
-    assert new_v == v + 2
+    assert new_v == v + 1
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, 20.0, 1)]
+    # Vacuum reclaims the orphan data dir (no manifest references it).
+    removed = t.vacuum(retain_last=10)
+    assert orphan_dir in removed
     assert _rows(t.read()) == [(1, 10.0, 1), (2, 20.0, 1)]
 
 
