@@ -267,3 +267,39 @@ def test_merge_probe_uses_stats_pruning(spark, root):
     assert ranges == [(0, 9), (100, 109)]
     got = {r["key"]: r["price"] for r in t.read().collect()}
     assert got[105] == 9.9 and len(got) == 20
+
+
+def test_conditional_put_single_winner_under_race(spark, root):
+    """N threads race to commit on the SAME base: exactly one manifest
+    per version may ever exist, every loser gets CommitConflict, and
+    retrying on the fresh snapshot serializes all writers."""
+    import threading
+
+    t = _table(spark, root, [(1, 10.0, 1)])
+    schema = t.read().schema
+    base = t.current_version()
+    files = t._manifest(base)["files"]
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def writer(i: int) -> None:
+        try:
+            t._commit(base, files, schema)
+            with lock:
+                outcomes.append("win")
+        except CommitConflict:
+            with lock:
+                outcomes.append("conflict")
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert sorted(outcomes) == ["conflict"] * 7 + ["win"]
+    assert t.current_version() == base + 1
+    # Losers retry on the fresh snapshot and serialize cleanly.
+    v = t.current_version()
+    for _ in range(3):
+        v = t._commit(v, files, schema)
+    assert t.current_version() == base + 4
