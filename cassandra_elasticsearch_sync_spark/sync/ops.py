@@ -803,7 +803,7 @@ SELECT key, price, version_s FROM (
      "semantics, not just convergence. Scale shape: copy-on-write "
      "rewrites only data files containing matched keys (file-pruned "
      "via a broadcast semi-join on source keys), the commit is one "
-     "atomic pointer swap, and concurrent readers keep their snapshot "
+     "conditional put, and concurrent readers keep their snapshot "
      "- the Delta/Iceberg upsert path the A7 sink upgrades to at "
      "100 TB, demonstrated and tested (tests/test_acid_merge.py), "
      "not just documented.")
@@ -826,6 +826,45 @@ def l14_acid_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read().select(
             "key", "price", fmt_ts("version").alias("version_s")
         ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l15_acid_stats_pruned_read", "A7+A1", """
+SELECT o_orderkey AS key, o_totalprice AS price
+FROM orders
+WHERE o_orderkey > (SELECT MAX(o_orderkey) // 2 FROM orders)
+""", "Stats-pruned read of the ACID table (sources/acid.py "
+     "read_where): orders commit in two key-range-clustered data "
+     "directories (lower half, then upper half via a pure-insert "
+     "MERGE), and the range read key > max/2 plans against the "
+     "manifest's per-entry min/max column statistics - the lower "
+     "directory is skipped WITHOUT being opened, which at 100 TB on "
+     "a key- or time-clustered table is the difference between "
+     "scanning a day and scanning a decade. The pruned result "
+     "hash-matches the plain relational filter; candidate-set "
+     "correctness and soundness-without-stats are pinned in "
+     "tests/test_acid_merge.py.")
+def l15_acid_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    half = o.agg((F.max("key") / 2).cast("bigint").alias("h")).collect()[0]["h"]
+    root = tempfile.mkdtemp(prefix="ces_acid_prune_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(o.filter(F.col("key") <= half))
+        t.merge_into(o.filter(F.col("key") > half), ["key"])
+        cand = t.candidate_files("key", lo=int(half) + 1)
+        total = len(t._manifest(t.current_version())["files"])
+        if not (len(cand) < total):
+            raise AssertionError("stats pruning did not skip the lower dir")
+        return t.read_where("key", lo=int(half) + 1).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
