@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.parity import fmt_ts
 from cassandra_elasticsearch_sync_spark.registry import register
 
 
@@ -319,5 +320,53 @@ def a2d_clustering_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
             dsum("o_totalprice", 2).alias("slice_revenue"),
+        )
+    )
+
+
+@register("a2e_ttl_expiry_scan", "A2", """
+WITH w AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate AS writetime,
+         (o_orderkey % 5 + 1) * 200 AS ttl_days
+  FROM orders
+),
+now_t AS (SELECT MAX(writetime) AS now FROM w)
+SELECT o_orderkey,
+       STRFTIME(DATE_TRUNC('second', writetime), '%Y-%m-%d %H:%M:%S')
+         AS writetime_s,
+       ttl_days,
+       (writetime + ttl_days * INTERVAL 1 DAY > now) AS live
+FROM w, now_t
+""", "Cassandra WRITETIME/TTL semantics: every cell carries its write "
+     "timestamp, and a cell with a TTL disappears from reads once "
+     "now exceeds writetime + ttl - expiry is evaluated AT READ TIME "
+     "against immutable data, never by rewriting SSTables (the "
+     "tombstone is implicit). Modeled deterministically: writetime = "
+     "the version column, ttl = (key % 5 + 1) * 200 days, now = the "
+     "corpus max writetime (a broadcast 1-row aggregate), and the "
+     "output labels every row live/expired - the same read-time "
+     "predicate a CQL `SELECT ... USING TTL` table evaluates, and "
+     "the filter shape that pushes to any scan at 100 TB. "
+     "Complements l5c (explicit tombstone gc) with the implicit-"
+     "expiry half of Cassandra's deletion model.")
+def a2e_ttl_expiry_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("writetime"),
+        ((F.col("o_orderkey") % 5 + 1) * 200).alias("ttl_days"),
+    )
+    now = w.agg(F.max("writetime").alias("now"))
+    return (
+        w.crossJoin(F.broadcast(now))
+        .select(
+            "o_orderkey",
+            fmt_ts("writetime").alias("writetime_s"),
+            "ttl_days",
+            (
+                F.col("writetime")
+                + F.col("ttl_days") * F.expr("INTERVAL 1 DAY")
+                > F.col("now")
+            ).alias("live"),
         )
     )
