@@ -370,3 +370,129 @@ def a2e_ttl_expiry_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("live"),
         )
     )
+
+
+@register("a2f_lwt_conditional_batch", "A2+L4", """
+WITH cur AS (
+  SELECT o_orderkey AS key, o_totalprice AS price, o_orderdate AS version
+  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+),
+prop AS (
+  SELECT o_orderkey AS key,
+         o_totalprice * 0.9 AS new_price,
+         o_orderdate AS expected_version,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN o_orderdate ELSE o_orderdate + INTERVAL 1 DAY END
+           AS actual_expected
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT p.key,
+       (c.key IS NOT NULL AND c.version = p.actual_expected) AS applied,
+       CASE WHEN c.key IS NOT NULL AND c.version = p.actual_expected
+            THEN p.new_price ELSE c.price END AS resulting_price
+FROM prop p LEFT JOIN cur c ON p.key = c.key
+""", "Cassandra lightweight-transaction (LWT) semantics: `UPDATE ... "
+     "IF version = ?` applies a proposed write only when the "
+     "precondition holds against the CURRENT row, and returns "
+     "[applied] plus the winning row either way - Paxos-backed "
+     "compare-and-set at the row level. Batch form: proposals "
+     "left-join the current snapshot on the key, the condition "
+     "evaluates per row (here a deterministic mix of matching and "
+     "stale expected-versions), and the output is the per-proposal "
+     "applied flag + resulting price - exactly the LWT response "
+     "page. One equi-join, condition evaluated engine-side; at "
+     "100 TB this is the bulk CAS reconciliation shape (the "
+     "single-row Paxos round becomes a partition-local merge).")
+def a2f_lwt_conditional_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cur = o.filter(
+        F.expr("o_orderdate < TIMESTAMP_NTZ '2000-01-01 00:00:00'")
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("version"),
+    )
+    prop = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") * 0.9).alias("new_price"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderdate"))
+        .otherwise(F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+        .alias("actual_expected"),
+    )
+    p, c = prop.alias("p"), cur.alias("c")
+    ok = F.col("c.key").isNotNull() & (
+        F.col("c.version") == F.col("p.actual_expected")
+    )
+    return p.join(c, F.col("p.key") == F.col("c.key"), "left").select(
+        F.col("p.key").alias("key"),
+        ok.alias("applied"),
+        F.when(ok, F.col("p.new_price")).otherwise(F.col("c.price"))
+        .alias("resulting_price"),
+    )
+
+
+@register("a2g_mv_maintenance_delta", "A2+L1", """
+WITH base AS (
+  SELECT o_orderkey AS key, o_orderpriority AS view_key,
+         o_totalprice AS price
+  FROM orders
+),
+upd AS (
+  SELECT key,
+         CASE WHEN key % 10 = 0 THEN '0-ROTATED' ELSE view_key END
+           AS new_view_key,
+         CASE WHEN key % 20 = 0 THEN price * 1.05 ELSE price END
+           AS new_price
+  FROM base WHERE key % 5 = 0
+)
+SELECT u.key, 'delete' AS op, b.view_key, b.price
+FROM upd u JOIN base b ON u.key = b.key
+WHERE u.new_view_key <> b.view_key
+UNION ALL
+SELECT u.key,
+       CASE WHEN u.new_view_key <> b.view_key THEN 'insert'
+            ELSE 'upsert' END AS op,
+       u.new_view_key AS view_key,
+       u.new_price AS price
+FROM upd u JOIN base b ON u.key = b.key
+""", "Cassandra materialized-view maintenance: the base table is "
+     "keyed by order, the view repartitions the same rows by "
+     "priority, and every base write must emit the view's delta - a "
+     "tombstone for the OLD view row plus an insert of the new one "
+     "when the view key changes, a plain upsert when it does not. "
+     "Getting this wrong orphans view rows (the classic MV "
+     "consistency bug); here the delta derivation is one equi-join "
+     "of the update batch against the base snapshot, evaluated "
+     "engine-side and oracle-verified. At 100 TB this is the "
+     "fan-out-on-write shape: the delta shuffles once on the NEW "
+     "view key to co-locate with the view partitions.")
+def a2g_mv_maintenance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("view_key"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = base.filter(F.col("key") % 5 == 0).select(
+        "key",
+        F.when(F.col("key") % 10 == 0, F.lit("0-ROTATED"))
+        .otherwise(F.col("view_key")).alias("new_view_key"),
+        F.when(F.col("key") % 20 == 0, F.col("price") * 1.05)
+        .otherwise(F.col("price")).alias("new_price"),
+    )
+    u, b = upd.alias("u"), base.alias("b")
+    j = u.join(b, F.col("u.key") == F.col("b.key"))
+    changed = F.col("u.new_view_key") != F.col("b.view_key")
+    deletes = j.filter(changed).select(
+        F.col("u.key").alias("key"),
+        F.lit("delete").alias("op"),
+        F.col("b.view_key").alias("view_key"),
+        F.col("b.price").alias("price"),
+    )
+    writes = j.select(
+        F.col("u.key").alias("key"),
+        F.when(changed, "insert").otherwise("upsert").alias("op"),
+        F.col("u.new_view_key").alias("view_key"),
+        F.col("u.new_price").alias("price"),
+    )
+    return deletes.unionByName(writes)
