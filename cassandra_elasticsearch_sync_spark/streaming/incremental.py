@@ -598,3 +598,122 @@ def i9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for p in (staged, checkpoint, outdir):
             shutil.rmtree(p, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# I9b: stream-stream LEFT OUTER join - the null-emission-on-watermark case
+# ---------------------------------------------------------------------------
+
+_SENTINEL_USER = -1
+
+
+def stream_stream_left_join(events: DataFrame) -> DataFrame:
+    """I9b: every click, joined to the same-user error within 10
+    minutes if one exists, else emitted with NULL error_id - but only
+    once the watermark PROVES no match can still arrive. The outer
+    side of a stream-stream join cannot emit eagerly (a match may
+    still come); Spark buffers the unmatched row until the watermark
+    passes its join window and only then releases the null-extended
+    result. Same state bound as the inner join."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+                F.col("event_id").alias("error_id"))
+        .withWatermark("e_ts", "30 minutes")
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            "user_id = e_user AND e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+        "left_outer",
+    ).select("user_id", "click_id", "error_id")
+
+
+def _append_watermark_flush_chunks(spark: SparkSession, staged: str,
+                                   sf_dir: str, n: int = 2) -> None:
+    """Append sentinel chunks far past the corpus max ts so the final
+    watermark provably passes every real row's join window - without
+    them the LAST batch's unmatched outer rows stay buffered forever
+    (the classic outer-join 'missing tail' pitfall: the watermark only
+    advances when newer data arrives). Sentinels use a reserved
+    user_id and are filtered from the output."""
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+
+    max_ts = load_table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("m")
+    ).collect()[0]["m"]
+    for i in range(n):
+        (
+            spark.createDataFrame(
+                [
+                    (-(10 + i * 2), _SENTINEL_USER, "click", 0.0, "{}"),
+                    (-(11 + i * 2), _SENTINEL_USER, "error", 0.0, "{}"),
+                ],
+                "event_id bigint, user_id bigint, event_type string, "
+                "value double, props string",
+            )
+            .withColumn(
+                "ts",
+                F.lit(max_ts) + F.expr(f"INTERVAL {100 + i} DAYS"),
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1)
+            .write.mode("append").parquet(staged)
+        )
+
+
+@register("i9b_stream_stream_left_join", "I9", """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       e.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON e.user_id = c.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+""", "Stream-stream LEFT OUTER interval join, really run as a stream: "
+     "unmatched clicks emit with NULL error_id only after the "
+     "watermark proves no matching error can still arrive - the "
+     "deferred-null semantics that distinguish a streaming outer join "
+     "from a batch one. The staged feed appends sentinel flush "
+     "chunks past every real row's join window (filtered from the "
+     "output), because an outer join's tail rows otherwise wait "
+     "forever for a watermark that no further data advances - the "
+     "operational step every production outer-join pipeline needs at "
+     "stream end. The append sink hash-matches the batch LEFT JOIN "
+     "oracle exactly: inner matches, null-extensions, and nothing "
+     "dropped or duplicated.")
+def i9b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    staged = stage_events_stream(spark, sf_dir, n_chunks=4)
+    _append_watermark_flush_chunks(spark, staged, sf_dir)
+    checkpoint = tempfile.mkdtemp(prefix="ces_i9b_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_i9b_out_")
+    try:
+        q = (
+            stream_stream_left_join(read_events_stream(spark, staged))
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_bounded(q, 300)
+        return (
+            spark.read.parquet(outdir)
+            .filter(F.col("user_id") != _SENTINEL_USER)
+            .select("user_id", "click_id", "error_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
