@@ -180,3 +180,41 @@ def k_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_urls").desc(), "domain")
     )
+
+
+@register("k_anonymity_audit", "K4+D1", """
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS group_size
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, group_size,
+       (group_size < 5) AS violates_k5
+FROM g
+""", "k-anonymity audit over quasi-identifiers (nation x segment x "
+     "coarsened balance band): every equivalence class's size, "
+     "flagged where fewer than k=5 individuals share the class - the "
+     "re-identification risk check a dataset must pass before "
+     "release, and the generalization feedback loop's input (classes "
+     "below k get their bands widened). One grouped count on the "
+     "quasi-identifier tuple: map-side partial, scales to any "
+     "cardinality; banding is exact integer floor division so both "
+     "engines agree without float hazards.")
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    q = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("group_size")
+    )
+    return g.select(
+        "c_nationkey", "c_mktsegment", "bal_band", "group_size",
+        (F.col("group_size") < 5).alias("violates_k5"),
+    )
