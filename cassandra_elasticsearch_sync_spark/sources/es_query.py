@@ -170,6 +170,23 @@ def _metric_column(name: str, spec: dict):
     raise ValueError(f"unsupported metric agg {kind!r}")
 
 
+def _percentile_columns(name: str, body: dict) -> list:
+    """ES ``percentiles`` metric agg -> one exact interpolated
+    quantile column per requested percent, flattened to
+    ``<name>_p<pct>`` the way ES clients flatten the keyed response.
+    ES itself computes t-digest approximations; the compiler uses the
+    EXACT interpolated quantile so the result is oracle-checkable -
+    the documented accuracy contract is 'at least as accurate as ES',
+    and the approximate swap at scale is approx_percentile (D6's
+    documented trade)."""
+    field = body["field"]
+    return [
+        F.round(F.percentile(field, F.lit(p / 100.0)), 6)
+        .alias(f"{name}_p{int(p) if float(p).is_integer() else p}")
+        for p in body.get("percents", (50, 95, 99))
+    ]
+
+
 def _metric_columns(name: str, spec: dict) -> list:
     """ES metric sub-agg -> aggregate columns. Multi-valued metrics
     (``stats``) flatten to ``<name>_count/_min/_max/_sum/_avg`` the
@@ -186,6 +203,8 @@ def _metric_columns(name: str, spec: dict) -> list:
             dsum(field, 2).alias(f"{name}_sum"),
             F.round(davg(field, 4), 6).alias(f"{name}_avg"),
         ]
+    if kind == "percentiles":
+        return _percentile_columns(name, body)
     return [_metric_column(name, spec)]
 
 
@@ -789,3 +808,36 @@ def a3k_es_function_score(spark, sf_dir):
         score_mode="sum",
         size=10,
     ).select("o_orderkey", "o_orderpriority", "o_totalprice", "score")
+
+
+@register("a3l_es_percentiles_agg", "A3+D6", """
+SELECT key, doc_count, latency_p50, latency_p95, latency_p99
+FROM (
+  SELECT o_orderpriority AS key,
+         COUNT(*) AS doc_count,
+         ROUND(QUANTILE_CONT(o_totalprice, 0.50), 6) AS latency_p50,
+         ROUND(QUANTILE_CONT(o_totalprice, 0.95), 6) AS latency_p95,
+         ROUND(QUANTILE_CONT(o_totalprice, 0.99), 6) AS latency_p99
+  FROM orders WHERE o_orderstatus = 'O'
+  GROUP BY o_orderpriority
+) ORDER BY doc_count DESC, key LIMIT 5
+""", "ES percentiles metric agg inside a terms bucket - the latency "
+     "dashboard query every ES monitoring stack runs. The compiler "
+     "flattens the keyed percentile response to <name>_p<pct> columns "
+     "and computes EXACT interpolated quantiles (ES itself t-digests; "
+     "exact is oracle-checkable and strictly more accurate - the "
+     "at-scale swap is approx_percentile, D6's documented trade). "
+     "Each group's value multiset concentrates at its reducer, "
+     "bounded here by the 5 fixed priorities.")
+def a3l_es_percentiles_agg(spark, sf_dir):
+    o = es_search(load_table(spark, sf_dir, "orders"),
+                  {"term": {"o_orderstatus": "O"}})
+    return es_aggregate(o, {
+        "by_priority": {
+            "terms": {"field": "o_orderpriority", "size": 5},
+            "aggs": {
+                "latency": {"percentiles": {"field": "o_totalprice",
+                                            "percents": [50, 95, 99]}},
+            },
+        }
+    })
