@@ -228,7 +228,21 @@ def es_aggregate(df: DataFrame, aggs: dict,
 
     def _is_bucket(s: dict) -> bool:
         return any(k in s for k in ("terms", "date_histogram", "range", "composite",
-                                    "significant_terms"))
+                                    "significant_terms", "filter"))
+
+    if "filter" in spec:
+        # filter bucket: one named sub-scope of the search context with
+        # its own metric sub-aggs - ES's "segment KPI" shape. Compiles
+        # to predicate + single-row aggregate (plus doc_count, always
+        # present in the ES response).
+        sub_metrics = [
+            c for n, s in spec.get("aggs", {}).items()
+            for c in _metric_columns(n, s)
+        ]
+        return (
+            df.filter(compile_query(spec["filter"]))
+            .agg(F.count("*").alias("doc_count"), *sub_metrics)
+        )
 
     if "significant_terms" in spec:
         # significant_terms: which terms are OVER-represented in the
@@ -838,6 +852,33 @@ def a3l_es_percentiles_agg(spark, sf_dir):
             "aggs": {
                 "latency": {"percentiles": {"field": "o_totalprice",
                                             "percents": [50, 95, 99]}},
+            },
+        }
+    })
+
+
+@register("a3m_es_filter_agg", "A3", """
+SELECT COUNT(*) AS doc_count,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS urgent_revenue,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+""", "ES filter bucket agg: a named sub-scope of the search context "
+     "with its own metrics - the 'segment KPI' card every ES "
+     "dashboard renders (doc_count always included, like the ES "
+     "response). Compiles to predicate + one single-row aggregate; "
+     "the filter pushes into the scan, the aggregate is map-side "
+     "partial - nothing about this shape changes at 100 TB.")
+def a3m_es_filter_agg(spark, sf_dir):
+    o = es_search(load_table(spark, sf_dir, "orders"),
+                  {"term": {"o_orderstatus": "O"}})
+    return es_aggregate(o, {
+        "urgent": {
+            "filter": {"term": {"o_orderpriority": "1-URGENT"}},
+            "aggs": {
+                "urgent_revenue": {"sum": {"field": "o_totalprice"}},
+                "max_price": {"max": {"field": "o_totalprice"}},
             },
         }
     })
