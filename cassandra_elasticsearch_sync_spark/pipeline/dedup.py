@@ -864,3 +864,91 @@ def k1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_doc").alias("n_eval_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K1d: maximal duplicated-substring spans (suffix-array-style dedup)
+# ---------------------------------------------------------------------------
+
+_K1D_K = 8  # span granularity: an 8-token seed shingle
+
+_K1D_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+  WHERE LEN(STRING_SPLIT(text, ' ')) >= 8
+),
+pos AS (
+  SELECT doc_id, UNNEST([{'p': i, 's': ARRAY_TO_STRING(t[i:i+7], ' ')}
+                         FOR i IN RANGE(1, LEN(t) - 6)]) AS e
+  FROM tok
+),
+flat AS (SELECT doc_id, e.p AS p, e.s AS s FROM pos),
+dup AS (SELECT s FROM flat GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, p FROM flat JOIN dup USING (s)),
+isl AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end
+  FROM isl GROUP BY doc_id, g
+)
+SELECT doc_id, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens
+FROM spans
+"""
+
+_K1D_SHINGLES_EXPR = (
+    "transform(sequence(1, size(split(text, ' ')) - 7), "
+    "i -> struct(i AS p, array_join(slice(split(text, ' '), i, 8), ' ') AS s))"
+)
+
+
+@register("k1d_substring_dup_spans", "K1", _K1D_ORACLE,
+          "Substring-level dedup: per document, the MAXIMAL token spans "
+          "whose every 8-token window also appears in some OTHER "
+          "document - the distributed equivalent of suffix-array "
+          "substring dedup (Lee et al. 2021, 'Deduplicating Training "
+          "Data Makes Language Models Better'), which removes repeated "
+          "passages that doc-level and paragraph-level dedup both miss "
+          "(boilerplate headers, licenses, quoted chunks). A suffix "
+          "array is inherently sequential; the scalable restatement is: "
+          "(1) every 8-token shingle with its start offset, (2) one "
+          "hash groupBy on the shingle text keeping those seen in >= 2 "
+          "distinct docs (the posting-list shuffle - linear, never "
+          "all-pairs), (3) semi-join the offsets back, (4) merge "
+          "consecutive duplicated offsets into maximal spans with a "
+          "gaps-and-islands window PARTITIONED BY doc_id (per-doc "
+          "state only, no global window). Any substring of >= 8 "
+          "duplicated tokens is covered by consecutive duplicated "
+          "seeds, so the island [min_p, max_p + 7] is exactly the "
+          "maximal duplicated span at 8-token resolution. Every stage "
+          "is a key-hash shuffle bounded by corpus token count; at "
+          "100 TB you shuffle 64-bit shingle hashes instead of the "
+          "strings (same plan, collision-checked).")
+def k1d_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    flat = (
+        d.filter(F.size(F.split("text", " ")) >= _K1D_K)
+        .select("doc_id", F.explode(F.expr(_K1D_SHINGLES_EXPR)).alias("e"))
+        .select("doc_id", F.col("e.p").alias("p"), F.col("e.s").alias("s"))
+    )
+    dup = (
+        flat.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s")
+    )
+    hits = flat.join(dup, "s").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = hits.withColumn("g", F.col("p") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "g")
+        .agg(F.min("p").alias("span_start"),
+             (F.max("p") + F.lit(_K1D_K - 1)).alias("span_end"))
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
