@@ -167,6 +167,15 @@ def _metric_column(name: str, spec: dict):
         return F.max(field).alias(name)
     if kind == "value_count":
         return F.count(field).alias(name)
+    if kind == "cardinality":
+        # ES's cardinality agg is HLL++-backed but EXACT below
+        # precision_threshold (default 3000, docs-guaranteed); the
+        # compiler uses exact COUNT DISTINCT so the result is
+        # oracle-checkable and at-least-as-accurate. The at-scale swap
+        # for genuinely huge per-bucket cardinalities is
+        # approx_count_distinct (the D4 trade, same HLL sketch family
+        # ES uses) - same plan, partial sketches merged map-side.
+        return F.countDistinct(field).alias(name)
     raise ValueError(f"unsupported metric agg {kind!r}")
 
 
@@ -284,11 +293,58 @@ def es_aggregate(df: DataFrame, aggs: dict,
     bucket_subs = {
         n: s for n, s in spec.get("aggs", {}).items() if _is_bucket(s)
     }
+    top_hits = {
+        n: s["top_hits"] for n, s in spec.get("aggs", {}).items()
+        if "top_hits" in s
+    }
     sub = [
         c for n, s in spec.get("aggs", {}).items()
-        if not _is_bucket(s)
+        if not _is_bucket(s) and "top_hits" not in s
         for c in _metric_columns(n, s)
     ]
+    if "terms" in spec and top_hits:
+        # top_hits inside terms: per bucket, the actual top documents
+        # (not a metric) - the "show me the 2 biggest orders per
+        # priority" result card. ES computes per-shard top hits and
+        # merges; the Spark twin is the same shape: grouped counts pick
+        # the top-size buckets (broadcast - terms size is small by
+        # contract), then a per-bucket row_number over the caller's
+        # sort keeps the hits. The caller's sort MUST be a total order
+        # (ES breaks ties by internal doc id, which is not
+        # reproducible; requiring an explicit unique tiebreak is the
+        # deterministic restatement). The window partitions by bucket
+        # key; per-bucket data volume is the bucket's rows, so for
+        # pathological single-bucket skew the e4-style two-pass
+        # top-k (operators/distributed_order.py) is the documented
+        # swap - same output, pre-aggregated per partition.
+        (_, body), = top_hits.items()
+        field = spec["terms"]["field"]
+        so = spec["terms"].get("size", 10)
+        size = body.get("size", 3)
+        source = body["_source"]
+        sort = body.get("sort", [])
+        counts = df.groupBy(F.col(field).alias("key")).agg(
+            F.count("*").alias("doc_count"), *sub)
+        outer_top = counts.orderBy(
+            F.col("doc_count").desc(), F.col("key")).limit(so)
+        order_cols = []
+        for s in sort:
+            (sf_, od), = s.items()
+            c = F.col(sf_)
+            order_cols.append(
+                c.desc() if od.get("order", "asc") == "desc" else c.asc())
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy(*order_cols)
+        need = list(dict.fromkeys(
+            [*source, *[next(iter(s)) for s in sort]]))
+        rows = df.select(F.col(field).alias("key"), *need)
+        return (
+            rows.join(F.broadcast(outer_top.select("key", "doc_count")), "key")
+            .withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= size)
+            .select("key", "doc_count", "hit_rank", *source)
+        )
     if "terms" in spec and bucket_subs:
         # Nested bucket agg: terms within terms, the faceted-drilldown
         # shape (outer buckets -> top inner buckets each). Flattened to
@@ -879,6 +935,80 @@ def a3m_es_filter_agg(spark, sf_dir):
             "aggs": {
                 "urgent_revenue": {"sum": {"field": "o_totalprice"}},
                 "max_price": {"max": {"field": "o_totalprice"}},
+            },
+        }
+    })
+
+
+@register("a3n_es_cardinality_agg", "A3+D3", """
+SELECT key, doc_count, n_users, n_days FROM (
+  SELECT event_type AS key,
+         COUNT(*) AS doc_count,
+         COUNT(DISTINCT user_id) AS n_users,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+  FROM events GROUP BY event_type
+) ORDER BY doc_count DESC, key LIMIT 5
+""", "ES cardinality metric agg inside terms buckets - 'how many "
+     "distinct users per event type', the uniques facet on every "
+     "analytics dashboard. ES backs this with HLL++ but guarantees "
+     "exactness below precision_threshold (default 3000); the "
+     "compiler emits exact COUNT DISTINCT (oracle-checkable, "
+     "at-least-as-accurate), with approx_count_distinct as the "
+     "documented at-scale swap (same sketch family ES uses, partial "
+     "sketches merged map-side so the scan never re-shuffles raw "
+     "rows twice).")
+def a3n_es_cardinality_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date"))
+    return es_aggregate(e, {
+        "by_type": {
+            "terms": {"field": "event_type", "size": 5},
+            "aggs": {
+                "n_users": {"cardinality": {"field": "user_id"}},
+                "n_days": {"cardinality": {"field": "day"}},
+            },
+        }
+    })
+
+
+@register("a3o_es_top_hits_agg", "A3+E4", """
+WITH counts AS (
+  SELECT o_orderpriority AS key, COUNT(*) AS doc_count
+  FROM orders GROUP BY 1
+),
+top_buckets AS (
+  SELECT * FROM counts ORDER BY doc_count DESC, key LIMIT 3
+),
+hits AS (
+  SELECT o.o_orderpriority AS key, b.doc_count,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderpriority
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey)
+           AS hit_rank,
+         o.o_orderkey, o.o_custkey, o.o_totalprice
+  FROM orders o JOIN top_buckets b ON o.o_orderpriority = b.key
+)
+SELECT key, doc_count, hit_rank, o_orderkey, o_custkey, o_totalprice
+FROM hits WHERE hit_rank <= 2
+""", "ES top_hits inside terms buckets: the top documents themselves "
+     "per bucket (here: the 2 priciest orders per order-priority), "
+     "flattened with hit_rank the way ES clients read the nested "
+     "hits array. Deterministic because the sort is required to be "
+     "total (price desc + unique orderkey tiebreak - ES's internal "
+     "doc-id tiebreak is not reproducible). Plan: grouped counts -> "
+     "broadcast top-size bucket filter -> per-bucket row_number; "
+     "the documented skew swap is the e4 two-pass top-k.")
+def a3o_es_top_hits_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "by_priority": {
+            "terms": {"field": "o_orderpriority", "size": 3},
+            "aggs": {
+                "top_orders": {"top_hits": {
+                    "size": 2,
+                    "sort": [{"o_totalprice": {"order": "desc"}},
+                             {"o_orderkey": {"order": "asc"}}],
+                    "_source": ["o_orderkey", "o_custkey", "o_totalprice"],
+                }},
             },
         }
     })
