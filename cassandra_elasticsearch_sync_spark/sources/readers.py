@@ -496,3 +496,80 @@ def a2g_mv_maintenance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u.new_price").alias("price"),
     )
     return deletes.unionByName(writes)
+
+
+@register("a2h_counter_shard_merge", "A2", """
+WITH raw AS (
+  SELECT event_type AS key,
+         event_id % 3 AS replica,
+         event_id AS seq,
+         value AS delta
+  FROM events
+),
+redelivered AS (
+  SELECT * FROM raw
+  UNION ALL
+  SELECT * FROM raw WHERE seq % 7 = 0
+),
+shard_logs AS (
+  SELECT key, replica, seq, MIN(delta) AS delta,
+         COUNT(*) - 1 AS n_dups
+  FROM redelivered GROUP BY key, replica, seq
+),
+shards AS (
+  SELECT key, replica,
+         CAST(CAST(SUM(CAST(delta AS DECIMAL(38,10))) AS DECIMAL(38,2))
+              AS DOUBLE) AS shard_value,
+         COUNT(*) AS n_increments,
+         CAST(SUM(n_dups) AS BIGINT) AS n_redeliveries
+  FROM shard_logs GROUP BY key, replica
+)
+SELECT key,
+       CAST(CAST(SUM(CAST(shard_value AS DECIMAL(38,10)))
+                 AS DECIMAL(38,2)) AS DOUBLE) AS counter_value,
+       COUNT(*) AS n_shards,
+       CAST(SUM(n_increments) AS BIGINT) AS n_increments,
+       CAST(SUM(n_redeliveries) AS BIGINT) AS n_redeliveries
+FROM shards GROUP BY key
+""", "Cassandra counter-column semantics: a distributed counter is "
+     "per-replica SHARDS, each replica owning a local partial sum; a "
+     "read merges shards by summing (commutative, so any replica "
+     "order converges). Counters are NOT idempotent - a redelivered "
+     "increment inflates the shard - which is why post-2.1 Cassandra "
+     "locks the shard and dedups by the local sequence before "
+     "applying. Modeled end-to-end: events become (key, replica, "
+     "seq, delta) increments, a deterministic 1-in-7 slice is "
+     "redelivered, the shard log dedups on (key, replica, seq) "
+     "FIRST (the idempotent-shard repair), then two grouped sums "
+     "produce the merged counter plus a redelivery audit. Plan: two "
+     "hash aggregates, both map-side partial - the per-shard "
+     "pre-aggregation IS what bounds the final shuffle at 100 TB "
+     "(replica count x key count rows, independent of increment "
+     "volume). Sums are decimal-exact (parity.py) for cross-engine "
+     "hashes.")
+def a2h_counter_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        F.col("event_type").alias("key"),
+        (F.col("event_id") % 3).alias("replica"),
+        F.col("event_id").alias("seq"),
+        F.col("value").alias("delta"),
+    )
+    redelivered = raw.unionAll(raw.filter(F.col("seq") % 7 == 0))
+    shard_logs = redelivered.groupBy("key", "replica", "seq").agg(
+        F.min("delta").alias("delta"),
+        (F.count("*") - 1).alias("n_dups"),
+    )
+    shards = shard_logs.groupBy("key", "replica").agg(
+        dsum("delta", 2).alias("shard_value"),
+        F.count("*").alias("n_increments"),
+        F.sum("n_dups").cast("bigint").alias("n_redeliveries"),
+    )
+    return shards.groupBy("key").agg(
+        dsum("shard_value", 2).alias("counter_value"),
+        F.count("*").alias("n_shards"),
+        F.sum("n_increments").cast("bigint").alias("n_increments"),
+        F.sum("n_redeliveries").cast("bigint").alias("n_redeliveries"),
+    )
