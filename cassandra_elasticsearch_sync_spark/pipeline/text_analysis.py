@@ -924,3 +924,92 @@ def k_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+@register("k_perplexity_buckets", "K4+K5", """
+WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
+db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM tok, UNNEST(RANGE(1, LEN(t))) AS r(i)
+       WHERE LEN(t) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c2 GROUP BY w1),
+nll AS (
+  SELECT doc_id,
+         COUNT(*) AS n_bigrams,
+         ROUND((SUM(LN(CAST(c1 AS DOUBLE))) - SUM(LN(CAST(c12 AS DOUBLE))))
+               / COUNT(*), 6) AS avg_nll
+  FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY doc_id
+),
+j AS (SELECT n.doc_id, d.lang, n.n_bigrams, n.avg_nll
+      FROM nll n JOIN documents d ON n.doc_id = d.doc_id)
+SELECT doc_id, lang, n_bigrams, avg_nll,
+       NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS tercile,
+       CASE NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM j
+""", "CCNet-style perplexity bucketing (Wenzek et al. 2020): score "
+     "every document with the LM negative log-likelihood, then split "
+     "EACH LANGUAGE into head/middle/tail terciles - the standard "
+     "pretraining recipe keeps head+middle and drops or downweights "
+     "tail (likely noise), and bucketing per language keeps "
+     "low-resource languages from being graded on the high-resource "
+     "curve. The LM here is the corpus's own bigram model "
+     "(k_bigram_surprisal's exact-count formulation; a real KenLM "
+     "slot-in changes only the scoring join). The tercile is "
+     "computed with the skew-proof grouped-NTILE primitive "
+     "(operators/distributed_order.py) - per-partition counts + "
+     "broadcast offsets, NO per-language window concentration, so a "
+     "90%-English corpus at 100 TB still terciles without a hot "
+     "reducer. Order key is the 6-dp-rounded score + doc_id (total, "
+     "cross-engine stable under the documented float-threshold "
+     "caveat).")
+def k_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_grouped_ntile,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    db = d.filter(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
+                "i -> struct(element_at(split(lower(text), ' '), i) AS w1, "
+                "            element_at(split(lower(text), ' '), i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = db.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nll = (
+        db.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                (
+                    F.sum(F.log(F.col("c1").cast("double")))
+                    - F.sum(F.log(F.col("c12").cast("double")))
+                ) / F.count("*"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+    j = nll.join(d.select("doc_id", "lang"), "doc_id")
+    tiled = with_grouped_ntile(
+        j, ["lang"], [F.col("avg_nll").asc(), F.col("doc_id").asc()],
+        3, bucket_col="tercile",
+    )
+    return tiled.select(
+        "doc_id", "lang", "n_bigrams", "avg_nll", "tercile",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
