@@ -246,3 +246,88 @@ def test_weighted_sample_is_take_ordered(spark):
     plan = _plan(spark, "k_weighted_sample")
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "Sort " not in plan, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide single-partition-window sweep
+# ---------------------------------------------------------------------------
+
+def _windowspec_is_unpartitioned(spec_args: str) -> bool:
+    """Parse the args of a ``windowspecdefinition(...)`` (text up to the
+    frame spec): the window is UNPARTITIONED iff every leading arg is an
+    order spec (``col ASC/DESC NULLS ...``) - partition columns print as
+    bare expressions with no sort direction."""
+    depth, args, cur = 0, [], []
+    for ch in spec_args:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    leading = [a for a in args
+               if a and not a.startswith("specifiedwindowframe")]
+    return all((" ASC" in a or " DESC" in a) for a in leading)
+
+
+# fns that execute side-effectful jobs when called (streaming runs,
+# ACID commits, CDC source registration) - their plans are asserted by
+# their own dedicated tests instead.
+_PLAN_SWEEP_SKIP_PREFIXES = (
+    "i", "l7_", "l12_", "l14_", "l15_", "a10_",
+)
+
+
+def test_registry_has_no_single_partition_window(spark):
+    """THE scale invariant: no registered query may funnel the corpus
+    through an unpartitioned WindowExec - the one plan shape that
+    serializes 100 TB through a single task. Sweeps every
+    non-side-effectful registry entry's optimized plan."""
+    import re
+
+    bad = []
+    for name, spec in sorted(all_specs().items()):
+        if name.startswith(_PLAN_SWEEP_SKIP_PREFIXES):
+            continue
+        plan = spec.fn(spark, SF_DIR)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        for m in re.finditer(r"windowspecdefinition\(", plan):
+            start = m.end()
+            frame = plan.find("specifiedwindowframe", start)
+            args = plan[start:frame] if frame > 0 else plan[start:start + 300]
+            if _windowspec_is_unpartitioned(args):
+                bad.append(name)
+                break
+    assert not bad, f"single-partition windows in: {bad}"
+
+
+def test_window_sweep_detector_catches_global_window(spark):
+    """Meta-test: the sweep's parser must actually flag a genuinely
+    unpartitioned window (and not flag a partitioned no-order one)."""
+    import re
+    from pyspark.sql import Window, functions as F
+
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+
+    def flagged(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for m in re.finditer(r"windowspecdefinition\(", plan):
+            start = m.end()
+            frame = plan.find("specifiedwindowframe", start)
+            args = plan[start:frame] if frame > 0 else plan[start:start + 300]
+            if _windowspec_is_unpartitioned(args):
+                return True
+        return False
+
+    n = load_table(spark, SF_DIR, "nation")
+    w_global = Window.orderBy("n_nationkey")
+    assert flagged(n.withColumn("r", F.row_number().over(w_global)))
+    w_part_noorder = Window.partitionBy("n_regionkey")
+    assert not flagged(n.withColumn("c", F.count("*").over(w_part_noorder)))
+    w_part = Window.partitionBy("n_regionkey").orderBy("n_name")
+    assert not flagged(n.withColumn("r", F.row_number().over(w_part)))
