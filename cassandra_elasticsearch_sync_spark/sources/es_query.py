@@ -297,9 +297,14 @@ def es_aggregate(df: DataFrame, aggs: dict,
         n: s["top_hits"] for n, s in spec.get("aggs", {}).items()
         if "top_hits" in s
     }
+    pipeline_subs = {
+        n: s for n, s in spec.get("aggs", {}).items()
+        if any(k in s for k in ("cumulative_sum", "derivative"))
+    }
     sub = [
         c for n, s in spec.get("aggs", {}).items()
         if not _is_bucket(s) and "top_hits" not in s
+        and n not in pipeline_subs
         for c in _metric_columns(n, s)
     ]
     if "terms" in spec and top_hits:
@@ -425,7 +430,36 @@ def es_aggregate(df: DataFrame, aggs: dict,
             body["calendar_interval"]
         ]
         key = F.date_format(F.col(body["field"]), unit).alias("key")
-        return df.groupBy(key).agg(F.count("*").alias("doc_count"), *sub)
+        out = df.groupBy(key).agg(F.count("*").alias("doc_count"), *sub)
+        if pipeline_subs:
+            # ES pipeline aggregations (cumulative_sum / derivative):
+            # second-pass aggs over the BUCKET SEQUENCE in key order,
+            # referencing a sibling metric via buckets_path. The window
+            # here runs over the post-aggregation bucket table, whose
+            # cardinality is the calendar-bucket count (a century of
+            # months is 1200 rows) - bounded and scan-independent, so
+            # a single-partition window over it is the correct plan at
+            # any corpus size (documented exception to the registry
+            # plan sweep). Arithmetic is decimal-exact: the running
+            # sum accumulates DECIMAL(38,2), cast to double only at
+            # the edge, so cross-engine hashes match without float
+            # accumulation-order hazards.
+            from pyspark.sql import Window
+
+            w_run = Window.orderBy("key").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)
+            w_lag = Window.orderBy("key")
+            for n, s in pipeline_subs.items():
+                (kind, b), = s.items()
+                dec = F.col(b["buckets_path"]).cast("decimal(38,2)")
+                if kind == "cumulative_sum":
+                    out = out.withColumn(
+                        n, F.sum(dec).over(w_run).cast("double"))
+                elif kind == "derivative":
+                    # ES emits no derivative for the first bucket: NULL.
+                    out = out.withColumn(
+                        n, (dec - F.lag(dec).over(w_lag)).cast("double"))
+        return out
     if "range" in spec:
         body = spec["range"]
         field, ranges = body["field"], body["ranges"]
@@ -1009,6 +1043,50 @@ def a3o_es_top_hits_agg(spark, sf_dir):
                              {"o_orderkey": {"order": "asc"}}],
                     "_source": ["o_orderkey", "o_custkey", "o_totalprice"],
                 }},
+            },
+        }
+    })
+
+
+@register("a3p_es_pipeline_aggs", "A3+E3", """
+WITH buckets AS (
+  SELECT STRFTIME(o_orderdate, '%Y-%m') AS key,
+         COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+              AS DOUBLE) AS revenue
+  FROM orders
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1
+)
+SELECT key, doc_count, revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(38,2)))
+              OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+       CAST(CAST(revenue AS DECIMAL(38,2))
+            - LAG(CAST(revenue AS DECIMAL(38,2))) OVER (ORDER BY key)
+            AS DOUBLE) AS revenue_delta
+FROM buckets
+""", "ES pipeline aggregations: cumulative_sum and derivative over "
+     "date_histogram buckets via buckets_path - the running-total and "
+     "month-over-month-delta lines on every ES dashboard. The "
+     "pipeline pass windows over the POST-AGGREGATION bucket table "
+     "(cardinality = calendar buckets, ~1200 rows/century), so its "
+     "global window is bounded regardless of corpus size; the "
+     "running sum is decimal-exact with doubles only at the edge. "
+     "First-bucket derivative is NULL, matching ES's response.")
+def a3p_es_pipeline_aggs(spark, sf_dir):
+    o = es_search(load_table(spark, sf_dir, "orders"),
+                  {"term": {"o_orderstatus": "F"}})
+    return es_aggregate(o, {
+        "per_month": {
+            "date_histogram": {"field": "o_orderdate",
+                               "calendar_interval": "month"},
+            "aggs": {
+                "revenue": {"sum": {"field": "o_totalprice"}},
+                "cum_revenue": {"cumulative_sum":
+                                {"buckets_path": "revenue"}},
+                "revenue_delta": {"derivative":
+                                  {"buckets_path": "revenue"}},
             },
         }
     })

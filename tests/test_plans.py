@@ -282,6 +282,15 @@ _PLAN_SWEEP_SKIP_PREFIXES = (
     "i", "l7_", "l12_", "l14_", "l15_", "a10_",
 )
 
+# Documented exceptions: windows that run over a POST-AGGREGATION table
+# whose cardinality is bounded by construction (not by corpus size), so
+# a single partition is the correct plan at any scale.
+_BOUNDED_WINDOW_ALLOWED = {
+    # ES pipeline aggs window over date_histogram buckets
+    # (cardinality = calendar buckets, ~1200 rows per century).
+    "a3p_es_pipeline_aggs",
+}
+
 
 def test_registry_has_no_single_partition_window(spark):
     """THE scale invariant: no registered query may funnel the corpus
@@ -293,6 +302,8 @@ def test_registry_has_no_single_partition_window(spark):
     bad = []
     for name, spec in sorted(all_specs().items()):
         if name.startswith(_PLAN_SWEEP_SKIP_PREFIXES):
+            continue
+        if name in _BOUNDED_WINDOW_ALLOWED:
             continue
         plan = spec.fn(spark, SF_DIR)._jdf.queryExecution() \
             .optimizedPlan().toString()
