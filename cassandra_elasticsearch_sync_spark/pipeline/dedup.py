@@ -952,3 +952,89 @@ def k1d_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K1e: incremental dedup - a new batch against the historical index
+# ---------------------------------------------------------------------------
+
+_K1E_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, MD5(LOWER(TRIM(text))) AS content_hash,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS b
+  FROM documents
+),
+history AS (SELECT DISTINCT content_hash FROM hashed WHERE b < 80),
+batch0 AS (SELECT doc_id, content_hash FROM hashed WHERE b >= 80),
+incr AS (
+  SELECT * FROM batch0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, content_hash
+  FROM batch0 WHERE doc_id % 10 = 0
+),
+firsts AS (
+  SELECT content_hash, MIN(doc_id) AS first_doc FROM incr GROUP BY 1
+)
+SELECT i.doc_id, i.content_hash,
+       CASE WHEN h.content_hash IS NOT NULL THEN 'dup_of_history'
+            WHEN i.doc_id <> f.first_doc THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM incr i
+LEFT JOIN history h ON i.content_hash = h.content_hash
+JOIN firsts f ON i.content_hash = f.content_hash
+"""
+
+
+@register("k1e_incremental_dedup", "K1", _K1E_ORACLE,
+          "Incremental dedup: the production shape where today's crawl "
+          "batch is deduplicated against the ALREADY-INGESTED corpus "
+          "without rescanning it as text - only the persisted "
+          "content-hash index is touched. A new doc survives iff its "
+          "normalized-content hash is absent from history AND it is "
+          "the first occurrence within the batch (a deterministic slice "
+          "of the batch is re-crawled under new ids so the within-batch "
+          "rule genuinely fires); every rejection is "
+          "labeled with its cause (audit trail for ingest "
+          "monitoring). Deterministic split: hash-bucket 0-79 = "
+          "history, 80-99 = the increment. Scale shape: history "
+          "reduces to DISTINCT hashes (at 100 TB that index is a "
+          "column-pruned scan of a persisted hash table, not a text "
+          "rescan), the increment - tiny relative to history - "
+          "shuffles on hash for the anti-join probe and its own "
+          "first-occurrence groupBy; history text is never "
+          "re-shingled, re-hashed, or re-shuffled beyond the "
+          "hash-key join. The within-batch first-occurrence uses "
+          "min-per-hash + equijoin, not a window.")
+def k1e_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("content_hash"),
+        (portable_hash60(F.col("doc_id").cast("string")) % 100).alias("b"),
+    )
+    history = (
+        hashed.filter(F.col("b") < 80).select("content_hash").distinct()
+    )
+    batch0 = hashed.filter(F.col("b") >= 80).select("doc_id", "content_hash")
+    # Simulated within-batch re-crawl: every 10th doc is fetched twice
+    # in the same batch under a new id - the duplicate source the
+    # within-batch first-occurrence rule exists to catch.
+    incr = batch0.unionAll(
+        batch0.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "content_hash")
+    )
+    firsts = incr.groupBy("content_hash").agg(
+        F.min("doc_id").alias("first_doc"))
+    h = history.withColumn("in_history", F.lit(True))
+    return (
+        incr.join(h, "content_hash", "left")
+        .join(firsts, "content_hash")
+        .select(
+            "doc_id", "content_hash",
+            F.when(F.col("in_history").isNotNull(), "dup_of_history")
+            .when(F.col("doc_id") != F.col("first_doc"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )
