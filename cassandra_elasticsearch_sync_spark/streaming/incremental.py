@@ -717,3 +717,82 @@ def i9b_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(checkpoint, ignore_errors=True)
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+def stream_stream_full_outer_join(events: DataFrame) -> DataFrame:
+    """I9c: the symmetric completion of i9/i9b - matched pairs, plus
+    unmatched clicks (NULL error_id), plus unmatched errors (NULL
+    click_id), each null-extension released only when the watermark
+    proves no counterpart can still arrive. Both sides buffer; state
+    for each is bounded by its watermark + the join window, so an
+    unbounded input holds a bounded state store (the i9 eviction
+    property test covers the shared mechanism)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+                F.col("event_id").alias("error_id"))
+        .withWatermark("e_ts", "30 minutes")
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            "user_id = e_user AND e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "e_user").alias("user_id"),
+        "click_id", "error_id",
+    )
+
+
+@register("i9c_stream_stream_full_outer", "I9", """
+SELECT COALESCE(c.user_id, e.user_id) AS user_id,
+       c.event_id AS click_id,
+       e.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON e.user_id = c.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+""", "Stream-stream FULL OUTER interval join, really run as a stream: "
+     "completes the join family (i9 inner, i9b left) with BOTH sides "
+     "emitting watermark-deferred null-extensions - unmatched clicks "
+     "and unmatched errors each surface exactly once after the "
+     "watermark passes their join window. Uses the same sentinel "
+     "flush chunks as i9b so tail rows on both sides actually "
+     "release at stream end. The append sink hash-matches the batch "
+     "FULL JOIN oracle: matches, both null-extension families, "
+     "nothing dropped or duplicated.")
+def i9c_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    staged = stage_events_stream(spark, sf_dir, n_chunks=4)
+    _append_watermark_flush_chunks(spark, staged, sf_dir)
+    checkpoint = tempfile.mkdtemp(prefix="ces_i9c_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_i9c_out_")
+    try:
+        q = (
+            stream_stream_full_outer_join(read_events_stream(spark, staged))
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_bounded(q, 300)
+        return (
+            spark.read.parquet(outdir)
+            .filter(F.col("user_id") != _SENTINEL_USER)
+            .select("user_id", "click_id", "error_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
