@@ -145,6 +145,7 @@ def _ensure_loaded() -> None:
     )
     from cassandra_elasticsearch_sync_spark.streaming import incremental, stateful  # noqa: F401
     from cassandra_elasticsearch_sync_spark.sources import (  # noqa: F401
+        cql_query,
         es_query,
         python_source,
         readers,

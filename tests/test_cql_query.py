@@ -1,0 +1,108 @@
+"""CQL SELECT compiler: parser, restriction-rule validator, and a
+compile-run check against plain DataFrame ops."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+    CqlError,
+    cql_select,
+    parse_cql,
+    validate_cql,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_parser_full_statement():
+    sel = parse_cql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_custkey = 37 AND o_orderdate >= '1995-01-01' "
+        "PER PARTITION LIMIT 2 LIMIT 10 ALLOW FILTERING;"
+    )
+    assert sel.columns == ["o_orderkey", "o_totalprice"]
+    assert sel.table == "orders"
+    assert sel.where == [
+        ("o_custkey", "=", 37),
+        ("o_orderdate", ">=", "1995-01-01"),
+    ]
+    assert sel.per_partition_limit == 2
+    assert sel.limit == 10
+    assert sel.allow_filtering
+
+
+def test_parser_in_list_and_star():
+    sel = parse_cql("SELECT * FROM events WHERE user_id IN (1, 2, 3)")
+    assert sel.columns == ["*"]
+    assert sel.where == [("user_id", "IN", [1, 2, 3])]
+
+
+def test_non_key_predicate_requires_allow_filtering():
+    sel = parse_cql(
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 1000")
+    with pytest.raises(CqlError, match="ALLOW FILTERING"):
+        validate_cql(sel)
+    sel_ok = parse_cql(
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 1000 "
+        "ALLOW FILTERING")
+    validate_cql(sel_ok)
+
+
+def test_clustering_requires_partition_equality():
+    sel = parse_cql(
+        "SELECT o_orderkey FROM orders WHERE o_orderdate >= '1995-01-01'")
+    with pytest.raises(CqlError, match="partition key"):
+        validate_cql(sel)
+
+
+def test_clustering_contiguous_slice_rule():
+    # range on the FIRST clustering col then a restriction on the
+    # second is not a contiguous slice
+    sel = parse_cql(
+        "SELECT o_orderkey FROM orders WHERE o_custkey = 1 "
+        "AND o_orderdate >= '1995-01-01' AND o_orderkey = 5")
+    with pytest.raises(CqlError, match="contiguous"):
+        validate_cql(sel)
+    # equality on the first then range on the second is fine
+    ok = parse_cql(
+        "SELECT ts FROM events WHERE user_id = 1 "
+        "AND ts = '2024-01-01 00:00:00' AND event_id > 10")
+    validate_cql(ok)
+
+
+def test_unknown_table_rejected():
+    with pytest.raises(CqlError, match="unknown table"):
+        validate_cql(parse_cql("SELECT x FROM nope WHERE x = 1"))
+
+
+def test_compile_matches_dataframe_ops(spark):
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_DIR, "orders")
+    got = cql_select(o, """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = 37 AND o_orderdate >= '1995-01-01 00:00:00'
+    """)
+    want = (
+        o.filter((F.col("o_custkey") == 37)
+                 & (F.col("o_orderdate")
+                    >= F.to_timestamp(F.lit("1995-01-01 00:00:00"))))
+        .select("o_orderkey", "o_totalprice")
+    )
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_per_partition_limit_caps_each_partition(spark):
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_DIR, "orders")
+    got = cql_select(o, """
+        SELECT o_custkey, o_orderkey FROM orders
+        PER PARTITION LIMIT 2
+    """)
+    per = got.groupBy("o_custkey").count().agg(F.max("count")).collect()
+    assert per[0][0] <= 2
