@@ -218,3 +218,47 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey", "c_mktsegment", "bal_band", "group_size",
         (F.col("group_size") < 5).alias("violates_k5"),
     )
+
+
+@register("k_l_diversity_audit", "K4+D3", """
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         (c_acctbal < 0) AS in_debt
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         COUNT(*) AS group_size,
+         COUNT(DISTINCT in_debt) AS l_distinct
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, group_size, l_distinct,
+       (l_distinct < 2) AS violates_l2
+FROM g
+""", "l-diversity audit: k-anonymity's necessary complement - an "
+     "equivalence class can be large (k-safe) yet reveal the "
+     "sensitive attribute anyway if EVERY member shares its value "
+     "(the homogeneity attack). Per quasi-identifier class (same "
+     "classes as k_anonymity_audit), count DISTINCT sensitive "
+     "values (here: the in-debt flag) and flag classes below l=2 - "
+     "those leak the sensitive bit for every member even though no "
+     "row is individually identifiable. One grouped "
+     "count+count-distinct on the class tuple, map-side partial; "
+     "the sensitive flag is exact boolean arithmetic.")
+def k_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    q = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        (F.col("c_acctbal") < 0).alias("in_debt"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct("in_debt").alias("l_distinct"),
+    )
+    return g.select(
+        "c_nationkey", "c_mktsegment", "bal_band", "group_size",
+        "l_distinct", (F.col("l_distinct") < 2).alias("violates_l2"),
+    )

@@ -237,7 +237,7 @@ def es_aggregate(df: DataFrame, aggs: dict,
 
     def _is_bucket(s: dict) -> bool:
         return any(k in s for k in ("terms", "date_histogram", "range", "composite",
-                                    "significant_terms", "filter"))
+                                    "significant_terms", "filter", "histogram"))
 
     if "filter" in spec:
         # filter bucket: one named sub-scope of the search context with
@@ -460,6 +460,16 @@ def es_aggregate(df: DataFrame, aggs: dict,
                     out = out.withColumn(
                         n, (dec - F.lag(dec).over(w_lag)).cast("double"))
         return out
+    if "histogram" in spec:
+        # Fixed-interval numeric histogram: ES buckets on
+        # floor(value / interval) * interval and reports the lower
+        # bound as the key. Exact integer-scaled arithmetic when the
+        # interval is integral; one grouped aggregate either way.
+        body = spec["histogram"]
+        field, interval = body["field"], body["interval"]
+        key = (F.floor(F.col(field) / F.lit(interval))
+               * F.lit(interval)).cast("double").alias("key")
+        return df.groupBy(key).agg(F.count("*").alias("doc_count"), *sub)
     if "range" in spec:
         body = spec["range"]
         field, ranges = body["field"], body["ranges"]
@@ -1087,6 +1097,34 @@ def a3p_es_pipeline_aggs(spark, sf_dir):
                                 {"buckets_path": "revenue"}},
                 "revenue_delta": {"derivative":
                                   {"buckets_path": "revenue"}},
+            },
+        }
+    })
+
+
+@register("a3q_es_histogram_agg", "A3", """
+SELECT CAST(FLOOR(value / 5) * 5 AS DOUBLE) AS key,
+       COUNT(*) AS doc_count,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+""", "ES numeric histogram aggregation: fixed-interval buckets keyed "
+     "on the lower bound (floor(value/interval)*interval), the "
+     "value-distribution facet behind every price/latency slider. "
+     "Compiles to one grouped aggregate on exact floor arithmetic - "
+     "map-side partial, bucket count bounded by the value range over "
+     "the interval, scan-size independent.")
+def a3q_es_histogram_agg(spark, sf_dir):
+    e = es_search(load_table(spark, sf_dir, "events"),
+                  {"term": {"event_type": "purchase"}})
+    return es_aggregate(e, {
+        "value_hist": {
+            "histogram": {"field": "value", "interval": 5},
+            "aggs": {
+                "min_value": {"min": {"field": "value"}},
+                "max_value": {"max": {"field": "value"}},
             },
         }
     })
