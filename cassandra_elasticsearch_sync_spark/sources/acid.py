@@ -398,3 +398,70 @@ class AcidParquetTable:
             if v not in keep_versions:
                 os.unlink(os.path.join(self.root, _MANIFESTS, f))
         return removed
+
+    # -- OPTIMIZE: compaction + clustering ---------------------------------
+
+    def _zvalue(self, df: DataFrame, cols: list[str]) -> Column:
+        """Z-order (Morton) key over two numeric columns: each value is
+        min-max quantized to 16 bits (one tiny bounds aggregate), then
+        the bits interleave so a RANGE of z-values stays tight in BOTH
+        dimensions - the property that makes one clustering layout
+        prune reads on either column. Bit math only; no UDF."""
+        assert len(cols) == 2, "z-order here is 2-D (extendable)"
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        quant = []
+        for c in cols:
+            lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
+            span = (hi - lo) or 1.0
+            quant.append(
+                F.least(
+                    F.lit(65535),
+                    F.floor((F.col(c).cast("double") - F.lit(lo))
+                            / F.lit(span) * 65535).cast("long"),
+                )
+            )
+        z = F.lit(0).cast("long")
+        for b in range(16):
+            z = (z
+                 + F.shiftleft(F.shiftright(quant[0], b) % 2, 2 * b + 1)
+                 + F.shiftleft(F.shiftright(quant[1], b) % 2, 2 * b))
+        return z
+
+    def optimize(self, cluster_by: list[str], n_slices: int = 8,
+                 zorder: bool = False) -> int:
+        """OPTIMIZE: rewrite the current snapshot into ``n_slices``
+        range-clustered manifest entries with tight per-entry column
+        statistics - table contents unchanged, reads get file
+        skipping. ``zorder=True`` clusters on the Morton interleave of
+        two columns so range probes on EITHER prune; linear clustering
+        only serves its leading column (the classic trade, asserted in
+        tests). One distributed job: range repartition on the cluster
+        key, Hive-style slice write, per-entry stats, one
+        conditional-put commit (concurrent writers conflict like any
+        other transaction). The rewrite is the lakehouse OPTIMIZE /
+        ZORDER BY maintenance operation - at 100 TB it runs
+        incrementally per partition; the protocol is identical."""
+        df = self.read()
+        base = self.current_version()
+        schema = df.schema
+        sort_key = (self._zvalue(df, cluster_by) if zorder
+                    else F.col(cluster_by[0]))
+        d = os.path.join(self.root, _DATA, uuid.uuid4().hex)
+        (
+            df.withColumn("__zk", sort_key)
+            .repartitionByRange(n_slices, F.col("__zk"))
+            .sortWithinPartitions("__zk")
+            .withColumn("__slice", F.spark_partition_id())
+            .drop("__zk")
+            .write.partitionBy("__slice")
+            .parquet(d)
+        )
+        files = sorted(
+            os.path.join(d, sub)
+            for sub in os.listdir(d) if sub.startswith("__slice=")
+        )
+        stats = self._collect_stats(files, schema)
+        return self._commit(base, files, schema, stats)

@@ -892,3 +892,49 @@ def l11b_sync_lag_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFr
          .alias("p95_s"),
         F.round(F.max("gap_us") / 1000000.0, 6).alias("max_s"),
     )
+
+
+@register("l16_acid_zorder_pruned_scan", "A7+A1", """
+WITH b AS (SELECT CAST(FLOOR(MAX(o_custkey) * 0.25) AS BIGINT) AS lo,
+                  CAST(FLOOR(MAX(o_custkey) * 0.5)  AS BIGINT) AS hi
+           FROM orders)
+SELECT o_orderkey AS okey, o_custkey AS ckey, o_totalprice AS price
+FROM orders, b
+WHERE o_custkey >= b.lo AND o_custkey <= b.hi
+""", "Z-order-clustered ACID scan: the table is rewritten once by "
+     "OPTIMIZE ZORDER BY (okey, ckey) - Morton-interleaved range "
+     "slices with per-entry min/max statistics - and then a range "
+     "probe on the SECOND clustering column (the one a linear sort "
+     "cannot serve) still skips manifest entries without opening "
+     "them; the query asserts the skip happened. This is the "
+     "multi-dimensional pruning story at 100 TB: one layout serving "
+     "range reads on several columns at once. Contents are "
+     "rewrite-invariant - the pruned result hash-matches the plain "
+     "relational filter; the linear-vs-zorder pruning contrast is "
+     "pinned in tests/test_acid_merge.py.")
+def l16_acid_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    mx = o.agg(F.max("ckey").alias("m")).collect()[0]["m"]
+    lo, hi = int(mx * 0.25), int(mx * 0.5)
+    root = tempfile.mkdtemp(prefix="ces_acid_zorder_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(o)
+        t.optimize(["okey", "ckey"], n_slices=8, zorder=True)
+        cand = t.candidate_files("ckey", lo=lo, hi=hi)
+        total = len(t._manifest(t.current_version())["files"])
+        if not (len(cand) < total):
+            raise AssertionError(
+                "z-order stats pruning skipped nothing on the 2nd column")
+        return t.read_where("ckey", lo=lo, hi=hi).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -303,3 +303,50 @@ def test_conditional_put_single_winner_under_race(spark, root):
     for _ in range(3):
         v = t._commit(v, files, schema)
     assert t.current_version() == base + 4
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_optimize_preserves_contents_and_bumps_version(spark, tmp_path):
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    t = AcidParquetTable(spark, str(tmp_path / "t"))
+    v1 = t.init(o)
+    before = sorted(map(tuple, t.read().collect()))
+    v2 = t.optimize(["o_orderkey", "o_custkey"], n_slices=4, zorder=True)
+    assert v2 == v1 + 1
+    assert sorted(map(tuple, t.read().collect())) == before
+    # time travel to the pre-optimize snapshot still works
+    assert sorted(map(tuple, t.read(version=v1).collect())) == before
+
+
+def test_zorder_prunes_both_dimensions_linear_only_leading(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    t = AcidParquetTable(spark, str(tmp_path / "t"))
+    t.init(o)
+
+    t.optimize(["o_orderkey", "o_custkey"], n_slices=8, zorder=True)
+    total = len(t._manifest(t.current_version())["files"])
+    z_ck = len(t.candidate_files("o_custkey", lo=100, hi=200))
+    z_ok = len(t.candidate_files("o_orderkey", lo=1000, hi=2000))
+    assert z_ck < total, "z-order must prune the second dimension"
+    assert z_ok < total, "z-order must prune the first dimension"
+
+    t.optimize(["o_orderkey", "o_custkey"], n_slices=8, zorder=False)
+    lin_ck = len(t.candidate_files("o_custkey", lo=100, hi=200))
+    lin_ok = len(t.candidate_files("o_orderkey", lo=1000, hi=2000))
+    assert lin_ok < total, "linear clustering must prune its leading column"
+    assert lin_ck == total, (
+        "linear clustering cannot serve the non-leading column - if this "
+        "starts passing the comparison below is vacuous")
+    assert z_ck < lin_ck, "the z-order advantage on the 2nd column"
