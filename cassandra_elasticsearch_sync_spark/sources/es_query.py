@@ -237,7 +237,8 @@ def es_aggregate(df: DataFrame, aggs: dict,
 
     def _is_bucket(s: dict) -> bool:
         return any(k in s for k in ("terms", "date_histogram", "range", "composite",
-                                    "significant_terms", "filter", "histogram"))
+                                    "significant_terms", "filter", "histogram",
+                                    "rare_terms"))
 
     if "filter" in spec:
         # filter bucket: one named sub-scope of the search context with
@@ -460,6 +461,21 @@ def es_aggregate(df: DataFrame, aggs: dict,
                     out = out.withColumn(
                         n, (dec - F.lag(dec).over(w_lag)).cast("double"))
         return out
+    if "rare_terms" in spec:
+        # rare_terms: the long-tail inverse of terms - buckets whose
+        # doc_count is AT MOST max_doc_count (ES approximates with a
+        # CuckooFilter and documents false-positive trade-offs; the
+        # compiler is exact, which is at-least-as-accurate). The
+        # grouped count is map-side partial; the rare filter applies
+        # post-aggregate so the scan never re-shuffles.
+        body = spec["rare_terms"]
+        field = body["field"]
+        max_dc = body.get("max_doc_count", 1)
+        return (
+            df.groupBy(F.col(field).alias("key"))
+            .agg(F.count("*").alias("doc_count"), *sub)
+            .filter(F.col("doc_count") <= max_dc)
+        )
     if "histogram" in spec:
         # Fixed-interval numeric histogram: ES buckets on
         # floor(value / interval) * interval and reports the lower
@@ -1126,5 +1142,29 @@ def a3q_es_histogram_agg(spark, sf_dir):
                 "min_value": {"min": {"field": "value"}},
                 "max_value": {"max": {"field": "value"}},
             },
+        }
+    })
+
+
+@register("a3r_es_rare_terms_agg", "A3", """
+SELECT o_custkey AS key,
+       COUNT(*) AS doc_count,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) <= 2
+""", "ES rare_terms aggregation: the long-tail inverse of terms - "
+     "customers with at most 2 orders, the churn-risk / anomaly "
+     "mining facet. ES approximates rarity with a CuckooFilter "
+     "(documented false positives); the compiler is exact, "
+     "at-least-as-accurate, and the rare filter is a post-aggregate "
+     "HAVING on the map-side-partial grouped count - high-cardinality "
+     "safe because nothing ever sorts or collects the full key space.")
+def a3r_es_rare_terms_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "rare_customers": {
+            "rare_terms": {"field": "o_custkey", "max_doc_count": 2},
+            "aggs": {"max_price": {"max": {"field": "o_totalprice"}}},
         }
     })
