@@ -573,3 +573,47 @@ def a2h_counter_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_increments").cast("bigint").alias("n_increments"),
         F.sum("n_redeliveries").cast("bigint").alias("n_redeliveries"),
     )
+
+
+@register("a2k_static_column_read", "A2", """
+WITH last AS (
+  SELECT o_custkey, o_orderpriority AS static_priority
+  FROM (
+    SELECT o_custkey, o_orderpriority,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC)
+             AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT o.o_custkey AS ckey, o.o_orderkey AS okey, l.static_priority
+FROM orders o JOIN last l ON o.o_custkey = l.o_custkey
+""", "Cassandra STATIC column semantics: a static column is stored "
+     "once per PARTITION, any write at any clustering key overwrites "
+     "it partition-wide, and reads surface the shared value on EVERY "
+     "row of the partition. Modeled on the orders table (PRIMARY KEY "
+     "((o_custkey), o_orderdate, o_orderkey), consistent with "
+     "a2c/a2d/the CQL compiler): each order's priority 'writes' the "
+     "static cell at its clustering position, so the read-time value "
+     "is the latest write's priority - reconstructed with ONE "
+     "map-side-partial max(struct) hash aggregate per partition (the "
+     "l3 LWW shape: hot partitions collapse before the shuffle, no "
+     "per-key window) joined back on the partition key. The oracle's "
+     "ROW_NUMBER formulation is exact because (o_orderdate, "
+     "o_orderkey) is unique within a partition.")
+def a2k_static_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    last = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+            ).alias("w")
+        )
+        .select("o_custkey", F.col("w.o_orderpriority").alias("static_priority"))
+    )
+    return o.join(last, "o_custkey").select(
+        F.col("o_custkey").alias("ckey"),
+        F.col("o_orderkey").alias("okey"),
+        "static_priority",
+    )
