@@ -292,29 +292,36 @@ _BOUNDED_WINDOW_ALLOWED = {
 }
 
 
-def test_registry_has_no_single_partition_window(spark):
-    """THE scale invariant: no registered query may funnel the corpus
-    through an unpartitioned WindowExec - the one plan shape that
-    serializes 100 TB through a single task. Sweeps every
-    non-side-effectful registry entry's optimized plan."""
+def test_registry_has_no_single_partition_window_or_cartesian(spark):
+    """THE scale invariants, swept over every non-side-effectful
+    registry entry: (1) no unpartitioned WindowExec - the plan shape
+    that serializes 100 TB through a single task; (2) no
+    CartesianProduct - the non-broadcast all-pairs join.
+    BroadcastNestedLoopJoin is allowed: its loop side is
+    broadcast-bounded by construction (1-row totals, capped query
+    sets, the guarded c6 cross join), which is exactly the difference
+    that matters at scale."""
     import re
 
-    bad = []
+    bad_window, bad_cartesian = [], []
     for name, spec in sorted(all_specs().items()):
         if name.startswith(_PLAN_SWEEP_SKIP_PREFIXES):
             continue
+        qe = spec.fn(spark, SF_DIR)._jdf.queryExecution()
+        if "CartesianProduct" in qe.executedPlan().toString():
+            bad_cartesian.append(name)
         if name in _BOUNDED_WINDOW_ALLOWED:
             continue
-        plan = spec.fn(spark, SF_DIR)._jdf.queryExecution() \
-            .optimizedPlan().toString()
+        plan = qe.optimizedPlan().toString()
         for m in re.finditer(r"windowspecdefinition\(", plan):
             start = m.end()
             frame = plan.find("specifiedwindowframe", start)
             args = plan[start:frame] if frame > 0 else plan[start:start + 300]
             if _windowspec_is_unpartitioned(args):
-                bad.append(name)
+                bad_window.append(name)
                 break
-    assert not bad, f"single-partition windows in: {bad}"
+    assert not bad_window, f"single-partition windows in: {bad_window}"
+    assert not bad_cartesian, f"cartesian products in: {bad_cartesian}"
 
 
 def test_window_sweep_detector_catches_global_window(spark):
