@@ -132,3 +132,69 @@ def parse_image(raw: bytes | None) -> tuple[str, int, int] | None:
     except struct.error:
         return None
     return None
+
+
+# -- WAV (RIFF) audio headers ------------------------------------------------
+
+
+def wav_bytes(sample_rate: int, channels: int, bits: int,
+              n_frames: int, seed: int = 0) -> bytes:
+    """Minimal valid PCM WAV: RIFF header, fmt chunk, data chunk with
+    deterministic 16-bit samples derived from ``seed`` - a real file
+    any WAV reader accepts (public spec: RIFF/WAVE, fmt audio_format=1
+    linear PCM)."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    n_samples = n_frames * channels
+    samples = b"".join(
+        struct.pack("<h", ((seed * 31 + i * 97) % 65536) - 32768)
+        for i in range(n_samples)
+    )
+    data_size = len(samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      block_align, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_size)
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_size) + samples
+    )
+
+
+def parse_wav(raw: bytes | None) -> tuple[int, int, int, int] | None:
+    """bytes -> (sample_rate, channels, bits, n_frames) by actually
+    walking the RIFF chunk list; None for anything that is not a valid
+    PCM WAV (wrong magic, truncated, missing fmt/data)."""
+    if raw is None or len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    pos, fmt_info, data_size = 12, None, None
+    while pos + 8 <= len(raw):
+        tag = raw[pos:pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            afmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if afmt != 1:
+                return None  # only linear PCM in the minimal subset
+            fmt_info = (rate, channels, bits)
+        elif tag == b"data":
+            data_size = len(body)
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if fmt_info is None or data_size is None:
+        return None
+    rate, channels, bits = fmt_info
+    frame_size = channels * bits // 8
+    if frame_size == 0:
+        return None
+    return rate, channels, bits, data_size // frame_size
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic planted parameters (mirrors synth_image): the
+    oracle recomputes these relationally, so a decode hash-match
+    proves the parser read the bytes."""
+    rate = (8000, 16000, 44100)[doc_id % 3]
+    channels = doc_id % 2 + 1
+    n_frames = doc_id % 100 + 10
+    return wav_bytes(rate, channels, 16, n_frames, seed=doc_id)

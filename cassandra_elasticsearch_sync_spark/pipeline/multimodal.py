@@ -196,6 +196,18 @@ def k6b_struct_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_us", T.LongType()),
+    ]
+)
+
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -206,16 +218,68 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload) where payload is a VALID PCM WAV
+    file (stdlib ``wave`` opens it) with planted sample-rate/channels/
+    frame-count from doc_id (pipeline/imaging.py synth_wav)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import synth_wav
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(lambda d: synth_wav(int(d)))
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", synth("doc_id").alias("payload"))
+
+
+def decode_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched audio decode: walks the RIFF chunk list in the
+    payload BYTES (pure-python parse_wav) for sample rate / channels /
+    bit depth / frame count; unparseable payloads yield NULLs. A full
+    sample decoder (soundfile/librosa) swaps in with the same
+    signature, schema, and batching."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import parse_wav
+
+    for pdf in batches:
+        decoded = [parse_wav(r) for r in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "format": ["wav" if d else None for d in decoded],
+                "sample_rate": [d[0] if d else None for d in decoded],
+                "channels": [d[1] if d else None for d in decoded],
+                "bits": [d[2] if d else None for d in decoded],
+                "n_frames": [d[3] if d else None for d in decoded],
+                "duration_us": [
+                    d[3] * 1000000 // d[0] if d else None for d in decoded
+                ],
+            }
+        )
+
+
 def audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB 'audio featurizer': treats the payload bytes as a fake
-    PCM-ish waveform (centered at 128) and computes deterministic
-    features. Real deployment: soundfile/librosa decode with identical
+    """Audio featurizer over the REAL decoded PCM stream: parses the
+    WAV header, slices the data chunk at the parsed offsets, and
+    computes amplitude/zero-crossing features from the actual 16-bit
+    samples. A spectral featurizer (librosa) swaps in with the same
     signature and schema."""
+    import struct as _struct
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import parse_wav
+
     for pdf in batches:
         feats = []
         for raw in pdf["payload"]:
-            wave = [b - 128 for b in raw]
-            n = len(wave)
+            parsed = parse_wav(raw)
+            if parsed is None:
+                feats.append((None, None, None))
+                continue
+            data_off = raw.find(b"data") + 8
+            (data_size,) = _struct.unpack("<I", raw[data_off - 4:data_off])
+            n = data_size // 2
+            wave = _struct.unpack(f"<{n}h", raw[data_off:data_off + data_size])
             mean_amp = round(sum(abs(w) for w in wave) / n, 6) if n else 0.0
             zc = sum(
                 1 for i in range(1, n) if (wave[i - 1] < 0) != (wave[i] < 0)
@@ -231,10 +295,40 @@ def audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
-@register("k6c_audio_features_stub", "K6", None,
-          "mapInPandas audio featurizer stub (deterministic fake PCM "
-          "features from the binary payload; rows-only - the Arrow "
-          "plumbing and schema are the verified parts)")
-def k6c_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = media_table(spark, sf_dir).select("doc_id", "payload")
-    return m.mapInPandas(audio_features_batch, AUDIO_SCHEMA)
+@register("k6c_audio_decode", "K6", """
+SELECT doc_id,
+       'wav' AS format,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+            WHEN 1 THEN 16000 ELSE 44100 END AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INT) AS channels,
+       16 AS bits,
+       CAST(doc_id % 100 + 10 AS INT) AS n_frames,
+       CAST((doc_id % 100 + 10) * 1000000
+            // (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+                     WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT)
+         AS duration_us
+FROM documents
+""", "REAL audio decode over binary columns (the former stub, "
+     "de-stubbed like k6_image_decode): payloads are valid PCM WAV "
+     "files - stdlib wave.open accepts them, pinned in "
+     "tests/test_imaging.py - synthesized with sample-rate/channels/"
+     "frame-count planted from doc_id, and the operator walks the "
+     "RIFF chunk list IN THE BYTES to recover them plus the derived "
+     "duration. The oracle recomputes the planted parameters "
+     "relationally, so a hash match proves the parser decoded the "
+     "bytes. Arrow-batched mapInPandas end to end, no driver "
+     "collect; a full sample decoder swaps into the same batch fn.")
+def k6c_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = audio_table(spark, sf_dir)
+    return a.mapInPandas(decode_audio_batch, AUDIO_DECODED_SCHEMA)
+
+
+@register("k6d_audio_features", "K6", None,
+          "Audio features from the REAL decoded PCM stream: the WAV "
+          "data chunk is sliced at parsed offsets and 16-bit samples "
+          "drive amplitude + zero-crossing features (rows-only: the "
+          "synthetic waveform's features are not SQL-expressible; "
+          "the decode itself is oracle-checked by k6c).")
+def k6d_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = audio_table(spark, sf_dir).select("doc_id", "payload")
+    return a.mapInPandas(audio_features_batch, AUDIO_SCHEMA)

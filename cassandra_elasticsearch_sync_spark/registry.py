@@ -83,7 +83,7 @@ _TAIL = (
     # rows-only by design (no oracle -> driver records a weaker check)
     "k_kmeans_assign", "k3_cosine_topk_arrow", "k_cms_sketch",
     "d4_approx_count_distinct", "d6b_approx_percentiles",
-    "k6c_audio_features_stub",
+    "k6d_audio_features",
     "i6_stateful_running_max",
 )
 

@@ -61,3 +61,43 @@ def test_jpeg_marker_scan_skips_segments():
     long_comment = b"z" * 1000
     raw = jpeg_bytes(321, 123, long_comment)
     assert parse_image(raw) == ("jpeg", 321, 123)
+
+
+# -- WAV ---------------------------------------------------------------------
+
+
+def test_wav_round_trip_and_validity():
+    import io
+    import wave as stdwave
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        parse_wav,
+        synth_wav,
+    )
+
+    for d in (0, 1, 2, 37, 999, 123456):
+        raw = synth_wav(d)
+        got = parse_wav(raw)
+        want = ((8000, 16000, 44100)[d % 3], d % 2 + 1, 16, d % 100 + 10)
+        assert got == want, (d, got, want)
+        # the stdlib reader accepts the file => genuinely valid WAV,
+        # and agrees with our parser on every header field
+        w = stdwave.open(io.BytesIO(raw))
+        assert (w.getframerate(), w.getnchannels(),
+                w.getsampwidth() * 8, w.getnframes()) == want
+
+
+def test_wav_parser_rejects_malformed():
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        parse_wav,
+        synth_wav,
+    )
+
+    assert parse_wav(None) is None
+    assert parse_wav(b"") is None
+    assert parse_wav(b"RIFFxxxx") is None
+    assert parse_wav(b"\x00" * 100) is None
+    assert parse_wav(synth_wav(5)[:20]) is None          # truncated
+    bad = bytearray(synth_wav(7))
+    bad[20] = 9                                           # audio_format != PCM
+    assert parse_wav(bytes(bad)) is None
