@@ -300,7 +300,8 @@ def es_aggregate(df: DataFrame, aggs: dict,
     }
     pipeline_subs = {
         n: s for n, s in spec.get("aggs", {}).items()
-        if any(k in s for k in ("cumulative_sum", "derivative"))
+        if any(k in s for k in ("cumulative_sum", "derivative",
+                                "moving_avg", "serial_diff"))
     }
     sub = [
         c for n, s in spec.get("aggs", {}).items()
@@ -460,6 +461,30 @@ def es_aggregate(df: DataFrame, aggs: dict,
                     # ES emits no derivative for the first bucket: NULL.
                     out = out.withColumn(
                         n, (dec - F.lag(dec).over(w_lag)).cast("double"))
+                elif kind == "moving_avg":
+                    # ES moving_fn/unweightedAvg: the window covers the
+                    # `window` buckets BEFORE the current one, current
+                    # excluded (shift=0 semantics); an empty window is
+                    # NULL. Decimal sum / exact count, rounded at 6 dp.
+                    wsize = b.get("window", 5)
+                    w_mv = Window.orderBy("key").rowsBetween(-wsize, -1)
+                    out = out.withColumn(
+                        n,
+                        F.round(
+                            (F.sum(dec).over(w_mv)
+                             / F.count(dec).over(w_mv)).cast("double"),
+                            6,
+                        ),
+                    )
+                elif kind == "serial_diff":
+                    # ES serial_diff: value minus the value `lag`
+                    # buckets back (seasonality removal); NULL until
+                    # enough history exists.
+                    out = out.withColumn(
+                        n,
+                        (dec - F.lag(dec, b.get("lag", 1)).over(w_lag))
+                        .cast("double"),
+                    )
         return out
     if "rare_terms" in spec:
         # rare_terms: the long-tail inverse of terms - buckets whose
@@ -1166,5 +1191,50 @@ def a3r_es_rare_terms_agg(spark, sf_dir):
         "rare_customers": {
             "rare_terms": {"field": "o_custkey", "max_doc_count": 2},
             "aggs": {"max_price": {"max": {"field": "o_totalprice"}}},
+        }
+    })
+
+
+@register("a3s_es_moving_fn_serial_diff", "A3+E3", """
+WITH buckets AS (
+  SELECT STRFTIME(o_orderdate, '%Y-%m') AS key,
+         COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+              AS DOUBLE) AS revenue
+  FROM orders
+  WHERE o_orderstatus = 'O'
+  GROUP BY 1
+)
+SELECT key, doc_count, revenue,
+       ROUND(CAST(SUM(CAST(revenue AS DECIMAL(38,2)))
+                    OVER (ORDER BY key ROWS BETWEEN 3 PRECEDING
+                          AND 1 PRECEDING)
+                  / COUNT(revenue)
+                    OVER (ORDER BY key ROWS BETWEEN 3 PRECEDING
+                          AND 1 PRECEDING) AS DOUBLE), 6) AS mov3_avg,
+       CAST(CAST(revenue AS DECIMAL(38,2))
+            - LAG(CAST(revenue AS DECIMAL(38,2)), 12) OVER (ORDER BY key)
+            AS DOUBLE) AS yoy_diff
+FROM buckets
+""", "ES moving_fn (unweightedAvg) + serial_diff pipeline aggs: the "
+     "trailing-3-month average (window BEFORE the current bucket, "
+     "shift=0 semantics - NULL when empty) and the year-over-year "
+     "difference (lag 12 buckets - the seasonality-removal agg). "
+     "Completes the pipeline-agg family with a3p; same "
+     "bounded-bucket-table window, decimal-exact arithmetic.")
+def a3s_es_moving_fn_serial_diff(spark, sf_dir):
+    o = es_search(load_table(spark, sf_dir, "orders"),
+                  {"term": {"o_orderstatus": "O"}})
+    return es_aggregate(o, {
+        "per_month": {
+            "date_histogram": {"field": "o_orderdate",
+                               "calendar_interval": "month"},
+            "aggs": {
+                "revenue": {"sum": {"field": "o_totalprice"}},
+                "mov3_avg": {"moving_avg":
+                             {"buckets_path": "revenue", "window": 3}},
+                "yoy_diff": {"serial_diff":
+                             {"buckets_path": "revenue", "lag": 12}},
+            },
         }
     })

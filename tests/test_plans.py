@@ -289,6 +289,7 @@ _BOUNDED_WINDOW_ALLOWED = {
     # ES pipeline aggs window over date_histogram buckets
     # (cardinality = calendar buckets, ~1200 rows per century).
     "a3p_es_pipeline_aggs",
+    "a3s_es_moving_fn_serial_diff",
 }
 
 
