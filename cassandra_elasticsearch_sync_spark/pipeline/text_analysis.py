@@ -1013,3 +1013,112 @@ def k_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (denoising objective data prep)
+# ---------------------------------------------------------------------------
+
+@register("k_span_corruption", "K4", """
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+t AS (
+  SELECT doc_id, w, pos, pos // 3 AS chunk,
+         (pos // 3) % 7 = 0 AS masked
+  FROM tok
+),
+inp AS (
+  SELECT doc_id, pos * 2 AS k, w FROM t WHERE NOT masked
+  UNION ALL
+  SELECT DISTINCT doc_id, chunk * 6 AS k,
+         '<extra_id_' || CAST(chunk // 7 AS VARCHAR) || '>' AS w
+  FROM t WHERE masked
+),
+tgt AS (
+  SELECT DISTINCT doc_id, chunk * 6 - 1 AS k,
+         '<extra_id_' || CAST(chunk // 7 AS VARCHAR) || '>' AS w
+  FROM t WHERE masked
+  UNION ALL
+  SELECT doc_id, pos * 2 AS k, w FROM t WHERE masked
+),
+inp_agg AS (
+  SELECT doc_id, STRING_AGG(w, ' ' ORDER BY k) AS input_text
+  FROM inp GROUP BY doc_id
+),
+tgt_agg AS (
+  SELECT doc_id, STRING_AGG(w, ' ' ORDER BY k) AS target_text
+  FROM tgt GROUP BY doc_id
+),
+ns AS (
+  SELECT doc_id, COUNT(DISTINCT chunk) AS n_masked_spans
+  FROM t WHERE masked GROUP BY doc_id
+)
+SELECT i.doc_id, n.n_masked_spans, i.input_text, g.target_text
+FROM inp_agg i
+JOIN tgt_agg g ON i.doc_id = g.doc_id
+JOIN ns n ON i.doc_id = n.doc_id
+""", "T5-style span corruption (Raffel et al. 2020): the denoising "
+     "pretraining objective's data prep - contiguous token spans are "
+     "masked, each replaced in the INPUT by a sentinel <extra_id_k>, "
+     "and the TARGET is the sentinel-delimited concatenation of the "
+     "masked contents. Deterministic restatement of the random "
+     "policy: every 7th 3-token chunk masks (~14% corruption, mean "
+     "span 3 - T5's defaults), so the pairs are reproducible and "
+     "oracle-checkable; a seeded-hash mask swaps in without "
+     "changing the plan. Shape: posexplode -> two branch unions "
+     "keyed by an interleaving sort key that places sentinels "
+     "exactly at span starts -> two per-doc string reassemblies "
+     "(array_sort(collect_list(struct)) - per-doc state only) "
+     "joined back. Every stage shuffles on doc_id or token keys; "
+     "no windows, no driver loop.")
+def k_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).select(
+        "doc_id", "w", "pos",
+        F.expr("pos div 3").alias("chunk"),
+        (F.expr("pos div 3") % 7 == 0).alias("masked"),
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"),
+        F.expr("chunk div 7").cast("string"),
+        F.lit(">"),
+    )
+    inp = t.filter(~F.col("masked")).select(
+        "doc_id", (F.col("pos") * 2).alias("k"), "w"
+    ).unionByName(
+        t.filter("masked").select(
+            "doc_id", (F.col("chunk") * 6).alias("k"), sentinel.alias("w")
+        ).distinct()
+    )
+    tgt = t.filter("masked").select(
+        "doc_id", (F.col("chunk") * 6 - 1).alias("k"), sentinel.alias("w")
+    ).distinct().unionByName(
+        t.filter("masked").select(
+            "doc_id", (F.col("pos") * 2).alias("k"), "w"
+        )
+    )
+
+    def reassemble(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("doc_id").agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(k, w))),"
+                " x -> x.w), ' ')"
+            ).alias(out)
+        )
+
+    ns = (
+        t.filter("masked")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("chunk").alias("n_masked_spans"))
+    )
+    return (
+        reassemble(inp, "input_text")
+        .join(reassemble(tgt, "target_text"), "doc_id")
+        .join(ns, "doc_id")
+        .select("doc_id", "n_masked_spans", "input_text", "target_text")
+    )
