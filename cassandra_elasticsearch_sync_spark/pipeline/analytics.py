@@ -687,3 +687,39 @@ def k_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "lang", "n_chars", "priority")
     )
+
+
+@register("k_mixture_temperature", "K1+D1", """
+WITH strata AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SQRT(CAST(COUNT(*) AS DOUBLE)) AS w
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(w) AS tw FROM strata)
+SELECT lang, n_docs,
+       ROUND(w / tw, 6) AS sample_prob,
+       CAST(FLOOR(10000 * w / tw) AS BIGINT) AS docs_per_10k
+FROM strata, tot
+""", "Temperature-based mixture weighting (the multilingual sampling "
+     "formula from mBERT/XLM-R/UniMax): p_i proportional to "
+     "n_i^(1/T), which up-weights low-resource strata relative to "
+     "proportional sampling. T=2 makes the power an exact IEEE "
+     "sqrt - correctly rounded in both engines, so the weights are "
+     "oracle-checkable bit-for-bit (general T needs libm pow, the "
+     "documented float caveat; the plan is identical). One grouped "
+     "count + a broadcast 1-row total; the allocation column is "
+     "what a sampler like k_data_mixture consumes as its per-stratum "
+     "rate at any corpus size.")
+def k_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sqrt(F.count("*").cast("double")).alias("w"),
+    )
+    tot = strata.agg(F.sum("w").alias("tw"))
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs",
+        F.round(F.col("w") / F.col("tw"), 6).alias("sample_prob"),
+        F.floor(F.lit(10000) * F.col("w") / F.col("tw"))
+        .cast("bigint").alias("docs_per_10k"),
+    )
