@@ -33,7 +33,13 @@ from cassandra_elasticsearch_sync_spark.session import get_spark
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
          "k1_exact_dedup", "k2_minhash_lsh_pairs", "k3_cosine_topk",
-         "e9_decile_by_segment", "k7e_cumulative_users", "c7b_interval_overlap_join")
+         "e9_decile_by_segment", "k7e_cumulative_users", "c7b_interval_overlap_join",
+         # round-3 session additions with non-trivial shuffle shapes:
+         # substring spans (shingle postings), span corruption (explode +
+         # per-doc reassembly), perplexity terciles (bigram join + grouped
+         # ntile), incremental dedup (hash anti-join probe)
+         "k1d_substring_dup_spans", "k_span_corruption",
+         "k_perplexity_buckets", "k1e_incremental_dedup")
 
 SMALL = ("region", "nation", "customer", "supplier", "part")
 
