@@ -371,6 +371,27 @@ class AcidParquetTable:
         stats.update(self._collect_stats(fresh, schema))
         return self._commit(base, new_files, schema, stats)
 
+    # -- schema evolution --------------------------------------------------
+
+    def add_columns(self, new_fields) -> int:
+        """Metadata-only schema evolution: commit a new manifest with
+        the SAME data files and a widened schema. No byte is rewritten
+        - existing files simply read NULL for the new columns (the
+        schema-specified parquet read fills missing columns), and
+        every later MERGE writes them - exactly the ALTER TABLE ADD
+        COLUMNS contract of a real table format. O(1) regardless of
+        table size; time travel still reads old versions with their
+        own schema."""
+        v = self.current_version()
+        m = self._manifest(v)
+        schema = StructType.fromJson(m["schema"])
+        names = {f.name for f in schema.fields}
+        for f in new_fields:
+            if f.name in names:
+                raise ValueError(f"column {f.name!r} already exists")
+            schema = schema.add(f)
+        return self._commit(v, m["files"], schema, m.get("stats", {}))
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self, retain_last: int = 2) -> list[str]:

@@ -938,3 +938,47 @@ def l16_acid_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read_where("ckey", lo=lo, hi=hi).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l17_acid_schema_evolution", "A7+A4", """
+WITH half AS (SELECT MAX(o_orderkey) // 2 AS h FROM orders)
+SELECT o_orderkey AS key, o_totalprice AS price,
+       CASE WHEN o_orderkey > (SELECT h FROM half)
+            THEN o_orderpriority END AS priority
+FROM orders
+""", "ACID schema evolution end-to-end: the table commits WITHOUT the "
+     "priority column, ALTER TABLE ADD COLUMNS widens the schema as a "
+     "metadata-only commit (zero bytes rewritten, O(1) at any table "
+     "size), and a subsequent MERGE writes the column for the rows it "
+     "touches - old untouched files read NULL through the widened "
+     "schema, exactly a real format's contract. The result "
+     "hash-matches the relational CASE twin; time travel to the "
+     "pre-evolution snapshot keeps the narrow schema "
+     "(tests/test_acid_merge.py).")
+def l17_acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StringType, StructField
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    o = load_table(spark, sf_dir, "orders")
+    half = o.agg((F.max("o_orderkey") / 2).cast("bigint").alias("h")) \
+        .collect()[0]["h"]
+    narrow = o.select(F.col("o_orderkey").alias("key"),
+                      F.col("o_totalprice").alias("price"))
+    wide_upper = o.filter(F.col("o_orderkey") > half).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    root = tempfile.mkdtemp(prefix="ces_acid_evo_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(narrow)
+        t.add_columns([StructField("priority", StringType())])
+        t.merge_into(wide_upper, ["key"])
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -350,3 +350,33 @@ def test_zorder_prunes_both_dimensions_linear_only_leading(spark, tmp_path):
         "linear clustering cannot serve the non-leading column - if this "
         "starts passing the comparison below is vacuous")
     assert z_ck < lin_ck, "the z-order advantage on the 2nd column"
+
+
+def test_add_columns_is_metadata_only_and_time_travel_keeps_old_schema(
+        spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StructField
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    t = AcidParquetTable(spark, str(tmp_path / "t"))
+    v1 = t.init(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "key bigint, price double"))
+    files_before = t._manifest(v1)["files"]
+    v2 = t.add_columns([StructField("qty", IntegerType())])
+    # same data files - nothing was rewritten
+    assert t._manifest(v2)["files"] == files_before
+    # widened read: NULLs for the new column
+    rows = {r.key: (r.price, r.qty) for r in t.read().collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, None)}
+    # time travel keeps the narrow schema
+    assert t.read(version=v1).columns == ["key", "price"]
+    # duplicate add rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already exists"):
+        t.add_columns([StructField("qty", IntegerType())])
+    # a merge after evolution writes the column for touched rows only
+    src = spark.createDataFrame([(2, 21.0, 5), (3, 30.0, 7)],
+                                "key bigint, price double, qty int")
+    t.merge_into(src, ["key"])
+    rows = {r.key: (r.price, r.qty) for r in t.read().collect()}
+    assert rows == {1: (10.0, None), 2: (21.0, 5), 3: (30.0, 7)}
