@@ -617,3 +617,88 @@ def a2k_static_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("okey"),
         "static_priority",
     )
+
+
+@register("a2l_read_repair_plan", "A2+L3", """
+WITH base AS (
+  SELECT o_orderkey AS key, o_totalprice AS price, o_orderdate AS version
+  FROM orders
+),
+ra AS (SELECT 'A' AS replica, key, price, version FROM base
+       WHERE key % 7 <> 0),
+rb AS (SELECT 'B' AS replica, key,
+              CASE WHEN key % 5 = 0 THEN price * 0.9 ELSE price END AS price,
+              CASE WHEN key % 5 = 0 THEN version - INTERVAL 1 DAY
+                   ELSE version END AS version
+       FROM base),
+rc AS (SELECT 'C' AS replica, key, price, version FROM base),
+allr AS (SELECT * FROM ra UNION ALL SELECT * FROM rb
+         UNION ALL SELECT * FROM rc),
+merged AS (
+  SELECT key, MAX(version) AS m_version,
+         ARG_MAX(price, version) AS m_price
+  FROM allr GROUP BY key
+),
+per_replica AS (
+  SELECT r.replica, m.key, m.m_price, m.m_version, a.version AS have
+  FROM merged m
+  CROSS JOIN (SELECT DISTINCT replica FROM allr) r
+  LEFT JOIN allr a ON a.replica = r.replica AND a.key = m.key
+)
+SELECT replica, key,
+       CASE WHEN have IS NULL THEN 'write_missing'
+            ELSE 'write_stale' END AS action,
+       m_price AS price
+FROM per_replica
+WHERE have IS NULL OR have < m_version
+""", "Cassandra read-repair: a CL=ALL read collects every replica's "
+     "row, resolves the winner by timestamp (LWW - the l3 merge), "
+     "and WRITES THE WINNER BACK to each replica that returned a "
+     "stale or missing row. Modeled with three deterministic "
+     "replicas (A drops every 7th key, B is one-day-stale on every "
+     "5th), the plan is the exact repair-mutation set: "
+     "(replica, key, action, winning value). Shape: tag+union the "
+     "replica scans, ONE map-side-partial max(struct) per key for "
+     "the winner, replica-expand via a 3-row broadcast cross join, "
+     "anti/stale probe by equijoin - no windows, linear in total "
+     "replica rows, which is how actual read-repair must scale "
+     "(it runs on the read path).")
+def a2l_read_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("version"),
+    )
+    ra = base.filter(F.col("key") % 7 != 0).select(
+        F.lit("A").alias("replica"), "key", "price", "version")
+    stale = F.col("key") % 5 == 0
+    rb = base.select(
+        F.lit("B").alias("replica"), "key",
+        F.when(stale, F.col("price") * 0.9).otherwise(F.col("price"))
+        .alias("price"),
+        F.when(stale, F.col("version") - F.expr("INTERVAL 1 DAY"))
+        .otherwise(F.col("version")).alias("version"),
+    )
+    rc = base.select(F.lit("C").alias("replica"), "key", "price", "version")
+    allr = ra.unionByName(rb).unionByName(rc)
+    merged = allr.groupBy("key").agg(
+        F.max(F.struct("version", "price")).alias("w")
+    ).select(
+        "key", F.col("w.version").alias("m_version"),
+        F.col("w.price").alias("m_price"),
+    )
+    replicas = allr.select("replica").distinct()
+    have = allr.select("replica", "key", F.col("version").alias("have"))
+    per = (
+        merged.crossJoin(F.broadcast(replicas))
+        .join(have, ["replica", "key"], "left")
+    )
+    return per.filter(
+        F.col("have").isNull() | (F.col("have") < F.col("m_version"))
+    ).select(
+        "replica", "key",
+        F.when(F.col("have").isNull(), "write_missing")
+        .otherwise("write_stale").alias("action"),
+        F.col("m_price").alias("price"),
+    )
