@@ -700,3 +700,61 @@ def k3e_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(0.0), 6
         ).alias("ndcg"),
     )
+
+
+_K3H_ORACLE = "WITH " + _NORMED_SQL + f"""
+, q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, nrm AS qn
+        FROM e WHERE {QUERY_FILTER})
+, p AS (SELECT qid, e.vec_id AS neg_id, e.label AS neg_label,
+               ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                      FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+                     / (qn * e.nrm), 6) AS cos_sim
+        FROM q JOIN e ON e.label <> q.qlabel)
+SELECT qid, neg_id, neg_label, cos_sim, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, neg_id) AS rn
+      FROM p)
+WHERE rn <= 2
+"""
+
+
+@register("k3h_hard_negative_mining", "K3", _K3H_ORACLE,
+          "Hard-negative mining for contrastive/embedding training: for "
+          "each anchor, the most-similar candidates with a DIFFERENT "
+          "label - the near-miss negatives that make triplet/InfoNCE "
+          "training converge (random negatives are too easy; the "
+          "highest-similarity wrong-label neighbors carry the "
+          "gradient). Same scale shape as the k3 family: the bounded "
+          "anchor set broadcasts, one corpus scan computes exact "
+          "cosines JVM-side, per-anchor top-2 via a qid-partitioned "
+          "window (anchor-bounded groups). At 100 TB the corpus side "
+          "swaps to the IVF/partition-pruned variants unchanged - "
+          "mining hardness only needs candidates from nearby "
+          "clusters, which is exactly what the probed buckets hold.")
+def k3h_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normed(spark, sf_dir)
+    q = e.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.alias("c").join(
+        F.broadcast(q).alias("q"), F.col("c.label") != F.col("q.qlabel")
+    )
+    cos = F.round(
+        dot(F.col("q.qe"), F.col("c.embedding"))
+        / (F.col("q.qn") * F.col("c.nrm")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id"))
+    return (
+        c.select(
+            F.col("q.qid").alias("qid"),
+            F.col("c.vec_id").alias("neg_id"),
+            F.col("c.label").alias("neg_label"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 2)
+    )
