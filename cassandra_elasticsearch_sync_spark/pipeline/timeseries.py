@@ -975,3 +975,88 @@ def k7m_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
         F.round("forecast_1d", 6).alias("forecast_1d"),
     )
+
+
+@register("k7n_seasonal_decompose", "K7+E3", """
+WITH daily AS (
+  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, d, c,
+         SUM(c) OVER w AS sum7, COUNT(*) OVER w AS cnt7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT event_type, d, c, sum7,
+         7 * c - sum7 AS det7,
+         CAST(ISODOW(d) AS INT) AS iso_dow
+  FROM tr WHERE cnt7 = 7
+),
+seas AS (
+  SELECT event_type, iso_dow,
+         CAST(SUM(det7) AS BIGINT) AS s7,
+         COUNT(*) AS n
+  FROM det GROUP BY 1, 2
+)
+SELECT det.event_type, STRFTIME(det.d, '%Y-%m-%d') AS day, c,
+       ROUND(CAST(sum7 AS DOUBLE) / 7, 6) AS trend,
+       ROUND(CAST(s7 AS DOUBLE) / (7 * n), 6) AS seasonal,
+       ROUND(c - CAST(sum7 AS DOUBLE) / 7
+               - CAST(s7 AS DOUBLE) / (7 * n), 6) AS residual
+FROM det JOIN seas
+  ON det.event_type = seas.event_type AND det.iso_dow = seas.iso_dow
+""", "Classical additive seasonal decomposition (the moving-average "
+     "STL precursor): per event_type daily series split into TREND "
+     "(centered 7-day moving average, NULL at the edges where the "
+     "window is partial - textbook handling), SEASONAL (day-of-week "
+     "mean of the detrended series) and RESIDUAL (what anomaly "
+     "detection actually monitors - k_user_zscore on residuals "
+     "instead of raw values stops weekly rhythm from drowning real "
+     "anomalies). Float parity by construction: the series is "
+     "INTEGER counts and every intermediate stays integer - the "
+     "detrended series is carried as 7c - sum7 (multiplied through "
+     "by the window size), so trend, seasonal and residual each "
+     "reduce to ONE division of exact integers: identical IEEE "
+     "results cross-engine, no accumulation order anywhere. "
+     "Windows partition by "
+     "event_type over day-count-bounded groups; the dow means are "
+     "one grouped aggregate joined back.")
+def k7n_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    tr = daily.withColumn("sum7", F.sum("c").over(w)).withColumn(
+        "cnt7", F.count("*").over(w)
+    )
+    det = (
+        tr.filter(F.col("cnt7") == 7)
+        .withColumn("det7", F.lit(7) * F.col("c") - F.col("sum7"))
+        .withColumn(
+            "iso_dow", F.expr("extract(dayofweek_iso FROM d)").cast("int")
+        )
+    )
+    seas = det.groupBy("event_type", "iso_dow").agg(
+        F.sum("det7").cast("bigint").alias("s7"),
+        F.count("*").alias("n"),
+    )
+    trend = F.col("sum7").cast("double") / 7
+    seasonal = F.col("s7").cast("double") / (F.lit(7) * F.col("n"))
+    return (
+        det.join(seas, ["event_type", "iso_dow"])
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "c",
+            F.round(trend, 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(F.col("c") - trend - seasonal, 6).alias("residual"),
+        )
+    )
