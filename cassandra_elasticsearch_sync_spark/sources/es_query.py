@@ -486,6 +486,36 @@ def es_aggregate(df: DataFrame, aggs: dict,
                         .cast("double"),
                     )
         return out
+    if "adjacency_matrix" in spec:
+        # adjacency_matrix: named filters -> one bucket per filter and
+        # per pairwise intersection (key "a&b"), empty buckets omitted
+        # - ES's co-occurrence matrix for graph-ish dashboards.
+        # Compiles to ONE scan + ONE aggregate row of conditional
+        # counts (n + n(n-1)/2 cells, map-side partial) stacked to
+        # (key, doc_count) rows; at 100 TB this is a single reduce of
+        # a fixed-width vector, the cheapest possible co-occurrence.
+        filters = spec["adjacency_matrix"]["filters"]
+        names = sorted(filters)
+        flags = {n: compile_query(filters[n]) for n in names}
+        cells: list[tuple[str, Column]] = [
+            (n, flags[n]) for n in names
+        ] + [
+            (f"{a}&{b}", flags[a] & flags[b])
+            for i, a in enumerate(names) for b in names[i + 1:]
+        ]
+        agg = df.agg(*[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"__am_{i}")
+            for i, (_, cond) in enumerate(cells)
+        ])
+        stack_args = ", ".join(
+            f"'{key}', __am_{i}" for i, (key, _) in enumerate(cells)
+        )
+        return (
+            agg.selectExpr(
+                f"stack({len(cells)}, {stack_args}) AS (key, doc_count)"
+            )
+            .filter(F.col("doc_count") > 0)
+        )
     if "rare_terms" in spec:
         # rare_terms: the long-tail inverse of terms - buckets whose
         # doc_count is AT MOST max_doc_count (ES approximates with a
@@ -1236,5 +1266,48 @@ def a3s_es_moving_fn_serial_diff(spark, sf_dir):
                 "yoy_diff": {"serial_diff":
                              {"buckets_path": "revenue", "lag": 12}},
             },
+        }
+    })
+
+
+@register("a3t_es_adjacency_matrix", "A3", """
+WITH f AS (
+  SELECT (o_orderpriority = '1-URGENT') AS fu,
+         (o_totalprice > 300000) AS fb,
+         (o_orderstatus = 'O') AS fo
+  FROM orders
+),
+agg AS (
+  SELECT SUM(CASE WHEN fb THEN 1 ELSE 0 END) AS big,
+         SUM(CASE WHEN fb AND fo THEN 1 ELSE 0 END) AS big_open,
+         SUM(CASE WHEN fb AND fu THEN 1 ELSE 0 END) AS big_urgent,
+         SUM(CASE WHEN fo THEN 1 ELSE 0 END) AS open_,
+         SUM(CASE WHEN fo AND fu THEN 1 ELSE 0 END) AS open_urgent,
+         SUM(CASE WHEN fu THEN 1 ELSE 0 END) AS urgent
+  FROM f
+)
+SELECT key, doc_count FROM (
+  SELECT 'big' AS key, CAST(big AS BIGINT) AS doc_count FROM agg
+  UNION ALL SELECT 'big&open', CAST(big_open AS BIGINT) FROM agg
+  UNION ALL SELECT 'big&urgent', CAST(big_urgent AS BIGINT) FROM agg
+  UNION ALL SELECT 'open', CAST(open_ AS BIGINT) FROM agg
+  UNION ALL SELECT 'open&urgent', CAST(open_urgent AS BIGINT) FROM agg
+  UNION ALL SELECT 'urgent', CAST(urgent AS BIGINT) FROM agg
+) WHERE doc_count > 0
+""", "ES adjacency_matrix aggregation: named filters (urgent / big / "
+     "open) produce one bucket per filter plus one per pairwise "
+     "intersection ('big&open' ...), empty buckets omitted - the "
+     "co-occurrence matrix behind relationship dashboards. One scan, "
+     "one fixed-width aggregate row of conditional counts, stacked "
+     "to rows JVM-side.")
+def a3t_es_adjacency_matrix(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "order_matrix": {
+            "adjacency_matrix": {"filters": {
+                "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+                "big": {"range": {"o_totalprice": {"gt": 300000}}},
+                "open": {"term": {"o_orderstatus": "O"}},
+            }}
         }
     })
