@@ -1,0 +1,102 @@
+"""Differential test for the ES query-DSL compiler: random bool trees
+over the orders table must return the same row set through the Spark
+compiler (sources/es_query.compile_query) and through an INDEPENDENT
+rendering of the same tree to DuckDB SQL. Catches operator-precedence,
+null-handling, and clause-combination bugs the hand-picked demo
+queries never exercise."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.sources.es_query import es_search
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_STATUSES = ["O", "F", "P"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+leaf = st.one_of(
+    st.sampled_from(_STATUSES).map(lambda v: {"term": {"o_orderstatus": v}}),
+    st.lists(st.sampled_from(_STATUSES), min_size=1, max_size=2)
+      .map(lambda vs: {"terms": {"o_orderstatus": vs}}),
+    st.sampled_from(["1-", "2-", "3-"]).map(
+        lambda p: {"prefix": {"o_orderpriority": p}}),
+    st.tuples(st.sampled_from(["gt", "gte", "lt", "lte"]),
+              st.integers(1000, 500000)).map(
+        lambda t: {"range": {"o_totalprice": {t[0]: t[1]}}}),
+    st.just({"exists": {"field": "o_orderpriority"}}),
+    st.just({"match_all": {}}),
+)
+
+
+def _bool_node(children):
+    return st.tuples(
+        st.lists(children, max_size=2),
+        st.lists(children, max_size=2),
+        st.lists(children, max_size=1),
+    ).map(lambda t: {"bool": {"must": t[0], "should": t[1],
+                              "must_not": t[2]}})
+
+
+query_strategy = st.recursive(leaf, _bool_node, max_leaves=8)
+
+
+def _sql(q) -> str:
+    """Independent DSL -> SQL renderer (test-only twin)."""
+    (kind, body), = q.items()
+    if kind == "match_all":
+        return "TRUE"
+    if kind == "term":
+        (f, v), = body.items()
+        return f"{f} = '{v}'"
+    if kind == "terms":
+        (f, vs), = body.items()
+        inlist = ", ".join(f"'{v}'" for v in vs)
+        return f"{f} IN ({inlist})"
+    if kind == "prefix":
+        (f, v), = body.items()
+        return f"{f} LIKE '{v}%'"
+    if kind == "range":
+        (f, conds), = body.items()
+        ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+        return " AND ".join(f"{f} {ops[o]} {v}" for o, v in conds.items())
+    if kind == "exists":
+        return f"{body['field']} IS NOT NULL"
+    if kind == "bool":
+        parts = [_sql(c) for c in body.get("must", [])]
+        should = [_sql(c) for c in body.get("should", [])]
+        if should:
+            parts.append("(" + " OR ".join(should) + ")")
+        parts += [f"NOT ({_sql(c)})" for c in body.get("must_not", [])]
+        return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
+    raise AssertionError(kind)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW orders AS "
+        f"SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=query_strategy)
+def test_compiler_matches_independent_sql(spark, duck, q):
+    o = load_table(spark, SF_DIR, "orders")
+    got = {r[0] for r in es_search(o, q).select("o_orderkey").collect()}
+    want = {
+        r[0] for r in duck.sql(
+            f"SELECT o_orderkey FROM orders WHERE {_sql(q)}"
+        ).fetchall()
+    }
+    assert got == want, (q, len(got), len(want))
