@@ -1,0 +1,98 @@
+"""Differential test for the CQL SELECT compiler: random VALID
+statements over the orders table must return the same rows through the
+Spark compiler (sources/cql_query.cql_select) and through an
+independent SQL rendering of CQL's semantics in DuckDB (including the
+token-order LIMIT and the clustering-ordered PER PARTITION LIMIT)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cassandra_elasticsearch_sync_spark.catalog import load_table
+from cassandra_elasticsearch_sync_spark.sources.cql_query import cql_select
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_TOKEN = ("CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 15)) "
+          "AS BIGINT)")
+
+stmt_strategy = st.tuples(
+    st.one_of(st.none(), st.integers(1, 150)),       # pk equality
+    st.one_of(st.none(),                             # clustering range
+              st.sampled_from([">=", "<"]).flatmap(
+                  lambda op: st.sampled_from(
+                      ["1993-01-01 00:00:00", "1996-06-01 00:00:00"]
+                  ).map(lambda d: (op, d)))),
+    st.one_of(st.none(), st.integers(100000, 400000)),  # price AF filter
+    st.one_of(st.none(), st.integers(1, 3)),         # per partition limit
+    st.one_of(st.none(), st.integers(5, 40)),        # limit
+)
+
+
+def _build(pk, crange, price, pplimit, limit):
+    where, allow = [], False
+    if pk is not None:
+        where.append(f"o_custkey = {pk}")
+    if crange is not None:
+        if pk is None:
+            allow = True            # clustering without pk needs AF
+        op, d = crange
+        where.append(f"o_orderdate {op} '{d}'")
+    if price is not None:
+        allow = True
+        where.append(f"o_totalprice > {price}")
+    cql = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    if where:
+        cql += " WHERE " + " AND ".join(where)
+    if pplimit is not None:
+        cql += f" PER PARTITION LIMIT {pplimit}"
+    if limit is not None:
+        cql += f" LIMIT {limit}"
+    if allow:
+        cql += " ALLOW FILTERING"
+    return cql
+
+
+def _sql(pk, crange, price, pplimit, limit):
+    conds = ["TRUE"]
+    if pk is not None:
+        conds.append(f"o_custkey = {pk}")
+    if crange is not None:
+        op, d = crange
+        conds.append(f"o_orderdate {op} TIMESTAMP '{d}'")
+    if price is not None:
+        conds.append(f"o_totalprice > {price}")
+    sql = f"SELECT * FROM orders WHERE {' AND '.join(conds)}"
+    if pplimit is not None:
+        sql = f"""SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey) AS __rn
+            FROM ({sql})) WHERE __rn <= {pplimit}"""
+    if limit is not None:
+        sql = f"""SELECT * FROM ({sql})
+            ORDER BY {_TOKEN}, o_orderdate DESC, o_orderkey
+            LIMIT {limit}"""
+    return f"SELECT o_orderkey, o_custkey, o_totalprice FROM ({sql})"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    yield con
+    con.close()
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(params=stmt_strategy)
+def test_cql_matches_independent_sql(spark, duck, params):
+    o = load_table(spark, SF_DIR, "orders")
+    cql = _build(*params)
+    got = sorted(tuple(r) for r in cql_select(o, cql).collect())
+    want = sorted(tuple(r) for r in duck.sql(_sql(*params)).fetchall())
+    assert got == want, (cql, len(got), len(want))
