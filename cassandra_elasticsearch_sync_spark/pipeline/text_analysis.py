@@ -1122,3 +1122,44 @@ def k_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ns, "doc_id")
         .select("doc_id", "n_masked_spans", "input_text", "target_text")
     )
+
+
+@register("k_tokenizer_fertility", "K4+D1", """
+WITH t AS (
+  SELECT doc_id, lang,
+         LEN(STRING_SPLIT(text, ' ')) AS n_words,
+         LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}|[^a-z ]')) AS n_subwords
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_words) AS BIGINT) AS words,
+       CAST(SUM(n_subwords) AS BIGINT) AS subwords,
+       ROUND(CAST(SUM(n_subwords) AS DOUBLE) / SUM(n_words), 6)
+         AS fertility
+FROM t GROUP BY lang
+""", "Tokenizer fertility per language: subword tokens emitted per "
+     "whitespace word - THE metric for how equitably a tokenizer "
+     "treats each language (fertility 3x on one language means 3x "
+     "the compute and 1/3 the effective context for the same text; "
+     "it drives vocab-allocation decisions). The subword proxy is "
+     "the BPE-ish regex tokenizer (k_token_count's): greedy <=4-char "
+     "alpha chunks + non-alpha singletons - deterministic, "
+     "cross-engine identical. One scan, per-doc counts via JVM "
+     "regex, one grouped integer sum; the ratio is a single exact "
+     "division (DETERMINISM.md section 7).")
+def k_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]{1,4}|[^a-z ]', 0)")
+        ).alias("n_subwords"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("n_words").cast("bigint").alias("words"),
+        F.sum("n_subwords").cast("bigint").alias("subwords"),
+        F.round(
+            F.sum("n_subwords").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+    )
