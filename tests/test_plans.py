@@ -350,3 +350,57 @@ def test_window_sweep_detector_catches_global_window(spark):
     assert not flagged(n.withColumn("c", F.count("*").over(w_part_noorder)))
     w_part = Window.partitionBy("n_regionkey").orderBy("n_name")
     assert not flagged(n.withColumn("r", F.row_number().over(w_part)))
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Scale feature: when a selective dimension filter feeds a
+    shuffle join, Spark's runtime Bloom-filter injection should
+    pre-filter the fact scan (might_contain on the join key) - the
+    runtime analogue of static partition pruning, and at 100 TB the
+    difference between shuffling the whole fact table and shuffling
+    the ~matching slice. Asserts the engine's plans COMPOSE with the
+    feature (nothing in the query library blocks injection) and that
+    results are unchanged."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+
+    def build():
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000)
+        l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .select("l_orderkey", "l_extendedprice", "o_totalprice")
+        )
+
+    try:
+        baseline = sorted(map(tuple, build().collect()))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        j = build()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert sorted(map(tuple, j.collect())) == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
