@@ -183,3 +183,75 @@ def test_stream_stream_join_state_is_watermark_bounded(spark):
 
         for p in (staged, outdir, ckpt):
             _sh.rmtree(p, ignore_errors=True)
+
+
+def test_checkpoint_restart_is_exactly_once(spark):
+    """Fault tolerance: a query stopped after draining part of the
+    feed and RESTARTED from the same checkpoint must process only the
+    new arrivals - the final sink holds every event exactly once (no
+    loss from the restart, no duplicates from reprocessing). This is
+    the offset-tracking contract a 100 TB streaming deployment leans
+    on at every deploy/crash."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    from cassandra_elasticsearch_sync_spark.streaming.control import (
+        await_bounded,
+    )
+    from cassandra_elasticsearch_sync_spark.streaming.incremental import (
+        EVENTS_STREAM_SCHEMA,
+        stage_events_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    staged_all = stage_events_stream(spark, sf_dir, n_chunks=4)
+    feed = tempfile.mkdtemp(prefix="ces_restart_feed_")
+    checkpoint = tempfile.mkdtemp(prefix="ces_restart_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_restart_out_")
+    try:
+        chunks = sorted(
+            f for f in os.listdir(staged_all)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        assert len(chunks) >= 4
+
+        def run_once():
+            q = (
+                spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed)
+                .select("event_id", "user_id", "event_type")
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", checkpoint)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            await_bounded(q, 300)
+
+        # phase 1: only the first half of the feed exists
+        for c in chunks[:2]:
+            shutil.copy(os.path.join(staged_all, c), os.path.join(feed, c))
+        run_once()
+        n_phase1 = spark.read.parquet(outdir).count()
+        assert n_phase1 > 0
+
+        # phase 2: the rest arrives; restart from the SAME checkpoint
+        for c in chunks[2:]:
+            shutil.copy(os.path.join(staged_all, c),
+                        os.path.join(feed, c))
+        run_once()
+
+        got = spark.read.parquet(outdir)
+        total = load_table(spark, sf_dir, "events").count()
+        assert got.count() == total                       # no loss
+        assert got.select("event_id").distinct().count() == total  # no dups
+        assert got.count() > n_phase1                     # restart progressed
+    finally:
+        for d in (staged_all, feed, checkpoint, outdir):
+            shutil.rmtree(d, ignore_errors=True)
