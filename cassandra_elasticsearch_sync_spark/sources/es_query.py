@@ -309,6 +309,12 @@ def es_aggregate(df: DataFrame, aggs: dict,
         and n not in pipeline_subs
         for c in _metric_columns(n, s)
     ]
+    if pipeline_subs and "date_histogram" not in spec:
+        # fail loudly instead of silently dropping the pipeline agg
+        raise ValueError(
+            "pipeline aggs (cumulative_sum/derivative/moving_avg/"
+            "serial_diff) are supported under date_histogram buckets; "
+            f"got them under {sorted(k for k in spec if k != 'aggs')}")
     if "terms" in spec and top_hits:
         # top_hits inside terms: per bucket, the actual top documents
         # (not a metric) - the "show me the 2 biggest orders per
