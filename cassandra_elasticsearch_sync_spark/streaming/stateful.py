@@ -62,8 +62,17 @@ def running_max_fn(
         max_value, n_seen, last_es = float("-inf"), 0, -1
 
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["es", "event_id"])
+    # A micro-batch is UNORDERED by contract: the group's rows arrive
+    # as multiple Arrow chunks whose boundary cuts are arbitrary, so
+    # sorting each chunk separately still lets a later-second row
+    # overtake an earlier one across the boundary and poison the
+    # stale-suppression rule (observed as a 2-in-1500-keys
+    # nondeterminism at sf0.1). Materialize the group's batch and
+    # order it ONCE by event time - the well-defined semantics for a
+    # state machine fed by an unordered micro-batch.
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["es", "event_id"])
         for r in pdf.itertuples():
             n_seen += 1
             if r.es <= last_es:
