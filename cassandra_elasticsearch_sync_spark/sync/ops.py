@@ -869,6 +869,87 @@ def l15_acid_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register("l18_acid_delete_where", "A7+L5", """
+SELECT o_orderkey AS key, o_totalprice AS price
+FROM orders
+WHERE NOT (o_orderkey > (SELECT MAX(o_orderkey) // 2 FROM orders)
+           AND o_orderkey % 7 = 0)
+""", "Copy-on-write DELETE (sources/acid.py delete_where): orders "
+     "commit as two key-range entries, then DELETE WHERE key > max/2 "
+     "AND key % 7 = 0 rewrites ONLY the upper entry - the query "
+     "asserts the lower entry is carried into the new manifest "
+     "byte-for-byte before hash-matching the relational anti-filter. "
+     "The affected-file probe is one input_file_name job with a "
+     "files-not-rows collect, so a predicate touching 1% of a 100 TB "
+     "table rewrites 1% of it - the DELETE/UPDATE contract of a real "
+     "lakehouse format (tests/test_acid_merge.py covers NULL-predicate "
+     "SQL semantics and UPDATE SET).")
+def l18_acid_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    half = o.agg((F.max("key") / 2).cast("bigint").alias("h")).collect()[0]["h"]
+    root = tempfile.mkdtemp(prefix="ces_acid_delete_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(o.filter(F.col("key") <= half))
+        t.merge_into(o.filter(F.col("key") > half), ["key"])
+        before = set(t._manifest(t.current_version())["files"])
+        t.delete_where((F.col("key") > half) & (F.col("key") % 7 == 0))
+        after = set(t._manifest(t.current_version())["files"])
+        if not (before & after):
+            raise AssertionError("CoW delete rewrote the untouched entry")
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l19_acid_mor_delete", "A7+L5", """
+SELECT o_orderkey AS key, o_totalprice AS price
+FROM orders
+WHERE o_orderkey % 13 <> 0
+""", "Merge-on-read equality deletes (sources/acid.py delete_keys_mor "
+     "+ compact_deletes): deleting every 13th order commits an "
+     "O(deleted-keys) DELETE FILE - the query asserts ZERO data files "
+     "were rewritten - and the snapshot read applies it as a broadcast "
+     "anti-join scoped by per-entry sequence numbers (a later "
+     "re-insert of a deleted key survives; Iceberg v2 / Delta deletion "
+     "vectors). compact_deletes then materializes the mask using the "
+     "manifest key statistics and the compacted table hash-matches the "
+     "same oracle - write path O(deletes), maintenance path O(affected "
+     "files), never O(table), which is the only delete design that "
+     "works when the table is 100 TB and the delete is 1000 rows.")
+def l19_acid_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    root = tempfile.mkdtemp(prefix="ces_acid_mor_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(o)
+        before = t._manifest(t.current_version())["files"]
+        t.delete_keys_mor(o.filter(F.col("key") % 13 == 0).select("key"), ["key"])
+        m = t._manifest(t.current_version())
+        if m["files"] != before or not m["deletes"]:
+            raise AssertionError("MoR delete must not rewrite data files")
+        t.compact_deletes()
+        if t._manifest(t.current_version())["deletes"]:
+            raise AssertionError("compaction left delete files behind")
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("l11b_sync_lag_percentiles_approx", "L7+D6", None,
           "Sync-lag monitoring with approx_percentile - the scale form "
           "of l11 for when the stream key is a real shard id with "

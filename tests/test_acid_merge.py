@@ -380,3 +380,123 @@ def test_add_columns_is_metadata_only_and_time_travel_keeps_old_schema(
     t.merge_into(src, ["key"])
     rows = {r.key: (r.price, r.qty) for r in t.read().collect()}
     assert rows == {1: (10.0, None), 2: (21.0, 5), 3: (30.0, 7)}
+
+
+# -- DELETE / UPDATE (copy-on-write) ---------------------------------------
+
+
+def test_delete_where_rewrites_only_affected_files(spark, root):
+    t = AcidParquetTable(spark, root)
+    t.init(spark.createDataFrame(
+        [(k, float(k), 1) for k in range(0, 50)],
+        "key bigint, price double, version int"))
+    t.merge_into(spark.createDataFrame(
+        [(k, float(k), 1) for k in range(50, 100)],
+        "key bigint, price double, version int"), ["key"])  # second entry, disjoint keys
+    before = t._manifest(t.current_version())["files"]
+    t.delete_where(F.col("key") >= 90)
+    after = t._manifest(t.current_version())["files"]
+    # the low-key entry is carried byte-for-byte
+    assert set(before) & set(after), "untouched entry should carry over"
+    assert _rows(t.read()) == [(k, float(k), 1) for k in range(0, 90)]
+
+
+def test_delete_where_null_predicate_keeps_row(spark, root):
+    t = AcidParquetTable(spark, root)
+    t.init(spark.createDataFrame(
+        [(1, 10.0, 1), (2, None, 1), (3, 30.0, 1)],
+        "key bigint, price double, version int"))
+    t.delete_where(F.col("price") > 15.0)  # NULL > 15 is NULL -> keep
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, None, 1)]
+
+
+def test_update_where_touches_only_matching_rows(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)])
+    t.update_where(F.col("key") == 2,
+                   {"price": F.col("price") * 2, "version": F.lit(7)})
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, 40.0, 7), (3, 30.0, 1)]
+
+
+# -- merge-on-read deletes -------------------------------------------------
+
+
+def test_mor_delete_writes_no_data_files(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)])
+    before = t._manifest(t.current_version())["files"]
+    dk = spark.createDataFrame([(2,)], "key bigint")
+    t.delete_keys_mor(dk, ["key"])
+    m = t._manifest(t.current_version())
+    assert m["files"] == before, "MoR delete must not rewrite data files"
+    assert len(m["deletes"]) == 1
+    assert _rows(t.read()) == [(1, 10.0, 1), (3, 30.0, 1)]
+
+
+def test_mor_reinsert_after_delete_survives(spark, root):
+    """Sequence-number scoping: a delete file applies only to data
+    entries from EARLIER commits, so re-inserting a deleted key via a
+    later MERGE is visible (the Iceberg v2 rule)."""
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    t.delete_keys_mor(spark.createDataFrame([(2,)], "key bigint"), ["key"])
+    assert _rows(t.read()) == [(1, 10.0, 1)]
+    t.merge_into(spark.createDataFrame([(2, 21.0, 5)],
+                                       "key bigint, price double, version int"),
+                 ["key"])
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, 21.0, 5)]
+
+
+def test_compact_deletes_materializes_and_prunes(spark, root):
+    t = AcidParquetTable(spark, root)
+    t.init(spark.createDataFrame(
+        [(k, float(k), 1) for k in range(0, 50)],
+        "key bigint, price double, version int"))
+    t.merge_into(spark.createDataFrame(
+        [(k, float(k), 1) for k in range(100, 150)],
+        "key bigint, price double, version int"), ["key"])
+    t.delete_keys_mor(
+        spark.createDataFrame([(k,) for k in range(100, 110)], "key bigint"),
+        ["key"])
+    logical = _rows(t.read())
+    before = set(t._manifest(t.current_version())["files"])
+    t.compact_deletes()
+    m = t._manifest(t.current_version())
+    assert m["deletes"] == []
+    # the low-key entry's stats cannot intersect [100,149] -> carried
+    assert before & set(m["files"]), "stats-unaffected entry should carry over"
+    assert _rows(t.read()) == logical
+    # compaction of an already-clean table is a no-op commit-wise
+    v = t.current_version()
+    assert t.compact_deletes() == v
+
+
+def test_mor_delete_read_where_applies_deletes(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)])
+    t.delete_keys_mor(spark.createDataFrame([(3,)], "key bigint"), ["key"])
+    got = _rows(t.read_where("key", lo=2))
+    assert got == [(2, 20.0, 1)]
+
+
+def test_vacuum_retains_referenced_delete_files(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    t.delete_keys_mor(spark.createDataFrame([(1,)], "key bigint"), ["key"])
+    t.merge_into(spark.createDataFrame([(9, 90.0, 1)],
+                                       "key bigint, price double, version int"),
+                 ["key"])
+    t.vacuum(retain_last=2)
+    # delete file still referenced by both retained manifests
+    assert _rows(t.read()) == [(2, 20.0, 1), (9, 90.0, 1)]
+
+
+# -- timestamp time travel -------------------------------------------------
+
+
+def test_read_as_of_timestamp(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1)])
+    ts_v1 = t._manifest(1)["committed_at"]
+    t.merge_into(spark.createDataFrame([(2, 20.0, 1)],
+                                       "key bigint, price double, version int"),
+                 ["key"])
+    ts_v2 = t._manifest(2)["committed_at"]
+    assert _rows(t.read_as_of(ts_v1)) == [(1, 10.0, 1)]
+    assert _rows(t.read_as_of(ts_v2 + 1.0)) == [(1, 10.0, 1), (2, 20.0, 1)]
+    with pytest.raises(ValueError):
+        t.read_as_of(ts_v1 - 10.0)
