@@ -217,6 +217,59 @@ def _metric_columns(name: str, spec: dict) -> list:
     return [_metric_column(name, spec)]
 
 
+def _script_expr(body: dict) -> Column:
+    """Compile an ES bucket_script/bucket_selector Painless arithmetic
+    script into a Spark SQL expression over the bucket table. The
+    supported subset is what real dashboards use: ``params.X``
+    references bound via ``buckets_path``, arithmetic, comparisons,
+    and parentheses. Params substitute as double-cast backtick column
+    refs (longest name first, so ``params.ab`` never collides with
+    ``params.a``)."""
+    expr = body["script"]
+    paths = body["buckets_path"]
+    for p in sorted(paths, key=len, reverse=True):
+        col = paths[p]
+        if col == "_count":  # ES alias for the bucket's doc_count
+            col = "doc_count"
+        expr = expr.replace(f"params.{p}", f"CAST(`{col}` AS DOUBLE)")
+    return F.expr(expr)
+
+
+def _apply_bucket_pipeline(out: DataFrame, bucket_pipeline: dict) -> DataFrame:
+    """ES parent pipeline aggs that reshape the bucket LIST itself:
+    ``bucket_script`` derives a per-bucket metric from sibling metrics,
+    ``bucket_selector`` is HAVING over buckets, ``bucket_sort``
+    re-orders/paginates them. All three run over the post-aggregation
+    bucket table (cardinality = bucket count, corpus-size independent),
+    so each is a narrow projection/filter/TakeOrdered over a bounded
+    relation - no additional scan, shuffle, or window over row data.
+    Applied in spec order, as ES evaluates them, so a selector can
+    reference a script-derived metric defined before it."""
+    for n, s in bucket_pipeline.items():
+        (kind, body), = s.items()
+        if kind == "bucket_script":
+            out = out.withColumn(
+                n, F.round(_script_expr(body).cast("double"), 6))
+        elif kind == "bucket_selector":
+            out = out.filter(_script_expr(body).cast("boolean"))
+        elif kind == "bucket_sort":
+            order = []
+            for spec_ in body.get("sort", []):
+                (f_, od), = spec_.items()
+                c = F.col(f_)
+                order.append(
+                    c.desc() if od.get("order", "asc") == "desc" else c.asc())
+            if order:
+                # deterministic tiebreak on the bucket key, like every
+                # other compiled agg in this module
+                out = out.orderBy(*order, F.col("key"))
+            if body.get("from"):
+                out = out.offset(int(body["from"]))
+            if "size" in body:
+                out = out.limit(int(body["size"]))
+    return out
+
+
 def es_aggregate(df: DataFrame, aggs: dict,
                  background: DataFrame | None = None) -> DataFrame:
     """Run an ES aggregations-DSL dict against a DataFrame.
@@ -303,10 +356,15 @@ def es_aggregate(df: DataFrame, aggs: dict,
         if any(k in s for k in ("cumulative_sum", "derivative",
                                 "moving_avg", "serial_diff"))
     }
+    bucket_pipeline = {
+        n: s for n, s in spec.get("aggs", {}).items()
+        if any(k in s for k in ("bucket_script", "bucket_selector",
+                                "bucket_sort"))
+    }
     sub = [
         c for n, s in spec.get("aggs", {}).items()
         if not _is_bucket(s) and "top_hits" not in s
-        and n not in pipeline_subs
+        and n not in pipeline_subs and n not in bucket_pipeline
         for c in _metric_columns(n, s)
     ]
     if pipeline_subs and "date_histogram" not in spec:
@@ -315,6 +373,13 @@ def es_aggregate(df: DataFrame, aggs: dict,
             "pipeline aggs (cumulative_sum/derivative/moving_avg/"
             "serial_diff) are supported under date_histogram buckets; "
             f"got them under {sorted(k for k in spec if k != 'aggs')}")
+    if bucket_pipeline and (
+        top_hits or bucket_subs
+        or not ("terms" in spec or "date_histogram" in spec)
+    ):
+        raise ValueError(
+            "bucket_script/bucket_selector/bucket_sort are supported "
+            "under plain terms or date_histogram buckets")
     if "terms" in spec and top_hits:
         # top_hits inside terms: per bucket, the actual top documents
         # (not a metric) - the "show me the 2 biggest orders per
@@ -405,7 +470,7 @@ def es_aggregate(df: DataFrame, aggs: dict,
             .orderBy(F.col("doc_count").desc(), F.col("key"))
             .limit(size)
         )
-        return out
+        return _apply_bucket_pipeline(out, bucket_pipeline)
     if "composite" in spec:
         # Composite agg: deterministic pagination over the FULL bucket
         # space, ordered ascending by the compound source key, resuming
@@ -491,7 +556,7 @@ def es_aggregate(df: DataFrame, aggs: dict,
                         (dec - F.lag(dec, b.get("lag", 1)).over(w_lag))
                         .cast("double"),
                     )
-        return out
+        return _apply_bucket_pipeline(out, bucket_pipeline)
     if "adjacency_matrix" in spec:
         # adjacency_matrix: named filters -> one bucket per filter and
         # per pairwise intersection (key "a&b"), empty buckets omitted
@@ -1315,5 +1380,61 @@ def a3t_es_adjacency_matrix(spark, sf_dir):
                 "big": {"range": {"o_totalprice": {"gt": 300000}}},
                 "open": {"term": {"o_orderstatus": "O"}},
             }}
+        }
+    })
+
+
+@register("a3u_es_bucket_script_selector_sort", "A3+D8", """
+WITH buckets AS (
+  SELECT STRFTIME(o_orderdate, '%Y-%m') AS key,
+         COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+              AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY 1
+),
+scripted AS (
+  SELECT key, doc_count, revenue,
+         ROUND(revenue / CAST(doc_count AS DOUBLE), 6) AS avg_order_value
+  FROM buckets
+)
+SELECT key, doc_count, revenue, avg_order_value
+FROM scripted
+WHERE avg_order_value >= 140000.0
+ORDER BY avg_order_value DESC, key
+LIMIT 12
+""", "ES parent pipeline aggs that reshape the bucket list: "
+     "bucket_script derives avg order value from sibling metrics "
+     "(revenue / _count), bucket_selector is the HAVING that keeps "
+     "only strong months, bucket_sort pages the top 12 by the derived "
+     "metric - the compiled trio behind every 'best months' KPI card. "
+     "All three run over the POST-AGGREGATION bucket table (bounded "
+     "by calendar-bucket count, corpus-size independent), so the "
+     "pipeline is a projection + filter + TakeOrderedAndProject over "
+     "a tiny relation: zero extra scans or shuffles at any corpus "
+     "size. Script params substitute longest-name-first into SQL "
+     "expressions with double casts, and the sort carries the bucket "
+     "key as a deterministic tiebreak.")
+def a3u_es_bucket_script_selector_sort(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "per_month": {
+            "date_histogram": {"field": "o_orderdate",
+                               "calendar_interval": "month"},
+            "aggs": {
+                "revenue": {"sum": {"field": "o_totalprice"}},
+                "avg_order_value": {"bucket_script": {
+                    "buckets_path": {"rev": "revenue", "n": "_count"},
+                    "script": "params.rev / params.n",
+                }},
+                "strong_months": {"bucket_selector": {
+                    "buckets_path": {"aov": "avg_order_value"},
+                    "script": "params.aov >= 140000.0",
+                }},
+                "page": {"bucket_sort": {
+                    "sort": [{"avg_order_value": {"order": "desc"}}],
+                    "size": 12,
+                }},
+            },
         }
     })

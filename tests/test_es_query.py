@@ -232,3 +232,69 @@ def test_function_score_multiply_mode(spark):
     ).collect()
     # scores: v*2 * (0.5 if v>=20 else 0) -> 30: 30, 20: 20, 10: 0
     assert [(r["id"], r["score"]) for r in out] == [(3, 30.0), (2, 20.0), (1, 0.0)]
+
+
+def test_bucket_script_selector_sort(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 30.0), ("b", 100.0), ("c", 1.0)],
+        "grp string, v double")
+    out = es_aggregate(df, {
+        "by_grp": {
+            "terms": {"field": "grp", "size": 10},
+            "aggs": {
+                "total": {"sum": {"field": "v"}},
+                "per_doc": {"bucket_script": {
+                    "buckets_path": {"t": "total", "n": "_count"},
+                    "script": "params.t / params.n",
+                }},
+                "keep": {"bucket_selector": {
+                    "buckets_path": {"p": "per_doc"},
+                    "script": "params.p > 10.0",
+                }},
+                "page": {"bucket_sort": {
+                    "sort": [{"per_doc": {"order": "desc"}}], "size": 1,
+                }},
+            },
+        }
+    }).collect()
+    # a: 40/2=20, b: 100/1=100, c: 1/1=1 -> selector keeps a,b -> top1 = b
+    assert [(r["key"], r["per_doc"]) for r in out] == [("b", 100.0)]
+
+
+def test_bucket_sort_from_offset(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_aggregate
+
+    df = spark.createDataFrame(
+        [(g, 1.0) for g in "aaabbc"], "grp string, v double")
+    out = es_aggregate(df, {
+        "by_grp": {
+            "terms": {"field": "grp", "size": 10},
+            "aggs": {
+                "page": {"bucket_sort": {
+                    "sort": [{"doc_count": {"order": "desc"}}],
+                    "from": 1, "size": 1,
+                }},
+            },
+        }
+    }).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("b", 2)]
+
+
+def test_bucket_pipeline_rejected_outside_terms_or_histogram(spark):
+    import pytest as _pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_aggregate
+
+    df = spark.createDataFrame([("a", 1.0)], "grp string, v double")
+    with _pytest.raises(ValueError, match="bucket_script"):
+        es_aggregate(df, {
+            "c": {
+                "composite": {"sources": [{"g": {"terms": {"field": "grp"}}}]},
+                "aggs": {"x": {"bucket_selector": {
+                    "buckets_path": {"n": "_count"},
+                    "script": "params.n > 0",
+                }}},
+            }
+        })
