@@ -225,6 +225,20 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
 
 
+def dedup_stream_within_watermark(events: DataFrame,
+                                  delay: str = "1 hour") -> DataFrame:
+    """I5 at unbounded scale: ``dropDuplicatesWithinWatermark`` keeps a
+    seen-key entry only until the watermark passes the key's event time
+    + delay, then EVICTS it - state is bounded by the stream's rate x
+    delay instead of growing with total distinct keys forever (the
+    failure mode of plain dropDuplicates on an infinite stream). The
+    contract weakens accordingly: a re-delivery arriving later than the
+    delay can be emitted again (tests/test_streaming.py pins both the
+    dedup-within-delay and the eviction-after-delay behavior)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["event_id"])
+
+
 def stream_static_join(events: DataFrame, weights: DataFrame) -> DataFrame:
     """I8: enrich the stream against a broadcast static dimension."""
     return events.join(F.broadcast(weights), "event_type")
@@ -472,6 +486,56 @@ def i5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         read_events_stream(spark, staged)
         .dropDuplicates(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_bounded(q, 300)
+    deduped = spark.read.parquet(outdir)
+    out = (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)"))
+            .cast("decimal(38,6)").cast("double").alias("total_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for p in (staged, checkpoint, outdir):
+        shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
+@register("i5b_dedup_within_watermark", "I5+I1", """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DECIMAL(38,6))
+            AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""", "Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark "
+     "evicts a seen-key entry once the watermark passes its event time "
+     "+ delay, so state is rate x delay instead of all-keys-ever - the "
+     "only dedup that survives an unbounded 100 TB/day stream (plain "
+     "dropDuplicates, i5, grows state forever). The staged feed "
+     "re-delivers the two oldest chunks after the tail; each "
+     "re-delivered record is dropped on EITHER path - still in state "
+     "(within delay) or older than the watermark (late-data drop) - so "
+     "the converged store hash-matches the batch aggregate exactly "
+     "like i5. The eviction-after-delay re-emission that distinguishes "
+     "this operator is pinned in tests/test_streaming.py.")
+def i5b_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    staged = stage_events_stream(spark, sf_dir, n_chunks=4)
+    for f in sorted(glob.glob(os.path.join(staged, "*.parquet")))[:2]:
+        shutil.copy(f, f.replace(".parquet", "-redelivered.parquet"))
+    checkpoint = tempfile.mkdtemp(prefix="ces_i5b_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_i5b_out_")
+    q = (
+        dedup_stream_within_watermark(read_events_stream(spark, staged))
         .writeStream.format("parquet")
         .option("path", outdir)
         .option("checkpointLocation", checkpoint)

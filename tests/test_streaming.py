@@ -255,3 +255,67 @@ def test_checkpoint_restart_is_exactly_once(spark):
     finally:
         for d in (staged_all, feed, checkpoint, outdir):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_within_watermark_dedups_then_evicts(spark):
+    """dropDuplicatesWithinWatermark semantics, both halves: (a) a
+    re-delivery inside the delay is dropped; (b) once the watermark
+    passes event time + delay, the key's state is EVICTED and a later
+    record with the same id is emitted again - the bounded-state trade
+    plain dropDuplicates never makes (its state would hold the key
+    forever and suppress the re-emission)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    staged = tempfile.mkdtemp(prefix="ces_i5b_sem_")
+    ckpt = tempfile.mkdtemp(prefix="ces_i5b_sem_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_i5b_sem_out_")
+
+    def chunk(rows, name):
+        spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in rows],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.mode("append").parquet(staged)
+
+    t0 = "2024-01-01 00:00:00"
+    # file 1: id 1 at t0, plus a dup of id 1 in the SAME window, and a
+    # filler at t0+3h that pushes the watermark to t0+2h after batch 1.
+    chunk([(1, t0), (1, t0), (99, "2024-01-01 03:00:00")], "c1")
+    # file 2: a filler batch - state cleanup runs at the END of a
+    # batch, so this is where id 1's entry (expiry t0+1h < watermark
+    # t0+2h) is actually evicted.
+    chunk([(98, "2024-01-01 03:30:00")], "c2")
+    # file 3: id 1 again with a fresh event time -> state was evicted
+    # -> re-emitted.
+    chunk([(1, "2024-01-01 04:00:00")], "c3")
+
+    q = (
+        inc.dedup_stream_within_watermark(
+            inc.read_events_stream(spark, staged), delay="1 hour")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    inc.await_bounded(q, 300)
+    got = sorted(
+        (r["event_id"], str(r["ts"])) for r in
+        spark.read.parquet(outdir).select("event_id", "ts").collect()
+    )
+    # id 1 emitted TWICE (once per eviction epoch), the in-window dup
+    # dropped, filler kept.
+    assert got == [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 04:00:00"),
+        (98, "2024-01-01 03:30:00"),
+        (99, "2024-01-01 03:00:00"),
+    ]
+    for p in (staged, ckpt, outdir):
+        shutil.rmtree(p, ignore_errors=True)
