@@ -723,3 +723,65 @@ def k_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(10000) * F.col("w") / F.col("tw"))
         .cast("bigint").alias("docs_per_10k"),
     )
+
+
+@register("k_preference_pairs", "K1+D11", """
+WITH scored AS (
+  SELECT doc_id, source, lang,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT source, lang, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY score DESC, doc_id DESC) AS rb,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY score ASC, doc_id ASC) AS rw,
+         COUNT(*) OVER (PARTITION BY source, lang) AS n
+  FROM scored
+),
+best AS (SELECT source, lang, doc_id AS chosen_id,
+                score AS chosen_score, n FROM ranked WHERE rb = 1),
+worst AS (SELECT source, lang, doc_id AS rejected_id,
+                 score AS rejected_score FROM ranked WHERE rw = 1)
+SELECT b.source, b.lang, b.chosen_id, b.chosen_score,
+       w.rejected_id, w.rejected_score,
+       b.chosen_score - w.rejected_score AS margin
+FROM best b JOIN worst w ON b.source = w.source AND b.lang = w.lang
+WHERE b.n >= 2 AND b.chosen_score - w.rejected_score > 0
+""", "DPO/RLHF preference-pair construction: within each (source, "
+     "lang) stratum - the 'responses to the same prompt' proxy - the "
+     "highest-scoring document becomes `chosen` and the lowest "
+     "`rejected`, with a required positive margin so degenerate "
+     "equal-quality pairs are excluded. The scorer here is exact "
+     "lexical diversity (distinct-token count; swap in any per-doc "
+     "quality model score at no plan change). ONE grouped aggregate "
+     "with max_by/min_by on a (score, doc_id) composite - no window "
+     "over row data, no self-join of documents; group cardinality = "
+     "strata, so hot strata collapse map-side. The pair table is what "
+     "a DPO trainer consumes as (prompt-group, chosen, rejected).")
+def k_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", "lang",
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
+         .alias("score"),
+    )
+    pairs = scored.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.max_by("doc_id", F.struct("score", "doc_id")).alias("chosen_id"),
+        F.max(F.struct("score", "doc_id")).getField("score")
+         .alias("chosen_score"),
+        F.min_by("doc_id", F.struct("score", "doc_id")).alias("rejected_id"),
+        F.min(F.struct("score", "doc_id")).getField("score")
+         .alias("rejected_score"),
+    )
+    return (
+        pairs.filter((F.col("n") >= 2)
+                     & (F.col("chosen_score") > F.col("rejected_score")))
+        .select(
+            "source", "lang", "chosen_id", "chosen_score",
+            "rejected_id", "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )

@@ -1163,3 +1163,46 @@ def k_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_subwords").cast("double") / F.sum("n_words"), 6
         ).alias("fertility"),
     )
+
+
+@register("k_chat_template", "K4", """
+WITH rendered AS (
+  SELECT doc_id, lang,
+         '<|user|>' || CHR(10) || 'Summarize the ' || lang ||
+         ' document from ' || source || '.' || CHR(10) ||
+         '<|assistant|>' || CHR(10) || text || '<|end|>' AS sample
+  FROM documents
+)
+SELECT doc_id, lang,
+       LEN(STRING_SPLIT(sample, ' ')) AS n_tokens,
+       CASE WHEN LEN(STRING_SPLIT(sample, ' ')) > 96
+            THEN 1 ELSE 0 END AS truncated,
+       MD5(sample) AS sample_md5
+FROM rendered
+""", "Instruction-tuning chat-template rendering: each document "
+     "becomes a '<|user|> instruction <|assistant|> response <|end|>' "
+     "training sample (instruction synthesized from the doc's own "
+     "metadata), with a whitespace token count and a "
+     "context-window-overflow flag (96 tokens here; 4k/8k in "
+     "production - same plan). The md5 of the rendered sample is the "
+     "cache/shard key a tokenization stage would use, and hash-matching "
+     "it cross-engine proves the template is byte-identical, not just "
+     "similar. Pure per-row projection - embarrassingly parallel, no "
+     "shuffle, whole-stage-codegen string ops, no UDF.")
+def k_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sample = F.concat(
+        F.lit("<|user|>\n"),
+        F.lit("Summarize the "), F.col("lang"),
+        F.lit(" document from "), F.col("source"), F.lit(".\n"),
+        F.lit("<|assistant|>\n"), F.col("text"), F.lit("<|end|>"),
+    )
+    rendered = d.select("doc_id", "lang", sample.alias("sample"))
+    n_tok = F.size(F.split("sample", " ")).cast("bigint")
+    return rendered.select(
+        "doc_id", "lang",
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 96, F.lit(1)).otherwise(F.lit(0)).cast("int")
+         .alias("truncated"),
+        F.md5(F.col("sample").cast("binary")).alias("sample_md5"),
+    )
