@@ -450,7 +450,14 @@ class AcidParquetTable:
         manifest = self._manifest(base)
         schema = StructType.fromJson(manifest["schema"])
         all_files = list(manifest["files"])
-        probe = self._read_entries(manifest, all_files)
+        if not all_files:
+            return base
+        # The probe reads the files RAW (input_file_name requires a
+        # single source, and _read_entries may anti-join delete files):
+        # a file whose only matching rows are MoR-deleted is rewritten
+        # conservatively - harmless, since the rewrite content below
+        # comes from the delete-applied read.
+        probe = self.spark.read.schema(schema).parquet(*all_files)
         hit_rows = (
             probe.withColumn("__f", F.input_file_name())
             .filter(condition).select("__f").distinct().collect()

@@ -1,0 +1,78 @@
+"""Model-based property test for the ACID store (sources/acid.py).
+
+A random SEQUENCE of write operations - MERGE upserts, copy-on-write
+DELETE/UPDATE, merge-on-read key deletes, delete compaction - is
+applied both to the real table and to a plain-dict model; after every
+step the snapshot read must equal the model exactly. This is the
+cross-path interaction coverage the single-op tests can't give:
+MoR deletes followed by re-inserting merges (sequence-number scoping),
+CoW deletes over MoR-masked files, compaction in the middle of a
+sequence, stats carried across mixed commits.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+_SCHEMA = "key bigint, price double, version int"
+
+_merge_batch = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 50), st.integers(1, 9)),
+    min_size=1, max_size=5,
+).map(lambda rows: list({k: (k, float(p), v) for k, p, v in rows}.values()))
+
+_op = st.one_of(
+    st.tuples(st.just("merge"), _merge_batch),
+    st.tuples(st.just("cow_delete"), st.integers(0, 2)),
+    st.tuples(st.just("update"), st.integers(0, 2)),
+    st.tuples(st.just("mor_delete"),
+              st.lists(st.integers(0, 11), min_size=1, max_size=4,
+                       unique=True)),
+    st.tuples(st.just("compact"), st.just(None)),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_acid_sequences_match_dict_model(spark, ops):
+    root = tempfile.mkdtemp(prefix="ces_acid_model_")
+    try:
+        t = AcidParquetTable(spark, root)
+        init = [(k, float(k * 10), 1) for k in range(0, 8)]
+        t.init(spark.createDataFrame(init, _SCHEMA))
+        model = {k: (p, v) for k, p, v in init}
+
+        for kind, arg in ops:
+            if kind == "merge":
+                t.merge_into(spark.createDataFrame(arg, _SCHEMA), ["key"])
+                for k, p, v in arg:
+                    model[k] = (p, v)
+            elif kind == "cow_delete":
+                t.delete_where(F.col("key") % 3 == arg)
+                model = {k: pv for k, pv in model.items() if k % 3 != arg}
+            elif kind == "update":
+                t.update_where(F.col("key") % 3 == arg,
+                               {"price": F.col("price") + 1.0})
+                model = {k: ((p + 1.0, v) if k % 3 == arg else (p, v))
+                         for k, (p, v) in model.items()}
+            elif kind == "mor_delete":
+                t.delete_keys_mor(
+                    spark.createDataFrame([(k,) for k in arg], "key bigint"),
+                    ["key"])
+                model = {k: pv for k, pv in model.items() if k not in arg}
+            elif kind == "compact":
+                t.compact_deletes()
+
+            got = {r["key"]: (r["price"], r["version"])
+                   for r in t.read().collect()}
+            assert got == model, f"after {kind}({arg}): {got} != {model}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
