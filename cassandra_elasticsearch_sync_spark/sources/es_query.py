@@ -1438,3 +1438,85 @@ def a3u_es_bucket_script_selector_sort(spark, sf_dir):
             },
         }
     })
+
+
+_MS_FIELDS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _ms_oracle() -> str:
+    sums = ",\n         ".join(
+        f"CAST(SUM(CAST({f} AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS s_{f}"
+        for f in _MS_FIELDS)
+    # operands widened to DECIMAL(19,4): DuckDB then multiplies in
+    # int128 (18-digit operands overflow int64 first); Spark keeps its
+    # exact (37,8) product from the (18,4) casts in the query fn.
+    prods = ",\n         ".join(
+        f"CAST(SUM(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4)))"
+        f" AS DECIMAL(38,8)) AS p_{a}_{b}"
+        for i, a in enumerate(_MS_FIELDS) for b in _MS_FIELDS[i:])
+    def cov(a, b):
+        return (f"(CAST(p_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE)"
+                f" * CAST(s_{b} AS DOUBLE) / n) / n")
+    rows = "\n  UNION ALL ".join(
+        f"SELECT '{a}' AS field_x, '{b}' AS field_y, n AS doc_count,\n"
+        f"       ROUND(CAST(s_{a} AS DOUBLE) / n, 6) AS mean_x,\n"
+        f"       ROUND({cov(a, b)}, 6) AS covariance,\n"
+        f"       ROUND({cov(a, b)} / (SQRT({cov(a, a)}) * SQRT({cov(b, b)})), 6)"
+        f" AS correlation\n  FROM agg"
+        for i, a in enumerate(_MS_FIELDS) for b in _MS_FIELDS[i + 1:])
+    return f"""
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+         {sums},
+         {prods}
+  FROM lineitem
+)
+{rows}
+"""
+
+
+@register("a3v_es_matrix_stats", "A3+D5", _ms_oracle(),
+          "ES matrix_stats aggregation: pairwise population covariance "
+          "and Pearson correlation over the numeric fields of the "
+          "index (quantity/price/discount/tax), flattened to one row "
+          "per field pair as ES clients read the response. ONE scan, "
+          "ONE fixed-width aggregate row (count + 4 sums + 10 exact "
+          "decimal product-sums, all map-side partial), stacked to "
+          "pair rows JVM-side - the cheapest possible moment matrix "
+          "at any corpus size, the same shape a distributed PCA/whitening "
+          "preprocessing pass uses. Determinism: every accumulation is "
+          "DECIMAL-exact (values are 2-dp money, cast to DECIMAL(18,4); "
+          "products fit DECIMAL(37,8)); doubles appear only in the "
+          "final covariance/correlation formula, evaluated with the "
+          "IDENTICAL expression tree in both engines, so the hash "
+          "matches bit-for-bit with no float-accumulation-order hazard.")
+def a3v_es_matrix_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {f: F.col(f).cast("decimal(18,4)") for f in _MS_FIELDS}
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(dec[f]).cast("decimal(38,8)").alias(f"s_{f}")
+             for f in _MS_FIELDS]
+    aggs += [F.sum(dec[a] * dec[b]).cast("decimal(38,8)").alias(f"p_{a}_{b}")
+             for i, a in enumerate(_MS_FIELDS) for b in _MS_FIELDS[i:]]
+    agg = li.agg(*aggs)
+
+    def cov(a, b):
+        return ((F.col(f"p_{a}_{b}").cast("double")
+                 - F.col(f"s_{a}").cast("double")
+                 * F.col(f"s_{b}").cast("double") / F.col("n"))
+                / F.col("n"))
+
+    pair_rows = None
+    for i, a in enumerate(_MS_FIELDS):
+        for b in _MS_FIELDS[i + 1:]:
+            row = agg.select(
+                F.lit(a).alias("field_x"), F.lit(b).alias("field_y"),
+                F.col("n").alias("doc_count"),
+                F.round(F.col(f"s_{a}").cast("double") / F.col("n"), 6)
+                 .alias("mean_x"),
+                F.round(cov(a, b), 6).alias("covariance"),
+                F.round(cov(a, b) / (F.sqrt(cov(a, a)) * F.sqrt(cov(b, b))), 6)
+                 .alias("correlation"),
+            )
+            pair_rows = row if pair_rows is None else pair_rows.unionByName(row)
+    return pair_rows
