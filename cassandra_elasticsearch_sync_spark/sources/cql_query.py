@@ -56,14 +56,38 @@ _EQ_OPS = {"=", "IN"}
 _RANGE_OPS = {"<", "<=", ">", ">="}
 
 
+_AGG_FNS = {"count", "sum", "min", "max", "avg"}
+
+
+@dataclass
+class CqlCol:
+    """One select-list item: a plain column or an aggregate call."""
+    name: str                   # column name, or '*' inside count(*)
+    fn: str | None = None       # aggregate function, lowercased
+    alias: str | None = None
+
+    @property
+    def out_name(self) -> str:
+        if self.alias:
+            return self.alias
+        if self.fn:
+            # Cassandra names the column 'system.sum(x)'; the
+            # SQL-safe default here is fn_col.
+            return f"{self.fn}_{self.name}" if self.name != "*" else self.fn
+        return self.name
+
+
 @dataclass
 class CqlSelect:
-    columns: list[str]          # ["*"] for star
+    columns: list[CqlCol]       # [CqlCol('*')] for star
     table: str
     where: list[tuple[str, str, object]] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, str]] = field(default_factory=list)
     per_partition_limit: int | None = None
     limit: int | None = None
     allow_filtering: bool = False
+    json: bool = False
 
 
 class CqlError(ValueError):
@@ -71,8 +95,10 @@ class CqlError(ValueError):
 
 
 _STMT_RE = re.compile(
-    r"^\s*SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<table>\w+)"
+    r"^\s*SELECT\s+(?P<json>JSON\s+)?(?P<cols>.+?)\s+FROM\s+(?P<table>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<groupby>[\w,\s]+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<orderby>[\w,\s]+?))?"
     r"(?:\s+PER\s+PARTITION\s+LIMIT\s+(?P<pplimit>\d+))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
     r"(?P<af>\s+ALLOW\s+FILTERING)?\s*;?\s*$",
@@ -80,7 +106,14 @@ _STMT_RE = re.compile(
 )
 
 _PRED_RE = re.compile(
-    r"^\s*(?P<col>\w+)\s*(?P<op>>=|<=|=|<|>|IN)\s*(?P<val>.+?)\s*$",
+    r"^\s*(?P<col>\w+|TOKEN\s*\([\w,\s]+\))\s*"
+    r"(?P<op>>=|<=|=|<|>|IN)\s*(?P<val>.+?)\s*$",
+    re.IGNORECASE,
+)
+
+_COL_RE = re.compile(
+    r"^\s*(?:(?P<fn>\w+)\s*\(\s*(?P<arg>\*|\w+)\s*\)|(?P<plain>\w+|\*))"
+    r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
     re.IGNORECASE,
 )
 
@@ -98,31 +131,63 @@ def _parse_literal(raw: str):
     raise CqlError(f"unparseable CQL literal: {raw!r}")
 
 
+def _parse_col(raw: str) -> CqlCol:
+    m = _COL_RE.match(raw)
+    if not m:
+        raise CqlError(f"unparseable select item: {raw!r}")
+    if m.group("fn"):
+        fn = m.group("fn").lower()
+        if fn not in _AGG_FNS:
+            raise CqlError(f"unsupported CQL function {fn!r}")
+        arg = m.group("arg")
+        if arg == "*" and fn != "count":
+            raise CqlError(f"{fn}(*) is not valid CQL")
+        return CqlCol(name=arg, fn=fn, alias=m.group("alias"))
+    return CqlCol(name=m.group("plain"), alias=m.group("alias"))
+
+
 def parse_cql(stmt: str) -> CqlSelect:
     m = _STMT_RE.match(stmt)
     if not m:
         raise CqlError(f"unsupported CQL statement: {stmt!r}")
-    cols = [c.strip() for c in m.group("cols").split(",")]
+    cols = [_parse_col(c) for c in m.group("cols").split(",")]
     where = []
     if m.group("where"):
         # split on AND at top level (no nested parens in the subset
-        # except IN-lists, which contain no AND)
+        # except IN-lists and token(), which contain no AND)
         for part in re.split(r"\s+AND\s+", m.group("where"),
                              flags=re.IGNORECASE):
             pm = _PRED_RE.match(part)
             if not pm:
                 raise CqlError(f"unparseable CQL predicate: {part!r}")
-            where.append((pm.group("col"),
+            col = re.sub(r"\s+", "", pm.group("col"))
+            col = col.lower() if col.lower().startswith("token(") else col
+            where.append((col,
                           pm.group("op").upper(),
                           _parse_literal(pm.group("val"))))
+    group_by = ([c.strip() for c in m.group("groupby").split(",")]
+                if m.group("groupby") else [])
+    order_by = []
+    if m.group("orderby"):
+        for part in m.group("orderby").split(","):
+            toks = part.split()
+            if not toks or len(toks) > 2:
+                raise CqlError(f"unparseable ORDER BY item: {part!r}")
+            direction = toks[1].upper() if len(toks) == 2 else "ASC"
+            if direction not in ("ASC", "DESC"):
+                raise CqlError(f"bad ORDER BY direction {direction!r}")
+            order_by.append((toks[0], direction))
     return CqlSelect(
         columns=cols,
         table=m.group("table").lower(),
         where=where,
+        group_by=group_by,
+        order_by=order_by,
         per_partition_limit=(int(m.group("pplimit"))
                              if m.group("pplimit") else None),
         limit=int(m.group("limit")) if m.group("limit") else None,
         allow_filtering=bool(m.group("af")),
+        json=bool(m.group("json")),
     )
 
 
@@ -135,6 +200,17 @@ def validate_cql(sel: CqlSelect) -> dict:
     clus_cols = [c for c, _ in meta["clustering"]]
     by_col: dict[str, list[str]] = {}
     for col, op, _ in sel.where:
+        if col.startswith("token("):
+            # token(pk) restrictions: must name the FULL partition key,
+            # range/equality ops only - the ring-scan predicate.
+            inner = [c.strip() for c in col[6:-1].split(",")]
+            if inner != part_cols:
+                raise CqlError(
+                    f"token() must take the full partition key "
+                    f"{part_cols}, got {inner}")
+            if op == "IN":
+                raise CqlError("token() does not support IN")
+            continue
         by_col.setdefault(col, []).append(op)
 
     non_key = [c for c in by_col if c not in part_cols and c not in clus_cols]
@@ -167,6 +243,41 @@ def validate_cql(sel: CqlSelect) -> dict:
                     "non-equality/skipped column (not a contiguous slice)")
             if any(op in _RANGE_OPS for op in ops):
                 seen_range = True
+
+    has_agg = any(c.fn for c in sel.columns)
+    plain = [c.name for c in sel.columns if c.fn is None and c.name != "*"]
+    if sel.group_by:
+        # Cassandra: GROUP BY columns must be the full partition key
+        # followed by a (possibly empty) clustering-column prefix.
+        pk_plus_prefix = [part_cols + clus_cols[:i]
+                         for i in range(len(clus_cols) + 1)]
+        if sel.group_by not in pk_plus_prefix:
+            raise CqlError(
+                "GROUP BY must be the partition key plus a clustering "
+                f"prefix; got {sel.group_by}")
+        bad = [c for c in plain if c not in sel.group_by]
+        if bad:
+            raise CqlError(
+                f"non-aggregated column(s) {bad} not in GROUP BY")
+    elif has_agg and plain:
+        raise CqlError(
+            "cannot mix aggregates and plain columns without GROUP BY")
+
+    if sel.order_by:
+        part_eq_all = all(
+            any(op in _EQ_OPS for op in by_col.get(c, [])) for c in part_cols)
+        if not part_eq_all:
+            raise CqlError(
+                "ORDER BY requires the partition key to be "
+                "equality-restricted (single-partition read)")
+        declared = meta["clustering"][:len(sel.order_by)]
+        names_ok = [c for c, _ in sel.order_by] == [c for c, _ in declared]
+        fwd = all(d1 == d2 for (_, d1), (_, d2) in zip(sel.order_by, declared))
+        rev = all(d1 != d2 for (_, d1), (_, d2) in zip(sel.order_by, declared))
+        if not (names_ok and (fwd or rev)):
+            raise CqlError(
+                "ORDER BY must follow the clustering order (or its "
+                f"full reversal); clustering is {meta['clustering']}")
     return meta
 
 
@@ -185,32 +296,75 @@ def _pred_column(col: str, op: str, val) :
             ">": c > lit, ">=": c >= lit}[op]
 
 
+def _token_col(part_cols: list[str]):
+    return portable_hash60(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in part_cols]))
+
+
+def _agg_expr(c: CqlCol):
+    if c.fn == "count":
+        e = F.count("*") if c.name == "*" else F.count(c.name)
+    else:
+        e = getattr(F, c.fn)(c.name)
+    return e.alias(c.out_name)
+
+
 def cql_select(df: DataFrame, stmt: str) -> DataFrame:
     """Compile and run a CQL SELECT against the table's DataFrame."""
     sel = parse_cql(stmt)
     meta = validate_cql(sel)
     out = df
     for col, op, val in sel.where:
-        out = out.filter(_pred_column(col, op, val))
+        if col.startswith("token("):
+            # ring predicate on the portable 60-bit token (a2b's hash)
+            t = _token_col(meta["partition"])
+            lit = F.lit(val)
+            out = out.filter({"=": t == lit, "<": t < lit, "<=": t <= lit,
+                              ">": t > lit, ">=": t >= lit}[op])
+        else:
+            out = out.filter(_pred_column(col, op, val))
 
     clus_order = [
         F.col(c).desc() if d == "DESC" else F.col(c).asc()
         for c, d in meta["clustering"]
     ]
-    if sel.per_partition_limit is not None:
-        w = Window.partitionBy(*meta["partition"]).orderBy(*clus_order)
-        out = (
-            out.withColumn("__cql_rn", F.row_number().over(w))
-            .filter(F.col("__cql_rn") <= sel.per_partition_limit)
-            .drop("__cql_rn")
-        )
-    if sel.limit is not None:
-        token = portable_hash60(
-            F.concat_ws("|", *[F.col(c).cast("string")
-                               for c in meta["partition"]]))
-        out = out.orderBy(token.asc(), *clus_order).limit(sel.limit)
-    if sel.columns != ["*"]:
-        out = out.select(*sel.columns)
+    if sel.group_by or any(c.fn for c in sel.columns):
+        # one grouped (or global) aggregate; map-side partial combine,
+        # group cardinality <= partition-key cardinality by the
+        # pk-plus-prefix GROUP BY rule.
+        aggs = [_agg_expr(c) for c in sel.columns if c.fn]
+        if sel.group_by:
+            out = out.groupBy(*sel.group_by).agg(*aggs)
+        else:
+            out = out.agg(*aggs)
+        ordered = [c.out_name if c.fn else c.name for c in sel.columns]
+        out = out.select(*ordered)
+    else:
+        if sel.per_partition_limit is not None:
+            w = Window.partitionBy(*meta["partition"]).orderBy(*clus_order)
+            out = (
+                out.withColumn("__cql_rn", F.row_number().over(w))
+                .filter(F.col("__cql_rn") <= sel.per_partition_limit)
+                .drop("__cql_rn")
+            )
+        if sel.order_by:
+            # single-partition read (validated); order inside it
+            order_exprs = [
+                F.col(c).desc() if d == "DESC" else F.col(c).asc()
+                for c, d in sel.order_by
+            ]
+            out = (out.orderBy(*order_exprs).limit(sel.limit)
+                   if sel.limit is not None else out.orderBy(*order_exprs))
+        elif sel.limit is not None:
+            out = out.orderBy(_token_col(meta["partition"]).asc(),
+                              *clus_order).limit(sel.limit)
+        if [c.name for c in sel.columns] != ["*"]:
+            out = out.select(
+                *[F.col(c.name).alias(c.out_name) for c in sel.columns])
+    if sel.json:
+        # SELECT JSON: each row rendered as a JSON object in select
+        # order - Cassandra's '[json]' column (SQL-safe name: json).
+        out = out.select(F.to_json(F.struct(*out.columns)).alias("json"))
     return out
 
 
@@ -274,4 +428,87 @@ def a2j_cql_filtering_toplimit(spark, sf_dir):
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_totalprice > 400000
         PER PARTITION LIMIT 1 LIMIT 20 ALLOW FILTERING
+    """)
+
+
+@register("a2m_cql_group_by_aggregate", "A2+D1", """
+SELECT l_orderkey, COUNT(*) AS n_items,
+       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_orderkey
+""", "CQL aggregates with GROUP BY: `SELECT l_orderkey, count(*), "
+     "sum(l_quantity), max(l_extendedprice) FROM lineitem GROUP BY "
+     "l_orderkey` - Cassandra's per-partition rollup. The validator "
+     "enforces the real rule (GROUP BY must be the full partition key "
+     "plus a clustering prefix; non-aggregated columns must be "
+     "grouped), and the compiled plan is ONE map-side-partial grouped "
+     "aggregate: because groups are partition keys, Cassandra "
+     "aggregates each partition on one replica - the Spark twin gets "
+     "the same locality from hash partitioning on the group key. "
+     "Quantity sums are integer-valued doubles (exact at any "
+     "accumulation order), so the hash check is sound.")
+def a2m_cql_group_by_aggregate(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return cql_select(li, """
+        SELECT l_orderkey, count(*) AS n_items,
+               sum(l_quantity) AS total_qty,
+               max(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_orderkey
+    """)
+
+
+@register("a2n_cql_order_by_reversed", "A2+F1", """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey = 37
+ORDER BY o_orderdate ASC, o_orderkey DESC
+LIMIT 5
+""", "CQL ORDER BY with the reversal rule: the table clusters "
+     "(o_orderdate DESC, o_orderkey ASC), and CQL permits ORDER BY "
+     "only in declared order or its FULL reversal - this query reads "
+     "one partition oldest-first (the validator rejects mixed "
+     "directions and any ORDER BY without partition-key equality, "
+     "because only a single partition has a defined clustering "
+     "order). Compiles to pushed pk filter -> TakeOrderedAndProject "
+     "over the one partition's rows; Cassandra serves it as a "
+     "reversed SSTable slice, same contract.")
+def a2n_cql_order_by_reversed(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return cql_select(o, """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = 37
+        ORDER BY o_orderdate ASC, o_orderkey DESC
+        LIMIT 5
+    """)
+
+
+@register("a2o_cql_token_ring_json_page", "A2+H6", """
+WITH t AS (
+  SELECT *, CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS token
+  FROM orders
+)
+SELECT to_json(struct_pack(o_orderkey := o_orderkey,
+                           o_custkey := o_custkey)) AS json
+FROM t
+WHERE token > 288230376151711744
+ORDER BY token, o_orderdate DESC, o_orderkey
+LIMIT 25
+""", "CQL `SELECT JSON` + token() ring paging: `WHERE "
+     "token(o_custkey) > N LIMIT 25` resumes a full-ring scan from a "
+     "token cursor (how every Cassandra bulk exporter pages), and "
+     "SELECT JSON renders each row as Cassandra's '[json]' column. "
+     "Token order uses the portable 60-bit ring hash (cross-engine "
+     "exact, byte-identical JSON in both engines proves the rendering "
+     "contract, not just the row set). Plan: scan -> hash projection "
+     "-> TakeOrderedAndProject on (token, clustering); the token "
+     "predicate makes the page start scan-prunable when the layout "
+     "is token-range bucketed (a2b).")
+def a2o_cql_token_ring_json_page(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return cql_select(o, """
+        SELECT JSON o_orderkey, o_custkey FROM orders
+        WHERE token(o_custkey) > 288230376151711744
+        LIMIT 25
     """)

@@ -22,7 +22,7 @@ def test_parser_full_statement():
         "WHERE o_custkey = 37 AND o_orderdate >= '1995-01-01' "
         "PER PARTITION LIMIT 2 LIMIT 10 ALLOW FILTERING;"
     )
-    assert sel.columns == ["o_orderkey", "o_totalprice"]
+    assert [c.name for c in sel.columns] == ["o_orderkey", "o_totalprice"]
     assert sel.table == "orders"
     assert sel.where == [
         ("o_custkey", "=", 37),
@@ -35,7 +35,7 @@ def test_parser_full_statement():
 
 def test_parser_in_list_and_star():
     sel = parse_cql("SELECT * FROM events WHERE user_id IN (1, 2, 3)")
-    assert sel.columns == ["*"]
+    assert [c.name for c in sel.columns] == ["*"]
     assert sel.where == [("user_id", "IN", [1, 2, 3])]
 
 
@@ -106,3 +106,68 @@ def test_per_partition_limit_caps_each_partition(spark):
     """)
     per = got.groupBy("o_custkey").count().agg(F.max("count")).collect()
     assert per[0][0] <= 2
+
+
+def test_group_by_pk_prefix_rule():
+    validate_cql(parse_cql(
+        "SELECT o_custkey, count(*) FROM orders GROUP BY o_custkey"))
+    validate_cql(parse_cql(
+        "SELECT o_custkey, count(*) FROM orders "
+        "GROUP BY o_custkey, o_orderdate"))
+    with pytest.raises(CqlError, match="partition key plus a clustering"):
+        validate_cql(parse_cql(
+            "SELECT count(*) FROM orders GROUP BY o_orderdate"))
+    with pytest.raises(CqlError, match="not in GROUP BY"):
+        validate_cql(parse_cql(
+            "SELECT o_orderkey, count(*) FROM orders GROUP BY o_custkey"))
+
+
+def test_aggregate_plain_mix_requires_group_by():
+    with pytest.raises(CqlError, match="mix aggregates"):
+        validate_cql(parse_cql("SELECT o_custkey, count(*) FROM orders"))
+    validate_cql(parse_cql("SELECT count(*) FROM orders"))
+
+
+def test_order_by_rules():
+    # full reversal of (o_orderdate DESC, o_orderkey ASC) is legal
+    validate_cql(parse_cql(
+        "SELECT o_orderkey FROM orders WHERE o_custkey = 1 "
+        "ORDER BY o_orderdate ASC, o_orderkey DESC"))
+    # declared directions are legal too
+    validate_cql(parse_cql(
+        "SELECT o_orderkey FROM orders WHERE o_custkey = 1 "
+        "ORDER BY o_orderdate DESC"))
+    with pytest.raises(CqlError, match="clustering order"):
+        validate_cql(parse_cql(
+            "SELECT o_orderkey FROM orders WHERE o_custkey = 1 "
+            "ORDER BY o_orderdate ASC, o_orderkey ASC"))  # mixed
+    with pytest.raises(CqlError, match="equality-restricted"):
+        validate_cql(parse_cql(
+            "SELECT o_orderkey FROM orders ORDER BY o_orderdate DESC"))
+
+
+def test_token_predicate_needs_full_partition_key():
+    validate_cql(parse_cql(
+        "SELECT o_orderkey FROM orders WHERE token(o_custkey) > 5"))
+    with pytest.raises(CqlError, match="full partition key"):
+        validate_cql(parse_cql(
+            "SELECT l_orderkey FROM lineitem WHERE token(l_linenumber) > 5"))
+
+
+def test_group_by_aggregate_and_json_render(spark):
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import cql_select
+
+    df = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, 3.0), (2, 1, 5.0)],
+        "l_orderkey bigint, l_linenumber int, l_quantity double")
+    got = sorted(tuple(r) for r in cql_select(df, """
+        SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS q
+        FROM lineitem GROUP BY l_orderkey
+    """).collect())
+    assert got == [(1, 2, 5.0), (2, 1, 5.0)]
+
+    js = cql_select(df, """
+        SELECT JSON l_orderkey, l_linenumber FROM lineitem
+        WHERE l_orderkey = 2
+    """).collect()
+    assert [r["json"] for r in js] == ['{"l_orderkey":2,"l_linenumber":1}']
