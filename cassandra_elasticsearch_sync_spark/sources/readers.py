@@ -702,3 +702,36 @@ def a2l_read_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("write_stale").alias("action"),
         F.col("m_price").alias("price"),
     )
+
+
+@register("a4c_orc_ingest", "A4", """
+SELECT p_brand, COUNT(*) AS n, MAX(p_retailprice) AS max_price,
+       CAST(SUM(p_size) AS BIGINT) AS total_size
+FROM part
+GROUP BY p_brand
+""", "ORC ingest (the third columnar wire format after parquet/JSON/"
+     "CSV): part round-trips through ORC files and aggregates; the "
+     "oracle reads the original parquet - equality proves the ORC "
+     "reader/writer pair is lossless for the longs/strings/doubles "
+     "used. ORC is Spark-native (no extra jars) and keeps the same "
+     "scan virtues as parquet - column pruning and predicate pushdown "
+     "- so the 100 TB read path is unchanged; the ingest is a "
+     "per-partition rewrite, no shuffle.")
+def a4c_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    p = load_table(spark, sf_dir, "part")
+    scratch = tempfile.mkdtemp(prefix="ces_orc_ingest_")
+    try:
+        p.write.mode("overwrite").orc(scratch)
+        ingested = spark.read.schema(
+            "p_partkey bigint, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double"
+        ).orc(scratch)
+        return ingested.groupBy("p_brand").agg(
+            F.count("*").alias("n"),
+            F.max("p_retailprice").alias("max_price"),
+            F.sum("p_size").cast("bigint").alias("total_size"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
