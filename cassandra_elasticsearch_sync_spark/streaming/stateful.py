@@ -226,3 +226,167 @@ def i6b_stateful_final_state(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("user_id", "running_max", F.col("es").alias("last_es"))
     )
+
+
+# --------------------------------------------------------------------------
+# I6c: timeout-driven sessionization - the GroupStateTimeout capability
+# --------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_es", T.LongType()),
+        T.StructField("duration_s", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_es", T.LongType()),
+        T.StructField("last_es", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def session_timeout_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionizer with EVENT-TIME TIMEOUT eviction: the open
+    session lives in state; when the watermark passes last_es + gap the
+    state times out, the session is emitted, and the key's state is
+    REMOVED - idle keys cost nothing, which is what makes per-key state
+    viable when keys are unbounded (the production eviction the i6
+    machine's docstring deferred). Sessions that close because a
+    same-batch event starts a new one emit immediately."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_es, last_es, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, start_es, last_es - start_es, n)],
+            columns=["user_id", "session_start_es", "duration_s", "n_events"],
+        )
+        return
+
+    if state.exists:
+        start_es, last_es, n = state.get
+    else:
+        start_es = last_es = None
+        n = 0
+    out = []
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks).sort_values("es")
+        for r in pdf.itertuples():
+            es = int(r.es)
+            if start_es is None:
+                start_es, last_es, n = es, es, 1
+            elif es - last_es > SESSION_GAP_S:
+                out.append((user_id, start_es, last_es - start_es, n))
+                start_es, last_es, n = es, es, 1
+            else:
+                last_es, n = es, n + 1
+    state.update((start_es, last_es, n))
+    # fire once the watermark proves no event can extend this session
+    state.setTimeoutTimestamp((last_es + SESSION_GAP_S) * 1000)
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start_es", "duration_s", "n_events"],
+        )
+
+
+def session_timeout_stream(events: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    prepared = events.withWatermark("ts", "1 hour").select(
+        "user_id", "ts",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        session_timeout_fn,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+@register("i6c_stateful_session_timeout", "I6+I4", """
+WITH e AS (
+  SELECT user_id,
+         CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+  FROM events
+),
+flagged AS (
+  SELECT user_id, es,
+         CASE WHEN es - LAG(es) OVER w > 1800 OR LAG(es) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+),
+sessions AS (
+  SELECT user_id, es,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY es
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(es) AS session_start_es,
+       MAX(es) - MIN(es) AS duration_s,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""", "Custom stateful sessionization with EVENT-TIME TIMEOUT "
+     "(applyInPandasWithState + GroupStateTimeout.EventTimeTimeout), "
+     "oracle-backed: the open session per user lives in the state "
+     "store and is emitted+EVICTED when the watermark passes its "
+     "last event + 30 min - the mechanism that keeps per-key state "
+     "bounded under unbounded key cardinality (i6's documented "
+     "production gap, now demonstrated). Sentinel flush chunks "
+     "advance the final watermark so every real session times out; "
+     "the converged emissions hash-match the batch gaps-and-islands "
+     "oracle - eviction timing provably never mis-splits a session "
+     "because staged chunks are time-contiguous, so any event that "
+     "could extend a session arrives before the watermark can pass "
+     "its gap horizon.")
+def i6c_stateful_session_timeout(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cassandra_elasticsearch_sync_spark.streaming.incremental import (
+        _SENTINEL_USER,
+        _append_watermark_flush_chunks,
+        read_events_stream,
+        stage_events_stream,
+    )
+
+    staged = stage_events_stream(spark, sf_dir, n_chunks=4)
+    _append_watermark_flush_chunks(spark, staged, sf_dir)
+    checkpoint = tempfile.mkdtemp(prefix="ces_i6c_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_i6c_out_")
+    try:
+        q = (
+            session_timeout_stream(read_events_stream(spark, staged))
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_bounded(q, 300)
+        return (
+            spark.read.parquet(outdir)
+            .filter(F.col("user_id") != _SENTINEL_USER)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
