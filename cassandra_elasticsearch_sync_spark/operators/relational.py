@@ -584,3 +584,72 @@ def c10_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register("c11_hierarchy_rollup", "C9+D1", """
+WITH RECURSIVE chain AS (
+  SELECT p_partkey AS key, p_partkey // 10 AS anc,
+         CAST(0 AS BIGINT) AS depth,
+         CAST(0.0 AS DECIMAL(18,2)) AS anc_price
+  FROM part
+  UNION ALL
+  SELECT c.key, a.p_partkey // 10, c.depth + 1,
+         CAST(c.anc_price + CAST(a.p_retailprice AS DECIMAL(18,2))
+              AS DECIMAL(18,2))
+  FROM chain c JOIN part a ON a.p_partkey = c.anc
+  WHERE c.anc > 0
+)
+SELECT key, MAX(depth) AS depth,
+       CAST(MAX(anc_price) AS DOUBLE) AS anc_price_sum
+FROM chain
+GROUP BY key
+""", "Hierarchy traversal - the recursive-CTE workload (BOM "
+     "explosion, org-chart rollup, category trees) Spark SQL lacks "
+     "natively. The part table is read as a tree (parent = key/10) "
+     "and every part gets its ancestor depth and ancestor price sum. "
+     "The Spark form is frontier iteration: each round joins the "
+     "surviving frontier to its parent generation and accumulates - "
+     "O(tree depth) hash joins (~7 rounds for 10^7 keys), each "
+     "shuffle-partitioned on the CURRENT ancestor key, with the "
+     "frontier shrinking as chains hit the root; no recursion, no "
+     "driver-side row data, rounds bounded by log_10(maxkey) known "
+     "up front (no unbounded isEmpty polling loop). The same loop "
+     "shape as the connected-components and PageRank operators - "
+     "DuckDB's WITH RECURSIVE is the oracle, so Spark's iterative "
+     "restatement is hash-checked against a true recursive engine. "
+     "Price accumulation is DECIMAL-exact; doubles only at the edge.")
+def c11_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    parts = p.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+    )
+    max_key = p.agg(F.max("p_partkey").alias("m")).collect()[0]["m"]
+    # depth bound: every division by 10 strips a digit
+    import math
+    rounds = max(1, int(math.ceil(math.log10(max(10, max_key + 1)))))
+
+    frontier = p.select(
+        F.col("p_partkey").alias("key"),
+        (F.col("p_partkey") / 10).cast("bigint").alias("anc"),
+        F.lit(0).cast("bigint").alias("depth"),
+        F.lit(0).cast("decimal(18,2)").alias("anc_price"),
+    )
+    done = frontier.filter(F.col("anc") == 0)
+    frontier = frontier.filter(F.col("anc") > 0)
+    for _ in range(rounds):
+        stepped = (
+            frontier.join(parts, frontier["anc"] == parts["pk"], "inner")
+            .select(
+                "key",
+                (F.col("pk") / 10).cast("bigint").alias("anc"),
+                (F.col("depth") + 1).alias("depth"),
+                (F.col("anc_price") + F.col("price"))
+                .cast("decimal(18,2)").alias("anc_price"),
+            )
+        )
+        done = done.unionByName(stepped.filter(F.col("anc") == 0))
+        frontier = stepped.filter(F.col("anc") > 0)
+    return done.select(
+        "key", "depth", F.col("anc_price").cast("double").alias("anc_price_sum")
+    )
