@@ -653,3 +653,82 @@ def c11_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return done.select(
         "key", "depth", F.col("anc_price").cast("double").alias("anc_price_sum")
     )
+
+
+@register("c8c_nearest_asof_join", "C8", """
+WITH c AS (SELECT event_id, user_id,
+                  CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id,
+                  CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+           FROM events WHERE event_type = 'purchase'),
+     b AS (SELECT c.event_id, c.user_id, c.es, MAX(p.es) AS back_es
+           FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.es <= c.es
+           GROUP BY c.event_id, c.user_id, c.es),
+     f AS (SELECT c.event_id, MIN(p.es) AS fwd_es
+           FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.es > c.es
+           GROUP BY c.event_id)
+SELECT b.event_id, b.user_id,
+       CASE WHEN back_es IS NULL THEN fwd_es
+            WHEN fwd_es IS NULL THEN back_es
+            WHEN b.es - back_es <= fwd_es - b.es THEN back_es
+            ELSE fwd_es END AS nearest_purchase_es
+FROM b JOIN f ON b.event_id = f.event_id
+""", "Nearest-direction as-of join (pandas merge_asof "
+     "direction='nearest'): each click pairs with the purchase whose "
+     "timestamp is CLOSEST in either direction, ties to the earlier "
+     "one - completing the backward (c8) / forward (c8b) family. One "
+     "union + ONE shuffle on user_id computing both candidates: the "
+     "backward candidate is last(purchase ts) over the preceding "
+     "frame, the forward candidate first(purchase ts) over the "
+     "strictly-following frame (purchases order before clicks at "
+     "equal seconds so <= / > boundaries are exact); a final "
+     "projection picks the nearer. The oracle's join+GROUP BY "
+     "formulation is quadratic per hot key; this stays linear per "
+     "row at any scale - same 100 TB argument as c8.")
+def c8c_nearest_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.unix_timestamp(F.date_trunc("second", "ts")),
+            ).alias("p_es"),
+        )
+    )
+    # Purchases sort before clicks at the same second: backward frame
+    # (<= current row) then includes same-second purchases, forward
+    # frame (> current row) excludes them - matching <= / > exactly.
+    order = [
+        F.col("es"),
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+        F.col("event_id"),
+    ]
+    w_back = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    both = (
+        u.withColumn("back_es", F.last("p_es", ignorenulls=True).over(w_back))
+        .withColumn("fwd_es", F.first("p_es", ignorenulls=True).over(w_fwd))
+        .filter(F.col("event_type") == "click")
+    )
+    nearest = (
+        F.when(F.col("back_es").isNull(), F.col("fwd_es"))
+        .when(F.col("fwd_es").isNull(), F.col("back_es"))
+        .when(F.col("es") - F.col("back_es") <= F.col("fwd_es") - F.col("es"),
+              F.col("back_es"))
+        .otherwise(F.col("fwd_es"))
+    )
+    return both.select(
+        "event_id", "user_id", nearest.alias("nearest_purchase_es")
+    )
