@@ -57,3 +57,52 @@ def test_es_bulk_sink_two_phase_commit(spark):
     ids = sorted(int(a["index"]["_id"]) for a in actions)
     want = sorted(r.doc_id for r in docs.select("doc_id").collect())
     assert ids == want
+
+
+def test_stream_source_offset_resume_exactly_once(spark):
+    """Stop/extend/restart on the custom Python streaming source: run
+    to offset N/2, stop, raise the available end to N, restart on the
+    SAME checkpoint - the resumed query must emit exactly the second
+    half (committed offsets skip the first), and the union must be the
+    complete feed with no duplicates."""
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.python_source import (
+        N_EVENTS,
+        register_cdc_stream_source,
+    )
+    from cassandra_elasticsearch_sync_spark.streaming.control import (
+        await_bounded,
+    )
+
+    register_cdc_stream_source(spark)
+    ckpt = tempfile.mkdtemp(prefix="ces_a11_resume_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_a11_resume_out_")
+
+    def run(end):
+        q = (
+            spark.readStream.format("cdc_feed_stream")
+            .option("end", end).option("splits", 4)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_bounded(q, 300)
+
+    try:
+        run(N_EVENTS // 2)
+        first = spark.read.parquet(outdir).count()
+        assert first == N_EVENTS // 2
+        run(N_EVENTS)
+        seqs = [r["seq"] for r in
+                spark.read.parquet(outdir).select("seq").collect()]
+        assert len(seqs) == N_EVENTS == len(set(seqs))
+        assert min(seqs) == 0 and max(seqs) == N_EVENTS - 1
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
