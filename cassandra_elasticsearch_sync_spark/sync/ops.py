@@ -1063,3 +1063,148 @@ def l17_acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_L20_RH = """CAST(('0x' || SUBSTR(MD5(
+             CAST(key AS VARCHAR) || '|' ||
+             CAST(CAST(price AS DECIMAL(14,2)) AS VARCHAR) || '|' ||
+             STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S')
+           ), 1, 15)) AS BIGINT)"""
+
+
+@register("l20_merkle_repair_protocol", "L1+H7", _SIDES_SQL + f"""
+, ha AS (SELECT key % 512 AS leaf, {_L20_RH} AS rh FROM side_a),
+hb AS (SELECT key % 512 AS leaf, {_L20_RH} AS rh FROM side_b),
+la3 AS (SELECT leaf AS node, BIT_XOR(rh) AS sig, COUNT(*) AS n FROM ha GROUP BY 1),
+lb3 AS (SELECT leaf AS node, BIT_XOR(rh) AS sig, COUNT(*) AS n FROM hb GROUP BY 1),
+la2 AS (SELECT node // 8 AS node, BIT_XOR(sig) AS sig, SUM(n) AS n FROM la3 GROUP BY 1),
+lb2 AS (SELECT node // 8 AS node, BIT_XOR(sig) AS sig, SUM(n) AS n FROM lb3 GROUP BY 1),
+la1 AS (SELECT node // 8 AS node, BIT_XOR(sig) AS sig, SUM(n) AS n FROM la2 GROUP BY 1),
+lb1 AS (SELECT node // 8 AS node, BIT_XOR(sig) AS sig, SUM(n) AS n FROM lb2 GROUP BY 1),
+la0 AS (SELECT CAST(0 AS BIGINT) AS node, BIT_XOR(sig) AS sig, SUM(n) AS n FROM la1),
+lb0 AS (SELECT CAST(0 AS BIGINT) AS node, BIT_XOR(sig) AS sig, SUM(n) AS n FROM lb1),
+m0 AS (SELECT COALESCE(a.node, b.node) AS node,
+              (a.sig IS DISTINCT FROM b.sig OR a.n IS DISTINCT FROM b.n) AS mm
+       FROM la0 a FULL OUTER JOIN lb0 b ON a.node = b.node),
+m1 AS (SELECT COALESCE(a.node, b.node) AS node,
+              (a.sig IS DISTINCT FROM b.sig OR a.n IS DISTINCT FROM b.n) AS mm
+       FROM la1 a FULL OUTER JOIN lb1 b ON a.node = b.node),
+m2 AS (SELECT COALESCE(a.node, b.node) AS node,
+              (a.sig IS DISTINCT FROM b.sig OR a.n IS DISTINCT FROM b.n) AS mm
+       FROM la2 a FULL OUTER JOIN lb2 b ON a.node = b.node),
+m3 AS (SELECT COALESCE(a.node, b.node) AS node,
+              (a.sig IS DISTINCT FROM b.sig OR a.n IS DISTINCT FROM b.n) AS mm
+       FROM la3 a FULL OUTER JOIN lb3 b ON a.node = b.node),
+c1 AS (SELECT m1.node, m1.mm, m0.mm AS compared
+       FROM m1 CROSS JOIN m0),
+c2 AS (SELECT m2.node, m2.mm, (c1.mm AND c1.compared) AS compared
+       FROM m2 JOIN c1 ON m2.node // 8 = c1.node),
+c3 AS (SELECT m3.node, m3.mm, (c2.mm AND c2.compared) AS compared
+       FROM m3 JOIN c2 ON m3.node // 8 = c2.node)
+SELECT 0 AS level, COUNT(*) AS n_nodes, COUNT(*) AS n_compared,
+       SUM(CASE WHEN mm THEN 1 ELSE 0 END) AS n_mismatched
+FROM m0
+UNION ALL
+SELECT 1, COUNT(*), SUM(CASE WHEN compared THEN 1 ELSE 0 END),
+       SUM(CASE WHEN mm AND compared THEN 1 ELSE 0 END) FROM c1
+UNION ALL
+SELECT 2, COUNT(*), SUM(CASE WHEN compared THEN 1 ELSE 0 END),
+       SUM(CASE WHEN mm AND compared THEN 1 ELSE 0 END) FROM c2
+UNION ALL
+SELECT 3, COUNT(*), SUM(CASE WHEN compared THEN 1 ELSE 0 END),
+       SUM(CASE WHEN mm AND compared THEN 1 ELSE 0 END) FROM c3
+""", "Full Merkle-tree anti-entropy protocol (the multi-level form "
+     "l13 points at): 512 leaf buckets roll up through fanout-8 "
+     "levels to a root signature per store; repair descends ONLY "
+     "into mismatched nodes, and the output is the protocol trace - "
+     "per level, how many nodes exist, how many were actually "
+     "compared (children of mismatched parents), how many of those "
+     "mismatched. Signatures are order-independent XORs of portable "
+     "row hashes, so every level is one map-side-partial aggregate "
+     "of the level below (leaf agg scans the stores once; upper "
+     "levels aggregate 512/64/8 rows). At 100 TB the bytes on the "
+     "wire are root + 8*mismatched-path nodes instead of the full "
+     "key space - log-depth narrowing, Cassandra repair's exact "
+     "shape, with the descend-only-on-mismatch rule computed in the "
+     "query itself.")
+def l20_merkle_repair_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
+
+    def leaf_sig(df: DataFrame) -> DataFrame:
+        payload = F.concat_ws(
+            "|",
+            F.col("key").cast("string"),
+            F.col("price").cast("decimal(14,2)").cast("string"),
+            fmt_ts("version"),
+        )
+        return (
+            df.select((F.col("key") % 512).alias("node"),
+                      portable_hash60(payload).alias("rh"))
+            .groupBy("node")
+            .agg(F.expr("bit_xor(rh)").alias("sig"), F.count("*").alias("n"))
+        )
+
+    def roll(level_df: DataFrame) -> DataFrame:
+        return (
+            level_df.groupBy(
+                F.floor(F.col("node") / 8).cast("bigint").alias("node"))
+            .agg(F.expr("bit_xor(sig)").alias("sig"), F.sum("n").alias("n"))
+        )
+
+    def mm_join(a: DataFrame, b: DataFrame) -> DataFrame:
+        a, b = a.alias("a"), b.alias("b")
+        j = a.join(b, F.col("a.node") == F.col("b.node"), "full_outer")
+        mm = (~F.col("a.sig").eqNullSafe(F.col("b.sig"))
+              | ~F.col("a.n").eqNullSafe(F.col("b.n")))
+        return j.select(
+            F.coalesce(F.col("a.node"), F.col("b.node")).alias("node"),
+            mm.alias("mm"),
+        )
+
+    la3 = leaf_sig(side_a(spark, sf_dir))
+    lb3 = leaf_sig(side_b(spark, sf_dir))
+    la2, lb2 = roll(la3), roll(lb3)
+    la1, lb1 = roll(la2), roll(lb2)
+    la0 = la1.agg(F.expr("bit_xor(sig)").alias("sig"), F.sum("n").alias("n")) \
+             .select(F.lit(0).cast("bigint").alias("node"), "sig", "n")
+    lb0 = lb1.agg(F.expr("bit_xor(sig)").alias("sig"), F.sum("n").alias("n")) \
+             .select(F.lit(0).cast("bigint").alias("node"), "sig", "n")
+
+    m0, m1, m2, m3 = (mm_join(la0, lb0), mm_join(la1, lb1),
+                      mm_join(la2, lb2), mm_join(la3, lb3))
+    c1 = m1.crossJoin(
+        F.broadcast(m0.select(F.col("mm").alias("compared"))))
+    c2 = (
+        m2.alias("m")
+        .join(F.broadcast(c1.select(
+            F.col("node").alias("pnode"),
+            (F.col("mm") & F.col("compared")).alias("pmm"))),
+            F.floor(F.col("m.node") / 8).cast("bigint") == F.col("pnode"))
+        .select("m.node", "m.mm", F.col("pmm").alias("compared"))
+    )
+    c3 = (
+        m3.alias("m")
+        .join(F.broadcast(c2.select(
+            F.col("node").alias("pnode"),
+            (F.col("mm") & F.col("compared")).alias("pmm"))),
+            F.floor(F.col("m.node") / 8).cast("bigint") == F.col("pnode"))
+        .select("m.node", "m.mm", F.col("pmm").alias("compared"))
+    )
+
+    def level_row(level: int, df: DataFrame, all_compared: bool = False):
+        comp = F.lit(1) if all_compared else F.when(F.col("compared"), 1).otherwise(0)
+        mmc = (F.when(F.col("mm"), 1).otherwise(0) if all_compared
+               else F.when(F.col("mm") & F.col("compared"), 1).otherwise(0))
+        return df.agg(
+            F.lit(level).alias("level"),
+            F.count("*").alias("n_nodes"),
+            F.sum(comp).cast("bigint").alias("n_compared"),
+            F.sum(mmc).cast("bigint").alias("n_mismatched"),
+        ).select("level", "n_nodes", "n_compared", "n_mismatched")
+
+    return (
+        level_row(0, m0, all_compared=True)
+        .unionByName(level_row(1, c1))
+        .unionByName(level_row(2, c2))
+        .unionByName(level_row(3, c3))
+    )
