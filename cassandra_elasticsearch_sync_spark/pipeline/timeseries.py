@@ -1060,3 +1060,76 @@ def k7n_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c") - trend - seasonal, 6).alias("residual"),
         )
     )
+
+
+@register("k7o_cusum_changepoint", "K7", """
+WITH daily AS (
+  SELECT event_type, STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day, cents,
+         SUM(cents) OVER w AS s_t,
+         ROW_NUMBER() OVER w AS t,
+         SUM(cents) OVER (PARTITION BY event_type) AS s_n,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+),
+dev AS (
+  SELECT event_type, day, n,
+         ABS(n * s_t - t * s_n) AS dev
+  FROM cum
+)
+SELECT event_type, n AS n_days,
+       MIN(day) FILTER (WHERE dev = max_dev) AS change_day,
+       max_dev AS max_dev_scaled
+FROM (SELECT *, MAX(dev) OVER (PARTITION BY event_type) AS max_dev FROM dev)
+GROUP BY event_type, n, max_dev
+""", "Offline CUSUM changepoint detection per event type: the day "
+     "t* maximizing |n*S_t - t*S_n| over the daily-total series - "
+     "the point where the series' mean most likely shifted (the "
+     "cross-multiplied form keeps every quantity an exact integer "
+     "in cents, the same multiply-through technique as the seasonal "
+     "decomposition, so the argmax is bit-deterministic with no "
+     "float division anywhere). One grouped day-rollup (map-side "
+     "partial over the raw scan), then windows over the bounded "
+     "per-type DAY series (calendar-bounded cardinality, not row "
+     "cardinality), then a per-type argmax with earliest-day "
+     "tiebreak. The monitoring primitive behind 'when did this "
+     "metric regress' at any corpus size.")
+def k7o_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wp = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type", "day",
+        F.sum("cents").over(w).alias("s_t"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+         .alias("t"),
+        F.sum("cents").over(wp).alias("s_n"),
+        F.count("*").over(wp).alias("n"),
+    )
+    dev = cum.select(
+        "event_type", "day", "n",
+        F.abs(F.col("n") * F.col("s_t") - F.col("t") * F.col("s_n"))
+         .alias("dev"),
+    )
+    return dev.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.min_by("day", F.struct(F.negate(F.col("dev")), F.col("day")))
+         .alias("change_day"),
+        F.max("dev").alias("max_dev_scaled"),
+    ).select("event_type", "n_days", "change_day", "max_dev_scaled")
