@@ -567,6 +567,44 @@ class AcidParquetTable:
         seq.update({d: base + 1 for d in fresh})
         return self._commit(base, new_files, schema, stats, seq=seq, deletes=[])
 
+    # -- change data feed --------------------------------------------------
+
+    def changes(self, keys: list[str], v_from: int, v_to: int) -> DataFrame:
+        """Row-level change feed between two committed snapshots - the
+        Delta CDF / ``table_changes()`` read: one row per key whose
+        content differs, labeled insert/update/delete, with old and new
+        payloads side by side. Computed as ONE full-outer join of the
+        two snapshot reads on the key (both sides shuffle-partitioned
+        once; at 100 TB this is the same canonical diff shape as the
+        L1 reconciliation). Unchanged keys are dropped via null-safe
+        comparison over every non-key column, so schema evolution
+        between the versions surfaces as updates, not noise."""
+        old = self.read(v_from).alias("o")
+        new = self.read(v_to).alias("n")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(f"o.`{k}`") == F.col(f"n.`{k}`"))
+        j = old.join(new, cond, "full_outer")
+        o_key, n_key = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
+        old_cols = [c for c in self.read(v_from).columns if c not in keys]
+        new_cols = [c for c in self.read(v_to).columns if c not in keys]
+        same = F.lit(True)
+        for c in sorted(set(old_cols) & set(new_cols)):
+            same = same & F.col(f"o.`{c}`").eqNullSafe(F.col(f"n.`{c}`"))
+        change = (
+            F.when(o_key.isNull(), F.lit("insert"))
+            .when(n_key.isNull(), F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )
+        out_cols = [F.coalesce(o_key, n_key).alias(keys[0])]
+        out_cols += [F.coalesce(F.col(f"o.`{k}`"), F.col(f"n.`{k}`")).alias(k)
+                     for k in keys[1:]]
+        out_cols.append(change.alias("change_type"))
+        out_cols += [F.col(f"o.`{c}`").alias(f"{c}_old") for c in old_cols]
+        out_cols += [F.col(f"n.`{c}`").alias(f"{c}_new") for c in new_cols]
+        return j.withColumn("__ct", change).filter(
+            F.col("__ct").isNotNull()).select(*out_cols)
+
     # -- schema evolution --------------------------------------------------
 
     def add_columns(self, new_fields) -> int:

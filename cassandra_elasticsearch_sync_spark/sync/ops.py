@@ -1208,3 +1208,66 @@ def l20_merkle_repair_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(level_row(2, c2))
         .unionByName(level_row(3, c3))
     )
+
+
+@register("l21_acid_change_feed", "A7+L2", _SIDES_SQL + """
+, v2 AS (
+  SELECT key, price, version FROM (
+    SELECT COALESCE(t.key, s.key) AS key,
+           CASE WHEN s.key IS NOT NULL AND (t.key IS NULL OR s.version > t.version)
+                THEN s.price ELSE t.price END AS price,
+           CASE WHEN s.key IS NOT NULL AND (t.key IS NULL OR s.version > t.version)
+                THEN s.version ELSE t.version END AS version,
+           CASE WHEN s.key IS NOT NULL AND s.key % 100 = 0 THEN 1 ELSE 0 END AS deleted
+    FROM side_a t FULL OUTER JOIN side_b s ON t.key = s.key
+  ) WHERE deleted = 0
+)
+SELECT * FROM (
+  SELECT COALESCE(o.key, n.key) AS key,
+         CASE WHEN o.key IS NULL THEN 'insert'
+              WHEN n.key IS NULL THEN 'delete'
+              WHEN o.price IS DISTINCT FROM n.price
+                   OR o.version IS DISTINCT FROM n.version THEN 'update'
+         END AS change_type,
+         o.price AS price_old,
+         STRFTIME(DATE_TRUNC('second', o.version), '%Y-%m-%d %H:%M:%S') AS version_s_old,
+         n.price AS price_new,
+         STRFTIME(DATE_TRUNC('second', n.version), '%Y-%m-%d %H:%M:%S') AS version_s_new
+  FROM side_a o FULL OUTER JOIN v2 n ON o.key = n.key
+) WHERE change_type IS NOT NULL
+""", "Change data feed between ACID snapshots (Delta CDF / "
+     "table_changes): side_a commits as v1, the LWW+delete MERGE "
+     "produces v2, and AcidParquetTable.changes(v1, v2) emits one "
+     "row per changed key labeled insert/update/delete with old and "
+     "new payloads side by side - the downstream-sync primitive that "
+     "lets a consumer replicate a table without rescanning it. ONE "
+     "full-outer join of the two snapshot reads on the key (the L1 "
+     "diff shape; both sides shuffle once, unchanged keys dropped "
+     "via null-safe comparison over every non-key column). "
+     "Hash-matched against the relational reconstruction of both "
+     "versions - the feed is proven, not inferred from write-path "
+     "bookkeeping.")
+def l21_acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    root = tempfile.mkdtemp(prefix="ces_acid_cdf_")
+    try:
+        t = AcidParquetTable(spark, root)
+        v1 = t.init(side_a(spark, sf_dir))
+        v2 = t.merge_into(
+            side_b(spark, sf_dir),
+            ["key"],
+            matched_condition=F.col("src.version") > F.col("tgt.version"),
+            delete_condition=F.col("src.key") % 100 == 0,
+        )
+        feed = t.changes(["key"], v1, v2)
+        return feed.select(
+            "key", "change_type",
+            "price_old", fmt_ts("version_old").alias("version_s_old"),
+            "price_new", fmt_ts("version_new").alias("version_s_new"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

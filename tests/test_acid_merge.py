@@ -500,3 +500,19 @@ def test_read_as_of_timestamp(spark, root):
     assert _rows(t.read_as_of(ts_v2 + 1.0)) == [(1, 10.0, 1), (2, 20.0, 1)]
     with pytest.raises(ValueError):
         t.read_as_of(ts_v1 - 10.0)
+
+
+def test_change_feed_classifies_and_skips_unchanged(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)])
+    v1 = t.current_version()
+    v2 = t.merge_into(
+        spark.createDataFrame(
+            [(2, 99.0, 2), (4, 40.0, 1), (3, 30.0, 1)],
+            "key bigint, price double, version int"),
+        ["key"],
+        delete_condition=F.col("src.key") == 3,
+    )
+    feed = {r["key"]: r["change_type"]
+            for r in t.changes(["key"], v1, v2).collect()}
+    # key 1 untouched -> absent; 2 updated; 3 deleted; 4 inserted
+    assert feed == {2: "update", 3: "delete", 4: "insert"}
