@@ -464,12 +464,22 @@ def es_aggregate(df: DataFrame, aggs: dict,
     if "terms" in spec:
         field = spec["terms"]["field"]
         size = spec["terms"].get("size", 10)
-        out = (
-            df.groupBy(F.col(field).alias("key"))
-            .agg(F.count("*").alias("doc_count"), *sub)
-            .orderBy(F.col("doc_count").desc(), F.col("key"))
-            .limit(size)
-        )
+        grouped = df.groupBy(F.col(field).alias("key")).agg(
+            F.count("*").alias("doc_count"), *sub)
+        order = spec["terms"].get("order")
+        if order:
+            # ES terms order: by a sub-aggregation metric, _count, or
+            # _key - still one TakeOrderedAndProject over the grouped
+            # aggregate, never a full sort.
+            (ocol, odir), = order.items()
+            c = (F.col("key") if ocol == "_key"
+                 else F.col("doc_count") if ocol == "_count"
+                 else F.col(ocol))
+            lead = c.desc() if odir == "desc" else c.asc()
+            out = grouped.orderBy(lead, F.col("key")).limit(size)
+        else:
+            out = grouped.orderBy(
+                F.col("doc_count").desc(), F.col("key")).limit(size)
         return _apply_bucket_pipeline(out, bucket_pipeline)
     if "composite" in spec:
         # Composite agg: deterministic pagination over the FULL bucket
@@ -1520,3 +1530,85 @@ def a3v_es_matrix_stats(spark, sf_dir):
             )
             pair_rows = row if pair_rows is None else pair_rows.unionByName(row)
     return pair_rows
+
+
+def es_collapse(df, query: dict, collapse_field: str,
+                sort: list[tuple[str, str]], size: int):
+    """ES search-with-collapse: hits deduplicated on ``collapse_field``
+    (one TOP document per group by the caller's sort), the page then
+    takes the best ``size`` groups by the same sort. The sort must be
+    a total order per group (ES breaks ties by shard doc id, which is
+    irreproducible; an explicit tiebreak is the deterministic
+    restatement - same contract as top_hits). Plan: filtered scan ->
+    per-group row_number (groups are collapse-key sized) -> global
+    TakeOrderedAndProject of the group winners; never a full sort,
+    and the collapse key's cardinality never materializes anywhere."""
+    from pyspark.sql import Window
+
+    filtered = es_search(df, query) if query else df
+    order = [
+        (F.col(c).desc() if d == "desc" else F.col(c).asc()) for c, d in sort
+    ]
+    w = Window.partitionBy(collapse_field).orderBy(*order)
+    return (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy(*order)
+        .limit(size)
+    )
+
+
+@register("a3w_es_terms_order_by_metric", "A3+D8", """
+SELECT * FROM (
+  SELECT o_custkey AS key, COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+              AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY 1
+) ORDER BY revenue DESC, key LIMIT 15
+""", "ES terms aggregation ordered by a SUB-METRIC (order: {revenue: "
+     "desc}) instead of doc_count - the 'top customers by revenue' "
+     "leaderboard, which is semantically different from top-by-count "
+     "whenever value and volume diverge. Still one map-side-partial "
+     "grouped aggregate + TakeOrderedAndProject on the bucket table "
+     "(never a full sort); ES documents this ordering as "
+     "approximate across shards - the compiled form is exact, "
+     "at-least-as-correct. _key and _count orders compile through "
+     "the same path.")
+def a3w_es_terms_order_by_metric(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "top_customers": {
+            "terms": {"field": "o_custkey", "size": 15,
+                      "order": {"revenue": "desc"}},
+            "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
+        }
+    })
+
+
+@register("a3x_es_field_collapse", "A3+E4", """
+SELECT key, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey AS key, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_orderstatus = 'O'
+) WHERE rn = 1
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""", "ES field collapsing: open-order search results deduplicated to "
+     "ONE top hit per customer (collapse on o_custkey, sorted by "
+     "price with the order key as the deterministic tiebreak), then "
+     "the 20 best collapsed groups - the 'one result per domain' "
+     "SERP behavior. Pushed filter -> per-group row_number (groups "
+     "are per-customer sized) -> TakeOrderedAndProject of the "
+     "winners; group cardinality never concentrates on one reducer.")
+def a3x_es_field_collapse(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_collapse(
+        o.select(F.col("o_custkey").alias("key"), "o_orderkey",
+                 "o_totalprice", "o_orderstatus"),
+        {"term": {"o_orderstatus": "O"}},
+        "key",
+        [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        20,
+    ).select("key", "o_orderkey", "o_totalprice")
