@@ -39,7 +39,13 @@ PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
          # per-doc reassembly), perplexity terciles (bigram join + grouped
          # ntile), incremental dedup (hash anti-join probe)
          "k1d_substring_dup_spans", "k_span_corruption",
-         "k_perplexity_buckets", "k1e_incremental_dedup")
+         "k_perplexity_buckets", "k1e_incremental_dedup",
+         # second-continuation additions: Merkle tree (two store scans
+         # + XOR rollups), hierarchy rollup (O(depth) join rounds),
+         # CUSUM (day rollup + bounded windows), nearest as-of (union +
+         # one user_id shuffle), change feed (snapshot full-outer diff)
+         "l20_merkle_repair_protocol", "c11_hierarchy_rollup",
+         "k7o_cusum_changepoint", "c8c_nearest_asof_join")
 
 SMALL = ("region", "nation", "customer", "supplier", "part")
 
