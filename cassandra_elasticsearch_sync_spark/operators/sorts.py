@@ -48,3 +48,27 @@ def f3_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .limit(10)
     )
+
+
+@register("f4_nulls_ordering", "F1", """
+SELECT c_custkey, bal
+FROM (SELECT c_custkey, NULLIF(ROUND(c_acctbal), 0) AS bal FROM customer)
+ORDER BY bal ASC NULLS FIRST, c_custkey
+LIMIT 50
+""", "Explicit NULLS FIRST/LAST ordering semantics: engines disagree "
+     "by default (Spark sorts NULLs first ascending, DuckDB last), so "
+     "portable sorts must pin the placement - this query orders "
+     "derived-null balances NULLS FIRST with a key tiebreak and takes "
+     "a page. Compiles to TakeOrderedAndProject with asc_nulls_first; "
+     "no full sort. The page boundary cutting through the null run is "
+     "exactly what an unpinned sort gets wrong cross-engine.")
+def f4_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.nullif(F.round("c_acctbal"), F.lit(0.0)).alias("bal"),
+        )
+        .orderBy(F.col("bal").asc_nulls_first(), F.col("c_custkey"))
+        .limit(50)
+    )

@@ -481,3 +481,48 @@ def e11_churn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("churn_gap_rate"),
     )
+
+
+@register("e12_range_interval_frame", "E3", """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(EPOCH(DATE_TRUNC('second', o_orderdate)) AS BIGINT) AS es,
+         o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+              OVER (PARTITION BY o_custkey ORDER BY es
+                    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,2)) AS DOUBLE) AS trailing_30d_revenue,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY es
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+         AS trailing_30d_orders
+FROM o
+""", "RANGE-interval window frame: per customer, each order's "
+     "trailing-30-day revenue and order count - the frame bound is a "
+     "VALUE offset on event time (2592000 s), not a row count, so "
+     "same-timestamp rows aggregate together and sparse/bursty "
+     "histories window correctly where a ROWS frame would not (the "
+     "semantic difference from e3). One shuffle on the partition key; "
+     "frames never leave the per-customer group, sums decimal-exact. "
+     "The trailing-window-metric shape behind every rolling-revenue "
+     "and rate-limit query.")
+def e12_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    es = F.unix_timestamp(F.date_trunc("second", "o_orderdate"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("es"))
+        .rangeBetween(-2592000, 0)
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", es.alias("es"), "o_totalprice")
+        .select(
+            "o_custkey", "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w)
+             .cast("decimal(38,2)").cast("double")
+             .alias("trailing_30d_revenue"),
+            F.count("*").over(w).alias("trailing_30d_orders"),
+        )
+    )
