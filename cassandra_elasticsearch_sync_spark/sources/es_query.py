@@ -289,7 +289,7 @@ def es_aggregate(df: DataFrame, aggs: dict,
     (name, spec), = aggs.items()
 
     def _is_bucket(s: dict) -> bool:
-        return any(k in s for k in ("terms", "date_histogram", "range", "composite",
+        return any(k in s for k in ("terms", "date_histogram", "range", "date_range", "composite",
                                     "significant_terms", "filter", "histogram",
                                     "rare_terms"))
 
@@ -638,6 +638,29 @@ def es_aggregate(df: DataFrame, aggs: dict,
                 cond = cond & (F.col(field) >= lo)   # ES: from inclusive
             if hi is not None:
                 cond = cond & (F.col(field) < hi)    # ES: to exclusive
+            entries.append(F.when(cond, F.lit(key)))
+        keys = F.array_compact(F.array(*entries))
+        return (
+            df.withColumn("key", F.explode(keys))
+            .groupBy("key")
+            .agg(F.count("*").alias("doc_count"), *sub)
+        )
+    if "date_range" in spec:
+        # date_range: range's calendar twin - [from, to) half-open on
+        # a date/timestamp field, doc in EVERY matching range, key
+        # "from-to" with "*" open ends. Same explode-matching-keys
+        # compilation as range: one scan, overlap-correct.
+        body = spec["date_range"]
+        field, ranges = body["field"], body["ranges"]
+        entries = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(field) >= F.to_timestamp(F.lit(lo)))
+            if hi is not None:
+                cond = cond & (F.col(field) < F.to_timestamp(F.lit(hi)))
             entries.append(F.when(cond, F.lit(key)))
         keys = F.array_compact(F.array(*entries))
         return (
@@ -1612,3 +1635,42 @@ def a3x_es_field_collapse(spark, sf_dir):
         [("o_totalprice", "desc"), ("o_orderkey", "asc")],
         20,
     ).select("key", "o_orderkey", "o_totalprice")
+
+
+@register("a3y_es_date_range_agg", "A3", """
+WITH r AS (
+  SELECT * FROM (VALUES
+    ('*-1995-01-01',          NULL,                            TIMESTAMP '1995-01-01'),
+    ('1995-01-01-1997-06-01', TIMESTAMP '1995-01-01',          TIMESTAMP '1997-06-01'),
+    ('1996-01-01-1998-01-01', TIMESTAMP '1996-01-01',          TIMESTAMP '1998-01-01'),
+    ('1997-06-01-*',          TIMESTAMP '1997-06-01',          NULL)
+  ) AS t(key, lo, hi)
+)
+SELECT r.key, COUNT(*) AS doc_count,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue
+FROM orders o JOIN r
+  ON (r.lo IS NULL OR o.o_orderdate >= r.lo)
+ AND (r.hi IS NULL OR o.o_orderdate <  r.hi)
+GROUP BY r.key
+""", "ES date_range aggregation with OVERLAPPING calendar ranges: "
+     "[from, to) half-open buckets on the order date, a document "
+     "landing in EVERY matching range (the 1996-1998 bucket overlaps "
+     "both neighbors - the fiscal-vs-calendar-year dashboard shape). "
+     "Compiles to one scan + explode of the per-row matching-key "
+     "array + one grouped aggregate; output rows = range count "
+     "regardless of corpus size, and the scan never repeats per "
+     "range (the naive N-scans-for-N-ranges plan at 100 TB).")
+def a3y_es_date_range_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "by_period": {
+            "date_range": {"field": "o_orderdate", "ranges": [
+                {"to": "1995-01-01"},
+                {"from": "1995-01-01", "to": "1997-06-01"},
+                {"from": "1996-01-01", "to": "1998-01-01"},
+                {"from": "1997-06-01"},
+            ]},
+            "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
+        }
+    })
