@@ -785,3 +785,117 @@ def k_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
         )
     )
+
+
+@register("k_cohens_kappa", "D5", """
+WITH rated AS (
+  SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END AS a,
+         CASE WHEN value > 55 OR event_type = 'error' THEN 1 ELSE 0 END AS b
+  FROM events
+),
+cells AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+         SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+         SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+         SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+  FROM rated
+)
+SELECT n, n11, n10, n01, n00,
+       ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+       ROUND((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+             + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n),
+             6) AS pe,
+       ROUND((CAST(n11 + n00 AS DOUBLE) / n
+              - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                 + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)))
+             / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+                 + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))),
+             6) AS kappa
+FROM cells
+""", "Cohen's kappa inter-rater agreement - the labeling-QA metric "
+     "every RLHF/classifier pipeline reports: two deterministic "
+     "'raters' (threshold rules over events; swap in real annotator "
+     "columns at no plan change) reduce to one 2x2 contingency row "
+     "(map-side-partial conditional counts), and kappa = "
+     "(po - pe)/(1 - pe) evaluates on exact integers with doubles "
+     "only in the final formula - identical expression tree both "
+     "engines, bit-exact hash. One scan, one aggregate row, any "
+     "corpus size.")
+def k_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = F.when(F.col("value") > 50, 1).otherwise(0)
+    b = F.when((F.col("value") > 55) | (F.col("event_type") == "error"), 1).otherwise(0)
+    cells = ev.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)).alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = ((F.col("n11") + F.col("n10")).cast("double") / F.col("n")) \
+        * ((F.col("n11") + F.col("n01")).cast("double") / F.col("n")) \
+        + ((F.col("n01") + F.col("n00")).cast("double") / F.col("n")) \
+        * ((F.col("n10") + F.col("n00")).cast("double") / F.col("n"))
+    return cells.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+@register("k_chi_square_independence", "D5", """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT SUM(o) AS n FROM cells),
+rows_ AS (SELECT lang, SUM(o) AS rt FROM cells GROUP BY 1),
+cols_ AS (SELECT source, SUM(o) AS ct FROM cells GROUP BY 1),
+contrib AS (
+  SELECT c.lang, c.source,
+         POWER(CAST(c.o AS DOUBLE)
+               - CAST(r.rt AS DOUBLE) * CAST(co.ct AS DOUBLE) / CAST(t.n AS DOUBLE), 2)
+           / (CAST(r.rt AS DOUBLE) * CAST(co.ct AS DOUBLE) / CAST(t.n AS DOUBLE)) AS x
+  FROM cells c
+  JOIN rows_ r ON c.lang = r.lang
+  JOIN cols_ co ON c.source = co.source
+  CROSS JOIN tot t
+),
+dims AS (SELECT COUNT(DISTINCT lang) AS nr, COUNT(DISTINCT source) AS nc FROM cells)
+SELECT ROUND(SUM(x), 6) AS chi2,
+       (SELECT (nr - 1) * (nc - 1) FROM dims) AS dof
+FROM contrib
+""", "Chi-square test of independence over the (lang x source) "
+     "contingency table - 'does document source predict language', "
+     "the dataset-bias screen a corpus audit runs. Observed counts "
+     "and marginals are exact integers from ONE grouped count (cell "
+     "cardinality = |langs| x |sources|, corpus-size independent); "
+     "expected counts and the statistic evaluate in doubles over "
+     "identical expression trees, broadcast-joined marginals. The "
+     "same plan computes any categorical-pair audit at 100 TB.")
+def k_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    e = (F.col("rt").cast("double") * F.col("ct").cast("double")
+         / F.col("n").cast("double"))
+    contrib = (
+        cells.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(F.pow(F.col("o").cast("double") - e, 2).alias("num"),
+                e.alias("den"))
+        .select((F.col("num") / F.col("den")).alias("x"))
+    )
+    dims = cells.agg(
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
+        .cast("bigint").alias("dof"))
+    return (
+        contrib.agg(F.round(F.sum("x"), 6).alias("chi2"))
+        .crossJoin(F.broadcast(dims))
+    )

@@ -1206,3 +1206,74 @@ def k_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("truncated"),
         F.md5(F.col("sample").cast("binary")).alias("sample_md5"),
     )
+
+
+@register("k_rouge_overlap", "K4", """
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, lang, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2, 3
+),
+paired AS (
+  SELECT c.doc_id, c.lang,
+         SUM(LEAST(c.n, r.n)) AS clipped,
+         (SELECT LEN(STRING_SPLIT(d1.text, ' ')) FROM documents d1
+          WHERE d1.doc_id = c.doc_id) AS cand_len,
+         (SELECT LEN(STRING_SPLIT(d2.text, ' ')) FROM documents d2
+          WHERE d2.doc_id = c.doc_id + 1) AS ref_len
+  FROM counts c JOIN counts r
+    ON r.doc_id = c.doc_id + 1 AND r.lang = c.lang AND r.tok = c.tok
+  GROUP BY c.doc_id, c.lang
+)
+SELECT doc_id, lang, clipped, cand_len, ref_len,
+       ROUND(CAST(clipped AS DOUBLE) / cand_len, 6) AS rouge1_precision,
+       ROUND(CAST(clipped AS DOUBLE) / ref_len, 6) AS rouge1_recall,
+       ROUND(2.0 * CAST(clipped AS DOUBLE)
+             / (CAST(cand_len AS DOUBLE) + CAST(ref_len AS DOUBLE)), 6)
+         AS rouge1_f1
+FROM paired
+""", "ROUGE-1 overlap scoring - the summarization/generation eval "
+     "metric as a distributed op: each document scores against its "
+     "successor in the same language (the deterministic pair stand-in "
+     "for candidate/reference columns; swap in any (cand, ref) pair "
+     "at no plan change). Clipped-multiset unigram overlap = "
+     "SUM(LEAST(n_cand, n_ref)) over the per-(doc, token) count join "
+     "- the textbook definition, all exact integers until the final "
+     "P/R/F1 ratios. Plan: one explode + one grouped count + one "
+     "equi-join on (pair, token); no per-row Python, no all-pairs - "
+     "at 100 TB the join carries only tokens the pair SHARES.")
+def k_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("len"))
+    counts = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    c = counts.alias("c")
+    r = counts.alias("r")
+    clipped = (
+        c.join(r, (F.col("r.doc_id") == F.col("c.doc_id") + 1)
+               & (F.col("r.lang") == F.col("c.lang"))
+               & (F.col("r.tok") == F.col("c.tok")))
+        .groupBy(F.col("c.doc_id").alias("doc_id"), F.col("c.lang").alias("lang"))
+        .agg(F.sum(F.least(F.col("c.n"), F.col("r.n"))).alias("clipped"))
+    )
+    out = (
+        clipped
+        .join(lens.withColumnRenamed("len", "cand_len"), "doc_id")
+        .join(lens.select((F.col("doc_id") - 1).alias("doc_id"),
+                          F.col("len").alias("ref_len")), "doc_id")
+    )
+    cl = F.col("clipped").cast("double")
+    return out.select(
+        "doc_id", "lang", "clipped", "cand_len", "ref_len",
+        F.round(cl / F.col("cand_len"), 6).alias("rouge1_precision"),
+        F.round(cl / F.col("ref_len"), 6).alias("rouge1_recall"),
+        F.round(2.0 * cl / (F.col("cand_len").cast("double")
+                            + F.col("ref_len").cast("double")), 6)
+         .alias("rouge1_f1"),
+    )
