@@ -899,3 +899,57 @@ def k_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.agg(F.round(F.sum("x"), 6).alias("chi2"))
         .crossJoin(F.broadcast(dims))
     )
+
+
+@register("k_epoch_shuffle", "K1+F1", """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(MD5('epoch1|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS pos1,
+         CAST(('0x' || SUBSTR(MD5('epoch2|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS pos2
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY pos1, doc_id) AS order_epoch1,
+         ROW_NUMBER() OVER (ORDER BY pos2, doc_id) AS order_epoch2
+  FROM h
+)
+SELECT doc_id, order_epoch1, order_epoch2
+FROM r
+ORDER BY order_epoch1
+LIMIT 100
+""", "Reproducible per-epoch training shuffle: each epoch's order is "
+     "rank-of-hash(seed || doc_id) - deterministic, seed-switchable, "
+     "and identical on every worker/re-run without materializing a "
+     "permutation (the property data loaders need for resumable "
+     "multi-epoch training; two epochs shown, decorrelated by seed). "
+     "The demo ranks via the two-pass distributed order primitive "
+     "shape (rank = count of smaller hashes); at 100 TB the rank "
+     "itself is usually unnecessary - ORDER BY the hash directly in "
+     "each epoch's reader - so the plan is a projection, a sort for "
+     "the page, and nothing else.")
+def k_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        portable_hash60(F.concat(F.lit("epoch1|"),
+                                 F.col("doc_id").cast("string"))).alias("pos1"),
+        portable_hash60(F.concat(F.lit("epoch2|"),
+                                 F.col("doc_id").cast("string"))).alias("pos2"),
+    )
+    r1, _ = with_global_order(h, [F.col("pos1"), F.col("doc_id")],
+                              rank_col="order_epoch1")
+    r2, _ = with_global_order(r1, [F.col("pos2"), F.col("doc_id")],
+                              rank_col="order_epoch2")
+    return (
+        r2.select("doc_id", "order_epoch1", "order_epoch2")
+        .orderBy("order_epoch1")
+        .limit(100)
+    )

@@ -1277,3 +1277,54 @@ def k_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + F.col("ref_len").cast("double")), 6)
          .alias("rouge1_f1"),
     )
+
+
+@register("k_bpe_top_merges", "K4", """
+WITH words AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents
+),
+counted AS (
+  SELECT w, COUNT(*) AS freq FROM words WHERE LEN(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT SUBSTR(w, i, 1) AS left_sym, SUBSTR(w, i + 1, 1) AS right_sym,
+         freq
+  FROM counted, UNNEST(RANGE(1, LEN(w))) AS t(i)
+),
+scored AS (
+  SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_freq
+  FROM pairs GROUP BY 1, 2
+)
+SELECT * FROM scored
+ORDER BY pair_freq DESC, left_sym, right_sym
+LIMIT 20
+""", "The BPE-training inner loop as a distributed op: count every "
+     "adjacent character pair across the word-frequency table and "
+     "rank the top merge candidates - exactly what one iteration of "
+     "byte-pair-encoding tokenizer training computes before applying "
+     "the best merge and repeating. Word-level pre-aggregation first "
+     "(the classic optimization: pair counts weight by word FREQUENCY "
+     "rather than re-scanning every occurrence), then a posexplode of "
+     "character offsets and one grouped sum - alphabet-bounded output "
+     "regardless of corpus size. Iterating = re-running with the "
+     "merged vocab, the standard Spark-side tokenizer-training loop.")
+def k_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counted = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    # adjacent pair at offset i (1-based substring arithmetic)
+    pairs = counted.select(
+        "freq", "w",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select(
+        F.expr("substr(w, i, 1)").alias("left_sym"),
+        F.expr("substr(w, i + 1, 1)").alias("right_sym"),
+        "freq",
+    )
+    scored = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").alias("pair_freq"))
+    return scored.orderBy(
+        F.col("pair_freq").desc(), "left_sym", "right_sym").limit(20)

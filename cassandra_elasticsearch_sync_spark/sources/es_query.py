@@ -1674,3 +1674,63 @@ def a3y_es_date_range_agg(spark, sf_dir):
             "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
         }
     })
+
+
+@register("a3z_es_significant_text", "A3+K4", """
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang,
+         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+  FROM documents
+),
+fg AS (SELECT tok, COUNT(*) AS fg_c FROM toks WHERE lang = 'de' GROUP BY tok),
+bg AS (SELECT tok, COUNT(*) AS bg_c FROM toks GROUP BY tok),
+nn AS (SELECT COUNT(DISTINCT CASE WHEN lang = 'de' THEN doc_id END) AS fg_n,
+              COUNT(DISTINCT doc_id) AS bg_n
+       FROM documents),
+scored AS (
+  SELECT fg.tok AS term, fg_c, bg_c,
+         (CAST(fg_c AS DOUBLE) / fg_n - CAST(bg_c AS DOUBLE) / bg_n)
+           * ((CAST(fg_c AS DOUBLE) / fg_n) / (CAST(bg_c AS DOUBLE) / bg_n)) AS s
+  FROM fg JOIN bg ON fg.tok = bg.tok CROSS JOIN nn
+)
+SELECT term, fg_c, bg_c, ROUND(s, 6) AS score
+FROM scored WHERE s > 0
+ORDER BY s DESC, term LIMIT 15
+""", "ES significant_text aggregation: which TOKENS are "
+     "over-represented in the German subset relative to the whole "
+     "corpus, JLH-scored ((fg% - bg%) * fg%/bg%) - significant_terms' "
+     "free-text sibling, the 'what words characterize this slice' "
+     "facet. Token frequencies are DOCUMENT frequencies (per-doc "
+     "distinct tokens, ES's filter_duplicate_text-adjacent behavior), "
+     "from one explode + distinct + two grouped counts; the "
+     "foreground joins the background on the token (both token-"
+     "cardinality sized, never row-sized) with the 1-row totals "
+     "broadcast. Same JLH math as a3i, asserted over text instead of "
+     "a keyword field.")
+def a3z_es_significant_text(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "lang",
+                 F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .distinct()
+    )
+    fg = toks.filter(F.col("lang") == "de").groupBy("tok").agg(
+        F.count("*").alias("fg_c"))
+    bg = toks.groupBy("tok").agg(F.count("*").alias("bg_c"))
+    nn = d.agg(
+        F.countDistinct(F.when(F.col("lang") == "de", F.col("doc_id")))
+         .alias("fg_n"),
+        F.countDistinct("doc_id").alias("bg_n"),
+    )
+    fgp = F.col("fg_c").cast("double") / F.col("fg_n")
+    bgp = F.col("bg_c").cast("double") / F.col("bg_n")
+    s = (fgp - bgp) * (fgp / bgp)
+    return (
+        fg.join(bg, "tok").crossJoin(F.broadcast(nn))
+        .select(F.col("tok").alias("term"), "fg_c", "bg_c",
+                F.round(s, 6).alias("score"), s.alias("_s"))
+        .filter(F.col("_s") > 0)
+        .orderBy(F.col("_s").desc(), "term")
+        .limit(15)
+        .drop("_s")
+    )
