@@ -953,3 +953,101 @@ def k_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("order_epoch1")
         .limit(100)
     )
+
+
+@register("k_target_encoding", "K1+D1", """
+WITH t AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+seg AS (
+  SELECT c_mktsegment, COUNT(*) AS n_cat,
+         CAST(SUM(cents) AS BIGINT) AS sum_cat
+  FROM t GROUP BY 1
+),
+prior AS (
+  SELECT COUNT(*) AS n_all, CAST(SUM(cents) AS BIGINT) AS sum_all FROM t
+)
+SELECT t.c_custkey, t.c_mktsegment,
+       ROUND((CAST(sum_cat - cents AS DOUBLE) / (n_cat - 1)) / 100.0, 6)
+         AS loo_encoding,
+       ROUND(((CAST(sum_cat - cents AS DOUBLE) / (n_cat - 1)) * (n_cat - 1)
+              + 20.0 * (CAST(sum_all AS DOUBLE) / n_all))
+             / ((n_cat - 1) + 20.0) / 100.0, 6) AS smoothed_encoding
+FROM t JOIN seg USING (c_mktsegment) CROSS JOIN prior
+""", "Leave-one-out target encoding with additive smoothing - the "
+     "categorical-feature prep a tabular ML pipeline runs before "
+     "training: each customer's segment encodes as the mean target "
+     "(balance) of the OTHER members (LOO kills the self-leakage that "
+     "makes naive target encoding overfit), shrunk toward the global "
+     "prior with pseudo-count 20. Exact integer cents until the final "
+     "division; ONE grouped aggregate per category (broadcast back) + "
+     "a 1-row prior - no window, no self-join, category cardinality "
+     "never concentrates. The identical plan serves any "
+     "(category, target) pair at 100 TB.")
+def k_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    t = c.select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    seg = t.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cat"), F.sum("cents").alias("sum_cat"))
+    prior = t.agg(F.count("*").alias("n_all"), F.sum("cents").alias("sum_all"))
+    loo = (F.col("sum_cat") - F.col("cents")).cast("double") / (F.col("n_cat") - 1)
+    pri = F.col("sum_all").cast("double") / F.col("n_all")
+    return (
+        t.join(F.broadcast(seg), "c_mktsegment").crossJoin(F.broadcast(prior))
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.round(loo / 100.0, 6).alias("loo_encoding"),
+            F.round((loo * (F.col("n_cat") - 1) + F.lit(20.0) * pri)
+                    / ((F.col("n_cat") - 1) + F.lit(20.0)) / 100.0, 6)
+             .alias("smoothed_encoding"),
+        )
+    )
+
+
+@register("k_calibration_bins", "D5+K1", """
+WITH scored AS (
+  SELECT LEAST(GREATEST(value / 100.0, 0.0), 1.0) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin, score, label
+  FROM scored
+)
+SELECT bin, COUNT(*) AS n,
+       ROUND(AVG(score), 6) AS mean_score,
+       ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS observed_rate,
+       ROUND(SUM(POWER(score - label, 2)) / COUNT(*), 6) AS brier
+FROM binned
+GROUP BY bin
+""", "Calibration-curve bins + per-bin Brier score - the "
+     "classifier-QA readout (predicted probability vs observed rate "
+     "per decile) behind every model-monitoring dashboard; the "
+     "'score' here is a deterministic transform of the event value "
+     "standing in for a model-score column. One grouped aggregate "
+     "over 10 fixed bins, map-side partial, corpus-size independent "
+     "output. AVG/POWER accumulate per-bin in doubles with identical "
+     "expression trees both engines; scores are value/100 exact "
+     "two-decimal doubles so the sums are order-safe at these "
+     "magnitudes.")
+def k_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    score = F.least(F.greatest(F.col("value") / 100.0, F.lit(0.0)), F.lit(1.0))
+    label = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    binned = ev.select(
+        F.least(F.floor(score * 10).cast("bigint"), F.lit(9)).alias("bin"),
+        score.alias("score"), label.alias("label"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.sum("label").cast("double") / F.count("*"), 6)
+         .alias("observed_rate"),
+        F.round(F.sum(F.pow(F.col("score") - F.col("label"), 2))
+                / F.count("*"), 6).alias("brier"),
+    )
