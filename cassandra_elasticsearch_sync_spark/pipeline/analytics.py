@@ -1118,3 +1118,52 @@ def k_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("auc_num2").cast("double")
                 / (2.0 * F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
     )
+
+
+@register("k_pr_curve", "D5+E3", """
+WITH scored AS (
+  SELECT LEAST(GREATEST(value / 100.0, 0.0), 1.0) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+),
+th AS (SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+SELECT threshold,
+       CAST(SUM(CASE WHEN score >= threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN score >= threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN score < threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       ROUND(CAST(SUM(CASE WHEN score >= threshold AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END), 0), 6) AS precision_,
+       ROUND(CAST(SUM(CASE WHEN score >= threshold AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END), 0), 6) AS recall_
+FROM scored CROSS JOIN th
+GROUP BY threshold
+""", "Precision/recall curve points at nine fixed thresholds - the "
+     "operating-point table a deployment picks its cutoff from "
+     "(complements k_roc_auc's single ranking number and "
+     "k_calibration_bins' probability audit). One scan cross-joined "
+     "with the broadcast 9-row threshold table -> one grouped "
+     "aggregate of conditional counts; all integers until the two "
+     "edge divisions, output forever 9 rows. The empty-slice case "
+     "guards with NULLIF, matching SQL division semantics in both "
+     "engines.")
+def k_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    score = F.least(F.greatest(F.col("value") / 100.0, F.lit(0.0)), F.lit(1.0))
+    label = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    th = spark.createDataFrame(
+        [(t / 10.0,) for t in range(1, 10)], "threshold double")
+    s = ev.select(score.alias("score"), label.alias("label"))
+    j = s.crossJoin(F.broadcast(th))
+    pred = F.col("score") >= F.col("threshold")
+    tp = F.sum(F.when(pred & (F.col("label") == 1), 1).otherwise(0)).cast("bigint")
+    fp = F.sum(F.when(pred & (F.col("label") == 0), 1).otherwise(0)).cast("bigint")
+    fn = F.sum(F.when(~pred & (F.col("label") == 1), 1).otherwise(0)).cast("bigint")
+    npred = F.sum(F.when(pred, 1).otherwise(0))
+    npos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+    return j.groupBy("threshold").agg(
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
+        F.round(tp.cast("double") / F.nullif(npred, F.lit(0)), 6)
+         .alias("precision_"),
+        F.round(tp.cast("double") / F.nullif(npos, F.lit(0)), 6)
+         .alias("recall_"),
+    )

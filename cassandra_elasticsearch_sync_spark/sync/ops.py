@@ -1271,3 +1271,39 @@ def l21_acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l22_cdc_changes_only", "L2+E2", _SIDES_SQL + """
+, h AS (
+  SELECT key % 97 AS entity, key AS seq, price
+  FROM side_b
+),
+flagged AS (
+  SELECT entity, seq, price,
+         LAG(price) OVER (PARTITION BY entity ORDER BY seq) AS prev_price
+  FROM h
+)
+SELECT entity, seq, price
+FROM flagged
+WHERE prev_price IS NULL OR price IS DISTINCT FROM prev_price
+""", "CDC changes-only compression: collapse consecutive identical "
+     "values per entity, keeping only rows where the payload actually "
+     "changed from its predecessor - the dedup every change-feed "
+     "consumer wants before applying writes (Kafka compacted-topic / "
+     "Debezium 'skip unchanged' behavior). One per-entity LAG window "
+     "(entity-sized groups, never global) + a null-safe "
+     "value-distinctness filter; at 100 TB the emitted feed shrinks "
+     "to the true change rate and the plan is one shuffle on the "
+     "entity key.")
+def l22_cdc_changes_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = side_b(spark, sf_dir).select(
+        (F.col("key") % 97).alias("entity"),
+        F.col("key").alias("seq"),
+        "price",
+    )
+    w = Window.partitionBy("entity").orderBy("seq")
+    flagged = h.withColumn("prev_price", F.lag("price").over(w))
+    return flagged.filter(
+        F.col("prev_price").isNull()
+        | ~F.col("price").eqNullSafe(F.col("prev_price"))
+    ).select("entity", "seq", "price")
