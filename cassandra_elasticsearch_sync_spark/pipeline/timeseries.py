@@ -1133,3 +1133,71 @@ def k7o_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("change_day"),
         F.max("dev").alias("max_dev_scaled"),
     ).select("event_type", "n_days", "change_day", "max_dev_scaled")
+
+
+@register("k_session_paths", "K7+I4", """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, es,
+         CASE WHEN es - LAG(es) OVER w > 1800 OR LAG(es) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, event_type, es,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         STRING_AGG(event_type, '>' ORDER BY es, event_id) AS path
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""", "Session path mining: the top navigation sequences "
+     "(click>view>purchase...) across 30-min-gap sessions - the "
+     "user-journey analysis behind funnels, here with the FULL "
+     "ordered path as the unit. Sessionization is the i4 "
+     "gaps-and-islands shape (per-user windows); each session's path "
+     "materializes via sort_array(collect_list(struct)) - order is "
+     "total (es, event_id), so the string is deterministic, not "
+     "collection-order-dependent; path counting is a grouped "
+     "aggregate on the path string. Per-session arrays are "
+     "session-sized (bounded by the gap rule), never per-user or "
+     "global - the 100 TB-safe unit.")
+def k_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when((F.col("es") - F.lag("es").over(w) > 1800)
+               | F.lag("es").over(w).isNull(), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("es", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ), ">").alias("path"))
+    )
+    return (
+        paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
