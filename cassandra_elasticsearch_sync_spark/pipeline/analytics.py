@@ -1167,3 +1167,44 @@ def k_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp.cast("double") / F.nullif(npos, F.lit(0)), 6)
          .alias("recall_"),
     )
+
+
+@register("k_quantile_normalize", "K1+E1", """
+WITH r AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_id, event_type, value,
+       ROUND((CAST(rk AS DOUBLE) - 0.5) / n, 6) AS q_uniform
+FROM r
+""", "Quantile normalization: map each value to its within-group "
+     "quantile position (rank - 0.5)/n - the rank-based feature "
+     "transform that makes heavy-tailed features comparable across "
+     "groups (and the first half of quantile-to-Gaussian mapping). "
+     "Ranks come from the skew-proof grouped-order primitive: NO "
+     "group is ever pinned to one reducer, so a group holding half "
+     "the corpus normalizes at full parallelism - the exact place "
+     "Window.partitionBy dies at 100 TB. Total order (value, "
+     "event_id) makes ties deterministic; one division at the edge.")
+def k_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_grouped_order,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    ranked = with_grouped_order(
+        ev, ["event_type"], [F.col("value"), F.col("event_id")],
+        rank_col="rk")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return (
+        ranked.join(F.broadcast(counts), "event_type")
+        .select(
+            "event_id", "event_type", "value",
+            F.round((F.col("rk").cast("double") - 0.5) / F.col("n"), 6)
+             .alias("q_uniform"),
+        )
+    )

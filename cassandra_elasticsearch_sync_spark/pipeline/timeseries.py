@@ -1201,3 +1201,61 @@ def k_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+@register("k7p_capped_running_balance", "K7+J4", """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) - 5000 AS delta,
+         CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+  FROM events
+),
+steps AS (
+  SELECT user_id, delta,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY es, event_id) AS step
+  FROM e
+),
+s AS (
+  SELECT user_id, step, GREATEST(0, LEAST(10000, delta)) AS bal
+  FROM steps WHERE step = 1
+  UNION ALL
+  SELECT n.user_id, n.step, GREATEST(0, LEAST(10000, s.bal + n.delta))
+  FROM s JOIN steps n ON n.user_id = s.user_id AND n.step = s.step + 1
+)
+SELECT user_id, CAST(MAX(step) AS BIGINT) AS n_steps,
+       CAST(ARG_MAX(bal, step) AS BIGINT) AS final_balance_cents
+FROM s GROUP BY user_id
+""", "Capped running balance - the clamped recurrence "
+     "bal = clamp(bal + delta, 0, cap) behind inventory levels, "
+     "prepaid credits, and token-bucket rate limiters. The clamp "
+     "makes it NON-LINEAR: no window-function rewrite exists (unlike "
+     "plain cumsum), so this is the honest applyInPandas case - one "
+     "shuffle on the entity key, each group's recurrence runs "
+     "sequentially in Arrow batches, state is one integer. "
+     "Arithmetic is exact integer cents end to end (no float "
+     "accumulation at any step), and the oracle is a true recursive "
+     "CTE - Spark's per-group loop is hash-checked against a "
+     "different execution paradigm entirely. Group size bounds the "
+     "sequential work; groups run in parallel across the cluster.")
+def k7p_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.round(F.col("value") * 100).cast("bigint") - 5000).alias("delta"),
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["es", "event_id"])
+        bal = 0
+        for d in pdf["delta"]:
+            bal = max(0, min(10000, bal + int(d)))
+        return pd.DataFrame(
+            [[int(pdf["user_id"].iloc[0]), len(pdf), bal]],
+            columns=["user_id", "n_steps", "final_balance_cents"],
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        run, "user_id bigint, n_steps bigint, final_balance_cents bigint")
