@@ -258,14 +258,18 @@ GROUP BY 1
           "so the plan is one pass; missing combos coalesced to 0)")
 def d10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Group on the DATE value (integer day arithmetic) and render the
+    # string key only on the ~365 output rows - formatting per input
+    # row was ~40% of this query's time at sf0.1.
     p = (
-        ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
-        .groupBy("day")
+        ev.withColumn("day_d", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("day_d")
         .pivot("event_type", list(_EVENT_TYPES))
         .count()
     )
     return p.select(
-        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+        F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
     )
 
 
