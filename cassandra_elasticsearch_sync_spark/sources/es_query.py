@@ -1734,3 +1734,42 @@ def a3z_es_significant_text(spark, sf_dir):
         .limit(15)
         .drop("_s")
     )
+
+
+@register("a3_sliced_scroll_export", "A3+A2", """
+WITH sliced AS (
+  SELECT o_orderkey,
+         CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 6 AS slice_id
+  FROM orders
+)
+SELECT slice_id, COUNT(*) AS n_docs,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM sliced
+GROUP BY slice_id
+""", "ES sliced scroll / point-in-time export semantics: a parallel "
+     "dump opens m slices, slice i claiming docs with hash(id) % m = "
+     "i - disjoint, collectively exhaustive, no coordination between "
+     "workers (the elasticsearch-hadoop / Spark-connector input-split "
+     "rule; the Cassandra twin is a2b's token ranges). Slicing uses "
+     "the engine's portable hash so both engines assign every doc to "
+     "the SAME slice - the per-slice counts and key ranges "
+     "hash-match, proving partition determinism, the property that "
+     "makes a distributed export restartable per-slice. One scan, "
+     "one grouped aggregate; slice skew is hash-bounded.")
+def a3_sliced_scroll_export(spark, sf_dir):
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import (
+        portable_hash60,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    sliced = o.select(
+        "o_orderkey",
+        (portable_hash60(F.col("o_orderkey").cast("string")) % 6)
+        .alias("slice_id"),
+    )
+    return sliced.groupBy("slice_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
