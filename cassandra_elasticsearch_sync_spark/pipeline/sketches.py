@@ -97,3 +97,52 @@ def k_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("lang", "doc_id")
     )
+
+
+@register("k_bloom_build", "K8+H7", """
+WITH h AS (
+  SELECT CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM orders
+),
+probes AS (
+  SELECT hv % 248 AS pos FROM h
+  UNION ALL
+  SELECT (hv // 248) % 248 AS pos FROM h
+)
+SELECT CAST(pos // 62 AS BIGINT) AS word_idx,
+       CAST(BIT_OR(1::BIGINT << CAST(pos % 62 AS INT)) AS BIGINT) AS bits,
+       CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_set
+FROM probes
+GROUP BY 1
+""", "Bloom-filter CONSTRUCTION as a distributed aggregate: every key "
+     "sets k=2 probe bits derived from the portable hash, and the "
+     "filter materializes as 4 x 62-bit words via BIT_OR - a "
+     "map-side-partial, commutative reduction, so building a "
+     "membership filter over 100 TB of keys is one scan + one "
+     "fixed-width aggregate row (this is how a join-pruning filter "
+     "or a cross-store anti-entropy pre-check gets built; Spark's "
+     "own runtime Bloom join pruning is plan-asserted in "
+     "tests/test_plans.py - here the BITS themselves are the "
+     "deterministic, hash-checked output, not just the plan). "
+     "Exact cross-engine: hash, probe positions, and OR-folding are "
+     "all integer arithmetic.")
+def k_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import (
+        portable_hash60,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    hv = portable_hash60(F.col("o_orderkey").cast("string"))
+    # `div` keeps every step in exact 64-bit integer arithmetic - a
+    # double `/` would round 60-bit hashes above 2^53 before dividing.
+    p1 = o.select((hv % 248).alias("pos"))
+    p2 = o.select(hv.alias("hv")).selectExpr("(hv div 248) % 248 AS pos")
+    probes = p1.unionByName(p2)
+    return probes.groupBy(
+        F.expr("pos div 62").alias("word_idx")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(pos % 62 AS INT)))").alias("bits"),
+        F.countDistinct("pos").cast("bigint").alias("n_set"),
+    )
