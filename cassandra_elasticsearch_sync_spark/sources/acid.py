@@ -264,7 +264,8 @@ class AcidParquetTable:
 
     def _commit(self, base_version: int, files: list[str], schema: StructType,
                 stats: dict | None = None, seq: dict | None = None,
-                deletes: list | None = None) -> int:
+                deletes: list | None = None,
+                manifests_dir: str | None = None) -> int:
         """Conditional-put commit: atomically create manifest
         ``v{base+1}``. Creation succeeding IS the commit; creation
         failing means another writer committed on the same base first -
@@ -287,14 +288,16 @@ class AcidParquetTable:
             "deletes": deletes or [],
             "schema": schema.jsonValue(),
         }
-        tmp = os.path.join(self.root, _MANIFESTS,
-                           f".tmp.{os.getpid()}.{uuid.uuid4().hex}")
+        mdir = manifests_dir or os.path.join(self.root, _MANIFESTS)
+        tmp = os.path.join(mdir, f".tmp.{os.getpid()}.{uuid.uuid4().hex}")
+        target = (os.path.join(mdir, f"v{next_v}.json") if manifests_dir
+                  else self._manifest_path(next_v))
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
-            os.link(tmp, self._manifest_path(next_v))  # THE commit point
+            os.link(tmp, target)  # THE commit point
         except FileExistsError:
             raise CommitConflict(
                 f"table advanced past v{base_version}; retry merge"
@@ -331,6 +334,15 @@ class AcidParquetTable:
         """
         base = self.current_version()
         manifest = self._manifest(base)
+        return self._merge_against(manifest, source, keys,
+                                   matched_condition, delete_condition,
+                                   commit_dir=None, commit_base=base)
+
+    def _merge_against(self, manifest: dict, source: DataFrame,
+                       keys: list[str],
+                       matched_condition: Column | None,
+                       delete_condition: Column | None,
+                       commit_dir: str | None, commit_base: int) -> int:
         schema = StructType.fromJson(manifest["schema"])
 
         dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
@@ -430,12 +442,20 @@ class AcidParquetTable:
         stats.update(self._collect_stats(fresh, schema))
         # Untouched entries keep their commit generation (pending MoR
         # deletes must still apply to them); fresh entries are stamped
-        # with this commit, putting them AFTER every pending delete.
+        # AFTER every existing generation and pending delete - computed
+        # from the base manifest, so it is correct both on main and on
+        # a branch whose local version counter restarted at 1.
         base_seq = manifest.get("seq", {})
+        next_seq = 1 + max(
+            [int(v) for v in base_seq.values()]
+            + [int(e["seq"]) for e in manifest.get("deletes", [])]
+            + [commit_base, 0]
+        )
         seq = {d: int(base_seq.get(d, 0)) for d in untouched}
-        seq.update({d: base + 1 for d in fresh})
-        return self._commit(base, new_files, schema, stats, seq=seq,
-                            deletes=manifest.get("deletes", []))
+        seq.update({d: next_seq for d in fresh})
+        return self._commit(commit_base, new_files, schema, stats, seq=seq,
+                            deletes=manifest.get("deletes", []),
+                            manifests_dir=commit_dir)
 
     # -- DELETE / UPDATE (copy-on-write) -----------------------------------
 
@@ -567,6 +587,83 @@ class AcidParquetTable:
         seq.update({d: base + 1 for d in fresh})
         return self._commit(base, new_files, schema, stats, seq=seq, deletes=[])
 
+    # -- branches: write-audit-publish -------------------------------------
+
+    def _branch_manifests(self, branch: str) -> str:
+        d = os.path.join(self.root, _MANIFESTS, "branches", branch)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def branch_head(self, branch: str) -> int:
+        versions = [
+            int(f[1:-5]) for f in os.listdir(self._branch_manifests(branch))
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def _branch_manifest(self, branch: str, v: int) -> dict:
+        with open(os.path.join(self._branch_manifests(branch),
+                               f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    def read_branch(self, branch: str) -> DataFrame:
+        """Snapshot read of a branch head (falls back to main if the
+        branch has no commits yet - Iceberg's branch-from-head rule)."""
+        v = self.branch_head(branch)
+        if v == 0:
+            return self.read()
+        m = self._branch_manifest(branch, v)
+        return self._read_entries(m, m["files"])
+
+    def merge_branch(self, branch: str, source: DataFrame, keys: list[str],
+                     matched_condition: Column | None = None,
+                     delete_condition: Column | None = None) -> int:
+        """Stage a MERGE on ``branch`` without touching main - the
+        WRITE step of write-audit-publish. The first branch commit
+        bases on main's current snapshot; later ones chain on the
+        branch. Mechanically identical to ``merge_into`` (same CoW
+        file pruning, same conditional-put commit) but the manifest
+        lands under ``_manifests/branches/<name>/`` where no main
+        reader can see it."""
+        bh = self.branch_head(branch)
+        if bh == 0:
+            main_base = self.current_version()
+            base_manifest = self._manifest(main_base)
+            # pin the main version this branch audited against; publish
+            # refuses if main moves past it (stale-audit protection)
+            with open(os.path.join(self._branch_manifests(branch),
+                                   "MAIN_BASE"), "w") as fh:
+                fh.write(str(main_base))
+        else:
+            base_manifest = self._branch_manifest(branch, bh)
+        return self._merge_against(base_manifest, source, keys,
+                                   matched_condition, delete_condition,
+                                   commit_dir=self._branch_manifests(branch),
+                                   commit_base=bh)
+
+    def publish(self, branch: str) -> int:
+        """PUBLISH: promote the branch head's snapshot onto main with
+        one ordinary conditional-put commit - atomic, and a concurrent
+        main writer makes the publish lose with CommitConflict (re-run
+        the audit against the new base; publishing stale audited data
+        silently is the failure WAP exists to prevent). The branch
+        chain remains as the audit trail."""
+        bh = self.branch_head(branch)
+        if bh == 0:
+            raise ValueError(f"branch {branch!r} has no commits to publish")
+        m = self._branch_manifest(branch, bh)
+        base = self.current_version()
+        with open(os.path.join(self._branch_manifests(branch),
+                               "MAIN_BASE")) as fh:
+            main_base = int(fh.read().strip())
+        if base != main_base:
+            raise CommitConflict(
+                f"main advanced v{main_base} -> v{base} since branch "
+                f"{branch!r} was cut; re-stage and re-audit on the new base")
+        schema = StructType.fromJson(m["schema"])
+        return self._commit(base, m["files"], schema, m.get("stats", {}),
+                            seq=m.get("seq"), deletes=m.get("deletes", []))
+
     # -- change data feed --------------------------------------------------
 
     def changes(self, keys: list[str], v_from: int, v_to: int) -> DataFrame:
@@ -644,6 +741,17 @@ class AcidParquetTable:
             m = self._manifest(v)
             referenced.update(m["files"])
             referenced.update(e["path"] for e in m.get("deletes", []))
+        # branch heads stay referenced (unpublished staged work and the
+        # WAP audit trail must survive a vacuum of main)
+        branches_root = os.path.join(self.root, _MANIFESTS, "branches")
+        if os.path.isdir(branches_root):
+            for b in os.listdir(branches_root):
+                for f in os.listdir(os.path.join(branches_root, b)):
+                    if f.startswith("v") and f.endswith(".json"):
+                        m = self._branch_manifest(b, int(f[1:-5]))
+                        referenced.update(m["files"])
+                        referenced.update(
+                            e["path"] for e in m.get("deletes", []))
         removed = []
         for sub in (_DATA, _DELETES):
             sub_root = os.path.join(self.root, sub)
@@ -653,6 +761,8 @@ class AcidParquetTable:
                     shutil.rmtree(full, ignore_errors=True)
                     removed.append(full)
         for f in os.listdir(os.path.join(self.root, _MANIFESTS)):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue  # branches/ dir, tmp files
             v = int(f[1:-5])
             if v not in keep_versions:
                 os.unlink(os.path.join(self.root, _MANIFESTS, f))

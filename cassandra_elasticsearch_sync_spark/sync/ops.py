@@ -1307,3 +1307,59 @@ def l22_cdc_changes_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_price").isNull()
         | ~F.col("price").eqNullSafe(F.col("prev_price"))
     ).select("entity", "seq", "price")
+
+
+@register("l23_acid_wap_publish", "A7+L4", _SIDES_SQL + """
+SELECT key, price, version_s FROM (
+  SELECT COALESCE(t.key, s.key) AS key,
+         CASE WHEN s.key IS NOT NULL AND (t.key IS NULL OR s.version > t.version)
+              THEN s.price ELSE t.price END AS price,
+         STRFTIME(DATE_TRUNC('second',
+           CASE WHEN s.key IS NOT NULL AND (t.key IS NULL OR s.version > t.version)
+                THEN s.version ELSE t.version END), '%Y-%m-%d %H:%M:%S') AS version_s,
+         CASE WHEN s.key IS NOT NULL AND s.key % 100 = 0 THEN 1 ELSE 0 END AS deleted
+  FROM side_a t FULL OUTER JOIN side_b s ON t.key = s.key
+) WHERE deleted = 0
+""", "Write-audit-publish on the ACID store (sources/acid.py "
+     "merge_branch/publish): the sync batch stages its MERGE on an "
+     "isolated branch - main readers CANNOT see it - the audit step "
+     "validates the staged snapshot (here: no duplicate keys, "
+     "non-empty, checked in-query), and publish promotes it to main "
+     "with one atomic conditional-put commit that REFUSES if main "
+     "advanced since the branch was cut (stale-audit protection, "
+     "tested with a concurrent writer in tests/test_acid_merge.py). "
+     "The Iceberg WAP pattern, which is how a production pipeline "
+     "gates bad loads out of a 100 TB table; published contents "
+     "hash-match the relational merge oracle, and the pre-publish "
+     "main survives as a time-travel version.")
+def l23_acid_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    root = tempfile.mkdtemp(prefix="ces_acid_wap_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(side_a(spark, sf_dir))
+        t.merge_branch(
+            "load_audit",
+            side_b(spark, sf_dir),
+            ["key"],
+            matched_condition=F.col("src.version") > F.col("tgt.version"),
+            delete_condition=F.col("src.key") % 100 == 0,
+        )
+        staged = t.read_branch("load_audit")
+        n = staged.count()
+        n_keys = staged.select("key").distinct().count()
+        if n == 0 or n != n_keys:
+            raise AssertionError("audit failed: empty or duplicate keys")
+        main_before = t.current_version()
+        if t.read(main_before).count() == n:
+            raise AssertionError("staged merge invisible change?")
+        t.publish("load_audit")
+        return t.read().select(
+            "key", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -516,3 +516,55 @@ def test_change_feed_classifies_and_skips_unchanged(spark, root):
             for r in t.changes(["key"], v1, v2).collect()}
     # key 1 untouched -> absent; 2 updated; 3 deleted; 4 inserted
     assert feed == {2: "update", 3: "delete", 4: "insert"}
+
+
+# -- branches: write-audit-publish ------------------------------------------
+
+
+def test_wap_branch_isolation_and_publish(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    t.merge_branch("audit", spark.createDataFrame(
+        [(2, 99.0, 2), (3, 30.0, 1)], "key bigint, price double, version int"),
+        ["key"])
+    # main is untouched while the branch carries the staged merge
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, 20.0, 1)]
+    assert _rows(t.read_branch("audit")) == [
+        (1, 10.0, 1), (2, 99.0, 2), (3, 30.0, 1)]
+    # audit passes -> publish promotes atomically
+    t.publish("audit")
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, 99.0, 2), (3, 30.0, 1)]
+    # time travel still sees the pre-publish main
+    assert _rows(t.read(version=1)) == [(1, 10.0, 1), (2, 20.0, 1)]
+
+
+def test_wap_publish_conflicts_with_concurrent_main_write(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1)])
+    t.merge_branch("audit", spark.createDataFrame(
+        [(2, 20.0, 1)], "key bigint, price double, version int"), ["key"])
+    # a concurrent writer advances main after the audit started
+    t.merge_into(spark.createDataFrame(
+        [(9, 90.0, 1)], "key bigint, price double, version int"), ["key"])
+    with pytest.raises(CommitConflict):
+        t.publish("audit")
+    # re-stage on the fresh base and publish cleanly
+    t.merge_branch("audit2", spark.createDataFrame(
+        [(2, 20.0, 1)], "key bigint, price double, version int"), ["key"])
+    t.publish("audit2")
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, 20.0, 1), (9, 90.0, 1)]
+
+
+def test_wap_branch_chains_and_vacuum_keeps_staged_files(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1)])
+    t.merge_branch("b", spark.createDataFrame(
+        [(2, 20.0, 1)], "key bigint, price double, version int"), ["key"])
+    t.merge_branch("b", spark.createDataFrame(
+        [(3, 30.0, 1)], "key bigint, price double, version int"), ["key"])
+    assert t.branch_head("b") == 2
+    # advance main twice so vacuum has something to prune, then vacuum
+    t.merge_into(spark.createDataFrame(
+        [(8, 80.0, 1)], "key bigint, price double, version int"), ["key"])
+    t.merge_into(spark.createDataFrame(
+        [(9, 90.0, 1)], "key bigint, price double, version int"), ["key"])
+    t.vacuum(retain_last=2)
+    assert _rows(t.read_branch("b")) == [
+        (1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)]
