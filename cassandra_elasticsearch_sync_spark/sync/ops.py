@@ -1363,3 +1363,69 @@ def l23_acid_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l24_cdc_to_acid_e2e", "A2+L4+A7", """
+WITH seqs AS (SELECT UNNEST(RANGE(0, 10000)) AS seq),
+cdc AS (
+  SELECT seq, seq % 1000 AS key,
+         CASE WHEN seq % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST((seq * 31) % 9973 AS DOUBLE) / 100.0 AS price
+  FROM seqs
+),
+latest AS (
+  SELECT key, ARG_MAX(op, seq) AS op, ARG_MAX(price, seq) AS price,
+         MAX(seq) AS seq
+  FROM cdc GROUP BY key
+)
+SELECT key, price, seq
+FROM latest WHERE op = 'U'
+""", "The full ingestion path in one verified flow: the custom Python "
+     "DataSource CDC feed (a10's connector socket) folds to final "
+     "per-key state (LWW on the sequence, max_by aggregate), MERGEs "
+     "into the transactional table (copy-on-write upsert + delete "
+     "clause for 'D' records), and the committed SNAPSHOT - not the "
+     "fold - hash-matches the relational oracle. This is the "
+     "source -> resolve -> ACID-sink composition every component "
+     "query proves in isolation, exercised as one pipeline: exactly "
+     "what the reference's sync cycle does end to end, on the "
+     "lakehouse path it upgrades to at 100 TB.")
+def l24_cdc_to_acid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+    from cassandra_elasticsearch_sync_spark.sources.python_source import (
+        N_EVENTS,
+        N_SPLITS,
+        register_cdc_source,
+    )
+
+    register_cdc_source(spark)
+    feed = (
+        spark.read.format("cdc_feed")
+        .option("n", N_EVENTS).option("splits", N_SPLITS)
+        .load()
+    )
+    latest = feed.groupBy("key").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("price", "seq").alias("price"),
+        F.max("seq").alias("seq"),
+    )
+    root = tempfile.mkdtemp(prefix="ces_cdc_acid_")
+    try:
+        t = AcidParquetTable(spark, root)
+        # seed the table with stale versions of half the keys so the
+        # MERGE exercises update + insert + delete, not just insert
+        t.init(latest.filter(F.col("key") % 2 == 0)
+               .select("key", (F.col("price") * 0 - 1.0).alias("price"),
+                       F.lit(-1).cast("bigint").alias("seq")))
+        t.merge_into(
+            latest,
+            ["key"],
+            matched_condition=F.col("src.seq") > F.col("tgt.seq"),
+            delete_condition=F.col("src.op") == "D",
+        )
+        return t.read().select("key", "price", "seq").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
