@@ -277,3 +277,47 @@ def h2c_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday(d) + 1).cast("int").alias("iso_dow"),
         F.datediff(F.last_day(d), d.cast("date")).cast("int").alias("days_to_month_end"),
     )
+
+
+@register("h2d_business_days", "H2", """
+WITH d AS (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) AS start_d,
+         (o_orderkey % 45) + 1 AS n
+  FROM orders
+),
+p AS (
+  SELECT o_orderkey, n,
+         ISODOW(start_d) - 1 AS sw,        -- Monday-indexed 0..6
+         n % 7 AS r
+  FROM d
+)
+SELECT o_orderkey, CAST(n AS BIGINT) AS total_days,
+       CAST(5 * (n // 7)
+            + LEAST(r, GREATEST(0, 5 - sw))
+            + GREATEST(0, LEAST(r - (7 - sw), 5)) AS BIGINT) AS business_days
+FROM p
+""", "Business-day counting: weekdays in [start, start + n days) by "
+     "pure integer calendar arithmetic - 5 per full week plus a "
+     "closed-form ragged-edge term from the Monday-indexed start "
+     "weekday (no generate-days explode, no UDF, no calendar table; "
+     "swap in a broadcast holiday table for the full trading-day "
+     "variant). Branch-free LEAST/GREATEST math is identical in both "
+     "engines, and the weekday convention difference (Spark "
+     "dayofweek is Sunday-1, DuckDB ISODOW is Monday-1) is "
+     "normalized on each side - the classic cross-engine calendar "
+     "trap, pinned by the hash check. Per-row projection, "
+     "embarrassingly parallel.")
+def h2d_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n = (F.col("o_orderkey") % 45) + 1
+    sw = (F.dayofweek(F.col("o_orderdate").cast("date")) + 5) % 7
+    r = n % 7
+    return o.select(
+        "o_orderkey",
+        n.cast("bigint").alias("total_days"),
+        (5 * F.expr("((o_orderkey % 45) + 1) div 7")
+         + F.least(r, F.greatest(F.lit(0), 5 - sw))
+         + F.greatest(F.lit(0), F.least(r - (7 - sw), F.lit(5))))
+        .cast("bigint").alias("business_days"),
+    )
