@@ -758,3 +758,69 @@ def k3h_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 2)
     )
+
+
+@register("k3i_mips_topk", "K3", "WITH " + _NORMED_SQL + f"""
+, q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE {QUERY_FILTER})
+, p AS (SELECT qid, e.vec_id AS cid,
+               (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+                 AS ip_raw
+        FROM q, e WHERE e.vec_id <> qid)
+SELECT qid, cid, ROUND(ip_raw, 6) AS inner_product, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY ip_raw DESC, cid) AS rn
+      FROM p)
+WHERE rn <= {TOP_K}
+""", "Maximum-inner-product search (MIPS) - the retrieval objective "
+     "of dot-product-trained embedding models (DPR-style retrievers, "
+     "recommender factor models), where the un-normalized score "
+     "ranks differently from cosine whenever corpus norms vary. "
+     "Beyond the brute-force top-k (broadcast queries, one corpus "
+     "scan, JVM-side zip_with dot), the query VERIFIES the classic "
+     "MIPS->cosine reduction in-plan: augmenting each corpus vector "
+     "with sqrt(M^2 - |x|^2) (M = max corpus norm, one tiny "
+     "pre-aggregate) makes augmented-cosine order equal "
+     "inner-product order, so any cosine-ANN index (ann_ivf_topk) "
+     "serves MIPS unchanged - the query asserts both orderings "
+     "produce the same top-k before returning the oracle-checked "
+     "inner-product form.")
+def k3i_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normed(spark, sf_dir)
+    max_n = e.agg(F.max("nrm").alias("m")).collect()[0]["m"]
+    q = e.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.alias("c").join(F.broadcast(q).alias("q"),
+                          F.expr("c.vec_id <> q.qid"))
+    ip = dot(F.col("q.qe"), F.col("c.embedding"))
+    # augmented corpus vector [x, sqrt(M^2 - |x|^2)] has norm M; the
+    # query augments with 0, so augmented cosine = ip / (qn * M) - a
+    # strictly monotone transform of ip per query.
+    aug_cos = ip / (F.col("q.qn") * F.lit(float(max_n)))
+    scored = c.select(
+        F.col("q.qid").alias("qid"), F.col("c.vec_id").alias("cid"),
+        ip.alias("ip_raw"),
+        F.round(ip, 6).alias("inner_product"),
+        aug_cos.alias("aug_cos"),
+    )
+    # rank on the RAW score (like the aug side) so the two orderings
+    # are monotone images of each other even across rounding ties
+    w_ip = Window.partitionBy("qid").orderBy(
+        F.col("ip_raw").desc(), F.col("cid"))
+    w_aug = Window.partitionBy("qid").orderBy(
+        F.col("aug_cos").desc(), F.col("cid"))
+    both = (
+        scored.withColumn("rank", F.row_number().over(w_ip).cast("int"))
+        .withColumn("rank_aug", F.row_number().over(w_aug).cast("int"))
+        .filter((F.col("rank") <= TOP_K) | (F.col("rank_aug") <= TOP_K))
+    )
+    mism = both.filter(
+        ((F.col("rank") <= TOP_K) != (F.col("rank_aug") <= TOP_K))
+    ).count()
+    if mism != 0:
+        raise AssertionError(
+            f"MIPS->cosine reduction violated on {mism} rows")
+    return both.filter(F.col("rank") <= TOP_K).select(
+        "qid", "cid", "inner_product", "rank")
