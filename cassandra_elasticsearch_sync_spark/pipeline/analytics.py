@@ -1245,3 +1245,101 @@ def k_global_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("bigint").alias("n"),
         (F.sum("value") / F.count("*")).cast("double").alias("median"),
     )
+
+
+@register("k_item_cooccurrence", "C9+E4", """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_cooc
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_cooc, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY part_a
+                                   ORDER BY n_cooc DESC, part_b) AS rn
+      FROM pairs)
+WHERE rn <= 3
+""", "Item co-occurrence recommendations ('customers who bought X "
+     "also bought Y'): per-order item pairs counted into a "
+     "co-occurrence matrix, top-3 partners per item - the "
+     "collaborative-filtering baseline every commerce stack runs. "
+     "The pair join is WITHIN-ORDER (equi-join on the order key), so "
+     "its output is sum of basket_size^2 - bounded by the small, "
+     "physically-capped basket size, never corpus-quadratic; the "
+     "pair counts aggregate map-side and the per-item top-k windows "
+     "over the aggregated matrix, not raw pairs. At 100 TB this is "
+     "the exact plan: one self-equi-join + one grouped count + one "
+     "bounded window.")
+def k_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("n_cooc"))
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.col("n_cooc").desc(), F.col("part_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register("k_time_weighted_avg", "K7+E2", """
+WITH e AS (
+  SELECT event_type,
+         CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         event_id
+  FROM events
+),
+seg AS (
+  SELECT event_type, cents,
+         LEAD(es) OVER (PARTITION BY event_type
+                        ORDER BY es, event_id) - es AS dur
+  FROM e
+)
+SELECT event_type,
+       CAST(SUM(dur) AS BIGINT) AS total_seconds,
+       CAST(SUM(cents * dur) AS BIGINT) AS weighted_sum,
+       ROUND(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur) / 100.0, 6) AS twap
+FROM seg WHERE dur IS NOT NULL AND dur > 0
+GROUP BY event_type
+""", "Time-weighted average (TWAP): each observation holds until the "
+     "next one, so the mean weights values by their holding DURATION "
+     "- the correct average for irregularly-sampled series (prices, "
+     "gauges, sensor states) where the arithmetic mean over-weights "
+     "bursts. Durations come from one per-type LEAD window; the "
+     "integral accumulates as exact integer cents x seconds with a "
+     "single division at the edge. One shuffle on the series key; "
+     "zero-duration segments (same-second repeats) are excluded on "
+     "both sides identically.")
+def k_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("es", "event_id")
+    seg = ev.withColumn("dur", F.lead("es").over(w) - F.col("es"))
+    return (
+        seg.filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.sum("dur").cast("bigint").alias("total_seconds"),
+            F.sum(F.col("cents") * F.col("dur")).cast("bigint")
+             .alias("weighted_sum"),
+            F.round(F.sum(F.col("cents") * F.col("dur")).cast("double")
+                    / F.sum("dur") / 100.0, 6).alias("twap"),
+        )
+    )
