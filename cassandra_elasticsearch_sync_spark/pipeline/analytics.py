@@ -1343,3 +1343,56 @@ def k_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.sum("dur") / 100.0, 6).alias("twap"),
         )
     )
+
+
+@register("k_wilson_lower_bound", "D5+F3", """
+WITH s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+  FROM events GROUP BY user_id HAVING COUNT(*) >= 20
+),
+w AS (
+  SELECT user_id, n, pos,
+         CAST(pos AS DOUBLE) / n AS p_hat,
+         (CAST(pos AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+          - 1.96 * SQRT((CAST(pos AS DOUBLE) / n
+                         * (1.0 - CAST(pos AS DOUBLE) / n)
+                         + 1.96 * 1.96 / (4 * n)) / n))
+           / (1.0 + 1.96 * 1.96 / n) AS wlb
+  FROM s
+)
+SELECT user_id, n, pos, ROUND(p_hat, 6) AS p_hat, ROUND(wlb, 6) AS wilson_lb
+FROM w
+ORDER BY wlb DESC, user_id
+LIMIT 25
+""", "Wilson-score lower bound ranking: users ordered by the "
+     "LOWER CONFIDENCE BOUND of their purchase rate, not the raw "
+     "rate - the standard fix for 'sort by rating' rankings where "
+     "2/2 must not beat 95/100 (z = 1.96). Counts are exact from one "
+     "grouped aggregate; the bound evaluates in doubles with an "
+     "identical expression tree both engines (sqrt is "
+     "correctly-rounded IEEE, the engine's one sanctioned libm-free "
+     "transcendental), then a TakeOrderedAndProject picks the page. "
+     "The exact plan a review/CTR leaderboard runs at any scale.")
+def k_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+         .alias("pos"),
+    ).filter(F.col("n") >= 20)
+    z = 1.96
+    p = F.col("pos").cast("double") / F.col("n")
+    wlb = (p + z * z / (2 * F.col("n"))
+           - z * F.sqrt((p * (F.lit(1.0) - p) + z * z / (4 * F.col("n")))
+                        / F.col("n"))) / (F.lit(1.0) + z * z / F.col("n"))
+    return (
+        s.select("user_id", "n", "pos",
+                 F.round(p, 6).alias("p_hat"),
+                 F.round(wlb, 6).alias("wilson_lb"),
+                 wlb.alias("_w"))
+        .orderBy(F.col("_w").desc(), "user_id")
+        .limit(25)
+        .drop("_w")
+    )

@@ -1429,3 +1429,56 @@ def l24_cdc_to_acid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read().select("key", "price", "seq").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l25_three_way_lww", "L3+L6", _SIDES_SQL + """
+, side_c AS (
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 0.9
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_orderdate + INTERVAL 2 DAY
+              ELSE o_orderdate END AS version
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+),
+u AS (
+  SELECT key, price, version, 'a' AS side FROM side_a
+  UNION ALL SELECT key, price, version, 'b' FROM side_b
+  UNION ALL SELECT key, price, version, 'c' FROM side_c
+)
+SELECT key, price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s,
+       side
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                   ORDER BY version DESC, side DESC,
+                                            price DESC) AS rn
+      FROM u)
+WHERE rn = 1
+""", "N-way sync convergence (three stores): the LWW merge "
+     "generalizes from the 2-store fixture to any replica count by "
+     "the same union + per-key max(struct) aggregate - one shuffle "
+     "total regardless of N, hot keys collapsing map-side, with the "
+     "(version, side, payload) composite keeping ties deterministic "
+     "across ALL replicas. side_c models a third store with its own "
+     "local edits (2-day-newer versions on every 13th key, which WIN "
+     "over both a and b). This is the multi-datacenter reconciliation "
+     "the 2-store reference topology grows into; the winner table "
+     "hash-matches the relational 3-way resolution.")
+def l25_three_way_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    edited = F.col("o_orderkey") % 13 == 0
+    side_c = (
+        o.filter(F.expr("o_orderdate >= TIMESTAMP_NTZ '1998-06-01 00:00:00'"))
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.when(edited, F.col("o_totalprice") * 0.9)
+             .otherwise(F.col("o_totalprice")).alias("price"),
+            F.when(edited, F.col("o_orderdate") + F.expr("INTERVAL 2 DAY"))
+             .otherwise(F.col("o_orderdate")).alias("version"),
+        )
+        .withColumn("side", F.lit("c"))
+    )
+    merged = lww_merge(lww_merge(side_a(spark, sf_dir),
+                                 side_b(spark, sf_dir)), side_c)
+    return merged.select(
+        "key", "price", fmt_ts("version").alias("version_s"), "side")
