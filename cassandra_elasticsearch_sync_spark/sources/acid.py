@@ -312,6 +312,22 @@ class AcidParquetTable:
         stats = self._collect_stats(files, df.schema)
         return self._commit(self.current_version(), files, df.schema, stats)
 
+    @staticmethod
+    def _next_seq(manifest: dict, base: int) -> int:
+        """The sequence number for anything this commit writes: strictly
+        greater than every existing entry seq, every pending delete seq,
+        AND the base version. Entry seqs can exceed the local version
+        counter (a published branch carries its seqs onto main; a branch
+        restarts its counter at 1), so deriving the stamp from the
+        version alone lets a later delete file land at a seq <= an
+        existing entry's seq and silently never apply - every stamp must
+        go through this max."""
+        return 1 + max(
+            [int(v) for v in manifest.get("seq", {}).values()]
+            + [int(e["seq"]) for e in manifest.get("deletes", [])]
+            + [base, 0]
+        )
+
     # -- MERGE INTO --------------------------------------------------------
 
     def merge_into(
@@ -446,11 +462,7 @@ class AcidParquetTable:
         # from the base manifest, so it is correct both on main and on
         # a branch whose local version counter restarted at 1.
         base_seq = manifest.get("seq", {})
-        next_seq = 1 + max(
-            [int(v) for v in base_seq.values()]
-            + [int(e["seq"]) for e in manifest.get("deletes", [])]
-            + [commit_base, 0]
-        )
+        next_seq = self._next_seq(manifest, commit_base)
         seq = {d: int(base_seq.get(d, 0)) for d in untouched}
         seq.update({d: next_seq for d in fresh})
         return self._commit(commit_base, new_files, schema, stats, seq=seq,
@@ -498,7 +510,7 @@ class AcidParquetTable:
         stats.update(self._collect_stats(fresh, schema))
         base_seq = manifest.get("seq", {})
         seq = {d: int(base_seq.get(d, 0)) for d in untouched}
-        seq.update({d: base + 1 for d in fresh})
+        seq.update({d: self._next_seq(manifest, base) for d in fresh})
         return self._commit(base, new_files, schema, stats, seq=seq,
                             deletes=manifest.get("deletes", []))
 
@@ -540,7 +552,8 @@ class AcidParquetTable:
                     "before switching the equality-delete key set")
         d = os.path.join(self.root, _DELETES, uuid.uuid4().hex)
         keys_df.select(*keys).distinct().write.mode("errorifexists").parquet(d)
-        deletes.append({"path": d, "seq": base + 1, "keys": keys})
+        deletes.append({"path": d, "seq": self._next_seq(manifest, base),
+                        "keys": keys})
         schema = StructType.fromJson(manifest["schema"])
         return self._commit(base, manifest["files"], schema,
                             manifest.get("stats", {}),
@@ -584,7 +597,7 @@ class AcidParquetTable:
         stats = {d: stats_m[d] for d in untouched if d in stats_m}
         stats.update(self._collect_stats(fresh, schema))
         seq = {d: int(seqs.get(d, 0)) for d in untouched}
-        seq.update({d: base + 1 for d in fresh})
+        seq.update({d: self._next_seq(manifest, base) for d in fresh})
         return self._commit(base, new_files, schema, stats, seq=seq, deletes=[])
 
     # -- branches: write-audit-publish -------------------------------------
@@ -685,9 +698,16 @@ class AcidParquetTable:
         o_key, n_key = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
         old_cols = [c for c in self.read(v_from).columns if c not in keys]
         new_cols = [c for c in self.read(v_to).columns if c not in keys]
+        # Compare the UNION of the two schemas' value columns: a column
+        # present on only one side reads as NULL on the other (exactly
+        # what the schema-evolved parquet read returns), so a row whose
+        # only change is in a newly added column is an update, not
+        # "unchanged" - the Delta CDF contract for evolved schemas.
         same = F.lit(True)
-        for c in sorted(set(old_cols) & set(new_cols)):
-            same = same & F.col(f"o.`{c}`").eqNullSafe(F.col(f"n.`{c}`"))
+        for c in sorted(set(old_cols) | set(new_cols)):
+            o_side = F.col(f"o.`{c}`") if c in old_cols else F.lit(None)
+            n_side = F.col(f"n.`{c}`") if c in new_cols else F.lit(None)
+            same = same & o_side.eqNullSafe(n_side)
         change = (
             F.when(o_key.isNull(), F.lit("insert"))
             .when(n_key.isNull(), F.lit("delete"))

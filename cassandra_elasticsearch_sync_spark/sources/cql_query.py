@@ -337,8 +337,12 @@ def cql_select(df: DataFrame, stmt: str) -> DataFrame:
             out = out.groupBy(*sel.group_by).agg(*aggs)
         else:
             out = out.agg(*aggs)
-        ordered = [c.out_name if c.fn else c.name for c in sel.columns]
-        out = out.select(*ordered)
+        # Plain grouped columns honor their AS alias exactly like the
+        # non-aggregate branch (out_name == name when no alias given).
+        out = out.select(*[
+            F.col(c.out_name) if c.fn else F.col(c.name).alias(c.out_name)
+            for c in sel.columns
+        ])
     else:
         if sel.per_partition_limit is not None:
             w = Window.partitionBy(*meta["partition"]).orderBy(*clus_order)

@@ -568,3 +568,57 @@ def test_wap_branch_chains_and_vacuum_keeps_staged_files(spark, root):
     t.vacuum(retain_last=2)
     assert _rows(t.read_branch("b")) == [
         (1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)]
+
+
+def test_mor_delete_applies_after_branch_publish(spark, root):
+    """Regression: seq stamps must exceed every EXISTING entry seq, not
+    just version+1. A branch with >=2 commits stamps entry seqs past
+    main's version counter; after publish, a version-derived delete seq
+    would be <= those entries' seq, so _read_entries would silently
+    skip the delete (and compact_deletes would then drop the delete
+    file without applying it - permanent loss)."""
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    # two branch commits -> entry seqs on the branch reach >= 2
+    t.merge_branch("b", spark.createDataFrame(
+        [(3, 30.0, 1)], "key bigint, price double, version int"), ["key"])
+    t.merge_branch("b", spark.createDataFrame(
+        [(4, 40.0, 1)], "key bigint, price double, version int"), ["key"])
+    t.publish("b")  # main v2 now carries entries with seq > 2
+    del_keys = spark.createDataFrame([(3,), (1,)], "key bigint")
+    t.delete_keys_mor(del_keys, ["key"])
+    assert _rows(t.read()) == [(2, 20.0, 1), (4, 40.0, 1)]
+    # compaction must materialize (not lose) the delete
+    t.compact_deletes()
+    assert _rows(t.read()) == [(2, 20.0, 1), (4, 40.0, 1)]
+
+
+def test_rewrite_where_after_branch_publish_keeps_mor_scoping(spark, root):
+    """update_where's fresh entries must also outrank published-branch
+    seqs, so a LATER MoR delete still applies to them."""
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    t.merge_branch("b", spark.createDataFrame(
+        [(3, 30.0, 1)], "key bigint, price double, version int"), ["key"])
+    t.merge_branch("b", spark.createDataFrame(
+        [(4, 40.0, 1)], "key bigint, price double, version int"), ["key"])
+    t.publish("b")
+    t.update_where(F.col("key") == 2, {"price": F.lit(99.0)})
+    t.delete_keys_mor(spark.createDataFrame([(2,)], "key bigint"), ["key"])
+    assert _rows(t.read()) == [(1, 10.0, 1), (3, 30.0, 1), (4, 40.0, 1)]
+
+
+def test_change_feed_reports_new_column_only_updates(spark, root):
+    """Schema evolution + CDF: a row whose only change is in a newly
+    added column must surface as an update (Delta CDF contract)."""
+    from pyspark.sql.types import LongType, StructField
+
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    v1 = t.current_version()
+    t.add_columns([StructField("qty", LongType())])
+    src = spark.createDataFrame(
+        [(1, 10.0, 1, 5)], "key bigint, price double, version int, qty bigint")
+    v3 = t.merge_into(src, ["key"])
+    feed = t.changes(["key"], v1, v3)
+    rows = {r["key"]: r for r in feed.collect()}
+    assert set(rows) == {1}, "only key 1 changed (qty NULL -> 5)"
+    assert rows[1]["change_type"] == "update"
+    assert rows[1]["qty_new"] == 5
