@@ -167,12 +167,21 @@ class AcidParquetTable:
     # -- write paths -------------------------------------------------------
 
     def _write_data_files(self, df: DataFrame) -> list[str]:
-        """Write ``df`` as immutable data files, return their paths.
-        Each Spark task writes its own part file; we keep the directory
-        as the manifest unit to stay file-count-frugal at small scale
-        (a real format tracks part files individually - same protocol)."""
+        """Write ``df`` as immutable data files, return their paths -
+        or ``[]`` if the result was empty (detected from the written
+        output, NOT with a pre-flight isEmpty(): an isEmpty-then-write
+        would execute the plan twice, and for a MERGE the plan is the
+        full-outer join that dominates the commit). Each Spark task
+        writes its own part file; we keep the directory as the manifest
+        unit to stay file-count-frugal at small scale (a real format
+        tracks part files individually - same protocol)."""
+        import shutil
+
         d = os.path.join(self.root, _DATA, uuid.uuid4().hex)
         df.write.mode("errorifexists").parquet(d)
+        if not any(f.endswith(".parquet") for f in os.listdir(d)):
+            shutil.rmtree(d, ignore_errors=True)
+            return []
         return [d]
 
     # -- column statistics (the file-skipping index) ------------------------
@@ -181,34 +190,43 @@ class AcidParquetTable:
                     "string", "date", "timestamp", "timestamp_ntz")
 
     def _collect_stats(self, files: list[str], schema: StructType) -> dict:
-        """Per-manifest-entry min/max for every stats-eligible column -
-        one tiny aggregate job per new entry, written into the manifest
-        exactly like a format's file-level column stats. Values are
-        JSON-encoded: numerics native, temporal/decimal as ISO/plain
-        strings (ISO compares lexicographically, so pruning needs no
-        type reconstruction)."""
+        """Per-manifest-entry min/max for every stats-eligible column,
+        written into the manifest exactly like a format's file-level
+        column stats. ONE aggregate job for ALL new entries (read every
+        entry together, map each part file back to its entry via
+        input_file_name, group by entry) - a commit that lands 16
+        clustered slices pays one scheduling round trip, not 16.
+        Values are JSON-encoded: numerics native, temporal/decimal as
+        ISO/plain strings (ISO compares lexicographically, so pruning
+        needs no type reconstruction)."""
         stats: dict[str, dict] = {}
         cols = []
         for f in schema.fields:
             t = f.dataType.typeName()
             if t in self._STATS_TYPES or t.startswith("decimal"):
                 cols.append(f.name)
-        if not cols:
+        if not cols or not files:
             return stats
-        for d in files:
-            row = (
-                self.spark.read.schema(schema).parquet(d)
-                .agg(*[F.min(c).alias(f"__min_{c}") for c in cols],
-                     *[F.max(c).alias(f"__max_{c}") for c in cols])
-                .collect()[0]
-            )
 
-            def enc(v):
-                if v is None or isinstance(v, (int, float)):
-                    return v
-                return str(v)  # Decimal / datetime / date / str
+        def enc(v):
+            if v is None or isinstance(v, (int, float)):
+                return v
+            return str(v)  # Decimal / datetime / date / str
 
-            stats[d] = {
+        path = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+        entry = F.coalesce(*[
+            F.when(path.startswith(d.rstrip("/") + "/"), F.lit(d))
+            for d in files
+        ])
+        rows = (
+            self.spark.read.schema(schema).parquet(*files)
+            .groupBy(entry.alias("__entry"))
+            .agg(*[F.min(c).alias(f"__min_{c}") for c in cols],
+                 *[F.max(c).alias(f"__max_{c}") for c in cols])
+            .collect()
+        )
+        for row in rows:
+            stats[row["__entry"]] = {
                 c: [enc(row[f"__min_{c}"]), enc(row[f"__max_{c}"])] for c in cols
             }
         return stats
@@ -336,6 +354,7 @@ class AcidParquetTable:
         keys: list[str],
         matched_condition: Column | None = None,
         delete_condition: Column | None = None,
+        assume_unique_keys: bool = False,
     ) -> int:
         """ANSI-style MERGE with copy-on-write file rewrites.
 
@@ -352,21 +371,27 @@ class AcidParquetTable:
         manifest = self._manifest(base)
         return self._merge_against(manifest, source, keys,
                                    matched_condition, delete_condition,
-                                   commit_dir=None, commit_base=base)
+                                   commit_dir=None, commit_base=base,
+                                   assume_unique_keys=assume_unique_keys)
 
     def _merge_against(self, manifest: dict, source: DataFrame,
                        keys: list[str],
                        matched_condition: Column | None,
                        delete_condition: Column | None,
-                       commit_dir: str | None, commit_base: int) -> int:
+                       commit_dir: str | None, commit_base: int,
+                       assume_unique_keys: bool = False) -> int:
         schema = StructType.fromJson(manifest["schema"])
 
-        dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
-        if not dup.isEmpty():
-            raise ValueError(
-                "MERGE source has multiple rows per key; aggregate it "
-                "first (e.g. LWW top-1) - ANSI MERGE requires <=1"
-            )
+        # The <=1-row-per-key precondition check is one extra job on the
+        # source; a caller whose source is keyed BY CONSTRUCTION (a
+        # snapshot of a keyed store, a distinct'd delta) skips it.
+        if not assume_unique_keys:
+            dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+            if not dup.isEmpty():
+                raise ValueError(
+                    "MERGE source has multiple rows per key; aggregate it "
+                    "first (e.g. LWW top-1) - ANSI MERGE requires <=1"
+                )
 
         # File-level pruning: which data files hold matched keys?
         # Two stages, like a real format: (1) STATS pruning - skip
@@ -445,11 +470,8 @@ class AcidParquetTable:
         ]
         rewritten = joined.filter(keep).select(*cols)
 
-        new_files = list(untouched)
-        fresh: list[str] = []
-        if not rewritten.isEmpty():
-            fresh = self._write_data_files(rewritten)
-            new_files += fresh
+        fresh = self._write_data_files(rewritten)
+        new_files = list(untouched) + fresh
         # Stats carry over verbatim for untouched entries (their bytes
         # did not change - the CoW payoff extends to the index) and are
         # recomputed only for the rewritten entries.
@@ -500,11 +522,8 @@ class AcidParquetTable:
                     if any(h.startswith(d.rstrip("/") + "/") for h in hits)]
         untouched = [d for d in all_files if d not in affected]
         rewritten = transform(self._read_entries(manifest, affected), condition)
-        new_files = list(untouched)
-        fresh: list[str] = []
-        if not rewritten.isEmpty():
-            fresh = self._write_data_files(rewritten.select(*schema.names))
-            new_files += fresh
+        fresh = self._write_data_files(rewritten.select(*schema.names))
+        new_files = list(untouched) + fresh
         base_stats = manifest.get("stats", {})
         stats = {d: base_stats[d] for d in untouched if d in base_stats}
         stats.update(self._collect_stats(fresh, schema))
@@ -589,11 +608,8 @@ class AcidParquetTable:
             else:
                 untouched.append(d)
         rewritten = self._read_entries(manifest, affected)
-        new_files = list(untouched)
-        fresh: list[str] = []
-        if not rewritten.isEmpty():
-            fresh = self._write_data_files(rewritten)
-            new_files += fresh
+        fresh = self._write_data_files(rewritten)
+        new_files = list(untouched) + fresh
         stats = {d: stats_m[d] for d in untouched if d in stats_m}
         stats.update(self._collect_stats(fresh, schema))
         seq = {d: int(seqs.get(d, 0)) for d in untouched}
@@ -819,6 +835,40 @@ class AcidParquetTable:
                  + F.shiftleft(F.shiftright(quant[1], b) % 2, 2 * b))
         return z
 
+    def _write_clustered(self, df: DataFrame, cluster_by: list[str],
+                         n_slices: int, zorder: bool = False) -> list[str]:
+        """Shared clustered-write core for ``optimize`` and
+        ``init_clustered``: one distributed job - range repartition on
+        the cluster key, Hive-style slice write - returning the slice
+        directories (the new manifest entries)."""
+        sort_key = (self._zvalue(df, cluster_by) if zorder
+                    else F.col(cluster_by[0]))
+        d = os.path.join(self.root, _DATA, uuid.uuid4().hex)
+        (
+            df.withColumn("__zk", sort_key)
+            .repartitionByRange(n_slices, F.col("__zk"))
+            .sortWithinPartitions("__zk")
+            .withColumn("__slice", F.spark_partition_id())
+            .drop("__zk")
+            .write.partitionBy("__slice")
+            .parquet(d)
+        )
+        return sorted(
+            os.path.join(d, sub)
+            for sub in os.listdir(d) if sub.startswith("__slice=")
+        )
+
+    def init_clustered(self, df: DataFrame, cluster_by: list[str],
+                       n_slices: int = 8) -> int:
+        """Create a snapshot ALREADY range-clustered into ``n_slices``
+        stats-carrying manifest entries - ``init`` + ``optimize`` fused
+        into one write (a bootstrap that will be merged into
+        incrementally should never pay a write-then-rewrite)."""
+        schema = df.schema
+        files = self._write_clustered(df, cluster_by, n_slices)
+        stats = self._collect_stats(files, schema)
+        return self._commit(self.current_version(), files, schema, stats)
+
     def optimize(self, cluster_by: list[str], n_slices: int = 8,
                  zorder: bool = False) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``n_slices``
@@ -836,21 +886,6 @@ class AcidParquetTable:
         df = self.read()
         base = self.current_version()
         schema = df.schema
-        sort_key = (self._zvalue(df, cluster_by) if zorder
-                    else F.col(cluster_by[0]))
-        d = os.path.join(self.root, _DATA, uuid.uuid4().hex)
-        (
-            df.withColumn("__zk", sort_key)
-            .repartitionByRange(n_slices, F.col("__zk"))
-            .sortWithinPartitions("__zk")
-            .withColumn("__slice", F.spark_partition_id())
-            .drop("__zk")
-            .write.partitionBy("__slice")
-            .parquet(d)
-        )
-        files = sorted(
-            os.path.join(d, sub)
-            for sub in os.listdir(d) if sub.startswith("__slice=")
-        )
+        files = self._write_clustered(df, cluster_by, n_slices, zorder=zorder)
         stats = self._collect_stats(files, schema)
         return self._commit(base, files, schema, stats)

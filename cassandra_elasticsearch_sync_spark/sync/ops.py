@@ -1485,3 +1485,70 @@ def l25_three_way_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  side_b(spark, sf_dir)), side_c)
     return merged.select(
         "key", "price", fmt_ts("version").alias("version_s"), "side")
+
+
+@register("l26_sync_cycle_on_acid", "L7+A7", _SIDES_SQL + """
+, u AS (
+  SELECT key, price, version, 'a' AS side FROM side_a
+  UNION ALL
+  SELECT key, price, version, 'b' AS side FROM side_b
+),
+m AS (
+  SELECT key, side, price, version FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+              ORDER BY version DESC, side DESC, price DESC) AS rn
+    FROM u) WHERE rn = 1
+)
+SELECT key, side,
+       CASE WHEN key % 97 = 3 THEN price + 1000 ELSE price END AS price,
+       STRFTIME(DATE_TRUNC('second',
+         CASE WHEN key % 97 = 3 THEN TIMESTAMP '2005-01-01 00:00:00'
+              ELSE version END), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM m
+""", "The SyncEngine's whole program ON the ACID store (VERDICT r3 "
+     "#1): bootstrap both sides onto AcidStores (full_sync = LWW "
+     "merge + range-clustered OPTIMIZE), edit a key slice on side B "
+     "through a copy-on-write UPDATE stamped newer than the "
+     "watermark, then run one incremental_cycle whose apply step is "
+     "a CoW MERGE INTO keyed on the sync key - only the manifest "
+     "entries whose key stats intersect the shipped delta are "
+     "rewritten, so a 1%-delta cycle costs ~1% of the table instead "
+     "of the snapshot-swap store's 100%. The returned side-A state "
+     "hash-matches the relational twin: LWW(merge) with the edit "
+     "overlaid - proving the engine loop, the watermark inclusive "
+     "boundary, and the ACID apply compose end-to-end.")
+def l26_sync_cycle_on_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sync.engine import (
+        AcidStore,
+        SyncEngine,
+    )
+
+    root = tempfile.mkdtemp(prefix="ces_acid_sync_")
+    try:
+        # Seed via a plain init commit (full_sync's overwrite will
+        # range-cluster both stores right after; clustering the
+        # pre-bootstrap state too would be wasted work).
+        a = AcidStore(spark, f"{root}/a")
+        a.table.init(side_a(spark, sf_dir).withColumn("side", F.lit("a")))
+        b = AcidStore(spark, f"{root}/b")
+        b.table.init(side_b(spark, sf_dir).withColumn("side", F.lit("b")))
+        eng = SyncEngine(spark, a, b, f"{root}/state")
+        eng.full_sync()
+        b.table.update_where(
+            F.col("key") % 97 == 3,
+            {"price": F.col("price") + 1000.0,
+             "version": F.lit("2005-01-01 00:00:00").cast("timestamp")},
+        )
+        shipped = eng.incremental_cycle()
+        if shipped == 0:
+            raise AssertionError("edited rows did not ship")
+        if not eng.in_sync():
+            raise AssertionError("stores diverged after cycle")
+        return a.read().select(
+            "key", "side", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,5 +1,7 @@
 """End-to-end SyncEngine: bootstrap + incremental cycles converge and
-are idempotent - the reference's whole program, verified."""
+are idempotent - the reference's whole program, verified - on BOTH
+store backends: the snapshot-swap ParquetStore baseline and the ACID
+AcidStore whose apply is a copy-on-write MERGE (VERDICT r3 #1)."""
 
 from __future__ import annotations
 
@@ -7,25 +9,33 @@ import datetime as dt
 import shutil
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
-from cassandra_elasticsearch_sync_spark.sync.engine import ParquetStore, SyncEngine
+from cassandra_elasticsearch_sync_spark.sync.engine import (
+    AcidStore,
+    ParquetStore,
+    SyncEngine,
+)
 from cassandra_elasticsearch_sync_spark.sync.ops import side_a, side_b
 
 SF_DIR = "/root/testdata/sf0.001"
 
+STORES = [ParquetStore, AcidStore]
 
-def _mk_engine(spark):
+
+def _mk_engine(spark, store_cls=ParquetStore):
     root = tempfile.mkdtemp(prefix="ces_engine_")
-    a = ParquetStore(spark, f"{root}/a",
-                     side_a(spark, SF_DIR).withColumn("side", F.lit("a")))
-    b = ParquetStore(spark, f"{root}/b",
-                     side_b(spark, SF_DIR).withColumn("side", F.lit("b")))
+    a = store_cls(spark, f"{root}/a",
+                  side_a(spark, SF_DIR).withColumn("side", F.lit("a")))
+    b = store_cls(spark, f"{root}/b",
+                  side_b(spark, SF_DIR).withColumn("side", F.lit("b")))
     return SyncEngine(spark, a, b, f"{root}/state"), root
 
 
-def test_full_sync_then_idempotent_cycles(spark):
-    eng, root = _mk_engine(spark)
+@pytest.mark.parametrize("store_cls", STORES)
+def test_full_sync_then_idempotent_cycles(spark, store_cls):
+    eng, root = _mk_engine(spark, store_cls)
     try:
         assert not eng.in_sync()
         eng.full_sync()
@@ -37,8 +47,9 @@ def test_full_sync_then_idempotent_cycles(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def test_incremental_ships_local_edit(spark):
-    eng, root = _mk_engine(spark)
+@pytest.mark.parametrize("store_cls", STORES)
+def test_incremental_ships_local_edit(spark, store_cls):
+    eng, root = _mk_engine(spark, store_cls)
     try:
         eng.full_sync()
         # Local edit on B after the sync point: bump one key's version.
@@ -54,7 +65,7 @@ def test_incremental_ships_local_edit(spark):
                    F.lit(dt.datetime(2002, 1, 1)).cast("timestamp"))
              .otherwise(F.col("version")),
         )
-        eng.b.overwrite(edited)
+        eng.b.overwrite(edited.localCheckpoint(eager=True))
         shipped = eng.incremental_cycle()
         assert shipped >= 1
         assert eng.in_sync()
@@ -67,13 +78,14 @@ def test_incremental_ships_local_edit(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def test_equal_version_boundary_write_is_not_lost(spark):
+@pytest.mark.parametrize("store_cls", STORES)
+def test_equal_version_boundary_write_is_not_lost(spark, store_cls):
     """A write landing AFTER the watermark advance with version exactly
     EQUAL to the watermark must still ship (inclusive >= boundary);
     a strict > would silently drop it forever."""
     from cassandra_elasticsearch_sync_spark.sources.storage import load_watermark
 
-    eng, root = _mk_engine(spark)
+    eng, root = _mk_engine(spark, store_cls)
     try:
         eng.full_sync()
         wm = load_watermark(spark, f"{root}/state")
@@ -81,10 +93,64 @@ def test_equal_version_boundary_write_is_not_lost(spark):
             [(999999, 123.45, wm, "b")], "key bigint, price double, "
             "version timestamp, side string"
         )
-        eng.b.overwrite(eng.b.read().unionByName(new_row))
+        eng.b.overwrite(
+            eng.b.read().unionByName(new_row).localCheckpoint(eager=True))
         assert eng.incremental_cycle() >= 1
         assert eng.a.read().filter(F.col("key") == 999999).count() == 1
         assert eng.in_sync()
         assert eng.incremental_cycle() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_acid_cycle_is_copy_on_write(spark):
+    """The 100 TB property the AcidStore exists for: an incremental
+    cycle shipping a NARROW key range rewrites only the manifest
+    entries whose key stats intersect it - most data files carry over
+    byte-for-byte into the post-cycle snapshot."""
+    eng, root = _mk_engine(spark, AcidStore)
+    try:
+        eng.full_sync()
+        # Edit a narrow key range on B via the ACID table itself
+        # (update_where = CoW on B), stamped newer than the watermark.
+        eng.b.table.update_where(
+            F.col("key") <= 50,
+            {"price": F.col("price") + 1000.0,
+             "version": F.lit(dt.datetime(2003, 1, 1)).cast("timestamp")},
+        )
+        a_before = set(eng.a.table._manifest(
+            eng.a.table.current_version())["files"])
+        assert eng.incremental_cycle() >= 1
+        assert eng.in_sync()
+        m_after = eng.a.table._manifest(eng.a.table.current_version())
+        carried = a_before & set(m_after["files"])
+        # 16 range-clustered slices; keys <= 50 live in few of them.
+        assert len(carried) >= len(a_before) - 4, (
+            f"expected CoW carry-over, kept {len(carried)}/{len(a_before)}")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_acid_cycle_crash_retry_is_idempotent(spark):
+    """At-least-once safety on the ACID path: re-applying the SAME
+    shipped delta (crash between apply and watermark advance -> next
+    cycle re-extracts and re-applies) leaves the store unchanged."""
+    eng, root = _mk_engine(spark, AcidStore)
+    try:
+        eng.full_sync()
+        eng.b.table.update_where(
+            F.col("key") % 13 == 1,
+            {"price": F.col("price") * 2.0,
+             "version": F.lit(dt.datetime(2003, 6, 1)).cast("timestamp")},
+        )
+        assert eng.incremental_cycle() >= 1
+        before = sorted(tuple(r) for r in eng.a.read().collect())
+        # Simulate the crash-retry: apply the already-applied delta again.
+        delta = eng.b.read().filter(F.col("key") % 13 == 1)\
+            .localCheckpoint(eager=True)
+        eng.a.apply_delta(delta)
+        after = sorted(tuple(r) for r in eng.a.read().collect())
+        assert before == after
+        assert eng.in_sync()
     finally:
         shutil.rmtree(root, ignore_errors=True)
