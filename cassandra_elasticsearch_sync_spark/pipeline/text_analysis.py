@@ -65,7 +65,10 @@ def k4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    # Partial count-distinct: one exchange on token (map-side partial
+    # dedup of (token, doc_id)) instead of distinct()'s full-width
+    # shuffle followed by a second token shuffle.
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "token")
@@ -657,7 +660,10 @@ def k4d_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    # Partial count-distinct: one exchange on token (map-side partial
+    # dedup of (token, doc_id)) instead of distinct()'s full-width
+    # shuffle followed by a second token shuffle.
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     w = (
         tf.join(F.broadcast(df), "token")
