@@ -128,6 +128,7 @@ _TAIL = (
     "d4_approx_count_distinct", "d6b_approx_percentiles",
     "k6d_audio_features",
     "i6_stateful_running_max",
+    "i6d_transform_with_state",
 )
 
 
@@ -186,7 +187,11 @@ def _ensure_loaded() -> None:
         sketches,
         pq,
     )
-    from cassandra_elasticsearch_sync_spark.streaming import incremental, stateful  # noqa: F401
+    from cassandra_elasticsearch_sync_spark.streaming import (  # noqa: F401
+        incremental,
+        stateful,
+        transform_state,
+    )
     from cassandra_elasticsearch_sync_spark.sources import (  # noqa: F401
         cql_query,
         es_query,
