@@ -50,6 +50,17 @@ CQL_TABLES: dict[str, dict] = {
         "partition": ["user_id"],
         "clustering": [("ts", "ASC"), ("event_id", "ASC")],
     },
+    # Collection + frozen-UDT bearing table (CREATE TYPE address
+    # (city text, zip int); CREATE TABLE customer_profiles (cust_id
+    # bigint PRIMARY KEY, segment text, tags set<text>,
+    # prefs map<text,int>, address frozen<address>)). The DataFrame
+    # twin is built by `customer_profiles()` below.
+    "customer_profiles": {
+        "partition": ["cust_id"],
+        "clustering": [],
+        "collections": {"tags": "set", "prefs": "map"},
+        "udts": {"address": ["city", "zip"]},
+    },
 }
 
 _EQ_OPS = {"=", "IN"}
@@ -74,7 +85,10 @@ class CqlCol:
             # Cassandra names the column 'system.sum(x)'; the
             # SQL-safe default here is fn_col.
             return f"{self.fn}_{self.name}" if self.name != "*" else self.fn
-        return self.name
+        # UDT field access 'address.city' -> SQL-safe 'address_city'
+        # (Cassandra shows 'address.city'; dots are not hash-compare
+        # safe column names here).
+        return self.name.replace(".", "_")
 
 
 @dataclass
@@ -107,12 +121,12 @@ _STMT_RE = re.compile(
 
 _PRED_RE = re.compile(
     r"^\s*(?P<col>\w+|TOKEN\s*\([\w,\s]+\))\s*"
-    r"(?P<op>>=|<=|=|<|>|IN)\s*(?P<val>.+?)\s*$",
+    r"(?P<op>>=|<=|=|<|>|IN|CONTAINS\s+KEY|CONTAINS)\s*(?P<val>.+?)\s*$",
     re.IGNORECASE,
 )
 
 _COL_RE = re.compile(
-    r"^\s*(?:(?P<fn>\w+)\s*\(\s*(?P<arg>\*|\w+)\s*\)|(?P<plain>\w+|\*))"
+    r"^\s*(?:(?P<fn>\w+)\s*\(\s*(?P<arg>\*|\w+)\s*\)|(?P<plain>\w+(?:\.\w+)?|\*))"
     r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
     re.IGNORECASE,
 )
@@ -163,7 +177,7 @@ def parse_cql(stmt: str) -> CqlSelect:
             col = re.sub(r"\s+", "", pm.group("col"))
             col = col.lower() if col.lower().startswith("token(") else col
             where.append((col,
-                          pm.group("op").upper(),
+                          re.sub(r"\s+", " ", pm.group("op").upper()),
                           _parse_literal(pm.group("val"))))
     group_by = ([c.strip() for c in m.group("groupby").split(",")]
                 if m.group("groupby") else [])
@@ -212,6 +226,43 @@ def validate_cql(sel: CqlSelect) -> dict:
                 raise CqlError("token() does not support IN")
             continue
         by_col.setdefault(col, []).append(op)
+
+    # Collection restrictions: CONTAINS on set/list/map values,
+    # CONTAINS KEY on maps only; both are non-key predicates, so
+    # (without a secondary index, which this model does not declare)
+    # they require ALLOW FILTERING - Cassandra's exact rule.
+    collections = meta.get("collections", {})
+    for col, ops in by_col.items():
+        for op in ops:
+            if op in ("CONTAINS", "CONTAINS KEY"):
+                kind = collections.get(col)
+                if kind is None:
+                    raise CqlError(
+                        f"{op} is only valid on collection columns; "
+                        f"{col!r} is not a collection")
+                if op == "CONTAINS KEY" and kind != "map":
+                    raise CqlError(
+                        f"CONTAINS KEY is only valid on map columns; "
+                        f"{col!r} is a {kind}")
+            elif col in collections:
+                raise CqlError(
+                    f"collection column {col!r} only supports "
+                    "CONTAINS/CONTAINS KEY restrictions")
+
+    # Frozen-UDT field access in the select list: the UDT must be
+    # declared and the field must exist on it.
+    udts = meta.get("udts", {})
+    for c in sel.columns:
+        if c.fn is None and "." in c.name:
+            base, fld = c.name.split(".", 1)
+            if base not in udts:
+                raise CqlError(
+                    f"{base!r} is not a UDT column; field access is only "
+                    "valid on frozen UDTs")
+            if fld not in udts[base]:
+                raise CqlError(
+                    f"UDT {base!r} has no field {fld!r} "
+                    f"(fields: {udts[base]})")
 
     non_key = [c for c in by_col if c not in part_cols and c not in clus_cols]
     if non_key and not sel.allow_filtering:
@@ -281,8 +332,14 @@ def validate_cql(sel: CqlSelect) -> dict:
     return meta
 
 
-def _pred_column(col: str, op: str, val) :
+def _pred_column(col: str, op: str, val, kind: str | None = None):
     c = F.col(col)
+    if op == "CONTAINS":
+        # set/list: element containment; map: VALUE containment
+        target = F.map_values(c) if kind == "map" else c
+        return F.array_contains(target, F.lit(val))
+    if op == "CONTAINS KEY":
+        return F.array_contains(F.map_keys(c), F.lit(val))
     # quoted literals compare against date/timestamp columns via
     # to_timestamp when they look like dates (CQL timestamp literals
     # are quoted strings)
@@ -322,7 +379,9 @@ def cql_select(df: DataFrame, stmt: str) -> DataFrame:
             out = out.filter({"=": t == lit, "<": t < lit, "<=": t <= lit,
                               ">": t > lit, ">=": t >= lit}[op])
         else:
-            out = out.filter(_pred_column(col, op, val))
+            out = out.filter(_pred_column(
+                col, op, val,
+                kind=meta.get("collections", {}).get(col)))
 
     clus_order = [
         F.col(c).desc() if d == "DESC" else F.col(c).asc()
@@ -515,4 +574,78 @@ def a2o_cql_token_ring_json_page(spark, sf_dir):
         SELECT JSON o_orderkey, o_custkey FROM orders
         WHERE token(o_custkey) > 288230376151711744
         LIMIT 25
+    """)
+
+
+def customer_profiles(spark, sf_dir: str) -> DataFrame:
+    """The collection/UDT-bearing table's DataFrame twin, derived
+    deterministically from `customer`: tags set<text> (market segment
+    + nation tag), prefs map<text,int> ('theme' always, 'promo' for
+    every 4th customer - so CONTAINS KEY is selective), address
+    frozen<address> (city text, zip int)."""
+    c = load_table(spark, sf_dir, "customer")
+    has_promo = F.col("c_custkey") % 4 == 0
+    theme = (F.col("c_custkey") % 3).cast("int")
+    return c.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.array(
+            F.col("c_mktsegment"),
+            F.concat(F.lit("N"), F.col("c_nationkey").cast("string")),
+        ).alias("tags"),
+        F.when(has_promo, F.create_map(
+            F.lit("theme"), theme, F.lit("promo"), F.lit(1).cast("int")))
+         .otherwise(F.create_map(F.lit("theme"), theme))
+         .alias("prefs"),
+        F.struct(
+            F.concat(F.lit("city_"), F.col("c_nationkey").cast("string"))
+             .alias("city"),
+            ((F.col("c_custkey") * 37) % 100000).cast("int").alias("zip"),
+        ).alias("address"),
+    )
+
+
+@register("a2p_cql_contains", "A2", """
+SELECT c_custkey AS cust_id
+FROM customer
+WHERE c_mktsegment = 'BUILDING'     -- tags CONTAINS 'BUILDING'
+  AND c_custkey % 4 = 0             -- prefs CONTAINS KEY 'promo'
+  AND c_custkey % 3 = 2             -- prefs CONTAINS 2 (theme value)
+""", "CQL collection restrictions: `tags CONTAINS 'BUILDING' AND "
+     "prefs CONTAINS KEY 'promo' AND prefs CONTAINS 2 ALLOW "
+     "FILTERING` over set<text> and map<text,int> columns. The "
+     "validator enforces Cassandra's exact rules (CONTAINS only on "
+     "collections, CONTAINS KEY only on maps, ALLOW FILTERING "
+     "required without an index - all differential-tested), and the "
+     "compiled plan is array_contains / map_keys / map_values "
+     "filters - JVM-side, no UDF. The oracle derives the same "
+     "selection from the generating rules, so the hash check proves "
+     "containment semantics end-to-end.")
+def a2p_cql_contains(spark, sf_dir):
+    p = customer_profiles(spark, sf_dir)
+    return cql_select(p, """
+        SELECT cust_id FROM customer_profiles
+        WHERE tags CONTAINS 'BUILDING'
+          AND prefs CONTAINS KEY 'promo'
+          AND prefs CONTAINS 2
+        ALLOW FILTERING
+    """)
+
+
+@register("a2q_cql_udt_fields", "A2+B4", """
+SELECT c_custkey AS cust_id,
+       'city_' || CAST(c_nationkey AS VARCHAR) AS city,
+       CAST((c_custkey * 37) % 100000 AS INT) AS zip
+FROM customer
+""", "Frozen-UDT field access in the CQL select list: `SELECT "
+     "cust_id, address.city AS city, address.zip AS zip` over a "
+     "frozen<address> column - compiled to struct field extraction "
+     "(no UDF, prunes to the two fields at the scan). The validator "
+     "checks the UDT is declared and the fields exist; unknown "
+     "fields and field access on non-UDT columns raise the "
+     "Cassandra error (tests/test_cql_query.py).")
+def a2q_cql_udt_fields(spark, sf_dir):
+    p = customer_profiles(spark, sf_dir)
+    return cql_select(p, """
+        SELECT cust_id, address.city AS city, address.zip AS zip
+        FROM customer_profiles
     """)

@@ -171,3 +171,66 @@ def test_group_by_aggregate_and_json_render(spark):
         WHERE l_orderkey = 2
     """).collect()
     assert [r["json"] for r in js] == ['{"l_orderkey":2,"l_linenumber":1}']
+
+
+def test_contains_rules():
+    """CONTAINS/CONTAINS KEY: collections only, CONTAINS KEY maps only,
+    ALLOW FILTERING required (no secondary index declared)."""
+    # valid with ALLOW FILTERING
+    validate_cql(parse_cql(
+        "SELECT cust_id FROM customer_profiles "
+        "WHERE tags CONTAINS 'x' ALLOW FILTERING"))
+    validate_cql(parse_cql(
+        "SELECT cust_id FROM customer_profiles "
+        "WHERE prefs CONTAINS KEY 'promo' ALLOW FILTERING"))
+    with pytest.raises(CqlError, match="ALLOW FILTERING"):
+        validate_cql(parse_cql(
+            "SELECT cust_id FROM customer_profiles WHERE tags CONTAINS 'x'"))
+    with pytest.raises(CqlError, match="not a collection"):
+        validate_cql(parse_cql(
+            "SELECT cust_id FROM customer_profiles "
+            "WHERE cust_id CONTAINS 5 ALLOW FILTERING"))
+    with pytest.raises(CqlError, match="only valid on map"):
+        validate_cql(parse_cql(
+            "SELECT cust_id FROM customer_profiles "
+            "WHERE tags CONTAINS KEY 'x' ALLOW FILTERING"))
+    with pytest.raises(CqlError, match="CONTAINS/CONTAINS KEY"):
+        validate_cql(parse_cql(
+            "SELECT cust_id FROM customer_profiles "
+            "WHERE tags = 'x' ALLOW FILTERING"))
+
+
+def test_udt_field_access_rules():
+    validate_cql(parse_cql(
+        "SELECT cust_id, address.city FROM customer_profiles"))
+    with pytest.raises(CqlError, match="no field"):
+        validate_cql(parse_cql(
+            "SELECT address.country FROM customer_profiles"))
+    with pytest.raises(CqlError, match="not a UDT"):
+        validate_cql(parse_cql(
+            "SELECT tags.city FROM customer_profiles"))
+
+
+def test_contains_and_udt_compile(spark):
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import cql_select
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], {"theme": 1}, ("rome", 10)),
+         (2, ["b", "c"], {"theme": 2, "promo": 1}, ("oslo", 20))],
+        "cust_id bigint, tags array<string>, prefs map<string,int>, "
+        "address struct<city:string, zip:int>")
+    got = [r["cust_id"] for r in cql_select(df, """
+        SELECT cust_id FROM customer_profiles
+        WHERE tags CONTAINS 'b' AND prefs CONTAINS KEY 'promo'
+        ALLOW FILTERING""").collect()]
+    assert got == [2]
+    # map VALUE containment
+    got = sorted(r["cust_id"] for r in cql_select(df, """
+        SELECT cust_id FROM customer_profiles
+        WHERE prefs CONTAINS 1 ALLOW FILTERING""").collect())
+    assert got == [1, 2]
+    # UDT field access with aliasing
+    rows = sorted(tuple(r) for r in cql_select(df, """
+        SELECT cust_id, address.city AS city, address.zip
+        FROM customer_profiles""").collect())
+    assert rows == [(1, "rome", 10), (2, "oslo", 20)]
