@@ -34,8 +34,15 @@ _RANGE_OPS = {
 }
 
 
-def compile_query(q: dict) -> Column:
-    """Compile an ES query-DSL dict to a Spark Column predicate."""
+def compile_query(q: dict, resolve=None) -> Column:
+    """Compile an ES query-DSL dict to a Spark Column predicate.
+
+    ``resolve`` maps a DSL field name to a Column (default ``F.col``);
+    the ``nested`` clause rebinds it to struct-element access so inner
+    clauses evaluate against ONE array element - the semantic that
+    separates ES nested mappings from flattened objects."""
+    if resolve is None:
+        resolve = F.col
     if not isinstance(q, dict) or len(q) != 1:
         raise ValueError(f"expected a single-clause query dict, got {q!r}")
     kind, body = next(iter(q.items()))
@@ -44,19 +51,19 @@ def compile_query(q: dict) -> Column:
         return F.lit(True)
     if kind == "term":
         (field, value), = body.items()
-        return F.col(field) == F.lit(value)
+        return resolve(field) == F.lit(value)
     if kind == "terms":
         (field, values), = body.items()
-        return F.col(field).isin(*values)
+        return resolve(field).isin(*values)
     if kind == "range":
         (field, conds), = body.items()
-        preds = [_RANGE_OPS[op](F.col(field), F.lit(v)) for op, v in conds.items()]
+        preds = [_RANGE_OPS[op](resolve(field), F.lit(v)) for op, v in conds.items()]
         return reduce(lambda a, b: a & b, preds)
     if kind == "exists":
-        return F.col(body["field"]).isNotNull()
+        return resolve(body["field"]).isNotNull()
     if kind == "prefix":
         (field, value), = body.items()
-        return F.col(field).startswith(value)
+        return resolve(field).startswith(value)
     if kind == "wildcard":
         # ES wildcard: * = any run, ? = any one char. Compile to LIKE
         # with SQL metacharacters escaped so literal %/_ in the
@@ -64,21 +71,23 @@ def compile_query(q: dict) -> Column:
         (field, value), = body.items()
         pat = (str(value).replace("\\", "\\\\").replace("%", "\\%")
                .replace("_", "\\_").replace("*", "%").replace("?", "_"))
-        return F.col(field).like(pat)
+        return resolve(field).like(pat)
     if kind == "match":
         # OR over whitespace tokens of the query text, word-boundary
         # containment on the document field (analyzer = whitespace).
         (field, text), = body.items()
         toks = [t for t in str(text).lower().split() if t]
         preds = [
-            F.array_contains(F.split(F.lower(field), " "), t) for t in toks
+            F.array_contains(F.split(F.lower(resolve(field)), " "), t)
+            for t in toks
         ]
         return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
     if kind == "multi_match":
         # OR of per-field match: doc matches if ANY listed field
         # contains ANY query token (best_fields-style boolean shape).
         text, fields = body["query"], body["fields"]
-        per_field = [compile_query({"match": {f: text}}) for f in fields]
+        per_field = [compile_query({"match": {f: text}}, resolve)
+                     for f in fields]
         return reduce(lambda a, b: a | b, per_field) if per_field else F.lit(False)
     if kind == "bool":
         # Fully recursive: clauses may themselves be bool queries to
@@ -87,13 +96,31 @@ def compile_query(q: dict) -> Column:
         # this engine compiles to filters, not scores.
         parts: list[Column] = []
         for clause in (*body.get("must", []), *body.get("filter", [])):
-            parts.append(compile_query(clause))
-        should = [compile_query(c) for c in body.get("should", [])]
+            parts.append(compile_query(clause, resolve))
+        should = [compile_query(c, resolve) for c in body.get("should", [])]
         if should:
             parts.append(reduce(lambda a, b: a | b, should))
         for clause in body.get("must_not", []):
-            parts.append(~compile_query(clause))
+            parts.append(~compile_query(clause, resolve))
         return reduce(lambda a, b: a & b, parts) if parts else F.lit(True)
+    if kind == "nested":
+        # ES nested query: the document matches when ANY element of the
+        # nested-path array satisfies the WHOLE inner query - the same
+        # element must meet every condition, which is exactly what a
+        # flattened-object mapping cannot express. Compiles to the
+        # higher-order exists() over the array column (JVM-side lambda,
+        # no explode, no shuffle, no UDF); nesting recurses for
+        # multi-level paths.
+        path, inner = body["path"], body["query"]
+
+        def elem_pred(x):
+            def elem_resolve(field: str):
+                if field.startswith(path + "."):
+                    return x[field[len(path) + 1:]]
+                return resolve(field)
+            return compile_query(inner, elem_resolve)
+
+        return F.exists(resolve(path), elem_pred)
     raise ValueError(f"unsupported ES query clause: {kind}")
 
 
@@ -1773,3 +1800,136 @@ def a3_sliced_scroll_export(spark, sf_dir):
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite-agg client sweep (after-key pagination loop) + nested path query
+# ---------------------------------------------------------------------------
+
+def es_composite_sweep(df: DataFrame, aggs: dict,
+                       max_pages: int = 1000) -> DataFrame:
+    """Drive an ES composite aggregation the way a client sweeps it:
+    run a page, feed its LAST bucket's source key back as the
+    ``after`` cursor, repeat until a short page. Each page is one
+    bounded distributed job (agg + TakeOrderedAndProject of ``size``
+    buckets); the driver holds only one page of buckets at a time -
+    exactly the ES client contract, and the only correct way to visit
+    EVERY bucket of a high-cardinality space (deep terms sizes
+    truncate). Returns all pages stamped with their page number, so
+    the oracle can prove the cursor tiles the bucket space with no
+    gaps and no overlaps."""
+    from pyspark.sql import types as T
+
+    (name, spec), = aggs.items()
+    comp = dict(spec["composite"])
+    src_names = [next(iter(s)) for s in comp["sources"]]
+    size = comp.get("size", 10)
+    after = comp.get("after")
+    rows_out: list = []
+    schema = None
+    for page_no in range(max_pages):
+        comp_page = {k: v for k, v in comp.items() if k != "after"}
+        if after is not None:
+            comp_page["after"] = after
+        page_spec = {name: {
+            **{k: v for k, v in spec.items() if k != "composite"},
+            "composite": comp_page,
+        }}
+        page = es_aggregate(df, page_spec)
+        rows = page.collect()       # bounded: <= size buckets per page
+        schema = page.schema
+        if not rows:
+            break
+        rows_out.extend((page_no, *tuple(r)) for r in rows)
+        after = {n: rows[-1][n] for n in src_names}
+        if len(rows) < size:
+            break
+    out_schema = T.StructType(
+        [T.StructField("page", T.IntegerType())] + list(schema.fields))
+    return df.sparkSession.createDataFrame(rows_out, out_schema)
+
+
+@register("a3aa_es_composite_paged_sweep", "A3", """
+WITH g AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS status,
+         COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+              AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY o_orderpriority, o_orderstatus
+)
+SELECT CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY pri, status) - 1) / 4) AS INT)
+         AS page,
+       pri, status, doc_count, revenue
+FROM g
+""", "ES composite aggregation swept to EXHAUSTION through the "
+     "after-key cursor loop (the client protocol a3g's single page "
+     "compiles for): each page is one bounded agg + top-N job, the "
+     "last bucket's source key feeds the next page's after cursor, "
+     "and the loop stops on the first short page. The oracle is the "
+     "full GROUP BY with buckets assigned to pages by rank - so the "
+     "hash check proves the cursor tiles the ENTIRE bucket space "
+     "with no gap, no overlap, and in exact compound-key order. "
+     "Driver state is one page of buckets (<= size), never the "
+     "bucket space; page count scales with cardinality/size while "
+     "every page stays a distributed plan.")
+def a3aa_es_composite_paged_sweep(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_composite_sweep(o, {
+        "sweep": {
+            "composite": {
+                "sources": [
+                    {"pri": {"terms": {"field": "o_orderpriority"}}},
+                    {"status": {"terms": {"field": "o_orderstatus"}}},
+                ],
+                "size": 4,
+            },
+            "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
+        }
+    })
+
+
+def order_docs_with_items(spark, sf_dir: str) -> DataFrame:
+    """Orders as ES documents with a nested ``items`` mapping (the
+    array-of-objects shape an order document has in a real index):
+    items collected from lineitem, sorted for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct(
+            "l_linenumber", "l_quantity", "l_extendedprice"))).alias("items"))
+    return o.join(items, o.o_orderkey == items.l_orderkey).select(
+        "o_orderkey", "o_totalprice", "items")
+
+
+_NESTED_PATH_DSL = {
+    "nested": {
+        "path": "items",
+        "query": {"bool": {"must": [
+            {"range": {"items.l_quantity": {"gte": 48}}},
+            {"range": {"items.l_extendedprice": {"gte": 60000}}},
+        ]}},
+    }
+}
+
+
+@register("a3ab_es_nested_path_query", "A3", """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_quantity >= 48
+                AND l_extendedprice >= 60000)
+""", "ES nested path query: `nested: {path: items, query: bool}` over "
+     "an array-of-objects mapping - the document matches only if ONE "
+     "item satisfies BOTH range conditions (the semantic a flattened "
+     "object mapping cannot express: two top-level ranges would match "
+     "orders where different items satisfy each). Compiles to the "
+     "higher-order exists() lambda over the array column - JVM-side, "
+     "no explode, no shuffle, no UDF - and recurses for multi-level "
+     "paths. The oracle is the correlated EXISTS against the "
+     "un-nested lineitem rows, proving same-element semantics.")
+def a3ab_es_nested_path_query(spark, sf_dir):
+    docs = order_docs_with_items(spark, sf_dir)
+    return es_search(docs, _NESTED_PATH_DSL).select(
+        "o_orderkey", "o_totalprice")

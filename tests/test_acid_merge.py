@@ -622,3 +622,32 @@ def test_change_feed_reports_new_column_only_updates(spark, root):
     assert set(rows) == {1}, "only key 1 changed (qty NULL -> 5)"
     assert rows[1]["change_type"] == "update"
     assert rows[1]["qty_new"] == 5
+
+
+def test_vacuum_pinned_reader_contract(spark, root):
+    """The documented vacuum-vs-reader race (acid.py vacuum docstring):
+    a reader pinned to a RETAINED snapshot keeps working through a
+    vacuum; a reader pinned to a snapshot older than the retention
+    window fails FAST on its next action (missing files) rather than
+    silently returning partial data - the Delta VACUUM contract."""
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    # three more commits, each rewriting key 1's file
+    for v in (2, 3, 4):
+        t.merge_into(spark.createDataFrame(
+            [(1, 10.0 + v, v)], "key bigint, price double, version int"),
+            ["key"])
+    old_reader = t.read(version=1)       # file list resolved NOW
+    kept_reader = t.read(version=4)
+    assert old_reader.count() == 2       # works pre-vacuum
+    removed = t.vacuum(retain_last=2)    # keeps v3, v4
+    assert removed, "vacuum should reclaim v1/v2-only files"
+    # retained snapshot: still fully readable after vacuum
+    assert kept_reader.count() == 2
+    assert _rows(t.read(version=3))      # version time travel inside window
+    # vacuumed snapshot: the pinned plan must FAIL, not return less
+    with pytest.raises(Exception):
+        # fresh action on the pinned plan hits the deleted files
+        old_reader.localCheckpoint(eager=True)
+    # and re-resolving the old version fails at manifest lookup
+    with pytest.raises(Exception):
+        t.read(version=1).count()

@@ -298,3 +298,81 @@ def test_bucket_pipeline_rejected_outside_terms_or_histogram(spark):
                 }}},
             }
         })
+
+
+def test_nested_query_same_element_semantics(spark):
+    """nested must require ONE element to satisfy the whole inner
+    query; two flattened top-level conditions would also match doc 2
+    (different items satisfying each condition)."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_search
+
+    docs = spark.createDataFrame(
+        [(1, [(10, 5.0), (2, 100.0)]),   # one item has qty>=10 AND price>=5
+         (2, [(10, 1.0), (2, 100.0)]),   # conditions split across items
+         (3, [(1, 1.0)])],
+        "doc_id bigint, items array<struct<qty:int, price:double>>")
+    q = {"nested": {"path": "items", "query": {"bool": {"must": [
+        {"range": {"items.qty": {"gte": 10}}},
+        {"range": {"items.price": {"gte": 5.0}}},
+    ]}}}}
+    got = sorted(r["doc_id"] for r in es_search(docs, q).collect())
+    assert got == [1]
+
+
+def test_nested_query_plan_has_no_explode_or_udf(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_search
+
+    docs = spark.createDataFrame(
+        [(1, [(10, 5.0)])],
+        "doc_id bigint, items array<struct<qty:int, price:double>>")
+    q = {"nested": {"path": "items",
+                    "query": {"range": {"items.qty": {"gte": 10}}}}}
+    plan = es_search(docs, q)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan          # no explode
+    assert "BatchEvalPython" not in plan   # no python UDF
+    assert "exists" in plan
+
+
+def test_composite_sweep_tiles_bucket_space(spark):
+    """Pages must tile the full bucket space: no gaps, no overlaps,
+    compound-key ascending, last page short or the sweep ends on an
+    empty page."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_composite_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [(chr(ord("a") + i % 5), i % 2, 1.0) for i in range(40)],
+        "g string, h int, v double")
+    out = es_composite_sweep(df, {
+        "s": {"composite": {
+            "sources": [{"g": {"terms": {"field": "g"}}},
+                        {"h": {"terms": {"field": "h"}}}],
+            "size": 4,
+        }}
+    }).collect()
+    keys = [(r["g"], r["h"]) for r in out]
+    assert keys == sorted(keys)                       # ascending, no overlap
+    assert len(set(keys)) == len(keys) == 10          # all 5*2 buckets
+    pages = [r["page"] for r in out]
+    assert pages == sorted(pages)
+    # size-4 pages over 10 buckets -> 3 pages (4, 4, 2)
+    assert max(pages) == 2
+
+
+def test_composite_sweep_respects_initial_after(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_composite_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [(chr(ord("a") + i % 5), 1.0) for i in range(20)],
+        "g string, v double")
+    out = es_composite_sweep(df, {
+        "s": {"composite": {
+            "sources": [{"g": {"terms": {"field": "g"}}}],
+            "size": 2,
+            "after": {"g": "b"},
+        }}
+    }).collect()
+    assert [r["g"] for r in out] == ["c", "d", "e"]
