@@ -283,7 +283,8 @@ class AcidParquetTable:
     def _commit(self, base_version: int, files: list[str], schema: StructType,
                 stats: dict | None = None, seq: dict | None = None,
                 deletes: list | None = None,
-                manifests_dir: str | None = None) -> int:
+                manifests_dir: str | None = None,
+                cluster_by: list[str] | None = None) -> int:
         """Conditional-put commit: atomically create manifest
         ``v{base+1}``. Creation succeeding IS the commit; creation
         failing means another writer committed on the same base first -
@@ -304,6 +305,10 @@ class AcidParquetTable:
             # entries absent from the map default to seq 0 (pre-MoR manifests).
             "seq": seq if seq is not None else {f: next_v for f in files},
             "deletes": deletes or [],
+            # the declared clustering (init_clustered/optimize); carried
+            # by every maintenance commit so rewrites can preserve the
+            # sliced layout instead of collapsing entries
+            "cluster_by": cluster_by,
             "schema": schema.jsonValue(),
         }
         mdir = manifests_dir or os.path.join(self.root, _MANIFESTS)
@@ -470,7 +475,7 @@ class AcidParquetTable:
         ]
         rewritten = joined.filter(keep).select(*cols)
 
-        fresh = self._write_data_files(rewritten)
+        fresh = self._write_rewrite(rewritten, manifest, len(affected))
         new_files = list(untouched) + fresh
         # Stats carry over verbatim for untouched entries (their bytes
         # did not change - the CoW payoff extends to the index) and are
@@ -489,7 +494,8 @@ class AcidParquetTable:
         seq.update({d: next_seq for d in fresh})
         return self._commit(commit_base, new_files, schema, stats, seq=seq,
                             deletes=manifest.get("deletes", []),
-                            manifests_dir=commit_dir)
+                            manifests_dir=commit_dir,
+                            cluster_by=manifest.get("cluster_by"))
 
     # -- DELETE / UPDATE (copy-on-write) -----------------------------------
 
@@ -522,7 +528,8 @@ class AcidParquetTable:
                     if any(h.startswith(d.rstrip("/") + "/") for h in hits)]
         untouched = [d for d in all_files if d not in affected]
         rewritten = transform(self._read_entries(manifest, affected), condition)
-        fresh = self._write_data_files(rewritten.select(*schema.names))
+        fresh = self._write_rewrite(
+            rewritten.select(*schema.names), manifest, len(affected))
         new_files = list(untouched) + fresh
         base_stats = manifest.get("stats", {})
         stats = {d: base_stats[d] for d in untouched if d in base_stats}
@@ -531,7 +538,59 @@ class AcidParquetTable:
         seq = {d: int(base_seq.get(d, 0)) for d in untouched}
         seq.update({d: self._next_seq(manifest, base) for d in fresh})
         return self._commit(base, new_files, schema, stats, seq=seq,
-                            deletes=manifest.get("deletes", []))
+                            deletes=manifest.get("deletes", []),
+                            cluster_by=manifest.get("cluster_by"))
+
+    def replace_where(self, condition: Column, df: DataFrame) -> int:
+        """Delta-style ``INSERT OVERWRITE ... replaceWhere``: ONE atomic
+        commit that removes every row matching ``condition`` and
+        inserts ``df`` in its place - the idempotent partition-restate
+        pattern (recompute a day/region slice and swap it in). Only the
+        entries containing matching rows are rewritten; ``df`` must
+        itself satisfy ``condition`` (enforced IN-PLAN with
+        assert_true, so a violating row fails the commit job rather
+        than silently leaking outside the replaced slice - Delta's
+        exact contract)."""
+        base = self.current_version()
+        manifest = self._manifest(base)
+        schema = StructType.fromJson(manifest["schema"])
+        all_files = list(manifest["files"])
+        hits: set[str] = set()
+        if all_files:
+            probe = self.spark.read.schema(schema).parquet(*all_files)
+            hit_rows = (
+                probe.withColumn("__f", F.input_file_name())
+                .filter(condition).select("__f").distinct().collect()
+            )
+            hits = {r["__f"][7:] if r["__f"].startswith("file://") else r["__f"]
+                    for r in hit_rows}
+        affected = [d for d in all_files
+                    if any(h.startswith(d.rstrip("/") + "/") for h in hits)]
+        untouched = [d for d in all_files if d not in affected]
+        kept = self._read_entries(manifest, affected).filter(
+            ~F.coalesce(condition, F.lit(False)))
+        proof = F.assert_true(
+            F.coalesce(condition, F.lit(False)),
+            F.lit("replace_where: insert row violates the replace predicate"),
+        )
+        incoming = (
+            df.select(*schema.names)
+            .withColumn("__proof", proof)
+            .filter(F.col("__proof").isNull())
+            .select(*schema.names)
+        )
+        fresh = self._write_rewrite(kept, manifest, len(affected))
+        fresh += self._write_data_files(incoming)
+        new_files = untouched + fresh
+        base_stats = manifest.get("stats", {})
+        stats = {d: base_stats[d] for d in untouched if d in base_stats}
+        stats.update(self._collect_stats(fresh, schema))
+        base_seq = manifest.get("seq", {})
+        seq = {d: int(base_seq.get(d, 0)) for d in untouched}
+        seq.update({d: self._next_seq(manifest, base) for d in fresh})
+        return self._commit(base, new_files, schema, stats, seq=seq,
+                            deletes=manifest.get("deletes", []),
+                            cluster_by=manifest.get("cluster_by"))
 
     def delete_where(self, condition: Column) -> int:
         """``DELETE FROM t WHERE condition`` as a copy-on-write commit.
@@ -576,7 +635,8 @@ class AcidParquetTable:
         schema = StructType.fromJson(manifest["schema"])
         return self._commit(base, manifest["files"], schema,
                             manifest.get("stats", {}),
-                            seq=manifest.get("seq"), deletes=deletes)
+                            seq=manifest.get("seq"), deletes=deletes,
+                            cluster_by=manifest.get("cluster_by"))
 
     def compact_deletes(self) -> int:
         """Materialize pending MoR delete files into the data entries
@@ -608,13 +668,60 @@ class AcidParquetTable:
             else:
                 untouched.append(d)
         rewritten = self._read_entries(manifest, affected)
-        fresh = self._write_data_files(rewritten)
+        fresh = self._write_rewrite(rewritten, manifest, len(affected))
         new_files = list(untouched) + fresh
         stats = {d: stats_m[d] for d in untouched if d in stats_m}
         stats.update(self._collect_stats(fresh, schema))
         seq = {d: int(seqs.get(d, 0)) for d in untouched}
         seq.update({d: self._next_seq(manifest, base) for d in fresh})
-        return self._commit(base, new_files, schema, stats, seq=seq, deletes=[])
+        return self._commit(base, new_files, schema, stats, seq=seq, deletes=[],
+                            cluster_by=manifest.get("cluster_by"))
+
+    def _entry_bytes(self, d: str) -> int:
+        total = 0
+        for base_dir, _, fnames in os.walk(d):
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(base_dir, f))
+        return total
+
+    def compact_small(self, target_bytes: int = 128 << 20) -> int:
+        """OPTIMIZE bin-packing: coalesce manifest entries whose
+        on-disk size is below ``target_bytes`` into ~target-sized
+        entries; entries already at target carry over byte-for-byte.
+        This is the small-file compaction every streaming/CDC ingest
+        needs (each micro-batch commit lands one small entry; without
+        packing, manifest size and per-query task count grow with
+        commit COUNT instead of data size). Sizes come from the local
+        listing - the same file-size metadata a real format keeps per
+        data file in the manifest itself."""
+        import math
+
+        base = self.current_version()
+        manifest = self._manifest(base)
+        schema = StructType.fromJson(manifest["schema"])
+        sizes = {d: self._entry_bytes(d) for d in manifest["files"]}
+        small = [d for d in manifest["files"] if sizes[d] < target_bytes]
+        if len(small) < 2:
+            return base
+        untouched = [d for d in manifest["files"] if d not in small]
+        rewritten = self._read_entries(manifest, small)
+        n_out = max(1, math.ceil(sum(sizes[d] for d in small) / target_bytes))
+        cb = manifest.get("cluster_by")
+        if cb and n_out > 1:
+            fresh = self._write_clustered(rewritten, cb, n_slices=n_out)
+        else:
+            fresh = self._write_data_files(rewritten.coalesce(n_out))
+        new_files = untouched + fresh
+        base_stats = manifest.get("stats", {})
+        stats = {d: base_stats[d] for d in untouched if d in base_stats}
+        stats.update(self._collect_stats(fresh, schema))
+        base_seq = manifest.get("seq", {})
+        seq = {d: int(base_seq.get(d, 0)) for d in untouched}
+        seq.update({d: self._next_seq(manifest, base) for d in fresh})
+        return self._commit(base, new_files, schema, stats, seq=seq,
+                            deletes=manifest.get("deletes", []),
+                            cluster_by=cb)
 
     # -- branches: write-audit-publish -------------------------------------
 
@@ -691,7 +798,8 @@ class AcidParquetTable:
                 f"{branch!r} was cut; re-stage and re-audit on the new base")
         schema = StructType.fromJson(m["schema"])
         return self._commit(base, m["files"], schema, m.get("stats", {}),
-                            seq=m.get("seq"), deletes=m.get("deletes", []))
+                            seq=m.get("seq"), deletes=m.get("deletes", []),
+                            cluster_by=m.get("cluster_by"))
 
     # -- change data feed --------------------------------------------------
 
@@ -758,7 +866,8 @@ class AcidParquetTable:
                 raise ValueError(f"column {f.name!r} already exists")
             schema = schema.add(f)
         return self._commit(v, m["files"], schema, m.get("stats", {}),
-                            seq=m.get("seq"), deletes=m.get("deletes", []))
+                            seq=m.get("seq"), deletes=m.get("deletes", []),
+                            cluster_by=m.get("cluster_by"))
 
     # -- maintenance -------------------------------------------------------
 
@@ -853,10 +962,29 @@ class AcidParquetTable:
             .write.partitionBy("__slice")
             .parquet(d)
         )
-        return sorted(
+        slices = sorted(
             os.path.join(d, sub)
             for sub in os.listdir(d) if sub.startswith("__slice=")
         )
+        if not slices:
+            import shutil
+            shutil.rmtree(d, ignore_errors=True)
+        return slices
+
+    def _write_rewrite(self, df: DataFrame, manifest: dict,
+                       n_affected: int) -> list[str]:
+        """Write a maintenance rewrite's output. On a table with a
+        declared clustering, the rewrite of N affected entries comes
+        back as N range-clustered entries with fresh stats - NOT one
+        merged blob. Collapsing the layout on every merge/compact
+        would destroy the manifest's pruning granularity (observed in
+        the scale smoke: a 16-slice table degraded to 1 entry after
+        one merge+compact cycle); preserving it keeps every later
+        merge probe and read_where O(affected entries) forever."""
+        cb = manifest.get("cluster_by")
+        if cb and n_affected > 1:
+            return self._write_clustered(df, cb, n_slices=n_affected)
+        return self._write_data_files(df)
 
     def init_clustered(self, df: DataFrame, cluster_by: list[str],
                        n_slices: int = 8) -> int:
@@ -867,7 +995,8 @@ class AcidParquetTable:
         schema = df.schema
         files = self._write_clustered(df, cluster_by, n_slices)
         stats = self._collect_stats(files, schema)
-        return self._commit(self.current_version(), files, schema, stats)
+        return self._commit(self.current_version(), files, schema, stats,
+                            cluster_by=cluster_by)
 
     def optimize(self, cluster_by: list[str], n_slices: int = 8,
                  zorder: bool = False) -> int:
@@ -888,4 +1017,5 @@ class AcidParquetTable:
         schema = df.schema
         files = self._write_clustered(df, cluster_by, n_slices, zorder=zorder)
         stats = self._collect_stats(files, schema)
-        return self._commit(base, files, schema, stats)
+        return self._commit(base, files, schema, stats,
+                            cluster_by=None if zorder else cluster_by)

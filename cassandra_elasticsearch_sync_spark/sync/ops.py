@@ -1552,3 +1552,95 @@ def l26_sync_cycle_on_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l27_acid_replace_where", "A7+L5", _SIDES_SQL + """
+SELECT key,
+       CASE WHEN version >= TIMESTAMP '1997-01-01 00:00:00'
+            THEN price * 0.5 ELSE price END AS price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM side_a
+""", "Delta-style replaceWhere on the ACID store: restate the "
+     "'1997-and-later' slice of the table (recomputed with corrected "
+     "prices) in ONE atomic commit that deletes the old slice and "
+     "inserts the restatement - the idempotent partition-recompute "
+     "pattern every batch pipeline uses to re-run a day. Only entries "
+     "containing matching rows are rewritten (CoW file pruning), and "
+     "rows violating the replace predicate fail the commit IN-PLAN "
+     "(assert_true) instead of leaking outside the slice - Delta's "
+     "contract. The post-commit table hash-matches the relational "
+     "restatement; concurrent snapshot readers keep the pre-replace "
+     "version (tests/test_acid_merge.py).")
+def l27_acid_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="ces_acid_rw_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(side_a(spark, sf_dir))
+        restated = (
+            side_a(spark, sf_dir)
+            .filter(F.col("version") >= cutoff)
+            .select("key", (F.col("price") * 0.5).alias("price"),
+                    "version")
+        )
+        t.replace_where(F.col("version") >= cutoff, restated)
+        return t.read().select(
+            "key", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l28_acid_compact_small", "A7+A6", _SIDES_SQL + """
+SELECT key, price, version_s FROM (
+  SELECT key, price,
+         STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+  FROM side_a
+  UNION ALL
+  SELECT 90000000 + seq AS key, CAST(seq AS DOUBLE) AS price,
+         '2004-01-01 00:00:00' AS version_s
+  FROM (SELECT UNNEST(RANGE(0, 8)) AS seq)
+)
+""", "Small-file compaction on the ACID store: 8 micro-commits (the "
+     "CDC-ingest pattern - every micro-batch lands one tiny manifest "
+     "entry) are bin-packed by compact_small into target-sized "
+     "entries in one atomic commit. The hash check proves compaction "
+     "is content-neutral (table = base snapshot + the 8 appended "
+     "rows, byte-identical values); the entry count drops from 9+ to "
+     "1 (asserted in-query). Without this maintenance op, manifest "
+     "size and scan task count grow with COMMIT COUNT, not data size "
+     "- the failure mode that kills streaming sinks at 100 TB.")
+def l28_acid_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    root = tempfile.mkdtemp(prefix="ces_acid_pack_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(side_a(spark, sf_dir))
+        for seq in range(8):
+            t.merge_into(
+                spark.createDataFrame(
+                    [(90_000_000 + seq, float(seq), "2004-01-01 00:00:00")],
+                    "key bigint, price double, version string",
+                ).select("key", "price",
+                         F.col("version").cast("timestamp").alias("version")),
+                ["key"], assume_unique_keys=True)
+        n_before = len(t._manifest(t.current_version())["files"])
+        t.compact_small()
+        n_after = len(t._manifest(t.current_version())["files"])
+        if not (n_after < n_before):
+            raise AssertionError(
+                f"compaction did not shrink the manifest ({n_before} -> {n_after})")
+        return t.read().select(
+            "key", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

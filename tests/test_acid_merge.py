@@ -651,3 +651,98 @@ def test_vacuum_pinned_reader_contract(spark, root):
     # and re-resolving the old version fails at manifest lookup
     with pytest.raises(Exception):
         t.read(version=1).count()
+
+
+def test_maintenance_preserves_clustered_layout(spark, root):
+    """A merge/compact on a range-clustered table must come back as
+    clustered entries with stats, not one merged blob - otherwise the
+    first maintenance cycle destroys the manifest's pruning
+    granularity for every later read and merge."""
+    t = AcidParquetTable(spark, root)
+    df = spark.createDataFrame(
+        [(i, float(i), 1) for i in range(4000)],
+        "key bigint, price double, version int")
+    t.init_clustered(df, ["key"], n_slices=8)
+    assert len(t._manifest(t.current_version())["files"]) == 8
+    # merge touching every slice (scattered keys)
+    src = spark.createDataFrame(
+        [(i, -1.0, 2) for i in range(0, 4000, 100)],
+        "key bigint, price double, version int")
+    t.merge_into(src, ["key"])
+    m = t._manifest(t.current_version())
+    assert len(m["files"]) == 8, "scattered merge must stay 8 clustered entries"
+    assert all(m["stats"].get(d, {}).get("key") for d in m["files"])
+    # MoR delete + compact: layout survives the compaction rewrite too
+    t.delete_keys_mor(spark.createDataFrame(
+        [(i,) for i in range(0, 4000, 500)], "key bigint"), ["key"])
+    t.compact_deletes()
+    m2 = t._manifest(t.current_version())
+    assert len(m2["files"]) == 8
+    assert t.read().count() == 4000 - 8
+    # and a narrow merge still prunes: only 1 of 8 entries rewritten
+    before = set(m2["files"])
+    t.merge_into(spark.createDataFrame(
+        [(3, -2.0, 3)], "key bigint, price double, version int"), ["key"])
+    after = t._manifest(t.current_version())["files"]
+    assert len(set(after) & before) >= 7
+
+
+def test_replace_where_swaps_slice_atomically(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 2)])
+    pre = t.read()  # snapshot pinned before the replace
+    v = t.replace_where(
+        F.col("version") == 1,
+        spark.createDataFrame([(7, 70.0, 1), (8, 80.0, 1)],
+                              "key bigint, price double, version int"))
+    assert _rows(t.read()) == [(3, 30.0, 2), (7, 70.0, 1), (8, 80.0, 1)]
+    # snapshot isolation: the pinned reader still sees the old slice
+    assert _rows(pre) == [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 2)]
+    assert v == 2
+
+
+def test_replace_where_rejects_out_of_slice_rows(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 2)])
+    bad = spark.createDataFrame([(9, 90.0, 2)],  # version 2 != slice 1
+                                "key bigint, price double, version int")
+    with pytest.raises(Exception):
+        t.replace_where(F.col("version") == 1, bad)
+    # failed commit must not have advanced the table
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, 20.0, 2)]
+
+
+def test_replace_where_prunes_untouched_entries(spark, root):
+    t = AcidParquetTable(spark, root)
+    df = spark.createDataFrame(
+        [(i, float(i), 1 if i < 2000 else 2) for i in range(4000)],
+        "key bigint, price double, version int")
+    t.init_clustered(df, ["key"], n_slices=8)
+    before = set(t._manifest(t.current_version())["files"])
+    t.replace_where(
+        F.col("key") < 500,
+        spark.createDataFrame([(0, -1.0, 1)],
+                              "key bigint, price double, version int"))
+    after = t._manifest(t.current_version())["files"]
+    assert len(set(after) & before) >= 7, "keys<500 live in 1 of 8 slices"
+
+
+def test_compact_small_packs_micro_commits(spark, root):
+    """CDC-style ingest: many tiny append commits -> compact_small
+    coalesces them into one entry while a large entry carries over
+    untouched; contents identical before and after."""
+    t = _table(spark, root, [(i, float(i), 1) for i in range(1000)])
+    big = t._manifest(t.current_version())["files"][0]
+    # 5 micro-merges, each landing a fresh tiny entry
+    for k in range(5):
+        t.merge_into(spark.createDataFrame(
+            [(10_000 + k, 1.0, 1)], "key bigint, price double, version int"),
+            ["key"])
+    m = t._manifest(t.current_version())
+    assert len(m["files"]) >= 6
+    before_rows = _rows(t.read())
+    t.compact_small(target_bytes=64 << 20)
+    m2 = t._manifest(t.current_version())
+    assert len(m2["files"]) < len(m["files"])
+    assert _rows(t.read()) == before_rows
+    # threshold below every entry size -> no-op commit (same version)
+    v = t.current_version()
+    assert t.compact_small(target_bytes=1) == v
