@@ -198,3 +198,134 @@ def synth_wav(doc_id: int) -> bytes:
     channels = doc_id % 2 + 1
     n_frames = doc_id % 100 + 10
     return wav_bytes(rate, channels, 16, n_frames, seed=doc_id)
+
+
+# -- FULL pixel-level PNG codec (pure python + stdlib zlib) ------------------
+#
+# Round 4 closes NEXT_STEPS "limitation 3" for PNG: not just header
+# sniffing but a real pixel decode - chunk walk, IDAT concatenation,
+# zlib inflate, and scanline UNFILTERING for all five PNG filter types
+# (None/Sub/Up/Average/Paeth, the actual content of the PNG spec's
+# compression model). No PIL: the only dependency is stdlib zlib,
+# which IS the codec a PNG needs. Supports 8-bit truecolor (type 2)
+# and greyscale (type 0), non-interlaced - the overwhelmingly common
+# storage shape. JPEG pixel decode (DCT) stays out of scope and
+# documented.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_rgb_bytes(width: int, height: int, seed: int) -> bytes:
+    """A REAL 8-bit RGB PNG with planted pixels: pixel (x, y) =
+    ((seed+x)%256, (seed+y)%256, (x*y)%256). Each row is encoded with
+    filter type row%5, applying the spec's actual filter math - so a
+    decoder must implement ALL FIVE unfilters correctly to recover the
+    planted values (a filter bug shifts every channel mean)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    bpp = 3
+    out = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(((seed + x) % 256, (seed + y) % 256, (x * y) % 256))
+        f = y % 5
+        out.append(f)
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = (row[i] - a) % 256
+            elif f == 2:
+                v = (row[i] - b) % 256
+            elif f == 3:
+                v = (row[i] - (a + b) // 2) % 256
+            else:
+                v = (row[i] - _paeth(a, b, c)) % 256
+            out.append(v)
+        prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png_pixels(raw: bytes | None):
+    """Full PNG pixel decode: returns (width, height, channels,
+    flat pixel bytes) or None for anything that is not a supported
+    PNG (8-bit grey/RGB, non-interlaced). Walks chunks with length
+    fields (IDAT may be split - they concatenate), inflates, and
+    unfilters every scanline per its filter byte."""
+    if not raw or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        i, n = 8, len(raw)
+        width = height = None
+        channels = None
+        idat = bytearray()
+        while i + 8 <= n:
+            (length,), tag = struct.unpack(">I", raw[i:i + 4]), raw[i + 4:i + 8]
+            body = raw[i + 8:i + 8 + length]
+            if tag == b"IHDR":
+                width, height, bit_depth, color, _, _, interlace = \
+                    struct.unpack(">IIBBBBB", body)
+                if bit_depth != 8 or color not in (0, 2) or interlace != 0:
+                    return None
+                channels = 1 if color == 0 else 3
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            i += 12 + length  # len + tag + body + crc
+        if width is None or not idat:
+            return None
+        data = zlib.decompress(bytes(idat))
+        bpp = channels
+        stride = width * bpp
+        if len(data) != height * (stride + 1):
+            return None
+        pixels = bytearray(height * stride)
+        prev = bytes(stride)
+        pos = 0
+        for y in range(height):
+            f = data[pos]
+            pos += 1
+            row = bytearray(data[pos:pos + stride])
+            pos += stride
+            if f == 1:
+                for k in range(bpp, stride):
+                    row[k] = (row[k] + row[k - bpp]) % 256
+            elif f == 2:
+                for k in range(stride):
+                    row[k] = (row[k] + prev[k]) % 256
+            elif f == 3:
+                for k in range(stride):
+                    a = row[k - bpp] if k >= bpp else 0
+                    row[k] = (row[k] + (a + prev[k]) // 2) % 256
+            elif f == 4:
+                for k in range(stride):
+                    a = row[k - bpp] if k >= bpp else 0
+                    c = prev[k - bpp] if k >= bpp else 0
+                    row[k] = (row[k] + _paeth(a, prev[k], c)) % 256
+            elif f != 0:
+                return None
+            pixels[y * stride:(y + 1) * stride] = row
+            prev = bytes(row)
+        return (width, height, channels, bytes(pixels))
+    except (struct.error, zlib.error, IndexError):
+        return None

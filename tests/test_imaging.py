@@ -101,3 +101,62 @@ def test_wav_parser_rejects_malformed():
     bad = bytearray(synth_wav(7))
     bad[20] = 9                                           # audio_format != PCM
     assert parse_wav(bytes(bad)) is None
+
+
+def test_png_pixel_codec_roundtrip_all_filters():
+    """Every scanline filter type (row%5 rotation) must unfilter back
+    to the exact planted pixels."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_png_pixels,
+        png_rgb_bytes,
+    )
+
+    raw = png_rgb_bytes(9, 11, 123)  # odd dims, >5 rows => all filters
+    w, h, ch, px = decode_png_pixels(raw)
+    assert (w, h, ch) == (9, 11, 3)
+    for y in range(h):
+        for x in range(w):
+            o = (y * w + x) * 3
+            assert px[o] == (123 + x) % 256
+            assert px[o + 1] == (123 + y) % 256
+            assert px[o + 2] == (x * y) % 256
+
+
+def test_png_pixel_decoder_handles_split_idat_and_grey():
+    import struct
+    import zlib
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_png_pixels,
+    )
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    # 2x2 8-bit greyscale, filter 0 rows, IDAT split across two chunks
+    scan = b"\x00\x01\x02" + b"\x00\x03\x04"
+    comp = zlib.compress(scan)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", comp[:5]) + chunk(b"IDAT", comp[5:])
+           + chunk(b"IEND", b""))
+    w, h, ch, px = decode_png_pixels(raw)
+    assert (w, h, ch, bytes(px)) == (2, 2, 1, b"\x01\x02\x03\x04")
+
+
+def test_png_pixel_decoder_rejects_garbage():
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_png_pixels,
+        png_bytes,
+        png_rgb_bytes,
+    )
+
+    assert decode_png_pixels(None) is None
+    assert decode_png_pixels(b"notapng") is None
+    # truncated pixel stream (header-only synth PNG) must not crash
+    assert decode_png_pixels(png_bytes(100, 100)) is None
+    # corrupted IDAT byte -> zlib error -> None, not an exception
+    raw = bytearray(png_rgb_bytes(4, 4, 1))
+    raw[60] ^= 0xFF
+    assert decode_png_pixels(bytes(raw)) is None
