@@ -194,6 +194,7 @@ def _ensure_loaded() -> None:
     )
     from cassandra_elasticsearch_sync_spark.sources import (  # noqa: F401
         cql_query,
+        cql_write,
         es_query,
         python_source,
         readers,

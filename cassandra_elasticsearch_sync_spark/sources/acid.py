@@ -360,6 +360,7 @@ class AcidParquetTable:
         matched_condition: Column | None = None,
         delete_condition: Column | None = None,
         assume_unique_keys: bool = False,
+        assignments: dict[str, "Column"] | None = None,
     ) -> int:
         """ANSI-style MERGE with copy-on-write file rewrites.
 
@@ -371,20 +372,29 @@ class AcidParquetTable:
         else kept. Unmatched source rows are inserted (unless they
         satisfy ``delete_condition`` with tgt NULL - deletes of absent
         keys are no-ops, tombstone-friendly).
+
+        ``assignments`` (optional) overrides the UPDATE/INSERT values
+        per non-key column with an expression over the ``src``/``tgt``
+        aliases - the ``UPDATE SET col = expr`` form of MERGE, and the
+        hook partial (cell-level) upserts compile onto: a column
+        absent from the dict keeps the default whole-row behavior
+        (take the src value).
         """
         base = self.current_version()
         manifest = self._manifest(base)
         return self._merge_against(manifest, source, keys,
                                    matched_condition, delete_condition,
                                    commit_dir=None, commit_base=base,
-                                   assume_unique_keys=assume_unique_keys)
+                                   assume_unique_keys=assume_unique_keys,
+                                   assignments=assignments)
 
     def _merge_against(self, manifest: dict, source: DataFrame,
                        keys: list[str],
                        matched_condition: Column | None,
                        delete_condition: Column | None,
                        commit_dir: str | None, commit_base: int,
-                       assume_unique_keys: bool = False) -> int:
+                       assume_unique_keys: bool = False,
+                       assignments: dict[str, "Column"] | None = None) -> int:
         schema = StructType.fromJson(manifest["schema"])
 
         # The <=1-row-per-key precondition check is one extra job on the
@@ -467,8 +477,11 @@ class AcidParquetTable:
         keep = ~(s_key.isNotNull() & t_key.isNotNull() & dele) & ~(
             t_key.isNull() & dele
         )
+        assignments = assignments or {}
         cols = [
-            F.when(take_src, F.col(f"src.{c}")).otherwise(F.col(f"tgt.{c}")).alias(c)
+            F.when(take_src,
+                   assignments.get(c, F.col(f"src.{c}")))
+            .otherwise(F.col(f"tgt.{c}")).alias(c)
             if c not in keys
             else F.coalesce(F.col(f"tgt.{c}"), F.col(f"src.{c}")).alias(c)
             for c in schema.names

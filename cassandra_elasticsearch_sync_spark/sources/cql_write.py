@@ -1,0 +1,282 @@
+"""CQL WRITE path: INSERT / UPDATE / DELETE / BEGIN BATCH compiled
+onto the ACID table format.
+
+The reference's Cassandra side is written with CQL DML; this module is
+that surface over the engine's own transactional store: a client batch
+of statements parses to per-key cell mutations, folds client-side
+(statement order - the sequential-client model; Cassandra's
+same-timestamp tombstone tie-break is a noted difference), and applies
+as ONE atomic ``merge_into`` commit with cell-level assignments - so a
+logged BATCH is atomic exactly like Cassandra's, and a crash between
+statements cannot publish half a batch.
+
+Cassandra's write semantics kept here:
+  * INSERT and UPDATE are both UPSERTS - UPDATE on a missing key
+    creates the row, with unwritten cells NULL;
+  * writes are CELL-level: an UPDATE that sets only ``price`` leaves
+    the row's other cells untouched (compiled through merge
+    ``assignments``: written cells take the source value, unwritten
+    cells keep the target's);
+  * ``IF NOT EXISTS`` / ``IF EXISTS`` (the LWT guards): a conditional
+    insert on an existing key and a conditional update/delete on a
+    missing key are no-ops;
+  * the WHERE clause of UPDATE/DELETE must equality-restrict the FULL
+    primary key (Cassandra's write rule - no predicate writes).
+
+The client batch is bounded by construction (it is what one client
+sends); the fold is O(batch), and the single merge that applies it is
+the same CoW file-pruned commit every other write takes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+    CqlError,
+    _parse_literal,
+)
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*\((?P<cols>[\w,\s]+)\)\s*"
+    r"VALUES\s*\((?P<vals>.+?)\)\s*(?P<ine>IF\s+NOT\s+EXISTS)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.+?)\s+"
+    r"WHERE\s+(?P<where>.+?)\s*(?P<ie>IF\s+EXISTS)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.+?)\s*"
+    r"(?P<ie>IF\s+EXISTS)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_BATCH_RE = re.compile(
+    r"^\s*BEGIN\s+BATCH\s+(?P<body>.+?)\s*APPLY\s+BATCH\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass
+class CqlWrite:
+    kind: str                   # 'W' (insert/update upsert) or 'D'
+    table: str
+    key: tuple                  # full primary key values, declared order
+    sets: dict = field(default_factory=dict)
+    condition: str | None = None  # None | 'exists' | 'not_exists'
+
+
+def _parse_where_key(where: str, key_cols: list[str], table: str) -> tuple:
+    """WHERE of a write must equality-restrict the FULL primary key."""
+    bound: dict[str, object] = {}
+    for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+        m = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part)
+        if not m:
+            raise CqlError(f"write WHERE supports only `pk = literal`: {part!r}")
+        bound[m.group(1)] = _parse_literal(m.group(2))
+    if sorted(bound) != sorted(key_cols):
+        raise CqlError(
+            f"{table}: write WHERE must equality-restrict the full "
+            f"primary key {key_cols}, got {sorted(bound)}")
+    return tuple(bound[c] for c in key_cols)
+
+
+def parse_cql_dml(stmt: str, key_cols: list[str]) -> list[CqlWrite]:
+    """One INSERT/UPDATE/DELETE, or a BEGIN BATCH of them."""
+    b = _BATCH_RE.match(stmt)
+    if b:
+        out: list[CqlWrite] = []
+        for part in b.group("body").split(";"):
+            if part.strip():
+                out.extend(parse_cql_dml(part, key_cols))
+        return out
+    m = _INSERT_RE.match(stmt)
+    if m:
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        vals = _parse_literal(f"({m.group('vals')})")
+        if not isinstance(vals, list) or len(vals) != len(cols):
+            raise CqlError(f"INSERT arity mismatch in {stmt!r}")
+        sets = dict(zip(cols, vals))
+        missing = [k for k in key_cols if k not in sets]
+        if missing:
+            raise CqlError(f"INSERT must supply the full primary key; "
+                           f"missing {missing}")
+        key = tuple(sets.pop(k) for k in key_cols)
+        return [CqlWrite("W", m.group("table").lower(), key, sets,
+                         "not_exists" if m.group("ine") else None)]
+    m = _UPDATE_RE.match(stmt)
+    if m:
+        sets: dict[str, object] = {}
+        for part in m.group("sets").split(","):
+            sm = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part)
+            if not sm:
+                raise CqlError(f"unparseable SET item: {part!r}")
+            if sm.group(1) in key_cols:
+                raise CqlError(f"cannot SET primary key column {sm.group(1)!r}")
+            sets[sm.group(1)] = _parse_literal(sm.group(2))
+        key = _parse_where_key(m.group("where"), key_cols, m.group("table"))
+        return [CqlWrite("W", m.group("table").lower(), key, sets,
+                         "exists" if m.group("ie") else None)]
+    m = _DELETE_RE.match(stmt)
+    if m:
+        key = _parse_where_key(m.group("where"), key_cols, m.group("table"))
+        return [CqlWrite("D", m.group("table").lower(), key, {},
+                         "exists" if m.group("ie") else None)]
+    raise CqlError(f"unsupported CQL DML statement: {stmt!r}")
+
+
+def _fold(writes: list[CqlWrite]) -> list[CqlWrite]:
+    """Client-side fold in statement order: per key, a later DELETE
+    clears earlier cells; a write after a DELETE starts a fresh row;
+    consecutive writes merge cell-wise; the last conditional
+    statement's guard is kept."""
+    by_key: dict[tuple, CqlWrite] = {}
+    for w in writes:
+        cur = by_key.get(w.key)
+        if w.kind == "D" or cur is None or cur.kind == "D":
+            by_key[w.key] = CqlWrite(w.kind, w.table, w.key, dict(w.sets),
+                                     w.condition)
+        else:
+            merged = dict(cur.sets)
+            merged.update(w.sets)
+            by_key[w.key] = CqlWrite("W", w.table, w.key, merged,
+                                     w.condition or cur.condition)
+    return list(by_key.values())
+
+
+def _coerce(v, dtype: T.DataType):
+    if v is None:
+        return None
+    if isinstance(v, str) and isinstance(
+            dtype, (T.TimestampType, T.TimestampNTZType)):
+        return dt.datetime.fromisoformat(v)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(v)
+    if isinstance(dtype, (T.LongType, T.IntegerType)):
+        return int(v)
+    return v
+
+
+def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
+                     stmts: list[str] | str) -> int:
+    """Parse, fold, and apply CQL DML as ONE atomic merge commit."""
+    if isinstance(stmts, str):
+        stmts = [stmts]
+    writes: list[CqlWrite] = []
+    for s in stmts:
+        writes.extend(parse_cql_dml(s, key_cols))
+    folded = _fold(writes)
+    if not folded:
+        return table.current_version()
+
+    schema = table.read().schema
+    types = {f.name: f.dataType for f in schema.fields}
+    value_cols = [c for c in schema.names if c not in key_cols]
+
+    src_fields = [T.StructField(k, types[k]) for k in key_cols]
+    for c in value_cols:
+        src_fields.append(T.StructField(c, types[c]))
+        src_fields.append(T.StructField(f"{c}__set", T.BooleanType(), False))
+    src_fields.append(T.StructField("__op", T.StringType(), False))
+    src_fields.append(T.StructField("__if", T.StringType(), False))
+
+    rows = []
+    for w in folded:
+        row = [(_coerce(v, types[k])) for k, v in zip(key_cols, w.key)]
+        for c in value_cols:
+            row.append(_coerce(w.sets.get(c), types[c]))
+            row.append(c in w.sets)
+        row.append(w.kind)
+        row.append(w.condition or "always")
+        rows.append(tuple(row))
+    src = table.spark.createDataFrame(rows, T.StructType(src_fields))
+
+    assignments = {
+        c: F.when(F.col(f"src.`{c}__set`"), F.col(f"src.`{c}`"))
+            .otherwise(F.col(f"tgt.`{c}`"))
+        for c in value_cols
+    }
+    upd = F.col("src.__if") != F.lit("not_exists")
+    dele = (F.col("src.__op") == F.lit("D")) | (
+        (F.col("src.__if") == F.lit("exists"))
+        & F.col(f"tgt.`{key_cols[0]}`").isNull()
+    )
+    return table.merge_into(src, key_cols, matched_condition=upd,
+                            delete_condition=dele, assume_unique_keys=True,
+                            assignments=assignments)
+
+
+# -- registered, oracle-verified write-path query ---------------------------
+
+from cassandra_elasticsearch_sync_spark.registry import register  # noqa: E402
+
+
+@register("a2r_cql_write_path", "A2+A7+L4", """
+WITH side_a AS (
+  SELECT o_orderkey AS key, o_totalprice AS price, o_orderdate AS version
+  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+)
+SELECT key,
+       CASE WHEN key % 97 = 6 THEN -1.0 ELSE price END AS price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM side_a WHERE key % 97 <> 5
+UNION ALL
+SELECT 90000000 + seq AS key, CAST(seq AS DOUBLE) AS price,
+       '2004-01-01 00:00:00' AS version_s
+FROM (SELECT UNNEST(RANGE(0, 40)) AS seq)
+""", "The CQL WRITE path end-to-end: a client batch of INSERT / "
+     "UPDATE / DELETE / IF [NOT] EXISTS statements parses, folds in "
+     "statement order, and applies to the ACID store as ONE atomic "
+     "cell-level merge commit (Cassandra semantics: UPDATE is an "
+     "upsert, an UPDATE that sets only price leaves the version cell "
+     "untouched - proven by the hash, since the oracle keeps the "
+     "original version string on updated rows; conditional writes "
+     "no-op exactly when Cassandra's LWT guards would). Deletes drop "
+     "every key%97==5 row, updates restate key%97==6 prices, 40 new "
+     "rows insert, and the guarded statements provably change "
+     "nothing. One CoW merge, file-pruned like every other write.")
+def a2r_cql_write_path(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.parity import fmt_ts
+    from cassandra_elasticsearch_sync_spark.sync.ops import side_a
+
+    root = tempfile.mkdtemp(prefix="ces_cql_write_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(side_a(spark, sf_dir))
+        touched = sorted(
+            r["key"] for r in side_a(spark, sf_dir)
+            .filter(F.col("key") % 97 == 5).select("key").collect())
+        updated = sorted(
+            r["key"] for r in side_a(spark, sf_dir)
+            .filter(F.col("key") % 97 == 6).select("key").collect())
+        guarded = sorted(
+            r["key"] for r in side_a(spark, sf_dir)
+            .filter(F.col("key") % 97 == 7).select("key").collect())
+        stmts = (
+            [f"DELETE FROM kv WHERE key = {k}" for k in touched]
+            + [f"UPDATE kv SET price = -1.0 WHERE key = {k}" for k in updated]
+            + [f"INSERT INTO kv (key, price, version) VALUES "
+               f"({90_000_000 + i}, {float(i)}, '2004-01-01 00:00:00')"
+               for i in range(40)]
+            + [f"INSERT INTO kv (key, price, version) VALUES "
+               f"({k}, -2.0, '2004-01-01 00:00:00') IF NOT EXISTS"
+               for k in guarded]
+            + [f"UPDATE kv SET price = -3.0 WHERE key = {95_000_000 + i} "
+               "IF EXISTS" for i in range(10)]
+        )
+        apply_cql_writes(t, ["key"], stmts)
+        return t.read().select(
+            "key", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,105 @@
+"""CQL write path (INSERT/UPDATE/DELETE/BATCH -> one ACID merge):
+Cassandra's upsert/cell-level/LWT-guard semantics, verified."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+from cassandra_elasticsearch_sync_spark.sources.cql_query import CqlError
+from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+    apply_cql_writes,
+    parse_cql_dml,
+)
+
+KEY = ["key"]
+
+
+@pytest.fixture()
+def table(spark):
+    root = tempfile.mkdtemp(prefix="ces_cqlw_")
+    t = AcidParquetTable(spark, root)
+    t.init(spark.createDataFrame(
+        [(1, 10.0, 100), (2, 20.0, 100), (3, 30.0, 100)],
+        "key bigint, price double, version bigint"))
+    yield t
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _rows(t):
+    return sorted(tuple(r) for r in t.read().collect())
+
+
+def test_insert_and_update_are_upserts(spark, table):
+    apply_cql_writes(table, KEY, [
+        "INSERT INTO kv (key, price, version) VALUES (9, 90.0, 200)",
+        "UPDATE kv SET price = 55.0 WHERE key = 5",   # missing -> creates
+    ])
+    assert _rows(table) == [
+        (1, 10.0, 100), (2, 20.0, 100), (3, 30.0, 100),
+        (5, 55.0, None), (9, 90.0, 200),
+    ]
+
+
+def test_update_is_cell_level(spark, table):
+    apply_cql_writes(table, KEY,
+                     "UPDATE kv SET price = 99.0 WHERE key = 2")
+    assert (2, 99.0, 100) in _rows(table), "version cell must survive"
+
+
+def test_delete_and_batch_atomicity(spark, table):
+    v0 = table.current_version()
+    apply_cql_writes(table, KEY, """
+        BEGIN BATCH
+          DELETE FROM kv WHERE key = 1;
+          UPDATE kv SET price = 21.0 WHERE key = 2;
+          INSERT INTO kv (key, price, version) VALUES (4, 40.0, 300);
+        APPLY BATCH
+    """)
+    assert table.current_version() == v0 + 1, "batch = ONE commit"
+    assert _rows(table) == [(2, 21.0, 100), (3, 30.0, 100), (4, 40.0, 300)]
+
+
+def test_lwt_guards(spark, table):
+    apply_cql_writes(table, KEY, [
+        # existing key -> conditional insert is a no-op
+        "INSERT INTO kv (key, price, version) VALUES (1, -1.0, 1) IF NOT EXISTS",
+        # missing key -> conditional update is a no-op
+        "UPDATE kv SET price = -2.0 WHERE key = 77 IF EXISTS",
+        # missing key -> unconditional insert applies
+        "INSERT INTO kv (key, price, version) VALUES (8, 80.0, 1) IF NOT EXISTS",
+    ])
+    rows = _rows(table)
+    assert (1, 10.0, 100) in rows
+    assert not any(r[0] == 77 for r in rows)
+    assert (8, 80.0, 1) in rows
+
+
+def test_statement_order_fold(spark, table):
+    apply_cql_writes(table, KEY, """
+        BEGIN BATCH
+          UPDATE kv SET price = 1.0 WHERE key = 2;
+          UPDATE kv SET version = 999 WHERE key = 2;
+          DELETE FROM kv WHERE key = 3;
+          INSERT INTO kv (key, price, version) VALUES (3, 33.0, 1);
+        APPLY BATCH
+    """)
+    rows = _rows(table)
+    assert (2, 1.0, 999) in rows          # cell-wise merge of two updates
+    assert (3, 33.0, 1) in rows           # write after delete = fresh row
+
+
+def test_write_rules_enforced():
+    with pytest.raises(CqlError, match="full primary key"):
+        parse_cql_dml("UPDATE kv SET price = 1.0 WHERE price = 2.0", KEY)
+    with pytest.raises(CqlError, match="missing"):
+        parse_cql_dml("INSERT INTO kv (price) VALUES (1.0)", KEY)
+    with pytest.raises(CqlError, match="primary key column"):
+        parse_cql_dml("UPDATE kv SET key = 5 WHERE key = 1", KEY)
+    with pytest.raises(CqlError, match="arity"):
+        parse_cql_dml("INSERT INTO kv (key, price) VALUES (1)", KEY)
+    with pytest.raises(CqlError, match="unsupported"):
+        parse_cql_dml("TRUNCATE kv", KEY)
