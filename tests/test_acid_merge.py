@@ -722,7 +722,9 @@ def test_replace_where_prunes_untouched_entries(spark, root):
         spark.createDataFrame([(0, -1.0, 1)],
                               "key bigint, price double, version int"))
     after = t._manifest(t.current_version())["files"]
-    assert len(set(after) & before) >= 7, "keys<500 live in 1 of 8 slices"
+    # repartitionByRange samples boundaries, so keys<500 may straddle
+    # two slices - but most of the 8 entries must carry over verbatim
+    assert len(set(after) & before) >= 6, "keys<500 live in 1-2 of 8 slices"
 
 
 def test_compact_small_packs_micro_commits(spark, root):
