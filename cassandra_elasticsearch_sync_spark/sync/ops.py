@@ -1644,3 +1644,176 @@ def l28_acid_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
+               attr: str, ts: str, delta_only: bool = False) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 apply: given the current
+    history table (key, attr, valid_from, valid_to, is_current) and a
+    batch of updates (key, attr, ts), CLOSE the current row of every
+    key whose attribute actually changed (valid_to = update ts,
+    is_current = false) and OPEN a new current row; unchanged keys and
+    closed history rows pass through untouched; brand-new keys open
+    their first row. Pure DataFrame algebra: one join of updates
+    against current rows + unions - every piece keyed on the dimension
+    key, no windows, no collect. The composite business key of the
+    history table is (key, valid_from), which is exactly the merge key
+    the ACID store applies this with (see l29)."""
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    u = updates.alias("u")
+    c = cur.alias("c")
+    j = u.join(c, F.col(f"u.{key}") == F.col(f"c.{key}"), "left")
+    changed = j.filter(
+        F.col(f"c.{key}").isNotNull()
+        & ~F.col(f"u.{attr}").eqNullSafe(F.col(f"c.{attr}"))
+        & (F.col(f"u.{ts}") > F.col("c.valid_from"))
+    )
+    closed = changed.select(
+        F.col(f"c.{key}").alias(key), F.col(f"c.{attr}").alias(attr),
+        F.col("c.valid_from").alias("valid_from"),
+        F.col(f"u.{ts}").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changed.select(
+        F.col(f"u.{key}").alias(key), F.col(f"u.{attr}").alias(attr),
+        F.col(f"u.{ts}").alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    fresh = j.filter(F.col(f"c.{key}").isNull()).select(
+        F.col(f"u.{key}").alias(key), F.col(f"u.{attr}").alias(attr),
+        F.col(f"u.{ts}").alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    if delta_only:
+        # Just the rows an apply must WRITE (closes + opens + first
+        # rows) - the merge source a CoW store wants, so an update
+        # batch touching 1% of keys rewrites ~1% of the history table
+        # instead of re-shipping the whole dimension.
+        return closed.unionByName(opened).unionByName(fresh)
+    untouched_cur = cur.join(
+        closed.select(key, "valid_from"), [key, "valid_from"], "left_anti")
+    return (hist.unionByName(untouched_cur).unionByName(closed)
+            .unionByName(opened).unionByName(fresh))
+
+
+@register("l29_scd2_dimension_history", "A7+L3+L2", _SIDES_SQL + """
+, cur AS (
+  SELECT key, price, version AS valid_from FROM side_a
+),
+upd AS (
+  SELECT b.key, b.price, b.version
+  FROM side_b b LEFT JOIN side_a a ON b.key = a.key
+  WHERE a.key IS NULL OR (b.price <> a.price AND b.version > a.version)
+),
+closed AS (
+  SELECT c.key, c.price, c.valid_from, u.version AS valid_to,
+         FALSE AS is_current
+  FROM cur c JOIN upd u ON c.key = u.key
+),
+untouched AS (
+  SELECT c.key, c.price, c.valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+         TRUE AS is_current
+  FROM cur c LEFT JOIN upd u ON c.key = u.key WHERE u.key IS NULL
+),
+opened AS (
+  SELECT key, price, version AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+         TRUE AS is_current
+  FROM upd
+)
+SELECT key, price,
+       STRFTIME(DATE_TRUNC('second', valid_from), '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+       STRFTIME(DATE_TRUNC('second', valid_to), '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+       is_current
+FROM (SELECT * FROM closed UNION ALL SELECT * FROM untouched
+      UNION ALL SELECT * FROM opened)
+""", "Slowly-Changing-Dimension Type 2 on the ACID store: the "
+     "dimension keeps FULL HISTORY (valid_from/valid_to/is_current), "
+     "and an update batch closes each changed key's current row and "
+     "opens a new one - the warehouse pattern every dimension table "
+     "at 100 TB uses for point-in-time joins. The apply is pure "
+     "keyed DataFrame algebra (scd2_apply: one join + unions, no "
+     "windows), and it lands on the ACID table as ONE atomic MERGE "
+     "keyed on the composite (key, valid_from) - closes are updates, "
+     "opens are inserts, history rows untouched (CoW file pruning "
+     "applies). Hash-matched against the relational history twin.")
+def l29_scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    root = tempfile.mkdtemp(prefix="ces_scd2_")
+    try:
+        dim0 = side_a(spark, sf_dir).select(
+            "key", "price", F.col("version").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        t = AcidParquetTable(spark, root)
+        t.init(dim0)
+        a = side_a(spark, sf_dir).alias("a")
+        upd = (
+            side_b(spark, sf_dir).alias("b")
+            .join(a, F.col("b.key") == F.col("a.key"), "left")
+            .filter(F.col("a.key").isNull()
+                    | ((F.col("b.price") != F.col("a.price"))
+                       & (F.col("b.version") > F.col("a.version"))))
+            .select(F.col("b.key").alias("key"),
+                    F.col("b.price").alias("price"),
+                    F.col("b.version").alias("version"))
+        )
+        delta = scd2_apply(t.read(), upd, "key", "price", "version",
+                           delta_only=True)
+        # ONE atomic merge of ONLY the changed history rows on the
+        # composite key: closes update in place, opens/fresh insert,
+        # untouched history never ships - CoW file pruning applies.
+        t.merge_into(delta, ["key", "valid_from"],
+                     assume_unique_keys=True)
+        return t.read().select(
+            "key", "price",
+            fmt_ts("valid_from").alias("valid_from_s"),
+            fmt_ts("valid_to").alias("valid_to_s"),
+            "is_current",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l30_ivm_join_delta", "L2+C1", """
+WITH o AS (SELECT o_orderkey, o_orderdate FROM orders),
+l AS (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem)
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice,
+       STRFTIME(DATE_TRUNC('second', o.o_orderdate),
+                '%Y-%m-%d %H:%M:%S') AS order_date_s
+FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+""", "Incremental view maintenance for a JOIN view - the delta "
+     "algebra every CDC pipeline needs: with base partitions O0/L0 "
+     "and deltas dO/dL, the view advances by "
+     "dV = dO><L0 + O0><dL + dO><dL, appended to V0, instead of "
+     "re-joining the full inputs. At 100 TB the three delta joins "
+     "are delta-x-base sized (broadcast the delta side), a tiny "
+     "fraction of the full O><L re-join the naive refresh pays. The "
+     "registered result IS the maintained view; the oracle is the "
+     "full recompute, so the hash match proves the delta algebra "
+     "covers the join EXACTLY - no lost pair, no double-count.")
+def l30_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    # deterministic base/delta split (the CDC arrival boundary)
+    d_o = o.filter(F.col("o_orderkey") % 10 == 0)
+    o0 = o.filter(F.col("o_orderkey") % 10 != 0)
+    d_l = li.filter(F.col("l_linenumber") >= 5)
+    l0 = li.filter(F.col("l_linenumber") < 5)
+
+    def j(a, b):
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderkey", "l_linenumber", "l_extendedprice",
+            fmt_ts("o_orderdate").alias("order_date_s"))
+
+    v0 = j(o0, l0)
+    dv = j(d_o, l0).unionByName(j(o0, d_l)).unionByName(j(d_o, d_l))
+    return v0.unionByName(dv)

@@ -154,3 +154,36 @@ def test_acid_cycle_crash_retry_is_idempotent(spark):
         assert eng.in_sync()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_scd2_apply_semantics(spark):
+    import datetime as dt
+
+    from cassandra_elasticsearch_sync_spark.sync.ops import scd2_apply
+
+    ts = lambda d: dt.datetime(2000, 1, d)  # noqa: E731
+    dim = spark.createDataFrame(
+        [(1, 10.0, ts(1), None, True),
+         (2, 20.0, ts(1), None, True),
+         (3, 30.0, ts(1), None, True)],
+        "key bigint, price double, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean")
+    upd = spark.createDataFrame(
+        [(1, 11.0, ts(5)),    # changed -> close + open
+         (2, 20.0, ts(5)),    # same value -> no-op
+         (3, 31.0, ts(1)),    # ts NOT after valid_from -> guarded no-op
+         (9, 90.0, ts(5))],   # new key -> first row
+        "key bigint, price double, version timestamp")
+    out = scd2_apply(dim, upd, "key", "price", "version")
+    rows = {(r["key"], r["valid_from"], r["is_current"]):
+            (r["price"], r["valid_to"]) for r in out.collect()}
+    assert rows[(1, ts(1), False)] == (10.0, ts(5))     # closed
+    assert rows[(1, ts(5), True)] == (11.0, None)       # opened
+    assert rows[(2, ts(1), True)] == (20.0, None)       # untouched
+    assert rows[(3, ts(1), True)] == (30.0, None)       # guarded
+    assert rows[(9, ts(5), True)] == (90.0, None)       # fresh
+    assert len(rows) == 5
+    # delta view = exactly the written rows
+    delta = scd2_apply(dim, upd, "key", "price", "version",
+                       delta_only=True)
+    assert delta.count() == 3
