@@ -41,6 +41,9 @@ CQL_TABLES: dict[str, dict] = {
     "orders": {
         "partition": ["o_custkey"],
         "clustering": [("o_orderdate", "DESC"), ("o_orderkey", "ASC")],
+        # CREATE INDEX ON orders (o_orderpriority): secondary index -
+        # a single equality on it is queryable WITHOUT ALLOW FILTERING
+        "indexes": ["o_orderpriority"],
     },
     "lineitem": {
         "partition": ["l_orderkey"],
@@ -266,9 +269,21 @@ def validate_cql(sel: CqlSelect) -> dict:
 
     non_key = [c for c in by_col if c not in part_cols and c not in clus_cols]
     if non_key and not sel.allow_filtering:
-        raise CqlError(
-            f"predicate on non-primary-key column(s) {non_key} requires "
-            "ALLOW FILTERING")
+        # Secondary-index rule: exactly ONE non-key restriction, on an
+        # indexed column, equality-only, is served by the index lookup;
+        # anything more (a range on the index, a second non-key
+        # predicate, two indexed predicates) falls back to filtering
+        # and needs ALLOW FILTERING - Cassandra's exact behavior.
+        indexes = meta.get("indexes", [])
+        index_served = (
+            len(non_key) == 1
+            and non_key[0] in indexes
+            and all(op == "=" for op in by_col[non_key[0]])
+        )
+        if not index_served:
+            raise CqlError(
+                f"predicate on non-primary-key column(s) {non_key} requires "
+                "ALLOW FILTERING (no single-index equality applies)")
 
     part_eq = all(
         any(op in _EQ_OPS for op in by_col.get(c, [])) for c in part_cols
@@ -648,4 +663,24 @@ def a2q_cql_udt_fields(spark, sf_dir):
     return cql_select(p, """
         SELECT cust_id, address.city AS city, address.zip AS zip
         FROM customer_profiles
+    """)
+
+
+@register("a2s_cql_indexed_lookup", "A2", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+""", "CQL secondary-index lookup: an equality on the indexed "
+     "o_orderpriority column is valid WITHOUT ALLOW FILTERING (the "
+     "index serves it), while a range on the same column, a second "
+     "non-key predicate, or an unindexed column still demand ALLOW "
+     "FILTERING - Cassandra's exact fallback rule, enforced by the "
+     "validator and unit-tested. The compiled plan is the same pushed "
+     "filter either way; the semantic content is the RULE, which "
+     "decides what a migrating user's queries are even allowed to say.")
+def a2s_cql_indexed_lookup(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return cql_select(o, """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderpriority = '1-URGENT'
     """)

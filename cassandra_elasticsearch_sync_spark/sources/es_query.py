@@ -1933,3 +1933,47 @@ def a3ab_es_nested_path_query(spark, sf_dir):
     docs = order_docs_with_items(spark, sf_dir)
     return es_search(docs, _NESTED_PATH_DSL).select(
         "o_orderkey", "o_totalprice")
+
+
+def es_script_fields(df: DataFrame, script_fields: dict) -> DataFrame:
+    """ES ``script_fields``: per-hit computed fields from a Painless
+    arithmetic script over ``doc['field'].value`` references -
+    compiled to Spark SQL expressions (JVM-side, codegen'd; never a
+    python UDF). The supported subset is the arithmetic dashboards
+    actually use, mirroring the Painless subset bucket_script takes."""
+    import re as _re
+
+    out = df
+    for name, spec in script_fields.items():
+        src = spec["script"]["source"]
+        expr = _re.sub(r"doc\[['\"](\w+)['\"]\]\.value",
+                       r"CAST(`\1` AS DOUBLE)", src)
+        out = out.withColumn(name, F.round(F.expr(expr).cast("double"), 6))
+    return out
+
+
+@register("a3ac_es_script_fields", "A3+H3", """
+SELECT o_orderkey,
+       ROUND(CAST(o_totalprice AS DOUBLE) * 0.9, 6) AS discounted,
+       ROUND(CAST(o_totalprice AS DOUBLE) / (CAST(o_custkey AS DOUBLE) % 5.0 + 1.0),
+             6) AS per_bucket
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 300000
+""", "ES script_fields: per-hit computed fields from Painless "
+     "arithmetic (doc['f'].value * 0.9 ...) attached to a filtered "
+     "search - compiled to whole-stage-codegen SQL expressions, not "
+     "a per-row script engine, so at 100 TB the 'script' costs the "
+     "same as any projected expression. Doubles: one multiply/divide "
+     "of exact inputs, rounded 6 dp on both engines.")
+def a3ac_es_script_fields(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    hits = es_search(o, {"bool": {"must": [
+        {"term": {"o_orderstatus": "F"}},
+        {"range": {"o_totalprice": {"gte": 300000}}},
+    ]}})
+    return es_script_fields(hits, {
+        "discounted": {"script": {"source": "doc['o_totalprice'].value * 0.9"}},
+        "per_bucket": {"script": {
+            "source": "doc['o_totalprice'].value / "
+                      "(doc['o_custkey'].value % 5.0 + 1.0)"}},
+    }).select("o_orderkey", "discounted", "per_bucket")

@@ -234,3 +234,21 @@ def test_contains_and_udt_compile(spark):
         SELECT cust_id, address.city AS city, address.zip
         FROM customer_profiles""").collect())
     assert rows == [(1, "rome", 10), (2, "oslo", 20)]
+
+
+def test_secondary_index_rules():
+    """One indexed equality: OK without ALLOW FILTERING. A range on
+    the indexed column, an extra non-key predicate, or an unindexed
+    column: ALLOW FILTERING required."""
+    validate_cql(parse_cql(
+        "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'"))
+    with pytest.raises(CqlError, match="ALLOW FILTERING"):
+        validate_cql(parse_cql(
+            "SELECT o_orderkey FROM orders WHERE o_orderpriority > '1'"))
+    with pytest.raises(CqlError, match="ALLOW FILTERING"):
+        validate_cql(parse_cql(
+            "SELECT o_orderkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100"))
+    with pytest.raises(CqlError, match="ALLOW FILTERING"):
+        validate_cql(parse_cql(
+            "SELECT o_orderkey FROM orders WHERE o_totalprice > 100"))
