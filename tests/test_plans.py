@@ -279,7 +279,13 @@ def _windowspec_is_unpartitioned(spec_args: str) -> bool:
 # ACID commits, CDC source registration) - their plans are asserted by
 # their own dedicated tests instead.
 _PLAN_SWEEP_SKIP_PREFIXES = (
-    "i", "l7_", "l12_", "l14_", "l15_", "a10_",
+    # streaming / side-effectful queries: their registered result is a
+    # localCheckpoint of an engine run (ACID commits, WAP publishes,
+    # sync cycles), so the sweep would execute the whole engine to
+    # inspect a trivial checkpoint-scan plan - no signal, real cost.
+    "i", "l7_", "l12_", "l14_", "l15_", "l16_", "l17_", "l18_",
+    "l19_", "l21_", "l23_", "l24_", "l26_", "l27_", "l28_", "l29_",
+    "a10_", "a2r_",
 )
 
 # Documented exceptions: windows that run over a POST-AGGREGATION table
