@@ -828,3 +828,74 @@ def k3i_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__proof").isNull() & (F.col("rank") <= TOP_K))
         .select("qid", "cid", "inner_product", "rank")
     )
+
+
+_MATRYOSHKA_ORACLE = "WITH " + _NORMED_SQL + f"""
+, t AS (SELECT vec_id, embedding[1:16] AS emb16,
+               SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                     FROM (SELECT UNNEST(embedding[1:16]) x,
+                                  UNNEST(embedding[1:16]) y))) AS nrm16
+        FROM embeddings)
+, q AS (SELECT e.vec_id AS qid, e.embedding AS qe, e.nrm AS qn,
+               t.emb16 AS qe16, t.nrm16 AS qn16
+        FROM e JOIN t ON e.vec_id = t.vec_id
+        WHERE e.vec_id % 100 = 0 AND e.vec_id < 6400)
+, pf AS (SELECT qid, e.vec_id AS cid,
+                ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                       FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+                      / (qn * e.nrm), 6) AS cos_sim
+         FROM q, e WHERE e.vec_id <> qid)
+, pt AS (SELECT qid, t.vec_id AS cid,
+                ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                       FROM (SELECT UNNEST(qe16) x, UNNEST(t.emb16) y))
+                      / (qn16 * t.nrm16), 6) AS cos_sim
+         FROM q, t WHERE t.vec_id <> qid)
+, topf AS (SELECT qid, cid FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, cid) AS rn FROM pf)
+           WHERE rn <= {TOP_K})
+, topt AS (SELECT qid, cid FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, cid) AS rn FROM pt)
+           WHERE rn <= {TOP_K})
+SELECT f.qid, CAST(COUNT(t.cid) AS INT) AS n_overlap,
+       COUNT(t.cid) / {TOP_K}.0 AS recall_at_k
+FROM topf f LEFT JOIN topt t ON f.qid = t.qid AND f.cid = t.cid
+GROUP BY f.qid
+"""
+
+
+@register("k3j_matryoshka_recall", "K3", _MATRYOSHKA_ORACLE,
+          "Matryoshka-truncation retrieval eval: per query, recall@5 "
+          "of the FIRST-16-DIMENSIONS cosine ranking against the "
+          "full-64-dim ranking - the measurement that decides whether "
+          "truncated (matryoshka) embeddings can serve the cheap "
+          "first-stage retrieval with the full vectors reserved for "
+          "rerank. Both rankings run the same broadcast-bounded "
+          "brute-force shape as k3 (identical sequential fold -> "
+          "identical doubles cross-engine, rounded rank keys); the "
+          "overlap join is on (query, candidate) ids - tiny. At "
+          "scale, the truncated pass scans 4x fewer bytes per "
+          "vector, which is the economics being evaluated.")
+def k3j_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normed(spark, sf_dir)
+    t = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.lit(None).alias("label"),
+        F.slice("embedding", 1, 16).alias("embedding"),
+    )
+    t = t.select("vec_id", "label", "embedding",
+                 norm("embedding").alias("nrm"))
+    qf = e.filter(F.expr(QUERY_FILTER))
+    qt = t.filter(F.expr(QUERY_FILTER))
+    topf = _topk(e, qf, TOP_K).select("qid", "cid")
+    topt = _topk(t, qt, TOP_K).select(
+        F.col("qid").alias("tqid"), F.col("cid").alias("tcid"))
+    j = topf.join(
+        topt,
+        (F.col("qid") == F.col("tqid")) & (F.col("cid") == F.col("tcid")),
+        "left",
+    )
+    return j.groupBy("qid").agg(
+        F.count("tcid").cast("int").alias("n_overlap"),
+        (F.count("tcid") / F.lit(float(TOP_K))).alias("recall_at_k"),
+    )

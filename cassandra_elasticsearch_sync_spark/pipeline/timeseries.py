@@ -1259,3 +1259,63 @@ def k7p_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ev.groupBy("user_id").applyInPandas(
         run, "user_id bigint, n_steps bigint, final_balance_cents bigint")
+
+
+@register("k7q_last_touch_attribution", "K7+E2", """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es, event_type
+  FROM events
+),
+c AS (
+  SELECT user_id, event_id, es, event_type,
+         MAX(CASE WHEN event_type IN ('click', 'view')
+                  THEN struct_pack(es := es, event_id := event_id,
+                                   typ := event_type) END)
+           OVER (PARTITION BY user_id ORDER BY es, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
+  FROM e
+)
+SELECT user_id, event_id AS purchase_id, es AS purchase_es,
+       CASE WHEN t IS NOT NULL AND es - t.es <= 604800
+            THEN t.event_id END AS touch_id,
+       CASE WHEN t IS NOT NULL AND es - t.es <= 604800
+            THEN t.typ END AS touch_type,
+       CASE WHEN t IS NOT NULL AND es - t.es <= 604800
+            THEN es - t.es END AS lag_s
+FROM c WHERE event_type = 'purchase'
+""", "Last-touch attribution: every purchase is credited to the SAME "
+     "user's most recent click/view within a 7-day lookback, or left "
+     "unattributed (direct conversion) - the conversion-credit "
+     "assignment every marketing/engagement pipeline computes. ONE "
+     "per-user ordered window carrying the running max of "
+     "struct(ts, event_id, type) over touch events only (structs "
+     "order lexicographically, so the max IS the latest touch; the "
+     "frame excludes the current row, so a purchase never credits "
+     "itself) - no self-join, no per-purchase scan, groups are "
+     "user-sized so the shuffle key is never hot at 100 TB. The "
+     "attribution window is integer seconds on both engines.")
+def k7q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+        "event_type",
+    )
+    w = (Window.partitionBy("user_id").orderBy("es", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    carry = F.max(
+        F.when(F.col("event_type").isin("click", "view"),
+               F.struct(F.col("es"), F.col("event_id"),
+                        F.col("event_type").alias("typ")))
+    ).over(w)
+    c = e.withColumn("t", carry).filter(F.col("event_type") == "purchase")
+    attributed = F.col("t").isNotNull() & (
+        (F.col("es") - F.col("t.es")) <= 604800)
+    return c.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("es").alias("purchase_es"),
+        F.when(attributed, F.col("t.event_id")).alias("touch_id"),
+        F.when(attributed, F.col("t.typ")).alias("touch_type"),
+        F.when(attributed, F.col("es") - F.col("t.es")).alias("lag_s"),
+    )
