@@ -104,10 +104,22 @@ def with_global_order(
         if rank_col:
             out = out.withColumn(rank_col, F.lit(None).cast("long"))
         if cumsum_col:
-            out = out.withColumn(cumsum_col, F.lit(None).cast("long"))
+            out = out.withColumn(cumsum_col, F.lit(None).cast(
+                df.schema[cumsum_of].dataType if cumsum_of else "long"))
         return out.drop(_PID), totals
 
-    off_schema = f"{_PID} int, {_ROFF} long, {_SOFF} long"
+    # The sum-offset column must carry the VALUE TYPE's arithmetic: a
+    # hardcoded long would silently truncate fractional offsets the
+    # moment a float cumsum spans more than one ranged partition
+    # (latent until then - the first partition's offset is 0).
+    from pyspark.sql.types import DoubleType, FloatType
+
+    is_float = cumsum_of is not None and isinstance(
+        df.schema[cumsum_of].dataType, (DoubleType, FloatType))
+    soff_t = "double" if is_float else "long"
+    rows = [(pid, ro, float(so) if is_float else int(so))
+            for pid, ro, so in rows]
+    off_schema = f"{_PID} int, {_ROFF} long, {_SOFF} {soff_t}"
     offsets = spark.createDataFrame(rows, schema=off_schema)
     w = Window.partitionBy(_PID).orderBy(*order_exprs)
     out = rp.join(F.broadcast(offsets), _PID)

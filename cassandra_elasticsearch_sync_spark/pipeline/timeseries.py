@@ -1319,3 +1319,90 @@ def k7q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(attributed, F.col("t.typ")).alias("touch_type"),
         F.when(attributed, F.col("es") - F.col("t.es")).alias("lag_s"),
     )
+
+
+@register("k7r_kaplan_meier_churn", "K7+D5", """
+WITH e AS (
+  SELECT user_id,
+         CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+  FROM events
+),
+cutoff AS (SELECT MAX(es) - 604800 AS cut FROM e),
+u AS (
+  SELECT user_id,
+         CAST(FLOOR((MAX(es) - MIN(es)) / 86400.0) AS BIGINT) AS dur_days,
+         CASE WHEN MAX(es) < (SELECT cut FROM cutoff) THEN 1 ELSE 0 END AS churned
+  FROM e GROUP BY user_id
+),
+d AS (
+  SELECT dur_days, SUM(churned) AS n_churn, COUNT(*) AS n_total
+  FROM u GROUP BY dur_days
+),
+r AS (
+  SELECT dur_days, n_churn, n_total,
+         (SELECT COUNT(*) FROM u) -
+           (SUM(n_total) OVER (ORDER BY dur_days
+                               ROWS UNBOUNDED PRECEDING) - n_total) AS at_risk
+  FROM d
+)
+SELECT dur_days, CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(n_churn AS BIGINT) AS n_churn,
+       ROUND(CAST(n_churn AS DOUBLE) / at_risk, 6) AS hazard,
+       ROUND(EXP(SUM(LN(1.0 - CAST(n_churn AS DOUBLE) / at_risk))
+                 OVER (ORDER BY dur_days ROWS UNBOUNDED PRECEDING)), 6)
+         AS km_survival
+FROM r
+""", "Kaplan-Meier churn survival over the event log: per user, "
+     "duration = days between first and last event, churned if the "
+     "last event precedes the corpus horizon minus 7 days (later "
+     "activity = right-censored). The estimator S(t) = prod over "
+     "event times <= t of (1 - d_t/n_t) with n_t the at-risk count - "
+     "THE standard retention/survival curve. All counts are exact "
+     "integers via one user aggregate + one duration aggregate; "
+     "at-risk and the log-domain cumulative product run through the "
+     "scale-safe two-pass global-order primitive (duration table is "
+     "day-bounded, but the primitive keeps even that shuffle-safe). "
+     "Survival rounds at 6 dp under the documented float-fold caveat "
+     "(ln of exact rationals, ordered summation both engines).")
+def k7r_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.floor((F.max("es") - F.min("es")) / 86400.0).alias("dur_days"),
+        F.max("es").alias("last_es"),
+    )
+    horizon = e.agg((F.max("es") - 604800).alias("cut"))
+    u = u.crossJoin(F.broadcast(horizon)).select(
+        "dur_days",
+        F.when(F.col("last_es") < F.col("cut"), 1).otherwise(0).alias("churned"),
+    )
+    total = u.agg(F.count("*").alias("n_users"))
+    d = u.groupBy("dur_days").agg(
+        F.sum("churned").alias("n_churn"),
+        F.count("*").alias("n_total"),
+    )
+    ranked, _ = with_global_order(
+        d, [F.col("dur_days")], cumsum_of="n_total", cumsum_col="cum_total")
+    r = ranked.crossJoin(F.broadcast(total)).select(
+        "dur_days", "n_churn", "n_total",
+        (F.col("n_users") - (F.col("cum_total") - F.col("n_total")))
+        .alias("at_risk"),
+    )
+    lnf = F.log(F.lit(1.0) - F.col("n_churn").cast("double") / F.col("at_risk"))
+    r2, _ = with_global_order(
+        r.withColumn("lnf", lnf), [F.col("dur_days")],
+        cumsum_of="lnf", cumsum_col="cum_ln")
+    return r2.select(
+        "dur_days",
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("n_churn").cast("bigint").alias("n_churn"),
+        F.round(F.col("n_churn").cast("double") / F.col("at_risk"), 6)
+        .alias("hazard"),
+        F.round(F.exp("cum_ln"), 6).alias("km_survival"),
+    )

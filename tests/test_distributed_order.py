@@ -127,3 +127,24 @@ def test_grouped_order_cumsum_param_validation(spark):
         with_grouped_order(
             df, ["g"], [F.col("v"), F.col("uid")], cumsum_col="cs"
         )
+
+
+def test_global_cumsum_over_doubles_multi_partition(spark):
+    """Regression: a FLOAT cumsum whose data spans multiple ranged
+    partitions must carry fractional offsets exactly - a long-typed
+    offset column truncates them (invisible while everything fits in
+    one partition, wrong at scale)."""
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    n = 500
+    df = spark.createDataFrame(
+        [(i, 0.25) for i in range(n)], "k bigint, v double"
+    ).repartition(8)
+    out, totals = with_global_order(
+        df, [F.col("k")], cumsum_of="v", cumsum_col="cum")
+    rows = {r["k"]: r["cum"] for r in out.collect()}
+    assert totals["sum"] == n * 0.25
+    for k in (0, 123, 250, 499):
+        assert rows[k] == (k + 1) * 0.25, (k, rows[k])
