@@ -178,7 +178,7 @@ class AcidParquetTable:
         import shutil
 
         d = os.path.join(self.root, _DATA, uuid.uuid4().hex)
-        df.write.mode("errorifexists").parquet(d)
+        self._enforce_constraints(df).write.mode("errorifexists").parquet(d)
         if not any(f.endswith(".parquet") for f in os.listdir(d)):
             shutil.rmtree(d, ignore_errors=True)
             return []
@@ -881,6 +881,117 @@ class AcidParquetTable:
         return self._commit(v, m["files"], schema, m.get("stats", {}),
                             seq=m.get("seq"), deletes=m.get("deletes", []),
                             cluster_by=m.get("cluster_by"))
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF ``version``: commit a NEW
+        snapshot whose content is exactly the old one - the Delta
+        RESTORE contract. Metadata-only: the new manifest re-points at
+        the old version's (still immutable, still on disk) data files;
+        zero bytes are rewritten regardless of table size. History is
+        PRESERVED, not erased - the bad head stays time-travelable and
+        auditable, and because restore is itself an optimistic-
+        concurrency commit, a concurrent writer cannot silently land on
+        top of the rollback. Fails if the target snapshot's files were
+        already vacuumed (same caveat Delta documents for
+        RESTORE-after-VACUUM)."""
+        base = self.current_version()
+        if not os.path.exists(self._manifest_path(version)):
+            raise ValueError(
+                f"version {version} is vacuumed or never existed; "
+                f"cannot restore")
+        m = self._manifest(version)
+        missing = [d for d in m["files"] if not os.path.isdir(d)]
+        if missing:
+            raise ValueError(
+                f"cannot restore to v{version}: {len(missing)} data "
+                f"entries were vacuumed (run restore before vacuum "
+                f"passes the retention horizon)")
+        return self._commit(base, m["files"],
+                            StructType.fromJson(m["schema"]),
+                            m.get("stats", {}), seq=m.get("seq"),
+                            deletes=m.get("deletes", []),
+                            cluster_by=m.get("cluster_by"))
+
+    # -- CHECK constraints -------------------------------------------------
+
+    _CONSTRAINTS = "constraints.json"
+
+    def _constraints(self) -> dict[str, str]:
+        try:
+            with open(os.path.join(self.root, self._CONSTRAINTS)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def _write_constraints(self, cons: dict[str, str]) -> None:
+        tmp = os.path.join(self.root, f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.root, self._CONSTRAINTS))
+
+    def add_constraint(self, name: str, condition_sql: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (condition): from now
+        on every write whose rows can violate the condition fails the
+        commit IN the write job (no extra validation pass per write),
+        exactly Delta's CHECK-constraint contract - including the SQL
+        NULL rule (a NULL check passes; only FALSE violates). Adding
+        the constraint first validates EXISTING data with one scan and
+        refuses if any current row violates it, so a constraint can
+        never be true-on-paper, false-on-disk. Constraints are
+        table-level write-time configuration (like Delta table
+        properties): they gate writes from now on and are not
+        versioned by time travel."""
+        if name in self._constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        if self.current_version() > 0:
+            bad = (self.read()
+                   .filter(~F.coalesce(F.expr(condition_sql), F.lit(True)))
+                   .count())
+            if bad:
+                raise ValueError(
+                    f"cannot add CHECK {name!r}: {bad} existing rows "
+                    f"violate ({condition_sql})")
+        cons = self._constraints()
+        cons[name] = condition_sql
+        self._write_constraints(cons)
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self._constraints()
+        cons.pop(name, None)
+        self._write_constraints(cons)
+
+    def _enforce_constraints(self, df: DataFrame) -> DataFrame:
+        """Fold every applicable CHECK constraint into the write plan:
+        the first written column is wrapped so that a violating row
+        raises DURING the write job, aborting the commit before any
+        manifest exists (the partial data dir is an invisible orphan,
+        reclaimed by vacuum - crash-equivalent, so atomicity holds).
+        Zero extra jobs, zero extra scans. Constraints referencing
+        columns this file does not carry (e.g. an MoR DELETE-FILE of
+        bare keys) are skipped: they cannot be violated by it."""
+        cons = self._constraints()
+        if not cons:
+            return df
+        checks = []
+        for name, sql in cons.items():
+            try:
+                df.select(F.expr(sql))  # analysis-only resolution probe
+            except Exception:
+                continue
+            checks.append((name, sql))
+        if not checks:
+            return df
+        first = df.columns[0]
+        guard = F.col(first)
+        for name, sql in checks:
+            guard = F.when(
+                ~F.coalesce(F.expr(sql), F.lit(True)),
+                F.raise_error(F.lit(
+                    f"CHECK constraint {name} violated: ({sql})")),
+            ).otherwise(guard)
+        return df.withColumn(first, guard.cast(df.schema[first].dataType))
 
     # -- maintenance -------------------------------------------------------
 

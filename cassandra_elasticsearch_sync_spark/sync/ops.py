@@ -1817,3 +1817,98 @@ def l30_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = j(o0, l0)
     dv = j(d_o, l0).unionByName(j(o0, d_l)).unionByName(j(d_o, d_l))
     return v0.unionByName(dv)
+
+
+@register("l31_acid_restore", "A7+L1", _SIDES_SQL + """
+SELECT key, price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM side_a
+""", "RESTORE TABLE TO VERSION AS OF on the ACID store: after a bad "
+     "deploy corrupts prices (a merge that zeroes every 10th key), "
+     "one metadata-only commit re-points the table at the good "
+     "snapshot - zero bytes rewritten regardless of table size "
+     "(asserted in-query: the restored manifest's file set IS the "
+     "good version's), history preserved (the corrupted head stays "
+     "time-travelable for the post-mortem), and the rollback itself "
+     "is an optimistic-concurrency commit so it cannot silently race "
+     "a concurrent writer. The read hash-matches the pre-corruption "
+     "relational content exactly.")
+def l31_acid_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    root = tempfile.mkdtemp(prefix="ces_acid_restore_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(side_a(spark, sf_dir))
+        v_good = t.current_version()
+        corrupted = (side_a(spark, sf_dir)
+                     .filter(F.col("key") % 10 == 0)
+                     .withColumn("price", F.lit(0.0)))
+        t.merge_into(corrupted, ["key"], assume_unique_keys=True)
+        v_bad = t.current_version()
+        v_restored = t.restore(v_good)
+        if set(t._manifest(v_restored)["files"]) != set(
+                t._manifest(v_good)["files"]):
+            raise AssertionError("restore was not metadata-only")
+        if not (v_restored == v_bad + 1):
+            raise AssertionError("restore must append to history, not erase it")
+        return t.read().select(
+            "key", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l32_acid_check_constraint", "A7+B3", _SIDES_SQL + """
+SELECT key, price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM side_a WHERE key % 10 <> 0
+UNION ALL
+SELECT key, price * 2 AS price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM side_a WHERE key % 10 = 0
+""", "ALTER TABLE ADD CONSTRAINT CHECK on the ACID store: with "
+     "price > 0 declared, a merge that would write negative prices "
+     "FAILS INSIDE the write job (the check is folded into the write "
+     "plan - no extra validation scan per commit) and commits nothing "
+     "(version asserted unchanged); a clean merge (doubling every "
+     "10th key's price) then passes. Delta's CHECK-constraint "
+     "contract including the SQL NULL rule and validate-existing-"
+     "data-on-ADD; enforcement cost at 100 TB is zero extra jobs - "
+     "the guard rides the same tasks that write the parquet.")
+def l32_acid_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    root = tempfile.mkdtemp(prefix="ces_acid_chk_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(side_a(spark, sf_dir))
+        t.add_constraint("price_positive", "price > 0")
+        v = t.current_version()
+        bad = (side_a(spark, sf_dir)
+               .filter(F.col("key") % 10 == 0)
+               .withColumn("price", -F.col("price")))
+        try:
+            t.merge_into(bad, ["key"], assume_unique_keys=True)
+            raise AssertionError("violating merge must fail the commit")
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # the constraint fired inside the write job
+        if t.current_version() != v:
+            raise AssertionError("failed write must commit nothing")
+        good = (side_a(spark, sf_dir)
+                .filter(F.col("key") % 10 == 0)
+                .withColumn("price", F.col("price") * 2))
+        t.merge_into(good, ["key"], assume_unique_keys=True)
+        return t.read().select(
+            "key", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

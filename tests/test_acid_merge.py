@@ -748,3 +748,89 @@ def test_compact_small_packs_micro_commits(spark, root):
     # threshold below every entry size -> no-op commit (same version)
     v = t.current_version()
     assert t.compact_small(target_bytes=1) == v
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, root):
+    """RESTORE re-points at the old snapshot's files (zero rewritten
+    bytes), content round-trips exactly, and BOTH the bad head and the
+    restore land in history (time travel still reads each)."""
+    t = _table(spark, root, [(i, float(i), 1) for i in range(100)])
+    v1 = t.current_version()
+    t.merge_into(spark.createDataFrame(
+        [(5, -999.0, 2), (200, 1.0, 2)],
+        "key bigint, price double, version int"), ["key"])
+    v2 = t.current_version()
+    assert _rows(t.read()) != _rows(t.read(version=v1))
+    v3 = t.restore(v1)
+    assert v3 == v2 + 1
+    # content identical to v1, and no new data directory was written
+    assert _rows(t.read()) == _rows(t.read(version=v1))
+    assert set(t._manifest(v3)["files"]) == set(t._manifest(v1)["files"])
+    # history preserved: the bad head is still auditable
+    assert _rows(t.read(version=v2)) != _rows(t.read(version=v1))
+    # writes continue normally on top of the restore
+    t.merge_into(spark.createDataFrame(
+        [(7, 700.0, 3)], "key bigint, price double, version int"), ["key"])
+    got = {r["key"]: r["price"] for r in t.read().collect()}
+    assert got[7] == 700.0 and got[5] == 5.0 and 200 not in got
+
+
+def test_restore_refuses_vacuumed_target(spark, root):
+    t = _table(spark, root, [(1, 1.0, 1)])
+    for v in range(2, 6):
+        t.merge_into(spark.createDataFrame(
+            [(v, float(v), v)], "key bigint, price double, version int"),
+            ["key"])
+    t.vacuum(retain_last=2)
+    with pytest.raises(ValueError, match="vacuum"):
+        t.restore(1)
+
+
+def test_check_constraint_rejects_violating_merge_atomically(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    t.add_constraint("price_positive", "price > 0")
+    v = t.current_version()
+    with pytest.raises(Exception, match="price_positive"):
+        t.merge_into(spark.createDataFrame(
+            [(3, -5.0, 2)], "key bigint, price double, version int"),
+            ["key"])
+    # the failed write committed nothing
+    assert t.current_version() == v
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, 20.0, 1)]
+    # a clean merge (including an update of an existing key) passes
+    t.merge_into(spark.createDataFrame(
+        [(2, 25.0, 2), (3, 30.0, 2)],
+        "key bigint, price double, version int"), ["key"])
+    assert len(_rows(t.read())) == 3
+
+
+def test_check_constraint_null_passes_sql_semantics(spark, root):
+    """SQL CHECK rule: only FALSE violates - NULL passes (Delta's
+    documented behavior)."""
+    t = _table(spark, root, [(1, 10.0, 1)])
+    t.add_constraint("price_positive", "price > 0")
+    t.merge_into(spark.createDataFrame(
+        [(2, None, 2)], "key bigint, price double, version int"), ["key"])
+    assert len(_rows(t.read())) == 2
+
+
+def test_add_constraint_validates_existing_data(spark, root):
+    t = _table(spark, root, [(1, -1.0, 1)])
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("price_positive", "price > 0")
+    # and a passing one registers fine, then drops
+    t.add_constraint("key_positive", "key >= 0")
+    t.drop_constraint("key_positive")
+    assert t._constraints() == {}
+
+
+def test_check_constraint_skips_mor_delete_key_files(spark, root):
+    """A constraint on a non-key column must not break MoR delete-file
+    commits (the DELETE FILE carries only key columns)."""
+    t = _table(spark, root, [(i, float(i + 1), 1) for i in range(10)])
+    t.add_constraint("price_positive", "price > 0")
+    t.delete_keys_mor(spark.createDataFrame([(3,), (4,)], "key bigint"),
+                      ["key"])
+    assert len(_rows(t.read())) == 8
+    t.compact_deletes()
+    assert len(_rows(t.read())) == 8
