@@ -21,6 +21,7 @@ Supported (the reference-era core DSL):
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -121,7 +122,68 @@ def compile_query(q: dict, resolve=None) -> Column:
             return compile_query(inner, elem_resolve)
 
         return F.exists(resolve(path), elem_pred)
+    if kind == "geo_distance":
+        # ES geo_distance filter: point within `distance` of the
+        # origin, arc length on the mean-radius sphere (haversine, the
+        # ES default). The geo field is a struct<lat,lon> column; the
+        # whole predicate is JVM trig, pushdown-friendly, no UDF.
+        body = dict(body)
+        dist_m = _parse_distance_m(body.pop("distance"))
+        (field, origin), = body.items()
+        col = resolve(field)
+        return _haversine_m(
+            col["lat"], col["lon"],
+            F.lit(float(origin["lat"])), F.lit(float(origin["lon"])),
+        ) <= F.lit(dist_m)
+    if kind == "geo_bounding_box":
+        # ES geo_bounding_box: pure coordinate comparisons (no trig).
+        # Dateline-crossing boxes (left > right) wrap like ES does.
+        (field, box), = body.items()
+        col = resolve(field)
+        tl, br = box["top_left"], box["bottom_right"]
+        lat_ok = (col["lat"] <= F.lit(float(tl["lat"]))) & \
+                 (col["lat"] >= F.lit(float(br["lat"])))
+        left, right = float(tl["lon"]), float(br["lon"])
+        if left <= right:
+            lon_ok = (col["lon"] >= F.lit(left)) & (col["lon"] <= F.lit(right))
+        else:  # crosses the antimeridian
+            lon_ok = (col["lon"] >= F.lit(left)) | (col["lon"] <= F.lit(right))
+        return lat_ok & lon_ok
     raise ValueError(f"unsupported ES query clause: {kind}")
+
+
+_DIST_UNITS_M = {"mm": 0.001, "cm": 0.01, "m": 1.0, "km": 1000.0,
+                 "mi": 1609.344, "yd": 0.9144, "ft": 0.3048,
+                 "nmi": 1852.0, "NM": 1852.0}
+
+# ES GeoUtils.EARTH_MEAN_RADIUS (meters) - the sphere its haversine uses
+_EARTH_RADIUS_M = 6371008.7714
+
+
+def _parse_distance_m(s) -> float:
+    """Parse an ES distance string ('500km', '10mi', '250m') to meters."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    txt = str(s).strip()
+    for unit in sorted(_DIST_UNITS_M, key=len, reverse=True):
+        if txt.endswith(unit):
+            return float(txt[: -len(unit)]) * _DIST_UNITS_M[unit]
+    return float(txt)  # bare number = meters, the ES default
+
+
+def _haversine_m(lat1: Column, lon1: Column, lat2: Column,
+                 lon2: Column) -> Column:
+    """Great-circle distance in meters, haversine on the ES mean-radius
+    sphere. Plain JVM trig columns (whole-stage codegen), identical
+    formula on the DuckDB oracle side; 6-dp rounding absorbs libm ulp
+    differences wherever the distance is *returned* (threshold
+    comparisons carry the documented float-vs-cut caveat)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlmb = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dphi) * F.sin(dphi) + \
+        F.cos(p1) * F.cos(p2) * F.sin(dlmb) * F.sin(dlmb)
+    return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
 def es_search(df: DataFrame, query: dict) -> DataFrame:
@@ -1977,3 +2039,116 @@ def a3ac_es_script_fields(spark, sf_dir):
             "source": "doc['o_totalprice'].value / "
                       "(doc['o_custkey'].value % 5.0 + 1.0)"}},
     }).select("o_orderkey", "discounted", "per_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Geo queries: geo_distance / geo_bounding_box filters + geotile_grid agg
+# ---------------------------------------------------------------------------
+
+def _customer_geo(spark, sf_dir) -> DataFrame:
+    """Customers with a deterministic synthetic geo_point: lat/lon are
+    EXACT integer-arithmetic derivations of the key (mod then one
+    double division), so both engines start from bit-identical
+    coordinates - only the trig that follows can differ, by libm ulps
+    the 6-dp output rounding absorbs. Latitude stays in [-60, 60) so
+    web-mercator tiling is everywhere defined."""
+    c = load_table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") * 7919 % 1200000) / 10000.0 - 60.0
+    lon = (F.col("c_custkey") * 104729 % 3600000) / 10000.0 - 180.0
+    return c.withColumn(
+        "location", F.struct(lat.alias("lat"), lon.alias("lon")))
+
+
+_GEO_SQL_PREFIX = """
+WITH geo AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         (c_custkey * 7919 % 1200000) / 10000.0 - 60.0 AS lat,
+         (c_custkey * 104729 % 3600000) / 10000.0 - 180.0 AS lon
+  FROM customer
+)
+"""
+
+
+@register("a3ad_es_geo_distance", "A3+H3", _GEO_SQL_PREFIX + """
+, d AS (
+  SELECT c_custkey, c_nationkey,
+         2.0 * 6371008.7714 * ASIN(SQRT(
+           SIN(RADIANS(40.7128 - lat) / 2) * SIN(RADIANS(40.7128 - lat) / 2)
+           + COS(RADIANS(lat)) * COS(RADIANS(40.7128))
+             * SIN(RADIANS(-74.006 - lon) / 2)
+             * SIN(RADIANS(-74.006 - lon) / 2))) AS dist_m
+  FROM geo
+)
+SELECT c_custkey, c_nationkey, ROUND(dist_m / 1000.0, 6) AS dist_km
+FROM d WHERE dist_m <= 3000000.0
+ORDER BY dist_m, c_custkey LIMIT 200
+""", "ES geo_distance query + _geo_distance sort: customers within "
+     "3000km of an origin, nearest-200 page. The DSL clause compiles "
+     "to the haversine arc on ES's mean-radius sphere as plain JVM "
+     "trig columns (whole-stage codegen, predicate evaluated at the "
+     "scan - no UDF, no geo library), and the sort is the standard "
+     "TakeOrderedAndProject top-k with a key tiebreak. Coordinates "
+     "derive from integer arithmetic so both engines compare the "
+     "same points; the distance cut carries the documented "
+     "float-vs-threshold caveat (NEXT_STEPS limitation 5).")
+def a3ad_es_geo_distance(spark, sf_dir):
+    g = _customer_geo(spark, sf_dir)
+    origin = {"lat": 40.7128, "lon": -74.006}
+    hits = es_search(g, {"bool": {"filter": [
+        {"geo_distance": {"distance": "3000km", "location": origin}},
+    ]}})
+    dist_m = _haversine_m(
+        F.col("location.lat"), F.col("location.lon"),
+        F.lit(origin["lat"]), F.lit(origin["lon"]))
+    return (hits
+            .select("c_custkey", "c_nationkey",
+                    dist_m.alias("_dist_m"),
+                    F.round(dist_m / 1000.0, 6).alias("dist_km"))
+            .orderBy("_dist_m", "c_custkey")
+            .limit(200)
+            .drop("_dist_m"))
+
+
+@register("a3ae_es_geotile_grid", "A3+D1", _GEO_SQL_PREFIX + """
+, t AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 16.0) AS BIGINT) AS tx,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 16.0) AS BIGINT) AS ty,
+         CAST(c_acctbal AS DECIMAL(18, 2)) AS bal
+  FROM geo
+  WHERE lon >= -180.0 AND lon < 180.0
+)
+SELECT CONCAT('4/', CAST(tx AS VARCHAR), '/', CAST(ty AS VARCHAR)) AS tile,
+       COUNT(*) AS doc_count,
+       CAST(SUM(bal) AS DECIMAL(38, 2)) AS sum_acctbal
+FROM t GROUP BY tx, ty
+ORDER BY doc_count DESC, tile LIMIT 40
+""", "ES geotile_grid aggregation at zoom 4: buckets are slippy-map "
+     "(web mercator) tiles keyed 'z/x/y' exactly as ES returns them, "
+     "ordered by doc_count like a terms agg. One hash aggregate over "
+     "trig-derived integer tile indexes - scales like any groupBy "
+     "(the tile key is computed map-side; no geohash library, no "
+     "UDF). Balances summed as DECIMAL so the metric is order-exact "
+     "across engines; tile-boundary floor flips would need a libm "
+     "ulp landing exactly on an integer edge (measure-zero for "
+     "these rational coordinates).")
+def a3ae_es_geotile_grid(spark, sf_dir):
+    g = _customer_geo(spark, sf_dir)
+    z = 16.0  # 2^4 tiles per axis at zoom 4
+    lat_r = F.radians(F.col("location.lat"))
+    tx = F.floor((F.col("location.lon") + 180.0) / 360.0 * z).cast("long")
+    ty = F.floor(
+        (F.lit(1.0) - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi)
+        / 2.0 * z).cast("long")
+    return (g
+            .filter((F.col("location.lon") >= -180.0)
+                    & (F.col("location.lon") < 180.0))
+            .select(tx.alias("tx"), ty.alias("ty"),
+                    F.col("c_acctbal").cast("decimal(18,2)").alias("bal"))
+            .groupBy("tx", "ty")
+            .agg(F.count("*").alias("doc_count"),
+                 F.sum("bal").cast("decimal(38,2)").alias("sum_acctbal"))
+            .select(F.concat_ws("/", F.lit("4"), "tx", "ty").alias("tile"),
+                    "doc_count", "sum_acctbal")
+            .orderBy(F.desc("doc_count"), "tile")
+            .limit(40))

@@ -376,3 +376,46 @@ def test_composite_sweep_respects_initial_after(spark):
         }}
     }).collect()
     assert [r["g"] for r in out] == ["c", "d", "e"]
+
+
+def test_geo_distance_parsing_and_symmetry(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        _haversine_m,
+        _parse_distance_m,
+    )
+
+    assert _parse_distance_m("500km") == 500_000.0
+    assert _parse_distance_m("10mi") == 10 * 1609.344
+    assert _parse_distance_m("250m") == 250.0
+    assert _parse_distance_m(42) == 42.0
+    assert _parse_distance_m("1nmi") == 1852.0
+    # haversine sanity: symmetric, zero at identity, ~111.19 km/degree
+    df = spark.createDataFrame([(0.0, 0.0, 1.0, 0.0)], "a double, b double, c double, d double")
+    r = df.select(
+        _haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("d1"),
+        _haversine_m(F.col("c"), F.col("d"), F.col("a"), F.col("b")).alias("d2"),
+        _haversine_m(F.col("a"), F.col("b"), F.col("a"), F.col("b")).alias("z"),
+    ).collect()[0]
+    assert r["d1"] == r["d2"]
+    assert r["z"] == 0.0
+    assert abs(r["d1"] - 111_195.0) < 100  # one degree of arc
+
+
+def test_geo_bounding_box_and_antimeridian_wrap(spark):
+    pts = spark.createDataFrame(
+        [(1, 10.0, 170.0), (2, 10.0, -170.0), (3, 10.0, 0.0),
+         (4, 50.0, 170.0), (5, -50.0, -170.0)],
+        "id int, lat double, lon double",
+    ).select("id", F.struct(F.col("lat").alias("lat"),
+                            F.col("lon").alias("lon")).alias("location"))
+    # plain box: lat [0, 20], lon [-20, 20] -> only point 3
+    plain = {"geo_bounding_box": {"location": {
+        "top_left": {"lat": 20.0, "lon": -20.0},
+        "bottom_right": {"lat": 0.0, "lon": 20.0}}}}
+    assert [r["id"] for r in es_search(pts, plain).collect()] == [3]
+    # wrapped box: lon [160, -160] crosses the antimeridian -> 1 and 2
+    wrap = {"geo_bounding_box": {"location": {
+        "top_left": {"lat": 20.0, "lon": 160.0},
+        "bottom_right": {"lat": 0.0, "lon": -160.0}}}}
+    got = sorted(r["id"] for r in es_search(pts, wrap).collect())
+    assert got == [1, 2]
