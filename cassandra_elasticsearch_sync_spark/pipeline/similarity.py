@@ -899,3 +899,114 @@ def k3j_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("tcid").cast("int").alias("n_overlap"),
         (F.count("tcid") / F.lit(float(TOP_K))).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection (hyperplane) LSH near-dup pairs - the blind scale path
+# ---------------------------------------------------------------------------
+
+_RP_BANDS, _RP_BITS = 16, 8          # 16 bands x 8 hyperplane bits
+_RP_SEED = 0xC0FFEE
+_RP_PERT_OFFSET = 10_000_000
+_RP_THRESHOLD = 0.98
+
+_RP_CORPUS_SQL = """
+base AS (SELECT vec_id,
+                LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+sh AS (SELECT vec_id, v, LIST_CONCAT(v[2:], [v[1]]) AS s FROM base),
+pert AS (SELECT vec_id, v,
+                LIST_TRANSFORM(LIST_ZIP(v, s),
+                               p -> p[1] + 0.1 * p[2]) AS w
+         FROM sh)
+"""
+
+_RP_ORACLE = "WITH " + _RP_CORPUS_SQL + f"""
+, d AS (
+  SELECT vec_id,
+         (SELECT SUM(x * y) FROM (SELECT UNNEST(v) x, UNNEST(w) y)) AS vw,
+         SQRT((SELECT SUM(x * y)
+               FROM (SELECT UNNEST(v) x, UNNEST(v) y))) AS nv,
+         SQRT((SELECT SUM(x * y)
+               FROM (SELECT UNNEST(w) x, UNNEST(w) y))) AS nw
+  FROM pert)
+SELECT vec_id AS vec_a, vec_id + {_RP_PERT_OFFSET} AS vec_b,
+       ROUND(vw / (nv * nw), 6) AS cos_sim
+FROM d WHERE vw / (nv * nw) >= {_RP_THRESHOLD}
+"""
+
+
+def _rp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Originals plus planted near-duplicates: each vector also appears
+    shifted-and-nudged (w = v + 0.1 * rotate(v)), which pins its cosine
+    to the original inside [sqrt(0.99), 1] ~ [0.994987, 1] for ANY v
+    (minimize (1+eps*c)/sqrt(1+2*eps*c+eps^2) over correlation c), so
+    the 0.98 cut deterministically selects exactly the planted pairs -
+    base pairs top out near 0.6 on every corpus generation. Identical
+    double arithmetic on the oracle side, so cosines are bit-equal."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    s = F.concat(F.slice("v", 2, 63), F.slice("v", 1, 1))
+    pert = base.select(
+        (F.col("vec_id") + _RP_PERT_OFFSET).alias("vec_id"),
+        F.zip_with("v", s, lambda a, b: a + F.lit(0.1) * b).alias("v"),
+    )
+    return base.unionByName(pert)
+
+
+@register("k3l_rp_lsh_near_pairs", "K2+K3", _RP_ORACLE,
+          "Signed-random-projection (hyperplane) LSH near-duplicate "
+          "pairs over embeddings - the BLIND scale path the label-"
+          "blocked k_embedding_dup_pairs cannot provide (no cluster "
+          "column needed). 128 fixed Gaussian hyperplanes give every "
+          "vector a 16-band x 8-bit sign signature (one Arrow-batched "
+          "matrix multiply - the vectorized-UDF escape hatch, never "
+          "per-row Python); candidate pairs are vectors sharing ANY "
+          "band bucket (explode -> equi-join on (band, sig): the same "
+          "bucketed shape as MinHash-LSH, never all-pairs), then "
+          "ONLY candidates pay the exact-cosine verify. At the 0.98 "
+          "cut a qualifying pair (cos >= 0.994987 by construction) "
+          "shares a band with probability 1 - 5.6e-11, so LSH output "
+          "== exact output on any realizable corpus draw - same "
+          "determinism argument as the MinHash banding regression "
+          "test; soundness is exact (every emitted pair is verified).")
+def k3l_rp_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    H = np.ascontiguousarray(
+        np.random.RandomState(_RP_SEED).standard_normal(
+            (_RP_BANDS * _RP_BITS, 64)))
+    weights = (1 << np.arange(_RP_BITS)).astype(np.int64)
+
+    def _band_sigs(vs):
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        bits = (V @ H.T) >= 0.0                       # n x 128 signs
+        B = bits.reshape(len(V), _RP_BANDS, _RP_BITS)
+        sigs = (B * weights).sum(axis=2)              # n x 16 band keys
+        return pd.Series(list(sigs))
+
+    band_sigs = F.pandas_udf(_band_sigs, "array<long>")
+
+    corpus = _rp_corpus(spark, sf_dir).withColumn("nrm", norm("v"))
+    sigged = corpus.select(
+        "vec_id", "v", "nrm",
+        F.posexplode(band_sigs("v")).alias("band", "sig"),
+    )
+    a, b = sigged.alias("a"), sigged.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+                F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos_raw = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (cands.withColumn("cos_raw", cos_raw)
+            .filter(F.col("cos_raw") >= _RP_THRESHOLD)
+            .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim")))
