@@ -1396,3 +1396,259 @@ def k_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("_w")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis: two-proportion z-test + CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+@register("k_ab_ztest", "D5+H3", """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1
+                  ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_conv
+  FROM u GROUP BY variant
+),
+w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+         MAX(CASE WHEN variant = 0 THEN n_conv END) AS conv_a,
+         MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+         MAX(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
+  FROM v
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       ROUND((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+             / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+FROM w
+""", "Two-proportion z-test for an A/B experiment: users split by a "
+     "deterministic hash (user_id parity - never rand()), conversion "
+     "= any qualifying purchase, pooled-variance z statistic. All "
+     "counts are exact integers from two hash aggregates; the z is "
+     "ONE double expression over them, written identically on both "
+     "engines - the final-mile float rule every stats op here "
+     "follows. At 100 TB this is two map-side-combinable groupBys "
+     "and a 2-row reduction - nothing scales with users but the "
+     "per-user aggregate.")
+def k_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(F.when((F.col("event_type") == "purchase")
+                     & (F.col("value") > 150), 1).otherwise(0))
+        .alias("converted"),
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_conv"))
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / \
+         (F.col("n_a") + F.col("n_b"))
+    z = (rb - ra) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")))
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register("k_cuped_adjustment", "D5+H3", """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+         CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                THEN CAST(value AS DECIMAL(18,2)) END),
+                       0) AS DECIMAL(18,2)) AS x,
+         CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                 AND event_type = 'purchase'
+                                THEN CAST(value AS DECIMAL(18,2)) END),
+                       0) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM u
+),
+v AS (
+  SELECT variant, COUNT(*) AS nv, SUM(x) AS sxv, SUM(y) AS syv
+  FROM u GROUP BY variant
+)
+SELECT variant, CAST(nv AS BIGINT) AS n_users,
+       ROUND(CAST(syv AS DOUBLE) / nv, 6) AS mean_y,
+       ROUND((CAST(syv AS DOUBLE)
+              - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * (CAST(sxv AS DOUBLE) - nv * CAST(sx AS DOUBLE) / n)) / nv, 6)
+         AS mean_y_cuped,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS theta,
+       ROUND(1.0 - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS var_ratio
+FROM v CROSS JOIN g
+ORDER BY variant
+""", "CUPED variance reduction for the A/B readout: the pre-period "
+     "covariate X (each user's pre-experiment activity) absorbs "
+     "between-user variance from the post-period metric Y via "
+     "theta = cov(X,Y)/var(X); var_ratio = 1 - rho^2 is the fraction "
+     "of metric variance that survives - the industry-standard "
+     "sensitivity boost (Deng et al., WSDM 2013, public). Every "
+     "moment (sx, sy, sxx, sxy, syy) is an EXACT decimal sum from "
+     "one per-user aggregate, so cross-engine floats appear only in "
+     "the final one-row arithmetic - the same exact-sums-then-"
+     "final-mile discipline as k7l's OLS. Scale: one per-user "
+     "aggregate + a 2-row broadcast join; nothing quadratic, no "
+     "windows.")
+def k_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    dec = F.col("value").cast("decimal(18,2)")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cut, dec)), F.lit(0))
+        .cast("decimal(18,2)").alias("x"),
+        F.coalesce(F.sum(F.when((F.col("ts") >= cut)
+                                & (F.col("event_type") == "purchase"), dec)),
+                   F.lit(0)).cast("decimal(18,2)").alias("y"),
+    ).select((F.col("user_id") % 2).alias("variant"), "x", "y")
+    g = u.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").alias("nv"),
+        F.sum("x").alias("sxv"), F.sum("y").alias("syv"))
+    j = v.crossJoin(F.broadcast(g))
+    n, nv = F.col("n"), F.col("nv")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxv, syv = F.col("sxv").cast("double"), F.col("syv").cast("double")
+    cov_n = n * sxy - sx * sy          # n^2 * cov
+    varx_n = n * sxx - sx * sx         # n^2 * var(x)
+    vary_n = n * syy - sy * sy
+    theta = cov_n / varx_n
+    return j.select(
+        "variant",
+        nv.cast("bigint").alias("n_users"),
+        F.round(syv / nv, 6).alias("mean_y"),
+        F.round((syv - theta * (sxv - nv * sx / n)) / nv, 6)
+        .alias("mean_y_cuped"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.lit(1.0) - cov_n * cov_n / (varx_n * vary_n), 6)
+        .alias("var_ratio"),
+    ).orderBy("variant")
+
+
+@register("k_rfm_segmentation", "K7+E1", """
+WITH mx AS (
+  SELECT MAX(CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)) AS max_es
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         CAST(FLOOR(((SELECT max_es FROM mx)
+                     - MAX(CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)))
+                    / 86400.0) AS BIGINT) AS recency_days,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS frequency,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                THEN CAST(value AS DECIMAL(18,2)) END), 0)
+              AS DECIMAL(18,2)) AS monetary
+  FROM events GROUP BY user_id
+),
+n AS (SELECT COUNT(*) AS n_users FROM u),
+s AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY recency_days, user_id) - 1)
+                    * 5.0 / (SELECT n_users FROM n)) AS INT) + 1 AS r_score,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY frequency DESC, user_id) - 1)
+                    * 5.0 / (SELECT n_users FROM n)) AS INT) + 1 AS f_score,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY monetary DESC, user_id) - 1)
+                    * 5.0 / (SELECT n_users FROM n)) AS INT) + 1 AS m_score
+  FROM u
+)
+SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+       monetary, r_score, f_score, m_score,
+       CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2
+              THEN 'champion'
+            WHEN r_score >= 4 AND f_score >= 4 THEN 'lapsed'
+            ELSE 'core' END AS segment
+FROM s
+""", "RFM customer segmentation: per-user Recency / Frequency / "
+     "Monetary from ONE event aggregate (monetary as exact decimal), "
+     "then three quintile scores via the scale-safe two-pass global-"
+     "rank primitive - NO single-partition NTILE window anywhere, so "
+     "a billion-user table ranks in parallel (the bucket formula "
+     "floor((rank-1)*5/n)+1 is pinned identically on both engines "
+     "rather than NTILE, whose remainder placement is "
+     "engine-conventional). Segment labels are the standard "
+     "champion/lapsed/core carve over the score grid.")
+def k_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+        F.col("value").cast("decimal(18,2)").alias("dv"),
+    )
+    mx = e.agg(F.max("es").alias("max_es"))
+    u = (e.groupBy("user_id")
+         .agg(F.max("es").alias("last_es"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+              .alias("frequency"),
+              F.coalesce(
+                  F.sum(F.when(F.col("event_type") == "purchase",
+                               F.col("dv"))),
+                  F.lit(0)).cast("decimal(18,2)").alias("monetary"))
+         .crossJoin(F.broadcast(mx))
+         .select("user_id",
+                 F.floor((F.col("max_es") - F.col("last_es")) / 86400.0)
+                 .alias("recency_days"),
+                 "frequency", "monetary"))
+
+    def score(df: DataFrame, order: list, out: str) -> DataFrame:
+        ranked, totals = with_global_order(df, order, rank_col="__rk")
+        n = totals["n_rows"]
+        return ranked.withColumn(
+            out,
+            (F.floor((F.col("__rk") - 1) * 5.0 / F.lit(float(n))) + 1)
+            .cast("int"),
+        ).drop("__rk")
+
+    s = score(u, [F.col("recency_days"), F.col("user_id")], "r_score")
+    s = score(s, [F.col("frequency").desc(), F.col("user_id")], "f_score")
+    s = score(s, [F.col("monetary").desc(), F.col("user_id")], "m_score")
+    seg = (F.when((F.col("r_score") == 1) & (F.col("f_score") <= 2)
+                  & (F.col("m_score") <= 2), "champion")
+           .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "lapsed")
+           .otherwise("core"))
+    return s.select("user_id", "recency_days",
+                    F.col("frequency").cast("bigint").alias("frequency"),
+                    "monetary", "r_score", "f_score", "m_score",
+                    seg.alias("segment"))
