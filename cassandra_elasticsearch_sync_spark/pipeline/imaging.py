@@ -329,3 +329,190 @@ def decode_png_pixels(raw: bytes | None):
         return (width, height, channels, bytes(pixels))
     except (struct.error, zlib.error, IndexError):
         return None
+
+
+# ---------------------------------------------------------------------------
+# GIF: real LZW codec (GIF89a, variable-width codes, spec appendix F)
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_encode(indexes: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavored LZW: variable code width starting at
+    min_code_size+1, CLEAR/EOI codes, table reset at 4096 - the real
+    compression GIF files carry (not the emit-clear-every-symbol
+    'uncompressed GIF' shortcut, so a decoder must reconstruct the
+    string table, including growing code widths)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for b in indexes:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+    """Full GIF LZW decompression: string-table reconstruction with
+    the KwKwK first-is-new-code case, CLEAR resets, growing code
+    widths. Returns the decoded index stream or None on a corrupt
+    stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = n_bits = pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    try:
+        while True:
+            while n_bits < width:
+                if pos >= len(data):
+                    return bytes(out)  # missing EOI: emit what we have
+                acc |= data[pos] << n_bits
+                pos += 1
+                n_bits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    except (IndexError, ValueError):
+        return None
+
+
+def gif_indexed_bytes(width: int, height: int, seed: int) -> bytes:
+    """A REAL GIF89a 256-color image with planted pixel indexes:
+    index(x, y) = seed + x + y (seed <= 219, so no mod wrap on a
+    16x16 grid). Palette entry i = (i, 255 - i, i & ~1), making the
+    channel means analytic in seed: mean_r = seed + 15, mean_g =
+    240 - seed, mean_b = seed + 14.5. The image data is genuinely
+    LZW-compressed, so recovering the means requires a working
+    decompressor, not a header read."""
+    palette = bytearray()
+    for i in range(256):
+        palette += bytes((i, 255 - i, i & ~1))
+    idx = bytes((seed + x + y) for y in range(height) for x in range(width))
+    lzw = _gif_lzw_encode(idx)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i:i + 255]
+        blocks.append(len(part))
+        blocks += part
+    blocks.append(0)
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256
+            + palette
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+            + bytes([8])      # LZW minimum code size
+            + blocks)
+
+
+def decode_gif_pixels(raw: bytes | None):
+    """Full GIF pixel decode for the single-frame 89a profile this
+    engine synthesizes: header + logical screen descriptor + global
+    color table + one image descriptor, LZW-decompressed to palette
+    indexes, mapped through the color table. Returns (width, height,
+    flat RGB bytes) or None. Extension blocks are skipped per spec;
+    interlaced and local-color-table frames are rejected, not
+    guessed."""
+    if not raw or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w_screen, h_screen, flags, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+        i = 13
+        palette = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            palette = raw[i:i + 3 * n]
+            i += 3 * n
+        while i < len(raw):
+            b = raw[i]
+            if b == 0x21:  # extension: label + sub-blocks
+                i += 2
+                while raw[i]:
+                    i += raw[i] + 1
+                i += 1
+            elif b == 0x2C:  # image descriptor
+                _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", raw, i + 1)
+                i += 10
+                if iflags & 0x40:
+                    return None  # interlaced: out of scope, rejected
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    palette = raw[i:i + 3 * n]
+                    i += 3 * n
+                if palette is None:
+                    return None
+                min_code = raw[i]
+                i += 1
+                lzw = bytearray()
+                while raw[i]:
+                    size = raw[i]
+                    lzw += raw[i + 1:i + 1 + size]
+                    i += size + 1
+                i += 1
+                idx = gif_lzw_decode(bytes(lzw), min_code)
+                if idx is None or len(idx) < w * h:
+                    return None
+                px = bytearray()
+                for k in range(w * h):
+                    j = idx[k] * 3
+                    px += palette[j:j + 3]
+                return (w, h, bytes(px))
+            elif b == 0x3B:  # trailer
+                return None
+            else:
+                return None
+    except (struct.error, IndexError):
+        return None
+    return None

@@ -466,3 +466,63 @@ def k6f_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", synth("doc_id").alias("payload"))
     return payloads.mapInPandas(decode_jpeg_batch, JPEG_PIXEL_SCHEMA)
+
+
+def decode_gif_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched FULL GIF pixel decode: sub-block walk, real LZW
+    decompression (string-table reconstruction, KwKwK, CLEAR resets,
+    growing code widths), palette mapping, channel-mean reduction.
+    Pure python - no PIL, no stub."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_gif_pixels,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            d = decode_gif_pixels(raw)
+            if d is None:
+                rows.append((int(doc_id), None, None, None, None, None))
+                continue
+            w, h, px = d
+            n = w * h
+            rows.append((int(doc_id), w, h,
+                         sum(px[0::3]) / n, sum(px[1::3]) / n,
+                         sum(px[2::3]) / n))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height",
+                           "mean_r", "mean_g", "mean_b"])
+
+
+@register("k6g_gif_pixel_decode", "K6", """
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(doc_id % 220 AS DOUBLE) + 15.0 AS mean_r,
+       240.0 - CAST(doc_id % 220 AS DOUBLE) AS mean_g,
+       CAST(doc_id % 220 AS DOUBLE) + 14.5 AS mean_b
+FROM documents
+""", "FULL GIF pixel decode (the third real image codec beside PNG "
+     "and baseline JPEG): payloads are conforming GIF89a files whose "
+     "index stream is GENUINELY LZW-compressed (variable-width "
+     "codes, CLEAR/EOI, table growth - not the uncompressed-GIF "
+     "shortcut), so recovering the planted channel means requires a "
+     "working decompressor with string-table reconstruction "
+     "including the KwKwK case (tested round-trip on random streams "
+     "past the 12-bit reset). Palette entry i = (i, 255-i, i&~1) "
+     "makes the means analytic in the seed; mean_b's exact .5 "
+     "offset comes from the half-odd-index parity of the planted "
+     "grid - one wrong LZW entry shifts all three. Interlaced and "
+     "local-palette frames are rejected, not guessed.")
+def k6g_gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        gif_indexed_bytes,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(lambda d: gif_indexed_bytes(16, 16, int(d) % 220))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_gif_batch, PIXEL_SCHEMA)

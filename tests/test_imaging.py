@@ -236,3 +236,66 @@ def test_jpeg_decoder_rejects_unsupported_profiles():
     assert decode_gray_jpeg(b"\xff\xd8junk") is None
     # header-only synth JPEG (no scan data) must not crash
     assert decode_gray_jpeg(jpeg_bytes(64, 64)) is None
+
+
+def test_gif_lzw_roundtrip_random_streams():
+    """LZW encode->decode identity on random index streams long enough
+    to grow through every code width and force a 4096-entry CLEAR
+    reset."""
+    import random
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        _gif_lzw_encode,
+        gif_lzw_decode,
+    )
+
+    rnd = random.Random(0xBEEF)
+    for n in (1, 7, 300, 5000, 30000):
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        assert gif_lzw_decode(_gif_lzw_encode(data), 8) == data, n
+    # highly repetitive data exercises deep table strings + KwKwK
+    rep = b"\x01\x02" * 4000 + b"\x01" * 3000
+    assert gif_lzw_decode(_gif_lzw_encode(rep), 8) == rep
+
+
+def test_gif_lzw_kwkwk_case():
+    """The code-equals-next-table-slot (KwKwK) special case decodes
+    per spec: 'aaa...' makes the encoder emit a code the decoder has
+    not yet built."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        _gif_lzw_encode,
+        gif_lzw_decode,
+    )
+
+    data = b"\x05" * 50
+    assert gif_lzw_decode(_gif_lzw_encode(data), 8) == data
+
+
+def test_gif_pixel_decode_planted_means():
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_gif_pixels,
+        gif_indexed_bytes,
+    )
+
+    for seed in (0, 57, 219):
+        w, h, px = decode_gif_pixels(gif_indexed_bytes(16, 16, seed))
+        assert (w, h) == (16, 16)
+        n = w * h
+        assert sum(px[0::3]) / n == seed + 15.0
+        assert sum(px[1::3]) / n == 240.0 - seed
+        assert sum(px[2::3]) / n == seed + 14.5
+
+
+def test_gif_decode_rejects_garbage_and_interlace():
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_gif_pixels,
+        gif_indexed_bytes,
+    )
+
+    assert decode_gif_pixels(None) is None
+    assert decode_gif_pixels(b"NOTAGIF") is None
+    raw = bytearray(gif_indexed_bytes(16, 16, 3))
+    # flip the interlace bit in the image descriptor flags byte
+    desc = raw.index(0x2C, 13 + 768)
+    raw[desc + 9] |= 0x40
+    assert decode_gif_pixels(bytes(raw)) is None
