@@ -50,7 +50,13 @@ PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
          # PQ ADC (codebook train + asymmetric distance scan), PQ with
          # exact rerank, MIPS (augmented-vector reduction), IVF probe
          "k3f_pq_adc_topk", "k3g_pq_rerank_topk", "k3i_mips_topk",
-         "ann_ivf_topk")
+         "ann_ivf_topk",
+         # round-4 continuation additions: RP-LSH (explode + band
+         # equi-join over a 100x embedding corpus), Kaplan-Meier +
+         # RFM (two-pass global-order primitives over per-user
+         # aggregates), CUPED (per-user aggregate + 2-row reduce)
+         "k3l_rp_lsh_near_pairs", "k7r_kaplan_meier_churn",
+         "k_rfm_segmentation", "k_cuped_adjustment")
 
 SMALL = ("region", "nation", "customer", "supplier", "part")
 
