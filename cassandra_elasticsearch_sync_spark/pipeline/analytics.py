@@ -1652,3 +1652,77 @@ def k_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("frequency").cast("bigint").alias("frequency"),
                     "monetary", "r_score", "f_score", "m_score",
                     seg.alias("segment"))
+
+
+@register("k_windowed_funnel", "E3+I4", """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+  FROM events
+),
+u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM e),
+l1 AS (SELECT COUNT(DISTINCT user_id) AS n FROM e WHERE event_type = 'signup'),
+l2 AS (
+  SELECT COUNT(DISTINCT s.user_id) AS n
+  FROM e s JOIN e c
+    ON c.user_id = s.user_id AND s.event_type = 'signup'
+   AND c.event_type = 'click' AND s.es < c.es AND c.es - s.es <= 86400
+),
+l3 AS (
+  SELECT COUNT(DISTINCT s.user_id) AS n
+  FROM e s
+  JOIN e c ON c.user_id = s.user_id AND s.event_type = 'signup'
+          AND c.event_type = 'click' AND s.es < c.es
+  JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+          AND c.es < p.es AND p.es - s.es <= 86400
+)
+SELECT (SELECT n_users FROM u) AS n_users,
+       (SELECT n FROM l1) AS n_level1,
+       (SELECT n FROM l2) AS n_level2,
+       (SELECT n FROM l3) AS n_level3
+""", "Windowed funnel (the ClickHouse windowFunnel semantic): a user "
+     "reaches level L when SOME chain signup < click < purchase fits "
+     "inside a 24h window anchored at its own first step - not just "
+     "the first occurrence of each type (funnel_conversion's cheaper "
+     "semantic, which misses chains whose first signup was stale). "
+     "The exists-a-chain quantifier compiles to two per-user RANGE-"
+     "frame running maxima (latest signup strictly before each "
+     "click, then the best such pair strictly before each purchase) "
+     "- O(events) per user, windows partitioned by user_id, vs the "
+     "oracle's cubic triple self-join; RANGE upper bound -1 pins "
+     "STRICT precedence identically in both engines even when "
+     "events share a truncated second (a rows-frame would tiebreak "
+     "nondeterministically).")
+def k_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    W = 86400
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+    )
+    before = (Window.partitionBy("user_id").orderBy("es")
+              .rangeBetween(Window.unboundedPreceding, -1))
+    sig_es = F.when(F.col("event_type") == "signup", F.col("es"))
+    # latest signup STRICTLY before this event
+    e = e.withColumn("ls", F.max(sig_es).over(before))
+    # per click: does a signup within W precede it?
+    click_ok = (F.col("event_type") == "click") & \
+        (F.col("ls") >= F.col("es") - W)
+    # best (latest) chain-start signup over clicks strictly before
+    click_ls = F.when(F.col("event_type") == "click", F.col("ls"))
+    e = e.withColumn("best_pair_ls", F.max(click_ls).over(before))
+    purch_ok = (F.col("event_type") == "purchase") & \
+        (F.col("best_pair_ls") >= F.col("es") - W)
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .alias("l1"),
+        F.max(F.when(click_ok, 1).otherwise(0)).alias("l2"),
+        F.max(F.when(purch_ok, 1).otherwise(0)).alias("l3"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("l1").alias("n_level1"),
+        F.sum("l2").alias("n_level2"),
+        F.sum("l3").alias("n_level3"),
+    )

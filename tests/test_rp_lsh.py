@@ -40,8 +40,10 @@ def test_lsh_pairs_equal_brute_force(spark):
 def test_banding_prunes_candidate_space(spark):
     """The (band, sig) equi-join must examine a small fraction of all
     pairs - the property that makes the shape survive 100 TB. With
-    16 bands of 8 bits, a random pair collides in a given band with
-    p ~ 0.5^8, so expected candidate fraction ~ 16/256 ~ 6%."""
+    16 bands of 16 bits, a random pair collides in a given band with
+    p ~ 0.5^16, so the candidate fraction must stay well under 2%
+    (the ~sf1 scale smoke caught 8-bit bands saturating their 256
+    buckets and going quadratic - this bound pins the fix)."""
     import pandas as pd
 
     H = np.random.RandomState(_RP_SEED).standard_normal(
@@ -59,7 +61,7 @@ def test_banding_prunes_candidate_space(spark):
     for b in range(_RP_BANDS):
         _, counts = np.unique(sigs[:, b], return_counts=True)
         cand += int((counts * (counts - 1) // 2).sum())
-    assert cand < 0.15 * all_pairs, (cand, all_pairs)
+    assert cand < 0.02 * all_pairs, (cand, all_pairs)
 
 
 def test_detuned_banding_would_miss(spark):
