@@ -912,6 +912,29 @@ class AcidParquetTable:
                             deletes=m.get("deletes", []),
                             cluster_by=m.get("cluster_by"))
 
+    def shallow_clone(self, target_root: str) -> "AcidParquetTable":
+        """CREATE TABLE ... SHALLOW CLONE: a new, independently
+        versioned table whose v1 manifest points at THIS table's
+        current data files - zero bytes copied regardless of table
+        size (the Delta/Iceberg zero-copy dev-table pattern). Writes
+        to the clone land new files under the CLONE's root and never
+        touch the source (copy-on-write applies per entry, so a merge
+        on the clone rewrites only affected source entries into clone
+        files); writes to the source are invisible to the clone
+        (snapshot semantics). The clone depends on the source's data
+        files surviving - vacuuming the SOURCE can break the clone,
+        the same documented caveat Delta ships."""
+        base = self.current_version()
+        m = self._manifest(base)
+        clone = AcidParquetTable(self.spark, target_root)
+        if clone.current_version() != 0:
+            raise ValueError(f"{target_root} already has commits")
+        clone._commit(0, m["files"], StructType.fromJson(m["schema"]),
+                      m.get("stats", {}), seq=m.get("seq"),
+                      deletes=m.get("deletes", []),
+                      cluster_by=m.get("cluster_by"))
+        return clone
+
     # -- CHECK constraints -------------------------------------------------
 
     _CONSTRAINTS = "constraints.json"

@@ -1912,3 +1912,47 @@ def l32_acid_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l33_acid_shallow_clone", "A7+L1", _SIDES_SQL + """
+SELECT key,
+       CASE WHEN key % 10 = 0 THEN price * 0.5 ELSE price END AS price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM side_a
+""", "SHALLOW CLONE on the ACID store: a zero-copy dev table whose "
+     "v1 manifest re-points at the production snapshot's data files "
+     "(asserted in-query: the clone's entry set IS the source's - no "
+     "byte copied at ANY table size), then a what-if merge runs ON "
+     "THE CLONE while the production table stays bit-identical "
+     "(asserted via its unchanged version). The dev-experiment "
+     "pattern every lakehouse ships; CoW on the clone rewrites "
+     "affected entries into clone-owned files, so divergence costs "
+     "only the touched slices.")
+def l33_acid_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    root = tempfile.mkdtemp(prefix="ces_acid_src_")
+    clone_root = tempfile.mkdtemp(prefix="ces_acid_clone_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(side_a(spark, sf_dir))
+        v_src = t.current_version()
+        shutil.rmtree(clone_root, ignore_errors=True)
+        c = t.shallow_clone(clone_root)
+        if set(c._manifest(1)["files"]) != set(t._manifest(v_src)["files"]):
+            raise AssertionError("clone must re-point, not copy")
+        what_if = (side_a(spark, sf_dir)
+                   .filter(F.col("key") % 10 == 0)
+                   .withColumn("price", F.col("price") * 0.5))
+        c.merge_into(what_if, ["key"], assume_unique_keys=True)
+        if t.current_version() != v_src:
+            raise AssertionError("source must not advance on a clone write")
+        return c.read().select(
+            "key", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(clone_root, ignore_errors=True)

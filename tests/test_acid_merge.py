@@ -834,3 +834,32 @@ def test_check_constraint_skips_mor_delete_key_files(spark, root):
     assert len(_rows(t.read())) == 8
     t.compact_deletes()
     assert len(_rows(t.read())) == 8
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, root):
+    t = _table(spark, root, [(i, float(i), 1) for i in range(200)])
+    clone_root = root + "_clone"
+    try:
+        c = t.shallow_clone(clone_root)
+        # metadata-only: clone v1 references the SOURCE's data dirs
+        assert set(c._manifest(1)["files"]) == set(
+            t._manifest(t.current_version())["files"])
+        assert _rows(c.read()) == _rows(t.read())
+        # writes to the clone: source untouched, clone diverges
+        c.merge_into(spark.createDataFrame(
+            [(5, -5.0, 2), (900, 9.0, 2)],
+            "key bigint, price double, version int"), ["key"])
+        got_c = {r["key"]: r["price"] for r in c.read().collect()}
+        got_t = {r["key"]: r["price"] for r in t.read().collect()}
+        assert got_c[5] == -5.0 and got_c[900] == 9.0
+        assert got_t[5] == 5.0 and 900 not in got_t
+        # writes to the source: clone keeps its snapshot
+        t.merge_into(spark.createDataFrame(
+            [(7, -7.0, 2)], "key bigint, price double, version int"),
+            ["key"])
+        assert {r["key"]: r["price"] for r in c.read().collect()}[7] == 7.0
+        # refuse cloning onto an existing table
+        with pytest.raises(ValueError, match="already has commits"):
+            t.shallow_clone(clone_root)
+    finally:
+        shutil.rmtree(clone_root, ignore_errors=True)
