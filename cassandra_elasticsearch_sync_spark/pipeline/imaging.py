@@ -516,3 +516,92 @@ def decode_gif_pixels(raw: bytes | None):
     except (struct.error, IndexError):
         return None
     return None
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF: box-structure walk (the video-container metadata tier)
+# ---------------------------------------------------------------------------
+
+def mp4_bytes(timescale: int, duration_s: int, width: int, height: int) -> bytes:
+    """A minimal but CONFORMING ISO-BMFF file: ftyp + moov(mvhd +
+    trak(tkhd)), all boxes with correct sizes, mvhd/tkhd as version-0
+    full boxes per ISO/IEC 14496-12 (the public spec). Duration is
+    planted in movie-timescale units; track width/height are 16.16
+    fixed point exactly as the spec stores them."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = box(b"mvhd", struct.pack(
+        ">BxxxIIII", 0, 0, 0, timescale, timescale * duration_s)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", struct.pack(
+        ">BxxxIIIxxxxI", 0, 0, 0, 1, timescale * duration_s)
+        + b"\x00" * 8
+        + struct.pack(">HHHxx", 0, 0, 0)
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", width << 16, height << 16))
+    trak = box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    return ftyp + moov
+
+
+def parse_mp4(raw: bytes | None):
+    """ISO-BMFF box walk: iterate top-level boxes (32-bit and 64-bit
+    largesize forms), recurse into containers (moov/trak/mdia), and
+    read mvhd (timescale, duration; version 0 or 1) and the first
+    tkhd (16.16 fixed-point width/height). Returns (timescale,
+    duration_units, width, height) or None - a malformed size chain
+    or missing moov rejects the payload."""
+    if not raw or len(raw) < 16:
+        return None
+    out = {"timescale": None, "duration": None, "w": None, "h": None}
+
+    def walk(lo: int, hi: int, depth: int) -> bool:
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack_from(">I", raw, i)[0]
+            typ = raw[i + 4:i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                if body + 8 > hi:
+                    return False
+                size = struct.unpack_from(">Q", raw, body)[0]
+                body += 8
+            elif size == 0:  # box extends to EOF
+                size = hi - i
+            if size < 8 or i + size > hi:
+                return False
+            if typ in (b"moov", b"trak", b"mdia") and depth < 8:
+                if not walk(body, i + size, depth + 1):
+                    return False
+            elif typ == b"mvhd":
+                ver = raw[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", raw, body + 20)
+                else:
+                    _, _, ts, dur = struct.unpack_from(">IIII", raw, body + 4)
+                out["timescale"], out["duration"] = ts, dur
+            elif typ == b"tkhd" and out["w"] is None:
+                ver = raw[body]
+                # fixed part (vf+times+id+reserved+duration) is 24
+                # bytes in v0, 36 in v1; then reserved 8, layer/group/
+                # volume/reserved 8, matrix 36, then 16.16 width/height
+                off = body + (24 if ver == 0 else 36) + 8 + 8 + 36
+                w, h = struct.unpack_from(">II", raw, off)
+                out["w"], out["h"] = w >> 16, h >> 16
+            i += size
+        return i == hi
+
+    if not walk(0, len(raw), 0):
+        return None
+    if out["timescale"] is None:
+        return None
+    return (out["timescale"], out["duration"], out["w"], out["h"])

@@ -2152,3 +2152,82 @@ def a3ae_es_geotile_grid(spark, sf_dir):
                     "doc_count", "sum_acctbal")
             .orderBy(F.desc("doc_count"), "tile")
             .limit(40))
+
+
+@register("a3af_es_percentile_ranks", "A3+D6", """
+SELECT key, doc_count, rank_at_100k, rank_at_250k
+FROM (
+  SELECT o_orderpriority AS key,
+         COUNT(*) AS doc_count,
+         ROUND(100.0 * SUM(CASE WHEN o_totalprice <= 100000 THEN 1
+                                ELSE 0 END) / COUNT(*), 6) AS rank_at_100k,
+         ROUND(100.0 * SUM(CASE WHEN o_totalprice <= 250000 THEN 1
+                                ELSE 0 END) / COUNT(*), 6) AS rank_at_250k
+  FROM orders WHERE o_orderstatus = 'O'
+  GROUP BY o_orderpriority
+) ORDER BY doc_count DESC, key LIMIT 5
+""", "ES percentile_ranks metric agg (the inverse of a3l's "
+     "percentiles): for each probe value, what percent of documents "
+     "sit at or below it - the SLO question ('what fraction of "
+     "orders clear under our threshold'). Computed as the exact "
+     "empirical CDF from integer conditional counts (ES itself "
+     "t-digest-interpolates; exact is cross-engine hashable and "
+     "strictly more accurate), one map-side-combinable aggregate.")
+def a3af_es_percentile_ranks(spark, sf_dir):
+    o = es_search(load_table(spark, sf_dir, "orders"),
+                  {"term": {"o_orderstatus": "O"}})
+    cnt = F.count("*")
+    return (o.groupBy(F.col("o_orderpriority").alias("key"))
+            .agg(cnt.alias("doc_count"),
+                 F.round(100.0 * F.sum(
+                     F.when(F.col("o_totalprice") <= 100000, 1).otherwise(0))
+                     / cnt, 6).alias("rank_at_100k"),
+                 F.round(100.0 * F.sum(
+                     F.when(F.col("o_totalprice") <= 250000, 1).otherwise(0))
+                     / cnt, 6).alias("rank_at_250k"))
+            .orderBy(F.desc("doc_count"), "key")
+            .limit(5))
+
+
+@register("a3ag_es_geo_distance_rings", "A3+D1", _GEO_SQL_PREFIX + """
+, d AS (
+  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         2.0 * 6371008.7714 * ASIN(SQRT(
+           SIN(RADIANS(40.7128 - lat) / 2) * SIN(RADIANS(40.7128 - lat) / 2)
+           + COS(RADIANS(lat)) * COS(RADIANS(40.7128))
+             * SIN(RADIANS(-74.006 - lon) / 2)
+             * SIN(RADIANS(-74.006 - lon) / 2))) AS dist_m
+  FROM geo
+)
+SELECT ring, COUNT(*) AS doc_count,
+       CAST(SUM(bal) AS DECIMAL(38,2)) AS sum_acctbal
+FROM (
+  SELECT CASE WHEN dist_m < 2000000.0 THEN '*-2000km'
+              WHEN dist_m < 6000000.0 THEN '2000km-6000km'
+              ELSE '6000km-*' END AS ring,
+         bal
+  FROM d
+)
+GROUP BY ring ORDER BY ring
+""", "ES geo_distance RANGE aggregation: concentric rings around an "
+     "origin (the store-locator / catchment-area dashboard), each "
+     "bucket counting documents and summing a metric. The ring "
+     "assignment is the same in-plan haversine as the a3ad filter "
+     "(JVM trig at the scan, no UDF); balances sum as DECIMAL so "
+     "the only cross-engine float is the ring-edge comparison "
+     "itself (documented threshold caveat, edges far from any "
+     "realizable coordinate ulp).")
+def a3ag_es_geo_distance_rings(spark, sf_dir):
+    g = _customer_geo(spark, sf_dir)
+    dist_m = _haversine_m(
+        F.col("location.lat"), F.col("location.lon"),
+        F.lit(40.7128), F.lit(-74.006))
+    ring = (F.when(dist_m < 2_000_000.0, "*-2000km")
+            .when(dist_m < 6_000_000.0, "2000km-6000km")
+            .otherwise("6000km-*"))
+    return (g.select(ring.alias("ring"),
+                     F.col("c_acctbal").cast("decimal(18,2)").alias("bal"))
+            .groupBy("ring")
+            .agg(F.count("*").alias("doc_count"),
+                 F.sum("bal").cast("decimal(38,2)").alias("sum_acctbal"))
+            .orderBy("ring"))

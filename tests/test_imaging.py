@@ -299,3 +299,39 @@ def test_gif_decode_rejects_garbage_and_interlace():
     desc = raw.index(0x2C, 13 + 768)
     raw[desc + 9] |= 0x40
     assert decode_gif_pixels(bytes(raw)) is None
+
+
+def test_mp4_box_walk_roundtrip_and_rejects():
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        mp4_bytes,
+        parse_mp4,
+    )
+
+    for ts, dur, w, h in ((1000, 1, 320, 180), (9973, 119, 1920, 1080)):
+        assert parse_mp4(mp4_bytes(ts, dur, w, h)) == (ts, ts * dur, w, h)
+    assert parse_mp4(None) is None
+    assert parse_mp4(b"short") is None
+    raw = mp4_bytes(1000, 42, 1280, 720)
+    assert parse_mp4(raw[:-3]) is None          # broken size chain
+    corrupt = bytearray(raw)
+    corrupt[0] = 0xFF                            # ftyp size overflows file
+    assert parse_mp4(bytes(corrupt)) is None
+
+
+def test_mp4_largesize_and_v1_mvhd():
+    """The walker handles the 64-bit largesize form and version-1
+    mvhd (64-bit times) - both legal encodings a real producer can
+    emit even when the 32-bit form would fit."""
+    import struct
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import parse_mp4
+
+    mvhd_v1 = (struct.pack(">BxxxQQIQ", 1, 0, 0, 777, 777 * 9)
+               + b"\x00" * 80)
+    mvhd_box = struct.pack(">I", 8 + len(mvhd_v1)) + b"mvhd" + mvhd_v1
+    # moov wrapped in the size==1 largesize form
+    moov = (struct.pack(">I", 1) + b"moov"
+            + struct.pack(">Q", 16 + len(mvhd_box)) + mvhd_box)
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    got = parse_mp4(ftyp + moov)
+    assert got is not None and got[0] == 777 and got[1] == 777 * 9
