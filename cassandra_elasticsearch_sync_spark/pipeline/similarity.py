@@ -905,17 +905,19 @@ def k3j_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-projection (hyperplane) LSH near-dup pairs - the blind scale path
 # ---------------------------------------------------------------------------
 
-# 16 bands x 16 hyperplane bits. Band width is the collision-rate
-# dial: 8-bit sigs leave only 256 buckets per band, so bucket
-# occupancy - and with it the candidate-pair count - grows
-# QUADRATICALLY once the corpus passes a few thousand vectors (the
-# ~sf1 scale smoke measured exactly that: 365 s at a 40k corpus).
-# 16 bits give 65k buckets per band: a random pair collides in a
-# band with p ~ 0.5^16 = 1.5e-5, so candidates stay linear-ish in
-# corpus size, while a planted pair (cos >= 0.994987, per-bit
-# agreement >= 0.96813) still collides somewhere with
-# 1 - (1 - 0.96813^16)^16 = 1 - 5e-7.
-_RP_BANDS, _RP_BITS = 16, 16
+# 32 bands x 24 hyperplane bits. Band width is the collision-rate
+# dial, and it must GROW with corpus size (the standard LSH tuning
+# rule): random-pair collisions scale as n^2 * bands * 0.5^bits, so
+# any fixed width eventually goes quadratic. Measured on the decade
+# probes: 8-bit bands saturated their 256 buckets at a 40k corpus
+# (365 s); 16-bit bands were linear there (12 s) but went 27x for
+# 10x vectors at a 400k corpus. At 24 bits a random pair collides
+# somewhere with p ~ 32 * 0.5^24 = 1.9e-6 (a 400k corpus yields
+# ~150k candidates - linear territory to ~10M vectors; widen again
+# beyond), while a planted near-dup pair (cos >= 0.994987, per-bit
+# agreement >= 0.96813, per-band 0.96813^24 = 0.46) still collides
+# somewhere with 1 - (1 - 0.46)^32 = 1 - 2.8e-9.
+_RP_BANDS, _RP_BITS = 32, 24
 _RP_SEED = 0xC0FFEE
 _RP_PERT_OFFSET = 10_000_000
 _RP_THRESHOLD = 0.98
@@ -970,15 +972,15 @@ def _rp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
           "Signed-random-projection (hyperplane) LSH near-duplicate "
           "pairs over embeddings - the BLIND scale path the label-"
           "blocked k_embedding_dup_pairs cannot provide (no cluster "
-          "column needed). 256 fixed Gaussian hyperplanes give every "
-          "vector a 16-band x 16-bit sign signature (one Arrow-batched "
+          "column needed). 768 fixed Gaussian hyperplanes give every "
+          "vector a 32-band x 24-bit sign signature (one Arrow-batched "
           "matrix multiply - the vectorized-UDF escape hatch, never "
           "per-row Python); candidate pairs are vectors sharing ANY "
           "band bucket (explode -> equi-join on (band, sig): the same "
           "bucketed shape as MinHash-LSH, never all-pairs), then "
           "ONLY candidates pay the exact-cosine verify. At the 0.98 "
           "cut a qualifying pair (cos >= 0.994987 by construction) "
-          "shares a band with probability 1 - 5e-7, so LSH output "
+          "shares a band with probability 1 - 2.8e-9, so LSH output "
           "== exact output on any realizable corpus draw - same "
           "determinism argument as the MinHash banding regression "
           "test; soundness is exact (every emitted pair is verified).")

@@ -284,7 +284,8 @@ class AcidParquetTable:
                 stats: dict | None = None, seq: dict | None = None,
                 deletes: list | None = None,
                 manifests_dir: str | None = None,
-                cluster_by: list[str] | None = None) -> int:
+                cluster_by: list[str] | None = None,
+                txns: dict | None = None) -> int:
         """Conditional-put commit: atomically create manifest
         ``v{base+1}``. Creation succeeding IS the commit; creation
         failing means another writer committed on the same base first -
@@ -295,10 +296,22 @@ class AcidParquetTable:
         conditional put; readers can never observe a half-written
         manifest)."""
         next_v = base_version + 1
+        if txns is None:
+            # carry the idempotence ledger forward on every main-chain
+            # commit (maintenance/restore/clone included) - losing it
+            # would let a replayed streaming batch re-apply after a
+            # compaction.
+            txns = {}
+            if manifests_dir is None and base_version > 0:
+                try:
+                    txns = self._manifest(base_version).get("txns", {})
+                except FileNotFoundError:
+                    pass
         manifest = {
             "version": next_v,
             "base": base_version,
             "committed_at": time.time(),
+            "txns": txns,
             "files": files,
             "stats": stats or {},
             # seq: the commit that wrote each entry (MoR delete scoping);
@@ -361,6 +374,8 @@ class AcidParquetTable:
         delete_condition: Column | None = None,
         assume_unique_keys: bool = False,
         assignments: dict[str, "Column"] | None = None,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """ANSI-style MERGE with copy-on-write file rewrites.
 
@@ -382,11 +397,26 @@ class AcidParquetTable:
         """
         base = self.current_version()
         manifest = self._manifest(base)
+        txns = None
+        if txn_app_id is not None:
+            # Idempotent-writer ledger (the Delta txnAppId/txnVersion
+            # contract): an at-least-once writer (foreachBatch retry,
+            # driver restart) stamps each logical batch with a
+            # monotonically increasing version; a batch at or below
+            # the last recorded version is a NO-OP before any job
+            # runs. The check reads the same manifest the commit will
+            # CAS against, so a concurrent duplicate loses the
+            # conditional put and re-checks on retry - exactly-once
+            # effects on top of at-least-once delivery.
+            last = manifest.get("txns", {}).get(txn_app_id)
+            if last is not None and int(txn_version) <= int(last):
+                return base
+            txns = {**manifest.get("txns", {}), txn_app_id: int(txn_version)}
         return self._merge_against(manifest, source, keys,
                                    matched_condition, delete_condition,
                                    commit_dir=None, commit_base=base,
                                    assume_unique_keys=assume_unique_keys,
-                                   assignments=assignments)
+                                   assignments=assignments, txns=txns)
 
     def _merge_against(self, manifest: dict, source: DataFrame,
                        keys: list[str],
@@ -394,7 +424,8 @@ class AcidParquetTable:
                        delete_condition: Column | None,
                        commit_dir: str | None, commit_base: int,
                        assume_unique_keys: bool = False,
-                       assignments: dict[str, "Column"] | None = None) -> int:
+                       assignments: dict[str, "Column"] | None = None,
+                       txns: dict | None = None) -> int:
         schema = StructType.fromJson(manifest["schema"])
 
         # The <=1-row-per-key precondition check is one extra job on the
@@ -508,7 +539,8 @@ class AcidParquetTable:
         return self._commit(commit_base, new_files, schema, stats, seq=seq,
                             deletes=manifest.get("deletes", []),
                             manifests_dir=commit_dir,
-                            cluster_by=manifest.get("cluster_by"))
+                            cluster_by=manifest.get("cluster_by"),
+                            txns=txns)
 
     # -- DELETE / UPDATE (copy-on-write) -----------------------------------
 

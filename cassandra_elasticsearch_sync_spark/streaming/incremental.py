@@ -860,3 +860,85 @@ def i9c_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(checkpoint, ignore_errors=True)
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+@register("i11_exactly_once_acid_sink", "I10+A7", """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS total_value
+FROM events
+GROUP BY event_type
+""", "Exactly-once streaming into the ACID store on top of "
+     "at-least-once foreachBatch: every micro-batch merge is stamped "
+     "with (txn_app_id, batch_id) - the Delta txnAppId/txnVersion "
+     "idempotent-writer contract - and this query APPLIES EVERY "
+     "BATCH TWICE on purpose (the redelivery a foreachBatch retry or "
+     "driver restart produces). The merge is a counter-style "
+     "increment (tgt + src), i.e. NOT content-idempotent: without "
+     "the transaction ledger every replay would double-count, and "
+     "the hash-match against the batch GROUP BY oracle would fail. "
+     "The ledger rides the manifest (carried across maintenance "
+     "commits), and the no-op check reads the same manifest the "
+     "commit CASes against, so a racing duplicate loses the "
+     "conditional put and re-checks - exactly-once EFFECTS with no "
+     "coordinator. State is O(groups); per batch cost O(batch).")
+def i11_exactly_once_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    staged = stage_events_stream(spark, sf_dir, n_chunks=4)
+    checkpoint = tempfile.mkdtemp(prefix="ces_i11_ckpt_")
+    store_root = tempfile.mkdtemp(prefix="ces_i11_acid_")
+    try:
+        t = AcidParquetTable(spark, store_root)
+        schema = StructType.fromJson({
+            "type": "struct", "fields": [
+                {"name": "event_type", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "n_events", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "total_value", "type": "decimal(38,2)",
+                 "nullable": True, "metadata": {}},
+            ]})
+        t.init(spark.createDataFrame([], schema))
+        inc = {
+            "n_events": F.coalesce(F.col("tgt.n_events"), F.lit(0))
+            + F.col("src.n_events"),
+            "total_value": (F.coalesce(F.col("tgt.total_value"),
+                                       F.lit(0).cast("decimal(38,2)"))
+                            + F.col("src.total_value"))
+            .cast("decimal(38,2)"),
+        }
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            partial = batch_df.groupBy("event_type").agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(38,2)").alias("total_value"),
+            )
+            # at-least-once delivery, simulated deliberately: the same
+            # logical batch arrives twice; the txn ledger must make the
+            # second application a no-op
+            for _ in range(2):
+                t.merge_into(partial, ["event_type"], assignments=inc,
+                             assume_unique_keys=True,
+                             txn_app_id="i11_loader",
+                             txn_version=int(batch_id) + 1)
+
+        q = (
+            read_events_stream(spark, staged)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_bounded(q, 300)
+        return (t.read()
+                .select("event_type", "n_events", "total_value")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(store_root, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)

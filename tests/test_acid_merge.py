@@ -863,3 +863,42 @@ def test_shallow_clone_zero_copy_and_independent(spark, root):
             t.shallow_clone(clone_root)
     finally:
         shutil.rmtree(clone_root, ignore_errors=True)
+
+
+def test_txn_version_makes_replayed_merge_a_noop(spark, root):
+    """Delta txnAppId/txnVersion idempotence: a replayed batch (same
+    app, same version) is a no-op even when the merge itself is NOT
+    content-idempotent (counter increment); a later version applies;
+    the ledger survives maintenance commits."""
+    t = _table(spark, root, [(1, 10.0, 1)])
+    inc = {"price": F.col("tgt.price") + F.col("src.price")}
+
+    def batch(v):
+        return spark.createDataFrame(
+            [(1, 5.0, v)], "key bigint, price double, version int")
+
+    t.merge_into(batch(2), ["key"], assignments=inc,
+                 txn_app_id="loader", txn_version=1)
+    assert _rows(t.read()) == [(1, 15.0, 2)]
+    # replay of version 1: no-op, version unchanged
+    v = t.current_version()
+    t.merge_into(batch(2), ["key"], assignments=inc,
+                 txn_app_id="loader", txn_version=1)
+    assert t.current_version() == v
+    assert _rows(t.read()) == [(1, 15.0, 2)]
+    # an OLDER version is also refused (out-of-order retry)
+    t.merge_into(batch(2), ["key"], assignments=inc,
+                 txn_app_id="loader", txn_version=0)
+    assert _rows(t.read()) == [(1, 15.0, 2)]
+    # maintenance must not lose the ledger
+    t.compact_small(target_bytes=64 << 20)
+    t.merge_into(batch(2), ["key"], assignments=inc,
+                 txn_app_id="loader", txn_version=1)
+    assert _rows(t.read()) == [(1, 15.0, 2)]
+    # the next version applies; an unrelated app id is independent
+    t.merge_into(batch(3), ["key"], assignments=inc,
+                 txn_app_id="loader", txn_version=2)
+    assert _rows(t.read()) == [(1, 20.0, 3)]
+    t.merge_into(batch(4), ["key"], assignments=inc,
+                 txn_app_id="other", txn_version=1)
+    assert _rows(t.read()) == [(1, 25.0, 4)]
