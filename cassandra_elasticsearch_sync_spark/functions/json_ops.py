@@ -83,3 +83,47 @@ def h6b_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("doc", "$.meta.tags[0]").cast("bigint").alias("tag0"),
         F.get_json_object("doc", "$.meta.tags[1]").cast("bigint").alias("tag1"),
     )
+
+
+@register("h6c_variant_type", "H6+B4", """
+SELECT event_id,
+       CAST(doc->>'$.k' AS BIGINT) AS k,
+       CAST(doc->>'$.meta.type' AS VARCHAR) AS ev_type,
+       CAST(doc->>'$.meta.vals[1]' AS BIGINT) AS second_val,
+       CAST(doc->>'$.meta.vals[9]' AS BIGINT) AS missing_idx
+FROM (
+  SELECT event_id,
+         JSON('{"k": ' || CAST(CAST(props->>'$.k' AS BIGINT) AS VARCHAR)
+              || ', "meta": {"type": "' || event_type || '", "vals": ['
+              || CAST(event_id % 7 AS VARCHAR) || ', '
+              || CAST(event_id % 11 AS VARCHAR) || ']}}') AS doc
+  FROM events
+)
+""", "Spark 4.x VARIANT type (the semi-structured column every "
+     "modern lakehouse added): parse_json into an open-schema "
+     "variant, then typed path extraction with variant_get - object "
+     "fields, NESTED paths, array indexing, and out-of-range access "
+     "returning NULL (not an error). Unlike from_json there is no "
+     "declared schema, so schema drift in the ES-side documents "
+     "never breaks ingestion - extraction is late-bound and binary-"
+     "encoded (no per-row string re-parse downstream). The oracle is "
+     "DuckDB's JSON path operators over an identically constructed "
+     "document.")
+def h6c_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    doc_json = F.concat(
+        F.lit('{"k": '),
+        F.get_json_object("props", "$.k").cast("bigint").cast("string"),
+        F.lit(', "meta": {"type": "'), F.col("event_type"),
+        F.lit('", "vals": ['), (F.col("event_id") % 7).cast("string"),
+        F.lit(", "), (F.col("event_id") % 11).cast("string"),
+        F.lit("]}}"),
+    )
+    v = ev.select("event_id", F.parse_json(doc_json).alias("doc"))
+    return v.select(
+        "event_id",
+        F.variant_get("doc", "$.k", "bigint").alias("k"),
+        F.variant_get("doc", "$.meta.type", "string").alias("ev_type"),
+        F.variant_get("doc", "$.meta.vals[1]", "bigint").alias("second_val"),
+        F.variant_get("doc", "$.meta.vals[9]", "bigint").alias("missing_idx"),
+    )

@@ -674,3 +674,24 @@ def d16_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint")
              .alias("n_users"))
     )
+
+
+@register("d10b_unpivot", "D10+B1", """
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       event_type, COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""", "UNPIVOT (melt): the inverse of D10 - wide per-day count columns "
+     "back to tidy (day, event_type, n) rows via DataFrame.unpivot "
+     "(SQL UNPIVOT / stack). The round trip pivot-then-unpivot minus "
+     "the absent combinations reproduces the plain GROUP BY exactly, "
+     "which is what the oracle checks. Unpivot is a map-side "
+     "projection (each row expands to its value columns - no "
+     "shuffle beyond the pivot's own aggregate), so the wide->long "
+     "reshape costs nothing extra at scale.")
+def d10b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = d10_pivot(spark, sf_dir)
+    long = wide.unpivot(["day"], list(_EVENT_TYPES), "event_type", "n")
+    # pivot materializes absent (day, type) combos as 0; the tidy form
+    # (and the GROUP BY oracle) has no such rows
+    return long.filter(F.col("n") > 0).select("day", "event_type", "n")
