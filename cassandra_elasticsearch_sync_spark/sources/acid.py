@@ -1132,6 +1132,10 @@ class AcidParquetTable:
         sort_key = (self._zvalue(df, cluster_by) if zorder
                     else F.col(cluster_by[0]))
         d = os.path.join(self.root, _DATA, uuid.uuid4().hex)
+        # CHECK constraints apply to every data write, including the
+        # clustered bootstrap/optimize path (this writer does not go
+        # through _write_data_files)
+        df = self._enforce_constraints(df)
         (
             df.withColumn("__zk", sort_key)
             .repartitionByRange(n_slices, F.col("__zk"))

@@ -902,3 +902,20 @@ def test_txn_version_makes_replayed_merge_a_noop(spark, root):
     t.merge_into(batch(4), ["key"], assignments=inc,
                  txn_app_id="other", txn_version=1)
     assert _rows(t.read()) == [(1, 25.0, 4)]
+
+
+def test_check_constraint_applies_to_clustered_bootstrap(spark, root):
+    """The clustered writer bypasses _write_data_files; constraints
+    must still gate it (init_clustered is the bootstrap everyone
+    uses)."""
+    t = AcidParquetTable(spark, root)
+    t.init(spark.createDataFrame([(1, 1.0, 1)],
+                                 "key bigint, price double, version int"))
+    t.add_constraint("price_positive", "price > 0")
+    bad = spark.createDataFrame(
+        [(i, float(i) - 5.0, 1) for i in range(10)],
+        "key bigint, price double, version int")
+    v = t.current_version()
+    with pytest.raises(Exception, match="price_positive"):
+        t.init_clustered(bad, ["key"], n_slices=2)
+    assert t.current_version() == v
