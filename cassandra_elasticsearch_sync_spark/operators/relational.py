@@ -732,3 +732,90 @@ def c8c_nearest_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(
         "event_id", "user_id", nearest.alias("nearest_purchase_es")
     )
+
+
+# ---------------------------------------------------------------------------
+# C12: spatial join - grid-bucketed point-in-polygon (never all-pairs)
+# ---------------------------------------------------------------------------
+
+# 12 deterministic triangles over the synthetic geo plane: vertices on
+# an integer grid so the orientation/sign tests are the same exact
+# double arithmetic in both engines.
+_TRIANGLES = [
+    (i,
+     (-50 + 9 * i, -170 + 28 * i),                 # ax, ay
+     (-50 + 9 * i + 22, -170 + 28 * i + 6),        # bx, by
+     (-50 + 9 * i + 8, -170 + 28 * i + 24))        # cx, cy
+    for i in range(12)
+]
+
+_TRI_SQL_ROWS = ", ".join(
+    f"({i}, {a[0]}, {a[1]}, {b[0]}, {b[1]}, {c[0]}, {c[1]})"
+    for i, a, b, c in _TRIANGLES)
+
+
+@register("c12_spatial_grid_join", "C7+H3", f"""
+WITH geo AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 1200000) / 10000.0 - 60.0 AS px,
+         (c_custkey * 104729 % 3600000) / 10000.0 - 180.0 AS py
+  FROM customer
+),
+tri(tri_id, ax, ay, bx, by, cx, cy) AS (VALUES {_TRI_SQL_ROWS}),
+j AS (
+  SELECT c_custkey, tri_id,
+         (bx - ax) * (py - ay) - (by - ay) * (px - ax) AS d1,
+         (cx - bx) * (py - by) - (cy - by) * (px - bx) AS d2,
+         (ax - cx) * (py - cy) - (ay - cy) * (px - cx) AS d3
+  FROM geo CROSS JOIN tri
+)
+SELECT c_custkey, tri_id
+FROM j
+WHERE (d1 >= 0 AND d2 >= 0 AND d3 >= 0)
+   OR (d1 <= 0 AND d2 <= 0 AND d3 <= 0)
+ORDER BY c_custkey, tri_id
+""", "Spatial join at the 100 TB shape: which polygon contains each "
+     "point, WITHOUT the all-pairs cross join the oracle runs. "
+     "Points land in one 5-degree grid cell; each triangle is "
+     "replicated to the cells its bounding box overlaps (a tiny "
+     "broadcast side - polygons x bbox cells); the equi-join on the "
+     "cell key prunes the candidate space to co-located pairs, and "
+     "only candidates pay the exact point-in-triangle sign test "
+     "(three cross products, same double arithmetic both engines - "
+     "boundary points included via the signs-agree rule, orientation-"
+     "free). The standard geospatial bucketing every big-data GIS "
+     "engine uses; output proven identical to the brute-force "
+     "quantifier.")
+def c12_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = 5.0
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 1200000) / 10000.0 - 60.0).alias("px"),
+        ((F.col("c_custkey") * 104729 % 3600000) / 10000.0 - 180.0).alias("py"),
+    ).withColumn("clat", F.floor(F.col("px") / cell)) \
+     .withColumn("clon", F.floor(F.col("py") / cell))
+
+    tri_cells = []
+    for i, a, b, c in _TRIANGLES:
+        lo_x, hi_x = min(a[0], b[0], c[0]), max(a[0], b[0], c[0])
+        lo_y, hi_y = min(a[1], b[1], c[1]), max(a[1], b[1], c[1])
+        for cx_ in range(int(lo_x // cell), int(hi_x // cell) + 1):
+            for cy_ in range(int(lo_y // cell), int(hi_y // cell) + 1):
+                tri_cells.append((i, *a, *b, *c, cx_, cy_))
+    tri = spark.createDataFrame(
+        tri_cells,
+        "tri_id int, ax int, ay int, bx int, by int, cx int, cy int, "
+        "clat bigint, clon bigint")
+
+    j = pts.join(F.broadcast(tri), ["clat", "clon"])
+    d1 = (F.col("bx") - F.col("ax")) * (F.col("py") - F.col("ay")) \
+        - (F.col("by") - F.col("ay")) * (F.col("px") - F.col("ax"))
+    d2 = (F.col("cx") - F.col("bx")) * (F.col("py") - F.col("by")) \
+        - (F.col("cy") - F.col("by")) * (F.col("px") - F.col("bx"))
+    d3 = (F.col("ax") - F.col("cx")) * (F.col("py") - F.col("cy")) \
+        - (F.col("ay") - F.col("cy")) * (F.col("px") - F.col("cx"))
+    inside = ((d1 >= 0) & (d2 >= 0) & (d3 >= 0)) | \
+             ((d1 <= 0) & (d2 <= 0) & (d3 <= 0))
+    return (j.filter(inside)
+            .select("c_custkey", "tri_id")
+            .orderBy("c_custkey", "tri_id"))
