@@ -1,13 +1,16 @@
 """Model-based property test for the ACID store (sources/acid.py).
 
-A random SEQUENCE of write operations - MERGE upserts, copy-on-write
-DELETE/UPDATE, merge-on-read key deletes, delete compaction - is
-applied both to the real table and to a plain-dict model; after every
-step the snapshot read must equal the model exactly. This is the
-cross-path interaction coverage the single-op tests can't give:
-MoR deletes followed by re-inserting merges (sequence-number scoping),
-CoW deletes over MoR-masked files, compaction in the middle of a
-sequence, stats carried across mixed commits.
+A random SEQUENCE of write operations - MERGE upserts (plain and
+txn-versioned-with-replay), copy-on-write DELETE/UPDATE, merge-on-read
+key deletes, delete compaction, RESTORE to a random earlier version,
+and shallow-clone equality probes - is applied both to the real table
+and to a plain-dict model; after every step the snapshot read must
+equal the model exactly. This is the cross-path interaction coverage
+the single-op tests can't give: MoR deletes followed by re-inserting
+merges (sequence-number scoping), CoW deletes over MoR-masked files,
+compaction in the middle of a sequence, RESTORE jumping over pending
+MoR deletes, clones carrying delete files, replayed txn batches after
+maintenance.
 """
 
 from __future__ import annotations
@@ -30,12 +33,15 @@ _merge_batch = st.lists(
 
 _op = st.one_of(
     st.tuples(st.just("merge"), _merge_batch),
+    st.tuples(st.just("txn_merge"), _merge_batch),
     st.tuples(st.just("cow_delete"), st.integers(0, 2)),
     st.tuples(st.just("update"), st.integers(0, 2)),
     st.tuples(st.just("mor_delete"),
               st.lists(st.integers(0, 11), min_size=1, max_size=4,
                        unique=True)),
     st.tuples(st.just("compact"), st.just(None)),
+    st.tuples(st.just("restore"), st.integers(0, 1_000_000)),
+    st.tuples(st.just("clone_check"), st.just(None)),
 )
 
 
@@ -49,10 +55,20 @@ def test_acid_sequences_match_dict_model(spark, ops):
         init = [(k, float(k * 10), 1) for k in range(0, 8)]
         t.init(spark.createDataFrame(init, _SCHEMA))
         model = {k: (p, v) for k, p, v in init}
+        history = {t.current_version(): dict(model)}
+        txn_counter = 0
 
         for kind, arg in ops:
             if kind == "merge":
                 t.merge_into(spark.createDataFrame(arg, _SCHEMA), ["key"])
+                for k, p, v in arg:
+                    model[k] = (p, v)
+            elif kind == "txn_merge":
+                txn_counter += 1
+                for _replay in range(2):  # at-least-once delivery
+                    t.merge_into(spark.createDataFrame(arg, _SCHEMA),
+                                 ["key"], txn_app_id="model",
+                                 txn_version=txn_counter)
                 for k, p, v in arg:
                     model[k] = (p, v)
             elif kind == "cow_delete":
@@ -70,9 +86,24 @@ def test_acid_sequences_match_dict_model(spark, ops):
                 model = {k: pv for k, pv in model.items() if k not in arg}
             elif kind == "compact":
                 t.compact_deletes()
+            elif kind == "restore":
+                versions = sorted(history)
+                target = versions[arg % len(versions)]
+                t.restore(target)
+                model = dict(history[target])
+            elif kind == "clone_check":
+                clone_root = tempfile.mkdtemp(prefix="ces_acid_clone_m_")
+                try:
+                    c = t.shallow_clone(clone_root)
+                    got_c = {r["key"]: (r["price"], r["version"])
+                             for r in c.read().collect()}
+                    assert got_c == model, f"clone diverged: {got_c}"
+                finally:
+                    shutil.rmtree(clone_root, ignore_errors=True)
 
             got = {r["key"]: (r["price"], r["version"])
                    for r in t.read().collect()}
             assert got == model, f"after {kind}({arg}): {got} != {model}"
+            history[t.current_version()] = dict(model)
     finally:
         shutil.rmtree(root, ignore_errors=True)
