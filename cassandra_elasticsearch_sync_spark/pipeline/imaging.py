@@ -605,3 +605,92 @@ def parse_mp4(raw: bytes | None):
     if out["timescale"] is None:
         return None
     return (out["timescale"], out["duration"], out["w"], out["h"])
+
+
+# ---------------------------------------------------------------------------
+# EXIF: TIFF IFD walk inside a JPEG APP1 segment (both byte orders)
+# ---------------------------------------------------------------------------
+
+def exif_jpeg_bytes(orientation: int, width: int, make: str,
+                    big_endian: bool) -> bytes:
+    """A JPEG whose APP1 segment carries a conforming EXIF/TIFF block:
+    byte-order mark (II or MM - the synthesizer alternates so a
+    decoder must implement BOTH), magic 42, IFD0 with ImageWidth
+    (LONG, inline), Make (ASCII via data offset), Orientation (SHORT,
+    inline - stored in the endianness-sensitive first two value
+    bytes). Per TIFF 6.0 / EXIF 2.3 (public specs)."""
+    e = ">" if big_endian else "<"
+    make_b = make.encode() + b"\x00"
+    # IFD0: 3 entries; string data lands right after the IFD block
+    str_off = 8 + 2 + 3 * 12 + 4
+    entries = b""
+    entries += struct.pack(e + "HHI", 0x0100, 4, 1) + struct.pack(e + "I", width)
+    entries += struct.pack(e + "HHI", 0x010F, 2, len(make_b)) \
+        + struct.pack(e + "I", str_off)
+    # SHORT value occupies the FIRST two bytes of the 4-byte field in
+    # the file's byte order, padded with zeros
+    entries += struct.pack(e + "HHI", 0x0112, 3, 1) \
+        + struct.pack(e + "H", orientation) + b"\x00\x00"
+    tiff = ((b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, 8)
+            + struct.pack(e + "H", 3) + entries + struct.pack(e + "I", 0)
+            + make_b)
+    app1_body = b"Exif\x00\x00" + tiff
+    return (b"\xFF\xD8"
+            + b"\xFF\xE1" + struct.pack(">H", 2 + len(app1_body)) + app1_body
+            + b"\xFF\xD9")
+
+
+def parse_exif(raw: bytes | None):
+    """EXIF read: JPEG marker scan to APP1, TIFF byte-order dispatch
+    (II/MM), IFD0 entry walk, inline vs offset value resolution.
+    Returns (orientation, width, make, byte_order) or None."""
+    if not raw or raw[:2] != b"\xFF\xD8":
+        return None
+    try:
+        i, n = 2, len(raw)
+        tiff = None
+        while i + 4 <= n and raw[i] == 0xFF:
+            marker, ln = raw[i + 1], struct.unpack_from(">H", raw, i + 2)[0]
+            if marker == 0xE1 and raw[i + 4:i + 10] == b"Exif\x00\x00":
+                tiff = raw[i + 10:i + 2 + ln]
+                break
+            if marker == 0xD9 or marker == 0xDA:
+                break
+            i += 2 + ln
+        if tiff is None or len(tiff) < 16:
+            return None
+        if tiff[:2] == b"II":
+            e = "<"
+        elif tiff[:2] == b"MM":
+            e = ">"
+        else:
+            return None
+        magic, ifd_off = struct.unpack_from(e + "HI", tiff, 2)
+        if magic != 42:
+            return None
+        count = struct.unpack_from(e + "H", tiff, ifd_off)[0]
+        out = {"orientation": None, "width": None, "make": None}
+        for k in range(count):
+            off = ifd_off + 2 + 12 * k
+            tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, off)
+            if tag == 0x0112 and typ == 3:
+                out["orientation"] = struct.unpack_from(e + "H", tiff,
+                                                        off + 8)[0]
+            elif tag == 0x0100:
+                if typ == 4:
+                    out["width"] = struct.unpack_from(e + "I", tiff, off + 8)[0]
+                elif typ == 3:
+                    out["width"] = struct.unpack_from(e + "H", tiff, off + 8)[0]
+            elif tag == 0x010F and typ == 2:
+                if cnt <= 4:
+                    data = tiff[off + 8:off + 8 + cnt]
+                else:
+                    p = struct.unpack_from(e + "I", tiff, off + 8)[0]
+                    data = tiff[p:p + cnt]
+                out["make"] = data.rstrip(b"\x00").decode("ascii", "replace")
+        if out["orientation"] is None:
+            return None
+        return (out["orientation"], out["width"], out["make"],
+                "MM" if e == ">" else "II")
+    except (struct.error, IndexError, UnicodeDecodeError):
+        return None

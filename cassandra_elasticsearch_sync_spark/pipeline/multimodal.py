@@ -589,3 +589,67 @@ def k6h_mp4_box_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", synth("doc_id").alias("payload"))
     return payloads.mapInPandas(parse_mp4_batch, MP4_SCHEMA)
+
+
+EXIF_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("orientation", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("make", T.StringType()),
+    T.StructField("byte_order", T.StringType()),
+])
+
+
+def parse_exif_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched EXIF read: JPEG marker scan -> APP1 -> TIFF
+    byte-order dispatch -> IFD0 walk (inline + offset values)."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import parse_exif
+
+    for pdf in batches:
+        rows = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            p = parse_exif(raw)
+            if p is None:
+                rows.append((int(doc_id), None, None, None, None))
+                continue
+            o, w, make, bo = p
+            rows.append((int(doc_id), o, w, make, bo))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "orientation", "width", "make",
+                           "byte_order"])
+
+
+@register("k6i_exif_parse", "K6", """
+SELECT doc_id,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       CAST(640 + doc_id % 1280 AS INT) AS width,
+       'CAM' || CAST(doc_id % 10 AS VARCHAR) AS make,
+       CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order
+FROM documents
+""", "EXIF metadata read (the strip-or-read-EXIF step of every image "
+     "ingest pipeline): payloads are JPEGs whose APP1 segment carries "
+     "a conforming TIFF block per EXIF 2.3, and the corpus ALTERNATES "
+     "byte order (II little / MM big by doc parity) so the IFD walker "
+     "must genuinely dispatch on the byte-order mark - orientation "
+     "lives in the endianness-sensitive first two value bytes of a "
+     "SHORT entry, Make resolves through a data-pointer offset, "
+     "ImageWidth is an inline LONG. The oracle recomputes the "
+     "planted values analytically; a single-endianness shortcut "
+     "fails half the corpus.")
+def k6i_exif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        exif_jpeg_bytes,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        def mk(d: int) -> bytes:
+            return exif_jpeg_bytes(d % 8 + 1, 640 + d % 1280,
+                                   f"CAM{d % 10}", bool(d % 2))
+        return doc_ids.map(lambda d: mk(int(d)))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(parse_exif_batch, EXIF_SCHEMA)

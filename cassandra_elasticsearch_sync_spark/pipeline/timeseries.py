@@ -1406,3 +1406,56 @@ def k7r_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hazard"),
         F.round(F.exp("cum_ln"), 6).alias("km_survival"),
     )
+
+
+@register("k7s_seasonal_naive_backtest", "K7+E2", """
+WITH d AS (
+  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS actual
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT event_type, day, actual,
+         LAG(actual, 7) OVER (PARTITION BY event_type ORDER BY day)
+           AS forecast
+  FROM d
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       ROUND(CAST(SUM(ABS(actual - forecast)) AS DOUBLE) / COUNT(*), 6)
+         AS mae,
+       ROUND(100.0 * CAST(SUM(CAST(ABS(actual - forecast) AS DOUBLE)
+                              / CAST(actual AS DOUBLE)) AS DOUBLE)
+             / COUNT(*), 6) AS mape_pct
+FROM f WHERE forecast IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""", "Rolling-origin backtest of the seasonal-naive forecaster "
+     "(y_hat(d) = y(d-7), the baseline every forecasting system must "
+     "beat): per-series daily totals as exact decimals, the forecast "
+     "via LAG(7) over a PER-SERIES window (partitioned by event_type "
+     "- parallel across series, never a global window), then "
+     "MAE/MAPE per series. Absolute errors stay decimal-exact end to "
+     "end; MAPE is a sum of per-day double ratios over exact decimal "
+     "inputs - a <=31-term double reduction per series, the "
+     "small-cardinality case DETERMINISM.md section 8 documents.")
+def k7s_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").alias("actual"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = d.withColumn("forecast", F.lag("actual", 7).over(w)) \
+         .filter(F.col("forecast").isNotNull())
+    abs_err = F.abs(F.col("actual") - F.col("forecast"))
+    return (f.groupBy("event_type")
+            .agg(F.count("*").alias("n_days"),
+                 F.round(F.sum(abs_err).cast("double") / F.count("*"), 6)
+                 .alias("mae"),
+                 F.round(100.0 * F.sum(abs_err.cast("double")
+                                       / F.col("actual").cast("double"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("mape_pct"))
+            .orderBy("event_type"))

@@ -335,3 +335,19 @@ def test_mp4_largesize_and_v1_mvhd():
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
     got = parse_mp4(ftyp + moov)
     assert got is not None and got[0] == 777 and got[1] == 777 * 9
+
+
+def test_exif_both_byte_orders_and_rejects():
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        exif_jpeg_bytes,
+        parse_exif,
+    )
+
+    for be, bo in ((False, "II"), (True, "MM")):
+        got = parse_exif(exif_jpeg_bytes(6, 1920, "CAM7", be))
+        assert got == (6, 1920, "CAM7", bo)
+    assert parse_exif(None) is None
+    assert parse_exif(b"\xFF\xD8\xFF\xD9") is None     # no APP1
+    raw = bytearray(exif_jpeg_bytes(3, 800, "CAM1", True))
+    raw[14] = ord("X")                                  # corrupt byte order
+    assert parse_exif(bytes(raw)) is None
