@@ -1726,3 +1726,155 @@ def k_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l2").alias("n_level2"),
         F.sum("l3").alias("n_level3"),
     )
+
+
+@register("k_classification_report", "D1+H3", """
+WITH p AS (
+  SELECT event_type AS label,
+         CASE CAST(FLOOR(value) AS BIGINT) % 5
+              WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+              WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+              ELSE 'view' END AS pred
+  FROM events
+),
+per AS (
+  SELECT label AS cls,
+         SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS tp,
+         COUNT(*) AS support
+  FROM p GROUP BY label
+),
+pr AS (SELECT pred AS cls, COUNT(*) AS n_pred FROM p GROUP BY pred)
+SELECT per.cls,
+       CAST(per.tp AS BIGINT) AS tp,
+       CAST(per.support AS BIGINT) AS support,
+       CAST(COALESCE(pr.n_pred, 0) AS BIGINT) AS n_pred,
+       ROUND(CAST(per.tp AS DOUBLE) / NULLIF(pr.n_pred, 0), 6) AS prec,
+       ROUND(CAST(per.tp AS DOUBLE) / per.support, 6) AS recall,
+       ROUND(2.0 * per.tp / NULLIF(pr.n_pred + per.support, 0), 6) AS f1
+FROM per LEFT JOIN pr ON per.cls = pr.cls
+ORDER BY per.cls
+""", "Per-class classification report (precision / recall / F1 / "
+     "support - the table every model-eval notebook prints): labels "
+     "are the true event types, predictions come from a "
+     "deterministic stand-in classifier (floor(value) mod 5 - the "
+     "repo rule: never rand()), and every metric derives from two "
+     "exact-integer hash aggregates joined on class, with the "
+     "divisions as one final double expression (F1 computed as "
+     "2*tp/(n_pred+support), identical algebra both engines). At "
+     "100 TB: two map-side-combinable groupBys over the scored "
+     "table and a 5-row join.")
+def k_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pred = (F.when(F.floor("value").cast("bigint") % 5 == 0, "click")
+            .when(F.floor("value").cast("bigint") % 5 == 1, "error")
+            .when(F.floor("value").cast("bigint") % 5 == 2, "purchase")
+            .when(F.floor("value").cast("bigint") % 5 == 3, "signup")
+            .otherwise("view"))
+    p = e.select(F.col("event_type").alias("label"), pred.alias("pred"))
+    per = p.groupBy(F.col("label").alias("cls")).agg(
+        F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+        .alias("tp"),
+        F.count("*").alias("support"))
+    pr = p.groupBy(F.col("pred").alias("cls")).agg(
+        F.count("*").alias("n_pred"))
+    j = per.join(pr, "cls", "left")
+    n_pred = F.coalesce(F.col("n_pred"), F.lit(0))
+    return j.select(
+        "cls",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("support").cast("bigint").alias("support"),
+        n_pred.cast("bigint").alias("n_pred"),
+        F.round(F.col("tp").cast("double")
+                / F.nullif(n_pred, F.lit(0)), 6).alias("prec"),
+        F.round(F.col("tp").cast("double") / F.col("support"), 6)
+        .alias("recall"),
+        F.round(2.0 * F.col("tp")
+                / F.nullif(n_pred + F.col("support"), F.lit(0)), 6)
+        .alias("f1"),
+    ).orderBy("cls")
+
+
+_SPLIT_THRESHOLDS = (5, 10, 20, 40, 80, 160)
+
+_SPLIT_SQL_CASES = "\n".join(
+    f"         SUM(CASE WHEN value <= {t} THEN 1 ELSE 0 END) AS n_le_{t},\n"
+    f"         SUM(CASE WHEN value <= {t} AND event_type = 'purchase'"
+    f" THEN 1 ELSE 0 END) AS pos_le_{t},"
+    for t in _SPLIT_THRESHOLDS)
+
+_SPLIT_SQL_ROWS = "\nUNION ALL\n".join(
+    f"SELECT {t} AS threshold, n_le_{t} AS n_le, pos_le_{t} AS pos_le,"
+    f" n, pos FROM a" for t in _SPLIT_THRESHOLDS)
+
+
+@register("k_best_split_gain", "D2+H3", f"""
+WITH a AS (
+  SELECT
+{_SPLIT_SQL_CASES}
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+  FROM events
+),
+t AS ({_SPLIT_SQL_ROWS})
+SELECT threshold,
+       CAST(n_le AS BIGINT) AS n_left,
+       CAST(n - n_le AS BIGINT) AS n_right,
+       ROUND((1.0 - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n)
+                  - (1.0 - CAST(pos AS DOUBLE) / n)
+                    * (1.0 - CAST(pos AS DOUBLE) / n))
+             - (CAST(n_le AS DOUBLE) / n)
+               * (1.0 - (CAST(pos_le AS DOUBLE) / n_le)
+                        * (CAST(pos_le AS DOUBLE) / n_le)
+                      - (1.0 - CAST(pos_le AS DOUBLE) / n_le)
+                        * (1.0 - CAST(pos_le AS DOUBLE) / n_le))
+             - (CAST(n - n_le AS DOUBLE) / n)
+               * (1.0 - (CAST(pos - pos_le AS DOUBLE) / (n - n_le))
+                        * (CAST(pos - pos_le AS DOUBLE) / (n - n_le))
+                      - (1.0 - CAST(pos - pos_le AS DOUBLE) / (n - n_le))
+                        * (1.0 - CAST(pos - pos_le AS DOUBLE) / (n - n_le))),
+             6) AS gini_gain
+FROM t ORDER BY threshold
+""", "Decision-split search (the inner loop of tree training / "
+     "feature binning): Gini impurity gain of splitting on value <= "
+     "t for a fixed threshold grid, predicting 'is a purchase'. ONE "
+     "scan computes every threshold's left-side counts as "
+     "conditional aggregates (no crossJoin replication of the fact "
+     "table - the scan cost is independent of grid size), then the "
+     "6-row unpivot and the pure-arithmetic Gini algebra (no logs, "
+     "no zero-entropy edge cases) run on exact integers. The oracle "
+     "computes the identical counts via the same single-aggregate "
+     "shape.")
+def k_best_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .alias("pos")]
+    for t in _SPLIT_THRESHOLDS:
+        aggs.append(F.sum(F.when(F.col("value") <= t, 1).otherwise(0))
+                    .alias(f"n_le_{t}"))
+        aggs.append(F.sum(F.when((F.col("value") <= t)
+                                 & (F.col("event_type") == "purchase"), 1)
+                          .otherwise(0)).alias(f"pos_le_{t}"))
+    a = e.agg(*aggs)
+    rows = a.select(F.explode(F.array(*[
+        F.struct(F.lit(t).alias("threshold"),
+                 F.col(f"n_le_{t}").alias("n_le"),
+                 F.col(f"pos_le_{t}").alias("pos_le"),
+                 F.col("n"), F.col("pos"))
+        for t in _SPLIT_THRESHOLDS])).alias("r")).select("r.*")
+
+    def gini(pos, n):
+        pr = pos.cast("double") / n
+        return F.lit(1.0) - pr * pr - (F.lit(1.0) - pr) * (F.lit(1.0) - pr)
+
+    n, n_le = F.col("n"), F.col("n_le")
+    pos, pos_le = F.col("pos"), F.col("pos_le")
+    gain = (gini(pos, n)
+            - (n_le.cast("double") / n) * gini(pos_le, n_le)
+            - ((n - n_le).cast("double") / n) * gini(pos - pos_le, n - n_le))
+    return rows.select(
+        "threshold",
+        n_le.cast("bigint").alias("n_left"),
+        (n - n_le).cast("bigint").alias("n_right"),
+        F.round(gain, 6).alias("gini_gain"),
+    ).orderBy("threshold")
