@@ -45,14 +45,34 @@ from cassandra_elasticsearch_sync_spark.sources.cql_query import (
 
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*\((?P<cols>[\w,\s]+)\)\s*"
-    r"VALUES\s*\((?P<vals>.+?)\)\s*(?P<ine>IF\s+NOT\s+EXISTS)?\s*;?\s*$",
+    r"VALUES\s*\((?P<vals>.+?)\)\s*(?P<ine>IF\s+NOT\s+EXISTS)?\s*"
+    r"(?:USING\s+(?P<using>[^;]+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.+?)\s+"
+    r"^\s*UPDATE\s+(?P<table>\w+)\s+"
+    r"(?:USING\s+(?P<using>.+?)\s+)?SET\s+(?P<sets>.+?)\s+"
     r"WHERE\s+(?P<where>.+?)\s*(?P<ie>IF\s+EXISTS)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parse_using(clause: str | None) -> tuple[int | None, int | None]:
+    """``USING TTL n [AND TIMESTAMP m]`` -> (ttl_s, timestamp_us)."""
+    if not clause:
+        return (None, None)
+    ttl = ts = None
+    for part in re.split(r"\s+AND\s+", clause.strip(), flags=re.IGNORECASE):
+        m = re.match(r"^\s*TTL\s+(\d+)\s*$", part, re.IGNORECASE)
+        if m:
+            ttl = int(m.group(1))
+            continue
+        m = re.match(r"^\s*TIMESTAMP\s+(\d+)\s*$", part, re.IGNORECASE)
+        if m:
+            ts = int(m.group(1))
+            continue
+        raise CqlError(f"unsupported USING option: {part!r}")
+    return (ttl, ts)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.+?)\s*"
     r"(?P<ie>IF\s+EXISTS)?\s*;?\s*$",
@@ -71,6 +91,8 @@ class CqlWrite:
     key: tuple                  # full primary key values, declared order
     sets: dict = field(default_factory=dict)
     condition: str | None = None  # None | 'exists' | 'not_exists'
+    ttl_s: int | None = None        # USING TTL
+    ts_us: int | None = None        # USING TIMESTAMP (client-supplied)
 
 
 def _parse_where_key(where: str, key_cols: list[str], table: str) -> tuple:
@@ -109,8 +131,14 @@ def parse_cql_dml(stmt: str, key_cols: list[str]) -> list[CqlWrite]:
             raise CqlError(f"INSERT must supply the full primary key; "
                            f"missing {missing}")
         key = tuple(sets.pop(k) for k in key_cols)
+        ttl, ts = _parse_using(m.group("using"))
+        if ts is not None and m.group("ine"):
+            raise CqlError(
+                "cannot combine IF NOT EXISTS with USING TIMESTAMP "
+                "(Cassandra's own rule: LWT writes own their timestamps)")
         return [CqlWrite("W", m.group("table").lower(), key, sets,
-                         "not_exists" if m.group("ine") else None)]
+                         "not_exists" if m.group("ine") else None,
+                         ttl_s=ttl, ts_us=ts)]
     m = _UPDATE_RE.match(stmt)
     if m:
         sets: dict[str, object] = {}
@@ -122,8 +150,13 @@ def parse_cql_dml(stmt: str, key_cols: list[str]) -> list[CqlWrite]:
                 raise CqlError(f"cannot SET primary key column {sm.group(1)!r}")
             sets[sm.group(1)] = _parse_literal(sm.group(2))
         key = _parse_where_key(m.group("where"), key_cols, m.group("table"))
+        ttl, ts = _parse_using(m.group("using"))
+        if ts is not None and m.group("ie"):
+            raise CqlError(
+                "cannot combine IF EXISTS with USING TIMESTAMP")
         return [CqlWrite("W", m.group("table").lower(), key, sets,
-                         "exists" if m.group("ie") else None)]
+                         "exists" if m.group("ie") else None,
+                         ttl_s=ttl, ts_us=ts)]
     m = _DELETE_RE.match(stmt)
     if m:
         key = _parse_where_key(m.group("where"), key_cols, m.group("table"))
@@ -142,12 +175,17 @@ def _fold(writes: list[CqlWrite]) -> list[CqlWrite]:
         cur = by_key.get(w.key)
         if w.kind == "D" or cur is None or cur.kind == "D":
             by_key[w.key] = CqlWrite(w.kind, w.table, w.key, dict(w.sets),
-                                     w.condition)
+                                     w.condition, ttl_s=w.ttl_s,
+                                     ts_us=w.ts_us)
         else:
             merged = dict(cur.sets)
             merged.update(w.sets)
             by_key[w.key] = CqlWrite("W", w.table, w.key, merged,
-                                     w.condition or cur.condition)
+                                     w.condition or cur.condition,
+                                     ttl_s=w.ttl_s if w.ttl_s is not None
+                                     else cur.ttl_s,
+                                     ts_us=w.ts_us if w.ts_us is not None
+                                     else cur.ts_us)
     return list(by_key.values())
 
 
@@ -165,8 +203,21 @@ def _coerce(v, dtype: T.DataType):
 
 
 def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
-                     stmts: list[str] | str) -> int:
-    """Parse, fold, and apply CQL DML as ONE atomic merge commit."""
+                     stmts: list[str] | str,
+                     now_us: int | None = None) -> int:
+    """Parse, fold, and apply CQL DML as ONE atomic merge commit.
+
+    When the table carries ``writetime_us``/``ttl_s`` columns (the
+    Cassandra cell-metadata model a2e's expiry scan reads), writes
+    honor ``USING TIMESTAMP``/``USING TTL``: every written cell is
+    stamped with the statement's timestamp (else ``now_us`` - a
+    caller-supplied clock, never wall time), and a write whose
+    timestamp is LOWER than the stored writetime is IGNORED -
+    Cassandra's timestamp-based last-write-wins, which makes
+    out-of-order redelivery safe. Granularity note: writetime is
+    tracked per ROW here (one timestamp column); real Cassandra
+    tracks it per cell - the restriction is documented, the
+    resolution rule is the real one."""
     if isinstance(stmts, str):
         stmts = [stmts]
     writes: list[CqlWrite] = []
@@ -178,7 +229,14 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
 
     schema = table.read().schema
     types = {f.name: f.dataType for f in schema.fields}
-    value_cols = [c for c in schema.names if c not in key_cols]
+    with_meta = "writetime_us" in types and "ttl_s" in types
+    meta_cols = {"writetime_us", "ttl_s"} if with_meta else set()
+    if not with_meta and any(w.ttl_s is not None or w.ts_us is not None
+                             for w in folded):
+        raise CqlError(
+            "USING TTL/TIMESTAMP requires writetime_us/ttl_s columns")
+    value_cols = [c for c in schema.names
+                  if c not in key_cols and c not in meta_cols]
 
     src_fields = [T.StructField(k, types[k]) for k in key_cols]
     for c in value_cols:
@@ -186,6 +244,9 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
         src_fields.append(T.StructField(f"{c}__set", T.BooleanType(), False))
     src_fields.append(T.StructField("__op", T.StringType(), False))
     src_fields.append(T.StructField("__if", T.StringType(), False))
+    if with_meta:
+        src_fields.append(T.StructField("writetime_us", T.LongType(), True))
+        src_fields.append(T.StructField("ttl_s", T.LongType(), True))
 
     rows = []
     for w in folded:
@@ -195,14 +256,39 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
             row.append(c in w.sets)
         row.append(w.kind)
         row.append(w.condition or "always")
+        if with_meta:
+            wt = w.ts_us if w.ts_us is not None else now_us
+            if wt is None:
+                raise CqlError(
+                    "writes to a writetime-tracked table need USING "
+                    "TIMESTAMP or an explicit now_us clock")
+            row.append(int(wt))
+            row.append(w.ttl_s)
         rows.append(tuple(row))
     src = table.spark.createDataFrame(rows, T.StructType(src_fields))
 
-    assignments = {
-        c: F.when(F.col(f"src.`{c}__set`"), F.col(f"src.`{c}`"))
-            .otherwise(F.col(f"tgt.`{c}`"))
-        for c in value_cols
-    }
+    if with_meta:
+        # timestamp LWW: the write lands only if its stamp is >= the
+        # stored writetime (missing target rows always lose the
+        # coalesce to -1, i.e. always insertable)
+        wins = F.col("src.writetime_us") >= F.coalesce(
+            F.col("tgt.writetime_us"), F.lit(-1).cast("long"))
+        assignments = {
+            c: F.when(F.col(f"src.`{c}__set`") & wins, F.col(f"src.`{c}`"))
+                .otherwise(F.col(f"tgt.`{c}`"))
+            for c in value_cols
+        }
+        assignments["writetime_us"] = (
+            F.when(wins, F.col("src.writetime_us"))
+            .otherwise(F.col("tgt.writetime_us")))
+        assignments["ttl_s"] = (
+            F.when(wins, F.col("src.ttl_s")).otherwise(F.col("tgt.ttl_s")))
+    else:
+        assignments = {
+            c: F.when(F.col(f"src.`{c}__set`"), F.col(f"src.`{c}`"))
+                .otherwise(F.col(f"tgt.`{c}`"))
+            for c in value_cols
+        }
     upd = F.col("src.__if") != F.lit("not_exists")
     dele = (F.col("src.__op") == F.lit("D")) | (
         (F.col("src.__if") == F.lit("exists"))
@@ -278,5 +364,78 @@ def a2r_cql_write_path(spark, sf_dir):
         return t.read().select(
             "key", "price", fmt_ts("version").alias("version_s")
         ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("a2t_cql_using_ttl_timestamp", "A2+L3", """
+WITH base AS (SELECT UNNEST(RANGE(0, 100)) AS k)
+SELECT key, price, writetime_us, ttl_s FROM (
+  SELECT k AS key,
+         CASE WHEN k % 5 = 0 THEN CAST(k * 2 AS DOUBLE)
+              ELSE CAST(k AS DOUBLE) END AS price,
+         CASE WHEN k % 5 = 0 THEN 2000000 ELSE 1000000 END AS writetime_us,
+         CAST(NULL AS BIGINT) AS ttl_s
+  FROM base
+  UNION ALL
+  SELECT 300 + s AS key, CAST(s AS DOUBLE) AS price,
+         1000000 AS writetime_us, 3600 AS ttl_s
+  FROM (SELECT UNNEST(RANGE(0, 10)) AS s)
+) ORDER BY key
+""", "CQL USING TTL / USING TIMESTAMP write semantics on the "
+     "writetime-tracked table: client-supplied timestamps decide "
+     "conflicts (a redelivered STALE update with TIMESTAMP 500000 "
+     "against cells written at 1000000 is IGNORED - Cassandra's "
+     "timestamp LWW, which is what makes its writes idempotent and "
+     "reorder-safe; without the gate every key%3 row would read -1 "
+     "and the hash would fail), newer timestamps win (key%5 rows "
+     "restate at TIMESTAMP 2000000), and TTL'd rows expire at READ "
+     "time (writetime + ttl vs the reader's clock - the 60 s rows "
+     "are gone at the probe instant, the 3600 s rows remain; no "
+     "background job deletes anything, exactly like Cassandra). "
+     "LWT + USING TIMESTAMP is rejected per Cassandra's own rule.")
+def a2t_cql_using_ttl_timestamp(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ces_cql_using_")
+    try:
+        t = AcidParquetTable(spark, root)
+        schema = T.StructType([
+            T.StructField("key", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("writetime_us", T.LongType()),
+            T.StructField("ttl_s", T.LongType()),
+        ])
+        t.init(spark.createDataFrame([], schema))
+        apply_cql_writes(t, ["key"], [
+            f"INSERT INTO kv (key, price) VALUES ({k}, {float(k)})"
+            for k in range(100)
+        ], now_us=1_000_000)
+        # redelivered stale mutation: must lose timestamp LWW
+        apply_cql_writes(t, ["key"], [
+            f"UPDATE kv USING TIMESTAMP 500000 SET price = -1.0 "
+            f"WHERE key = {k}" for k in range(0, 100, 3)
+        ])
+        # fresh restatement: must win
+        apply_cql_writes(t, ["key"], [
+            f"UPDATE kv USING TIMESTAMP 2000000 SET price = {float(k * 2)} "
+            f"WHERE key = {k}" for k in range(0, 100, 5)
+        ])
+        # TTL'd rows: 60 s (expired at the probe) and 3600 s (alive)
+        apply_cql_writes(t, ["key"], [
+            f"INSERT INTO kv (key, price) VALUES ({200 + s}, {float(s)}) "
+            f"USING TTL 60 AND TIMESTAMP 1000000" for s in range(20)
+        ] + [
+            f"INSERT INTO kv (key, price) VALUES ({300 + s}, {float(s)}) "
+            f"USING TTL 3600 AND TIMESTAMP 1000000" for s in range(10)
+        ])
+        as_of_us = 100_000_000
+        live = t.read().filter(
+            F.col("ttl_s").isNull()
+            | (F.col("writetime_us") + F.col("ttl_s") * 1_000_000 > as_of_us)
+        )
+        return (live.select("key", "price", "writetime_us", "ttl_s")
+                .orderBy("key").localCheckpoint(eager=True))
     finally:
         shutil.rmtree(root, ignore_errors=True)

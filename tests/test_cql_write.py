@@ -103,3 +103,84 @@ def test_write_rules_enforced():
         parse_cql_dml("INSERT INTO kv (key, price) VALUES (1)", KEY)
     with pytest.raises(CqlError, match="unsupported"):
         parse_cql_dml("TRUNCATE kv", KEY)
+
+
+def test_using_clause_parsing_and_lwt_rejection():
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import CqlError
+    from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+        parse_cql_dml,
+    )
+
+    w = parse_cql_dml(
+        "INSERT INTO kv (key, price) VALUES (1, 2.0) "
+        "USING TTL 60 AND TIMESTAMP 777", ["key"])[0]
+    assert (w.ttl_s, w.ts_us) == (60, 777)
+    w = parse_cql_dml(
+        "UPDATE kv USING TIMESTAMP 5 SET price = 1.0 WHERE key = 1",
+        ["key"])[0]
+    assert (w.ttl_s, w.ts_us) == (None, 5)
+    with pytest.raises(CqlError, match="IF NOT EXISTS"):
+        parse_cql_dml("INSERT INTO kv (key, price) VALUES (1, 2.0) "
+                      "IF NOT EXISTS USING TIMESTAMP 5", ["key"])
+    with pytest.raises(CqlError, match="unsupported USING"):
+        parse_cql_dml("INSERT INTO kv (key, price) VALUES (1, 2.0) "
+                      "USING BOGUS 5", ["key"])
+
+
+def test_timestamp_lww_ignores_stale_and_ttl_expires(spark):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+    from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+        apply_cql_writes,
+    )
+
+    root = tempfile.mkdtemp(prefix="ces_cql_using_t_")
+    try:
+        t = AcidParquetTable(spark, root)
+        schema = T.StructType([
+            T.StructField("key", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("writetime_us", T.LongType()),
+            T.StructField("ttl_s", T.LongType()),
+        ])
+        t.init(spark.createDataFrame([], schema))
+        apply_cql_writes(
+            t, ["key"],
+            "INSERT INTO kv (key, price) VALUES (1, 10.0)", now_us=1000)
+        # stale write ignored; equal-timestamp write applies (>= rule)
+        apply_cql_writes(
+            t, ["key"],
+            "UPDATE kv USING TIMESTAMP 500 SET price = -1.0 WHERE key = 1")
+        got = {r["key"]: r["price"] for r in t.read().collect()}
+        assert got[1] == 10.0
+        apply_cql_writes(
+            t, ["key"],
+            "UPDATE kv USING TIMESTAMP 2000 SET price = 20.0 WHERE key = 1")
+        got = {r["key"]: (r["price"], r["writetime_us"])
+               for r in t.read().collect()}
+        assert got[1] == (20.0, 2000)
+        # TTL row: visible before expiry, filtered after
+        apply_cql_writes(
+            t, ["key"],
+            "INSERT INTO kv (key, price) VALUES (2, 5.0) "
+            "USING TTL 10 AND TIMESTAMP 1000")
+
+        def live(as_of_us):
+            return {r["key"] for r in t.read().filter(
+                F.col("ttl_s").isNull()
+                | (F.col("writetime_us") + F.col("ttl_s") * 1_000_000
+                   > as_of_us)).collect()}
+
+        assert live(5_000_000) == {1, 2}
+        assert live(20_000_000) == {1}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
