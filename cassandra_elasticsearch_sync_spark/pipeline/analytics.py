@@ -1878,3 +1878,81 @@ def k_best_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - n_le).cast("bigint").alias("n_right"),
         F.round(gain, 6).alias("gini_gain"),
     ).orderBy("threshold")
+
+
+@register("k_impute_missing", "D1+B6", """
+WITH e AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events
+),
+m AS (
+  SELECT user_id,
+         CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v) AS mu
+  FROM e GROUP BY user_id
+)
+SELECT e.event_id,
+       ROUND(e.v, 6) AS value_raw,
+       ROUND(COALESCE(e.v, m.mu), 6) AS value_imputed,
+       (e.v IS NULL) AS was_missing
+FROM e JOIN m USING (user_id)
+""", "Group-mean imputation (the fill-missing step of every feature "
+     "pipeline): 'error' readings are treated as missing and filled "
+     "with THAT USER's mean of observed values - one per-user "
+     "aggregate with exact decimal sums (the mean's only float op "
+     "is the final division, identical both engines) joined back on "
+     "the grouping key. At 100 TB: a map-side-combinable groupBy + "
+     "one shuffle join on user_id; never a global statistic pulled "
+     "to the driver. Users with no observed values keep NULL - "
+     "imputation never invents data.")
+def k_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value")).alias("v"),
+    )
+    m = e.groupBy("user_id").agg(
+        (F.sum(F.col("v").cast("decimal(18,2)")).cast("double")
+         / F.count("v")).alias("mu"))
+    return (e.join(m, "user_id")
+            .select("event_id",
+                    F.round("v", 6).alias("value_raw"),
+                    F.round(F.coalesce(F.col("v"), F.col("mu")), 6)
+                    .alias("value_imputed"),
+                    F.col("v").isNull().alias("was_missing")))
+
+
+@register("k_winsorize", "D6+B6", """
+WITH q AS (
+  SELECT event_type,
+         QUANTILE_CONT(value, 0.05) AS p05,
+         QUANTILE_CONT(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id,
+       ROUND(CASE WHEN e.value < q.p05 THEN q.p05
+                  WHEN e.value > q.p95 THEN q.p95
+                  ELSE e.value END, 6) AS value_w,
+       (e.value < q.p05 OR e.value > q.p95) AS clipped
+FROM events e JOIN q USING (event_type)
+""", "Winsorization (outlier clipping at per-group P5/P95 - the "
+     "robust-scaling prep step): exact interpolated quantiles per "
+     "event type (5 fixed groups, the bounded-cardinality exact-"
+     "percentile case D6 documents; approx_percentile is the "
+     "high-cardinality swap), broadcast back onto the events and "
+     "clipped with a branch-free CASE. Quantile parity with DuckDB "
+     "QUANTILE_CONT is the established d6 contract.")
+def k_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"))
+    j = e.join(F.broadcast(q), "event_type")
+    vw = (F.when(F.col("value") < F.col("p05"), F.col("p05"))
+          .when(F.col("value") > F.col("p95"), F.col("p95"))
+          .otherwise(F.col("value")))
+    return j.select(
+        "event_id",
+        F.round(vw, 6).alias("value_w"),
+        ((F.col("value") < F.col("p05"))
+         | (F.col("value") > F.col("p95"))).alias("clipped"))
