@@ -1956,3 +1956,44 @@ def k_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vw, 6).alias("value_w"),
         ((F.col("value") < F.col("p05"))
          | (F.col("value") > F.col("p95"))).alias("clipped"))
+
+
+@register("k_rolling_count_features", "E3+K7", """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+  FROM events
+)
+SELECT a.event_id,
+       (SELECT COUNT(*) FROM e b
+        WHERE b.user_id = a.user_id
+          AND b.es >= a.es - 3600 AND b.es < a.es) AS n_prev_1h,
+       (SELECT COUNT(*) FROM e b
+        WHERE b.user_id = a.user_id
+          AND b.es >= a.es - 86400 AND b.es < a.es) AS n_prev_24h
+FROM e a
+""", "Velocity features (the fraud/abuse feature-store staple): for "
+     "every event, how many events did the SAME user emit in the "
+     "preceding hour and day - two RANGE-interval frames over one "
+     "per-user window ordering (upper bound -1 pins STRICT "
+     "precedence, deterministic even on tied seconds), so both "
+     "horizons ride a single shuffle partitioned by user_id. The "
+     "oracle quantifies the same counts with correlated subqueries "
+     "- quadratic per user, which is exactly what the window form "
+     "avoids at scale.")
+def k_rolling_count_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("es"),
+    )
+    w1h = (Window.partitionBy("user_id").orderBy("es")
+           .rangeBetween(-3600, -1))
+    w24 = (Window.partitionBy("user_id").orderBy("es")
+           .rangeBetween(-86400, -1))
+    return e.select(
+        "event_id",
+        F.count("*").over(w1h).alias("n_prev_1h"),
+        F.count("*").over(w24).alias("n_prev_24h"),
+    )

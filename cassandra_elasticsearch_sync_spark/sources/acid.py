@@ -178,7 +178,8 @@ class AcidParquetTable:
         import shutil
 
         d = os.path.join(self.root, _DATA, uuid.uuid4().hex)
-        self._enforce_constraints(df).write.mode("errorifexists").parquet(d)
+        df = self._enforce_constraints(self._apply_generated(df))
+        df.write.mode("errorifexists").parquet(d)
         if not any(f.endswith(".parquet") for f in os.listdir(d)):
             shutil.rmtree(d, ignore_errors=True)
             return []
@@ -344,6 +345,7 @@ class AcidParquetTable:
 
     def init(self, df: DataFrame) -> int:
         """Create the first snapshot (or append a full overwrite)."""
+        df = self._apply_generated(df)  # schema must include the column
         files = self._write_data_files(df)
         stats = self._collect_stats(files, df.schema)
         return self._commit(self.current_version(), files, df.schema, stats)
@@ -427,6 +429,14 @@ class AcidParquetTable:
                        assignments: dict[str, "Column"] | None = None,
                        txns: dict | None = None) -> int:
         schema = StructType.fromJson(manifest["schema"])
+
+        # a MERGE source may omit GENERATED columns entirely (the
+        # normal way to write them) - pad with NULL so the plan
+        # resolves; the write-time fill computes the real values
+        for f in schema.fields:
+            if f.name not in source.columns and f.name in self._generated():
+                source = source.withColumn(
+                    f.name, F.lit(None).cast(f.dataType))
 
         # The <=1-row-per-key precondition check is one extra job on the
         # source; a caller whose source is keyed BY CONSTRUCTION (a
@@ -1017,6 +1027,62 @@ class AcidParquetTable:
         cons.pop(name, None)
         self._write_constraints(cons)
 
+    # -- generated columns -------------------------------------------------
+
+    _GENERATED = "generated_columns.json"
+
+    def _generated(self) -> dict[str, str]:
+        try:
+            with open(os.path.join(self.root, self._GENERATED)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def add_generated_column(self, name: str, expr_sql: str) -> None:
+        """Declare ``name`` as GENERATED ALWAYS AS (expr) - the Delta
+        generated-column contract: a write that omits the column gets
+        it computed from the expression; a write that supplies it has
+        the value VALIDATED against the expression inside the write
+        job (same zero-extra-cost guard as CHECK constraints), so the
+        column can never drift from its definition. The column must
+        already exist in the table schema (add_columns first for new
+        ones)."""
+        schema = StructType.fromJson(
+            self._manifest(self.current_version())["schema"]) \
+            if self.current_version() > 0 else None
+        if schema is not None and name not in [f.name for f in schema.fields]:
+            raise ValueError(
+                f"generated column {name!r} is not in the table schema")
+        gen = self._generated()
+        gen[name] = expr_sql
+        tmp = os.path.join(self.root, f".tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(gen, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.root, self._GENERATED))
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        gen = self._generated()
+        for name, sql in gen.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(sql))
+            else:
+                # NULL (e.g. a MERGE insert that omitted the column)
+                # is computed; a supplied non-NULL value must MATCH
+                # the definition - enforced in-plan like a CHECK
+                df = df.withColumn(
+                    name,
+                    F.when(F.col(name).isNull(), F.expr(sql))
+                    .when(
+                        ~F.col(name).eqNullSafe(F.expr(sql)),
+                        F.raise_error(F.lit(
+                            f"generated column {name} does not match "
+                            f"its expression ({sql})")),
+                    ).otherwise(F.col(name)).cast(
+                        df.schema[name].dataType))
+        return df
+
     def _enforce_constraints(self, df: DataFrame) -> DataFrame:
         """Fold every applicable CHECK constraint into the write plan:
         the first written column is wrapped so that a violating row
@@ -1132,10 +1198,10 @@ class AcidParquetTable:
         sort_key = (self._zvalue(df, cluster_by) if zorder
                     else F.col(cluster_by[0]))
         d = os.path.join(self.root, _DATA, uuid.uuid4().hex)
-        # CHECK constraints apply to every data write, including the
-        # clustered bootstrap/optimize path (this writer does not go
-        # through _write_data_files)
-        df = self._enforce_constraints(df)
+        # CHECK constraints and generated columns apply to every data
+        # write, including the clustered bootstrap/optimize path (this
+        # writer does not go through _write_data_files)
+        df = self._enforce_constraints(self._apply_generated(df))
         (
             df.withColumn("__zk", sort_key)
             .repartitionByRange(n_slices, F.col("__zk"))
@@ -1175,6 +1241,7 @@ class AcidParquetTable:
         stats-carrying manifest entries - ``init`` + ``optimize`` fused
         into one write (a bootstrap that will be merged into
         incrementally should never pay a write-then-rewrite)."""
+        df = self._apply_generated(df)  # schema must include the column
         schema = df.schema
         files = self._write_clustered(df, cluster_by, n_slices)
         stats = self._collect_stats(files, schema)

@@ -1956,3 +1956,46 @@ def l33_acid_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(clone_root, ignore_errors=True)
+
+
+@register("l34_acid_generated_column", "A7+B4", _SIDES_SQL + """
+SELECT key, price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s,
+       STRFTIME(CAST(version AS DATE), '%Y-%m-%d') AS day_s
+FROM side_a WHERE key % 10 <> 0
+UNION ALL
+SELECT key, price * 2 AS price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s,
+       STRFTIME(CAST(version AS DATE), '%Y-%m-%d') AS day_s
+FROM side_a WHERE key % 10 = 0
+""", "GENERATED ALWAYS AS columns on the ACID store (the Delta "
+     "feature behind partition-derivation columns): `day` is declared "
+     "generated from CAST(version AS DATE); the bootstrap write and "
+     "every later MERGE compute it automatically (the merge source "
+     "omits it entirely), a write supplying a contradicting value "
+     "fails inside the write job, and the definition can never drift "
+     "because validation rides every write plan at zero extra jobs - "
+     "the oracle recomputes the column relationally, so the hash "
+     "proves writer-side materialization equals the declared "
+     "expression on every row.")
+def l34_acid_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    root = tempfile.mkdtemp(prefix="ces_acid_gen_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.add_generated_column("day", "CAST(version AS DATE)")
+        t.init(side_a(spark, sf_dir))
+        restated = (side_a(spark, sf_dir)
+                    .filter(F.col("key") % 10 == 0)
+                    .withColumn("price", F.col("price") * 2))
+        t.merge_into(restated, ["key"], assume_unique_keys=True)
+        return t.read().select(
+            "key", "price", fmt_ts("version").alias("version_s"),
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -919,3 +919,32 @@ def test_check_constraint_applies_to_clustered_bootstrap(spark, root):
     with pytest.raises(Exception, match="price_positive"):
         t.init_clustered(bad, ["key"], n_slices=2)
     assert t.current_version() == v
+
+
+def test_generated_column_fills_and_validates(spark, root):
+    """Delta generated columns: omitted -> computed, NULL -> computed,
+    wrong supplied value -> write fails atomically."""
+    t = AcidParquetTable(spark, root)
+    t.init(spark.createDataFrame(
+        [(1, 10.0, 100)], "key bigint, price double, cents bigint"))
+    t.add_generated_column("cents", "CAST(price * 100 AS BIGINT)")
+    # merge source omitting the generated column: filled
+    t.merge_into(spark.createDataFrame(
+        [(2, 2.5)], "key bigint, price double"
+    ).withColumn("cents", F.lit(None).cast("bigint")), ["key"])
+    got = {r["key"]: r["cents"] for r in t.read().collect()}
+    assert got[2] == 250
+    # a write that contradicts the definition fails, commits nothing
+    v = t.current_version()
+    with pytest.raises(Exception, match="generated column cents"):
+        t.merge_into(spark.createDataFrame(
+            [(3, 1.0, 999)], "key bigint, price double, cents bigint"),
+            ["key"])
+    assert t.current_version() == v
+    # a consistent explicit value passes
+    t.merge_into(spark.createDataFrame(
+        [(3, 1.0, 100)], "key bigint, price double, cents bigint"), ["key"])
+    assert {r["key"]: r["cents"] for r in t.read().collect()}[3] == 100
+    # declaring for a column not in the schema is refused
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.add_generated_column("nope", "price * 2")
