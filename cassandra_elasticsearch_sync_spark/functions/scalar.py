@@ -321,3 +321,33 @@ def h2d_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.greatest(F.lit(0), F.least(r - (7 - sw), F.lit(5))))
         .cast("bigint").alias("business_days"),
     )
+
+
+@register("h3d_try_arithmetic", "H3+B4", """
+SELECT event_id,
+       CASE WHEN (event_id % 7) = 0 THEN NULL
+            ELSE ROUND(value / (event_id % 7), 6) END AS safe_div,
+       TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+                     ELSE CAST(event_id AS VARCHAR) END AS BIGINT)
+         AS safe_cast,
+       TRY_CAST(props AS BIGINT) AS json_as_int
+FROM events
+""", "Error-safe expression surface (the ANSI-mode escape hatches a "
+     "malformed-data pipeline needs): try_divide returns NULL on "
+     "division by zero instead of failing the job, try_cast turns "
+     "unparseable strings into NULL row-locally (a 100 TB ingest "
+     "cannot abort on one bad record), and both compile to ordinary "
+     "codegen'd expressions - no exception handling at runtime, no "
+     "UDF. Oracle: DuckDB TRY_CAST and an explicit zero-guard, "
+     "value-identical per row.")
+def h3d_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bad_str = (F.when(F.col("event_id") % 3 == 0, F.lit("not-a-number"))
+               .otherwise(F.col("event_id").cast("string")))
+    return e.select(
+        "event_id",
+        F.round(F.try_divide("value", F.col("event_id") % 7), 6)
+        .alias("safe_div"),
+        bad_str.try_cast("bigint").alias("safe_cast"),
+        F.col("props").try_cast("bigint").alias("json_as_int"),
+    )
