@@ -330,3 +330,259 @@ def planted_gray_jpeg(width: int, height: int, seed: int) -> bytes:
         blk[0] = v - 128                     # DC quantized by 8
         blocks.append(blk)
     return encode_gray_jpeg(width, height, blocks, quant)
+
+
+# ---------------------------------------------------------------------------
+# Baseline YCbCr 4:2:0 (the ubiquitous photo profile): MCU-interleaved
+# 3-component scan, per-component quant + Huffman table slots, chroma
+# upsampling, ITU-R BT.601 color conversion.
+# ---------------------------------------------------------------------------
+
+
+def _encode_component_block(w: _BitWriter, blk: list[int], prev_dc: int,
+                            dc_codes, ac_codes) -> int:
+    diff = blk[0] - prev_dc
+    cat = _category(diff)
+    code, length = dc_codes[cat]
+    w.write(code, length)
+    if cat:
+        bits = diff if diff >= 0 else diff + (1 << cat) - 1
+        w.write(bits, cat)
+    run = 0
+    for k in range(1, 64):
+        v = blk[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            w.write(zc, zl)
+            run -= 16
+        size = _category(v)
+        sc, sl = ac_codes[(run << 4) | size]
+        w.write(sc, sl)
+        bits = v if v >= 0 else v + (1 << size) - 1
+        w.write(bits, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]
+        w.write(ec, el)
+    return blk[0]
+
+
+def encode_ycbcr420_jpeg(width: int, height: int,
+                         y_blocks: list[list[int]],
+                         cb_blocks: list[list[int]],
+                         cr_blocks: list[list[int]],
+                         quant_l: list[int], quant_c: list[int]) -> bytes:
+    """Conforming baseline 4:2:0 JPEG: MCU = 4 interleaved Y blocks
+    (2x2) + Cb + Cr, luma tables in slot 0 and chroma tables in slot
+    1 (so a decoder must dispatch per component), separate DC
+    predictors per component. Blocks are quantized zig-zag ints; MCU
+    raster order; width/height multiples of 16."""
+    assert width % 16 == 0 and height % 16 == 0
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    mw, mh = width // 16, height // 16
+    dc = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(mh):
+        for mx in range(mw):
+            for sy in range(2):
+                for sx in range(2):
+                    bi = (my * 2 + sy) * (mw * 2) + (mx * 2 + sx)
+                    dc["y"] = _encode_component_block(
+                        w, y_blocks[bi], dc["y"], dc_codes, ac_codes)
+            ci = my * mw + mx
+            dc["cb"] = _encode_component_block(
+                w, cb_blocks[ci], dc["cb"], dc_codes, ac_codes)
+            dc["cr"] = _encode_component_block(
+                w, cr_blocks[ci], dc["cr"], dc_codes, ac_codes)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = (seg(0xFFDB, b"\x00" + bytes(quant_l))
+           + seg(0xFFDB, b"\x01" + bytes(quant_c)))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
+              + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    dht = (seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+           + seg(0xFFC4, b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xFFC4, b"\x11" + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11" + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9")
+
+
+def _decode_block(reader: _BitReader, dc_tab, ac_tab, q: list[int],
+                  prev_dc: int) -> tuple[list[int], int]:
+    zz = [0] * 64
+    cat = _decode_huff(reader, dc_tab)
+    diff = _extend(reader.bits(cat), cat) if cat else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _decode_huff(reader, ac_tab)
+        if sym == 0x00:
+            break
+        if sym == 0xF0:
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC index overflow")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    coef = [0.0] * 64
+    for zi, bi in enumerate(ZIGZAG):
+        coef[bi] = zz[zi] * q[zi]
+    return _idct_block(coef), dc
+
+
+def decode_ycbcr420_jpeg(raw: bytes | None):
+    """Full-color baseline JPEG decode for the 4:2:0 profile: entropy
+    decode of the interleaved MCU scan with per-component Huffman
+    slots and DC predictors, dequant per component table, IDCT,
+    nearest-neighbor chroma upsampling, BT.601 YCbCr->RGB with
+    half-up rounding. Returns (width, height, flat RGB bytes) or
+    None (progressive / other samplings / restart markers rejected,
+    not guessed)."""
+    if not raw or raw[:2] != b"\xff\xd8":
+        return None
+    try:
+        i, n = 2, len(raw)
+        quant: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        width = height = None
+        comp_q: dict[int, int] = {}
+        comp_tabs: dict[int, tuple[int, int]] = {}
+        scan_start = None
+        while i + 4 <= n:
+            if raw[i] != 0xFF:
+                return None
+            marker = raw[i + 1]
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack(">H", raw[i + 2:i + 4])[0]
+            body = raw[i + 4:i + 2 + seg_len]
+            if marker == 0xDB:
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 0x0F
+                    if pq != 0:
+                        return None
+                    quant[tq] = list(body[j + 1:j + 65])
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 0x0F
+                    bits = list(body[j + 1:j + 17])
+                    nv = sum(bits)
+                    vals = list(body[j + 17:j + 17 + nv])
+                    codes = _build_codes(bits, vals)
+                    huff[(tc, th)] = {(c, ln): sym
+                                      for sym, (c, ln) in codes.items()}
+                    j += 17 + nv
+            elif marker == 0xC0:
+                _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if ncomp != 3:
+                    return None
+                samplings = {}
+                for c in range(3):
+                    cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                    samplings[cid] = samp
+                    comp_q[cid] = tq
+                if (samplings.get(1) != 0x22 or samplings.get(2) != 0x11
+                        or samplings.get(3) != 0x11):
+                    return None              # only 4:2:0 here
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None
+            elif marker == 0xDD:
+                return None
+            elif marker == 0xDA:
+                ns = body[0]
+                if ns != 3:
+                    return None
+                for c in range(ns):
+                    cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                    comp_tabs[cid] = (tabs >> 4, tabs & 0x0F)
+                scan_start = i + 2 + seg_len
+                break
+            i += 2 + seg_len
+        if None in (width, height, scan_start):
+            return None
+        end = raw.rfind(b"\xff\xd9")
+        reader = _BitReader(raw[scan_start:end if end > 0 else n])
+        mw, mh = (width + 15) // 16, (height + 15) // 16
+        yw, yh = mw * 16, mh * 16
+        yplane = bytearray(yw * yh)
+        cbp = bytearray(mw * 8 * mh * 8)
+        crp = bytearray(mw * 8 * mh * 8)
+        dc = {1: 0, 2: 0, 3: 0}
+        for my in range(mh):
+            for mx in range(mw):
+                for sy in range(2):
+                    for sx in range(2):
+                        blk, dc[1] = _decode_block(
+                            reader, huff[(0, comp_tabs[1][0])],
+                            huff[(1, comp_tabs[1][1])],
+                            quant[comp_q[1]], dc[1])
+                        ox = mx * 16 + sx * 8
+                        oy = my * 16 + sy * 8
+                        for y in range(8):
+                            dst = (oy + y) * yw + ox
+                            yplane[dst:dst + 8] = bytes(blk[y * 8:(y + 1) * 8])
+                for cid, plane in ((2, cbp), (3, crp)):
+                    blk, dc[cid] = _decode_block(
+                        reader, huff[(0, comp_tabs[cid][0])],
+                        huff[(1, comp_tabs[cid][1])],
+                        quant[comp_q[cid]], dc[cid])
+                    for y in range(8):
+                        dst = (my * 8 + y) * (mw * 8) + mx * 8
+                        plane[dst:dst + 8] = bytes(blk[y * 8:(y + 1) * 8])
+        cw = mw * 8
+        out = bytearray(width * height * 3)
+        for py in range(height):
+            for px in range(width):
+                yv = yplane[py * yw + px]
+                cb = cbp[(py // 2) * cw + px // 2] - 128
+                cr = crp[(py // 2) * cw + px // 2] - 128
+                r = int(math.floor(yv + 1.402 * cr + 0.5))
+                g = int(math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5))
+                b = int(math.floor(yv + 1.772 * cb + 0.5))
+                dst = (py * width + px) * 3
+                out[dst] = min(255, max(0, r))
+                out[dst + 1] = min(255, max(0, g))
+                out[dst + 2] = min(255, max(0, b))
+        return (width, height, bytes(out))
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
+def planted_ycbcr420_jpeg(width: int, height: int, y0: int, cb0: int,
+                          cr0: int) -> bytes:
+    """DC-only planted color image: every Y block holds constant y0,
+    chroma planes constant cb0/cr0. Q[0]=8 on both tables keeps the
+    DC round trip bit-exact, so a correct decoder recovers the
+    constants on every pixel."""
+    quant = [8] + [16] * 63
+    mw, mh = width // 16, height // 16
+    yb = []
+    for _ in range(mw * 2 * mh * 2):
+        blk = [0] * 64
+        blk[0] = y0 - 128
+        yb.append(blk)
+    cbb, crb = [], []
+    for _ in range(mw * mh):
+        b1 = [0] * 64
+        b1[0] = cb0 - 128
+        cbb.append(b1)
+        b2 = [0] * 64
+        b2[0] = cr0 - 128
+        crb.append(b2)
+    return encode_ycbcr420_jpeg(width, height, yb, cbb, crb, quant, quant)

@@ -653,3 +653,77 @@ def k6i_exif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", synth("doc_id").alias("payload"))
     return payloads.mapInPandas(parse_exif_batch, EXIF_SCHEMA)
+
+
+def decode_jpeg_color_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched full-color baseline-JPEG decode (4:2:0 MCUs,
+    per-component tables, chroma upsample, BT.601)."""
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_ycbcr420_jpeg,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            d = decode_ycbcr420_jpeg(raw)
+            if d is None:
+                rows.append((int(doc_id), None, None, None, None, None))
+                continue
+            w, h, px = d
+            n = w * h
+            rows.append((int(doc_id), w, h,
+                         sum(px[0::3]) / n, sum(px[1::3]) / n,
+                         sum(px[2::3]) / n))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height",
+                           "mean_r", "mean_g", "mean_b"])
+
+
+@register("k6j_jpeg_chroma_decode", "K6", """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 180 + 38 AS DOUBLE) AS y0,
+         CAST(doc_id % 120 + 68 AS DOUBLE) - 128.0 AS cb,
+         CAST(doc_id % 140 + 58 AS DOUBLE) - 128.0 AS cr
+  FROM documents
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(LEAST(255, GREATEST(0,
+            CAST(FLOOR(y0 + 1.402 * cr + 0.5) AS BIGINT))) AS DOUBLE)
+         AS mean_r,
+       CAST(LEAST(255, GREATEST(0,
+            CAST(FLOOR(y0 - 0.344136 * cb - 0.714136 * cr + 0.5)
+                 AS BIGINT))) AS DOUBLE) AS mean_g,
+       CAST(LEAST(255, GREATEST(0,
+            CAST(FLOOR(y0 + 1.772 * cb + 0.5) AS BIGINT))) AS DOUBLE)
+         AS mean_b
+FROM p
+""", "FULL-COLOR baseline-JPEG decode - the 4:2:0 chroma profile "
+     "NEXT_STEPS had documented as rejected is now decoded for real: "
+     "interleaved MCUs (4 luma + Cb + Cr), SEPARATE Huffman table "
+     "slots per component (the stream declares luma in slot 0 and "
+     "chroma in slot 1, so a single-table shortcut cannot decode "
+     "it), per-component DC predictors and quant tables, chroma "
+     "upsampling, and BT.601 YCbCr->RGB with half-up rounding "
+     "pinned identically in the oracle's FLOOR(x+0.5). Planted "
+     "constants make every recovered pixel analytic - one wrong "
+     "table dispatch, predictor, or color coefficient shifts all "
+     "three channel means. Progressive scans stay rejected.")
+def k6j_jpeg_chroma_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        planted_ycbcr420_jpeg,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        def mk(d: int) -> bytes:
+            return planted_ycbcr420_jpeg(
+                16, 16, d % 180 + 38, d % 120 + 68, d % 140 + 58)
+        return doc_ids.map(lambda d: mk(int(d)))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_jpeg_color_batch, PIXEL_SCHEMA)

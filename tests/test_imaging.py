@@ -351,3 +351,61 @@ def test_exif_both_byte_orders_and_rejects():
     raw = bytearray(exif_jpeg_bytes(3, 800, "CAM1", True))
     raw[14] = ord("X")                                  # corrupt byte order
     assert parse_exif(bytes(raw)) is None
+
+
+def test_jpeg_chroma_planted_roundtrip_and_gradient_blocks():
+    """4:2:0 color decode: planted constants recover bit-exactly, and
+    an image with DIFFERENT values per MCU exercises the per-component
+    DC predictor chains (a predictor mix-up between Y/Cb/Cr shifts
+    later MCUs)."""
+    import math
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_ycbcr420_jpeg,
+        encode_ycbcr420_jpeg,
+        planted_ycbcr420_jpeg,
+    )
+
+    for y0, cb0, cr0 in ((100, 90, 160), (38, 68, 58), (217, 187, 197)):
+        w, h, px = decode_ycbcr420_jpeg(planted_ycbcr420_jpeg(
+            16, 16, y0, cb0, cr0))
+        assert (w, h) == (16, 16)
+        cb, cr = cb0 - 128, cr0 - 128
+        want = (
+            min(255, max(0, math.floor(y0 + 1.402 * cr + 0.5))),
+            min(255, max(0, math.floor(y0 - 0.344136 * cb
+                                       - 0.714136 * cr + 0.5))),
+            min(255, max(0, math.floor(y0 + 1.772 * cb + 0.5))),
+        )
+        assert set(zip(px[0::3], px[1::3], px[2::3])) == {want}
+
+    # 32x16: two MCUs with distinct planted constants per component
+    quant = [8] + [16] * 63
+
+    def dcb(v):
+        b = [0] * 64
+        b[0] = v - 128
+        return b
+
+    yb = [dcb(100), dcb(100), dcb(100), dcb(100),
+          dcb(150), dcb(150), dcb(150), dcb(150)]
+    # y block raster order for 32x16: (0,0)(0,1)(0,2)(0,3) in a 4-wide row
+    yb = [dcb(100), dcb(100), dcb(150), dcb(150),
+          dcb(100), dcb(100), dcb(150), dcb(150)]
+    cbb, crb = [dcb(90), dcb(110)], [dcb(160), dcb(140)]
+    raw = encode_ycbcr420_jpeg(32, 16, yb, cbb, crb, quant, quant)
+    w, h, px = decode_ycbcr420_jpeg(raw)
+    assert (w, h) == (32, 16)
+    # left MCU pixel (0,0) and right MCU pixel (16,0)
+    import math as m
+    left = (m.floor(100 + 1.402 * 32 + .5),
+            m.floor(100 - 0.344136 * -38 - 0.714136 * 32 + .5),
+            m.floor(100 + 1.772 * -38 + .5))
+    right = (m.floor(150 + 1.402 * 12 + .5),
+             m.floor(150 - 0.344136 * -18 - 0.714136 * 12 + .5),
+             m.floor(150 + 1.772 * -18 + .5))
+    assert tuple(px[0:3]) == left
+    off = (0 * 32 + 16) * 3
+    assert tuple(px[off:off + 3]) == right
+    # truncation rejects
+    assert decode_ycbcr420_jpeg(raw[:40]) is None
