@@ -1022,3 +1022,86 @@ def k3l_rp_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cands.withColumn("cos_raw", cos_raw)
             .filter(F.col("cos_raw") >= _RP_THRESHOLD)
             .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim")))
+
+
+_INBATCH_ORACLE = "WITH " + _RP_CORPUS_SQL + f"""
+, q AS (
+  SELECT vec_id, v, w,
+         SQRT((SELECT SUM(x * y) FROM (SELECT UNNEST(v) x, UNNEST(v) y))) AS nv,
+         SQRT((SELECT SUM(x * y) FROM (SELECT UNNEST(w) x, UNNEST(w) y))) AS nw
+  FROM pert WHERE vec_id % 100 = 0 AND vec_id < 6400
+),
+s AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         (SELECT SUM(x * y) FROM (SELECT UNNEST(a.v) x, UNNEST(b.w) y))
+           / (a.nv * b.nw) AS cos
+  FROM q a CROSS JOIN q b
+),
+r AS (
+  SELECT qid,
+         MAX(CASE WHEN cid = qid THEN cos END) AS pos_cos,
+         SUM(CASE WHEN cid <> qid AND cos >= (
+               SELECT MAX(CASE WHEN s2.cid = s.qid THEN s2.cos END)
+               FROM s s2 WHERE s2.qid = s.qid) THEN 1 ELSE 0 END) AS n_beat,
+         SUM(CASE WHEN cid <> qid THEN cos ELSE 0 END) AS neg_sum,
+         COUNT(*) - 1 AS n_neg
+  FROM s GROUP BY qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN n_beat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top1,
+       ROUND(SUM(pos_cos) / COUNT(*), 6) AS mean_pos_cos,
+       ROUND(SUM(neg_sum / n_neg) / COUNT(*), 6) AS mean_neg_cos
+FROM r
+""".replace("RANGE(0, 100)", "RANGE(0, 100)")
+
+
+@register("k3m_inbatch_negative_eval", "K3+D5", _INBATCH_ORACLE,
+          "In-batch-negatives retrieval eval (the sanity metric of "
+          "every two-tower/contrastive training loop): a bounded "
+          "batch of (query, positive) pairs - originals and their "
+          "planted perturbations - scores the full batch-vs-batch "
+          "cosine matrix (<=64x64: query side broadcast, corpus side "
+          "scanned once, the k3 discipline), then reports top-1 "
+          "accuracy (does each query rank its own positive above "
+          "every in-batch negative) and the positive/negative cosine "
+          "margins. All floats ride the established exact dot-fold + "
+          "final-rounding rules; the count metrics are exact "
+          "integers.")
+def k3m_inbatch_negative_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).filter(F.expr("vec_id % 100 = 0 AND vec_id < 6400"))
+    sh = F.concat(F.slice("v", 2, 63), F.slice("v", 1, 1))
+    pair = b.withColumn(
+        "w", F.zip_with("v", sh, lambda a, x: a + F.lit(0.1) * x))
+    base = pair.select(F.col("vec_id").alias("qid"),
+                       F.col("v").alias("qv")).withColumn("nv", norm("qv"))
+    pos = pair.select(F.col("vec_id").alias("cid"),
+                      F.col("w").alias("cv")).withColumn("nw", norm("cv"))
+    s = base.crossJoin(F.broadcast(pos)).select(
+        "qid", "cid",
+        (dot("qv", "cv") / (F.col("nv") * F.col("nw"))).alias("cos"))
+    r = s.groupBy("qid").agg(
+        F.max(F.when(F.col("cid") == F.col("qid"), F.col("cos")))
+        .alias("pos_cos"),
+        F.sum(F.when(F.col("cid") != F.col("qid"), F.col("cos"))
+              .otherwise(0.0)).alias("neg_sum"),
+        (F.count("*") - 1).alias("n_neg"),
+    )
+    beat = s.alias("a").join(
+        r.select("qid", "pos_cos").alias("p"), "qid").filter(
+        (F.col("a.cid") != F.col("qid"))
+        & (F.col("a.cos") >= F.col("p.pos_cos"))
+    ).groupBy("qid").agg(F.count("*").alias("n_beat"))
+    j = r.join(beat, "qid", "left").withColumn(
+        "n_beat", F.coalesce(F.col("n_beat"), F.lit(0)))
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("n_beat") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_top1"),
+        F.round(F.sum("pos_cos") / F.count("*"), 6).alias("mean_pos_cos"),
+        F.round(F.sum(F.col("neg_sum") / F.col("n_neg")) / F.count("*"), 6)
+        .alias("mean_neg_cos"),
+    )
