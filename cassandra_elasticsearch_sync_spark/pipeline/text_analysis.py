@@ -1343,3 +1343,57 @@ def k_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").alias("pair_freq"))
     return scored.orderBy(
         F.col("pair_freq").desc(), "left_sym", "right_sym").limit(20)
+
+
+@register("k_kneser_ney_bigram", "K4+H3", """
+WITH tok AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
+bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+       FROM tok, UNNEST(RANGE(1, LEN(t))) AS r(i)
+       WHERE LEN(t) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+lft AS (SELECT w1, SUM(c) AS n1, COUNT(*) AS types_after FROM c2 GROUP BY w1),
+rgt AS (SELECT w2, COUNT(*) AS types_before FROM c2 GROUP BY w2),
+tot AS (SELECT COUNT(*) AS n_types FROM c2)
+SELECT c2.w1, c2.w2, CAST(c2.c AS BIGINT) AS pair_count,
+       ROUND(GREATEST(CAST(c2.c AS DOUBLE) - 0.75, 0.0) / lft.n1
+             + (0.75 * lft.types_after / lft.n1)
+               * (CAST(rgt.types_before AS DOUBLE)
+                  / (SELECT n_types FROM tot)), 6) AS p_kn
+FROM c2
+JOIN lft ON c2.w1 = lft.w1
+JOIN rgt ON c2.w2 = rgt.w2
+WHERE c2.c >= 20
+""", "Kneser-Ney smoothed bigram LM - the estimator real n-gram "
+     "models ship (absolute discount d=0.75 + continuation-"
+     "probability backoff: P(w2|w1) = max(c-d,0)/c(w1.) + "
+     "d*N1+(w1.)/c(w1.) * N1+(.w2)/N1+(..)): the continuation count "
+     "asks 'in how many distinct contexts does w2 appear', which "
+     "fixes plain MLE's overconfidence on frequent-but-context-"
+     "bound words. Every factor is an exact integer aggregate over "
+     "the DISTINCT-bigram table (never the raw token stream - the "
+     "k_perplexity_buckets lesson), joined back in one pass; the "
+     "final smoothing arithmetic is one double expression written "
+     "identically on both engines.")
+def k_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    bg = (d.select(toks.alias("t"))
+          .filter(F.size("t") >= 2)
+          .select(F.explode(F.expr(
+              "transform(sequence(0, size(t) - 2), "
+              "i -> struct(t[i] as w1, t[i + 1] as w2))")).alias("p"))
+          .select("p.w1", "p.w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    lft = c2.groupBy("w1").agg(F.sum("c").alias("n1"),
+                               F.count("*").alias("types_after"))
+    rgt = c2.groupBy("w2").agg(F.count("*").alias("types_before"))
+    tot = c2.agg(F.count("*").alias("n_types"))
+    j = (c2.join(lft, "w1").join(rgt, "w2")
+         .crossJoin(F.broadcast(tot)))
+    p_kn = (F.greatest(F.col("c").cast("double") - 0.75, F.lit(0.0))
+            / F.col("n1")
+            + (0.75 * F.col("types_after") / F.col("n1"))
+            * (F.col("types_before").cast("double") / F.col("n_types")))
+    return (j.filter(F.col("c") >= 20)
+            .select("w1", "w2", F.col("c").cast("bigint").alias("pair_count"),
+                    F.round(p_kn, 6).alias("p_kn")))

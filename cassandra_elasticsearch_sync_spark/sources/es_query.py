@@ -2231,3 +2231,33 @@ def a3ag_es_geo_distance_rings(spark, sf_dir):
             .agg(F.count("*").alias("doc_count"),
                  F.sum("bal").cast("decimal(38,2)").alias("sum_acctbal"))
             .orderBy("ring"))
+
+
+@register("a3ah_es_multi_terms", "A3+D1", """
+SELECT key, doc_count, sum_price
+FROM (
+  SELECT o_orderstatus || '|' || o_orderpriority AS key,
+         COUNT(*) AS doc_count,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS sum_price
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+)
+ORDER BY doc_count DESC, key LIMIT 10
+""", "ES multi_terms aggregation (7.12+): buckets keyed by the "
+     "COMPOUND of several fields - the cross-product breakdown one "
+     "terms agg cannot express without a runtime-concat script. "
+     "Compiles to a plain multi-column hash aggregate with the "
+     "compound key rendered '|'-joined exactly as ES returns "
+     "key_as_string; metric sums as DECIMAL for order-exactness; "
+     "terms-style doc_count ordering with a key tiebreak.")
+def a3ah_es_multi_terms(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("doc_count"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").alias("sum_price"))
+            .select(F.concat_ws("|", "o_orderstatus", "o_orderpriority")
+                    .alias("key"), "doc_count", "sum_price")
+            .orderBy(F.desc("doc_count"), "key")
+            .limit(10))
