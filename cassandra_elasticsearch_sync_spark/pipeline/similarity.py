@@ -1105,3 +1105,74 @@ def k3m_inbatch_negative_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("neg_sum") / F.col("n_neg")) / F.count("*"), 6)
         .alias("mean_neg_cos"),
     )
+
+
+_RBO_ORACLE = "WITH " + _NORMED_SQL + f"""
+, q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, nrm AS qn
+        FROM e WHERE {QUERY_FILTER})
+, pb AS (SELECT qid, e.vec_id AS cid,
+               ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                      FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+                     / (qn * e.nrm), 6) AS cos_sim
+        FROM q, e WHERE e.vec_id <> qid)
+, briefa AS (
+  SELECT qid, cid, rn FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY cos_sim DESC, cid) AS rn FROM pb) WHERE rn <= 3)
+, pv AS (SELECT qid, e.vec_id AS cid,
+               ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                      FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+                     / (qn * e.nrm), 6) AS cos_sim
+        FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> qid)
+, briefb AS (
+  SELECT qid, cid, rn FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY cos_sim DESC, cid) AS rn FROM pv) WHERE rn <= 3)
+, m AS (
+  SELECT a.qid, a.rn AS ra, b.rn AS rb
+  FROM briefa a JOIN briefb b ON a.qid = b.qid AND a.cid = b.cid)
+SELECT q.qid,
+       ROUND(0.1 * (
+         COALESCE(SUM(CASE WHEN ra <= 1 AND rb <= 1 THEN 1.0 ELSE 0 END)
+                  / 1.0, 0)
+         + 0.9 * COALESCE(SUM(CASE WHEN ra <= 2 AND rb <= 2 THEN 1.0
+                              ELSE 0 END) / 2.0, 0)
+         + 0.81 * COALESCE(SUM(CASE WHEN ra <= 3 AND rb <= 3 THEN 1.0
+                               ELSE 0 END) / 3.0, 0)), 6) AS rbo3
+FROM q LEFT JOIN m ON m.qid = q.qid
+GROUP BY q.qid ORDER BY q.qid
+"""
+
+
+@register("k3n_rank_biased_overlap", "K3+D5", _RBO_ORACLE,
+          "Rank-biased overlap (Webber et al. 2010, the standard "
+          "metric for comparing two retrieval rankings that need not "
+          "contain the same items): per query, RBO@3 with p=0.9 "
+          "between the EXACT global top-3 and the IVF cluster-pruned "
+          "top-3 - the ANN-quality dashboard number that tells you "
+          "what the partition pruning cost. Both rankings come from "
+          "the established top-k shapes; the depth-d agreements are "
+          "one (qid,cid) equi-join of two <=3-row-per-query lists, "
+          "and the weighted sum is exact small-rational arithmetic "
+          "rounded at 6 dp.")
+def k3n_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (k3_cosine_topk(spark, sf_dir)
+         .filter(F.col("rank") <= 3)
+         .select("qid", "cid", F.col("rank").alias("ra")))
+    b = (ann_ivf_topk(spark, sf_dir)
+         .select("qid", "cid", F.col("rank").alias("rb")))
+    m = a.join(b, ["qid", "cid"])
+    qids = a.select("qid").distinct()
+    per = m.groupBy("qid").agg(
+        F.sum(F.when((F.col("ra") <= 1) & (F.col("rb") <= 1), 1.0)
+              .otherwise(0.0)).alias("o1"),
+        F.sum(F.when((F.col("ra") <= 2) & (F.col("rb") <= 2), 1.0)
+              .otherwise(0.0)).alias("o2"),
+        F.sum(F.when((F.col("ra") <= 3) & (F.col("rb") <= 3), 1.0)
+              .otherwise(0.0)).alias("o3"),
+    )
+    j = qids.join(per, "qid", "left")
+    rbo = 0.1 * (F.coalesce(F.col("o1"), F.lit(0.0)) / 1.0
+                 + 0.9 * F.coalesce(F.col("o2"), F.lit(0.0)) / 2.0
+                 + 0.81 * F.coalesce(F.col("o3"), F.lit(0.0)) / 3.0)
+    return j.select("qid", F.round(rbo, 6).alias("rbo3")).orderBy("qid")
