@@ -57,50 +57,72 @@ def register(name: str, survey_id: str, oracle: str | None, doc: str = ""):
 # entries dead last (the latter cannot hash-match by design, so they
 # spend budget for a weaker signal).
 #
-# ROTATION (round 4, VERDICT r3 #2): the r1-r3 driver samples were the
-# identical front block, so only 67 of the registry's queries had ever
-# been driver-verified. This round's front-50 keeps the flagship and
-# otherwise consists ENTIRELY of keys absent from CORRECTNESS_r01-r03
-# - still cross-tier (A,C,D,E,F,G,H,J,K,L + TPC-H-style) and still
-# cheap-first, so the driver converts sweep-green rows to driver-pass
-# rows. The previously-verified r1-r3 block now sits directly after.
+# ROTATION (round 5, VERDICT r4 #2): third rotation. The front-50
+# keeps the flagship (mandated) and k7o_cusum_changepoint (the r4
+# hash flag - hardened to DATE-typed output this round, kept in front
+# so the driver re-verifies it directly), and otherwise consists
+# ENTIRELY of keys absent from CORRECTNESS_r01-r04 - cross-tier
+# (TPC-H, C, D, E, H, J, K1-K7, L/ACID, A2-A4) and cheap-first.
+# Cumulative driver-verified keys after r4: 116/388; this block
+# converts 48 more. Previously-verified blocks (r4, then r1-r3) sit
+# directly after, so a driver with a larger budget re-verifies them
+# next.
 _FRONT = (
     "flagship_pricing_summary",
-    # TPC-H-style join/agg pipelines
+    "k7o_cusum_changepoint",
+    # TPC-H-style join/agg pipelines (subquery-heavy tail)
+    "q2_min_cost_supplier", "q4_late_orders", "q9_product_profit",
+    "q11_important_stock", "q17_small_quantity_revenue",
+    "q18_large_orders", "q21_sole_late_shipper", "q22_idle_customers",
+    # joins beyond equi
+    "c7c_band_join_bucketed", "c12_spatial_grid_join",
+    # aggregates
+    "d16_bitmap_distinct", "d10b_unpivot",
+    # windows
+    "e8_nth_value", "e9_decile_by_segment", "e11_churn_gaps",
+    "e12_range_interval_frame",
+    # functions
+    "h2c_calendar_funcs", "h3d_try_arithmetic", "h6b_nested_json",
+    "h4b_array_set_ops",
+    # python execution tier
+    "j1_scalar_udf", "j4_apply_in_pandas", "j7_sql_registration",
+    "j8_cogroup_apply_in_pandas",
+    # LLM-pipeline tier: dedup / similarity / text / multimodal / ts
+    "k1c_paragraph_dedup", "k_decontaminate", "k2h_containment_pairs",
+    "ann_ivf_topk", "k3e_ndcg_eval", "k3l_rp_lsh_near_pairs",
+    "k4_tfidf", "k4_bigrams", "k5_keyword_score", "k_gopher_quality",
+    "k6e_png_pixel_decode", "k6f_jpeg_pixel_decode", "k6i_exif_parse",
+    "k7i_ks_drift", "k7m_holt_winters",
+    # sync + ACID tier
+    "l5b_tombstone_merge", "l19_acid_mor_delete",
+    "l29_scd2_dimension_history", "l31_acid_restore",
+    # source semantics
+    "a2b_token_range_scan", "a2p_cql_contains", "a3b_es_dsl_search",
+    "a3o_es_top_hits_agg", "a4_csv_ingest",
+    # --- r4 driver-verified block ---
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q10_returned_items", "q12_priority_buckets", "q14_promo_share",
-    # joins beyond equi
     "c7b_interval_overlap_join", "c8c_nearest_asof_join",
     "c10_relational_division", "c11_hierarchy_rollup",
-    # aggregates
     "d6c_percentiles_by_group", "d12_boolean_aggs",
     "d13_mode_per_group", "d14_weighted_avg",
-    # windows
     "e6_distribution_functions", "e7_month_over_month",
     "e10_pareto_revenue_share",
-    # sort / set ops
     "f4_nulls_ordering", "g1c_union_distinct", "g4_symmetric_difference",
-    # functions
     "h1b_string_funcs_ext", "h2b_datetime_funcs_ext",
     "h3c_bitwise_funcs", "h4c_higher_order_funcs",
-    # python execution tier
     "j2_pandas_udf", "j3_grouped_agg_udaf", "j5_map_in_pandas",
     "j6_python_udtf",
-    # LLM-pipeline tier
     "k1b_dedup_keep_longest", "k2b_ngram_jaccard_pairs",
     "k_simhash_near_pairs", "k3b_range_search", "k4_term_stats",
     "k_lang_id", "k_quality_score", "k_roc_auc", "k_pii_scrub",
-    "k7o_cusum_changepoint",
-    # sync + ACID tier
     "l14_acid_merge_upsert", "l21_acid_change_feed",
     "l26_sync_cycle_on_acid", "l3b_field_lww_merge",
     "l13_checksum_reconciliation",
-    # source semantics
     "a2m_cql_group_by_aggregate", "a3c_es_terms_agg",
     "a3g_es_composite_agg", "a4_json_ingest",
-    # --- r1-r3 driver-verified block (kept verified, now after the
-    # fresh 50) ---
+    # --- r1-r3 driver-verified block ---
     "b1_project", "b2_filter_comparison", "b3_filter_predicates",
     "b4_type_bridge", "b5_distinct", "b6_conditional",
     "c1_inner_join", "c2_left_join", "c3_full_outer", "c4_semi_join",

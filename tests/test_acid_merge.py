@@ -948,3 +948,38 @@ def test_generated_column_fills_and_validates(spark, root):
     # declaring for a column not in the schema is refused
     with pytest.raises(ValueError, match="not in the table schema"):
         t.add_generated_column("nope", "price * 2")
+
+
+def test_probe_broadcasts_delta_sized_source(spark, root):
+    """A delta-sized merge source keeps the broadcast fast path."""
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    src = spark.createDataFrame(
+        [(2, 99.0, 2)], "key bigint, price double, version int")
+    with_file = t.read().withColumn("__f", F.input_file_name())
+    plan = t._probe_semi_join(
+        with_file, src.select("key").distinct(), src, ["key"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_probe_backfill_sized_source_avoids_broadcast(spark, root):
+    """Above the key-row cap the probe takes a shuffle semi-join: a
+    full-table backfill at 100 TB must never broadcast its key set
+    (VERDICT r4). Cap forced to 0 via conf to simulate 'huge'."""
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    src = spark.createDataFrame(
+        [(1, 11.0, 2), (2, 22.0, 2), (3, 33.0, 2)],
+        "key bigint, price double, version int")
+    spark.conf.set(AcidParquetTable._PROBE_CAP_CONF, "0")
+    try:
+        with_file = t.read().withColumn("__f", F.input_file_name())
+        plan = t._probe_semi_join(
+            with_file, src.select("key").distinct(), src, ["key"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastExchange" not in plan
+        # end-to-end: the shuffle-probe merge is still correct
+        t.merge_into(src, ["key"])
+        assert _rows(t.read()) == [(1, 11.0, 2), (2, 22.0, 2), (3, 33.0, 2)]
+    finally:
+        spark.conf.unset(AcidParquetTable._PROBE_CAP_CONF)

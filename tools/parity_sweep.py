@@ -8,7 +8,11 @@ sf0.01 via tests/oracle_harness.compare. Rows-only queries are executed
 and row-counted (the driver's weaker check). Appends nothing; writes
 the log to stdout — redirect into PARITY_LOG_r{N}.txt.
 
-Usage: python tools/parity_sweep.py [sf_dir]
+Usage: python tools/parity_sweep.py [sf_dir] [--limit N]
+
+``--limit N`` restricts the sweep to the first N registry keys in
+driver order — the exact shape of the driver's sampled run (one shared
+vanilla session, driver order, N queries), for driver-twin bisection.
 """
 
 from __future__ import annotations
@@ -16,7 +20,13 @@ from __future__ import annotations
 import sys
 import time
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+argv = [a for a in sys.argv[1:]]
+limit = None
+if "--limit" in argv:
+    i = argv.index("--limit")
+    limit = int(argv[i + 1])
+    del argv[i:i + 2]
+sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
@@ -31,6 +41,8 @@ spark.sparkContext.setLogLevel("ERROR")
 con = duck_connection(sf_dir)
 
 specs = registry.all_specs()
+if limit is not None:
+    specs = dict(list(specs.items())[:limit])
 t0 = time.time()
 n_ok = n_fail = n_rows_only = 0
 fails: list[str] = []
