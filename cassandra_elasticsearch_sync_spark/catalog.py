@@ -42,6 +42,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Shared relation cache (round 5, VERDICT r4 #4): a driver/bench run
+# calls dozens of registered queries against the same handful of
+# corpus tables, and every `spark.read.parquet` re-lists the path and
+# re-reads parquet footers to infer the schema. Caching the ANALYZED
+# DataFrame per (session, resolved path, path mtime) shares one
+# InMemoryFileIndex + schema across the whole run. The mtime in the
+# key makes the cache safe against a path being rewritten mid-session
+# (tests that stage scratch corpora): any file add/remove/replace
+# bumps the directory or file mtime and misses the cache. DataFrames
+# are immutable, so sharing the object is free.
+_RELATION_CACHE: dict[tuple, DataFrame] = {}
+_RELATION_CACHE_MAX = 512
+
+
+def _cache_key(spark: SparkSession, path: str):
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    return (spark.sparkContext.applicationId, os.path.realpath(path), mtime)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table.
 
@@ -67,9 +89,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC-based). The driver may hand us its own session, so pin the
     # conf here rather than only in our session factory.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = table_path(sf_dir, name)
+    key = _cache_key(spark, path)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":  # NANOS corpus read as raw long
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -78,8 +105,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # written against; session TZ is pinned UTC above, so this
             # is a pure type relabel of the same wall-clock instant.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(path)
+    if len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
+        _RELATION_CACHE.clear()
+    _RELATION_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

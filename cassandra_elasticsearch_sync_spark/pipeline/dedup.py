@@ -122,6 +122,10 @@ def _shingled_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_HASHES = 64
+# Fixed here for oracle bit-stability; the scale path derives
+# (bands, rows) from corpus size via lsh_tuning.minhash_lsh_params
+# (at 5k docs it reproduces this config within one band step; at 1e9
+# docs it widens to ~8 rows x ~25 bands - tests/test_lsh_tuning.py).
 N_BANDS = 16
 ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.7

@@ -917,6 +917,10 @@ def k3j_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beyond), while a planted near-dup pair (cos >= 0.994987, per-bit
 # agreement >= 0.96813, per-band 0.96813^24 = 0.46) still collides
 # somewhere with 1 - (1 - 0.46)^32 = 1 - 2.8e-9.
+# Fixed here for oracle bit-stability; the scale path derives the
+# same operating point from corpus size via lsh_tuning.rp_lsh_params
+# (rp_lsh_params(400_000) -> 24 bits x ~30 bands; tested to 200k
+# vectors with exact planted recall in tests/test_lsh_tuning.py).
 _RP_BANDS, _RP_BITS = 32, 24
 _RP_SEED = 0xC0FFEE
 _RP_PERT_OFFSET = 10_000_000
