@@ -107,3 +107,70 @@ def test_acid_sequences_match_dict_model(spark, ops):
             history[t.current_version()] = dict(model)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _rows(t):
+    return sorted(tuple(r) for r in t.read().collect())
+
+
+def test_optimize_racing_merge_conflict_rule(spark):
+    """VERDICT r4 #9: OPTIMIZE and MERGE both commit via the same
+    conditional put, and their file sets always overlap (OPTIMIZE
+    rewrites everything), so whichever loses the race MUST get
+    CommitConflict and retry against the new base - never silently
+    drop the other writer's rows. Both orders pinned here.
+
+    Order A - merge lands while OPTIMIZE is between read and commit:
+    the stale OPTIMIZE loses; its retry compacts the merged content.
+    Order B - OPTIMIZE lands while a merge is between read and
+    commit: the stale merge loses; its retry merges onto the
+    optimized layout."""
+    import tempfile
+
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import CommitConflict
+
+    root = tempfile.mkdtemp(prefix="ces_race_")
+    try:
+        class RacyTable(AcidParquetTable):
+            pre_commit_hook = None
+
+            def _commit(self, *a, **kw):
+                if RacyTable.pre_commit_hook is not None:
+                    hook, RacyTable.pre_commit_hook = (
+                        RacyTable.pre_commit_hook, None)
+                    hook()
+                return super()._commit(*a, **kw)
+
+        t = RacyTable(spark, root)
+        t.init(spark.createDataFrame(
+            [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)], _SCHEMA))
+        plain = AcidParquetTable(spark, root)  # the racing writer
+
+        # -- Order A: OPTIMIZE reads, merge commits first ----------------
+        src_a = spark.createDataFrame([(2, 99.0, 2), (4, 40.0, 2)], _SCHEMA)
+        RacyTable.pre_commit_hook = (
+            lambda: plain.merge_into(src_a, ["key"]))
+        with pytest.raises(CommitConflict):
+            t.optimize(["key"], n_slices=2)
+        after_merge = [(1, 10.0, 1), (2, 99.0, 2), (3, 30.0, 1),
+                       (4, 40.0, 2)]
+        assert _rows(t) == after_merge  # merge won, nothing lost
+        v = t.current_version()
+        t.optimize(["key"], n_slices=2)  # the standard retry
+        assert t.current_version() == v + 1
+        assert _rows(t) == after_merge  # compaction preserved content
+
+        # -- Order B: merge reads, OPTIMIZE commits first ----------------
+        base = t.current_version()
+        stale_manifest = t._manifest(base)
+        plain.optimize(["key"], n_slices=3)
+        src_b = spark.createDataFrame([(5, 50.0, 3)], _SCHEMA)
+        with pytest.raises(CommitConflict):
+            t._merge_against(stale_manifest, src_b, ["key"], None, None,
+                             None, base)
+        t.merge_into(src_b, ["key"])  # retry from the fresh base
+        assert _rows(t) == after_merge + [(5, 50.0, 3)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -319,3 +319,105 @@ def test_dedup_within_watermark_dedups_then_evicts(spark):
     ]
     for p in (staged, ckpt, outdir):
         shutil.rmtree(p, ignore_errors=True)
+
+
+def test_foreachbatch_killed_mid_batch_converges_exactly_once(spark, staged):
+    """Crash-injection for the streaming ACID sink (VERDICT r4 #6):
+    a foreachBatch merge dies AFTER its data files are durable but
+    BEFORE the manifest commit (the kill-9-mid-batch interleaving).
+    The orphaned files must be invisible to readers, the restarted
+    query must redeliver the batch, and the retried counter-increment
+    merge must converge to the exactly-once totals - with the txn
+    ledger recording each batch once."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    class CrashInjected(RuntimeError):
+        pass
+
+    class CrashyTable(AcidParquetTable):
+        crashes_remaining = 0
+
+        def _commit(self, *a, **kw):
+            if CrashyTable.crashes_remaining > 0:
+                CrashyTable.crashes_remaining -= 1
+                raise CrashInjected("killed before manifest commit")
+            return super()._commit(*a, **kw)
+
+    checkpoint = tempfile.mkdtemp(prefix="ces_crash_ckpt_")
+    store_root = tempfile.mkdtemp(prefix="ces_crash_acid_")
+    try:
+        t = CrashyTable(spark, store_root)
+        schema = StructType.fromJson({
+            "type": "struct", "fields": [
+                {"name": "event_type", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "n_events", "type": "long", "nullable": True,
+                 "metadata": {}},
+            ]})
+        t.init(spark.createDataFrame([], schema))
+        v0 = t.current_version()
+        inc_assign = {
+            "n_events": F.coalesce(F.col("tgt.n_events"), F.lit(0))
+            + F.col("src.n_events"),
+        }
+
+        def apply_batch(batch_df, batch_id):
+            partial = batch_df.groupBy("event_type").agg(
+                F.count("*").alias("n_events"))
+            t.merge_into(partial, ["event_type"], assignments=inc_assign,
+                         assume_unique_keys=True,
+                         txn_app_id="crash_loader",
+                         txn_version=int(batch_id) + 1)
+
+        def start():
+            return (
+                inc.read_events_stream(spark, staged)
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        # First attempt: batch 0 dies between data-file write and commit.
+        CrashyTable.crashes_remaining = 1
+        q = start()
+        with pytest.raises(Exception, match="killed before manifest"):
+            q.awaitTermination(300)
+
+        # The orphaned data files are durable on disk...
+        manifest_files = set(t._manifest(t.current_version())["files"])
+        data_root = os.path.join(store_root, "data")
+        on_disk = {os.path.join(data_root, d) for d in os.listdir(data_root)}
+        orphans = on_disk - manifest_files
+        assert orphans, "crash should leave unclaimed data files"
+        # ...but invisible: still the empty v0 snapshot.
+        assert t.current_version() == v0
+        assert t.read().count() == 0
+
+        # Restart from the same checkpoint: batch 0 is redelivered and
+        # every batch applies exactly once.
+        q2 = start()
+        q2.awaitTermination(300)
+        expected = sorted(
+            (r["event_type"], r["cnt"])
+            for r in spark.read.parquet(staged)
+            .groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+        )
+        got = sorted((r["event_type"], r["n_events"])
+                     for r in t.read().collect())
+        assert got == expected
+        # Ledger: all 4 staged chunks committed, each exactly once.
+        assert t._manifest(t.current_version())["txns"]["crash_loader"] == 4
+        # Vacuum reclaims the orphans; the converged table is untouched.
+        removed = set(t.vacuum(retain_last=10))
+        assert orphans <= removed
+        assert sorted((r["event_type"], r["n_events"])
+                      for r in t.read().collect()) == expected
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(store_root, ignore_errors=True)
