@@ -17,8 +17,12 @@ quantized DC is exactly v-128 and a CORRECT decoder recovers the
 constant v bit-exactly - one wrong Huffman bit, dequant step, or
 IDCT scale and every recovered pixel moves.
 
-Chroma subsampling / progressive scans / restart markers are out of
-scope (documented); the decoder rejects them rather than guessing.
+Chroma 4:2:0 lives in the second half of this module; DRI/RSTn
+restart-marker streams (the common camera-JPEG resync feature) decode
+in both profiles: predictor reset + byte realignment + marker-index
+sequence check at every declared interval. Progressive scans and
+other subsamplings remain out of scope (documented); the decoder
+rejects them rather than guessing.
 """
 
 from __future__ import annotations
@@ -78,13 +82,25 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
-    def flush(self) -> bytes:
+    def pad_align(self) -> None:
+        """Pad the partial byte with 1-bits to a boundary (spec F.1.2.3;
+        a 0xFF pad byte is stuffed like any other entropy byte)."""
         if self.n:
             self.acc <<= (8 - self.n)
             self.acc |= (1 << (8 - self.n)) - 1   # pad with 1s (spec)
             self.buf.append(self.acc)
             if self.acc == 0xFF:
                 self.buf.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+    def restart(self, m: int) -> None:
+        """Emit RSTm (byte-aligned; markers are NOT stuffed)."""
+        self.pad_align()
+        self.buf += bytes([0xFF, 0xD0 + (m % 8)])
+
+    def flush(self) -> bytes:
+        self.pad_align()
         return bytes(self.buf)
 
 
@@ -93,16 +109,25 @@ def _category(v: int) -> int:
 
 
 def encode_gray_jpeg(width: int, height: int,
-                     blocks: list[list[int]], quant: list[int]) -> bytes:
+                     blocks: list[list[int]], quant: list[int],
+                     restart_interval: int = 0) -> bytes:
     """Emit a conforming baseline grayscale JPEG from QUANTIZED
     coefficient blocks (each 64 ints in zig-zag order; blocks in MCU
-    raster order, width/height multiples of 8)."""
+    raster order, width/height multiples of 8). ``restart_interval``
+    > 0 declares DRI and inserts RST0..RST7 (cycling) every that many
+    MCUs, resetting the DC predictor - the camera-JPEG resync feature
+    (spec B.2.4.4 / E.2.4)."""
     assert width % 8 == 0 and height % 8 == 0
     dc_codes = _build_codes(_DC_BITS, _DC_VALS)
     ac_codes = _build_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
     prev_dc = 0
-    for blk in blocks:
+    rst = 0
+    for mcu_i, blk in enumerate(blocks):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            w.restart(rst)
+            rst = (rst + 1) % 8
+            prev_dc = 0                      # predictor resets at RSTn
         diff = blk[0] - prev_dc
         prev_dc = blk[0]
         cat = _category(diff)
@@ -139,8 +164,10 @@ def encode_gray_jpeg(width: int, height: int,
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
     dht_dc = seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     dht_ac = seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sos = seg(0xFFDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
-    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
             + scan + b"\xff\xd9")
 
 
@@ -171,6 +198,21 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def sync_restart(self) -> int:
+        """Byte-align and consume one RST0..RST7 marker; returns its
+        index. Called by the MCU loop exactly where DRI says a marker
+        must sit - a stream missing it (or carrying the wrong one,
+        checked by the caller) is corrupt, not resynced-over."""
+        self.n = 0                            # drop pad bits
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated restart marker")
+        if (self.data[self.pos] != 0xFF
+                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        m = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return m
 
 
 def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -209,10 +251,12 @@ def _idct_block(coef: list[float]) -> list[int]:
 
 
 def decode_gray_jpeg(raw: bytes | None):
-    """Decode a baseline sequential grayscale JPEG: returns
-    (width, height, flat pixel bytes) or None if not a supported
-    JPEG (multi-component, progressive, restart-marker streams are
-    rejected, not guessed)."""
+    """Decode a baseline sequential grayscale JPEG, including
+    DRI/RSTn restart-marker streams (predictor reset + byte realign +
+    marker-index check at every interval): returns (width, height,
+    flat pixel bytes) or None if not a supported JPEG
+    (multi-component and progressive streams are rejected, not
+    guessed)."""
     if not raw or raw[:2] != b"\xff\xd8":
         return None
     try:
@@ -222,6 +266,7 @@ def decode_gray_jpeg(raw: bytes | None):
         width = height = None
         qtab_id = None
         scan_start = None
+        restart_interval = 0
         while i + 4 <= n:
             if raw[i] != 0xFF:
                 return None
@@ -257,8 +302,8 @@ def decode_gray_jpeg(raw: bytes | None):
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None                  # non-baseline-sequential
-            elif marker == 0xDD:
-                return None                  # restart intervals
+            elif marker == 0xDD:             # DRI
+                restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:             # SOS
                 scan_start = i + 2 + seg_len
                 dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
@@ -275,8 +320,16 @@ def decode_gray_jpeg(raw: bytes | None):
         bh = (height + 7) // 8
         pixels = bytearray(bw * 8 * bh * 8)
         prev_dc = 0
+        rst_expect = 0
         for by in range(bh):
             for bx in range(bw):
+                mcu_i = by * bw + bx
+                if (restart_interval and mcu_i
+                        and mcu_i % restart_interval == 0):
+                    if reader.sync_restart() != rst_expect:
+                        raise ValueError("restart marker out of sequence")
+                    rst_expect = (rst_expect + 1) % 8
+                    prev_dc = 0
                 zz = [0] * 64
                 cat = _decode_huff(reader, dc_tab)
                 diff = _extend(reader.bits(cat), cat) if cat else 0
@@ -316,11 +369,16 @@ def decode_gray_jpeg(raw: bytes | None):
         return None
 
 
-def planted_gray_jpeg(width: int, height: int, seed: int) -> bytes:
+def planted_gray_jpeg(width: int, height: int, seed: int,
+                      restart_interval: int = 0) -> bytes:
     """Oracle-plantable image: each 8x8 block is the constant
     v = (seed + block_index*8) % 200 + 28 (range 28..227, no clamp
     interaction). With Q[0]=8 the quantized DC is exactly v-128 and a
-    correct decoder recovers every pixel bit-exactly."""
+    correct decoder recovers every pixel bit-exactly. A nonzero
+    ``restart_interval`` plants a DRI/RSTn stream: because RSTn
+    resets the DC predictor, a decoder that ignored the reset (or
+    failed to realign) would shift every post-marker block's value -
+    the fixture detects both failure modes."""
     bw, bh = width // 8, height // 8
     quant = [8] + [16] * 63
     blocks = []
@@ -329,7 +387,7 @@ def planted_gray_jpeg(width: int, height: int, seed: int) -> bytes:
         blk = [0] * 64
         blk[0] = v - 128                     # DC quantized by 8
         blocks.append(blk)
-    return encode_gray_jpeg(width, height, blocks, quant)
+    return encode_gray_jpeg(width, height, blocks, quant, restart_interval)
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +432,8 @@ def encode_ycbcr420_jpeg(width: int, height: int,
                          y_blocks: list[list[int]],
                          cb_blocks: list[list[int]],
                          cr_blocks: list[list[int]],
-                         quant_l: list[int], quant_c: list[int]) -> bytes:
+                         quant_l: list[int], quant_c: list[int],
+                         restart_interval: int = 0) -> bytes:
     """Conforming baseline 4:2:0 JPEG: MCU = 4 interleaved Y blocks
     (2x2) + Cb + Cr, luma tables in slot 0 and chroma tables in slot
     1 (so a decoder must dispatch per component), separate DC
@@ -386,8 +445,14 @@ def encode_ycbcr420_jpeg(width: int, height: int,
     w = _BitWriter()
     mw, mh = width // 16, height // 16
     dc = {"y": 0, "cb": 0, "cr": 0}
+    rst = 0
     for my in range(mh):
         for mx in range(mw):
+            mcu_i = my * mw + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) % 8
+                dc = {"y": 0, "cb": 0, "cr": 0}  # ALL predictors reset
             for sy in range(2):
                 for sx in range(2):
                     bi = (my * 2 + sy) * (mw * 2) + (mx * 2 + sx)
@@ -411,8 +476,10 @@ def encode_ycbcr420_jpeg(width: int, height: int,
            + seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
            + seg(0xFFC4, b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS))
            + seg(0xFFC4, b"\x11" + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sos = seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11" + b"\x00\x3f\x00")
-    return (b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9")
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9")
 
 
 def _decode_block(reader: _BitReader, dc_tab, ac_tab, q: list[int],
@@ -447,9 +514,10 @@ def decode_ycbcr420_jpeg(raw: bytes | None):
     decode of the interleaved MCU scan with per-component Huffman
     slots and DC predictors, dequant per component table, IDCT,
     nearest-neighbor chroma upsampling, BT.601 YCbCr->RGB with
-    half-up rounding. Returns (width, height, flat RGB bytes) or
-    None (progressive / other samplings / restart markers rejected,
-    not guessed)."""
+    half-up rounding. DRI/RSTn restart markers are honored (all three
+    DC predictors reset, byte realign, marker-index check). Returns
+    (width, height, flat RGB bytes) or None (progressive / other
+    samplings rejected, not guessed)."""
     if not raw or raw[:2] != b"\xff\xd8":
         return None
     try:
@@ -460,6 +528,7 @@ def decode_ycbcr420_jpeg(raw: bytes | None):
         comp_q: dict[int, int] = {}
         comp_tabs: dict[int, tuple[int, int]] = {}
         scan_start = None
+        restart_interval = 0
         while i + 4 <= n:
             if raw[i] != 0xFF:
                 return None
@@ -503,7 +572,7 @@ def decode_ycbcr420_jpeg(raw: bytes | None):
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None
             elif marker == 0xDD:
-                return None
+                restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:
                 ns = body[0]
                 if ns != 3:
@@ -524,8 +593,16 @@ def decode_ycbcr420_jpeg(raw: bytes | None):
         cbp = bytearray(mw * 8 * mh * 8)
         crp = bytearray(mw * 8 * mh * 8)
         dc = {1: 0, 2: 0, 3: 0}
+        rst_expect = 0
         for my in range(mh):
             for mx in range(mw):
+                mcu_i = my * mw + mx
+                if (restart_interval and mcu_i
+                        and mcu_i % restart_interval == 0):
+                    if reader.sync_restart() != rst_expect:
+                        raise ValueError("restart marker out of sequence")
+                    rst_expect = (rst_expect + 1) % 8
+                    dc = {1: 0, 2: 0, 3: 0}
                 for sy in range(2):
                     for sx in range(2):
                         blk, dc[1] = _decode_block(

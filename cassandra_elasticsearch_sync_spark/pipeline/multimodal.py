@@ -468,6 +468,40 @@ def k6f_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_jpeg_batch, JPEG_PIXEL_SCHEMA)
 
 
+@register("k6k_jpeg_restart_decode", "K6", """
+SELECT doc_id, 24 AS width, 24 AS height,
+       CAST(doc_id % 130 AS DOUBLE) + 60.0 AS mean_gray
+FROM documents
+""", "Baseline-JPEG decode of DRI/RSTn restart-marker streams - the "
+     "most common real-world camera-JPEG feature the r4 decoder "
+     "still rejected (VERDICT r4 #7). Payloads are conforming 24x24 "
+     "grayscale JPEGs declaring DRI=2: RST0..RSTn markers sit every "
+     "2 MCUs, so the decoder must byte-realign, check the marker "
+     "index sequence, and RESET the DC predictor at each one. The "
+     "planted per-block values ramp by +8 per block, so a decoder "
+     "that kept the predictor across a marker (or mis-aligned by "
+     "even one bit) shifts every post-marker block and the analytic "
+     "mean_gray = doc_id % 130 + 60 hash fails. Same Arrow-batched "
+     "mapInPandas plumbing as k6f; cites jpeg_codec.decode_gray_jpeg "
+     "restart handling.")
+def k6k_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        planted_gray_jpeg,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(
+            lambda d: planted_gray_jpeg(24, 24, int(d) % 130,
+                                        restart_interval=2))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_jpeg_batch, JPEG_PIXEL_SCHEMA)
+
+
 def decode_gif_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched FULL GIF pixel decode: sub-block walk, real LZW
     decompression (string-table reconstruction, KwKwK, CLEAR resets,

@@ -91,7 +91,7 @@ _FRONT = (
     "k1c_paragraph_dedup", "k_decontaminate", "k2h_containment_pairs",
     "ann_ivf_topk", "k3e_ndcg_eval", "k3l_rp_lsh_near_pairs",
     "k4_tfidf", "k4_bigrams", "k5_keyword_score", "k_gopher_quality",
-    "k6e_png_pixel_decode", "k6f_jpeg_pixel_decode", "k6i_exif_parse",
+    "k6f_jpeg_pixel_decode", "k6k_jpeg_restart_decode", "k6i_exif_parse",
     "k7i_ks_drift", "k7m_holt_winters",
     # sync + ACID tier
     "l5b_tombstone_merge", "l19_acid_mor_delete",

@@ -409,3 +409,72 @@ def test_jpeg_chroma_planted_roundtrip_and_gradient_blocks():
     assert tuple(px[off:off + 3]) == right
     # truncation rejects
     assert decode_ycbcr420_jpeg(raw[:40]) is None
+
+
+def test_jpeg_dri_restart_roundtrip_bit_exact():
+    """DRI/RSTn streams (VERDICT r4 #7): a restart-marker stream must
+    decode to EXACTLY the same pixels as the marker-free encoding of
+    the same blocks - across intervals that exercise marker cycling
+    past RST7 and an interval larger than the MCU count (no markers
+    emitted at all)."""
+    import random
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_gray_jpeg,
+        decode_ycbcr420_jpeg,
+        encode_gray_jpeg,
+        encode_ycbcr420_jpeg,
+    )
+
+    random.seed(11)
+    quant = [8] + [16] * 63
+    w, h = 64, 40                          # 40 MCUs -> RSTn wraps at ri=3
+    blocks = []
+    for _ in range(40):
+        blk = [0] * 64
+        blk[0] = random.randint(-100, 100)
+        for _ in range(6):
+            blk[random.randint(1, 63)] = random.randint(-20, 20)
+        blocks.append(blk)
+    base = decode_gray_jpeg(encode_gray_jpeg(w, h, blocks, quant))
+    assert base is not None
+    for ri in (1, 3, 7, 39, 1000):
+        got = decode_gray_jpeg(
+            encode_gray_jpeg(w, h, blocks, quant, restart_interval=ri))
+        assert got == base, f"gray interval {ri}"
+
+    yb = []
+    for i in range(24):
+        blk = [0] * 64
+        blk[0] = (i * 7) % 160 - 80
+        blk[5] = 3
+        yb.append(blk)
+    cbb = [[(i * 11) % 60 - 30] + [0] * 63 for i in range(6)]
+    crb = [[(i * 13) % 60 - 30] + [0] * 63 for i in range(6)]
+    base_c = decode_ycbcr420_jpeg(
+        encode_ycbcr420_jpeg(48, 32, yb, cbb, crb, quant, quant))
+    assert base_c is not None
+    for ri in (1, 2, 5):
+        got = decode_ycbcr420_jpeg(encode_ycbcr420_jpeg(
+            48, 32, yb, cbb, crb, quant, quant, restart_interval=ri))
+        assert got == base_c, f"420 interval {ri}"
+
+
+def test_jpeg_dri_corrupt_streams_rejected():
+    """Out-of-sequence and missing restart markers are corruption, not
+    something to guess over: decode returns None."""
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_gray_jpeg,
+        planted_gray_jpeg,
+    )
+
+    raw = bytearray(planted_gray_jpeg(32, 32, 5, restart_interval=2))
+    ok = decode_gray_jpeg(bytes(raw))
+    assert ok is not None
+    i = raw.find(b"\xff\xd0")
+    assert i > 0
+    wrong = bytearray(raw)
+    wrong[i + 1] = 0xD5                    # RST0 expected, RST5 found
+    assert decode_gray_jpeg(bytes(wrong)) is None
+    missing = raw[:i] + raw[i + 2:]        # marker deleted entirely
+    assert decode_gray_jpeg(bytes(missing)) is None
