@@ -96,3 +96,59 @@ def test_cql_matches_independent_sql(spark, duck, params):
     got = sorted(tuple(r) for r in cql_select(o, cql).collect())
     want = sorted(tuple(r) for r in duck.sql(_sql(*params)).fetchall())
     assert got == want, (cql, len(got), len(want))
+
+
+# --- GROUP BY restriction rules (VERDICT r4 #8) ------------------------
+
+_GB_LEGAL = (
+    ["o_custkey"],
+    ["o_custkey", "o_orderdate"],
+    ["o_custkey", "o_orderdate", "o_orderkey"],
+)
+# Each illegal case breaks the pk-plus-clustering-prefix rule a
+# different way: clustering without pk, skipping a clustering column,
+# wrong order, and non-primary-key columns.
+_GB_ILLEGAL = (
+    ["o_orderdate"],
+    ["o_orderkey"],
+    ["o_custkey", "o_orderkey"],
+    ["o_orderdate", "o_custkey"],
+    ["o_totalprice"],
+    ["o_custkey", "o_totalprice"],
+)
+
+gb_strategy = st.tuples(
+    st.booleans(),                                    # legal or illegal
+    st.integers(0, 5),                                # which case
+    st.sampled_from(["count(*)", "max(o_totalprice)", "min(o_totalprice)"]),
+    st.one_of(st.none(), st.integers(1, 150)),        # optional pk filter
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(params=gb_strategy)
+def test_cql_group_by_differential(spark, duck, params):
+    """Random GROUP BY statements: legal pk-plus-clustering-prefix
+    groupings must match an independent DuckDB rendering value for
+    value; every way of breaking the rule must raise CqlError - the
+    same differential shape as the restriction-rule tests above."""
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import CqlError
+
+    legal, idx, agg, pk = params
+    groups = (_GB_LEGAL[idx % len(_GB_LEGAL)] if legal
+              else list(_GB_ILLEGAL[idx % len(_GB_ILLEGAL)]))
+    where = f" WHERE o_custkey = {pk}" if pk is not None else ""
+    cql = (f"SELECT {', '.join(groups)}, {agg} FROM orders{where} "
+           f"GROUP BY {', '.join(groups)}")
+    o = load_table(spark, SF_DIR, "orders")
+    if not legal:
+        with pytest.raises(CqlError, match="GROUP BY"):
+            cql_select(o, cql)
+        return
+    cond = f"o_custkey = {pk}" if pk is not None else "TRUE"
+    want = sorted(tuple(r) for r in duck.sql(
+        f"SELECT {', '.join(groups)}, {agg} FROM orders "
+        f"WHERE {cond} GROUP BY {', '.join(groups)}").fetchall())
+    got = sorted(tuple(r) for r in cql_select(o, cql).collect())
+    assert got == want, (cql, len(got), len(want))

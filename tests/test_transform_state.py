@@ -148,3 +148,36 @@ def test_matches_3x_api_machine(spark):
         assert a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_native_path_output_identical_when_protobuf_present(spark):
+    """VERDICT r4 #10: when the env gains protobuf, the native
+    transformWithStateInPandas wire and the compat adapter must emit
+    IDENTICAL rows for the same staged input - i6d then silently
+    upgrades (transform_running_max_stream's auto switch). Skipped
+    (not passed vacuously) where the transport is absent."""
+    from cassandra_elasticsearch_sync_spark.streaming.transform_state import (
+        _protobuf_available,
+    )
+
+    if not _protobuf_available():
+        pytest.skip("protobuf transport absent: native TWS wire "
+                    "cannot start in this container")
+    staged = stage_events_stream(spark, SF_DIR, n_chunks=3)
+    try:
+        native = _run_stream(
+            spark,
+            transform_running_max_stream(read_events_stream(spark, staged),
+                                         force_native=True),
+            "tws_native_out",
+        )
+        adapter = _run_stream(
+            spark,
+            transform_running_max_stream(read_events_stream(spark, staged),
+                                         force_native=False),
+            "tws_adapter_out",
+        )
+        assert sorted(map(tuple, native.collect())) == \
+            sorted(map(tuple, adapter.collect()))
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
