@@ -536,6 +536,27 @@ def a2m_cql_group_by_aggregate(spark, sf_dir):
     """)
 
 
+@register("a2u_cql_group_by_clustering_prefix", "A2+D1", """
+SELECT o_custkey, o_orderdate, COUNT(*) AS n_orders,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_custkey, o_orderdate
+""", "CQL GROUP BY on the partition key PLUS a clustering prefix - "
+     "the second legal grouping shape (a2m covers partition-key-only; "
+     "the differential suite proves every other shape rejects). In "
+     "Cassandra this folds rows within each partition by clustering "
+     "prefix on the owning replica; the Spark twin is the same "
+     "single map-side-partial hash aggregate keyed (pk, clustering "
+     "prefix). MAX avoids float-order effects; counts are exact.")
+def a2u_cql_group_by_clustering_prefix(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return cql_select(o, """
+        SELECT o_custkey, o_orderdate, count(*) AS n_orders,
+               max(o_totalprice) AS max_price
+        FROM orders GROUP BY o_custkey, o_orderdate
+    """)
+
+
 @register("a2n_cql_order_by_reversed", "A2+F1", """
 SELECT o_orderkey, o_totalprice
 FROM orders
