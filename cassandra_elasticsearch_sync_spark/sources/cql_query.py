@@ -105,6 +105,7 @@ class CqlSelect:
     limit: int | None = None
     allow_filtering: bool = False
     json: bool = False
+    distinct: bool = False
 
 
 class CqlError(ValueError):
@@ -112,7 +113,8 @@ class CqlError(ValueError):
 
 
 _STMT_RE = re.compile(
-    r"^\s*SELECT\s+(?P<json>JSON\s+)?(?P<cols>.+?)\s+FROM\s+(?P<table>\w+)"
+    r"^\s*SELECT\s+(?P<json>JSON\s+)?(?P<distinct>DISTINCT\s+)?"
+    r"(?P<cols>.+?)\s+FROM\s+(?P<table>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<groupby>[\w,\s]+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<orderby>[\w,\s]+?))?"
@@ -205,6 +207,7 @@ def parse_cql(stmt: str) -> CqlSelect:
         limit=int(m.group("limit")) if m.group("limit") else None,
         allow_filtering=bool(m.group("af")),
         json=bool(m.group("json")),
+        distinct=bool(m.group("distinct")),
     )
 
 
@@ -266,6 +269,31 @@ def validate_cql(sel: CqlSelect) -> dict:
                 raise CqlError(
                     f"UDT {base!r} has no field {fld!r} "
                     f"(fields: {udts[base]})")
+
+    if sel.distinct:
+        # Cassandra: SELECT DISTINCT returns one row per partition and
+        # may select only partition-key (or static) columns - ALL of
+        # them; it combines with token()/pk restrictions only, and
+        # never with aggregates, GROUP BY, ORDER BY, or PER PARTITION
+        # LIMIT. (This model declares no static columns.)
+        if any(c.fn for c in sel.columns) or sel.group_by:
+            raise CqlError(
+                "SELECT DISTINCT cannot combine with aggregates/GROUP BY")
+        if sel.order_by:
+            raise CqlError("SELECT DISTINCT does not support ORDER BY")
+        if sel.per_partition_limit is not None:
+            raise CqlError(
+                "SELECT DISTINCT does not support PER PARTITION LIMIT")
+        names = [c.name for c in sel.columns]
+        if sorted(names) != sorted(part_cols):
+            raise CqlError(
+                "SELECT DISTINCT may select only (and all of) the "
+                f"partition key columns {part_cols}; got {names}")
+        non_pk_preds = [c for c in by_col if c not in part_cols]
+        if non_pk_preds:
+            raise CqlError(
+                "SELECT DISTINCT may only be restricted by the "
+                f"partition key or token(); got predicates on {non_pk_preds}")
 
     non_key = [c for c in by_col if c not in part_cols and c not in clus_cols]
     if non_key and not sel.allow_filtering:
@@ -402,7 +430,18 @@ def cql_select(df: DataFrame, stmt: str) -> DataFrame:
         F.col(c).desc() if d == "DESC" else F.col(c).asc()
         for c, d in meta["clustering"]
     ]
-    if sel.group_by or any(c.fn for c in sel.columns):
+    if sel.distinct:
+        # one row per partition: dropDuplicates on the partition key
+        # is a map-side-partial hash aggregate (never a global sort);
+        # LIMIT pages distinct partitions in token order, exactly the
+        # order a ring scan surfaces them.
+        out = out.select(*[F.col(c.name) for c in sel.columns]).distinct()
+        if sel.limit is not None:
+            out = out.orderBy(
+                _token_col(meta["partition"]).asc()).limit(sel.limit)
+        out = out.select(
+            *[F.col(c.name).alias(c.out_name) for c in sel.columns])
+    elif sel.group_by or any(c.fn for c in sel.columns):
         # one grouped (or global) aggregate; map-side partial combine,
         # group cardinality <= partition-key cardinality by the
         # pk-plus-prefix GROUP BY rule.
@@ -534,6 +573,29 @@ def a2m_cql_group_by_aggregate(spark, sf_dir):
                max(l_extendedprice) AS max_price
         FROM lineitem GROUP BY l_orderkey
     """)
+
+
+@register("a2v_cql_select_distinct_partitions", "A2+B5", """
+SELECT o_custkey FROM (
+  SELECT DISTINCT o_custkey,
+         CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS token
+  FROM orders)
+ORDER BY token LIMIT 20
+""", "CQL `SELECT DISTINCT o_custkey FROM orders LIMIT 20`: the "
+     "enumerate-partitions idiom (one row per partition, no data "
+     "read beyond keys in real Cassandra). The validator enforces "
+     "the real rules - DISTINCT may select only (and all of) the "
+     "partition key, combines only with pk/token() restrictions, "
+     "and rejects ORDER BY / PER PARTITION LIMIT / aggregates "
+     "(negative cases in test_cql_query.py). LIMIT pages distinct "
+     "partitions in portable-token-ring order, same as a ring scan; "
+     "compiles to a map-side-partial distinct + top-k by token, "
+     "never a global sort.")
+def a2v_cql_select_distinct_partitions(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return cql_select(
+        o, "SELECT DISTINCT o_custkey FROM orders LIMIT 20")
 
 
 @register("a2u_cql_group_by_clustering_prefix", "A2+D1", """

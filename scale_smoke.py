@@ -157,6 +157,21 @@ def acid_probe(spark, label: str, n_rows: int, n_slices: int) -> None:
         t_merge = time.perf_counter() - t0
         n_after_merge = len(t._manifest(t.current_version())["files"])
 
+        # Backfill-sized merge (round 5, VERDICT r4 #3): the source
+        # spans EVERY key - beyond the broadcast probe cap - so the
+        # file probe must take the shuffle semi-join path and the
+        # merge rewrites all entries. The cost should track the full
+        # rewrite (it IS one), with no executor-side broadcast of an
+        # n_rows-sized key set.
+        backfill = spark.range(n_rows).select(
+            F.col("id").alias("key"),
+            (F.col("id") % 7919).cast("double").alias("price"),
+            F.lit(3).alias("version"),
+        )
+        t0 = time.perf_counter()
+        t.merge_into(backfill, ["key"], assume_unique_keys=True)
+        t_backfill = time.perf_counter() - t0
+
         dels = spark.range(n_rows).filter(F.col("id") % 1000 == 7).select(
             F.col("id").alias("key"))
         t0 = time.perf_counter()
@@ -173,7 +188,9 @@ def acid_probe(spark, label: str, n_rows: int, n_slices: int) -> None:
         m = t._manifest(t.current_version())
         print(f"  ACID {label}: rows={n_rows} slices={n_slices} -> "
               f"init {t_init:.1f}s, 1%-merge {t_merge:.1f}s "
-              f"(entries {n_after_merge}), mor-delete {t_mor:.1f}s, "
+              f"(entries {n_after_merge}), "
+              f"backfill-merge(shuffle-probe) {t_backfill:.1f}s, "
+              f"mor-delete {t_mor:.1f}s, "
               f"compact {t_compact:.1f}s, read {t_read:.1f}s "
               f"({n} rows, {len(m['files'])} entries after compact)",
               flush=True)

@@ -252,3 +252,43 @@ def test_secondary_index_rules():
     with pytest.raises(CqlError, match="ALLOW FILTERING"):
         validate_cql(parse_cql(
             "SELECT o_orderkey FROM orders WHERE o_totalprice > 100"))
+
+
+def test_select_distinct_partition_key_rules():
+    """SELECT DISTINCT: only (and all of) the partition key columns,
+    pk/token restrictions only, no ORDER BY / PER PARTITION LIMIT /
+    aggregates - Cassandra's exact rule set."""
+    ok = parse_cql("SELECT DISTINCT o_custkey FROM orders")
+    assert ok.distinct and validate_cql(ok)
+    ok2 = parse_cql(
+        "SELECT DISTINCT user_id FROM events WHERE token(user_id) > 0")
+    assert validate_cql(ok2)
+    with pytest.raises(CqlError, match="partition key"):
+        validate_cql(parse_cql("SELECT DISTINCT o_orderkey FROM orders"))
+    with pytest.raises(CqlError, match="partition key"):
+        validate_cql(parse_cql(
+            "SELECT DISTINCT o_custkey, o_orderdate FROM orders"))
+    with pytest.raises(CqlError, match="ORDER BY"):
+        validate_cql(parse_cql(
+            "SELECT DISTINCT o_custkey FROM orders "
+            "ORDER BY o_orderdate DESC"))
+    with pytest.raises(CqlError, match="PER PARTITION"):
+        validate_cql(parse_cql(
+            "SELECT DISTINCT o_custkey FROM orders PER PARTITION LIMIT 1"))
+    with pytest.raises(CqlError, match="aggregates"):
+        validate_cql(parse_cql(
+            "SELECT DISTINCT count(*) FROM orders GROUP BY o_custkey"))
+    with pytest.raises(CqlError, match="restricted by"):
+        validate_cql(parse_cql(
+            "SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderdate > '1995-01-01 00:00:00' ALLOW FILTERING"))
+
+
+def test_select_distinct_executes(spark):
+    df = cql_select(
+        load_table(spark, SF_DIR, "orders"),
+        "SELECT DISTINCT o_custkey FROM orders LIMIT 5")
+    rows = df.collect()
+    assert len(rows) == 5
+    assert df.columns == ["o_custkey"]
+    assert len({r["o_custkey"] for r in rows}) == 5
