@@ -245,7 +245,7 @@ def _metric_column(name: str, spec: dict):
     from cassandra_elasticsearch_sync_spark.parity import davg, dsum
 
     (kind, body), = spec.items()
-    field = body["field"]
+    field = body.get("field")
     if kind == "sum":
         return dsum(field, 2).alias(name)
     if kind == "avg":
@@ -256,6 +256,15 @@ def _metric_column(name: str, spec: dict):
         return F.max(field).alias(name)
     if kind == "value_count":
         return F.count(field).alias(name)
+    if kind == "weighted_avg":
+        # ES weighted_avg metric: sum(value*weight)/sum(weight). Both
+        # sums go through the decimal-exact rescale (value*weight keeps
+        # <= 2 decimal digits for this corpus's 2-dp values x integer
+        # weights), then ONE IEEE division of two exact doubles -
+        # bit-parity safe, rounded to 6 dp like every returned float.
+        v = F.col(body["value"]["field"])
+        w = F.col(body["weight"]["field"])
+        return F.round(dsum(v * w, 2) / dsum(w, 2), 6).alias(name)
     if kind == "cardinality":
         # ES's cardinality agg is HLL++-backed but EXACT below
         # precision_threshold (default 3000, docs-guaranteed); the
@@ -381,6 +390,50 @@ def es_aggregate(df: DataFrame, aggs: dict,
         return any(k in s for k in ("terms", "date_histogram", "range", "date_range", "composite",
                                     "significant_terms", "filter", "histogram",
                                     "rare_terms"))
+
+    if "filters" in spec:
+        # filters (plural) bucket agg: SEVERAL named sub-scopes, each
+        # with its own query and the SHARED metric sub-aggs - the
+        # multi-KPI dashboard row. ES evaluates every filter against
+        # every doc in ONE pass (buckets may overlap), so the compiler
+        # emits ONE aggregate with per-bucket masked columns
+        # (when(cond, x) - sum/count skip the nulls) and then reshapes
+        # the single result row into one row per named bucket with an
+        # explode(array(struct...)) projection: single scan, single
+        # shuffle-free map-side-partial agg, at any corpus size.
+        named = spec["filters"]["filters"]
+        sub = spec.get("aggs", {})
+        from cassandra_elasticsearch_sync_spark.parity import davg, dsum
+        agg_cols = []
+        metric_names = ["doc_count"] + list(sub)
+        for bname, q in named.items():
+            cond = compile_query(q)
+            agg_cols.append(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+                .alias(f"{bname}||doc_count"))
+            for n, s in sub.items():
+                (kind, body), = s.items()
+                masked = F.when(cond, F.col(body["field"]))
+                if kind == "sum":
+                    c = dsum(masked, 2)
+                elif kind == "avg":
+                    c = F.round(davg(masked, 4), 6)
+                elif kind == "min":
+                    c = F.min(masked)
+                elif kind == "max":
+                    c = F.max(masked)
+                elif kind == "value_count":
+                    c = F.count(masked)
+                else:
+                    raise ValueError(
+                        f"unsupported metric {kind!r} inside filters agg")
+                agg_cols.append(c.alias(f"{bname}||{n}"))
+        one = df.agg(*agg_cols)
+        return one.select(F.explode(F.array(*[
+            F.struct(F.lit(b).alias("key"),
+                     *[F.col(f"`{b}||{m}`").alias(m)
+                       for m in metric_names])
+            for b in named])).alias("b")).select("b.*")
 
     if "filter" in spec:
         # filter bucket: one named sub-scope of the search context with
@@ -1243,6 +1296,83 @@ def a3m_es_filter_agg(spark, sf_dir):
             "aggs": {
                 "urgent_revenue": {"sum": {"field": "o_totalprice"}},
                 "max_price": {"max": {"field": "o_totalprice"}},
+            },
+        }
+    })
+
+
+@register("a3ai_es_filters_named_buckets", "A3+D1", """
+SELECT 'urgent' AS key, COUNT(*) AS doc_count,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue,
+       MAX(o_totalprice) AS max_price
+FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT 'open', COUNT(*),
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE),
+       MAX(o_totalprice)
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'big', COUNT(*),
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE),
+       MAX(o_totalprice)
+FROM orders WHERE o_totalprice > 300000
+""", "ES `filters` (plural) bucket agg: three NAMED, OVERLAPPING "
+     "sub-scopes (urgent / open / big) sharing the same metric "
+     "sub-aggs - the multi-KPI dashboard row. Overlap is why this "
+     "cannot compile to a groupBy label: the engine emits ONE "
+     "map-side-partial aggregate with per-bucket masked columns and "
+     "reshapes the single result row via explode(array(struct...)) - "
+     "one scan, zero shuffles of row data, at any corpus size (the "
+     "oracle's 3-way UNION scans three times; ES and this compiler "
+     "scan once).")
+def a3ai_es_filters_named_buckets(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "kpis": {
+            "filters": {"filters": {
+                "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+                "open": {"term": {"o_orderstatus": "O"}},
+                "big": {"range": {"o_totalprice": {"gt": 300000}}},
+            }},
+            "aggs": {
+                "revenue": {"sum": {"field": "o_totalprice"}},
+                "max_price": {"max": {"field": "o_totalprice"}},
+            },
+        }
+    })
+
+
+@register("a3aj_es_weighted_avg", "A3+D5", """
+SELECT key, doc_count, w_price FROM (
+  SELECT l_returnflag AS key, COUNT(*) AS doc_count,
+         ROUND(
+           CAST(CAST(SUM(CAST(l_extendedprice * l_quantity
+                              AS DECIMAL(38,10))) AS DECIMAL(38,2))
+                AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10)))
+                       AS DECIMAL(38,2)) AS DOUBLE), 6) AS w_price
+  FROM lineitem GROUP BY 1
+) ORDER BY doc_count DESC, key LIMIT 5
+""", "ES weighted_avg metric agg inside terms buckets: the "
+     "quantity-weighted mean unit price per return flag. Numerator "
+     "and denominator each go through the decimal-exact sum rescale "
+     "(value*weight keeps 2 decimal digits: 2-dp price x integer "
+     "quantity), then ONE IEEE division of two exact doubles - "
+     "bit-parity with the oracle's identical expression tree. Same "
+     "partial-agg + TakeOrdered bucket shape as every terms agg.")
+def a3aj_es_weighted_avg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return es_aggregate(li, {
+        "by_flag": {
+            "terms": {"field": "l_returnflag", "size": 5},
+            "aggs": {
+                "w_price": {"weighted_avg": {
+                    "value": {"field": "l_extendedprice"},
+                    "weight": {"field": "l_quantity"},
+                }},
             },
         }
     })
