@@ -419,3 +419,30 @@ def test_geo_bounding_box_and_antimeridian_wrap(spark):
         "bottom_right": {"lat": 0.0, "lon": -160.0}}}}
     got = sorted(r["id"] for r in es_search(pts, wrap).collect())
     assert got == [1, 2]
+
+
+def test_filters_agg_empty_bucket_matches_es_shape(spark):
+    """ES `filters` agg always returns every named bucket - an empty
+    one carries doc_count 0 and NULL metrics (no sum of nothing).
+    Also pins bucket order = spec order (ES keyed response order)."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_aggregate
+
+    o = load_table(spark, SF_DIR, "orders")
+    out = es_aggregate(o, {
+        "kpis": {
+            "filters": {"filters": {
+                "none": {"term": {"o_orderstatus": "ZZZ"}},
+                "all": {"range": {"o_totalprice": {"gte": 0}}},
+            }},
+            "aggs": {
+                "revenue": {"sum": {"field": "o_totalprice"}},
+                "max_price": {"max": {"field": "o_totalprice"}},
+            },
+        }
+    }).collect()
+    assert [r["key"] for r in out] == ["none", "all"]
+    none, all_ = out
+    assert none["doc_count"] == 0
+    assert none["revenue"] is None and none["max_price"] is None
+    assert all_["doc_count"] == o.count()
+    assert all_["max_price"] is not None
