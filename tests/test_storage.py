@@ -109,3 +109,30 @@ def test_json_ingest_corrupt_record_handling(spark):
         assert len(corrupt) == 1 and "BROKEN" in corrupt[0]["_corrupt_record"]
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_load_table_relation_cache_hits_and_invalidates(spark, tmp_path):
+    """catalog.load_table shares one analyzed relation per (session,
+    path, mtime): same object on a repeat call (no re-listing), and a
+    REWRITE of the path (new mtime) misses the cache and sees the new
+    data - the safety property that makes default-on caching sound."""
+    import shutil
+    import time as _time
+
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    src = spark.range(5).selectExpr("id AS r_regionkey", "'x' AS r_name")
+    src.write.parquet(str(d / "region.parquet"))
+    a = load_table(spark, str(d), "region")
+    b = load_table(spark, str(d), "region")
+    assert a is b, "repeat load of an unchanged path must hit the cache"
+    assert a.count() == 5
+    _time.sleep(0.05)  # ensure a distinct mtime even on coarse clocks
+    shutil.rmtree(d / "region.parquet")
+    spark.range(9).selectExpr("id AS r_regionkey", "'y' AS r_name") \
+        .write.parquet(str(d / "region.parquet"))
+    c = load_table(spark, str(d), "region")
+    assert c is not a, "rewritten path must miss the cache"
+    assert c.count() == 9
