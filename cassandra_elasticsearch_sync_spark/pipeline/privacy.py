@@ -262,3 +262,158 @@ def k_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey", "c_mktsegment", "bal_band", "group_size",
         "l_distinct", (F.col("l_distinct") < 2).alias("violates_l2"),
     )
+
+
+@register("k_t_closeness_audit", "K4+D5", """
+WITH cls AS (
+  SELECT o_orderstatus AS status,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS p
+  FROM orders
+),
+class_tot AS (SELECT status, yr, COUNT(*) AS n_c FROM cls GROUP BY 1, 2),
+gdist AS (SELECT p, COUNT(*) AS g_p FROM cls GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM cls),
+cp AS (SELECT status, yr, p, COUNT(*) AS cnt FROM cls GROUP BY 1, 2, 3),
+grid AS (
+  SELECT ct.status, ct.yr, ct.n_c, g.p, g.g_p,
+         COALESCE(cp.cnt, 0) AS cnt, t.n
+  FROM class_tot ct CROSS JOIN gdist g CROSS JOIN tot t
+  LEFT JOIN cp ON cp.status = ct.status AND cp.yr = ct.yr AND cp.p = g.p
+),
+cum AS (
+  SELECT status, yr, n_c, n, p,
+         SUM(cnt * n - g_p * n_c)
+           OVER (PARTITION BY status, yr ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS d
+  FROM grid
+)
+SELECT status, yr, group_size, t_emd, t_emd > 0.15 AS violates_t
+FROM (
+  SELECT status, yr, n_c AS group_size,
+         ROUND(CAST(SUM(ABS(d)) AS DOUBLE)
+               / (CAST(n_c AS DOUBLE) * n * 4), 6) AS t_emd
+  FROM cum GROUP BY status, yr, n_c, n
+)
+""", "t-closeness audit - the third rung of the release-safety "
+     "ladder (k_anonymity_audit: class sizes; k_l_diversity_audit: "
+     "sensitive-value variety; here: sensitive-value DISTRIBUTION "
+     "distance). Per quasi-identifier class (order status x year), "
+     "the Earth Mover's Distance between the class's distribution of "
+     "the ORDERED sensitive attribute (priority rank 1..5) and the "
+     "global distribution: EMD = sum_k |D_k| / (n_c*N*(m-1)) where "
+     "D_k is the cumulative INTEGER cross-multiplied deviation "
+     "sum_{p<=k}(cnt_cp*N - g_p*n_c) - every quantity an exact "
+     "bigint until ONE final division, so the audit is "
+     "bit-deterministic (same technique as the CUSUM changepoint). "
+     "Shape: three grouped counts (all map-side partial), a "
+     "classes x 5 broadcast grid, bounded windows over 5 ordered "
+     "rows per class - linear scan cost, class-bounded everything "
+     "else, at any corpus size.")
+def k_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cls = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("p"),
+    )
+    class_tot = cls.groupBy("status", "yr").agg(F.count("*").alias("n_c"))
+    glob = cls.groupBy("p").agg(F.count("*").alias("g_p"))
+    tot = cls.agg(F.count("*").alias("n"))
+    cp = cls.groupBy("status", "yr", "p").agg(F.count("*").alias("cnt"))
+    grid = (
+        class_tot.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cp, ["status", "yr", "p"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    w = (Window.partitionBy("status", "yr").orderBy("p")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = grid.select(
+        "status", "yr", "n_c", "n", "p",
+        F.sum(F.col("cnt") * F.col("n") - F.col("g_p") * F.col("n_c"))
+        .over(w).alias("d"),
+    )
+    out = cum.groupBy("status", "yr", "n_c", "n").agg(
+        F.round(F.sum(F.abs("d")).cast("double")
+                / (F.col("n_c").cast("double") * F.col("n") * 4), 6)
+        .alias("t_emd"))
+    return out.select(
+        "status", "yr", F.col("n_c").alias("group_size"), "t_emd",
+        (F.col("t_emd") > 0.15).alias("violates_t"),
+    )
+
+
+@register("k_url_canonical_dedup", "K1+K4", r"""
+WITH seeded AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN UPPER('site' || CAST(doc_id % 10 AS VARCHAR)
+                             || '.example.org')
+                  ELSE 'site' || CAST(doc_id % 10 AS VARCHAR)
+                       || '.example.org' END)
+         || '/p/' || CAST(doc_id % 25 AS VARCHAR)
+         || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN '?utm_source=feed' ELSE '' END)
+         AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(LOWER(url), '^https?://', ''),
+               '^www\.', ''),
+             '\?utm.*$', ''),
+           '/$', '') AS canonical_url
+  FROM seeded
+)
+SELECT canonical_url,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_variants,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM canon GROUP BY 1
+""", "Canonical-URL deduplication - the web-pipeline dedup that runs "
+     "BEFORE any content hashing: URLs that differ only by scheme "
+     "(http/https), www. prefix, host case, trailing slash, or "
+     "tracking query params are the same page. Each doc gets a "
+     "deterministically-seeded raw URL exercising all five noise "
+     "axes; canonicalization is lower + four anchored regex strips "
+     "(identical RE2-subset patterns on both engines), then a "
+     "grouped keep-smallest-doc_id - K1's exact-dedup shape keyed by "
+     "the canonical string. Narrow map + one grouped aggregate: "
+     "map-side partial, linear at any corpus size.")
+def k_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("site"), (did % 10).cast("string"),
+                    F.lit(".example.org"))
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.upper(host)).otherwise(host),
+        F.lit("/p/"), (did % 25).cast("string"),
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "^https?://", ""),
+                r"^www\.", ""),
+            r"\?utm.*$", ""),
+        "/$", "")
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count("*").alias("n_variants"),
+             F.countDistinct("doc_id").alias("n_docs"))
+    )
