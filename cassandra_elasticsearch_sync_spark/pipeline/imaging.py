@@ -265,18 +265,65 @@ def png_rgb_bytes(width: int, height: int, seed: int) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def png_palette_bytes(width: int, height: int, seed: int) -> bytes:
+    """A REAL 8-bit palette (color type 3) PNG with planted indexes:
+    pixel (x, y) holds palette index seed + x + 2*y (no mod wrap for
+    seed <= 210 at 16x16), palette entry p = (p, 255-p, p//2). Rows
+    cycle filters row%5 over the 1-byte-per-pixel index stream, so a
+    decoder must unfilter AND palette-map correctly to recover the
+    planted channel means."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    palette = bytearray()
+    for p in range(256):
+        palette += bytes((p, 255 - p, p // 2))
+    out = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = bytearray((seed + x + 2 * y) % 256 for x in range(width))
+        f = y % 5
+        out.append(f)
+        for i in range(width):
+            a = row[i - 1] if i >= 1 else 0
+            b = prev[i]
+            c = prev[i - 1] if i >= 1 else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = (row[i] - a) % 256
+            elif f == 2:
+                v = (row[i] - b) % 256
+            elif f == 3:
+                v = (row[i] - (a + b) // 2) % 256
+            else:
+                v = (row[i] - _paeth(a, b, c)) % 256
+            out.append(v)
+        prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", bytes(palette))
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
 def decode_png_pixels(raw: bytes | None):
     """Full PNG pixel decode: returns (width, height, channels,
     flat pixel bytes) or None for anything that is not a supported
-    PNG (8-bit grey/RGB, non-interlaced). Walks chunks with length
-    fields (IDAT may be split - they concatenate), inflates, and
-    unfilters every scanline per its filter byte."""
+    PNG (8-bit grey/RGB/palette, non-interlaced). Walks chunks with
+    length fields (IDAT may be split - they concatenate), inflates,
+    unfilters every scanline per its filter byte, and maps palette
+    indexes through PLTE (color type 3 returns 3-channel RGB)."""
     if not raw or raw[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     try:
         i, n = 8, len(raw)
         width = height = None
         channels = None
+        color = None
+        plte = None
         idat = bytearray()
         while i + 8 <= n:
             (length,), tag = struct.unpack(">I", raw[i:i + 4]), raw[i + 4:i + 8]
@@ -284,9 +331,13 @@ def decode_png_pixels(raw: bytes | None):
             if tag == b"IHDR":
                 width, height, bit_depth, color, _, _, interlace = \
                     struct.unpack(">IIBBBBB", body)
-                if bit_depth != 8 or color not in (0, 2) or interlace != 0:
+                if bit_depth != 8 or color not in (0, 2, 3) or interlace != 0:
                     return None
-                channels = 1 if color == 0 else 3
+                channels = 1 if color in (0, 3) else 3
+            elif tag == b"PLTE":
+                if length % 3 != 0 or length == 0:
+                    return None
+                plte = bytes(body)
             elif tag == b"IDAT":
                 idat += body
             elif tag == b"IEND":
@@ -294,6 +345,8 @@ def decode_png_pixels(raw: bytes | None):
             i += 12 + length  # len + tag + body + crc
         if width is None or not idat:
             return None
+        if color == 3 and plte is None:
+            return None                      # palette image needs PLTE
         data = zlib.decompress(bytes(idat))
         bpp = channels
         stride = width * bpp
@@ -326,6 +379,16 @@ def decode_png_pixels(raw: bytes | None):
                 return None
             pixels[y * stride:(y + 1) * stride] = row
             prev = bytes(row)
+        if color == 3:
+            # palette map AFTER unfiltering (filters run over the
+            # index stream, per spec); out-of-range index = corrupt
+            n_entries = len(plte) // 3
+            rgb = bytearray(width * height * 3)
+            for k, idx in enumerate(pixels):
+                if idx >= n_entries:
+                    return None
+                rgb[3 * k:3 * k + 3] = plte[3 * idx:3 * idx + 3]
+            return (width, height, 3, bytes(rgb))
         return (width, height, channels, bytes(pixels))
     except (struct.error, zlib.error, IndexError):
         return None

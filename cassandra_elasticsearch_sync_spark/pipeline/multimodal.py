@@ -468,6 +468,44 @@ def k6f_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_jpeg_batch, JPEG_PIXEL_SCHEMA)
 
 
+@register("k6l_png_palette_decode", "K6", """
+WITH grid AS (SELECT x, y FROM RANGE(16) r1(x), RANGE(16) r2(y)),
+m AS (
+  SELECT d.doc_id, (d.doc_id % 210) + g.x + 2 * g.y AS p
+  FROM documents d CROSS JOIN grid g
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(SUM(p) AS DOUBLE) / 256 AS mean_r,
+       CAST(SUM(255 - p) AS DOUBLE) / 256 AS mean_g,
+       CAST(SUM(p // 2) AS DOUBLE) / 256 AS mean_b
+FROM m GROUP BY doc_id
+""", "Palette (indexed-color, type 3) PNG pixel decode - the common "
+     "web-PNG profile k6e's grey/RGB decoder still rejected. "
+     "Payloads are real palette PNGs: PLTE entry p = (p, 255-p, "
+     "p//2), planted index seed+x+2y (seed = doc_id % 210 keeps "
+     "every index wrap-free), scanlines rotating all five filters "
+     "over the INDEX stream (per spec, filtering precedes palette "
+     "mapping - decoding in the wrong order corrupts every non-None "
+     "filter row). The oracle recomputes the exact channel means "
+     "over the planted 16x16 grid (sums of ints / 256 - dyadic, "
+     "bit-exact on both engines). Same Arrow-batched mapInPandas "
+     "plumbing + generic channel-mean reducer as k6e.")
+def k6l_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        png_palette_bytes,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(lambda d: png_palette_bytes(16, 16, int(d) % 210))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_pixel_batch, PIXEL_SCHEMA)
+
+
 @register("k6k_jpeg_restart_decode", "K6", """
 SELECT doc_id, 24 AS width, 24 AS height,
        CAST(doc_id % 130 AS DOUBLE) + 60.0 AS mean_gray

@@ -478,3 +478,36 @@ def test_jpeg_dri_corrupt_streams_rejected():
     assert decode_gray_jpeg(bytes(wrong)) is None
     missing = raw[:i] + raw[i + 2:]        # marker deleted entirely
     assert decode_gray_jpeg(bytes(missing)) is None
+
+
+def test_png_palette_roundtrip_and_rejects():
+    """Palette (type 3) PNG: planted indexes recovered bit-exactly
+    through unfilter-then-palette-map; PLTE-less palette images and
+    out-of-range indexes are rejected, not guessed."""
+    import struct
+    import zlib
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_png_pixels,
+        png_palette_bytes,
+    )
+
+    raw = png_palette_bytes(16, 16, 100)
+    w, h, ch, px = decode_png_pixels(raw)
+    assert (w, h, ch) == (16, 16, 3)
+    for y in range(16):
+        for x in range(16):
+            p = 100 + x + 2 * y
+            k = (y * 16 + x) * 3
+            assert px[k:k + 3] == bytes((p, 255 - p, p // 2)), (x, y)
+    # strip PLTE -> corrupt
+    i = raw.find(b"PLTE") - 4
+    (ln,) = struct.unpack(">I", raw[i:i + 4])
+    assert decode_png_pixels(raw[:i] + raw[i + 12 + ln:]) is None
+    # truncate the palette below the max planted index -> corrupt
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    short_plte = chunk(b"PLTE", bytes(30))  # 10 entries only
+    trunc = raw[:i] + short_plte + raw[i + 12 + ln:]
+    assert decode_png_pixels(trunc) is None
