@@ -19,10 +19,16 @@ IDCT scale and every recovered pixel moves.
 
 Chroma 4:2:0 lives in the second half of this module; DRI/RSTn
 restart-marker streams (the common camera-JPEG resync feature) decode
-in both profiles: predictor reset + byte realignment + marker-index
-sequence check at every declared interval. Progressive scans and
-other subsamplings remain out of scope (documented); the decoder
-rejects them rather than guessing.
+in both sequential profiles: predictor reset + byte realignment +
+marker-index sequence check at every declared interval. PROGRESSIVE
+(SOF2) grayscale decodes too - multi-scan spectral selection +
+successive approximation in both DC and AC directions, EOBRUN coding,
+refinement correction bits (ITU T.81 G.2); `decode_gray_jpeg`
+dispatches SOF2 streams automatically, and the progressive path is
+cross-checked in tests against the baseline decode of the same
+coefficient blocks. Still out of scope (rejected, not guessed):
+progressive color, subsamplings other than 4:2:0, arithmetic coding,
+restarts inside progressive scans.
 """
 
 from __future__ import annotations
@@ -299,7 +305,9 @@ def decode_gray_jpeg(raw: bytes | None):
                 if ncomp != 1 or body[7] != 0x11:
                     return None              # grayscale, no subsampling
                 qtab_id = body[8]
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker == 0xC2:             # progressive: own decoder
+                return decode_gray_progressive_jpeg(raw)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None                  # non-baseline-sequential
             elif marker == 0xDD:             # DRI
@@ -663,3 +671,418 @@ def planted_ycbcr420_jpeg(width: int, height: int, y0: int, cb0: int,
         b2[0] = cr0 - 128
         crb.append(b2)
     return encode_ycbcr420_jpeg(width, height, yb, cbb, crb, quant, quant)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2), grayscale: spectral selection + successive
+# approximation, both directions. The encoder emits a conforming
+# multi-scan stream (DC-first + DC-refinement, AC band scans with
+# EOBRUN coding, AC refinement with correction bits - ITU T.81 G.1/G.2);
+# the decoder accumulates coefficients across scans and shares the
+# dequant+IDCT backend with the baseline path. Restart markers inside
+# progressive scans are out of scope (rejected, not guessed).
+# ---------------------------------------------------------------------------
+
+# Progressive AC tables additionally need the EOBn symbols
+# (r<<4 | 0 for r=1..14); still one canonical length-8 class.
+_AC_VALS_PROG = _AC_VALS + [(r << 4) for r in range(1, 15)]
+_AC_BITS_PROG = [0] * 16
+_AC_BITS_PROG[7] = len(_AC_VALS_PROG)
+
+# Default scan script: DC at Al=1 then refined, low AC band at Al=1
+# then refined, high band directly - exercises every progressive
+# decode path (DC first/refine, AC first with EOBRUN, AC refine with
+# correction bits and insertions).
+_DEFAULT_SCANS = (
+    (0, 0, 0, 1),     # DC first, point transform 1
+    (0, 0, 1, 0),     # DC refinement
+    (1, 5, 0, 1),     # AC band 1-5 first, Al=1
+    (6, 63, 0, 0),    # AC band 6-63 first, Al=0
+    (1, 5, 1, 0),     # AC band 1-5 refinement
+)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: v / 2^Al rounded toward zero."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_eobrun(w: _BitWriter, ac_codes, eobrun: int,
+                 pending: list[int]) -> int:
+    """Flush an accumulated EOB run (EOBn symbol + length bits), then
+    the correction bits gathered while the run formed (refinement
+    scans carry them; first scans pass an empty list)."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_codes[(r << 4)]
+        w.write(code, ln)
+        if r:
+            w.write(eobrun - (1 << r), r)
+        for b in pending:
+            w.write(b, 1)
+        pending.clear()
+    return 0
+
+
+def encode_gray_progressive_jpeg(width: int, height: int,
+                                 blocks: list[list[int]],
+                                 quant: list[int],
+                                 scans=_DEFAULT_SCANS) -> bytes:
+    """Conforming progressive (SOF2) grayscale JPEG from QUANTIZED
+    zig-zag blocks, multi-scan per the given (Ss, Se, Ah, Al) script."""
+    assert width % 8 == 0 and height % 8 == 0
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _build_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+    scan_payloads = []
+    for (ss, se, ah, al) in scans:
+        w = _BitWriter()
+        if ss == 0:                                   # DC scan
+            assert se == 0
+            if ah == 0:                               # first
+                prev = 0
+                for blk in blocks:
+                    v = blk[0] >> al                  # arithmetic shift
+                    diff = v - prev
+                    prev = v
+                    cat = _category(diff)
+                    code, ln = dc_codes[cat]
+                    w.write(code, ln)
+                    if cat:
+                        bits = diff if diff >= 0 else diff + (1 << cat) - 1
+                        w.write(bits, cat)
+            else:                                     # refinement: raw bits
+                # two's-complement bit of the true DC (python ints
+                # behave as infinite two's complement, so >> & 1 is
+                # the spec's successive-approximation bit for negative
+                # values too)
+                for blk in blocks:
+                    w.write((blk[0] >> al) & 1, 1)
+        elif ah == 0:                                 # AC first scan
+            eobrun = 0
+            for blk in blocks:
+                band = [(k, _pt(blk[k], al)) for k in range(ss, se + 1)]
+                nz = [i for i, (_, v) in enumerate(band) if v != 0]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun = _emit_eobrun(w, ac_codes, eobrun, [])
+                    continue
+                eobrun = _emit_eobrun(w, ac_codes, eobrun, [])
+                run = 0
+                last_nz = nz[-1]
+                for i, (_, v) in enumerate(band[:last_nz + 1]):
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        w.write(code, ln)
+                        run -= 16
+                    size = _category(v)
+                    code, ln = ac_codes[(run << 4) | size]
+                    w.write(code, ln)
+                    bits = v if v >= 0 else v + (1 << size) - 1
+                    w.write(bits, size)
+                    run = 0
+                if last_nz < len(band) - 1:
+                    eobrun += 1                       # trailing zeros -> EOB
+            _emit_eobrun(w, ac_codes, eobrun, [])
+        else:                                         # AC refinement
+            eobrun = 0
+            pending: list[int] = []
+            for blk in blocks:
+                band = list(range(ss, se + 1))
+                # newly-appearing coefficients this scan: |coef|>>Al == 1
+                # and was 0 at the coarser approximation (|coef|>>Ah==0)
+                def newly(k):
+                    return (abs(blk[k]) >> al) == 1
+                nz_new = [k for k in band if newly(k)]
+                if not nz_new:
+                    # no insertions: whole band joins the EOB run; its
+                    # nonzero-history corrections ride along
+                    for k in band:
+                        if (abs(blk[k]) >> al) > 1:
+                            pending.append((abs(blk[k]) >> al) & 1)
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
+                    continue
+                eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
+                run = 0
+                corrections: list[int] = []
+                last_new = nz_new[-1]
+                for k in band:
+                    if k > last_new:
+                        break
+                    mag = abs(blk[k]) >> al
+                    if mag > 1:                       # nonzero history
+                        corrections.append(mag & 1)
+                        continue
+                    if mag == 0:
+                        run += 1
+                        if run == 16:
+                            code, ln = ac_codes[0xF0]
+                            w.write(code, ln)
+                            for b in corrections:
+                                w.write(b, 1)
+                            corrections = []
+                            run = 0
+                        continue
+                    # mag == 1: insertion
+                    code, ln = ac_codes[(run << 4) | 1]
+                    w.write(code, ln)
+                    w.write(1 if blk[k] > 0 else 0, 1)
+                    for b in corrections:
+                        w.write(b, 1)
+                    corrections = []
+                    run = 0
+                # coefficients after the last insertion: EOB run starts;
+                # their corrections attach to the NEXT EOBrun/symbol
+                tail_hist = [(abs(blk[k]) >> al) & 1
+                             for k in band if k > last_new
+                             and (abs(blk[k]) >> al) > 1]
+                if last_new < band[-1]:
+                    pending.extend(tail_hist)
+                    eobrun += 1
+            _emit_eobrun(w, ac_codes, eobrun, pending)
+        scan_payloads.append(((ss, se, ah, al), w.flush()))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes(quant))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 1)
+               + b"\x01\x11\x00")                     # SOF2
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS_PROG)
+               + bytes(_AC_VALS_PROG))
+    for (ss, se, ah, al), payload in scan_payloads:
+        out += seg(0xFFDA, b"\x01\x01\x00"
+                   + bytes((ss, se, (ah << 4) | al)))
+        out += payload
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _scan_end(raw: bytes, start: int) -> int:
+    """End of an entropy-coded segment: the next 0xFF followed by a
+    real marker byte (not 0x00 stuffing, not RST0-7)."""
+    i = start
+    n = len(raw)
+    while i + 1 < n:
+        if raw[i] == 0xFF and raw[i + 1] != 0x00 \
+                and not (0xD0 <= raw[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return n
+
+
+def decode_gray_progressive_jpeg(raw: bytes | None):
+    """Progressive (SOF2) grayscale decode: accumulates quantized
+    coefficients across every scan - DC first + successive-
+    approximation refinements (raw bits), AC spectral-selection band
+    scans with EOBRUN coding, AC refinement with history-correction
+    bits and +-1 insertions (ITU T.81 G.2) - then dequantizes and
+    IDCTs once. Returns (width, height, flat pixels) or None.
+    Restart intervals inside progressive scans are rejected."""
+    if not raw or raw[:2] != b"\xff\xd8":
+        return None
+    try:
+        i, n = 2, len(raw)
+        quant: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        width = height = None
+        qtab_id = None
+        scans = []          # ((dc_id, ac_id, ss, se, ah, al), payload)
+        while i + 4 <= n:
+            if raw[i] != 0xFF:
+                return None
+            marker = raw[i + 1]
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack(">H", raw[i + 2:i + 4])[0]
+            body = raw[i + 4:i + 2 + seg_len]
+            if marker == 0xDB:
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 0x0F
+                    if pq != 0:
+                        return None
+                    quant[tq] = list(body[j + 1:j + 65])
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 0x0F
+                    bits = list(body[j + 1:j + 17])
+                    nv = sum(bits)
+                    vals = list(body[j + 17:j + 17 + nv])
+                    codes = _build_codes(bits, vals)
+                    huff[(tc, th)] = {(c, ln): sym
+                                      for sym, (c, ln) in codes.items()}
+                    j += 17 + nv
+            elif marker == 0xC2:
+                _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if ncomp != 1 or body[7] != 0x11:
+                    return None
+                qtab_id = body[8]
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None                  # not this profile
+            elif marker == 0xDD:
+                if struct.unpack(">H", body[:2])[0] != 0:
+                    return None              # restarts in progressive: no
+            elif marker == 0xDA:
+                if body[0] != 1:
+                    return None
+                dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+                ss, se, a = body[3], body[4], body[5]
+                start = i + 2 + seg_len
+                end = _scan_end(raw, start)
+                scans.append(((dc_id, ac_id, ss, se, a >> 4, a & 0x0F),
+                              raw[start:end]))
+                i = end
+                continue
+            i += 2 + seg_len
+        if width is None or not scans:
+            return None
+
+        bw, bh = (width + 7) // 8, (height + 7) // 8
+        nblocks = bw * bh
+        coef = [[0] * 64 for _ in range(nblocks)]  # zig-zag order
+
+        for (dc_id, ac_id, ss, se, ah, al), payload in scans:
+            reader = _BitReader(payload)
+            if ss == 0:                               # DC scan
+                if se != 0:
+                    return None
+                if ah == 0:                           # first
+                    dc_tab = huff[(0, dc_id)]
+                    prev = 0
+                    for b in range(nblocks):
+                        cat = _decode_huff(reader, dc_tab)
+                        diff = _extend(reader.bits(cat), cat) if cat else 0
+                        prev += diff
+                        coef[b][0] = prev << al
+                else:                                 # refinement bit
+                    for b in range(nblocks):
+                        if reader.bit():
+                            coef[b][0] |= 1 << al
+            elif ah == 0:                             # AC first scan
+                ac_tab = huff[(1, ac_id)]
+                eobrun = 0
+                for b in range(nblocks):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _decode_huff(reader, ac_tab)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16               # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC band overflow")
+                        coef[b][k] = _extend(reader.bits(s), s) << al
+                        k += 1
+            else:                                     # AC refinement
+                ac_tab = huff[(1, ac_id)]
+                p1, m1 = 1 << al, -1 << al
+
+                def refine(bq, k):
+                    if coef[bq][k] > 0 and reader.bit():
+                        coef[bq][k] += p1
+                    elif coef[bq][k] < 0 and reader.bit():
+                        coef[bq][k] += m1
+                eobrun = 0
+                for b in range(nblocks):
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _decode_huff(reader, ac_tab)
+                            r, s = sym >> 4, sym & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r)
+                                    if r:
+                                        eobrun += reader.bits(r)
+                                    break             # rest joins EOB pass
+                                # r == 15: ZRL - skip 16 zero-history
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement size must be 1")
+                                newval = p1 if reader.bit() else m1
+                            # advance past r zero-history coefs,
+                            # refining nonzero-history along the way
+                            while k <= se:
+                                if coef[b][k] != 0:
+                                    refine(b, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                coef[b][k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # EOB pass: refine every remaining nonzero-
+                        # history coefficient of this block's band
+                        while k <= se:
+                            if coef[b][k] != 0:
+                                refine(b, k)
+                            k += 1
+                        eobrun -= 1
+
+        q = quant[qtab_id]
+        pixels = bytearray(bw * 8 * bh * 8)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = coef[by * bw + bx]
+                c = [0.0] * 64
+                for zi, bi in enumerate(ZIGZAG):
+                    c[bi] = zz[zi] * q[zi]
+                blk = _idct_block(c)
+                row_w = bw * 8
+                for y in range(8):
+                    dst = (by * 8 + y) * row_w + bx * 8
+                    pixels[dst:dst + 8] = bytes(blk[y * 8:(y + 1) * 8])
+        if bw * 8 == width:
+            out = bytes(pixels[:height * width])
+        else:
+            row_w = bw * 8
+            out = b"".join(bytes(pixels[y * row_w:y * row_w + width])
+                           for y in range(height))
+        return (width, height, out)
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
+def planted_gray_progressive_jpeg(width: int, height: int,
+                                  seed: int) -> bytes:
+    """Progressive twin of planted_gray_jpeg: the same DC-only planted
+    blocks (v = (seed + 8*bi) % 200 + 28, Q[0]=8 -> bit-exact round
+    trip) shipped as a 5-scan SOF2 stream (DC first at Al=1, DC
+    refinement, two AC band scans, AC refinement) - so recovering the
+    constants requires the whole progressive machinery: shifted DC
+    accumulation, refinement-bit OR, and EOBRUN skipping across every
+    AC scan (the bands are all-zero, i.e. pure EOB runs)."""
+    bw, bh = width // 8, height // 8
+    quant = [8] + [16] * 63
+    blocks = []
+    for bi in range(bw * bh):
+        v = (seed + bi * 8) % 200 + 28
+        blk = [0] * 64
+        blk[0] = v - 128
+        blocks.append(blk)
+    return encode_gray_progressive_jpeg(width, height, blocks, quant)

@@ -468,6 +468,39 @@ def k6f_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_jpeg_batch, JPEG_PIXEL_SCHEMA)
 
 
+@register("k6m_jpeg_progressive_decode", "K6", """
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(doc_id % 176 AS DOUBLE) + 40.0 AS mean_gray
+FROM documents
+""", "PROGRESSIVE (SOF2) JPEG pixel decode - the profile VERDICT r4 "
+     "named the K6 decoder's most visible remaining gap. Payloads "
+     "are conforming 5-scan progressive streams (DC first at point "
+     "transform 1, DC successive-approximation refinement, two AC "
+     "spectral-selection band scans, AC refinement) of the same "
+     "DC-only planted blocks as k6f, so the analytic oracle mean "
+     "only survives if shifted-DC accumulation, refinement-bit OR, "
+     "and EOBRUN skipping across every scan are all exactly right. "
+     "The AC insertion/correction machinery (non-zero bands) is "
+     "cross-checked against the baseline decoder on random "
+     "coefficient blocks in tests/test_imaging.py. Same mapInPandas "
+     "plumbing as k6f; decode_gray_jpeg dispatches SOF2 itself.")
+def k6m_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        planted_gray_progressive_jpeg,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(
+            lambda d: planted_gray_progressive_jpeg(16, 16, int(d) % 176))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_jpeg_batch, JPEG_PIXEL_SCHEMA)
+
+
 @register("k6l_png_palette_decode", "K6", """
 WITH grid AS (SELECT x, y FROM RANGE(16) r1(x), RANGE(16) r2(y)),
 m AS (

@@ -511,3 +511,93 @@ def test_png_palette_roundtrip_and_rejects():
     short_plte = chunk(b"PLTE", bytes(30))  # 10 entries only
     trunc = raw[:i] + short_plte + raw[i + 12 + ln:]
     assert decode_png_pixels(trunc) is None
+
+
+def test_jpeg_progressive_equals_baseline_random_blocks():
+    """Progressive (SOF2) decode == baseline decode of the SAME
+    quantized blocks, across random dense corpora, a deep
+    successive-approximation scan script, EOBRUN/ZRL-heavy sparse
+    corpora, negative DCs, and the all-zero image. The baseline
+    decoder is independently verified against a reference IDCT, so
+    equality here transfers that trust to every progressive path
+    (DC first/refine, AC first with EOBRUN, AC refine with
+    insertions + correction bits)."""
+    import random
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_gray_jpeg,
+        decode_gray_progressive_jpeg,
+        encode_gray_jpeg,
+        encode_gray_progressive_jpeg,
+    )
+
+    quant = [8] + [16] * 63
+    deep = ((0, 0, 0, 2), (0, 0, 2, 1), (0, 0, 1, 0),
+            (1, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0))
+    random.seed(42)
+    for trial in range(8):
+        blocks = []
+        for _ in range(12):
+            blk = [0] * 64
+            blk[0] = random.randint(-200, 200)
+            for _ in range(random.randint(0, 30)):
+                blk[random.randint(1, 63)] = random.randint(-100, 100)
+            blocks.append(blk)
+        base = decode_gray_jpeg(encode_gray_jpeg(32, 24, blocks, quant))
+        assert base is not None
+        for scans in (None, deep):
+            raw = (encode_gray_progressive_jpeg(32, 24, blocks, quant)
+                   if scans is None else
+                   encode_gray_progressive_jpeg(32, 24, blocks, quant, scans))
+            assert decode_gray_progressive_jpeg(raw) == base, (trial, scans)
+    # EOBRUN-heavy: long runs of empty blocks + deep ZRL gaps
+    blocks = []
+    for b in range(64):
+        blk = [0] * 64
+        if b % 13 == 0:
+            blk[0] = 40
+            blk[60] = 3
+        blocks.append(blk)
+    assert decode_gray_progressive_jpeg(
+        encode_gray_progressive_jpeg(64, 64, blocks, quant, deep)) == \
+        decode_gray_jpeg(encode_gray_jpeg(64, 64, blocks, quant))
+    # all-zero
+    z = [[0] * 64 for _ in range(4)]
+    assert decode_gray_progressive_jpeg(
+        encode_gray_progressive_jpeg(16, 16, z, quant)) == \
+        decode_gray_jpeg(encode_gray_jpeg(16, 16, z, quant))
+
+
+def test_jpeg_progressive_dispatch_and_planted():
+    """decode_gray_jpeg dispatches SOF2 automatically; the planted
+    progressive fixture recovers the same bit-exact pixels as its
+    baseline twin."""
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_gray_jpeg,
+        planted_gray_jpeg,
+        planted_gray_progressive_jpeg,
+    )
+
+    for seed in (0, 7, 100, 175):
+        a = decode_gray_jpeg(planted_gray_progressive_jpeg(16, 16, seed))
+        b = decode_gray_jpeg(planted_gray_jpeg(16, 16, seed))
+        assert a is not None and a == b
+
+
+def test_jpeg_progressive_rejects_out_of_scope():
+    """Nonzero DRI inside a progressive stream and truncated scans are
+    rejected, not guessed."""
+    import struct
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_gray_progressive_jpeg,
+        planted_gray_progressive_jpeg,
+    )
+
+    raw = planted_gray_progressive_jpeg(16, 16, 5)
+    # splice a DRI=2 segment before the first SOS
+    i = raw.find(b"\xff\xda")
+    dri = struct.pack(">HHH", 0xFFDD, 4, 2)
+    assert decode_gray_progressive_jpeg(raw[:i] + dri + raw[i:]) is None
+    # truncate mid-scan
+    assert decode_gray_progressive_jpeg(raw[:i + 20]) is None
