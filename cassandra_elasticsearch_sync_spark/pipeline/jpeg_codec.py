@@ -26,9 +26,12 @@ successive approximation in both DC and AC directions, EOBRUN coding,
 refinement correction bits (ITU T.81 G.2); `decode_gray_jpeg`
 dispatches SOF2 streams automatically, and the progressive path is
 cross-checked in tests against the baseline decode of the same
-coefficient blocks. Still out of scope (rejected, not guessed):
-progressive color, subsamplings other than 4:2:0, arithmetic coding,
-restarts inside progressive scans.
+coefficient blocks. Progressive COLOR decodes too: interleaved DC
+scans (MCU order, per-component predictors/tables) + per-component
+AC band and refinement scans over the 4:2:0 layout, sharing the same
+scan kernels; `decode_ycbcr420_jpeg` dispatches SOF2 automatically.
+Still out of scope (rejected, not guessed): subsamplings other than
+4:2:0, arithmetic coding, restarts inside progressive scans.
 """
 
 from __future__ import annotations
@@ -576,7 +579,9 @@ def decode_ycbcr420_jpeg(raw: bytes | None):
                 if (samplings.get(1) != 0x22 or samplings.get(2) != 0x11
                         or samplings.get(3) != 0x11):
                     return None              # only 4:2:0 here
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker == 0xC2:             # progressive: own decoder
+                return decode_ycbcr420_progressive_jpeg(raw)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None
             elif marker == 0xDD:
@@ -679,8 +684,10 @@ def planted_ycbcr420_jpeg(width: int, height: int, y0: int, cb0: int,
 # multi-scan stream (DC-first + DC-refinement, AC band scans with
 # EOBRUN coding, AC refinement with correction bits - ITU T.81 G.1/G.2);
 # the decoder accumulates coefficients across scans and shares the
-# dequant+IDCT backend with the baseline path. Restart markers inside
-# progressive scans are out of scope (rejected, not guessed).
+# dequant+IDCT backend with the baseline path. The color (4:2:0)
+# progressive codec further below reuses these scan kernels. Restart
+# markers inside progressive scans are out of scope (rejected, not
+# guessed).
 # ---------------------------------------------------------------------------
 
 # Progressive AC tables additionally need the EOBn symbols
@@ -724,6 +731,99 @@ def _emit_eobrun(w: _BitWriter, ac_codes, eobrun: int,
     return 0
 
 
+def _enc_ac_first_scan(w: _BitWriter, ac_codes, blocks, ss: int, se: int,
+                       al: int) -> None:
+    """Emit one progressive AC first scan over blocks in scan order."""
+    eobrun = 0
+    for blk in blocks:
+        band = [(k, _pt(blk[k], al)) for k in range(ss, se + 1)]
+        nz = [i for i, (_, v) in enumerate(band) if v != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(w, ac_codes, eobrun, [])
+            continue
+        eobrun = _emit_eobrun(w, ac_codes, eobrun, [])
+        run = 0
+        last_nz = nz[-1]
+        for i, (_, v) in enumerate(band[:last_nz + 1]):
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                w.write(code, ln)
+                run -= 16
+            size = _category(v)
+            code, ln = ac_codes[(run << 4) | size]
+            w.write(code, ln)
+            bits = v if v >= 0 else v + (1 << size) - 1
+            w.write(bits, size)
+            run = 0
+        if last_nz < len(band) - 1:
+            eobrun += 1                       # trailing zeros -> EOB
+    _emit_eobrun(w, ac_codes, eobrun, [])
+
+
+def _enc_ac_refine_scan(w: _BitWriter, ac_codes, blocks, ss: int, se: int,
+                        al: int) -> None:
+    """Emit one progressive AC refinement scan (correction bits +
+    +-1 insertions + EOBRUN with pending corrections)."""
+    eobrun = 0
+    pending: list[int] = []
+    for blk in blocks:
+        band = list(range(ss, se + 1))
+        nz_new = [k for k in band if (abs(blk[k]) >> al) == 1]
+        if not nz_new:
+            # no insertions: whole band joins the EOB run; its
+            # nonzero-history corrections ride along
+            for k in band:
+                if (abs(blk[k]) >> al) > 1:
+                    pending.append((abs(blk[k]) >> al) & 1)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
+            continue
+        eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
+        run = 0
+        corrections: list[int] = []
+        last_new = nz_new[-1]
+        for k in band:
+            if k > last_new:
+                break
+            mag = abs(blk[k]) >> al
+            if mag > 1:                       # nonzero history
+                corrections.append(mag & 1)
+                continue
+            if mag == 0:
+                run += 1
+                if run == 16:
+                    code, ln = ac_codes[0xF0]
+                    w.write(code, ln)
+                    for b in corrections:
+                        w.write(b, 1)
+                    corrections = []
+                    run = 0
+                continue
+            # mag == 1: insertion
+            code, ln = ac_codes[(run << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if blk[k] > 0 else 0, 1)
+            for b in corrections:
+                w.write(b, 1)
+            corrections = []
+            run = 0
+        # coefficients after the last insertion: EOB run starts;
+        # their corrections attach to the NEXT EOBrun/symbol
+        tail_hist = [(abs(blk[k]) >> al) & 1
+                     for k in band if k > last_new
+                     and (abs(blk[k]) >> al) > 1]
+        if last_new < band[-1]:
+            pending.extend(tail_hist)
+            eobrun += 1
+    _emit_eobrun(w, ac_codes, eobrun, pending)
+
+
 def encode_gray_progressive_jpeg(width: int, height: int,
                                  blocks: list[list[int]],
                                  quant: list[int],
@@ -757,94 +857,10 @@ def encode_gray_progressive_jpeg(width: int, height: int,
                 # values too)
                 for blk in blocks:
                     w.write((blk[0] >> al) & 1, 1)
-        elif ah == 0:                                 # AC first scan
-            eobrun = 0
-            for blk in blocks:
-                band = [(k, _pt(blk[k], al)) for k in range(ss, se + 1)]
-                nz = [i for i, (_, v) in enumerate(band) if v != 0]
-                if not nz:
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        eobrun = _emit_eobrun(w, ac_codes, eobrun, [])
-                    continue
-                eobrun = _emit_eobrun(w, ac_codes, eobrun, [])
-                run = 0
-                last_nz = nz[-1]
-                for i, (_, v) in enumerate(band[:last_nz + 1]):
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]
-                        w.write(code, ln)
-                        run -= 16
-                    size = _category(v)
-                    code, ln = ac_codes[(run << 4) | size]
-                    w.write(code, ln)
-                    bits = v if v >= 0 else v + (1 << size) - 1
-                    w.write(bits, size)
-                    run = 0
-                if last_nz < len(band) - 1:
-                    eobrun += 1                       # trailing zeros -> EOB
-            _emit_eobrun(w, ac_codes, eobrun, [])
-        else:                                         # AC refinement
-            eobrun = 0
-            pending: list[int] = []
-            for blk in blocks:
-                band = list(range(ss, se + 1))
-                # newly-appearing coefficients this scan: |coef|>>Al == 1
-                # and was 0 at the coarser approximation (|coef|>>Ah==0)
-                def newly(k):
-                    return (abs(blk[k]) >> al) == 1
-                nz_new = [k for k in band if newly(k)]
-                if not nz_new:
-                    # no insertions: whole band joins the EOB run; its
-                    # nonzero-history corrections ride along
-                    for k in band:
-                        if (abs(blk[k]) >> al) > 1:
-                            pending.append((abs(blk[k]) >> al) & 1)
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
-                    continue
-                eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
-                run = 0
-                corrections: list[int] = []
-                last_new = nz_new[-1]
-                for k in band:
-                    if k > last_new:
-                        break
-                    mag = abs(blk[k]) >> al
-                    if mag > 1:                       # nonzero history
-                        corrections.append(mag & 1)
-                        continue
-                    if mag == 0:
-                        run += 1
-                        if run == 16:
-                            code, ln = ac_codes[0xF0]
-                            w.write(code, ln)
-                            for b in corrections:
-                                w.write(b, 1)
-                            corrections = []
-                            run = 0
-                        continue
-                    # mag == 1: insertion
-                    code, ln = ac_codes[(run << 4) | 1]
-                    w.write(code, ln)
-                    w.write(1 if blk[k] > 0 else 0, 1)
-                    for b in corrections:
-                        w.write(b, 1)
-                    corrections = []
-                    run = 0
-                # coefficients after the last insertion: EOB run starts;
-                # their corrections attach to the NEXT EOBrun/symbol
-                tail_hist = [(abs(blk[k]) >> al) & 1
-                             for k in band if k > last_new
-                             and (abs(blk[k]) >> al) > 1]
-                if last_new < band[-1]:
-                    pending.extend(tail_hist)
-                    eobrun += 1
-            _emit_eobrun(w, ac_codes, eobrun, pending)
+        elif ah == 0:
+            _enc_ac_first_scan(w, ac_codes, blocks, ss, se, al)
+        else:
+            _enc_ac_refine_scan(w, ac_codes, blocks, ss, se, al)
         scan_payloads.append(((ss, se, ah, al), w.flush()))
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -876,6 +892,98 @@ def _scan_end(raw: bytes, start: int) -> int:
             return i
         i += 1
     return n
+
+
+def _prog_dc_first(reader: _BitReader, dc_tab, coefs, al: int) -> None:
+    """Progressive DC first scan over blocks in scan order (shifted
+    values, per-list predictor)."""
+    prev = 0
+    for blk in coefs:
+        cat = _decode_huff(reader, dc_tab)
+        diff = _extend(reader.bits(cat), cat) if cat else 0
+        prev += diff
+        blk[0] = prev << al
+
+
+def _prog_ac_first(reader: _BitReader, ac_tab, coefs, ss: int, se: int,
+                   al: int) -> None:
+    """Progressive AC first scan (spectral band, EOBRUN coding)."""
+    eobrun = 0
+    for blk in coefs:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = _decode_huff(reader, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16               # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC band overflow")
+            blk[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+
+def _prog_ac_refine(reader: _BitReader, ac_tab, coefs, ss: int, se: int,
+                    al: int) -> None:
+    """Progressive AC refinement: correction bits for nonzero-history
+    coefficients, +-1<<Al insertions, EOB passes (ITU T.81 G.2)."""
+    p1, m1 = 1 << al, -1 << al
+
+    def refine(blk, k):
+        if blk[k] > 0 and reader.bit():
+            blk[k] += p1
+        elif blk[k] < 0 and reader.bit():
+            blk[k] += m1
+
+    eobrun = 0
+    for blk in coefs:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _decode_huff(reader, ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += reader.bits(r)
+                        break             # rest joins EOB pass
+                    # r == 15: ZRL - skip 16 zero-history
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    newval = p1 if reader.bit() else m1
+                # advance past r zero-history coefs, refining
+                # nonzero-history along the way
+                while k <= se:
+                    if blk[k] != 0:
+                        refine(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            # EOB pass: refine every remaining nonzero-history
+            # coefficient of this block's band
+            while k <= se:
+                if blk[k] != 0:
+                    refine(blk, k)
+                k += 1
+            eobrun -= 1
 
 
 def decode_gray_progressive_jpeg(raw: bytes | None):
@@ -957,92 +1065,16 @@ def decode_gray_progressive_jpeg(raw: bytes | None):
             if ss == 0:                               # DC scan
                 if se != 0:
                     return None
-                if ah == 0:                           # first
-                    dc_tab = huff[(0, dc_id)]
-                    prev = 0
-                    for b in range(nblocks):
-                        cat = _decode_huff(reader, dc_tab)
-                        diff = _extend(reader.bits(cat), cat) if cat else 0
-                        prev += diff
-                        coef[b][0] = prev << al
+                if ah == 0:
+                    _prog_dc_first(reader, huff[(0, dc_id)], coef, al)
                 else:                                 # refinement bit
-                    for b in range(nblocks):
+                    for blk in coef:
                         if reader.bit():
-                            coef[b][0] |= 1 << al
-            elif ah == 0:                             # AC first scan
-                ac_tab = huff[(1, ac_id)]
-                eobrun = 0
-                for b in range(nblocks):
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        sym = _decode_huff(reader, ac_tab)
-                        r, s = sym >> 4, sym & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16               # ZRL
-                                continue
-                            eobrun = (1 << r) - 1
-                            if r:
-                                eobrun += reader.bits(r)
-                            break
-                        k += r
-                        if k > se:
-                            raise ValueError("AC band overflow")
-                        coef[b][k] = _extend(reader.bits(s), s) << al
-                        k += 1
-            else:                                     # AC refinement
-                ac_tab = huff[(1, ac_id)]
-                p1, m1 = 1 << al, -1 << al
-
-                def refine(bq, k):
-                    if coef[bq][k] > 0 and reader.bit():
-                        coef[bq][k] += p1
-                    elif coef[bq][k] < 0 and reader.bit():
-                        coef[bq][k] += m1
-                eobrun = 0
-                for b in range(nblocks):
-                    k = ss
-                    if eobrun == 0:
-                        while k <= se:
-                            sym = _decode_huff(reader, ac_tab)
-                            r, s = sym >> 4, sym & 0x0F
-                            newval = 0
-                            if s == 0:
-                                if r < 15:
-                                    eobrun = (1 << r)
-                                    if r:
-                                        eobrun += reader.bits(r)
-                                    break             # rest joins EOB pass
-                                # r == 15: ZRL - skip 16 zero-history
-                            else:
-                                if s != 1:
-                                    raise ValueError(
-                                        "refinement size must be 1")
-                                newval = p1 if reader.bit() else m1
-                            # advance past r zero-history coefs,
-                            # refining nonzero-history along the way
-                            while k <= se:
-                                if coef[b][k] != 0:
-                                    refine(b, k)
-                                else:
-                                    if r == 0:
-                                        break
-                                    r -= 1
-                                k += 1
-                            if newval and k <= se:
-                                coef[b][k] = newval
-                            k += 1
-                    if eobrun > 0:
-                        # EOB pass: refine every remaining nonzero-
-                        # history coefficient of this block's band
-                        while k <= se:
-                            if coef[b][k] != 0:
-                                refine(b, k)
-                            k += 1
-                        eobrun -= 1
+                            blk[0] |= 1 << al
+            elif ah == 0:
+                _prog_ac_first(reader, huff[(1, ac_id)], coef, ss, se, al)
+            else:
+                _prog_ac_refine(reader, huff[(1, ac_id)], coef, ss, se, al)
 
         q = quant[qtab_id]
         pixels = bytearray(bw * 8 * bh * 8)
@@ -1086,3 +1118,283 @@ def planted_gray_progressive_jpeg(width: int, height: int,
         blk[0] = v - 128
         blocks.append(blk)
     return encode_gray_progressive_jpeg(width, height, blocks, quant)
+
+
+# ---------------------------------------------------------------------------
+# Progressive color (SOF2, YCbCr 4:2:0): interleaved DC scans (MCU
+# order, per-component predictors), non-interleaved per-component AC
+# band/refinement scans (spec: progressive AC scans carry one
+# component), sharing the scan kernels above; pixel assembly shares
+# the 4:2:0 upsample + BT.601 math with the baseline decoder.
+# ---------------------------------------------------------------------------
+
+_DEFAULT_SCANS_420 = (
+    ((1, 2, 3), 0, 0, 0, 1),   # interleaved DC first, Al=1
+    ((1, 2, 3), 0, 0, 1, 0),   # interleaved DC refinement
+    ((1,), 1, 5, 0, 1),        # Y low band first, Al=1
+    ((2,), 1, 63, 0, 0),       # Cb full band
+    ((3,), 1, 63, 0, 0),       # Cr full band
+    ((1,), 6, 63, 0, 0),       # Y high band
+    ((1,), 1, 5, 1, 0),        # Y low band refinement
+)
+
+
+def _mcu_order_420(mw: int, mh: int):
+    """(component id, raster block index) in 4:2:0 MCU order."""
+    for my in range(mh):
+        for mx in range(mw):
+            for sy in range(2):
+                for sx in range(2):
+                    yield 1, (my * 2 + sy) * (mw * 2) + (mx * 2 + sx)
+            yield 2, my * mw + mx
+            yield 3, my * mw + mx
+
+
+def encode_ycbcr420_progressive_jpeg(width: int, height: int,
+                                     y_blocks, cb_blocks, cr_blocks,
+                                     quant_l, quant_c,
+                                     scans=_DEFAULT_SCANS_420) -> bytes:
+    """Conforming progressive 4:2:0 JPEG: DC scans interleaved across
+    all three components, AC scans per component, any (Ss,Se,Ah,Al)
+    script; blocks in per-component RASTER order (same layout as the
+    baseline encoder's inputs)."""
+    assert width % 16 == 0 and height % 16 == 0
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _build_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+    mw, mh = width // 16, height // 16
+    comp_blocks = {1: y_blocks, 2: cb_blocks, 3: cr_blocks}
+    payloads = []
+    for comps, ss, se, ah, al in scans:
+        w = _BitWriter()
+        if ss == 0:
+            assert se == 0 and tuple(comps) == (1, 2, 3), \
+                "DC scans are interleaved across all components here"
+            if ah == 0:
+                prev = {1: 0, 2: 0, 3: 0}
+                for cid, bi in _mcu_order_420(mw, mh):
+                    blk = comp_blocks[cid][bi]
+                    v = blk[0] >> al
+                    diff = v - prev[cid]
+                    prev[cid] = v
+                    cat = _category(diff)
+                    code, ln = dc_codes[cat]
+                    w.write(code, ln)
+                    if cat:
+                        bits = diff if diff >= 0 else diff + (1 << cat) - 1
+                        w.write(bits, cat)
+            else:
+                for cid, bi in _mcu_order_420(mw, mh):
+                    w.write((comp_blocks[cid][bi][0] >> al) & 1, 1)
+        else:
+            (cid,) = comps
+            if ah == 0:
+                _enc_ac_first_scan(w, ac_codes, comp_blocks[cid], ss, se, al)
+            else:
+                _enc_ac_refine_scan(w, ac_codes, comp_blocks[cid], ss, se, al)
+        payloads.append((comps, ss, se, ah, al, w.flush()))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes(quant_l))
+    out += seg(0xFFDB, b"\x01" + bytes(quant_c))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 3)
+               + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS_PROG) + bytes(_AC_VALS_PROG))
+    out += seg(0xFFC4, b"\x11" + bytes(_AC_BITS_PROG) + bytes(_AC_VALS_PROG))
+    for comps, ss, se, ah, al, payload in payloads:
+        body = bytes([len(comps)])
+        for cid in comps:
+            slot = 0 if cid == 1 else 1
+            body += bytes((cid, (slot << 4) | slot))
+        body += bytes((ss, se, (ah << 4) | al))
+        out += seg(0xFFDA, body)
+        out += payload
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_ycbcr420_progressive_jpeg(raw: bytes | None):
+    """Progressive (SOF2) 4:2:0 color decode: interleaved DC scans +
+    per-component AC band/refinement scans accumulated into three
+    coefficient planes, then dequant/IDCT/chroma-upsample/BT.601 -
+    bit-compatible with the baseline 4:2:0 decoder on the same
+    blocks. Returns (width, height, flat RGB) or None."""
+    if not raw or raw[:2] != b"\xff\xd8":
+        return None
+    try:
+        i, n = 2, len(raw)
+        quant: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        width = height = None
+        comp_q: dict[int, int] = {}
+        scans = []
+        while i + 4 <= n:
+            if raw[i] != 0xFF:
+                return None
+            marker = raw[i + 1]
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack(">H", raw[i + 2:i + 4])[0]
+            body = raw[i + 4:i + 2 + seg_len]
+            if marker == 0xDB:
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 0x0F
+                    if pq != 0:
+                        return None
+                    quant[tq] = list(body[j + 1:j + 65])
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 0x0F
+                    bits = list(body[j + 1:j + 17])
+                    nv = sum(bits)
+                    vals = list(body[j + 17:j + 17 + nv])
+                    codes = _build_codes(bits, vals)
+                    huff[(tc, th)] = {(c, ln): sym
+                                      for sym, (c, ln) in codes.items()}
+                    j += 17 + nv
+            elif marker == 0xC2:
+                _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if ncomp != 3:
+                    return None
+                samp = {}
+                for c in range(3):
+                    cid, s, tq = body[6 + 3 * c:9 + 3 * c]
+                    samp[cid] = s
+                    comp_q[cid] = tq
+                if (samp.get(1) != 0x22 or samp.get(2) != 0x11
+                        or samp.get(3) != 0x11):
+                    return None
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None
+            elif marker == 0xDD:
+                if struct.unpack(">H", body[:2])[0] != 0:
+                    return None
+            elif marker == 0xDA:
+                ns = body[0]
+                comps = []
+                for c in range(ns):
+                    cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                    comps.append((cid, tabs >> 4, tabs & 0x0F))
+                ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
+                start = i + 2 + seg_len
+                end = _scan_end(raw, start)
+                scans.append((comps, ss, se, a >> 4, a & 0x0F,
+                              raw[start:end]))
+                i = end
+                continue
+            i += 2 + seg_len
+        if width is None or not scans:
+            return None
+
+        mw, mh = (width + 15) // 16, (height + 15) // 16
+        coef = {1: [[0] * 64 for _ in range(mw * 2 * mh * 2)],
+                2: [[0] * 64 for _ in range(mw * mh)],
+                3: [[0] * 64 for _ in range(mw * mh)]}
+
+        for comps, ss, se, ah, al, payload in scans:
+            reader = _BitReader(payload)
+            if ss == 0:                               # DC scan
+                if se != 0:
+                    return None
+                if len(comps) == 3:                   # interleaved
+                    if ah == 0:
+                        prev = {1: 0, 2: 0, 3: 0}
+                        tabs = {cid: huff[(0, d)] for cid, d, _ in comps}
+                        for cid, bi in _mcu_order_420(mw, mh):
+                            cat = _decode_huff(reader, tabs[cid])
+                            diff = (_extend(reader.bits(cat), cat)
+                                    if cat else 0)
+                            prev[cid] += diff
+                            coef[cid][bi][0] = prev[cid] << al
+                    else:
+                        for cid, bi in _mcu_order_420(mw, mh):
+                            if reader.bit():
+                                coef[cid][bi][0] |= 1 << al
+                else:                                 # non-interleaved DC
+                    (cid, dc_id, _), = comps
+                    if ah == 0:
+                        _prog_dc_first(reader, huff[(0, dc_id)],
+                                       coef[cid], al)
+                    else:
+                        for blk in coef[cid]:
+                            if reader.bit():
+                                blk[0] |= 1 << al
+            else:
+                (cid, _, ac_id), = comps
+                if ah == 0:
+                    _prog_ac_first(reader, huff[(1, ac_id)], coef[cid],
+                                   ss, se, al)
+                else:
+                    _prog_ac_refine(reader, huff[(1, ac_id)], coef[cid],
+                                    ss, se, al)
+
+        # dequant + IDCT into planes, then 4:2:0 upsample + BT.601 -
+        # identical math to the baseline 4:2:0 decoder
+        yw = mw * 16
+        cw = mw * 8
+        yplane = bytearray(yw * mh * 16)
+        cbp = bytearray(cw * mh * 8)
+        crp = bytearray(cw * mh * 8)
+        for cid, plane, bw_, pw in ((1, yplane, mw * 2, yw),
+                                    (2, cbp, mw, cw), (3, crp, mw, cw)):
+            q = quant[comp_q[cid]]
+            for bi, zz in enumerate(coef[cid]):
+                by, bx = bi // bw_, bi % bw_
+                c = [0.0] * 64
+                for zi, bidx in enumerate(ZIGZAG):
+                    c[bidx] = zz[zi] * q[zi]
+                blk = _idct_block(c)
+                for y in range(8):
+                    dst = (by * 8 + y) * pw + bx * 8
+                    plane[dst:dst + 8] = bytes(blk[y * 8:(y + 1) * 8])
+        out = bytearray(width * height * 3)
+        for py in range(height):
+            for px in range(width):
+                yv = yplane[py * yw + px]
+                cb = cbp[(py // 2) * cw + px // 2] - 128
+                cr = crp[(py // 2) * cw + px // 2] - 128
+                r = int(math.floor(yv + 1.402 * cr + 0.5))
+                g = int(math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5))
+                b = int(math.floor(yv + 1.772 * cb + 0.5))
+                dst = (py * width + px) * 3
+                out[dst] = min(255, max(0, r))
+                out[dst + 1] = min(255, max(0, g))
+                out[dst + 2] = min(255, max(0, b))
+        return (width, height, bytes(out))
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
+def planted_ycbcr420_progressive_jpeg(width: int, height: int, y0: int,
+                                      cb0: int, cr0: int) -> bytes:
+    """Progressive twin of planted_ycbcr420_jpeg: the same DC-only
+    constant planes shipped as a 7-scan SOF2 stream (interleaved DC
+    first at Al=1 + refinement, per-component AC band scans + a Y
+    refinement) - recovering the constants requires the full color
+    progressive machinery on top of the 4:2:0 table/predictor
+    dispatch."""
+    quant = [8] + [16] * 63
+    mw, mh = width // 16, height // 16
+    yb = []
+    for _ in range(mw * 2 * mh * 2):
+        blk = [0] * 64
+        blk[0] = y0 - 128
+        yb.append(blk)
+    cbb, crb = [], []
+    for _ in range(mw * mh):
+        b1 = [0] * 64
+        b1[0] = cb0 - 128
+        cbb.append(b1)
+        b2 = [0] * 64
+        b2[0] = cr0 - 128
+        crb.append(b2)
+    return encode_ycbcr420_progressive_jpeg(
+        width, height, yb, cbb, crb, quant, quant)

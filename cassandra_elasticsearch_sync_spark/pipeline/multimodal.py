@@ -12,8 +12,11 @@ mechanics - explicit output schema, Arrow batching, per-partition
 iteration - are the production shape; swapping the header parser for a
 full PIL/ffmpeg pixel decode changes one function body.
 
-The AUDIO featurizer is still a clearly-marked STUB (no PCM codec in
-the container); its Arrow plumbing and schema are the verified parts.
+Beyond header parsing, the REAL pixel/sample codecs live in
+pipeline/imaging.py and pipeline/jpeg_codec.py: PNG (all filters,
+grey/RGB/palette), baseline + progressive JPEG (gray and 4:2:0
+chroma, DRI/RSTn restarts), GIF LZW, WAV PCM, MP4 box walk, EXIF -
+each oracle-checked below against planted bytes.
 """
 
 from __future__ import annotations
@@ -814,7 +817,7 @@ FROM p
      "pinned identically in the oracle's FLOOR(x+0.5). Planted "
      "constants make every recovered pixel analytic - one wrong "
      "table dispatch, predictor, or color coefficient shifts all "
-     "three channel means. Progressive scans stay rejected.")
+     "three channel means. Progressive color streams dispatch to the SOF2 decoder (k6n).")
 def k6j_jpeg_chroma_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
@@ -826,6 +829,55 @@ def k6j_jpeg_chroma_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(doc_ids: pd.Series) -> pd.Series:
         def mk(d: int) -> bytes:
             return planted_ycbcr420_jpeg(
+                16, 16, d % 180 + 38, d % 120 + 68, d % 140 + 58)
+        return doc_ids.map(lambda d: mk(int(d)))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_jpeg_color_batch, PIXEL_SCHEMA)
+
+
+@register("k6n_jpeg_progressive_chroma_decode", "K6", """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 180 + 38 AS DOUBLE) AS y0,
+         CAST(doc_id % 120 + 68 AS DOUBLE) - 128.0 AS cb,
+         CAST(doc_id % 140 + 58 AS DOUBLE) - 128.0 AS cr
+  FROM documents
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(LEAST(255, GREATEST(0,
+            CAST(FLOOR(y0 + 1.402 * cr + 0.5) AS BIGINT))) AS DOUBLE)
+         AS mean_r,
+       CAST(LEAST(255, GREATEST(0,
+            CAST(FLOOR(y0 - 0.344136 * cb - 0.714136 * cr + 0.5)
+                 AS BIGINT))) AS DOUBLE) AS mean_g,
+       CAST(LEAST(255, GREATEST(0,
+            CAST(FLOOR(y0 + 1.772 * cb + 0.5) AS BIGINT))) AS DOUBLE)
+         AS mean_b
+FROM p
+""", "PROGRESSIVE COLOR JPEG decode: the same planted 4:2:0 constants "
+     "as k6j shipped as a 7-scan SOF2 stream - interleaved DC first "
+     "scan in MCU order with per-component predictors AND Huffman "
+     "slots, interleaved DC refinement bits, then per-component AC "
+     "band scans and a Y refinement. The analytic oracle means only "
+     "survive if the multi-component progressive machinery composes "
+     "exactly with the 4:2:0 upsample + BT.601 path; dense-AC color "
+     "streams are cross-checked against the baseline color decoder "
+     "in tests/test_imaging.py. decode_ycbcr420_jpeg dispatches SOF2 "
+     "itself - one decode entry point per profile family.")
+def k6n_jpeg_progressive_chroma_decode(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        planted_ycbcr420_progressive_jpeg,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        def mk(d: int) -> bytes:
+            return planted_ycbcr420_progressive_jpeg(
                 16, 16, d % 180 + 38, d % 120 + 68, d % 140 + 58)
         return doc_ids.map(lambda d: mk(int(d)))
 

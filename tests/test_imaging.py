@@ -601,3 +601,55 @@ def test_jpeg_progressive_rejects_out_of_scope():
     assert decode_gray_progressive_jpeg(raw[:i] + dri + raw[i:]) is None
     # truncate mid-scan
     assert decode_gray_progressive_jpeg(raw[:i + 20]) is None
+
+
+def test_jpeg_progressive_color_equals_baseline():
+    """Progressive 4:2:0 color decode == baseline color decode of the
+    same blocks (random dense AC on all three components), and the
+    planted progressive color fixture equals its baseline twin via
+    the decode_ycbcr420_jpeg SOF2 dispatch."""
+    import random
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_ycbcr420_jpeg,
+        decode_ycbcr420_progressive_jpeg,
+        encode_ycbcr420_jpeg,
+        encode_ycbcr420_progressive_jpeg,
+        planted_ycbcr420_jpeg,
+        planted_ycbcr420_progressive_jpeg,
+    )
+
+    random.seed(5)
+    quant = [8] + [16] * 63
+    for trial in range(6):
+        mw, mh = 3, 2
+        yb = []
+        for _ in range(mw * 2 * mh * 2):
+            blk = [0] * 64
+            blk[0] = random.randint(-150, 150)
+            for _ in range(random.randint(0, 15)):
+                blk[random.randint(1, 63)] = random.randint(-60, 60)
+            yb.append(blk)
+        cbb, crb = [], []
+        for _ in range(mw * mh):
+            b1 = [0] * 64
+            b1[0] = random.randint(-60, 60)
+            for _ in range(random.randint(0, 6)):
+                b1[random.randint(1, 63)] = random.randint(-20, 20)
+            cbb.append(b1)
+            b2 = [0] * 64
+            b2[0] = random.randint(-60, 60)
+            for _ in range(random.randint(0, 6)):
+                b2[random.randint(1, 63)] = random.randint(-20, 20)
+            crb.append(b2)
+        base = decode_ycbcr420_jpeg(
+            encode_ycbcr420_jpeg(48, 32, yb, cbb, crb, quant, quant))
+        prog = decode_ycbcr420_progressive_jpeg(
+            encode_ycbcr420_progressive_jpeg(
+                48, 32, yb, cbb, crb, quant, quant))
+        assert base is not None and prog == base, trial
+    # planted fixture through the baseline entry point's dispatch
+    a = decode_ycbcr420_jpeg(
+        planted_ycbcr420_progressive_jpeg(16, 16, 120, 100, 90))
+    b = decode_ycbcr420_jpeg(planted_ycbcr420_jpeg(16, 16, 120, 100, 90))
+    assert a is not None and a == b
