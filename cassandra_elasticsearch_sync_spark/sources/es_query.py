@@ -391,6 +391,21 @@ def es_aggregate(df: DataFrame, aggs: dict,
                                     "significant_terms", "filter", "histogram",
                                     "rare_terms"))
 
+    if "global" in spec:
+        # global bucket: ESCAPES the search's query scope - metrics
+        # over the WHOLE index regardless of the query (the
+        # "filtered KPI vs overall KPI" comparison card). Needs the
+        # unfiltered relation, passed as `background` like
+        # significant_terms; compiles to one single-row aggregate on
+        # it (doc_count always present, per the ES response).
+        if background is None:
+            raise ValueError("global agg needs the background df")
+        sub_metrics = [
+            c for n, s in spec.get("aggs", {}).items()
+            for c in _metric_columns(n, s)
+        ]
+        return background.agg(F.count("*").alias("doc_count"), *sub_metrics)
+
     if "filters" in spec:
         # filters (plural) bucket agg: SEVERAL named sub-scopes, each
         # with its own query and the SHARED metric sub-aggs - the
@@ -1272,6 +1287,33 @@ def a3l_es_percentiles_agg(spark, sf_dir):
             },
         }
     })
+
+
+@register("a3ak_es_global_agg", "A3+D2", """
+SELECT COUNT(*) AS doc_count,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS all_revenue,
+       MAX(o_totalprice) AS all_max
+FROM orders
+""", "ES `global` bucket agg: metrics computed over the WHOLE index, "
+     "deliberately escaping the search's query scope - the 'overall' "
+     "half of every filtered-vs-overall KPI card. The compiler takes "
+     "the unfiltered relation explicitly (like significant_terms' "
+     "background) and emits one map-side-partial single-row "
+     "aggregate; the query filter never touches it, which the oracle "
+     "pins by aggregating the raw table.")
+def a3ak_es_global_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    filtered = es_search(o, {"term": {"o_orderstatus": "O"}})
+    return es_aggregate(filtered, {
+        "overall": {
+            "global": {},
+            "aggs": {
+                "all_revenue": {"sum": {"field": "o_totalprice"}},
+                "all_max": {"max": {"field": "o_totalprice"}},
+            },
+        }
+    }, background=o)
 
 
 @register("a3m_es_filter_agg", "A3", """
