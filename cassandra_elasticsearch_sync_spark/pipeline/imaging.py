@@ -331,6 +331,8 @@ def decode_png_pixels(raw: bytes | None):
             if tag == b"IHDR":
                 width, height, bit_depth, color, _, _, interlace = \
                     struct.unpack(">IIBBBBB", body)
+                if interlace == 1 and color in (0, 2):
+                    return decode_png_interlaced(raw)   # Adam7 path
                 if bit_depth != 8 or color not in (0, 2, 3) or interlace != 0:
                     return None
                 channels = 1 if color in (0, 3) else 3
@@ -756,4 +758,145 @@ def parse_exif(raw: bytes | None):
         return (out["orientation"], out["width"], out["make"],
                 "MM" if e == ">" else "II")
     except (struct.error, IndexError, UnicodeDecodeError):
+        return None
+
+
+# Adam7 interlace pass layout: (x0, y0, dx, dy) per pass (ISO 15948
+# figure: every pixel covered exactly once across the seven passes).
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def png_interlaced_bytes(width: int, height: int, seed: int) -> bytes:
+    """A REAL Adam7-interlaced 8-bit RGB PNG with the same planted
+    pixels as png_rgb_bytes (pixel (x,y) = ((seed+x)%256, (seed+y)%256,
+    (x*y)%256)): seven independently-filtered sub-images (filter type
+    rotates row%5 within each pass), concatenated into one IDAT
+    stream per spec. A decoder must walk all seven pass geometries
+    AND unfilter each pass against its own previous row to recover
+    the planted values."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    bpp = 3
+    out = bytearray()
+    for (x0, y0, dx, dy) in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        prev = bytes(wp * bpp)
+        for ry in range(hp):
+            y = y0 + ry * dy
+            row = bytearray()
+            for rx in range(wp):
+                x = x0 + rx * dx
+                row += bytes(((seed + x) % 256, (seed + y) % 256,
+                              (x * y) % 256))
+            f = ry % 5
+            out.append(f)
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    v = row[i]
+                elif f == 1:
+                    v = (row[i] - a) % 256
+                elif f == 2:
+                    v = (row[i] - b) % 256
+                elif f == 3:
+                    v = (row[i] - (a + b) // 2) % 256
+                else:
+                    v = (row[i] - _paeth(a, b, c)) % 256
+                out.append(v)
+            prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def _unfilter_rows(data: bytes, pos: int, n_rows: int, stride: int,
+                   bpp: int):
+    """Unfilter n_rows scanlines of one (sub-)image; returns
+    (rows-as-bytes, new position)."""
+    rows = []
+    prev = bytes(stride)
+    for _ in range(n_rows):
+        f = data[pos]
+        pos += 1
+        row = bytearray(data[pos:pos + stride])
+        pos += stride
+        if f == 1:
+            for k in range(bpp, stride):
+                row[k] = (row[k] + row[k - bpp]) % 256
+        elif f == 2:
+            for k in range(stride):
+                row[k] = (row[k] + prev[k]) % 256
+        elif f == 3:
+            for k in range(stride):
+                a = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + (a + prev[k]) // 2) % 256
+        elif f == 4:
+            for k in range(stride):
+                a = row[k - bpp] if k >= bpp else 0
+                c = prev[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + _paeth(a, prev[k], c)) % 256
+        elif f != 0:
+            raise ValueError("bad filter type")
+        rows.append(bytes(row))
+        prev = bytes(row)
+    return rows, pos
+
+
+def decode_png_interlaced(raw: bytes | None):
+    """Adam7-interlaced PNG pixel decode (8-bit grey/RGB): walks the
+    seven pass geometries, unfilters each pass independently, and
+    de-interlaces into the full image. Returns (width, height,
+    channels, flat pixels) or None."""
+    if not raw or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        i, n = 8, len(raw)
+        width = height = channels = None
+        idat = bytearray()
+        while i + 8 <= n:
+            (length,), tag = struct.unpack(">I", raw[i:i + 4]), raw[i + 4:i + 8]
+            body = raw[i + 8:i + 8 + length]
+            if tag == b"IHDR":
+                width, height, bit_depth, color, _, _, interlace = \
+                    struct.unpack(">IIBBBBB", body)
+                if bit_depth != 8 or color not in (0, 2) or interlace != 1:
+                    return None
+                channels = 1 if color == 0 else 3
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            i += 12 + length
+        if width is None or not idat:
+            return None
+        data = zlib.decompress(bytes(idat))
+        bpp = channels
+        pixels = bytearray(width * height * bpp)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            rows, pos = _unfilter_rows(data, pos, hp, wp * bpp, bpp)
+            for ry, row in enumerate(rows):
+                y = y0 + ry * dy
+                for rx in range(wp):
+                    x = x0 + rx * dx
+                    dst = (y * width + x) * bpp
+                    pixels[dst:dst + bpp] = row[rx * bpp:(rx + 1) * bpp]
+        if pos != len(data):
+            return None                      # trailing garbage = corrupt
+        return (width, height, channels, bytes(pixels))
+    except (struct.error, zlib.error, IndexError):
         return None

@@ -471,6 +471,41 @@ def k6f_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_jpeg_batch, JPEG_PIXEL_SCHEMA)
 
 
+@register("k6o_png_interlaced_decode", "K6", """
+SELECT doc_id,
+       16 AS width, 16 AS height,
+       CAST(doc_id % 200 AS DOUBLE) + 7.5 AS mean_r,
+       CAST(doc_id % 200 AS DOUBLE) + 7.5 AS mean_g,
+       56.25 AS mean_b
+FROM documents
+""", "Adam7-INTERLACED PNG pixel decode - the web's progressive-PNG "
+     "profile, previously rejected. Payloads carry the same planted "
+     "pixels as k6e but split across the seven Adam7 passes, each "
+     "pass independently filtered (rotating all five types within "
+     "the pass), so the decoder must walk every pass geometry, "
+     "unfilter each sub-image against its OWN previous row, and "
+     "de-interlace - a single wrong pass origin leaves pixels "
+     "uncovered and every channel mean moves. Odd geometries (empty "
+     "and single-pixel passes) are pinned in test_imaging.py. Same "
+     "Arrow-batched plumbing + channel-mean reducer as k6e; "
+     "decode_png_pixels dispatches interlace=1 itself.")
+def k6o_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        png_interlaced_bytes,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(
+            lambda d: png_interlaced_bytes(16, 16, int(d) % 200))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_pixel_batch, PIXEL_SCHEMA)
+
+
 @register("k6m_jpeg_progressive_decode", "K6", """
 SELECT doc_id, 16 AS width, 16 AS height,
        CAST(doc_id % 176 AS DOUBLE) + 40.0 AS mean_gray

@@ -653,3 +653,42 @@ def test_jpeg_progressive_color_equals_baseline():
         planted_ycbcr420_progressive_jpeg(16, 16, 120, 100, 90))
     b = decode_ycbcr420_jpeg(planted_ycbcr420_jpeg(16, 16, 120, 100, 90))
     assert a is not None and a == b
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7-interlaced PNG: planted pixels recovered bit-exactly
+    across geometries that exercise empty and single-pixel passes;
+    decode_png_pixels dispatches interlace=1 itself; truncated pass
+    data is rejected."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_png_interlaced,
+        decode_png_pixels,
+        png_interlaced_bytes,
+    )
+
+    for (w, h, seed) in ((16, 16, 100), (17, 13, 37), (8, 1, 5),
+                         (1, 9, 200), (7, 7, 3)):
+        got = decode_png_pixels(png_interlaced_bytes(w, h, seed))
+        assert got is not None, (w, h, seed)
+        wi, hi, ch, px = got
+        assert (wi, hi, ch) == (w, h, 3)
+        for y in range(h):
+            for x in range(w):
+                k = (y * w + x) * 3
+                assert px[k:k + 3] == bytes(
+                    ((seed + x) % 256, (seed + y) % 256, (x * y) % 256)), \
+                    (w, h, seed, x, y)
+    # corrupt: chop compressed pass data
+    import struct
+    import zlib
+    raw = png_interlaced_bytes(16, 16, 9)
+    i = raw.find(b"IDAT") - 4
+    (ln,) = struct.unpack(">I", raw[i:i + 4])
+    idat = raw[i + 8:i + 8 + ln]
+    short = zlib.compress(zlib.decompress(idat)[:-40])
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    trunc = raw[:i] + chunk(b"IDAT", short) + raw[i + 12 + ln:]
+    assert decode_png_interlaced(trunc) is None
