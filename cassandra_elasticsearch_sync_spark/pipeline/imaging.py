@@ -495,18 +495,25 @@ def gif_lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
         return None
 
 
-def gif_indexed_bytes(width: int, height: int, seed: int) -> bytes:
+def gif_indexed_bytes(width: int, height: int, seed: int,
+                      interlaced: bool = False) -> bytes:
     """A REAL GIF89a 256-color image with planted pixel indexes:
     index(x, y) = seed + x + y (seed <= 219, so no mod wrap on a
     16x16 grid). Palette entry i = (i, 255 - i, i & ~1), making the
     channel means analytic in seed: mean_r = seed + 15, mean_g =
     240 - seed, mean_b = seed + 14.5. The image data is genuinely
     LZW-compressed, so recovering the means requires a working
-    decompressor, not a header read."""
+    decompressor, not a header read. ``interlaced`` writes the rows
+    in GIF's 4-pass order and sets the descriptor's interlace flag."""
     palette = bytearray()
     for i in range(256):
         palette += bytes((i, 255 - i, i & ~1))
-    idx = bytes((seed + x + y) for y in range(height) for x in range(width))
+    if interlaced:
+        row_order = [y for (y0, dy) in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for y in range(y0, height, dy)]
+    else:
+        row_order = list(range(height))
+    idx = bytes((seed + x + y) for y in row_order for x in range(width))
     lzw = _gif_lzw_encode(idx)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
@@ -514,10 +521,11 @@ def gif_indexed_bytes(width: int, height: int, seed: int) -> bytes:
         blocks.append(len(part))
         blocks += part
     blocks.append(0)
+    iflags = 0x40 if interlaced else 0
     return (b"GIF89a"
             + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256
             + palette
-            + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
             + bytes([8])      # LZW minimum code size
             + blocks)
 
@@ -526,10 +534,11 @@ def decode_gif_pixels(raw: bytes | None):
     """Full GIF pixel decode for the single-frame 89a profile this
     engine synthesizes: header + logical screen descriptor + global
     color table + one image descriptor, LZW-decompressed to palette
-    indexes, mapped through the color table. Returns (width, height,
+    indexes, mapped through the color table; 4-pass interlaced frames
+    are de-interlaced after decompression. Returns (width, height,
     flat RGB bytes) or None. Extension blocks are skipped per spec;
-    interlaced and local-color-table frames are rejected, not
-    guessed."""
+    local-color-table-only frames without any palette are rejected,
+    not guessed."""
     if not raw or raw[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     try:
@@ -550,8 +559,6 @@ def decode_gif_pixels(raw: bytes | None):
             elif b == 0x2C:  # image descriptor
                 _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", raw, i + 1)
                 i += 10
-                if iflags & 0x40:
-                    return None  # interlaced: out of scope, rejected
                 if iflags & 0x80:
                     n = 2 << (iflags & 0x07)
                     palette = raw[i:i + 3 * n]
@@ -569,6 +576,17 @@ def decode_gif_pixels(raw: bytes | None):
                 idx = gif_lzw_decode(bytes(lzw), min_code)
                 if idx is None or len(idx) < w * h:
                     return None
+                if iflags & 0x40:
+                    # GIF 4-pass row interlace: the stream carries rows
+                    # in pass order (0 mod 8, 4 mod 8, 2 mod 4, odd);
+                    # de-interlace before palette mapping.
+                    ordered = bytearray(w * h)
+                    src = 0
+                    for (y0, dy) in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                        for y in range(y0, h, dy):
+                            ordered[y * w:(y + 1) * w] = idx[src:src + w]
+                            src += w
+                    idx = bytes(ordered)
                 px = bytearray()
                 for k in range(w * h):
                     j = idx[k] * 3

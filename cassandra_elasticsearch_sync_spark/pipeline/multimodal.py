@@ -471,6 +471,38 @@ def k6f_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_jpeg_batch, JPEG_PIXEL_SCHEMA)
 
 
+@register("k6p_gif_interlaced_decode", "K6", """
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(doc_id % 220 AS DOUBLE) + 15.0 AS mean_r,
+       240.0 - CAST(doc_id % 220 AS DOUBLE) AS mean_g,
+       CAST(doc_id % 220 AS DOUBLE) + 14.5 AS mean_b
+FROM documents
+""", "INTERLACED GIF pixel decode: the same genuinely-LZW-compressed "
+     "planted frames as k6g but with the descriptor's interlace flag "
+     "set and rows written in GIF's 4-pass order (0 mod 8, 4 mod 8, "
+     "2 mod 4, odd) - the decoder must de-interlace after "
+     "decompression or every row lands in the wrong place and all "
+     "three analytic channel means move. Odd-height pass boundaries "
+     "are pinned in test_imaging.py. Same batch plumbing as k6g; "
+     "decode_gif_pixels handles the flag itself.")
+def k6p_gif_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        gif_indexed_bytes,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(
+            lambda d: gif_indexed_bytes(16, 16, int(d) % 220,
+                                        interlaced=True))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_gif_batch, PIXEL_SCHEMA)
+
+
 @register("k6o_png_interlaced_decode", "K6", """
 SELECT doc_id,
        16 AS width, 16 AS height,

@@ -286,7 +286,7 @@ def test_gif_pixel_decode_planted_means():
         assert sum(px[2::3]) / n == seed + 14.5
 
 
-def test_gif_decode_rejects_garbage_and_interlace():
+def test_gif_decode_rejects_garbage_and_honors_interlace_flag():
     from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
         decode_gif_pixels,
         gif_indexed_bytes,
@@ -294,11 +294,18 @@ def test_gif_decode_rejects_garbage_and_interlace():
 
     assert decode_gif_pixels(None) is None
     assert decode_gif_pixels(b"NOTAGIF") is None
+    # Flipping the interlace bit on a NON-interlaced stream must
+    # change the decode (rows land per the 4-pass permutation) -
+    # proving the flag is honored, not ignored. Round 5 made
+    # interlace a decoded profile (test_gif_interlaced_roundtrip);
+    # a decoder that ignored the flag would pass a round-trip test
+    # but fail this one.
     raw = bytearray(gif_indexed_bytes(16, 16, 3))
-    # flip the interlace bit in the image descriptor flags byte
     desc = raw.index(0x2C, 13 + 768)
     raw[desc + 9] |= 0x40
-    assert decode_gif_pixels(bytes(raw)) is None
+    straight = decode_gif_pixels(gif_indexed_bytes(16, 16, 3))
+    flipped = decode_gif_pixels(bytes(raw))
+    assert flipped is not None and flipped != straight
 
 
 def test_mp4_box_walk_roundtrip_and_rejects():
@@ -692,3 +699,19 @@ def test_png_adam7_interlaced_roundtrip():
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
     trunc = raw[:i] + chunk(b"IDAT", short) + raw[i + 12 + ln:]
     assert decode_png_interlaced(trunc) is None
+
+
+def test_gif_interlaced_roundtrip():
+    """4-pass interlaced GIF decodes to the same pixels as its
+    non-interlaced twin across odd heights (uneven pass sizes)."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_gif_pixels,
+        gif_indexed_bytes,
+    )
+
+    for (w, h, seed) in ((16, 16, 100), (16, 16, 0), (16, 16, 219),
+                         (10, 7, 50), (5, 3, 9), (8, 1, 2)):
+        a = decode_gif_pixels(gif_indexed_bytes(w, h, seed))
+        b = decode_gif_pixels(gif_indexed_bytes(w, h, seed,
+                                                interlaced=True))
+        assert a is not None and a == b, (w, h, seed)
