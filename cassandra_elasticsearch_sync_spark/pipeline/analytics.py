@@ -1997,3 +1997,168 @@ def k_rolling_count_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w1h).alias("n_prev_1h"),
         F.count("*").over(w24).alias("n_prev_24h"),
     )
+
+
+@register("k_spearman_corr", "D5+E1", """
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY 1
+),
+pts AS (
+  SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+         CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+         s.spend_cents
+  FROM customer c JOIN spend s ON c.c_custkey = s.custkey
+),
+rn AS (
+  SELECT nationkey, custkey, bal_cents, spend_cents,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY bal_cents, custkey) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY spend_cents, custkey) AS ry
+  FROM pts
+),
+ranked AS (
+  SELECT nationkey, custkey,
+         CAST(2 * AVG(rx) OVER (PARTITION BY nationkey, bal_cents)
+              AS BIGINT) AS x2,
+         CAST(2 * AVG(ry) OVER (PARTITION BY nationkey, spend_cents)
+              AS BIGINT) AS y2
+  FROM rn
+),
+sums AS (
+  SELECT nationkey, COUNT(*) AS n,
+         CAST(SUM(x2) AS DOUBLE) AS sx, CAST(SUM(y2) AS DOUBLE) AS sy,
+         CAST(SUM(x2 * y2) AS DOUBLE) AS sxy,
+         CAST(SUM(x2 * x2) AS DOUBLE) AS sxx,
+         CAST(SUM(y2 * y2) AS DOUBLE) AS syy
+  FROM ranked GROUP BY 1
+)
+SELECT nationkey, n,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS spearman_rho
+FROM sums WHERE n >= 3
+""", "Spearman rank correlation per nation between a customer's "
+     "account balance and their lifetime spend - the robust "
+     "(monotone-invariant) dependence measure feature stores "
+     "publish. Tied values take fractional average ranks "
+     "(AVG(row_number) over the tie group, doubled to stay "
+     "integer); the Pearson formula then runs over exact integer "
+     "rank sums cast to double only at the final combination - "
+     "every intermediate is exactly representable, so the 6-dp "
+     "round is engine-independent. Two windows and one grouped "
+     "aggregate, all partitioned by nation: the per-group shape "
+     "scales to any number of groups, and within-group size is "
+     "customer-per-nation bounded.")
+def k_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("spend_cents"))
+    pts = (cust.join(spend, cust.c_custkey == spend.custkey)
+           .select(F.col("c_nationkey").alias("nationkey"),
+                   F.col("c_custkey").alias("custkey"),
+                   F.round(F.col("c_acctbal") * 100).cast("bigint")
+                   .alias("bal_cents"),
+                   "spend_cents"))
+    wx = Window.partitionBy("nationkey").orderBy("bal_cents", "custkey")
+    wy = Window.partitionBy("nationkey").orderBy("spend_cents", "custkey")
+    rn = pts.select("nationkey", "custkey", "bal_cents", "spend_cents",
+                    F.row_number().over(wx).alias("rx"),
+                    F.row_number().over(wy).alias("ry"))
+    tx = Window.partitionBy("nationkey", "bal_cents")
+    ty = Window.partitionBy("nationkey", "spend_cents")
+    ranked = rn.select(
+        "nationkey", "custkey",
+        (2 * F.avg("rx").over(tx)).cast("bigint").alias("x2"),
+        (2 * F.avg("ry").over(ty)).cast("bigint").alias("y2"))
+    sums = ranked.groupBy("nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("x2").cast("double").alias("sx"),
+        F.sum("y2").cast("double").alias("sy"),
+        F.sum(F.col("x2") * F.col("y2")).cast("double").alias("sxy"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast("double").alias("syy"))
+    n = F.col("n")
+    rho = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+           / F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (n * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return (sums.filter(n >= 3)
+            .select("nationkey", "n", F.round(rho, 6).alias("spearman_rho")))
+
+
+@register("k_kendall_tau", "D5+C9", """
+WITH m AS (
+  SELECT c.c_nationkey AS nationkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_cents,
+         COUNT(DISTINCT c.c_custkey) AS n_cust
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.nationkey AS na, b.nationkey AS nb,
+         CASE WHEN (a.rev_cents - b.rev_cents)
+                   * (a.n_cust - b.n_cust) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.rev_cents - b.rev_cents)
+                   * (a.n_cust - b.n_cust) < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.rev_cents = b.rev_cents
+                   AND a.n_cust <> b.n_cust THEN 1 ELSE 0 END AS tie_x,
+         CASE WHEN a.n_cust = b.n_cust
+                   AND a.rev_cents <> b.rev_cents THEN 1 ELSE 0 END AS tie_y
+  FROM m a JOIN m b ON a.nationkey < b.nationkey
+),
+s AS (
+  SELECT CAST(SUM(conc) AS DOUBLE) AS c, CAST(SUM(disc) AS DOUBLE) AS d,
+         CAST(SUM(tie_x) AS DOUBLE) AS tx, CAST(SUM(tie_y) AS DOUBLE) AS ty,
+         CAST(COUNT(*) AS DOUBLE) AS n0
+  FROM pairs
+)
+SELECT CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+       ROUND((c - d) / SQRT((c + d + tx) * (c + d + ty)), 6) AS kendall_tau_b
+FROM s
+""", "Kendall tau-b between two national rankings (revenue vs "
+     "customer count) - the pairwise-agreement rank correlation "
+     "used to compare ranked lists (search results, leaderboard "
+     "stability). Tau is inherently O(pairs); here the entity set "
+     "is the aggregated nation table, so the self-join is "
+     "25x24/2 pairs - the aggregate-first-then-pair shape that "
+     "keeps pairwise statistics viable at warehouse scale (the "
+     "pairing runs over the GROUPED result, never the fact "
+     "table). Concordant/discordant/tie counters are exact "
+     "integers; tau-b's tie-corrected denominator is one double "
+     "expression rounded at 6 dp.")
+def k_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = (cust.join(orders, orders.o_custkey == cust.c_custkey)
+         .groupBy(F.col("c_nationkey").alias("nationkey"))
+         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+              .alias("rev_cents"),
+              F.countDistinct("c_custkey").alias("n_cust")))
+    a = m.alias("a")
+    b = m.alias("b")
+    dx = F.col("a.rev_cents") - F.col("b.rev_cents")
+    dy = F.col("a.n_cust") - F.col("b.n_cust")
+    pairs = (a.join(b, F.col("a.nationkey") < F.col("b.nationkey"))
+             .select(
+                 F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
+                 F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+                 F.when((dx == 0) & (dy != 0), 1).otherwise(0)
+                 .alias("tie_x"),
+                 F.when((dy == 0) & (dx != 0), 1).otherwise(0)
+                 .alias("tie_y")))
+    s = pairs.agg(F.sum("conc").cast("double").alias("c"),
+                  F.sum("disc").cast("double").alias("d"),
+                  F.sum("tie_x").cast("double").alias("tx"),
+                  F.sum("tie_y").cast("double").alias("ty"))
+    tau = ((F.col("c") - F.col("d"))
+           / F.sqrt((F.col("c") + F.col("d") + F.col("tx"))
+                    * (F.col("c") + F.col("d") + F.col("ty"))))
+    return s.select(F.col("c").cast("bigint").alias("concordant"),
+                    F.col("d").cast("bigint").alias("discordant"),
+                    F.round(tau, 6).alias("kendall_tau_b"))

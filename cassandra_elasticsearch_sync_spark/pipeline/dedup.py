@@ -1042,3 +1042,63 @@ def k1e_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@register("k1f_levenshtein_dedup", "K1+K2", """
+WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         REPLACE(text, ' value ', ' valuue ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+keyed AS (
+  SELECT doc_id, text,
+         STRING_SPLIT(text, ' ')[1] AS first_tok,
+         LEN(STRING_SPLIT(text, ' ')) AS n_words
+  FROM seeded
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text) AS edit_distance
+FROM keyed a JOIN keyed b
+  ON a.first_tok = b.first_tok AND a.n_words = b.n_words
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 8
+""", "Bucketed edit-distance near-dup pairs - the precision tier "
+     "below MinHash: LSH candidates are usually CONFIRMED with an "
+     "exact string distance, and this query is that confirm pass "
+     "as a standalone operator. Every tenth document gets a "
+     "deterministic typo variant (each ' value ' token doubled a "
+     "vowel - replace() on both engines substitutes all "
+     "occurrences); candidate pairs come from an equi-join on "
+     "(first token, word count) - a blocking key that edit noise "
+     "in later tokens cannot move - then Levenshtein (identical "
+     "unit-cost DP on both engines) keeps pairs within distance 8. "
+     "The join is a hash equi-join on the blocking key, never "
+     "all-pairs: at 100 TB the bucket histogram bounds the "
+     "quadratic term to per-bucket size, the same guarantee as "
+     "the MinHash band join.")
+def k1f_levenshtein_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    variants = (d.filter(F.col("doc_id") % 10 == 0)
+                .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                        F.replace(F.col("text"), F.lit(" value "),
+                                  F.lit(" valuue ")).alias("text")))
+    seeded = d.select("doc_id", "text").unionAll(variants)
+    toks = F.split(F.col("text"), " ")
+    keyed = seeded.select(
+        "doc_id", "text",
+        toks.getItem(0).alias("first_tok"),
+        F.size(toks).alias("n_words"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(b, on=[F.col("a.first_tok") == F.col("b.first_tok"),
+                      F.col("a.n_words") == F.col("b.n_words"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .filter(dist <= 8)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                dist.alias("edit_distance"))
+    )

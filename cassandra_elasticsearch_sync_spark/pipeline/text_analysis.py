@@ -1397,3 +1397,172 @@ def k_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.filter(F.col("c") >= 20)
             .select("w1", "w2", F.col("c").cast("bigint").alias("pair_count"),
                     F.round(p_kn, 6).alias("p_kn")))
+
+
+@register("k_flesch_readability", "K4", """
+WITH m AS (
+  SELECT doc_id,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_words,
+         LEN(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS n_syll
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_words, n_syll,
+         ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / 8.0)
+               - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
+  FROM m WHERE n_words > 0
+)
+SELECT CAST(FLOOR(flesch / 10) * 10 AS BIGINT) AS flesch_bucket,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(CAST(n_syll AS DOUBLE) / n_words), 6) AS avg_syll_per_word
+FROM scored GROUP BY 1
+""", "Flesch reading-ease scoring - the classic document-quality "
+     "readability signal LLM pipelines bucket corpora by. Syllables "
+     "are approximated as maximal vowel-group runs ('[aeiouy]+' - "
+     "the standard dictionary-free heuristic) counted with one "
+     "regexp sweep per document; the synthetic corpus carries no "
+     "sentence punctuation so the words-per-sentence factor uses "
+     "the corpus's fixed 8-word clause length. Identical regex on "
+     "both engines (RE2-safe subset); integer counts feed one "
+     "double expression rounded at 6 dp, then a bucketed histogram "
+     "- a narrow map + one grouped aggregate, linear at any scale.")
+def k_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    n_words = F.size(F.split(low, " "))
+    n_syll = F.regexp_count(low, F.lit("[aeiouy]+"))
+    m = d.select(F.col("doc_id"), n_words.alias("n_words"),
+                 n_syll.alias("n_syll")).filter(F.col("n_words") > 0)
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double") / 8.0)
+        - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words")), 6)
+    scored = m.withColumn("flesch", flesch)
+    return (
+        scored.groupBy(
+            (F.floor(F.col("flesch") / 10) * 10).cast("bigint")
+            .alias("flesch_bucket"))
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg(F.col("n_syll").cast("double")
+                           / F.col("n_words")), 6)
+             .alias("avg_syll_per_word"))
+    )
+
+
+@register("k_html_strip_ratio", "K4+K5", """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           '<html><head><title>t</title></head><body><p class="x">'
+           || text || '</p><div><a href="/l">link</a></div></body></html>'
+         WHEN doc_id % 3 = 1 THEN
+           '<body>' || text || '<br/><span>ad ad ad</span></body>'
+         ELSE text END AS raw
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, raw,
+         TRIM(REGEXP_REPLACE(REGEXP_REPLACE(raw, '<[^>]*>', ' ', 'g'),
+                             ' +', ' ', 'g')) AS clean
+  FROM seeded
+)
+SELECT doc_id, LEN(raw) AS raw_len, LEN(clean) AS clean_len,
+       ROUND(CAST(LEN(clean) AS DOUBLE) / LEN(raw), 6) AS content_ratio,
+       LEN(clean) < LEN(raw) AS had_markup
+FROM stripped
+""", "HTML boilerplate stripping + content-ratio scoring - the first "
+     "transform of every web-crawl ingestion pipeline. Each document "
+     "is deterministically wrapped in one of three markup profiles "
+     "(full page, partial body + ad span, plain), tags are removed "
+     "with the anchored '<[^>]*>' sweep and whitespace re-collapsed, "
+     "and the kept/raw length ratio becomes the quality signal "
+     "(low ratio = boilerplate-dominated page). Two regexp_replace "
+     "passes written identically for Spark's Java regex and DuckDB's "
+     "RE2 ('g' flag on the DuckDB side, Spark replaces all by "
+     "default); pure narrow map - no shuffle at all.")
+def k_html_strip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = (F.when(did % 3 == 0,
+                  F.concat(F.lit('<html><head><title>t</title></head>'
+                                 '<body><p class="x">'),
+                           F.col("text"),
+                           F.lit('</p><div><a href="/l">link</a>'
+                                 '</div></body></html>')))
+           .when(did % 3 == 1,
+                 F.concat(F.lit("<body>"), F.col("text"),
+                          F.lit("<br/><span>ad ad ad</span></body>")))
+           .otherwise(F.col("text")))
+    s = d.select("doc_id", raw.alias("raw"))
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace("raw", "<[^>]*>", " "), " +", " "))
+    s = s.withColumn("clean", clean)
+    return s.select(
+        "doc_id",
+        F.length("raw").alias("raw_len"),
+        F.length("clean").alias("clean_len"),
+        F.round(F.length("clean").cast("double") / F.length("raw"), 6)
+        .alias("content_ratio"),
+        (F.length("clean") < F.length("raw")).alias("had_markup"),
+    )
+
+
+@register("k_code_detect", "K4+K5", """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' def f(x): return {x: 1}; for i in range(8): y += i;'
+         WHEN doc_id % 7 = 0 THEN
+           text || ' SELECT a, b FROM t WHERE x = 1;'
+         ELSE text END AS body
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         LEN(regexp_extract_all(body, '[{}();=\\[\\]]')) AS n_punct,
+         LEN(regexp_extract_all(LOWER(body),
+             '\\b(def|return|for|select|from|where|import|class)\\b'))
+           AS n_kw,
+         LEN(STRING_SPLIT(body, ' ')) AS n_tokens
+  FROM seeded
+)
+SELECT doc_id, n_punct, n_kw,
+       ROUND(CAST(n_punct + 2 * n_kw AS DOUBLE) / n_tokens, 6)
+         AS code_score,
+       (n_punct + 2 * n_kw) * 20 >= n_tokens AS is_code
+FROM feats
+""", "Code-vs-prose detection - the language-ID sibling every "
+     "pretraining mixture needs to route code into its own bucket. "
+     "Documents are deterministically salted with Python- and "
+     "SQL-shaped tails; the detector scores structural punctuation "
+     "density ([{}();=[]]) plus keyword hits (word-boundary "
+     "anchored alternation, identical Java/RE2 semantics) per "
+     "token, thresholded at one marker per 20 tokens. Two "
+     "regexp_extract sweeps + integer arithmetic - a pure narrow "
+     "map with no Python in the plan and no shuffle.")
+def k_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = (F.when(did % 5 == 0,
+                   F.concat(F.col("text"),
+                            F.lit(" def f(x): return {x: 1}; "
+                                  "for i in range(8): y += i;")))
+            .when(did % 7 == 0,
+                  F.concat(F.col("text"),
+                           F.lit(" SELECT a, b FROM t WHERE x = 1;")))
+            .otherwise(F.col("text")))
+    s = d.select("doc_id", body.alias("body"))
+    n_punct = F.regexp_count("body", F.lit(r"[{}();=\[\]]"))
+    n_kw = F.regexp_count(
+        F.lower("body"),
+        F.lit(r"\b(def|return|for|select|from|where|import|class)\b"))
+    n_tokens = F.size(F.split(F.col("body"), " "))
+    feats = s.select("doc_id", n_punct.alias("n_punct"), n_kw.alias("n_kw"),
+                     n_tokens.alias("n_tokens"))
+    return feats.select(
+        "doc_id", "n_punct", "n_kw",
+        F.round((F.col("n_punct") + 2 * F.col("n_kw")).cast("double")
+                / F.col("n_tokens"), 6).alias("code_score"),
+        ((F.col("n_punct") + 2 * F.col("n_kw")) * 20
+         >= F.col("n_tokens")).alias("is_code"),
+    )
