@@ -405,3 +405,81 @@ def k2h_triangle_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("c").alias("max_outdeg"))
     )
     return tri.crossJoin(od)
+
+
+_BFS_DEPTH = 12
+
+_K2I_ORACLE = f"""
+WITH RECURSIVE
+n AS (SELECT COUNT(*) AS m FROM supplier),
+e AS (
+  SELECT (s_suppkey - 1) AS src,
+         ((2 * (s_suppkey - 1) + 1) % m) AS dst
+  FROM supplier, n
+  UNION ALL
+  SELECT (s_suppkey - 1) AS src,
+         ((3 * (s_suppkey - 1) + 2) % m) AS dst
+  FROM supplier, n
+),
+bfs AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+  UNION
+  SELECT e.dst AS node, b.dist + 1 AS dist
+  FROM bfs b JOIN e ON e.src = b.node
+  WHERE b.dist < {_BFS_DEPTH}
+)
+SELECT node, CAST(MIN(dist) AS INT) AS hops
+FROM bfs GROUP BY node
+"""
+
+
+@register("k2i_bfs_shortest_hops", "K2+C1", _K2I_ORACLE,
+          "Single-source BFS shortest-hop distances over a "
+          "deterministic sparse functional graph (each supplier "
+          "node v has out-edges to (2v+1) mod m and (3v+2) mod m - "
+          "a doubling-map expander, so levels are nontrivial), "
+          "capped at 12 hops on BOTH engines. The oracle is "
+          "DuckDB's recursive CTE with UNION-dedup; the Spark side "
+          "is the canonical distributed-BFS frontier loop: each "
+          "round joins the frontier against the edge list, anti-"
+          "joins out already-visited nodes, and min-reduces "
+          "duplicate arrivals - every round is one hash equi-join "
+          "+ one aggregate shuffled on the node key, and the "
+          "frontier is localCheckpointed so the plan stays "
+          "round-sized instead of compounding (the CC-loop "
+          "lesson). At 100 TB the edge list is the data-sized "
+          "side; visited/frontier are node-sized, and 'rounds = "
+          "hop cap' bounds total work to depth x one-shuffle - "
+          "the Pregel-on-DataFrames shape.")
+def k2i_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+
+    s = load_table(spark, sf_dir, "supplier")
+    m = s.agg(F.count("*").alias("m"))
+    v = F.col("s_suppkey") - 1
+    base = s.crossJoin(F.broadcast(m))
+    edges = (
+        base.select(v.alias("src"), ((2 * v + 1) % F.col("m")).alias("dst"))
+        .unionAll(
+            base.select(v.alias("src"),
+                        ((3 * v + 2) % F.col("m")).alias("dst")))
+    ).localCheckpoint(eager=False)
+
+    visited = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("node"), F.lit(0).alias("dist"))
+    frontier = visited
+    for _ in range(_BFS_DEPTH):
+        arrivals = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+            .groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        frontier = (
+            arrivals.join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+    return visited.select("node", F.col("dist").cast("int").alias("hops"))

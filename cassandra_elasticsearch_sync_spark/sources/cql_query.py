@@ -53,6 +53,14 @@ CQL_TABLES: dict[str, dict] = {
         "partition": ["user_id"],
         "clustering": [("ts", "ASC"), ("event_id", "ASC")],
     },
+    # Writetime-tracked scratch table (the cql_write DML target):
+    # CREATE TABLE kv (key bigint PRIMARY KEY, price double). Its
+    # DataFrame twin carries the writetime_us/ttl_s cell-metadata
+    # columns, which is what writetime()/ttl() selectors read.
+    "kv": {
+        "partition": ["key"],
+        "clustering": [],
+    },
     # Collection + frozen-UDT bearing table (CREATE TYPE address
     # (city text, zip int); CREATE TABLE customer_profiles (cust_id
     # bigint PRIMARY KEY, segment text, tags set<text>,
@@ -71,6 +79,10 @@ _RANGE_OPS = {"<", "<=", ">", ">="}
 
 
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
+# Cell-metadata selectors (not aggregates): read the row's
+# writetime/ttl shadow columns (the cell-metadata model the CQL
+# write path maintains - cql_write.apply_cql_writes).
+_SELECTOR_FNS = {"writetime", "ttl"}
 
 
 @dataclass
@@ -156,7 +168,7 @@ def _parse_col(raw: str) -> CqlCol:
         raise CqlError(f"unparseable select item: {raw!r}")
     if m.group("fn"):
         fn = m.group("fn").lower()
-        if fn not in _AGG_FNS:
+        if fn not in _AGG_FNS and fn not in _SELECTOR_FNS:
             raise CqlError(f"unsupported CQL function {fn!r}")
         arg = m.group("arg")
         if arg == "*" and fn != "count":
@@ -338,7 +350,25 @@ def validate_cql(sel: CqlSelect) -> dict:
             if any(op in _RANGE_OPS for op in ops):
                 seen_range = True
 
-    has_agg = any(c.fn for c in sel.columns)
+    # writetime()/ttl() selector rules - Cassandra's own: never on a
+    # PRIMARY KEY part, never on (non-frozen) collections, and not
+    # combinable with GROUP BY / aggregates in this subset.
+    selectors = [c for c in sel.columns if c.fn in _SELECTOR_FNS]
+    for c in selectors:
+        if c.name in part_cols or c.name in clus_cols:
+            raise CqlError(
+                f"Cannot use selection function {c.fn} on PRIMARY KEY "
+                f"part {c.name!r}")
+        if c.name in collections:
+            raise CqlError(
+                f"Cannot use selection function {c.fn} on collection "
+                f"column {c.name!r}")
+    if selectors and (sel.group_by
+                      or any(c.fn in _AGG_FNS for c in sel.columns)):
+        raise CqlError(
+            "writetime()/ttl() cannot combine with GROUP BY/aggregates")
+
+    has_agg = any(c.fn in _AGG_FNS for c in sel.columns)
     plain = [c.name for c in sel.columns if c.fn is None and c.name != "*"]
     if sel.group_by:
         # Cassandra: GROUP BY columns must be the full partition key
@@ -409,7 +439,31 @@ def _agg_expr(c: CqlCol):
     return e.alias(c.out_name)
 
 
-def cql_select(df: DataFrame, stmt: str) -> DataFrame:
+def _selector_expr(c: CqlCol, df: DataFrame, now_us: int | None):
+    """writetime(x)/ttl(x) -> the cell-metadata shadow columns.
+
+    writetime returns the stored microsecond stamp; ttl returns the
+    REMAINING seconds at the caller's pinned read instant (integer
+    floor, null when no TTL was set) - Cassandra's semantics with the
+    wall clock replaced by an explicit ``now_us`` so results are
+    deterministic (the same rule the write path enforces)."""
+    if "writetime_us" not in df.columns or "ttl_s" not in df.columns:
+        raise CqlError(
+            f"{c.fn}() requires a writetime-tracked table "
+            "(writetime_us/ttl_s columns)")
+    if c.fn == "writetime":
+        return F.col("writetime_us").alias(c.out_name)
+    if now_us is None:
+        raise CqlError("ttl() reads need an explicit now_us read instant")
+    remaining_us = (F.col("writetime_us") + F.col("ttl_s") * 1_000_000
+                    - F.lit(int(now_us)))
+    return (F.when(F.col("ttl_s").isNotNull(),
+                   F.floor(remaining_us / 1_000_000).cast("int"))
+            .alias(c.out_name))
+
+
+def cql_select(df: DataFrame, stmt: str,
+               now_us: int | None = None) -> DataFrame:
     """Compile and run a CQL SELECT against the table's DataFrame."""
     sel = parse_cql(stmt)
     meta = validate_cql(sel)
@@ -441,7 +495,7 @@ def cql_select(df: DataFrame, stmt: str) -> DataFrame:
                 _token_col(meta["partition"]).asc()).limit(sel.limit)
         out = out.select(
             *[F.col(c.name).alias(c.out_name) for c in sel.columns])
-    elif sel.group_by or any(c.fn for c in sel.columns):
+    elif sel.group_by or any(c.fn in _AGG_FNS for c in sel.columns):
         # one grouped (or global) aggregate; map-side partial combine,
         # group cardinality <= partition-key cardinality by the
         # pk-plus-prefix GROUP BY rule.
@@ -476,8 +530,10 @@ def cql_select(df: DataFrame, stmt: str) -> DataFrame:
             out = out.orderBy(_token_col(meta["partition"]).asc(),
                               *clus_order).limit(sel.limit)
         if [c.name for c in sel.columns] != ["*"]:
-            out = out.select(
-                *[F.col(c.name).alias(c.out_name) for c in sel.columns])
+            out = out.select(*[
+                _selector_expr(c, df, now_us) if c.fn in _SELECTOR_FNS
+                else F.col(c.name).alias(c.out_name)
+                for c in sel.columns])
     if sel.json:
         # SELECT JSON: each row rendered as a JSON object in select
         # order - Cassandra's '[json]' column (SQL-safe name: json).

@@ -439,3 +439,80 @@ def a2t_cql_using_ttl_timestamp(spark, sf_dir):
                 .orderBy("key").localCheckpoint(eager=True))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("a2w_cql_writetime_ttl_read", "A2", """
+WITH base AS (SELECT UNNEST(RANGE(0, 30)) AS k),
+cells AS (
+  SELECT k AS key,
+         CASE WHEN k % 3 = 0 THEN CAST(k * 10 AS DOUBLE)
+              ELSE CAST(k AS DOUBLE) END AS price,
+         CASE WHEN k % 3 = 0 THEN 5000000 ELSE 1000000 END AS writetime_us,
+         CAST(CASE WHEN k % 3 = 0 THEN 7200
+                   WHEN k % 3 = 2 THEN 1
+                   ELSE NULL END AS BIGINT) AS ttl_s
+  FROM base
+)
+SELECT key, price, writetime_us AS wt,
+       CASE WHEN ttl_s IS NOT NULL THEN
+         CAST(FLOOR((writetime_us + ttl_s * 1000000 - 2000000000)
+                    / 1000000.0) AS INT)
+       END AS ttl_left
+FROM cells
+WHERE ttl_s IS NULL OR writetime_us + ttl_s * 1000000 > 2000000000
+ORDER BY key
+""", "CQL writetime()/ttl() SELECTORS - the read half of the cell-"
+     "metadata model the USING TTL/TIMESTAMP write path (a2t) "
+     "maintains: writetime(price) surfaces the stored microsecond "
+     "stamp (here proving timestamp-LWW kept the 5000000 update "
+     "over the 1000000 insert on every key%3 row), and ttl(price) "
+     "returns the REMAINING seconds at the caller's pinned read "
+     "instant (integer floor, null when no TTL - Cassandra's "
+     "semantics with the wall clock made explicit, so the result "
+     "is deterministic). Expired rows (TTL 1, dead long before the "
+     "probe) vanish at read time with no background deletion. The "
+     "validator enforces Cassandra's own selector rules: never on "
+     "a PRIMARY KEY part, never on collections, no clock -> error.")
+def a2w_cql_writetime_ttl_read(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        cql_select,
+    )
+
+    root = tempfile.mkdtemp(prefix="ces_cql_wt_")
+    try:
+        t = AcidParquetTable(spark, root)
+        schema = T.StructType([
+            T.StructField("key", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("writetime_us", T.LongType()),
+            T.StructField("ttl_s", T.LongType()),
+        ])
+        t.init(spark.createDataFrame([], schema))
+        apply_cql_writes(t, ["key"], [
+            f"INSERT INTO kv (key, price) VALUES ({k}, {float(k)}) "
+            f"USING TIMESTAMP 1000000"
+            + (" AND TTL 1" if k % 3 == 2 else "")
+            for k in range(30)
+        ])
+        apply_cql_writes(t, ["key"], [
+            f"UPDATE kv USING TIMESTAMP 5000000 AND TTL 7200 "
+            f"SET price = {float(k * 10)} WHERE key = {k}"
+            for k in range(0, 30, 3)
+        ])
+        now_us = 2_000_000_000
+        live = t.read().filter(
+            F.col("ttl_s").isNull()
+            | (F.col("writetime_us") + F.col("ttl_s") * 1_000_000
+               > now_us))
+        out = cql_select(
+            live,
+            "SELECT key, price, writetime(price) AS wt, "
+            "ttl(price) AS ttl_left FROM kv",
+            now_us=now_us,
+        )
+        return out.orderBy("key").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

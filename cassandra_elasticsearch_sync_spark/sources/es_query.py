@@ -149,6 +149,50 @@ def compile_query(q: dict, resolve=None) -> Column:
         else:  # crosses the antimeridian
             lon_ok = (col["lon"] >= F.lit(left)) | (col["lon"] <= F.lit(right))
         return lat_ok & lon_ok
+    if kind == "match_phrase":
+        # Whitespace-analyzer phrase match: the query tokens must
+        # appear CONSECUTIVELY in the field's token stream. With a
+        # single-space analyzer that is exactly a substring match on
+        # the space-padded lowered text - no positions index needed.
+        (field, text), = body.items()
+        phrase = " ".join(str(text).lower().split())
+        padded = F.concat(F.lit(" "), F.lower(resolve(field)), F.lit(" "))
+        return padded.contains(f" {phrase} ")
+    if kind == "fuzzy":
+        # ES fuzzy query: Levenshtein edit distance <= fuzziness.
+        # "AUTO" follows ES's documented ladder: 0 edits for terms of
+        # length 0-2, 1 for 3-5, 2 above.
+        (field, spec), = body.items()
+        if isinstance(spec, dict):
+            value = str(spec["value"])
+            fuzz = spec.get("fuzziness", "AUTO")
+        else:
+            value, fuzz = str(spec), "AUTO"
+        if fuzz == "AUTO":
+            n = len(value)
+            fuzz = 0 if n <= 2 else (1 if n <= 5 else 2)
+        return F.levenshtein(resolve(field), F.lit(value)) <= F.lit(int(fuzz))
+    if kind == "regexp":
+        # ES regexp queries are ANCHORED (the whole term must match) -
+        # compile to rlike with explicit anchors so Spark's
+        # find-anywhere rlike gets ES's full-match semantics.
+        (field, pattern), = body.items()
+        if isinstance(pattern, dict):
+            pattern = pattern["value"]
+        return resolve(field).rlike(f"^(?:{pattern})$")
+    if kind == "ids":
+        return resolve("_id").isin(*body["values"])
+    if kind == "terms_set":
+        # ES terms_set: an array field matches when at least
+        # `minimum_should_match` of the listed terms are present
+        # (each DISTINCT term counts once). array_intersect is the
+        # JVM-side set intersection - no explode, no shuffle.
+        (field, spec), = body.items()
+        terms = [str(t) for t in spec["terms"]]
+        need = int(spec.get("minimum_should_match", len(terms)))
+        hits = F.size(F.array_intersect(
+            resolve(field), F.array(*[F.lit(t) for t in terms])))
+        return hits >= F.lit(need)
     raise ValueError(f"unsupported ES query clause: {kind}")
 
 
@@ -312,6 +356,32 @@ def _metric_columns(name: str, spec: dict) -> list:
         ]
     if kind == "percentiles":
         return _percentile_columns(name, body)
+    if kind == "extended_stats":
+        # ES extended_stats = stats + sum_of_squares, POPULATION
+        # variance and std-dev (ES's documented default). The corpus's
+        # 2-dp values are squared in exact integer cents (cents^2 sums
+        # stay < 2^63 through sf10; bigint->double conversion is
+        # correctly-rounded identically on both engines) - a double
+        # product would differ in the last ulp because the engines
+        # cast double->decimal through different expansions. Variance
+        # and std_deviation are then IEEE expressions over exact
+        # doubles - bit-parity-safe, rounded at 6 dp like every float.
+        field = body["field"]
+        cents = F.round(F.col(field) * 100).cast("bigint")
+        n = F.count(field)
+        s = dsum(field, 2)
+        sos = (F.sum(cents * cents).cast("double") / F.lit(10000.0))
+        var = sos / n - (s / n) * (s / n)
+        return [
+            n.alias(f"{name}_count"),
+            F.min(field).alias(f"{name}_min"),
+            F.max(field).alias(f"{name}_max"),
+            s.alias(f"{name}_sum"),
+            F.round(davg(field, 4), 6).alias(f"{name}_avg"),
+            sos.alias(f"{name}_sum_of_squares"),
+            F.round(var, 6).alias(f"{name}_variance"),
+            F.round(F.sqrt(var), 6).alias(f"{name}_std_deviation"),
+        ]
     return [_metric_column(name, spec)]
 
 
@@ -2433,3 +2503,220 @@ def a3ah_es_multi_terms(spark, sf_dir):
                     .alias("key"), "doc_count", "sum_price")
             .orderBy(F.desc("doc_count"), "key")
             .limit(10))
+
+
+_AGGS_EXT_STATS_DEMO = {
+    "segments": {
+        "terms": {"field": "c_mktsegment", "size": 10},
+        "aggs": {"bal": {"extended_stats": {"field": "c_acctbal"}}},
+    }
+}
+
+
+@register("a3al_es_extended_stats", "A3+D5", """
+SELECT c_mktsegment AS key, COUNT(*) AS doc_count,
+       COUNT(c_acctbal) AS bal_count,
+       MIN(c_acctbal) AS bal_min,
+       MAX(c_acctbal) AS bal_max,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS bal_sum,
+       ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10)))
+                       AS DECIMAL(38,4)) AS DOUBLE)
+             / COUNT(c_acctbal), 6) AS bal_avg,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS bal_sum_of_squares,
+       ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                      * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 10000.0 / COUNT(c_acctbal)
+             - (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10)))
+                          AS DECIMAL(38,2)) AS DOUBLE) / COUNT(c_acctbal))
+               * (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10)))
+                            AS DECIMAL(38,2)) AS DOUBLE) / COUNT(c_acctbal)),
+             6) AS bal_variance,
+       ROUND(SQRT(
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                  * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           / 10000.0 / COUNT(c_acctbal)
+         - (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10)))
+                      AS DECIMAL(38,2)) AS DOUBLE) / COUNT(c_acctbal))
+           * (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10)))
+                        AS DECIMAL(38,2)) AS DOUBLE) / COUNT(c_acctbal))),
+             6) AS bal_std_deviation
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY doc_count DESC, key LIMIT 10
+""", "ES extended_stats metric agg under a terms bucket: the stats "
+     "object plus sum_of_squares and POPULATION variance/std-dev "
+     "(ES's documented default), flattened the way ES clients "
+     "flatten the response. Cross-engine exactness: the 2-dp "
+     "balances square to exact 4-dp numbers, so sum_of_squares "
+     "rides the same decimal rescale as sum (parity.py's dsum "
+     "bound: |sum|*10^4 < 2^53 holds for this column through "
+     "sf0.1); variance is then one IEEE expression over exact "
+     "doubles. One hash aggregate - partial map-side combine, no "
+     "second pass for the moments.")
+def a3al_es_extended_stats(spark, sf_dir):
+    return es_aggregate(load_table(spark, sf_dir, "customer"),
+                        _AGGS_EXT_STATS_DEMO)
+
+
+_FUZZY_DSL_DEMO = {
+    "bool": {
+        "must": [
+            {"match_phrase": {"text": "fast table"}},
+            {"fuzzy": {"lang": {"value": "eng"}}},
+        ],
+        "filter": [
+            {"regexp": {"source": "src1[0-9]"}},
+            {"terms_set": {"tokens": {
+                "terms": ["key", "agg", "row"],
+                "minimum_should_match": 2}}},
+        ],
+    }
+}
+
+
+@register("a3am_es_fuzzy_phrase_search", "A3", """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (' ' || LOWER(text) || ' ') LIKE '% fast table %'
+  AND levenshtein(lang, 'eng') <= 1
+  AND regexp_matches(source, '^(?:src1[0-9])$')
+  AND LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(text, ' '),
+          x -> x IN ('key', 'agg', 'row')))) >= 2
+""", "ES match_phrase + fuzzy + regexp + terms_set in one bool tree "
+     "- the four query clauses beyond exact term matching that real "
+     "search traffic leans on. match_phrase is consecutive-token "
+     "containment under the whitespace analyzer (space-padded "
+     "substring - no positions index needed); fuzzy applies ES's "
+     "AUTO edit-distance ladder via levenshtein (len-3 term -> 1 "
+     "edit, so 'eng' matches 'en'); regexp gets ES's ANCHORED "
+     "full-match semantics via explicit ^(?:...)$; terms_set "
+     "counts DISTINCT matching terms against the tokenized text "
+     "with array_intersect - JVM higher-order set op, no explode. "
+     "All four compile to pushdown-friendly predicates in one scan.")
+def a3am_es_fuzzy_phrase_search(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("tokens", F.split(F.col("text"), " "))
+    return (es_search(d, _FUZZY_DSL_DEMO)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+_ADH_LADDER = (1, 7, 30, 90, 365)
+
+
+def es_auto_date_histogram(df: DataFrame, field: str,
+                           target_buckets: int) -> DataFrame:
+    """ES auto_date_histogram: the engine (not the caller) picks the
+    interval - the smallest rounding from a fixed ladder that keeps
+    the bucket count at or under ``target_buckets``. A 1-row span
+    probe (min/max day - a bounded collect, the house rule) selects
+    the interval; the bucketing itself is pure integer day arithmetic
+    from the span start, so keys are exact on any engine. ES's ladder
+    mixes calendar and fixed units; this compiler uses fixed-day
+    roundings (1d/7d/30d/90d/365d), documented as the supported
+    subset."""
+    span = df.agg(
+        F.min(F.col(field).cast("date")).alias("d0"),
+        F.max(F.col(field).cast("date")).alias("d1"),
+    ).collect()[0]
+    span_days = (span.d1 - span.d0).days + 1
+    interval = next((iv for iv in _ADH_LADDER
+                     if span_days <= target_buckets * iv), _ADH_LADDER[-1])
+    d0 = F.lit(span.d0)
+    off = F.floor(F.datediff(F.col(field).cast("date"), d0)
+                  / F.lit(interval)).cast("int")
+    return (df.groupBy(F.date_add(d0, off * interval).alias("key"))
+            .agg(F.count("*").alias("doc_count"))
+            .withColumn("interval_days", F.lit(interval)))
+
+
+@register("a3an_es_auto_date_histogram", "A3+D1", """
+WITH b AS (
+  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+  FROM events
+),
+iv AS (
+  SELECT d0,
+         CASE WHEN date_diff('day', d0, d1) + 1 <= 15 * 1 THEN 1
+              WHEN date_diff('day', d0, d1) + 1 <= 15 * 7 THEN 7
+              WHEN date_diff('day', d0, d1) + 1 <= 15 * 30 THEN 30
+              WHEN date_diff('day', d0, d1) + 1 <= 15 * 90 THEN 90
+              ELSE 365 END AS interval_days
+  FROM b
+)
+SELECT iv.d0 + CAST((date_diff('day', iv.d0, CAST(e.ts AS DATE))
+                     // iv.interval_days) * iv.interval_days AS INT)
+         AS key,
+       COUNT(*) AS doc_count,
+       CAST(MIN(iv.interval_days) AS INT) AS interval_days
+FROM events e, iv
+GROUP BY 1
+""", "ES auto_date_histogram (target_buckets=15): the agg that picks "
+     "its own interval - the smallest fixed-day rounding "
+     "(1d/7d/30d/90d/365d) keeping bucket count <= the target - so "
+     "dashboards get a readable axis at any time span. The span "
+     "probe is a 1-row min/max aggregate; bucket keys are exact "
+     "integer day offsets from the span start (DATE-typed on both "
+     "engines), then one hash aggregate. At 100 TB the probe reads "
+     "parquet min/max footer stats in one tiny job and the "
+     "histogram is a single shuffle on the bucket key.")
+def a3an_es_auto_date_histogram(spark, sf_dir):
+    return es_auto_date_histogram(
+        load_table(spark, sf_dir, "events"), "ts", 15)
+
+
+@register("a3ao_es_sibling_bucket_stats", "A3+D2", """
+WITH buckets AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS key,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT COUNT(*) AS n_buckets,
+         MIN(rev) AS min_bucket, MAX(rev) AS max_bucket,
+         ROUND(SUM(rev) / COUNT(*), 6) AS avg_bucket,
+         ROUND(SUM(rev), 2) AS sum_bucket
+  FROM buckets
+)
+SELECT s.n_buckets, s.min_bucket, s.max_bucket, s.avg_bucket,
+       s.sum_bucket,
+       (SELECT MIN(key) FROM buckets WHERE rev = s.max_bucket)
+         AS max_bucket_key,
+       (SELECT MIN(key) FROM buckets WHERE rev = s.min_bucket)
+         AS min_bucket_key
+FROM s
+""", "ES sibling pipeline aggregations (avg_bucket / min_bucket / "
+     "max_bucket / sum_bucket / stats_bucket) over a monthly "
+     "date_histogram of revenue: the 'aggregate of the buckets' "
+     "family that parent pipelines (cumulative_sum et al., a3p) "
+     "cannot express. Bucket revenues are decimal-exact doubles, so "
+     "the sibling stats are sums over a bucket-count-sized table - "
+     "the avg_bucket division and 6-dp round are engine-identical. "
+     "max/min_bucket also surface WHICH bucket won (ES returns "
+     "keys[]): equality join back to the bucket table with a MIN-key "
+     "tiebreak, ES's own multi-key semantics made deterministic. "
+     "Everything after the one fact-table aggregate runs on a "
+     "dozen-row bucket table - free at any scale.")
+def a3ao_es_sibling_bucket_stats(spark, sf_dir):
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    buckets = (o.groupBy(F.date_trunc("month", "o_orderdate")
+                         .cast("date").alias("key"))
+               .agg(dsum("o_totalprice", 2).alias("rev")))
+    s = buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.min("rev").alias("min_bucket"),
+        F.max("rev").alias("max_bucket"),
+        F.round(F.sum("rev") / F.count("*"), 6).alias("avg_bucket"),
+        F.round(F.sum("rev"), 2).alias("sum_bucket"))
+    mx = (buckets.join(s.select("max_bucket"),
+                       buckets.rev == F.col("max_bucket"))
+          .agg(F.min("key").alias("max_bucket_key")))
+    mn = (buckets.join(s.select("min_bucket"),
+                       buckets.rev == F.col("min_bucket"))
+          .agg(F.min("key").alias("min_bucket_key")))
+    return s.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(mn))

@@ -152,3 +152,44 @@ def test_cql_group_by_differential(spark, duck, params):
         f"WHERE {cond} GROUP BY {', '.join(groups)}").fetchall())
     got = sorted(tuple(r) for r in cql_select(o, cql).collect())
     assert got == want, (cql, len(got), len(want))
+
+
+def test_cql_writetime_ttl_selector_rules(spark):
+    """Cassandra's writetime()/ttl() selector rules: never on a
+    PRIMARY KEY part, never on a collection, no mixing with GROUP
+    BY/aggregates, ttl() needs an explicit read instant, and both
+    need a writetime-tracked table."""
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        CqlError, cql_select,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    with pytest.raises(CqlError, match="PRIMARY KEY"):
+        cql_select(o, "SELECT writetime(o_custkey) FROM orders")
+    with pytest.raises(CqlError, match="PRIMARY KEY"):
+        cql_select(o, "SELECT ttl(o_orderdate) FROM orders")
+    with pytest.raises(CqlError, match="GROUP BY|aggregates"):
+        cql_select(o, "SELECT writetime(o_totalprice), count(*) "
+                      "FROM orders")
+    # collections are rejected before any data access
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        customer_profiles,
+    )
+    cp = customer_profiles(spark, SF_DIR)
+    with pytest.raises(CqlError, match="collection"):
+        cql_select(cp, "SELECT writetime(tags) FROM customer_profiles")
+    # a table without the shadow columns cannot serve the selector
+    with pytest.raises(CqlError, match="writetime-tracked"):
+        cql_select(o, "SELECT writetime(o_totalprice) FROM orders "
+                      ).collect()
+    # ttl() without a pinned clock is an error (determinism contract)
+    kv = spark.createDataFrame(
+        [(1, 1.0, 1000000, 60)],
+        "key long, price double, writetime_us long, ttl_s long")
+    with pytest.raises(CqlError, match="now_us"):
+        cql_select(kv, "SELECT ttl(price) FROM kv")
+    # the happy path: writetime needs no clock, ttl floors remaining
+    got = cql_select(kv, "SELECT key, writetime(price) AS wt, "
+                         "ttl(price) AS t FROM kv",
+                     now_us=31_000_000).collect()
+    assert [(r.key, r.wt, r.t) for r in got] == [(1, 1000000, 30)]
