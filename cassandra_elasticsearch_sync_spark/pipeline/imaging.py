@@ -918,3 +918,298 @@ def decode_png_interlaced(raw: bytes | None):
         return (width, height, channels, bytes(pixels))
     except (struct.error, zlib.error, IndexError):
         return None
+
+
+# -- BMP codec (BITMAPINFOHEADER: BI_RGB 24-bit and BI_RLE8 8-bit) ----------
+#
+# Public spec (Windows DIB format): 14-byte BITMAPFILEHEADER, 40-byte
+# BITMAPINFOHEADER, optional palette, pixel rows stored BOTTOM-UP with
+# each row padded to a 4-byte boundary. BI_RLE8 compresses 8-bit
+# palette indexes as (count, value) runs plus escape sequences:
+# 00 00 = end of line, 00 01 = end of bitmap, 00 n >= 3 = absolute
+# mode (n literal indexes, word-aligned).
+
+
+def bmp_rgb_bytes(width: int, height: int, seed: int) -> bytes:
+    """24-bit uncompressed (BI_RGB) BMP with pixels planted from
+    ``seed``: r=(seed+x), g=(seed+y), b=((x+y)%16)*15 - means are
+    exact .5 fractions the oracle recomputes analytically."""
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            row += bytes(((( x + y) % 16) * 15, (seed + y) % 256,
+                          (seed + x) % 256))  # B, G, R on disk
+        while len(row) % 4:
+            row.append(0)
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(pixel_data), 0, 0, off)
+    return header + info + pixel_data
+
+
+def bmp_rle8_bytes(width: int, height: int, seed: int) -> bytes:
+    """8-bit BI_RLE8 BMP over a 256-entry grayscale palette, planted
+    index = (seed + (x+y)%16). Each row is encoded half in ABSOLUTE
+    mode (00 n + literals, word-aligned) and half as unit RUNS, so a
+    decoder must handle both modes plus both escapes to reconstruct
+    the image."""
+    pal = b"".join(bytes((i, i, i, 0)) for i in range(256))  # BGRA entries
+    out = bytearray()
+    half = width // 2
+    for y in range(height - 1, -1, -1):
+        idx = [(seed + (x + y) % 16) % 256 for x in range(width)]
+        # absolute mode for the first half of the row
+        if half >= 3:
+            out += bytes((0, half)) + bytes(idx[:half])
+            if half % 2:
+                out.append(0)  # word alignment
+            rest = idx[half:]
+        else:
+            rest = idx
+        for v in rest:  # unit runs for the remainder
+            out += bytes((1, v))
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    data = bytes(out)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 1,
+                       len(data), 2835, 2835, 256, 0)
+    off = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return header + info + pal + data
+
+
+def decode_bmp_pixels(raw: bytes | None):
+    """bytes -> (width, height, [(r, g, b), ...] in top-down raster
+    order), or None. Handles BI_RGB 24-bit and BI_RLE8 8-bit with
+    both RLE modes and both escapes; rejects everything else rather
+    than mis-decoding."""
+    if raw is None or len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    (off,) = struct.unpack("<I", raw[10:14])
+    hsize, width, height, _planes, bpp, comp = struct.unpack(
+        "<IiiHHI", raw[14:34])
+    if hsize != 40 or height <= 0 or width <= 0:
+        return None
+    px = [[None] * width for _ in range(height)]
+    if comp == 0 and bpp == 24:
+        stride = (width * 3 + 3) & ~3
+        for ry in range(height):
+            base = off + ry * stride
+            y = height - 1 - ry  # stored bottom-up
+            for x in range(width):
+                b, g, r = raw[base + 3 * x: base + 3 * x + 3]
+                px[y][x] = (r, g, b)
+    elif comp == 1 and bpp == 8:
+        pal_off = 14 + hsize
+        pal = [tuple(raw[pal_off + 4 * i: pal_off + 4 * i + 3][::-1])
+               for i in range(256)]
+        pos, x, ry = off, 0, 0
+        while pos + 1 < len(raw):
+            n, v = raw[pos], raw[pos + 1]
+            pos += 2
+            if n == 0:
+                if v == 0:  # end of line
+                    x, ry = 0, ry + 1
+                elif v == 1:  # end of bitmap
+                    break
+                elif v == 2:  # delta jump (not produced; honor anyway)
+                    x += raw[pos]
+                    ry += raw[pos + 1]
+                    pos += 2
+                else:  # absolute mode: v literal indexes, word-aligned
+                    for i in range(v):
+                        px[height - 1 - ry][x] = pal[raw[pos + i]]
+                        x += 1
+                    pos += v + (v % 2)
+            else:  # run of n copies of index v
+                for _ in range(n):
+                    px[height - 1 - ry][x] = pal[v]
+                    x += 1
+    else:
+        return None
+    flat = [p for row in px for p in row]
+    if any(p is None for p in flat):
+        return None
+    return width, height, flat
+
+
+# -- G.711 mu-law / A-law codec (WAV audio_format 7 / 6) --------------------
+#
+# The ITU-T G.711 companded telephony codecs: 8-bit logarithmic code
+# words expanding to 13/14-bit linear PCM. The expand formulas below
+# are the public-spec segment/mantissa arithmetic (equivalent to the
+# classic ulaw2linear/alaw2linear reference code), written as pure
+# integer expressions so the oracle can recompute them in SQL.
+
+
+def ulaw_to_linear(b: int) -> int:
+    u = (~b) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_to_linear(b: int) -> int:
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def g711_wav_bytes(audio_format: int, sample_rate: int,
+                   codes: bytes) -> bytes:
+    """Valid single-channel 8-bit G.711 WAV (audio_format 7 = mu-law,
+    6 = A-law) wrapping the given code words."""
+    fmt = struct.pack("<HHIIHH", audio_format, 1, sample_rate,
+                      sample_rate, 1, 8)
+    data_size = len(codes)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_size)
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_size) + codes
+        + (b"\x00" if data_size % 2 else b"")
+    )
+
+
+def decode_g711_wav(raw: bytes | None):
+    """bytes -> (codec_name, [pcm ints]) by walking the RIFF chunks,
+    dispatching on audio_format 7/6, and expanding every code word;
+    None for non-G.711 or malformed payloads."""
+    if raw is None or len(raw) < 12 or raw[:4] != b"RIFF" \
+            or raw[8:12] != b"WAVE":
+        return None
+    pos, afmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        tag = raw[pos:pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            afmt = struct.unpack("<H", body[:2])[0]
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if data is None or afmt not in (6, 7):
+        return None
+    expand = ulaw_to_linear if afmt == 7 else alaw_to_linear
+    return ("ulaw" if afmt == 7 else "alaw"), [expand(b) for b in data]
+
+
+# -- Baseline TIFF codec (gray 8-bit, uncompressed strips, II and MM) -------
+
+
+def tiff_gray_bytes(width: int, height: int, seed: int,
+                    big_endian: bool, rows_per_strip: int = 4) -> bytes:
+    """Minimal spec-conforming baseline TIFF: header (II*\\0 / MM\\0*),
+    one IFD with the 8 baseline gray tags, pixel data split into
+    multiple strips (exercising StripOffsets/StripByteCounts arrays),
+    planted gray = seed + (x+y)%16."""
+    bo = ">" if big_endian else "<"
+    pixels = bytes(
+        ((seed + (x + y) % 16) % 256)
+        for y in range(height) for x in range(width))
+    strips = [pixels[y * width:(y + rows_per_strip) * width]
+              for y in range(0, height, rows_per_strip)]
+    n = len(strips)
+    # layout: 8 header + pixel strips + offset/count arrays + IFD
+    strip_off0 = 8
+    offsets = []
+    p = strip_off0
+    for s in strips:
+        offsets.append(p)
+        p += len(s)
+    off_array_pos = p
+    p += 4 * n
+    cnt_array_pos = p
+    p += 4 * n
+    ifd_pos = p
+    header = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        bo + "I", ifd_pos)
+
+    def entry(tag, typ, count, value):
+        return struct.pack(bo + "HHI", tag, typ, count) + value
+
+    def long_val(v):
+        return struct.pack(bo + "I", v)
+
+    def short_val(v):
+        # SHORT values sit LEFT-JUSTIFIED in the 4-byte slot per spec
+        return struct.pack(bo + "H", v) + b"\x00\x00"
+
+    entries = [
+        entry(256, 4, 1, long_val(width)),          # ImageWidth
+        entry(257, 4, 1, long_val(height)),         # ImageLength
+        entry(258, 3, 1, short_val(8)),             # BitsPerSample
+        entry(259, 3, 1, short_val(1)),             # Compression: none
+        entry(262, 3, 1, short_val(1)),             # BlackIsZero
+        entry(273, 4, n, long_val(off_array_pos)),  # StripOffsets
+        entry(278, 4, 1, long_val(rows_per_strip)),  # RowsPerStrip
+        entry(279, 4, n, long_val(cnt_array_pos)),  # StripByteCounts
+    ]
+    ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) \
+        + struct.pack(bo + "I", 0)
+    body = (b"".join(strips)
+            + b"".join(struct.pack(bo + "I", o) for o in offsets)
+            + b"".join(struct.pack(bo + "I", len(s)) for s in strips))
+    return header + body + ifd
+
+
+def decode_tiff_gray(raw: bytes | None):
+    """bytes -> (byte_order, width, height, n_strips, [gray...]) by
+    walking the IFD in EITHER byte order, resolving the strip
+    offset/count arrays, and reassembling the raster; None (never a
+    mis-decode) for compressed/non-gray/malformed files."""
+    if raw is None or len(raw) < 8:
+        return None
+    if raw[:4] == b"II*\x00":
+        bo = "<"
+    elif raw[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    (ifd_pos,) = struct.unpack(bo + "I", raw[4:8])
+    if ifd_pos + 2 > len(raw):
+        return None
+    (n_ent,) = struct.unpack(bo + "H", raw[ifd_pos:ifd_pos + 2])
+    tags = {}
+    for i in range(n_ent):
+        e = ifd_pos + 2 + 12 * i
+        tag, typ, count = struct.unpack(bo + "HHI", raw[e:e + 8])
+        slot = raw[e + 8:e + 12]
+        if typ == 3 and count == 1:
+            (v,) = struct.unpack(bo + "H", slot[:2])
+            tags[tag] = (typ, count, v)
+        else:
+            (v,) = struct.unpack(bo + "I", slot)
+            tags[tag] = (typ, count, v)
+    needed = (256, 257, 258, 259, 273, 279)
+    if any(t not in tags for t in needed):
+        return None
+    if tags[258][2] != 8 or tags[259][2] != 1:
+        return None  # only 8-bit uncompressed gray
+    width, height = tags[256][2], tags[257][2]
+
+    def array_of(tag):
+        typ, count, v = tags[tag]
+        if count == 1:
+            return [v]
+        return list(struct.unpack(bo + "I" * count,
+                                  raw[v:v + 4 * count]))
+
+    offsets, counts = array_of(273), array_of(279)
+    if len(offsets) != len(counts):
+        return None
+    data = b"".join(raw[o:o + c] for o, c in zip(offsets, counts))
+    if len(data) != width * height:
+        return None
+    return ("MM" if bo == ">" else "II", width, height,
+            len(offsets), list(data))

@@ -951,3 +951,234 @@ def k6n_jpeg_progressive_chroma_decode(spark: SparkSession,
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", synth("doc_id").alias("payload"))
     return payloads.mapInPandas(decode_jpeg_color_batch, PIXEL_SCHEMA)
+
+
+BMP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+])
+
+
+def decode_bmp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched BMP pixel decode: DIB header walk, bottom-up row
+    order, 4-byte row padding, BI_RGB 24-bit AND BI_RLE8 8-bit with
+    both RLE modes and both escape codes (pipeline/imaging.py)."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_bmp_pixels,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            d = decode_bmp_pixels(raw)
+            if d is None:
+                rows.append((int(doc_id), None, None, None, None, None))
+                continue
+            w, h, px = d
+            n = w * h
+            rows.append((int(doc_id), w, h,
+                         sum(p[0] for p in px) / n,
+                         sum(p[1] for p in px) / n,
+                         sum(p[2] for p in px) / n))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "width", "height", "mean_r", "mean_g", "mean_b"])
+
+
+@register("k6q_bmp_pixel_decode", "K6", """
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(doc_id % 200 AS DOUBLE) + 7.5 AS mean_r,
+       CAST(doc_id % 200 AS DOUBLE) + 7.5 AS mean_g,
+       CASE WHEN doc_id % 2 = 0 THEN 112.5
+            ELSE CAST(doc_id % 200 AS DOUBLE) + 7.5 END AS mean_b
+FROM documents
+""", "BMP pixel decode, BOTH storage profiles: even docs are 24-bit "
+     "BI_RGB (bottom-up rows, 4-byte padding, BGR byte order), odd "
+     "docs are 8-bit BI_RLE8 over a grayscale palette with each row "
+     "split between ABSOLUTE mode (word-aligned literal blocks) and "
+     "unit runs plus both escape codes - the complete RLE8 state "
+     "machine. Pixels are planted from doc_id; the oracle recomputes "
+     "the channel means analytically, so one wrong pad byte, row "
+     "flip, or RLE mode shifts a mean and breaks the hash. Means "
+     "are exact .5 fractions (sums of ints / 256) - cross-engine "
+     "float-safe. Arrow-batched mapInPandas, no driver round-trip.")
+def k6q_bmp_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        bmp_rgb_bytes, bmp_rle8_bytes,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(
+            lambda d: bmp_rgb_bytes(16, 16, int(d) % 200) if d % 2 == 0
+            else bmp_rle8_bytes(16, 16, int(d) % 200))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_bmp_batch, BMP_SCHEMA)
+
+
+G711_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("sum_pcm", T.LongType()),
+    T.StructField("min_pcm", T.IntegerType()),
+    T.StructField("max_pcm", T.IntegerType()),
+])
+
+
+def decode_g711_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched G.711 expand: RIFF walk, audio_format dispatch
+    (7 = mu-law, 6 = A-law), per-code-word segment/mantissa expansion
+    to linear PCM (pipeline/imaging.py)."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_g711_wav,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            d = decode_g711_wav(raw)
+            if d is None:
+                rows.append((int(doc_id), None, None, None, None, None))
+                continue
+            name, pcm = d
+            rows.append((int(doc_id), name, len(pcm), sum(pcm),
+                         min(pcm), max(pcm)))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "codec", "n_samples", "sum_pcm",
+            "min_pcm", "max_pcm"])
+
+
+@register("k6r_g711_audio_decode", "K6", """
+WITH i AS (SELECT UNNEST(RANGE(0, 200)) AS i),
+codes AS (
+  SELECT d.doc_id, CAST((d.doc_id + i.i * 7 + 3) % 256 AS INT) AS b
+  FROM documents d, i
+),
+dec AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           CASE WHEN ((255 - b) & 128) = 128
+             THEN 132 - ((((255 - b) & 15) * 8 + 132)
+                         * (1 << (((255 - b) & 112) // 16)))
+             ELSE ((((255 - b) & 15) * 8 + 132)
+                   * (1 << (((255 - b) & 112) // 16))) - 132
+           END
+         ELSE
+           CASE WHEN (xor(b, 85) & 128) = 128 THEN 1 ELSE -1 END *
+           CASE (xor(b, 85) & 112) // 16
+             WHEN 0 THEN (xor(b, 85) & 15) * 16 + 8
+             WHEN 1 THEN (xor(b, 85) & 15) * 16 + 264
+             ELSE ((xor(b, 85) & 15) * 16 + 264)
+                  * (1 << ((xor(b, 85) & 112) // 16 - 1))
+           END
+         END AS pcm
+  FROM codes
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+       200 AS n_samples,
+       SUM(pcm) AS sum_pcm,
+       CAST(MIN(pcm) AS INT) AS min_pcm,
+       CAST(MAX(pcm) AS INT) AS max_pcm
+FROM dec GROUP BY doc_id
+""", "G.711 mu-law/A-law audio decode - the telephony companding "
+     "codecs (WAV audio_format 7/6) expanded to linear PCM with the "
+     "public-spec segment/mantissa integer arithmetic. Even docs "
+     "carry mu-law, odd docs A-law; 200 code words per doc planted "
+     "from doc_id. The ORACLE RE-DERIVES THE EXPANSION FORMULAS IN "
+     "SQL (bit ops over the planted code stream), so the hash match "
+     "proves the decoder implements exactly the G.711 transfer "
+     "function - sum/min/max of the PCM are pure integers, no float "
+     "hazard at all. Decode runs in Arrow-batched mapInPandas over "
+     "the RIFF container, same shape as every K6 codec.")
+def k6r_g711_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        g711_wav_bytes,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        def mk(d: int) -> bytes:
+            codes = bytes((d + i * 7 + 3) % 256 for i in range(200))
+            return g711_wav_bytes(7 if d % 2 == 0 else 6, 8000, codes)
+        return doc_ids.map(lambda d: mk(int(d)))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_g711_batch, G711_SCHEMA)
+
+
+TIFF_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_order", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_strips", T.IntegerType()),
+    T.StructField("mean_gray", T.DoubleType()),
+])
+
+
+def decode_tiff_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched baseline-TIFF decode: IFD walk in either byte
+    order, strip offset/count array resolution, raster reassembly
+    (pipeline/imaging.py)."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_tiff_gray,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            d = decode_tiff_gray(raw)
+            if d is None:
+                rows.append((int(doc_id), None, None, None, None, None))
+                continue
+            bo, w, h, n_strips, px = d
+            rows.append((int(doc_id), bo, w, h, n_strips,
+                         sum(px) / (w * h)))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "byte_order", "width", "height", "n_strips",
+            "mean_gray"])
+
+
+@register("k6s_tiff_strip_decode", "K6", """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       16 AS width, 16 AS height, 4 AS n_strips,
+       CAST(doc_id % 200 AS DOUBLE) + 7.5 AS mean_gray
+FROM documents
+""", "Baseline TIFF decode with MULTI-STRIP reassembly in BOTH byte "
+     "orders: even docs little-endian (II), odd big-endian (MM); "
+     "each file stores the 16x16 gray raster as four 4-row strips "
+     "whose StripOffsets/StripByteCounts live in out-of-line LONG "
+     "arrays the IFD entries point at - the part of TIFF that EXIF "
+     "walking (k6i) never touches. Pixels planted from doc_id; the "
+     "oracle recomputes the mean analytically, so a byte-order slip "
+     "or mis-ordered strip breaks the hash. Means are exact .5 "
+     "fractions; Arrow-batched mapInPandas.")
+def k6s_tiff_strip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        tiff_gray_bytes,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(
+            lambda d: tiff_gray_bytes(16, 16, int(d) % 200,
+                                      big_endian=bool(d % 2)))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_tiff_batch, TIFF_SCHEMA)

@@ -715,3 +715,87 @@ def test_gif_interlaced_roundtrip():
         b = decode_gif_pixels(gif_indexed_bytes(w, h, seed,
                                                 interlaced=True))
         assert a is not None and a == b, (w, h, seed)
+
+
+def test_bmp_roundtrip_both_profiles():
+    """BI_RGB 24-bit and BI_RLE8 8-bit decode to the planted pixels;
+    truncation and bad magic reject rather than mis-decode."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        bmp_rgb_bytes,
+        bmp_rle8_bytes,
+        decode_bmp_pixels,
+    )
+
+    for seed in (0, 42, 199):
+        w, h, px = decode_bmp_pixels(bmp_rgb_bytes(16, 16, seed))
+        assert (w, h) == (16, 16)
+        # top-left pixel (x=0, y=0): r=seed, g=seed, b=0
+        assert px[0] == (seed % 256, seed % 256, 0)
+        # means are exact .5 fractions
+        assert sum(p[0] for p in px) / 256 == seed % 200 + 7.5
+
+        w, h, px = decode_bmp_pixels(bmp_rle8_bytes(16, 16, seed))
+        assert (w, h) == (16, 16)
+        assert all(p[0] == p[1] == p[2] for p in px)  # gray palette
+        assert sum(p[0] for p in px) / 256 == seed % 200 + 7.5
+
+    assert decode_bmp_pixels(None) is None
+    assert decode_bmp_pixels(b"XX" + bmp_rgb_bytes(4, 4, 1)[2:]) is None
+    assert decode_bmp_pixels(bmp_rgb_bytes(4, 4, 1)[:30]) is None
+
+
+def test_g711_reference_points():
+    """The expand formulas hit the classic G.711 reference values:
+    mu-law 0xFF is zero, 0x7F is negative zero, and the extreme code
+    words reach the spec's max magnitudes (mu: 8031*4, A: 4096*8)."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        alaw_to_linear,
+        decode_g711_wav,
+        g711_wav_bytes,
+        ulaw_to_linear,
+    )
+
+    assert ulaw_to_linear(0xFF) == 0
+    assert ulaw_to_linear(0x7F) == 0
+    assert ulaw_to_linear(0x80) == 32124   # max positive
+    assert ulaw_to_linear(0x00) == -32124  # max negative
+    assert alaw_to_linear(0xD5) == 8       # +0 codes to 8 (A-law has no 0)
+    assert alaw_to_linear(0x55) == -8
+    assert alaw_to_linear(0xAA) == 32256   # max positive
+    assert alaw_to_linear(0x2A) == -32256
+
+    codes = bytes(range(256))
+    name, pcm = decode_g711_wav(g711_wav_bytes(7, 8000, codes))
+    assert name == "ulaw" and len(pcm) == 256
+    assert pcm == [ulaw_to_linear(b) for b in codes]
+    # A mu-law stream over all codes is symmetric: sum == 0
+    assert sum(pcm) == 0
+    name, pcm = decode_g711_wav(g711_wav_bytes(6, 8000, codes))
+    assert name == "alaw" and sum(pcm) == 0
+    # plain PCM (format 1) is NOT G.711: reject, never mis-expand
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import wav_bytes
+    assert decode_g711_wav(wav_bytes(8000, 1, 16, 10, seed=1)) is None
+
+
+def test_tiff_roundtrip_both_byte_orders():
+    """Strip reassembly recovers the raster in II and MM byte order,
+    including odd heights where the last strip is short; compressed
+    or truncated files reject."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_tiff_gray,
+        tiff_gray_bytes,
+    )
+
+    for be in (False, True):
+        for (w, h, rps) in ((16, 16, 4), (16, 10, 4), (8, 3, 2)):
+            raw = tiff_gray_bytes(w, h, 42, be, rows_per_strip=rps)
+            got = decode_tiff_gray(raw)
+            assert got is not None
+            bo, gw, gh, n_strips, px = got
+            assert (bo, gw, gh) == ("MM" if be else "II", w, h)
+            assert n_strips == (h + rps - 1) // rps
+            assert px == [(42 + (x + y) % 16) % 256
+                          for y in range(h) for x in range(w)]
+    assert decode_tiff_gray(None) is None
+    assert decode_tiff_gray(b"II+\x00" + b"\x00" * 16) is None
+    assert decode_tiff_gray(tiff_gray_bytes(8, 8, 1, False)[:40]) is None
