@@ -2162,3 +2162,153 @@ def k_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.col("c").cast("bigint").alias("concordant"),
                     F.col("d").cast("bigint").alias("discordant"),
                     F.round(tau, 6).alias("kendall_tau_b"))
+
+
+@register("k_gini_coefficient", "D5+E1", """
+WITH spend AS (
+  SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nationkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY cents, custkey) AS i
+  FROM spend
+),
+sums AS (
+  SELECT nationkey, COUNT(*) AS n,
+         SUM(cents) AS sx, SUM(i * cents) AS six
+  FROM ranked GROUP BY 1
+)
+SELECT nationkey, n,
+       ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * sx), 6) AS gini
+FROM sums WHERE n >= 2 AND sx > 0
+""", "Gini coefficient of customer lifetime spend per nation - the "
+     "classic inequality measure (how concentrated is revenue "
+     "across the customer base), from the rank formula G = "
+     "(2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) over the "
+     "ascending-sorted values. Spends are integer cents, ranks are "
+     "row_numbers with a custkey tiebreak, so both sums are exact "
+     "BIGINTs and the single final division is engine-identical. "
+     "One grouped aggregate + one per-group window ordered within "
+     "nation-sized partitions - the aggregate-first shape; no "
+     "global sort anywhere.")
+def k_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (cust.join(orders, orders.o_custkey == cust.c_custkey)
+             .groupBy(F.col("c_nationkey").alias("nationkey"),
+                      F.col("c_custkey").alias("custkey"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).alias("cents")))
+    w = Window.partitionBy("nationkey").orderBy("cents", "custkey")
+    ranked = spend.select("nationkey", "cents",
+                          F.row_number().over(w).alias("i"))
+    sums = ranked.groupBy("nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"))
+    gini = ((2 * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+            .cast("double")
+            / (F.col("n").cast("double") * F.col("sx")))
+    return (sums.filter((F.col("n") >= 2) & (F.col("sx") > 0))
+            .select("nationkey", "n", F.round(gini, 6).alias("gini")))
+
+
+@register("k_bootstrap_ci", "D6+J0", """
+WITH spend AS (
+  SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+indexed AS (
+  SELECT nationkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY custkey) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY nationkey) AS n
+  FROM spend
+),
+draws AS (
+  SELECT i.nationkey, i.n, b.b,
+         CAST(('0x' || SUBSTR(MD5(CAST(i.nationkey AS VARCHAR) || '|'
+              || CAST(b.b AS VARCHAR) || '|'
+              || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % i.n AS j
+  FROM (SELECT DISTINCT nationkey, n FROM indexed) i,
+       (SELECT UNNEST(RANGE(0, 100)) AS b) b,
+       (SELECT UNNEST(RANGE(0, 2000)) AS i) r
+  WHERE r.i < i.n
+),
+means AS (
+  SELECT d.nationkey, d.b,
+         CAST(SUM(x.cents) AS DOUBLE) / d.n / 100 AS mean_spend
+  FROM draws d
+  JOIN indexed x ON x.nationkey = d.nationkey AND x.idx = d.j
+  GROUP BY d.nationkey, d.b, d.n
+)
+SELECT nationkey,
+       ROUND(QUANTILE_CONT(mean_spend, 0.025), 6) AS ci_lo,
+       ROUND(QUANTILE_CONT(mean_spend, 0.975), 6) AS ci_hi
+FROM means GROUP BY nationkey
+""", "Bootstrap confidence interval for mean customer spend per "
+     "nation - the resampling workhorse, made fully deterministic "
+     "and cross-engine exact: resample indexes come from the "
+     "portable 60-bit md5 hash of (nation|replicate|draw) mod n "
+     "(pipeline/hashing.py - no rand() anywhere, SURVEY 5.3), so "
+     "both engines draw IDENTICAL bootstrap samples; replicate "
+     "means are exact integer-cent sums over a fixed n, and the "
+     "2.5/97.5 percentile over the 100 replicate means is the "
+     "exact interpolated quantile. The draw table is "
+     "replicates x group-size rows shuffled once on the join key - "
+     "linear in B*n, never quadratic; at 100 TB you bound B and "
+     "aggregate-first exactly as here.")
+def k_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import (
+        portable_hash60,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (cust.join(orders, orders.o_custkey == cust.c_custkey)
+             .groupBy(F.col("c_nationkey").alias("nationkey"),
+                      F.col("c_custkey").alias("custkey"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).alias("cents")))
+    w = Window.partitionBy("nationkey").orderBy("custkey")
+    indexed = spend.select(
+        "nationkey", "cents",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*").over(Window.partitionBy("nationkey")).alias("n"))
+    groups = indexed.select("nationkey", "n").distinct()
+    reps = groups.sparkSession.range(100).select(F.col("id").alias("b"))
+    draws_idx = groups.sparkSession.range(2000).select(
+        F.col("id").alias("i"))
+    draws = (groups.crossJoin(F.broadcast(reps))
+             .crossJoin(F.broadcast(draws_idx))
+             .filter(F.col("i") < F.col("n"))
+             .select("nationkey", "n", "b",
+                     (portable_hash60(F.concat_ws(
+                         "|",
+                         F.col("nationkey").cast("string"),
+                         F.col("b").cast("string"),
+                         F.col("i").cast("string"))) % F.col("n"))
+                     .alias("j")))
+    means = (draws.join(indexed.select("nationkey",
+                                       F.col("idx").alias("j"),
+                                       "cents"),
+                        ["nationkey", "j"])
+             .groupBy("nationkey", "b", "n")
+             .agg((F.sum("cents").cast("double") / F.col("n") / 100)
+                  .alias("mean_spend")))
+    return (means.groupBy("nationkey")
+            .agg(F.round(F.percentile("mean_spend", F.lit(0.025)), 6)
+                 .alias("ci_lo"),
+                 F.round(F.percentile("mean_spend", F.lit(0.975)), 6)
+                 .alias("ci_hi")))

@@ -1464,3 +1464,137 @@ def k7s_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("double") / F.count("*"), 6)
                  .alias("mape_pct"))
             .orderBy("event_type"))
+
+
+@register("k7t_theil_sen_trend", "K7", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, cents,
+         date_diff('day', MIN(day) OVER (PARTITION BY event_type), day)
+           AS d
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.cents - a.cents AS DOUBLE) / (b.d - a.d) AS slope
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type, COUNT(*) AS n_pairs,
+       ROUND(MEDIAN(slope) / 100, 6) AS theil_sen_slope
+FROM slopes GROUP BY event_type
+""", "Theil-Sen trend estimator per event type - the robust slope "
+     "(median of all pairwise slopes) that one outlier day cannot "
+     "move, the standard alternative to least squares for noisy "
+     "operational series. Aggregate-first: the fact table reduces "
+     "to an integer-cent daily series (~30 points per type), and "
+     "the pairwise slope table is built per type from that "
+     "AGGREGATED series - bounded pairs-per-group, never a "
+     "fact-table self-join. Each slope is one IEEE division of two "
+     "exact integers (identical on both engines), and the median "
+     "is the exact interpolated quantile; /100 converts back to "
+     "currency units at the end.")
+def k7t_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("cents")))
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type", "cents",
+        F.datediff("day", F.min("day").over(w)).alias("d"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    slopes = (a.join(b, on=[F.col("a.event_type") == F.col("b.event_type"),
+                            F.col("a.d") < F.col("b.d")])
+              .select(F.col("a.event_type").alias("event_type"),
+                      ((F.col("b.cents") - F.col("a.cents"))
+                       .cast("double")
+                       / (F.col("b.d") - F.col("a.d"))).alias("slope")))
+    return (slopes.groupBy("event_type")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.median("slope") / 100, 6)
+                 .alias("theil_sen_slope")))
+
+
+@register("k7v_mann_kendall_trend", "K7+D5", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS s_stat,
+         COUNT(*) AS n_pairs
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+),
+n AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+  FROM (SELECT event_type, cents, COUNT(*) AS t
+        FROM daily GROUP BY 1, 2 HAVING COUNT(*) > 1) g
+  GROUP BY event_type
+)
+SELECT s.event_type, n.n, s.s_stat,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+            - COALESCE(t.tie_term, 0) AS BIGINT) AS var18,
+       ROUND((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                              WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+             / SQRT((n.n * (n.n - 1) * (2 * n.n + 5)
+                     - COALESCE(t.tie_term, 0)) / 18.0), 6) AS z_score
+FROM s JOIN n ON s.event_type = n.event_type
+LEFT JOIN ties t ON s.event_type = t.event_type
+""", "Mann-Kendall trend test per event type - the standard "
+     "nonparametric is-there-a-monotone-trend test (the hypothesis "
+     "test behind Theil-Sen's point estimate): S sums the signs of "
+     "all pairwise later-minus-earlier comparisons, the variance "
+     "carries the documented tie correction "
+     "sum t(t-1)(2t+5), and the continuity-corrected Z = "
+     "(S -sign(S)) / sqrt(var). Same aggregate-first shape as k7t: "
+     "pairs are built from the ~30-point daily series per type, "
+     "never the fact table. S, n, and the 18*variance are exact "
+     "integers; only the final Z is floating - one sqrt and one "
+     "division, engine-identical, rounded at 6 dp.")
+def k7v_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type",
+                       F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("cents")))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sgn = (F.when(F.col("b.cents") > F.col("a.cents"), 1)
+           .when(F.col("b.cents") < F.col("a.cents"), -1).otherwise(0))
+    s = (a.join(b, on=[F.col("a.event_type") == F.col("b.event_type"),
+                       F.col("a.day") < F.col("b.day")])
+         .groupBy(F.col("a.event_type").alias("event_type"))
+         .agg(F.sum(sgn).alias("s_stat"), F.count("*").alias("n_pairs")))
+    n = daily.groupBy("event_type").agg(F.count("*").alias("n"))
+    ties = (daily.groupBy("event_type", "cents")
+            .agg(F.count("*").alias("t"))
+            .filter(F.col("t") > 1)
+            .groupBy("event_type")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).alias("tie_term")))
+    j = (s.join(n, "event_type")
+         .join(ties, "event_type", "left")
+         .withColumn("tie_term", F.coalesce("tie_term", F.lit(0))))
+    var18 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+             - F.col("tie_term"))
+    cc = (F.when(F.col("s_stat") > 0, 1)
+          .when(F.col("s_stat") < 0, -1).otherwise(0))
+    return j.select(
+        "event_type", "n", "s_stat",
+        var18.cast("bigint").alias("var18"),
+        F.round((F.col("s_stat") - cc) / F.sqrt(var18 / 18.0), 6)
+        .alias("z_score"))
