@@ -1086,19 +1086,51 @@ def k1f_levenshtein_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.lit(" valuue ")).alias("text")))
     seeded = d.select("doc_id", "text").unionAll(variants)
     toks = F.split(F.col("text"), " ")
+    # Per-ROW character histogram (a-z), computed once per document:
+    # the BAG-DISTANCE lower bound max(sum(pos_diff), sum(neg_diff))
+    # <= levenshtein (each edit moves at most one character between
+    # the bags) is the classic edit-distance-join prefilter - an
+    # O(sigma) integer compare that kills almost every candidate
+    # pair BEFORE the O(L^2) DP runs. Provably result-preserving, so
+    # the oracle stays the plain semantic form.
+    bag = F.array(*[
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch),
+                                               F.lit(""))))
+        for ch in "abcdefghijklmnopqrstuvwxyz"])
     keyed = seeded.select(
         "doc_id", "text",
         toks.getItem(0).alias("first_tok"),
-        F.size(toks).alias("n_words"))
+        F.size(toks).alias("n_words"),
+        bag.alias("bag"))
     a = keyed.alias("a")
     b = keyed.alias("b")
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    pos = F.aggregate(
+        F.zip_with(F.col("a.bag"), F.col("b.bag"),
+                   lambda x, y: F.greatest(x - y, F.lit(0))),
+        F.lit(0), lambda acc, x: acc + x)
+    neg = F.aggregate(
+        F.zip_with(F.col("a.bag"), F.col("b.bag"),
+                   lambda x, y: F.greatest(y - x, F.lit(0))),
+        F.lit(0), lambda acc, x: acc + x)
+    # Conjunct order is evaluation order inside the hash join: equi
+    # keys bucket, doc_id< halves, the bag bound kills the rest, and
+    # only the survivors pay the DP. (A post-join .filter would be
+    # pushed back into the condition AT THE FRONT - measured 10x
+    # slower - so the distance predicate is placed here, last.)
+    cond = ((F.col("a.first_tok") == F.col("b.first_tok"))
+            & (F.col("a.n_words") == F.col("b.n_words"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.greatest(pos, neg) <= F.lit(8))
+            & (F.levenshtein(F.col("a.text"), F.col("b.text"), 8)
+               >= F.lit(0)))
+    # the THRESHOLDED levenshtein runs the banded O(k*L) DP instead
+    # of the full O(L^2) matrix (returns -1 above the threshold) -
+    # another ~x on top of the bag prune; survivors' distances are
+    # identical to the unbounded form, so the oracle is unchanged
     return (
-        a.join(b, on=[F.col("a.first_tok") == F.col("b.first_tok"),
-                      F.col("a.n_words") == F.col("b.n_words"),
-                      F.col("a.doc_id") < F.col("b.doc_id")])
-        .filter(dist <= 8)
+        a.join(b, on=cond)
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
-                dist.alias("edit_distance"))
+                F.levenshtein(F.col("a.text"), F.col("b.text"), 8)
+                .alias("edit_distance"))
     )
