@@ -378,8 +378,22 @@ class AcidParquetTable:
         assignments: dict[str, "Column"] | None = None,
         txn_app_id: str | None = None,
         txn_version: int | None = None,
+        not_matched_by_source_action: str | None = None,
+        not_matched_by_source_condition: Column | None = None,
+        not_matched_by_source_assignments: dict[str, "Column"] | None = None,
     ) -> int:
         """ANSI-style MERGE with copy-on-write file rewrites.
+
+        ``not_matched_by_source_action`` ('delete' or 'update') adds
+        the SQL:2023 / Delta ``WHEN NOT MATCHED BY SOURCE`` branch:
+        TARGET rows whose key is absent from the source are deleted,
+        or updated via ``not_matched_by_source_assignments``
+        (expressions over the ``tgt`` alias), when
+        ``not_matched_by_source_condition`` (over ``tgt``; None =
+        always) holds. File pruning inverts for this branch: matched
+        keys no longer bound the affected set, so candidate files are
+        pruned by the CONDITION when one is given and all files
+        qualify otherwise - the same trade Delta makes.
 
         ``matched_condition`` / ``delete_condition`` see the matched
         pair as ``src`` / ``tgt`` aliases (e.g.
@@ -414,11 +428,15 @@ class AcidParquetTable:
             if last is not None and int(txn_version) <= int(last):
                 return base
             txns = {**manifest.get("txns", {}), txn_app_id: int(txn_version)}
-        return self._merge_against(manifest, source, keys,
-                                   matched_condition, delete_condition,
-                                   commit_dir=None, commit_base=base,
-                                   assume_unique_keys=assume_unique_keys,
-                                   assignments=assignments, txns=txns)
+        return self._merge_against(
+            manifest, source, keys,
+            matched_condition, delete_condition,
+            commit_dir=None, commit_base=base,
+            assume_unique_keys=assume_unique_keys,
+            assignments=assignments, txns=txns,
+            nmbs_action=not_matched_by_source_action,
+            nmbs_condition=not_matched_by_source_condition,
+            nmbs_assignments=not_matched_by_source_assignments)
 
     # Above this many SOURCE rows the merge file-probe stops
     # broadcasting the source-key set and falls back to a shuffle
@@ -454,8 +472,14 @@ class AcidParquetTable:
                        commit_dir: str | None, commit_base: int,
                        assume_unique_keys: bool = False,
                        assignments: dict[str, "Column"] | None = None,
-                       txns: dict | None = None) -> int:
+                       txns: dict | None = None,
+                       nmbs_action: str | None = None,
+                       nmbs_condition: Column | None = None,
+                       nmbs_assignments: dict | None = None) -> int:
         schema = StructType.fromJson(manifest["schema"])
+        if nmbs_action not in (None, "delete", "update"):
+            raise ValueError(
+                "not_matched_by_source_action must be 'delete' or 'update'")
 
         # a MERGE source may omit GENERATED columns entirely (the
         # normal way to write them) - pad with NULL so the plan
@@ -519,6 +543,28 @@ class AcidParquetTable:
             d for d in all_files
             if any(h.startswith(d.rstrip("/") + "/") for h in hit_files)
         ]
+        if nmbs_action is not None:
+            # WHEN NOT MATCHED BY SOURCE inverts the pruning logic:
+            # any file may hold target rows without a source match.
+            # With a condition, prune to files containing rows that
+            # satisfy it (conservative superset - a rewritten-but-
+            # unchanged row is harmless); without one, all files
+            # qualify.
+            if nmbs_condition is not None and all_files:
+                raw = self.spark.read.schema(schema).parquet(*all_files)
+                cond_tgt = raw.alias("tgt").filter(nmbs_condition)
+                nm_rows = (cond_tgt.withColumn("__f", F.input_file_name())
+                           .select("__f").distinct().collect())
+                nm_hits = {_strip_scheme(r["__f"]) for r in nm_rows}
+                nm_affected = [
+                    d for d in all_files
+                    if any(h.startswith(d.rstrip("/") + "/")
+                           for h in nm_hits)
+                ]
+            else:
+                nm_affected = list(all_files)
+            affected = [d for d in all_files
+                        if d in affected or d in nm_affected]
         untouched = [d for d in all_files if d not in affected]
 
         # Affected files are read with MoR deletes applied, so a
@@ -545,6 +591,11 @@ class AcidParquetTable:
         keep = ~(s_key.isNotNull() & t_key.isNotNull() & dele) & ~(
             t_key.isNull() & dele
         )
+        tgt_only = t_key.isNotNull() & s_key.isNull()
+        nmbs_cond = (nmbs_condition if nmbs_condition is not None
+                     else F.lit(True))
+        if nmbs_action == "delete":
+            keep = keep & ~(tgt_only & nmbs_cond)
         assignments = assignments or {}
         cols = [
             F.when(take_src,
@@ -554,6 +605,15 @@ class AcidParquetTable:
             else F.coalesce(F.col(f"tgt.{c}"), F.col(f"src.{c}")).alias(c)
             for c in schema.names
         ]
+        if nmbs_action == "update":
+            nmbs_assignments = nmbs_assignments or {}
+            cols = [
+                F.when(tgt_only & nmbs_cond,
+                       nmbs_assignments.get(c, F.col(f"tgt.{c}")))
+                .otherwise(col).alias(c)
+                if c not in keys else col
+                for col, c in zip(cols, schema.names)
+            ]
         rewritten = joined.filter(keep).select(*cols)
 
         fresh = self._write_rewrite(rewritten, manifest, len(affected))

@@ -1999,3 +1999,71 @@ def l34_acid_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l35_merge_not_matched_by_source", "A7+L5", """
+WITH half AS (SELECT MAX(o_orderkey) // 2 AS h FROM orders),
+tgt AS (
+  SELECT o_orderkey AS key, o_totalprice AS price,
+         'active' AS status
+  FROM orders
+),
+src AS (
+  SELECT o_orderkey AS key, o_totalprice * 2 AS price
+  FROM orders, half WHERE o_orderkey <= h
+)
+SELECT t.key,
+       CASE WHEN s.key IS NOT NULL THEN s.price ELSE t.price END AS price,
+       CASE WHEN s.key IS NOT NULL THEN 'active' ELSE 'archived' END
+         AS status
+FROM tgt t LEFT JOIN src s ON t.key = s.key
+WHERE s.key IS NOT NULL OR t.key % 3 <> 0
+""", "MERGE ... WHEN NOT MATCHED BY SOURCE (SQL:2023 / Delta) - the "
+     "branch classic MERGE cannot express: TARGET rows absent from "
+     "the source get their own action. One merge commit does all "
+     "three things here: matched keys (lower half) update to the "
+     "source price, unmatched target rows divisible by 3 are "
+     "DELETED (the retention sweep), and the remaining unmatched "
+     "rows are UPDATED to status='archived' in a second merge - "
+     "sync's full-snapshot reconciliation in two commits, no full "
+     "diff pass. File pruning inverts for this branch (matched keys "
+     "no longer bound the affected set): candidates are pruned by "
+     "the branch CONDITION when given, all files otherwise - the "
+     "same trade Delta documents. sources/acid.py merge_into "
+     "not_matched_by_source_*.")
+def l35_merge_not_matched_by_source(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("active").alias("status"))
+    half = o.agg((F.max("key") / 2).cast("bigint").alias("h")) \
+        .collect()[0]["h"]
+    src = (o.filter(F.col("key") <= half)
+           .select("key", (F.col("price") * 2).alias("price"),
+                   F.lit("active").alias("status")))
+    root = tempfile.mkdtemp(prefix="ces_acid_nmbs_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(o)
+        # branch 1: archive-sweep DELETE of every unmatched key%3==0
+        t.merge_into(
+            src, ["key"], assume_unique_keys=True,
+            not_matched_by_source_action="delete",
+            not_matched_by_source_condition=F.col("tgt.key") % 3 == 0)
+        # branch 2: UPDATE the surviving unmatched rows to 'archived'
+        t.merge_into(
+            src, ["key"], assume_unique_keys=True,
+            not_matched_by_source_action="update",
+            not_matched_by_source_assignments={
+                "status": F.lit("archived")})
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -983,3 +983,69 @@ def test_probe_backfill_sized_source_avoids_broadcast(spark, root):
         assert _rows(t.read()) == [(1, 11.0, 2), (2, 22.0, 2), (3, 33.0, 2)]
     finally:
         spark.conf.unset(AcidParquetTable._PROBE_CAP_CONF)
+
+
+def test_nmbs_delete_without_condition_sweeps_all_unmatched(spark, root):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE with no condition
+    removes EVERY target row absent from the source while the
+    matched/insert branches behave as before."""
+    t = _table(spark, root, [(1, 1.0, 1), (2, 2.0, 1), (3, 3.0, 1)])
+    src = spark.createDataFrame(
+        [(2, 20.0, 2), (4, 40.0, 2)], "key bigint, price double, version int")
+    t.merge_into(src, ["key"], assume_unique_keys=True,
+                 not_matched_by_source_action="delete")
+    got = sorted((r.key, r.price) for r in t.read().collect())
+    # 1 and 3 swept (unmatched), 2 updated, 4 inserted
+    assert got == [(2, 20.0), (4, 40.0)]
+
+
+def test_nmbs_update_touches_only_unmatched_rows(spark, root):
+    """The update branch applies its assignments to unmatched target
+    rows only; matched rows take the source row and the condition
+    narrows the branch."""
+    t = _table(spark, root,
+               [(1, 1.0, 1), (2, 2.0, 1), (3, 3.0, 1), (4, 4.0, 1)])
+    src = spark.createDataFrame([(1, 10.0, 2)],
+                                "key bigint, price double, version int")
+    t.merge_into(
+        src, ["key"], assume_unique_keys=True,
+        not_matched_by_source_action="update",
+        not_matched_by_source_condition=F.col("tgt.key") % 2 == 0,
+        not_matched_by_source_assignments={"price": F.col("tgt.price") + 100})
+    got = sorted((r.key, r.price) for r in t.read().collect())
+    # 1 matched -> src; 2,4 unmatched+even -> +100; 3 unmatched+odd -> kept
+    assert got == [(1, 10.0), (2, 102.0), (3, 3.0), (4, 104.0)]
+
+
+def test_nmbs_condition_prunes_candidate_files(spark, root):
+    """With a NOT MATCHED BY SOURCE condition, entries holding no
+    qualifying rows are carried into the new manifest verbatim - the
+    inverted-pruning contract."""
+    t = AcidParquetTable(spark, root)
+    t.init(spark.createDataFrame([(k, float(k), 1) for k in range(10)],
+                                 "key bigint, price double, version int"))
+    # second entry, disjoint key range
+    t.merge_into(
+        spark.createDataFrame([(k, float(k), 1) for k in range(100, 110)],
+                              "key bigint, price double, version int"),
+        ["key"], assume_unique_keys=True)
+    before = set(t._manifest(t.current_version())["files"])
+    # source matches nothing; condition only selects the low range
+    src = spark.createDataFrame([(500, 0.0, 9)],
+                                "key bigint, price double, version int")
+    t.merge_into(src, ["key"], assume_unique_keys=True,
+                 not_matched_by_source_action="delete",
+                 not_matched_by_source_condition=F.col("tgt.key") < 5)
+    after = set(t._manifest(t.current_version())["files"])
+    assert before & after, "condition-free entry was rewritten"
+    got = sorted(r.key for r in t.read().collect())
+    assert got == sorted([5, 6, 7, 8, 9, 500] + list(range(100, 110)))
+
+
+def test_nmbs_bad_action_rejected(spark, root):
+    t = _table(spark, root, [(1, 1.0, 1)])
+    src = spark.createDataFrame([(1, 2.0, 2)],
+                                "key bigint, price double, version int")
+    with pytest.raises(ValueError, match="not_matched_by_source_action"):
+        t.merge_into(src, ["key"], assume_unique_keys=True,
+                     not_matched_by_source_action="upsert")
