@@ -69,8 +69,11 @@ def test_match_all_and_exists(spark):
 
 def test_unsupported_clause_errors_clearly():
     import pytest
-    with pytest.raises(ValueError, match="unsupported ES query clause: fuzzy"):
-        compile_query({"fuzzy": {"text": "spark"}})
+    # `fuzzy` graduated to a supported clause; `more_like_this` needs a
+    # scoring index and stays rejected-not-guessed.
+    with pytest.raises(ValueError,
+                       match="unsupported ES query clause: more_like_this"):
+        compile_query({"more_like_this": {"fields": ["text"], "like": "x"}})
     with pytest.raises(ValueError, match="single-clause"):
         compile_query({"term": {"a": 1}, "range": {"b": {}}})
 
