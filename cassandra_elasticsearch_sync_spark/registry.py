@@ -205,6 +205,7 @@ def _ensure_loaded() -> None:
         timeseries,
         search,
         analytics,
+        inference,
         privacy,
         sketches,
         pq,
