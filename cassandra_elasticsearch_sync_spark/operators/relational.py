@@ -819,3 +819,51 @@ def c12_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.filter(inside)
             .select("c_custkey", "tri_id")
             .orderBy("c_custkey", "tri_id"))
+
+
+@register("c13_skyline_per_group", "C7", """
+WITH best AS (
+  SELECT p_brand, p_size, MIN(p_retailprice) AS price, COUNT(*) AS n_parts
+  FROM part GROUP BY p_brand, p_size
+),
+sky AS (
+  SELECT b.p_brand, b.p_size, b.price, b.n_parts
+  FROM best b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM best o
+    WHERE o.p_brand = b.p_brand AND o.p_size > b.p_size
+      AND o.price <= b.price
+  )
+)
+SELECT p_brand, p_size, price, n_parts
+FROM sky ORDER BY p_brand, p_size
+""", "Per-group skyline (Pareto-optimal frontier): within each brand, "
+     "the parts not dominated on (maximize size, minimize price) - "
+     "the multi-criteria shortlist query. NOT an all-pairs dominance "
+     "join: one grouped MIN collapses the input to distinct "
+     "(brand,size) cells (map-side combine; cell count is bounded by "
+     "|brands| x |sizes|, corpus-size independent), then a running "
+     "strict-suffix MIN over sizes descending inside each brand "
+     "keeps exactly the frontier. The window runs on the REDUCED "
+     "cell set partitioned by brand, so it is skew-proof at 100 TB; "
+     "the 2D sort-based skyline is O(cells log cells) vs the naive "
+     "O(rows^2) NOT EXISTS the oracle states.")
+def c13_skyline_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    best = (
+        p.groupBy("p_brand", "p_size")
+        .agg(F.min("p_retailprice").alias("price"),
+             F.count("*").alias("n_parts"))
+    )
+    # strict-suffix min: cheapest price among strictly LARGER sizes in
+    # the same brand. One row per (brand,size) here, so "1 preceding"
+    # in size-descending order is exactly `size > current`.
+    w = (Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        best.withColumn("suffix_min", F.min("price").over(w))
+        .filter(F.col("suffix_min").isNull()
+                | (F.col("suffix_min") > F.col("price")))
+        .select("p_brand", "p_size", "price", "n_parts")
+        .orderBy("p_brand", "p_size")
+    )
