@@ -319,3 +319,229 @@ def c14_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("lift").desc(), "brand_a", "brand_b").limit(20)
+
+
+@register("k_two_proportion_ztest", "D5", """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS cohort,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 480
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT cohort, COUNT(*) AS n, SUM(conv) AS k FROM u GROUP BY cohort
+),
+ab AS (
+  SELECT (SELECT n FROM g WHERE cohort = 0) AS n1,
+         (SELECT k FROM g WHERE cohort = 0) AS k1,
+         (SELECT n FROM g WHERE cohort = 1) AS n2,
+         (SELECT k FROM g WHERE cohort = 1) AS k2
+)
+SELECT n1, k1, n2, k2,
+       ROUND(CAST(k1 AS DOUBLE) / n1, 6) AS p1,
+       ROUND(CAST(k2 AS DOUBLE) / n2, 6) AS p2,
+       ROUND(CASE WHEN k1 + k2 = 0 OR k1 + k2 = n1 + n2 THEN NULL
+                  ELSE (CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+                       / SQRT((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                              * (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                              * (1.0 / n1 + 1.0 / n2)) END, 6) AS z_stat
+FROM ab
+""", "Two-proportion z-test on conversion: users split into hash "
+     "cohorts, converted = reached a purchase event, pooled-variance "
+     "z statistic - the launch-gate readout for binary metrics. One "
+     "per-user aggregate (map-side combine) then a 2-row conditional "
+     "pivot; every input to the statistic is an exact integer, the "
+     "double tree is textually identical on both engines.")
+def k_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(F.max(F.when((F.col("event_type") == "purchase")
+                          & (F.col("value") > 480), 1)
+                   .otherwise(0)).alias("conv"))
+        .withColumn("cohort", F.col("user_id") % 2)
+    )
+    g = u.groupBy("cohort").agg(F.count("*").alias("n"), F.sum("conv").alias("k"))
+    ab = g.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 0, F.col("k"))).alias("k1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("cohort") == 1, F.col("k"))).alias("k2"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    k12 = F.col("k1") + F.col("k2")
+    n12 = F.col("n1") + F.col("n2")
+    pp = k12.cast("double") / n12
+    z = F.when((k12 == 0) | (k12 == n12), F.lit(None).cast("double")) \
+        .otherwise((p1 - p2) / F.sqrt(pp * (1.0 - pp)
+                                      * (1.0 / F.col("n1")
+                                         + 1.0 / F.col("n2"))))
+    return ab.select(
+        "n1", "k1", "n2", "k2",
+        r6(p1).alias("p1"), r6(p2).alias("p2"),
+        r6(z).alias("z_stat"),
+    )
+
+
+@register("k_mann_whitney_u", "D5", """
+WITH vals AS (
+  SELECT value AS v, COUNT(*) AS c,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1
+  FROM events
+  WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+  GROUP BY value
+),
+cum AS (
+  SELECT v, c, c1, SUM(c) OVER (ORDER BY v) AS cumc FROM vals
+),
+s AS (
+  SELECT SUM(c1) AS n1, SUM(c - c1) AS n2,
+         CAST(CAST(SUM(CAST(c1 * (CAST(cumc - c AS DOUBLE) + (c + 1) / 2.0)
+                            AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE)
+           AS r1,
+         SUM(c * c * c - c) AS tie_term
+  FROM cum
+)
+SELECT n1, n2,
+       ROUND(r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0, 6) AS u_stat,
+       ROUND((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
+              - CAST(n1 AS DOUBLE) * n2 / 2.0)
+             / SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+                    * ((n1 + n2 + 1.0)
+                       - CAST(tie_term AS DOUBLE)
+                         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1.0)))),
+             6) AS z_stat
+FROM s
+""", "Mann-Whitney U (Wilcoxon rank-sum) between the purchase and "
+     "error arms - THE nonparametric two-sample test, immune to the "
+     "heavy tails that break the t-test. No per-row ranking: one "
+     "grouped count collapses the corpus to distinct values with tie "
+     "counts, the tie-group average ranks come from an exact "
+     "distributed cumulative count (two-pass ranged cumsum - no "
+     "single-partition window), and the rank-sum + tie-corrected "
+     "normal approximation evaluate from exact integers/half-integers "
+     "in identical double trees. Scales as O(distinct values), not "
+     "O(rows log rows).")
+def k_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    vals = (
+        e.filter(F.col("event_type").isin("purchase", "error")
+                 & F.col("value").isNotNull())
+        .groupBy(F.col("value").alias("v"))
+        .agg(F.count("*").alias("c"),
+             F.sum(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("c1"))
+    )
+    cum, _ = with_global_order(vals, [F.col("v")], cumsum_of="c",
+                               cumsum_col="cumc")
+    r1_term = (F.col("c1")
+               * ((F.col("cumc") - F.col("c")).cast("double")
+                  + (F.col("c") + 1) / 2.0))
+    s = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(r1_term.cast(_DEC)).cast("decimal(38,4)").cast("double")
+        .alias("r1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .alias("tie_term"),
+    )
+    u = F.col("r1") - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
+    n = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / 12.0
+        * ((n + 1.0)
+           - F.col("tie_term").cast("double") / (n.cast("double") * (n - 1.0)))
+    )
+    return s.select(
+        "n1", "n2",
+        r6(u).alias("u_stat"),
+        r6((u - F.col("n1").cast("double") * F.col("n2") / 2.0) / sigma)
+        .alias("z_stat"),
+    )
+
+
+@register("k_zipf_fit", "K4", """
+WITH tf AS (
+  SELECT w AS token, COUNT(*) AS tf
+  FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents)
+  GROUP BY w
+),
+ranked AS (
+  SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS r FROM tf
+),
+pts AS (
+  -- the logs are rounded to 6dp BEFORE the moment sums: JVM Math.log
+  -- and libm log disagree by 1 ulp on ~2% of integer inputs, and an
+  -- OLS ratio amplifies per-term noise; 6dp-rounded points are
+  -- bit-identical doubles on both engines, so everything downstream
+  -- is exact arithmetic on equal inputs.
+  SELECT ROUND(LN(CAST(r AS DOUBLE)), 6) AS x,
+         ROUND(LN(CAST(tf AS DOUBLE)), 6) AS y
+  FROM ranked WHERE r <= 1000
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DECIMAL(38,8))
+              AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DECIMAL(38,8))
+              AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DECIMAL(38,8))
+              AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DECIMAL(38,8))
+              AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT n,
+       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+       ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n, 6)
+         AS log_intercept
+FROM s
+""", "Zipf's-law fit: OLS slope of log(frequency) on log(rank) over "
+     "the top-1000 tokens - the corpus-health diagnostic (natural "
+     "text sits near -1; synthetic or template-heavy corpora drift). "
+     "Rank comes from the two-pass distributed order (no global "
+     "window), the regression moments are exact decimal sums over "
+     "1000 points, one row out. The token count is the only "
+     "corpus-sized stage and it is a plain grouped count.")
+def k_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("tf"))
+    )
+    ranked, _ = with_global_order(
+        tf, [F.col("tf").desc(), F.col("token")], rank_col="r")
+    # 6dp-rounded log points: bit-identical doubles on both engines
+    # (JVM vs libm log differ by 1 ulp on ~2% of integer inputs, which
+    # an OLS ratio amplifies) - see the oracle's comment.
+    pts = (ranked.filter(F.col("r") <= 1000)
+           .select(r6(F.log(F.col("r").cast("double"))).alias("x"),
+                   r6(F.log(F.col("tf").cast("double"))).alias("y")))
+
+    def dsum8(c):
+        return F.sum(c.cast(_DEC)).cast("decimal(38,8)").cast("double")
+
+    s = pts.agg(
+        F.count("*").alias("n"),
+        dsum8(F.col("x")).alias("sx"),
+        dsum8(F.col("y")).alias("sy"),
+        dsum8(F.col("x") * F.col("y")).alias("sxy"),
+        dsum8(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+             / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")))
+    return s.select(
+        "n",
+        r6(slope).alias("zipf_slope"),
+        r6(F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"))
+        .alias("log_intercept"),
+    )
