@@ -1213,3 +1213,112 @@ def decode_tiff_gray(raw: bytes | None):
         return None
     return ("MM" if bo == ">" else "II", width, height,
             len(offsets), list(data))
+
+
+# -- IMA ADPCM audio codec (WAV format tag 0x11, mono) -----------------------
+
+# Public-spec tables (IMA ADPCM reference algorithm / RFC 3551 DVI4).
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (predictor, step_index) x 4-bit code
+    -> next (predictor, step_index). Pure integer arithmetic."""
+    step = IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[nib & 7]))
+    return pred, idx
+
+
+def ima_adpcm_wav_bytes(sample_rate: int, init_pred: int, init_index: int,
+                        nibbles: bytes) -> bytes:
+    """Valid mono IMA ADPCM WAV (format tag 0x11), one block: 4-byte
+    block header (initial predictor int16, step index uint8, reserved)
+    followed by the 4-bit codes packed two per byte, LOW nibble first.
+    The header predictor is itself the first output sample, so the
+    block decodes to len(nibbles)+1 samples (carried in the fmt
+    extension and the fact chunk, as the spec requires)."""
+    n = len(nibbles)
+    packed = bytearray()
+    for i in range(0, n, 2):
+        lo = nibbles[i] & 0xF
+        hi = (nibbles[i + 1] & 0xF) if i + 1 < n else 0
+        packed.append(lo | (hi << 4))
+    block_align = 4 + len(packed)
+    samples_per_block = n + 1
+    byte_rate = (sample_rate * block_align + samples_per_block - 1) \
+        // samples_per_block
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate, byte_rate,
+                      block_align, 4, 2, samples_per_block)
+    data = struct.pack("<hBB", init_pred, init_index, 0) + bytes(packed)
+    fact = struct.pack("<I", samples_per_block)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+
+
+def decode_ima_adpcm_wav(raw: bytes | None):
+    """bytes -> [pcm ints] by walking the RIFF chunks, parsing the
+    format-0x11 fmt (+extension) and decoding every block: header
+    predictor emitted as the first sample, then one IMA step per
+    nibble (low nibble of each byte first), stopping at
+    samples_per_block per block. None for non-IMA/malformed/stereo
+    payloads - rejected, never guessed."""
+    if raw is None or len(raw) < 12 or raw[:4] != b"RIFF" \
+            or raw[8:12] != b"WAVE":
+        return None
+    pos, fmt_body, data = 12, None, None
+    while pos + 8 <= len(raw):
+        tag = raw[pos:pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        body = raw[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_body = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt_body is None or data is None or len(fmt_body) < 20:
+        return None
+    afmt, channels, _sr, _br, block_align, bits, _cb, spb = \
+        struct.unpack("<HHIIHHHH", fmt_body[:20])
+    if afmt != 0x11 or channels != 1 or bits != 4 or block_align < 4:
+        return None
+    out: list[int] = []
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off:off + block_align]
+        pred = struct.unpack("<h", block[0:2])[0]
+        idx = block[2]
+        if idx > 88:
+            return None
+        out.append(pred)
+        emitted = 1
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                if emitted >= spb:
+                    break
+                pred, idx = ima_adpcm_step(pred, idx, nib)
+                out.append(pred)
+                emitted += 1
+    return out

@@ -1182,3 +1182,113 @@ def k6s_tiff_strip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", synth("doc_id").alias("payload"))
     return payloads.mapInPandas(decode_tiff_batch, TIFF_SCHEMA)
+
+
+IMA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_pcm", T.LongType()),
+    T.StructField("min_pcm", T.IntegerType()),
+    T.StructField("max_pcm", T.IntegerType()),
+])
+
+
+def decode_ima_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched IMA ADPCM decode: RIFF walk, format-0x11 block
+    parse (header predictor + step index), one integer IMA step per
+    nibble (pipeline/imaging.py)."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_ima_adpcm_wav,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            pcm = decode_ima_adpcm_wav(raw)
+            if pcm is None:
+                rows.append((int(doc_id), None, None, None, None))
+                continue
+            rows.append((int(doc_id), len(pcm), sum(pcm),
+                         min(pcm), max(pcm)))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "n_samples", "sum_pcm", "min_pcm", "max_pcm"])
+
+
+def _ima_oracle_sql() -> str:
+    """The IMA decode re-derived as a DuckDB RECURSIVE CTE: the
+    (predictor, step_index) state machine advances one sample per
+    recursion level across ALL docs at once, joined to the 89-entry
+    step table; the planted nibble stream is a closed-form expression
+    of (doc_id, i) on both sides. A hash match therefore proves the
+    mapInPandas decoder implements the exact IMA transfer function -
+    including both clamps, which the planted stream saturates."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        IMA_STEP_TABLE,
+    )
+
+    steptab = ",".join(f"({i},{s})" for i, s in enumerate(IMA_STEP_TABLE))
+    nib = "((d.doc_id + 5 * d.i + 1) % 16)"
+    diff = (f"((s.step >> 3)"
+            f" + CASE WHEN ({nib} & 4) > 0 THEN s.step ELSE 0 END"
+            f" + CASE WHEN ({nib} & 2) > 0 THEN (s.step >> 1) ELSE 0 END"
+            f" + CASE WHEN ({nib} & 1) > 0 THEN (s.step >> 2) ELSE 0 END)")
+    pred = (f"LEAST(GREATEST(CASE WHEN ({nib} & 8) > 0"
+            f" THEN d.pred - {diff} ELSE d.pred + {diff} END,"
+            f" -32768), 32767)")
+    idx = (f"LEAST(GREATEST(d.idx + CASE ({nib} & 7)"
+           f" WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8"
+           f" ELSE -1 END, 0), 88)")
+    return f"""
+WITH RECURSIVE steptab(idx, step) AS (VALUES {steptab}),
+init AS (
+  SELECT doc_id,
+         CAST((doc_id * 37) % 4001 - 2000 AS INT) AS pred,
+         CAST(doc_id % 89 AS INT) AS idx
+  FROM documents
+),
+dec AS (
+  SELECT doc_id, 0 AS i, pred, idx FROM init
+  UNION ALL
+  SELECT d.doc_id, d.i + 1, {pred} AS pred, {idx} AS idx
+  FROM dec d JOIN steptab s ON s.idx = d.idx
+  WHERE d.i < 64
+)
+SELECT doc_id, COUNT(*) AS n_samples, SUM(pred) AS sum_pcm,
+       CAST(MIN(pred) AS INT) AS min_pcm, CAST(MAX(pred) AS INT) AS max_pcm
+FROM dec GROUP BY doc_id
+"""
+
+
+@register("k6s_ima_adpcm_decode", "K6", _ima_oracle_sql(),
+          "IMA ADPCM audio decode (WAV format tag 0x11) - the first "
+          "STATEFUL codec in the K6 tier: every sample depends on the "
+          "(predictor, step_index) carried from the previous one, so "
+          "unlike G.711 the transfer function cannot be expressed "
+          "per-code-word. Each doc plants a 64-nibble stream + block "
+          "header derived from doc_id; the decoder parses the real "
+          "RIFF container (fmt extension, fact chunk, block header, "
+          "low-nibble-first packing) in Arrow-batched mapInPandas. "
+          "The oracle re-derives the whole state machine as a "
+          "RECURSIVE CTE over the step table - 65 levels, all docs "
+          "advanced per level - so the hash match proves bit-exact "
+          "IMA semantics including both saturation clamps. "
+          "Per-blob decode parallelizes embarrassingly at 100 TB; "
+          "state never crosses a blob boundary.")
+def k6s_ima_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        ima_adpcm_wav_bytes,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        def mk(d: int) -> bytes:
+            nibbles = bytes((d + 5 * i + 1) % 16 for i in range(64))
+            return ima_adpcm_wav_bytes(
+                8000, (d * 37) % 4001 - 2000, d % 89, nibbles)
+        return doc_ids.map(lambda d: mk(int(d)))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_ima_batch, IMA_SCHEMA)

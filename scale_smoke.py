@@ -56,7 +56,13 @@ PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
          # RFM (two-pass global-order primitives over per-user
          # aggregates), CUPED (per-user aggregate + 2-row reduce)
          "k3l_rp_lsh_near_pairs", "k7r_kaplan_meier_churn",
-         "k_rfm_segmentation", "k_cuped_adjustment")
+         "k_rfm_segmentation", "k_cuped_adjustment",
+         # round-5 continuation additions: Mann-Whitney (distinct-value
+         # cumulative ranks - cardinality grows with corpus), market
+         # basket (per-order pair blowup), Zipf (corpus-sized token
+         # count then top-1000), skyline (grouped-min + suffix window)
+         "k_mann_whitney_u", "c14_market_basket_lift", "k_zipf_fit",
+         "c13_skyline_per_group")
 
 SMALL = ("region", "nation", "customer", "supplier", "part")
 
