@@ -2720,3 +2720,59 @@ def a3ao_es_sibling_bucket_stats(spark, sf_dir):
                        buckets.rev == F.col("min_bucket"))
           .agg(F.min("key").alias("min_bucket_key")))
     return s.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(mn))
+
+
+def es_percolate(df: DataFrame, stored: dict[str, dict]) -> DataFrame:
+    """ES percolate: REVERSE search - the queries are stored, each
+    incoming document is matched against all of them, and the result
+    is (document, matching query id) pairs. The classic alerting /
+    saved-search-notification primitive.
+
+    Compiles every stored query once, evaluates ALL of them in a
+    single projection over one scan (an array of when(pred, id)
+    literals compacted and exploded) - no join, no second pass, no
+    per-query scan, so percolating N queries against 100 TB costs one
+    read regardless of N. Documents matching nothing disappear, like
+    ES's percolator response.
+    """
+    hits = F.array_compact(F.array(*[
+        F.when(compile_query(q), F.lit(qid))
+        for qid, q in sorted(stored.items())
+    ]))
+    return (df.withColumn("query_id", F.explode(hits)))
+
+
+_PERCOLATE_DEMO = {
+    "short_english": {"bool": {"must": [
+        {"term": {"lang": "en"}},
+        {"range": {"n_chars": {"lt": 200}}},
+    ]}},
+    "spark_mention": {"match": {"text": "spark"}},
+    "web_sources": {"prefix": {"source": "src1"}},
+    "long_doc_alert": {"range": {"n_chars": {"gte": 900}}},
+}
+
+
+@register("a3aq_es_percolate", "A3", """
+WITH d AS (SELECT doc_id, text, lang, source, n_chars FROM documents)
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, 'long_doc_alert' AS query_id FROM d WHERE n_chars >= 900
+  UNION ALL
+  SELECT doc_id, 'short_english' FROM d WHERE lang = 'en' AND n_chars < 200
+  UNION ALL
+  SELECT doc_id, 'spark_mention' FROM d
+  WHERE list_contains(STRING_SPLIT(LOWER(text), ' '), 'spark')
+  UNION ALL
+  SELECT doc_id, 'web_sources' FROM d WHERE source LIKE 'src1%'
+)
+""", "ES percolate (reverse search): four stored alert queries - a "
+     "bool, a match, a prefix, a range - matched against every "
+     "document in ONE projection over ONE scan (array of compiled "
+     "predicates, compacted + exploded; no join, no per-query pass). "
+     "The oracle states the naive per-query UNION ALL; the engine "
+     "answers it with a single read at any corpus size, which is "
+     "the entire point of a percolator.")
+def a3aq_es_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    return es_percolate(d, _PERCOLATE_DEMO).select("doc_id", "query_id")
