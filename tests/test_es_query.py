@@ -449,3 +449,40 @@ def test_filters_agg_empty_bucket_matches_es_shape(spark):
     assert none["revenue"] is None and none["max_price"] is None
     assert all_["doc_count"] == o.count()
     assert all_["max_price"] is not None
+
+
+def test_percolate_single_scan_plan(spark):
+    """N stored queries must compile to ONE scan + one generate -
+    never a union of per-query scans."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        _PERCOLATE_DEMO,
+        es_percolate,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = es_percolate(d, _PERCOLATE_DEMO)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1, plan[:1500]
+    assert "Union" not in plan
+
+
+def test_percolate_doc_matches_expected_queries(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_percolate,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "i love apache spark", "en", 19),
+         (2, "short", "de", 5),
+         (3, "x" * 950, "en", 950)],
+        "doc_id bigint, text string, lang string, n_chars bigint")
+    stored = {
+        "short_en": {"bool": {"must": [
+            {"term": {"lang": "en"}},
+            {"range": {"n_chars": {"lt": 200}}}]}},
+        "spark": {"match": {"text": "spark"}},
+        "long": {"range": {"n_chars": {"gte": 900}}},
+    }
+    got = {(r.doc_id, r.query_id)
+           for r in es_percolate(d, stored).select("doc_id", "query_id").collect()}
+    assert got == {(1, "short_en"), (1, "spark"), (3, "long")}
