@@ -1134,3 +1134,94 @@ def k1f_levenshtein_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.levenshtein(F.col("a.text"), F.col("b.text"), 8)
                 .alias("edit_distance"))
     )
+
+
+@register("k1g_sorted_neighborhood_dedup", "K1+K2", """
+WITH t AS (SELECT doc_id, LOWER(text) AS lt FROM documents),
+k AS (
+  SELECT doc_id,
+         SUBSTR(REGEXP_REPLACE(lt, '[^a-z0-9]', '', 'g'), 1, 16) AS bkey
+  FROM t
+),
+r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bkey, doc_id) AS rnk FROM k
+),
+tokens AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(lt, ' ')) AS w FROM t
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.rnk - a.rnk AS dist
+  FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 4
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, p.dist, COUNT(*) AS i
+  FROM pairs p
+  JOIN tokens ta ON ta.doc_id = p.doc_a
+  JOIN tokens tb ON tb.doc_id = p.doc_b AND tb.w = ta.w
+  GROUP BY 1, 2, 3
+)
+SELECT i.doc_a, i.doc_b, i.dist,
+       ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.3
+""", "Sorted-neighborhood dedup - the THIRD blocking family next to "
+     "MinHash-LSH and SimHash bands, and the classic record-linkage "
+     "method: sort by a normalized blocking key (alnum-squashed "
+     "16-char prefix), compare only rows within a sliding window of "
+     "4 in that order, keep pairs with word-set Jaccard >= 0.3. The "
+     "global order comes from the two-pass ranged rank (no "
+     "single-partition window); the window join is an equi-join on "
+     "rank/w buckets (each row lands in its bucket and the next, so "
+     "every within-w pair shares a bucket - never a band/theta "
+     "join); the verify step is array_intersect on the pair rows "
+     "(bounded by 4 pairs per row). Everything is linear in rows at "
+     "100 TB - the known trade being that near-dups whose FIRST "
+     "characters differ sort apart, which is why production linkage "
+     "runs multiple passes with different keys.")
+def k1g_sorted_neighborhood_dedup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    W = 4
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("lt"))
+    keyed = d.select(
+        "doc_id", "lt",
+        F.substring(F.regexp_replace(F.col("lt"), "[^a-z0-9]", ""), 1, 16)
+        .alias("bkey"),
+        F.array_distinct(F.split(F.col("lt"), " ")).alias("toks"),
+    )
+    ranked, _ = with_global_order(
+        keyed, [F.col("bkey"), F.col("doc_id")], rank_col="rnk")
+    ranked = ranked.select("doc_id", "rnk", "toks",
+                           F.size("toks").alias("n"))
+    # each row joins its own rank/W bucket and the next one: any pair
+    # within distance W shares at least one bucket (floor difference
+    # <= 1), so the window join is a plain equi-join
+    bucketed = ranked.withColumn(
+        "bucket", F.explode(F.array((F.col("rnk") / W).cast("bigint"),
+                                    (F.col("rnk") / W).cast("bigint") + 1)))
+    a = bucketed.select(F.col("doc_id").alias("doc_a"),
+                        F.col("rnk").alias("ra"),
+                        F.col("toks").alias("ta"),
+                        F.col("n").alias("na"), "bucket")
+    b = bucketed.select(F.col("doc_id").alias("doc_b"),
+                        F.col("rnk").alias("rb"),
+                        F.col("toks").alias("tb"),
+                        F.col("n").alias("nb"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter((F.col("rb") - F.col("ra")).between(1, W))
+        .select("doc_a", "doc_b", (F.col("rb") - F.col("ra")).alias("dist"),
+                F.size(F.array_intersect("ta", "tb")).alias("i"),
+                "na", "nb")
+        .distinct()
+    )
+    j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (pairs.filter((F.col("i") > 0) & (j >= 0.3))
+            .select("doc_a", "doc_b", "dist", F.round(j, 6).alias("jaccard")))

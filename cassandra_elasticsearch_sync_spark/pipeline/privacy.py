@@ -417,3 +417,49 @@ def k_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("n_variants"),
              F.countDistinct("doc_id").alias("n_docs"))
     )
+
+
+@register("k_dp_noisy_counts", "K4+D1", """
+WITH g AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+u AS (
+  SELECT lang, n,
+         (CAST(('0x' || SUBSTR(MD5('dp-noise-1|' || lang), 1, 15))
+               AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS unif
+  FROM g
+)
+SELECT lang,
+       ROUND(CAST(n AS DOUBLE)
+             - (1.0 / 0.5)
+               * CASE WHEN unif - 0.5 >= 0 THEN 1.0 ELSE -1.0 END
+               * LN(1.0 - 2.0 * ABS(unif - 0.5)), 6) AS noisy_count,
+       0.5 AS epsilon
+FROM u
+""", "Differentially-private released counts, completing the privacy "
+     "ladder (k-anonymity -> l-diversity -> t-closeness -> DP "
+     "release): per-language counts + Laplace(1/epsilon) noise via "
+     "inverse-CDF sampling of a SEEDED-HASH uniform - deterministic "
+     "on every engine/run/executor (the repo's no-rand() rule), "
+     "which is exactly how production DP pipelines make releases "
+     "reproducible (a fixed noise seed per release id). Count "
+     "sensitivity is 1, so scale 1/epsilon gives epsilon-DP per "
+     "released cell. One grouped count (map-side combine) + a "
+     "constant-width noise projection - corpus-size independent.")
+def k_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.parity import r6
+    from cassandra_elasticsearch_sync_spark.pipeline.hashing import (
+        portable_hash60,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count("*").alias("n"))
+    unif = ((portable_hash60(F.concat(F.lit("dp-noise-1|"), F.col("lang")))
+             % 1000000 + 0.5) / 1000000.0)
+    eps = 0.5
+    noise = ((1.0 / eps)
+             * F.when(unif - 0.5 >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+             * F.log(1.0 - 2.0 * F.abs(unif - 0.5)))
+    return g.select(
+        "lang",
+        r6(F.col("n").cast("double") - noise).alias("noisy_count"),
+        F.lit(eps).alias("epsilon"),
+    )
