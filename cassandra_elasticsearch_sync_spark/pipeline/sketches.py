@@ -146,3 +146,115 @@ def k_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_or(shiftleft(1L, CAST(pos % 62 AS INT)))").alias("bits"),
         F.countDistinct("pos").cast("bigint").alias("n_set"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog from first principles - the ORACLE-CHECKABLE approx distinct
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                      # 256 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)   # standard alpha_256
+# alpha * m^2 * 2^53, folded to ONE double literal so both engines see
+# the identical constant (DuckDB would otherwise parse the alpha
+# literal as DECIMAL and overflow the multiplication)
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * 9007199254740992.0
+_HLL_VBITS = 52                # 60-bit hash minus the 8 bucket bits
+
+
+def _rho_sql(v: str, alias_side: str) -> str:
+    """Position of the lowest set bit of {v} (1-based), 53 when zero -
+    a pure integer CASE ladder, no float log anywhere."""
+    whens = "\n    ".join(
+        f"WHEN ({v} >> {k}) & 1 = 1 THEN {k + 1}"
+        for k in range(_HLL_VBITS))
+    return f"CASE WHEN {v} = 0 THEN {_HLL_VBITS + 1}\n    {whens} END"
+
+
+def _rho_col(v):
+    expr = F.lit(_HLL_VBITS + 1)
+    for k in range(_HLL_VBITS - 1, -1, -1):
+        expr = F.when(F.shiftright(v, k) % 2 == 1, F.lit(k + 1)) \
+            .otherwise(expr)
+    return F.when(v == 0, F.lit(_HLL_VBITS + 1)).otherwise(expr)
+
+
+@register("d4b_hll_sketch_exact", "D4", f"""
+WITH h AS (
+  SELECT CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM orders
+),
+reg AS (
+  SELECT hv % {HLL_M} AS bucket,
+         MAX({_rho_sql(f"(hv // {HLL_M})", "o")}) AS m
+  FROM h GROUP BY 1
+),
+s AS (
+  SELECT COUNT(*) AS nz,
+         SUM(CAST(1 AS BIGINT) << (53 - m)) AS ssum
+  FROM reg
+),
+est AS (
+  SELECT nz, {HLL_M} - nz AS v,
+         CAST({HLL_NUM!r} AS DOUBLE)
+           / CAST(ssum + ({HLL_M} - nz) * (CAST(1 AS BIGINT) << 53)
+                  AS DOUBLE) AS e_raw
+  FROM s
+),
+t AS (SELECT COUNT(DISTINCT o_custkey) AS exact_nd FROM orders)
+SELECT {HLL_M} AS n_registers,
+       ROUND(CASE WHEN e_raw <= 2.5 * {HLL_M} AND v > 0
+                  THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / v)
+                  ELSE e_raw END, 6) AS hll_estimate,
+       exact_nd,
+       ROUND((CASE WHEN e_raw <= 2.5 * {HLL_M} AND v > 0
+                   THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / v)
+                   ELSE e_raw END - exact_nd) / exact_nd, 6) AS rel_error
+FROM est CROSS JOIN t
+""", "HyperLogLog built from first principles - and therefore the "
+     "ORACLE-HASH-CHECKABLE approximate distinct count (SURVEY D4's "
+     "built-in approx_count_distinct is rows-only because Spark's "
+     "internal hash differs from any oracle's; this one shares the "
+     "portable hash, so both engines agree on every register). "
+     "Registers: bucket = hash mod 256, rho = lowest-set-bit position "
+     "of the remaining 52 bits via a pure-integer CASE ladder (no "
+     "float log); the harmonic sum is EXACT - sum of 2^(53-M_j) as "
+     "BIGINT (<= 2^61, no double associativity hazard) - and the "
+     "bias-corrected estimate incl. the linear-counting small-range "
+     "branch evaluates in identical double trees. One grouped MAX "
+     "over 256 cells = the textbook mergeable-sketch shape: "
+     "map-side partial maxes, 256 rows shuffled, any number of "
+     "partitions/days mergeable by pairwise register MAX at 100 TB. "
+     "The exact distinct rides along to expose the realized error.")
+def d4b_hll_sketch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    hv = portable_hash60(F.col("o_custkey").cast("string"))
+    reg = (
+        o.select((hv % HLL_M).alias("bucket"),
+                 _rho_col(F.expr(
+                     f"CAST(CONV(SUBSTR(MD5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT) DIV {HLL_M}"
+                 )).alias("rho"))
+        .groupBy("bucket").agg(F.max("rho").alias("m"))
+    )
+    s = reg.agg(
+        F.count("*").alias("nz"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).alias("ssum"),
+    )
+    v = F.lit(HLL_M) - F.col("nz")
+    e_raw = (F.lit(HLL_NUM)
+             / (F.col("ssum") + v * F.shiftleft(F.lit(1).cast("long"), 53))
+             .cast("double"))
+    est = F.when((e_raw <= 2.5 * HLL_M) & (v > 0),
+                 HLL_M * F.log(F.lit(float(HLL_M)) / v)).otherwise(e_raw)
+    t = o.agg(F.countDistinct("o_custkey").alias("exact_nd"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            F.lit(HLL_M).alias("n_registers"),
+            F.round(est, 6).alias("hll_estimate"),
+            "exact_nd",
+            F.round((est - F.col("exact_nd")) / F.col("exact_nd"), 6)
+            .alias("rel_error"),
+        )
+    )
