@@ -64,11 +64,34 @@ def cms_estimate(spark: SparkSession, sketch: DataFrame, token: str) -> int:
     return min(by_depth.get(d, 0) for d, _ in cells)
 
 
-@register("k_cms_sketch", "K2", None,
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents
+),
+h AS (
+  SELECT CAST(('0x' || SUBSTR(MD5(token), 1, 15)) AS BIGINT)
+         % {MERSENNE_P} AS h
+  FROM tok
+),
+cells AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT {i} AS depth, ((h * {a} + {b}) % {MERSENNE_P}) % {CMS_WIDTH}"
+    f" AS bucket FROM h"
+    for i, (a, b) in enumerate(_COEF[:CMS_DEPTH])
+) + """
+)
+SELECT depth, bucket, COUNT(*) AS cnt FROM cells GROUP BY depth, bucket
+"""
+
+
+@register("k_cms_sketch", "K2", _CMS_ORACLE,
           "Count-Min sketch build over the token stream (4x64 counter "
-          "matrix via one groupBy; mergeable cell-wise). Rows-only: the "
-          "sketch's accuracy contract (estimate >= truth, bounded "
-          "overestimate) is property-tested in tests/test_sketches.py.")
+          "matrix via one groupBy; mergeable cell-wise). Upgraded from "
+          "rows-only to ORACLE-HASH-CHECKED: the portable seeded hash "
+          "family makes every counter cell a deterministic integer, so "
+          "the oracle rebuilds the identical matrix in SQL. The "
+          "accuracy contract (estimate >= truth, bounded overestimate) "
+          "is additionally property-tested in tests/test_sketches.py.")
 def k_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
