@@ -281,3 +281,44 @@ def d4b_hll_sketch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_error"),
         )
     )
+
+
+@register("k_feature_hashing", "K4+H7", """
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(MD5(token), 1, 15)) AS BIGINT) AS hv
+  FROM tok
+)
+SELECT doc_id,
+       CAST(hv % 64 AS INT) AS bucket,
+       SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS weight
+FROM h
+GROUP BY doc_id, CAST(hv % 64 AS INT)
+HAVING SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+""", "Feature hashing (the 'hashing trick'): every token maps to one "
+     "of 64 buckets with a +/-1 sign bit drawn from the next hash "
+     "bit, and the signed counts per (doc, bucket) ARE the fixed-"
+     "width feature vector - the standard unbounded-vocabulary -> "
+     "fixed-dim featurizer for linear models. No vocabulary build, "
+     "no second pass, no driver state: one explode + one grouped sum "
+     "(map-side partial), linear at 100 TB, and the sign trick makes "
+     "collisions cancel in expectation. Portable hash on both "
+     "engines -> every cell is a deterministic integer.")
+def k_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    hv = portable_hash60(F.col("token"))
+    # shiftright, not `/ 64`: double division rounds 60-bit hashes
+    # above 2^53 before the cast (same hazard k_bloom_build documents)
+    sign = F.when(F.shiftright(hv, 6) % 2 == 0, 1).otherwise(-1)
+    return (
+        tok.select("doc_id", (hv % 64).cast("int").alias("bucket"),
+                   sign.alias("s"))
+        .groupBy("doc_id", "bucket").agg(F.sum("s").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
