@@ -322,3 +322,79 @@ def k_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket").agg(F.sum("s").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+@register("d4c_hll_by_group", "D4", f"""
+WITH h AS (
+  SELECT o_orderpriority AS grp,
+         CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM orders
+),
+reg AS (
+  SELECT grp, hv % {HLL_M} AS bucket,
+         MAX({_rho_sql(f"(hv // {HLL_M})", "g")}) AS m
+  FROM h GROUP BY 1, 2
+),
+s AS (
+  SELECT grp, COUNT(*) AS nz,
+         SUM(CAST(1 AS BIGINT) << (53 - m)) AS ssum
+  FROM reg GROUP BY grp
+),
+est AS (
+  SELECT grp, {HLL_M} - nz AS v,
+         CAST({HLL_NUM!r} AS DOUBLE)
+           / CAST(ssum + ({HLL_M} - nz) * (CAST(1 AS BIGINT) << 53)
+                  AS DOUBLE) AS e_raw
+  FROM s
+),
+t AS (
+  SELECT o_orderpriority AS grp,
+         COUNT(DISTINCT o_custkey) AS exact_nd
+  FROM orders GROUP BY 1
+)
+SELECT est.grp,
+       ROUND(CASE WHEN e_raw <= 2.5 * {HLL_M} AND v > 0
+                  THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / v)
+                  ELSE e_raw END, 6) AS hll_estimate,
+       exact_nd
+FROM est JOIN t ON t.grp = est.grp
+ORDER BY est.grp
+""", "Grouped HyperLogLog - approximate distinct customers PER "
+     "PRIORITY CLASS, the shape production dashboards actually run "
+     "(distinct users per day/segment/campaign). Same register "
+     "construction as d4b keyed by the group: one groupBy over "
+     "(group, bucket) cells = |groups| x 256 rows regardless of "
+     "corpus size, then a per-group exact-integer harmonic sum. "
+     "Because registers merge by MAX, per-day sketches roll up to "
+     "any window without rescanning - the whole point of carrying "
+     "the sketch rather than the distinct set at 100 TB.")
+def d4c_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    hv = portable_hash60(F.col("o_custkey").cast("string"))
+    reg = (
+        o.select(F.col("o_orderpriority").alias("grp"),
+                 (hv % HLL_M).alias("bucket"),
+                 _rho_col(F.expr(
+                     f"CAST(CONV(SUBSTR(MD5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT) DIV {HLL_M}"
+                 )).alias("rho"))
+        .groupBy("grp", "bucket").agg(F.max("rho").alias("m"))
+    )
+    s = reg.groupBy("grp").agg(
+        F.count("*").alias("nz"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).alias("ssum"),
+    )
+    v = F.lit(HLL_M) - F.col("nz")
+    e_raw = (F.lit(HLL_NUM)
+             / (F.col("ssum") + v * F.shiftleft(F.lit(1).cast("long"), 53))
+             .cast("double"))
+    est = F.when((e_raw <= 2.5 * HLL_M) & (v > 0),
+                 HLL_M * F.log(F.lit(float(HLL_M)) / v)).otherwise(e_raw)
+    t = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").alias("exact_nd"))
+    return (
+        s.select("grp", F.round(est, 6).alias("hll_estimate"))
+        .join(t, "grp")
+        .select("grp", "hll_estimate", "exact_nd")
+        .orderBy("grp")
+    )
