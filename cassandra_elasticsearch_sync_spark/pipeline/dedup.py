@@ -466,6 +466,40 @@ def k2d_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SURVIVORS_ORACLE = _CLUSTERS_ORACLE.replace(
+    "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node",
+    """
+, labels AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+WHERE l.cluster_id IS NULL OR d.doc_id = l.cluster_id
+""")
+
+
+@register("k2j_near_dup_survivors", "K1+K2", _SURVIVORS_ORACLE,
+          "The end-to-end near-dup REMOVAL a corpus pipeline actually "
+          "ships: LSH-verified pairs -> connected components -> keep "
+          "ONE canonical doc per cluster (the component minimum) and "
+          "every untouched singleton - i.e. the FILTERED CORPUS, not "
+          "just the dup report. Composition of the already-verified "
+          "stages plus one left anti-ish join; the oracle runs the "
+          "same closure as a recursive CTE. At 100 TB every stage is "
+          "the bucketed/structural shape proven upstream; the final "
+          "keep-filter is a broadcast-or-shuffle left join on the "
+          "(small) label set.")
+def k2j_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = k2c_dup_clusters(spark, sf_dir)
+    joined = d.join(labels, "doc_id", "left")
+    return (
+        joined.filter(F.col("cluster_id").isNull()
+                      | (F.col("doc_id") == F.col("cluster_id")))
+        .select("doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Train/eval hygiene: benchmark decontamination + duplicated-ngram fraction
 # ---------------------------------------------------------------------------
