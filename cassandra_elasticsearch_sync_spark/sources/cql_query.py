@@ -823,3 +823,35 @@ def a2s_cql_indexed_lookup(spark, sf_dir):
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_orderpriority = '1-URGENT'
     """)
+
+
+@register("a2x_cql_pk_in_multi_partition", "A2", """
+WITH hit AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS part_token
+  FROM orders
+  WHERE o_custkey IN (5, 37, 101, 444)
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+)
+SELECT o_orderkey, o_custkey, o_totalprice, part_token FROM hit
+""", "CQL multi-partition IN read: `WHERE o_custkey IN (...)` names "
+     "several partitions in one statement - the coordinator fans out "
+     "one single-partition read per listed key and concatenates them "
+     "in TOKEN order (the ring order; the part_token column exposes "
+     "it). IN sits in Cassandra's equality class, so it combines "
+     "with a clustering-column slice without ALLOW FILTERING - the "
+     "validator accepts exactly that and the compiled plan is an "
+     "isin + range filter pushed to the scan (at cluster scale: K "
+     "partition-key lookups, never a table scan). The rejection "
+     "side - token() IN, IN on an unindexed non-key column, IN on a "
+     "collection - is pinned in tests/test_cql_query.py.")
+def a2x_cql_pk_in_multi_partition(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = cql_select(o, """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (5, 37, 101, 444)
+          AND o_orderdate >= '1995-01-01 00:00:00'
+    """)
+    return out.withColumn(
+        "part_token", _token_col(["o_custkey"]))

@@ -292,3 +292,55 @@ def test_select_distinct_executes(spark):
     assert len(rows) == 5
     assert df.columns == ["o_custkey"]
     assert len({r["o_custkey"] for r in rows}) == 5
+
+
+def test_in_restriction_rules():
+    """Cassandra's IN rules: equality-class on pk/clustering, token()
+    IN rejected, IN on unindexed non-key columns needs ALLOW
+    FILTERING, IN on collections rejected."""
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        CqlError,
+        parse_cql,
+        validate_cql,
+    )
+
+    # pk IN + clustering slice: legal without ALLOW FILTERING
+    validate_cql(parse_cql(
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN (1, 2)"
+        " AND o_orderdate >= '1995-01-01 00:00:00'"))
+    # IN on a clustering column with pk equality: legal (equality class)
+    validate_cql(parse_cql(
+        "SELECT o_orderkey FROM orders WHERE o_custkey = 1"
+        " AND o_orderdate IN ('1995-01-01 00:00:00')"))
+    # token() IN: rejected
+    with pytest.raises(CqlError, match="token\\(\\) does not support IN"):
+        validate_cql(parse_cql(
+            "SELECT o_orderkey FROM orders WHERE token(o_custkey) IN (1)"))
+    # IN on an unindexed non-key column: needs ALLOW FILTERING
+    with pytest.raises(CqlError, match="ALLOW FILTERING"):
+        validate_cql(parse_cql(
+            "SELECT o_orderkey FROM orders WHERE o_totalprice IN (1, 2)"))
+    # the same with ALLOW FILTERING: accepted
+    validate_cql(parse_cql(
+        "SELECT o_orderkey FROM orders WHERE o_totalprice IN (1, 2)"
+        " ALLOW FILTERING"))
+
+
+def test_pk_in_compiles_to_isin_pushdown(spark):
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        cql_select,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    out = cql_select(o, "SELECT o_orderkey FROM orders"
+                        " WHERE o_custkey IN (5, 37)")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "o_custkey" in plan.split("PushedFilters")[1][:300] \
+        or "In(o_custkey" in plan, plan[:1200]
+    got = {r.o_orderkey for r in out.collect()}
+    want = {r.o_orderkey
+            for r in o.filter(o.o_custkey.isin(5, 37)).collect()}
+    assert got == want and got
