@@ -215,7 +215,7 @@ AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_samples", T.IntegerType()),
-        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("sum_abs_amp", T.LongType()),
         T.StructField("zero_crossings", T.IntegerType()),
     ]
 )
@@ -283,16 +283,20 @@ def audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             (data_size,) = _struct.unpack("<I", raw[data_off - 4:data_off])
             n = data_size // 2
             wave = _struct.unpack(f"<{n}h", raw[data_off:data_off + data_size])
-            mean_amp = round(sum(abs(w) for w in wave) / n, 6) if n else 0.0
+            # the EXACT integer moments cross the UDF boundary; the
+            # float mean is derived Spark-side (r6 pattern) so the
+            # query is oracle-hash-checkable - Python's round() is
+            # half-even, the engines' ROUND is half-away
+            sum_abs = sum(abs(w) for w in wave)
             zc = sum(
                 1 for i in range(1, n) if (wave[i - 1] < 0) != (wave[i] < 0)
             )
-            feats.append((n, mean_amp, zc))
+            feats.append((n, sum_abs, zc))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
                 "n_samples": [f[0] for f in feats],
-                "mean_amp": [f[1] for f in feats],
+                "sum_abs_amp": [f[1] for f in feats],
                 "zero_crossings": [f[2] for f in feats],
             }
         )
@@ -326,15 +330,42 @@ def k6c_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.mapInPandas(decode_audio_batch, AUDIO_DECODED_SCHEMA)
 
 
-@register("k6d_audio_features", "K6", None,
-          "Audio features from the REAL decoded PCM stream: the WAV "
-          "data chunk is sliced at parsed offsets and 16-bit samples "
-          "drive amplitude + zero-crossing features (rows-only: the "
-          "synthetic waveform's features are not SQL-expressible; "
-          "the decode itself is oracle-checked by k6c).")
+@register("k6d_audio_features", "K6", """
+WITH dims AS (
+  SELECT doc_id,
+         CAST((doc_id % 100 + 10) * (doc_id % 2 + 1) AS INT) AS n
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, d.n, i.i,
+         ((d.doc_id * 31 + i.i * 97) % 65536) - 32768 AS w,
+         ((d.doc_id * 31 + (i.i - 1) * 97) % 65536) - 32768 AS wprev
+  FROM dims d
+  JOIN (SELECT UNNEST(RANGE(0, 218)) AS i) i ON i.i < d.n
+)
+SELECT doc_id, n AS n_samples,
+       SUM(ABS(w)) AS sum_abs_amp,
+       CAST(SUM(CASE WHEN i > 0 AND ((wprev < 0) <> (w < 0))
+                     THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+       ROUND(CAST(SUM(ABS(w)) AS DOUBLE) / n, 6) AS mean_amp
+FROM s GROUP BY doc_id, n
+""", "Audio features from the REAL decoded PCM stream - upgraded "
+     "from rows-only to ORACLE-HASH-CHECKED: the batch fn slices the "
+     "WAV data chunk at parsed offsets and returns the EXACT integer "
+     "moments (sum of |amplitude|, zero-crossing count); the float "
+     "mean derives Spark-side under the r6 rule. The oracle "
+     "re-derives the planted 16-bit samples relationally, so the "
+     "hash match proves the featurizer read every sample. A "
+     "spectral featurizer (librosa) swaps in with the same batch "
+     "signature.")
 def k6d_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = audio_table(spark, sf_dir).select("doc_id", "payload")
-    return a.mapInPandas(audio_features_batch, AUDIO_SCHEMA)
+    out = a.mapInPandas(audio_features_batch, AUDIO_SCHEMA)
+    return out.select(
+        "doc_id", "n_samples", "sum_abs_amp", "zero_crossings",
+        F.round(F.col("sum_abs_amp").cast("double") / F.col("n_samples"), 6)
+        .alias("mean_amp"),
+    )
 
 
 PIXEL_SCHEMA = T.StructType([
