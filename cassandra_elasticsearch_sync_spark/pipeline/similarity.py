@@ -1007,21 +1007,30 @@ def k3l_rp_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_sigs = F.pandas_udf(_band_sigs, "array<long>")
 
     corpus = _rp_corpus(spark, sf_dir).withColumn("nrm", norm("v"))
+    # IDs ONLY through the band explode: carrying the 64-double vector
+    # through a 32x posexplode multiplies the array payload by the
+    # band count (at 500k vectors that is ~8 GB into the self-join -
+    # the decade probe's point-B OOM). Candidates resolve as id pairs
+    # first; the vectors re-attach from the un-exploded corpus for the
+    # verify step - result-identical, vector storage stays 1x.
     sigged = corpus.select(
-        "vec_id", "v", "nrm",
+        "vec_id",
         F.posexplode(band_sigs("v")).alias("band", "sig"),
     )
     a, b = sigged.alias("a"), sigged.alias("b")
-    cands = (
+    cand_ids = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.sig") == F.col("b.sig"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
-                F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb"))
+                F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    va = corpus.select(F.col("vec_id").alias("vec_a"),
+                       F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = corpus.select(F.col("vec_id").alias("vec_b"),
+                       F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cands = cand_ids.join(va, "vec_a").join(vb, "vec_b")
     cos_raw = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (cands.withColumn("cos_raw", cos_raw)
             .filter(F.col("cos_raw") >= _RP_THRESHOLD)
