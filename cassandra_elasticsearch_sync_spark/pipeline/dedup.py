@@ -1236,26 +1236,34 @@ def k1g_sorted_neighborhood_dedup(spark: SparkSession,
                            F.size("toks").alias("n"))
     # each row joins its own rank/W bucket and the next one: any pair
     # within distance W shares at least one bucket (floor difference
-    # <= 1), so the window join is a plain equi-join
-    bucketed = ranked.withColumn(
-        "bucket", F.explode(F.array((F.col("rnk") / W).cast("bigint"),
-                                    (F.col("rnk") / W).cast("bigint") + 1)))
+    # <= 1), so the window join is a plain equi-join. IDs ONLY go
+    # through the bucket explode (the never-carry-payload-through-a-
+    # bucketing-explode rule the RP-LSH point-B OOM pinned); the token
+    # arrays re-attach per unique pair for the verify.
+    bucketed = ranked.select(
+        "doc_id", "rnk",
+        F.explode(F.array((F.col("rnk") / W).cast("bigint"),
+                          (F.col("rnk") / W).cast("bigint") + 1))
+        .alias("bucket"))
     a = bucketed.select(F.col("doc_id").alias("doc_a"),
-                        F.col("rnk").alias("ra"),
-                        F.col("toks").alias("ta"),
-                        F.col("n").alias("na"), "bucket")
+                        F.col("rnk").alias("ra"), "bucket")
     b = bucketed.select(F.col("doc_id").alias("doc_b"),
-                        F.col("rnk").alias("rb"),
-                        F.col("toks").alias("tb"),
-                        F.col("n").alias("nb"), "bucket")
-    pairs = (
+                        F.col("rnk").alias("rb"), "bucket")
+    pair_ids = (
         a.join(b, "bucket")
         .filter((F.col("rb") - F.col("ra")).between(1, W))
-        .select("doc_a", "doc_b", (F.col("rb") - F.col("ra")).alias("dist"),
-                F.size(F.array_intersect("ta", "tb")).alias("i"),
-                "na", "nb")
+        .select("doc_a", "doc_b",
+                (F.col("rb") - F.col("ra")).alias("dist"))
         .distinct()
     )
+    ta = ranked.select(F.col("doc_id").alias("doc_a"),
+                       F.col("toks").alias("ta"), F.col("n").alias("na"))
+    tb = ranked.select(F.col("doc_id").alias("doc_b"),
+                       F.col("toks").alias("tb"), F.col("n").alias("nb"))
+    pairs = (pair_ids.join(ta, "doc_a").join(tb, "doc_b")
+             .select("doc_a", "doc_b", "dist",
+                     F.size(F.array_intersect("ta", "tb")).alias("i"),
+                     "na", "nb"))
     j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (pairs.filter((F.col("i") > 0) & (j >= 0.3))
             .select("doc_a", "doc_b", "dist", F.round(j, 6).alias("jaccard")))
