@@ -799,3 +799,39 @@ def test_tiff_roundtrip_both_byte_orders():
     assert decode_tiff_gray(None) is None
     assert decode_tiff_gray(b"II+\x00" + b"\x00" * 16) is None
     assert decode_tiff_gray(tiff_gray_bytes(8, 8, 1, False)[:40]) is None
+
+
+def test_png16_roundtrip_and_rejections():
+    """16-bit PNG: bit-exact roundtrip across all five filters, and
+    rejected-not-guessed for wrong depth/color/interlace/corrupt
+    zlib."""
+    import struct
+    import zlib
+
+    from cassandra_elasticsearch_sync_spark.pipeline.imaging import (
+        decode_png16_pixels,
+        decode_png_pixels,
+        png_bytes,
+        png_gray16_bytes,
+    )
+
+    raw = png_gray16_bytes(9, 8, 41)
+    w, h, samples = decode_png16_pixels(raw)
+    assert (w, h) == (9, 8)
+    assert samples == [(41 * 7919 + y * 9 + x * 31) % 65536
+                       for y in range(8) for x in range(9)]
+    assert max(samples) > 255, "must exercise true 16-bit range"
+
+    # an 8-bit PNG is NOT decodable as 16-bit (and vice versa)
+    assert decode_png16_pixels(png_bytes(4, 4)) is None
+    assert decode_png_pixels(raw) is None
+
+    # corrupt the IDAT payload -> zlib error -> None, never garbage
+    bad = bytearray(raw)
+    idat_off = bad.index(b"IDAT") + 10
+    bad[idat_off] ^= 0xFF
+    assert decode_png16_pixels(bytes(bad)) is None
+
+    # truncated stream
+    assert decode_png16_pixels(raw[:20]) is None
+    assert decode_png16_pixels(None) is None
