@@ -64,7 +64,9 @@ def register(name: str, survey_id: str, oracle: str | None, doc: str = ""):
 # ENTIRELY of keys absent from CORRECTNESS_r01-r04 - cross-tier
 # (TPC-H, C, D, E, H, J, K1-K7, L/ACID, A2-A4) and cheap-first.
 # Cumulative driver-verified keys after r4: 116/388; this block
-# converts 48 more. Previously-verified blocks (r4, then r1-r3) sit
+# converts 48 more (six of them swapped late in the round for the
+# session's new operators - HLL, Mann-Whitney, market basket, Welch,
+# IMA ADPCM, skyline - all equally never-driver-verified). Previously-verified blocks (r4, then r1-r3) sit
 # directly after, so a driver with a larger budget re-verifies them
 # next.
 _FRONT = (
@@ -77,20 +79,20 @@ _FRONT = (
     # joins beyond equi
     "c7c_band_join_bucketed", "c12_spatial_grid_join",
     # aggregates
-    "d16_bitmap_distinct", "d10b_unpivot",
+    "d16_bitmap_distinct", "d4b_hll_sketch_exact",
     # windows
-    "e8_nth_value", "e9_decile_by_segment", "e11_churn_gaps",
+    "k_mann_whitney_u", "e9_decile_by_segment", "e11_churn_gaps",
     "e12_range_interval_frame",
     # functions
-    "h2c_calendar_funcs", "h3d_try_arithmetic", "h6b_nested_json",
+    "h2c_calendar_funcs", "h3d_try_arithmetic", "c14_market_basket_lift",
     "h4b_array_set_ops",
     # python execution tier
-    "j1_scalar_udf", "j4_apply_in_pandas", "j7_sql_registration",
+    "k_welch_ttest", "j4_apply_in_pandas", "j7_sql_registration",
     "j8_cogroup_apply_in_pandas",
     # LLM-pipeline tier: dedup / similarity / text / multimodal / ts
-    "k1c_paragraph_dedup", "k_decontaminate", "k2h_containment_pairs",
+    "k1c_paragraph_dedup", "k_decontaminate", "k6s_ima_adpcm_decode",
     "ann_ivf_topk", "k3e_ndcg_eval", "k3l_rp_lsh_near_pairs",
-    "k4_tfidf", "k4_bigrams", "k5_keyword_score", "k_gopher_quality",
+    "k4_tfidf", "c13_skyline_per_group", "k5_keyword_score", "k_gopher_quality",
     "k6f_jpeg_pixel_decode", "k6k_jpeg_restart_decode", "k6i_exif_parse",
     "k7i_ks_drift", "k7m_holt_winters",
     # sync + ACID tier
@@ -99,6 +101,10 @@ _FRONT = (
     # source semantics
     "a2b_token_range_scan", "a2p_cql_contains", "a3b_es_dsl_search",
     "a3o_es_top_hits_agg", "a4_csv_ingest",
+    # displaced from the front-50 by this session's additions (still
+    # never driver-verified; next in line)
+    "j1_scalar_udf", "d10b_unpivot", "e8_nth_value",
+    "h6b_nested_json", "k4_bigrams", "k2h_containment_pairs",
     # --- r4 driver-verified block ---
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
@@ -146,9 +152,8 @@ _TAIL = (
     "l7_incremental_sync_stream", "k2c_dup_clusters", "k8_incremental_topk",
     "k2e_streaming_lsh_pairs", "i10_incremental_agg_maintenance",
     # rows-only by design (no oracle -> driver records a weaker check)
-    "k_kmeans_assign", "k3_cosine_topk_arrow", "k_cms_sketch",
+    "k_kmeans_assign", "k3_cosine_topk_arrow",
     "d4_approx_count_distinct", "d6b_approx_percentiles",
-    "k6d_audio_features",
     "i6_stateful_running_max",
     "i6d_transform_with_state",
 )
