@@ -151,6 +151,7 @@ _TAIL = (
     # multi-job (streaming / iterative / pandas-heavy)
     "l7_incremental_sync_stream", "k2c_dup_clusters", "k8_incremental_topk",
     "k2e_streaming_lsh_pairs", "i10_incremental_agg_maintenance",
+    "i12_streaming_hll_distinct",
     # rows-only by design (no oracle -> driver records a weaker check)
     "k_kmeans_assign", "k3_cosine_topk_arrow",
     "d4_approx_count_distinct", "d6b_approx_percentiles",
