@@ -42,6 +42,12 @@ _op = st.one_of(
     st.tuples(st.just("compact"), st.just(None)),
     st.tuples(st.just("restore"), st.integers(0, 1_000_000)),
     st.tuples(st.just("clone_check"), st.just(None)),
+    # WHEN NOT MATCHED BY SOURCE: one merge updates matched keys AND
+    # deletes every unmatched key in one commit (full-snapshot
+    # reconciliation)
+    st.tuples(st.just("nmbs_sync"), _merge_batch),
+    # ... and the conditioned update flavor (archive the odd unmatched)
+    st.tuples(st.just("nmbs_mark"), _merge_batch),
 )
 
 
@@ -84,6 +90,28 @@ def test_acid_sequences_match_dict_model(spark, ops):
                     spark.createDataFrame([(k,) for k in arg], "key bigint"),
                     ["key"])
                 model = {k: pv for k, pv in model.items() if k not in arg}
+            elif kind == "nmbs_sync":
+                t.merge_into(spark.createDataFrame(arg, _SCHEMA), ["key"],
+                             assume_unique_keys=True,
+                             not_matched_by_source_action="delete")
+                src_keys = {k for k, _, _ in arg}
+                model = {k: pv for k, pv in model.items() if k in src_keys}
+                for k, p, v in arg:
+                    model[k] = (p, v)
+            elif kind == "nmbs_mark":
+                t.merge_into(
+                    spark.createDataFrame(arg, _SCHEMA), ["key"],
+                    assume_unique_keys=True,
+                    not_matched_by_source_action="update",
+                    not_matched_by_source_condition=F.col("tgt.key") % 2 == 1,
+                    not_matched_by_source_assignments={
+                        "price": F.col("tgt.price") + 100.0})
+                src_keys = {k for k, _, _ in arg}
+                for k, p, v in arg:
+                    model[k] = (p, v)
+                model = {k: ((p + 100.0, v)
+                             if k not in src_keys and k % 2 == 1 else (p, v))
+                         for k, (p, v) in model.items()}
             elif kind == "compact":
                 t.compact_deletes()
             elif kind == "restore":
