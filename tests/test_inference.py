@@ -204,3 +204,93 @@ def test_stratified_sample_rates_and_determinism(spark):
         want = 10 if r.lang == "en" else (25 if r.lang in ("zh", "es") else 50)
         assert r.stratum_pct == want
         assert r.bucket < want
+
+
+def test_mann_whitney_random_frames_property(spark):
+    """Property check on RANDOM synthetic two-sample frames (heavy
+    ties, tiny domains) - the tie-corrected U/z must match the
+    textbook computation for every draw."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        n1, n2 = rng.randint(30, 120), rng.randint(30, 120)
+        # small integer domain -> many ties, the hard case
+        x = rng.randint(0, 12, n1).astype(float)
+        y = rng.randint(0, 12, n2).astype(float)
+        rows = [(float(v), "a") for v in x] + [(float(v), "b") for v in y]
+        df = spark.createDataFrame(rows, "value double, grp string")
+
+        vals = (df.groupBy(F.col("value").alias("v"))
+                .agg(F.count("*").alias("c"),
+                     F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+                     .alias("c1")))
+        cum, _ = with_global_order(vals, [F.col("v")], cumsum_of="c",
+                                   cumsum_col="cumc")
+        r1_term = (F.col("c1")
+                   * ((F.col("cumc") - F.col("c")).cast("double")
+                      + (F.col("c") + 1) / 2.0))
+        got = cum.agg(F.sum("c1").alias("n1"),
+                      F.sum(F.col("c") - F.col("c1")).alias("n2"),
+                      F.sum(r1_term).alias("r1"),
+                      F.sum(F.col("c") ** 3 - F.col("c")).alias("tie")
+                      ).collect()[0]
+
+        combined = np.concatenate([x, y])
+        order = combined.argsort(kind="mergesort")
+        ranks = np.empty(len(combined))
+        sv = combined[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        assert got.n1 == n1 and got.n2 == n2
+        assert got.r1 == pytest.approx(ranks[:n1].sum(), abs=1e-6)
+        _, tc = np.unique(combined, return_counts=True)
+        assert got.tie == int((tc ** 3 - tc).sum())
+
+
+def test_skyline_random_frames_property(spark):
+    """Random (brand, size, price) frames: the window-based skyline
+    must equal brute-force dominance filtering for every draw."""
+    import numpy as np
+
+    from pyspark.sql import functions as F, Window
+
+    rng = np.random.RandomState(23)
+    for trial in range(3):
+        n = rng.randint(40, 120)
+        rows = [(f"B{int(b)}", int(s), float(p))
+                for b, s, p in zip(rng.randint(0, 4, n),
+                                   rng.randint(1, 9, n),
+                                   rng.randint(1, 30, n))]
+        df = spark.createDataFrame(rows, "brand string, size int, price double")
+        best = (df.groupBy("brand", "size")
+                .agg(F.min("price").alias("price")))
+        w = (Window.partitionBy("brand").orderBy(F.col("size").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        got = {(r.brand, r.size, r.price)
+               for r in best.withColumn("sm", F.min("price").over(w))
+               .filter(F.col("sm").isNull() | (F.col("sm") > F.col("price")))
+               .select("brand", "size", "price").collect()}
+
+        # brute force over the grouped-min cells
+        cells = {}
+        for b, s, p in rows:
+            cells[(b, s)] = min(cells.get((b, s), float("inf")), p)
+        want = set()
+        for (b, s), p in cells.items():
+            dominated = any(b2 == b and s2 > s and p2 <= p
+                            for (b2, s2), p2 in cells.items())
+            if not dominated:
+                want.add((b, s, p))
+        assert got == want, f"trial {trial}"
