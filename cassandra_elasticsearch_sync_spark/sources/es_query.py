@@ -158,6 +158,22 @@ def compile_query(q: dict, resolve=None) -> Column:
         phrase = " ".join(str(text).lower().split())
         padded = F.concat(F.lit(" "), F.lower(resolve(field)), F.lit(" "))
         return padded.contains(f" {phrase} ")
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix (search-as-you-type): every analyzed
+        # term except the LAST matches as a term SHOULD clause; the
+        # last term matches as a PREFIX on any token - "quick brown
+        # f" finds "quick brown fox". Whitespace analyzer here, so
+        # term match = word-boundary containment and prefix = any
+        # token startswith, both JVM higher-order expressions.
+        (field, text), = body.items()
+        toks = [t for t in str(text).lower().split() if t]
+        if not toks:
+            return F.lit(False)
+        words = F.split(F.lower(resolve(field)), " ")
+        preds = [F.array_contains(words, t) for t in toks[:-1]]
+        preds.append(F.exists(
+            words, lambda w: w.startswith(toks[-1])))
+        return reduce(lambda a, b: a | b, preds)
     if kind == "fuzzy":
         # ES fuzzy query: Levenshtein edit distance <= fuzziness.
         # "AUTO" follows ES's documented ladder: 0 edits for terms of
@@ -2776,3 +2792,28 @@ def a3aq_es_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars")
     return es_percolate(d, _PERCOLATE_DEMO).select("doc_id", "query_id")
+
+
+@register("a3ar_es_match_bool_prefix", "A3", """
+WITH w AS (
+  SELECT doc_id, n_chars, STRING_SPLIT(LOWER(text), ' ') AS words
+  FROM documents
+)
+SELECT doc_id, n_chars
+FROM w
+WHERE list_contains(words, 'merge')
+   OR list_contains(words, 'spark')
+   OR LEN(list_filter(words, t -> t LIKE 'stre%')) > 0
+""", "ES match_bool_prefix (the search-as-you-type query): completed "
+     "terms match at word boundaries, the trailing partially-typed "
+     "term matches as a prefix on ANY token - 'merge spark stre' "
+     "finds docs mentioning streams/streaming. Compiles to "
+     "array_contains SHOULD clauses + a higher-order exists/"
+     "startswith for the prefix leg: all JVM lambda expressions over "
+     "one split, no UDF, no explode, single scan at any corpus "
+     "size.")
+def a3ar_es_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return es_search(
+        d, {"match_bool_prefix": {"text": "merge spark stre"}}
+    ).select("doc_id", "n_chars")

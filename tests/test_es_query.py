@@ -486,3 +486,24 @@ def test_percolate_doc_matches_expected_queries(spark):
     got = {(r.doc_id, r.query_id)
            for r in es_percolate(d, stored).select("doc_id", "query_id").collect()}
     assert got == {(1, "short_en"), (1, "spark"), (3, "long")}
+
+
+def test_match_bool_prefix_semantics(spark):
+    """Completed terms at word boundaries, trailing term as a prefix
+    on any token - and substring-in-the-middle must NOT match."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "the brownie recipe"),
+         (3, "foxtrot dance"), (4, "unrelated words")],
+        "id bigint, text string")
+    q = {"match_bool_prefix": {"text": "quick bro"}}
+    got = {r.id for r in es_search(df, q).collect()}
+    # 1: 'quick' term + 'bro' prefix of 'brown'; 2: 'bro' prefix of
+    # 'brownie'; 3/4: neither ('foxtrot' has no 'quick' and no token
+    # starts with 'bro')
+    assert got == {1, 2}
+    # empty query matches nothing
+    assert es_search(df, {"match_bool_prefix": {"text": "  "}}).count() == 0
