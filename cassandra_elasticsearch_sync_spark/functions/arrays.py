@@ -40,12 +40,12 @@ def h4_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
         F.round(sq_sum, 6).alias("norm2"),
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
     )
 
 
@@ -112,9 +112,9 @@ def h4b_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_union("ta", "tb")).alias("union_size"),
-            F.size(F.array_intersect("ta", "tb")).alias("intersect_size"),
-            F.size(F.array_except("ta", "tb")).alias("except_size"),
+            F.size(F.array_union("ta", "tb")).cast("long").alias("union_size"),
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("intersect_size"),
+            F.size(F.array_except("ta", "tb")).cast("long").alias("except_size"),
             F.arrays_overlap("ta", "tb").alias("overlaps"),
         )
     )
@@ -130,7 +130,8 @@ SELECT vec_id,
                  x -> CAST(FLOOR(ABS(CAST(x AS DOUBLE))
                                  * 1099511627776.0) AS BIGINT)))
              AS DOUBLE) / 1099511627776.0, 6) AS l1_norm,
-       LIST_INDEXOF(embedding, LIST_MAX(embedding)) AS argmax_dim
+       CAST(LIST_INDEXOF(embedding, LIST_MAX(embedding)) AS BIGINT)
+         AS argmax_dim
 FROM embeddings
 WHERE vec_id % 50 = 0
 """, "Higher-order array function family - filter (count of positive "
@@ -156,7 +157,7 @@ def h4c_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
         F.forall("embedding", lambda x: x > 0).alias("all_pos"),
         F.round(l1, 6).alias("l1_norm"),
         F.array_position("embedding", F.array_max("embedding"))

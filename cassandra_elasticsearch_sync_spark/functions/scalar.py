@@ -37,15 +37,15 @@ def h1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.length("text").alias("text_len"),
+        F.length("text").cast("long").alias("text_len"),
         F.upper("lang").alias("lang_up"),
         F.substring("text", 1, 20).alias("head20"),
         F.split(F.col("text"), " ").getItem(0).alias("first_token"),
         F.concat_ws("-", "lang", "source").alias("lang_source"),
-        F.instr("text", "scan").alias("scan_pos"),
+        F.instr("text", "scan").cast("long").alias("scan_pos"),
         F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
         F.regexp_replace("text", "[aeiou]", "_").alias("devoweled_head"),
-        F.levenshtein("lang", F.lit("en")).alias("lang_dist"),
+        F.levenshtein("lang", F.lit("en")).cast("long").alias("lang_dist"),
     )
 
 
@@ -65,13 +65,13 @@ def h2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
-        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
-         .alias("days_since_95"),
+         .cast("long").alias("days_since_95"),
         F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
          .alias("plus_30d"),
         F.unix_timestamp(F.date_trunc("second", "o_orderdate")).alias("epoch_s"),
@@ -176,12 +176,12 @@ def h2b_datetime_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate").cast("date")
     return o.select(
         "o_orderkey",
-        F.quarter("o_orderdate").alias("q"),
-        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
         F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("next_month"),
         F.date_format(F.date_sub(d, 7), "yyyy-MM-dd").alias("week_before"),
-        F.dayofyear("o_orderdate").alias("doy"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
     )
 
 

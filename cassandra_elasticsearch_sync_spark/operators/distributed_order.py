@@ -163,7 +163,7 @@ def with_global_ntile(
         bucket = F.when(r <= cut, F.ceil(r / F.lit(base + 1))).otherwise(
             rem + F.ceil((r - cut) / F.lit(base))
         )
-    return out.withColumn(bucket_col, bucket.cast("int")).drop("__do_rank")
+    return out.withColumn(bucket_col, bucket.cast("long")).drop("__do_rank")
 
 
 def topk_with_rank(
@@ -325,6 +325,6 @@ def with_grouped_ntile(
     return (
         ka.join(sa, cond)
         .select("__nt_r.*", "__nt_s.__do_gn")
-        .withColumn(bucket_col, bucket.cast("int"))
+        .withColumn(bucket_col, bucket.cast("long"))
         .drop("__do_grank", "__do_gn")
     )

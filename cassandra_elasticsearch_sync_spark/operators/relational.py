@@ -91,7 +91,7 @@ def b4_type_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts("ts").alias("ts_str"),
         F.col("value").cast("decimal(18,3)").cast("string").alias("value_dec_str"),
         F.col("user_id").cast("int").alias("user_id_int"),
-        F.length("props").alias("props_len"),
+        F.length("props").cast("long").alias("props_len"),
     )
 
 

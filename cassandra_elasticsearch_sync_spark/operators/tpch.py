@@ -271,7 +271,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .filter(pair)
-        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(_revenue().alias("revenue"))
     )
 

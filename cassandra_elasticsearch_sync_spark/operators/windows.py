@@ -41,10 +41,10 @@ def e1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_mktsegment",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
@@ -322,9 +322,8 @@ WITH seg AS (
 ),
 t AS (
   SELECT segment, o_totalprice,
-         CAST(NTILE(10) OVER (PARTITION BY segment
-                              ORDER BY o_totalprice, o_orderkey) AS INT)
-           AS decile
+         NTILE(10) OVER (PARTITION BY segment
+                         ORDER BY o_totalprice, o_orderkey) AS decile
   FROM seg
 )
 SELECT segment, decile, COUNT(*) AS n_orders,

@@ -135,7 +135,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     j = ev.join(F.broadcast(cohort), "user_id").withColumn(
-        "day_offset", F.datediff("day", "cohort_day")
+        "day_offset", F.datediff("day", "cohort_day").cast("long")
     )
     return (
         j.filter(F.col("day_offset") <= 7)
@@ -148,7 +148,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("value_histogram", "D1", """
 SELECT CAST(FLOOR(value / 25.0) AS INT) AS bin,
-       25.0 * CAST(FLOOR(value / 25.0) AS INT) AS bin_low,
+       CAST(25.0 * CAST(FLOOR(value / 25.0) AS INT) AS DOUBLE) AS bin_low,
        COUNT(*) AS n
 FROM events
 GROUP BY 1, 2
@@ -182,7 +182,8 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk"))
                & (F.col("a.c_custkey") < F.col("b.c_custkey")))
-        .withColumn("edit_dist", F.levenshtein(F.col("a.c_name"), F.col("b.c_name")))
+        .withColumn("edit_dist",
+                    F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast("long"))
         .filter(F.col("edit_dist") <= 1)
         .select(
             F.col("a.c_custkey").alias("key_a"),
@@ -801,7 +802,8 @@ cells AS (
          SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
   FROM rated
 )
-SELECT n, n11, n10, n01, n00,
+SELECT n, CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
        ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
        ROUND((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
              + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n),
@@ -1127,7 +1129,7 @@ WITH scored AS (
   FROM events
 ),
 th AS (SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
-SELECT threshold,
+SELECT CAST(threshold AS DOUBLE) AS threshold,
        CAST(SUM(CASE WHEN score >= threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
        CAST(SUM(CASE WHEN score >= threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
        CAST(SUM(CASE WHEN score < threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
@@ -1362,7 +1364,8 @@ w AS (
            / (1.0 + 1.96 * 1.96 / n) AS wlb
   FROM s
 )
-SELECT user_id, n, pos, ROUND(p_hat, 6) AS p_hat, ROUND(wlb, 6) AS wilson_lb
+SELECT user_id, n, CAST(pos AS BIGINT) AS pos,
+       ROUND(p_hat, 6) AS p_hat, ROUND(wlb, 6) AS wilson_lb
 FROM w
 ORDER BY wlb DESC, user_id
 LIMIT 25

@@ -983,8 +983,8 @@ def k1d_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     isl = hits.withColumn("g", F.col("p") - F.row_number().over(w))
     return (
         isl.groupBy("doc_id", "g")
-        .agg(F.min("p").alias("span_start"),
-             (F.max("p") + F.lit(_K1D_K - 1)).alias("span_end"))
+        .agg(F.min("p").cast("long").alias("span_start"),
+             (F.max("p") + F.lit(_K1D_K - 1)).cast("long").alias("span_end"))
         .select(
             "doc_id", "span_start", "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
@@ -1166,7 +1166,7 @@ def k1f_levenshtein_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 F.levenshtein(F.col("a.text"), F.col("b.text"), 8)
-                .alias("edit_distance"))
+                .cast("long").alias("edit_distance"))
     )
 
 

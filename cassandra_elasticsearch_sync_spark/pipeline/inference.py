@@ -337,7 +337,7 @@ ab AS (
          (SELECT n FROM g WHERE cohort = 1) AS n2,
          (SELECT k FROM g WHERE cohort = 1) AS k2
 )
-SELECT n1, k1, n2, k2,
+SELECT n1, CAST(k1 AS BIGINT) AS k1, n2, CAST(k2 AS BIGINT) AS k2,
        ROUND(CAST(k1 AS DOUBLE) / n1, 6) AS p1,
        ROUND(CAST(k2 AS DOUBLE) / n2, 6) AS p2,
        ROUND(CASE WHEN k1 + k2 = 0 OR k1 + k2 = n1 + n2 THEN NULL
@@ -403,7 +403,7 @@ s AS (
          SUM(c * c * c - c) AS tie_term
   FROM cum
 )
-SELECT n1, n2,
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
        ROUND(r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0, 6) AS u_stat,
        ROUND((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
               - CAST(n1 AS DOUBLE) * n2 / 2.0)

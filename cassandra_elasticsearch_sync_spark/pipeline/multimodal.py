@@ -64,7 +64,7 @@ def k6_binary_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     b64 = F.regexp_replace(F.base64("payload"), "\r\n", "")
     return m.select(
         "doc_id",
-        F.octet_length("payload").alias("n_bytes"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
         b64.alias("payload_b64"),
         F.substring(b64, 1, 12).alias("b64_head"),
     )
@@ -344,7 +344,7 @@ s AS (
   JOIN (SELECT UNNEST(RANGE(0, 218)) AS i) i ON i.i < d.n
 )
 SELECT doc_id, n AS n_samples,
-       SUM(ABS(w)) AS sum_abs_amp,
+       CAST(SUM(ABS(w)) AS BIGINT) AS sum_abs_amp,
        CAST(SUM(CASE WHEN i > 0 AND ((wprev < 0) <> (w < 0))
                      THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
        ROUND(CAST(SUM(ABS(w)) AS DOUBLE) / n, 6) AS mean_amp
@@ -410,7 +410,7 @@ SELECT doc_id,
        16 AS width, 16 AS height,
        CAST(doc_id % 200 AS DOUBLE) + 7.5 AS mean_r,
        CAST(doc_id % 200 AS DOUBLE) + 7.5 AS mean_g,
-       56.25 AS mean_b
+       CAST(56.25 AS DOUBLE) AS mean_b
 FROM documents
 """, "FULL pixel-level image decode (K6 de-stubbed to the pixel "
      "level for PNG): payloads are real 8-bit RGB PNGs whose pixels "
@@ -539,7 +539,7 @@ SELECT doc_id,
        16 AS width, 16 AS height,
        CAST(doc_id % 200 AS DOUBLE) + 7.5 AS mean_r,
        CAST(doc_id % 200 AS DOUBLE) + 7.5 AS mean_g,
-       56.25 AS mean_b
+       CAST(56.25 AS DOUBLE) AS mean_b
 FROM documents
 """, "Adam7-INTERLACED PNG pixel decode - the web's progressive-PNG "
      "profile, previously rejected. Payloads carry the same planted "
@@ -1116,7 +1116,7 @@ dec AS (
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
        200 AS n_samples,
-       SUM(pcm) AS sum_pcm,
+       CAST(SUM(pcm) AS BIGINT) AS sum_pcm,
        CAST(MIN(pcm) AS INT) AS min_pcm,
        CAST(MAX(pcm) AS INT) AS max_pcm
 FROM dec GROUP BY doc_id
@@ -1284,7 +1284,7 @@ dec AS (
   FROM dec d JOIN steptab s ON s.idx = d.idx
   WHERE d.i < 64
 )
-SELECT doc_id, COUNT(*) AS n_samples, SUM(pred) AS sum_pcm,
+SELECT doc_id, COUNT(*) AS n_samples, CAST(SUM(pred) AS BIGINT) AS sum_pcm,
        CAST(MIN(pred) AS INT) AS min_pcm, CAST(MAX(pred) AS INT) AS max_pcm
 FROM dec GROUP BY doc_id
 """
@@ -1372,7 +1372,7 @@ px AS (
   JOIN (SELECT UNNEST(RANGE(0, 13)) AS x) x ON x.x < d.width
 )
 SELECT doc_id, width, height,
-       SUM(s) AS sum_sample,
+       CAST(SUM(s) AS BIGINT) AS sum_sample,
        CAST(MIN(s) AS INT) AS min_sample,
        CAST(MAX(s) AS INT) AS max_sample
 FROM px GROUP BY doc_id, width, height

@@ -114,9 +114,9 @@ def k_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         IP_PAT, "<IP>")
     return d.filter((did % 3 == 0) | (did % 5 == 0) | (did % 7 == 0)).select(
         "doc_id",
-        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_PAT), 0)).alias("n_emails"),
-        F.size(F.regexp_extract_all(raw, F.lit(PHONE_PAT), 0)).alias("n_phones"),
-        F.size(F.regexp_extract_all(raw, F.lit(IP_PAT), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_PAT), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(PHONE_PAT), 0)).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(raw, F.lit(IP_PAT), 0)).cast("long").alias("n_ips"),
         clean.alias("clean"),
     )
 
@@ -432,7 +432,7 @@ SELECT lang,
              - (1.0 / 0.5)
                * CASE WHEN unif - 0.5 >= 0 THEN 1.0 ELSE -1.0 END
                * LN(1.0 - 2.0 * ABS(unif - 0.5)), 6) AS noisy_count,
-       0.5 AS epsilon
+       CAST(0.5 AS DOUBLE) AS epsilon
 FROM u
 """, "Differentially-private released counts, completing the privacy "
      "ladder (k-anonymity -> l-diversity -> t-closeness -> DP "

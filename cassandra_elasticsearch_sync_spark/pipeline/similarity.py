@@ -462,7 +462,7 @@ def k_centroids_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select(
         "label", F.posexplode("embedding").alias("dim0", "x")
-    ).select("label", (F.col("dim0") + 1).alias("dim"), "x")
+    ).select("label", (F.col("dim0") + 1).cast("long").alias("dim"), "x")
     scaled = F.floor(F.col("x").cast("double") * F.lit(1099511627776.0))
     return ex.groupBy("label", "dim").agg(
         F.round(
@@ -514,7 +514,7 @@ def k_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.posexplode("embedding").alias("dim0", "x"))
         .select(
             "vec_id",
-            (F.col("dim0") + 1).alias("dim"),
+            (F.col("dim0") + 1).cast("long").alias("dim"),
             F.round(F.col("x").cast("double") / F.col("l2"), 6).alias("val"),
         )
     )

@@ -295,7 +295,8 @@ h AS (
 )
 SELECT doc_id,
        CAST(hv % 64 AS INT) AS bucket,
-       SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS weight
+       CAST(SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS weight
 FROM h
 GROUP BY doc_id, CAST(hv % 64 AS INT)
 HAVING SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0

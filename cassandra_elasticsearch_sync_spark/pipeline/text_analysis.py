@@ -186,8 +186,9 @@ def k_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     f = d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        F.size(F.array_distinct(F.split(F.lower("text"), " "))).alias("n_uniq"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+         .cast("long").alias("n_uniq"),
         F.size(F.regexp_extract_all("text", F.lit("[^a-z ]"), 0)).alias("n_nonalpha"),
     )
     quality = (
@@ -210,9 +211,9 @@ def k_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
-         .alias("bpe_ish_tokens"),
+         .cast("long").alias("bpe_ish_tokens"),
     )
 
 
@@ -302,7 +303,8 @@ def k_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    t = d.select("doc_id",
+                 F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
     c, _ = with_global_order(
         t, [F.col("doc_id")], cumsum_of="n_tokens", cumsum_col="cum"
     )
@@ -436,7 +438,7 @@ bg AS (SELECT doc_id, UNNEST([ARRAY_TO_STRING(t[i:i+1], ' ')
 cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
 SELECT doc_id,
        MAX(c) AS top_bigram_count,
-       SUM(c) AS n_bigrams,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
        ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repetition_ratio
 FROM cnt GROUP BY doc_id
 """, "Repetition ratio (Gopher-style quality filter): the most frequent "
@@ -503,7 +505,7 @@ def k_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(stop_frac, 6).alias("stop_frac"),
         ((n_words >= 20) & mean_wl.between(2, 10) & (stop_frac >= 0.01)).alias("keep"),
@@ -887,7 +889,7 @@ pdb AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM db GROUP BY 1, 2, 3),
 c2 AS (SELECT w1, w2, SUM(k) AS c12 FROM pdb GROUP BY w1, w2),
 c1 AS (SELECT w1, SUM(c12) AS c1 FROM c2 GROUP BY w1)
 SELECT doc_id,
-       SUM(k) AS n_bigrams,
+       CAST(SUM(k) AS BIGINT) AS n_bigrams,
        ROUND((SUM(k * LN(CAST(c1 AS DOUBLE)))
               - SUM(k * LN(CAST(c12 AS DOUBLE)))) / SUM(k), 6) AS avg_nll
 FROM pdb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
@@ -948,7 +950,7 @@ c2 AS (SELECT w1, w2, SUM(k) AS c12 FROM pdb GROUP BY w1, w2),
 c1 AS (SELECT w1, SUM(c12) AS c1 FROM c2 GROUP BY w1),
 nll AS (
   SELECT doc_id,
-         SUM(k) AS n_bigrams,
+         CAST(SUM(k) AS BIGINT) AS n_bigrams,
          ROUND((SUM(k * LN(CAST(c1 AS DOUBLE)))
                 - SUM(k * LN(CAST(c12 AS DOUBLE)))) / SUM(k), 6) AS avg_nll
   FROM pdb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
@@ -1233,7 +1235,7 @@ counts AS (
 ),
 paired AS (
   SELECT c.doc_id, c.lang,
-         SUM(LEAST(c.n, r.n)) AS clipped,
+         CAST(SUM(LEAST(c.n, r.n)) AS BIGINT) AS clipped,
          (SELECT LEN(STRING_SPLIT(d1.text, ' ')) FROM documents d1
           WHERE d1.doc_id = c.doc_id) AS cand_len,
          (SELECT LEN(STRING_SPLIT(d2.text, ' ')) FROM documents d2
@@ -1499,8 +1501,8 @@ def k_html_strip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = s.withColumn("clean", clean)
     return s.select(
         "doc_id",
-        F.length("raw").alias("raw_len"),
-        F.length("clean").alias("clean_len"),
+        F.length("raw").cast("long").alias("raw_len"),
+        F.length("clean").cast("long").alias("clean_len"),
         F.round(F.length("clean").cast("double") / F.length("raw"), 6)
         .alias("content_ratio"),
         (F.length("clean") < F.length("raw")).alias("had_markup"),
@@ -1557,7 +1559,8 @@ def k_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("body"),
         F.lit(r"\b(def|return|for|select|from|where|import|class)\b"))
     n_tokens = F.size(F.split(F.col("body"), " "))
-    feats = s.select("doc_id", n_punct.alias("n_punct"), n_kw.alias("n_kw"),
+    feats = s.select("doc_id", n_punct.cast("long").alias("n_punct"),
+                     n_kw.cast("long").alias("n_kw"),
                      n_tokens.alias("n_tokens"))
     return feats.select(
         "doc_id", "n_punct", "n_kw",

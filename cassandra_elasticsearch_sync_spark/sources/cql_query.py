@@ -706,8 +706,8 @@ WITH t AS (
                  AS BIGINT) AS token
   FROM orders
 )
-SELECT to_json(struct_pack(o_orderkey := o_orderkey,
-                           o_custkey := o_custkey)) AS json
+SELECT CAST(to_json(struct_pack(o_orderkey := o_orderkey,
+                           o_custkey := o_custkey)) AS VARCHAR) AS json
 FROM t
 WHERE token > 288230376151711744
 ORDER BY token, o_orderdate DESC, o_orderkey

@@ -370,7 +370,8 @@ def a2r_cql_write_path(spark, sf_dir):
 
 @register("a2t_cql_using_ttl_timestamp", "A2+L3", """
 WITH base AS (SELECT UNNEST(RANGE(0, 100)) AS k)
-SELECT key, price, writetime_us, ttl_s FROM (
+SELECT key, price, CAST(writetime_us AS BIGINT) AS writetime_us, ttl_s
+FROM (
   SELECT k AS key,
          CASE WHEN k % 5 = 0 THEN CAST(k * 2 AS DOUBLE)
               ELSE CAST(k AS DOUBLE) END AS price,
@@ -453,7 +454,7 @@ cells AS (
                    ELSE NULL END AS BIGINT) AS ttl_s
   FROM base
 )
-SELECT key, price, writetime_us AS wt,
+SELECT key, price, CAST(writetime_us AS BIGINT) AS wt,
        CASE WHEN ttl_s IS NOT NULL THEN
          CAST(FLOOR((writetime_us + ttl_s * 1000000 - 2000000000)
                     / 1000000.0) AS INT)

@@ -662,7 +662,7 @@ def es_aggregate(df: DataFrame, aggs: dict,
         rows = df.select(F.col(field).alias("key"), *need)
         return (
             rows.join(F.broadcast(outer_top.select("key", "doc_count")), "key")
-            .withColumn("hit_rank", F.row_number().over(w))
+            .withColumn("hit_rank", F.row_number().over(w).cast("long"))
             .filter(F.col("hit_rank") <= size)
             .select("key", "doc_count", "hit_rank", *source)
         )

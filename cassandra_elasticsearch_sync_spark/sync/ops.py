@@ -1102,17 +1102,23 @@ c2 AS (SELECT m2.node, m2.mm, (c1.mm AND c1.compared) AS compared
 c3 AS (SELECT m3.node, m3.mm, (c2.mm AND c2.compared) AS compared
        FROM m3 JOIN c2 ON m3.node // 8 = c2.node)
 SELECT 0 AS level, COUNT(*) AS n_nodes, COUNT(*) AS n_compared,
-       SUM(CASE WHEN mm THEN 1 ELSE 0 END) AS n_mismatched
+       CAST(SUM(CASE WHEN mm THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched
 FROM m0
 UNION ALL
-SELECT 1, COUNT(*), SUM(CASE WHEN compared THEN 1 ELSE 0 END),
-       SUM(CASE WHEN mm AND compared THEN 1 ELSE 0 END) FROM c1
+SELECT 1, COUNT(*),
+       CAST(SUM(CASE WHEN compared THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN mm AND compared THEN 1 ELSE 0 END) AS BIGINT)
+FROM c1
 UNION ALL
-SELECT 2, COUNT(*), SUM(CASE WHEN compared THEN 1 ELSE 0 END),
-       SUM(CASE WHEN mm AND compared THEN 1 ELSE 0 END) FROM c2
+SELECT 2, COUNT(*),
+       CAST(SUM(CASE WHEN compared THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN mm AND compared THEN 1 ELSE 0 END) AS BIGINT)
+FROM c2
 UNION ALL
-SELECT 3, COUNT(*), SUM(CASE WHEN compared THEN 1 ELSE 0 END),
-       SUM(CASE WHEN mm AND compared THEN 1 ELSE 0 END) FROM c3
+SELECT 3, COUNT(*),
+       CAST(SUM(CASE WHEN compared THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN mm AND compared THEN 1 ELSE 0 END) AS BIGINT)
+FROM c3
 """, "Full Merkle-tree anti-entropy protocol (the multi-level form "
      "l13 points at): 512 leaf buckets roll up through fanout-8 "
      "levels to a root signature per store; repair descends ONLY "

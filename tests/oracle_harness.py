@@ -5,6 +5,19 @@ same parquet dir, then compares row count, column names, and
 order-insensitive values - the same shape as CORRECTNESS_r{N}.json.
 Comparison is exact (stringified cells, sorted rows); any float that
 needs tolerance is a parity bug in the query, not in this harness.
+
+Round-6 hardening (VERDICT r5's root-cause finding): the driver's
+hasher materializes the oracle result TYPE-SENSITIVELY (Arrow turns
+DuckDB HUGEINT into decimal128/float64, so `7519554` hashes as
+`7519554.0`), while this harness's `fetchall()` path hands back
+Python ints where HUGEINT and BIGINT are indistinguishable - which is
+exactly why every driver-red row across r1-r5 (all un-cast HUGEINT
+oracle outputs) was invisible locally. `compare()` therefore now ALSO
+enforces a strict declared-type pairing per output column (DuckDB
+DESCRIBE type -> exact Spark simpleString, e.g. BIGINT<->bigint,
+DOUBLE<->double); any oracle column whose DuckDB type has no faithful
+Spark twin (HUGEINT, JSON, ...) or maps to a different Spark type is
+a mismatch even when every value compares equal.
 """
 
 from __future__ import annotations
@@ -24,6 +37,54 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
     return con
+
+
+# DuckDB declared type -> the exact Spark simpleString it must pair
+# with. Types absent from this map (HUGEINT, UHUGEINT, JSON, UINTEGER,
+# ...) have no faithful Spark twin: an oracle emitting one is a latent
+# driver-red regardless of values.
+DUCK_TO_SPARK = {
+    "BOOLEAN": "boolean",
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "DATE": "date",
+    # Both engines read the parquet timestamps as naive wall-clock
+    # (DuckDB TIMESTAMP, Spark TimestampNTZType): the faithful pair.
+    "TIMESTAMP": "timestamp_ntz",
+    "VARCHAR": "string",
+    "BLOB": "binary",
+}
+
+
+def duck_to_spark_type(duck_type: str) -> str | None:
+    """Map a DuckDB DESCRIBE type to its exact Spark twin (or None)."""
+    t = duck_type.upper()
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    if t.endswith("[]"):
+        inner = duck_to_spark_type(t[:-2])
+        return f"array<{inner}>" if inner else None
+    return DUCK_TO_SPARK.get(t)
+
+
+def type_mismatches(spark_df, con, oracle) -> list[str]:
+    """Strict per-column declared-type check between both engines."""
+    stypes = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    out = []
+    for col, dtype, *_ in con.execute(f"DESCRIBE {oracle}").fetchall():
+        want = duck_to_spark_type(dtype)
+        got = stypes.get(col)
+        if got is None:
+            continue  # column-name divergence is reported separately
+        if want is None:
+            out.append(f"type: {col} duck {dtype} has no Spark twin (spark {got})")
+        elif want != got:
+            out.append(f"type: {col} duck {dtype} -> {want} != spark {got}")
+    return out
 
 
 def _norm_cell(v) -> str:
@@ -71,7 +132,7 @@ def compare(name, spark_df, con, oracle, max_report=5) -> CompareResult:
     o_cols = [d[0] for d in rel.description]
     o_rows = rel.fetchall()
 
-    mismatches = []
+    mismatches = type_mismatches(spark_df, con, oracle)
     if sorted(s_cols) != sorted(o_cols):
         mismatches.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         return CompareResult(name, False, len(s_rows), len(o_rows), mismatches)
