@@ -57,54 +57,73 @@ def register(name: str, survey_id: str, oracle: str | None, doc: str = ""):
 # entries dead last (the latter cannot hash-match by design, so they
 # spend budget for a weaker signal).
 #
-# ROTATION (round 5, VERDICT r4 #2): third rotation. The front-50
-# keeps the flagship (mandated) and k7o_cusum_changepoint (the r4
-# hash flag - hardened to DATE-typed output this round, kept in front
-# so the driver re-verifies it directly), and otherwise consists
-# ENTIRELY of keys absent from CORRECTNESS_r01-r04 - cross-tier
-# (TPC-H, C, D, E, H, J, K1-K7, L/ACID, A2-A4) and cheap-first.
-# Cumulative driver-verified keys after r4: 116/388; this block
-# converts 48 more (six of them swapped late in the round for the
-# session's new operators - HLL, Mann-Whitney, market basket, Welch,
-# IMA ADPCM, skyline - all equally never-driver-verified). Previously-verified blocks (r4, then r1-r3) sit
-# directly after, so a driver with a larger budget re-verifies them
-# next.
+# ROTATION (round 6, VERDICT r5 #3): fourth rotation, aimed at the
+# RISK. VERDICT r5 established that every driver-red row in five
+# rounds was exactly a sampled oracle with an un-cast HUGEINT (or
+# DECIMAL-vs-DOUBLE) output column - first-sample failure probability
+# for that class was 100%. All such oracles are now type-normalized
+# (see tests/test_oracle_types.py), so the front-50 is: the flagship
+# (mandated) + the three r5 reds (k7o / k_mann_whitney_u / k6s, kept
+# in front so the driver records the green row that closes them) +
+# every other type-normalized oracle that has never been sampled
+# (the 18 HUGEINT/DECIMAL ones the judge named, then the 16
+# int->long / timestamp / JSON-cast ones) + 12 fresh cross-tier
+# never-verified keys. Cumulative driver-verified keys after r5:
+# 164/442; this block converts 46 more. Previously-verified blocks
+# (r5, r4, r1-r3) sit directly after for larger budgets.
 _FRONT = (
     "flagship_pricing_summary",
-    "k7o_cusum_changepoint",
-    # TPC-H-style join/agg pipelines (subquery-heavy tail)
+    # the three r5 driver-red keys, root-caused to HUGEINT outputs
+    "k7o_cusum_changepoint", "k_mann_whitney_u", "k6s_ima_adpcm_decode",
+    # the other HUGEINT-output oracles (never sampled - highest risk)
+    "l20_merkle_repair_protocol", "k_repetition_ratio",
+    "k_bigram_surprisal", "k_perplexity_buckets", "k_rouge_overlap",
+    "k6d_audio_features", "k6r_g711_audio_decode", "k6t_png16_decode",
+    "k7v_mann_kendall_trend", "k_cohens_kappa", "k_wilson_lower_bound",
+    "k_two_proportion_ztest", "k_feature_hashing",
+    # the DECIMAL-vs-DOUBLE oracles (same class, same fix)
+    "k6e_png_pixel_decode", "k6o_png_interlaced_decode",
+    "value_histogram", "k_pr_curve", "k_dp_noisy_counts",
+    # other type-touched never-sampled keys (int->long alignment,
+    # TIMESTAMP_NTZ pairing, JSON/INTEGER casts)
+    "k1d_substring_dup_spans", "k1f_levenshtein_dedup",
+    "k_centroids_exact", "k_normalize_embeddings", "k_token_count",
+    "k_pack_sequences", "k_html_strip_ratio", "k_code_detect",
+    "k6_binary_bridge", "cohort_retention", "fuzzy_name_match",
+    "price_deciles", "a2u_cql_group_by_clustering_prefix",
+    "a2o_cql_token_ring_json_page", "a2t_cql_using_ttl_timestamp",
+    "a2w_cql_writetime_ttl_read",
+    # fresh cross-tier never-verified keys
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q19_bracket_revenue", "q20_potential_promotion",
+    "e8_nth_value", "h6c_variant_type", "h2d_business_days",
+    "a3d_es_date_histogram", "a4c_orc_ingest",
+    "l35_merge_not_matched_by_source", "l12_time_travel_read",
+    "k2g_triangle_count",
+    # never driver-verified; next in line after the front-50
+    "j1_scalar_udf", "d10b_unpivot",
+    "h6b_nested_json", "k4_bigrams", "k2h_containment_pairs",
+    # --- r5 driver-verified block ---
     "q2_min_cost_supplier", "q4_late_orders", "q9_product_profit",
     "q11_important_stock", "q17_small_quantity_revenue",
     "q18_large_orders", "q21_sole_late_shipper", "q22_idle_customers",
-    # joins beyond equi
     "c7c_band_join_bucketed", "c12_spatial_grid_join",
-    # aggregates
     "d16_bitmap_distinct", "d4b_hll_sketch_exact",
-    # windows
-    "k_mann_whitney_u", "e9_decile_by_segment", "e11_churn_gaps",
-    "e12_range_interval_frame",
-    # functions
+    "e9_decile_by_segment", "e11_churn_gaps", "e12_range_interval_frame",
     "h2c_calendar_funcs", "h3d_try_arithmetic", "c14_market_basket_lift",
     "h4b_array_set_ops",
-    # python execution tier
     "k_welch_ttest", "j4_apply_in_pandas", "j7_sql_registration",
     "j8_cogroup_apply_in_pandas",
-    # LLM-pipeline tier: dedup / similarity / text / multimodal / ts
-    "k1c_paragraph_dedup", "k_decontaminate", "k6s_ima_adpcm_decode",
+    "k1c_paragraph_dedup", "k_decontaminate",
     "ann_ivf_topk", "k3e_ndcg_eval", "k3l_rp_lsh_near_pairs",
-    "k4_tfidf", "c13_skyline_per_group", "k5_keyword_score", "k_gopher_quality",
+    "k4_tfidf", "c13_skyline_per_group", "k5_keyword_score",
+    "k_gopher_quality",
     "k6f_jpeg_pixel_decode", "k6k_jpeg_restart_decode", "k6i_exif_parse",
     "k7i_ks_drift", "k7m_holt_winters",
-    # sync + ACID tier
     "l5b_tombstone_merge", "l19_acid_mor_delete",
     "l29_scd2_dimension_history", "l31_acid_restore",
-    # source semantics
     "a2b_token_range_scan", "a2p_cql_contains", "a3b_es_dsl_search",
     "a3o_es_top_hits_agg", "a4_csv_ingest",
-    # displaced from the front-50 by this session's additions (still
-    # never driver-verified; next in line)
-    "j1_scalar_udf", "d10b_unpivot", "e8_nth_value",
-    "h6b_nested_json", "k4_bigrams", "k2h_containment_pairs",
     # --- r4 driver-verified block ---
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
