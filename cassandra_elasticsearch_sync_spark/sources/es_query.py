@@ -2817,3 +2817,125 @@ def a3ar_es_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_search(
         d, {"match_bool_prefix": {"text": "merge spark stre"}}
     ).select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# ES kNN vector search (the `knn` top-level search section)
+# ---------------------------------------------------------------------------
+
+def es_knn_search(df: DataFrame, knn: dict, id_col: str) -> DataFrame:
+    """Compile an ES ``knn`` search clause onto a DataFrame scan.
+
+    Spec shape (the ES 8.x search API)::
+
+        {"field": "embedding", "query_vector": [...], "k": 10,
+         "num_candidates": 50, "similarity": "cosine",
+         "filter": {...query DSL...}}
+
+    Semantics and scale shape:
+
+    - ``filter`` is a PRE-filter (ES applies it during graph search,
+      so the k results all satisfy it) - compiled with the same
+      ``compile_query`` as every other clause and pushed into the scan.
+    - ``num_candidates`` is ES's per-shard gather size; it must be
+      >= k (ES rejects otherwise - enforced here). With an
+      approximate per-shard index (HNSW) it trades recall for speed;
+      this engine scores candidates EXACTLY per partition, so recall
+      is 1.0 at any num_candidates and the knob only caps the
+      per-partition gather. The plan is the ES architecture verbatim:
+      score inside each partition, per-partition top-k, merge the
+      <= k-per-partition survivors on the driver - Spark's
+      TakeOrderedAndProject, no shuffle, one scan at any corpus size.
+    - ``similarity`` -> ES's documented _score transforms:
+      cosine -> (1 + cos)/2, dot_product -> (1 + dot)/2,
+      l2_norm -> 1/(1 + d^2).
+
+    Scores are rounded to 6 dp (parity.py rule); ties break on the id
+    column so the page is deterministic.
+    """
+    field = knn["field"]
+    qv = [float(x) for x in knn["query_vector"]]
+    k = int(knn["k"])
+    num_candidates = int(knn.get("num_candidates", max(k, 10)))
+    if k <= 0:
+        raise ValueError("knn.k must be positive")
+    if num_candidates < k:
+        raise ValueError(
+            f"knn.num_candidates ({num_candidates}) must be >= k ({k})")
+    sim = knn.get("similarity", "cosine")
+    if "filter" in knn:
+        df = df.filter(compile_query(knn["filter"]))
+
+    from cassandra_elasticsearch_sync_spark.pipeline.similarity import dot, norm
+
+    qcol = F.array(*[F.lit(x).cast("double") for x in qv])
+    d = dot(qcol, F.col(field))
+    if sim == "cosine":
+        qn = sum(x * x for x in qv) ** 0.5
+        score = (F.lit(1.0) + d / (F.lit(qn) * norm(F.col(field)))) / 2
+    elif sim == "dot_product":
+        score = (F.lit(1.0) + d) / 2
+    elif sim == "l2_norm":
+        diff = F.aggregate(
+            F.zip_with(qcol, F.col(field),
+                       lambda x, y: (x - y.cast("double"))
+                       * (x - y.cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x)
+        score = F.lit(1.0) / (F.lit(1.0) + diff)
+    else:
+        raise ValueError(f"unsupported knn similarity {sim!r}")
+    return (
+        df.select(id_col, F.round(score, 6).alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# The planted query vector is embeddings.vec_id = 100 (fetched once at
+# plan build - a single-row bounded collect, same discipline as the
+# <= 64-vector broadcast in k3); the oracle re-derives it as a scalar
+# subquery so both engines score against identical bytes.
+_KNN_K = 10
+
+
+@register("a3as_es_knn_search", "A3+K3", """
+WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 100),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500),
+s AS (
+  SELECT vec_id,
+         ROUND((1 + (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                     FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+                    / (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                             FROM (SELECT UNNEST(qe) x, UNNEST(qe) y)))
+                       * SQRT((SELECT SUM(CAST(x AS DOUBLE)
+                                          * CAST(y AS DOUBLE))
+                               FROM (SELECT UNNEST(e.embedding) x,
+                                            UNNEST(e.embedding) y)))))
+               / 2, 6) AS _score
+  FROM e, qv
+)
+SELECT vec_id, _score FROM s ORDER BY _score DESC, vec_id LIMIT 10
+""", "ES kNN vector search (the 8.x `knn` search section): query "
+     "vector + k + num_candidates + DSL pre-filter compiled onto the "
+     "embedding scan - cosine _score = (1+cos)/2 exactly as ES "
+     "documents, filter applied BEFORE the gather so all k hits "
+     "satisfy it, per-partition exact top-candidates then a global "
+     "k-merge (TakeOrderedAndProject: the ES shard-gather/"
+     "coordinator-rerank architecture as one Spark plan, no shuffle). "
+     "The oracle is the brute-force scored scan with the same "
+     "6-dp-rounded score. num_candidates >= k enforced per ES's own "
+     "validation.")
+def a3as_es_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 100).select("embedding").head()
+    if qv is None:  # corpus smaller than the probe id - empty page
+        return spark.createDataFrame([], "vec_id long, _score double")
+    knn = {
+        "field": "embedding",
+        "query_vector": [float(x) for x in qv[0]],
+        "k": _KNN_K,
+        "num_candidates": 50,
+        "similarity": "cosine",
+        "filter": {"range": {"vec_id": {"lt": 1500}}},
+    }
+    return es_knn_search(e, knn, id_col="vec_id")

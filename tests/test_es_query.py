@@ -3,6 +3,7 @@ and the compiled predicate reaches the parquet scan."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
@@ -507,3 +508,87 @@ def test_match_bool_prefix_semantics(spark):
     assert got == {1, 2}
     # empty query matches nothing
     assert es_search(df, {"match_bool_prefix": {"text": "  "}}).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ES kNN vector search (a3as / es_knn_search)
+# ---------------------------------------------------------------------------
+
+def _emb(spark):
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def _knn(qv, **over):
+    spec = {"field": "embedding", "query_vector": qv, "k": 3,
+            "num_candidates": 10, "similarity": "cosine"}
+    spec.update(over)
+    return spec
+
+
+def test_knn_rejects_k_above_num_candidates(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_knn_search
+    e = _emb(spark)
+    qv = [float(x) for x in e.head()["embedding"]]
+    with pytest.raises(ValueError, match="num_candidates"):
+        es_knn_search(e, _knn(qv, k=50, num_candidates=10), id_col="vec_id")
+    with pytest.raises(ValueError, match="positive"):
+        es_knn_search(e, _knn(qv, k=0), id_col="vec_id")
+    with pytest.raises(ValueError, match="similarity"):
+        es_knn_search(e, _knn(qv, similarity="hamming"), id_col="vec_id")
+
+
+def test_knn_filter_is_pre_filter(spark):
+    """Every returned hit satisfies the DSL filter (ES pre-filter rule:
+    k results AFTER filtering, not filtered-down-from-k)."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_knn_search
+    e = _emb(spark)
+    qv = [float(x) for x in e.head()["embedding"]]
+    flt = {"term": {"label": e.select("label").head()[0]}}
+    out = es_knn_search(e, _knn(qv, k=5, num_candidates=20, filter=flt),
+                        id_col="vec_id").collect()
+    assert len(out) == 5
+    allowed = {r[0] for r in
+               e.filter(f"label = {e.select('label').head()[0]}")
+               .select("vec_id").collect()}
+    assert all(r["vec_id"] in allowed for r in out)
+
+
+def test_knn_self_hit_scores_one_under_cosine(spark):
+    """The query vector's own row must rank first with _score = 1.0."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_knn_search
+    e = _emb(spark)
+    row = e.orderBy("vec_id").head()
+    out = es_knn_search(e, _knn([float(x) for x in row["embedding"]], k=1),
+                        id_col="vec_id").collect()
+    assert out[0]["vec_id"] == row[0]
+    assert out[0]["_score"] == 1.0
+
+
+def test_knn_plan_is_take_ordered(spark):
+    """The gather/merge must compile to TakeOrderedAndProject - the
+    shard-gather architecture, never a global sort."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_knn_search
+    e = _emb(spark)
+    qv = [float(x) for x in e.head()["embedding"]]
+    plan = es_knn_search(e, _knn(qv), id_col="vec_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_knn_l2_and_dot_product_scores(spark):
+    """l2_norm: identical vector -> 1.0; dot_product: (1+dot)/2."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_knn_search
+    e = _emb(spark)
+    row = e.orderBy("vec_id").head()
+    qv = [float(x) for x in row["embedding"]]
+    l2 = es_knn_search(e, _knn(qv, similarity="l2_norm"),
+                       id_col="vec_id").collect()
+    assert l2[0]["vec_id"] == row[0] and l2[0]["_score"] == 1.0
+    dp = es_knn_search(e, _knn(qv, similarity="dot_product", k=1),
+                       id_col="vec_id").head()
+    expect = round((1.0 + sum(x * x for x in qv)) / 2, 6)
+    got = es_knn_search(
+        e.filter(f"vec_id = {row[0]}"),
+        _knn(qv, similarity="dot_product", k=1), id_col="vec_id").head()
+    assert abs(got["_score"] - expect) < 5e-7

@@ -26,6 +26,14 @@ if "--limit" in argv:
     i = argv.index("--limit")
     limit = int(argv[i + 1])
     del argv[i:i + 2]
+# --cluster: the CLUSTER-POSTURE sweep (VERDICT r5 #5) - same vanilla
+# driver shape, but with the session.py cluster defaults pinned
+# explicitly (200 shuffle partitions, AQE + skew-join + coalesce on),
+# proving the registry's hash stability is knob-independent: no query
+# result may depend on partition count or runtime re-planning.
+cluster = "--cluster" in argv
+if cluster:
+    argv.remove("--cluster")
 sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
 sys.path.insert(0, ".")
@@ -36,7 +44,15 @@ from pyspark.sql import SparkSession  # noqa: E402
 from oracle_harness import compare, duck_connection  # noqa: E402
 from cassandra_elasticsearch_sync_spark import registry  # noqa: E402
 
-spark = SparkSession.builder.master("local[8]").getOrCreate()
+builder = SparkSession.builder.master("local[8]")
+if cluster:
+    builder = (
+        builder.config("spark.sql.shuffle.partitions", "200")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    )
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 con = duck_connection(sf_dir)
 
