@@ -148,6 +148,12 @@ class _EsBulkWriter(DataSourceWriter):
         self.dir = options["path"]
         self.index = options.get("index", "docs")
         self.id_col = options.get("id_col", "id")
+        # Optional delete-action routing (the other half of the _bulk
+        # vocabulary): rows whose `op_col` equals `delete_op` render as
+        # a bare {"delete": ...} action line (no source line), exactly
+        # the wire form ES expects for bulk deletions.
+        self.op_col = options.get("op_col")
+        self.delete_op = options.get("delete_op", "D")
 
     def write(self, rows):
         _os.makedirs(self.dir, exist_ok=True)
@@ -156,10 +162,12 @@ class _EsBulkWriter(DataSourceWriter):
         with open(tmp, "w") as f:
             for row in rows:
                 d = row.asDict()
-                f.write(_json.dumps(
-                    {"index": {"_index": self.index, "_id": str(d[self.id_col])}},
-                    sort_keys=True) + "\n")
-                f.write(_json.dumps(d, default=str, sort_keys=True) + "\n")
+                meta = {"_index": self.index, "_id": str(d[self.id_col])}
+                if self.op_col and d.get(self.op_col) == self.delete_op:
+                    f.write(_json.dumps({"delete": meta}, sort_keys=True) + "\n")
+                else:
+                    f.write(_json.dumps({"index": meta}, sort_keys=True) + "\n")
+                    f.write(_json.dumps(d, default=str, sort_keys=True) + "\n")
                 n += 1
         return _BulkCommit(tmp, n)
 

@@ -26,6 +26,8 @@ format; on plain parquet it is a full-snapshot rewrite (apply_upserts).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2073,3 +2075,105 @@ def l35_merge_not_matched_by_source(spark: SparkSession,
         return t.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l36_cdc_to_es_roundtrip", "A2+L3+A3", """
+WITH seqs AS (SELECT UNNEST(RANGE(0, 10000)) AS seq),
+cdc AS (
+  SELECT seq, seq % 1000 AS key,
+         CASE WHEN seq % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST((seq * 31) % 9973 AS DOUBLE) / 100.0 AS price
+  FROM seqs
+),
+latest AS (
+  SELECT key, ARG_MAX(op, seq) AS op, ARG_MAX(price, seq) AS price,
+         MAX(seq) AS seq
+  FROM cdc GROUP BY key
+)
+SELECT key,
+       CASE WHEN op = 'D' THEN 'delete' ELSE 'index' END AS action,
+       CASE WHEN op = 'D' THEN NULL ELSE price END AS price,
+       CAST(CASE WHEN op = 'D' THEN NULL ELSE seq END AS BIGINT) AS seq
+FROM latest
+""", "The bidirectional loop the reference's topology implies, closed "
+     "as one verified flow: the CDC source (a10's connector socket) "
+     "folds to final per-key state (LWW on the sequence), renders "
+     "through the ES `_bulk` two-phase-commit sink - upserts as "
+     "index-action + source-line pairs, deletions as bare delete "
+     "actions, task-private temp files published atomically on driver "
+     "commit - and the verification READS THE WIRE FORMAT BACK "
+     "(wholetext per bulk file, action/source lines re-paired by "
+     "line position, delete actions standing alone) and reconstructs "
+     "the applied index state. The reconstruction - not the fold - "
+     "hash-matches the relational oracle, so the round trip proves "
+     "fold, render, 2PC publish, and parse agree end to end. "
+     "Everything scales: the fold is one partial-agg shuffle, the "
+     "sink writes task-local, the read-back is one scan of the "
+     "published files.")
+def l36_cdc_to_es_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.python_source import (
+        N_EVENTS,
+        N_SPLITS,
+        register_bulk_sink,
+        register_cdc_source,
+    )
+
+    register_cdc_source(spark)
+    register_bulk_sink(spark)
+    feed = (
+        spark.read.format("cdc_feed")
+        .option("n", N_EVENTS).option("splits", N_SPLITS)
+        .load()
+    )
+    latest = feed.groupBy("key").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("price", "seq").alias("price"),
+        F.max("seq").alias("seq"),
+    )
+    out = tempfile.mkdtemp(prefix="ces_cdc_es_")
+    try:
+        (latest.write.format("es_bulk_sink")
+         .option("path", out).option("index", "orders")
+         .option("id_col", "key").option("op_col", "op")
+         .option("delete_op", "D").mode("append").save())
+
+        # Read the published wire format back and reconstruct the
+        # applied index state. wholetext keeps each bulk file's line
+        # order, so action line at position p pairs with its source
+        # line at p+1; delete actions carry no source line.
+        files = (
+            spark.read.format("text").option("wholetext", "true")
+            .load(os.path.join(out, "part_*.bulk"))
+            .select(F.input_file_name().alias("f"), "value")
+        )
+        lines = files.select(
+            "f", F.posexplode(F.split("value", "\n")).alias("pos", "line")
+        ).filter(F.col("line") != "")
+        act_schema = ("struct<index:struct<_index:string,_id:string>,"
+                      "delete:struct<_index:string,_id:string>>")
+        src_schema = "struct<key:bigint,op:string,price:double,seq:bigint>"
+        parsed = lines.select(
+            "f", "pos", "line", F.from_json("line", act_schema).alias("a")
+        )
+        idx_acts = parsed.filter(F.col("a.index").isNotNull()).select(
+            "f", "pos", F.col("a.index._id").alias("_id"))
+        deletes = parsed.filter(F.col("a.delete").isNotNull()).select(
+            F.col("a.delete._id").cast("bigint").alias("key"),
+            F.lit("delete").alias("action"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit(None).cast("bigint").alias("seq"),
+        )
+        srcs = parsed.select("f", (F.col("pos") - 1).alias("pos"),
+                             F.from_json("line", src_schema).alias("s"))
+        indexed = idx_acts.join(srcs, ["f", "pos"]).select(
+            F.col("s.key").alias("key"),
+            F.lit("index").alias("action"),
+            F.col("s.price").alias("price"),
+            F.col("s.seq").alias("seq"),
+        )
+        return indexed.unionByName(deletes).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
