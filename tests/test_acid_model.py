@@ -3,7 +3,10 @@
 A random SEQUENCE of write operations - MERGE upserts (plain and
 txn-versioned-with-replay), copy-on-write DELETE/UPDATE, merge-on-read
 key deletes, delete compaction, RESTORE to a random earlier version,
-and shallow-clone equality probes - is applied both to the real table
+VACUUM with pinned-version reader probes (retained snapshots read
+exactly, vacuumed ones fail fast, restore targets shrink to the
+retention window), and shallow-clone equality probes - is applied
+both to the real table
 and to a plain-dict model; after every step the snapshot read must
 equal the model exactly. This is the cross-path interaction coverage
 the single-op tests can't give: MoR deletes followed by re-inserting
@@ -48,6 +51,11 @@ _op = st.one_of(
     st.tuples(st.just("nmbs_sync"), _merge_batch),
     # ... and the conditioned update flavor (archive the odd unmatched)
     st.tuples(st.just("nmbs_mark"), _merge_batch),
+    # VACUUM under readers (VERDICT r5 #8): retention drops old
+    # manifests/files mid-sequence; pinned readers on retained
+    # versions must still read exactly, vacuumed versions must fail
+    # fast, and later restores must only see retained targets.
+    st.tuples(st.just("vacuum"), st.integers(2, 3)),
 )
 
 
@@ -114,6 +122,29 @@ def test_acid_sequences_match_dict_model(spark, ops):
                          for k, (p, v) in model.items()}
             elif kind == "compact":
                 t.compact_deletes()
+            elif kind == "vacuum":
+                cur = t.current_version()
+                t.vacuum(retain_last=arg)
+                retained = {v for v in history
+                            if max(1, cur - arg + 1) <= v <= cur}
+                dropped = sorted(set(history) - retained)
+                # pinned readers on every retained version read exactly
+                for v in sorted(retained):
+                    got_v = {r["key"]: (r["price"], r["version"])
+                             for r in t.read(version=v).collect()}
+                    assert got_v == history[v], f"pinned v{v} diverged"
+                # a reader pinned to a vacuumed snapshot fails fast
+                if dropped:
+                    try:
+                        t.read(version=dropped[-1]).collect()
+                        raise AssertionError(
+                            f"read of vacuumed v{dropped[-1]} succeeded")
+                    except AssertionError:
+                        raise
+                    except Exception:
+                        pass  # expected: snapshot gone
+                # restores may now only target retained versions
+                history = {v: history[v] for v in retained}
             elif kind == "restore":
                 versions = sorted(history)
                 target = versions[arg % len(versions)]
@@ -202,3 +233,43 @@ def test_optimize_racing_merge_conflict_rule(spark):
         assert _rows(t) == after_merge + [(5, 50.0, 3)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_vacuum_pinned_reader_semantics(spark):
+    """Deterministic twin of the model test's vacuum op (the random
+    sequences may not always draw the dropped-version path): three
+    committed versions, vacuum retain_last=2 - the two retained
+    snapshots keep reading exactly (including the non-current pinned
+    one), the oldest fails fast, restore to it is refused, and the
+    CURRENT reader is untouched before and after."""
+    import tempfile
+
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="ces_vacuum_pin_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(spark.createDataFrame([(1, 10.0, 1), (2, 20.0, 1)], _SCHEMA))
+        v1 = t.current_version()
+        t.merge_into(spark.createDataFrame([(2, 21.0, 2)], _SCHEMA), ["key"])
+        v2 = t.current_version()
+        t.merge_into(spark.createDataFrame([(3, 30.0, 3)], _SCHEMA), ["key"])
+        v3 = t.current_version()
+
+        snap_v2 = _rows_at(t, v2)
+        t.vacuum(retain_last=2)
+
+        assert _rows_at(t, v2) == snap_v2          # retained pin reads
+        assert _rows_at(t, v3) == _rows(t)         # current unaffected
+        with pytest.raises(Exception):
+            t.read(version=v1).collect()           # vacuumed pin fails
+        with pytest.raises(ValueError, match="vacuumed|never existed"):
+            t.restore(v1)                          # restore refused
+        t.restore(v2)                              # retained restore ok
+        assert _rows(t) == snap_v2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _rows_at(t, version):
+    return sorted(tuple(r) for r in t.read(version=version).collect())
