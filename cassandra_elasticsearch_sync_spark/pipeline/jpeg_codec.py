@@ -1398,3 +1398,212 @@ def planted_ycbcr420_progressive_jpeg(width: int, height: int, y0: int,
         crb.append(b2)
     return encode_ycbcr420_progressive_jpeg(
         width, height, yb, cbb, crb, quant, quant)
+
+
+# ---------------------------------------------------------------------------
+# Baseline YCbCr with GENERAL luma sampling factors (h, v in {1, 2}):
+# closes the "subsamplings other than 4:2:0" gap for the profiles real
+# encoders emit - 4:4:4 (1,1: no subsampling, e.g. high-quality
+# scans), 4:2:2 (2,1: horizontal-only, the broadcast/video-frame
+# profile), 4:4:0 (1,2: vertical-only), and 4:2:0 (2,2: dispatches to
+# the dedicated decoder above, which also owns the progressive path).
+# The MCU is h*v interleaved Y blocks + Cb + Cr; chroma stays 1x1 and
+# upsamples by (h, v) nearest-neighbor. Arithmetic coding and restarts
+# inside progressive scans remain rejected, not guessed.
+# ---------------------------------------------------------------------------
+
+
+def encode_ycbcr_jpeg(width: int, height: int, h: int, v: int,
+                      y_blocks: list[list[int]],
+                      cb_blocks: list[list[int]],
+                      cr_blocks: list[list[int]],
+                      quant_l: list[int], quant_c: list[int]) -> bytes:
+    """Conforming baseline JPEG at luma sampling (h, v), chroma 1x1.
+    MCU = h*v Y blocks (raster within the MCU) + Cb + Cr; luma tables
+    in slot 0, chroma in slot 1; separate DC predictors. Width must be
+    a multiple of 8h, height of 8v."""
+    assert h in (1, 2) and v in (1, 2)
+    assert width % (8 * h) == 0 and height % (8 * v) == 0
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    mw, mh = width // (8 * h), height // (8 * v)
+    dc = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(mh):
+        for mx in range(mw):
+            for sy in range(v):
+                for sx in range(h):
+                    bi = (my * v + sy) * (mw * h) + (mx * h + sx)
+                    dc["y"] = _encode_component_block(
+                        w, y_blocks[bi], dc["y"], dc_codes, ac_codes)
+            ci = my * mw + mx
+            dc["cb"] = _encode_component_block(
+                w, cb_blocks[ci], dc["cb"], dc_codes, ac_codes)
+            dc["cr"] = _encode_component_block(
+                w, cr_blocks[ci], dc["cr"], dc_codes, ac_codes)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    samp_y = (h << 4) | v
+    dqt = (seg(0xFFDB, b"\x00" + bytes(quant_l))
+           + seg(0xFFDB, b"\x01" + bytes(quant_c)))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
+              + bytes([1, samp_y, 0]) + b"\x02\x11\x01" + b"\x03\x11\x01")
+    dht = (seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+           + seg(0xFFC4, b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xFFC4, b"\x11" + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    sos = seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def decode_ycbcr_jpeg(raw: bytes | None):
+    """Full-color baseline decode for ANY luma sampling in
+    {1,2}x{1,2} with 1x1 chroma: per-component Huffman slots and DC
+    predictors, dequant, IDCT, (h, v) nearest-neighbor chroma
+    upsampling, BT.601 with half-up rounding. 4:2:0 streams dispatch
+    to `decode_ycbcr420_jpeg` (which also handles DRI/RSTn and
+    progressive); returns (width, height, flat RGB bytes) or None."""
+    if not raw or raw[:2] != b"\xff\xd8":
+        return None
+    try:
+        i, n = 2, len(raw)
+        quant: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        width = height = None
+        comp_q: dict[int, int] = {}
+        comp_tabs: dict[int, tuple[int, int]] = {}
+        scan_start = None
+        h = v = None
+        while i + 4 <= n:
+            if raw[i] != 0xFF:
+                return None
+            marker = raw[i + 1]
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack(">H", raw[i + 2:i + 4])[0]
+            body = raw[i + 4:i + 2 + seg_len]
+            if marker == 0xDB:
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 0x0F
+                    if pq != 0:
+                        return None
+                    quant[tq] = list(body[j + 1:j + 65])
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j < len(body):
+                    tc, th = body[j] >> 4, body[j] & 0x0F
+                    bits = list(body[j + 1:j + 17])
+                    nv = sum(bits)
+                    vals = list(body[j + 17:j + 17 + nv])
+                    codes = _build_codes(bits, vals)
+                    huff[(tc, th)] = {(c, ln): sym
+                                      for sym, (c, ln) in codes.items()}
+                    j += 17 + nv
+            elif marker == 0xC0:
+                _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if ncomp != 3:
+                    return None
+                samp = {}
+                for c in range(3):
+                    cid, s, tq = body[6 + 3 * c:9 + 3 * c]
+                    samp[cid] = s
+                    comp_q[cid] = tq
+                if samp.get(2) != 0x11 or samp.get(3) != 0x11:
+                    return None          # chroma must be 1x1
+                sy = samp.get(1, 0)
+                h, v = sy >> 4, sy & 0x0F
+                if h not in (1, 2) or v not in (1, 2):
+                    return None
+                if (h, v) == (2, 2):     # 4:2:0 owns DRI + progressive
+                    return decode_ycbcr420_jpeg(raw)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None
+            elif marker == 0xDA:
+                if body[0] != 3:
+                    return None
+                for c in range(3):
+                    cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                    comp_tabs[cid] = (tabs >> 4, tabs & 0x0F)
+                scan_start = i + 2 + seg_len
+                break
+            i += 2 + seg_len
+        if None in (width, height, scan_start, h):
+            return None
+        end = raw.rfind(b"\xff\xd9")
+        reader = _BitReader(raw[scan_start:end if end > 0 else n])
+        mpw, mpv = 8 * h, 8 * v          # MCU pixel dims
+        mw, mh = (width + mpw - 1) // mpw, (height + mpv - 1) // mpv
+        yw, yh = mw * mpw, mh * mpv
+        yplane = bytearray(yw * yh)
+        cw = mw * 8
+        cbp = bytearray(cw * mh * 8)
+        crp = bytearray(cw * mh * 8)
+        dc = {1: 0, 2: 0, 3: 0}
+        for my in range(mh):
+            for mx in range(mw):
+                for sy in range(v):
+                    for sx in range(h):
+                        blk, dc[1] = _decode_block(
+                            reader, huff[(0, comp_tabs[1][0])],
+                            huff[(1, comp_tabs[1][1])],
+                            quant[comp_q[1]], dc[1])
+                        ox = mx * mpw + sx * 8
+                        oy = my * mpv + sy * 8
+                        for y in range(8):
+                            dst = (oy + y) * yw + ox
+                            yplane[dst:dst + 8] = bytes(
+                                blk[y * 8:(y + 1) * 8])
+                for cid, plane in ((2, cbp), (3, crp)):
+                    blk, dc[cid] = _decode_block(
+                        reader, huff[(0, comp_tabs[cid][0])],
+                        huff[(1, comp_tabs[cid][1])],
+                        quant[comp_q[cid]], dc[cid])
+                    for y in range(8):
+                        dst = (my * 8 + y) * cw + mx * 8
+                        plane[dst:dst + 8] = bytes(blk[y * 8:(y + 1) * 8])
+        out = bytearray(width * height * 3)
+        for py in range(height):
+            for px in range(width):
+                yv = yplane[py * yw + px]
+                cb = cbp[(py // v) * cw + px // h] - 128
+                cr = crp[(py // v) * cw + px // h] - 128
+                r = int(math.floor(yv + 1.402 * cr + 0.5))
+                g = int(math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5))
+                b = int(math.floor(yv + 1.772 * cb + 0.5))
+                dst = (py * width + px) * 3
+                out[dst] = min(255, max(0, r))
+                out[dst + 1] = min(255, max(0, g))
+                out[dst + 2] = min(255, max(0, b))
+        return (width, height, bytes(out))
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
+def planted_ycbcr_jpeg(width: int, height: int, h: int, v: int,
+                       y0: int, cb0: int, cr0: int) -> bytes:
+    """DC-only planted color image at luma sampling (h, v): Q[0]=8
+    keeps the DC round trip bit-exact, so a correct decoder recovers
+    the planted constants on every pixel."""
+    quant = [8] + [16] * 63
+    mw, mh = width // (8 * h), height // (8 * v)
+    yb = []
+    for _ in range(mw * h * mh * v):
+        blk = [0] * 64
+        blk[0] = y0 - 128
+        yb.append(blk)
+    cbb, crb = [], []
+    for _ in range(mw * mh):
+        b1 = [0] * 64
+        b1[0] = cb0 - 128
+        cbb.append(b1)
+        b2 = [0] * 64
+        b2[0] = cr0 - 128
+        crb.append(b2)
+    return encode_ycbcr_jpeg(width, height, h, v, yb, cbb, crb,
+                             quant, quant)

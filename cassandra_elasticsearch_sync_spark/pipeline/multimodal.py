@@ -1403,3 +1403,105 @@ def k6t_png16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", synth("doc_id").alias("payload"))
     return payloads.mapInPandas(decode_png16_batch, PNG16_SCHEMA)
+
+
+SAMPLING_PIXEL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sampling", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+])
+
+
+def decode_jpeg_sampling_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched general-sampling baseline-JPEG decode: the
+    decoder reads the SOF sampling factors from the stream and
+    dispatches (4:4:4 / 4:2:2 / 4:4:0 inline; 4:2:0 to the dedicated
+    profile decoder)."""
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_ycbcr_jpeg,
+    )
+
+    names = {(1, 1): "4:4:4", (2, 1): "4:2:2", (1, 2): "4:4:0",
+             (2, 2): "4:2:0"}
+    for pdf in batches:
+        rows = []
+        for doc_id, samp, raw in zip(pdf["doc_id"], pdf["samp"],
+                                     pdf["payload"]):
+            d = decode_ycbcr_jpeg(raw)
+            if d is None:
+                rows.append((int(doc_id), None, None, None,
+                             None, None, None))
+                continue
+            w, h, px = d
+            n = w * h
+            hv = tuple(int(x) for x in samp.split(","))
+            rows.append((int(doc_id), names[hv], w, h,
+                         sum(px[0::3]) / n, sum(px[1::3]) / n,
+                         sum(px[2::3]) / n))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "sampling", "width", "height",
+                           "mean_r", "mean_g", "mean_b"])
+
+
+@register("k6u_jpeg_subsampling_decode", "K6", """
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN '4:4:4' WHEN 1 THEN '4:2:2'
+              ELSE '4:4:0' END AS sampling,
+         CAST(doc_id % 180 + 38 AS DOUBLE) AS y0,
+         CAST(doc_id % 120 + 68 AS DOUBLE) - 128.0 AS cb,
+         CAST(doc_id % 140 + 58 AS DOUBLE) - 128.0 AS cr
+  FROM documents
+)
+SELECT doc_id, sampling, 16 AS width, 16 AS height,
+       CAST(LEAST(255, GREATEST(0,
+            CAST(FLOOR(y0 + 1.402 * cr + 0.5) AS BIGINT))) AS DOUBLE)
+         AS mean_r,
+       CAST(LEAST(255, GREATEST(0,
+            CAST(FLOOR(y0 - 0.344136 * cb - 0.714136 * cr + 0.5)
+                 AS BIGINT))) AS DOUBLE) AS mean_g,
+       CAST(LEAST(255, GREATEST(0,
+            CAST(FLOOR(y0 + 1.772 * cb + 0.5) AS BIGINT))) AS DOUBLE)
+         AS mean_b
+FROM p
+""", "Baseline JPEG at the OTHER subsamplings - the gap k6j had "
+     "documented as rejected: the corpus rotates through 4:4:4 (no "
+     "subsampling), 4:2:2 (horizontal-only - the video/broadcast "
+     "frame profile), and 4:4:0 (vertical-only) by doc parity, and "
+     "ONE decoder reads the SOF sampling factors and adapts MCU "
+     "geometry (h*v luma blocks + Cb + Cr), chroma plane dims, and "
+     "the (h,v) upsampling - a hardcoded-4:2:0 shortcut decodes "
+     "garbage on every stream here. Planted DC constants keep every "
+     "recovered pixel analytic; the general decoder is additionally "
+     "cross-checked bit-exact against the dedicated 4:2:0 path on "
+     "its shared profile (test_imaging.py). Remaining rejected, not "
+     "guessed: arithmetic coding, restarts inside progressive "
+     "scans.")
+def k6u_jpeg_subsampling_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        planted_ycbcr_jpeg,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        def mk(d: int) -> bytes:
+            h, v = ((1, 1), (2, 1), (1, 2))[d % 3]
+            return planted_ycbcr_jpeg(
+                16, 16, h, v, d % 180 + 38, d % 120 + 68, d % 140 + 58)
+        return doc_ids.map(lambda d: mk(int(d)))
+
+    d = load_table(spark, sf_dir, "documents")
+    samp = F.element_at(
+        F.array(F.lit("1,1"), F.lit("2,1"), F.lit("1,2")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    payloads = d.select("doc_id", samp.alias("samp"),
+                        synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_jpeg_sampling_batch,
+                                SAMPLING_PIXEL_SCHEMA)

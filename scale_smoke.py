@@ -62,7 +62,16 @@ PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
          # basket (per-order pair blowup), Zipf (corpus-sized token
          # count then top-1000), skyline (grouped-min + suffix window)
          "k_mann_whitney_u", "c14_market_basket_lift", "k_zipf_fit",
-         "c13_skyline_per_group")
+         "c13_skyline_per_group",
+         # round-6 additions (VERDICT r5 #9): the sketch tier - HLL
+         # (groupBy over (register), should be FLAT in corpus), the
+         # grouped HLL, Count-Min (groupBy over (depth, bucket)),
+         # feature hashing (token explode -> 64-bucket fold), plus
+         # the ES kNN search (one scan + TakeOrdered gather) and the
+         # CDC->ES round trip (fold + 2PC render + wire parse-back)
+         "d4b_hll_sketch_exact", "d4c_hll_by_group", "k_cms_sketch",
+         "k_feature_hashing", "a3as_es_knn_search",
+         "l36_cdc_to_es_roundtrip")
 
 SMALL = ("region", "nation", "customer", "supplier", "part")
 

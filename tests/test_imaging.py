@@ -835,3 +835,53 @@ def test_png16_roundtrip_and_rejections():
     # truncated stream
     assert decode_png16_pixels(raw[:20]) is None
     assert decode_png16_pixels(None) is None
+
+
+def test_jpeg_general_sampling_roundtrip_and_dispatch():
+    """General-sampling baseline codec (4:4:4 / 4:2:2 / 4:4:0 /
+    4:2:0): planted constants recovered on every pixel at every
+    profile; the (2,2) stream decodes bit-exactly equal via the
+    general decoder and the dedicated 4:2:0 path (shared-kernel
+    cross-check); non-1x1 chroma and unknown luma factors rejected."""
+    import random
+    import struct as _struct
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_ycbcr420_jpeg,
+        decode_ycbcr_jpeg,
+        planted_ycbcr420_jpeg,
+        planted_ycbcr_jpeg,
+    )
+
+    rng = random.Random(42)
+    for (h, v) in ((1, 1), (2, 1), (1, 2), (2, 2)):
+        for _ in range(3):
+            y0, cb0, cr0 = (rng.randrange(30, 220), rng.randrange(40, 200),
+                            rng.randrange(40, 200))
+            raw = planted_ycbcr_jpeg(16, 16, h, v, y0, cb0, cr0)
+            d = decode_ycbcr_jpeg(raw)
+            assert d is not None, (h, v)
+            w, ht, px = d
+            assert (w, ht) == (16, 16)
+            # constant planted image -> every channel constant
+            assert len(set(px[0::3])) == 1
+            assert len(set(px[1::3])) == 1
+            assert len(set(px[2::3])) == 1
+            if (h, v) == (2, 2):
+                twin = decode_ycbcr420_jpeg(
+                    planted_ycbcr420_jpeg(16, 16, y0, cb0, cr0))
+                assert d == twin, "general (2,2) diverged from 420 path"
+
+    # rejection: truncated scan, corrupted SOF sampling byte
+    raw = planted_ycbcr_jpeg(16, 16, 2, 1, 100, 90, 150)
+    assert decode_ycbcr_jpeg(raw[: len(raw) // 2]) is None
+    sof_at = raw.find(b"\xff\xc0")
+    body_at = sof_at + 4
+    # luma sampling byte -> 3x1 (unsupported factor)
+    bad = bytearray(raw)
+    bad[body_at + 7] = 0x31
+    assert decode_ycbcr_jpeg(bytes(bad)) is None
+    # chroma sampling byte -> 2x1 (non-1x1 chroma rejected)
+    bad = bytearray(raw)
+    bad[body_at + 10] = 0x21
+    assert decode_ycbcr_jpeg(bytes(bad)) is None
