@@ -545,3 +545,95 @@ def k_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"))
         .alias("log_intercept"),
     )
+
+
+@register("k_kruskal_wallis", "D5", """
+WITH vals AS (
+  SELECT value AS v, COUNT(*) AS c,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c3
+  FROM events
+  WHERE event_type IN ('purchase', 'error', 'click') AND value IS NOT NULL
+  GROUP BY value
+),
+cum AS (
+  SELECT v, c, c1, c2, c3, SUM(c) OVER (ORDER BY v) AS cumc FROM vals
+),
+s AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST(SUM(c3) AS BIGINT) AS n3,
+         CAST(CAST(SUM(CAST(c1 * (CAST(cumc - c AS DOUBLE) + (c + 1) / 2.0)
+                            AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE)
+           AS r1,
+         CAST(CAST(SUM(CAST(c2 * (CAST(cumc - c AS DOUBLE) + (c + 1) / 2.0)
+                            AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE)
+           AS r2,
+         CAST(CAST(SUM(CAST(c3 * (CAST(cumc - c AS DOUBLE) + (c + 1) / 2.0)
+                            AS DECIMAL(38,10))) AS DECIMAL(38,4)) AS DOUBLE)
+           AS r3,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+  FROM cum
+)
+SELECT n1, n2, n3,
+       ROUND(12.0 * (r1 * r1 / n1 + r2 * r2 / n2 + r3 * r3 / n3)
+             / (CAST(n1 + n2 + n3 AS DOUBLE) * (n1 + n2 + n3 + 1.0))
+             - 3.0 * (n1 + n2 + n3 + 1.0), 6) AS h_stat,
+       ROUND((12.0 * (r1 * r1 / n1 + r2 * r2 / n2 + r3 * r3 / n3)
+              / (CAST(n1 + n2 + n3 AS DOUBLE) * (n1 + n2 + n3 + 1.0))
+              - 3.0 * (n1 + n2 + n3 + 1.0))
+             / (1.0 - CAST(tie_term AS DOUBLE)
+                      / (CAST(n1 + n2 + n3 AS DOUBLE)
+                         * (n1 + n2 + n3) * (n1 + n2 + n3) 
+                         - (n1 + n2 + n3))), 6) AS h_tied
+FROM s
+""", "Kruskal-Wallis H test across three arms (purchase / error / "
+     "click) - the k-group generalization of Mann-Whitney, THE "
+     "nonparametric one-way ANOVA. Same scale machinery as "
+     "k_mann_whitney_u: one grouped count collapses the corpus to "
+     "distinct values with per-arm tie counts, tie-average ranks come "
+     "from the distributed cumulative count (two-pass ranged cumsum), "
+     "per-arm rank sums accumulate in DECIMAL(38,10) (half-integers - "
+     "exact), and H plus the documented tie correction "
+     "1 - sum(t^3-t)/(N^3-N) evaluate in textually identical double "
+     "trees. Cost is O(distinct values), not O(rows log rows).")
+def k_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    arms = [("purchase", "c1"), ("error", "c2"), ("click", "c3")]
+    vals = (
+        e.filter(F.col("event_type").isin([a for a, _ in arms])
+                 & F.col("value").isNotNull())
+        .groupBy(F.col("value").alias("v"))
+        .agg(F.count("*").alias("c"),
+             *[F.sum(F.when(F.col("event_type") == a, 1).otherwise(0))
+               .alias(cn) for a, cn in arms])
+    )
+    cum, _ = with_global_order(vals, [F.col("v")], cumsum_of="c",
+                               cumsum_col="cumc")
+    rank_avg = ((F.col("cumc") - F.col("c")).cast("double")
+                + (F.col("c") + 1) / 2.0)
+    s = cum.agg(
+        *[F.sum(cn).alias(f"n{i+1}") for i, (_, cn) in enumerate(arms)],
+        *[F.sum((F.col(cn) * rank_avg).cast(_DEC)).cast("decimal(38,4)")
+          .cast("double").alias(f"r{i+1}") for i, (_, cn) in enumerate(arms)],
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .alias("tie_term"),
+    )
+    n = F.col("n1") + F.col("n2") + F.col("n3")
+    ssum = (F.col("r1") * F.col("r1") / F.col("n1")
+            + F.col("r2") * F.col("r2") / F.col("n2")
+            + F.col("r3") * F.col("r3") / F.col("n3"))
+    h = (F.lit(12.0) * ssum / (n.cast("double") * (n + 1.0))
+         - 3.0 * (n + 1.0))
+    corr = (F.lit(1.0) - F.col("tie_term").cast("double")
+            / (n.cast("double") * n * n - n))
+    return s.select(
+        "n1", "n2", "n3",
+        r6(h).alias("h_stat"),
+        r6(h / corr).alias("h_tied"),
+    )

@@ -1599,3 +1599,62 @@ def k7v_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         var18.cast("bigint").alias("var18"),
         F.round((F.col("s_stat") - cc) / F.sqrt(var18 / 18.0), 6)
         .alias("z_score"))
+
+
+@register("k7w_theil_sen_slope", "K7+D5", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         DATE_DIFF('day', DATE '1995-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2, 3
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.cents - a.cents AS DOUBLE) / (b.x - a.x) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(QUANTILE_CONT(slope, 0.5), 6) AS theil_sen_slope
+FROM slopes
+GROUP BY event_type
+""", "Theil-Sen slope estimator per event type - the robust trend "
+     "POINT ESTIMATE beside the Mann-Kendall hypothesis test (k7v): "
+     "the median of all pairwise later-minus-earlier slopes over the "
+     "daily-total series, immune to outlier days that wreck OLS "
+     "(k7l). Same scale shape as k7v: the raw scan rolls up to the "
+     "calendar-bounded per-type DAY series first (map-side partial), "
+     "so the pair join is O(days^2 per type) - bounded by the "
+     "calendar, not row count. Each slope is an exact-integer cents "
+     "delta over an exact-integer day delta (one double division, "
+     "identical both engines); the median interpolates the same "
+     "doubles (the d6c-proven QUANTILE_CONT <-> percentile pairing), "
+     "rounded at 6 dp.")
+def k7w_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+             .alias("x"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day", "x")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b, (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day"))
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.cents") - F.col("a.cents")).cast("double")
+         / (F.col("b.x") - F.col("a.x"))).alias("slope"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 6)
+         .alias("theil_sen_slope"),
+    )

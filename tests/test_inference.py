@@ -294,3 +294,51 @@ def test_skyline_random_frames_property(spark):
             if not dominated:
                 want.add((b, s, p))
         assert got == want, f"trial {trial}"
+
+
+def test_kruskal_wallis_matches_numpy(spark):
+    e = _events()
+    arms = ["purchase", "error", "click"]
+    sel = e[e.event_type.isin(arms) & e.value.notna()]
+    groups = [sel[sel.event_type == a].value.to_numpy() for a in arms]
+    combined = np.concatenate(groups)
+    order = combined.argsort(kind="mergesort")
+    ranks = np.empty(len(combined))
+    sorted_v = combined[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j + 1 < len(sorted_v) and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    n = len(combined)
+    sizes = [len(g) for g in groups]
+    bounds = np.cumsum([0] + sizes)
+    h = 12 / (n * (n + 1)) * sum(
+        ranks[bounds[k]:bounds[k + 1]].sum() ** 2 / sizes[k]
+        for k in range(3)) - 3 * (n + 1)
+    _, tie_counts = np.unique(combined, return_counts=True)
+    corr = 1 - float((tie_counts ** 3 - tie_counts).sum()) / (n ** 3 - n)
+    (row,) = _run(spark, "k_kruskal_wallis")
+    assert (row.n1, row.n2, row.n3) == tuple(sizes)
+    assert row.h_stat == pytest.approx(h, abs=2e-6)
+    assert row.h_tied == pytest.approx(h / corr, abs=2e-6)
+
+
+def test_theil_sen_matches_numpy(spark):
+    e = _events()
+    e = e.assign(day=e.ts.dt.floor("D"),
+                 cents=(e.value * 100).round().astype("int64"))
+    rows = _run(spark, "k7w_theil_sen_slope")
+    assert rows, "no event types?"
+    for row in rows:
+        g = (e[e.event_type == row.event_type]
+             .groupby("day", as_index=False).cents.sum())
+        x = (g.day - pd.Timestamp("1995-01-01")).dt.days.to_numpy()
+        y = g.cents.to_numpy(dtype=float)
+        slopes = [(y[j] - y[i]) / (x[j] - x[i])
+                  for i in range(len(x)) for j in range(i + 1, len(x))]
+        assert row.n_pairs == len(slopes)
+        assert row.theil_sen_slope == pytest.approx(
+            float(np.median(slopes)), abs=2e-6)
