@@ -827,40 +827,57 @@ def _enc_ac_refine_scan(w: _BitWriter, ac_codes, blocks, ss: int, se: int,
 def encode_gray_progressive_jpeg(width: int, height: int,
                                  blocks: list[list[int]],
                                  quant: list[int],
-                                 scans=_DEFAULT_SCANS) -> bytes:
+                                 scans=_DEFAULT_SCANS,
+                                 restart_interval: int = 0) -> bytes:
     """Conforming progressive (SOF2) grayscale JPEG from QUANTIZED
-    zig-zag blocks, multi-scan per the given (Ss, Se, Ah, Al) script."""
+    zig-zag blocks, multi-scan per the given (Ss, Se, Ah, Al) script.
+    With ``restart_interval`` > 0 a DRI segment is emitted and every
+    scan carries RSTn markers each `interval` blocks (T.81: the
+    restart resets the DC predictor AND terminates any open EOB run,
+    with byte realignment; the marker index counts 0-7 per scan)."""
     assert width % 8 == 0 and height % 8 == 0
     dc_codes = _build_codes(_DC_BITS, _DC_VALS)
     ac_codes = _build_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+    ri = restart_interval
+    chunks = ([blocks[i:i + ri] for i in range(0, len(blocks), ri)]
+              if ri else [blocks])
+
     scan_payloads = []
     for (ss, se, ah, al) in scans:
         w = _BitWriter()
-        if ss == 0:                                   # DC scan
-            assert se == 0
-            if ah == 0:                               # first
-                prev = 0
-                for blk in blocks:
-                    v = blk[0] >> al                  # arithmetic shift
-                    diff = v - prev
-                    prev = v
-                    cat = _category(diff)
-                    code, ln = dc_codes[cat]
-                    w.write(code, ln)
-                    if cat:
-                        bits = diff if diff >= 0 else diff + (1 << cat) - 1
-                        w.write(bits, cat)
-            else:                                     # refinement: raw bits
-                # two's-complement bit of the true DC (python ints
-                # behave as infinite two's complement, so >> & 1 is
-                # the spec's successive-approximation bit for negative
-                # values too)
-                for blk in blocks:
-                    w.write((blk[0] >> al) & 1, 1)
-        elif ah == 0:
-            _enc_ac_first_scan(w, ac_codes, blocks, ss, se, al)
-        else:
-            _enc_ac_refine_scan(w, ac_codes, blocks, ss, se, al)
+        rst = 0
+        for ci, chunk in enumerate(chunks):
+            if ci:
+                w.restart(rst)
+                rst = (rst + 1) % 8
+            if ss == 0:                               # DC scan
+                assert se == 0
+                if ah == 0:                           # first
+                    prev = 0                          # reset per restart
+                    for blk in chunk:
+                        v = blk[0] >> al              # arithmetic shift
+                        diff = v - prev
+                        prev = v
+                        cat = _category(diff)
+                        code, ln = dc_codes[cat]
+                        w.write(code, ln)
+                        if cat:
+                            bits = (diff if diff >= 0
+                                    else diff + (1 << cat) - 1)
+                            w.write(bits, cat)
+                else:                                 # refinement: raw bits
+                    # two's-complement bit of the true DC (python ints
+                    # behave as infinite two's complement, so >> & 1 is
+                    # the spec's successive-approximation bit for
+                    # negative values too)
+                    for blk in chunk:
+                        w.write((blk[0] >> al) & 1, 1)
+            elif ah == 0:
+                # the kernel flushes its EOB run at chunk end - exactly
+                # the T.81 rule that a restart terminates the run
+                _enc_ac_first_scan(w, ac_codes, chunk, ss, se, al)
+            else:
+                _enc_ac_refine_scan(w, ac_codes, chunk, ss, se, al)
         scan_payloads.append(((ss, se, ah, al), w.flush()))
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -873,6 +890,8 @@ def encode_gray_progressive_jpeg(width: int, height: int,
     out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS_PROG)
                + bytes(_AC_VALS_PROG))
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
     for (ss, se, ah, al), payload in scan_payloads:
         out += seg(0xFFDA, b"\x01\x01\x00"
                    + bytes((ss, se, (ah << 4) | al)))
@@ -1002,6 +1021,7 @@ def decode_gray_progressive_jpeg(raw: bytes | None):
         huff: dict[tuple[int, int], dict] = {}
         width = height = None
         qtab_id = None
+        restart_interval = 0
         scans = []          # ((dc_id, ac_id, ss, se, ah, al), payload)
         while i + 4 <= n:
             if raw[i] != 0xFF:
@@ -1039,8 +1059,7 @@ def decode_gray_progressive_jpeg(raw: bytes | None):
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None                  # not this profile
             elif marker == 0xDD:
-                if struct.unpack(">H", body[:2])[0] != 0:
-                    return None              # restarts in progressive: no
+                restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:
                 if body[0] != 1:
                     return None
@@ -1060,21 +1079,36 @@ def decode_gray_progressive_jpeg(raw: bytes | None):
         nblocks = bw * bh
         coef = [[0] * 64 for _ in range(nblocks)]  # zig-zag order
 
+        ri = restart_interval
+        chunk_bounds = (list(range(0, nblocks, ri)) if ri else [0])
         for (dc_id, ac_id, ss, se, ah, al), payload in scans:
             reader = _BitReader(payload)
-            if ss == 0:                               # DC scan
-                if se != 0:
-                    return None
-                if ah == 0:
-                    _prog_dc_first(reader, huff[(0, dc_id)], coef, al)
-                else:                                 # refinement bit
-                    for blk in coef:
-                        if reader.bit():
-                            blk[0] |= 1 << al
-            elif ah == 0:
-                _prog_ac_first(reader, huff[(1, ac_id)], coef, ss, se, al)
-            else:
-                _prog_ac_refine(reader, huff[(1, ac_id)], coef, ss, se, al)
+            rst_expect = 0
+            for ci, lo in enumerate(chunk_bounds):
+                if ci:
+                    # T.81: restart inside a progressive scan - byte
+                    # realign, check the 0-7 marker sequence, and
+                    # reset the DC predictor / EOB run (both are
+                    # chunk-local below, so the reset is structural)
+                    if reader.sync_restart() != rst_expect:
+                        raise ValueError("restart marker out of sequence")
+                    rst_expect = (rst_expect + 1) % 8
+                chunk = coef[lo:lo + ri] if ri else coef
+                if ss == 0:                           # DC scan
+                    if se != 0:
+                        return None
+                    if ah == 0:
+                        _prog_dc_first(reader, huff[(0, dc_id)], chunk, al)
+                    else:                             # refinement bit
+                        for blk in chunk:
+                            if reader.bit():
+                                blk[0] |= 1 << al
+                elif ah == 0:
+                    _prog_ac_first(reader, huff[(1, ac_id)], chunk,
+                                   ss, se, al)
+                else:
+                    _prog_ac_refine(reader, huff[(1, ac_id)], chunk,
+                                    ss, se, al)
 
         q = quant[qtab_id]
         pixels = bytearray(bw * 8 * bh * 8)
@@ -1100,8 +1134,8 @@ def decode_gray_progressive_jpeg(raw: bytes | None):
         return None
 
 
-def planted_gray_progressive_jpeg(width: int, height: int,
-                                  seed: int) -> bytes:
+def planted_gray_progressive_jpeg(width: int, height: int, seed: int,
+                                  restart_interval: int = 0) -> bytes:
     """Progressive twin of planted_gray_jpeg: the same DC-only planted
     blocks (v = (seed + 8*bi) % 200 + 28, Q[0]=8 -> bit-exact round
     trip) shipped as a 5-scan SOF2 stream (DC first at Al=1, DC
@@ -1117,7 +1151,8 @@ def planted_gray_progressive_jpeg(width: int, height: int,
         blk = [0] * 64
         blk[0] = v - 128
         blocks.append(blk)
-    return encode_gray_progressive_jpeg(width, height, blocks, quant)
+    return encode_gray_progressive_jpeg(width, height, blocks, quant,
+                                        restart_interval=restart_interval)
 
 
 # ---------------------------------------------------------------------------

@@ -1505,3 +1505,41 @@ def k6u_jpeg_subsampling_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         synth("doc_id").alias("payload"))
     return payloads.mapInPandas(decode_jpeg_sampling_batch,
                                 SAMPLING_PIXEL_SCHEMA)
+
+
+@register("k6w_jpeg_progressive_restart_decode", "K6", """
+SELECT doc_id, 16 AS width, 16 AS height,
+       CAST(doc_id % 176 AS DOUBLE) + 40.0 AS mean_gray
+FROM documents
+""", "Restart markers INSIDE progressive scans - the last K6 "
+     "rejection with a tractable spec (T.81: a DRI'd SOF2 stream "
+     "carries RSTn every `interval` blocks in EVERY scan, each "
+     "restart byte-realigning the entropy stream, resetting the DC "
+     "predictor, and terminating any open EOB run, marker indexes "
+     "cycling 0-7 per scan). Payloads are the same planted "
+     "progressive streams as k6m but encoded with restart interval "
+     "varying by doc parity (1, 2, or 3 blocks), so a decoder that "
+     "ignores DRI in progressive mode desyncs immediately and one "
+     "that forgets the EOBRUN reset mis-skips whole bands. The "
+     "analytic oracle mean is k6m's; the restart path is additionally "
+     "round-tripped against the no-restart decode on random "
+     "coefficient blocks and checked for out-of-sequence-marker "
+     "rejection in tests/test_imaging.py. Remaining rejected, not "
+     "guessed: arithmetic coding.")
+def k6w_jpeg_progressive_restart_decode(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        planted_gray_progressive_jpeg,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(
+            lambda d: planted_gray_progressive_jpeg(
+                16, 16, int(d) % 176, restart_interval=int(d) % 3 + 1))
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", synth("doc_id").alias("payload"))
+    return payloads.mapInPandas(decode_jpeg_batch, JPEG_PIXEL_SCHEMA)

@@ -885,3 +885,48 @@ def test_jpeg_general_sampling_roundtrip_and_dispatch():
     bad = bytearray(raw)
     bad[body_at + 10] = 0x21
     assert decode_ycbcr_jpeg(bytes(bad)) is None
+
+
+def test_progressive_restart_roundtrip_and_rejection():
+    """Restarts inside progressive scans: for random coefficient
+    blocks (DC + up to 10 AC coefs), the restart-encoded stream
+    decodes bit-identically to the no-restart stream at intervals
+    1/2/3/5 (every scan kernel crosses restart boundaries); an
+    out-of-sequence RST index is rejected."""
+    import random
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_gray_progressive_jpeg,
+        encode_gray_progressive_jpeg,
+    )
+
+    rng = random.Random(7)
+    quant = [8] + [16] * 63
+    for _ in range(10):
+        bw, bh = rng.choice([(2, 2), (4, 2), (4, 4)])
+        w, h = bw * 8, bh * 8
+        blocks = []
+        for _ in range(bw * bh):
+            blk = [0] * 64
+            blk[0] = rng.randrange(-80, 80)
+            for _ in range(rng.randrange(0, 10)):
+                blk[rng.randrange(1, 64)] = rng.randrange(-30, 31)
+            blocks.append(blk)
+        base = decode_gray_progressive_jpeg(
+            encode_gray_progressive_jpeg(w, h, [b[:] for b in blocks],
+                                         quant))
+        assert base is not None
+        for ri in (1, 2, 3, 5):
+            rt = decode_gray_progressive_jpeg(
+                encode_gray_progressive_jpeg(
+                    w, h, [b[:] for b in blocks], quant,
+                    restart_interval=ri))
+            assert rt == base, f"interval {ri} diverged"
+
+    raw = encode_gray_progressive_jpeg(
+        16, 16, [[10] + [0] * 63] * 4, quant, restart_interval=1)
+    bad = bytearray(raw)
+    i = bad.find(b"\xff\xd0")
+    assert i > 0
+    bad[i + 1] = 0xD4
+    assert decode_gray_progressive_jpeg(bytes(bad)) is None
