@@ -2939,3 +2939,125 @@ def a3as_es_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filter": {"range": {"vec_id": {"lt": 1500}}},
     }
     return es_knn_search(e, knn, id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# ES rescore (the search-API top-window second-pass ranking)
+# ---------------------------------------------------------------------------
+
+def es_rescore(df: DataFrame, query: dict, functions: list[dict],
+               rescore: dict, sort_tiebreak: str,
+               size: int = 10) -> DataFrame:
+    """ES `rescore`: the base query ranks ALL hits cheaply, then only
+    the top `window_size` are re-scored by a costlier secondary and
+    re-ranked by the weighted combination - ES's two-phase ranking
+    (cheap retrieval, expensive rerank over a bounded window), the
+    same candidate->verify shape as PQ-ADC + exact rerank (k3g).
+
+    `rescore` spec (the ES 8.x body, function-score flavored)::
+
+        {"window_size": 50,
+         "query": {"rescore_query_functions": [...],   # same fn DSL
+                   "query_weight": 0.7,
+                   "rescore_query_weight": 1.2}}
+
+    final = query_weight * base + rescore_query_weight * secondary for
+    hits inside the window; ES leaves hits BELOW the window at their
+    base score and they can never re-enter the page if size <=
+    window_size (enforced here, as ES recommends). Both phases are
+    TakeOrderedAndProject gathers - the base window never globally
+    sorts, and the rerank sorts <= window_size rows.
+    """
+    wsize = int(rescore.get("window_size", 10))
+    body = rescore["query"]
+    qw = float(body.get("query_weight", 1.0))
+    rqw = float(body.get("rescore_query_weight", 1.0))
+    if size > wsize:
+        raise ValueError(
+            f"size ({size}) must be <= rescore window_size ({wsize})")
+
+    def _score(fns: list[dict]):
+        terms = []
+        for fn in fns:
+            if "field_value_factor" in fn:
+                b = fn["field_value_factor"]
+                terms.append(F.col(b["field"]).cast("double")
+                             * F.lit(float(b.get("factor", 1.0))))
+            elif "filter" in fn:
+                terms.append(
+                    F.when(compile_query(fn["filter"]),
+                           F.lit(float(fn.get("weight", 1.0))))
+                    .otherwise(F.lit(0.0)))
+            else:
+                raise ValueError(f"unsupported scoring function {fn!r}")
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    base = _score(functions)
+    window = (
+        es_search(df, query)
+        .withColumn("_base", base)
+        .orderBy(F.col("_base").desc(), F.col(sort_tiebreak).asc())
+        .limit(wsize)
+    )
+    secondary = _score(body["rescore_query_functions"])
+    final = F.lit(qw) * F.col("_base") + F.lit(rqw) * secondary
+    return (
+        window.withColumn("score", F.round(final, 6))
+        .withColumn("_f", final)
+        .orderBy(F.col("_f").desc(), F.col(sort_tiebreak).asc())
+        .limit(size)
+        .drop("_base", "_f")
+    )
+
+
+@register("a3at_es_rescore", "A3", """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(o_totalprice AS DOUBLE) * 1.0 AS b
+  FROM orders WHERE o_orderstatus = 'F'
+  ORDER BY b DESC, o_orderkey ASC
+  LIMIT 50
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ROUND(0.7 * b + 1.2 * (CAST(o_totalprice AS DOUBLE) * 0.25
+             + (CASE WHEN o_orderpriority LIKE '1-%'
+                     THEN 50000.0 ELSE 0.0 END)), 6) AS score
+FROM base
+ORDER BY 0.7 * b + 1.2 * (CAST(o_totalprice AS DOUBLE) * 0.25
+         + (CASE WHEN o_orderpriority LIKE '1-%'
+                 THEN 50000.0 ELSE 0.0 END)) DESC,
+         o_orderkey ASC
+LIMIT 10
+""", "ES rescore - two-phase ranking: the base query ranks all "
+     "finished orders by a cheap score, only the top-50 WINDOW is "
+     "re-scored (0.7*base + 1.2*secondary, where the secondary adds "
+     "an urgent-priority boost that can reorder within the window "
+     "but never pull hits from below it), top-10 returned. Both "
+     "phases compile to TakeOrderedAndProject gathers - the exact "
+     "retrieval-then-rerank shape of k3g's PQ pipeline, on the ES "
+     "API surface. The oracle states the same window/combine "
+     "semantics relationally; weights are exact binary "
+     "representables so the doubles agree bitwise.")
+def a3at_es_rescore(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_rescore(
+        o,
+        {"term": {"o_orderstatus": "F"}},
+        [{"field_value_factor": {"field": "o_totalprice", "factor": 1.0}}],
+        {"window_size": 50,
+         "query": {
+             "rescore_query_functions": [
+                 {"field_value_factor": {"field": "o_totalprice",
+                                         "factor": 0.25}},
+                 {"filter": {"wildcard": {"o_orderpriority": "1-*"}},
+                  "weight": 50000.0},
+             ],
+             "query_weight": 0.7,
+             "rescore_query_weight": 1.2,
+         }},
+        sort_tiebreak="o_orderkey",
+        size=10,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice", "score")

@@ -735,3 +735,43 @@ def a4c_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register("a4d_xml_ingest", "A4", """
+SELECT n_nationkey, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(38,10))) AS DECIMAL(38,2))
+            AS DOUBLE) AS total_bal,
+       MAX(s_name) AS max_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey
+""", "XML ingest (Spark 4's built-in XML source - the fourth wire "
+     "format after parquet/CSV/JSON/ORC): the supplier table round-"
+     "trips through rowTag-delimited XML files (Spark writes them, "
+     "then re-reads with an explicit schema - same lossless-round-"
+     "trip proof as a4_csv_ingest; doubles survive via round-trip-"
+     "exact repr) and the re-read joins back to nation. The scan "
+     "parallelizes per file exactly like the other text formats.")
+def a4d_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"ces_xml_ingest_{os.path.basename(sf_dir.rstrip('/'))}")
+    (s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+     .write.mode("overwrite").format("xml").option("rowTag", "supplier")
+     .save(scratch))
+    ingested = (
+        spark.read.schema(
+            "s_suppkey bigint, s_name string, s_nationkey int, "
+            "s_acctbal double")
+        .format("xml").option("rowTag", "supplier").load(scratch)
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        ingested.join(F.broadcast(n),
+                      ingested.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("s_acctbal").cast("decimal(38,10)"))
+              .cast("decimal(38,2)").cast("double").alias("total_bal"),
+             F.max("s_name").alias("max_name"))
+    )

@@ -592,3 +592,35 @@ def test_knn_l2_and_dot_product_scores(spark):
         e.filter(f"vec_id = {row[0]}"),
         _knn(qv, similarity="dot_product", k=1), id_col="vec_id").head()
     assert abs(got["_score"] - expect) < 5e-7
+
+
+def test_rescore_window_rule_and_plan(spark):
+    """ES rescore: size > window_size rejected (ES's own rule); hits
+    below the window can never enter the page even with a huge
+    secondary boost; both phases are TakeOrderedAndProject."""
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_rescore
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    base_fns = [{"field_value_factor": {"field": "o_totalprice",
+                                        "factor": 1.0}}]
+    spec = {"window_size": 5,
+            "query": {"rescore_query_functions": [
+                # enormous boost for the LOWEST-priced orders: would
+                # dominate if below-window hits could re-enter
+                {"filter": {"range": {"o_totalprice": {"lt": 1000}}},
+                 "weight": 1e12}],
+                "query_weight": 1.0, "rescore_query_weight": 1.0}}
+    with pytest.raises(ValueError, match="window_size"):
+        es_rescore(o, {"term": {"o_orderstatus": "F"}}, base_fns,
+                   spec, sort_tiebreak="o_orderkey", size=10)
+    out = es_rescore(o, {"term": {"o_orderstatus": "F"}}, base_fns,
+                     spec, sort_tiebreak="o_orderkey", size=5)
+    rows = out.collect()
+    window_keys = {r["o_orderkey"] for r in
+                   o.filter("o_orderstatus = 'F'")
+                   .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+                   .limit(5).collect()}
+    assert {r["o_orderkey"] for r in rows} <= window_keys
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
