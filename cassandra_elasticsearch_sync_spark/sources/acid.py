@@ -381,8 +381,18 @@ class AcidParquetTable:
         not_matched_by_source_action: str | None = None,
         not_matched_by_source_condition: Column | None = None,
         not_matched_by_source_assignments: dict[str, "Column"] | None = None,
+        schema_evolution: bool = False,
     ) -> int:
         """ANSI-style MERGE with copy-on-write file rewrites.
+
+        ``schema_evolution=True`` is Delta's ``mergeSchema`` contract:
+        source columns absent from the target schema WIDEN the table
+        as part of this same merge commit - the rewritten files carry
+        the new columns, untouched files are carried byte-for-byte and
+        read NULL for them (schema-specified parquet read), and time
+        travel keeps per-version schemas. Without the flag, an unknown
+        source column is an error (the safe default - a typo'd column
+        must not silently fork the schema).
 
         ``not_matched_by_source_action`` ('delete' or 'update') adds
         the SQL:2023 / Delta ``WHEN NOT MATCHED BY SOURCE`` branch:
@@ -413,6 +423,18 @@ class AcidParquetTable:
         """
         base = self.current_version()
         manifest = self._manifest(base)
+        tgt_schema = StructType.fromJson(manifest["schema"])
+        tgt_names = {f.name for f in tgt_schema.fields}
+        extra = [f for f in source.schema.fields if f.name not in tgt_names]
+        if extra and not schema_evolution:
+            raise ValueError(
+                f"MERGE source has columns not in the target schema "
+                f"({[f.name for f in extra]}); pass "
+                f"schema_evolution=True to widen the table")
+        if extra:
+            for f in extra:
+                tgt_schema = tgt_schema.add(f.name, f.dataType, True)
+            manifest = {**manifest, "schema": tgt_schema.jsonValue()}
         txns = None
         if txn_app_id is not None:
             # Idempotent-writer ledger (the Delta txnAppId/txnVersion
@@ -597,9 +619,23 @@ class AcidParquetTable:
         if nmbs_action == "delete":
             keep = keep & ~(tgt_only & nmbs_cond)
         assignments = assignments or {}
+        # Delta's UPDATE SET * / INSERT * contract for narrow sources
+        # (the norm after schema evolution - old writers don't know
+        # the new columns): a target column absent from the source and
+        # from `assignments` keeps the target value on update and
+        # reads NULL on insert (tgt is NULL there), instead of failing
+        # analysis on a dangling src reference.
+        src_cols = set(source.columns)
+
+        def _src_val(c):
+            if c in assignments:
+                return assignments[c]
+            if c in src_cols:
+                return F.col(f"src.{c}")
+            return F.col(f"tgt.{c}")
+
         cols = [
-            F.when(take_src,
-                   assignments.get(c, F.col(f"src.{c}")))
+            F.when(take_src, _src_val(c))
             .otherwise(F.col(f"tgt.{c}")).alias(c)
             if c not in keys
             else F.coalesce(F.col(f"tgt.{c}"), F.col(f"src.{c}")).alias(c)

@@ -2177,3 +2177,74 @@ def l36_cdc_to_es_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return indexed.unionByName(deletes).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register("l37_merge_schema_evolution", "A7+A4", """
+WITH tgt AS (
+  SELECT o_orderkey AS key, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+m1 AS (
+  SELECT o_orderkey AS key, o_totalprice * 2 AS price,
+         o_orderpriority AS segment
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+m2 AS (
+  SELECT o_orderkey AS key, o_totalprice + 100000 AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+keys AS (
+  SELECT key FROM tgt UNION SELECT key FROM m1 UNION SELECT key FROM m2
+)
+SELECT k.key,
+       CASE WHEN m2.key IS NOT NULL THEN m2.price
+            WHEN m1.key IS NOT NULL THEN m1.price
+            ELSE t.price END AS price,
+       m1.segment AS segment
+FROM keys k
+LEFT JOIN tgt t ON k.key = t.key
+LEFT JOIN m1 ON k.key = m1.key
+LEFT JOIN m2 ON k.key = m2.key
+""", "MERGE with AUTOMATIC SCHEMA EVOLUTION (Delta's mergeSchema): "
+     "the first merge's source carries a column the table has never "
+     "seen (`segment`) and widens the schema AS PART OF THE SAME "
+     "MERGE COMMIT - rewritten files carry it, untouched files are "
+     "carried byte-for-byte and read NULL for it, time travel keeps "
+     "per-version schemas. The second merge is a NARROW source (the "
+     "norm after evolution - old writers don't know the new column) "
+     "and follows Delta's UPDATE SET * / INSERT * contract: the "
+     "evolved column keeps its target value on update and reads NULL "
+     "on insert, never nulled out by the narrow writer. Without the "
+     "flag an unknown source column is an error (a typo must not "
+     "silently fork the schema - test-pinned). The committed "
+     "SNAPSHOT, not the fold, hash-matches the three-way relational "
+     "reconstruction. sources/acid.py merge_into(schema_evolution=).")
+def l37_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    tgt = (o.filter(F.col("o_orderkey") % 2 == 0)
+           .select(F.col("o_orderkey").alias("key"),
+                   F.col("o_totalprice").alias("price")))
+    m1 = (o.filter(F.col("o_orderkey") % 3 == 0)
+          .select(F.col("o_orderkey").alias("key"),
+                  (F.col("o_totalprice") * 2).alias("price"),
+                  F.col("o_orderpriority").alias("segment")))
+    m2 = (o.filter(F.col("o_orderkey") % 5 == 0)
+          .select(F.col("o_orderkey").alias("key"),
+                  (F.col("o_totalprice") + 100000).alias("price")))
+    root = tempfile.mkdtemp(prefix="ces_acid_sevol_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(tgt)
+        t.merge_into(m1, ["key"], assume_unique_keys=True,
+                     schema_evolution=True)
+        t.merge_into(m2, ["key"], assume_unique_keys=True)
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

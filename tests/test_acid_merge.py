@@ -1049,3 +1049,46 @@ def test_nmbs_bad_action_rejected(spark, root):
     with pytest.raises(ValueError, match="not_matched_by_source_action"):
         t.merge_into(src, ["key"], assume_unique_keys=True,
                      not_matched_by_source_action="upsert")
+
+
+def test_merge_schema_evolution_contract(spark):
+    """mergeSchema semantics: (1) unknown source column without the
+    flag is an error; (2) with the flag the table widens in the same
+    merge commit - untouched files read NULL; (3) time travel keeps
+    the pre-evolution schema; (4) a subsequent NARROW source keeps
+    evolved-column values on update and reads NULL on insert."""
+    import tempfile
+
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+
+    root = tempfile.mkdtemp(prefix="ces_sevol_t_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "key bigint, price double"))
+        v1 = t.current_version()
+        src = spark.createDataFrame(
+            [(2, 21.0, "hot"), (4, 40.0, "new")],
+            "key bigint, price double, note string")
+        with pytest.raises(ValueError, match="schema_evolution"):
+            t.merge_into(src, ["key"], assume_unique_keys=True)
+        t.merge_into(src, ["key"], assume_unique_keys=True,
+                     schema_evolution=True)
+        assert t.read(version=v1).columns == ["key", "price"]
+        got = sorted(tuple(r) for r in t.read().collect())
+        assert got == [(1, 10.0, None), (2, 21.0, "hot"),
+                       (3, 30.0, None), (4, 40.0, "new")]
+        # narrow source: evolved column survives update, NULL on insert
+        t.merge_into(spark.createDataFrame(
+            [(2, 22.0), (5, 50.0)], "key bigint, price double"),
+            ["key"], assume_unique_keys=True)
+        got = sorted(tuple(r) for r in t.read().collect())
+        assert got == [(1, 10.0, None), (2, 22.0, "hot"),
+                       (3, 30.0, None), (4, 40.0, "new"),
+                       (5, 50.0, None)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,7 +1,13 @@
 """Ad-hoc SQL parity: arbitrary user SQL (the dialect-common subset)
 run VERBATIM through spark.sql and DuckDB over the registered views
 must agree - the engine is a general SQL surface, not just the curated
-query list."""
+query list.
+
+The identical text must also produce identically-TYPED outputs now
+that compare() is type-sensitive: RANK()/LENGTH() are int in Spark and
+BIGINT in DuckDB, a genuine dialect divergence, so those snippets pin
+BIGINT explicitly - the same convention the registry adopted in round
+6 (the driver's hasher is type-sensitive)."""
 
 from __future__ import annotations
 
@@ -36,10 +42,11 @@ ADHOC = {
         SELECT n_nationkey AS k FROM nation""",
     "window_rank": """
         SELECT s_suppkey,
-               RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS r
+               CAST(RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey)
+                    AS BIGINT) AS r
         FROM supplier""",
     "string_ops": """
-        SELECT doc_id, UPPER(lang) AS lang_up, LENGTH(text) AS n
+        SELECT doc_id, UPPER(lang) AS lang_up, CAST(LENGTH(text) AS BIGINT) AS n
         FROM documents WHERE doc_id % 100 = 0""",
     "scalar_subquery": """
         SELECT s_suppkey, s_acctbal,
