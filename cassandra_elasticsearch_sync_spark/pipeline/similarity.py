@@ -1189,3 +1189,118 @@ def k3n_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.9 * F.coalesce(F.col("o2"), F.lit(0.0)) / 2.0
                  + 0.81 * F.coalesce(F.col("o3"), F.lit(0.0)) / 3.0)
     return j.select("qid", F.round(rbo, 6).alias("rbo3")).orderBy("qid")
+
+
+_SEMDEDUP_ORACLE = "WITH RECURSIVE " + _NORMED_SQL + f"""
+, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT UNNEST(a.embedding) x, UNNEST(b.embedding) y))
+        / (a.nrm * b.nrm) >= {DUP_COS_THRESHOLD}
+),
+edges(a, b) AS (
+  SELECT vec_a, vec_b FROM pairs UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+sums AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1099511627776.0)
+                       AS HUGEINT)) AS DOUBLE) AS s
+  FROM (SELECT label, UNNEST(embedding) AS x,
+               UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim
+        FROM embeddings)
+  GROUP BY label, dim
+),
+cent AS (SELECT label, LIST(s ORDER BY dim) AS svec FROM sums GROUP BY label),
+sims AS (
+  SELECT e.vec_id, e.label,
+         ROUND((SELECT SUM(CAST(x AS DOUBLE) * y)
+                FROM (SELECT UNNEST(e.embedding) x, UNNEST(c.svec) y))
+               / (e.nrm * SQRT((SELECT SUM(y * y)
+                                FROM (SELECT UNNEST(c.svec) y)))),
+               6) AS centroid_sim
+  FROM e JOIN cent c ON e.label = c.label
+),
+keepers AS (
+  SELECT vec_id FROM (
+    SELECT l.node AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                              ORDER BY s.centroid_sim, l.node) AS rn
+    FROM comp l JOIN sims s ON l.node = s.vec_id)
+  WHERE rn = 1
+)
+SELECT s.vec_id, s.label, s.centroid_sim
+FROM sims s
+WHERE s.vec_id NOT IN (SELECT node FROM comp)
+   OR s.vec_id IN (SELECT vec_id FROM keepers)
+"""
+
+
+@register("k_semdedup_prune", "K1+K3", _SEMDEDUP_ORACLE,
+          "SemDeDup (Abbas et al. 2023) as the APPLY step: the pruned "
+          "training corpus itself, not just the dup report. Within "
+          "each cluster (label = centroid assignment, as in IVF), "
+          "cosine-near-dup pairs close into connected components "
+          "(alternating-star, O(log n) rounds) and each component "
+          "keeps ONE exemplar - the member FARTHEST from the cluster "
+          "centroid (SemDeDup's documented keep policy: prototypical "
+          "dups carry the least marginal information), ties on "
+          "vec_id; singletons survive untouched. The centroid enters "
+          "as the exact scaled-integer component SUM (cosine is "
+          "scale-invariant, so no division and no float mean - the "
+          "k_centroids_exact trick), making every centroid similarity "
+          "bit-identical across engines; the keep-policy argmin runs "
+          "on the 6-dp-rounded similarity per the repo's threshold "
+          "discipline. Scale shape: pair join is label-blocked "
+          "(bounded quadratic), components are distributed join+min "
+          "rounds, the centroid join broadcasts n_labels rows.")
+def k_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_elasticsearch_sync_spark.pipeline.graph import (
+        connected_components,
+    )
+
+    e = _normed(spark, sf_dir)
+    pairs = k_embedding_dup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    comp, _ = connected_components(pairs, a="vec_a", b="vec_b")
+
+    scaled = F.floor(F.col("x").cast("double") * F.lit(1099511627776.0))
+    sums = (
+        e.select("label", F.posexplode("embedding").alias("dim0", "x"))
+        .groupBy("label", "dim0")
+        .agg(F.sum(scaled.cast("decimal(38,0)")).cast("double").alias("s"))
+    )
+    cent = (
+        sums.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim0", "s"))).alias("ds"))
+        .select("label",
+                F.transform("ds", lambda t: t["s"]).alias("svec"))
+    )
+    snorm = F.sqrt(F.aggregate(
+        F.transform("svec", lambda y: y * y), F.lit(0.0),
+        lambda acc, v: acc + v))
+    sims = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id", "label",
+            F.round(dot(F.col("embedding"), F.col("svec"))
+                    / (F.col("nrm") * snorm), 6).alias("centroid_sim"),
+        )
+    )
+    keepers = (
+        comp.join(sims, comp.node == sims.vec_id)
+        .groupBy("cluster_id")
+        .agg(F.min_by("vec_id",
+                      F.struct(F.col("centroid_sim"), F.col("vec_id")))
+             .alias("vec_id"))
+        .select("vec_id")
+    )
+    non_dup = sims.join(comp, sims.vec_id == comp.node, "left_anti")
+    exemplars = sims.join(keepers, "vec_id")
+    return non_dup.unionByName(
+        exemplars.select("vec_id", "label", "centroid_sim"))

@@ -101,6 +101,13 @@ _FRONT = (
     "l35_merge_not_matched_by_source", "l12_time_travel_read",
     "k2g_triangle_count",
     # never driver-verified; next in line after the front-50
+    # (round-6 additions first - ES kNN/rescore, CDC->ES round trip,
+    # JPEG subsampling + progressive restarts, Kruskal-Wallis,
+    # Theil-Sen, XML ingest, merge schema evolution)
+    "a3as_es_knn_search", "l36_cdc_to_es_roundtrip",
+    "k6u_jpeg_subsampling_decode", "k6w_jpeg_progressive_restart_decode",
+    "k_kruskal_wallis", "k7w_theil_sen_slope", "a4d_xml_ingest",
+    "a3at_es_rescore", "l37_merge_schema_evolution",
     "j1_scalar_udf", "d10b_unpivot",
     "h6b_nested_json", "k4_bigrams", "k2h_containment_pairs",
     # --- r5 driver-verified block ---

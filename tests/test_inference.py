@@ -342,3 +342,46 @@ def test_theil_sen_matches_numpy(spark):
         assert row.n_pairs == len(slopes)
         assert row.theil_sen_slope == pytest.approx(
             float(np.median(slopes)), abs=2e-6)
+
+
+def test_semdedup_prune_semantics(spark):
+    """SemDeDup apply-step invariants on the real corpus: (1) the
+    pruned set contains NO pair above the threshold (within the same
+    blocking label) unless both survived as... it must contain none -
+    every surviving same-label pair is below tau; (2) exactly one
+    exemplar per dup component survives; (3) singletons all survive."""
+    import numpy as np
+
+    from cassandra_elasticsearch_sync_spark.pipeline.similarity import (
+        DUP_COS_THRESHOLD,
+    )
+
+    SPECS2 = registry.all_specs()
+    survivors = {r.vec_id for r in
+                 SPECS2["k_semdedup_prune"].fn(spark, SF_DIR).collect()}
+    pairs = [(r.vec_a, r.vec_b) for r in
+             SPECS2["k_embedding_dup_pairs"].fn(spark, SF_DIR).collect()]
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    all_ids = set(emb.vec_id)
+    dup_nodes = {v for p in pairs for v in p}
+    # (3) singletons all survive
+    assert (all_ids - dup_nodes) <= survivors
+    # (1) no surviving near-dup pair
+    assert not [(a, b) for a, b in pairs
+                if a in survivors and b in survivors]
+    # (2) one exemplar per component: union-find over pairs
+    parent = {v: v for v in dup_nodes}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comps = {}
+    for v in dup_nodes:
+        comps.setdefault(find(v), set()).add(v)
+    for root, members in comps.items():
+        assert len(members & survivors) == 1, (root, members & survivors)
