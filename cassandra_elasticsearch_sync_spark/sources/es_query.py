@@ -3061,3 +3061,106 @@ def a3at_es_rescore(spark, sf_dir):
         sort_tiebreak="o_orderkey",
         size=10,
     ).select("o_orderkey", "o_orderpriority", "o_totalprice", "score")
+
+
+# ---------------------------------------------------------------------------
+# ES term suggester (the `suggest` API's did-you-mean)
+# ---------------------------------------------------------------------------
+
+def es_term_suggest(df: DataFrame, text_field: str, terms: list[str],
+                    max_edits: int = 2, size: int = 5,
+                    suggest_mode: str = "missing") -> DataFrame:
+    """ES term suggester: for each input term, candidate corpus terms
+    within `max_edits` Levenshtein edits, ranked the way ES documents
+    (closer edit distance first, then higher document frequency, then
+    lexicographic for determinism), top `size` per input.
+
+    suggest_mode='missing' is ES's default rule: a term that EXISTS in
+    the corpus vocabulary gets no suggestions at all (it isn't
+    misspelled); 'always' suggests regardless. max_edits is capped at
+    2 per ES's own validation.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    hash aggregate - tokens, not rows), the <= handful of input terms
+    broadcast against it, and Levenshtein's early-exit bound
+    (`levenshtein(a, b, max_edits)`) prunes JVM-side. Vocabulary is
+    sublinear in corpus size, so the suggest cost is too.
+    """
+    if not 1 <= max_edits <= 2:
+        raise ValueError("max_edits must be 1 or 2 (ES's validation)")
+    if suggest_mode not in ("missing", "always"):
+        raise ValueError(f"unsupported suggest_mode {suggest_mode!r}")
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(F.split(F.lower(text_field), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term").agg(F.count("*").alias("freq"))
+    )
+    inputs = spark.createDataFrame([(t,) for t in terms], "input string")
+    cand = (
+        vocab.join(F.broadcast(inputs),
+                   F.levenshtein(F.col("term"), F.col("input"),
+                                 max_edits) >= 0)
+        .withColumn("dist",
+                    F.levenshtein(F.col("term"), F.col("input"), max_edits))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_edits))
+    )
+    from pyspark.sql import Window
+
+    if suggest_mode == "missing":
+        known = vocab.select(F.col("term").alias("input"))
+        inputs_missing = inputs.join(known, "input", "left_anti")
+        cand = cand.join(F.broadcast(inputs_missing), "input", "left_semi")
+    w = Window.partitionBy("input").orderBy(
+        F.col("dist").asc(), F.col("freq").desc(), F.col("term").asc())
+    return (
+        cand.withColumn("option_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("option_rank") <= size)
+        .select("input", "option_rank", F.col("term").alias("suggestion"),
+                F.col("dist").cast("long").alias("distance"), "freq")
+    )
+
+
+@register("a3au_es_term_suggester", "A3+K4", """
+WITH vocab AS (
+  SELECT w AS term, COUNT(*) AS freq
+  FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+),
+inputs AS (
+  SELECT UNNEST(['strem', 'qery', 'vektor', 'spark']) AS input
+),
+missing AS (
+  SELECT input FROM inputs
+  WHERE input NOT IN (SELECT term FROM vocab)
+),
+cand AS (
+  SELECT m.input, v.term AS suggestion,
+         CAST(LEVENSHTEIN(v.term, m.input) AS BIGINT) AS distance, v.freq
+  FROM missing m JOIN vocab v
+    ON LEVENSHTEIN(v.term, m.input) BETWEEN 1 AND 2
+)
+SELECT input,
+       CAST(ROW_NUMBER() OVER (PARTITION BY input
+                               ORDER BY distance, freq DESC, suggestion)
+            AS BIGINT) AS option_rank,
+       suggestion, distance, freq
+FROM cand
+QUALIFY option_rank <= 5
+""", "ES term suggester (the `suggest` did-you-mean API): misspelled "
+     "inputs ('strem', 'qery', 'vektor') resolve to corpus terms "
+     "within 2 edits, ranked ES's way - edit distance, then document "
+     "frequency, then lexicographic - top 5 per input; "
+     "suggest_mode=missing means the correctly-spelled 'spark' gets "
+     "NO suggestions (it exists in the vocabulary - ES's default "
+     "rule, and a row the oracle must also drop). The corpus "
+     "collapses to its vocabulary first (tokens, not rows), the "
+     "input terms broadcast, and Spark's bounded "
+     "levenshtein(a,b,max) prunes early - vocabulary is sublinear in "
+     "corpus size, so the whole suggest is too.")
+def a3au_es_term_suggester(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_term_suggest(
+        d, "text", ["strem", "qery", "vektor", "spark"],
+        max_edits=2, size=5, suggest_mode="missing")

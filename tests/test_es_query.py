@@ -624,3 +624,29 @@ def test_rescore_window_rule_and_plan(spark):
     assert {r["o_orderkey"] for r in rows} <= window_keys
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
+
+
+def test_term_suggester_rules(spark):
+    """ES term-suggester semantics: suggest_mode=missing never
+    suggests for an in-vocabulary term; always does; max_edits
+    validation matches ES (1 or 2 only); every suggestion is within
+    max_edits of its input."""
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_term_suggest,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="max_edits"):
+        es_term_suggest(d, "text", ["x"], max_edits=3)
+    with pytest.raises(ValueError, match="suggest_mode"):
+        es_term_suggest(d, "text", ["x"], suggest_mode="popular2")
+    missing = es_term_suggest(d, "text", ["spark", "strem"],
+                              suggest_mode="missing").collect()
+    assert not [r for r in missing if r["input"] == "spark"]
+    strem = [r for r in missing if r["input"] == "strem"]
+    assert strem and all(1 <= r["distance"] <= 2 for r in strem)
+    always = es_term_suggest(d, "text", ["spark"],
+                             suggest_mode="always").collect()
+    assert always  # in-vocab term still gets near neighbors
+    assert all(r["suggestion"] != "spark" for r in always)
