@@ -390,9 +390,11 @@ class AcidParquetTable:
         as part of this same merge commit - the rewritten files carry
         the new columns, untouched files are carried byte-for-byte and
         read NULL for them (schema-specified parquet read), and time
-        travel keeps per-version schemas. Without the flag, an unknown
-        source column is an error (the safe default - a typo'd column
-        must not silently fork the schema).
+        travel keeps per-version schemas. Without the flag, extra
+        source columns are IGNORED (the row is written per the target
+        schema) - they may still feed ``assignments`` expressions,
+        which is how the CQL write path ships its cell-level helper
+        columns through MERGE.
 
         ``not_matched_by_source_action`` ('delete' or 'update') adds
         the SQL:2023 / Delta ``WHEN NOT MATCHED BY SOURCE`` branch:
@@ -426,12 +428,7 @@ class AcidParquetTable:
         tgt_schema = StructType.fromJson(manifest["schema"])
         tgt_names = {f.name for f in tgt_schema.fields}
         extra = [f for f in source.schema.fields if f.name not in tgt_names]
-        if extra and not schema_evolution:
-            raise ValueError(
-                f"MERGE source has columns not in the target schema "
-                f"({[f.name for f in extra]}); pass "
-                f"schema_evolution=True to widen the table")
-        if extra:
+        if extra and schema_evolution:
             for f in extra:
                 tgt_schema = tgt_schema.add(f.name, f.dataType, True)
             manifest = {**manifest, "schema": tgt_schema.jsonValue()}

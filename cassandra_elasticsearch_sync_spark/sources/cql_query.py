@@ -61,6 +61,16 @@ CQL_TABLES: dict[str, dict] = {
         "partition": ["key"],
         "clustering": [],
     },
+    # Vector table (Cassandra 5.0: CREATE TABLE embeddings (vec_id
+    # bigint PRIMARY KEY, embedding vector<float, 64>, label int);
+    # CREATE CUSTOM INDEX ON embeddings(embedding) USING 'SAI' WITH
+    # OPTIONS = {'similarity_function': 'cosine'}). ANN ordering is
+    # only legal on a vector-indexed column.
+    "embeddings": {
+        "partition": ["vec_id"],
+        "clustering": [],
+        "vector_indexes": {"embedding": "cosine"},
+    },
     # Collection + frozen-UDT bearing table (CREATE TYPE address
     # (city text, zip int); CREATE TABLE customer_profiles (cust_id
     # bigint PRIMARY KEY, segment text, tags set<text>,
@@ -118,6 +128,8 @@ class CqlSelect:
     allow_filtering: bool = False
     json: bool = False
     distinct: bool = False
+    # ORDER BY <col> ANN OF [v, ...]: (column, query_vector)
+    ann: tuple[str, list[float]] | None = None
 
 
 class CqlError(ValueError):
@@ -129,7 +141,7 @@ _STMT_RE = re.compile(
     r"(?P<cols>.+?)\s+FROM\s+(?P<table>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<groupby>[\w,\s]+?))?"
-    r"(?:\s+ORDER\s+BY\s+(?P<orderby>[\w,\s]+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<orderby>[\w,\s]+?|\w+\s+ANN\s+OF\s+\[[^\]]*\]))?"
     r"(?:\s+PER\s+PARTITION\s+LIMIT\s+(?P<pplimit>\d+))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
     r"(?P<af>\s+ALLOW\s+FILTERING)?\s*;?\s*$",
@@ -199,7 +211,16 @@ def parse_cql(stmt: str) -> CqlSelect:
     group_by = ([c.strip() for c in m.group("groupby").split(",")]
                 if m.group("groupby") else [])
     order_by = []
-    if m.group("orderby"):
+    ann = None
+    ann_m = (re.match(r"^\s*(\w+)\s+ANN\s+OF\s+\[([^\]]*)\]\s*$",
+                      m.group("orderby"), re.IGNORECASE)
+             if m.group("orderby") else None)
+    if ann_m:
+        vec = [float(x) for x in ann_m.group(2).split(",") if x.strip()]
+        if not vec:
+            raise CqlError("ANN OF requires a non-empty vector literal")
+        ann = (ann_m.group(1), vec)
+    elif m.group("orderby"):
         for part in m.group("orderby").split(","):
             toks = part.split()
             if not toks or len(toks) > 2:
@@ -220,6 +241,7 @@ def parse_cql(stmt: str) -> CqlSelect:
         allow_filtering=bool(m.group("af")),
         json=bool(m.group("json")),
         distinct=bool(m.group("distinct")),
+        ann=ann,
     )
 
 
@@ -387,6 +409,27 @@ def validate_cql(sel: CqlSelect) -> dict:
         raise CqlError(
             "cannot mix aggregates and plain columns without GROUP BY")
 
+    if sel.ann:
+        # Cassandra 5.0 ANN rules: the column must carry a SAI vector
+        # index, a LIMIT is mandatory and capped at 1000, and ANN
+        # cannot combine with clustering ORDER BY, GROUP BY,
+        # aggregates, DISTINCT, or PER PARTITION LIMIT.
+        col, _ = sel.ann
+        vidx = meta.get("vector_indexes", {})
+        if col not in vidx:
+            raise CqlError(
+                f"ANN ordering on {col!r} requires a vector SAI index")
+        if sel.limit is None:
+            raise CqlError("ANN ordering requires a LIMIT")
+        if sel.limit > 1000:
+            raise CqlError("ANN LIMIT must be <= 1000 (SAI cap)")
+        if (sel.order_by or sel.group_by or sel.distinct
+                or sel.per_partition_limit is not None
+                or any(c.fn in _AGG_FNS for c in sel.columns)):
+            raise CqlError(
+                "ANN ordering cannot combine with ORDER BY / GROUP BY / "
+                "DISTINCT / PER PARTITION LIMIT / aggregates")
+
     if sel.order_by:
         part_eq_all = all(
             any(op in _EQ_OPS for op in by_col.get(c, [])) for c in part_cols)
@@ -518,7 +561,48 @@ def cql_select(df: DataFrame, stmt: str,
                 .filter(F.col("__cql_rn") <= sel.per_partition_limit)
                 .drop("__cql_rn")
             )
-        if sel.order_by:
+        if sel.ann:
+            # ANN OF: score every (filtered) row with the index's
+            # similarity function - Cassandra's similarity_* family,
+            # all in [0, 1]: cosine -> (1+cos)/2, dot_product ->
+            # (1+dot)/2, euclidean -> 1/(1+d^2) - and gather the
+            # LIMIT page via TakeOrderedAndProject (the SAI per-node
+            # top-k + coordinator merge, same shard-gather shape as
+            # the ES knn twin). Ties break on the partition key so
+            # the page is deterministic cross-engine; the RAW double
+            # orders (identical sequential folds both engines).
+            acol, qv = sel.ann
+            simf = meta["vector_indexes"][acol]
+            qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+            d = F.aggregate(
+                F.zip_with(qlit, F.col(acol),
+                           lambda x, y: x * y.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v)
+            if simf == "cosine":
+                qn = sum(x * x for x in qv) ** 0.5
+                vn = F.sqrt(F.aggregate(
+                    F.zip_with(F.col(acol), F.col(acol),
+                               lambda x, y: x.cast("double")
+                               * y.cast("double")),
+                    F.lit(0.0), lambda acc, v: acc + v))
+                sim = (F.lit(1.0) + d / (F.lit(qn) * vn)) / 2
+            elif simf == "dot_product":
+                sim = (F.lit(1.0) + d) / 2
+            else:  # euclidean
+                diff = F.aggregate(
+                    F.zip_with(qlit, F.col(acol),
+                               lambda x, y: (x - y.cast("double"))
+                               * (x - y.cast("double"))),
+                    F.lit(0.0), lambda acc, v: acc + v)
+                sim = F.lit(1.0) / (F.lit(1.0) + diff)
+            out = (
+                out.withColumn("__cql_sim", sim)
+                .orderBy(F.col("__cql_sim").desc(),
+                         *[F.col(c).asc() for c in meta["partition"]])
+                .limit(sel.limit)
+                .drop("__cql_sim")
+            )
+        elif sel.order_by:
             # single-partition read (validated); order inside it
             order_exprs = [
                 F.col(c).desc() if d == "DESC" else F.col(c).asc()
@@ -855,3 +939,44 @@ def a2x_cql_pk_in_multi_partition(spark, sf_dir):
     """)
     return out.withColumn(
         "part_token", _token_col(["o_custkey"]))
+
+
+@register("a2y_cql_ann_vector_search", "A2+K3", """
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) x, UNNEST(embedding) y)))
+           AS nrm
+  FROM embeddings
+),
+qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 100),
+s AS (
+  SELECT e.vec_id, e.label,
+         (1 + (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+              / (qn * e.nrm)) / 2 AS sim
+  FROM e, qv
+)
+SELECT vec_id, label FROM s ORDER BY sim DESC, vec_id LIMIT 12
+""", "Cassandra 5.0 ANN vector search: `SELECT vec_id, label FROM "
+     "embeddings ORDER BY embedding ANN OF [...] LIMIT 12` parsed by "
+     "the CQL compiler itself - the text form, not a Python helper - "
+     "with Cassandra's own rules enforced (vector SAI index required "
+     "on the ordered column, LIMIT mandatory and capped at 1000, no "
+     "mixing with clustering ORDER BY / GROUP BY / DISTINCT / PER "
+     "PARTITION LIMIT). Scoring is the index's similarity function "
+     "(cosine here, Cassandra's [0,1] form (1+cos)/2), the page is "
+     "one TakeOrderedAndProject - the SAI per-node top-k + "
+     "coordinator merge, the CQL twin of the ES knn section (a3as). "
+     "The query vector is the stored vec 100, so the oracle "
+     "re-derives identical bytes.")
+def a2y_cql_ann_vector_search(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 100).select("embedding").head()
+    if row is None:
+        return spark.createDataFrame([], "vec_id long, label int")
+    vec_lit = ", ".join(repr(float(x)) for x in row[0])
+    return cql_select(e, f"""
+        SELECT vec_id, label FROM embeddings
+        ORDER BY embedding ANN OF [{vec_lit}] LIMIT 12
+    """)

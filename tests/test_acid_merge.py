@@ -1052,11 +1052,13 @@ def test_nmbs_bad_action_rejected(spark, root):
 
 
 def test_merge_schema_evolution_contract(spark):
-    """mergeSchema semantics: (1) unknown source column without the
-    flag is an error; (2) with the flag the table widens in the same
-    merge commit - untouched files read NULL; (3) time travel keeps
-    the pre-evolution schema; (4) a subsequent NARROW source keeps
-    evolved-column values on update and reads NULL on insert."""
+    """mergeSchema semantics: (1) an unknown source column without
+    the flag is IGNORED (written per the target schema - the contract
+    the CQL write path's helper columns rely on); (2) with the flag
+    the table widens in the same merge commit - untouched files read
+    NULL; (3) time travel keeps the pre-evolution schema; (4) a
+    subsequent NARROW source keeps evolved-column values on update
+    and reads NULL on insert."""
     import tempfile
 
     import pytest
@@ -1074,8 +1076,11 @@ def test_merge_schema_evolution_contract(spark):
         src = spark.createDataFrame(
             [(2, 21.0, "hot"), (4, 40.0, "new")],
             "key bigint, price double, note string")
-        with pytest.raises(ValueError, match="schema_evolution"):
-            t.merge_into(src, ["key"], assume_unique_keys=True)
+        # without the flag: extra column ignored, schema unchanged
+        t.merge_into(src, ["key"], assume_unique_keys=True)
+        assert t.read().columns == ["key", "price"]
+        got0 = sorted(tuple(r) for r in t.read().collect())
+        assert got0 == [(1, 10.0), (2, 21.0), (3, 30.0), (4, 40.0)]
         t.merge_into(src, ["key"], assume_unique_keys=True,
                      schema_evolution=True)
         assert t.read(version=v1).columns == ["key", "price"]

@@ -344,3 +344,36 @@ def test_pk_in_compiles_to_isin_pushdown(spark):
     want = {r.o_orderkey
             for r in o.filter(o.o_custkey.isin(5, 37)).collect()}
     assert got == want and got
+
+
+def test_ann_restriction_rules(spark):
+    """Cassandra 5.0 ANN rules: SAI vector index required, LIMIT
+    mandatory and <= 1000, no mixing with other clauses; the page is
+    a TakeOrderedAndProject."""
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        CqlError,
+        cql_select,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    vec = ", ".join(repr(float(x)) for x in
+                    e.head()["embedding"][:64])
+    good = f"SELECT vec_id FROM embeddings ORDER BY embedding ANN OF [{vec}] LIMIT 3"
+    out = cql_select(e, good)
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+    with pytest.raises(CqlError, match="LIMIT"):
+        cql_select(e, f"SELECT vec_id FROM embeddings "
+                      f"ORDER BY embedding ANN OF [{vec}]")
+    with pytest.raises(CqlError, match="1000"):
+        cql_select(e, f"SELECT vec_id FROM embeddings "
+                      f"ORDER BY embedding ANN OF [{vec}] LIMIT 1001")
+    with pytest.raises(CqlError, match="vector SAI"):
+        cql_select(e, f"SELECT vec_id FROM embeddings "
+                      f"ORDER BY label ANN OF [{vec}] LIMIT 3")
+    with pytest.raises(CqlError, match="non-empty"):
+        cql_select(e, "SELECT vec_id FROM embeddings "
+                      "ORDER BY embedding ANN OF [] LIMIT 3")
