@@ -3164,3 +3164,79 @@ def a3au_es_term_suggester(spark, sf_dir):
     return es_term_suggest(
         d, "text", ["strem", "qery", "vektor", "spark"],
         max_edits=2, size=5, suggest_mode="missing")
+
+
+# ---------------------------------------------------------------------------
+# ES highlight (the search-API snippet extractor)
+# ---------------------------------------------------------------------------
+
+def es_highlight(df: DataFrame, field: str, term: str,
+                 fragment_size: int = 60, pre_tag: str = "<em>",
+                 post_tag: str = "</em>") -> DataFrame:
+    """ES `highlight` for a term match, the deterministic subset: one
+    fragment per hit (number_of_fragments=1), centered on the FIRST
+    token-boundary occurrence of the term, with that occurrence
+    wrapped in the tags. Token boundaries are whitespace (the unified
+    highlighter's analyzer here is the whitespace tokenizer, matching
+    the corpus and every other text operator in the repo).
+
+    All string math is integer locate/substring arithmetic - identical
+    expression trees on both engines, so snippets hash-match exactly.
+    One scan; the match predicate pushes down; no UDF.
+    """
+    if not term or " " in term:
+        raise ValueError("highlight term must be a single token")
+    padded = F.concat(F.lit(" "), F.lower(F.col(field)), F.lit(" "))
+    needle = f" {term} "
+    p = F.locate(needle, padded)
+    half = fragment_size // 2
+    frag_start = F.greatest(F.lit(1), p - half)
+    frag = F.substring(padded, frag_start,
+                       fragment_size + len(term) + 2)
+    q = F.locate(needle, frag)
+    snippet = F.trim(F.concat(
+        F.substring(frag, F.lit(1), q),
+        F.lit(pre_tag), F.lit(term), F.lit(post_tag),
+        F.substring(frag, q + len(term) + 1, F.lit(2_000_000_000)),
+    ))
+    return (
+        df.withColumn("__p", p)
+        .filter(F.col("__p") > 0)
+        .withColumn("snippet", snippet)
+        .drop("__p")
+    )
+
+
+@register("a3av_es_highlight", "A3+H1", """
+WITH h AS (
+  SELECT doc_id, ' ' || LOWER(text) || ' ' AS padded
+  FROM documents
+),
+m AS (
+  SELECT doc_id, padded, POSITION(' merge ' IN padded) AS p
+  FROM h WHERE POSITION(' merge ' IN padded) > 0
+),
+f AS (
+  SELECT doc_id,
+         SUBSTR(padded, GREATEST(1, p - 30), 60 + 5 + 2) AS frag
+  FROM m
+),
+q AS (
+  SELECT doc_id, frag, POSITION(' merge ' IN frag) AS q FROM f
+)
+SELECT doc_id,
+       TRIM(SUBSTR(frag, 1, q) || '<em>merge</em>'
+            || SUBSTR(frag, q + 6)) AS snippet
+FROM q
+""", "ES highlight (search-API snippets): every document matching the "
+     "term 'merge' returns one fragment centered on the first "
+     "token-boundary occurrence with the hit wrapped in <em> tags - "
+     "the search-results-page rendering step. The whole highlighter "
+     "is integer locate/substring arithmetic (whitespace analyzer, "
+     "matching the corpus), textually identical on both engines, so "
+     "the snippets themselves hash-match - not just their counts. "
+     "One scan, predicate pushdown, no UDF.")
+def a3av_es_highlight(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_highlight(d, "text", "merge", fragment_size=60) \
+        .select("doc_id", "snippet")

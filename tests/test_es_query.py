@@ -650,3 +650,27 @@ def test_term_suggester_rules(spark):
                              suggest_mode="always").collect()
     assert always  # in-vocab term still gets near neighbors
     assert all(r["suggestion"] != "spark" for r in always)
+
+
+def test_highlight_semantics(spark):
+    """Highlight: every hit's snippet contains exactly one tagged
+    occurrence, the tagged token IS the term, snippet length respects
+    the fragment budget, non-matching docs are absent, and multi-word
+    terms are rejected."""
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_highlight,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="single token"):
+        es_highlight(d, "text", "two words")
+    out = es_highlight(d, "text", "merge", fragment_size=60).collect()
+    n_match = d.filter(
+        "text LIKE '% merge %' OR text LIKE 'merge %' "
+        "OR text LIKE '% merge' OR text = 'merge'").count()
+    assert len(out) == n_match > 0
+    for r in out:
+        assert r["snippet"].count("<em>merge</em>") == 1
+        assert len(r["snippet"]) <= 60 + len("merge") + 2 \
+            + len("<em></em>") + 2
