@@ -1304,3 +1304,108 @@ def k_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     exemplars = sims.join(keepers, "vec_id")
     return non_dup.unionByName(
         exemplars.select("vec_id", "label", "centroid_sim"))
+
+
+_IVF_NPROBE = 2
+_MULTIPROBE_ORACLE = "WITH " + _NORMED_SQL + f"""
+, q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+        FROM e WHERE {QUERY_FILTER})
+, sums AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1099511627776.0)
+                       AS HUGEINT)) AS DOUBLE) AS s
+  FROM (SELECT label, UNNEST(embedding) AS x,
+               UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim
+        FROM embeddings)
+  GROUP BY label, dim
+),
+cent AS (SELECT label, LIST(s ORDER BY dim) AS svec FROM sums GROUP BY label),
+crank AS (
+  SELECT qid, label,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY (SELECT SUM(CAST(x AS DOUBLE) * y)
+                     FROM (SELECT UNNEST(qe) x, UNNEST(svec) y))
+                    / (qn * SQRT((SELECT SUM(y * y)
+                                  FROM (SELECT UNNEST(svec) y)))) DESC,
+                    label) AS cr
+  FROM q CROSS JOIN cent
+),
+probes AS (SELECT qid, label FROM crank WHERE cr <= {_IVF_NPROBE}),
+p AS (
+  SELECT q.qid, e.vec_id AS cid,
+         ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT UNNEST(q.qe) x, UNNEST(e.embedding) y))
+               / (q.qn * e.nrm), 6) AS cos_sim
+  FROM q
+  JOIN probes pr ON pr.qid = q.qid
+  JOIN e ON e.label = pr.label AND e.vec_id <> q.qid
+)
+SELECT qid, cid, cos_sim, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, cid) AS rn FROM p)
+WHERE rn <= 3
+"""
+
+
+@register("k3o_ivf_multiprobe_topk", "K3", _MULTIPROBE_ORACLE,
+          "IVF with MULTI-PROBE (nprobe=2) - the recall/cost lever "
+          "single-probe ann_ivf_topk lacks: each query ranks the "
+          "cluster CENTROIDS by cosine (centroids enter as exact "
+          "scaled-integer component sums - cosine is scale-invariant, "
+          "the k_centroids_exact/SemDeDup trick, so the probe choice "
+          "is bit-deterministic), searches the union of its nprobe "
+          "closest clusters instead of only its own, and returns "
+          "exact top-3 over those candidates. At 100 TB this is the "
+          "standard dial between ann_ivf's 1/n_clusters scan and "
+          "brute force: candidates scale with nprobe/n_clusters, and "
+          "the centroid table (n_clusters rows) broadcasts. Queries "
+          "whose true neighbors sit across a cluster boundary - "
+          "invisible to 1-probe IVF - are exactly what nprobe>1 "
+          "recovers.")
+def k3o_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normed(spark, sf_dir)
+    q = e.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scaled = F.floor(F.col("x").cast("double") * F.lit(1099511627776.0))
+    sums = (
+        e.select("label", F.posexplode("embedding").alias("dim0", "x"))
+        .groupBy("label", "dim0")
+        .agg(F.sum(scaled.cast("decimal(38,0)")).cast("double").alias("s"))
+    )
+    cent = (
+        sums.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim0", "s"))).alias("ds"))
+        .select("label", F.transform("ds", lambda t: t["s"]).alias("svec"))
+    )
+    snorm = F.sqrt(F.aggregate(
+        F.transform("svec", lambda y: y * y), F.lit(0.0),
+        lambda acc, v: acc + v))
+    csim = dot(F.col("qe"), F.col("svec")) / (F.col("qn") * snorm)
+    wc = Window.partitionBy("qid").orderBy(F.col("__csim").desc(),
+                                           F.col("label").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__csim", csim)
+        .withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= _IVF_NPROBE)
+        .select("qid", "label")
+    )
+    cand = (
+        q.join(F.broadcast(probes), "qid")
+        .join(e, "label")
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    cos = F.round(dot(F.col("qe"), F.col("embedding"))
+                  / (F.col("qn") * F.col("nrm")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(),
+                                          F.col("cid"))
+    return (
+        cand.select("qid", F.col("vec_id").alias("cid"),
+                    cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
