@@ -83,6 +83,40 @@ def compile_query(q: dict, resolve=None) -> Column:
             for t in toks
         ]
         return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
+    if kind == "span_near":
+        # ES span_near, two-clause form: both span_terms occur in the
+        # SAME field with at most `slop` tokens between them;
+        # in_order pins the direction. Compiles to position arrays
+        # via higher-order filter/transform + a nested exists - all
+        # JVM lambdas over one split, no explode, no UDF, one scan.
+        # N>2 clauses (ES's running-slop composition) are rejected,
+        # not guessed.
+        clauses = body["clauses"]
+        if len(clauses) != 2 or any("span_term" not in c for c in clauses):
+            raise ValueError(
+                "span_near supports exactly two span_term clauses")
+        (f1, t1), = clauses[0]["span_term"].items()
+        (f2, t2), = clauses[1]["span_term"].items()
+        if f1 != f2:
+            raise ValueError("span_near clauses must share one field")
+        slop = int(body.get("slop", 0))
+        in_order = bool(body.get("in_order", True))
+        toks = F.split(F.lower(resolve(f1)), " ")
+
+        def positions(term):
+            idx = F.transform(
+                toks, lambda t, i: F.when(t == term, i).otherwise(F.lit(-1)))
+            return F.filter(idx, lambda x: x >= 0)
+
+        pa, pb = positions(str(t1).lower()), positions(str(t2).lower())
+        if in_order:
+            pair_ok = lambda p1: F.exists(  # noqa: E731
+                pb, lambda p2: (p2 > p1) & (p2 - p1 - 1 <= slop))
+        else:
+            pair_ok = lambda p1: F.exists(  # noqa: E731
+                pb, lambda p2: (p2 != p1)
+                & (F.greatest(p2 - p1, p1 - p2) - 1 <= slop))
+        return F.exists(pa, pair_ok)
     if kind == "multi_match":
         # OR of per-field match: doc matches if ANY listed field
         # contains ANY query token (best_fields-style boolean shape).
@@ -3240,3 +3274,39 @@ def a3av_es_highlight(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return es_highlight(d, "text", "merge", fragment_size=60) \
         .select("doc_id", "snippet")
+
+
+@register("a3aw_es_span_near", "A3+K4", """
+WITH pos AS (
+  SELECT doc_id, w, ord
+  FROM (SELECT doc_id,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w,
+               UNNEST(RANGE(1, LEN(STRING_SPLIT(LOWER(text), ' ')) + 1))
+                 AS ord
+        FROM documents)
+),
+hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND a.w = 'merge' AND b.w = 'spark'
+   AND b.ord > a.ord AND b.ord - a.ord - 1 <= 3
+)
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+""", "ES span_near (proximity search): documents where 'merge' is "
+     "followed by 'spark' with at most 3 tokens between them - the "
+     "query behind 'these words NEAR each other', which plain "
+     "match/match_phrase cannot express (match ignores distance, "
+     "match_phrase demands adjacency). Compiles to position arrays "
+     "via higher-order transform/filter + a nested exists over one "
+     "token split - all JVM lambdas, no explode, no UDF, single "
+     "scan; the oracle states the same spans as a position "
+     "self-join. in_order + slop semantics test-pinned; N>2 clause "
+     "composition rejected, not guessed.")
+def a3aw_es_span_near(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    q = {"span_near": {
+        "clauses": [{"span_term": {"text": "merge"}},
+                    {"span_term": {"text": "spark"}}],
+        "slop": 3, "in_order": True}}
+    return es_search(d, q).select("doc_id", "n_chars")

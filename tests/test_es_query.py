@@ -674,3 +674,39 @@ def test_highlight_semantics(spark):
         assert r["snippet"].count("<em>merge</em>") == 1
         assert len(r["snippet"]) <= 60 + len("merge") + 2 \
             + len("<em></em>") + 2
+
+
+def test_span_near_semantics(spark):
+    """span_near: slop counts tokens BETWEEN the spans, in_order pins
+    direction, unordered accepts either; invalid clause shapes are
+    rejected."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        compile_query,
+    )
+
+    rows = [(1, "merge the spark job"),        # gap 1, in order
+            (2, "merge a b c d spark"),        # gap 4
+            (3, "spark then merge"),           # reversed, gap 1
+            (4, "merge spark"),                # adjacent, gap 0
+            (5, "no terms here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def hits(slop, in_order):
+        q = {"span_near": {
+            "clauses": [{"span_term": {"text": "merge"}},
+                        {"span_term": {"text": "spark"}}],
+            "slop": slop, "in_order": in_order}}
+        return {r.doc_id for r in df.filter(compile_query(q)).collect()}
+
+    assert hits(0, True) == {4}
+    assert hits(1, True) == {1, 4}
+    assert hits(4, True) == {1, 2, 4}
+    assert hits(1, False) == {1, 3, 4}
+
+    with pytest.raises(ValueError, match="two span_term"):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}], "slop": 1}})
+    with pytest.raises(ValueError, match="share one field"):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"text": "a"}},
+            {"span_term": {"lang": "b"}}], "slop": 1}})
