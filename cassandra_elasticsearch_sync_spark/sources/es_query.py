@@ -3310,3 +3310,109 @@ def a3aw_es_span_near(spark, sf_dir):
                     {"span_term": {"text": "spark"}}],
         "slop": 3, "in_order": True}}
     return es_search(d, q).select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# ES RRF (the 8.x reciprocal-rank-fusion hybrid retriever)
+# ---------------------------------------------------------------------------
+
+def es_rrf(df: DataFrame, retrievers: list[list[tuple[str, bool]]],
+           id_col: str, rank_window_size: int = 50,
+           rank_constant: int = 60, size: int = 10) -> DataFrame:
+    """ES `rrf` retriever: each sub-retriever contributes its top
+    `rank_window_size` ranking, and documents score
+    sum over retrievers of 1/(rank_constant + rank) - appearing in
+    MORE rankings (hybrid agreement) beats a high rank in one. A doc
+    outside a retriever's window contributes nothing for that leg,
+    exactly ES's windowed semantics; size <= rank_window_size
+    enforced per ES.
+
+    Each retriever here is an order spec [(column, ascending), ...]
+    (the already-scored form - compose with es_function_score /
+    es_knn_search outputs for scored legs). Per-leg ranks come from
+    `topk_with_rank` (TakeOrderedAndProject + a broadcast
+    lexicographic self-join over the <= window survivors), so there
+    is NO global window anywhere; the fusion is one full-outer join
+    across <= window-sized legs. The RRF sum is a few exact dyadic
+    reciprocals - identical doubles cross-engine.
+    """
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        topk_with_rank,
+    )
+
+    if size > rank_window_size:
+        raise ValueError(
+            f"size ({size}) must be <= rank_window_size "
+            f"({rank_window_size})")
+    if len(retrievers) < 2:
+        raise ValueError("rrf needs at least two retrievers")
+    legs = []
+    for i, order_keys in enumerate(retrievers):
+        leg = topk_with_rank(df, order_keys, rank_window_size,
+                             rank_col=f"__r{i}")
+        legs.append(leg.select(F.col(id_col).alias("__id"),
+                               F.col(f"__r{i}")))
+    fused = legs[0]
+    for leg in legs[1:]:
+        fused = fused.join(leg, "__id", "full_outer")
+    score = None
+    for i in range(len(retrievers)):
+        term = F.when(
+            F.col(f"__r{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(rank_constant)) + F.col(f"__r{i}")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("_score", F.round(score, 6))
+        .withColumn("__s", score)
+        .orderBy(F.col("__s").desc(), F.col("__id").asc())
+        .limit(size)
+        .select(F.col("__id").alias(id_col), "_score",
+                *[F.col(f"__r{i}").cast("long").alias(f"rank_{i + 1}")
+                  for i in range(len(retrievers))])
+    )
+
+
+@register("a3ax_es_rrf_hybrid", "A3+F3", """
+WITH legA AS (
+  SELECT o_orderkey, ROW_NUMBER() OVER (
+           ORDER BY o_totalprice DESC, o_orderkey) AS r1
+  FROM orders QUALIFY r1 <= 50
+),
+legB AS (
+  SELECT o_orderkey, ROW_NUMBER() OVER (
+           ORDER BY o_orderdate DESC, o_orderkey) AS r2
+  FROM orders QUALIFY r2 <= 50
+),
+fused AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.r1, b.r2,
+         COALESCE(1.0 / (60.0 + a.r1), 0.0)
+         + COALESCE(1.0 / (60.0 + b.r2), 0.0) AS s
+  FROM legA a FULL OUTER JOIN legB b ON a.o_orderkey = b.o_orderkey
+)
+SELECT o_orderkey, ROUND(s, 6) AS _score,
+       CAST(r1 AS BIGINT) AS rank_1, CAST(r2 AS BIGINT) AS rank_2
+FROM fused
+ORDER BY s DESC, o_orderkey
+LIMIT 10
+""", "ES RRF hybrid retrieval (the 8.x `rrf` retriever): two "
+     "sub-retrievers - highest-value orders and most-recent orders - "
+     "each contribute their top-50 ranking, fused by reciprocal rank "
+     "1/(60+rank) so an order near the top of BOTH beats the #1 of "
+     "either alone (the hybrid keyword+vector pattern; compose the "
+     "legs from es_knn_search / es_function_score outputs for scored "
+     "retrieval). Per-leg ranks come from TakeOrderedAndProject + a "
+     "broadcast self-join over the <= 50 survivors - NO global "
+     "window anywhere (the single-partition-window ban holds); the "
+     "fusion is one full-outer join of window-sized legs and the "
+     "reciprocals are exact dyadic doubles both engines.")
+def a3ax_es_rrf_hybrid(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+    return es_rrf(
+        o,
+        [[("o_totalprice", False), ("o_orderkey", True)],
+         [("o_orderdate", False), ("o_orderkey", True)]],
+        id_col="o_orderkey", rank_window_size=50,
+        rank_constant=60, size=10)

@@ -710,3 +710,36 @@ def test_span_near_semantics(spark):
         compile_query({"span_near": {"clauses": [
             {"span_term": {"text": "a"}},
             {"span_term": {"lang": "b"}}], "slop": 1}})
+
+
+def test_rrf_semantics_and_plan(spark):
+    """RRF: hybrid agreement beats single-leg dominance; docs outside
+    a leg's window contribute nothing; size <= window enforced; no
+    WindowExec in the plan (per-leg ranks are TakeOrdered +
+    broadcast self-join)."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_rrf
+
+    rows = [(1, 100.0, 10), (2, 90.0, 9), (3, 80.0, 100),
+            (4, 1.0, 8), (5, 2.0, 7)]
+    df = spark.createDataFrame(rows, "id long, a double, b int")
+    with pytest.raises(ValueError, match="rank_window_size"):
+        es_rrf(df, [[("a", False), ("id", True)],
+                    [("b", False), ("id", True)]], "id",
+               rank_window_size=3, size=5)
+    with pytest.raises(ValueError, match="two retrievers"):
+        es_rrf(df, [[("a", False), ("id", True)]], "id")
+    out = es_rrf(df, [[("a", False), ("id", True)],
+                      [("b", False), ("id", True)]], "id",
+                 rank_window_size=3, rank_constant=60, size=3)
+    got = out.collect()
+    # doc 1: r1=1, r2=2 -> 1/61 + 1/62; doc 3: r1=3, r2=1 -> 1/63+1/61
+    # doc 2: r1=2, r2=3 -> 1/62 + 1/63 ; docs 4,5 outside both windows
+    expect_order = sorted(
+        {1: 1 / 61 + 1 / 62, 3: 1 / 63 + 1 / 61, 2: 1 / 62 + 1 / 63}.items(),
+        key=lambda kv: (-kv[1], kv[0]))
+    assert [r["id"] for r in got] == [k for k, _ in expect_order]
+    assert all(abs(r["_score"] - dict(expect_order)[r["id"]]) < 1e-6
+               for r in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan and "Window" not in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
