@@ -1512,6 +1512,7 @@ def decode_ycbcr_jpeg(raw: bytes | None):
         comp_tabs: dict[int, tuple[int, int]] = {}
         scan_start = None
         h = v = None
+        dri_nonzero = False
         while i + 4 <= n:
             if raw[i] != 0xFF:
                 return None
@@ -1559,6 +1560,16 @@ def decode_ycbcr_jpeg(raw: bytes | None):
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None
+            elif marker == 0xDD:
+                # DRI: restart markers are implemented only by the
+                # 4:2:0 decoder (dispatched at SOF above, so if we
+                # are still here the profile is not 4:2:0 - unless
+                # DRI precedes SOF, covered by the post-loop check).
+                # A nonzero interval here is an explicit
+                # rejected-profile, not a mid-scan failure.
+                dri_nonzero = struct.unpack(">H", body[:2])[0] != 0
+                if dri_nonzero and h is not None:
+                    return None
             elif marker == 0xDA:
                 if body[0] != 3:
                     return None
@@ -1569,6 +1580,8 @@ def decode_ycbcr_jpeg(raw: bytes | None):
                 break
             i += 2 + seg_len
         if None in (width, height, scan_start, h):
+            return None
+        if dri_nonzero:                  # DRI preceded the SOF
             return None
         end = raw.rfind(b"\xff\xd9")
         reader = _BitReader(raw[scan_start:end if end > 0 else n])

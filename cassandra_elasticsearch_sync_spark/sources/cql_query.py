@@ -580,11 +580,18 @@ def cql_select(df: DataFrame, stmt: str,
                 F.lit(0.0), lambda acc, v: acc + v)
             if simf == "cosine":
                 qn = sum(x * x for x in qv) ** 0.5
+                if qn == 0.0:
+                    raise CqlError(
+                        "ANN OF with a cosine index rejects a zero "
+                        "query vector (zero magnitude has no cosine)")
                 vn = F.sqrt(F.aggregate(
                     F.zip_with(F.col(acol), F.col(acol),
                                lambda x, y: x.cast("double")
                                * y.cast("double")),
                     F.lit(0.0), lambda acc, v: acc + v))
+                # A zero-norm row could never be SAI-indexed under
+                # cosine; exclude it rather than emit a NaN score.
+                out = out.filter(vn > 0)
                 sim = (F.lit(1.0) + d / (F.lit(qn) * vn)) / 2
             elif simf == "dot_product":
                 sim = (F.lit(1.0) + d) / 2

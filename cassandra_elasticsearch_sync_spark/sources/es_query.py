@@ -2872,14 +2872,20 @@ def es_knn_search(df: DataFrame, knn: dict, id_col: str) -> DataFrame:
       so the k results all satisfy it) - compiled with the same
       ``compile_query`` as every other clause and pushed into the scan.
     - ``num_candidates`` is ES's per-shard gather size; it must be
-      >= k (ES rejects otherwise - enforced here). With an
-      approximate per-shard index (HNSW) it trades recall for speed;
-      this engine scores candidates EXACTLY per partition, so recall
-      is 1.0 at any num_candidates and the knob only caps the
-      per-partition gather. The plan is the ES architecture verbatim:
-      score inside each partition, per-partition top-k, merge the
-      <= k-per-partition survivors on the driver - Spark's
-      TakeOrderedAndProject, no shuffle, one scan at any corpus size.
+      >= k (ES rejects otherwise - enforced here, and that validation
+      is its only effect). With an approximate per-shard index (HNSW)
+      the knob trades recall for speed; this engine scores candidates
+      EXACTLY, so recall is 1.0 regardless and the knob is a
+      deliberate no-op beyond validation: TakeOrderedAndProject
+      already gathers only the top k per partition (the tightest
+      possible gather, i.e. effectively num_candidates == k), then
+      merges the <= k-per-partition survivors on the driver - the ES
+      shard-gather architecture with no shuffle and one scan at any
+      corpus size.
+    - ``similarity: cosine`` rejects zero vectors exactly as ES does:
+      a zero QUERY vector raises, and zero-norm DOCUMENT vectors are
+      excluded from candidacy (ES would have refused to index them
+      under cosine similarity, so they can never appear in a page).
     - ``similarity`` -> ES's documented _score transforms:
       cosine -> (1 + cos)/2, dot_product -> (1 + dot)/2,
       l2_norm -> 1/(1 + d^2).
@@ -2906,6 +2912,14 @@ def es_knn_search(df: DataFrame, knn: dict, id_col: str) -> DataFrame:
     d = dot(qcol, F.col(field))
     if sim == "cosine":
         qn = sum(x * x for x in qv) ** 0.5
+        if qn == 0.0:
+            raise ValueError(
+                "knn with cosine similarity rejects a zero query vector "
+                "(ES: 'cosine similarity does not support vectors with "
+                "zero magnitude')")
+        # Zero-norm documents could never have been indexed under
+        # cosine in ES; exclude them rather than emit NaN scores.
+        df = df.filter(norm(F.col(field)) > 0)
         score = (F.lit(1.0) + d / (F.lit(qn) * norm(F.col(field)))) / 2
     elif sim == "dot_product":
         score = (F.lit(1.0) + d) / 2

@@ -752,26 +752,30 @@ GROUP BY n_nationkey
      "exact repr) and the re-read joins back to nation. The scan "
      "parallelizes per file exactly like the other text formats.")
 def a4d_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     s = load_table(spark, sf_dir, "supplier")
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        f"ces_xml_ingest_{os.path.basename(sf_dir.rstrip('/'))}")
-    (s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-     .write.mode("overwrite").format("xml").option("rowTag", "supplier")
-     .save(scratch))
-    ingested = (
-        spark.read.schema(
-            "s_suppkey bigint, s_name string, s_nationkey int, "
-            "s_acctbal double")
-        .format("xml").option("rowTag", "supplier").load(scratch)
-    )
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        ingested.join(F.broadcast(n),
-                      ingested.s_nationkey == n.n_nationkey)
-        .groupBy("n_nationkey")
-        .agg(F.count("*").alias("n"),
-             F.sum(F.col("s_acctbal").cast("decimal(38,10)"))
-              .cast("decimal(38,2)").cast("double").alias("total_bal"),
-             F.max("s_name").alias("max_name"))
-    )
+    scratch = tempfile.mkdtemp(prefix="ces_xml_ingest_")
+    try:
+        (s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+         .write.mode("overwrite").format("xml").option("rowTag", "supplier")
+         .save(scratch))
+        ingested = (
+            spark.read.schema(
+                "s_suppkey bigint, s_name string, s_nationkey int, "
+                "s_acctbal double")
+            .format("xml").option("rowTag", "supplier").load(scratch)
+        )
+        n = load_table(spark, sf_dir, "nation")
+        return (
+            ingested.join(F.broadcast(n),
+                          ingested.s_nationkey == n.n_nationkey)
+            .groupBy("n_nationkey")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("s_acctbal").cast("decimal(38,10)"))
+                  .cast("decimal(38,2)").cast("double").alias("total_bal"),
+                 F.max("s_name").alias("max_name"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -2215,8 +2215,9 @@ LEFT JOIN m2 ON k.key = m2.key
      "and follows Delta's UPDATE SET * / INSERT * contract: the "
      "evolved column keeps its target value on update and reads NULL "
      "on insert, never nulled out by the narrow writer. Without the "
-     "flag an unknown source column is an error (a typo must not "
-     "silently fork the schema - test-pinned). The committed "
+     "flag an unknown source column is IGNORED - written per the "
+     "target schema, never widening it (test-pinned; the contract "
+     "the CQL write path's helper columns rely on). The committed "
      "SNAPSHOT, not the fold, hash-matches the three-way relational "
      "reconstruction. sources/acid.py merge_into(schema_evolution=).")
 def l37_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
