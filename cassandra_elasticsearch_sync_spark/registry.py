@@ -72,20 +72,67 @@ def register(name: str, survey_id: str, oracle: str | None, doc: str = ""):
 # 164/442; this block converts 46 more. Previously-verified blocks
 # (r5, r4, r1-r3) sit directly after for larger budgets.
 _FRONT = (
+    # ROTATION (round 7, VERDICT r6 #1): fifth rotation, aimed at
+    # BREADTH. The type-debt is paid (r6: 50/50 green incl. all three
+    # historical reds; registry-wide type sweep 0 divergent columns),
+    # so the front-50 is now flagship + 49 keys that have NEVER
+    # produced a driver row, weighted exactly as the r6 verdict
+    # prescribes: the streaming-adjacent oracles (i2..i12, k2e - all
+    # batch-equivalence oracles, full hash checks), the ES agg long
+    # tail (a3e..a3r), the ACID tail l15-l32, the K7 long tail
+    # (k7b..k7j), and a cross-tier remainder (CQL paging/LWT/MV,
+    # sampling/splits, BM25, GIF). Cumulative driver-verified keys
+    # after r6: 210/458; this block converts 49 more.
     "flagship_pricing_summary",
-    # the three r5 driver-red keys, root-caused to HUGEINT outputs
+    # streaming-adjacent oracles (named in VERDICT r6 #1)
+    "i2_tumbling_window", "i3_sliding_window", "i4_sessionization",
+    "i5_streaming_dedup", "i5b_dedup_within_watermark",
+    "i6b_stateful_final_state", "i8_stream_static_join",
+    "i9_stream_stream_join", "i10_incremental_agg_maintenance",
+    "i12_streaming_hll_distinct", "k2e_streaming_lsh_pairs",
+    # ES agg long tail
+    "a3e_es_range_stats_agg", "a3f_es_nested_bool_multimatch",
+    "a3h_es_nested_terms_agg", "a3i_es_significant_terms",
+    "a3j_es_search_after", "a3k_es_function_score",
+    "a3l_es_percentiles_agg", "a3m_es_filter_agg",
+    "a3n_es_cardinality_agg", "a3p_es_pipeline_aggs",
+    "a3q_es_histogram_agg", "a3r_es_rare_terms_agg",
+    # ACID long tail l15-l32
+    "l15_acid_stats_pruned_read", "l16_acid_zorder_pruned_scan",
+    "l17_acid_schema_evolution", "l18_acid_delete_where",
+    "l22_cdc_changes_only", "l23_acid_wap_publish",
+    "l24_cdc_to_acid_e2e", "l27_acid_replace_where",
+    "l28_acid_compact_small", "l32_acid_check_constraint",
+    # K7 long tail
+    "k7b_gap_fill", "k7c_ewma_smoothing", "k7d_event_transitions",
+    "k7e_cumulative_users", "k7f_autocorrelation",
+    "k7g_peak_detection", "k7h_dow_seasonality", "k7j_psi_drift",
+    # cross-tier remainder (never sampled)
+    "a2c_per_partition_limit", "a2d_clustering_range_scan",
+    "a2f_lwt_conditional_batch", "a2g_mv_maintenance_delta",
+    "k_stratified_sample", "k_train_val_test", "k_bm25_search",
+    "k6g_gif_pixel_decode",
+    # never driver-verified; next in line after the front-50
+    # (round-7 additions first, then the remaining streaming oracles,
+    # then the r6-new block that positions 51+ missed last round)
+    "i6c_stateful_session_timeout", "i9b_stream_stream_left_join",
+    "i9c_stream_stream_full_outer", "i11_exactly_once_acid_sink",
+    "a11_python_stream_source",
+    "a3as_es_knn_search", "l36_cdc_to_es_roundtrip",
+    "k6u_jpeg_subsampling_decode", "k6w_jpeg_progressive_restart_decode",
+    "k_kruskal_wallis", "k7w_theil_sen_slope", "a4d_xml_ingest",
+    "a3at_es_rescore", "l37_merge_schema_evolution",
+    "j1_scalar_udf", "d10b_unpivot",
+    "h6b_nested_json", "k4_bigrams", "k2h_containment_pairs",
+    # --- r6 driver-verified block ---
     "k7o_cusum_changepoint", "k_mann_whitney_u", "k6s_ima_adpcm_decode",
-    # the other HUGEINT-output oracles (never sampled - highest risk)
     "l20_merkle_repair_protocol", "k_repetition_ratio",
     "k_bigram_surprisal", "k_perplexity_buckets", "k_rouge_overlap",
     "k6d_audio_features", "k6r_g711_audio_decode", "k6t_png16_decode",
     "k7v_mann_kendall_trend", "k_cohens_kappa", "k_wilson_lower_bound",
     "k_two_proportion_ztest", "k_feature_hashing",
-    # the DECIMAL-vs-DOUBLE oracles (same class, same fix)
     "k6e_png_pixel_decode", "k6o_png_interlaced_decode",
     "value_histogram", "k_pr_curve", "k_dp_noisy_counts",
-    # other type-touched never-sampled keys (int->long alignment,
-    # TIMESTAMP_NTZ pairing, JSON/INTEGER casts)
     "k1d_substring_dup_spans", "k1f_levenshtein_dedup",
     "k_centroids_exact", "k_normalize_embeddings", "k_token_count",
     "k_pack_sequences", "k_html_strip_ratio", "k_code_detect",
@@ -93,23 +140,12 @@ _FRONT = (
     "price_deciles", "a2u_cql_group_by_clustering_prefix",
     "a2o_cql_token_ring_json_page", "a2t_cql_using_ttl_timestamp",
     "a2w_cql_writetime_ttl_read",
-    # fresh cross-tier never-verified keys
     "q13_order_count_distribution", "q15_top_supplier",
     "q19_bracket_revenue", "q20_potential_promotion",
     "e8_nth_value", "h6c_variant_type", "h2d_business_days",
     "a3d_es_date_histogram", "a4c_orc_ingest",
     "l35_merge_not_matched_by_source", "l12_time_travel_read",
     "k2g_triangle_count",
-    # never driver-verified; next in line after the front-50
-    # (round-6 additions first - ES kNN/rescore, CDC->ES round trip,
-    # JPEG subsampling + progressive restarts, Kruskal-Wallis,
-    # Theil-Sen, XML ingest, merge schema evolution)
-    "a3as_es_knn_search", "l36_cdc_to_es_roundtrip",
-    "k6u_jpeg_subsampling_decode", "k6w_jpeg_progressive_restart_decode",
-    "k_kruskal_wallis", "k7w_theil_sen_slope", "a4d_xml_ingest",
-    "a3at_es_rescore", "l37_merge_schema_evolution",
-    "j1_scalar_udf", "d10b_unpivot",
-    "h6b_nested_json", "k4_bigrams", "k2h_containment_pairs",
     # --- r5 driver-verified block ---
     "q2_min_cost_supplier", "q4_late_orders", "q9_product_profit",
     "q11_important_stock", "q17_small_quantity_revenue",
