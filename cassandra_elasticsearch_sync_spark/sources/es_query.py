@@ -3430,3 +3430,354 @@ def a3ax_es_rrf_hybrid(spark, sf_dir):
          [("o_orderdate", False), ("o_orderkey", True)]],
         id_col="o_orderkey", rank_window_size=50,
         rank_constant=60, size=10)
+
+
+# ---------------------------------------------------------------------------
+# ES more_like_this (the MLT query: find documents similar to a seed)
+# ---------------------------------------------------------------------------
+
+def es_more_like_this(df: DataFrame, field: str, id_col: str, like_id,
+                      max_query_terms: int = 12, min_term_freq: int = 2,
+                      min_doc_freq: int = 5,
+                      minimum_should_match: float = 0.30,
+                      size: int = 10) -> DataFrame:
+    """ES ``more_like_this`` query, the deterministic subset.
+
+    Semantics exactly as ES documents the MLT pipeline:
+
+    1. **Interesting-term selection** from the `like` document: its
+       terms are TF-IDF-scored (tf in the seed doc x idf over the
+       corpus - the selection metric MLT documents), gated by
+       ``min_term_freq`` (seed-doc tf floor, ES default 2) and
+       ``min_doc_freq`` (corpus df floor, ES default 5), and the top
+       ``max_query_terms`` (ES default 25) survive - ranked score
+       desc then term asc so the cut is total-ordered.
+    2. **Query formation**: the selected terms become a bool-should;
+       ``minimum_should_match`` (ES default "30%") rounds DOWN to a
+       term count (ES's positive-percentage rule), floored at 1.
+    3. **Scoring**: candidates are ranked by the summed weights of
+       their matched selected terms. Weights are
+       ``floor(tf * ln(n_docs/df) * 2^20)`` BIGINTs - the house
+       scaled-integer trick - so every per-doc score is an exact
+       integer sum in any engine and at any parallelism; the reported
+       `_score` divides by 2^20 (a dyadic, hence exact, FP op). The
+       seed document itself is excluded (ES excludes the `like` input).
+
+    Scale shape: the corpus collapses to (doc, term, tf) postings
+    once; the seed's term list is one document's vocabulary (bounded),
+    ranked under a window PARTITIONED on the seed id and broadcast to
+    the candidate match - the corpus-sized side is touched by exactly
+    one scan + one grouped aggregate, and output is top-`size` via
+    TakeOrderedAndProject. No UDFs, no global window.
+    """
+    if max_query_terms <= 0:
+        raise ValueError("more_like_this.max_query_terms must be positive")
+    if not 0 < minimum_should_match <= 1:
+        raise ValueError(
+            "minimum_should_match must be a fraction in (0, 1]")
+    from pyspark.sql import Window
+
+    tok = df.select(id_col, F.explode(
+        F.split(F.lower(F.col(field)), " ")).alias("term")) \
+        .filter(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    seed = (
+        tf.filter(F.col(id_col) == like_id)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .filter((F.col("tf") >= min_term_freq)
+                & (F.col("df") >= min_doc_freq))
+        .withColumn("wq", F.floor(
+            F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                / F.col("df"))
+            * F.lit(1048576.0)).cast("bigint"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("wq").desc(), F.col("term").asc())
+    sel = (
+        seed.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= max_query_terms)
+        .select("term", "wq")
+    )
+    n_sel = sel.agg(
+        F.count("*").alias("n_sel"),
+        F.greatest(
+            F.lit(1),
+            F.floor(F.count("*") * F.lit(minimum_should_match)),
+        ).cast("bigint").alias("msm"))
+    cand = (
+        tok.distinct()
+        .join(F.broadcast(sel), "term")
+        .filter(F.col(id_col) != like_id)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("matched_terms"),
+             F.sum("wq").alias("score_q"))
+        .crossJoin(F.broadcast(n_sel))
+        .filter(F.col("matched_terms") >= F.col("msm"))
+    )
+    return (
+        cand.select(id_col, "matched_terms",
+                    F.round(F.col("score_q") / F.lit(1048576.0), 6)
+                    .alias("_score"), "score_q")
+        .orderBy(F.col("score_q").desc(), F.col(id_col))
+        .limit(size)
+        .drop("score_q")
+    )
+
+
+@register("a3ay_es_more_like_this", "A3+K4", """
+WITH tok AS (
+  SELECT doc_id, w AS term
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+seed AS (
+  SELECT tf.term,
+         CAST(FLOOR(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+                    * 1048576.0) AS BIGINT) AS wq
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  WHERE tf.doc_id = 42 AND tf.tf >= 2 AND dfreq.df >= 5
+),
+sel AS (
+  SELECT term, wq FROM (
+    SELECT term, wq,
+           ROW_NUMBER() OVER (ORDER BY wq DESC, term) AS r
+    FROM seed)
+  WHERE r <= 12
+),
+nsel AS (
+  SELECT COUNT(*) AS n_sel,
+         GREATEST(1, CAST(FLOOR(COUNT(*) * 0.30) AS BIGINT)) AS msm
+  FROM sel
+),
+cand AS (
+  SELECT t.doc_id, COUNT(*) AS matched_terms, SUM(s.wq) AS score_q
+  FROM (SELECT DISTINCT doc_id, term FROM tok) t
+  JOIN sel s USING (term)
+  WHERE t.doc_id <> 42
+  GROUP BY t.doc_id
+)
+SELECT doc_id, matched_terms,
+       ROUND(CAST(score_q AS DOUBLE) / 1048576.0, 6) AS _score
+FROM cand CROSS JOIN nsel
+WHERE matched_terms >= msm
+ORDER BY score_q DESC, doc_id
+LIMIT 10
+""", "ES more_like_this: find the 10 documents most similar to doc "
+     "42 - its terms TF-IDF-ranked (min_term_freq=2 / min_doc_freq=5 "
+     "gates, ES defaults), top max_query_terms=12 form a bool-should "
+     "with minimum_should_match=30% (rounds down, ES's "
+     "positive-percentage rule), candidates scored by the summed "
+     "weights of matched terms. Weights are floor(tfidf*2^20) "
+     "BIGINTs so scores are exact integer sums cross-engine; _score "
+     "divides by 2^20 (dyadic, exact). One corpus scan to postings, "
+     "seed vocabulary broadcast, TakeOrderedAndProject page - the "
+     "MLT retrieval shape at any corpus size.")
+def a3ay_es_more_like_this(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_more_like_this(
+        d, "text", "doc_id", 42,
+        max_query_terms=12, min_term_freq=2, min_doc_freq=5,
+        minimum_should_match=0.30, size=10)
+
+
+# ---------------------------------------------------------------------------
+# ES phrase suggester (whole-phrase did-you-mean over a bigram LM)
+# ---------------------------------------------------------------------------
+
+def es_phrase_suggest(df: DataFrame, field: str, phrase: str,
+                      max_edits: int = 1, per_slot: int = 3,
+                      size: int = 5) -> DataFrame:
+    """ES ``phrase`` suggester, the deterministic subset.
+
+    The real thing (ES docs): per-position candidate generation from
+    the index vocabulary via a direct generator (bounded edit
+    distance), then whole-phrase candidates scored by an n-gram
+    language model with smoothing - StupidBackoff by default - and
+    the top phrases returned. This subset implements exactly that
+    pipeline for a whitespace-tokenized phrase:
+
+    - **Candidates per slot**: vocabulary terms within ``max_edits``
+      (ES caps max_edits at 2 - enforced), ranked the term
+      suggester's way (distance asc, corpus frequency desc, term
+      asc), top ``per_slot`` each. Distance 0 keeps the original
+      term when it is a real word (the direct generator's behavior).
+      A slot with NO candidate yields no suggestions (the phrase
+      cannot be formed from the vocabulary).
+    - **Scoring**: StupidBackoff bigram LM (the ES default smoothing)
+      over exact integer counts: ln P(w1) + sum ln P(w_i | w_{i-1}),
+      with P(w|prev) = c(prev,w)/c(prev) when the bigram exists, else
+      0.4 * c(w)/T (T = total tokens). Every ln argument is a ratio
+      of exact integers, so both engines see identical doubles (the
+      k_bigram_surprisal discipline), and the per-phrase sum is a
+      FIXED-SHAPE scalar expression (slot order), not an aggregation
+      fold - bit-stable at any parallelism.
+    - **Page**: top ``size`` by score desc, then suggestion asc.
+
+    Scale shape: the corpus collapses once to its vocabulary and its
+    bigram-count table (both sublinear in corpus size); candidate
+    sets are <= per_slot rows each and every join below is a
+    broadcast of those bounded sets against the bigram table. The
+    candidate-phrase space is prod(per_slot) - bounded by parameters,
+    never by the corpus.
+    """
+    if not 1 <= max_edits <= 2:
+        raise ValueError("phrase suggester max_edits must be 1 or 2 "
+                         "(ES validation rule)")
+    if size <= 0 or per_slot <= 0:
+        raise ValueError("size and per_slot must be positive")
+    slots = [t for t in phrase.lower().split(" ") if t]
+    if not slots:
+        raise ValueError("phrase must contain at least one token")
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.posexplode(F.split(F.lower(F.col(field)), " "))
+        .alias("pos", "w")).filter(F.col("w") != "")
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c1"))
+    total = tok.agg(F.count("*").alias("t_toks"))
+    # bigram counts: adjacent pairs WITHIN each document
+    tok2 = df.select(
+        F.col(field).alias("__txt"),
+        F.posexplode(F.split(F.lower(F.col(field)), " "))
+        .alias("pos", "w"))
+    nxt = F.try_element_at(F.split(F.lower(F.col("__txt")), " "),
+                           F.col("pos") + 2)
+    bigrams = (
+        tok2.withColumn("w2", nxt)
+        .filter((F.col("w") != "") & F.col("w2").isNotNull()
+                & (F.col("w2") != ""))
+        .groupBy(F.col("w").alias("b1"), F.col("w2").alias("b2"))
+        .agg(F.count("*").alias("c12"))
+    )
+    # per-slot candidate sets, ranked under a slot-partitioned window
+    cand_all = None
+    for i, t in enumerate(slots):
+        # bounded levenshtein returns -1 above the threshold, so the
+        # in-range test must be between(0, max_edits), not <=
+        c = (
+            vocab.filter(
+                F.levenshtein(F.col("w"), F.lit(t), max_edits)
+                .between(0, max_edits))
+            .select(F.lit(i).alias("slot"), "w", "c1",
+                    F.levenshtein(F.col("w"), F.lit(t), max_edits)
+                    .alias("dist"))
+        )
+        cand_all = c if cand_all is None else cand_all.unionByName(c)
+    w = Window.partitionBy("slot").orderBy(
+        F.col("dist").asc(), F.col("c1").desc(), F.col("w").asc())
+    cand = (
+        cand_all.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= per_slot)
+        .select("slot", "w", "c1")
+    )
+    # fold the slots into candidate phrases (bounded cross of
+    # broadcast per-slot sets), joining bigram counts per transition
+    out = (
+        cand.filter(F.col("slot") == 0)
+        .select(F.col("w").alias("w0"), F.col("c1").alias("c_0"))
+    )
+    phrase_col = F.col("w0")
+    score = None  # built after total join
+    terms = [("w0", "c_0")]
+    for i in range(1, len(slots)):
+        ci = (
+            cand.filter(F.col("slot") == i)
+            .select(F.col("w").alias(f"w{i}"),
+                    F.col("c1").alias(f"c_{i}"))
+        )
+        out = out.crossJoin(F.broadcast(ci))
+        bg = bigrams.select(
+            F.col("b1").alias(f"w{i-1}"), F.col("b2").alias(f"w{i}"),
+            F.col("c12").alias(f"c12_{i}"))
+        out = out.join(F.broadcast(bg), [f"w{i-1}", f"w{i}"], "left")
+        terms.append((f"w{i}", f"c_{i}"))
+    out = out.crossJoin(F.broadcast(total))
+    score = F.log(F.col("c_0").cast("double") / F.col("t_toks"))
+    for i in range(1, len(slots)):
+        bigram_p = F.log(F.col(f"c12_{i}").cast("double")
+                         / F.col(f"c_{i-1}"))
+        backoff_p = F.log(F.lit(0.4) * F.col(f"c_{i}").cast("double")
+                          / F.col("t_toks"))
+        score = score + F.when(F.col(f"c12_{i}").isNotNull(), bigram_p) \
+                         .otherwise(backoff_p)
+    suggestion = F.concat_ws(" ", *[F.col(c) for c, _ in terms])
+    return (
+        out.select(suggestion.alias("suggestion"),
+                   F.round(score, 6).alias("score"),
+                   score.alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col("suggestion").asc())
+        .limit(size)
+        .drop("__s")
+    )
+
+
+@register("a3az_es_phrase_suggester", "A3+K4", """
+WITH tok AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(LOWER(text), ' '), 1) AS pos
+    FROM documents)
+  WHERE w <> ''
+),
+vocab AS (SELECT w, COUNT(*) AS c1 FROM tok GROUP BY w),
+total AS (SELECT COUNT(*) AS t_toks FROM tok),
+bigrams AS (
+  SELECT a.w AS b1, b.w AS b2, COUNT(*) AS c12
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+c0 AS (SELECT w AS w0, c1 AS c_0 FROM (
+         SELECT w, c1, ROW_NUMBER() OVER (
+           ORDER BY LEVENSHTEIN(w, 'srt'), c1 DESC, w) AS r
+         FROM vocab WHERE LEVENSHTEIN(w, 'srt') <= 2) WHERE r <= 3),
+c1s AS (SELECT w AS w1, c1 AS c_1 FROM (
+         SELECT w, c1, ROW_NUMBER() OVER (
+           ORDER BY LEVENSHTEIN(w, 'lne'), c1 DESC, w) AS r
+         FROM vocab WHERE LEVENSHTEIN(w, 'lne') <= 2) WHERE r <= 3),
+c2s AS (SELECT w AS w2, c1 AS c_2 FROM (
+         SELECT w, c1, ROW_NUMBER() OVER (
+           ORDER BY LEVENSHTEIN(w, 'ky'), c1 DESC, w) AS r
+         FROM vocab WHERE LEVENSHTEIN(w, 'ky') <= 2) WHERE r <= 3),
+phrases AS (
+  SELECT w0, w1, w2, c_0, c_1, c_2, g1.c12 AS c12_1, g2.c12 AS c12_2,
+         t.t_toks
+  FROM c0 CROSS JOIN c1s CROSS JOIN c2s CROSS JOIN total t
+  LEFT JOIN bigrams g1 ON g1.b1 = w0 AND g1.b2 = w1
+  LEFT JOIN bigrams g2 ON g2.b1 = w1 AND g2.b2 = w2
+),
+scored AS (
+  SELECT w0 || ' ' || w1 || ' ' || w2 AS suggestion,
+         LN(CAST(c_0 AS DOUBLE) / t_toks)
+         + COALESCE(LN(CAST(c12_1 AS DOUBLE) / c_0),
+                    LN(0.4 * CAST(c_1 AS DOUBLE) / t_toks))
+         + COALESCE(LN(CAST(c12_2 AS DOUBLE) / c_1),
+                    LN(0.4 * CAST(c_2 AS DOUBLE) / t_toks)) AS s
+  FROM phrases
+)
+SELECT suggestion, ROUND(s, 6) AS score
+FROM scored ORDER BY s DESC, suggestion LIMIT 5
+""", "ES phrase suggester (whole-phrase did-you-mean): 'srt lne ky' "
+     "resolves against the corpus vocabulary - per-slot candidates "
+     "within 2 edits ranked distance/frequency/lexicographic (top 3 "
+     "each, the direct generator), candidate phrases scored by a "
+     "StupidBackoff bigram LM (the ES default smoothing): ln P(w1) + "
+     "sum ln P(wi|wi-1), backoff 0.4*P(wi) when the bigram is "
+     "unseen. Every ln takes a ratio of exact integer counts and the "
+     "sum is a fixed-shape scalar expression, so scores are "
+     "bit-stable cross-engine. Vocabulary-first: candidate sets and "
+     "the bigram table are sublinear in the corpus; the phrase space "
+     "is bounded by parameters (3^3), never by data.")
+def a3az_es_phrase_suggester(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_phrase_suggest(d, "text", "srt lne ky",
+                             max_edits=2, per_slot=3, size=5)

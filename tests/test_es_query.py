@@ -743,3 +743,88 @@ def test_rrf_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan and "Window" not in plan, plan[:1500]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_more_like_this_semantics(spark):
+    """MLT: param validation; seed exclusion; min_term_freq /
+    minimum_should_match gates; scores are exact scaled-integer sums
+    (hand-computed on a 4-doc corpus)."""
+    import math
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_more_like_this,
+    )
+
+    rows = [(1, "apple banana apple cherry"),
+            (2, "apple banana durian"),
+            (3, "banana cherry cherry"),
+            (4, "durian fig grape")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_query_terms"):
+        es_more_like_this(df, "text", "doc_id", 1, max_query_terms=0)
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        es_more_like_this(df, "text", "doc_id", 1,
+                          minimum_should_match=1.5)
+    # seed=1: terms apple(tf2,df2) cherry(tf1,df2) banana(tf1,df3);
+    # min_term_freq=1, min_doc_freq=2 keeps all three; wq =
+    # floor(tf*ln(4/df)*2^20)
+    out = es_more_like_this(
+        df, "text", "doc_id", 1, max_query_terms=25, min_term_freq=1,
+        min_doc_freq=2, minimum_should_match=0.3, size=10).collect()
+    w = {t: math.floor(tf * math.log(4 / df) * 1048576)
+         for t, tf, df in
+         [("apple", 2, 2), ("banana", 1, 3), ("cherry", 1, 2)]}
+    # msm = max(1, floor(3*0.3)) = 1; doc2 matches apple+banana,
+    # doc3 banana+cherry, doc4 nothing; seed doc1 excluded
+    exp = {2: w["apple"] + w["banana"], 3: w["banana"] + w["cherry"]}
+    assert {r["doc_id"]: round(v / 1048576, 6)
+            for r, v in zip(out, [0, 0])} or True
+    got = {r["doc_id"]: r["_score"] for r in out}
+    assert set(got) == set(exp)
+    assert all(abs(got[k] - round(exp[k] / 1048576, 6)) < 1e-9
+               for k in exp)
+    assert [r["doc_id"] for r in out] == sorted(
+        exp, key=lambda k: (-exp[k], k))
+    # matched_terms gate: msm on a 3-term selection at 0.67 -> 2
+    out2 = es_more_like_this(
+        df, "text", "doc_id", 1, max_query_terms=25, min_term_freq=1,
+        min_doc_freq=2, minimum_should_match=0.67, size=10).collect()
+    assert all(r["matched_terms"] >= 2 for r in out2)
+
+
+def test_phrase_suggester_rules(spark):
+    """Phrase suggester: ES validation rules (max_edits in [1,2],
+    positive size/per_slot, non-empty phrase); candidate ranking;
+    StupidBackoff scoring hand-checked; empty result when a slot has
+    no vocabulary candidate."""
+    import math
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_phrase_suggest,
+    )
+
+    rows = [(1, "red fox jumps"), (2, "red fox runs"),
+            (3, "red dog jumps")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for bad in (dict(max_edits=0), dict(max_edits=3), dict(size=0),
+                dict(per_slot=0)):
+        with pytest.raises(ValueError):
+            es_phrase_suggest(df, "text", "red fox", **bad)
+    with pytest.raises(ValueError, match="at least one token"):
+        es_phrase_suggest(df, "text", "   ")
+    # 'rad fax' -> slot0 {red(1)}, slot1 {fox(1), fax? not in vocab}
+    out = es_phrase_suggest(df, "text", "rad fax", max_edits=1,
+                            per_slot=3, size=5).collect()
+    # vocab: red3 fox2 jumps2 runs1 dog1; T=9; bigram red->fox c=2
+    exp_top = math.log(3 / 9) + math.log(2 / 3)
+    assert out[0]["suggestion"] == "red fox"
+    assert abs(out[0]["score"] - round(exp_top, 6)) < 1e-9
+    # a slot that matches nothing within 1 edit -> no phrases
+    none = es_phrase_suggest(df, "text", "red zzzzz", max_edits=1,
+                             per_slot=3, size=5).collect()
+    assert none == []
+    # distance-0 keeps the real word and outranks an edit at equal
+    # frequency: 'fox' slot candidates must rank fox (d0) first
+    out2 = es_phrase_suggest(df, "text", "fox", max_edits=1,
+                             per_slot=3, size=5).collect()
+    assert out2[0]["suggestion"] == "fox"
