@@ -116,6 +116,7 @@ _FRONT = (
     # (round-7 additions first, then the remaining streaming oracles,
     # then the r6-new block that positions 51+ missed last round)
     "a3ay_es_more_like_this", "a3az_es_phrase_suggester",
+    "l38_sync_lag_slo",
     "i6c_stateful_session_timeout", "i9b_stream_stream_left_join",
     "i9c_stream_stream_full_outer", "i11_exactly_once_acid_sink",
     "a11_python_stream_source",

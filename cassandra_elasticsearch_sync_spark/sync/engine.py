@@ -131,15 +131,47 @@ class AcidStore:
                               assume_unique_keys=True)
 
 
+_LEDGER_COLS = ("cycle", "shipped_a", "shipped_b", "conflict_keys",
+                "p50_lag_s", "p95_lag_s", "max_lag_s", "watermark_s")
+_LEDGER_SCHEMA = ("cycle bigint, shipped_a bigint, shipped_b bigint, "
+                  "conflict_keys bigint, "
+                  "p50_lag_s double, p95_lag_s double, max_lag_s double, "
+                  "watermark_s string")
+
+
 class SyncEngine:
-    """Bidirectional LWW synchronizer between two keyed stores."""
+    """Bidirectional LWW synchronizer between two keyed stores.
+
+    With ``record_ledger=True`` every ``incremental_cycle`` appends
+    one row of OPERATIONAL metrics to ``self.ledger`` - the sync-lag
+    SLO panel a production deployment alarms on:
+
+    - ``shipped_a`` / ``shipped_b``: rows applied in each direction.
+    - ``conflict_keys``: keys shipped in BOTH directions in the same
+      cycle (both replicas believed they had news for the other - the
+      LWW-arbitration event), with ``conflict_rate`` over the cycle's
+      distinct shipped keys.
+    - ``p50/p95/max_lag_s``: per shipped row, the DATA lag behind the
+      cycle's version frontier (the max change-version seen this
+      cycle) - replication lag in feed time, the deterministic twin
+      of the wall-clock consumer-lag panel (wall-clock would not be
+      oracle-checkable).
+    - ``watermark_s``: the sync point after the cycle.
+
+    Every number derives from row versions, never from clocks, so the
+    whole ledger hash-matches a relational reconstruction (l38).
+    """
 
     def __init__(self, spark: SparkSession, store_a: KeyedStore,
-                 store_b: KeyedStore, state_dir: str):
+                 store_b: KeyedStore, state_dir: str,
+                 record_ledger: bool = False):
         self.spark = spark
         self.a = store_a
         self.b = store_b
         self.state_dir = state_dir
+        self.record_ledger = record_ledger
+        self.ledger: list[dict] = []
+        self._cycle_no = 0
 
     # -- L6: bootstrap ----------------------------------------------------
     def full_sync(self) -> None:
@@ -194,15 +226,78 @@ class SyncEngine:
         # Advance over everything SEEN, not just shipped: rows present
         # on both sides up to v are already synced, and the inclusive
         # boundary still catches a straggler landing at exactly v.
-        self._advance_watermark(delta_a.unionByName(delta_b))
+        frontier = self._advance_watermark(delta_a.unionByName(delta_b))
+        if self.record_ledger:
+            self._record_cycle(ship_a, ship_b, n_a, n_b,
+                               frontier if frontier is not None else wm)
         for df in (ship_a, ship_b, delta_a, delta_b):
             df.unpersist()
         return n
 
-    def _advance_watermark(self, applied: DataFrame) -> None:
+    def _record_cycle(self, ship_a: DataFrame, ship_b: DataFrame,
+                      n_a: int, n_b: int, frontier) -> None:
+        """Append one SLO ledger row (see class docstring). Ship sets
+        are keyed snapshots (<=1 row/key) and already persisted, so
+        the two extra jobs here touch only cycle-sized data."""
+        self._cycle_no += 1
+        conflicts = (
+            ship_a.select("key").join(ship_b.select("key"), "key").count()
+            if n_a and n_b else 0
+        )
+        distinct_keys = n_a + n_b - conflicts
+        p50 = p95 = mx = None
+        if distinct_keys and frontier is not None:
+            f_us = F.unix_micros(F.lit(frontier).cast("timestamp"))
+            lag = (
+                ship_a.select("version").unionAll(ship_b.select("version"))
+                .select((f_us - F.unix_micros(
+                    F.col("version").cast("timestamp"))).alias("lag_us"))
+                .agg(
+                    F.round(F.percentile("lag_us", F.lit(0.5))
+                            / 1000000.0, 6).alias("p50"),
+                    F.round(F.percentile("lag_us", F.lit(0.95))
+                            / 1000000.0, 6).alias("p95"),
+                    F.round(F.max("lag_us") / 1000000.0, 6).alias("mx"),
+                ).collect()[0]
+            )
+            p50, p95, mx = lag["p50"], lag["p95"], lag["mx"]
+        self.ledger.append({
+            "cycle": self._cycle_no,
+            "shipped_a": n_a,
+            "shipped_b": n_b,
+            "conflict_keys": conflicts,
+            "p50_lag_s": p50,
+            "p95_lag_s": p95,
+            "max_lag_s": mx,
+            "watermark_s": (frontier.strftime("%Y-%m-%d %H:%M:%S")
+                            if frontier is not None else None),
+        })
+
+    def ledger_df(self) -> DataFrame:
+        """The SLO ledger as a DataFrame (bounded: one row per cycle).
+        ``conflict_rate`` is derived here with Spark's ROUND
+        (half-away, matching the oracle engine's) rather than
+        Python's half-even ``round`` - the repr-exact hash compare
+        tolerates no rounding-mode drift."""
+        distinct = (F.col("shipped_a") + F.col("shipped_b")
+                    - F.col("conflict_keys"))
+        return self.spark.createDataFrame(
+            [tuple(r[c] for c in _LEDGER_COLS) for r in self.ledger],
+            _LEDGER_SCHEMA,
+        ).select(
+            "cycle", "shipped_a", "shipped_b", "conflict_keys",
+            F.when(distinct > 0,
+                   F.round(F.col("conflict_keys").cast("double")
+                           / distinct, 6)).alias("conflict_rate"),
+            "p50_lag_s", "p95_lag_s", "max_lag_s", "watermark_s",
+        )
+
+    def _advance_watermark(self, applied: DataFrame):
+        """Persist max(version) seen; returns it (None if no rows)."""
         row = applied.agg(F.max("version").alias("m")).collect()[0]
         if row["m"] is not None:
             save_watermark(self.spark, self.state_dir, row["m"])
+        return row["m"]
 
     # -- invariant helpers (used by tests) --------------------------------
     def in_sync(self) -> bool:

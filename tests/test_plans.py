@@ -285,7 +285,7 @@ _PLAN_SWEEP_SKIP_PREFIXES = (
     # inspect a trivial checkpoint-scan plan - no signal, real cost.
     "i", "l7_", "l12_", "l14_", "l15_", "l16_", "l17_", "l18_",
     "l19_", "l21_", "l23_", "l24_", "l26_", "l27_", "l28_", "l29_",
-    "l31_", "l32_", "l33_", "l34_", "a10_", "a2r_", "a2t_",
+    "l31_", "l32_", "l33_", "l34_", "l38_", "a10_", "a2r_", "a2t_",
 )
 
 # Documented exceptions: windows that run over a POST-AGGREGATION table

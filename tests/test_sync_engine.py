@@ -187,3 +187,65 @@ def test_scd2_apply_semantics(spark):
     delta = scd2_apply(dim, upd, "key", "price", "version",
                        delta_only=True)
     assert delta.count() == 3
+
+
+def test_ledger_records_slo_metrics(spark):
+    """The SLO ledger, hand-computed on a 3-key scenario: per-cycle
+    shipped counts, the conflict definition (keys shipped BOTH ways),
+    Spark-ROUND conflict_rate, data-lag percentiles vs the version
+    frontier, and the quiet-cycle null row."""
+    ts = lambda d: dt.datetime(2000, 1, d)  # noqa: E731
+    root = tempfile.mkdtemp(prefix="ces_ledger_")
+    try:
+        init_a = spark.createDataFrame(
+            [(1, 10.0, ts(1), "a"), (2, 20.0, ts(2), "a"),
+             (3, 30.0, ts(3), "a")],
+            "key bigint, price double, version timestamp, side string")
+        a = ParquetStore(spark, f"{root}/a", init_a)
+        b = ParquetStore(spark, f"{root}/b",
+                         init_a.withColumn("side", F.lit("b")))
+        eng = SyncEngine(spark, a, b, f"{root}/state",
+                         record_ledger=True)
+        eng.full_sync()          # watermark = 2000-01-03
+        # cycle 1: B edits keys 1 and 2 (versions day 11 and day 21),
+        # A edits key 2 (day 13) -> key 2 ships both ways = conflict
+        def edit(store, key, price, day):
+            st = store.read().withColumn(
+                "price", F.when(F.col("key") == key, F.lit(price))
+                          .otherwise(F.col("price"))
+            ).withColumn(
+                "version", F.when(F.col("key") == key,
+                                  F.lit(ts(day)).cast("timestamp"))
+                            .otherwise(F.col("version")))
+            store.overwrite(st.localCheckpoint(eager=True))
+        edit(b, 1, 11.0, 11)
+        edit(b, 2, 22.0, 21)
+        edit(a, 2, 21.5, 13)
+        assert eng.incremental_cycle() == 3
+        # cycle 2: quiet
+        assert eng.incremental_cycle() == 0
+        led = {r["cycle"]: r for r in eng.ledger_df().collect()}
+        r1, r2 = led[1], led[2]
+        assert (r1["shipped_a"], r1["shipped_b"]) == (1, 2)
+        assert r1["conflict_keys"] == 1          # key 2, both ways
+        assert r1["conflict_rate"] == 0.5        # 1 of 2 distinct keys
+        # frontier = day 21; lags: day11 -> 10d, day13 -> 8d, day21 -> 0
+        day = 86400.0
+        assert r1["max_lag_s"] == 10 * day
+        assert r1["p50_lag_s"] == 8 * day
+        # p95 of [0, 8d, 10d] (exact interpolation: 0.95*2=1.9 ->
+        # 8d + 0.9*(10d-8d) = 9.8d)
+        assert abs(r1["p95_lag_s"] - 9.8 * day) < 1e-6
+        assert r1["watermark_s"] == "2000-01-21 00:00:00"
+        assert (r2["shipped_a"], r2["shipped_b"]) == (0, 0)
+        assert r2["conflict_keys"] == 0
+        assert r2["conflict_rate"] is None
+        assert r2["p50_lag_s"] is None and r2["max_lag_s"] is None
+        assert r2["watermark_s"] == "2000-01-21 00:00:00"
+        # ledger off by default: no rows recorded
+        eng2 = SyncEngine(spark, a, b, f"{root}/state2")
+        eng2.full_sync()
+        eng2.incremental_cycle()
+        assert eng2.ledger == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

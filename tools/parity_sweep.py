@@ -34,6 +34,22 @@ if "--limit" in argv:
 cluster = "--cluster" in argv
 if cluster:
     argv.remove("--cluster")
+# --heap SIZE / --cores N: resource sizing for big-SF sweeps (sf0.1
+# holds ~460 queries' localCheckpoint blocks in ONE JVM - the vanilla
+# 1g driver heap OOMs around query ~120; r7 run). Memory and core
+# count are not semantics knobs - result hashes are independent of
+# both (the cluster-posture sweep proves partition independence), so
+# sizing the JVM for the workload keeps the sweep honest.
+heap = None
+if "--heap" in argv:
+    i = argv.index("--heap")
+    heap = argv[i + 1]
+    del argv[i:i + 2]
+cores = 8
+if "--cores" in argv:
+    i = argv.index("--cores")
+    cores = int(argv[i + 1])
+    del argv[i:i + 2]
 sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
 sys.path.insert(0, ".")
@@ -44,7 +60,9 @@ from pyspark.sql import SparkSession  # noqa: E402
 from oracle_harness import compare, duck_connection  # noqa: E402
 from cassandra_elasticsearch_sync_spark import registry  # noqa: E402
 
-builder = SparkSession.builder.master("local[8]")
+builder = SparkSession.builder.master(f"local[{cores}]")
+if heap:
+    builder = builder.config("spark.driver.memory", heap)
 if cluster:
     builder = (
         builder.config("spark.sql.shuffle.partitions", "200")
