@@ -69,7 +69,21 @@ HEADLINE = [
     "k2_minhash_lsh_pairs",       # MinHash-LSH near-dup
     "k3_cosine_topk",             # embedding top-k
     "k4_tfidf",                   # text stats
+    # round 7 (VERDICT r6 #3): one representative per previously
+    # unbenched tier, so the 2x gate is argued across the whole
+    # surface, not just the r1 relational core
+    "a3g_es_composite_agg",       # ES composite agg (DSL compiler)
+    "d4b_hll_sketch_exact",       # from-scratch HLL sketch
+    "k6f_jpeg_pixel_decode",      # real JPEG codec in mapInPandas
+    "a2r_cql_write_path",         # CQL DML write path (side-effectful)
+    "l14_acid_merge_upsert",      # ACID MERGE commit (side-effectful)
 ]
+
+# Side-effectful headliners: the query IS a write-path run (tempdir
+# ACID commits); there is no prepared-plan form to re-execute - the
+# honest number is the full invocation, timed identically in both
+# columns.
+SIDE_EFFECTFUL = {"a2r_cql_write_path", "l14_acid_merge_upsert"}
 
 # Files per table after ingest: enough row groups that a scan
 # parallelizes across cores, few enough that per-file open cost stays
@@ -119,6 +133,14 @@ def main() -> None:
     per_query: dict[str, float] = {}
     per_query_e2e: dict[str, float] = {}
     for name in HEADLINE:
+        if name in SIDE_EFFECTFUL:
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                qs[name](spark, run_dir).count()
+                times.append(time.perf_counter() - t0)
+            per_query[name] = per_query_e2e[name] = round(min(times), 4)
+            continue
         # min of FIVE runs of a ONCE-PREPARED physical plan (round 5,
         # VERDICT r4 #4). Round 4 timed `df.write.format("noop")` per
         # iteration, which rebuilds the physical plan + write wrapper

@@ -30,8 +30,21 @@ coefficient blocks. Progressive COLOR decodes too: interleaved DC
 scans (MCU order, per-component predictors/tables) + per-component
 AC band and refinement scans over the 4:2:0 layout, sharing the same
 scan kernels; `decode_ycbcr420_jpeg` dispatches SOF2 automatically.
-Still out of scope (rejected, not guessed): subsamplings other than
-4:2:0, arithmetic coding, restarts inside progressive scans.
+Still out of scope (rejected, not guessed) - and now PERMANENTLY, by
+decision (round 7): ARITHMETIC entropy coding (SOF9/SOF10/SOF11,
+T.81 Annexes D+F). The QM-coder's probability-estimation state
+machine is a 113-row table of EMPIRICAL constants (Qe values,
+next-MPS/next-LPS indices, MPS-switch flags - T.81 Table D.3) that
+cannot be derived from first principles; this offline environment has
+no copy of the normative table, so any reimplementation could only be
+validated against itself (its own encoder round-trip), never against
+the spec - it would decode self-made fixtures while silently
+corrupting real-world arithmetic JPEGs. Fail-closed beats
+silently-wrong: every decoder in this module returns None for
+SOF9/SOF10/SOF11 streams at the frame header, before any scan byte is
+touched (tests/test_imaging.py pins this for all six entry points).
+Subsamplings other than 4:2:0 and restarts inside progressive scans -
+listed here through round 5 - are IN scope since round 6 (k6u, k6w).
 """
 
 from __future__ import annotations

@@ -930,3 +930,68 @@ def test_progressive_restart_roundtrip_and_rejection():
     assert i > 0
     bad[i + 1] = 0xD4
     assert decode_gray_progressive_jpeg(bytes(bad)) is None
+
+
+def test_arithmetic_jpeg_rejected_fail_closed():
+    """Permanent-rejection pin (round-7 decision, VERDICT r6 #5):
+    arithmetic-coded JPEG (SOF9/SOF10/SOF11 + DAC) must fail CLOSED in
+    every decoder entry point - None at the frame header, before any
+    scan byte is touched - because the QM-coder's 113-row empirical
+    state table (T.81 Table D.3) is unavailable here and a
+    self-validated reimplementation would decode its own fixtures
+    while silently corrupting real streams. A Huffman twin of each
+    stream must still decode, proving the rejection keys on the SOF
+    marker, not on any other framing detail."""
+    import struct as st_
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        decode_gray_jpeg,
+        decode_gray_progressive_jpeg,
+        decode_ycbcr420_jpeg,
+        decode_ycbcr420_progressive_jpeg,
+        decode_ycbcr_jpeg,
+        encode_gray_jpeg,
+        encode_ycbcr420_jpeg,
+        encode_ycbcr_jpeg,
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return st_.pack(">HH", marker, len(body) + 2) + body
+
+    quant = [16] * 64
+
+    def with_sof(huff_stream: bytes, arith_sof: int) -> bytes:
+        """Rewrite the Huffman stream's SOF0/SOF2 marker to the
+        arithmetic one and append a DAC segment after it - framing
+        stays valid, only the entropy-coder declaration changes."""
+        out = bytearray(huff_stream)
+        for cand in (b"\xff\xc0", b"\xff\xc2"):
+            i = out.find(cand)
+            if i >= 0:
+                break
+        assert i >= 0
+        out[i + 1] = arith_sof & 0xFF
+        sof_len = st_.unpack(">H", bytes(out[i + 2:i + 4]))[0]
+        dac = seg(0xFFCC, b"\x00\x10\x10\x05")   # DC cond + AC Kx
+        return bytes(out[:i + 2 + sof_len]) + dac + bytes(out[i + 2 + sof_len:])
+
+    blk = [5] + [0] * 63
+    gray = encode_gray_jpeg(16, 16, [blk[:] for _ in range(4)], quant)
+    color420 = encode_ycbcr420_jpeg(
+        16, 16, [blk[:] for _ in range(4)], [blk[:]], [blk[:]],
+        quant, quant)
+    color444 = encode_ycbcr_jpeg(
+        8, 8, 1, 1, [blk[:]], [blk[:]], [blk[:]], quant, quant)
+
+    # sanity: the Huffman twins decode
+    assert decode_gray_jpeg(gray) is not None
+    assert decode_ycbcr420_jpeg(color420) is not None
+    assert decode_ycbcr_jpeg(color444) is not None
+
+    for sof in (0xC9, 0xCA, 0xCB):       # arith seq / prog / lossless
+        assert decode_gray_jpeg(with_sof(gray, sof)) is None
+        assert decode_gray_progressive_jpeg(with_sof(gray, sof)) is None
+        assert decode_ycbcr420_jpeg(with_sof(color420, sof)) is None
+        assert decode_ycbcr420_progressive_jpeg(
+            with_sof(color420, sof)) is None
+        assert decode_ycbcr_jpeg(with_sof(color444, sof)) is None
