@@ -93,6 +93,10 @@ _AGG_FNS = {"count", "sum", "min", "max", "avg"}
 # writetime/ttl shadow columns (the cell-metadata model the CQL
 # write path maintains - cql_write.apply_cql_writes).
 _SELECTOR_FNS = {"writetime", "ttl"}
+# Cassandra 5.0 scalar vector functions, projectable in the select
+# list: similarity_cosine(col, [literal vector]) etc., all in [0, 1].
+_SIM_FNS = {"similarity_cosine", "similarity_euclidean",
+            "similarity_dot_product"}
 
 
 @dataclass
@@ -101,6 +105,7 @@ class CqlCol:
     name: str                   # column name, or '*' inside count(*)
     fn: str | None = None       # aggregate function, lowercased
     alias: str | None = None
+    vec: list | None = None     # literal vector arg of a similarity_* fn
 
     @property
     def out_name(self) -> str:
@@ -174,7 +179,43 @@ def _parse_literal(raw: str):
     raise CqlError(f"unparseable CQL literal: {raw!r}")
 
 
+_SIM_RE = re.compile(
+    r"^\s*(?P<fn>similarity_(?:cosine|euclidean|dot_product))\s*\(\s*"
+    r"(?P<col>\w+)\s*,\s*\[(?P<vec>[^\]]*)\]\s*\)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _split_select_list(raw: str) -> list[str]:
+    """Split a select list on top-level commas only - similarity_*
+    calls carry a bracketed vector literal whose commas must not
+    split the item."""
+    items, depth, cur = [], 0, []
+    for ch in raw:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        items.append("".join(cur))
+    return items
+
+
 def _parse_col(raw: str) -> CqlCol:
+    sm = _SIM_RE.match(raw)
+    if sm:
+        vec = [float(x) for x in sm.group("vec").split(",") if x.strip()]
+        if not vec:
+            raise CqlError("similarity_* requires a non-empty vector "
+                           "literal")
+        return CqlCol(name=sm.group("col"), fn=sm.group("fn").lower(),
+                      alias=sm.group("alias"), vec=vec)
     m = _COL_RE.match(raw)
     if not m:
         raise CqlError(f"unparseable select item: {raw!r}")
@@ -193,7 +234,7 @@ def parse_cql(stmt: str) -> CqlSelect:
     m = _STMT_RE.match(stmt)
     if not m:
         raise CqlError(f"unsupported CQL statement: {stmt!r}")
-    cols = [_parse_col(c) for c in m.group("cols").split(",")]
+    cols = [_parse_col(c) for c in _split_select_list(m.group("cols"))]
     where = []
     if m.group("where"):
         # split on AND at top level (no nested parens in the subset
@@ -390,6 +431,18 @@ def validate_cql(sel: CqlSelect) -> dict:
         raise CqlError(
             "writetime()/ttl() cannot combine with GROUP BY/aggregates")
 
+    sim_cols = [c for c in sel.columns if c.fn in _SIM_FNS]
+    for c in sim_cols:
+        if c.name not in meta.get("vector_indexes", {}):
+            raise CqlError(
+                f"similarity functions require a vector column; "
+                f"{c.name!r} is not one")
+    if sim_cols and (sel.group_by or sel.distinct
+                     or any(c.fn in _AGG_FNS for c in sel.columns)):
+        raise CqlError(
+            "similarity_* cannot combine with GROUP BY/DISTINCT/"
+            "aggregates")
+
     has_agg = any(c.fn in _AGG_FNS for c in sel.columns)
     plain = [c.name for c in sel.columns if c.fn is None and c.name != "*"]
     if sel.group_by:
@@ -480,6 +533,40 @@ def _agg_expr(c: CqlCol):
     else:
         e = getattr(F, c.fn)(c.name)
     return e.alias(c.out_name)
+
+
+def _vector_similarity(acol: str, qv: list, simf: str):
+    """The similarity_* math shared by ANN ordering and the SELECT-list
+    functions - Cassandra's documented [0,1] forms: cosine ->
+    (1+cos)/2, dot_product -> (1+dot)/2, euclidean -> 1/(1+d^2).
+    Returns ``(sim, doc_norm)``; ``doc_norm`` is None except for
+    cosine, where the CALLER must guard zero-norm rows (ANN excludes
+    them - they could never be SAI-indexed; projections emit NULL).
+    A zero QUERY vector under cosine raises, as Cassandra does."""
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+    d = F.aggregate(
+        F.zip_with(qlit, F.col(acol),
+                   lambda x, y: x * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    if simf == "cosine":
+        qn = sum(float(x) * float(x) for x in qv) ** 0.5
+        if qn == 0.0:
+            raise CqlError(
+                "cosine similarity rejects a zero query vector "
+                "(zero magnitude has no cosine)")
+        vn = F.sqrt(F.aggregate(
+            F.zip_with(F.col(acol), F.col(acol),
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v))
+        return (F.lit(1.0) + d / (F.lit(qn) * vn)) / 2, vn
+    if simf == "dot_product":
+        return (F.lit(1.0) + d) / 2, None
+    diff = F.aggregate(
+        F.zip_with(qlit, F.col(acol),
+                   lambda x, y: (x - y.cast("double"))
+                   * (x - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return F.lit(1.0) / (F.lit(1.0) + diff), None
 
 
 def _selector_expr(c: CqlCol, df: DataFrame, now_us: int | None):
@@ -573,35 +660,11 @@ def cql_select(df: DataFrame, stmt: str,
             # orders (identical sequential folds both engines).
             acol, qv = sel.ann
             simf = meta["vector_indexes"][acol]
-            qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
-            d = F.aggregate(
-                F.zip_with(qlit, F.col(acol),
-                           lambda x, y: x * y.cast("double")),
-                F.lit(0.0), lambda acc, v: acc + v)
-            if simf == "cosine":
-                qn = sum(x * x for x in qv) ** 0.5
-                if qn == 0.0:
-                    raise CqlError(
-                        "ANN OF with a cosine index rejects a zero "
-                        "query vector (zero magnitude has no cosine)")
-                vn = F.sqrt(F.aggregate(
-                    F.zip_with(F.col(acol), F.col(acol),
-                               lambda x, y: x.cast("double")
-                               * y.cast("double")),
-                    F.lit(0.0), lambda acc, v: acc + v))
+            sim, vn = _vector_similarity(acol, qv, simf)
+            if vn is not None:
                 # A zero-norm row could never be SAI-indexed under
                 # cosine; exclude it rather than emit a NaN score.
                 out = out.filter(vn > 0)
-                sim = (F.lit(1.0) + d / (F.lit(qn) * vn)) / 2
-            elif simf == "dot_product":
-                sim = (F.lit(1.0) + d) / 2
-            else:  # euclidean
-                diff = F.aggregate(
-                    F.zip_with(qlit, F.col(acol),
-                               lambda x, y: (x - y.cast("double"))
-                               * (x - y.cast("double"))),
-                    F.lit(0.0), lambda acc, v: acc + v)
-                sim = F.lit(1.0) / (F.lit(1.0) + diff)
             out = (
                 out.withColumn("__cql_sim", sim)
                 .orderBy(F.col("__cql_sim").desc(),
@@ -621,10 +684,21 @@ def cql_select(df: DataFrame, stmt: str,
             out = out.orderBy(_token_col(meta["partition"]).asc(),
                               *clus_order).limit(sel.limit)
         if [c.name for c in sel.columns] != ["*"]:
-            out = out.select(*[
-                _selector_expr(c, df, now_us) if c.fn in _SELECTOR_FNS
-                else F.col(c.name).alias(c.out_name)
-                for c in sel.columns])
+            def _proj(c: CqlCol):
+                if c.fn in _SELECTOR_FNS:
+                    return _selector_expr(c, df, now_us)
+                if c.fn in _SIM_FNS:
+                    # similarity_*(col, [v]) projection: rounded to
+                    # 6 dp like every returned float; zero-norm rows
+                    # read NULL under cosine (the row Cassandra's
+                    # SAI could never have indexed).
+                    s, vn = _vector_similarity(
+                        c.name, c.vec, c.fn.split("_", 1)[1])
+                    e = F.round(s, 6)
+                    return (F.when(vn > 0, e) if vn is not None
+                            else e).alias(c.out_name)
+                return F.col(c.name).alias(c.out_name)
+            out = out.select(*[_proj(c) for c in sel.columns])
     if sel.json:
         # SELECT JSON: each row rendered as a JSON object in select
         # order - Cassandra's '[json]' column (SQL-safe name: json).
@@ -985,5 +1059,48 @@ def a2y_cql_ann_vector_search(spark, sf_dir):
     vec_lit = ", ".join(repr(float(x)) for x in row[0])
     return cql_select(e, f"""
         SELECT vec_id, label FROM embeddings
+        ORDER BY embedding ANN OF [{vec_lit}] LIMIT 12
+    """)
+
+
+@register("a2z_cql_similarity_functions", "A2+K3", """
+WITH e AS (
+  SELECT vec_id, embedding,
+         SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) x, UNNEST(embedding) y)))
+           AS nrm
+  FROM embeddings
+),
+qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 100),
+s AS (
+  SELECT e.vec_id,
+         (1 + (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               FROM (SELECT UNNEST(qe) x, UNNEST(e.embedding) y))
+              / (qn * e.nrm)) / 2 AS sim
+  FROM e, qv
+)
+SELECT vec_id, ROUND(sim, 6) AS sim
+FROM s ORDER BY sim DESC, vec_id LIMIT 12
+""", "Cassandra 5.0 scalar vector functions in the SELECT list: "
+     "`SELECT vec_id, similarity_cosine(embedding, [...]) AS sim "
+     "... ORDER BY embedding ANN OF [...] LIMIT 12` - the ANN page "
+     "that also SHOWS its scores, the exact shape Cassandra's vector "
+     "docs demo. Parsed from statement text (bracket-aware select-"
+     "list split so the vector literal's commas don't break "
+     "parsing), validated per Cassandra (vector column required; no "
+     "GROUP BY/DISTINCT/aggregate mixing), scored with the same "
+     "[0,1] similarity math as the ANN ordering (one shared "
+     "expression builder - projection and ordering can never "
+     "disagree). Zero-norm rows read NULL under cosine; a zero "
+     "query vector raises.")
+def a2z_cql_similarity_functions(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 100).select("embedding").head()
+    if row is None:
+        return spark.createDataFrame([], "vec_id long, sim double")
+    vec_lit = ", ".join(repr(float(x)) for x in row[0])
+    return cql_select(e, f"""
+        SELECT vec_id, similarity_cosine(embedding, [{vec_lit}]) AS sim
+        FROM embeddings
         ORDER BY embedding ANN OF [{vec_lit}] LIMIT 12
     """)

@@ -406,6 +406,42 @@ def _metric_columns(name: str, spec: dict) -> list:
         ]
     if kind == "percentiles":
         return _percentile_columns(name, body)
+    if kind == "boxplot":
+        # ES boxplot metric agg: min/q1/q2/q3/max, flattened the way
+        # clients flatten the response. ES computes t-digest quartiles;
+        # exact interpolation here (the percentiles contract above).
+        field = body["field"]
+        return [
+            F.min(field).alias(f"{name}_min"),
+            F.round(F.percentile(field, F.lit(0.25)), 6)
+             .alias(f"{name}_q1"),
+            F.round(F.percentile(field, F.lit(0.5)), 6)
+             .alias(f"{name}_q2"),
+            F.round(F.percentile(field, F.lit(0.75)), 6)
+             .alias(f"{name}_q3"),
+            F.max(field).alias(f"{name}_max"),
+        ]
+    if kind == "top_metrics":
+        # ES top_metrics (size=1, the deterministic subset): the
+        # metric value carried by the doc that sorts first, plus the
+        # sort value itself - ES's "latest reading per bucket" agg.
+        # ES leaves sort ties undefined; this compiler totalizes the
+        # order with the metric as tiebreak (struct comparison), so
+        # the result is reproducible and oracle-checkable. max_by/
+        # min_by keep it one hash-aggregate - no per-bucket sort, no
+        # window; the at-scale shape of argmax.
+        m = body["metrics"]["field"]
+        (s_field, s_dir), = body["sort"].items()
+        if s_dir not in ("asc", "desc"):
+            raise ValueError(f"top_metrics sort must be asc|desc, got "
+                             f"{s_dir!r}")
+        ordc = F.struct(F.col(s_field), F.col(m))
+        pick = F.max_by if s_dir == "desc" else F.min_by
+        sortv = F.max(s_field) if s_dir == "desc" else F.min(s_field)
+        return [
+            pick(F.col(m), ordc).alias(f"{name}_{m}"),
+            sortv.alias(f"{name}_sort"),
+        ]
     if kind == "extended_stats":
         # ES extended_stats = stats + sum_of_squares, POPULATION
         # variance and std-dev (ES's documented default). The corpus's
@@ -3781,3 +3817,70 @@ def a3az_es_phrase_suggester(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return es_phrase_suggest(d, "text", "srt lne ky",
                              max_edits=2, per_slot=3, size=5)
+
+
+# ---------------------------------------------------------------------------
+# ES boxplot + top_metrics aggregations
+# ---------------------------------------------------------------------------
+
+@register("a3ba_es_boxplot", "A3+D6", """
+SELECT key, doc_count, price_min, price_q1, price_q2, price_q3,
+       price_max FROM (
+  SELECT o_orderpriority AS key,
+         COUNT(*) AS doc_count,
+         MIN(o_totalprice) AS price_min,
+         ROUND(QUANTILE_CONT(o_totalprice, 0.25), 6) AS price_q1,
+         ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS price_q2,
+         ROUND(QUANTILE_CONT(o_totalprice, 0.75), 6) AS price_q3,
+         MAX(o_totalprice) AS price_max
+  FROM orders
+  GROUP BY o_orderpriority
+) ORDER BY doc_count DESC, key LIMIT 5
+""", "ES boxplot metric agg under a terms bucket: per-priority "
+     "min/q1/q2/q3/max of order value - the distribution card next "
+     "to every Kibana histogram. ES computes t-digest quartiles; the "
+     "compiler uses exact interpolation (at-least-as-accurate, "
+     "oracle-checkable; the at-scale swap is approx_percentile, the "
+     "D6 trade). One grouped aggregate; per-bucket value multisets "
+     "at the reducer, same scale note as every exact-percentile op.")
+def a3ba_es_boxplot(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "by_priority": {
+            "terms": {"field": "o_orderpriority", "size": 5},
+            "aggs": {"price": {"boxplot": {"field": "o_totalprice"}}},
+        }
+    })
+
+
+@register("a3bb_es_top_metrics", "A3+D11", """
+WITH w AS (
+  SELECT o_orderpriority AS key, o_totalprice, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate DESC,
+                                     o_totalprice DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS doc_count,
+         MAX(o_orderdate) OVER (PARTITION BY o_orderpriority) AS latest_sort
+  FROM orders
+)
+SELECT key, doc_count, o_totalprice AS latest_o_totalprice, latest_sort
+FROM w WHERE rn = 1
+ORDER BY doc_count DESC, key LIMIT 5
+""", "ES top_metrics agg under a terms bucket: the order value "
+     "carried by each priority's LATEST order, plus the sort value - "
+     "the 'current reading per device' query every metrics store "
+     "serves. ES leaves sort ties undefined; the compiler totalizes "
+     "with the metric as tiebreak (struct max_by), making the result "
+     "reproducible cross-engine. Compiles to max_by in ONE hash "
+     "aggregate - no per-bucket sort, no window, the argmax shape "
+     "that holds at any bucket size.")
+def a3bb_es_top_metrics(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "latest": {
+            "terms": {"field": "o_orderpriority", "size": 5},
+            "aggs": {"latest": {"top_metrics": {
+                "metrics": {"field": "o_totalprice"},
+                "sort": {"o_orderdate": "desc"}}}},
+        }
+    })

@@ -377,3 +377,45 @@ def test_ann_restriction_rules(spark):
     with pytest.raises(CqlError, match="non-empty"):
         cql_select(e, "SELECT vec_id FROM embeddings "
                       "ORDER BY embedding ANN OF [] LIMIT 3")
+
+
+def test_cql_similarity_select_functions(spark):
+    """similarity_* in the SELECT list: projection value matches the
+    [0,1] form by hand; bracket-aware select-list parsing; Cassandra
+    validation rules (vector column required, no GROUP BY/DISTINCT/
+    aggregate mixing, zero query vector rejected); zero-norm doc rows
+    read NULL under cosine."""
+    import math
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    row = e.head()
+    vec = ", ".join(repr(float(x)) for x in row["embedding"][:64])
+    out = cql_select(e, f"""
+        SELECT vec_id, similarity_cosine(embedding, [{vec}]) AS sim,
+               similarity_dot_product(embedding, [{vec}]) AS dp,
+               similarity_euclidean(embedding, [{vec}]) AS eu
+        FROM embeddings WHERE vec_id = {int(row['vec_id'])}
+    """).collect()
+    assert len(out) == 1
+    q = [float(x) for x in row["embedding"]]
+    dot = sum(a * a for a in q)
+    nrm = math.sqrt(dot)
+    assert abs(out[0]["sim"] - round((1 + dot / (nrm * nrm)) / 2, 6)) < 1e-9
+    assert abs(out[0]["dp"] - round((1 + dot) / 2, 6)) < 1e-9
+    assert abs(out[0]["eu"] - round(1.0, 6)) < 1e-9  # d=0 -> 1/(1+0)
+    # self-similarity under cosine is exactly 1.0
+    assert out[0]["sim"] == 1.0
+
+    with pytest.raises(CqlError, match="vector column"):
+        cql_select(e, f"SELECT similarity_cosine(label, [{vec}]) "
+                      "FROM embeddings")
+    with pytest.raises(CqlError, match="GROUP BY/DISTINCT"):
+        cql_select(e, f"SELECT count(*), similarity_cosine(embedding, "
+                      f"[{vec}]) FROM embeddings")
+    zeros = ", ".join(["0.0"] * 64)
+    with pytest.raises(CqlError, match="zero query vector"):
+        cql_select(e, f"SELECT similarity_cosine(embedding, [{zeros}]) "
+                      "FROM embeddings")
+    with pytest.raises(CqlError, match="non-empty"):
+        cql_select(e, "SELECT similarity_cosine(embedding, []) "
+                      "FROM embeddings")
