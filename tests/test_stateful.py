@@ -71,6 +71,27 @@ def _staged_files(staged):
                   key=os.path.getmtime)
 
 
+def _copy_in_order(files, feed, phase):
+    """Copy chunk files into the feed dir with STRICTLY INCREASING
+    mtimes. The file source orders same-batch discoveries by
+    (mtime, path); two copies landing in the same millisecond fall
+    back to UUID-random path order, which can deliver chunk 2 before
+    chunk 1 - the state machine then (correctly) suppresses chunk 1's
+    rows as stale and the in-order batch oracle no longer applies
+    (observed as a full-suite-load flake)."""
+    import shutil as sh
+
+    # Strictly increasing mtimes in the PAST: files appended later
+    # with natural now-mtimes (the watermark-flush sentinels) must
+    # still sort after every phase's chunks.
+    base = time.time() - 1000
+    for i, f in enumerate(files):
+        dst = os.path.join(feed, os.path.basename(f))
+        sh.copy(f, dst)
+        t = base + phase * 100 + i
+        os.utime(dst, (t, t))
+
+
 def _start_running_max(spark, feed, ckpt, outdir):
     return (
         running_max_stream(inc.read_events_stream(spark, feed))
@@ -128,8 +149,7 @@ def test_checkpoint_resume_two_phase_running_max(spark):
     try:
         files = _staged_files(staged)
         assert len(files) == 4
-        for f in files[:2]:
-            sh.copy(f, feed)
+        _copy_in_order(files[:2], feed, phase=0)
         q = _start_running_max(spark, feed, ckpt, outdir)
         q.awaitTermination(300)
         run1 = spark.read.parquet(outdir).persist()
@@ -140,8 +160,7 @@ def test_checkpoint_resume_two_phase_running_max(spark):
         a_max = {r["user_id"]: r["m"] for r in
                  run1.groupBy("user_id")
                      .agg(F.max("running_max").alias("m")).collect()}
-        for f in files[2:]:
-            sh.copy(f, feed)
+        _copy_in_order(files[2:], feed, phase=1)
         q2 = _start_running_max(spark, feed, ckpt, outdir)
         q2.awaitTermination(300)
         got = spark.read.parquet(outdir).persist()
@@ -230,12 +249,10 @@ def test_checkpoint_resume_session_timeout(spark):
 
     try:
         files = _staged_files(staged)
-        for f in files[:2]:
-            sh.copy(f, feed)
+        _copy_in_order(files[:2], feed, phase=0)
         q = start()
         q.awaitTermination(300)
-        for f in files[2:]:
-            sh.copy(f, feed)
+        _copy_in_order(files[2:], feed, phase=1)
         _append_watermark_flush_chunks(spark, feed, SF_DIR)
         q2 = start()
         q2.awaitTermination(300)
