@@ -442,6 +442,20 @@ def _metric_columns(name: str, spec: dict) -> list:
             pick(F.col(m), ordc).alias(f"{name}_{m}"),
             sortv.alias(f"{name}_sort"),
         ]
+    if kind == "geo_centroid":
+        # ES geo_centroid: arithmetic mean of lat/lon per bucket, plus
+        # the count ES returns alongside. Coordinates in this model
+        # carry <= 4 decimal digits (the _customer_geo derivation), so
+        # the decimal-exact davg makes the mean order-independent -
+        # the same discipline as every money average.
+        field = body["field"]
+        return [
+            F.round(davg(F.col(f"{field}.lat"), 4), 6)
+             .alias(f"{name}_lat"),
+            F.round(davg(F.col(f"{field}.lon"), 4), 6)
+             .alias(f"{name}_lon"),
+            F.count(F.col(f"{field}.lat")).alias(f"{name}_count"),
+        ]
     if kind == "extended_stats":
         # ES extended_stats = stats + sum_of_squares, POPULATION
         # variance and std-dev (ES's documented default). The corpus's
@@ -3882,5 +3896,98 @@ def a3bb_es_top_metrics(spark, sf_dir):
             "aggs": {"latest": {"top_metrics": {
                 "metrics": {"field": "o_totalprice"},
                 "sort": {"o_orderdate": "desc"}}}},
+        }
+    })
+
+
+# ---------------------------------------------------------------------------
+# ES completion suggester + geo_centroid aggregation
+# ---------------------------------------------------------------------------
+
+def es_completion_suggest(df: DataFrame, field: str, prefix: str,
+                          size: int = 5) -> DataFrame:
+    """ES ``completion`` suggester, the deterministic subset: the
+    search-as-you-type autocomplete. ES serves it from an in-memory
+    FST of indexed completion entries weighted at index time; this
+    model's entries are the corpus vocabulary weighted by term
+    frequency (the common setup where suggestions are mined from the
+    corpus itself). A prefix query returns the top ``size`` entries
+    by weight desc - ES's order - with the term as deterministic
+    tiebreak.
+
+    Scale shape: the corpus collapses to its vocabulary once (the
+    same sublinear first stage as the term/phrase suggesters - the
+    relational twin of building the FST), the prefix filter prunes
+    it, and the page is one TakeOrderedAndProject. At serving time a
+    real deployment materializes the vocabulary table once and reuses
+    it per keystroke, exactly like ES builds the FST at index time.
+    """
+    if not prefix:
+        raise ValueError("completion suggester requires a non-empty "
+                         "prefix")
+    if size <= 0:
+        raise ValueError("size must be positive")
+    vocab = (
+        df.select(F.explode(
+            F.split(F.lower(F.col(field)), " ")).alias("suggestion"))
+        .filter(F.col("suggestion") != "")
+        .groupBy("suggestion")
+        .agg(F.count("*").alias("weight"))
+    )
+    return (
+        vocab.filter(F.col("suggestion").startswith(prefix.lower()))
+        .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+        .limit(size)
+    )
+
+
+@register("a3bc_es_completion_suggester", "A3+K4", """
+SELECT suggestion, weight FROM (
+  SELECT w AS suggestion, COUNT(*) AS weight
+  FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents)
+  WHERE w <> '' AND w LIKE 's%'
+  GROUP BY w
+) ORDER BY weight DESC, suggestion LIMIT 5
+""", "ES completion suggester (search-as-you-type autocomplete): "
+     "prefix 's' resolves to the corpus vocabulary's heaviest "
+     "completions, ordered weight desc then term - ES's order with a "
+     "deterministic tiebreak. The vocabulary build is the relational "
+     "twin of ES's index-time FST (one explode + one grouped count, "
+     "sublinear output); the page is a TakeOrderedAndProject over "
+     "the prefix-pruned vocabulary.")
+def a3bc_es_completion_suggester(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_completion_suggest(d, "text", "s", size=5)
+
+
+@register("a3bd_es_geo_centroid", "A3+D5", _GEO_SQL_PREFIX + """
+SELECT key, doc_count, centroid_lat, centroid_lon, centroid_count FROM (
+  SELECT CAST(c_nationkey AS BIGINT) AS key,
+         COUNT(*) AS doc_count,
+         ROUND(CAST(CAST(SUM(CAST(lat AS DECIMAL(38,10)))
+                         AS DECIMAL(38,4)) AS DOUBLE) / COUNT(lat), 6)
+           AS centroid_lat,
+         ROUND(CAST(CAST(SUM(CAST(lon AS DECIMAL(38,10)))
+                         AS DECIMAL(38,4)) AS DOUBLE) / COUNT(lon), 6)
+           AS centroid_lon,
+         COUNT(lat) AS centroid_count
+  FROM geo
+  GROUP BY c_nationkey
+) ORDER BY doc_count DESC, key LIMIT 10
+""", "ES geo_centroid aggregation under a terms bucket: the mean "
+     "coordinate of each nation's customers plus the point count ES "
+     "returns alongside - the map-pin-per-bucket card. Coordinates "
+     "are the synthetic exact-4-dp geo model (_customer_geo), so the "
+     "mean goes through the decimal-exact average and is "
+     "order-independent at any parallelism - the same discipline as "
+     "every money average. One hash aggregate; centroids are "
+     "map-side partial like any sum/count.")
+def a3bd_es_geo_centroid(spark, sf_dir):
+    g = _customer_geo(spark, sf_dir).select(
+        F.col("c_nationkey").cast("bigint").alias("key"), "location")
+    return es_aggregate(g, {
+        "by_nation": {
+            "terms": {"field": "key", "size": 10},
+            "aggs": {"centroid": {"geo_centroid": {"field": "location"}}},
         }
     })
