@@ -456,6 +456,18 @@ def _metric_columns(name: str, spec: dict) -> list:
              .alias(f"{name}_lon"),
             F.count(F.col(f"{field}.lat")).alias(f"{name}_count"),
         ]
+    if kind == "geo_bounds":
+        # ES geo_bounds: the tightest lat/lon box around the bucket's
+        # points, flattened to the four corners ES nests as
+        # top_left/bottom_right. Four min/max aggregates - map-side
+        # partial, order-free by construction.
+        field = body["field"]
+        return [
+            F.max(F.col(f"{field}.lat")).alias(f"{name}_top_left_lat"),
+            F.min(F.col(f"{field}.lon")).alias(f"{name}_top_left_lon"),
+            F.min(F.col(f"{field}.lat")).alias(f"{name}_bottom_right_lat"),
+            F.max(F.col(f"{field}.lon")).alias(f"{name}_bottom_right_lon"),
+        ]
     if kind == "extended_stats":
         # ES extended_stats = stats + sum_of_squares, POPULATION
         # variance and std-dev (ES's documented default). The corpus's
@@ -948,7 +960,24 @@ def es_aggregate(df: DataFrame, aggs: dict,
         field, interval = body["field"], body["interval"]
         key = (F.floor(F.col(field) / F.lit(interval))
                * F.lit(interval)).cast("double").alias("key")
-        return df.groupBy(key).agg(F.count("*").alias("doc_count"), *sub)
+        out = df.groupBy(key).agg(F.count("*").alias("doc_count"), *sub)
+        if "extended_bounds" in body and body.get("min_doc_count", 1) == 0:
+            # ES dashboard semantics: min_doc_count=0 + extended_bounds
+            # emits EVERY bucket in [min, max] even when empty (a gap
+            # in the chart must render as zero, not vanish). The
+            # scaffold is a broadcast-joined sequence of bucket keys -
+            # bucket-count-sized, never corpus-sized; empty buckets
+            # read doc_count 0 and NULL metrics, exactly as ES returns.
+            lo = int(body["extended_bounds"]["min"] // interval)
+            hi = int(body["extended_bounds"]["max"] // interval)
+            spark_ = df.sparkSession
+            scaffold = spark_.range(lo, hi + 1).select(
+                (F.col("id") * F.lit(interval)).cast("double").alias("key"))
+            out = (
+                F.broadcast(scaffold).join(out, "key", "left")
+                .fillna({"doc_count": 0})
+            )
+        return out
     if "range" in spec:
         body = spec["range"]
         field, ranges = body["field"], body["ranges"]
@@ -3989,5 +4018,71 @@ def a3bd_es_geo_centroid(spark, sf_dir):
         "by_nation": {
             "terms": {"field": "key", "size": 10},
             "aggs": {"centroid": {"geo_centroid": {"field": "location"}}},
+        }
+    })
+
+
+@register("a3be_es_histogram_extended_bounds", "A3+D1", """
+WITH h AS (
+  SELECT FLOOR(o_totalprice / 50000.0) * 50000.0 AS key,
+         COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY 1
+),
+scaffold AS (
+  SELECT CAST(i * 50000.0 AS DOUBLE) AS key
+  FROM (SELECT UNNEST(RANGE(0, 13)) AS i)
+)
+SELECT s.key, COALESCE(h.doc_count, 0) AS doc_count, h.revenue
+FROM scaffold s LEFT JOIN h ON s.key = h.key
+""", "ES histogram with min_doc_count=0 + extended_bounds: every "
+     "50k-revenue bucket in [0, 600k] appears even when EMPTY - a "
+     "gap in the dashboard must render as zero, not vanish (the "
+     "semantics that separate a chart axis from a GROUP BY). The "
+     "scaffold is a broadcast-joined bucket-key sequence - bucket-"
+     "count-sized, never corpus-sized - and empty buckets read "
+     "doc_count 0 with NULL metrics exactly as ES responds. One "
+     "grouped aggregate + one broadcast left join at any corpus "
+     "size.")
+def a3be_es_histogram_extended_bounds(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = es_aggregate(o, {
+        "by_bucket": {
+            "histogram": {"field": "o_totalprice", "interval": 50000.0,
+                          "min_doc_count": 0,
+                          "extended_bounds": {"min": 0, "max": 600000}},
+            "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
+        }
+    })
+    return out
+
+
+@register("a3bf_es_geo_bounds", "A3+D5", _GEO_SQL_PREFIX + """
+SELECT key, doc_count, box_top_left_lat, box_top_left_lon,
+       box_bottom_right_lat, box_bottom_right_lon FROM (
+  SELECT CAST(c_nationkey AS BIGINT) AS key,
+         COUNT(*) AS doc_count,
+         MAX(lat) AS box_top_left_lat,
+         MIN(lon) AS box_top_left_lon,
+         MIN(lat) AS box_bottom_right_lat,
+         MAX(lon) AS box_bottom_right_lon
+  FROM geo
+  GROUP BY c_nationkey
+) ORDER BY doc_count DESC, key LIMIT 10
+""", "ES geo_bounds aggregation under a terms bucket: the tightest "
+     "bounding box around each nation's customers, flattened to the "
+     "top_left/bottom_right corners ES nests - the auto-zoom extent "
+     "every map dashboard computes. Four min/max aggregates over the "
+     "exact synthetic coordinates (no rounding needed: min/max COPY "
+     "input doubles) in one map-side-partial hash aggregate.")
+def a3bf_es_geo_bounds(spark, sf_dir):
+    g = _customer_geo(spark, sf_dir).select(
+        F.col("c_nationkey").cast("bigint").alias("key"), "location")
+    return es_aggregate(g, {
+        "by_nation": {
+            "terms": {"field": "key", "size": 10},
+            "aggs": {"box": {"geo_bounds": {"field": "location"}}},
         }
     })
