@@ -44,6 +44,10 @@ CQL_TABLES: dict[str, dict] = {
         # CREATE INDEX ON orders (o_orderpriority): secondary index -
         # a single equality on it is queryable WITHOUT ALLOW FILTERING
         "indexes": ["o_orderpriority"],
+        # CREATE CUSTOM INDEX ON orders (o_orderpriority) USING
+        # 'org.apache.cassandra.index.sasi.SASIIndex' (mode PREFIX):
+        # LIKE 'x%' is queryable; %x / %x% need mode CONTAINS.
+        "sasi_indexes": {"o_orderpriority": "PREFIX"},
     },
     "lineitem": {
         "partition": ["l_orderkey"],
@@ -70,6 +74,16 @@ CQL_TABLES: dict[str, dict] = {
         "partition": ["vec_id"],
         "clustering": [],
         "vector_indexes": {"embedding": "cosine"},
+    },
+    # Text corpus (CREATE TABLE documents (doc_id bigint PRIMARY KEY,
+    # text text, lang text, source text, n_chars bigint); CREATE
+    # CUSTOM INDEX ON documents (text) USING '...sasi.SASIIndex'
+    # WITH OPTIONS = {'mode': 'CONTAINS'}): LIKE '%x%' / '%x' / 'x%'
+    # all queryable on the indexed text.
+    "documents": {
+        "partition": ["doc_id"],
+        "clustering": [],
+        "sasi_indexes": {"text": "CONTAINS"},
     },
     # Collection + frozen-UDT bearing table (CREATE TYPE address
     # (city text, zip int); CREATE TABLE customer_profiles (cust_id
@@ -155,7 +169,7 @@ _STMT_RE = re.compile(
 
 _PRED_RE = re.compile(
     r"^\s*(?P<col>\w+|TOKEN\s*\([\w,\s]+\))\s*"
-    r"(?P<op>>=|<=|=|<|>|IN|CONTAINS\s+KEY|CONTAINS)\s*(?P<val>.+?)\s*$",
+    r"(?P<op>>=|<=|=|<|>|IN|CONTAINS\s+KEY|CONTAINS|LIKE)\s*(?P<val>.+?)\s*$",
     re.IGNORECASE,
 )
 
@@ -370,6 +384,33 @@ def validate_cql(sel: CqlSelect) -> dict:
                 "SELECT DISTINCT may only be restricted by the "
                 f"partition key or token(); got predicates on {non_pk_preds}")
 
+    # LIKE restrictions: Cassandra only accepts LIKE on a
+    # SASI-indexed column (even ALLOW FILTERING does not rescue it),
+    # and the index MODE decides the pattern shape - PREFIX serves
+    # only 'x%', CONTAINS serves 'x%'/'%x'/'%x%'. Mid-pattern
+    # wildcards are outside this subset.
+    sasi = meta.get("sasi_indexes", {})
+    for col, ops in by_col.items():
+        if "LIKE" not in ops:
+            continue
+        if col not in sasi:
+            raise CqlError(
+                f"LIKE restriction on {col!r} requires a SASI index")
+        pat = next(v for c2, op2, v in sel.where
+                   if c2 == col and op2 == "LIKE")
+        if not isinstance(pat, str) or "%" not in pat:
+            raise CqlError("LIKE pattern must be a quoted string "
+                           "containing %")
+        core = pat.strip("%")
+        if not core or "%" in core:
+            raise CqlError(f"unsupported LIKE pattern {pat!r} "
+                           "(prefix/suffix/contains only)")
+        if sasi[col] == "PREFIX" and not (
+                pat.endswith("%") and not pat.startswith("%")):
+            raise CqlError(
+                f"SASI PREFIX index on {col!r} serves only 'x%' "
+                f"patterns; got {pat!r}")
+
     non_key = [c for c in by_col if c not in part_cols and c not in clus_cols]
     if non_key and not sel.allow_filtering:
         # Secondary-index rule: exactly ONE non-key restriction, on an
@@ -380,8 +421,11 @@ def validate_cql(sel: CqlSelect) -> dict:
         indexes = meta.get("indexes", [])
         index_served = (
             len(non_key) == 1
-            and non_key[0] in indexes
-            and all(op == "=" for op in by_col[non_key[0]])
+            and ((non_key[0] in indexes
+                  and all(op == "=" for op in by_col[non_key[0]]))
+                 # a single SASI LIKE is exactly what the index serves
+                 or (non_key[0] in meta.get("sasi_indexes", {})
+                     and all(op == "LIKE" for op in by_col[non_key[0]])))
         )
         if not index_served:
             raise CqlError(
@@ -503,6 +547,16 @@ def validate_cql(sel: CqlSelect) -> dict:
 
 def _pred_column(col: str, op: str, val, kind: str | None = None):
     c = F.col(col)
+    if op == "LIKE":
+        # validated shapes only; compiled to startswith/endswith/
+        # contains so % is the ONLY wildcard (Cassandra's LIKE treats
+        # '_' literally, unlike SQL LIKE)
+        core = val.strip("%")
+        if val.startswith("%") and val.endswith("%"):
+            return c.contains(core)
+        if val.endswith("%"):
+            return c.startswith(core)
+        return c.endswith(core)
     if op == "CONTAINS":
         # set/list: element containment; map: VALUE containment
         target = F.map_values(c) if kind == "map" else c
@@ -1103,4 +1157,25 @@ def a2z_cql_similarity_functions(spark, sf_dir):
         SELECT vec_id, similarity_cosine(embedding, [{vec_lit}]) AS sim
         FROM embeddings
         ORDER BY embedding ANN OF [{vec_lit}] LIMIT 12
+    """)
+
+
+@register("a2aa_cql_sasi_like", "A2+H1", """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE text LIKE '%vector hash%'
+""", "CQL LIKE over a SASI index (mode CONTAINS): `WHERE text LIKE "
+     "'%vector hash%'` is served by the index - Cassandra rejects "
+     "LIKE outright on non-SASI columns (even ALLOW FILTERING does "
+     "not rescue it), a PREFIX-mode index serves only 'x%' shapes, "
+     "and '_' is a LITERAL in Cassandra's LIKE (unlike SQL), which "
+     "is why the compiler lowers the three validated shapes to "
+     "startswith/endswith/contains instead of SQL LIKE. The "
+     "substring predicate is one scan (the SASI index would prune "
+     "server-side; Spark's analog is the pushed string filter).")
+def a2aa_cql_sasi_like(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return cql_select(d, """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE text LIKE '%vector hash%'
     """)

@@ -419,3 +419,37 @@ def test_cql_similarity_select_functions(spark):
     with pytest.raises(CqlError, match="non-empty"):
         cql_select(e, "SELECT similarity_cosine(embedding, []) "
                       "FROM embeddings")
+
+
+def test_cql_sasi_like_rules(spark):
+    """LIKE restriction rules: SASI index required (ALLOW FILTERING
+    does not rescue it); PREFIX mode serves only 'x%'; CONTAINS mode
+    serves all three shapes; mid-pattern wildcards rejected; '_' is
+    literal (not a wildcard)."""
+    d = load_table(spark, SF_DIR, "documents")
+    o = load_table(spark, SF_DIR, "orders")
+
+    # CONTAINS mode: all three shapes compile and run
+    for pat in ("'merge%'", "'%merge'", "'%merge%'"):
+        out = cql_select(d, f"SELECT doc_id FROM documents "
+                            f"WHERE text LIKE {pat}")
+        assert out.columns == ["doc_id"]
+    # no SASI index -> rejected even with ALLOW FILTERING
+    with pytest.raises(CqlError, match="SASI"):
+        cql_select(d, "SELECT doc_id FROM documents "
+                      "WHERE lang LIKE 'd%' ALLOW FILTERING")
+    # PREFIX mode serves only 'x%'
+    assert cql_select(o, "SELECT o_orderkey FROM orders "
+                         "WHERE o_orderpriority LIKE '3-%'").count() > 0
+    with pytest.raises(CqlError, match="PREFIX"):
+        cql_select(o, "SELECT o_orderkey FROM orders "
+                      "WHERE o_orderpriority LIKE '%MEDIUM'")
+    # mid-pattern wildcard rejected
+    with pytest.raises(CqlError, match="unsupported LIKE pattern"):
+        cql_select(d, "SELECT doc_id FROM documents "
+                      "WHERE text LIKE '%a%b%'")
+    # '_' is literal in Cassandra LIKE: no doc contains a literal
+    # underscore, so the match set is empty (SQL LIKE would match)
+    n = cql_select(d, "SELECT doc_id FROM documents "
+                      "WHERE text LIKE '%merge_%'").count()
+    assert n == 0
