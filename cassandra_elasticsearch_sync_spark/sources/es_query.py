@@ -4086,3 +4086,62 @@ def a3bf_es_geo_bounds(spark, sf_dir):
             "aggs": {"box": {"geo_bounds": {"field": "location"}}},
         }
     })
+
+
+# ---------------------------------------------------------------------------
+# ES terms lookup (the terms query fetching its list from a document)
+# ---------------------------------------------------------------------------
+
+def es_terms_lookup(df: DataFrame, field: str, lookup_df: DataFrame,
+                    lookup_id_col: str, lookup_id, path_col: str) -> DataFrame:
+    """ES terms query with LOOKUP: the term list lives in another
+    index's document (``{"terms": {field: {"index": i, "id": d,
+    "path": p}}}``) - the deny-list/allow-list pattern where the list
+    is data, not query text (and may be far larger than any inline
+    terms list ES would accept).
+
+    Compiles to: filter the lookup index to the one document, explode
+    its ``path`` array to a term relation, LEFT SEMI broadcast-join
+    the corpus on the field - the term list never touches the driver
+    (no collect, unlike an inline terms query a client would build),
+    and the corpus-sized side stays one scan + one broadcast probe at
+    any list size that fits a broadcast (ES itself caps lookup lists
+    at 65k terms - far below broadcast limits).
+    """
+    terms = (
+        lookup_df.filter(F.col(lookup_id_col) == lookup_id)
+        .select(F.explode(F.col(path_col)).alias(field))
+        .distinct()
+    )
+    return df.join(F.broadcast(terms), field, "left_semi")
+
+
+@register("a3bg_es_terms_lookup", "A3+C4", """
+WITH deny AS (
+  SELECT DISTINCT c_custkey AS o_custkey
+  FROM customer WHERE c_acctbal < -700.0
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o JOIN deny USING (o_custkey)
+""", "ES terms lookup: orders matching a DENY-LIST stored as a "
+     "document (the customers with deeply negative balances, "
+     "materialized as one doc whose `path` array is the custkey "
+     "list) - the allow/deny-list pattern where the list is DATA "
+     "fetched at query time, not inline query text. Compiles to "
+     "explode-the-list + LEFT SEMI broadcast join: the list never "
+     "touches the driver and the corpus side is one scan + one "
+     "broadcast probe (ES caps lookup lists at 65k terms - far "
+     "below broadcast limits). The oracle is the equivalent "
+     "relational semi-join.")
+def a3bg_es_terms_lookup(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    # the stored lookup document: one row, id 'denied', path = array
+    deny_doc = (
+        c.filter(F.col("c_acctbal") < -700.0)
+        .agg(F.collect_list("c_custkey").alias("path"))
+        .select(F.lit("denied").alias("doc_id"), "path")
+    )
+    return es_terms_lookup(
+        o, "o_custkey", deny_doc, "doc_id", "denied", "path"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
