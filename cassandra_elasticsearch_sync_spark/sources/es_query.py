@@ -456,6 +456,22 @@ def _metric_columns(name: str, spec: dict) -> list:
              .alias(f"{name}_lon"),
             F.count(F.col(f"{field}.lat")).alias(f"{name}_count"),
         ]
+    if kind == "rate":
+        # ES rate agg (inside a calendar bucket): the bucket's sum
+        # scaled to a per-`unit` rate with the CALENDAR-AWARE divisor
+        # - a monthly bucket divides by that month's actual day count
+        # (28/29/30/31), which is the whole point of the agg. ES
+        # infers the bucket interval from the enclosing histogram;
+        # this compiler cannot see its enclosing bucket, so the spec
+        # names the date field explicitly (`date_field`) and the
+        # divisor is max(dayofmonth(last_day(date))) - constant
+        # within a bucket, so one more map-side aggregate. Only the
+        # month->day case is implemented (the common cost/day panel);
+        # the sum is decimal-exact, the single divide IEEE.
+        if body.get("unit", "day") != "day":
+            raise ValueError("rate agg: only unit='day' is implemented")
+        days = F.max(F.dayofmonth(F.last_day(F.col(body["date_field"]))))
+        return [F.round(dsum(body["field"], 2) / days, 6).alias(name)]
     if kind == "geo_bounds":
         # ES geo_bounds: the tightest lat/lon box around the bucket's
         # points, flattened to the four corners ES nests as
@@ -4145,3 +4161,41 @@ def a3bg_es_terms_lookup(spark, sf_dir):
     return es_terms_lookup(
         o, "o_custkey", deny_doc, "doc_id", "denied", "path"
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register("a3bh_es_rate_agg", "A3+D1", """
+SELECT key,
+       doc_count,
+       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                       AS DECIMAL(38,2)) AS DOUBLE)
+             / DATE_PART('day', LAST_DAY(MIN(o_orderdate))), 6)
+         AS revenue_per_day
+FROM (
+  SELECT STRFTIME(o_orderdate, '%Y-%m') AS key, o_totalprice, o_orderdate,
+         COUNT(*) OVER (PARTITION BY STRFTIME(o_orderdate, '%Y-%m'))
+           AS doc_count
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+)
+GROUP BY key, doc_count
+""", "ES rate aggregation under a monthly date_histogram: each "
+     "month's revenue scaled to a PER-DAY rate with the "
+     "calendar-aware divisor - February divides by 28 (or 29), July "
+     "by 31; a plain avg-per-bucket would overstate short months, "
+     "which is exactly why the agg exists. The divisor is "
+     "max(dayofmonth(last_day(date))) - constant within the bucket, "
+     "one more map-side aggregate - and the sum is decimal-exact, "
+     "so the single IEEE divide hash-matches cross-engine. One "
+     "grouped aggregate at any corpus size.")
+def a3bh_es_rate_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    return es_aggregate(o, {
+        "by_month": {
+            "date_histogram": {"field": "o_orderdate",
+                               "calendar_interval": "month"},
+            "aggs": {"revenue_per_day": {
+                "rate": {"field": "o_totalprice", "unit": "day",
+                         "date_field": "o_orderdate"}}},
+        }
+    })
