@@ -120,6 +120,7 @@ _FRONT = (
     "a2z_cql_similarity_functions", "a3bc_es_completion_suggester",
     "a3bd_es_geo_centroid", "a3be_es_histogram_extended_bounds",
     "a3bf_es_geo_bounds", "a2aa_cql_sasi_like", "a3bg_es_terms_lookup", "a3bh_es_rate_agg",
+    "a3bi_es_filters_other_bucket",
     "i6c_stateful_session_timeout", "i9b_stream_stream_left_join",
     "i9c_stream_stream_full_outer", "i11_exactly_once_acid_sink",
     "a11_python_stream_source",

@@ -614,13 +614,29 @@ def es_aggregate(df: DataFrame, aggs: dict,
         # the single result row into one row per named bucket with an
         # explode(array(struct...)) projection: single scan, single
         # shuffle-free map-side-partial agg, at any corpus size.
-        named = spec["filters"]["filters"]
+        named = dict(spec["filters"]["filters"])
+        # other_bucket(_key): the catch-all bucket for docs matching
+        # NO named filter - ES's "everything else" dashboard slice.
+        # Same one-pass compilation: its mask is the negation of the
+        # OR of every named condition (null-safe via coalesce: a doc
+        # whose field is null matches no filter, so it belongs HERE,
+        # exactly as ES places it).
+        other_key = None
+        if spec["filters"].get("other_bucket"):
+            other_key = spec["filters"].get("other_bucket_key", "_other_")
         sub = spec.get("aggs", {})
         from cassandra_elasticsearch_sync_spark.parity import davg, dsum
         agg_cols = []
         metric_names = ["doc_count"] + list(sub)
-        for bname, q in named.items():
-            cond = compile_query(q)
+        conds = {bname: compile_query(q) for bname, q in named.items()}
+        if other_key is not None:
+            none_matched = ~reduce(
+                lambda a, b: a | b,
+                [F.coalesce(c, F.lit(False)) for c in conds.values()])
+            conds[other_key] = none_matched
+            named[other_key] = None
+        for bname in named:
+            cond = conds[bname]
             agg_cols.append(
                 F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
                 .alias(f"{bname}||doc_count"))
@@ -4197,5 +4213,61 @@ def a3bh_es_rate_agg(spark, sf_dir):
             "aggs": {"revenue_per_day": {
                 "rate": {"field": "o_totalprice", "unit": "day",
                          "date_field": "o_orderdate"}}},
+        }
+    })
+
+
+@register("a3bi_es_filters_other_bucket", "A3+D1", """
+WITH flags AS (
+  SELECT o_totalprice,
+         o_orderpriority = '1-URGENT' AS is_urgent,
+         o_orderstatus = 'O' AS is_open,
+         o_totalprice > 300000 AS is_big
+  FROM orders
+)
+SELECT key, doc_count, revenue FROM (
+  SELECT 'urgent' AS key, COUNT(CASE WHEN is_urgent THEN 1 END)
+           AS doc_count,
+         CAST(CAST(SUM(CASE WHEN is_urgent
+                            THEN CAST(o_totalprice AS DECIMAL(38,10))
+                       END) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+  FROM flags
+  UNION ALL
+  SELECT 'open', COUNT(CASE WHEN is_open THEN 1 END),
+         CAST(CAST(SUM(CASE WHEN is_open
+                            THEN CAST(o_totalprice AS DECIMAL(38,10))
+                       END) AS DECIMAL(38,2)) AS DOUBLE)
+  FROM flags
+  UNION ALL
+  SELECT 'neither', COUNT(CASE WHEN NOT (COALESCE(is_urgent, FALSE)
+                                OR COALESCE(is_open, FALSE)) THEN 1 END),
+         CAST(CAST(SUM(CASE WHEN NOT (COALESCE(is_urgent, FALSE)
+                                 OR COALESCE(is_open, FALSE))
+                            THEN CAST(o_totalprice AS DECIMAL(38,10))
+                       END) AS DECIMAL(38,2)) AS DOUBLE)
+  FROM flags
+)
+""", "ES filters agg with other_bucket: the named KPI slices PLUS "
+     "the catch-all 'neither' bucket for docs matching NO filter - "
+     "the 'everything else' dashboard slice whose absence silently "
+     "under-reports totals. The other-bucket mask is the null-safe "
+     "negation of the OR of every named condition (a doc with a "
+     "null field matches no filter, so it lands HERE, exactly as ES "
+     "places it), compiled into the SAME single-pass masked "
+     "aggregate as the named buckets: one scan, one shuffle-free "
+     "map-side-partial agg, then the one-row-per-bucket reshape.")
+def a3bi_es_filters_other_bucket(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "kpis": {
+            "filters": {
+                "filters": {
+                    "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+                    "open": {"term": {"o_orderstatus": "O"}},
+                },
+                "other_bucket": True,
+                "other_bucket_key": "neither",
+            },
+            "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
         }
     })
