@@ -828,3 +828,46 @@ def test_phrase_suggester_rules(spark):
     out2 = es_phrase_suggest(df, "text", "fox", max_edits=1,
                              per_slot=3, size=5).collect()
     assert out2[0]["suggestion"] == "fox"
+
+
+def test_rate_agg_and_other_bucket_semantics(spark):
+    """rate: calendar-aware divisor hand-checked on a fixed February
+    (28 days) vs July (31 days); unit != day rejected. other_bucket:
+    named + catch-all doc_counts partition the corpus; a null-field
+    row lands in the other bucket."""
+    import datetime as dt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_aggregate,
+    )
+
+    rows = [(dt.datetime(2001, 2, 10), 280.0),
+            (dt.datetime(2001, 2, 20), 280.0),
+            (dt.datetime(2001, 7, 1), 310.0)]
+    df = spark.createDataFrame(rows, "d timestamp, v double")
+    out = {r["key"]: r["revenue_per_day"] for r in es_aggregate(df, {
+        "m": {"date_histogram": {"field": "d",
+                                 "calendar_interval": "month"},
+              "aggs": {"revenue_per_day": {
+                  "rate": {"field": "v", "unit": "day",
+                           "date_field": "d"}}}}}).collect()}
+    assert out["2001-02"] == 20.0    # 560 / 28
+    assert out["2001-07"] == 10.0    # 310 / 31
+    with pytest.raises(ValueError, match="unit='day'"):
+        es_aggregate(df, {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "month"},
+            "aggs": {"r": {"rate": {"field": "v", "unit": "month",
+                                    "date_field": "d"}}}}}).collect()
+
+    rows2 = [("a", 1.0), ("b", 2.0), (None, 4.0), ("c", 8.0)]
+    df2 = spark.createDataFrame(rows2, "s string, v double")
+    got = {r["key"]: (r["doc_count"], r["total"]) for r in es_aggregate(df2, {
+        "k": {"filters": {"filters": {
+                  "is_a": {"term": {"s": "a"}},
+                  "is_b": {"term": {"s": "b"}}},
+              "other_bucket": True, "other_bucket_key": "rest"},
+              "aggs": {"total": {"sum": {"field": "v"}}}}}).collect()}
+    assert got["is_a"] == (1, 1.0) and got["is_b"] == (1, 2.0)
+    # the null-s row matches NO filter -> lands in the catch-all
+    assert got["rest"] == (2, 12.0)
+    assert sum(c for c, _ in got.values()) == 4  # partition, no loss
