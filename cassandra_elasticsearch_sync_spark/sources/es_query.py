@@ -388,10 +388,15 @@ def _percentile_columns(name: str, body: dict) -> list:
     ]
 
 
-def _metric_columns(name: str, spec: dict) -> list:
+def _metric_columns(name: str, spec: dict, parent: str | None = None) -> list:
     """ES metric sub-agg -> aggregate columns. Multi-valued metrics
     (``stats``) flatten to ``<name>_count/_min/_max/_sum/_avg`` the
-    way ES clients flatten the response object."""
+    way ES clients flatten the response object.
+
+    ``parent`` names the enclosing bucket context
+    (``"date_histogram:<calendar_interval>"`` for date histograms,
+    the bucket kind otherwise); metrics that ES only allows under a
+    specific ancestor (``rate``) validate against it."""
     from cassandra_elasticsearch_sync_spark.parity import davg, dsum
 
     (kind, body), = spec.items()
@@ -468,6 +473,15 @@ def _metric_columns(name: str, spec: dict) -> list:
         # within a bucket, so one more map-side aggregate. Only the
         # month->day case is implemented (the common cost/day panel);
         # the sum is decimal-exact, the single divide IEEE.
+        # ES requires a date_histogram ancestor for rate; outside a
+        # MONTHLY one the days-in-month divisor would silently produce
+        # a wrong rate, so the compiler validates the parent context
+        # instead (terms / filter / global / non-month histograms all
+        # raise, matching ES's own rejection).
+        if parent != "date_histogram:month":
+            raise ValueError(
+                "rate agg requires an enclosing date_histogram with "
+                f"calendar_interval='month'; got parent={parent!r}")
         if body.get("unit", "day") != "day":
             raise ValueError("rate agg: only unit='day' is implemented")
         days = F.max(F.dayofmonth(F.last_day(F.col(body["date_field"]))))
@@ -624,6 +638,12 @@ def es_aggregate(df: DataFrame, aggs: dict,
         other_key = None
         if spec["filters"].get("other_bucket"):
             other_key = spec["filters"].get("other_bucket_key", "_other_")
+            if other_key in named:
+                # A colliding key would silently replace a user-named
+                # bucket with the catch-all - fail loudly instead.
+                raise ValueError(
+                    f"other_bucket_key {other_key!r} collides with a "
+                    "named filter bucket")
         sub = spec.get("aggs", {})
         from cassandra_elasticsearch_sync_spark.parity import davg, dsum
         agg_cols = []
@@ -732,11 +752,19 @@ def es_aggregate(df: DataFrame, aggs: dict,
         if any(k in s for k in ("bucket_script", "bucket_selector",
                                 "bucket_sort"))
     }
+    # The enclosing bucket context, handed to every metric column so
+    # ancestor-constrained metrics (rate) can validate where they sit.
+    if "date_histogram" in spec:
+        _parent = "date_histogram:" + str(
+            spec["date_histogram"].get("calendar_interval")
+            or spec["date_histogram"].get("fixed_interval"))
+    else:
+        _parent = next((k for k in spec if k != "aggs"), None)
     sub = [
         c for n, s in spec.get("aggs", {}).items()
         if not _is_bucket(s) and "top_hits" not in s
         and n not in pipeline_subs and n not in bucket_pipeline
-        for c in _metric_columns(n, s)
+        for c in _metric_columns(n, s, parent=_parent)
     ]
     if pipeline_subs and "date_histogram" not in spec:
         # fail loudly instead of silently dropping the pipeline agg
@@ -996,19 +1024,33 @@ def es_aggregate(df: DataFrame, aggs: dict,
         if "extended_bounds" in body and body.get("min_doc_count", 1) == 0:
             # ES dashboard semantics: min_doc_count=0 + extended_bounds
             # emits EVERY bucket in [min, max] even when empty (a gap
-            # in the chart must render as zero, not vanish). The
-            # scaffold is a broadcast-joined sequence of bucket keys -
-            # bucket-count-sized, never corpus-sized; empty buckets
-            # read doc_count 0 and NULL metrics, exactly as ES returns.
+            # in the chart must render as zero, not vanish). Crucially
+            # extended_bounds only EXTENDS the range - data-derived
+            # buckets OUTSIDE [min, max] still appear (clipping is
+            # hard_bounds, a different option) - so the scaffold joins
+            # FULL OUTER, not left. Both join inputs are bucket-count-
+            # sized (the scan already reduced), so the join strategy
+            # is irrelevant at any corpus size. Empty buckets read
+            # doc_count 0; sum/value_count metrics backfill to 0 and
+            # min/max/avg stay NULL, exactly as ES responds.
             lo = int(body["extended_bounds"]["min"] // interval)
             hi = int(body["extended_bounds"]["max"] // interval)
             spark_ = df.sparkSession
             scaffold = spark_.range(lo, hi + 1).select(
                 (F.col("id") * F.lit(interval)).cast("double").alias("key"))
-            out = (
-                F.broadcast(scaffold).join(out, "key", "left")
-                .fillna({"doc_count": 0})
-            )
+            fill: dict[str, int] = {"doc_count": 0}
+            for n, s in spec.get("aggs", {}).items():
+                if len(s) != 1 or _is_bucket(s):
+                    continue
+                (mkind, _), = s.items()
+                if mkind in ("sum", "value_count"):
+                    fill[n] = 0
+                elif mkind in ("stats", "extended_stats"):
+                    # ES empty-bucket stats: count 0 and sum 0.0;
+                    # min/max/avg (and variance family) stay null.
+                    fill[f"{n}_count"] = 0
+                    fill[f"{n}_sum"] = 0
+            out = scaffold.join(out, "key", "full").fillna(fill)
         return out
     if "range" in spec:
         body = spec["range"]
@@ -4065,26 +4107,31 @@ WITH h AS (
 ),
 scaffold AS (
   SELECT CAST(i * 50000.0 AS DOUBLE) AS key
-  FROM (SELECT UNNEST(RANGE(0, 13)) AS i)
+  FROM (SELECT UNNEST(RANGE(-2, 6)) AS i)
 )
-SELECT s.key, COALESCE(h.doc_count, 0) AS doc_count, h.revenue
-FROM scaffold s LEFT JOIN h ON s.key = h.key
+SELECT COALESCE(s.key, h.key) AS key,
+       COALESCE(h.doc_count, 0) AS doc_count,
+       COALESCE(h.revenue, 0) AS revenue
+FROM scaffold s FULL JOIN h ON s.key = h.key
 """, "ES histogram with min_doc_count=0 + extended_bounds: every "
      "50k-revenue bucket in [0, 600k] appears even when EMPTY - a "
      "gap in the dashboard must render as zero, not vanish (the "
-     "semantics that separate a chart axis from a GROUP BY). The "
-     "scaffold is a broadcast-joined bucket-key sequence - bucket-"
-     "count-sized, never corpus-sized - and empty buckets read "
-     "doc_count 0 with NULL metrics exactly as ES responds. One "
-     "grouped aggregate + one broadcast left join at any corpus "
-     "size.")
+     "semantics that separate a chart axis from a GROUP BY). "
+     "extended_bounds only EXTENDS the range (clipping is "
+     "hard_bounds), so data buckets outside [min, max] survive via "
+     "a FULL join of the bucket-key scaffold with the aggregated "
+     "histogram - both sides bucket-count-sized, never corpus-"
+     "sized. Empty buckets read doc_count 0 and sum metrics 0 "
+     "exactly as ES responds. One grouped aggregate + one bucket-"
+     "sized join at any corpus size.")
 def a3be_es_histogram_extended_bounds(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     out = es_aggregate(o, {
         "by_bucket": {
             "histogram": {"field": "o_totalprice", "interval": 50000.0,
                           "min_doc_count": 0,
-                          "extended_bounds": {"min": 0, "max": 600000}},
+                          "extended_bounds": {"min": -100000,
+                                              "max": 250000}},
             "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
         }
     })

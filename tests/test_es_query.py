@@ -871,3 +871,63 @@ def test_rate_agg_and_other_bucket_semantics(spark):
     # the null-s row matches NO filter -> lands in the catch-all
     assert got["rest"] == (2, 12.0)
     assert sum(c for c, _ in got.values()) == 4  # partition, no loss
+
+
+def test_rate_agg_requires_monthly_date_histogram(spark):
+    """ES rejects rate without a date_histogram ancestor; the compiler
+    mirrors that (a terms parent or a non-month interval would make
+    the days-in-month divisor silently wrong)."""
+    import datetime as dt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_aggregate,
+    )
+
+    rows = [(dt.datetime(2001, 2, 10), "x", 280.0)]
+    df = spark.createDataFrame(rows, "d timestamp, s string, v double")
+    rate = {"rate": {"field": "v", "unit": "day", "date_field": "d"}}
+    with pytest.raises(ValueError, match="date_histogram"):
+        es_aggregate(df, {"m": {"terms": {"field": "s"},
+                                "aggs": {"r": rate}}})
+    with pytest.raises(ValueError, match="calendar_interval"):
+        es_aggregate(df, {"m": {
+            "date_histogram": {"field": "d", "calendar_interval": "day"},
+            "aggs": {"r": rate}}})
+
+
+def test_other_bucket_key_collision_rejected(spark):
+    """other_bucket_key colliding with a named filter must raise, not
+    silently replace the user's bucket with the catch-all."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_aggregate,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "s string, v double")
+    with pytest.raises(ValueError, match="collides"):
+        es_aggregate(df, {"k": {"filters": {
+            "filters": {"is_a": {"term": {"s": "a"}}},
+            "other_bucket": True, "other_bucket_key": "is_a"}}})
+
+
+def test_extended_bounds_extends_never_clips(spark):
+    """extended_bounds must EXTEND the bucket range, never clip it:
+    data-derived buckets outside [min, max] survive (clipping is
+    hard_bounds); empty scaffold buckets read doc_count 0 with sum
+    metrics 0 and min/max NULL, as ES responds."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_aggregate,
+    )
+
+    df = spark.createDataFrame([(5.0,), (25.0,), (95.0,)], "v double")
+    out = {r["key"]: r for r in es_aggregate(df, {
+        "h": {"histogram": {"field": "v", "interval": 10.0,
+                            "min_doc_count": 0,
+                            "extended_bounds": {"min": 0, "max": 30}},
+              "aggs": {"s": {"sum": {"field": "v"}},
+                       "mx": {"max": {"field": "v"}}}}}).collect()}
+    # the 90-bucket is OUTSIDE extended_bounds and must survive
+    assert out[90.0]["doc_count"] == 1 and out[90.0]["s"] == 95.0
+    # scaffold-only bucket: doc_count 0, sum 0, max NULL
+    assert out[10.0]["doc_count"] == 0
+    assert out[10.0]["s"] == 0.0 and out[10.0]["mx"] is None
+    assert set(out) == {0.0, 10.0, 20.0, 30.0, 90.0}
