@@ -4318,3 +4318,224 @@ def a3bi_es_filters_other_bucket(spark, sf_dir):
             "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
         }
     })
+
+
+# ---------------------------------------------------------------------------
+# ES parent/child relations (the `join` field): has_child / has_parent
+# ---------------------------------------------------------------------------
+
+_CHILD_SCORE_MODES = ("none", "min", "max", "sum", "avg")
+
+
+def _function_score_column(functions: list[dict]) -> Column:
+    """The house scoring model (es_function_score's arithmetic core)
+    evaluated as a plain column: field_value_factor and filter+weight
+    terms summed. No libm, so scores are bit-identical cross-engine."""
+    terms = []
+    for fn in functions:
+        if "field_value_factor" in fn:
+            body = fn["field_value_factor"]
+            terms.append(F.col(body["field"]).cast("double")
+                         * F.lit(float(body.get("factor", 1.0))))
+        elif "filter" in fn:
+            terms.append(
+                F.when(compile_query(fn["filter"]),
+                       F.lit(float(fn.get("weight", 1.0))))
+                .otherwise(F.lit(0.0)))
+        else:
+            raise ValueError(f"unsupported scoring function {fn!r}")
+    if not terms:
+        raise ValueError("scoring needs at least one function")
+    return reduce(lambda a, b: a + b, terms)
+
+
+def es_has_child(parent_df: DataFrame, child_df: DataFrame,
+                 parent_key: str, child_key: str, child_query: dict,
+                 score_mode: str = "none", min_children: int = 1,
+                 max_children: int | None = None,
+                 child_score_functions: list[dict] | None = None,
+                 ) -> DataFrame:
+    """ES ``has_child``: parent docs having matching children.
+
+    In ES a ``join``-field mapping co-locates parents and children in
+    one index shard; ``has_child`` returns PARENTS with at least one
+    (``min_children``..``max_children``) child matching the child
+    query, and ``score_mode`` folds the children's scores into the
+    parent's ``_score`` (none = filter context; min/max/sum/avg over
+    the matching children). The relational twin is explicit: a parent
+    relation keyed ``parent_key`` and a child relation carrying the
+    parent id in ``child_key``.
+
+    Compilation, scale-first:
+    - filter context with the default 1..* cardinality -> distinct
+      matching child keys (map-side partial distinct) + LEFT SEMI
+      join: the child scan reduces before it shuffles, the parent
+      relation is never widened.
+    - score modes / cardinality bounds -> ONE grouped aggregate over
+      the matching children (count + score fold, map-side partial;
+      per-parent cardinality caps apply POST-aggregate so the scan
+      never re-shuffles) + one equi-join on the parent key. Both
+      shapes are AQE-broadcastable when the matched-parent set is
+      small, and degrade to a co-partitioned shuffle join - never a
+      cross product - at any corpus size.
+
+    Child scores follow the house function_score model (scores ES
+    would compute with BM25 are not reproducible cross-engine;
+    field_value_factor / filter+weight are, bitwise).
+    """
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    if score_mode not in _CHILD_SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {_CHILD_SCORE_MODES}, "
+                         f"got {score_mode!r}")
+    if min_children < 1:
+        raise ValueError("min_children must be >= 1")
+    if max_children is not None and max_children < min_children:
+        raise ValueError("max_children must be >= min_children")
+    if score_mode != "none" and not child_score_functions:
+        raise ValueError(f"score_mode={score_mode!r} needs "
+                         "child_score_functions")
+
+    matching = child_df.filter(compile_query(child_query))
+    if score_mode == "none" and min_children == 1 and max_children is None:
+        keys = (matching.select(F.col(child_key).alias(parent_key))
+                .distinct())
+        return parent_df.join(keys, parent_key, "left_semi")
+
+    aggs = [F.count("*").alias("__n_children")]
+    if score_mode != "none":
+        s = _function_score_column(child_score_functions)
+        fold = {
+            "min": lambda: F.min(s),
+            "max": lambda: F.max(s),
+            "sum": lambda: dsum(s, 6),
+            "avg": lambda: dsum(s, 6) / F.count("*"),
+        }[score_mode]()
+        aggs.append(F.round(fold, 6).alias("_score"))
+    per_parent = (
+        matching.groupBy(F.col(child_key).alias(parent_key)).agg(*aggs)
+        .filter(F.col("__n_children") >= min_children)
+    )
+    if max_children is not None:
+        per_parent = per_parent.filter(
+            F.col("__n_children") <= max_children)
+    out = parent_df.join(per_parent, parent_key, "inner")
+    return out.drop("__n_children")
+
+
+def es_has_parent(child_df: DataFrame, parent_df: DataFrame,
+                  parent_key: str, child_key: str, parent_query: dict,
+                  score: bool = False,
+                  parent_score_functions: list[dict] | None = None,
+                  ) -> DataFrame:
+    """ES ``has_parent``: child docs whose parent matches.
+
+    ``score=false`` (ES default) is filter context: a LEFT SEMI join
+    of the children against the distinct matching parent keys - the
+    parent scan reduces to a key set before the join, and the child
+    relation passes through unwidened. ``score=true`` propagates the
+    single parent's score onto each of its children: an equi-join
+    carrying exactly (key, _score) from the parent side, so the join
+    build input is two columns no matter how wide the parent relation
+    is. Parent scores use the house function_score model (see
+    es_has_child).
+    """
+    matched = parent_df.filter(compile_query(parent_query))
+    if not score:
+        keys = matched.select(F.col(parent_key).alias(child_key)).distinct()
+        return child_df.join(keys, child_key, "left_semi")
+    if not parent_score_functions:
+        raise ValueError("score=True needs parent_score_functions")
+    s = _function_score_column(parent_score_functions)
+    scored = matched.select(F.col(parent_key).alias(child_key),
+                            F.round(s, 6).alias("_score"))
+    return child_df.join(scored, child_key, "inner")
+
+
+@register("a3bj_es_has_child", "A3+C4", """
+WITH per_parent AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10)))
+                   AS DECIMAL(38,6)) AS DOUBLE) AS score
+  FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity >= 45
+  GROUP BY l_orderkey
+  HAVING COUNT(*) >= 2
+)
+SELECT o.o_orderkey, o.o_orderpriority, ROUND(p.score, 6) AS score
+FROM orders o JOIN per_parent p ON o.o_orderkey = p.l_orderkey
+ORDER BY score DESC, o.o_orderkey ASC
+LIMIT 15
+""", "ES has_child over a join-field mapping (orders are parents, "
+     "lineitems children): parents with >= 2 children matching "
+     "returnflag R and quantity >= 45, score_mode=sum folding the "
+     "children's field_value_factor(l_quantity) scores into the "
+     "parent _score - the 'orders with heavy returned lines' drill-"
+     "down an ES user with a relational mapping runs weekly. "
+     "Compiles to ONE grouped aggregate over the matching children "
+     "(map-side partial; the min_children cap applies post-"
+     "aggregate) + one equi-join on the parent key + a "
+     "TakeOrderedAndProject page: the child scan reduces before "
+     "anything shuffles, at any corpus size.")
+def a3bj_es_has_child(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = es_has_child(
+        o, li, parent_key="o_orderkey", child_key="l_orderkey",
+        child_query={"bool": {"filter": [
+            {"term": {"l_returnflag": "R"}},
+            {"range": {"l_quantity": {"gte": 45}}},
+        ]}},
+        score_mode="sum", min_children=2,
+        child_score_functions=[
+            {"field_value_factor": {"field": "l_quantity", "factor": 1.0}},
+        ],
+    )
+    return (
+        out.select("o_orderkey", "o_orderpriority",
+                   F.col("_score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+    )
+
+
+@register("a3bk_es_has_parent", "A3+C4", """
+SELECT l.l_orderkey, l.l_linenumber, l.l_linestatus,
+       ROUND(CAST(o.o_totalprice AS DOUBLE) * 0.5, 6) AS score
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 400000
+ORDER BY score DESC, l.l_orderkey ASC, l.l_linenumber ASC
+LIMIT 20
+""", "ES has_parent with score=true: lineitem children of urgent "
+     "parents above 400k, each child carrying its parent's "
+     "field_value_factor(o_totalprice, 0.5) score - ES's inherited-"
+     "relevance pattern ('rank lines by how important their order "
+     "is'). The parent side joins as exactly (key, _score) - two "
+     "columns regardless of parent width - and the factor 0.5 is a "
+     "dyadic, so the score is bit-identical cross-engine. One "
+     "filtered parent projection + one equi-join + one "
+     "TakeOrderedAndProject page.")
+def a3bk_es_has_parent(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = es_has_parent(
+        li, o, parent_key="o_orderkey", child_key="l_orderkey",
+        parent_query={"bool": {"filter": [
+            {"term": {"o_orderpriority": "1-URGENT"}},
+            {"range": {"o_totalprice": {"gt": 400000}}},
+        ]}},
+        score=True,
+        parent_score_functions=[
+            {"field_value_factor": {"field": "o_totalprice",
+                                    "factor": 0.5}},
+        ],
+    )
+    return (
+        out.select("l_orderkey", "l_linenumber", "l_linestatus",
+                   F.col("_score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("l_orderkey").asc(),
+                 F.col("l_linenumber").asc())
+        .limit(20)
+    )

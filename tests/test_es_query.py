@@ -931,3 +931,82 @@ def test_extended_bounds_extends_never_clips(spark):
     assert out[10.0]["doc_count"] == 0
     assert out[10.0]["s"] == 0.0 and out[10.0]["mx"] is None
     assert set(out) == {0.0, 10.0, 20.0, 30.0, 90.0}
+
+
+def test_has_child_semantics(spark):
+    """has_child hand-checked on a tiny parent/child corpus: filter
+    context (semi join), min/max_children cardinality windows, and
+    every score fold."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_has_child,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, "p1"), (2, "p2"), (3, "p3")], "pid long, pname string")
+    children = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "x", 30.0), (2, "x", 5.0), (3, "y", 7.0)],
+        "ppid long, tag string, v double")
+    q = {"term": {"tag": "x"}}
+
+    # filter context: parents 1 and 2 have an x-child, 3 does not
+    got = sorted(r["pid"] for r in es_has_child(
+        parents, children, "pid", "ppid", q).collect())
+    assert got == [1, 2]
+    # min_children=2 keeps only parent 1
+    got2 = [r["pid"] for r in es_has_child(
+        parents, children, "pid", "ppid", q, min_children=2).collect()]
+    assert got2 == [1]
+    # max_children=1 keeps only parent 2
+    got3 = [r["pid"] for r in es_has_child(
+        parents, children, "pid", "ppid", q, max_children=1).collect()]
+    assert got3 == [2]
+    # score folds over the matching children's field_value_factor(v)
+    fns = [{"field_value_factor": {"field": "v", "factor": 1.0}}]
+    for mode, exp in (("sum", {1: 40.0, 2: 5.0}),
+                      ("min", {1: 10.0, 2: 5.0}),
+                      ("max", {1: 30.0, 2: 5.0}),
+                      ("avg", {1: 20.0, 2: 5.0})):
+        got = {r["pid"]: r["_score"] for r in es_has_child(
+            parents, children, "pid", "ppid", q, score_mode=mode,
+            child_score_functions=fns).collect()}
+        assert got == exp, (mode, got)
+
+    with pytest.raises(ValueError, match="score_mode"):
+        es_has_child(parents, children, "pid", "ppid", q,
+                     score_mode="mul")
+    with pytest.raises(ValueError, match="child_score_functions"):
+        es_has_child(parents, children, "pid", "ppid", q,
+                     score_mode="sum")
+    with pytest.raises(ValueError, match="min_children"):
+        es_has_child(parents, children, "pid", "ppid", q, min_children=0)
+    with pytest.raises(ValueError, match="max_children"):
+        es_has_child(parents, children, "pid", "ppid", q,
+                     min_children=3, max_children=2)
+
+
+def test_has_parent_semantics(spark):
+    """has_parent: filter context is a semi join of children against
+    the matching parent keys; score=true propagates the single
+    parent's score onto each child."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_has_parent,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, "a", 100.0), (2, "b", 200.0)], "pid long, k string, w double")
+    children = spark.createDataFrame(
+        [(1, 11), (1, 12), (2, 21), (3, 31)], "ppid long, cid long")
+    q = {"term": {"k": "a"}}
+
+    got = sorted(r["cid"] for r in es_has_parent(
+        children, parents, "pid", "ppid", q).collect())
+    assert got == [11, 12]
+    # orphan child (ppid=3) never matches; score propagates per parent
+    scored = {r["cid"]: r["_score"] for r in es_has_parent(
+        children, parents, "pid", "ppid", {"match_all": {}}, score=True,
+        parent_score_functions=[
+            {"field_value_factor": {"field": "w", "factor": 0.5}},
+        ]).collect()}
+    assert scored == {11: 50.0, 12: 50.0, 21: 100.0}
+    with pytest.raises(ValueError, match="parent_score_functions"):
+        es_has_parent(children, parents, "pid", "ppid", q, score=True)
