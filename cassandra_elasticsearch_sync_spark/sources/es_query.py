@@ -134,7 +134,17 @@ def compile_query(q: dict, resolve=None) -> Column:
             parts.append(compile_query(clause, resolve))
         should = [compile_query(c, resolve) for c in body.get("should", [])]
         if should:
-            parts.append(reduce(lambda a, b: a | b, should))
+            msm = body.get("minimum_should_match")
+            if msm is not None:
+                # at least m of n optional clauses: a sum of 0/1 casts
+                # - one expression, no self-join, codegen-friendly
+                hits = reduce(
+                    lambda a, b: a + b,
+                    [F.when(F.coalesce(c, F.lit(False)), 1).otherwise(0)
+                     for c in should])
+                parts.append(hits >= F.lit(int(msm)))
+            else:
+                parts.append(reduce(lambda a, b: a | b, should))
         for clause in body.get("must_not", []):
             parts.append(~compile_query(clause, resolve))
         return reduce(lambda a, b: a & b, parts) if parts else F.lit(True)
@@ -243,6 +253,24 @@ def compile_query(q: dict, resolve=None) -> Column:
         hits = F.size(F.array_intersect(
             resolve(field), F.array(*[F.lit(t) for t in terms])))
         return hits >= F.lit(need)
+    if kind == "query_string":
+        # The Lucene-syntax search box: parse to a query-DSL tree and
+        # recurse - the parser (es_querystring.py) adds no execution
+        # machinery, so pushdown and parity ride the combinators above.
+        from cassandra_elasticsearch_sync_spark.sources.es_querystring \
+            import query_string_to_dsl
+        dsl = query_string_to_dsl(
+            body["query"], body.get("fields", []),
+            body.get("default_operator", "or").lower())
+        return compile_query(dsl, resolve)
+    if kind == "simple_query_string":
+        from cassandra_elasticsearch_sync_spark.sources.es_querystring \
+            import simple_query_string_to_dsl
+        dsl = simple_query_string_to_dsl(
+            body["query"], body.get("fields", []),
+            body.get("default_operator", "or").lower(),
+            body.get("minimum_should_match"))
+        return compile_query(dsl, resolve)
     raise ValueError(f"unsupported ES query clause: {kind}")
 
 
@@ -4539,3 +4567,51 @@ def a3bk_es_has_parent(spark, sf_dir):
                  F.col("l_linenumber").asc())
         .limit(20)
     )
+
+
+@register("a3bl_es_simple_query_string", "A3+B3", """
+SELECT doc_id, lang, source FROM documents
+WHERE (CASE WHEN list_contains(string_split(lower(text), ' '), 'vector')
+            THEN 1 ELSE 0 END
+     + CASE WHEN contains(' ' || lower(text) || ' ', ' merge join ')
+            THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(string_split(lower(text), ' '), 'stream')
+            THEN 1 ELSE 0 END) >= 2
+""", "ES simple_query_string - the syntax behind the Kibana search "
+     "bar: 'vector | \"merge join\" | stream' with "
+     "minimum_should_match=2 finds documents matching at least two "
+     "of the three optional clauses (a token match, a consecutive-"
+     "tokens phrase, another token). The parser lowers to the "
+     "existing match/match_phrase/bool combinators, and "
+     "minimum_should_match compiles to one sum-of-0/1-casts "
+     "expression >= m - a single codegen-friendly predicate on the "
+     "scan, no self-join, pushdown-eligible like every other "
+     "compiled filter.")
+def a3bl_es_simple_query_string(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_search(d, {"simple_query_string": {
+        "query": 'vector | "merge join" | stream',
+        "fields": ["text"],
+        "minimum_should_match": 2,
+    }}).select("doc_id", "lang", "source")
+
+
+@register("a3bm_es_query_string", "A3+B3", """
+SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+WHERE contains(' ' || lower(o_orderpriority) || ' ', ' 1-urgent ')
+   OR (list_contains(string_split(lower(o_orderstatus), ' '), 'f')
+       AND NOT starts_with(o_orderpriority, '5'))
+""", "ES query_string with the full Lucene-box surface: "
+     "'o_orderpriority:\"1-URGENT\" OR (o_orderstatus:F AND NOT "
+     "o_orderpriority:5*)' - field:term, a fielded quoted phrase, "
+     "uppercase AND/OR/NOT with Lucene precedence, parentheses, and "
+     "a trailing-* prefix (lowered to startswith, the term-level "
+     "keyword semantics). The parser emits an ordinary query-DSL "
+     "tree, so the whole predicate compiles through compile_query "
+     "and reaches the parquet scan as one pushdown-eligible filter.")
+def a3bm_es_query_string(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_search(o, {"query_string": {
+        "query": 'o_orderpriority:"1-URGENT" OR '
+                 '(o_orderstatus:F AND NOT o_orderpriority:5*)',
+    }}).select("o_orderkey", "o_orderstatus", "o_orderpriority")
