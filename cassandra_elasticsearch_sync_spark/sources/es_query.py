@@ -608,6 +608,69 @@ def _apply_bucket_pipeline(out: DataFrame, bucket_pipeline: dict) -> DataFrame:
     return out
 
 
+def _attach_two_pass_metrics(out: DataFrame, df: DataFrame, field: str,
+                             two_pass: dict) -> DataFrame:
+    """Join two-pass metric frames onto the sized bucket table.
+
+    ``median_absolute_deviation`` is median(|x - median(x)|): the inner
+    median must exist before deviations can (ES approximates both with
+    one t-digest; the exact twin is two grouped passes - the
+    k_mad_outliers shape). ``string_stats`` needs a character
+    distribution for its Shannon entropy. Both scope the extra passes
+    to the SURVIVING buckets first (a broadcast semi join against the
+    <= size bucket keys), so the second scans reduce immediately and
+    every join here is bucket-count-sized. Entropy/MAD round at 6 dp -
+    the engine's libm-boundary convention (log2 is the one libm call).
+    """
+    if not two_pass:
+        return out
+    keys = out.select(F.col("key").alias(field)).distinct()
+    scoped = df.join(F.broadcast(keys), field, "left_semi")
+    for n, s in two_pass.items():
+        (kind, body), = s.items()
+        v = body["field"]
+        if kind == "median_absolute_deviation":
+            med = scoped.groupBy(F.col(field).alias("key")).agg(
+                F.percentile(v, F.lit(0.5)).alias("__med"))
+            dev = (
+                scoped.select(F.col(field).alias("key"),
+                              F.col(v).alias("__v"))
+                .join(F.broadcast(med), "key")
+                .select("key", F.abs(F.col("__v") - F.col("__med"))
+                        .alias("__dev"))
+            )
+            madf = dev.groupBy("key").agg(
+                F.round(F.percentile("__dev", F.lit(0.5)), 6).alias(n))
+            out = out.join(F.broadcast(madf), "key", "left")
+        elif kind == "string_stats":
+            length = F.length(F.col(v))
+            lens = scoped.groupBy(F.col(field).alias("key")).agg(
+                F.count(v).alias(f"{n}_count"),
+                F.min(length).cast("bigint").alias(f"{n}_min_length"),
+                F.max(length).cast("bigint").alias(f"{n}_max_length"),
+                F.round(F.sum(length).cast("double") / F.count(v), 6)
+                 .alias(f"{n}_avg_length"),
+            )
+            chars = (
+                scoped.select(F.col(field).alias("key"),
+                              F.explode(F.split(F.col(v), "")).alias("__ch"))
+                .filter(F.col("__ch") != "")
+                .groupBy("key", "__ch").agg(F.count("*").alias("__c"))
+            )
+            # Shannon entropy over characters, base 2:
+            #   log2(N) - (sum c*log2(c)) / N  with N = sum c
+            ent = chars.groupBy("key").agg(
+                F.round(
+                    F.log2(F.sum("__c"))
+                    - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c"),
+                    6).alias(f"{n}_entropy"))
+            out = (out.join(F.broadcast(lens), "key", "left")
+                   .join(F.broadcast(ent), "key", "left"))
+        else:  # pragma: no cover - guarded by the two_pass filter
+            raise ValueError(f"unsupported two-pass metric {kind!r}")
+    return out
+
+
 def es_aggregate(df: DataFrame, aggs: dict,
                  background: DataFrame | None = None) -> DataFrame:
     """Run an ES aggregations-DSL dict against a DataFrame.
@@ -780,6 +843,14 @@ def es_aggregate(df: DataFrame, aggs: dict,
         if any(k in s for k in ("bucket_script", "bucket_selector",
                                 "bucket_sort"))
     }
+    # Two-pass metrics: aggregates whose value needs a second grouped
+    # pass over the rows (a nested median, a character distribution) -
+    # they cannot be one aggregate expression, so they compute as
+    # separate bucket-keyed frames joined onto the bucket table.
+    two_pass = {
+        n: s for n, s in spec.get("aggs", {}).items()
+        if "median_absolute_deviation" in s or "string_stats" in s
+    }
     # The enclosing bucket context, handed to every metric column so
     # ancestor-constrained metrics (rate) can validate where they sit.
     if "date_histogram" in spec:
@@ -792,8 +863,14 @@ def es_aggregate(df: DataFrame, aggs: dict,
         c for n, s in spec.get("aggs", {}).items()
         if not _is_bucket(s) and "top_hits" not in s
         and n not in pipeline_subs and n not in bucket_pipeline
+        and n not in two_pass
         for c in _metric_columns(n, s, parent=_parent)
     ]
+    if two_pass and "terms" not in spec:
+        raise ValueError(
+            "median_absolute_deviation/string_stats are supported "
+            "under terms buckets; got them under "
+            f"{sorted(k for k in spec if k != 'aggs')}")
     if pipeline_subs and "date_histogram" not in spec:
         # fail loudly instead of silently dropping the pipeline agg
         raise ValueError(
@@ -907,7 +984,39 @@ def es_aggregate(df: DataFrame, aggs: dict,
         else:
             out = grouped.orderBy(
                 F.col("doc_count").desc(), F.col("key")).limit(size)
+        out = _attach_two_pass_metrics(out, df, field, two_pass)
         return _apply_bucket_pipeline(out, bucket_pipeline)
+    if "sampler" in spec or "diversified_sampler" in spec:
+        # sampler / diversified_sampler: run the sub-metrics over a
+        # bounded SAMPLE of the scope instead of the whole corpus -
+        # ES's "cheap representative KPI" bucket. ES orders the sample
+        # by _score; scores are not reproducible cross-engine, so the
+        # deterministic stand-in (the repo's no-runtime-randomness
+        # rule) is an explicit `hash_field` ranked by a 31-bit LCG mix
+        # ((k % 2^31) * 1103515245 + 12345) % 2^31 - plain bigint
+        # arithmetic, bijective on keys < 2^31, identical in any
+        # engine. The sample is a TakeOrderedAndProject (distributed
+        # top-k, never a global sort); diversified_sampler first caps
+        # docs per `field` value via a row_number over a PARTITIONED
+        # window (the de-bias against dominant values ES documents).
+        kind = "sampler" if "sampler" in spec else "diversified_sampler"
+        body = spec[kind]
+        key_field = body["hash_field"]
+        shard_size = int(body.get("shard_size", 100))
+        L = 2147483648
+        h = ((F.col(key_field) % L) * 1103515245 + 12345) % L
+        base = df.withColumn("__h", h)
+        if kind == "diversified_sampler":
+            from pyspark.sql import Window
+            dfield = body["field"]
+            cap = int(body.get("max_docs_per_value", 1))
+            w = Window.partitionBy(dfield).orderBy(
+                F.col("__h").asc(), F.col(key_field).asc())
+            base = (base.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= cap).drop("__rn"))
+        sample = (base.orderBy(F.col("__h").asc(), F.col(key_field).asc())
+                  .limit(shard_size).drop("__h"))
+        return sample.agg(F.count("*").alias("doc_count"), *sub)
     if "composite" in spec:
         # Composite agg: deterministic pagination over the FULL bucket
         # space, ordered ascending by the compound source key, resuming
@@ -4615,3 +4724,169 @@ def a3bm_es_query_string(spark, sf_dir):
         "query": 'o_orderpriority:"1-URGENT" OR '
                  '(o_orderstatus:F AND NOT o_orderpriority:5*)',
     }}).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@register("a3bn_es_mad_agg", "A3+D6", """
+WITH med AS (
+  SELECT o_orderpriority AS key,
+         QUANTILE_CONT(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1
+),
+dev AS (
+  SELECT o.o_orderpriority AS key,
+         ABS(o.o_totalprice - m.med) AS dev
+  FROM orders o JOIN med m ON o.o_orderpriority = m.key
+),
+base AS (
+  SELECT o_orderpriority AS key, COUNT(*) AS doc_count
+  FROM orders GROUP BY 1
+)
+SELECT b.key, b.doc_count, ROUND(QUANTILE_CONT(d.dev, 0.5), 6) AS price_mad
+FROM base b JOIN dev d ON b.key = d.key
+GROUP BY b.key, b.doc_count
+ORDER BY b.doc_count DESC, b.key LIMIT 5
+""", "ES median_absolute_deviation under terms buckets: per-priority "
+     "MAD of order price - the robust dispersion ES dashboards pair "
+     "with percentiles when means lie. ES computes both medians from "
+     "one t-digest (approximate); the exact twin is two grouped "
+     "passes (median, then median of |x - median|) scoped to the "
+     "SURVIVING buckets by a broadcast semi join, so the second scans "
+     "reduce immediately and every join is bucket-count-sized. Both "
+     "engines interpolate the middle pair identically on exact "
+     "doubles; at 100 TB the documented swap is approx_percentile "
+     "(t-digest, mergeable map-side) - ES's own accuracy class.")
+def a3bn_es_mad_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "by_priority": {
+            "terms": {"field": "o_orderpriority", "size": 5},
+            "aggs": {"price_mad": {"median_absolute_deviation": {
+                "field": "o_totalprice"}}},
+        }
+    })
+
+
+@register("a3bo_es_string_stats", "A3+H1", """
+WITH lens AS (
+  SELECT lang AS key, COUNT(*) AS doc_count,
+         COUNT(text) AS txt_count,
+         MIN(LENGTH(text)) AS txt_min_length,
+         MAX(LENGTH(text)) AS txt_max_length,
+         ROUND(CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(text), 6)
+           AS txt_avg_length
+  FROM documents GROUP BY 1
+),
+chars AS (
+  SELECT lang AS key, ch, COUNT(*) AS c
+  FROM (SELECT lang, UNNEST(string_split(text, '')) AS ch
+        FROM documents)
+  WHERE ch <> ''
+  GROUP BY 1, 2
+),
+ent AS (
+  SELECT key,
+         ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6)
+           AS txt_entropy
+  FROM chars GROUP BY 1
+)
+SELECT l.key, l.doc_count, l.txt_count, l.txt_min_length,
+       l.txt_max_length, l.txt_avg_length, e.txt_entropy
+FROM lens l JOIN ent e ON l.key = e.key
+ORDER BY l.doc_count DESC, l.key LIMIT 5
+""", "ES string_stats under terms buckets: per-language count / min / "
+     "max / avg length plus Shannon character entropy of the text "
+     "field - the text-quality panel (entropy near 0 flags repeated-"
+     "character spam). Lengths are one grouped pass (exact integer "
+     "sums, one IEEE divide); entropy is a character explode -> "
+     "(bucket, char) count -> log2(N) - sum(c*log2 c)/N, all grouped "
+     "map-side partials joined back bucket-count-sized. log2 is the "
+     "engine's one libm call here - rounded at 6 dp, the same "
+     "convention as the geo haversine boundary.")
+def a3bo_es_string_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_aggregate(d, {
+        "by_lang": {
+            "terms": {"field": "lang", "size": 5},
+            "aggs": {"txt": {"string_stats": {"field": "text"}}},
+        }
+    })
+
+
+@register("a3bp_es_sampler", "A3+D2", """
+WITH s AS (
+  SELECT * FROM orders
+  ORDER BY ((o_orderkey % 2147483648) * 1103515245 + 12345)
+             % 2147483648, o_orderkey
+  LIMIT 100
+)
+SELECT COUNT(*) AS doc_count,
+       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                  AS DECIMAL(38,4)) AS DOUBLE) / COUNT(o_totalprice), 6)
+         AS avg_price
+FROM s
+""", "ES sampler agg: the sub-metrics run over a bounded sample "
+     "instead of the whole scope - the 'cheap representative KPI' "
+     "bucket. ES ranks the sample by _score (not reproducible cross-"
+     "engine), so the deterministic stand-in is an explicit "
+     "hash_field ranked by a 31-bit LCG mix - plain bigint "
+     "arithmetic, bijective below 2^31, identical in any engine (the "
+     "repo's no-runtime-randomness rule). The sample is one "
+     "TakeOrderedAndProject (distributed top-k, never a global "
+     "sort); cost is O(shard_size) past the scan at any corpus "
+     "size.")
+def a3bp_es_sampler(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "sample": {
+            "sampler": {"shard_size": 100, "hash_field": "o_orderkey"},
+            "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+        }
+    })
+
+
+@register("a3bq_es_diversified_sampler", "A3+E1", """
+WITH h AS (
+  SELECT *, ((o_orderkey % 2147483648) * 1103515245 + 12345)
+              % 2147483648 AS hh
+  FROM orders
+),
+capped AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_orderpriority ORDER BY hh, o_orderkey) AS rn
+  FROM h
+),
+s AS (
+  SELECT * FROM capped WHERE rn <= 20
+  ORDER BY hh, o_orderkey LIMIT 60
+)
+SELECT COUNT(*) AS doc_count,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                  AS DECIMAL(38,4)) AS DOUBLE) / COUNT(o_totalprice), 6)
+         AS avg_price
+FROM s
+""", "ES diversified_sampler: the sampler with a per-value cap - at "
+     "most max_docs_per_value docs per o_orderpriority enter the "
+     "sample, de-biasing the KPI against dominant values (the reason "
+     "the agg exists). The cap is a row_number over a PARTITIONED "
+     "window in LCG order (never a single-partition window), then "
+     "the same TakeOrderedAndProject sample and one aggregate. "
+     "Deterministic end to end; both engines rank the identical "
+     "bigint mix.")
+def a3bq_es_diversified_sampler(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = es_aggregate(o, {
+        "sample": {
+            "diversified_sampler": {"shard_size": 60,
+                                    "hash_field": "o_orderkey",
+                                    "field": "o_orderpriority",
+                                    "max_docs_per_value": 20},
+            "aggs": {"n_priorities": {"cardinality": {
+                         "field": "o_orderpriority"}},
+                     "avg_price": {"avg": {"field": "o_totalprice"}}},
+        }
+    })
+    return out.select("doc_count",
+                      F.col("n_priorities").cast("bigint")
+                       .alias("n_priorities"),
+                      "avg_price")
