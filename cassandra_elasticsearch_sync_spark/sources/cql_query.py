@@ -756,7 +756,11 @@ def cql_select(df: DataFrame, stmt: str,
     if sel.json:
         # SELECT JSON: each row rendered as a JSON object in select
         # order - Cassandra's '[json]' column (SQL-safe name: json).
-        out = out.select(F.to_json(F.struct(*out.columns)).alias("json"))
+        # Cassandra emits NULL cells as explicit `"col": null` members,
+        # so null fields are NOT dropped from the rendering.
+        out = out.select(F.to_json(F.struct(*out.columns),
+                                   {"ignoreNullFields": "false"})
+                         .alias("json"))
     return out
 
 

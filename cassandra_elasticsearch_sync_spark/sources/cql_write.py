@@ -49,6 +49,14 @@ _INSERT_RE = re.compile(
     r"(?:USING\s+(?P<using>[^;]+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_JSON_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+JSON\s+"
+    r"'(?P<json>(?:[^']|'')*)'\s*"
+    r"(?:DEFAULT\s+(?P<dflt>NULL|UNSET))?\s*"
+    r"(?P<ine>IF\s+NOT\s+EXISTS)?\s*"
+    r"(?:USING\s+(?P<using>[^;]+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)\s+"
     r"(?:USING\s+(?P<using>.+?)\s+)?SET\s+(?P<sets>.+?)\s+"
@@ -93,6 +101,10 @@ class CqlWrite:
     condition: str | None = None  # None | 'exists' | 'not_exists'
     ttl_s: int | None = None        # USING TTL
     ts_us: int | None = None        # USING TIMESTAMP (client-supplied)
+    # INSERT JSON only: 'null' (Cassandra's default - omitted value
+    # columns are written as NULL) or 'unset' (omitted columns left
+    # untouched). None for every non-JSON statement form.
+    json_default: str | None = None
 
 
 def _parse_where_key(where: str, key_cols: list[str], table: str) -> tuple:
@@ -119,6 +131,40 @@ def parse_cql_dml(stmt: str, key_cols: list[str]) -> list[CqlWrite]:
             if part.strip():
                 out.extend(parse_cql_dml(part, key_cols))
         return out
+    m = _INSERT_JSON_RE.match(stmt)
+    if m:
+        # INSERT INTO t JSON '<object>' [DEFAULT NULL|UNSET]
+        # [IF NOT EXISTS] [USING ...] - Cassandra's JSON statement
+        # form. The payload is one JSON object mapping column names to
+        # values; '' doubles a single quote inside the CQL string
+        # literal. DEFAULT NULL (Cassandra's default) writes omitted
+        # value columns as NULL; DEFAULT UNSET leaves them untouched
+        # (expansion happens at apply time, where the schema is known).
+        import json as _json
+
+        raw = m.group("json").replace("''", "'")
+        try:
+            obj = _json.loads(raw)
+        except ValueError as e:
+            raise CqlError(f"INSERT JSON payload is not valid JSON: {e}")
+        if not isinstance(obj, dict):
+            raise CqlError("INSERT JSON payload must be a JSON object, "
+                           f"got {type(obj).__name__}")
+        sets = dict(obj)
+        missing = [k for k in key_cols if k not in sets]
+        if missing:
+            raise CqlError(f"INSERT JSON must supply the full primary "
+                           f"key; missing {missing}")
+        key = tuple(sets.pop(k) for k in key_cols)
+        ttl, ts = _parse_using(m.group("using"))
+        if ts is not None and m.group("ine"):
+            raise CqlError(
+                "cannot combine IF NOT EXISTS with USING TIMESTAMP "
+                "(Cassandra's own rule: LWT writes own their timestamps)")
+        return [CqlWrite("W", m.group("table").lower(), key, sets,
+                         "not_exists" if m.group("ine") else None,
+                         ttl_s=ttl, ts_us=ts,
+                         json_default=(m.group("dflt") or "NULL").lower())]
     m = _INSERT_RE.match(stmt)
     if m:
         cols = [c.strip() for c in m.group("cols").split(",")]
@@ -223,20 +269,32 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
     writes: list[CqlWrite] = []
     for s in stmts:
         writes.extend(parse_cql_dml(s, key_cols))
-    folded = _fold(writes)
-    if not folded:
+    if not writes:
         return table.current_version()
 
     schema = table.read().schema
     types = {f.name: f.dataType for f in schema.fields}
     with_meta = "writetime_us" in types and "ttl_s" in types
     meta_cols = {"writetime_us", "ttl_s"} if with_meta else set()
+    value_cols = [c for c in schema.names
+                  if c not in key_cols and c not in meta_cols]
+    # INSERT JSON DEFAULT NULL (Cassandra's default): omitted value
+    # columns become explicit NULL writes - expanded here, where the
+    # schema is known, BEFORE the fold so statement-order semantics
+    # (a later UPDATE restoring a cell, etc.) stay exact.
+    for w in writes:
+        unknown = [c for c in w.sets if c not in value_cols]
+        if w.json_default is not None and unknown:
+            raise CqlError(f"INSERT JSON references unknown columns "
+                           f"{unknown}")
+        if w.json_default == "null":
+            for c in value_cols:
+                w.sets.setdefault(c, None)
+    folded = _fold(writes)
     if not with_meta and any(w.ttl_s is not None or w.ts_us is not None
                              for w in folded):
         raise CqlError(
             "USING TTL/TIMESTAMP requires writetime_us/ttl_s columns")
-    value_cols = [c for c in schema.names
-                  if c not in key_cols and c not in meta_cols]
 
     src_fields = [T.StructField(k, types[k]) for k in key_cols]
     for c in value_cols:
@@ -515,5 +573,68 @@ def a2w_cql_writetime_ttl_read(spark, sf_dir):
             now_us=now_us,
         )
         return out.orderBy("key").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("a2ab_cql_insert_json", "A2+H6", """
+WITH rows AS (
+  SELECT k AS key,
+         CASE WHEN k < 10 THEN k + 0.5
+              WHEN k < 20 THEN k + 0.25
+              ELSE CAST(k AS DOUBLE) END AS price,
+         CASE WHEN k BETWEEN 10 AND 19 THEN NULL ELSE 'seed' END AS tag
+  FROM (SELECT UNNEST(RANGE(0, 50)) AS k)
+  UNION ALL
+  SELECT 100 + s, s * 1.5, 'json'
+  FROM (SELECT UNNEST(RANGE(0, 20)) AS s)
+  UNION ALL
+  SELECT 200, 0.0, 'o''brien'
+)
+SELECT CAST(to_json(struct_pack(key := key, price := price, tag := tag))
+            AS VARCHAR) AS json
+FROM rows
+""", "Cassandra's JSON statement forms end-to-end: INSERT INTO kv "
+     "JSON '<object>' writes through the SAME parse->fold->atomic-"
+     "merge path as positional INSERT, with the JSON-only defaults "
+     "semantics - DEFAULT NULL (Cassandra's default) writes omitted "
+     "value columns as explicit NULLs (keys 10-19 lose their tag), "
+     "DEFAULT UNSET leaves them untouched (keys 0-9 keep tag 'seed' "
+     "while price updates), IF NOT EXISTS no-ops on existing keys "
+     "(20-24 provably unchanged), and '' doubles a quote inside the "
+     "CQL string literal (the o'brien row). The read back is SELECT "
+     "JSON, so the hash proves the whole JSON round trip - text "
+     "rendering included, nulls as explicit members exactly as "
+     "Cassandra emits them - against a DuckDB to_json twin.")
+def a2ab_cql_insert_json(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        cql_select,
+    )
+
+    root = tempfile.mkdtemp(prefix="ces_cql_insert_json_")
+    try:
+        seed = spark.range(0, 50).selectExpr(
+            "id AS key", "CAST(id AS DOUBLE) AS price", "'seed' AS tag")
+        t = AcidParquetTable(spark, root)
+        t.init(seed)
+        stmts = (
+            [f'INSERT INTO kv JSON \'{{"key": {k}, "price": {k}.5}}\' '
+             "DEFAULT UNSET" for k in range(10)]
+            + [f'INSERT INTO kv JSON \'{{"key": {k}, "price": {k}.25}}\''
+               for k in range(10, 20)]
+            + [f'INSERT INTO kv JSON \'{{"key": {k}, "price": -1.0, '
+               f'"tag": "nope"}}\' IF NOT EXISTS' for k in range(20, 25)]
+            + [f'INSERT INTO kv JSON \'{{"key": {100 + s}, '
+               f'"price": {s * 1.5}, "tag": "json"}}\'' for s in range(20)]
+            + ['INSERT INTO kv JSON '
+               '\'{"key": 200, "price": 0.0, "tag": "o\'\'brien"}\'']
+        )
+        apply_cql_writes(t, ["key"], stmts)
+        return cql_select(
+            t.read(), "SELECT JSON key, price, tag FROM kv"
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -184,3 +184,57 @@ def test_timestamp_lww_ignores_stale_and_ttl_expires(spark):
         assert live(20_000_000) == {1}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_insert_json_parse_and_defaults(spark, tmp_path):
+    """INSERT JSON statement form: DEFAULT NULL writes omitted value
+    columns as NULL, DEFAULT UNSET leaves them untouched, IF NOT
+    EXISTS guards, '' escapes a quote, and malformed payloads raise
+    exactly like Cassandra rejects them."""
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import CqlError
+    from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+        apply_cql_writes,
+        parse_cql_dml,
+    )
+
+    t = AcidParquetTable(spark, str(tmp_path / "kv"))
+    t.init(spark.createDataFrame(
+        [(1, 1.0, "seed"), (2, 2.0, "seed")],
+        "key long, price double, tag string"))
+
+    # DEFAULT UNSET: tag preserved; implicit DEFAULT NULL: tag nulled
+    apply_cql_writes(t, ["key"], [
+        'INSERT INTO kv JSON \'{"key": 1, "price": 10.0}\' DEFAULT UNSET',
+        'INSERT INTO kv JSON \'{"key": 2, "price": 20.0}\'',
+        'INSERT INTO kv JSON \'{"key": 3, "price": 30.0, '
+        '"tag": "o\'\'hara"}\'',
+    ])
+    # the guarded insert goes in its own client batch (same-key
+    # statements in ONE batch fold, per the documented client model)
+    apply_cql_writes(t, ["key"], [
+        'INSERT INTO kv JSON \'{"key": 1, "price": -1.0, "tag": "x"}\' '
+        "IF NOT EXISTS",
+    ])
+    got = {r["key"]: (r["price"], r["tag"]) for r in t.read().collect()}
+    assert got[1] == (10.0, "seed")      # UNSET kept the cell
+    assert got[2] == (20.0, None)        # DEFAULT NULL cleared it
+    assert got[3] == (30.0, "o'hara")    # '' quote escape
+    assert len(got) == 3                 # the guarded insert no-opped
+
+    with pytest.raises(CqlError, match="not valid JSON"):
+        parse_cql_dml('INSERT INTO kv JSON \'{"key": \'', ["key"])
+    with pytest.raises(CqlError, match="JSON object"):
+        parse_cql_dml("INSERT INTO kv JSON '[1, 2]'", ["key"])
+    with pytest.raises(CqlError, match="full primary key"):
+        parse_cql_dml('INSERT INTO kv JSON \'{"price": 1.0}\'', ["key"])
+    with pytest.raises(CqlError, match="IF NOT EXISTS"):
+        parse_cql_dml('INSERT INTO kv JSON \'{"key": 1}\' IF NOT EXISTS '
+                      "USING TIMESTAMP 5", ["key"])
+    with pytest.raises(CqlError, match="unknown columns"):
+        apply_cql_writes(t, ["key"],
+                         'INSERT INTO kv JSON \'{"key": 9, "nope": 1}\'')
