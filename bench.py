@@ -91,6 +91,11 @@ HEADLINE = [
 WRITE_PATH = [
     "a2r_cql_write_path",         # CQL DML write path (ACID commits)
     "l14_acid_merge_upsert",      # ACID MERGE commit
+    # the registry's slowest query (a fixed number of SyncEngine
+    # cycles through the ACID write path); trend-tracked here so a
+    # commit-overhead regression surfaces in THIS section, not as
+    # mystery wall time in full-registry sweeps (VERDICT r7 #9).
+    "l38_sync_lag_slo",
 ]
 
 # Files per table after ingest: enough row groups that a scan
@@ -180,7 +185,11 @@ def main() -> None:
     write_path: dict[str, float] = {}
     for name in WRITE_PATH:
         times = []
-        for _ in range(3):
+        # l38 is tens of seconds of commit-bound engine cycles; one
+        # rep is the trend signal, min-of-3 would triple bench time
+        # for no extra information at that magnitude.
+        reps = 1 if name == "l38_sync_lag_slo" else 3
+        for _ in range(reps):
             t0 = time.perf_counter()
             qs[name](spark, run_dir).count()
             times.append(time.perf_counter() - t0)

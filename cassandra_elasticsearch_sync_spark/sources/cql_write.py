@@ -397,15 +397,15 @@ def a2r_cql_write_path(spark, sf_dir):
     try:
         t = AcidParquetTable(spark, root)
         t.init(side_a(spark, sf_dir))
-        touched = sorted(
-            r["key"] for r in side_a(spark, sf_dir)
-            .filter(F.col("key") % 97 == 5).select("key").collect())
-        updated = sorted(
-            r["key"] for r in side_a(spark, sf_dir)
-            .filter(F.col("key") % 97 == 6).select("key").collect())
-        guarded = sorted(
-            r["key"] for r in side_a(spark, sf_dir)
-            .filter(F.col("key") % 97 == 7).select("key").collect())
+        # one collect for all three statement key lists (three
+        # driver-sequenced jobs fused - VERDICT r7 #2's commit-constant
+        # diet applies to the test harness side too)
+        mods = (side_a(spark, sf_dir)
+                .select("key", (F.col("key") % 97).alias("m"))
+                .filter(F.col("m").isin(5, 6, 7)).collect())
+        touched = sorted(r["key"] for r in mods if r["m"] == 5)
+        updated = sorted(r["key"] for r in mods if r["m"] == 6)
+        guarded = sorted(r["key"] for r in mods if r["m"] == 7)
         stmts = (
             [f"DELETE FROM kv WHERE key = {k}" for k in touched]
             + [f"UPDATE kv SET price = -1.0 WHERE key = {k}" for k in updated]
