@@ -3882,6 +3882,51 @@ def a3ay_es_more_like_this(spark, sf_dir):
 # ES phrase suggester (whole-phrase did-you-mean over a bigram LM)
 # ---------------------------------------------------------------------------
 
+# Size-1 cache of the corpus-level LM (vocabulary, total token count,
+# bigram table) keyed by (session, plan semantics, field) - the Spark
+# twin of ES's INDEX-TIME language model: ES builds the n-gram stats
+# when documents index, so a dashboard firing many suggest calls pays
+# the corpus scan once. Entries persist MEMORY_AND_DISK; a new corpus
+# or field evicts (and unpersists) the previous model, so a long
+# registry sweep holds at most one model's worth of blocks.
+_PHRASE_LM_CACHE: dict = {}
+
+
+def _phrase_lm(df: DataFrame, field: str):
+    key = (id(df.sparkSession), df.semanticHash(), field)
+    hit = _PHRASE_LM_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(df):
+        return hit[1], hit[2], hit[3]
+    from pyspark import StorageLevel
+
+    for _, vocab_old, _, bigrams_old in _PHRASE_LM_CACHE.values():
+        vocab_old.unpersist()
+        bigrams_old.unpersist()
+    _PHRASE_LM_CACHE.clear()
+
+    tok = df.select(
+        F.posexplode(F.split(F.lower(F.col(field)), " "))
+        .alias("pos", "w")).filter(F.col("w") != "")
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c1")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    total = tok.agg(F.count("*").alias("t_toks"))
+    tok2 = df.select(
+        F.col(field).alias("__txt"),
+        F.posexplode(F.split(F.lower(F.col(field)), " "))
+        .alias("pos", "w"))
+    nxt = F.try_element_at(F.split(F.lower(F.col("__txt")), " "),
+                           F.col("pos") + 2)
+    bigrams = (
+        tok2.withColumn("w2", nxt)
+        .filter((F.col("w") != "") & F.col("w2").isNotNull()
+                & (F.col("w2") != ""))
+        .groupBy(F.col("w").alias("b1"), F.col("w2").alias("b2"))
+        .agg(F.count("*").alias("c12"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PHRASE_LM_CACHE[key] = (df, vocab, total, bigrams)
+    return vocab, total, bigrams
+
+
 def es_phrase_suggest(df: DataFrame, field: str, phrase: str,
                       max_edits: int = 1, per_slot: int = 3,
                       size: int = 5) -> DataFrame:
@@ -3912,11 +3957,13 @@ def es_phrase_suggest(df: DataFrame, field: str, phrase: str,
     - **Page**: top ``size`` by score desc, then suggestion asc.
 
     Scale shape: the corpus collapses once to its vocabulary and its
-    bigram-count table (both sublinear in corpus size); candidate
-    sets are <= per_slot rows each and every join below is a
-    broadcast of those bounded sets against the bigram table. The
-    candidate-phrase space is prod(per_slot) - bounded by parameters,
-    never by the corpus.
+    bigram-count table (both sublinear in corpus size) and that model
+    is CACHED per (corpus, field) - the Spark twin of ES building the
+    LM at index time, so repeat suggest calls are vocabulary-bounded
+    and never rescan the corpus. Candidate sets are <= per_slot rows
+    each and every join below is a broadcast of those bounded sets
+    against the bigram table. The candidate-phrase space is
+    prod(per_slot) - bounded by parameters, never by the corpus.
     """
     if not 1 <= max_edits <= 2:
         raise ValueError("phrase suggester max_edits must be 1 or 2 "
@@ -3928,25 +3975,10 @@ def es_phrase_suggest(df: DataFrame, field: str, phrase: str,
         raise ValueError("phrase must contain at least one token")
     from pyspark.sql import Window
 
-    tok = df.select(
-        F.posexplode(F.split(F.lower(F.col(field)), " "))
-        .alias("pos", "w")).filter(F.col("w") != "")
-    vocab = tok.groupBy("w").agg(F.count("*").alias("c1"))
-    total = tok.agg(F.count("*").alias("t_toks"))
-    # bigram counts: adjacent pairs WITHIN each document
-    tok2 = df.select(
-        F.col(field).alias("__txt"),
-        F.posexplode(F.split(F.lower(F.col(field)), " "))
-        .alias("pos", "w"))
-    nxt = F.try_element_at(F.split(F.lower(F.col("__txt")), " "),
-                           F.col("pos") + 2)
-    bigrams = (
-        tok2.withColumn("w2", nxt)
-        .filter((F.col("w") != "") & F.col("w2").isNotNull()
-                & (F.col("w2") != ""))
-        .groupBy(F.col("w").alias("b1"), F.col("w2").alias("b2"))
-        .agg(F.count("*").alias("c12"))
-    )
+    # corpus-level LM (vocabulary, total, bigram counts WITHIN each
+    # document) - built once per (corpus, field) and cached, the
+    # index-time-LM shape; repeat suggest calls skip the corpus scan
+    vocab, total, bigrams = _phrase_lm(df, field)
     # per-slot candidate sets, ranked under a slot-partitioned window
     cand_all = None
     for i, t in enumerate(slots):

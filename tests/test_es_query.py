@@ -1077,3 +1077,29 @@ def test_sampler_deterministic_and_diversified_cap(spark):
               "aggs": {"n_groups": {"cardinality": {"field": "g"}}}},
     }).collect()[0]
     assert out["doc_count"] == 6 and out["n_groups"] == 3
+
+
+def test_phrase_suggester_lm_cache_reuse(spark):
+    """The corpus LM caches per (corpus, field): a second suggest call
+    reuses the SAME persisted vocab/bigram frames (index-time-LM
+    shape), a different corpus evicts, and results are identical
+    with and without a warm cache."""
+    from cassandra_elasticsearch_sync_spark.sources import es_query as eq
+
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("the quick red fox",)], "text string")
+    eq._PHRASE_LM_CACHE.clear()
+    r1 = eq.es_phrase_suggest(df, "text", "quik", max_edits=1).collect()
+    assert len(eq._PHRASE_LM_CACHE) == 1
+    (key1, entry1), = eq._PHRASE_LM_CACHE.items()
+    r2 = eq.es_phrase_suggest(df, "text", "quik", max_edits=1).collect()
+    # same key, same cached frames - no rebuild
+    assert list(eq._PHRASE_LM_CACHE) == [key1]
+    assert eq._PHRASE_LM_CACHE[key1][1] is entry1[1]
+    assert r1 == r2
+    # a different corpus evicts (size-1 cache) and still answers right
+    df2 = spark.createDataFrame([("alpha beta",)], "text string")
+    out = eq.es_phrase_suggest(df2, "text", "alpa", max_edits=1).collect()
+    assert list(eq._PHRASE_LM_CACHE) != [key1]
+    assert len(eq._PHRASE_LM_CACHE) == 1
+    assert out[0]["suggestion"] == "alpha"
