@@ -72,64 +72,86 @@ def register(name: str, survey_id: str, oracle: str | None, doc: str = ""):
 # 164/442; this block converts 46 more. Previously-verified blocks
 # (r5, r4, r1-r3) sit directly after for larger budgets.
 _FRONT = (
-    # ROTATION (round 7, VERDICT r6 #1): fifth rotation, aimed at
-    # BREADTH. The type-debt is paid (r6: 50/50 green incl. all three
-    # historical reds; registry-wide type sweep 0 divergent columns),
-    # so the front-50 is now flagship + 49 keys that have NEVER
-    # produced a driver row, weighted exactly as the r6 verdict
-    # prescribes: the streaming-adjacent oracles (i2..i12, k2e - all
-    # batch-equivalence oracles, full hash checks), the ES agg long
-    # tail (a3e..a3r), the ACID tail l15-l32, the K7 long tail
-    # (k7b..k7j), and a cross-tier remainder (CQL paging/LWT/MV,
-    # sampling/splits, BM25, GIF). Cumulative driver-verified keys
-    # after r6: 210/458; this block converts 49 more.
+    # ROTATION (round 8, VERDICT r7 #1): sixth rotation, BREADTH
+    # again. 213 of 472 keys had never produced a driver row at the
+    # r7 close; the front-50 is flagship + 49 never-sampled keys
+    # weighted exactly as the r7 verdict prescribes: the ENTIRE
+    # round-7 wave (a3ay..a3bi, a2aa/a2z, l38), every round-8
+    # addition (parent/child, query_string/simple_query_string, MAD/
+    # string_stats/sampler, INSERT JSON), the K6 codec tail, and a
+    # cross-tier remainder (ACID clone/generated/CDC-ES/schema-merge,
+    # XML ingest, stats tests, kNN/rescore, streaming joins). All 49
+    # are oracle-backed full hash checks. Cumulative driver-verified
+    # after r7: 259/481; this block converts 49 more.
     "flagship_pricing_summary",
-    # streaming-adjacent oracles (named in VERDICT r6 #1)
+    # the round-7 wave (never sampled; judge-r7 hand-verified only)
+    "a3ay_es_more_like_this", "a3az_es_phrase_suggester",
+    "a3ba_es_boxplot", "a3bb_es_top_metrics",
+    "a3bc_es_completion_suggester", "a3bd_es_geo_centroid",
+    "a3be_es_histogram_extended_bounds", "a3bf_es_geo_bounds",
+    "a3bg_es_terms_lookup", "a3bh_es_rate_agg",
+    "a3bi_es_filters_other_bucket", "a2aa_cql_sasi_like",
+    "a2z_cql_similarity_functions", "l38_sync_lag_slo",
+    # the round-8 additions
+    "a3bj_es_has_child", "a3bk_es_has_parent",
+    "a3bl_es_simple_query_string", "a3bm_es_query_string",
+    "a3bn_es_mad_agg", "a3bo_es_string_stats",
+    "a3bp_es_sampler", "a3bq_es_diversified_sampler",
+    "a2ab_cql_insert_json",
+    # K6 codec tail (oracle-backed pixel/byte hashes)
+    "k6u_jpeg_subsampling_decode", "k6w_jpeg_progressive_restart_decode",
+    "k6m_jpeg_progressive_decode", "k6n_jpeg_progressive_chroma_decode",
+    "k6j_jpeg_chroma_decode", "k6l_png_palette_decode",
+    "k6p_gif_interlaced_decode", "k6q_bmp_pixel_decode",
+    "k6s_tiff_strip_decode", "k6h_mp4_box_parse",
+    "k6b_struct_metadata", "k6_image_decode", "k6c_audio_decode",
+    "k6_frame_sample",
+    # cross-tier remainder (never sampled)
+    "l33_acid_shallow_clone", "l34_acid_generated_column",
+    "l36_cdc_to_es_roundtrip", "l37_merge_schema_evolution",
+    "a4d_xml_ingest", "k_kruskal_wallis", "k7w_theil_sen_slope",
+    "a3as_es_knn_search", "a3at_es_rescore",
+    "i6c_stateful_session_timeout", "i9b_stream_stream_left_join",
+    "i9c_stream_stream_full_outer",
+    # never driver-verified; next in line after the front-50
+    "i11_exactly_once_acid_sink", "a11_python_stream_source",
+    "j1_scalar_udf", "d10b_unpivot", "h6b_nested_json", "k4_bigrams",
+    "k2h_containment_pairs", "a2i_cql_partition_slice",
+    "a2j_cql_filtering_toplimit", "a2v_cql_select_distinct_partitions",
+    "a2n_cql_order_by_reversed", "a2q_cql_udt_fields",
+    "a2s_cql_indexed_lookup", "a2x_cql_pk_in_multi_partition",
+    "a2y_cql_ann_vector_search", "a2r_cql_write_path",
+    "a3ak_es_global_agg", "a3ai_es_filters_named_buckets",
+    "a3aj_es_weighted_avg", "a3x_es_field_collapse",
+    "a3z_es_significant_text", "a3aq_es_percolate",
+    "a3av_es_highlight", "a3ax_es_rrf_hybrid",
+    "k_semdedup_prune", "k3o_ivf_multiprobe_topk",
+    "k_bpe_top_merges", "k_kneser_ney_bigram", "k_chat_template",
+    "l8_changefeed", "l10_three_way_merge", "l30_ivm_join_delta",
+    # --- r7 driver-verified block ---
     "i2_tumbling_window", "i3_sliding_window", "i4_sessionization",
     "i5_streaming_dedup", "i5b_dedup_within_watermark",
     "i6b_stateful_final_state", "i8_stream_static_join",
     "i9_stream_stream_join", "i10_incremental_agg_maintenance",
     "i12_streaming_hll_distinct", "k2e_streaming_lsh_pairs",
-    # ES agg long tail
     "a3e_es_range_stats_agg", "a3f_es_nested_bool_multimatch",
     "a3h_es_nested_terms_agg", "a3i_es_significant_terms",
     "a3j_es_search_after", "a3k_es_function_score",
     "a3l_es_percentiles_agg", "a3m_es_filter_agg",
     "a3n_es_cardinality_agg", "a3p_es_pipeline_aggs",
     "a3q_es_histogram_agg", "a3r_es_rare_terms_agg",
-    # ACID long tail l15-l32
     "l15_acid_stats_pruned_read", "l16_acid_zorder_pruned_scan",
     "l17_acid_schema_evolution", "l18_acid_delete_where",
     "l22_cdc_changes_only", "l23_acid_wap_publish",
     "l24_cdc_to_acid_e2e", "l27_acid_replace_where",
     "l28_acid_compact_small", "l32_acid_check_constraint",
-    # K7 long tail
     "k7b_gap_fill", "k7c_ewma_smoothing", "k7d_event_transitions",
     "k7e_cumulative_users", "k7f_autocorrelation",
     "k7g_peak_detection", "k7h_dow_seasonality", "k7j_psi_drift",
-    # cross-tier remainder (never sampled)
     "a2c_per_partition_limit", "a2d_clustering_range_scan",
     "a2f_lwt_conditional_batch", "a2g_mv_maintenance_delta",
     "k_stratified_sample", "k_train_val_test", "k_bm25_search",
     "k6g_gif_pixel_decode",
-    # never driver-verified; next in line after the front-50
-    # (round-7 additions first, then the remaining streaming oracles,
-    # then the r6-new block that positions 51+ missed last round)
-    "a3ay_es_more_like_this", "a3az_es_phrase_suggester",
-    "l38_sync_lag_slo", "a3ba_es_boxplot", "a3bb_es_top_metrics",
-    "a2z_cql_similarity_functions", "a3bc_es_completion_suggester",
-    "a3bd_es_geo_centroid", "a3be_es_histogram_extended_bounds",
-    "a3bf_es_geo_bounds", "a2aa_cql_sasi_like", "a3bg_es_terms_lookup", "a3bh_es_rate_agg",
-    "a3bi_es_filters_other_bucket",
-    "i6c_stateful_session_timeout", "i9b_stream_stream_left_join",
-    "i9c_stream_stream_full_outer", "i11_exactly_once_acid_sink",
-    "a11_python_stream_source",
-    "a3as_es_knn_search", "l36_cdc_to_es_roundtrip",
-    "k6u_jpeg_subsampling_decode", "k6w_jpeg_progressive_restart_decode",
-    "k_kruskal_wallis", "k7w_theil_sen_slope", "a4d_xml_ingest",
-    "a3at_es_rescore", "l37_merge_schema_evolution",
-    "j1_scalar_udf", "d10b_unpivot",
-    "h6b_nested_json", "k4_bigrams", "k2h_containment_pairs",
     # --- r6 driver-verified block ---
     "k7o_cusum_changepoint", "k_mann_whitney_u", "k6s_ima_adpcm_decode",
     "l20_merkle_repair_protocol", "k_repetition_ratio",
