@@ -253,6 +253,26 @@ def compile_query(q: dict, resolve=None) -> Column:
         hits = F.size(F.array_intersect(
             resolve(field), F.array(*[F.lit(t) for t in terms])))
         return hits >= F.lit(need)
+    if kind == "dis_max":
+        # dis_max: in ES the best-matching clause's score wins with a
+        # tie_breaker for the rest; in FILTER context (this engine's
+        # compilation target, same trade as bool/match) a doc matches
+        # when ANY clause matches - the OR of the compiled clauses.
+        clauses = [compile_query(c, resolve) for c in body["queries"]]
+        if not clauses:
+            raise ValueError("dis_max needs at least one clause")
+        return reduce(lambda a, b: a | b, clauses)
+    if kind == "constant_score":
+        # constant_score wraps a filter and pins _score = boost; the
+        # filter-context lowering is the inner filter itself.
+        return compile_query(body["filter"], resolve)
+    if kind == "boosting":
+        # boosting: `negative` only DEMOTES scores (negative_boost),
+        # it never excludes - so in filter context the match set is
+        # exactly the positive query's. The negative clause still
+        # compiles (validation: a malformed negative must not parse).
+        compile_query(body["negative"], resolve)
+        return compile_query(body["positive"], resolve)
     if kind == "query_string":
         # The Lucene-syntax search box: parse to a query-DSL tree and
         # recurse - the parser (es_querystring.py) adds no execution
@@ -308,9 +328,124 @@ def _haversine_m(lat1: Column, lon1: Column, lat2: Column,
     return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
-def es_search(df: DataFrame, query: dict) -> DataFrame:
+# ---------------------------------------------------------------------------
+# ES date math ("now-7d/d", "2024-01-05||+1M/M") for range queries
+# ---------------------------------------------------------------------------
+
+_DATE_MATH_RE = __import__("re").compile(
+    r"^(?:now|(?P<anchor>.+?)\|\|)"
+    r"(?P<ops>(?:[+-]\d+[yMwdhHms])*)"
+    r"(?:/(?P<round>[yMwdhHms]))?$")
+_DM_OP_RE = __import__("re").compile(r"([+-])(\d+)([yMwdhHms])")
+
+
+def _add_months(d, n: int):
+    import calendar
+
+    m = d.month - 1 + n
+    y, m = d.year + m // 12, m % 12 + 1
+    return d.replace(year=y, month=m,
+                     day=min(d.day, calendar.monthrange(y, m)[1]))
+
+
+def parse_es_date_math(expr: str, now) -> "object":
+    """Evaluate an ES date-math expression against an EXPLICIT anchor.
+
+    Grammar (the ES docs' own): anchor ``now`` or ``<date>||``, then
+    ``+N<unit>`` / ``-N<unit>`` steps (units y M w d h H m s, month
+    arithmetic clamping to month end exactly as ES does), then an
+    optional ``/<unit>`` FLOOR rounding (weeks round to Monday, ES's
+    week start). ``now`` is a caller-supplied datetime - the engine's
+    no-wall-clock rule restated: ES resolves ``now`` to server time
+    once per request; a deterministic engine takes it as input.
+    """
+    import datetime as dt
+
+    m = _DATE_MATH_RE.match(expr.strip())
+    if not m:
+        raise ValueError(f"unparseable ES date math: {expr!r}")
+    if m.group("anchor") is not None:
+        d = dt.datetime.fromisoformat(m.group("anchor"))
+    else:
+        if now is None:
+            raise ValueError(
+                f"date math {expr!r} uses 'now' but no anchor was "
+                "supplied (pass now=... - deterministic engines take "
+                "the clock as input)")
+        d = now
+    for sign, n, unit in _DM_OP_RE.findall(m.group("ops") or ""):
+        k = int(n) * (1 if sign == "+" else -1)
+        if unit == "y":
+            d = _add_months(d, 12 * k)
+        elif unit == "M":
+            d = _add_months(d, k)
+        elif unit == "w":
+            d = d + dt.timedelta(weeks=k)
+        elif unit == "d":
+            d = d + dt.timedelta(days=k)
+        elif unit in ("h", "H"):
+            d = d + dt.timedelta(hours=k)
+        elif unit == "m":
+            d = d + dt.timedelta(minutes=k)
+        else:  # "s"
+            d = d + dt.timedelta(seconds=k)
+    r = m.group("round")
+    if r:
+        if r == "y":
+            d = d.replace(month=1, day=1, hour=0, minute=0, second=0,
+                          microsecond=0)
+        elif r == "M":
+            d = d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        elif r == "w":
+            d = (d - dt.timedelta(days=d.weekday())).replace(
+                hour=0, minute=0, second=0, microsecond=0)
+        elif r == "d":
+            d = d.replace(hour=0, minute=0, second=0, microsecond=0)
+        elif r in ("h", "H"):
+            d = d.replace(minute=0, second=0, microsecond=0)
+        elif r == "m":
+            d = d.replace(second=0, microsecond=0)
+        else:  # "s"
+            d = d.replace(microsecond=0)
+    return d
+
+
+def _is_date_math(v) -> bool:
+    return isinstance(v, str) and (v == "now" or v.startswith("now+")
+                                   or v.startswith("now-")
+                                   or v.startswith("now/") or "||" in v)
+
+
+def resolve_date_math(query: dict, now) -> dict:
+    """Walk a query-DSL tree and evaluate every date-math string in a
+    ``range`` body to an ISO timestamp literal - a pure pre-pass, so
+    the compiled predicate stays an ordinary pushdown-eligible range
+    filter and ``compile_query`` never needs a clock."""
+    if isinstance(query, list):
+        return [resolve_date_math(q, now) for q in query]
+    if not isinstance(query, dict):
+        return query
+    out = {}
+    for k, v in query.items():
+        if k == "range" and isinstance(v, dict):
+            out[k] = {
+                f: {op: (parse_es_date_math(val, now).isoformat(sep=" ")
+                         if _is_date_math(val) else val)
+                    for op, val in conds.items()}
+                for f, conds in v.items()
+            }
+        else:
+            out[k] = resolve_date_math(v, now)
+    return out
+
+
+def es_search(df: DataFrame, query: dict, now=None) -> DataFrame:
     """Filter df with an ES query-DSL dict (the scan-side of the ES
-    source, pushdown included)."""
+    source, pushdown included). ``now`` anchors any ES date-math
+    strings (``now-7d/d``) in range clauses - resolved in a pure
+    pre-pass so the compiled predicate is an ordinary range filter."""
+    if now is not None:
+        query = resolve_date_math(query, now)
     return df.filter(compile_query(query))
 
 
@@ -4922,3 +5057,61 @@ def a3bq_es_diversified_sampler(spark, sf_dir):
                       F.col("n_priorities").cast("bigint")
                        .alias("n_priorities"),
                       "avg_price")
+
+
+@register("a3br_es_range_date_math", "A3+H2", """
+SELECT event_type, COUNT(*) AS doc_count
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-14 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-21 00:00:00'
+GROUP BY event_type
+""", "ES date math in a range query - the `now-7d/d`..`now/d` window "
+     "behind every Kibana 'Last 7 days' picker: anchor arithmetic "
+     "(+N y/M/w/d/h/m/s with month-end clamping) and FLOOR rounding "
+     "(/d to midnight, /w to Monday, ES's week start) evaluated "
+     "against an EXPLICIT `now` (ES resolves now to server time once "
+     "per request; the deterministic engine takes the clock as "
+     "input - the no-wall-clock rule). The math resolves in a pure "
+     "pre-pass, so what compiles is an ordinary timestamp range that "
+     "reaches the parquet scan as a pushdown filter; the oracle pins "
+     "the parser's output by spelling the resolved window literally.")
+def a3br_es_range_date_math(spark, sf_dir):
+    import datetime as dt
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        es_search(e, {"range": {"ts": {"gte": "now-7d/d", "lt": "now/d"}}},
+                  now=dt.datetime(2024, 1, 21, 7, 34, 56))
+        .groupBy("event_type").agg(F.count("*").alias("doc_count"))
+    )
+
+
+@register("a3bs_es_compound_filter_context", "A3+B3", """
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE (o_orderstatus = 'F' OR o_orderpriority LIKE '1%')
+  AND o_totalprice >= 50000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+""", "The compound-query filter-context trio nested inside one bool: "
+     "dis_max (best-clause scoring; in filter context a doc matches "
+     "when ANY clause does - the OR of the compiled clauses), "
+     "boosting (negative only DEMOTES via negative_boost, it never "
+     "excludes - the match set is exactly the positive query's, and "
+     "the negative clause still validates), and constant_score (the "
+     "inner filter with a pinned score). All three lower to plain "
+     "predicates, so the whole compound reaches the parquet scan as "
+     "one pushdown-eligible conjunction.")
+def a3bs_es_compound_filter_context(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_search(o, {"bool": {"filter": [
+        {"dis_max": {"queries": [
+            {"term": {"o_orderstatus": "F"}},
+            {"prefix": {"o_orderpriority": "1"}},
+        ]}},
+        {"boosting": {"positive": {"range": {"o_totalprice": {"gte": 50000}}},
+                      "negative": {"term": {"o_orderstatus": "P"}},
+                      "negative_boost": 0.5}},
+        {"constant_score": {"filter": {"terms": {
+            "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}}}},
+    ]}}).select("o_orderkey", "o_orderstatus", "o_orderpriority",
+                "o_totalprice")

@@ -1103,3 +1103,53 @@ def test_phrase_suggester_lm_cache_reuse(spark):
     assert list(eq._PHRASE_LM_CACHE) != [key1]
     assert len(eq._PHRASE_LM_CACHE) == 1
     assert out[0]["suggestion"] == "alpha"
+
+
+def test_es_date_math_hand_checked():
+    """ES date-math grammar pinned by hand: month-end clamping,
+    week rounding to Monday, explicit-anchor form, missing-now
+    rejection, malformed rejection."""
+    import datetime as dt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        parse_es_date_math,
+    )
+
+    now = dt.datetime(2024, 1, 21, 7, 34, 56)
+    assert parse_es_date_math("now-7d/d", now) == dt.datetime(2024, 1, 14)
+    assert parse_es_date_math("now/d", now) == dt.datetime(2024, 1, 21)
+    # 2024-01-21 is a Sunday -> /w floors to Monday the 15th
+    assert parse_es_date_math("now/w", now) == dt.datetime(2024, 1, 15)
+    # month-end clamp: Jan 31 + 1M = Feb 29 (2024 is a leap year)
+    assert parse_es_date_math("2024-01-31||+1M", None) == \
+        dt.datetime(2024, 2, 29)
+    # chained ops then rounding
+    assert parse_es_date_math("2024-03-15||-1M+2d/M", None) == \
+        dt.datetime(2024, 2, 1)
+    assert parse_es_date_math("now+12h/h", now) == \
+        dt.datetime(2024, 1, 21, 19)
+    with pytest.raises(ValueError, match="no anchor"):
+        parse_es_date_math("now-1d", None)
+    with pytest.raises(ValueError, match="unparseable"):
+        parse_es_date_math("now-1q", now)
+
+
+def test_date_math_resolution_is_pure_prepass(spark):
+    """resolve_date_math rewrites only range bodies; non-date-math
+    values and other clauses pass through untouched."""
+    import datetime as dt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        resolve_date_math,
+    )
+
+    q = {"bool": {"filter": [
+        {"range": {"ts": {"gte": "now-1d/d", "lt": 100}}},
+        {"term": {"kind": "now and then"}},
+    ]}}
+    out = resolve_date_math(q, dt.datetime(2024, 1, 2, 3))
+    assert out["bool"]["filter"][0]["range"]["ts"] == {
+        "gte": "2024-01-01 00:00:00", "lt": 100}
+    # a term VALUE containing 'now' is not date math territory
+    assert out["bool"]["filter"][1] == {"term": {"kind": "now and then"}}
+    assert q["bool"]["filter"][0]["range"]["ts"]["gte"] == "now-1d/d"
