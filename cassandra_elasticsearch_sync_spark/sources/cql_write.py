@@ -92,6 +92,110 @@ _BATCH_RE = re.compile(
 )
 
 
+@dataclass(frozen=True)
+class CollMut:
+    """One CQL collection mutation: ``tags = tags + {'x'}`` (add),
+    ``tags = tags - {'x'}`` (discard - element removal on sets, KEY
+    removal on maps, exactly Cassandra's overload), ``items = items +
+    [x]`` (append), ``items = [x] + items`` (prepend), ``prefs['k'] =
+    v`` / ``prefs = prefs + {k: v}`` (put). The operand ships as a
+    typed src column; the merge assignment applies it cell-level
+    against the target's current value. Sets are kept CANONICALLY
+    SORTED on every write (Cassandra stores sets sorted)."""
+
+    op: str        # 'add' | 'discard' | 'append' | 'prepend' | 'put'
+    values: object  # list of scalars, or dict for map operands
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas only (collection literals inside a
+    SET list carry their own commas)."""
+    items, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        items.append("".join(cur))
+    return items
+
+
+_MAP_ENTRY_RE = re.compile(r"^\s*(?P<k>'[^']*'|-?\d+)\s*:\s*(?P<v>.+)$",
+                           re.DOTALL)
+
+
+def _parse_coll_literal(raw: str):
+    """``{'a','b'}`` -> list (set literal), ``{'k': 1}`` -> dict,
+    ``[1, 2]`` -> list."""
+    raw = raw.strip()
+    body = raw[1:-1].strip()
+    items = [p for p in (x.strip() for x in _split_top(body)) if p]
+    entries = [_MAP_ENTRY_RE.match(i) for i in items]
+    if raw.startswith("{") and items and all(entries):
+        return {_parse_literal(m.group("k")): _parse_literal(m.group("v"))
+                for m in entries}
+    return [_parse_literal(i) for i in items]
+
+
+_MAP_PUT_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s*\[\s*(?P<key>'[^']*'|\d+)\s*\]\s*=\s*"
+    r"(?P<val>.+?)\s*$", re.DOTALL)
+_COLL_PM_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s*=\s*(?P<col2>\w+)\s*(?P<op>[+-])\s*"
+    r"(?P<lit>\{.*\}|\[.*\])\s*$", re.DOTALL)
+_COLL_PREPEND_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s*=\s*(?P<lit>\[.*\])\s*\+\s*(?P<col2>\w+)\s*$",
+    re.DOTALL)
+_COLL_SET_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s*=\s*(?P<lit>\{.*\}|\[.*\])\s*$", re.DOTALL)
+
+
+def _parse_set_item(part: str) -> tuple[str, object]:
+    """One SET-list item -> (column, plain literal | CollMut)."""
+    m = _MAP_PUT_RE.match(part)
+    if m and "[" in part.split("=")[0]:
+        return m.group("col"), CollMut(
+            "put", {_parse_literal(m.group("key")):
+                    _parse_literal(m.group("val"))})
+    m = _COLL_PM_RE.match(part)
+    if m:
+        if m.group("col") != m.group("col2"):
+            raise CqlError(
+                f"collection op must reference the same column: {part!r}")
+        lit = _parse_coll_literal(m.group("lit"))
+        if m.group("op") == "-":
+            if isinstance(lit, dict):
+                raise CqlError(
+                    "removal takes a SET of elements/keys, not a map "
+                    f"(Cassandra's rule): {part!r}")
+            return m.group("col"), CollMut("discard", lit)
+        if isinstance(lit, dict):
+            return m.group("col"), CollMut("put", lit)
+        op = "append" if m.group("lit").lstrip().startswith("[") else "add"
+        return m.group("col"), CollMut(op, lit)
+    m = _COLL_PREPEND_RE.match(part)
+    if m:
+        if m.group("col") != m.group("col2"):
+            raise CqlError(
+                f"collection op must reference the same column: {part!r}")
+        return m.group("col"), CollMut(
+            "prepend", _parse_coll_literal(m.group("lit")))
+    m = _COLL_SET_RE.match(part)
+    if m:
+        return m.group("col"), CollMut("replace",
+                                       _parse_coll_literal(m.group("lit")))
+    sm = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part, re.DOTALL)
+    if not sm:
+        raise CqlError(f"unparseable SET item: {part!r}")
+    return sm.group(1), _parse_literal(sm.group(2))
+
+
 @dataclass
 class CqlWrite:
     kind: str                   # 'W' (insert/update upsert) or 'D'
@@ -188,13 +292,11 @@ def parse_cql_dml(stmt: str, key_cols: list[str]) -> list[CqlWrite]:
     m = _UPDATE_RE.match(stmt)
     if m:
         sets: dict[str, object] = {}
-        for part in m.group("sets").split(","):
-            sm = re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part)
-            if not sm:
-                raise CqlError(f"unparseable SET item: {part!r}")
-            if sm.group(1) in key_cols:
-                raise CqlError(f"cannot SET primary key column {sm.group(1)!r}")
-            sets[sm.group(1)] = _parse_literal(sm.group(2))
+        for part in _split_top(m.group("sets")):
+            col, val = _parse_set_item(part)
+            if col in key_cols:
+                raise CqlError(f"cannot SET primary key column {col!r}")
+            sets[col] = val
         key = _parse_where_key(m.group("where"), key_cols, m.group("table"))
         ttl, ts = _parse_using(m.group("using"))
         if ts is not None and m.group("ie"):
@@ -225,7 +327,18 @@ def _fold(writes: list[CqlWrite]) -> list[CqlWrite]:
                                      ts_us=w.ts_us)
         else:
             merged = dict(cur.sets)
-            merged.update(w.sets)
+            for col, v in w.sets.items():
+                # Two writes touching the same COLLECTION cell in one
+                # client batch fold ambiguously (Cassandra's own
+                # same-timestamp batch semantics are murky there) -
+                # fail loudly instead of silently dropping a mutation.
+                if col in merged and (isinstance(v, CollMut)
+                                      or isinstance(merged[col], CollMut)):
+                    raise CqlError(
+                        f"two statements mutate collection column "
+                        f"{col!r} for one key in a single batch; send "
+                        "them in separate batches")
+                merged[col] = v
             by_key[w.key] = CqlWrite("W", w.table, w.key, merged,
                                      w.condition or cur.condition,
                                      ttl_s=w.ttl_s if w.ttl_s is not None
@@ -290,6 +403,11 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
         if w.json_default == "null":
             for c in value_cols:
                 w.sets.setdefault(c, None)
+        for c, v in w.sets.items():
+            if isinstance(v, CollMut) and not isinstance(
+                    types.get(c), (T.ArrayType, T.MapType)):
+                raise CqlError(
+                    f"collection op on non-collection column {c!r}")
     folded = _fold(writes)
     if not with_meta and any(w.ttl_s is not None or w.ts_us is not None
                              for w in folded):
@@ -300,6 +418,7 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
     for c in value_cols:
         src_fields.append(T.StructField(c, types[c]))
         src_fields.append(T.StructField(f"{c}__set", T.BooleanType(), False))
+        src_fields.append(T.StructField(f"{c}__mut", T.StringType(), True))
     src_fields.append(T.StructField("__op", T.StringType(), False))
     src_fields.append(T.StructField("__if", T.StringType(), False))
     if with_meta:
@@ -310,8 +429,33 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
     for w in folded:
         row = [(_coerce(v, types[k])) for k, v in zip(key_cols, w.key)]
         for c in value_cols:
-            row.append(_coerce(w.sets.get(c), types[c]))
-            row.append(c in w.sets)
+            v = w.sets.get(c)
+            if isinstance(v, CollMut):
+                if not isinstance(types[c], (T.ArrayType, T.MapType)):
+                    raise CqlError(
+                        f"collection op on non-collection column {c!r}")
+                if isinstance(types[c], T.MapType):
+                    if v.op == "discard":
+                        payload = {k: None for k in v.values}
+                    elif isinstance(v.values, dict):
+                        payload = dict(v.values)
+                    else:
+                        raise CqlError(
+                            f"map column {c!r} takes a map operand for "
+                            f"{v.op!r}")
+                else:
+                    if isinstance(v.values, dict):
+                        raise CqlError(
+                            f"set/list column {c!r} cannot take a map "
+                            "operand")
+                    payload = list(v.values)
+                row.append(payload)
+                row.append(True)
+                row.append(v.op)
+            else:
+                row.append(_coerce(v, types[c]))
+                row.append(c in w.sets)
+                row.append(None)
         row.append(w.kind)
         row.append(w.condition or "always")
         if with_meta:
@@ -325,6 +469,35 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
         rows.append(tuple(row))
     src = table.spark.createDataFrame(rows, T.StructType(src_fields))
 
+    def _cell_value(c: str):
+        """The value a write lands in cell ``c``: the src literal for
+        plain assignments, or the collection mutation applied against
+        the target's CURRENT value (sets sorted canonically; map put
+        overwrites colliding keys; discard removes elements on
+        sets and KEYS on maps - Cassandra's overload)."""
+        s = F.col(f"src.`{c}`")
+        dtype = types[c]
+        if isinstance(dtype, T.ArrayType):
+            mut = F.col(f"src.`{c}__mut`")
+            tt = F.coalesce(F.col(f"tgt.`{c}`"), F.array().cast(dtype))
+            return (
+                F.when(mut == "add", F.array_sort(F.array_union(tt, s)))
+                .when(mut == "discard", F.array_sort(F.array_except(tt, s)))
+                .when(mut == "append", F.concat(tt, s))
+                .when(mut == "prepend", F.concat(s, tt))
+                .otherwise(s))
+        if isinstance(dtype, T.MapType):
+            mut = F.col(f"src.`{c}__mut`")
+            tt = F.coalesce(F.col(f"tgt.`{c}`"),
+                            F.create_map().cast(dtype))
+            dropped = F.map_filter(
+                tt, lambda k, _: ~F.array_contains(F.map_keys(s), k))
+            return (
+                F.when(mut == "discard", dropped)
+                .when(mut.isin("put", "add"), F.map_concat(dropped, s))
+                .otherwise(s))
+        return s
+
     if with_meta:
         # timestamp LWW: the write lands only if its stamp is >= the
         # stored writetime (missing target rows always lose the
@@ -332,7 +505,7 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
         wins = F.col("src.writetime_us") >= F.coalesce(
             F.col("tgt.writetime_us"), F.lit(-1).cast("long"))
         assignments = {
-            c: F.when(F.col(f"src.`{c}__set`") & wins, F.col(f"src.`{c}`"))
+            c: F.when(F.col(f"src.`{c}__set`") & wins, _cell_value(c))
                 .otherwise(F.col(f"tgt.`{c}`"))
             for c in value_cols
         }
@@ -343,7 +516,7 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
             F.when(wins, F.col("src.ttl_s")).otherwise(F.col("tgt.ttl_s")))
     else:
         assignments = {
-            c: F.when(F.col(f"src.`{c}__set`"), F.col(f"src.`{c}`"))
+            c: F.when(F.col(f"src.`{c}__set`"), _cell_value(c))
                 .otherwise(F.col(f"tgt.`{c}`"))
             for c in value_cols
         }
@@ -635,6 +808,86 @@ def a2ab_cql_insert_json(spark, sf_dir):
         apply_cql_writes(t, ["key"], stmts)
         return cql_select(
             t.read(), "SELECT JSON key, price, tag FROM kv"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("a2ac_cql_collection_updates", "A2+H4+H5", """
+WITH base AS (
+  SELECT c_custkey AS k,
+         [c_mktsegment, 'N' || CAST(c_nationkey AS VARCHAR)] AS tags0,
+         CAST(c_custkey % 3 AS INTEGER) AS theme0,
+         c_custkey % 4 = 0 AS has_promo
+  FROM customer WHERE c_custkey <= 300
+)
+SELECT k AS cust_id,
+       ARRAY_TO_STRING(
+         CASE
+           WHEN k % 10 = 0 AND k % 7 = 0 THEN LIST_SORT(LIST_FILTER(
+             LIST_DISTINCT(LIST_APPEND(tags0, 'VIP')),
+             x -> x <> 'BUILDING'))
+           WHEN k % 10 = 0 THEN LIST_SORT(LIST_DISTINCT(
+             LIST_APPEND(tags0, 'VIP')))
+           WHEN k % 7 = 0 THEN LIST_SORT(LIST_FILTER(
+             tags0, x -> x <> 'BUILDING'))
+           ELSE tags0
+         END, ',') AS tags_s,
+       CASE WHEN k % 11 = 0 THEN 9
+            WHEN k % 9 = 0 THEN NULL
+            ELSE theme0 END AS theme,
+       CASE WHEN k % 4 = 0 THEN 2 ELSE NULL END AS promo,
+       CASE WHEN k % 11 = 0 THEN 7 ELSE NULL END AS beta
+FROM base
+""", "Cassandra collection WRITE semantics through the CQL DML path: "
+     "five sequential client batches apply set add (tags + {'VIP'}, "
+     "kept canonically sorted as Cassandra stores sets), set discard "
+     "(tags - {'BUILDING'}), map put (prefs['promo'] = 2), map KEY "
+     "discard (prefs - {'theme'} - the - overload removes keys on "
+     "maps), and map merge (prefs + {'beta': 7, 'theme': 9}, "
+     "colliding keys overwritten). Each mutation compiles to a "
+     "cell-level expression against the target's CURRENT value "
+     "inside the same single CoW merge commit every write takes - "
+     "array_union/except/concat and map_filter/concat, all JVM "
+     "higher-order expressions, no UDF. The read back renders "
+     "scalars (joined tag list + three map lookups) so the hash "
+     "pins exact element ORDER and key survival per row.")
+def a2ac_cql_collection_updates(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        customer_profiles,
+    )
+
+    root = tempfile.mkdtemp(prefix="ces_cql_coll_")
+    try:
+        base = customer_profiles(spark, sf_dir).filter(
+            F.col("cust_id") <= 300).select("cust_id", "tags", "prefs")
+        t = AcidParquetTable(spark, root)
+        t.init(base)
+        keys = [r["cust_id"] for r in base.select("cust_id").collect()]
+        batches = [
+            [f"UPDATE p SET tags = tags + {{'VIP'}} WHERE cust_id = {k}"
+             for k in keys if k % 10 == 0],
+            [f"UPDATE p SET tags = tags - {{'BUILDING'}} WHERE cust_id = {k}"
+             for k in keys if k % 7 == 0],
+            [f"UPDATE p SET prefs['promo'] = 2 WHERE cust_id = {k}"
+             for k in keys if k % 4 == 0],
+            [f"UPDATE p SET prefs = prefs - {{'theme'}} WHERE cust_id = {k}"
+             for k in keys if k % 9 == 0],
+            [f"UPDATE p SET prefs = prefs + {{'beta': 7, 'theme': 9}} "
+             f"WHERE cust_id = {k}" for k in keys if k % 11 == 0],
+        ]
+        for b in batches:
+            if b:
+                apply_cql_writes(t, ["cust_id"], b)
+        return t.read().select(
+            "cust_id",
+            F.array_join("tags", ",").alias("tags_s"),
+            F.col("prefs")["theme"].alias("theme"),
+            F.col("prefs")["promo"].alias("promo"),
+            F.col("prefs")["beta"].alias("beta"),
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

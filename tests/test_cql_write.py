@@ -238,3 +238,72 @@ def test_insert_json_parse_and_defaults(spark, tmp_path):
     with pytest.raises(CqlError, match="unknown columns"):
         apply_cql_writes(t, ["key"],
                          'INSERT INTO kv JSON \'{"key": 9, "nope": 1}\'')
+
+
+def test_collection_mutations_hand_checked(spark, tmp_path):
+    """CQL collection writes: set add/discard (canonically sorted),
+    list append/prepend, map put / merge / key-discard, full-literal
+    replacement, update-creates-row, and the parse/fold rules."""
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import CqlError
+    from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+        CollMut,
+        apply_cql_writes,
+        parse_cql_dml,
+    )
+
+    t = AcidParquetTable(spark, str(tmp_path / "coll"))
+    t.init(spark.createDataFrame(
+        [(1, ["b", "a"], [10], {"theme": 1}),
+         (2, ["x"], [1, 2], {"theme": 2, "promo": 1})],
+        "key long, tags array<string>, items array<int>, "
+        "prefs map<string,int>"))
+
+    apply_cql_writes(t, ["key"], [
+        "UPDATE c SET tags = tags + {'vip'} WHERE key = 1",
+        "UPDATE c SET items = items + [20, 30] WHERE key = 1",
+        "UPDATE c SET prefs['promo'] = 5 WHERE key = 1",
+        "UPDATE c SET tags = tags - {'x'}, items = [0] + items, "
+        "prefs = prefs - {'promo'} WHERE key = 2",
+        # update on a missing key CREATES the row (Cassandra upsert)
+        "UPDATE c SET tags = tags + {'new'}, prefs = prefs + "
+        "{'a': 1, 'theme': 9} WHERE key = 3",
+    ])
+    got = {r["key"]: r for r in t.read().collect()}
+    assert got[1]["tags"] == ["a", "b", "vip"]      # sorted set
+    assert got[1]["items"] == [10, 20, 30]          # list append order
+    assert got[1]["prefs"] == {"theme": 1, "promo": 5}
+    assert got[2]["tags"] == []                     # discard emptied it
+    assert got[2]["items"] == [0, 1, 2]             # prepend
+    assert got[2]["prefs"] == {"theme": 2}          # key removed
+    assert got[3]["tags"] == ["new"] and got[3]["items"] is None
+    assert got[3]["prefs"] == {"a": 1, "theme": 9}
+
+    # full-literal replacement
+    apply_cql_writes(t, ["key"],
+                     "UPDATE c SET tags = {'z', 'a'} WHERE key = 1")
+    assert sorted(t.read().filter("key = 1").collect()[0]["tags"]) == \
+        ["a", "z"]
+
+    # parse rules
+    w, = parse_cql_dml("UPDATE c SET tags = tags + {'a'} WHERE key = 1",
+                       ["key"])
+    assert w.sets["tags"] == CollMut("add", ["a"])
+    with pytest.raises(CqlError, match="same column"):
+        parse_cql_dml("UPDATE c SET tags = other + {'a'} WHERE key = 1",
+                      ["key"])
+    with pytest.raises(CqlError, match="SET of elements"):
+        parse_cql_dml("UPDATE c SET prefs = prefs - {'k': 1} "
+                      "WHERE key = 1", ["key"])
+    with pytest.raises(CqlError, match="separate batches"):
+        apply_cql_writes(t, ["key"], [
+            "UPDATE c SET tags = tags + {'p'} WHERE key = 1",
+            "UPDATE c SET tags = tags - {'q'} WHERE key = 1",
+        ])
+    with pytest.raises(CqlError, match="non-collection"):
+        apply_cql_writes(t, ["key"],
+                         "UPDATE c SET key2 = key2 + {'a'} WHERE key = 1")
