@@ -115,6 +115,8 @@ _FRONT = (
     "i9c_stream_stream_full_outer",
     # never driver-verified; next in line after the front-50
     "a3br_es_range_date_math", "a3bs_es_compound_filter_context",
+    "a2ac_cql_collection_updates", "a2ad_cql_counter_increments",
+    "a3bt_es_moving_percentiles",
     "i11_exactly_once_acid_sink", "a11_python_stream_source",
     "j1_scalar_udf", "d10b_unpivot", "h6b_nested_json", "k4_bigrams",
     "k2h_containment_pairs", "a2i_cql_partition_slice",

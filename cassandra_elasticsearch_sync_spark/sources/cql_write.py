@@ -154,6 +154,9 @@ _COLL_PREPEND_RE = re.compile(
     re.DOTALL)
 _COLL_SET_RE = re.compile(
     r"^\s*(?P<col>\w+)\s*=\s*(?P<lit>\{.*\}|\[.*\])\s*$", re.DOTALL)
+_COUNTER_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s*=\s*(?P<col2>\w+)\s*(?P<op>[+-])\s*"
+    r"(?P<n>\d+)\s*$")
 
 
 def _parse_set_item(part: str) -> tuple[str, object]:
@@ -179,6 +182,15 @@ def _parse_set_item(part: str) -> tuple[str, object]:
             return m.group("col"), CollMut("put", lit)
         op = "append" if m.group("lit").lstrip().startswith("[") else "add"
         return m.group("col"), CollMut(op, lit)
+    m = _COUNTER_RE.match(part)
+    if m:
+        if m.group("col") != m.group("col2"):
+            raise CqlError(
+                f"counter op must reference the same column: {part!r}")
+        delta = int(m.group("n"))
+        if m.group("op") == "-":
+            delta = -delta
+        return m.group("col"), CollMut("incr", delta)
     m = _COLL_PREPEND_RE.match(part)
     if m:
         if m.group("col") != m.group("col2"):
@@ -332,6 +344,13 @@ def _fold(writes: list[CqlWrite]) -> list[CqlWrite]:
                 # client batch fold ambiguously (Cassandra's own
                 # same-timestamp batch semantics are murky there) -
                 # fail loudly instead of silently dropping a mutation.
+                prev = merged.get(col)
+                if (isinstance(v, CollMut) and v.op == "incr"
+                        and isinstance(prev, CollMut) and prev.op == "incr"):
+                    # counter increments COMPOSE in a batch - Cassandra
+                    # folds them additively before the write lands
+                    merged[col] = CollMut("incr", prev.values + v.values)
+                    continue
                 if col in merged and (isinstance(v, CollMut)
                                       or isinstance(merged[col], CollMut)):
                     raise CqlError(
@@ -404,8 +423,13 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
             for c in value_cols:
                 w.sets.setdefault(c, None)
         for c, v in w.sets.items():
-            if isinstance(v, CollMut) and not isinstance(
-                    types.get(c), (T.ArrayType, T.MapType)):
+            if not isinstance(v, CollMut):
+                continue
+            if v.op == "incr":
+                if not isinstance(types.get(c), (T.LongType, T.IntegerType)):
+                    raise CqlError(
+                        f"counter op on non-counter column {c!r}")
+            elif not isinstance(types.get(c), (T.ArrayType, T.MapType)):
                 raise CqlError(
                     f"collection op on non-collection column {c!r}")
     folded = _fold(writes)
@@ -430,7 +454,11 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
         row = [(_coerce(v, types[k])) for k, v in zip(key_cols, w.key)]
         for c in value_cols:
             v = w.sets.get(c)
-            if isinstance(v, CollMut):
+            if isinstance(v, CollMut) and v.op == "incr":
+                row.append(int(v.values))
+                row.append(True)
+                row.append("incr")
+            elif isinstance(v, CollMut):
                 if not isinstance(types[c], (T.ArrayType, T.MapType)):
                     raise CqlError(
                         f"collection op on non-collection column {c!r}")
@@ -486,6 +514,10 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
                 .when(mut == "append", F.concat(tt, s))
                 .when(mut == "prepend", F.concat(s, tt))
                 .otherwise(s))
+        if isinstance(dtype, (T.LongType, T.IntegerType)):
+            mut = F.col(f"src.`{c}__mut`")
+            tt = F.coalesce(F.col(f"tgt.`{c}`"), F.lit(0).cast(dtype))
+            return F.when(mut == "incr", (tt + s).cast(dtype)).otherwise(s)
         if isinstance(dtype, T.MapType):
             mut = F.col(f"src.`{c}__mut`")
             tt = F.coalesce(F.col(f"tgt.`{c}`"),
@@ -889,5 +921,49 @@ def a2ac_cql_collection_updates(spark, sf_dir):
             F.col("prefs")["promo"].alias("promo"),
             F.col("prefs")["beta"].alias("beta"),
         ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("a2ad_cql_counter_increments", "A2+D1", """
+WITH hits AS (
+  SELECT o_orderkey % 10 AS key, COUNT(*) AS n
+  FROM orders WHERE o_orderkey <= 800
+  GROUP BY 1
+)
+SELECT key, CAST(n - CASE WHEN key = 3 THEN 5 ELSE 0 END AS BIGINT)
+         AS hits
+FROM hits
+""", "Cassandra counter columns through the CQL DML path: one "
+     "`UPDATE counters SET hits = hits + 1` per source row folds "
+     "ADDITIVELY client-side (Cassandra composes a batch's "
+     "increments before the write lands), a decrement statement "
+     "subtracts, an increment on a missing key starts from 0 "
+     "(counter default), and the landed cell is current + delta - "
+     "compiled into the same atomic CoW merge as every write. The "
+     "oracle recomputes the per-key counts relationally, so the hash "
+     "proves the fold's arithmetic, not just convergence. Counter "
+     "ops validate the column is integral (Cassandra rejects "
+     "counters elsewhere); a counter table update is one merge "
+     "commit regardless of increment count.")
+def a2ad_cql_counter_increments(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="ces_cql_counter_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(spark.createDataFrame(
+            [], "key bigint, hits bigint"))
+        keys = [r[0] % 10 for r in load_table(spark, sf_dir, "orders")
+                .filter(F.col("o_orderkey") <= 800)
+                .select("o_orderkey").collect()]
+        stmts = [f"UPDATE counters SET hits = hits + 1 WHERE key = {k}"
+                 for k in keys]
+        stmts.append("UPDATE counters SET hits = hits - 5 WHERE key = 3")
+        apply_cql_writes(t, ["key"], stmts)
+        return t.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

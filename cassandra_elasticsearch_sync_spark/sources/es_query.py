@@ -971,7 +971,8 @@ def es_aggregate(df: DataFrame, aggs: dict,
     pipeline_subs = {
         n: s for n, s in spec.get("aggs", {}).items()
         if any(k in s for k in ("cumulative_sum", "derivative",
-                                "moving_avg", "serial_diff"))
+                                "moving_avg", "serial_diff",
+                                "moving_percentiles"))
     }
     bucket_pipeline = {
         n: s for n, s in spec.get("aggs", {}).items()
@@ -1237,6 +1238,27 @@ def es_aggregate(df: DataFrame, aggs: dict,
                         (dec - F.lag(dec, b.get("lag", 1)).over(w_lag))
                         .cast("double"),
                     )
+                elif kind == "moving_percentiles":
+                    # ES moving_percentiles: sliding-window percentiles
+                    # of a bucket metric (the band behind burn-rate
+                    # panels). ES slides a t-digest; the exact twin is
+                    # percentile() over the same shifted window as
+                    # moving_avg (`window` buckets BEFORE the current
+                    # one, shift=0) - both engines interpolate the
+                    # middle pair identically on exact doubles, and the
+                    # window is BUCKET-count-sized, never corpus-sized.
+                    wsize = b.get("window", 5)
+                    w_mv = Window.orderBy("key").rowsBetween(-wsize, -1)
+                    for pct in b.get("percents", (50.0,)):
+                        tag = (f"{n}_p{int(pct)}"
+                               if float(pct).is_integer() else f"{n}_p{pct}")
+                        out = out.withColumn(
+                            tag,
+                            F.round(
+                                F.percentile(
+                                    dec.cast("double"),
+                                    F.lit(pct / 100.0)).over(w_mv),
+                                6))
         return _apply_bucket_pipeline(out, bucket_pipeline)
     if "adjacency_matrix" in spec:
         # adjacency_matrix: named filters -> one bucket per filter and
@@ -5115,3 +5137,43 @@ def a3bs_es_compound_filter_context(spark, sf_dir):
             "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}}}},
     ]}}).select("o_orderkey", "o_orderstatus", "o_orderpriority",
                 "o_totalprice")
+
+
+@register("a3bt_es_moving_percentiles", "A3+D6", """
+WITH buckets AS (
+  SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS key,
+         COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT key, doc_count, revenue,
+       ROUND(QUANTILE_CONT(CAST(revenue AS DOUBLE), 0.50) OVER w, 6)
+         AS band_p50,
+       ROUND(QUANTILE_CONT(CAST(revenue AS DOUBLE), 0.90) OVER w, 6)
+         AS band_p90
+FROM buckets
+WINDOW w AS (ORDER BY key ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+""", "ES moving_percentiles pipeline agg: sliding-window p50/p90 of "
+     "the monthly revenue metric over the 6 buckets BEFORE each one "
+     "(shift=0, the moving_avg window convention) - the percentile "
+     "band behind burn-rate and anomaly panels. ES slides a "
+     "t-digest; the exact twin is percentile() over the same bucket "
+     "window, and both engines interpolate the middle pair "
+     "identically on exact doubles. The window is BUCKET-count-sized "
+     "(months), never corpus-sized - the scan already reduced to one "
+     "row per month before any window runs.")
+def a3bt_es_moving_percentiles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_aggregate(o, {
+        "monthly": {
+            "date_histogram": {"field": "o_orderdate",
+                               "calendar_interval": "month"},
+            "aggs": {
+                "revenue": {"sum": {"field": "o_totalprice"}},
+                "band": {"moving_percentiles": {
+                    "buckets_path": "revenue", "window": 6,
+                    "percents": [50.0, 90.0]}},
+            },
+        }
+    })

@@ -307,3 +307,42 @@ def test_collection_mutations_hand_checked(spark, tmp_path):
     with pytest.raises(CqlError, match="non-collection"):
         apply_cql_writes(t, ["key"],
                          "UPDATE c SET key2 = key2 + {'a'} WHERE key = 1")
+
+
+def test_counter_increments_hand_checked(spark, tmp_path):
+    """Counter semantics: batch increments fold additively, decrement
+    subtracts, increment on a missing key starts from 0, and counter
+    ops on non-integral columns raise."""
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import CqlError
+    from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+        apply_cql_writes,
+        parse_cql_dml,
+    )
+
+    t = AcidParquetTable(spark, str(tmp_path / "cnt"))
+    t.init(spark.createDataFrame([(1, 100)], "key long, hits bigint"))
+    apply_cql_writes(t, ["key"], [
+        "UPDATE c SET hits = hits + 1 WHERE key = 1",
+        "UPDATE c SET hits = hits + 1 WHERE key = 1",
+        "UPDATE c SET hits = hits - 3 WHERE key = 1",
+        "UPDATE c SET hits = hits + 7 WHERE key = 2",   # missing -> 0+7
+    ])
+    got = {r["key"]: r["hits"] for r in t.read().collect()}
+    assert got == {1: 99, 2: 7}    # 100 +1 +1 -3 folded to one -1
+
+    w, = parse_cql_dml("UPDATE c SET hits = hits + 4 WHERE key = 1",
+                       ["key"])
+    assert w.sets["hits"].op == "incr" and w.sets["hits"].values == 4
+    with pytest.raises(CqlError, match="same column"):
+        parse_cql_dml("UPDATE c SET hits = other + 1 WHERE key = 1",
+                      ["key"])
+    t2 = AcidParquetTable(spark, str(tmp_path / "cnt2"))
+    t2.init(spark.createDataFrame([(1, "x")], "key long, name string"))
+    with pytest.raises(CqlError, match="non-counter"):
+        apply_cql_writes(t2, ["key"],
+                         "UPDATE c SET name = name + 1 WHERE key = 1")
