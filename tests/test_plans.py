@@ -296,6 +296,7 @@ _BOUNDED_WINDOW_ALLOWED = {
     # (cardinality = calendar buckets, ~1200 rows per century).
     "a3p_es_pipeline_aggs",
     "a3s_es_moving_fn_serial_diff",
+    "a3bt_es_moving_percentiles",
 }
 
 
