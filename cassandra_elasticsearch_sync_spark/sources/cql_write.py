@@ -96,15 +96,21 @@ _BATCH_RE = re.compile(
 class CollMut:
     """One CQL collection mutation: ``tags = tags + {'x'}`` (add),
     ``tags = tags - {'x'}`` (discard - element removal on sets, KEY
-    removal on maps, exactly Cassandra's overload), ``items = items +
-    [x]`` (append), ``items = [x] + items`` (prepend), ``prefs['k'] =
-    v`` / ``prefs = prefs + {k: v}`` (put). The operand ships as a
-    typed src column; the merge assignment applies it cell-level
-    against the target's current value. Sets are kept CANONICALLY
-    SORTED on every write (Cassandra stores sets sorted)."""
+    removal on maps, exactly Cassandra's overload), ``items = items -
+    [x]`` (discard_list - LIST element removal: every occurrence of
+    each operand element goes, survivor ORDER PRESERVED - Cassandra's
+    list-minus never reorders or dedupes), ``items = items + [x]``
+    (append), ``items = [x] + items`` (prepend), ``prefs['k'] = v`` /
+    ``prefs = prefs + {k: v}`` (put). The operand ships as a typed src
+    column; the merge assignment applies it cell-level against the
+    target's current value. Sets are kept CANONICALLY SORTED on every
+    write (Cassandra stores sets sorted)."""
 
-    op: str        # 'add' | 'discard' | 'append' | 'prepend' | 'put'
-    values: object  # list of scalars, or dict for map operands
+    # 'add' | 'discard' | 'discard_list' | 'append' | 'prepend' |
+    # 'put' | 'incr' (counter delta; values is the signed int) |
+    # 'replace' (whole-collection assignment; applied as the literal)
+    op: str
+    values: object  # list of scalars, dict for map operands, int for incr
 
 
 def _split_top(s: str) -> list[str]:
@@ -177,6 +183,11 @@ def _parse_set_item(part: str) -> tuple[str, object]:
                 raise CqlError(
                     "removal takes a SET of elements/keys, not a map "
                     f"(Cassandra's rule): {part!r}")
+            # Bracket operand = Cassandra's LIST minus: remove every
+            # occurrence, PRESERVE survivor order (no sort, no dedup).
+            # Brace operand = set/map discard (canonical-sort apply).
+            if m.group("lit").lstrip().startswith("["):
+                return m.group("col"), CollMut("discard_list", lit)
             return m.group("col"), CollMut("discard", lit)
         if isinstance(lit, dict):
             return m.group("col"), CollMut("put", lit)
