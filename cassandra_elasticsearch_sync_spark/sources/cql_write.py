@@ -364,6 +364,13 @@ def _fold(writes: list[CqlWrite]) -> list[CqlWrite]:
                     continue
                 if col in merged and (isinstance(v, CollMut)
                                       or isinstance(merged[col], CollMut)):
+                    ops = {x.op for x in (v, merged.get(col))
+                           if isinstance(x, CollMut)}
+                    if "incr" in ops:
+                        raise CqlError(
+                            f"counter and non-counter writes to column "
+                            f"{col!r} for one key in a single batch; "
+                            "send them in separate batches")
                     raise CqlError(
                         f"two statements mutate collection column "
                         f"{col!r} for one key in a single batch; send "
@@ -522,6 +529,12 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
             return (
                 F.when(mut == "add", F.array_sort(F.array_union(tt, s)))
                 .when(mut == "discard", F.array_sort(F.array_except(tt, s)))
+                # LIST minus: drop every occurrence of each operand
+                # element, survivor ORDER PRESERVED - Cassandra's
+                # list-minus never reorders or dedupes, so array_except
+                # (set semantics) would corrupt element order here.
+                .when(mut == "discard_list",
+                      F.filter(tt, lambda x: ~F.array_contains(s, x)))
                 .when(mut == "append", F.concat(tt, s))
                 .when(mut == "prepend", F.concat(s, tt))
                 .otherwise(s))

@@ -443,9 +443,14 @@ def es_search(df: DataFrame, query: dict, now=None) -> DataFrame:
     """Filter df with an ES query-DSL dict (the scan-side of the ES
     source, pushdown included). ``now`` anchors any ES date-math
     strings (``now-7d/d``) in range clauses - resolved in a pure
-    pre-pass so the compiled predicate is an ordinary range filter."""
-    if now is not None:
-        query = resolve_date_math(query, now)
+    pre-pass so the compiled predicate is an ordinary range filter.
+    The pre-pass runs UNCONDITIONALLY: an anchored expression like
+    ``'2024-01-05||+1M/M'`` needs no clock, so it must resolve even
+    when the caller omits ``now`` (otherwise it would reach the
+    compiler as a plain string, cast to NULL against a timestamp
+    column, and silently match nothing); ``now``-based forms without
+    a ``now`` argument still fail loudly inside the parser."""
+    query = resolve_date_math(query, now)
     return df.filter(compile_query(query))
 
 
@@ -4066,7 +4071,11 @@ def _phrase_lm(df: DataFrame, field: str):
         .alias("pos", "w")).filter(F.col("w") != "")
     vocab = tok.groupBy("w").agg(F.count("*").alias("c1")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    total = tok.agg(F.count("*").alias("t_toks"))
+    # Derive the corpus token total FROM the persisted vocab (sum of
+    # per-word counts == token count) so repeat suggest calls read the
+    # cached blocks - a total computed off `tok` would rescan the
+    # corpus on every call, breaking the cache's no-rescan guarantee.
+    total = vocab.agg(F.sum("c1").alias("t_toks"))
     tok2 = df.select(
         F.col(field).alias("__txt"),
         F.posexplode(F.split(F.lower(F.col(field)), " "))

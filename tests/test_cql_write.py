@@ -346,3 +346,87 @@ def test_counter_increments_hand_checked(spark, tmp_path):
     with pytest.raises(CqlError, match="non-counter"):
         apply_cql_writes(t2, ["key"],
                          "UPDATE c SET name = name + 1 WHERE key = 1")
+
+
+def test_list_minus_preserves_order(spark, tmp_path):
+    """Cassandra list-minus (``items = items - [x]``): removes EVERY
+    occurrence of each operand element and PRESERVES survivor order -
+    never the set semantics (sort + dedup) that ``- {...}`` applies.
+    Bracket vs brace operand selects the overload at parse time."""
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import CqlError
+    from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+        CollMut,
+        apply_cql_writes,
+        parse_cql_dml,
+    )
+
+    t = AcidParquetTable(spark, str(tmp_path / "lm"))
+    t.init(spark.createDataFrame(
+        [(1, [5, 3, 5, 1, 3, 9]), (2, [7, 7]), (3, None)],
+        "key long, items array<int>"))
+
+    apply_cql_writes(t, ["key"], [
+        "UPDATE c SET items = items - [3, 9] WHERE key = 1",
+        "UPDATE c SET items = items - [7] WHERE key = 2",
+        "UPDATE c SET items = items - [1] WHERE key = 3",  # NULL target
+    ])
+    got = {r["key"]: r["items"] for r in t.read().collect()}
+    # every occurrence of 3 and 9 gone; 5,5,1 keep their stored order
+    # (array_except would have produced sorted-deduped [1, 5])
+    assert got[1] == [5, 3, 5, 1, 3, 9][0:1] + [5, 1]
+    assert got[1] == [5, 5, 1]
+    assert got[2] == []
+    assert got[3] == []   # minus against a missing list -> empty
+
+    # parse: bracket operand = list overload, brace = set overload
+    w, = parse_cql_dml("UPDATE c SET items = items - [1, 2] "
+                       "WHERE key = 1", ["key"])
+    assert w.sets["items"] == CollMut("discard_list", [1, 2])
+    w, = parse_cql_dml("UPDATE c SET items = items - {1, 2} "
+                       "WHERE key = 1", ["key"])
+    assert w.sets["items"].op == "discard"
+
+    # a bracket-minus on a MAP column is rejected (map takes a map/set)
+    t2 = AcidParquetTable(spark, str(tmp_path / "lm2"))
+    t2.init(spark.createDataFrame(
+        [(1, {"a": 1})], "key long, prefs map<string,int>"))
+    with pytest.raises(CqlError, match="map operand"):
+        apply_cql_writes(t2, ["key"],
+                         "UPDATE c SET prefs = prefs - ['a'] WHERE key = 1")
+
+
+def test_counter_plus_assignment_error_message(spark, tmp_path):
+    """A counter increment combined with a plain assignment to the
+    same column in one batch raises a COUNTER-specific message, not
+    the misleading 'collection column' wording."""
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import CqlError
+    from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+        apply_cql_writes,
+    )
+
+    t = AcidParquetTable(spark, str(tmp_path / "cmsg"))
+    t.init(spark.createDataFrame([(1, 10)], "key long, hits bigint"))
+    with pytest.raises(CqlError, match="counter and non-counter"):
+        apply_cql_writes(t, ["key"], [
+            "UPDATE c SET hits = hits + 1 WHERE key = 1",
+            "UPDATE c SET hits = 5 WHERE key = 1",
+        ])
+    # the collection wording survives for actual collection collisions
+    t2 = AcidParquetTable(spark, str(tmp_path / "cmsg2"))
+    t2.init(spark.createDataFrame(
+        [(1, ["a"])], "key long, tags array<string>"))
+    with pytest.raises(CqlError, match="collection column"):
+        apply_cql_writes(t2, ["key"], [
+            "UPDATE c SET tags = tags + {'b'} WHERE key = 1",
+            "UPDATE c SET tags = ['z'] WHERE key = 1",
+        ])

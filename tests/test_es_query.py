@@ -1153,3 +1153,25 @@ def test_date_math_resolution_is_pure_prepass(spark):
     # a term VALUE containing 'now' is not date math territory
     assert out["bool"]["filter"][1] == {"term": {"kind": "now and then"}}
     assert q["bool"]["filter"][0]["range"]["ts"]["gte"] == "now-1d/d"
+
+
+def test_anchored_date_math_resolves_without_now(spark):
+    """An ANCHORED date-math string ('2024-01-05||+1M/M') needs no
+    clock, so es_search must resolve it even when the caller omits
+    ``now`` - previously it reached the compiler as a plain string,
+    cast to NULL against a timestamp column, and silently matched
+    nothing. now-based forms without a clock still fail loudly."""
+    import datetime as dt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import es_search
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 20)), (2, dt.datetime(2024, 2, 10)),
+         (3, dt.datetime(2024, 3, 5))],
+        "id long, ts timestamp")
+    q = {"range": {"ts": {"gte": "2024-01-05||+1M/M"}}}   # -> 2024-02-01
+    got = sorted(r["id"] for r in es_search(df, q).collect())
+    assert got == [2, 3]
+
+    with pytest.raises(ValueError, match="no anchor"):
+        es_search(df, {"range": {"ts": {"gte": "now-1d"}}})
