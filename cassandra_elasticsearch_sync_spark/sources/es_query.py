@@ -4684,11 +4684,22 @@ def _function_score_column(functions: list[dict]) -> Column:
     return reduce(lambda a, b: a + b, terms)
 
 
+def _sort_spec_columns(sort: list[tuple[str, str]]) -> list[Column]:
+    """[(field, 'asc'|'desc'), ...] -> window/orderBy columns."""
+    out = []
+    for f, d in sort:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc|desc, got {d!r}")
+        out.append(F.col(f).desc() if d == "desc" else F.col(f).asc())
+    return out
+
+
 def es_has_child(parent_df: DataFrame, child_df: DataFrame,
                  parent_key: str, child_key: str, child_query: dict,
                  score_mode: str = "none", min_children: int = 1,
                  max_children: int | None = None,
                  child_score_functions: list[dict] | None = None,
+                 inner_hits: dict | None = None,
                  ) -> DataFrame:
     """ES ``has_child``: parent docs having matching children.
 
@@ -4717,6 +4728,24 @@ def es_has_child(parent_df: DataFrame, child_df: DataFrame,
     Child scores follow the house function_score model (scores ES
     would compute with BM25 are not reproducible cross-engine;
     field_value_factor / filter+weight are, bitwise).
+
+    ``inner_hits`` (ES's response-shape option on the same clause)
+    attaches the matching children THEMSELVES to each parent hit as a
+    sorted, size-capped ``array<struct>`` column - ES's
+    ``inner_hits.<name>.hits.hits``. Spec keys: ``sort``
+    ([(field, 'asc'|'desc'), ...] - MUST be a total order, ES's
+    internal doc-id tiebreak is not reproducible), ``size`` (cap,
+    ES default 3), ``_source`` (child fields each hit carries),
+    ``name`` (column name, default 'children'). Compilation keeps
+    the ONE-aggregate shape: a row_number window partitioned by the
+    child key (same hash partitioning the aggregate needs - Spark
+    reuses the exchange, no second shuffle) caps each parent's
+    collected hits at ``size`` BEFORE collect_list ever sees a row,
+    so a skewed parent with a million matching children contributes
+    at most ``size`` structs to the aggregate - never an unbounded
+    per-key array. ``__n_children``/score folds still see ALL
+    matching children (the cap applies only to what the response
+    carries, exactly ES's semantics).
     """
     from cassandra_elasticsearch_sync_spark.parity import dsum
 
@@ -4730,14 +4759,45 @@ def es_has_child(parent_df: DataFrame, child_df: DataFrame,
     if score_mode != "none" and not child_score_functions:
         raise ValueError(f"score_mode={score_mode!r} needs "
                          "child_score_functions")
+    if inner_hits is not None and not inner_hits.get("sort"):
+        raise ValueError("inner_hits needs an explicit total-order "
+                         "'sort' (ES's doc-id tiebreak is not "
+                         "reproducible cross-engine)")
+    if inner_hits is not None and not inner_hits.get("_source"):
+        raise ValueError("inner_hits needs '_source' child fields")
 
     matching = child_df.filter(compile_query(child_query))
-    if score_mode == "none" and min_children == 1 and max_children is None:
+    if (score_mode == "none" and min_children == 1 and max_children is None
+            and inner_hits is None):
         keys = (matching.select(F.col(child_key).alias(parent_key))
                 .distinct())
         return parent_df.join(keys, parent_key, "left_semi")
 
+    collect_hits = None
+    if inner_hits is not None:
+        from pyspark.sql import Window
+
+        size = int(inner_hits.get("size", 3))
+        src = list(inner_hits["_source"])
+        w = Window.partitionBy(child_key).orderBy(
+            *_sort_spec_columns(inner_hits["sort"]))
+        matching = matching.withColumn("__hit_rank", F.row_number().over(w))
+        # when() without otherwise() is NULL past the cap, and
+        # collect_list drops NULLs - the aggregate materializes at
+        # most `size` structs per parent. sort_array on the
+        # rank-first struct restores hit order deterministically
+        # (collect_list order is not guaranteed), then the rank is
+        # stripped so the response shape is pure _source fields.
+        hit = F.struct(F.col("__hit_rank"), *[F.col(c) for c in src])
+        collect_hits = F.transform(
+            F.sort_array(F.collect_list(
+                F.when(F.col("__hit_rank") <= size, hit))),
+            lambda s: F.struct(*[s[c].alias(c) for c in src]),
+        ).alias(inner_hits.get("name", "children"))
+
     aggs = [F.count("*").alias("__n_children")]
+    if collect_hits is not None:
+        aggs.append(collect_hits)
     if score_mode != "none":
         s = _function_score_column(child_score_functions)
         fold = {
@@ -4755,6 +4815,11 @@ def es_has_child(parent_df: DataFrame, child_df: DataFrame,
         per_parent = per_parent.filter(
             F.col("__n_children") <= max_children)
     out = parent_df.join(per_parent, parent_key, "inner")
+    if inner_hits is not None:
+        # ES's per-hit `inner_hits.total.value`: the count of ALL
+        # matching children (not just the size-capped carried hits).
+        total = f"{inner_hits.get('name', 'children')}_total"
+        return out.withColumnRenamed("__n_children", total)
     return out.drop("__n_children")
 
 
@@ -4785,6 +4850,203 @@ def es_has_parent(child_df: DataFrame, parent_df: DataFrame,
     scored = matched.select(F.col(parent_key).alias(child_key),
                             F.round(s, 6).alias("_score"))
     return child_df.join(scored, child_key, "inner")
+
+
+def _struct_comparator(sort: list[tuple[str, str]]):
+    """A total-order comparator over struct elements for
+    ``F.array_sort(col, cmp)``, honoring per-field asc/desc - built
+    from the LAST key outward so earlier keys take precedence. Pure
+    when/otherwise arithmetic: JVM-side, codegen-friendly, no UDF.
+    Sort fields must be non-null (ES's missing-value placement is a
+    mapping option this subset does not model - nulls would silently
+    compare as ties, so callers sort on required fields)."""
+    for _, d in sort:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc|desc, got {d!r}")
+
+    def cmp(a, b):
+        out = F.lit(0)
+        for field, direction in reversed(sort):
+            lo, hi = (-1, 1) if direction == "asc" else (1, -1)
+            out = (F.when(a[field] < b[field], F.lit(lo))
+                   .when(a[field] > b[field], F.lit(hi))
+                   .otherwise(out))
+        return out
+
+    return cmp
+
+
+def es_nested_inner_hits(df: DataFrame, path: str, query: dict,
+                         sort: list[tuple[str, str]], size: int = 3,
+                         source: list[str] | None = None,
+                         name: str = "inner_hits") -> DataFrame:
+    """ES ``nested`` query with ``inner_hits``: keep the documents
+    where ANY element of the nested-path array matches the inner
+    query (the a3ab same-element semantics), and attach the matching
+    ELEMENTS themselves - sorted by an explicit total order, capped
+    at ``size``, projected to ``source`` fields - as an
+    ``array<struct>`` column, ES's ``inner_hits.<path>.hits.hits``
+    for nested mappings.
+
+    Compilation is pure higher-order functions over the one array
+    column: ``filter`` (the element predicate, compiled by the same
+    resolver-rebinding rule as the ``nested`` query clause) ->
+    ``array_sort`` with a when/otherwise comparator -> ``slice`` ->
+    ``transform`` to the _source projection. JVM lambdas end to end:
+    no explode, no shuffle, no UDF - per-document constant work, the
+    correct shape at any corpus size.
+
+    Sort fields inside elements must be non-null (see
+    ``_struct_comparator``); ``sort`` must be a total order for the
+    cap to be deterministic.
+    """
+    if not sort:
+        raise ValueError("inner_hits needs an explicit total-order 'sort'")
+    prefix = path + "."
+
+    def elem_pred(x):
+        def elem_resolve(field: str):
+            if field.startswith(prefix):
+                return x[field[len(prefix):]]
+            return F.col(field)
+        return compile_query(query, elem_resolve)
+
+    def strip(spec):
+        out = []
+        for f, d in spec:
+            out.append((f[len(prefix):] if f.startswith(prefix) else f, d))
+        return out
+
+    matched = F.filter(F.col(path), elem_pred)
+    ranked = F.slice(
+        F.array_sort(matched, _struct_comparator(strip(sort))), 1, int(size))
+    if source is not None:
+        fields = [f[len(prefix):] if f.startswith(prefix) else f
+                  for f in source]
+        ranked = F.transform(
+            ranked, lambda s: F.struct(*[s[c].alias(c) for c in fields]))
+    return (df.filter(F.exists(F.col(path), elem_pred))
+            .withColumn(name, ranked))
+
+
+@register("a3bu_es_has_child_inner_hits", "A3+C4+E4", """
+WITH matching AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_quantity DESC, l_linenumber ASC)
+           AS rnk
+  FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity >= 45
+),
+per_parent AS (
+  SELECT l_orderkey, COUNT(*) AS n_children
+  FROM matching GROUP BY 1 HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT l_orderkey,
+         list(CAST(l_linenumber AS VARCHAR) || ':'
+              || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+              ORDER BY rnk) AS children
+  FROM matching WHERE rnk <= 3 GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority, p.n_children, h.children
+FROM orders o
+JOIN per_parent p ON o.o_orderkey = p.l_orderkey
+JOIN hits h ON o.o_orderkey = h.l_orderkey
+ORDER BY p.n_children DESC, o.o_orderkey ASC
+LIMIT 15
+""", "ES has_child WITH inner_hits - the response shape a user with "
+     "a relational mapping actually reads: each parent hit carries "
+     "the matching children themselves, sorted (quantity desc, "
+     "linenumber tiebreak - inner_hits requires a total order here, "
+     "ES's doc-id tiebreak is not reproducible) and capped at "
+     "size=3, ES's inner_hits default. One row_number window "
+     "partitioned on the child key caps each parent's hits BEFORE "
+     "collect_list sees a row - the window's hash partitioning is "
+     "the aggregate's, so Spark reuses the exchange and a skewed "
+     "parent contributes at most 3 structs; n_children still counts "
+     "ALL matching children (the cap is response-only, exactly ES). "
+     "The hits project to strings for the cross-engine hash; the "
+     "ORDER-SENSITIVE list compare proves cap + sort determinism.")
+def a3bu_es_has_child_inner_hits(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = es_has_child(
+        o, li, parent_key="o_orderkey", child_key="l_orderkey",
+        child_query={"bool": {"filter": [
+            {"term": {"l_returnflag": "R"}},
+            {"range": {"l_quantity": {"gte": 45}}},
+        ]}},
+        min_children=2,
+        inner_hits={"size": 3,
+                    "sort": [("l_quantity", "desc"),
+                             ("l_linenumber", "asc")],
+                    "_source": ["l_linenumber", "l_quantity"]},
+    )
+    hit_str = F.transform(
+        F.col("children"),
+        lambda s: F.concat_ws(
+            ":", s["l_linenumber"].cast("string"),
+            s["l_quantity"].cast("int").cast("string")))
+    return (
+        out.select("o_orderkey", "o_orderpriority",
+                   F.col("children_total").alias("n_children"),
+                   hit_str.alias("children"))
+        .orderBy(F.col("n_children").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+    )
+
+
+@register("a3bz_es_nested_inner_hits", "A3+H4", """
+WITH m AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC,
+                                     l_linenumber ASC) AS rnk
+  FROM lineitem
+  WHERE l_quantity >= 48 AND l_extendedprice >= 60000
+)
+SELECT o.o_orderkey, o.o_totalprice, h.items_hits
+FROM orders o
+JOIN (SELECT l_orderkey,
+             list(CAST(l_linenumber AS VARCHAR) || ':'
+                  || CAST(l_extendedprice AS VARCHAR)
+                  ORDER BY rnk) AS items_hits
+      FROM m WHERE rnk <= 2 GROUP BY 1) h
+  ON o.o_orderkey = h.l_orderkey
+""", "ES nested query WITH inner_hits over an array-of-objects "
+     "mapping: orders where ONE item has quantity >= 48 AND price >= "
+     "60000 (the a3ab same-element semantics), each hit carrying the "
+     "matching ELEMENTS sorted (price desc, linenumber tiebreak) and "
+     "capped at size=2 - ES's nested inner_hits response. Compiles "
+     "to filter -> array_sort(comparator) -> slice -> transform, "
+     "JVM higher-order lambdas over the one array column: no "
+     "explode, no shuffle, no UDF, per-document constant work at any "
+     "corpus size. The oracle rebuilds the same hits from un-nested "
+     "rows with a ranked window; the ORDER-SENSITIVE list compare "
+     "proves element sort + cap determinism.")
+def a3bz_es_nested_inner_hits(spark, sf_dir):
+    docs = order_docs_with_items(spark, sf_dir)
+    out = es_nested_inner_hits(
+        docs, path="items",
+        query={"bool": {"must": [
+            {"range": {"items.l_quantity": {"gte": 48}}},
+            {"range": {"items.l_extendedprice": {"gte": 60000}}},
+        ]}},
+        sort=[("items.l_extendedprice", "desc"),
+              ("items.l_linenumber", "asc")],
+        size=2, source=["items.l_linenumber", "items.l_extendedprice"],
+        name="items_hits")
+    # decimal-as-string: both engines render DECIMAL(15,2) as
+    # '101309.36' - exact, no int-cast rounding divergence (Spark
+    # truncates decimal->int, DuckDB rounds)
+    hit_str = F.transform(
+        F.col("items_hits"),
+        lambda s: F.concat_ws(
+            ":", s["l_linenumber"].cast("string"),
+            s["l_extendedprice"].cast("string")))
+    return out.select("o_orderkey", "o_totalprice",
+                      hit_str.alias("items_hits"))
 
 
 @register("a3bj_es_has_child", "A3+C4", """

@@ -1175,3 +1175,81 @@ def test_anchored_date_math_resolves_without_now(spark):
 
     with pytest.raises(ValueError, match="no anchor"):
         es_search(df, {"range": {"ts": {"gte": "now-1d"}}})
+
+
+def test_has_child_inner_hits_hand_checked(spark):
+    """inner_hits on has_child: per-parent matching children arrive
+    sorted by the explicit total order, capped at size, projected to
+    _source; <name>_total counts ALL matching children (the cap is
+    response-only, ES's inner_hits.total); validation fails loudly."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_has_child,
+    )
+
+    parents = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                    "pid long, pname string")
+    children = spark.createDataFrame(
+        [(1, 10, 5), (1, 11, 9), (1, 12, 7), (1, 13, 9), (1, 14, 1),
+         (2, 20, 4), (3, 30, -1)],
+        "ppid long, cid long, w long")
+
+    out = es_has_child(
+        parents, children, parent_key="pid", child_key="ppid",
+        child_query={"range": {"w": {"gte": 0}}},
+        inner_hits={"size": 3, "sort": [("w", "desc"), ("cid", "asc")],
+                    "_source": ["cid", "w"]},
+    ).collect()
+    got = {r["pid"]: r for r in out}
+    assert set(got) == {1, 2}                    # 3's child fails the query
+    # parent 1 has 5 matching children: total=5, carried hits capped
+    # at 3, ordered w desc with cid tiebreak (11 before 13 at w=9)
+    assert got[1]["children_total"] == 5
+    assert [(h["cid"], h["w"]) for h in got[1]["children"]] == [
+        (11, 9), (13, 9), (12, 7)]
+    assert got[2]["children_total"] == 1
+    assert [(h["cid"], h["w"]) for h in got[2]["children"]] == [(20, 4)]
+
+    with pytest.raises(ValueError, match="total-order 'sort'"):
+        es_has_child(parents, children, "pid", "ppid",
+                     {"match_all": {}}, inner_hits={"_source": ["cid"]})
+    with pytest.raises(ValueError, match="_source"):
+        es_has_child(parents, children, "pid", "ppid",
+                     {"match_all": {}},
+                     inner_hits={"sort": [("cid", "asc")]})
+    with pytest.raises(ValueError, match="asc|desc"):
+        es_has_child(parents, children, "pid", "ppid", {"match_all": {}},
+                     inner_hits={"sort": [("cid", "down")],
+                                 "_source": ["cid"]})
+
+
+def test_nested_inner_hits_hand_checked(spark):
+    """Nested inner_hits: same-element match semantics keep the doc,
+    the matching ELEMENTS come back sorted + capped + projected; a
+    doc with no matching element is dropped entirely."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_nested_inner_hits,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, [(1, 50, 100.0), (2, 10, 900.0), (3, 60, 300.0),
+              (4, 70, 200.0)]),
+         (2, [(1, 5, 999.0)]),
+         (3, [])],
+        "doc long, items array<struct<ln:int, q:int, p:double>>")
+
+    out = es_nested_inner_hits(
+        docs, path="items",
+        query={"bool": {"must": [{"range": {"items.q": {"gte": 50}}}]}},
+        sort=[("items.p", "desc"), ("items.ln", "asc")],
+        size=2, source=["items.ln", "items.p"], name="hits").collect()
+    got = {r["doc"]: r for r in out}
+    # doc 2's only element fails q>=50; doc 3 is empty -> both dropped
+    assert set(got) == {1}
+    # matching elements ln 1 (p=100), 3 (p=300), 4 (p=200) -> sorted
+    # p desc = [3, 4, 1], capped at 2 = [3, 4]; q projected away
+    hits = got[1]["hits"]
+    assert [(h["ln"], h["p"]) for h in hits] == [(3, 300.0), (4, 200.0)]
+    assert hits[0].asDict().keys() == {"ln", "p"}
+
+    with pytest.raises(ValueError, match="total-order"):
+        es_nested_inner_hits(docs, "items", {"match_all": {}}, sort=[])
