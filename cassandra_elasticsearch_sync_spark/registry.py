@@ -318,6 +318,7 @@ def _ensure_loaded() -> None:
         cql_query,
         cql_write,
         es_query,
+        es_scripted_metric,
         python_source,
         readers,
     )
