@@ -35,6 +35,152 @@ _RANGE_OPS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Token-position interval algebra: the shared engine under the span
+# family (span_term/span_near/span_or/span_not/span_first) and the
+# intervals query (match/any_of/all_of). A clause compiles to an
+# array<struct<s:int,e:int>> of matching token spans (s..e inclusive,
+# 0-based) built from ONE split of the field via higher-order
+# transform/filter/flatten - JVM lambdas end to end: no explode, no
+# shuffle, no UDF, per-document work bounded by term frequency. The
+# document-level predicate is simply size(intervals) > 0, so the whole
+# family stays a single codegen-friendly scan filter at any corpus
+# size.
+# ---------------------------------------------------------------------------
+
+def _point_intervals(toks: Column, term) -> Column:
+    """Positions of one term as zero-length spans [(p, p), ...]."""
+    t = str(term).lower()
+    idx = F.transform(
+        toks, lambda w, i: F.when(w == t, i).otherwise(F.lit(-1)))
+    return F.transform(F.filter(idx, lambda x: x >= 0),
+                       lambda p: F.struct(p.alias("s"), p.alias("e")))
+
+
+def _combine_intervals(ia: Column, ib: Column, max_gaps: int,
+                       ordered: bool) -> Column:
+    """Pairs of non-overlapping sub-spans joined into covering spans.
+
+    ``ordered`` demands the ``ia`` span strictly precede the ``ib``
+    span; unordered accepts either direction (still non-overlapping -
+    ES's rule for both span_near and all_of). ``max_gaps < 0`` means
+    unlimited, ES's intervals default."""
+    def gap_ok(gap):
+        return F.lit(True) if max_gaps < 0 else (gap <= max_gaps)
+
+    if ordered:
+        def pairs(a):
+            return F.transform(
+                F.filter(ib, lambda b: (b["s"] > a["e"])
+                         & gap_ok(b["s"] - a["e"] - 1)),
+                lambda b: F.struct(a["s"].alias("s"), b["e"].alias("e")))
+    else:
+        def pairs(a):
+            return F.transform(
+                F.filter(ib, lambda b:
+                         ((b["s"] > a["e"]) & gap_ok(b["s"] - a["e"] - 1))
+                         | ((a["s"] > b["e"])
+                            & gap_ok(a["s"] - b["e"] - 1))),
+                lambda b: F.struct(F.least(a["s"], b["s"]).alias("s"),
+                                   F.greatest(a["e"], b["e"]).alias("e")))
+    return F.flatten(F.transform(ia, pairs))
+
+
+def _span_field(clause: dict) -> str:
+    """The single field a span-clause tree references (ES requires all
+    sub-spans of one compound span to share a field)."""
+    kind, body = next(iter(clause.items()))
+    if kind == "span_term":
+        (field, _), = body.items()
+        return field
+    if kind in ("span_near", "span_or"):
+        fields = {_span_field(c) for c in body["clauses"]}
+    elif kind == "span_not":
+        fields = {_span_field(body["include"]), _span_field(body["exclude"])}
+    elif kind == "span_first":
+        fields = {_span_field(body["match"])}
+    else:
+        raise ValueError(f"unsupported span clause {kind!r}")
+    if len(fields) != 1:
+        raise ValueError(f"{kind} clauses must share one field, "
+                         f"got {sorted(fields)}")
+    return fields.pop()
+
+
+def _span_intervals(toks: Column, clause: dict) -> Column:
+    """Compile a span clause to its interval set (module comment)."""
+    kind, body = next(iter(clause.items()))
+    if kind == "span_term":
+        (_, term), = body.items()
+        return _point_intervals(toks, term)
+    if kind == "span_near":
+        # two-clause form; N>2 (ES's running-slop composition) is
+        # rejected, not guessed. Sub-clauses may be ANY span kind.
+        clauses = body["clauses"]
+        if len(clauses) != 2:
+            raise ValueError("span_near supports exactly two clauses")
+        return _combine_intervals(
+            _span_intervals(toks, clauses[0]),
+            _span_intervals(toks, clauses[1]),
+            int(body.get("slop", 0)), bool(body.get("in_order", True)))
+    if kind == "span_or":
+        arrays = [_span_intervals(toks, c) for c in body["clauses"]]
+        if not arrays:
+            raise ValueError("span_or needs at least one clause")
+        return F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    if kind == "span_not":
+        # include spans with NO exclude span inside the pre/post
+        # neighborhood (pre tokens before .. post tokens after -
+        # pre=post=0 is ES's default overlap-only exclusion)
+        inc = _span_intervals(toks, body["include"])
+        exc = _span_intervals(toks, body["exclude"])
+        pre, post = int(body.get("pre", 0)), int(body.get("post", 0))
+        return F.filter(
+            inc, lambda a: ~F.exists(
+                exc, lambda b: (b["e"] >= a["s"] - pre)
+                & (b["s"] <= a["e"] + post)))
+    if kind == "span_first":
+        # Lucene span ends are exclusive: a span ending at token p has
+        # end position p+1, and span_first demands end <= `end`.
+        inner = _span_intervals(toks, body["match"])
+        end = int(body["end"])
+        return F.filter(inner, lambda a: a["e"] <= end - 1)
+    raise ValueError(f"unsupported span clause {kind!r}")
+
+
+def _interval_rule(toks: Column, rule: dict) -> Column:
+    """Compile an ES intervals rule (match / any_of / all_of)."""
+    kind, body = next(iter(rule.items()))
+    if kind == "match":
+        terms = [t for t in str(body["query"]).lower().split() if t]
+        if not terms:
+            raise ValueError("intervals match needs query terms")
+        if len(terms) == 1:
+            return _point_intervals(toks, terms[0])
+        if len(terms) == 2:
+            return _combine_intervals(
+                _point_intervals(toks, terms[0]),
+                _point_intervals(toks, terms[1]),
+                int(body.get("max_gaps", -1)),
+                bool(body.get("ordered", False)))
+        raise ValueError("intervals match supports one or two terms "
+                         "(the running minimal-interval composition "
+                         "for longer phrases is rejected, not guessed)")
+    if kind == "any_of":
+        arrays = [_interval_rule(toks, r) for r in body["intervals"]]
+        if not arrays:
+            raise ValueError("any_of needs at least one sub-rule")
+        return F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    if kind == "all_of":
+        ivs = body["intervals"]
+        if len(ivs) != 2:
+            raise ValueError("all_of supports exactly two sub-rules")
+        return _combine_intervals(
+            _interval_rule(toks, ivs[0]), _interval_rule(toks, ivs[1]),
+            int(body.get("max_gaps", -1)), bool(body.get("ordered", False)))
+    raise ValueError(f"unsupported intervals rule {kind!r}")
+
+
 def compile_query(q: dict, resolve=None) -> Column:
     """Compile an ES query-DSL dict to a Spark Column predicate.
 
@@ -83,40 +229,23 @@ def compile_query(q: dict, resolve=None) -> Column:
             for t in toks
         ]
         return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
-    if kind == "span_near":
-        # ES span_near, two-clause form: both span_terms occur in the
-        # SAME field with at most `slop` tokens between them;
-        # in_order pins the direction. Compiles to position arrays
-        # via higher-order filter/transform + a nested exists - all
-        # JVM lambdas over one split, no explode, no UDF, one scan.
-        # N>2 clauses (ES's running-slop composition) are rejected,
-        # not guessed.
-        clauses = body["clauses"]
-        if len(clauses) != 2 or any("span_term" not in c for c in clauses):
-            raise ValueError(
-                "span_near supports exactly two span_term clauses")
-        (f1, t1), = clauses[0]["span_term"].items()
-        (f2, t2), = clauses[1]["span_term"].items()
-        if f1 != f2:
-            raise ValueError("span_near clauses must share one field")
-        slop = int(body.get("slop", 0))
-        in_order = bool(body.get("in_order", True))
-        toks = F.split(F.lower(resolve(f1)), " ")
-
-        def positions(term):
-            idx = F.transform(
-                toks, lambda t, i: F.when(t == term, i).otherwise(F.lit(-1)))
-            return F.filter(idx, lambda x: x >= 0)
-
-        pa, pb = positions(str(t1).lower()), positions(str(t2).lower())
-        if in_order:
-            pair_ok = lambda p1: F.exists(  # noqa: E731
-                pb, lambda p2: (p2 > p1) & (p2 - p1 - 1 <= slop))
-        else:
-            pair_ok = lambda p1: F.exists(  # noqa: E731
-                pb, lambda p2: (p2 != p1)
-                & (F.greatest(p2 - p1, p1 - p2) - 1 <= slop))
-        return F.exists(pa, pair_ok)
+    if kind in ("span_near", "span_or", "span_not", "span_first"):
+        # The span family compiles through one position-INTERVAL
+        # algebra (see _span_intervals): each span clause produces an
+        # array<struct<s,e>> of matching token spans via higher-order
+        # transform/filter/flatten lambdas over one split - all
+        # JVM-side, no explode, no UDF, one scan - and the document
+        # matches when the clause's interval set is non-empty.
+        field = _span_field({kind: body})
+        toks = F.split(F.lower(resolve(field)), " ")
+        return F.size(_span_intervals(toks, {kind: body})) > 0
+    if kind == "intervals":
+        # ES intervals query: the minimal-interval algebra (match /
+        # any_of / all_of with ordered + max_gaps containment) over
+        # the same interval machinery as the span family.
+        (field, rule), = body.items()
+        toks = F.split(F.lower(resolve(field)), " ")
+        return F.size(_interval_rule(toks, rule)) > 0
     if kind == "multi_match":
         # OR of per-field match: doc matches if ANY listed field
         # contains ANY query token (best_fields-style boolean shape).
@@ -3776,6 +3905,105 @@ def a3aw_es_span_near(spark, sf_dir):
                     {"span_term": {"text": "spark"}}],
         "slop": 3, "in_order": True}}
     return es_search(d, q).select("doc_id", "n_chars")
+
+
+@register("a3bx_es_intervals", "A3+K4", """
+WITH pos AS (
+  SELECT doc_id, w, ord
+  FROM (SELECT doc_id,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w,
+               UNNEST(RANGE(1, LEN(STRING_SPLIT(LOWER(text), ' ')) + 1))
+                 AS ord
+        FROM documents)
+),
+phrase_iv AS (
+  SELECT a.doc_id, a.ord AS s, b.ord AS e
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND a.w = 'merge' AND b.w = 'join'
+   AND b.ord = a.ord + 1
+),
+alt_iv AS (
+  SELECT doc_id, ord AS s, ord AS e FROM pos WHERE w = 'stream'
+  UNION ALL SELECT doc_id, s, e FROM phrase_iv
+),
+hits AS (
+  SELECT DISTINCT f.doc_id
+  FROM pos f JOIN alt_iv x ON f.doc_id = x.doc_id
+  WHERE f.w = 'hash' AND x.s > f.ord AND x.s - f.ord - 1 <= 4
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+""", "ES intervals query - the precision-text-matching algebra: "
+     "all_of(ordered, max_gaps=4) of [match 'hash', any_of(match "
+     "'merge join' adjacent-ordered, match 'stream')] - 'hash "
+     "followed within 4 tokens by either the exact phrase merge "
+     "join or the term stream', which no bool/match combination can "
+     "express (containment + order + gap budget over ALTERNATIVES). "
+     "Each rule compiles to an array<struct<s,e>> of token spans via "
+     "higher-order transform/filter/flatten over ONE split; the "
+     "document predicate is size(intervals) > 0 - a single "
+     "codegen-friendly scan filter, per-doc work bounded by term "
+     "frequency, at any corpus size. The oracle restates the same "
+     "algebra as position self-joins.")
+def a3bx_es_intervals(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    q = {"intervals": {"text": {"all_of": {
+        "ordered": True, "max_gaps": 4,
+        "intervals": [
+            {"match": {"query": "hash"}},
+            {"any_of": {"intervals": [
+                {"match": {"query": "merge join",
+                           "ordered": True, "max_gaps": 0}},
+                {"match": {"query": "stream"}},
+            ]}},
+        ]}}}}
+    return es_search(d, q).select("doc_id", "lang", "n_chars")
+
+
+@register("a3by_es_span_or_first_not", "A3+K4", """
+WITH pos AS (
+  SELECT doc_id, w, ord
+  FROM (SELECT doc_id,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w,
+               UNNEST(RANGE(1, LEN(STRING_SPLIT(LOWER(text), ' ')) + 1))
+                 AS ord
+        FROM documents)
+),
+inc AS (  -- span_or of two terms, kept only within the first 12 tokens
+  SELECT doc_id, ord FROM pos
+  WHERE w IN ('spark', 'vector') AND ord <= 12
+),
+hits AS (
+  SELECT DISTINCT i.doc_id
+  FROM inc i
+  WHERE NOT EXISTS (SELECT 1 FROM pos x
+                    WHERE x.doc_id = i.doc_id AND x.w = 'slow'
+                      AND x.ord >= i.ord - 2 AND x.ord <= i.ord + 2)
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+""", "The span family beyond span_near, composed the way precision "
+     "retrieval actually uses it: span_not(include = span_first("
+     "span_or(spark | vector), end=12), exclude = 'slow', pre=post=2) "
+     "- 'spark or vector in the first 12 tokens, with no slow within "
+     "2 tokens either side'. span_or unions interval sets (concat), "
+     "span_first caps the Lucene-exclusive end position, span_not "
+     "filters include spans whose pre/post neighborhood holds an "
+     "exclude span - all one interval-algebra expression over one "
+     "token split, JVM lambdas end to end. The oracle restates it "
+     "with a NOT EXISTS position anti-join.")
+def a3by_es_span_or_first_not(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    q = {"span_not": {
+        "include": {"span_first": {
+            "match": {"span_or": {"clauses": [
+                {"span_term": {"text": "spark"}},
+                {"span_term": {"text": "vector"}},
+            ]}},
+            "end": 12}},
+        "exclude": {"span_term": {"text": "slow"}},
+        "pre": 2, "post": 2}}
+    return es_search(d, q).select("doc_id", "source", "n_chars")
 
 
 # ---------------------------------------------------------------------------

@@ -703,13 +703,115 @@ def test_span_near_semantics(spark):
     assert hits(4, True) == {1, 2, 4}
     assert hits(1, False) == {1, 3, 4}
 
-    with pytest.raises(ValueError, match="two span_term"):
+    with pytest.raises(ValueError, match="exactly two clauses"):
         compile_query({"span_near": {"clauses": [
             {"span_term": {"text": "a"}}], "slop": 1}})
     with pytest.raises(ValueError, match="share one field"):
         compile_query({"span_near": {"clauses": [
             {"span_term": {"text": "a"}},
             {"span_term": {"lang": "b"}}], "slop": 1}})
+
+
+def test_span_family_hand_built_layouts(spark):
+    """span_or / span_first / span_not over hand-built token layouts:
+    union, Lucene-exclusive end cap, pre/post exclusion neighborhood;
+    plus composition (span_or inside span_near)."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        compile_query,
+    )
+
+    rows = [(1, "merge a b spark x"),
+            (2, "spark then merge"),
+            (3, "merge spark"),
+            (4, "nothing here"),
+            (5, "x slow spark y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def hits(q):
+        return {r.doc_id for r in df.filter(compile_query(q)).collect()}
+
+    # span_or = union of the clause interval sets
+    assert hits({"span_or": {"clauses": [
+        {"span_term": {"text": "nothing"}},
+        {"span_term": {"text": "then"}}]}}) == {2, 4}
+
+    # span_first: end is the EXCLUSIVE Lucene end position - end=1
+    # admits only a span ending at token 0
+    assert hits({"span_first": {
+        "match": {"span_term": {"text": "spark"}}, "end": 1}}) == {2}
+    assert hits({"span_first": {
+        "match": {"span_term": {"text": "spark"}}, "end": 2}}) == {2, 3}
+
+    # span_not: exclude kills include spans within pre/post tokens.
+    # doc3 'merge spark': merge@0 is within 1 of spark@1 -> excluded;
+    # doc5 'x slow spark y': slow@1 within 1 of spark@2 -> excluded;
+    # doc1 spark@3 vs merge@0 -> outside the neighborhood, kept.
+    assert hits({"span_not": {
+        "include": {"span_term": {"text": "spark"}},
+        "exclude": {"span_or": {"clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_term": {"text": "slow"}}]}},
+        "pre": 1, "post": 1}}) == {1, 2}
+    # pre=post=0 (ES default) = overlap-only: nothing overlaps a
+    # zero-length term span but itself -> all spark docs survive
+    assert hits({"span_not": {
+        "include": {"span_term": {"text": "spark"}},
+        "exclude": {"span_term": {"text": "merge"}}}}) == {1, 2, 3, 5}
+
+    # composition: span_near over a span_or sub-clause. doc1
+    # merge@0..spark@3 (gap 2) and doc3 merge@0..spark@1 (gap 0)
+    # fit slop=2 ordered; doc2's merge FOLLOWS then -> out.
+    assert hits({"span_near": {"clauses": [
+        {"span_term": {"text": "merge"}},
+        {"span_or": {"clauses": [{"span_term": {"text": "spark"}},
+                                 {"span_term": {"text": "then"}}]}},
+    ], "slop": 2, "in_order": True}}) == {1, 3}
+
+
+def test_intervals_hand_built_layouts(spark):
+    """intervals: match gap/order budgets, any_of union, all_of
+    containment with max_gaps; ordered flips; defaults (max_gaps=-1
+    unlimited, unordered); rejections stay loud."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        compile_query,
+    )
+
+    rows = [(1, "a x b"),       # a..b gap 1
+            (2, "b a"),         # reversed adjacent
+            (3, "a b"),         # ordered adjacent
+            (4, "a x x x x b"),  # gap 4
+            (5, "c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def hits(rule):
+        return {r.doc_id for r in
+                df.filter(compile_query({"intervals": {"text": rule}})).collect()}
+
+    assert hits({"match": {"query": "a b", "ordered": True,
+                           "max_gaps": 0}}) == {3}
+    assert hits({"match": {"query": "a b", "ordered": True,
+                           "max_gaps": 1}}) == {1, 3}
+    assert hits({"match": {"query": "a b", "max_gaps": 0}}) == {2, 3}
+    # default max_gaps = -1 = unlimited
+    assert hits({"match": {"query": "a b", "ordered": True}}) == {1, 3, 4}
+    assert hits({"any_of": {"intervals": [
+        {"match": {"query": "c"}}, {"match": {"query": "x"}}]}}) \
+        == {1, 4, 5}
+    # all_of: 'a' then any_of('x', 'd') within 0 gaps, ordered
+    assert hits({"all_of": {"ordered": True, "max_gaps": 0, "intervals": [
+        {"match": {"query": "a"}},
+        {"any_of": {"intervals": [{"match": {"query": "x"}},
+                                  {"match": {"query": "d"}}]}},
+    ]}}) == {1, 4}
+
+    with pytest.raises(ValueError, match="one or two terms"):
+        compile_query({"intervals": {"text": {
+            "match": {"query": "a b c"}}}})
+    with pytest.raises(ValueError, match="exactly two sub-rules"):
+        compile_query({"intervals": {"text": {"all_of": {"intervals": [
+            {"match": {"query": "a"}}]}}}})
+    with pytest.raises(ValueError, match="unsupported intervals rule"):
+        compile_query({"intervals": {"text": {"fuzzy": {}}}})
 
 
 def test_rrf_semantics_and_plan(spark):
