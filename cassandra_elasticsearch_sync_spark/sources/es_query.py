@@ -322,6 +322,29 @@ def compile_query(q: dict, resolve=None) -> Column:
         else:  # crosses the antimeridian
             lon_ok = (col["lon"] >= F.lit(left)) | (col["lon"] <= F.lit(right))
         return lat_ok & lon_ok
+    if kind == "geo_shape":
+        # ES geo_shape over a point field: envelope or polygon (with
+        # holes), relation intersects/within/disjoint. For a POINT
+        # the first two coincide (a point intersects a shape iff it
+        # lies within it); `contains` is rejected - a point cannot
+        # contain a polygon, and ES returning nothing there is a
+        # mapping accident, not a semantic. Polygons compile to the
+        # even-odd ray cast UNROLLED over the literal vertices: a sum
+        # of per-edge when() crossing terms + a bounding-box guard -
+        # pure arithmetic in whole-stage codegen, no geo library, no
+        # UDF, and the bbox comparisons prune exactly like any range
+        # filter. Vertices are GeoJSON [lon, lat], ES's own order.
+        (field, spec), = body.items()
+        col = resolve(field)
+        inside = _point_in_shape(col, spec["shape"])
+        relation = spec.get("relation", "intersects")
+        if relation in ("intersects", "within"):
+            return inside
+        if relation == "disjoint":
+            return ~inside
+        raise ValueError(
+            f"geo_shape relation {relation!r} unsupported on a point "
+            "field (a point cannot contain a shape)")
     if kind == "match_phrase":
         # Whitespace-analyzer phrase match: the query tokens must
         # appear CONSECUTIVELY in the field's token stream. With a
@@ -455,6 +478,81 @@ def _haversine_m(lat1: Column, lon1: Column, lat2: Column,
     a = F.sin(dphi) * F.sin(dphi) + \
         F.cos(p1) * F.cos(p2) * F.sin(dlmb) * F.sin(dlmb)
     return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def _ring_edges(ring: list) -> list:
+    """Non-horizontal edges of a closed [lon, lat] ring. Horizontal
+    edges can never satisfy the crossing test ((y1>y) != (y2>y) is
+    false when y1 == y2), so they are dropped HERE, in Python, where
+    skipping them also keeps a division-by-zero expression out of the
+    compiled plan entirely."""
+    if len(ring) < 4 or ring[0] != ring[-1]:
+        raise ValueError("polygon rings must be closed ([first == last]) "
+                         "with at least 3 distinct vertices")
+    out = []
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        if y1 != y2:
+            out.append((float(x1), float(y1), float(x2), float(y2)))
+    return out
+
+
+def _point_in_shape(col: Column, shape: dict) -> Column:
+    """Point-in-shape predicate for geo_shape (see the compile_query
+    comment). ``col`` is a struct<lat,lon> column; the shape is a
+    LITERAL, so the even-odd ray cast unrolls at compile time."""
+    y, x = col["lat"], col["lon"]
+    stype = shape["type"].lower()
+    if stype == "envelope":
+        # ES envelope: [[minLon, maxLat], [maxLon, minLat]], dateline
+        # wrap when left > right (same rule as geo_bounding_box)
+        (left, top), (right, bottom) = shape["coordinates"]
+        lat_ok = (y <= F.lit(float(top))) & (y >= F.lit(float(bottom)))
+        if float(left) <= float(right):
+            lon_ok = (x >= F.lit(float(left))) & (x <= F.lit(float(right)))
+        else:
+            lon_ok = (x >= F.lit(float(left))) | (x <= F.lit(float(right)))
+        return lat_ok & lon_ok
+    if stype == "polygon":
+        rings = shape["coordinates"]  # outer ring + optional holes
+        crossings = None
+        for ring in rings:
+            for x1, y1, x2, y2 in _ring_edges(ring):
+                # the canonical even-odd crossing test; summing over
+                # ALL rings makes holes subtract naturally (a point
+                # inside outer+hole crosses each an odd time -> even)
+                cond = ((F.lit(y1) > y) != (F.lit(y2) > y)) & \
+                       (x < (F.lit(x2 - x1)) * (y - F.lit(y1))
+                        / F.lit(y2 - y1) + F.lit(x1))
+                term = F.when(cond, 1).otherwise(0)
+                crossings = term if crossings is None else crossings + term
+        xs = [float(p[0]) for p in rings[0]]
+        ys = [float(p[1]) for p in rings[0]]
+        bbox = (y >= F.lit(min(ys))) & (y <= F.lit(max(ys))) & \
+               (x >= F.lit(min(xs))) & (x <= F.lit(max(xs)))
+        return bbox & (crossings % 2 == 1)
+    raise ValueError(f"unsupported geo_shape type {stype!r} "
+                     "(envelope and polygon)")
+
+
+def geo_shape_crossing_sql(shape: dict, lat: str = "lat",
+                           lon: str = "lon") -> str:
+    """The DuckDB twin of _point_in_shape's polygon branch - generated
+    from the SAME vertex literals so the two sides cannot drift. Both
+    engines evaluate the identical double-arithmetic edge tests, so
+    the predicate is bit-identical (no trig, no tolerance)."""
+    terms = []
+    for ring in shape["coordinates"]:
+        for x1, y1, x2, y2 in _ring_edges(ring):
+            terms.append(
+                f"CASE WHEN (({y1!r} > {lat}) != ({y2!r} > {lat})) AND "
+                f"({lon} < {x2 - x1!r} * ({lat} - {y1!r}) / {y2 - y1!r} "
+                f"+ {x1!r}) THEN 1 ELSE 0 END")
+    xs = [float(p[0]) for p in shape["coordinates"][0]]
+    ys = [float(p[1]) for p in shape["coordinates"][0]]
+    crossings = " + ".join(terms)
+    return (f"({lat} >= {min(ys)!r} AND {lat} <= {max(ys)!r} AND "
+            f"{lon} >= {min(xs)!r} AND {lon} <= {max(xs)!r} AND "
+            f"(({crossings}) % 2 = 1))")
 
 
 # ---------------------------------------------------------------------------
@@ -3104,6 +3202,45 @@ def a3ag_es_geo_distance_rings(spark, sf_dir):
             .agg(F.count("*").alias("doc_count"),
                  F.sum("bal").cast("decimal(38,2)").alias("sum_acctbal"))
             .orderBy("ring"))
+
+
+# A pentagon over the synthetic coordinate domain with a rectangular
+# hole - GeoJSON [lon, lat] vertex order, rings closed. Shared by the
+# registered query AND its generated oracle so the literals cannot
+# drift.
+_GEO_SHAPE_POLY = {
+    "type": "polygon",
+    "coordinates": [
+        [[-150.0, -50.0], [-30.0, -55.0], [120.0, -10.0], [60.0, 50.0],
+         [-100.0, 45.0], [-150.0, -50.0]],
+        [[-60.0, -20.0], [0.0, -25.0], [-20.0, 10.0], [-60.0, -20.0]],
+    ],
+}
+
+
+@register("a3bw_es_geo_shape", "A3+C7", _GEO_SQL_PREFIX + """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM geo
+WHERE """ + geo_shape_crossing_sql(_GEO_SHAPE_POLY) + """
+ORDER BY c_custkey
+""", "ES geo_shape query: customers whose point lies within a "
+     "pentagon carrying a rectangular HOLE (relation=intersects; for "
+     "a point field intersects == within, and `contains` is rejected "
+     "- a point cannot contain a polygon). The literal polygon "
+     "unrolls at compile time into the even-odd ray cast: a sum of "
+     "per-edge when() crossing terms (holes subtract naturally - "
+     "crossings over outer+hole rings sum even) behind a bounding-"
+     "box guard whose range comparisons prune like any filter. Pure "
+     "double arithmetic in whole-stage codegen - no trig, no geo "
+     "library, no UDF - and the DuckDB oracle is GENERATED from the "
+     "same vertex literals, so the predicate is bit-identical "
+     "cross-engine with zero tolerance.")
+def a3bw_es_geo_shape(spark, sf_dir):
+    g = _customer_geo(spark, sf_dir)
+    hits = es_search(g, {"geo_shape": {"location": {
+        "shape": _GEO_SHAPE_POLY, "relation": "intersects"}}})
+    return (hits.select("c_custkey", "c_nationkey", "c_acctbal")
+            .orderBy("c_custkey"))
 
 
 @register("a3ah_es_multi_terms", "A3+D1", """

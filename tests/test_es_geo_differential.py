@@ -80,3 +80,59 @@ def test_geo_compiler_matches_independent_sql(spark, duck, q):
     want = {r[0] for r in duck.sql(
         f"SELECT c_custkey FROM geo WHERE {_sql(q)}").fetchall()}
     assert got == want, (q, len(got), len(want))
+
+
+def test_geo_shape_hand_checked(spark):
+    """geo_shape semantics on hand-placed points: envelope (incl.
+    dateline wrap), polygon with a hole (even-odd), relations
+    intersects/within/disjoint, contains rejected, ring validation."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        compile_query,
+    )
+
+    pts = [
+        (1, 0.0, 0.0),      # inside the outer square, outside the hole
+        (2, 0.0, 4.5),      # inside the hole
+        (3, 0.0, 20.0),     # outside everything
+        (4, 8.0, 0.0),      # north of the outer square
+        (5, 0.0, 179.5),    # for the dateline envelope
+        (6, 0.0, -179.5),   # for the dateline envelope
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double") \
+        .withColumn("location", F.struct("lat", "lon"))
+
+    # outer square lon/lat [-6,6]^2, hole [3,6]x[-2,2] (lon,lat)
+    poly = {"type": "polygon", "coordinates": [
+        [[-6.0, -6.0], [6.0, -6.0], [6.0, 6.0], [-6.0, 6.0],
+         [-6.0, -6.0]],
+        [[3.0, -2.0], [6.0, -2.0], [6.0, 2.0], [3.0, 2.0], [3.0, -2.0]],
+    ]}
+
+    def hits(spec):
+        q = {"geo_shape": {"location": spec}}
+        return {r.id for r in df.filter(compile_query(q)).collect()}
+
+    assert hits({"shape": poly}) == {1}                      # hole bites
+    assert hits({"shape": poly, "relation": "within"}) == {1}
+    assert hits({"shape": poly, "relation": "disjoint"}) == \
+        {2, 3, 4, 5, 6}
+
+    env = {"type": "envelope", "coordinates": [[-6.0, 6.0], [6.0, -6.0]]}
+    assert hits({"shape": env}) == {1, 2}                    # no hole
+
+    # dateline-crossing envelope: left 179 > right -179 wraps
+    wrap = {"type": "envelope",
+            "coordinates": [[179.0, 6.0], [-179.0, -6.0]]}
+    assert hits({"shape": wrap}) == {5, 6}
+
+    with pytest.raises(ValueError, match="cannot contain"):
+        hits({"shape": poly, "relation": "contains"})
+    with pytest.raises(ValueError, match="closed"):
+        hits({"shape": {"type": "polygon", "coordinates": [
+            [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]]}})
+    with pytest.raises(ValueError, match="envelope and polygon"):
+        hits({"shape": {"type": "circle", "coordinates": [0, 0]}})
