@@ -315,6 +315,7 @@ def _ensure_loaded() -> None:
         transform_state,
     )
     from cassandra_elasticsearch_sync_spark.sources import (  # noqa: F401
+        cql_functions,
         cql_query,
         cql_write,
         es_query,

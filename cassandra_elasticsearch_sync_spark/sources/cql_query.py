@@ -120,6 +120,7 @@ class CqlCol:
     fn: str | None = None       # aggregate function, lowercased
     alias: str | None = None
     vec: list | None = None     # literal vector arg of a similarity_* fn
+    args: list | None = None    # ALL column args of a UDF/UDA call
 
     @property
     def out_name(self) -> str:
@@ -174,7 +175,8 @@ _PRED_RE = re.compile(
 )
 
 _COL_RE = re.compile(
-    r"^\s*(?:(?P<fn>\w+)\s*\(\s*(?P<arg>\*|\w+)\s*\)|(?P<plain>\w+(?:\.\w+)?|\*))"
+    r"^\s*(?:(?P<fn>\w+)\s*\(\s*(?P<arg>\*|\w+(?:\s*,\s*\w+)*)\s*\)"
+    r"|(?P<plain>\w+(?:\.\w+)?|\*))"
     r"(?:\s+AS\s+(?P<alias>\w+))?\s*$",
     re.IGNORECASE,
 )
@@ -235,9 +237,23 @@ def _parse_col(raw: str) -> CqlCol:
         raise CqlError(f"unparseable select item: {raw!r}")
     if m.group("fn"):
         fn = m.group("fn").lower()
-        if fn not in _AGG_FNS and fn not in _SELECTOR_FNS:
-            raise CqlError(f"unsupported CQL function {fn!r}")
         arg = m.group("arg")
+        args = [a.strip() for a in arg.split(",")]
+        if fn not in _AGG_FNS and fn not in _SELECTOR_FNS:
+            # user-defined function/aggregate (CREATE FUNCTION /
+            # CREATE AGGREGATE) - resolved against the DDL registry
+            from cassandra_elasticsearch_sync_spark.sources import (
+                cql_functions,
+            )
+            if (cql_functions.lookup_function(fn) is None
+                    and cql_functions.lookup_aggregate(fn) is None):
+                raise CqlError(f"unsupported CQL function {fn!r}")
+            if arg == "*":
+                raise CqlError(f"{fn}(*) is not valid CQL")
+            return CqlCol(name=args[0], fn=fn, alias=m.group("alias"),
+                          args=args)
+        if len(args) > 1:
+            raise CqlError(f"{fn} takes one argument")
         if arg == "*" and fn != "count":
             raise CqlError(f"{fn}(*) is not valid CQL")
         return CqlCol(name=arg, fn=fn, alias=m.group("alias"))
@@ -581,7 +597,25 @@ def _token_col(part_cols: list[str]):
         F.concat_ws("|", *[F.col(c).cast("string") for c in part_cols]))
 
 
+def _is_uda(fn: str | None) -> bool:
+    if fn is None or fn in _AGG_FNS or fn in _SELECTOR_FNS:
+        return False
+    from cassandra_elasticsearch_sync_spark.sources import cql_functions
+    return cql_functions.lookup_aggregate(fn) is not None
+
+
 def _agg_expr(c: CqlCol):
+    if c.fn not in _AGG_FNS:
+        # CREATE AGGREGATE fold (cql_functions); a scalar UDF in
+        # aggregate position is invalid CQL
+        from cassandra_elasticsearch_sync_spark.sources import cql_functions
+        uda = cql_functions.lookup_aggregate(c.fn)
+        if uda is None:
+            raise CqlError(
+                f"{c.fn!r} is not an aggregate; scalar functions "
+                "cannot appear in an aggregating select list")
+        cols = [F.col(a) for a in (c.args or [c.name])]
+        return uda.agg_column(cols).alias(c.out_name)
     if c.fn == "count":
         e = F.count("*") if c.name == "*" else F.count(c.name)
     else:
@@ -679,10 +713,22 @@ def cql_select(df: DataFrame, stmt: str,
                 _token_col(meta["partition"]).asc()).limit(sel.limit)
         out = out.select(
             *[F.col(c.name).alias(c.out_name) for c in sel.columns])
-    elif sel.group_by or any(c.fn in _AGG_FNS for c in sel.columns):
+    elif sel.group_by or any(c.fn in _AGG_FNS or _is_uda(c.fn)
+                             for c in sel.columns):
         # one grouped (or global) aggregate; map-side partial combine,
         # group cardinality <= partition-key cardinality by the
         # pk-plus-prefix GROUP BY rule.
+        loose = [c.name for c in sel.columns
+                 if not c.fn and c.name not in sel.group_by]
+        if loose:
+            # Cassandra returns the FIRST ROW's value for a
+            # non-aggregated column selected alongside aggregates -
+            # storage-order-dependent, so a distributed engine cannot
+            # reproduce it; fail loudly instead of guessing a row.
+            raise CqlError(
+                f"non-aggregated columns {loose} outside GROUP BY "
+                "take first-row values in Cassandra (order-dependent); "
+                "rejected")
         aggs = [_agg_expr(c) for c in sel.columns if c.fn]
         if sel.group_by:
             out = out.groupBy(*sel.group_by).agg(*aggs)
@@ -751,6 +797,18 @@ def cql_select(df: DataFrame, stmt: str,
                     e = F.round(s, 6)
                     return (F.when(vn > 0, e) if vn is not None
                             else e).alias(c.out_name)
+                if c.fn is not None and c.fn not in _AGG_FNS:
+                    # scalar CREATE FUNCTION call: the DDL-compiled
+                    # Catalyst expression over the argument columns
+                    from cassandra_elasticsearch_sync_spark.sources \
+                        import cql_functions
+                    udf = cql_functions.lookup_function(c.fn)
+                    if udf is None:
+                        raise CqlError(
+                            f"{c.fn!r} is an aggregate; aggregates "
+                            "cannot appear in a plain select list")
+                    cols = [F.col(a) for a in (c.args or [c.name])]
+                    return udf.column(cols).alias(c.out_name)
                 return F.col(c.name).alias(c.out_name)
             out = out.select(*[_proj(c) for c in sel.columns])
     if sel.json:
