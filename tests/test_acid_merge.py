@@ -1097,3 +1097,42 @@ def test_merge_schema_evolution_contract(spark):
                        (5, 50.0, None)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_write_path_action_count_pinned(spark, tmp_path):
+    """The round-8 commit-constant diet, pinned as an invariant
+    (VERDICT r8 #9): with AQE off, Spark jobs == driver-sequenced
+    passes (plus in-action build jobs), so a stats read-back or an
+    un-fused source pass sneaking back into init/merge surfaces HERE
+    as a failing count, not as a bench drift three rounds later.
+
+    Expected: init = 1 (the write job - per-entry stats ride it via
+    an Observation); merge = 4 (fused source pre-pass, file-probe
+    collect, broadcast build for the rewrite join, the rewrite+write
+    job). The pre-diet shapes were 2 and 7+."""
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+
+    sc = spark.sparkContext
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t = AcidParquetTable(spark, str(tmp_path / "pin"))
+
+        def jobs(group, fn):
+            sc.setJobGroup(group, group)
+            fn()
+            sc.setJobGroup("idle", "idle")
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+
+        src = spark.createDataFrame(
+            [(i, i * 2) for i in range(100)], "k long, v long")
+        upd = spark.createDataFrame(
+            [(i, i * 3) for i in range(50, 150)], "k long, v long")
+        assert jobs("pin-init", lambda: t.init(src)) == 1
+        assert jobs("pin-merge", lambda: t.merge_into(upd, ["k"])) == 4
+        # and the merge actually landed
+        assert t.read().count() == 150
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)

@@ -80,14 +80,28 @@ if limit is not None:
 t0 = time.time()
 n_ok = n_fail = n_rows_only = 0
 fails: list[str] = []
-for name, spec in specs.items():
+
+
+def _is_streaming(name: str, spec) -> bool:
+    """Streaming-backed keys: the I tier plus the streaming-shaped
+    sync/ACID round trips. These hold micro-batch queries whose
+    awaitTermination deadlines are wall-clock - under machine
+    contention (3 JVMs sharing the box, r7/r8 incidents) they can
+    time out spuriously, so the sweep runs them in a DEDICATED final
+    phase (fewer concurrent JVM threads fighting for the scheduler)
+    with one contention-aware retry (VERDICT r8 #7)."""
+    return spec.survey_id.startswith("I") or name.startswith(("i", "l36"))
+
+
+def _run_one(name, spec, attempt=1):
+    global n_ok, n_fail, n_rows_only
     try:
         df = spec.fn(spark, sf_dir)
         if spec.oracle is None:
             n = df.count()
             print(f"{name}: ROWS-ONLY ({n} rows)", flush=True)
             n_rows_only += 1
-            continue
+            return
         res = compare(name, df, con, spec.oracle)
         print(res, flush=True)
         if res.ok:
@@ -96,9 +110,30 @@ for name, spec in specs.items():
             n_fail += 1
             fails.append(name)
     except Exception as e:  # noqa: BLE001 - sweep must finish
-        print(f"{name}: ERROR {type(e).__name__}: {e}", flush=True)
+        msg = f"{type(e).__name__}: {e}"
+        if (attempt == 1 and _is_streaming(name, spec)
+                and "imeout" in msg):
+            # spurious wall-clock timeout under contention: one retry
+            # after a settle pause, logged either way
+            print(f"{name}: TIMEOUT (attempt 1) - retrying once: "
+                  f"{msg[:200]}", flush=True)
+            time.sleep(10)
+            _run_one(name, spec, attempt=2)
+            return
+        print(f"{name}: ERROR {msg}", flush=True)
         n_fail += 1
         fails.append(name)
+
+
+batch_specs = {n: s for n, s in specs.items() if not _is_streaming(n, s)}
+stream_specs = {n: s for n, s in specs.items() if _is_streaming(n, s)}
+for name, spec in batch_specs.items():
+    _run_one(name, spec)
+if stream_specs:
+    print(f"\n-- streaming phase ({len(stream_specs)} keys, serialized "
+          "last per VERDICT r8 #7) --", flush=True)
+for name, spec in stream_specs.items():
+    _run_one(name, spec)
 
 print(f"\n== SWEEP {n_ok} OK / {n_fail} FAIL / {n_rows_only} rows-only "
       f"of {len(specs)} at {sf_dir} in {time.time() - t0:.0f}s ==")
