@@ -72,18 +72,53 @@ def register(name: str, survey_id: str, oracle: str | None, doc: str = ""):
 # 164/442; this block converts 46 more. Previously-verified blocks
 # (r5, r4, r1-r3) sit directly after for larger budgets.
 _FRONT = (
-    # ROTATION (round 8, VERDICT r7 #1): sixth rotation, BREADTH
-    # again. 213 of 472 keys had never produced a driver row at the
-    # r7 close; the front-50 is flagship + 49 never-sampled keys
-    # weighted exactly as the r7 verdict prescribes: the ENTIRE
-    # round-7 wave (a3ay..a3bi, a2aa/a2z, l38), every round-8
-    # addition (parent/child, query_string/simple_query_string, MAD/
-    # string_stats/sampler, INSERT JSON), the K6 codec tail, and a
-    # cross-tier remainder (ACID clone/generated/CDC-ES/schema-merge,
-    # XML ingest, stats tests, kNN/rescore, streaming joins). All 49
-    # are oracle-backed full hash checks. Cumulative driver-verified
-    # after r7: 259/481; this block converts 49 more.
+    # ROTATION (round 9, VERDICT r8 #1): seventh rotation, BREADTH.
+    # 186 of 494 keys had never produced a driver row at the r8 close
+    # (308 cumulative); the front-50 is flagship + 49 never-sampled
+    # oracle-backed keys weighted as the r8 verdict prescribes: every
+    # round-8 key the driver hasn't touched (a2ac/a2ad/a3br/a3bs/
+    # a3bt), ALL eight round-9 additions (inner_hits x2,
+    # scripted_metric, geo_shape, intervals, span family, CQL
+    # UDF/UDA), the J-tier remainder (j1), the un-sampled ACID/sync
+    # L block, the A2 CQL tail incl. the a2r write path, and the
+    # K4/K7 analytics tails plus a K2/K3 remainder. This block
+    # converts 49 more; cumulative target >= 357.
     "flagship_pricing_summary",
+    # round-8 keys with no driver row yet
+    "a3br_es_range_date_math", "a3bs_es_compound_filter_context",
+    "a2ac_cql_collection_updates", "a2ad_cql_counter_increments",
+    "a3bt_es_moving_percentiles",
+    # the round-9 additions
+    "a3bu_es_has_child_inner_hits", "a3bz_es_nested_inner_hits",
+    "a3bv_es_scripted_metric", "a3bw_es_geo_shape",
+    "a3bx_es_intervals", "a3by_es_span_or_first_not",
+    "a2ae_cql_create_aggregate", "a2af_cql_create_function",
+    # J-tier remainder
+    "j1_scalar_udf",
+    # ACID/sync L block, never sampled
+    "l8_changefeed", "l10_three_way_merge", "l30_ivm_join_delta",
+    "l6_full_sync_stats", "l5c_gc_grace_purge", "l9_conflict_audit",
+    "l11_sync_lag_percentiles", "l25_three_way_lww",
+    "l7_incremental_sync_stream",
+    # A2 CQL tail (incl. the write path)
+    "a2i_cql_partition_slice", "a2n_cql_order_by_reversed",
+    "a2q_cql_udt_fields", "a2y_cql_ann_vector_search",
+    "a2r_cql_write_path", "a2e_ttl_expiry_scan",
+    "a2h_counter_shard_merge", "a2l_read_repair_plan",
+    # K4 text-analysis tail
+    "k4_bigrams", "k_bigram_lm", "k_kneser_ney_bigram",
+    "k_token_entropy", "k_char_class_profile", "k_flesch_readability",
+    "k_chunk_text", "k_fingerprint_rolling",
+    # K7 time-series tail
+    "k7_timeseries_similarity", "k7k_holt_linear",
+    "k7l_linear_trend", "k7n_seasonal_decompose",
+    "k7p_capped_running_balance", "k7q_last_touch_attribution",
+    "k7r_kaplan_meier_churn",
+    # K2/K3 remainder
+    "k2h_containment_pairs", "k3o_ivf_multiprobe_topk",
+    "k3i_mips_topk",
+    # --- end of the round-9 front-50; the displaced round-8 block
+    # (driver-verified in CORRECTNESS_r08) queues directly after ---
     # the round-7 wave (never sampled; judge-r7 hand-verified only)
     "a3ay_es_more_like_this", "a3az_es_phrase_suggester",
     "a3ba_es_boxplot", "a3bb_es_top_metrics",
