@@ -354,6 +354,17 @@ def compile_query(q: dict, resolve=None) -> Column:
         phrase = " ".join(str(text).lower().split())
         padded = F.concat(F.lit(" "), F.lower(resolve(field)), F.lit(" "))
         return padded.contains(f" {phrase} ")
+    if kind == "match_phrase_prefix":
+        # ES match_phrase_prefix (search-as-you-type's phrase form):
+        # every term consecutive, the LAST term a PREFIX of the token
+        # at its position - "merge jo" matches "merge join". With the
+        # whitespace analyzer that is the space-padded substring match
+        # WITHOUT the trailing pad: ' merge jo' matches any token
+        # starting 'jo' right after 'merge'. One contains(), codegen.
+        (field, text), = body.items()
+        phrase = " ".join(str(text).lower().split())
+        padded = F.concat(F.lit(" "), F.lower(resolve(field)), F.lit(" "))
+        return padded.contains(f" {phrase}")
     if kind == "match_bool_prefix":
         # ES match_bool_prefix (search-as-you-type): every analyzed
         # term except the LAST matches as a term SHOULD clause; the
@@ -5813,3 +5824,371 @@ def a3bt_es_moving_percentiles(spark, sf_dir):
             },
         }
     })
+
+
+# ---------------------------------------------------------------------------
+# Round 9 scoring tier: script_score / rank_feature / distance_feature
+# ---------------------------------------------------------------------------
+
+def _painless_doc_expr(source: str) -> Column:
+    """Compile a Painless arithmetic expression over doc refs to a
+    Catalyst Column - the shared bounded-subset parser from
+    es_scripted_metric (arithmetic, comparisons, ternaries over
+    ``doc['f'].value``), so at 100 TB the 'script' costs what any
+    projected expression costs (whole-stage codegen, no script
+    engine, no Python)."""
+    from cassandra_elasticsearch_sync_spark.sources.es_scripted_metric \
+        import PainlessError, _Parser, _tokenize
+
+    def resolve(ref):
+        kind, name = ref
+        if kind == "doc":
+            return F.col(name)
+        raise PainlessError(
+            f"script expressions reference doc['{name}'].value, not "
+            f"bare identifiers ({name!r})")
+
+    src = source.strip()
+    if src.lower().startswith("return"):
+        src = src[len("return"):]
+    toks = _tokenize(src.strip().rstrip(";"))
+    if not toks:
+        raise ValueError("empty script_score source")
+    p = _Parser(toks, resolve)
+    out = p.expr()
+    if not p.at_end():
+        raise ValueError(f"trailing tokens in script: {p.peek()!r}")
+    return out
+
+
+def es_script_score(df: DataFrame, query: dict, source: str,
+                    sort_tiebreak: str, size: int = 10,
+                    min_score: float | None = None) -> DataFrame:
+    """ES ``script_score``: hits matching ``query`` re-scored by a
+    Painless arithmetic expression, top-``size`` by score. The score
+    compiles via the bounded-subset parser (dyadic arithmetic only -
+    the pure-arithmetic scripts dashboards write are reproducible
+    bit-for-bit cross-engine; Math.log/saturation-style libm calls
+    are NOT in the subset and fail loudly). ``min_score`` drops hits
+    below it, ES's knob. TakeOrderedAndProject with the mandatory
+    unique tiebreak - the same page shape as function_score."""
+    hits = es_search(df, query)
+    score = F.round(_painless_doc_expr(source).cast("double"), 6)
+    out = hits.withColumn("_score", score)
+    if min_score is not None:
+        out = out.filter(F.col("_score") >= F.lit(float(min_score)))
+    return (out.orderBy(F.col("_score").desc(),
+                        F.col(sort_tiebreak).asc())
+            .limit(int(size)))
+
+
+def es_rank_feature(df: DataFrame, field: str, *, pivot: float,
+                    sort_tiebreak: str, size: int = 10,
+                    boost: float = 1.0) -> DataFrame:
+    """ES ``rank_feature`` with the SATURATION function (the default):
+    score = boost * x / (x + pivot) - monotone in the feature, half
+    at the pivot. Saturation is one divide (bit-identical
+    cross-engine); the log/sigmoid variants need libm pow/log and are
+    rejected by omission per the no-libm-in-scores rule (documented
+    divergence, same as BM25). Top-size page with unique tiebreak."""
+    x = F.col(field).cast("double")
+    score = F.round(F.lit(float(boost)) * x / (x + F.lit(float(pivot))), 6)
+    return (df.withColumn("_score", score)
+            .orderBy(F.col("_score").desc(), F.col(sort_tiebreak).asc())
+            .limit(int(size)))
+
+
+def es_distance_feature(df: DataFrame, field: str, *, origin,
+                        pivot_days: float, sort_tiebreak: str,
+                        size: int = 10, boost: float = 1.0) -> DataFrame:
+    """ES ``distance_feature`` on a DATE field: score = boost *
+    pivot / (pivot + |field - origin|) - recency boosting, the query
+    behind 'prefer newer documents'. Distances in whole days via
+    datediff (exact integers), the rest one divide - bit-identical
+    cross-engine, unlike the geo variant whose haversine would carry
+    libm into the score (that one stays a filter via geo_distance).
+    Top-size page with unique tiebreak."""
+    dist = F.abs(F.datediff(F.col(field).cast("date"),
+                            F.lit(origin))).cast("double")
+    score = F.round(
+        F.lit(float(boost)) * F.lit(float(pivot_days))
+        / (F.lit(float(pivot_days)) + dist), 6)
+    return (df.withColumn("_score", score)
+            .orderBy(F.col("_score").desc(), F.col(sort_tiebreak).asc())
+            .limit(int(size)))
+
+
+def es_parent_id(child_df: DataFrame, child_key: str, parent_id) -> DataFrame:
+    """ES ``parent_id`` query: the children of ONE parent document -
+    an equality filter on the join key (pushdown-eligible), exactly
+    what ES resolves it to on a join-field mapping."""
+    return child_df.filter(F.col(child_key) == F.lit(parent_id))
+
+
+def es_children_agg(parent_df: DataFrame, child_df: DataFrame,
+                    parent_key: str, child_key: str,
+                    bucket_field: str, child_aggs: dict,
+                    size: int = 10) -> DataFrame:
+    """ES ``children`` aggregation: a terms agg over PARENTS whose
+    sub-aggs run over each bucket's CHILDREN - the agg-side of the
+    join-field mapping (a3bj/a3bk are the query side). Compilation
+    never widens the child scan: the parent relation projects to
+    (key, bucket) - two columns at any parent width - the children
+    join on the key, and ONE grouped aggregate (map-side partials)
+    folds the child metrics per bucket; bucket count and doc_count
+    follow ES's terms ordering. ``child_aggs``: {name: (kind,
+    field)} with kind in sum|avg|min|max|count (sums/avgs
+    decimal-exact via dsum/davg)."""
+    from cassandra_elasticsearch_sync_spark.parity import davg, dsum
+
+    buckets = parent_df.select(
+        F.col(parent_key).alias(child_key),
+        F.col(bucket_field).alias("key"))
+    joined = child_df.join(buckets, child_key, "inner")
+    aggs = [F.count("*").alias("doc_count")]
+    for name, (kind, field) in child_aggs.items():
+        if kind == "sum":
+            aggs.append(dsum(F.col(field)).alias(name))
+        elif kind == "avg":
+            aggs.append(F.round(davg(F.col(field)), 6).alias(name))
+        elif kind == "min":
+            aggs.append(F.min(field).alias(name))
+        elif kind == "max":
+            aggs.append(F.max(field).alias(name))
+        elif kind == "count":
+            aggs.append(F.count(field).alias(name))
+        else:
+            raise ValueError(f"unsupported children sub-agg {kind!r}")
+    return (joined.groupBy("key").agg(*aggs)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(int(size)))
+
+
+def es_t_test(df: DataFrame, field: str, filter_a: dict, filter_b: dict,
+              group_by: str | None = None,
+              welch: bool = True) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic/Welch by default,
+    homoscedastic optional): the t-statistic between two filtered
+    populations of one metric - the A/B significance number ES ships
+    for dashboards. Exact-arithmetic core: per side, n / sum /
+    sum-of-squares accumulate DECIMAL-exact in one grouped aggregate
+    (conditional aggregation - the two filters become CASE WHENs, so
+    both populations fold in a SINGLE pass over the scan, no
+    self-join, no second scan); mean/variance/t then evaluate in
+    doubles with one sqrt (IEEE-correctly-rounded on both engines).
+    Returns t rounded 6 dp with the per-side counts."""
+    pa, pb = compile_query(filter_a), compile_query(filter_b)
+    x = F.col(field)
+    xd = x.cast("decimal(38,10)")
+    x2 = (x.cast("decimal(19,4)") * x.cast("decimal(19,4)"))
+
+    def side(pred, tag):
+        # the dsum rescale discipline: rescale BEFORE the double cast
+        # so the scaled integer stays under 2^53 and both engines
+        # convert exactly (sum scale 2, sum-of-squares scale 0 - the
+        # latter bounds this at ~4e15 of squared value per bucket,
+        # i.e. ~sf1 for this corpus; revisit per column beyond)
+        return [
+            F.count(F.when(pred, x)).alias(f"n_{tag}"),
+            F.sum(F.when(pred, xd)).cast("decimal(38,2)")
+             .alias(f"s_{tag}"),
+            F.sum(F.when(pred, x2)).cast("decimal(38,0)")
+             .alias(f"q_{tag}"),
+        ]
+
+    gb = df.groupBy(F.col(group_by).alias("key")) if group_by else df
+    folded = gb.agg(*side(pa, "a"), *side(pb, "b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("s_a").cast("double") / na
+    mb = F.col("s_b").cast("double") / nb
+    va = (F.col("q_a").cast("double") - na * ma * ma) / (na - 1)
+    vb = (F.col("q_b").cast("double") - nb * mb * mb) / (nb - 1)
+    if welch:
+        se = F.sqrt(va / na + vb / nb)
+    else:
+        sp = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        se = F.sqrt(sp * (1 / na + 1 / nb))
+    cols = ["n_a", "n_b", F.round((ma - mb) / se, 6).alias("t_value")]
+    return folded.select(*(["key"] if group_by else []), *cols)
+
+
+@register("a3ca_es_match_phrase_prefix", "A3+K4", """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE contains(' ' || lower(text) || ' ', ' merge jo')
+""", "ES match_phrase_prefix - the phrase form of search-as-you-type: "
+     "'merge jo' matches documents where a token starting 'jo' "
+     "immediately follows 'merge' (match_phrase demands the full "
+     "token, match_bool_prefix drops the adjacency). With the "
+     "whitespace analyzer this is the space-padded substring match "
+     "WITHOUT the trailing pad - one contains() in whole-stage "
+     "codegen, no positions machinery needed.")
+def a3ca_es_match_phrase_prefix(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_search(d, {"match_phrase_prefix": {"text": "merge jo"}}) \
+        .select("doc_id", "lang", "n_chars")
+
+
+@register("a3cb_es_script_score", "A3+H3", """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(CAST(o_totalprice AS DOUBLE) / 1000.0
+             + CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 100.0 ELSE 0.0 END, 6) AS _score
+FROM orders
+WHERE o_orderstatus = 'O'
+ORDER BY _score DESC, o_orderkey ASC
+LIMIT 12
+""", "ES script_score: open orders re-ranked by a Painless expression "
+     "(price scaled down + an urgency bonus via ternary) - the "
+     "hand-tuned-relevance pattern behind most custom search "
+     "rankings. The script compiles through the shared bounded "
+     "Painless parser to Catalyst expressions (whole-stage codegen; "
+     "libm-calling scripts fail loudly instead of breaking the "
+     "cross-engine hash), and the page is one "
+     "TakeOrderedAndProject with the mandatory unique tiebreak.")
+def a3cb_es_script_score(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = es_script_score(
+        o, {"term": {"o_orderstatus": "O"}},
+        "doc['o_totalprice'].value / 1000.0 + "
+        "(doc['o_orderpriority'].value == '1-URGENT' ? 100.0 : 0.0)",
+        sort_tiebreak="o_orderkey", size=12)
+    return out.select("o_orderkey", "o_orderpriority", "_score")
+
+
+@register("a3cc_es_rank_feature", "A3+H3", """
+SELECT doc_id, n_chars,
+       ROUND(2.0 * CAST(n_chars AS DOUBLE)
+             / (CAST(n_chars AS DOUBLE) + 500.0), 6) AS _score
+FROM documents
+ORDER BY _score DESC, doc_id ASC
+LIMIT 10
+""", "ES rank_feature with the default SATURATION function: score = "
+     "boost * x/(x + pivot) over a numeric feature field (here "
+     "document length, pivot 500) - the static-signal ranking query "
+     "(pagerank, freshness, popularity). Saturation is one divide - "
+     "bit-identical cross-engine; the log/sigmoid variants would "
+     "put libm pow/log into the score and are rejected by omission "
+     "(same documented rule as BM25). TakeOrderedAndProject page.")
+def a3cc_es_rank_feature(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = es_rank_feature(d, "n_chars", pivot=500.0, boost=2.0,
+                          sort_tiebreak="doc_id", size=10)
+    return out.select("doc_id", "n_chars", "_score")
+
+
+@register("a3cd_es_distance_feature", "A3+H2", """
+SELECT o_orderkey, o_orderdate,
+       ROUND(1.0 * 30.0 / (30.0 + ABS(DATEDIFF('day',
+             DATE '1998-06-15', CAST(o_orderdate AS DATE)))), 6)
+         AS _score
+FROM orders
+ORDER BY _score DESC, o_orderkey ASC
+LIMIT 10
+""", "ES distance_feature on a date field: score = boost * pivot / "
+     "(pivot + |date - origin|) - recency boosting, the query that replaced function_score decay "
+     "curves for the common case. Whole-day distances via datediff "
+     "(exact integers) + one divide = bit-identical scores; the geo "
+     "variant stays a filter (haversine would put libm in the "
+     "score). TakeOrderedAndProject page with unique tiebreak.")
+def a3cd_es_distance_feature(spark, sf_dir):
+    import datetime as dt
+
+    o = load_table(spark, sf_dir, "orders")
+    out = es_distance_feature(
+        o, "o_orderdate", origin=dt.date(1998, 6, 15), pivot_days=30.0,
+        sort_tiebreak="o_orderkey", size=10)
+    return out.select("o_orderkey", "o_orderdate", "_score")
+
+
+@register("a3ce_es_children_agg", "A3+D1+C1", """
+SELECT o.o_orderpriority AS key, COUNT(*) AS doc_count,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,10)))
+                 AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+       MAX(l.l_quantity) AS max_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 5
+""", "ES children aggregation - the agg-side of the join-field "
+     "mapping (a3bj/a3bk are the query side): a terms agg over "
+     "PARENT order priorities whose sub-aggs fold each bucket's "
+     "CHILD lineitems (revenue sum, max quantity). The parent "
+     "relation joins as exactly (key, bucket) - two columns at any "
+     "parent width - and ONE grouped aggregate with map-side "
+     "partials folds the children; sums decimal-exact. AQE "
+     "broadcasts the parent projection when small; co-partitioned "
+     "shuffle join otherwise - never a widened child scan.")
+def a3ce_es_children_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return es_children_agg(
+        o, li, parent_key="o_orderkey", child_key="l_orderkey",
+        bucket_field="o_orderpriority",
+        child_aggs={"revenue": ("sum", "l_extendedprice"),
+                    "max_qty": ("max", "l_quantity")},
+        size=5)
+
+
+@register("a3cf_es_parent_id", "A3+B2", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_orderkey = 1
+ORDER BY l_linenumber
+""", "ES parent_id query: the children of ONE parent document on a "
+     "join-field mapping - resolves to an equality filter on the "
+     "join key, which lands as a PushedFilter at the parquet scan "
+     "(partition-prunable on a key-partitioned layout), exactly what "
+     "ES does with the _parent_join doc values.")
+def a3cf_es_parent_id(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (es_parent_id(li, "l_orderkey", 1)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice")
+            .orderBy("l_linenumber"))
+
+
+@register("a3cg_es_t_test", "A3+D5", """
+WITH folded AS (
+  SELECT o_orderstatus AS key,
+         COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_totalprice END) AS n_a,
+         CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS DECIMAL(38,10)) END)
+                   AS DECIMAL(38,2)) AS DOUBLE) AS s_a,
+         CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS DECIMAL(19,4))
+                       * CAST(o_totalprice AS DECIMAL(19,4)) END)
+                   AS DECIMAL(38,0)) AS DOUBLE) AS q_a,
+         COUNT(CASE WHEN o_orderpriority = '5-LOW'
+                    THEN o_totalprice END) AS n_b,
+         CAST(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(o_totalprice AS DECIMAL(38,10)) END)
+                   AS DECIMAL(38,2)) AS DOUBLE) AS s_b,
+         CAST(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                  THEN CAST(o_totalprice AS DECIMAL(19,4))
+                       * CAST(o_totalprice AS DECIMAL(19,4)) END)
+                   AS DECIMAL(38,0)) AS DOUBLE) AS q_b
+  FROM orders GROUP BY 1
+)
+SELECT key, n_a, n_b,
+       ROUND((s_a / n_a - s_b / n_b)
+             / SQRT(((q_a - n_a * (s_a / n_a) * (s_a / n_a))
+                     / (n_a - 1)) / n_a
+                    + ((q_b - n_b * (s_b / n_b) * (s_b / n_b))
+                       / (n_b - 1)) / n_b), 6) AS t_value
+FROM folded
+""", "ES t_test aggregation (Welch, the ES default): the t-statistic "
+     "between urgent and low-priority order values per order status "
+     "- the A/B significance number ES ships on dashboards. The two "
+     "populations fold in a SINGLE pass as conditional aggregates "
+     "(CASE WHEN per side - no self-join, no second scan): counts, "
+     "decimal-exact sums and sums-of-squares per bucket, then "
+     "mean/variance/t in doubles with one IEEE sqrt - bit-identical "
+     "cross-engine. Welch's unequal-variance form; the "
+     "homoscedastic variant is a flag.")
+def a3cg_es_t_test(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_t_test(
+        o, "o_totalprice",
+        {"term": {"o_orderpriority": "1-URGENT"}},
+        {"term": {"o_orderpriority": "5-LOW"}},
+        group_by="o_orderstatus")

@@ -1355,3 +1355,116 @@ def test_nested_inner_hits_hand_checked(spark):
 
     with pytest.raises(ValueError, match="total-order"):
         es_nested_inner_hits(docs, "items", {"match_all": {}}, sort=[])
+
+
+def test_match_phrase_prefix_hand_checked(spark):
+    """match_phrase_prefix: consecutive terms, last term a PREFIX of
+    the token at its position; full-token and mid-token negatives."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        compile_query,
+    )
+
+    rows = [(1, "merge join now"), (2, "merge joint x"), (3, "a merge jo"),
+            (4, "join merge"), (5, "merge x join")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id for r in df.filter(
+        compile_query({"match_phrase_prefix": {"text": "merge jo"}})).collect()}
+    # 1: 'join' starts with 'jo' after 'merge'; 2: 'joint' too;
+    # 3: literal 'jo' token; 4 reversed; 5 not adjacent
+    assert got == {1, 2, 3}
+    # single term = plain prefix-of-any-token
+    got = {r.id for r in df.filter(
+        compile_query({"match_phrase_prefix": {"text": "joi"}})).collect()}
+    assert got == {1, 2, 4, 5}
+
+
+def test_scoring_tier_hand_checked(spark):
+    """script_score (incl. min_score + unparseable rejection),
+    rank_feature saturation, distance_feature day decay - formulas
+    pinned by hand."""
+    import datetime as dt
+
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_distance_feature,
+        es_rank_feature,
+        es_script_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100.0, "hot", dt.date(2024, 1, 1)),
+         (2, 300.0, "cold", dt.date(2024, 1, 31)),
+         (3, 500.0, "hot", dt.date(2024, 3, 1))],
+        "id long, v double, tag string, d date")
+
+    out = es_script_score(
+        df, {"match_all": {}},
+        "doc['v'].value / 10.0 + (doc['tag'].value == 'hot' ? 5.0 : 0.0)",
+        sort_tiebreak="id", size=10)
+    got = {r["id"]: r["_score"] for r in out.collect()}
+    assert got == {1: 15.0, 2: 30.0, 3: 55.0}
+    assert [r["id"] for r in out.collect()] == [3, 2, 1]   # score desc
+
+    out = es_script_score(df, {"match_all": {}}, "doc['v'].value",
+                          sort_tiebreak="id", min_score=300.0)
+    assert {r["id"] for r in out.collect()} == {2, 3}
+
+    # libm calls are not in the subset: Math.log is not a recognized
+    # fold fn, so 'Math' falls through to the bare-identifier guard
+    with pytest.raises(Exception,
+                       match="unparseable|unsupported|not bare"):
+        es_script_score(df, {"match_all": {}},
+                        "Math.log(doc['v'].value)", sort_tiebreak="id")
+
+    out = es_rank_feature(df, "v", pivot=100.0, boost=2.0,
+                          sort_tiebreak="id", size=10)
+    got = {r["id"]: r["_score"] for r in out.collect()}
+    # 2*x/(x+100): 100 -> 1.0, 300 -> 1.5, 500 -> 2*5/6
+    assert got[1] == 1.0 and got[2] == 1.5 and got[3] == round(10 / 6, 6)
+
+    out = es_distance_feature(df, "d", origin=dt.date(2024, 1, 11),
+                              pivot_days=10.0, sort_tiebreak="id", size=10)
+    got = {r["id"]: r["_score"] for r in out.collect()}
+    # dist 10/20/50 days -> 10/(10+d): 0.5, 1/3, 1/6
+    assert got[1] == 0.5 and got[2] == round(1 / 3, 6) \
+        and got[3] == round(1 / 6, 6)
+
+
+def test_children_agg_and_t_test_hand_checked(spark):
+    """children agg: bucket switch to child docs with exact fold;
+    t_test: Welch and homoscedastic t pinned against a hand (numpy-
+    free) computation."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_children_agg,
+        es_parent_id,
+        es_t_test,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], "pid long, grp string")
+    children = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 30.0), (3, 5.0)],
+        "ppid long, val double")
+    out = {r["key"]: r for r in es_children_agg(
+        parents, children, "pid", "ppid", "grp",
+        {"total": ("sum", "val"), "hi": ("max", "val")}).collect()}
+    assert out["A"]["doc_count"] == 3 and out["A"]["total"] == 60.0
+    assert out["A"]["hi"] == 30.0
+    assert out["B"]["doc_count"] == 1 and out["B"]["total"] == 5.0
+
+    assert es_parent_id(children, "ppid", 1).count() == 2
+
+    df = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("x", 3.0),
+         ("y", 2.0), ("y", 4.0), ("y", 6.0), ("y", 8.0)],
+        "side string, v double")
+    res, = es_t_test(df, "v", {"term": {"side": "x"}},
+                     {"term": {"side": "y"}}).collect()
+    # hand: ma=2 va=1 na=3; mb=5 vb=20/3 nb=4; welch t = -3/sqrt(2)
+    assert res["n_a"] == 3 and res["n_b"] == 4
+    assert res["t_value"] == round(-3.0 / (1 / 3 + (20 / 3) / 4) ** 0.5, 6)
+    res, = es_t_test(df, "v", {"term": {"side": "x"}},
+                     {"term": {"side": "y"}}, welch=False).collect()
+    sp = (2 * 1.0 + 3 * (20 / 3)) / 5
+    assert res["t_value"] == round(-3.0 / (sp * (1 / 3 + 1 / 4)) ** 0.5, 6)
