@@ -117,8 +117,14 @@ _FRONT = (
     # K2/K3 remainder
     "k2h_containment_pairs", "k3o_ivf_multiprobe_topk",
     "k3i_mips_topk",
-    # --- end of the round-9 front-50; the displaced round-8 block
-    # (driver-verified in CORRECTNESS_r08) queues directly after ---
+    # --- end of the round-9 front-50 ---
+    # the round-9 wave-two additions: next in line for larger driver
+    # budgets (oracle-backed, never sampled)
+    "a3ca_es_match_phrase_prefix", "a3cb_es_script_score",
+    "a3cc_es_rank_feature", "a3cd_es_distance_feature",
+    "a3ce_es_children_agg", "a3cf_es_parent_id", "a3cg_es_t_test",
+    # the displaced round-8 block (driver-verified in
+    # CORRECTNESS_r08) queues directly after ---
     # the round-7 wave (never sampled; judge-r7 hand-verified only)
     "a3ay_es_more_like_this", "a3az_es_phrase_suggester",
     "a3ba_es_boxplot", "a3bb_es_top_metrics",
