@@ -123,6 +123,8 @@ _FRONT = (
     "a3ca_es_match_phrase_prefix", "a3cb_es_script_score",
     "a3cc_es_rank_feature", "a3cd_es_distance_feature",
     "a3ce_es_children_agg", "a3cf_es_parent_id", "a3cg_es_t_test",
+    "a3ch_es_missing_agg", "a3ci_es_runtime_mappings",
+    "a3cj_es_geo_line", "a3ck_es_frequent_item_sets",
     # the displaced round-8 block (driver-verified in
     # CORRECTNESS_r08) queues directly after ---
     # the round-7 wave (never sampled; judge-r7 hand-verified only)

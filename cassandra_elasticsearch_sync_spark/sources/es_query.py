@@ -1167,6 +1167,21 @@ def es_aggregate(df: DataFrame, aggs: dict,
             .agg(F.count("*").alias("doc_count"), *sub_metrics)
         )
 
+    if "missing" in spec:
+        # missing bucket: docs WITHOUT a value for the field (ES's
+        # data-quality facet - "how many hits lack a price"). One
+        # isNull predicate + single-row aggregate with the sub-aggs,
+        # the same shape as the filter bucket.
+        field = spec["missing"]["field"]
+        sub_metrics = [
+            c for n, s in spec.get("aggs", {}).items()
+            for c in _metric_columns(n, s)
+        ]
+        return (
+            df.filter(F.col(field).isNull())
+            .agg(F.count("*").alias("doc_count"), *sub_metrics)
+        )
+
     if "significant_terms" in spec:
         # significant_terms: which terms are OVER-represented in the
         # foreground (the query-filtered df) vs the background (the
@@ -6192,3 +6207,244 @@ def a3cg_es_t_test(spark, sf_dir):
         {"term": {"o_orderpriority": "1-URGENT"}},
         {"term": {"o_orderpriority": "5-LOW"}},
         group_by="o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Round 9 wave three: runtime_mappings / missing agg / geo_line /
+# frequent_item_sets
+# ---------------------------------------------------------------------------
+
+def es_runtime_mappings(df: DataFrame, mappings: dict) -> DataFrame:
+    """ES ``runtime_mappings``: fields DEFINED AT SEARCH TIME by a
+    Painless script, then queried/aggregated like any mapped field -
+    the schema-on-read feature real indices lean on when reindexing
+    is too expensive. Each mapping is {name: {"type": ..., "script":
+    {"source": ...}}}; the script compiles through the shared bounded
+    Painless parser to a Catalyst expression, so a runtime field
+    costs exactly what a stored projection costs (whole-stage
+    codegen) and every later query/agg over it composes with
+    pushdown. Types map via the CQL/ES numeric bridge: keyword ->
+    string, long/double/int -> their Spark twins. Mappings may
+    reference earlier runtime fields (ES allows it); unknown types
+    and libm-calling scripts fail loudly."""
+    types = {"keyword": "string", "long": "long", "integer": "int",
+             "double": "double", "float": "float", "boolean": "boolean"}
+    out = df
+    for name, spec in mappings.items():
+        t = spec.get("type", "keyword")
+        if t not in types:
+            raise ValueError(f"unsupported runtime field type {t!r}")
+        expr = _painless_doc_expr(spec["script"]["source"])
+        out = out.withColumn(name, expr.cast(types[t]))
+    return out
+
+
+def es_geo_line(df: DataFrame, *, bucket_field: str, point_field: str,
+                sort_field: str, size: int = 10,
+                buckets: int = 10) -> DataFrame:
+    """ES ``geo_line`` aggregation: per bucket, the documents' points
+    connected IN SORT ORDER into a linestring, capped at ``size``
+    points - the track/route agg (vehicle traces, user paths). The
+    line materializes as an array of 'lat,lon' strings (rendered at 4
+    dp, the synthetic corpus' exact coordinate scale) so the result
+    is order-sensitively hash-comparable. Same skew-safe shape as
+    inner_hits: a row_number window partitioned on the bucket key
+    caps points BEFORE collect_list sees a row (the window shares the
+    aggregate's hash partitioning - one shuffle), so a bucket with a
+    million points contributes ``size`` structs, never an unbounded
+    array."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(bucket_field).orderBy(F.col(sort_field).asc())
+    pt = F.format_string(
+        "%s,%s",
+        F.format_number(F.col(f"{point_field}.lat").cast("double"), 4),
+        F.format_number(F.col(f"{point_field}.lon").cast("double"), 4))
+    ranked = df.withColumn("__pt_rank", F.row_number().over(w))
+    line = F.transform(
+        F.sort_array(F.collect_list(
+            F.when(F.col("__pt_rank") <= int(size),
+                   F.struct(F.col("__pt_rank"), pt.alias("p"))))),
+        lambda s: s["p"]).alias("line")
+    return (ranked.groupBy(F.col(bucket_field).alias("key"))
+            .agg(F.count("*").alias("doc_count"), line)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(int(buckets)))
+
+
+def es_frequent_item_sets(txn_items: DataFrame, txn_col: str,
+                          item_col: str, *, minimum_support: float,
+                          size: int = 10) -> DataFrame:
+    """ES ``frequent_item_sets`` (8.6+), the two-item case: which
+    PAIRS of items co-occur in at least ``minimum_support`` of the
+    transactions - market-basket analysis as an aggregation. Input is
+    the (transaction, item) relation; per-transaction DISTINCT items
+    pair via a self equi-join ON THE TRANSACTION KEY with item_a <
+    item_b (never an all-pairs cross product - candidates are bounded
+    by per-transaction item counts), then one grouped count against
+    the broadcast transaction total. Larger set sizes are the a-priori
+    recursion; this compiles the size-2 core exactly and REJECTS
+    higher minimum_set_size rather than approximating it."""
+    t = txn_items.select(F.col(txn_col).alias("t"),
+                         F.col(item_col).alias("i")).distinct()
+    n_txn = t.select("t").distinct().agg(
+        F.count("*").alias("n_txn"))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .groupBy(F.col("a.i").alias("item_a"),
+                      F.col("b.i").alias("item_b"))
+             .agg(F.count("*").alias("support_count")))
+    out = (pairs.crossJoin(F.broadcast(n_txn))
+           .withColumn("support",
+                       F.round(F.col("support_count")
+                               / F.col("n_txn").cast("double"), 6))
+           .filter(F.col("support") >= F.lit(float(minimum_support))))
+    return (out.select("item_a", "item_b", "support_count", "support")
+            .orderBy(F.desc("support_count"), F.asc("item_a"),
+                     F.asc("item_b"))
+            .limit(int(size)))
+
+
+@register("a3ch_es_missing_agg", "A3+D2+C2", """
+WITH j AS (
+  SELECT c.c_custkey, c.c_acctbal, o.o_orderkey
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+),
+nohit AS (SELECT DISTINCT c_custkey, c_acctbal FROM j
+          WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders))
+SELECT COUNT(*) AS doc_count,
+       ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10)))
+                       AS DECIMAL(38,4)) AS DOUBLE)
+             / COUNT(c_acctbal), 6) AS bal_avg
+FROM nohit
+""", "ES missing aggregation: documents WITHOUT a value for a field - "
+     "here customers with no orders (the classic dormant-accounts "
+     "card), materialized as a left join whose unmatched side reads "
+     "NULL, then the missing bucket = one isNull filter + single-row "
+     "aggregate with a decimal-exact average sub-agg. The anti-join "
+     "shape reduces to keys before joining; the missing test itself "
+     "costs one null check per row.")
+def a3ch_es_missing_agg(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = (c.join(o.select(F.col("o_custkey"),
+                         F.col("o_orderkey")).distinct(),
+                c.c_custkey == F.col("o_custkey"), "left")
+         .select("c_custkey", "c_acctbal", "o_orderkey")
+         .dropDuplicates(["c_custkey"]))
+    return es_aggregate(j, {
+        "no_orders": {"missing": {"field": "o_orderkey"},
+                      "aggs": {"bal_avg": {"avg": {"field": "c_acctbal"}}}}
+    })
+
+
+@register("a3ci_es_runtime_mappings", "A3+B6", """
+SELECT band AS key, COUNT(*) AS doc_count,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                 AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+FROM (
+  SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+              WHEN o_totalprice < 300000 THEN 'mid'
+              ELSE 'high' END AS band,
+         o_totalprice
+  FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 3
+""", "ES runtime_mappings: a price-band field DEFINED AT SEARCH TIME "
+     "by a Painless ternary script, then used like any mapped field "
+     "by a terms agg with a decimal-exact revenue sub-agg - the "
+     "schema-on-read move real indices make when reindexing is too "
+     "expensive. The script compiles through the shared bounded "
+     "Painless parser into the projection, so the runtime field "
+     "costs what a stored column costs (whole-stage codegen) and the "
+     "filter still pushes to the scan beneath it.")
+def a3ci_es_runtime_mappings(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    hits = es_search(o, {"term": {"o_orderstatus": "F"}})
+    mapped = es_runtime_mappings(hits, {
+        "band": {"type": "keyword", "script": {"source":
+            "doc['o_totalprice'].value < 100000 ? 'low' : "
+            "(doc['o_totalprice'].value < 300000 ? 'mid' : 'high')"}},
+    })
+    return es_aggregate(mapped, {
+        "bands": {"terms": {"field": "band", "size": 3},
+                  "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}}}
+    })
+
+
+@register("a3cj_es_geo_line", "A3+E4", """
+WITH geo AS (
+  SELECT c_custkey, c_nationkey,
+         (c_custkey * 7919 % 1200000) / 10000.0 - 60.0 AS lat,
+         (c_custkey * 104729 % 3600000) / 10000.0 - 180.0 AS lon
+  FROM customer
+),
+ranked AS (
+  SELECT c_nationkey, c_custkey, lat, lon,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_custkey ASC) AS rnk
+  FROM geo
+),
+counts AS (SELECT c_nationkey, COUNT(*) AS doc_count FROM geo GROUP BY 1),
+lines AS (
+  SELECT c_nationkey,
+         list(FORMAT('{:.4f}', lat) || ',' || FORMAT('{:.4f}', lon)
+              ORDER BY rnk) AS line
+  FROM ranked WHERE rnk <= 5 GROUP BY 1
+)
+SELECT c.c_nationkey AS key, c.doc_count, l.line
+FROM counts c JOIN lines l ON c.c_nationkey = l.c_nationkey
+ORDER BY c.doc_count DESC, key ASC
+LIMIT 8
+""", "ES geo_line aggregation: each nation's customer points "
+     "connected in key order into a linestring capped at 5 points - "
+     "the track/route agg behind vehicle-trace dashboards. Points "
+     "render as 'lat,lon' strings at the corpus' exact 4-dp "
+     "coordinate scale, so the ORDER-SENSITIVE list hash proves both "
+     "the line order and the cap. Skew-safe like inner_hits: the "
+     "row_number window shares the aggregate's hash partitioning "
+     "(one shuffle) and caps BEFORE collection - a million-point "
+     "bucket contributes 5 structs.")
+def a3cj_es_geo_line(spark, sf_dir):
+    g = _customer_geo(spark, sf_dir)
+    return es_geo_line(g, bucket_field="c_nationkey",
+                       point_field="location", sort_field="c_custkey",
+                       size=5, buckets=8)
+
+
+@register("a3ck_es_frequent_item_sets", "A3+C9+K1", """
+WITH txn AS (
+  SELECT DISTINCT l.l_orderkey AS t, p.p_brand AS i
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT COUNT(DISTINCT t) AS n_txn FROM txn),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS support_count
+  FROM txn a JOIN txn b ON a.t = b.t AND a.i < b.i
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, support_count,
+       ROUND(support_count / CAST(n_txn AS DOUBLE), 6) AS support
+FROM pairs CROSS JOIN n
+WHERE support_count / CAST(n_txn AS DOUBLE) >= 0.001
+ORDER BY support_count DESC, item_a ASC, item_b ASC
+LIMIT 10
+""", "ES frequent_item_sets (8.6+), the two-item core: which part "
+     "BRANDS co-occur in one order at >= 0.1% support - market-"
+     "basket analysis as an aggregation. Per-order distinct brands "
+     "pair via a self equi-join ON THE ORDER KEY with item_a < "
+     "item_b (candidates bounded by per-order item counts - never an "
+     "all-pairs cross product), one grouped count, the 1-row "
+     "transaction total broadcast. Higher minimum_set_size is the "
+     "a-priori recursion and is REJECTED rather than approximated; "
+     "the size-2 core is exact.")
+def a3ck_es_frequent_item_sets(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    txn = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey"), F.col("p_brand"))
+    return es_frequent_item_sets(
+        txn, "l_orderkey", "p_brand", minimum_support=0.001, size=10)

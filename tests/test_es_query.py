@@ -1468,3 +1468,67 @@ def test_children_agg_and_t_test_hand_checked(spark):
                      {"term": {"side": "y"}}, welch=False).collect()
     sp = (2 * 1.0 + 3 * (20 / 3)) / 5
     assert res["t_value"] == round(-3.0 / (sp * (1 / 3 + 1 / 4)) ** 0.5, 6)
+
+
+def test_wave_three_hand_checked(spark):
+    """runtime_mappings (chained fields, type casts, rejections),
+    missing agg, geo_line (cap + order), frequent_item_sets (pair
+    semantics + support math)."""
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_aggregate,
+        es_frequent_item_sets,
+        es_geo_line,
+        es_runtime_mappings,
+        es_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 50.0, None), (2, 150.0, "x"), (3, 250.0, "y")],
+        "id long, v double, tag string")
+
+    # runtime field + a later mapping referencing the earlier one
+    out = es_runtime_mappings(df, {
+        "v2": {"type": "double", "script": {"source":
+               "doc['v'].value * 2.0"}},
+        "band": {"type": "keyword", "script": {"source":
+                 "doc['v2'].value < 300.0 ? 'lo' : 'hi'"}},
+    })
+    got = {r["id"]: (r["v2"], r["band"]) for r in out.collect()}
+    assert got == {1: (100.0, "lo"), 2: (300.0, "hi"), 3: (500.0, "hi")}
+    # the runtime field is queryable like any mapped field
+    assert es_search(out, {"term": {"band": "hi"}}).count() == 2
+    with pytest.raises(ValueError, match="runtime field type"):
+        es_runtime_mappings(df, {"x": {"type": "ip", "script":
+                                       {"source": "1"}}})
+
+    # missing agg: docs with a NULL field + sub-metric
+    row, = es_aggregate(df, {
+        "no_tag": {"missing": {"field": "tag"},
+                   "aggs": {"v_max": {"max": {"field": "v"}}}}}).collect()
+    assert row["doc_count"] == 1 and row["v_max"] == 50.0
+
+    # geo_line: points in sort order, capped
+    from pyspark.sql import functions as F
+    g = spark.createDataFrame(
+        [("a", 3, 1.0, 2.0), ("a", 1, 5.5, -6.25), ("a", 2, 0.0, 9.0),
+         ("b", 1, -1.0, -1.0)],
+        "grp string, seq int, lat double, lon double") \
+        .withColumn("location", F.struct("lat", "lon"))
+    lines = {r["key"]: r for r in es_geo_line(
+        g, bucket_field="grp", point_field="location",
+        sort_field="seq", size=2).collect()}
+    assert lines["a"]["doc_count"] == 3          # count NOT capped
+    assert lines["a"]["line"] == ["5.5000,-6.2500", "0.0000,9.0000"]
+    assert lines["b"]["line"] == ["-1.0000,-1.0000"]
+
+    # frequent_item_sets: distinct per txn, a<b pairing, support math
+    t = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "y"), (2, "x"), (2, "y"), (3, "x"),
+         (4, "z")],
+        "t long, i string")
+    rows = es_frequent_item_sets(t, "t", "i", minimum_support=0.5)
+    r, = rows.collect()
+    assert (r["item_a"], r["item_b"]) == ("x", "y")
+    assert r["support_count"] == 2 and r["support"] == 0.5   # 2 of 4 txns
