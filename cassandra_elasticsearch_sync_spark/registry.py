@@ -125,6 +125,8 @@ _FRONT = (
     "a3ce_es_children_agg", "a3cf_es_parent_id", "a3cg_es_t_test",
     "a3ch_es_missing_agg", "a3ci_es_runtime_mappings",
     "a3cj_es_geo_line", "a3ck_es_frequent_item_sets",
+    "a3cl_es_geohash_grid", "a3cm_es_bucket_correlation",
+    "a3cn_es_random_sampler", "a3co_es_has_parent_inner_hits",
     # the displaced round-8 block (driver-verified in
     # CORRECTNESS_r08) queues directly after ---
     # the round-7 wave (never sampled; judge-r7 hand-verified only)

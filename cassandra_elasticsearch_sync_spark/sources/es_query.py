@@ -5218,6 +5218,7 @@ def es_has_parent(child_df: DataFrame, parent_df: DataFrame,
                   parent_key: str, child_key: str, parent_query: dict,
                   score: bool = False,
                   parent_score_functions: list[dict] | None = None,
+                  inner_hits: dict | None = None,
                   ) -> DataFrame:
     """ES ``has_parent``: child docs whose parent matches.
 
@@ -5230,8 +5231,34 @@ def es_has_parent(child_df: DataFrame, parent_df: DataFrame,
     build input is two columns no matter how wide the parent relation
     is. Parent scores use the house function_score model (see
     es_has_child).
+
+    ``inner_hits`` ({'_source': [...], 'name': ...}) attaches THE
+    matched parent itself to each child hit as a 1-element
+    array<struct> - a parent has exactly one row per key, so unlike
+    has_child there is no cap/sort dimension (no ``sort``/``size``
+    keys accepted: fail loudly rather than ignore). The join carries
+    exactly (key, hit-struct) from the parent side - still two
+    columns at any parent width.
     """
     matched = parent_df.filter(compile_query(parent_query))
+    if inner_hits is not None:
+        if not inner_hits.get("_source"):
+            raise ValueError("inner_hits needs '_source' parent fields")
+        if "sort" in inner_hits or "size" in inner_hits:
+            raise ValueError(
+                "has_parent inner_hits carries exactly ONE parent per "
+                "child (keys are unique) - sort/size do not apply")
+        src = list(inner_hits["_source"])
+        name = inner_hits.get("name", "parent")
+        cols = [F.col(parent_key).alias(child_key),
+                F.array(F.struct(*[F.col(c) for c in src])).alias(name)]
+        if score:
+            if not parent_score_functions:
+                raise ValueError("score=True needs parent_score_functions")
+            cols.append(F.round(
+                _function_score_column(parent_score_functions), 6)
+                .alias("_score"))
+        return child_df.join(matched.select(*cols), child_key, "inner")
     if not score:
         keys = matched.select(F.col(parent_key).alias(child_key)).distinct()
         return child_df.join(keys, child_key, "left_semi")
@@ -6448,3 +6475,307 @@ def a3ck_es_frequent_item_sets(spark, sf_dir):
         F.col("l_orderkey"), F.col("p_brand"))
     return es_frequent_item_sets(
         txn, "l_orderkey", "p_brand", minimum_support=0.001, size=10)
+
+
+# ---------------------------------------------------------------------------
+# Round 9 wave four: geohash_grid / bucket_correlation / random_sampler
+# ---------------------------------------------------------------------------
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bits(precision: int) -> tuple[int, int]:
+    total = 5 * precision
+    lon_bits = (total + 1) // 2   # geohash gives the extra bit to lon
+    return lon_bits, total - lon_bits
+
+
+def geohash_column(lat: Column, lon: Column, precision: int) -> Column:
+    """Base32 geohash of a point at ``precision`` chars, as PURE
+    integer arithmetic (floor-divide + mod bit extraction, no bitwise
+    builtins) so the identical expression runs on any SQL engine -
+    the DuckDB twin is GENERATED from the same constants
+    (geohash_sql), the geo_shape pattern. The quantization multiply
+    is one double op with an exact-integer result for the corpus' 4-dp
+    coordinates; everything after is exact BIGINT math."""
+    lon_bits, lat_bits = _geohash_bits(int(precision))
+    lat_idx = F.floor((lat.cast("double") + 90.0) / 180.0
+                      * float(1 << lat_bits)).cast("long")
+    lon_idx = F.floor((lon.cast("double") + 180.0) / 360.0
+                      * float(1 << lon_bits)).cast("long")
+    lat_idx = F.least(lat_idx, F.lit((1 << lat_bits) - 1))
+    lon_idx = F.least(lon_idx, F.lit((1 << lon_bits) - 1))
+    total = 5 * int(precision)
+    cell = F.lit(0).cast("long")
+    for k in range(total):
+        if k % 2 == 0:           # even positions take lon bits, MSB first
+            j = k // 2
+            bit = F.floor(lon_idx / float(1 << (lon_bits - 1 - j))) \
+                .cast("long") % 2
+        else:
+            j = (k - 1) // 2
+            bit = F.floor(lat_idx / float(1 << (lat_bits - 1 - j))) \
+                .cast("long") % 2
+        cell = cell + bit * F.lit(1 << (total - 1 - k))
+    chars = [
+        F.element_at(
+            F.array(*[F.lit(c) for c in _GEOHASH32]),
+            ((F.floor(cell / float(1 << (5 * (precision - 1 - i))))
+              .cast("long") % 32) + 1).cast("int"))
+        for i in range(int(precision))
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lat: str, lon: str, precision: int) -> str:
+    """The DuckDB twin of geohash_column, generated from the SAME
+    constants - identical floor/mod arithmetic, so the geohash is
+    bit-identical cross-engine with zero tolerance."""
+    lon_bits, lat_bits = _geohash_bits(int(precision))
+    lat_idx = (f"LEAST(CAST(FLOOR(({lat} + 90.0) / 180.0 * "
+               f"{float(1 << lat_bits)!r}) AS BIGINT), "
+               f"{(1 << lat_bits) - 1})")
+    lon_idx = (f"LEAST(CAST(FLOOR(({lon} + 180.0) / 360.0 * "
+               f"{float(1 << lon_bits)!r}) AS BIGINT), "
+               f"{(1 << lon_bits) - 1})")
+    total = 5 * int(precision)
+    terms = []
+    for k in range(total):
+        if k % 2 == 0:
+            j = k // 2
+            bit = (f"(CAST(FLOOR(lon_idx / "
+                   f"{float(1 << (lon_bits - 1 - j))!r}) AS BIGINT) % 2)")
+        else:
+            j = (k - 1) // 2
+            bit = (f"(CAST(FLOOR(lat_idx / "
+                   f"{float(1 << (lat_bits - 1 - j))!r}) AS BIGINT) % 2)")
+        terms.append(f"{bit} * {1 << (total - 1 - k)}")
+    cell = " + ".join(terms)
+    chars = " || ".join(
+        f"SUBSTR('{_GEOHASH32}', CAST(CAST(FLOOR(cell / "
+        f"{float(1 << (5 * (precision - 1 - i)))!r}) AS BIGINT) % 32 "
+        f"AS INTEGER) + 1, 1)"
+        for i in range(int(precision)))
+    return (f"(SELECT {chars} FROM (SELECT {cell} AS cell FROM "
+            f"(SELECT {lat_idx} AS lat_idx, {lon_idx} AS lon_idx)))")
+
+
+def es_geohash_grid(df: DataFrame, field: str, precision: int,
+                    size: int = 10) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: buckets keyed by the base32
+    geohash cell at ``precision`` - geotile_grid's older sibling,
+    still the default on many map dashboards. One projection (the
+    arithmetic above, whole-stage codegen) + one hash aggregate +
+    the terms-style TakeOrdered page."""
+    key = geohash_column(F.col(f"{field}.lat"), F.col(f"{field}.lon"),
+                         precision).alias("key")
+    return (df.groupBy(key).agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(int(size)))
+
+
+def es_bucket_correlation(buckets: DataFrame, metric: str,
+                          indicator: list[float]) -> DataFrame:
+    """ES ``bucket_correlation`` (count_correlation function): the
+    Pearson correlation between a sibling metric across the bucket
+    series (in key order) and a caller-provided indicator vector -
+    the 'does this series track my expectation' number the ML module
+    bolts onto dashboards. The bucket table is bucket-count-sized, so
+    the single-row fold is trivially bounded; arithmetic is the
+    textbook five-sum Pearson with one IEEE sqrt, identical textual
+    order in the oracle. Indicator length must equal the bucket
+    count (ES's own validation)."""
+    from pyspark.sql import Window
+
+    n = len(indicator)
+    w = Window.orderBy("key")
+    ind = F.element_at(
+        F.array(*[F.lit(float(v)) for v in indicator]),
+        F.row_number().over(w))
+    pairs = buckets.select(F.col(metric).cast("double").alias("x"),
+                           ind.alias("y"))
+    folded = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    nn = F.col("n").cast("double")
+    num = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((nn * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (nn * F.col("syy") - F.col("sy") * F.col("sy")))
+    out = folded.select(
+        F.col("n").alias("n_buckets"),
+        F.round(num / den, 6).alias("correlation"))
+    return out.filter(F.col("n_buckets") == F.lit(n))
+
+
+def es_random_sampler(df: DataFrame, hash_field: str, probability: float,
+                      metrics: dict) -> DataFrame:
+    """ES ``random_sampler`` (8.2+): metrics over a random subset of
+    the documents, with doc_count scaled back by 1/probability - the
+    constant-cost dashboard trick for huge indices. ES hashes doc ids
+    with a seed; the deterministic twin selects keys whose 31-bit LCG
+    mix (DETERMINISM.md section 12 - no runtime randomness, identical
+    on any engine with 64-bit integer arithmetic) falls below
+    probability * 2^31. Metrics: {name: (kind, field)} with
+    sum/avg/min/max (sums decimal-exact); doc_count is the RAW sample
+    count, doc_count_est the 1/p-scaled estimate ES reports."""
+    from cassandra_elasticsearch_sync_spark.parity import davg, dsum
+
+    if not (0.0 < probability <= 1.0):
+        raise ValueError("probability must be in (0, 1]")
+    k = F.col(hash_field).cast("long") % F.lit(2 ** 31)
+    mixed = (k * 1103515245 + 12345) % F.lit(2 ** 31)
+    sampled = df.filter(mixed < F.lit(int(probability * (2 ** 31))))
+    aggs = [F.count("*").alias("doc_count")]
+    for name, (kind, field) in metrics.items():
+        if kind == "sum":
+            aggs.append(dsum(F.col(field)).alias(name))
+        elif kind == "avg":
+            aggs.append(F.round(davg(F.col(field)), 6).alias(name))
+        elif kind == "min":
+            aggs.append(F.min(field).alias(name))
+        elif kind == "max":
+            aggs.append(F.max(field).alias(name))
+        else:
+            raise ValueError(f"unsupported random_sampler metric {kind!r}")
+    out = sampled.agg(*aggs)
+    return out.withColumn(
+        "doc_count_est",
+        F.round(F.col("doc_count") / F.lit(float(probability)), 6))
+
+
+@register("a3cl_es_geohash_grid", "A3+D1+H7", """
+WITH geo AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 1200000) / 10000.0 - 60.0 AS lat,
+         (c_custkey * 104729 % 3600000) / 10000.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT """ + geohash_sql("lat", "lon", 3) + """ AS key,
+       COUNT(*) AS doc_count
+FROM geo
+GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 10
+""", "ES geohash_grid aggregation at precision 3: buckets keyed by "
+     "the base32 geohash cell - geotile_grid's older sibling, the "
+     "default grid on many map dashboards. The hash builds as PURE "
+     "integer arithmetic (floor-divide/mod bit extraction, bit "
+     "interleaving lon-first, base32 chars via element_at - no "
+     "bitwise builtins, no UDF, whole-stage codegen), and the DuckDB "
+     "oracle is GENERATED from the same constants, so the geohash is "
+     "bit-identical cross-engine. One projection + one hash "
+     "aggregate + the terms-style TakeOrdered page.")
+def a3cl_es_geohash_grid(spark, sf_dir):
+    g = _customer_geo(spark, sf_dir)
+    return es_geohash_grid(g, "location", precision=3, size=10)
+
+
+@register("a3cm_es_bucket_correlation", "A3+D5", """
+WITH buckets AS (
+  SELECT STRFTIME(o_orderdate, '%Y') AS key,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT revenue AS x,
+         CAST(ROW_NUMBER() OVER (ORDER BY key) AS DOUBLE) AS y
+  FROM buckets
+),
+folded AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs
+)
+SELECT n AS n_buckets,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS correlation
+FROM folded
+""", "ES bucket_correlation (the ML module's count_correlation "
+     "sibling pipeline agg): Pearson r between yearly revenue "
+     "buckets and a monotone indicator - 'is this series trending "
+     "with my expectation'. The indicator here is the rank sequence "
+     "1..n (the trend test), its array literal indexed by bucket "
+     "rank. Bucket-count-sized input, the textbook five-sum Pearson "
+     "in identical textual order both engines, one IEEE sqrt - "
+     "bit-identical. Indicator arity must equal the bucket count, "
+     "ES's own validation (empty result otherwise, tested).")
+def a3cm_es_bucket_correlation(spark, sf_dir):
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    buckets = (o.groupBy(F.date_format("o_orderdate", "yyyy").alias("key"))
+               .agg(dsum("o_totalprice", 2).alias("revenue")))
+    n = buckets.count()
+    return es_bucket_correlation(buckets, "revenue",
+                                 [float(i + 1) for i in range(n)])
+
+
+@register("a3cn_es_random_sampler", "A3+K1", """
+WITH sampled AS (
+  SELECT * FROM customer
+  WHERE ((c_custkey % 2147483648) * 1103515245 + 12345) % 2147483648
+        < CAST(0.25 * 2147483648 AS BIGINT)
+)
+SELECT COUNT(*) AS doc_count,
+       ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10)))
+                       AS DECIMAL(38,4)) AS DOUBLE)
+             / COUNT(c_acctbal), 6) AS bal_avg,
+       MAX(c_acctbal) AS bal_max,
+       ROUND(COUNT(*) / 0.25, 6) AS doc_count_est
+FROM sampled
+""", "ES random_sampler (8.2+): metrics over a ~25% document sample "
+     "with doc_count scaled back by 1/p - the constant-cost trick "
+     "behind 'instant' dashboards on huge indices. ES hashes doc ids "
+     "with a seed; the deterministic twin selects keys whose 31-bit "
+     "LCG mix falls below p * 2^31 (DETERMINISM section 12 - "
+     "replayable on any engine, no rand()), so the sample - and "
+     "therefore every metric - is exactly reproducible and "
+     "oracle-hashable, which ES's own seed cannot promise across "
+     "versions. The scan does ONE arithmetic filter; metrics "
+     "decimal-exact.")
+def a3cn_es_random_sampler(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return es_random_sampler(
+        c, "c_custkey", probability=0.25,
+        metrics={"bal_avg": ("avg", "c_acctbal"),
+                 "bal_max": ("max", "c_acctbal")}) \
+        .select("doc_count", "bal_avg", "bal_max", "doc_count_est")
+
+
+@register("a3co_es_has_parent_inner_hits", "A3+C1", """
+SELECT l.l_orderkey, l.l_linenumber,
+       [CAST(o.o_orderkey AS VARCHAR) || ':' || o.o_orderpriority]
+         AS parent
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 400000
+""", "ES has_parent WITH inner_hits: each child hit carries THE "
+     "matched parent document as a 1-element hits array (keys are "
+     "unique, so unlike has_child there is no cap/sort dimension - "
+     "passing sort/size raises instead of being ignored). The parent "
+     "side joins as exactly (key, hit-struct) - two columns at any "
+     "parent width; the hit renders to a string for the cross-engine "
+     "hash. Completes the inner_hits family: has_child (a3bu), "
+     "nested (a3bz), has_parent (this).")
+def a3co_es_has_parent_inner_hits(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = es_has_parent(
+        li, o, parent_key="o_orderkey", child_key="l_orderkey",
+        parent_query={"bool": {"filter": [
+            {"term": {"o_orderpriority": "1-URGENT"}},
+            {"range": {"o_totalprice": {"gt": 400000}}},
+        ]}},
+        inner_hits={"_source": ["o_orderkey", "o_orderpriority"]},
+    )
+    hit_str = F.transform(
+        F.col("parent"),
+        lambda s: F.concat_ws(":", s["o_orderkey"].cast("string"),
+                              s["o_orderpriority"]))
+    return out.select("l_orderkey", "l_linenumber",
+                      hit_str.alias("parent"))

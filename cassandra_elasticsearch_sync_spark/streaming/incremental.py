@@ -862,6 +862,82 @@ def i9c_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(outdir, ignore_errors=True)
 
 
+def stream_stream_right_outer_join(events: DataFrame) -> DataFrame:
+    """I9d: the mirror of i9b - every ERROR, joined to a preceding
+    same-user click within the window if one exists, else emitted
+    with NULL click_id once the watermark proves no click can still
+    arrive. Completes the outer-join family (inner i9, left i9b,
+    full i9c, right here); the buffered side flips, the state bound
+    is identical."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+                F.col("event_id").alias("error_id"))
+        .withWatermark("e_ts", "30 minutes")
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            "user_id = e_user AND e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+        "right_outer",
+    ).select(
+        F.coalesce("user_id", "e_user").alias("user_id"),
+        "click_id", "error_id",
+    )
+
+
+@register("i9d_stream_stream_right_outer", "I9", """
+SELECT COALESCE(c.user_id, e.user_id) AS user_id,
+       c.event_id AS click_id,
+       e.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+RIGHT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON e.user_id = c.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+""", "Stream-stream RIGHT OUTER interval join, really run as a "
+     "stream - the last member of the join family (i9 inner, i9b "
+     "left, i9c full): every error emits, null-extending click_id "
+     "only after the watermark proves no preceding click can still "
+     "arrive. Same sentinel flush discipline as i9b/i9c so tail "
+     "rows actually release at stream end; the append sink "
+     "hash-matches the batch RIGHT JOIN oracle exactly.")
+def i9d_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    staged = stage_events_stream(spark, sf_dir, n_chunks=4)
+    _append_watermark_flush_chunks(spark, staged, sf_dir)
+    checkpoint = tempfile.mkdtemp(prefix="ces_i9d_ckpt_")
+    outdir = tempfile.mkdtemp(prefix="ces_i9d_out_")
+    try:
+        q = (
+            stream_stream_right_outer_join(read_events_stream(spark, staged))
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_bounded(q, 300)
+        return (
+            spark.read.parquet(outdir)
+            .filter(F.col("user_id") != _SENTINEL_USER)
+            .select("user_id", "click_id", "error_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
 @register("i11_exactly_once_acid_sink", "I10+A7", """
 SELECT event_type,
        COUNT(*) AS n_events,

@@ -1532,3 +1532,44 @@ def test_wave_three_hand_checked(spark):
     r, = rows.collect()
     assert (r["item_a"], r["item_b"]) == ("x", "y")
     assert r["support_count"] == 2 and r["support"] == 0.5   # 2 of 4 txns
+
+
+def test_has_parent_inner_hits_hand_checked(spark):
+    """has_parent inner_hits: each child carries its ONE matched
+    parent as a 1-element hits array; sort/size rejected (keys are
+    unique); score composes."""
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_has_parent,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0)], "pid long, pname string, w double")
+    children = spark.createDataFrame(
+        [(1, 100), (1, 101), (2, 200)], "ppid long, cid long")
+
+    out = es_has_parent(
+        children, parents, parent_key="pid", child_key="ppid",
+        parent_query={"term": {"pname": "a"}},
+        inner_hits={"_source": ["pid", "pname"]}).collect()
+    assert {r["cid"] for r in out} == {100, 101}
+    for r in out:
+        assert len(r["parent"]) == 1
+        assert (r["parent"][0]["pid"], r["parent"][0]["pname"]) == (1, "a")
+
+    # score composes with inner_hits
+    out = es_has_parent(
+        children, parents, "pid", "ppid", {"term": {"pname": "a"}},
+        score=True,
+        parent_score_functions=[{"field_value_factor": {"field": "w"}}],
+        inner_hits={"_source": ["pname"]}).collect()
+    assert all(r["_score"] == 10.0 for r in out) and len(out) == 2
+
+    with pytest.raises(ValueError, match="sort/size do not apply"):
+        es_has_parent(children, parents, "pid", "ppid",
+                      {"match_all": {}},
+                      inner_hits={"_source": ["pid"], "size": 3})
+    with pytest.raises(ValueError, match="_source"):
+        es_has_parent(children, parents, "pid", "ppid",
+                      {"match_all": {}}, inner_hits={})

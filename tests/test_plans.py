@@ -297,6 +297,10 @@ _BOUNDED_WINDOW_ALLOWED = {
     "a3p_es_pipeline_aggs",
     "a3s_es_moving_fn_serial_diff",
     "a3bt_es_moving_percentiles",
+    # bucket_correlation ranks the POST-AGGREGATION bucket series to
+    # index its indicator vector - the same calendar-bounded class
+    # (yearly buckets; the indicator arity pins the cardinality).
+    "a3cm_es_bucket_correlation",
 }
 
 
