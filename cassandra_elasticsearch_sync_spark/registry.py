@@ -127,6 +127,8 @@ _FRONT = (
     "a3cj_es_geo_line", "a3ck_es_frequent_item_sets",
     "a3cl_es_geohash_grid", "a3cm_es_bucket_correlation",
     "a3cn_es_random_sampler", "a3co_es_has_parent_inner_hits",
+    "a3cp_es_collapse_inner_hits", "a3cq_es_bucket_count_ks_test",
+    "a3cr_es_terms_missing_param",
     # the displaced round-8 block (driver-verified in
     # CORRECTNESS_r08) queues directly after ---
     # the round-7 wave (never sampled; judge-r7 hand-verified only)

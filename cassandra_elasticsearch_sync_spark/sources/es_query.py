@@ -1362,8 +1362,20 @@ def es_aggregate(df: DataFrame, aggs: dict,
     if "terms" in spec:
         field = spec["terms"]["field"]
         size = spec["terms"].get("size", 10)
-        grouped = df.groupBy(F.col(field).alias("key")).agg(
+        key_expr = F.col(field)
+        if "missing" in spec["terms"]:
+            # ES terms `missing` parameter: docs WITHOUT a field value
+            # land in a bucket keyed by the literal - one coalesce,
+            # the null bucket folds in the same single aggregate
+            key_expr = F.coalesce(key_expr,
+                                  F.lit(spec["terms"]["missing"]))
+        grouped = df.groupBy(key_expr.alias("key")).agg(
             F.count("*").alias("doc_count"), *sub)
+        mdc = int(spec["terms"].get("min_doc_count", 1))
+        if mdc > 1:
+            # ES min_doc_count: drop buckets below the floor BEFORE
+            # sizing (a post-aggregate filter, bucket-count sized)
+            grouped = grouped.filter(F.col("doc_count") >= mdc)
         order = spec["terms"].get("order")
         if order:
             # ES terms order: by a sub-aggregation metric, _count, or
@@ -2642,7 +2654,8 @@ def a3v_es_matrix_stats(spark, sf_dir):
 
 
 def es_collapse(df, query: dict, collapse_field: str,
-                sort: list[tuple[str, str]], size: int):
+                sort: list[tuple[str, str]], size: int,
+                inner_hits: dict | None = None):
     """ES search-with-collapse: hits deduplicated on ``collapse_field``
     (one TOP document per group by the caller's sort), the page then
     takes the best ``size`` groups by the same sort. The sort must be
@@ -2651,7 +2664,16 @@ def es_collapse(df, query: dict, collapse_field: str,
     restatement - same contract as top_hits). Plan: filtered scan ->
     per-group row_number (groups are collapse-key sized) -> global
     TakeOrderedAndProject of the group winners; never a full sort,
-    and the collapse key's cardinality never materializes anywhere."""
+    and the collapse key's cardinality never materializes anywhere.
+
+    ``inner_hits`` (ES's collapse option): each winner additionally
+    carries its group's top documents by an INNER sort - 'best offer
+    per seller, with the runner-up offers attached'. Spec keys as in
+    has_child inner_hits (sort: explicit total order, size cap,
+    _source, name). Both windows share the collapse key's hash
+    partitioning (one exchange), the cap applies BEFORE collect_list
+    (a skewed group contributes ``size`` structs), and the per-group
+    hits join the <= ``size``-row winner page - broadcast-sized."""
     from pyspark.sql import Window
 
     filtered = es_search(df, query) if query else df
@@ -2659,13 +2681,29 @@ def es_collapse(df, query: dict, collapse_field: str,
         (F.col(c).desc() if d == "desc" else F.col(c).asc()) for c, d in sort
     ]
     w = Window.partitionBy(collapse_field).orderBy(*order)
-    return (
-        filtered.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .orderBy(*order)
-        .limit(size)
-    )
+    ranked = filtered.withColumn("__rn", F.row_number().over(w))
+    winners = (ranked.filter(F.col("__rn") == 1).drop("__rn")
+               .orderBy(*order).limit(size))
+    if inner_hits is None:
+        return winners
+    if not inner_hits.get("sort"):
+        raise ValueError("inner_hits needs an explicit total-order 'sort'")
+    if not inner_hits.get("_source"):
+        raise ValueError("inner_hits needs '_source' fields")
+    ih_size = int(inner_hits.get("size", 3))
+    src = list(inner_hits["_source"])
+    w2 = Window.partitionBy(collapse_field).orderBy(
+        *_sort_spec_columns(inner_hits["sort"]))
+    hit = F.struct(F.col("__ihr"), *[F.col(c) for c in src])
+    hits = (ranked.withColumn("__ihr", F.row_number().over(w2))
+            .groupBy(collapse_field)
+            .agg(F.transform(
+                F.sort_array(F.collect_list(
+                    F.when(F.col("__ihr") <= ih_size, hit))),
+                lambda s: F.struct(*[s[c].alias(c) for c in src]))
+                .alias(inner_hits.get("name", "inner_hits"))))
+    return (winners.join(hits, collapse_field, "inner")
+            .orderBy(*order).limit(size))
 
 
 @register("a3w_es_terms_order_by_metric", "A3+D8", """
@@ -6779,3 +6817,177 @@ def a3co_es_has_parent_inner_hits(spark, sf_dir):
                               s["o_orderpriority"]))
     return out.select("l_orderkey", "l_linenumber",
                       hit_str.alias("parent"))
+
+
+def es_bucket_count_ks_test(buckets: DataFrame,
+                            fractions: list[float]) -> DataFrame:
+    """ES ``bucket_count_ks_test`` (two_sided): the Kolmogorov-Smirnov
+    D statistic between the bucket doc_count distribution (in key
+    order) and a caller-provided expected-fraction vector - 'does my
+    traffic follow the forecast curve'. Exact arithmetic: empirical
+    CDF = running decimal count / total, expected CDF = running sum
+    of the literal fractions, D = max |difference| - two bounded
+    windows over the bucket table (bucket-count-sized by
+    construction) and one max. Fraction arity must equal the bucket
+    count, ES's validation."""
+    from pyspark.sql import Window
+
+    n = len(fractions)
+    w = Window.orderBy("key")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exp_cdf = F.element_at(
+        F.array(*[F.lit(float(sum(fractions[:i + 1])))
+                  for i in range(n)]),
+        F.row_number().over(w))
+    emp = (F.sum(F.col("doc_count")).over(w_run).cast("double")
+           / F.sum(F.col("doc_count")).over(
+               Window.orderBy("key").rowsBetween(
+                   Window.unboundedPreceding, Window.unboundedFollowing))
+           .cast("double"))
+    diffs = buckets.select(
+        F.abs(emp - exp_cdf).alias("d"),
+        F.count("*").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding,
+            Window.unboundedFollowing)).alias("nb"))
+    return (diffs.agg(F.max("nb").alias("n_buckets"),
+                      F.round(F.max("d"), 6).alias("d_statistic"))
+            .filter(F.col("n_buckets") == F.lit(n)))
+
+
+@register("a3cp_es_collapse_inner_hits", "A3+E4", """
+WITH hits AS (
+  SELECT o_custkey AS key, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rn
+  FROM orders WHERE o_orderstatus = 'O'
+),
+winners AS (
+  SELECT key, o_orderkey, o_totalprice FROM hits WHERE rn = 1
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 12
+),
+grp AS (
+  SELECT key,
+         list(CAST(o_orderkey AS VARCHAR) || ':'
+              || CAST(o_totalprice AS VARCHAR) ORDER BY rn) AS offers
+  FROM hits WHERE rn <= 3 GROUP BY 1
+)
+SELECT w.key, w.o_orderkey, w.o_totalprice, g.offers
+FROM winners w JOIN grp g ON w.key = g.key
+ORDER BY w.o_totalprice DESC, w.o_orderkey ASC
+""", "ES collapse WITH inner_hits - 'the best open order per "
+     "customer, top-3 offers attached': the winner page collapses on "
+     "the customer, and each winner carries its group's top "
+     "documents by the inner sort as a sorted size-capped array. "
+     "Both windows share the collapse key's hash partitioning (ONE "
+     "exchange), the cap applies BEFORE collect_list, and the "
+     "per-group hits join the 12-row winner page - broadcast-sized. "
+     "The ORDER-SENSITIVE list hash proves inner sort + cap.")
+def a3cp_es_collapse_inner_hits(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = es_collapse(
+        o.select(F.col("o_custkey").alias("key"), "o_orderkey",
+                 "o_totalprice", "o_orderstatus"),
+        {"term": {"o_orderstatus": "O"}},
+        "key",
+        [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        12,
+        inner_hits={"size": 3,
+                    "sort": [("o_totalprice", "desc"),
+                             ("o_orderkey", "asc")],
+                    "_source": ["o_orderkey", "o_totalprice"],
+                    "name": "offers"})
+    hit_str = F.transform(
+        F.col("offers"),
+        lambda s: F.concat_ws(":", s["o_orderkey"].cast("string"),
+                              s["o_totalprice"].cast("string")))
+    return out.select("key", "o_orderkey", "o_totalprice",
+                      hit_str.alias("offers"))
+
+
+_KS_FRACTIONS = [0.07, 0.15, 0.15, 0.15, 0.15, 0.18, 0.15]
+# the expected-CDF literals are rendered from the SAME Python prefix
+# sums the Spark side compiles (repr round-trips doubles exactly), so
+# a 1-ulp float-summation divergence between hand-written SQL
+# literals and Python accumulation cannot shift the max
+_KS_VALUES = ", ".join(
+    f"({i + 1}, {sum(_KS_FRACTIONS[:i + 1])!r})"
+    for i in range(len(_KS_FRACTIONS)))
+
+
+@register("a3cq_es_bucket_count_ks_test", "A3+D5", """
+WITH buckets AS (
+  SELECT STRFTIME(o_orderdate, '%Y') AS key, COUNT(*) AS doc_count
+  FROM orders GROUP BY 1
+),
+cdf AS (
+  SELECT key,
+         SUM(doc_count) OVER (ORDER BY key) /
+           CAST(SUM(doc_count) OVER () AS DOUBLE) AS emp,
+         ROW_NUMBER() OVER (ORDER BY key) AS rn,
+         COUNT(*) OVER () AS nb
+  FROM buckets
+),
+frac AS (
+  SELECT rn, frac FROM (VALUES """ + _KS_VALUES + """) AS t(rn, frac)
+)
+SELECT MAX(nb) AS n_buckets,
+       ROUND(MAX(ABS(emp - frac)), 6) AS d_statistic
+FROM cdf JOIN frac USING (rn)
+HAVING MAX(nb) = """ + str(len(_KS_FRACTIONS)) + """
+""", "ES bucket_count_ks_test (two_sided): the Kolmogorov-Smirnov D "
+     "between yearly order counts and an expected fraction curve - "
+     "'does traffic follow the forecast'. Exact arithmetic: "
+     "empirical CDF as a running count ratio, expected CDF as "
+     "prefix-summed literals, D = max |difference| - two windows "
+     "over the BUCKET table (bucket-count-sized by construction, "
+     "the documented bounded-window class) and one max. Fraction "
+     "arity must equal the bucket count, ES's validation (empty "
+     "result otherwise, tested).")
+def a3cq_es_bucket_count_ks_test(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    buckets = (o.groupBy(F.date_format("o_orderdate", "yyyy")
+                         .alias("key"))
+               .agg(F.count("*").alias("doc_count")))
+    return es_bucket_count_ks_test(buckets, _KS_FRACTIONS)
+
+
+@register("a3cr_es_terms_missing_param", "A3+D1+B6", """
+WITH j AS (
+  SELECT c.c_custkey,
+         COALESCE(s.seg, '(none)') AS seg
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey,
+                    CASE WHEN o_totalprice >= 200000 THEN 'big'
+                         ELSE 'small' END AS seg
+             FROM orders
+             WHERE o_orderstatus = 'F') s
+    ON c.c_custkey = s.o_custkey
+),
+d AS (SELECT c_custkey, MIN(seg) AS seg FROM j GROUP BY 1)
+SELECT seg AS key, COUNT(*) AS doc_count
+FROM d
+GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 5
+""", "ES terms aggregation with the `missing` parameter: documents "
+     "WITHOUT a field value land in an explicit '(none)' bucket "
+     "instead of silently vanishing - the facet-completeness option "
+     "every UI with an 'unknown' slice uses. One coalesce folds the "
+     "null bucket into the same single hash aggregate; min_doc_count "
+     "composes as a post-aggregate filter. The nullable field here "
+     "is a left-joined order segment (customers with no finished "
+     "orders read NULL).")
+def a3cr_es_terms_missing_param(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    seg = (es_search(o, {"term": {"o_orderstatus": "F"}})
+           .select("o_custkey",
+                   F.when(F.col("o_totalprice") >= 200000, "big")
+                   .otherwise("small").alias("seg"))
+           .distinct())
+    j = (c.join(seg, c.c_custkey == seg.o_custkey, "left")
+         .groupBy("c_custkey").agg(F.min("seg").alias("seg")))
+    return es_aggregate(j, {
+        "segments": {"terms": {"field": "seg", "size": 5,
+                               "missing": "(none)"}}})

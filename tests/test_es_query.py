@@ -1573,3 +1573,84 @@ def test_has_parent_inner_hits_hand_checked(spark):
     with pytest.raises(ValueError, match="_source"):
         es_has_parent(children, parents, "pid", "ppid",
                       {"match_all": {}}, inner_hits={})
+
+
+def test_wave_five_hand_checked(spark):
+    """collapse inner_hits (winner + capped group hits, distinct
+    inner sort), bucket_count_ks_test (hand CDFs + arity guard),
+    terms missing/min_doc_count params, random_sampler/geohash/
+    bucket_correlation basics."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_aggregate,
+        es_bucket_correlation,
+        es_bucket_count_ks_test,
+        es_collapse,
+        es_geohash_grid,
+        es_random_sampler,
+        geohash_column,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", 1, 9.0), ("g1", 2, 5.0), ("g1", 3, 7.0), ("g1", 4, 1.0),
+         ("g2", 5, 6.0)],
+        "key string, id long, score double")
+    out = es_collapse(
+        df, None, "key", [("score", "desc"), ("id", "asc")], 10,
+        inner_hits={"size": 2, "sort": [("score", "asc"), ("id", "asc")],
+                    "_source": ["id"], "name": "alts"})
+    got = {r["key"]: r for r in out.collect()}
+    assert got["g1"]["id"] == 1                        # winner by score desc
+    # inner sort ASC: the two LOWEST scores, ids 4 (1.0) then 2 (5.0)
+    assert [h["id"] for h in got["g1"]["alts"]] == [4, 2]
+    assert [h["id"] for h in got["g2"]["alts"]] == [5]
+    with pytest.raises(ValueError, match="total-order 'sort'"):
+        es_collapse(df, None, "key", [("score", "desc")], 10,
+                    inner_hits={"_source": ["id"]})
+
+    # ks_test: equal counts vs uniform fractions -> D = 0; skewed
+    # fractions -> hand value; wrong arity -> empty (ES validation)
+    b = spark.createDataFrame([("a", 10), ("b", 10), ("c", 20)],
+                              "key string, doc_count long")
+    r, = es_bucket_count_ks_test(b, [0.25, 0.25, 0.5]).collect()
+    assert r["d_statistic"] == 0.0 and r["n_buckets"] == 3
+    r, = es_bucket_count_ks_test(b, [0.5, 0.25, 0.25]).collect()
+    # emp cdf .25/.5/1 vs exp .5/.75/1 -> D = .25
+    assert r["d_statistic"] == 0.25
+    assert es_bucket_count_ks_test(b, [0.5, 0.5]).count() == 0
+
+    # bucket_correlation: perfect linear series -> r = 1
+    bb = spark.createDataFrame([("a", 1.0), ("b", 2.0), ("c", 3.0)],
+                               "key string, m double")
+    r, = es_bucket_correlation(bb, "m", [10.0, 20.0, 30.0]).collect()
+    assert r["correlation"] == 1.0
+    assert es_bucket_correlation(bb, "m", [1.0]).count() == 0
+
+    # terms missing + min_doc_count
+    t = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None), (4, "y")], "id long, f string")
+    rows = {r["key"]: r["doc_count"] for r in es_aggregate(
+        t, {"b": {"terms": {"field": "f", "missing": "(none)"}}}).collect()}
+    assert rows == {"x": 2, "(none)": 1, "y": 1}
+    rows = {r["key"]: r["doc_count"] for r in es_aggregate(
+        t, {"b": {"terms": {"field": "f", "min_doc_count": 2}}}).collect()}
+    assert rows == {"x": 2}
+
+    # random_sampler: p=1 keeps everything, doc_count_est == doc_count
+    r, = es_random_sampler(t, "id", 1.0, {"hi": ("max", "id")}).collect()
+    assert r["doc_count"] == 4 and r["doc_count_est"] == 4.0
+    assert r["hi"] == 4
+    with pytest.raises(ValueError, match="probability"):
+        es_random_sampler(t, "id", 0.0, {})
+
+    # geohash: known value - (lat 42.605, lon -5.603) starts 'ezs'
+    g = spark.createDataFrame([(42.605, -5.603)], "lat double, lon double")
+    v, = g.select(geohash_column(F.col("lat"), F.col("lon"), 3)
+                  .alias("h")).collect()
+    assert v["h"] == "ezs"
+    gg = g.withColumn("location", F.struct("lat", "lon"))
+    r, = es_geohash_grid(gg, "location", 3).collect()
+    assert r["key"] == "ezs" and r["doc_count"] == 1

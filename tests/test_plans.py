@@ -301,6 +301,9 @@ _BOUNDED_WINDOW_ALLOWED = {
     # index its indicator vector - the same calendar-bounded class
     # (yearly buckets; the indicator arity pins the cardinality).
     "a3cm_es_bucket_correlation",
+    # bucket_count_ks_test: running CDFs over the same yearly bucket
+    # table (fraction arity pins the cardinality).
+    "a3cq_es_bucket_count_ks_test",
 }
 
 
