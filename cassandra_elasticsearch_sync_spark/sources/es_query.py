@@ -239,6 +239,16 @@ def compile_query(q: dict, resolve=None) -> Column:
         field = _span_field({kind: body})
         toks = F.split(F.lower(resolve(field)), " ")
         return F.size(_span_intervals(toks, {kind: body})) > 0
+    if kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query (the escape
+        # hatch clients use to embed queries in places that cannot
+        # carry raw JSON). Decoded ONCE at compile time and recursed -
+        # zero runtime cost, full pushdown for whatever it wraps.
+        import base64
+        import json as _json
+
+        inner = _json.loads(base64.b64decode(body["query"]))
+        return compile_query(inner, resolve)
     if kind == "intervals":
         # ES intervals query: the minimal-interval algebra (match /
         # any_of / all_of with ordered + max_gaps containment) over
@@ -6991,3 +7001,141 @@ def a3cr_es_terms_missing_param(spark, sf_dir):
     return es_aggregate(j, {
         "segments": {"terms": {"field": "seg", "size": 5,
                                "missing": "(none)"}}})
+
+
+# ---------------------------------------------------------------------------
+# Round 9 wave six: pinned query / wrapper query / percentiles_bucket
+# ---------------------------------------------------------------------------
+
+def es_pinned_search(df: DataFrame, id_col: str, ids: list,
+                     organic: dict, sort: list[tuple[str, str]],
+                     size: int = 10) -> DataFrame:
+    """ES ``pinned`` query: the listed documents rank FIRST, in the
+    order given, above the organic results - the promoted-results
+    query behind every commerce search page. A pinned doc surfaces
+    even if the organic query would not match it (ES's semantics);
+    organic hits follow by the caller's sort (total order required,
+    the usual tiebreak contract). Compiles to ONE scan: match =
+    organic OR id-in-pins, rank = array_position over the literal id
+    list (0 -> +inf so organic sorts after every pin), then a single
+    TakeOrderedAndProject - no union, no second pass."""
+    if not ids:
+        raise ValueError("pinned needs at least one id")
+    pos = F.array_position(
+        F.array(*[F.lit(v) for v in ids]), F.col(id_col))
+    pin_rank = F.when(pos > 0, pos).otherwise(F.lit(len(ids) + 1))
+    order = [(F.col(c).desc() if d == "desc" else F.col(c).asc())
+             for c, d in sort]
+    organic_pred = compile_query(organic)
+    return (df.filter(organic_pred | (pos > 0))
+            .withColumn("_pin_rank", pin_rank)
+            .orderBy(F.col("_pin_rank").asc(), *order)
+            .limit(int(size))
+            .drop("_pin_rank"))
+
+
+def es_percentiles_bucket(buckets: DataFrame, metric: str,
+                          percents: list[float]) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline agg: exact
+    percentiles OF a sibling metric across the bucket series - 'the
+    p90 monthly revenue'. One single-row aggregate over the
+    bucket-count-sized table; exact interpolation (both engines
+    interpolate the middle pair identically on exact doubles), the
+    same D6 discipline as boxplot."""
+    aggs = []
+    for p in percents:
+        tag = f"p{int(p)}" if float(p).is_integer() else f"p{p}"
+        aggs.append(F.round(
+            F.percentile(F.col(metric).cast("double"),
+                         F.lit(float(p) / 100.0)), 6).alias(tag))
+    return buckets.agg(F.count("*").alias("n_buckets"), *aggs)
+
+
+@register("a3cs_es_pinned", "A3+F3", """
+WITH pins AS (
+  SELECT CAST(k AS BIGINT) AS o_orderkey, pin
+  FROM (VALUES (7, 1), (12098, 2), (4, 3)) AS t(k, pin)
+),
+hits AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+         COALESCE(p.pin, 4) AS pin
+  FROM orders o LEFT JOIN pins p ON o.o_orderkey = p.o_orderkey
+  WHERE (o.o_orderstatus = 'F' AND o.o_totalprice > 350000)
+     OR p.pin IS NOT NULL
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM hits
+ORDER BY pin ASC, o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""", "ES pinned query - promoted results: orders 7, 12098, 4 rank "
+     "first IN THAT ORDER (pinned docs surface even when the organic "
+     "query would exclude them - ES's semantics, reproduced), then "
+     "the organic high-value finished orders by price. Compiles to "
+     "ONE scan (organic OR id-in-pins), rank via array_position "
+     "over the literal id list, a single TakeOrderedAndProject - no "
+     "union, no second pass; the id list is compile-time bounded so "
+     "the filter pushes like any IN.")
+def a3cs_es_pinned(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_pinned_search(
+        o, "o_orderkey", [7, 12098, 4],
+        {"bool": {"filter": [
+            {"term": {"o_orderstatus": "F"}},
+            {"range": {"o_totalprice": {"gt": 350000}}},
+        ]}},
+        sort=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        size=10,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register("a3ct_es_wrapper", "A3+B3", """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 400000
+""", "ES wrapper query: the same bool/term/range body, base64-"
+     "encoded the way clients embed queries where raw JSON cannot "
+     "travel (URL params, YAML configs, X-Pack watches). Decoded "
+     "ONCE at compile time and recursed through the normal "
+     "compiler - zero runtime cost, and the wrapped range still "
+     "lands as a parquet PushedFilter exactly as if sent unwrapped.")
+def a3ct_es_wrapper(spark, sf_dir):
+    import base64
+    import json as _json
+
+    o = load_table(spark, sf_dir, "orders")
+    inner = {"bool": {"filter": [
+        {"term": {"o_orderstatus": "F"}},
+        {"range": {"o_totalprice": {"gte": 400000}}},
+    ]}}
+    encoded = base64.b64encode(_json.dumps(inner).encode()).decode()
+    return es_search(o, {"wrapper": {"query": encoded}}).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register("a3cu_es_percentiles_bucket", "A3+D6", """
+WITH buckets AS (
+  SELECT STRFTIME(o_orderdate, '%Y-%m') AS key,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT COUNT(*) AS n_buckets,
+       ROUND(QUANTILE_CONT(revenue, 0.25), 6) AS p25,
+       ROUND(QUANTILE_CONT(revenue, 0.5), 6) AS p50,
+       ROUND(QUANTILE_CONT(revenue, 0.9), 6) AS p90
+FROM buckets
+""", "ES percentiles_bucket sibling pipeline agg: the p25/p50/p90 of "
+     "MONTHLY REVENUE across the bucket series - 'what does a "
+     "typical month look like', the sibling family's distribution "
+     "member (a3ao covers min/max/avg/sum). One single-row aggregate "
+     "over the bucket-count-sized table; exact interpolation on "
+     "decimal-exact bucket sums, both engines interpolating the "
+     "middle pair identically.")
+def a3cu_es_percentiles_bucket(spark, sf_dir):
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    buckets = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                         .alias("key"))
+               .agg(dsum("o_totalprice", 2).alias("revenue")))
+    return es_percentiles_bucket(buckets, "revenue", [25.0, 50.0, 90.0])

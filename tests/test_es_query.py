@@ -1654,3 +1654,45 @@ def test_wave_five_hand_checked(spark):
     gg = g.withColumn("location", F.struct("lat", "lon"))
     r, = es_geohash_grid(gg, "location", 3).collect()
     assert r["key"] == "ezs" and r["doc_count"] == 1
+
+
+def test_wave_six_hand_checked(spark):
+    """pinned (pin order above organic, pins surface even when
+    organic excludes them), wrapper (decode + recurse, malformed
+    fails loudly), percentiles_bucket (hand quartiles)."""
+    import base64
+    import json
+
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_percentiles_bucket,
+        es_pinned_search,
+        es_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 90.0), (3, 50.0), (4, 70.0), (5, 30.0)],
+        "id long, v double")
+
+    out = es_pinned_search(
+        df, "id", [5, 3], {"range": {"v": {"gte": 60.0}}},
+        sort=[("v", "desc"), ("id", "asc")], size=10).collect()
+    # pins 5 then 3 (both FAIL the organic filter yet surface), then
+    # organic 2 (90) and 4 (70) by v desc
+    assert [r["id"] for r in out] == [5, 3, 2, 4]
+    with pytest.raises(ValueError, match="at least one id"):
+        es_pinned_search(df, "id", [], {"match_all": {}}, sort=[])
+
+    enc = base64.b64encode(
+        json.dumps({"range": {"v": {"gt": 60.0}}}).encode()).decode()
+    assert {r["id"] for r in
+            es_search(df, {"wrapper": {"query": enc}}).collect()} == {2, 4}
+    with pytest.raises(Exception):
+        es_search(df, {"wrapper": {"query": "bm90IGpzb24="}}).collect()
+
+    b = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", 30.0), ("d", 40.0)],
+        "key string, m double")
+    r, = es_percentiles_bucket(b, "m", [50.0, 100.0]).collect()
+    assert r["n_buckets"] == 4 and r["p50"] == 25.0 and r["p100"] == 40.0
