@@ -7139,3 +7139,110 @@ def a3cu_es_percentiles_bucket(spark, sf_dir):
                          .alias("key"))
                .agg(dsum("o_totalprice", 2).alias("revenue")))
     return es_percentiles_bucket(buckets, "revenue", [25.0, 50.0, 90.0])
+
+
+# ---------------------------------------------------------------------------
+# Round 9 wave seven: filtered aliases / _msearch
+# ---------------------------------------------------------------------------
+
+_ALIASES: dict[str, tuple] = {}
+
+
+def es_put_alias(name: str, load, filter_query: dict | None = None,
+                 routing=None) -> None:
+    """ES filtered alias: a named view = (index, optional filter) -
+    the multi-tenant / soft-partition idiom (one physical index, one
+    alias per tenant with a term filter). ``load`` is a callable
+    (spark, sf_dir) -> DataFrame (the index side); the filter
+    compiles lazily per search so pushdown composes with the query.
+    ``routing`` is accepted and IGNORED with a loud error - routing
+    changes shard targeting, which has no analogue here; silently
+    accepting it would misrepresent a performance contract."""
+    if routing is not None:
+        raise ValueError("alias routing is a shard-targeting hint with "
+                         "no analogue in this engine; remove it")
+    _ALIASES[name] = (load, filter_query)
+
+
+def es_search_alias(spark, sf_dir: str, alias: str, query: dict,
+                    now=None) -> DataFrame:
+    """Search THROUGH an alias: the alias filter ANDs with the query
+    (ES's semantics - the filter is invisible to the caller), both
+    compiled into one scan predicate so pushdown sees the
+    conjunction."""
+    if alias not in _ALIASES:
+        raise ValueError(f"unknown alias {alias!r}")
+    load, fq = _ALIASES[alias]
+    df = load(spark, sf_dir)
+    if fq is not None:
+        query = {"bool": {"filter": [fq, query]}}
+    return es_search(df, query, now=now)
+
+
+def es_msearch(df: DataFrame, searches: dict[str, dict]) -> DataFrame:
+    """ES ``_msearch``: several queries in ONE request - the
+    dashboard pattern (every panel's query batched into one round
+    trip). Compiles to ONE scan: an array of when(pred, query_id)
+    literals compacted and exploded (the percolate shape), so a
+    document matching k of the n queries emits k (query_id, doc)
+    rows and the corpus is read once, not n times."""
+    if not searches:
+        raise ValueError("_msearch needs at least one search")
+    tags = F.array_compact(F.array(*[
+        F.when(compile_query(q), F.lit(qid))
+        for qid, q in searches.items()
+    ]))
+    return (df.withColumn("query_id", F.explode(tags)))
+
+
+@register("a3cv_es_filtered_alias", "A3+B2", """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE lang = 'de'
+  AND contains(' ' || lower(text) || ' ', ' merge ')
+""", "ES filtered alias - the multi-tenant idiom: alias 'docs_de' = "
+     "documents + {term: {lang: de}}, searched with a match query "
+     "the caller writes WITHOUT knowing the filter exists. The alias "
+     "filter ANDs into the same compiled predicate, so the scan "
+     "applies the conjunction in one pass and pushdown sees both "
+     "sides. Alias routing (a shard-targeting hint with no analogue "
+     "here) is rejected loudly, not silently dropped.")
+def a3cv_es_filtered_alias(spark, sf_dir):
+    es_put_alias("docs_de",
+                 lambda s, d: load_table(s, d, "documents"),
+                 {"term": {"lang": "de"}})
+    return es_search_alias(
+        spark, sf_dir, "docs_de", {"match_phrase": {"text": "merge"}}
+    ).select("doc_id", "source", "n_chars")
+
+
+@register("a3cw_es_msearch", "A3+B3", """
+SELECT q.query_id, o.o_orderkey, o.o_totalprice
+FROM orders o
+JOIN (VALUES ('urgent_big'), ('low_small'), ('open_any')) AS q(query_id)
+  ON (q.query_id = 'urgent_big' AND o.o_orderpriority = '1-URGENT'
+      AND o.o_totalprice > 300000)
+  OR (q.query_id = 'low_small' AND o.o_orderpriority = '5-LOW'
+      AND o.o_totalprice < 5000)
+  OR (q.query_id = 'open_any' AND o.o_orderstatus = 'O'
+      AND o.o_totalprice > 450000)
+""", "ES _msearch: three dashboard-panel queries batched into ONE "
+     "request - and ONE scan: an array of when(pred, query_id) "
+     "literals compacted and exploded (the percolate shape), so a "
+     "document matching k panels emits k rows and the corpus is "
+     "read once, not three times. The oracle restates it as a "
+     "VALUES join; at 100 TB the single-scan shape is the entire "
+     "point of _msearch.")
+def a3cw_es_msearch(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_msearch(o, {
+        "urgent_big": {"bool": {"filter": [
+            {"term": {"o_orderpriority": "1-URGENT"}},
+            {"range": {"o_totalprice": {"gt": 300000}}}]}},
+        "low_small": {"bool": {"filter": [
+            {"term": {"o_orderpriority": "5-LOW"}},
+            {"range": {"o_totalprice": {"lt": 5000}}}]}},
+        "open_any": {"bool": {"filter": [
+            {"term": {"o_orderstatus": "O"}},
+            {"range": {"o_totalprice": {"gt": 450000}}}]}},
+    }).select("query_id", "o_orderkey", "o_totalprice")

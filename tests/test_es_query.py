@@ -1696,3 +1696,44 @@ def test_wave_six_hand_checked(spark):
         "key string, m double")
     r, = es_percentiles_bucket(b, "m", [50.0, 100.0]).collect()
     assert r["n_buckets"] == 4 and r["p50"] == 25.0 and r["p100"] == 40.0
+
+
+def test_alias_and_msearch_hand_checked(spark):
+    """Filtered alias: filter invisible to the caller, ANDs into the
+    query; routing rejected. _msearch: k matches -> k rows, one scan
+    (no Exchange in the plan), empty batch rejected."""
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        _ALIASES,
+        es_msearch,
+        es_put_alias,
+        es_search_alias,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 99.0), (3, "b", 99.0)],
+        "id long, tenant string, v double")
+    es_put_alias("t_a", lambda s, d: df, {"term": {"tenant": "a"}})
+    try:
+        out = es_search_alias(spark, "-", "t_a",
+                              {"range": {"v": {"gte": 50.0}}})
+        assert {r.id for r in out.collect()} == {2}   # 3 blocked by alias
+        with pytest.raises(ValueError, match="routing"):
+            es_put_alias("t_r", lambda s, d: df, routing="x")
+        with pytest.raises(ValueError, match="unknown alias"):
+            es_search_alias(spark, "-", "ghost", {"match_all": {}})
+    finally:
+        _ALIASES.pop("t_a", None)
+
+    out = es_msearch(df, {
+        "big": {"range": {"v": {"gte": 50.0}}},
+        "ten_a": {"term": {"tenant": "a"}},
+    })
+    got = sorted((r["query_id"], r["id"]) for r in out.collect())
+    # doc 2 matches BOTH queries -> two rows
+    assert got == [("big", 2), ("big", 3), ("ten_a", 1), ("ten_a", 2)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # one scan, no shuffle
+    with pytest.raises(ValueError, match="at least one"):
+        es_msearch(df, {})
