@@ -1195,6 +1195,44 @@ class AcidParquetTable:
                       cluster_by=m.get("cluster_by"))
         return clone
 
+    def deep_clone(self, target_root: str) -> "AcidParquetTable":
+        """CREATE TABLE ... CLONE (deep): shallow_clone's independent
+        sibling - the clone COPIES every live data entry (and pending
+        merge-on-read delete file) under its own root and remaps the
+        manifest, so it owns its bytes: vacuuming or dropping the
+        SOURCE can never break it (the exact hazard the shallow-clone
+        docstring documents). Cost is proportional to live bytes -
+        Delta's deep-clone trade. Stats and the seq ledger carry over
+        keyed to the REMAPPED paths; per-entry copy keeps the
+        manifest unit identical, so pruning/merge behavior on the
+        clone is byte-for-byte the source's."""
+        import shutil
+
+        base = self.current_version()
+        m = self._manifest(base)
+        clone = AcidParquetTable(self.spark, target_root)
+        if clone.current_version() != 0:
+            raise ValueError(f"{target_root} already has commits")
+        mapping: dict[str, str] = {}
+        for d in m["files"]:
+            nd = os.path.join(clone.root, _DATA, uuid.uuid4().hex)
+            shutil.copytree(d, nd)
+            mapping[d] = nd
+        new_deletes = []
+        for e in m.get("deletes", []):
+            nd = os.path.join(clone.root, _DATA, uuid.uuid4().hex)
+            shutil.copytree(e["path"], nd)
+            new_deletes.append({**e, "path": nd})
+        remap = lambda k: mapping.get(k, k)  # noqa: E731
+        clone._commit(
+            0, [mapping[d] for d in m["files"]],
+            StructType.fromJson(m["schema"]),
+            {remap(k): v for k, v in m.get("stats", {}).items()},
+            seq={remap(k): v for k, v in m.get("seq", {}).items()},
+            deletes=new_deletes,
+            cluster_by=m.get("cluster_by"))
+        return clone
+
     # -- CHECK constraints -------------------------------------------------
 
     _CONSTRAINTS = "constraints.json"

@@ -82,7 +82,10 @@ def _parse_using(clause: str | None) -> tuple[int | None, int | None]:
         raise CqlError(f"unsupported USING option: {part!r}")
     return (ttl, ts)
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.+?)\s*"
+    # optional column list = Cassandra's CELL delete
+    # (DELETE price, tags FROM t WHERE ...); absent = row delete
+    r"^\s*DELETE\s+(?:(?P<cols>[A-Za-z_][\w]*(?:\s*,\s*\w+)*)\s+)?"
+    r"FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.+?)\s*"
     r"(?P<ie>IF\s+EXISTS)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -331,6 +334,23 @@ def parse_cql_dml(stmt: str, key_cols: list[str]) -> list[CqlWrite]:
     m = _DELETE_RE.match(stmt)
     if m:
         key = _parse_where_key(m.group("where"), key_cols, m.group("table"))
+        if m.group("cols"):
+            # CELL delete (DELETE price, tags FROM ...): the listed
+            # cells null out; the row's OTHER cells survive. Lowered
+            # to a null-cell write GUARDED ON ROW EXISTENCE - in
+            # Cassandra a pure cell tombstone never makes a missing
+            # row visible, whereas an unguarded upsert-write of nulls
+            # would (the same reason UPDATE creates rows but DELETE
+            # col does not). Primary key columns cannot be deleted,
+            # Cassandra's rule.
+            names = [c.strip().lower()
+                     for c in m.group("cols").split(",") if c.strip()]
+            for c in names:
+                if c in key_cols:
+                    raise CqlError(
+                        f"cannot delete primary key column {c!r}")
+            return [CqlWrite("W", m.group("table").lower(), key,
+                             {c: None for c in names}, "exists")]
         return [CqlWrite("D", m.group("table").lower(), key, {},
                          "exists" if m.group("ie") else None)]
     raise CqlError(f"unsupported CQL DML statement: {stmt!r}")
@@ -989,5 +1009,54 @@ def a2ad_cql_counter_increments(spark, sf_dir):
         stmts.append("UPDATE counters SET hits = hits - 5 WHERE key = 3")
         apply_cql_writes(t, ["key"], stmts)
         return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("a2ag_cql_cell_delete", "A2+B6", """
+SELECT c_custkey AS cust_id,
+       CASE WHEN c_custkey % 7 = 0 THEN NULL
+            ELSE c_mktsegment END AS segment,
+       CASE WHEN c_custkey % 5 = 0 OR c_custkey % 7 = 0 THEN NULL
+            ELSE c_acctbal END AS bal
+FROM customer WHERE c_custkey <= 300
+""", "Cassandra CELL deletes through the DML path: DELETE bal FROM "
+     "... nulls ONE cell and leaves the row's other cells alive "
+     "(multi-column form deletes several), and a cell delete on a "
+     "MISSING key provably creates no row - in Cassandra a pure "
+     "cell tombstone never makes a row visible, so the statement "
+     "lowers to a null-cell write GUARDED on row existence (the "
+     "same merge branch that no-ops absent-key deletes), not an "
+     "upsert. Deleting a primary key column raises, Cassandra's "
+     "rule. All deletes fold into the same single CoW merge commit "
+     "as every other write; the hash pins per-row cell survival.")
+def a2ag_cql_cell_delete(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+
+    root = tempfile.mkdtemp(prefix="ces_cql_celldel_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        base = (c.filter(F.col("c_custkey") <= 300)
+                .select(F.col("c_custkey").alias("cust_id"),
+                        F.col("c_mktsegment").alias("segment"),
+                        F.col("c_acctbal").alias("bal")))
+        t = AcidParquetTable(spark, root)
+        t.init(base)
+        keys = [r["cust_id"] for r in base.select("cust_id").collect()]
+        stmts = (
+            [f"DELETE bal FROM p WHERE cust_id = {k}"
+             for k in keys if k % 5 == 0]
+            + [f"DELETE segment, bal FROM p WHERE cust_id = {k}"
+               for k in keys if k % 7 == 0]
+            # missing key: the guarded write must NOT create a row
+            + ["DELETE bal FROM p WHERE cust_id = 999999"]
+        )
+        apply_cql_writes(t, ["cust_id"], stmts)
+        return (t.read()
+                .select("cust_id", "segment", "bal")
+                .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(root, ignore_errors=True)

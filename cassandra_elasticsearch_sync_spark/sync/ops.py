@@ -2456,3 +2456,46 @@ def l38_sync_lag_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
         return eng.ledger_df().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("l39_acid_deep_clone", "A7+L1", _SIDES_SQL + """
+SELECT key,
+       CASE WHEN key % 10 = 0 THEN price * 0.5 ELSE price END AS price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S') AS version_s
+FROM side_a
+""", "DEEP CLONE on the ACID store - shallow's independent sibling: "
+     "the clone COPIES every live entry under its own root (asserted "
+     "in-query: its entry set is DISJOINT from the source's), so it "
+     "owns its bytes and survives source vacuum/drop - the hazard "
+     "shallow documents. The same what-if merge then runs on the "
+     "clone after the SOURCE is vacuumed with a zero horizon; the "
+     "read back proves full independence. Stats and the seq ledger "
+     "remap to the copied paths, so pruning/merge behavior is "
+     "byte-for-byte the source's.")
+def l39_acid_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import AcidParquetTable
+
+    root = tempfile.mkdtemp(prefix="ces_acid_dsrc_")
+    clone_root = tempfile.mkdtemp(prefix="ces_acid_deep_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(side_a(spark, sf_dir))
+        shutil.rmtree(clone_root, ignore_errors=True)
+        c = t.deep_clone(clone_root)
+        if set(c._manifest(1)["files"]) & set(t._manifest(1)["files"]):
+            raise AssertionError("deep clone must copy, not re-point")
+        # obliterate the source entirely - the deep clone must not care
+        shutil.rmtree(root, ignore_errors=True)
+        what_if = (side_a(spark, sf_dir)
+                   .filter(F.col("key") % 10 == 0)
+                   .withColumn("price", F.col("price") * 0.5))
+        c.merge_into(what_if, ["key"], assume_unique_keys=True)
+        return c.read().select(
+            "key", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(clone_root, ignore_errors=True)

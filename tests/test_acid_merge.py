@@ -1136,3 +1136,44 @@ def test_write_path_action_count_pinned(spark, tmp_path):
         assert t.read().count() == 150
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_deep_clone_owns_its_bytes(spark, tmp_path):
+    """Deep clone: same data, independent versioning, and - the whole
+    point vs shallow - the clone SURVIVES source vacuum/drop because
+    it copied the bytes; writes on either side stay invisible to the
+    other."""
+    import shutil
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+
+    src = AcidParquetTable(spark, str(tmp_path / "src"))
+    src.init(spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k long, v long"))
+    src.merge_into(spark.createDataFrame([(5, 555)], "k long, v long"),
+                   ["k"])
+
+    clone = src.deep_clone(str(tmp_path / "deep"))
+    assert clone.read().count() == 50
+    assert clone.read().filter("k = 5").collect()[0]["v"] == 555
+    assert clone.current_version() == 1            # fresh history
+
+    # clone writes never touch the source and vice versa
+    clone.merge_into(spark.createDataFrame([(5, 9)], "k long, v long"),
+                     ["k"])
+    assert src.read().filter("k = 5").collect()[0]["v"] == 555
+    src.merge_into(spark.createDataFrame([(6, 7)], "k long, v long"),
+                   ["k"])
+    assert clone.read().filter("k = 6").collect()[0]["v"] == 60
+
+    # obliterate the source entirely: the deep clone still reads
+    shutil.rmtree(str(tmp_path / "src"))
+    assert clone.read().count() == 50
+    assert clone.read().filter("k = 5").collect()[0]["v"] == 9
+
+    # refuses to clone over an existing table
+    import pytest
+    with pytest.raises(ValueError, match="already has commits"):
+        clone.deep_clone(str(tmp_path / "deep"))

@@ -430,3 +430,42 @@ def test_counter_plus_assignment_error_message(spark, tmp_path):
             "UPDATE c SET tags = tags + {'b'} WHERE key = 1",
             "UPDATE c SET tags = ['z'] WHERE key = 1",
         ])
+
+
+def test_cell_delete_hand_checked(spark, tmp_path):
+    """DELETE col FROM: nulls the listed cells, leaves others alive,
+    NEVER creates a row for a missing key (a pure cell tombstone is
+    invisible in Cassandra), and rejects pk columns."""
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import CqlError
+    from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+        apply_cql_writes,
+        parse_cql_dml,
+    )
+
+    t = AcidParquetTable(spark, str(tmp_path / "cd"))
+    t.init(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)],
+        "key long, name string, price double"))
+    apply_cql_writes(t, ["key"], [
+        "DELETE price FROM c WHERE key = 1",
+        "DELETE name, price FROM c WHERE key = 2",
+        "DELETE price FROM c WHERE key = 777",     # missing key
+    ])
+    got = {r["key"]: r for r in t.read().collect()}
+    assert set(got) == {1, 2}                      # no row 777 created
+    assert got[1]["name"] == "a" and got[1]["price"] is None
+    assert got[2]["name"] is None and got[2]["price"] is None
+
+    w, = parse_cql_dml("DELETE price FROM c WHERE key = 1", ["key"])
+    assert w.kind == "W" and w.sets == {"price": None} \
+        and w.condition == "exists"
+    # row delete still parses as before
+    w, = parse_cql_dml("DELETE FROM c WHERE key = 1", ["key"])
+    assert w.kind == "D"
+    with pytest.raises(CqlError, match="primary key"):
+        parse_cql_dml("DELETE key FROM c WHERE key = 1", ["key"])
