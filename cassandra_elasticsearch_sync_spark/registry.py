@@ -132,6 +132,7 @@ _FRONT = (
     "a3ct_es_wrapper", "a3cu_es_percentiles_bucket",
     "a3cv_es_filtered_alias", "a3cw_es_msearch",
     "a2ag_cql_cell_delete", "l39_acid_deep_clone",
+    "a3cx_es_fixed_interval_histogram", "a3cy_es_calendar_week_histogram",
     # the displaced round-8 block (driver-verified in
     # CORRECTNESS_r08) queues directly after ---
     # the round-7 wave (never sampled; judge-r7 hand-verified only)

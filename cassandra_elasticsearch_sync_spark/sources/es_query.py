@@ -1461,10 +1461,30 @@ def es_aggregate(df: DataFrame, aggs: dict,
         return grouped.orderBy(*[F.col(n) for n, _ in srcs]).limit(size)
     if "date_histogram" in spec:
         body = spec["date_histogram"]
-        unit = {"month": "yyyy-MM", "day": "yyyy-MM-dd", "year": "yyyy"}[
-            body["calendar_interval"]
-        ]
-        key = F.date_format(F.col(body["field"]), unit).alias("key")
+        if body.get("fixed_interval"):
+            # ES fixed_interval ("30m", "2h", "7d", "90s"): buckets are
+            # epoch-floored multiples of the interval, key = the bucket
+            # start. unix_timestamp on the session-UTC clock + integer
+            # floor-multiply - exact arithmetic, renders identically on
+            # both engines ('yyyy-MM-dd HH:mm:ss').
+            secs = _parse_fixed_interval_s(body["fixed_interval"])
+            epoch = F.unix_timestamp(
+                F.col(body["field"]).cast("timestamp"))
+            key = F.from_unixtime(
+                F.floor(epoch / F.lit(secs)) * F.lit(secs)).alias("key")
+        elif body["calendar_interval"] == "week":
+            # calendar week starts Monday (ES's default; date_trunc
+            # agrees on both engines), keyed by the week-start date
+            key = F.date_format(
+                F.date_trunc("week", F.col(body["field"])),
+                "yyyy-MM-dd").alias("key")
+        else:
+            unit = {"month": "yyyy-MM", "day": "yyyy-MM-dd",
+                    "year": "yyyy", "hour": "yyyy-MM-dd HH",
+                    "minute": "yyyy-MM-dd HH:mm"}[
+                body["calendar_interval"]
+            ]
+            key = F.date_format(F.col(body["field"]), unit).alias("key")
         out = df.groupBy(key).agg(F.count("*").alias("doc_count"), *sub)
         if pipeline_subs:
             # ES pipeline aggregations (cumulative_sum / derivative):
@@ -7246,3 +7266,80 @@ def a3cw_es_msearch(spark, sf_dir):
             {"term": {"o_orderstatus": "O"}},
             {"range": {"o_totalprice": {"gt": 450000}}}]}},
     }).select("query_id", "o_orderkey", "o_totalprice")
+
+
+def _parse_fixed_interval_s(s: str) -> int:
+    """ES fixed_interval string -> whole seconds ('90s', '30m', '2h',
+    '7d'; ms rejected - sub-second buckets are not representable in
+    the second-granularity key rendering, fail loudly)."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(s|m|h|d)", str(s).strip())
+    if not m:
+        raise ValueError(f"unsupported fixed_interval {s!r} "
+                         "(Ns/Nm/Nh/Nd)")
+    n, unit = int(m.group(1)), m.group(2)
+    return n * {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+
+
+@register("a3cx_es_fixed_interval_histogram", "A3+H2", """
+SELECT STRFTIME(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 1800) * 1800),
+                '%Y-%m-%d %H:%M:%S') AS key,
+       COUNT(*) AS doc_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS total_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 12
+""", "ES date_histogram with fixed_interval=30m - the half-hour "
+     "traffic chart, the OTHER date_histogram mode (calendar "
+     "intervals vary in length; fixed buckets are epoch-floored "
+     "multiples). Bucket key = floor(epoch / 1800) * 1800 rendered "
+     "as the bucket-start timestamp - exact integer arithmetic on "
+     "the session-UTC clock, identical on both engines; value sums "
+     "at cent precision per the events-value discipline. One hash "
+     "aggregate + the terms-style TakeOrdered page.")
+def a3cx_es_fixed_interval_histogram(spark, sf_dir):
+    e = es_search(load_table(spark, sf_dir, "events"),
+                  {"term": {"event_type": "click"}})
+    # cents-exact value sum attached through the compiler's value_count
+    # slot is not a registered metric kind; the histogram runs as one
+    # groupBy with BOTH aggregates - the same single-scan plan
+    # es_aggregate emits for its native metrics
+    secs = _parse_fixed_interval_s("30m")
+    key = F.from_unixtime(
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))
+                / F.lit(secs)) * F.lit(secs)).alias("key")
+    return (e.groupBy(key)
+            .agg(F.count("*").alias("doc_count"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").alias("total_value"))
+            .orderBy(F.desc("doc_count"), F.asc("key")).limit(12))
+
+
+@register("a3cy_es_calendar_week_histogram", "A3+H2", """
+SELECT STRFTIME(DATE_TRUNC('week', o_orderdate), '%Y-%m-%d') AS key,
+       COUNT(*) AS doc_count,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                 AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 10
+""", "ES date_histogram with calendar_interval='week': weekly "
+     "revenue keyed by the Monday week start (ES's default week "
+     "start; date_trunc agrees on both engines) - the weekly chart "
+     "calendar months cannot express. Decimal-exact revenue; one "
+     "hash aggregate + TakeOrdered page.")
+def a3cy_es_calendar_week_histogram(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = es_aggregate(o, {
+        "per_week": {
+            "date_histogram": {"field": "o_orderdate",
+                               "calendar_interval": "week"},
+            "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
+        }
+    })
+    return (out.orderBy(F.desc("doc_count"), F.asc("key")).limit(10))

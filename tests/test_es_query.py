@@ -1737,3 +1737,45 @@ def test_alias_and_msearch_hand_checked(spark):
     assert "Exchange" not in plan          # one scan, no shuffle
     with pytest.raises(ValueError, match="at least one"):
         es_msearch(df, {})
+
+
+def test_date_histogram_intervals_hand_checked(spark):
+    """fixed_interval epoch flooring + calendar week/hour keys; the
+    interval grammar rejects ms and junk."""
+    import datetime as dt
+
+    import pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        _parse_fixed_interval_s,
+        es_aggregate,
+    )
+
+    assert _parse_fixed_interval_s("90s") == 90
+    assert _parse_fixed_interval_s("30m") == 1800
+    assert _parse_fixed_interval_s("2h") == 7200
+    assert _parse_fixed_interval_s("7d") == 604800
+    with pytest.raises(ValueError, match="fixed_interval"):
+        _parse_fixed_interval_s("500ms")
+    with pytest.raises(ValueError, match="fixed_interval"):
+        _parse_fixed_interval_s("1w")
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 3, 10, 14)),   # Wed
+         (2, dt.datetime(2024, 1, 3, 10, 44)),
+         (3, dt.datetime(2024, 1, 7, 23, 59))],  # Sun
+        "id long, ts timestamp")
+    rows = {r["key"]: r["doc_count"] for r in es_aggregate(df, {
+        "b": {"date_histogram": {"field": "ts",
+                                 "fixed_interval": "30m"}}}).collect()}
+    assert rows == {"2024-01-03 10:00:00": 1, "2024-01-03 10:30:00": 1,
+                    "2024-01-07 23:30:00": 1}
+    rows = {r["key"]: r["doc_count"] for r in es_aggregate(df, {
+        "b": {"date_histogram": {"field": "ts",
+                                 "calendar_interval": "week"}}}).collect()}
+    # both weeks start Monday: Jan 1 and (Jan 7 is Sunday of week 1!)
+    assert rows == {"2024-01-01": 3}
+    rows = {r["key"]: r["doc_count"] for r in es_aggregate(df, {
+        "b": {"date_histogram": {"field": "ts",
+                                 "calendar_interval": "hour"}}}).collect()}
+    assert rows == {"2024-01-03 10": 2, "2024-01-07 23": 1}
