@@ -1612,6 +1612,15 @@ def es_aggregate(df: DataFrame, aggs: dict,
         # interval is integral; one grouped aggregate either way.
         body = spec["histogram"]
         field, interval = body["field"], body["interval"]
+        if "hard_bounds" in body:
+            # ES hard_bounds: CLIP the histogram to [min, max] -
+            # documents outside the bounds are dropped before
+            # bucketing (the opposite of extended_bounds, which only
+            # widens). A pre-filter, so it composes with pushdown and
+            # the extended_bounds scaffold alike.
+            hb = body["hard_bounds"]
+            df = df.filter((F.col(field) >= F.lit(hb["min"]))
+                           & (F.col(field) <= F.lit(hb["max"])))
         key = (F.floor(F.col(field) / F.lit(interval))
                * F.lit(interval)).cast("double").alias("key")
         out = df.groupBy(key).agg(F.count("*").alias("doc_count"), *sub)

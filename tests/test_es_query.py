@@ -1779,3 +1779,19 @@ def test_date_histogram_intervals_hand_checked(spark):
         "b": {"date_histogram": {"field": "ts",
                                  "calendar_interval": "hour"}}}).collect()}
     assert rows == {"2024-01-03 10": 2, "2024-01-07 23": 1}
+
+
+def test_histogram_hard_bounds(spark):
+    """hard_bounds CLIPS (docs outside dropped before bucketing) -
+    the opposite of extended_bounds, which only widens."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_aggregate,
+    )
+
+    df = spark.createDataFrame([(v,) for v in (5, 15, 25, 95, 105)],
+                               "v long")
+    rows = {r["key"]: r["doc_count"] for r in es_aggregate(df, {
+        "b": {"histogram": {"field": "v", "interval": 10,
+                            "hard_bounds": {"min": 10, "max": 100}}}
+    }).collect()}
+    assert rows == {10.0: 1, 20.0: 1, 90.0: 1}   # 5 and 105 clipped
