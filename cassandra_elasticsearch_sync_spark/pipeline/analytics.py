@@ -1595,7 +1595,7 @@ s AS (
   FROM u
 )
 SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
-       monetary, r_score, f_score, m_score,
+       CAST(monetary AS DOUBLE) AS monetary, r_score, f_score, m_score,
        CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2
               THEN 'champion'
             WHEN r_score >= 4 AND f_score >= 4 THEN 'lapsed'
@@ -1651,9 +1651,14 @@ def k_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("m_score") <= 2), "champion")
            .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "lapsed")
            .otherwise("core"))
+    # ranks run on the exact decimal; the OUTPUT casts to double per
+    # parity.py (driver pandas-canonicalization can't hash Decimals
+    # consistently with DuckDB's float64) - cent values are exact in
+    # double, nothing is lost
     return s.select("user_id", "recency_days",
                     F.col("frequency").cast("bigint").alias("frequency"),
-                    "monetary", "r_score", "f_score", "m_score",
+                    F.col("monetary").cast("double").alias("monetary"),
+                    "r_score", "f_score", "m_score",
                     seg.alias("segment"))
 
 

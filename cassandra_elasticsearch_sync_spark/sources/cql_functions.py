@@ -119,6 +119,7 @@ class CqlUda:
     sfunc_arg_names: tuple    # sfunc's VALUE argument names (state excl.)
     initcond: float | int | None
     finalfunc: "CqlUdf | None"
+    sfunc_name: str = ""      # for the still-referenced DDL guard
 
     def agg_column(self, args: list[Column]) -> Column:
         if len(args) != len(self.arg_types):
@@ -217,6 +218,16 @@ def create_function(ddl: str) -> CqlUdf:
         if not m.group("replace"):
             raise CqlError(f"function {name!r} already exists "
                            "(use CREATE OR REPLACE or IF NOT EXISTS)")
+        # Cassandra's still-referenced rule (ADVICE r9): replacing a
+        # function bound as an aggregate's SFUNC/FINALFUNC would leave
+        # the UDA on the body tokens captured at create_aggregate
+        # time - a silent stale binding. Reject like Cassandra does.
+        refs = _aggregates_referencing(name)
+        if refs:
+            raise CqlError(
+                f"function {name!r} is still referenced by aggregate"
+                f"{'s' if len(refs) > 1 else ''} {', '.join(refs)} "
+                "(drop the aggregate first, Cassandra's rule)")
     if m.group("lang").lower() != "java":
         raise CqlError(f"LANGUAGE {m.group('lang')!r} unsupported "
                        "(the arithmetic subset is declared as java)")
@@ -350,12 +361,30 @@ def create_aggregate(ddl: str) -> CqlUda:
     uda = CqlUda(name=name, arg_types=arg_types, stype=stype, fold=fold,
                  map_toks=map_toks,
                  sfunc_arg_names=tuple(sfunc.arg_names[1:]),
-                 initcond=init, finalfunc=final)
+                 initcond=init, finalfunc=final, sfunc_name=sfunc.name)
     _AGGREGATES[name] = uda
     return uda
 
 
+def _aggregates_referencing(fn_name: str) -> list[str]:
+    """Registered aggregates binding ``fn_name`` as SFUNC/FINALFUNC."""
+    n = fn_name.lower()
+    return sorted(
+        a.name for a in _AGGREGATES.values()
+        if a.sfunc_name == n
+        or (a.finalfunc is not None and a.finalfunc.name == n))
+
+
 def drop_function(name: str, if_exists: bool = False) -> None:
+    # Cassandra rejects dropping a function an aggregate still binds
+    # (InvalidRequest 'still referenced by') - the check precedes the
+    # existence pop so a referenced function is never half-dropped
+    refs = _aggregates_referencing(name)
+    if refs:
+        raise CqlError(
+            f"function {name!r} is still referenced by aggregate"
+            f"{'s' if len(refs) > 1 else ''} {', '.join(refs)} "
+            "(drop the aggregate first, Cassandra's rule)")
     if _FUNCTIONS.pop(name.lower(), None) is None and not if_exists:
         raise CqlError(f"function {name!r} does not exist")
 

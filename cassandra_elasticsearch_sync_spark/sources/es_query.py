@@ -371,7 +371,26 @@ def compile_query(q: dict, resolve=None) -> Column:
         # whitespace analyzer that is the space-padded substring match
         # WITHOUT the trailing pad: ' merge jo' matches any token
         # starting 'jo' right after 'merge'. One contains(), codegen.
+        #
+        # DOCUMENTED DIVERGENCE (ADVICE r9, same class as the BM25 /
+        # rank_feature notes): real ES expands the last term against
+        # at most max_expansions=50 candidate index terms and can
+        # MISS matches beyond that cap; this compiler's prefix match
+        # is unbounded, i.e. a strict superset of ES's recall and the
+        # semantically-intended answer. An EXPLICIT max_expansions in
+        # the body is rejected loudly - the index-term-order cap is
+        # unrepresentable without a term dictionary - rather than
+        # parsed-and-ignored.
         (field, text), = body.items()
+        if isinstance(text, dict):
+            if "max_expansions" in text:
+                raise ValueError(
+                    "match_phrase_prefix max_expansions is "
+                    "unrepresentable without an index term dictionary "
+                    "(this compiler's expansion is unbounded - a "
+                    "recall superset of ES's 50-term default); drop "
+                    "the parameter")
+            text = text["query"]
         phrase = " ".join(str(text).lower().split())
         padded = F.concat(F.lit(" "), F.lower(resolve(field)), F.lit(" "))
         return padded.contains(f" {phrase}")
@@ -1613,14 +1632,20 @@ def es_aggregate(df: DataFrame, aggs: dict,
         body = spec["histogram"]
         field, interval = body["field"], body["interval"]
         if "hard_bounds" in body:
-            # ES hard_bounds: CLIP the histogram to [min, max] -
-            # documents outside the bounds are dropped before
-            # bucketing (the opposite of extended_bounds, which only
-            # widens). A pre-filter, so it composes with pushdown and
-            # the extended_bounds scaffold alike.
+            # ES hard_bounds: CLIP the histogram to [min, max] BY
+            # BUCKET KEY, not raw value - HistogramAggregator counts
+            # a doc iff min <= floor(value/interval)*interval <= max,
+            # so with interval 10 and max 100 a doc at 105 keys to
+            # bucket 100 and IS counted (ADVICE r9). The filter is on
+            # the computed key expression, still a scan-level
+            # predicate (pushdown-friendly conjunction of range
+            # comparisons on a deterministic projection) that
+            # composes with the extended_bounds scaffold.
             hb = body["hard_bounds"]
-            df = df.filter((F.col(field) >= F.lit(hb["min"]))
-                           & (F.col(field) <= F.lit(hb["max"])))
+            bkey = (F.floor(F.col(field) / F.lit(interval))
+                    * F.lit(interval))
+            df = df.filter((bkey >= F.lit(hb["min"]))
+                           & (bkey <= F.lit(hb["max"])))
         key = (F.floor(F.col(field) / F.lit(interval))
                * F.lit(interval)).cast("double").alias("key")
         out = df.groupBy(key).agg(F.count("*").alias("doc_count"), *sub)
@@ -3194,7 +3219,7 @@ def a3ad_es_geo_distance(spark, sf_dir):
 )
 SELECT CONCAT('4/', CAST(tx AS VARCHAR), '/', CAST(ty AS VARCHAR)) AS tile,
        COUNT(*) AS doc_count,
-       CAST(SUM(bal) AS DECIMAL(38, 2)) AS sum_acctbal
+       CAST(CAST(SUM(bal) AS DECIMAL(38, 2)) AS DOUBLE) AS sum_acctbal
 FROM t GROUP BY tx, ty
 ORDER BY doc_count DESC, tile LIMIT 40
 """, "ES geotile_grid aggregation at zoom 4: buckets are slippy-map "
@@ -3221,7 +3246,8 @@ def a3ae_es_geotile_grid(spark, sf_dir):
                     F.col("c_acctbal").cast("decimal(18,2)").alias("bal"))
             .groupBy("tx", "ty")
             .agg(F.count("*").alias("doc_count"),
-                 F.sum("bal").cast("decimal(38,2)").alias("sum_acctbal"))
+                 F.sum("bal").cast("decimal(38,2)").cast("double")
+                 .alias("sum_acctbal"))
             .select(F.concat_ws("/", F.lit("4"), "tx", "ty").alias("tile"),
                     "doc_count", "sum_acctbal")
             .orderBy(F.desc("doc_count"), "tile")
@@ -3274,7 +3300,7 @@ def a3af_es_percentile_ranks(spark, sf_dir):
   FROM geo
 )
 SELECT ring, COUNT(*) AS doc_count,
-       CAST(SUM(bal) AS DECIMAL(38,2)) AS sum_acctbal
+       CAST(CAST(SUM(bal) AS DECIMAL(38,2)) AS DOUBLE) AS sum_acctbal
 FROM (
   SELECT CASE WHEN dist_m < 2000000.0 THEN '*-2000km'
               WHEN dist_m < 6000000.0 THEN '2000km-6000km'
@@ -3303,7 +3329,8 @@ def a3ag_es_geo_distance_rings(spark, sf_dir):
                      F.col("c_acctbal").cast("decimal(18,2)").alias("bal"))
             .groupBy("ring")
             .agg(F.count("*").alias("doc_count"),
-                 F.sum("bal").cast("decimal(38,2)").alias("sum_acctbal"))
+                 F.sum("bal").cast("decimal(38,2)").cast("double")
+                 .alias("sum_acctbal"))
             .orderBy("ring"))
 
 
@@ -3351,8 +3378,8 @@ SELECT key, doc_count, sum_price
 FROM (
   SELECT o_orderstatus || '|' || o_orderpriority AS key,
          COUNT(*) AS doc_count,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-           AS sum_price
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
   FROM orders
   GROUP BY o_orderstatus, o_orderpriority
 )
@@ -3369,7 +3396,7 @@ def a3ah_es_multi_terms(spark, sf_dir):
     return (o.groupBy("o_orderstatus", "o_orderpriority")
             .agg(F.count("*").alias("doc_count"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("sum_price"))
+                 .cast("decimal(38,2)").cast("double").alias("sum_price"))
             .select(F.concat_ws("|", "o_orderstatus", "o_orderpriority")
                     .alias("key"), "doc_count", "sum_price")
             .orderBy(F.desc("doc_count"), "key")
@@ -5439,9 +5466,9 @@ per_parent AS (
 ),
 hits AS (
   SELECT l_orderkey,
-         list(CAST(l_linenumber AS VARCHAR) || ':'
-              || CAST(CAST(l_quantity AS INT) AS VARCHAR)
-              ORDER BY rnk) AS children
+         string_agg(CAST(l_linenumber AS VARCHAR) || ':'
+                    || CAST(CAST(l_quantity AS INT) AS VARCHAR),
+                    '|' ORDER BY rnk) AS children
   FROM matching WHERE rnk <= 3 GROUP BY 1
 )
 SELECT o.o_orderkey, o.o_orderpriority, p.n_children, h.children
@@ -5461,8 +5488,11 @@ LIMIT 15
      "the aggregate's, so Spark reuses the exchange and a skewed "
      "parent contributes at most 3 structs; n_children still counts "
      "ALL matching children (the cap is response-only, exactly ES). "
-     "The hits project to strings for the cross-engine hash; the "
-     "ORDER-SENSITIVE list compare proves cap + sort determinism.")
+     "The hits flatten to ONE '|'-joined string column (the d7 "
+     "array_join discipline - the driver canonicalizes through "
+     "pandas, where list cells are unhashable); the ORDER-SENSITIVE "
+     "join still proves cap + sort determinism. The rich "
+     "array<struct> shape stays on the es_has_child library API.")
 def a3bu_es_has_child_inner_hits(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -5486,7 +5516,7 @@ def a3bu_es_has_child_inner_hits(spark, sf_dir):
     return (
         out.select("o_orderkey", "o_orderpriority",
                    F.col("children_total").alias("n_children"),
-                   hit_str.alias("children"))
+                   F.array_join(hit_str, "|").alias("children"))
         .orderBy(F.col("n_children").desc(), F.col("o_orderkey").asc())
         .limit(15)
     )
@@ -5504,9 +5534,9 @@ WITH m AS (
 SELECT o.o_orderkey, o.o_totalprice, h.items_hits
 FROM orders o
 JOIN (SELECT l_orderkey,
-             list(CAST(l_linenumber AS VARCHAR) || ':'
-                  || CAST(l_extendedprice AS VARCHAR)
-                  ORDER BY rnk) AS items_hits
+             string_agg(CAST(l_linenumber AS VARCHAR) || ':'
+                        || CAST(l_extendedprice AS VARCHAR),
+                        '|' ORDER BY rnk) AS items_hits
       FROM m WHERE rnk <= 2 GROUP BY 1) h
   ON o.o_orderkey = h.l_orderkey
 """, "ES nested query WITH inner_hits over an array-of-objects "
@@ -5518,8 +5548,9 @@ JOIN (SELECT l_orderkey,
      "JVM higher-order lambdas over the one array column: no "
      "explode, no shuffle, no UDF, per-document constant work at any "
      "corpus size. The oracle rebuilds the same hits from un-nested "
-     "rows with a ranked window; the ORDER-SENSITIVE list compare "
-     "proves element sort + cap determinism.")
+     "rows with a ranked window; the hits flatten to ONE '|'-joined "
+     "string (driver-canonicalizable - pandas can't hash list cells) "
+     "whose ORDER-SENSITIVE join proves element sort + cap.")
 def a3bz_es_nested_inner_hits(spark, sf_dir):
     docs = order_docs_with_items(spark, sf_dir)
     out = es_nested_inner_hits(
@@ -5541,7 +5572,7 @@ def a3bz_es_nested_inner_hits(spark, sf_dir):
             ":", s["l_linenumber"].cast("string"),
             s["l_extendedprice"].cast("string")))
     return out.select("o_orderkey", "o_totalprice",
-                      hit_str.alias("items_hits"))
+                      F.array_join(hit_str, "|").alias("items_hits"))
 
 
 @register("a3bj_es_has_child", "A3+C4", """
@@ -6495,8 +6526,8 @@ ranked AS (
 counts AS (SELECT c_nationkey, COUNT(*) AS doc_count FROM geo GROUP BY 1),
 lines AS (
   SELECT c_nationkey,
-         list(FORMAT('{:.4f}', lat) || ',' || FORMAT('{:.4f}', lon)
-              ORDER BY rnk) AS line
+         string_agg(FORMAT('{:.4f}', lat) || ',' || FORMAT('{:.4f}', lon),
+                    '|' ORDER BY rnk) AS line
   FROM ranked WHERE rnk <= 5 GROUP BY 1
 )
 SELECT c.c_nationkey AS key, c.doc_count, l.line
@@ -6514,9 +6545,14 @@ LIMIT 8
      "bucket contributes 5 structs.")
 def a3cj_es_geo_line(spark, sf_dir):
     g = _customer_geo(spark, sf_dir)
-    return es_geo_line(g, bucket_field="c_nationkey",
-                       point_field="location", sort_field="c_custkey",
-                       size=5, buckets=8)
+    out = es_geo_line(g, bucket_field="c_nationkey",
+                      point_field="location", sort_field="c_custkey",
+                      size=5, buckets=8)
+    # driver-canonicalizable shape: the linestring flattens to ONE
+    # '|'-joined string (pandas can't hash list cells); the library
+    # API keeps the array-of-points shape
+    return out.select("key", "doc_count",
+                      F.array_join("line", "|").alias("line"))
 
 
 @register("a3ck_es_frequent_item_sets", "A3+C9+K1", """
@@ -6826,7 +6862,7 @@ def a3cn_es_random_sampler(spark, sf_dir):
 
 @register("a3co_es_has_parent_inner_hits", "A3+C1", """
 SELECT l.l_orderkey, l.l_linenumber,
-       [CAST(o.o_orderkey AS VARCHAR) || ':' || o.o_orderpriority]
+       CAST(o.o_orderkey AS VARCHAR) || ':' || o.o_orderpriority
          AS parent
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -6836,8 +6872,9 @@ WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 400000
      "unique, so unlike has_child there is no cap/sort dimension - "
      "passing sort/size raises instead of being ignored). The parent "
      "side joins as exactly (key, hit-struct) - two columns at any "
-     "parent width; the hit renders to a string for the cross-engine "
-     "hash. Completes the inner_hits family: has_child (a3bu), "
+     "parent width; the 1-element hits array flattens to its single "
+     "string (driver-canonicalizable - pandas can't hash list "
+     "cells). Completes the inner_hits family: has_child (a3bu), "
      "nested (a3bz), has_parent (this).")
 def a3co_es_has_parent_inner_hits(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
@@ -6855,7 +6892,7 @@ def a3co_es_has_parent_inner_hits(spark, sf_dir):
         lambda s: F.concat_ws(":", s["o_orderkey"].cast("string"),
                               s["o_orderpriority"]))
     return out.select("l_orderkey", "l_linenumber",
-                      hit_str.alias("parent"))
+                      F.array_join(hit_str, "|").alias("parent"))
 
 
 def es_bucket_count_ks_test(buckets: DataFrame,
@@ -6907,8 +6944,9 @@ winners AS (
 ),
 grp AS (
   SELECT key,
-         list(CAST(o_orderkey AS VARCHAR) || ':'
-              || CAST(o_totalprice AS VARCHAR) ORDER BY rn) AS offers
+         string_agg(CAST(o_orderkey AS VARCHAR) || ':'
+                    || CAST(o_totalprice AS VARCHAR),
+                    '|' ORDER BY rn) AS offers
   FROM hits WHERE rn <= 3 GROUP BY 1
 )
 SELECT w.key, w.o_orderkey, w.o_totalprice, g.offers
@@ -6941,7 +6979,7 @@ def a3cp_es_collapse_inner_hits(spark, sf_dir):
         lambda s: F.concat_ws(":", s["o_orderkey"].cast("string"),
                               s["o_totalprice"].cast("string")))
     return out.select("key", "o_orderkey", "o_totalprice",
-                      hit_str.alias("offers"))
+                      F.array_join(hit_str, "|").alias("offers"))
 
 
 _KS_FRACTIONS = [0.07, 0.15, 0.15, 0.15, 0.15, 0.18, 0.15]
@@ -7295,8 +7333,8 @@ def _parse_fixed_interval_s(s: str) -> int:
 SELECT STRFTIME(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 1800) * 1800),
                 '%Y-%m-%d %H:%M:%S') AS key,
        COUNT(*) AS doc_count,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
-         AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS total_value
 FROM events
 WHERE event_type = 'click'
 GROUP BY 1
@@ -7324,7 +7362,8 @@ def a3cx_es_fixed_interval_histogram(spark, sf_dir):
     return (e.groupBy(key)
             .agg(F.count("*").alias("doc_count"),
                  F.sum(F.col("value").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("total_value"))
+                 .cast("decimal(38,2)").cast("double")
+                 .alias("total_value"))
             .orderBy(F.desc("doc_count"), F.asc("key")).limit(12))
 
 

@@ -420,7 +420,13 @@ def es_scripted_metric(df: DataFrame, spec: dict,
         fold, toks = folds[var]
         expr = _Parser(list(toks), doc_resolve).expr()
         if fold == "sum":
-            c = dsum(expr, 6)
+            # the reduce-local seed ('double t = 100;') is well-defined
+            # for a sum: the reduce runs ONCE on the coordinator, so
+            # the seed adds exactly once regardless of shard count
+            # (unlike an init_script sum seed, rejected above). Before
+            # ADVICE r9 a nonzero seed was parsed then silently
+            # dropped - a silent wrong answer on accepted input.
+            c = F.lit(float(r_seeds.get(local, 0.0))) + dsum(expr, 6)
         elif fold == "max":
             c = F.greatest(F.lit(float(max(init[var],
                                            r_seeds.get(local, init[var])))),

@@ -941,8 +941,8 @@ def i9d_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 @register("i11_exactly_once_acid_sink", "I10+A7", """
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
-         AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS total_value
 FROM events
 GROUP BY event_type
 """, "Exactly-once streaming into the ACID store on top of "
@@ -1011,8 +1011,14 @@ def i11_exactly_once_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         await_bounded(q, 300)
+        # store state rides decimals (cent-exact increments); the
+        # RESULT casts to double per the parity.py discipline - the
+        # driver canonicalizes through pandas, where object-Decimal
+        # cells hash-diverge from DuckDB's float64
         return (t.read()
-                .select("event_type", "n_events", "total_value")
+                .select("event_type", "n_events",
+                        F.col("total_value").cast("double")
+                        .alias("total_value"))
                 .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(checkpoint, ignore_errors=True)

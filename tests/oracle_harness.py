@@ -18,6 +18,27 @@ DESCRIBE type -> exact Spark simpleString, e.g. BIGINT<->bigint,
 DOUBLE<->double); any oracle column whose DuckDB type has no faithful
 Spark twin (HUGEINT, JSON, ...) or maps to a different Spark type is
 a mismatch even when every value compares equal.
+
+Round-10 hardening (VERDICT r9's root-cause finding): the r9 driver
+`err`s (a3bu/a3bz) were ARRAY-typed output columns - the driver
+canonicalizes through pandas, where a list cell raises
+`TypeError: unhashable type` inside `sort_values`' factorize - and
+six never-sampled queries leaked raw DECIMAL outputs, which pandas
+materializes as object-Decimal cells that hash-diverge from DuckDB's
+float64 even when value-identical. Neither was visible here because
+this harness normalized via Python-native `str(v)` on
+`collect()`/`fetchall()` rows, which happily stringifies both. Two
+layers close the gap:
+
+1. ``compare()`` now REJECTS any oracle-checked Spark output whose
+   schema carries array/map/struct or decimal fields
+   (``driver_unsafe_fields``) - so the registry-wide parity pass
+   (test_oracle_parity over all oracle-backed queries, and
+   tools/parity_sweep.py) kills the class before the driver sees it.
+2. ``pandas_compare()`` is a driver-faithful compare mode (toPandas /
+   `.df()`, sorted columns, multi-column sort_values, pandas' own
+   row hash) that reproduces both failure shapes on demand; its
+   meta-tests live in tests/test_driver_canonical.py.
 """
 
 from __future__ import annotations
@@ -87,6 +108,23 @@ def type_mismatches(spark_df, con, oracle) -> list[str]:
     return out
 
 
+def driver_unsafe_fields(schema) -> list[str]:
+    """Output fields the driver's pandas canonicalizer cannot hash
+    faithfully: array/map/struct (unhashable list/dict cells -> the
+    r9 `err` rows) and decimal (object-Decimal vs DuckDB float64 ->
+    value-identical hash mismatch). Oracle-checked queries must
+    flatten/cast these at the edge; the rich types stay on the
+    library APIs."""
+    out = []
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if s.startswith(("array<", "map<", "struct<", "decimal(")):
+            out.append(f"driver-unsafe output: {f.name} is {s} "
+                       "(flatten via array_join/to_json or cast "
+                       "decimal->double at the query edge)")
+    return out
+
+
 def _norm_cell(v) -> str:
     if v is None:
         return "<null>"
@@ -133,6 +171,7 @@ def compare(name, spark_df, con, oracle, max_report=5) -> CompareResult:
     o_rows = rel.fetchall()
 
     mismatches = type_mismatches(spark_df, con, oracle)
+    mismatches.extend(driver_unsafe_fields(spark_df.schema))
     if sorted(s_cols) != sorted(o_cols):
         mismatches.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         return CompareResult(name, False, len(s_rows), len(o_rows), mismatches)
@@ -151,3 +190,65 @@ def compare(name, spark_df, con, oracle, max_report=5) -> CompareResult:
     if not mismatches and sn != on:
         mismatches.append("multiset differs (duplicate multiplicities)")
     return CompareResult(name, not mismatches, len(sn), len(on), mismatches)
+
+
+def _pandas_canon(df):
+    """The driver's canonicalization, faithfully: sort columns by
+    name, multi-column sort_values (factorize-backed - list cells
+    raise TypeError here, exactly the r9 driver `err`), then pandas'
+    own per-row value hash (object-Decimal and float64 hash
+    DIFFERENTLY even when value-equal). Datetime columns normalize to
+    microseconds first so a pandas-version us/ns resolution split
+    can't manufacture a false diff."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    df = df.reset_index(drop=True)
+    return pd.util.hash_pandas_object(df, index=False).tolist()
+
+
+def pandas_compare(name, spark_df, con, oracle,
+                   max_report=5) -> CompareResult:
+    """Driver-faithful twin of ``compare()``: both results travel the
+    pandas path (Spark ``toPandas``, DuckDB ``.df()``) and hash with
+    pandas' own hasher - the exact route the driver takes, where the
+    `str(v)`-based ``compare()`` was blind to unhashable list cells
+    and object-Decimal/float64 splits (VERDICT r9)."""
+    try:
+        sp = spark_df.toPandas()
+    except Exception as e:  # noqa: BLE001 - any conversion failure is a driver err
+        return CompareResult(name, False, -1, -1,
+                             [f"driver-err (spark toPandas): {e!r}"])
+    op = con.execute(oracle).df()
+    mismatches = []
+    if sorted(sp.columns) != sorted(op.columns):
+        mismatches.append(
+            f"columns differ: spark={sorted(sp.columns)} "
+            f"oracle={sorted(op.columns)}")
+        return CompareResult(name, False, len(sp), len(op), mismatches)
+    try:
+        sh = _pandas_canon(sp)
+    except TypeError as e:
+        return CompareResult(
+            name, False, len(sp), len(op),
+            [f"driver-err (unhashable spark cell): {e!r}"])
+    try:
+        oh = _pandas_canon(op)
+    except TypeError as e:
+        return CompareResult(
+            name, False, len(sp), len(op),
+            [f"driver-err (unhashable oracle cell): {e!r}"])
+    if len(sh) != len(oh):
+        mismatches.append(f"row counts differ: {len(sh)} vs {len(oh)}")
+    elif sh != oh:
+        bad = [i for i, (a, b) in enumerate(zip(sh, oh)) if a != b]
+        mismatches.append(
+            f"pandas value-hash differs on {len(bad)} of {len(sh)} "
+            f"rows (first at sorted row {bad[0]})")
+    return CompareResult(name, not mismatches, len(sh), len(oh),
+                         mismatches)

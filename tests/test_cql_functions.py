@@ -173,6 +173,35 @@ def test_uda_rules_fail_closed():
     drop_aggregate("ghost", if_exists=True)
     with pytest.raises(CqlError, match="does not exist"):
         drop_aggregate("ghost")
+    # still-referenced rule (ADVICE r9): a function bound as an
+    # aggregate's SFUNC (or FINALFUNC) can be neither DROPPED nor
+    # CREATE-OR-REPLACEd - Cassandra's InvalidRequest; a replace
+    # would leave the UDA on the stale body tokens captured at
+    # create_aggregate time
+    _mkfn("fin1", args="a bigint", ret="double",
+          body="return a / 2.0;")
+    create_aggregate("CREATE AGGREGATE refd(int) SFUNC step "
+                     "STYPE bigint FINALFUNC fin1 INITCOND 0")
+    with pytest.raises(CqlError, match="still referenced by aggregate"):
+        drop_function("step")
+    with pytest.raises(CqlError, match="still referenced by aggregate"):
+        drop_function("fin1")
+    with pytest.raises(CqlError, match="still referenced by aggregate"):
+        _mkfn("step", prefix="OR REPLACE ",
+              args="state bigint, v int", ret="bigint",
+              body="return state + v + v;")
+    # IF NOT EXISTS on a referenced name stays a no-op return, never
+    # a mutation - still allowed
+    create_function("CREATE FUNCTION IF NOT EXISTS step"
+                    "(state bigint, v int) RETURNS NULL ON NULL INPUT "
+                    "RETURNS bigint LANGUAGE java "
+                    "AS 'return state + v;'")
+    # dropping the aggregate releases both functions
+    drop_aggregate("refd")
+    _mkfn("step", prefix="OR REPLACE ",
+          args="state bigint, v int", ret="bigint",
+          body="return state + v;")
+    drop_function("fin1")
 
 
 def test_max_min_folds(spark):

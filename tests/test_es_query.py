@@ -1376,6 +1376,19 @@ def test_match_phrase_prefix_hand_checked(spark):
     got = {r.id for r in df.filter(
         compile_query({"match_phrase_prefix": {"text": "joi"}})).collect()}
     assert got == {1, 2, 4, 5}
+    # object form {query: ...} accepted, like match/match_phrase
+    got = {r.id for r in df.filter(compile_query(
+        {"match_phrase_prefix": {"text": {"query": "merge jo"}}})).collect()}
+    assert got == {1, 2, 3}
+    # an explicit max_expansions is REJECTED loudly (ADVICE r9): the
+    # index-term-order cap is unrepresentable without a term
+    # dictionary; this compiler's expansion is unbounded (recall
+    # superset of ES's 50-term default), documented - never a
+    # parsed-and-ignored parameter
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_expansions"):
+        compile_query({"match_phrase_prefix": {
+            "text": {"query": "merge jo", "max_expansions": 50}}})
 
 
 def test_scoring_tier_hand_checked(spark):
@@ -1782,8 +1795,11 @@ def test_date_histogram_intervals_hand_checked(spark):
 
 
 def test_histogram_hard_bounds(spark):
-    """hard_bounds CLIPS (docs outside dropped before bucketing) -
-    the opposite of extended_bounds, which only widens."""
+    """hard_bounds CLIPS by BUCKET KEY, not raw value (ADVICE r9):
+    ES's HistogramAggregator counts a doc iff min <= floor(value /
+    interval) * interval <= max, so with interval 10 and max 100 the
+    doc at 105 keys to bucket 100 and SURVIVES, while 5 (key 0 < 10)
+    is dropped - the opposite of extended_bounds, which only widens."""
     from cassandra_elasticsearch_sync_spark.sources.es_query import (
         es_aggregate,
     )
@@ -1794,4 +1810,5 @@ def test_histogram_hard_bounds(spark):
         "b": {"histogram": {"field": "v", "interval": 10,
                             "hard_bounds": {"min": 10, "max": 100}}}
     }).collect()}
-    assert rows == {10.0: 1, 20.0: 1, 90.0: 1}   # 5 and 105 clipped
+    # 5 clipped (key 0); 105 kept (key 100 is inside the bounds)
+    assert rows == {10.0: 1, 20.0: 1, 90.0: 1, 100.0: 1}

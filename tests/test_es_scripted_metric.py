@@ -57,6 +57,18 @@ def test_scripted_metric_hand_checked(spark):
     }).collect()
     assert len(out) == 1 and out[0]["value"] == 1.0
 
+    # a nonzero REDUCE-local seed on a sum is well-defined (the reduce
+    # runs once on the coordinator) and must be honored, not silently
+    # dropped (ADVICE r9): 'double t = 100' -> 100 + sum(x)
+    out = es_scripted_metric(df, {
+        "init_script": "state.t = 0;",
+        "map_script": "state.t += doc['x'].value;",
+        "combine_script": "return state",
+        "reduce_script": "double t = 100; for (s in states) "
+                         "{ t += s.t; } return t;",
+    }).collect()
+    assert len(out) == 1 and out[0]["value"] == 167.0  # 100 + 67
+
     # the whole "script" is Catalyst expressions - no Python eval node
     plan = es_scripted_metric(df, CANON, group_by="g") \
         ._jdf.queryExecution().executedPlan().toString()
