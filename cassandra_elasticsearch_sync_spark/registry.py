@@ -72,6 +72,51 @@ def register(name: str, survey_id: str, oracle: str | None, doc: str = ""):
 # 164/442; this block converts 46 more. Previously-verified blocks
 # (r5, r4, r1-r3) sit directly after for larger budgets.
 _FRONT = (
+    # ROTATION (round 10, VERDICT r9 #3): eighth rotation. The r9
+    # driver sample went 48/50 with 2 shape-errs (a3bu/a3bz array
+    # outputs); this front-50 is flagship + 49 never-driver-GREEN
+    # keys, led by the 11 repaired driver-canonicalization keys (the
+    # five flattened array outputs incl. the two errs, the six
+    # decimal->double casts - the driver must record the green rows
+    # that close the defect), then the five round-10 additions
+    # (reverse_nested, variable_width_histogram,
+    # cumulative_cardinality, normalize, point_in_time), the
+    # remaining never-sampled r9 wave-two block, and the K6 codec
+    # tail without driver rows. Cumulative driver-verified keys
+    # after r9: 357/522; this block converts up to 49 more
+    # (target >= 406).
+    "flagship_pricing_summary",
+    # the 11 repaired driver-canonicalization keys
+    "a3bu_es_has_child_inner_hits", "a3bz_es_nested_inner_hits",
+    "a3co_es_has_parent_inner_hits", "a3cp_es_collapse_inner_hits",
+    "a3cj_es_geo_line", "a3cx_es_fixed_interval_histogram",
+    "a3ae_es_geotile_grid", "a3ag_es_geo_distance_rings",
+    "a3ah_es_multi_terms", "i11_exactly_once_acid_sink",
+    "k_rfm_segmentation",
+    # the round-10 additions
+    "a3cz_es_reverse_nested", "a3da_es_variable_width_histogram",
+    "a3db_es_cumulative_cardinality", "a3dc_es_normalize",
+    "a3dd_es_point_in_time",
+    # r9 wave-two, never driver-sampled (judge-r9 hand checks only)
+    "a3ca_es_match_phrase_prefix", "a3cb_es_script_score",
+    "a3cc_es_rank_feature", "a3cd_es_distance_feature",
+    "a3ce_es_children_agg", "a3cf_es_parent_id", "a3cg_es_t_test",
+    "a3ch_es_missing_agg", "a3ci_es_runtime_mappings",
+    "a3ck_es_frequent_item_sets", "a3cl_es_geohash_grid",
+    "a3cm_es_bucket_correlation", "a3cn_es_random_sampler",
+    "a3cq_es_bucket_count_ks_test", "a3cr_es_terms_missing_param",
+    "a3cs_es_pinned", "a3ct_es_wrapper", "a3cu_es_percentiles_bucket",
+    "a3cv_es_filtered_alias", "a3cw_es_msearch",
+    "a3cy_es_calendar_week_histogram",
+    "a2ag_cql_cell_delete", "l39_acid_deep_clone",
+    # K6 codec tail without driver rows
+    "k6u_jpeg_subsampling_decode", "k6w_jpeg_progressive_restart_decode",
+    "k6m_jpeg_progressive_decode", "k6n_jpeg_progressive_chroma_decode",
+    "k6j_jpeg_chroma_decode", "k6l_png_palette_decode",
+    "k6p_gif_interlaced_decode", "k6q_bmp_pixel_decode",
+    "k6s_tiff_strip_decode", "k6h_mp4_box_parse",
+    # --- end of the round-10 front-50; the r9 front (driver-verified
+    # in CORRECTNESS_r09) and older blocks queue directly after ---
     # ROTATION (round 9, VERDICT r8 #1): seventh rotation, BREADTH.
     # 186 of 494 keys had never produced a driver row at the r8 close
     # (308 cumulative); the front-50 is flagship + 49 never-sampled

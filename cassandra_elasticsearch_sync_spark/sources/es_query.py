@@ -7391,3 +7391,369 @@ def a3cy_es_calendar_week_histogram(spark, sf_dir):
         }
     })
     return (out.orderBy(F.desc("doc_count"), F.asc("key")).limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Round 10 wave one: the nested/histogram/pipeline-agg tail the r9
+# verdict named - reverse_nested, variable_width_histogram,
+# cumulative_cardinality, normalize, point_in_time
+# ---------------------------------------------------------------------------
+
+
+def es_reverse_nested_terms(parent_df: DataFrame, child_df: DataFrame, *,
+                            parent_key: str, child_key: str,
+                            term_field: str, child_query: dict | None = None,
+                            parent_metric_field: str | None = None,
+                            size: int = 10) -> DataFrame:
+    """ES ``reverse_nested`` aggregation: bucket by a NESTED (child)
+    field, then step back to PARENT scope inside each bucket - 'for
+    each item category, how many ORDERS carry one, and what do those
+    orders average'. The member of the nested-agg family a user with
+    nested mappings hits as soon as they bucket parents by child
+    terms (nested query/inner_hits and the nested agg itself landed
+    in r9; this completes the family).
+
+    Per child-term bucket ES reports doc_count = the number of NESTED
+    docs, while the reverse_nested sub-agg reports doc_count = the
+    number of PARENT docs (a parent with five matching items counts
+    five times in the former, once in the latter) and computes its
+    sub-metrics over those DISTINCT parents.
+
+    Compilation, scale-first (the has_child grouped-partial pattern):
+    ONE grouped aggregate over (term, parent_key) reduces the child
+    scan map-side to at most |terms| x |parents| rows BEFORE anything
+    joins; the parent relation then joins co-keyed on its OWN key
+    (AQE-broadcastable when the matched set is small, co-partitioned
+    shuffle otherwise - never widened, never a cross product); the
+    final per-term fold is bucket-count-sized. Parent metrics sum
+    decimal-exact and emit double per the parity discipline.
+    """
+    matching = child_df
+    if child_query is not None:
+        matching = matching.filter(compile_query(child_query))
+    per_pair = (matching
+                .groupBy(F.col(term_field).alias("key"),
+                         F.col(child_key).alias(parent_key))
+                .agg(F.count("*").alias("__n_nested")))
+    aggs = [
+        F.sum("__n_nested").cast("bigint").alias("doc_count"),
+        F.count("*").alias("parent_doc_count"),
+    ]
+    if parent_metric_field is not None:
+        from cassandra_elasticsearch_sync_spark.parity import dsum
+        aggs.append(
+            F.round(dsum(F.col(parent_metric_field), 6) / F.count("*"), 6)
+            .alias(f"avg_{parent_metric_field}"))
+        parents = parent_df.select(parent_key, parent_metric_field)
+    else:
+        parents = parent_df.select(parent_key)
+    return (per_pair.join(parents, parent_key, "inner")
+            .groupBy("key").agg(*aggs)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(int(size)))
+
+
+@register("a3cz_es_reverse_nested", "A3+D1+C1", """
+WITH per_pair AS (
+  SELECT l_returnflag AS key, l_orderkey, COUNT(*) AS n
+  FROM lineitem
+  WHERE l_quantity >= 30
+  GROUP BY 1, 2
+)
+SELECT p.key,
+       CAST(SUM(p.n) AS BIGINT) AS doc_count,
+       COUNT(*) AS parent_doc_count,
+       ROUND(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10)))
+                       AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6)
+         AS avg_o_totalprice
+FROM per_pair p JOIN orders o ON p.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 10
+""", "ES reverse_nested: items with quantity >= 30 bucketed by "
+     "return flag, each bucket stepping BACK to parent scope - the "
+     "nested doc_count counts items, the reverse_nested doc_count "
+     "counts DISTINCT orders, and the order-level average totalprice "
+     "runs over those distinct parents only (an order with five "
+     "heavy items weighs once). One (term, parent) grouped partial "
+     "reduces the item scan before the parent join; decimal-exact "
+     "average emitted as double. Completes the nested family begun "
+     "by a3ab/a3bz/a3h.")
+def a3cz_es_reverse_nested(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return es_reverse_nested_terms(
+        o, li, parent_key="o_orderkey", child_key="l_orderkey",
+        term_field="l_returnflag",
+        child_query={"range": {"l_quantity": {"gte": 30}}},
+        parent_metric_field="o_totalprice", size=10)
+
+
+def es_variable_width_histogram(df: DataFrame, field: str, *,
+                                buckets: int,
+                                tiebreak: str) -> DataFrame:
+    """ES ``variable_width_histogram``: 1-D clustering of a numeric
+    field into ``buckets`` dynamically-placed buckets (dense regions
+    get narrow buckets) - the last histogram-family member.
+
+    DOCUMENTED DIVERGENCE (the BM25/random_sampler discipline): real
+    ES runs an approximate, shard-order-dependent online clustering
+    whose exact bucket boundaries are NOT reproducible even between
+    two ES runs. This compiler pins the DETERMINISTIC equal-frequency
+    reference instead: rank every value by (value, tiebreak) - the
+    caller must name a unique tiebreak column, the house total-order
+    rule - and seed bucket i = floor((rank-1) * buckets / n), then
+    report ES's response fields per bucket: key (the centroid,
+    decimal-exact mean emitted as double), min, max, doc_count.
+    Deterministic, oracle-generable, and the buckets land exactly
+    where the data is dense - the semantic the ES agg exists for.
+
+    Scale shape: the rank comes from the two-pass global-order
+    primitive (range-partitioned pass + per-partition offsets), NEVER
+    a single-partition window; the final fold is one hash aggregate
+    on the bucket index. At 100 TB this is two scans and one
+    bucket-count-sized result.
+    """
+    from cassandra_elasticsearch_sync_spark.operators.distributed_order import (
+        with_global_order,
+    )
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    ranked, totals = with_global_order(
+        df.select(F.col(field).alias("v"), F.col(tiebreak)),
+        [F.col("v"), F.col(tiebreak)], rank_col="__rk")
+    n = totals["n_rows"]
+    bucket = (F.floor((F.col("__rk") - 1) * int(buckets) / F.lit(float(n)))
+              .cast("int").alias("bucket"))
+    return (ranked.select(bucket, "v")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("doc_count"),
+                 F.round(dsum(F.col("v"), 6) / F.count("*"), 6).alias("key"),
+                 F.min("v").cast("double").alias("min_value"),
+                 F.max("v").cast("double").alias("max_value"))
+            .orderBy("bucket"))
+
+
+@register("a3da_es_variable_width_histogram", "A3+D6", """
+WITH r AS (
+  SELECT c_acctbal AS v,
+         ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM customer
+),
+b AS (
+  SELECT v, CAST(FLOOR((rk - 1) * 8 / CAST(n AS DOUBLE)) AS INT) AS bucket
+  FROM r
+)
+SELECT bucket, COUNT(*) AS doc_count,
+       ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DECIMAL(38,6))
+                  AS DOUBLE) / COUNT(*), 6) AS key,
+       CAST(MIN(v) AS DOUBLE) AS min_value,
+       CAST(MAX(v) AS DOUBLE) AS max_value
+FROM b GROUP BY 1 ORDER BY bucket
+""", "ES variable_width_histogram over account balances, 8 buckets: "
+     "the dynamically-placed histogram whose buckets narrow where "
+     "the data is dense. Real ES's online clustering is shard-order-"
+     "dependent (not reproducible run-to-run); this pins the "
+     "deterministic equal-frequency reference - rank by (value, "
+     "custkey), bucket = floor((rank-1)*8/n) - reporting ES's "
+     "response fields: centroid key (decimal-exact mean as double), "
+     "min, max, doc_count. The rank is the scale-safe two-pass "
+     "global-order primitive, never a single-partition window; the "
+     "oracle window is DuckDB-local shorthand for the same total "
+     "order.")
+def a3da_es_variable_width_histogram(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return es_variable_width_histogram(
+        c, "c_acctbal", buckets=8, tiebreak="c_custkey")
+
+
+@register("a3db_es_cumulative_cardinality", "A3+I1+D3", """
+WITH e AS (
+  SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS key, user_id
+  FROM events
+),
+daily AS (
+  SELECT key, COUNT(*) AS doc_count,
+         COUNT(DISTINCT user_id) AS daily_users
+  FROM e GROUP BY 1
+),
+firsts AS (SELECT user_id, MIN(key) AS key FROM e GROUP BY 1),
+nu AS (SELECT key, COUNT(*) AS new_users FROM firsts GROUP BY 1)
+SELECT d.key, d.doc_count, d.daily_users,
+       CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY d.key)
+            AS BIGINT) AS total_users
+FROM daily d LEFT JOIN nu ON d.key = nu.key
+ORDER BY d.key
+""", "ES cumulative_cardinality pipeline agg: daily date_histogram "
+     "with a cardinality(user_id) metric and the running 'total "
+     "distinct users seen so far' - THE growth-accounting chart "
+     "(new-vs-returning). ES approximates on merged HLL sketches; "
+     "this is exact by the two-aggregate identity: cumulative "
+     "cardinality at bucket b = count of users whose FIRST bucket is "
+     "<= b, so one (day, user) distinct + one first-day-per-user "
+     "aggregate feed a running sum over the BUCKET table (days - "
+     "the documented bounded-window class). Map-side partials "
+     "everywhere; no sketch, no window over raw events.")
+def a3db_es_cumulative_cardinality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("key"), "user_id")
+    daily = e.groupBy("key").agg(
+        F.count("*").alias("doc_count"),
+        F.count_distinct("user_id").alias("daily_users"))
+    firsts = e.groupBy("user_id").agg(F.min("key").alias("key"))
+    nu = firsts.groupBy("key").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return (daily.join(nu, "key", "left")
+            .fillna({"new_users": 0})
+            .select("key", "doc_count", "daily_users",
+                    F.sum("new_users").over(w).cast("bigint")
+                    .alias("total_users"))
+            .orderBy("key"))
+
+
+@register("a3dc_es_normalize", "A3+D1", """
+WITH b AS (
+  SELECT o_orderpriority AS key, COUNT(*) AS doc_count,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT key, doc_count, revenue,
+       ROUND(100.0 * revenue / SUM(revenue) OVER (), 6)
+         AS revenue_pct,
+       ROUND((revenue - MIN(revenue) OVER ())
+             / (MAX(revenue) OVER () - MIN(revenue) OVER ()), 6)
+         AS revenue_0_1
+FROM b
+ORDER BY key
+""", "ES normalize pipeline agg, both headline methods on one bucket "
+     "series: percent_of_sum (each priority's share of total revenue "
+     "x100) and rescale_0_1 (min-max normalized) - the 'share of "
+     "wallet' companion every terms chart grows. Revenue sums "
+     "decimal-exact then emits double ONCE; both normalizations are "
+     "pure double arithmetic over that shared value, so the engines "
+     "agree bitwise. The windows run over the BUCKET table (5 rows "
+     "by construction - the documented bounded-window class), never "
+     "over raw orders.")
+def a3dc_es_normalize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(F.col("o_orderpriority").alias("key")).agg(
+        F.count("*").alias("doc_count"),
+        dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)
+    rev, mn, mx = F.col("revenue"), F.min("revenue").over(w), \
+        F.max("revenue").over(w)
+    return (b.select(
+        "key", "doc_count", "revenue",
+        F.round(F.lit(100.0) * rev / F.sum("revenue").over(w), 6)
+        .alias("revenue_pct"),
+        F.round((rev - mn) / (mx - mn), 6).alias("revenue_0_1"))
+        .orderBy("key"))
+
+
+def es_open_pit(table) -> int:
+    """ES ``point_in_time`` open: pin a consistency snapshot and hand
+    back its id. On the ACID store a PIT is EXACTLY a snapshot
+    version - the manifest pointer the commit protocol already makes
+    immutable - so 'open' is a version read, 'search with pit' is a
+    time-travel read, and keep_alive never needs a server-side
+    context (vacuum retention is the real-world analogue, documented
+    on AcidParquetTable.vacuum)."""
+    return table.current_version()
+
+
+def es_pit_search_page(table, pit_id: int, query: dict,
+                       sort: list[tuple[str, str]],
+                       search_after: list | None = None,
+                       size: int = 10) -> DataFrame:
+    """One ``search_after`` page under an open PIT: the page reads the
+    PINNED snapshot (table.read(version=pit_id)), so interleaved
+    writes can neither shift rows between pages nor surface new ones
+    mid-walk - ES's documented reason PIT exists. Page mechanics are
+    es_search_page's strictly-after cursor + TakeOrderedAndProject."""
+    return es_search_page(table.read(version=pit_id), query, sort,
+                          search_after=search_after, size=size)
+
+
+@register("a3dd_es_point_in_time", "A3+A7", """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 250000
+""", "ES point_in_time pagination with WRITES LANDING MID-WALK: open "
+     "a PIT over the ACID store, then walk every search_after page "
+     "while - BETWEEN pages - a concurrent transaction inserts a row "
+     "that sorts INTO the first page's range and deletes a row the "
+     "walk has not reached yet. The union of pages must equal the "
+     "PIT snapshot exactly (the insert invisible, the deleted row "
+     "still served): PIT = snapshot version, page = time-travel read "
+     "+ strictly-after cursor, so stability is the commit protocol's "
+     "immutability rather than a server-side context. The oracle is "
+     "the plain filter over the original corpus - which is the "
+     "snapshot the PIT pinned. Page size 64 keeps the walk a handful "
+     "of TakeOrderedAndProject jobs; each page reads pruned manifest "
+     "entries, never the post-write table.")
+def a3dd_es_point_in_time(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="ces_a3dd_pit_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(o)
+        pit = es_open_pit(t)
+        query = {"bool": {"filter": [
+            {"term": {"o_orderstatus": "F"}},
+            {"range": {"o_totalprice": {"gte": 250000}}},
+        ]}}
+        sort = [("o_totalprice", "desc"), ("o_orderkey", "asc")]
+        pages, cursor, wrote = [], None, False
+        while True:
+            page = es_pit_search_page(t, pit, query, sort,
+                                      search_after=cursor, size=64)
+            rows = page.collect()
+            if not rows:
+                break
+            pages.extend(rows)
+            if not wrote:
+                # mid-walk interference: an insert that would sort into
+                # the FIRST page and a delete inside the unread tail -
+                # the PIT must serve neither effect
+                victim = rows[-1]["o_orderkey"]
+                t.merge_into(
+                    spark.createDataFrame(
+                        [(900000901, 999999.99, "1-URGENT", "F")],
+                        "o_orderkey long, o_totalprice double, "
+                        "o_orderpriority string, o_orderstatus string",
+                    ).withColumn(
+                        "o_totalprice",
+                        F.col("o_totalprice").cast(
+                            o.schema["o_totalprice"].dataType)),
+                    ["o_orderkey"], assume_unique_keys=True)
+                t.delete_where(F.col("o_orderkey") == F.lit(victim))
+                wrote = True
+            last = rows[-1]
+            cursor = [last["o_totalprice"], last["o_orderkey"]]
+        out = spark.createDataFrame(
+            pages, schema=es_pit_search_page(t, pit, query, sort).schema)
+        return (out.select("o_orderkey", "o_totalprice", "o_orderpriority")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1812,3 +1812,143 @@ def test_histogram_hard_bounds(spark):
     }).collect()}
     # 5 clipped (key 0); 105 kept (key 100 is inside the bounds)
     assert rows == {10.0: 1, 20.0: 1, 90.0: 1, 100.0: 1}
+
+
+def test_reverse_nested_hand_checked(spark):
+    """reverse_nested: nested doc_count counts ITEMS, parent
+    doc_count counts DISTINCT parents, and the parent metric
+    averages over distinct parents only."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_reverse_nested_terms,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (3, 300.0)], "pk long, price double")
+    children = spark.createDataFrame(
+        [(1, "a", 5), (1, "a", 7), (1, "b", 9),   # parent 1: 2x a, 1x b
+         (2, "a", 6),                              # parent 2: 1x a
+         (3, "b", 1)],                             # parent 3: filtered out
+        "pk long, tag string, w long")
+    rows = {r["key"]: r for r in es_reverse_nested_terms(
+        parents, children, parent_key="pk", child_key="pk",
+        term_field="tag", child_query={"range": {"w": {"gte": 5}}},
+        parent_metric_field="price").collect()}
+    # tag a: 3 items across parents {1, 2}; avg price (100+200)/2
+    assert rows["a"]["doc_count"] == 3
+    assert rows["a"]["parent_doc_count"] == 2
+    assert rows["a"]["avg_price"] == 150.0
+    # tag b: parent 3's item (w=1) filtered out; only parent 1 remains
+    assert rows["b"]["doc_count"] == 1
+    assert rows["b"]["parent_doc_count"] == 1
+    assert rows["b"]["avg_price"] == 100.0
+
+
+def test_variable_width_histogram_hand_checked(spark):
+    """variable_width_histogram: deterministic equal-frequency
+    seeding - dense regions get narrow buckets; ties split by the
+    declared tiebreak; buckets >= 1 validated."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_variable_width_histogram,
+    )
+
+    # 6 values, 2 buckets: ranks 1-3 -> bucket 0, ranks 4-6 -> bucket 1
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1.0, 1.1, 1.2, 9.0, 9.1, 50.0])],
+        "id long, v double")
+    rows = {r["bucket"]: r for r in es_variable_width_histogram(
+        df, "v", buckets=2, tiebreak="id").collect()}
+    assert rows[0]["doc_count"] == 3 and rows[1]["doc_count"] == 3
+    assert rows[0]["min_value"] == 1.0 and rows[0]["max_value"] == 1.2
+    assert rows[1]["min_value"] == 9.0 and rows[1]["max_value"] == 50.0
+    assert rows[0]["key"] == round((1.0 + 1.1 + 1.2) / 3, 6)
+    # the dense region's bucket is narrow (0.2 wide) vs the tail (41)
+    assert (rows[0]["max_value"] - rows[0]["min_value"]
+            < rows[1]["max_value"] - rows[1]["min_value"])
+    with pytest.raises(ValueError, match="buckets"):
+        es_variable_width_histogram(df, "v", buckets=0, tiebreak="id")
+
+
+def test_pit_page_walk_stable_under_writes(spark, tmp_path):
+    """point_in_time: the page walk serves the PINNED snapshot - an
+    insert landing mid-walk (sorting into page 1's range) never
+    surfaces, a mid-walk delete of an unread row still serves, and
+    a FRESH search (no PIT) sees both effects. Page plan is a
+    TakeOrderedAndProject over the snapshot read."""
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_open_pit,
+        es_pit_search_page,
+        es_search_page,
+    )
+
+    t = AcidParquetTable(spark, str(tmp_path / "pit_store"))
+    t.init(spark.createDataFrame(
+        [(k, float(100 - k)) for k in range(1, 9)], "k long, s double"))
+    pit = es_open_pit(t)
+    sort = [("s", "desc"), ("k", "asc")]
+
+    page1 = es_pit_search_page(t, pit, {"match_all": {}}, sort,
+                               size=4).collect()
+    assert [r["k"] for r in page1] == [1, 2, 3, 4]
+    # mid-walk interference: k=0 would sort FIRST; k=6 is unread
+    t.merge_into(spark.createDataFrame([(0, 999.0)], "k long, s double"),
+                 ["k"], assume_unique_keys=True)
+    t.delete_where(F.col("k") == F.lit(6))
+    cursor = [page1[-1]["s"], page1[-1]["k"]]
+    page2 = es_pit_search_page(t, pit, {"match_all": {}}, sort,
+                               search_after=cursor, size=4).collect()
+    # the PIT page still serves the deleted k=6 and never sees k=0
+    assert [r["k"] for r in page2] == [5, 6, 7, 8]
+    # a fresh (PIT-less) search over the live table sees both effects
+    fresh = es_search_page(t.read(), {"match_all": {}}, sort,
+                           size=4).collect()
+    assert [r["k"] for r in fresh] == [0, 1, 2, 3]
+    # page plan: TakeOrderedAndProject over the pinned snapshot scan
+    plan = es_pit_search_page(t, pit, {"match_all": {}}, sort, size=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cumulative_cardinality_and_normalize_hand_checked(spark):
+    """cumulative_cardinality: returning users never re-increment the
+    running total (exact first-bucket identity). normalize: pinned
+    percent_of_sum / rescale_0_1 values."""
+    from pyspark.sql import Window
+
+    # inline twin of the a3db shape on a 3-day corpus
+    e = spark.createDataFrame(
+        [("d1", "u1"), ("d1", "u2"), ("d2", "u1"),   # u1 returns on d2
+         ("d3", "u3"), ("d3", "u1")],
+        "key string, user_id string")
+    daily = e.groupBy("key").agg(
+        F.count("*").alias("doc_count"),
+        F.count_distinct("user_id").alias("daily_users"))
+    firsts = e.groupBy("user_id").agg(F.min("key").alias("key"))
+    nu = firsts.groupBy("key").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    rows = {r["key"]: r for r in
+            daily.join(nu, "key", "left").fillna({"new_users": 0})
+            .select("key", "daily_users",
+                    F.sum("new_users").over(w).alias("total_users"))
+            .collect()}
+    assert rows["d1"]["total_users"] == 2      # u1, u2
+    assert rows["d2"]["total_users"] == 2      # u1 returning: no bump
+    assert rows["d2"]["daily_users"] == 1
+    assert rows["d3"]["total_users"] == 3      # u3 is new
+
+    # normalize via the registered query at sf0.001: invariants that
+    # pin the two methods regardless of corpus values
+    from cassandra_elasticsearch_sync_spark.registry import all_specs
+    out = all_specs()["a3dc_es_normalize"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    pcts = [r["revenue_pct"] for r in out]
+    assert abs(sum(pcts) - 100.0) < 1e-6
+    r01 = [r["revenue_0_1"] for r in out]
+    assert min(r01) == 0.0 and max(r01) == 1.0
+    # rescale preserves the revenue order
+    by_rev = sorted(out, key=lambda r: r["revenue"])
+    assert [r["key"] for r in by_rev] == \
+        [r["key"] for r in sorted(out, key=lambda r: r["revenue_0_1"])]

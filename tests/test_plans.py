@@ -286,6 +286,11 @@ _PLAN_SWEEP_SKIP_PREFIXES = (
     "i", "l7_", "l12_", "l14_", "l15_", "l16_", "l17_", "l18_",
     "l19_", "l21_", "l23_", "l24_", "l26_", "l27_", "l28_", "l29_",
     "l31_", "l32_", "l33_", "l34_", "l38_", "a10_", "a2r_", "a2t_",
+    # PIT page-walk: the registered result is a localCheckpoint of a
+    # multi-page walk over an ACID store built in-query (commits +
+    # interleaved writes); its page plan (time-travel scan +
+    # TakeOrderedAndProject) is asserted in test_es_query.py instead.
+    "a3dd_",
 )
 
 # Documented exceptions: windows that run over a POST-AGGREGATION table
@@ -304,6 +309,15 @@ _BOUNDED_WINDOW_ALLOWED = {
     # bucket_count_ks_test: running CDFs over the same yearly bucket
     # table (fraction arity pins the cardinality).
     "a3cq_es_bucket_count_ks_test",
+    # cumulative_cardinality: the running sum runs over the POST-
+    # AGGREGATION daily bucket table (cardinality = calendar days,
+    # ~365 rows/year; the raw-event scan reduced in the two grouped
+    # aggregates before any window sees a row).
+    "a3db_es_cumulative_cardinality",
+    # normalize: percent_of_sum / rescale_0_1 window over the terms
+    # bucket table (cardinality = |o_orderpriority| = 5 by corpus
+    # construction; the orders scan reduced in the hash aggregate).
+    "a3dc_es_normalize",
 }
 
 
