@@ -115,8 +115,12 @@ _FRONT = (
     "k6j_jpeg_chroma_decode", "k6l_png_palette_decode",
     "k6p_gif_interlaced_decode", "k6q_bmp_pixel_decode",
     "k6s_tiff_strip_decode", "k6h_mp4_box_parse",
-    # --- end of the round-10 front-50; the r9 front (driver-verified
-    # in CORRECTNESS_r09) and older blocks queue directly after ---
+    # --- end of the round-10 front-50 ---
+    # round-10 wave two (terms_enum / field_caps / rank_eval): first
+    # in line past the front-50 for larger driver budgets
+    "a3de_es_terms_enum", "a3df_es_field_caps", "a3dg_es_rank_eval",
+    # the r9 front (driver-verified in CORRECTNESS_r09) and older
+    # blocks queue directly after ---
     # ROTATION (round 9, VERDICT r8 #1): seventh rotation, BREADTH.
     # 186 of 494 keys had never produced a driver row at the r8 close
     # (308 cumulative); the front-50 is flagship + 49 never-sampled

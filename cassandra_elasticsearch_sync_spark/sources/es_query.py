@@ -7757,3 +7757,223 @@ def a3dd_es_point_in_time(spark, sf_dir):
                 .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 10 wave two: the remaining named search APIs a production ES
+# client uses - terms_enum, field_caps, rank_eval
+# ---------------------------------------------------------------------------
+
+
+def es_terms_enum(df: DataFrame, field: str, *, string: str = "",
+                  size: int = 10, case_insensitive: bool = False,
+                  search_after: str | None = None) -> DataFrame:
+    """ES ``_terms_enum``: the distinct index terms of a field that
+    start with ``string``, ascending, capped at ``size`` - the API
+    behind autocomplete pickers and index exploration. ES walks the
+    term dictionary shard-locally and merges; the relational twin is
+    a distinct + prefix filter + TakeOrdered page, with the same
+    ``search_after`` cursor the hits API uses (terms strictly after
+    the cursor term, for paging a long term list).
+
+    Scale shape: the prefix filter pushes to the scan, distinct is a
+    map-side-partial hash aggregate on the single term column, and
+    the page is TakeOrderedAndProject - the term dictionary never
+    materializes anywhere. ES's response is terms only (no counts) -
+    so is this."""
+    c = F.col(field)
+    pred = F.lit(True)
+    if string:
+        pred = (F.lower(c).startswith(string.lower())
+                if case_insensitive else c.startswith(string))
+    if search_after is not None:
+        pred = pred & (c > F.lit(search_after))
+    return (df.filter(pred)
+            .select(c.alias("term"))
+            .distinct()
+            .orderBy(F.asc("term"))
+            .limit(int(size)))
+
+
+@register("a3de_es_terms_enum", "A3+B5", """
+SELECT DISTINCT p_name AS term
+FROM part
+WHERE p_name LIKE 'b%'
+ORDER BY term ASC
+LIMIT 6
+""", "ES _terms_enum: the distinct part names starting 'b', "
+     "ascending, capped at 6 (more exist - the cap is live) - the "
+     "autocomplete/index-exploration API. Prefix filter pushed to "
+     "the scan, map-side-partial distinct, TakeOrderedAndProject "
+     "page; the term dictionary never materializes. search_after "
+     "cursor paging and case_insensitive matching are hand-tested.")
+def a3de_es_terms_enum(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return es_terms_enum(p, "p_name", string="b", size=6)
+
+
+# Spark simpleString -> ES field_caps type, the type bridge a real
+# field_caps response reports for a parquet-backed index. decimal maps
+# to scaled_float (ES's fixed-scale numeric); both timestamp flavors
+# map to date (ES dates are epoch-millis either way).
+_SPARK_TO_ES_TYPE = {
+    "string": "keyword", "bigint": "long", "int": "integer",
+    "smallint": "short", "tinyint": "byte", "double": "double",
+    "float": "float", "boolean": "boolean", "binary": "binary",
+    "date": "date", "timestamp": "date", "timestamp_ntz": "date",
+}
+
+# the SAME bridge rendered as a DuckDB CASE over DESCRIBE output, so
+# the oracle derives the expected caps from ITS OWN native schema of
+# the same parquet - a genuine cross-engine check of the type bridge,
+# generated from one constant table (the geo_shape/geohash discipline)
+_DUCK_TO_ES_CASE = """CASE column_type
+  WHEN 'VARCHAR' THEN 'keyword' WHEN 'BIGINT' THEN 'long'
+  WHEN 'INTEGER' THEN 'integer' WHEN 'SMALLINT' THEN 'short'
+  WHEN 'TINYINT' THEN 'byte' WHEN 'DOUBLE' THEN 'double'
+  WHEN 'FLOAT' THEN 'float' WHEN 'BOOLEAN' THEN 'boolean'
+  WHEN 'BLOB' THEN 'binary' WHEN 'DATE' THEN 'date'
+  WHEN 'TIMESTAMP' THEN 'date'
+  ELSE 'scaled_float' END"""
+
+
+def es_field_caps(spark, tables: dict[str, DataFrame]) -> DataFrame:
+    """ES ``_field_caps``: per-index field capabilities - the schema
+    API every client library calls before building a query UI. Each
+    (index, field) row reports the ES type via the pinned Spark->ES
+    bridge plus searchable/aggregatable flags (keyword/numeric/date
+    parquet columns are all both, exactly what a parquet-backed index
+    would report; ES 'text' - the one unsearchable-for-aggs type -
+    does not arise from a parquet schema).
+
+    Pure metadata: the capabilities table is built from the ALREADY
+    LOADED schemas (no data scan, no job until the result is read) as
+    a createDataFrame of |indices| x |fields| rows - constant-size at
+    any corpus size, the cheapest query in the registry."""
+    rows = []
+    for index in sorted(tables):
+        for f in tables[index].schema.fields:
+            s = f.dataType.simpleString()
+            es_t = ("scaled_float" if s.startswith("decimal(")
+                    else _SPARK_TO_ES_TYPE.get(s))
+            if es_t is None:
+                raise ValueError(f"field_caps has no ES mapping for "
+                                 f"{index}.{f.name}: {s}")
+            rows.append((index, f.name, es_t, True, True))
+    return spark.createDataFrame(
+        rows, "index string, field string, es_type string, "
+              "searchable boolean, aggregatable boolean")
+
+
+@register("a3df_es_field_caps", "A3+B4", """
+SELECT idx AS index, column_name AS field,
+       """ + _DUCK_TO_ES_CASE + """ AS es_type,
+       TRUE AS searchable, TRUE AS aggregatable
+FROM (
+  SELECT 'customer' AS idx, column_name, column_type
+  FROM (DESCRIBE SELECT * FROM customer)
+  UNION ALL
+  SELECT 'events', column_name, column_type
+  FROM (DESCRIBE SELECT * FROM events)
+  UNION ALL
+  SELECT 'orders', column_name, column_type
+  FROM (DESCRIBE SELECT * FROM orders)
+)
+""", "ES _field_caps over three indices: every (index, field) with "
+     "its ES type and searchable/aggregatable flags - the schema API "
+     "client libraries call first. BOTH engines derive the answer "
+     "from their OWN native read of the same parquet (Spark schema "
+     "-> pinned Spark->ES bridge; DuckDB DESCRIBE -> the same bridge "
+     "as a generated CASE), so the hash match proves the two type "
+     "systems land on identical ES capabilities - the type bridge "
+     "(B4) checked end-to-end. Pure metadata: constant rows, no "
+     "corpus scan.")
+def a3df_es_field_caps(spark, sf_dir):
+    return es_field_caps(spark, {
+        t: load_table(spark, sf_dir, t)
+        for t in ("customer", "events", "orders")})
+
+
+def es_rank_eval(df: DataFrame, *, requests: list[dict], k: int,
+                 relevant: dict, sort: list[tuple[str, str]]) -> DataFrame:
+    """ES ``_rank_eval``: grade a set of ranked queries against rated
+    documents - precision@k, MRR (reciprocal rank of the first
+    relevant hit), and DCG@k per request, the offline search-quality
+    harness. Two adaptations keep it exact and SF-independent: the
+    ranking is the caller's explicit total-order ``sort`` (ES's BM25
+    ordering is not reproducible - the house function_score rule),
+    and ratings come from a RATING PREDICATE (query DSL) rather than
+    enumerated doc ids, which would pin one scale factor.
+
+    Each request is {"id": str, "query": <DSL>}; ``relevant`` is the
+    DSL predicate marking a hit as rated-relevant. Compilation: one
+    scan stacks the per-request filters via explode (n requests, one
+    pass), the per-request top-k is a rank window Spark lowers to
+    WindowGroupLimit (per-partition partial top-k - no single
+    partition sees a request's full corpus), and the metrics fold in
+    one grouped aggregate: precision = relevant/k, MRR = 1/min(rank
+    of relevant) else 0, DCG = sum(rel / log2(rank+1))."""
+    from pyspark.sql import Window
+
+    rel = compile_query(relevant)
+    tagged = df.withColumn("__req", F.explode(F.array_compact(F.array(*[
+        F.when(compile_query(r["query"]), F.lit(r["id"]))
+        for r in requests]))))
+    w = Window.partitionBy("__req").orderBy(*_sort_spec_columns(sort))
+    topk = (tagged.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= int(k)))
+    is_rel = F.when(rel, 1).otherwise(0)
+    return (topk.groupBy(F.col("__req").alias("request"))
+            .agg(
+                F.round(F.sum(is_rel) / F.lit(float(k)), 6)
+                .alias(f"precision_at_{k}"),
+                F.round(F.coalesce(
+                    F.lit(1.0) / F.min(F.when(rel, F.col("__rank"))),
+                    F.lit(0.0)), 6).alias("mrr"),
+                F.round(F.sum(
+                    is_rel.cast("double")
+                    / F.log2(F.col("__rank") + F.lit(1.0))), 6)
+                .alias(f"dcg_at_{k}"))
+            .orderBy("request"))
+
+
+@register("a3dg_es_rank_eval", "A3+E4+D5", """
+WITH ranked AS (
+  SELECT o_orderstatus AS request, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rnk
+  FROM orders
+)
+SELECT request,
+       ROUND(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 1
+                      ELSE 0 END) / 10.0, 6) AS precision_at_10,
+       ROUND(COALESCE(1.0 / MIN(CASE WHEN o_orderpriority LIKE '1-%'
+                                     THEN rnk END), 0.0), 6) AS mrr,
+       ROUND(SUM(CASE WHEN o_orderpriority LIKE '1-%'
+                      THEN 1.0 / LOG2(rnk + 1.0) ELSE 0.0 END), 6)
+         AS dcg_at_10
+FROM ranked
+WHERE rnk <= 10
+GROUP BY request
+ORDER BY request
+""", "ES _rank_eval: three ranked requests (one per order status, "
+     "ranked by totalprice under the explicit total order) graded "
+     "precision@10 / MRR / DCG@10 against the 'urgent priority' "
+     "rating predicate - the offline search-quality harness. One "
+     "scan stacks the request filters, the per-request top-10 "
+     "lowers to WindowGroupLimit partial top-k (no request's corpus "
+     "serializes through one task), metrics fold in one grouped "
+     "aggregate. Ratings are a predicate, not doc-id literals, so "
+     "the query is scale-factor-independent.")
+def a3dg_es_rank_eval(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_rank_eval(
+        o,
+        requests=[
+            {"id": s, "query": {"term": {"o_orderstatus": s}}}
+            for s in ("F", "O", "P")
+        ],
+        k=10,
+        relevant={"prefix": {"o_orderpriority": "1-"}},
+        sort=[("o_totalprice", "desc"), ("o_orderkey", "asc")])

@@ -1952,3 +1952,87 @@ def test_cumulative_cardinality_and_normalize_hand_checked(spark):
     by_rev = sorted(out, key=lambda r: r["revenue"])
     assert [r["key"] for r in by_rev] == \
         [r["key"] for r in sorted(out, key=lambda r: r["revenue_0_1"])]
+
+
+def test_terms_enum_hand_checked(spark):
+    """terms_enum: prefix + asc + cap, case_insensitive flag, and the
+    search_after term cursor (strictly-after paging)."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_terms_enum,
+    )
+
+    df = spark.createDataFrame(
+        [("Apple",), ("apricot",), ("banana",), ("apple",), ("Avocado",),
+         ("apricot",)],  # dup apricot: distinct-ness is live
+        "t string")
+    terms = [r["term"] for r in es_terms_enum(df, "t", string="ap").collect()]
+    assert terms == ["apple", "apricot"]     # case-sensitive: Apple out
+    terms = [r["term"] for r in es_terms_enum(
+        df, "t", string="a", case_insensitive=True).collect()]
+    assert terms == ["Apple", "Avocado", "apple", "apricot"]
+    # cursor paging: strictly after 'apple'
+    terms = [r["term"] for r in es_terms_enum(
+        df, "t", string="ap", search_after="apple").collect()]
+    assert terms == ["apricot"]
+    # cap
+    terms = [r["term"] for r in es_terms_enum(
+        df, "t", string="a", case_insensitive=True, size=2).collect()]
+    assert terms == ["Apple", "Avocado"]
+
+
+def test_field_caps_hand_checked(spark):
+    """field_caps: the Spark->ES type bridge on a synthetic schema
+    covering every mapped type; unmappable types fail loudly."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_field_caps,
+    )
+
+    df = spark.sql(
+        "SELECT 'x' AS s, CAST(1 AS BIGINT) AS l, CAST(1 AS INT) AS i, "
+        "CAST(1.5 AS DOUBLE) AS d, CAST(1.23 AS DECIMAL(10,2)) AS dec, "
+        "DATE'2024-01-01' AS dt, TIMESTAMP'2024-01-01 00:00:00' AS ts, "
+        "TRUE AS b")
+    caps = {r["field"]: r["es_type"]
+            for r in es_field_caps(spark, {"idx": df}).collect()}
+    assert caps == {"s": "keyword", "l": "long", "i": "integer",
+                    "d": "double", "dec": "scaled_float", "dt": "date",
+                    "ts": "date", "b": "boolean"}
+    bad = spark.sql("SELECT array(1) AS a")
+    with pytest.raises(ValueError, match="no ES mapping"):
+        es_field_caps(spark, {"idx": bad})
+
+
+def test_rank_eval_hand_checked(spark):
+    """rank_eval: precision@k / MRR / DCG pinned by hand on a 1-query
+    corpus, including the no-relevant-hit MRR=0 case."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_rank_eval,
+    )
+    import math
+
+    # ranks by score desc: d1(10,rel) d2(9) d3(8,rel) d4(7) d5(6)
+    df = spark.createDataFrame(
+        [("q", 1, 10.0, "yes"), ("q", 2, 9.0, "no"), ("q", 3, 8.0, "yes"),
+         ("q", 4, 7.0, "no"), ("q", 5, 6.0, "no"),
+         ("z", 6, 5.0, "no"), ("z", 7, 4.0, "no")],
+        "grp string, id long, score double, rated string")
+    out = {r["request"]: r for r in es_rank_eval(
+        df,
+        requests=[{"id": g, "query": {"term": {"grp": g}}}
+                  for g in ("q", "z")],
+        k=3, relevant={"term": {"rated": "yes"}},
+        sort=[("score", "desc"), ("id", "asc")]).collect()}
+    q = out["q"]
+    assert q["precision_at_3"] == round(2 / 3.0, 6)
+    assert q["mrr"] == 1.0                      # first hit is relevant
+    assert q["dcg_at_3"] == round(1.0 / math.log2(2) + 1.0 / math.log2(4), 6)
+    z = out["z"]
+    assert z["precision_at_3"] == 0.0 and z["mrr"] == 0.0 \
+        and z["dcg_at_3"] == 0.0
+    # the per-request top-k lowers to a WindowGroupLimit partial
+    plan = es_rank_eval(
+        df, requests=[{"id": "q", "query": {"term": {"grp": "q"}}}],
+        k=3, relevant={"term": {"rated": "yes"}},
+        sort=[("score", "desc"), ("id", "asc")],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
