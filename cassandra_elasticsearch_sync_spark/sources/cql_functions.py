@@ -425,6 +425,12 @@ GROUP BY 1
      "semantics - unlike scripted_metric's per-shard init), so "
      "nonzero seeds are legal here. No Python UDF anywhere.")
 def a2ae_cql_create_aggregate(spark, sf_dir):
+    # idempotent re-run under the still-referenced rule (ADVICE r9):
+    # Cassandra refuses CREATE OR REPLACE of a function an aggregate
+    # still binds, so - exactly like a real CQL migration script -
+    # the aggregates drop first, then the functions replace
+    drop_aggregate("sum_sq", if_exists=True)
+    drop_aggregate("sum_sq_k", if_exists=True)
     create_function(
         "CREATE OR REPLACE FUNCTION sq_step(state bigint, q int) "
         "RETURNS NULL ON NULL INPUT RETURNS bigint LANGUAGE java "
