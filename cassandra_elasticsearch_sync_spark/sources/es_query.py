@@ -7691,19 +7691,23 @@ def es_pit_search_page(table, pit_id: int, query: dict,
 SELECT o_orderkey, o_totalprice, o_orderpriority
 FROM orders
 WHERE o_orderstatus = 'F' AND o_totalprice >= 250000
-""", "ES point_in_time pagination with WRITES LANDING MID-WALK: open "
-     "a PIT over the ACID store, then walk every search_after page "
-     "while - BETWEEN pages - a concurrent transaction inserts a row "
-     "that sorts INTO the first page's range and deletes a row the "
-     "walk has not reached yet. The union of pages must equal the "
-     "PIT snapshot exactly (the insert invisible, the deleted row "
-     "still served): PIT = snapshot version, page = time-travel read "
-     "+ strictly-after cursor, so stability is the commit protocol's "
-     "immutability rather than a server-side context. The oracle is "
-     "the plain filter over the original corpus - which is the "
-     "snapshot the PIT pinned. Page size 64 keeps the walk a handful "
-     "of TakeOrderedAndProject jobs; each page reads pruned manifest "
-     "entries, never the post-write table.")
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 384
+""", "ES point_in_time pagination with DISCRIMINATING writes landing "
+     "mid-walk: open a PIT over the ACID store, walk 6 search_after "
+     "pages of 64, and - between pages 1 and 2 - a concurrent "
+     "transaction inserts a row that would be page 2's FIRST row "
+     "under live reads (cursor-price, larger key: strictly after the "
+     "cursor) and deletes the live table's ACTUAL next unread row. "
+     "Were the pages live reads, page 2 would gain the insert and "
+     "lose the victim - the oracle hash would fail both ways; under "
+     "the PIT (= pinned snapshot version; each page a time-travel "
+     "read whose manifest never lists post-PIT files) the walk "
+     "equals the pinned top-384 exactly. Stability is the commit "
+     "protocol's immutability, not a server-side search context; the "
+     "fixed page budget keeps the walk constant-cost at any corpus "
+     "size (the full-corpus walk is the caller's loop, not the "
+     "operator's).")
 def a3dd_es_point_in_time(spark, sf_dir):
     import shutil
     import tempfile
@@ -7724,22 +7728,32 @@ def a3dd_es_point_in_time(spark, sf_dir):
             {"range": {"o_totalprice": {"gte": 250000}}},
         ]}}
         sort = [("o_totalprice", "desc"), ("o_orderkey", "asc")]
-        pages, cursor, wrote = [], None, False
-        while True:
+        pages, cursor = [], None
+        for pageno in range(6):
             page = es_pit_search_page(t, pit, query, sort,
                                       search_after=cursor, size=64)
             rows = page.collect()
             if not rows:
                 break
             pages.extend(rows)
-            if not wrote:
-                # mid-walk interference: an insert that would sort into
-                # the FIRST page and a delete inside the unread tail -
-                # the PIT must serve neither effect
-                victim = rows[-1]["o_orderkey"]
+            last = rows[-1]
+            cursor = [last["o_totalprice"], last["o_orderkey"]]
+            if pageno == 0:
+                # the concurrent writer. Victim: the LIVE table's next
+                # unread row (first row strictly after the cursor) -
+                # a live page 2 would lose it; the PIT page must still
+                # serve it. Insert: cursor-price with a larger-than-
+                # corpus key - strictly after the cursor, so a live
+                # page 2 would LEAD with it; the PIT must never see it.
+                nxt = es_search_page(t.read(), query, sort,
+                                     search_after=cursor, size=1).collect()
+                if nxt:
+                    t.delete_where(
+                        F.col("o_orderkey") == F.lit(nxt[0]["o_orderkey"]))
                 t.merge_into(
                     spark.createDataFrame(
-                        [(900000901, 999999.99, "1-URGENT", "F")],
+                        [(900000901, float(last["o_totalprice"]),
+                          "1-URGENT", "F")],
                         "o_orderkey long, o_totalprice double, "
                         "o_orderpriority string, o_orderstatus string",
                     ).withColumn(
@@ -7747,10 +7761,6 @@ def a3dd_es_point_in_time(spark, sf_dir):
                         F.col("o_totalprice").cast(
                             o.schema["o_totalprice"].dataType)),
                     ["o_orderkey"], assume_unique_keys=True)
-                t.delete_where(F.col("o_orderkey") == F.lit(victim))
-                wrote = True
-            last = rows[-1]
-            cursor = [last["o_totalprice"], last["o_orderkey"]]
         out = spark.createDataFrame(
             pages, schema=es_pit_search_page(t, pit, query, sort).schema)
         return (out.select("o_orderkey", "o_totalprice", "o_orderpriority")
