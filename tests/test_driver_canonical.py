@@ -136,3 +136,23 @@ def test_repaired_queries_pandas_green(spark, duck, name):
     assert driver_unsafe_fields(df.schema) == [], name
     res = pandas_compare(name, df, duck, spec.oracle)
     assert res.ok, str(res)
+
+
+def test_front50_pandas_mode_green(spark, duck):
+    """VERDICT r9 #2's done-criterion: the driver-facing front-50
+    re-verified under the driver-faithful pandas compare mode (the
+    str(v) harness passed 50/50 in r9 while the driver err'd twice -
+    this is the mode that would have caught it)."""
+    specs = all_specs()
+    front50 = list(specs)[:50]
+    bad = []
+    for name in front50:
+        spec = specs[name]
+        if spec.oracle is None:
+            bad.append(f"{name}: rows-only key in the front-50")
+            continue
+        res = pandas_compare(name, spec.fn(spark, SF_DIR), duck,
+                             spec.oracle)
+        if not res.ok:
+            bad.append(str(res))
+    assert not bad, bad
