@@ -31,6 +31,19 @@ leaf = st.one_of(
         lambda t: {"range": {"o_totalprice": {t[0]: t[1]}}}),
     st.just({"exists": {"field": "o_orderpriority"}}),
     st.just({"match_all": {}}),
+    # round-8/9/10 text-matching kinds (whitespace-analyzer
+    # semantics; priorities like '4-NOT SPECIFIED' are multi-token,
+    # so phrase adjacency and last-term-prefix are both live)
+    st.sampled_from(["1-URGENT", "2-HIGH", "4-NOT SPECIFIED",
+                     "NOT SPECIFIED", "SPECIFIED"]).map(
+        lambda v: {"match_phrase": {"o_orderpriority": v}}),
+    st.sampled_from(["4-NOT SPEC", "NOT SPEC", "1-URG", "2-", "SPECI"]).map(
+        lambda v: {"match_phrase_prefix": {"o_orderpriority": v}}),
+    st.sampled_from(["1-*", "*URGENT", "*-H*", "*SPECIFIED"]).map(
+        lambda v: {"wildcard": {"o_orderpriority": v}}),
+    st.sampled_from([("1-URGENT", 1), ("2-HIGH", 0), ("5-LOW", 2)]).map(
+        lambda t: {"fuzzy": {"o_orderpriority":
+                             {"value": t[0], "fuzziness": t[1]}}}),
 )
 
 
@@ -67,6 +80,21 @@ def _sql(q) -> str:
         return " AND ".join(f"{f} {ops[o]} {v}" for o, v in conds.items())
     if kind == "exists":
         return f"{body['field']} IS NOT NULL"
+    if kind == "match_phrase":
+        (f, v), = body.items()
+        phrase = " ".join(str(v).lower().split())
+        return f"' ' || LOWER({f}) || ' ' LIKE '% {phrase} %'"
+    if kind == "match_phrase_prefix":
+        (f, v), = body.items()
+        phrase = " ".join(str(v).lower().split())
+        return f"' ' || LOWER({f}) || ' ' LIKE '% {phrase}%'"
+    if kind == "wildcard":
+        (f, v), = body.items()
+        return f"{f} LIKE '{str(v).replace('*', '%')}'"
+    if kind == "fuzzy":
+        (f, spec), = body.items()
+        return (f"levenshtein({f}, '{spec['value']}')"
+                f" <= {int(spec['fuzziness'])}")
     if kind == "bool":
         parts = [_sql(c) for c in body.get("must", [])]
         should = [_sql(c) for c in body.get("should", [])]
@@ -88,7 +116,7 @@ def duck():
     con.close()
 
 
-@settings(max_examples=30, deadline=None,
+@settings(max_examples=60, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(q=query_strategy)
 def test_compiler_matches_independent_sql(spark, duck, q):
