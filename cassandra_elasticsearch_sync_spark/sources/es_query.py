@@ -6538,7 +6538,8 @@ LIMIT 8
      "connected in key order into a linestring capped at 5 points - "
      "the track/route agg behind vehicle-trace dashboards. Points "
      "render as 'lat,lon' strings at the corpus' exact 4-dp "
-     "coordinate scale, so the ORDER-SENSITIVE list hash proves both "
+     "coordinate scale, '|'-joined to ONE driver-safe string whose "
+     "ORDER-SENSITIVE join proves both "
      "the line order and the cap. Skew-safe like inner_hits: the "
      "row_number window shares the aggregate's hash partitioning "
      "(one shuffle) and caps BEFORE collection - a million-point "
@@ -6959,7 +6960,8 @@ ORDER BY w.o_totalprice DESC, w.o_orderkey ASC
      "Both windows share the collapse key's hash partitioning (ONE "
      "exchange), the cap applies BEFORE collect_list, and the "
      "per-group hits join the 12-row winner page - broadcast-sized. "
-     "The ORDER-SENSITIVE list hash proves inner sort + cap.")
+     "The hits flatten to ONE '|'-joined string (driver-safe) "
+     "whose ORDER-SENSITIVE join proves inner sort + cap.")
 def a3cp_es_collapse_inner_hits(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     out = es_collapse(
