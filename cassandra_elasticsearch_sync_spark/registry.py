@@ -116,9 +116,10 @@ _FRONT = (
     "k6p_gif_interlaced_decode", "k6q_bmp_pixel_decode",
     "k6s_tiff_strip_decode", "k6h_mp4_box_parse",
     # --- end of the round-10 front-50 ---
-    # round-10 wave two (terms_enum / field_caps / rank_eval): first
-    # in line past the front-50 for larger driver budgets
+    # round-10 waves two/three (terms_enum / field_caps / rank_eval /
+    # span containment pair): first in line past the front-50
     "a3de_es_terms_enum", "a3df_es_field_caps", "a3dg_es_rank_eval",
+    "a3dh_es_span_containing", "a3di_es_span_within",
     # the r9 front (driver-verified in CORRECTNESS_r09) and older
     # blocks queue directly after ---
     # ROTATION (round 9, VERDICT r8 #1): seventh rotation, BREADTH.

@@ -99,6 +99,8 @@ def _span_field(clause: dict) -> str:
         fields = {_span_field(body["include"]), _span_field(body["exclude"])}
     elif kind == "span_first":
         fields = {_span_field(body["match"])}
+    elif kind in ("span_within", "span_containing"):
+        fields = {_span_field(body["little"]), _span_field(body["big"])}
     else:
         raise ValueError(f"unsupported span clause {kind!r}")
     if len(fields) != 1:
@@ -145,6 +147,24 @@ def _span_intervals(toks: Column, clause: dict) -> Column:
         inner = _span_intervals(toks, body["match"])
         end = int(body["end"])
         return F.filter(inner, lambda a: a["e"] <= end - 1)
+    if kind == "span_within":
+        # the containment pair, little side: LITTLE spans enclosed by
+        # some BIG span (Lucene's SpanWithinQuery - the match unit is
+        # the little span)
+        little = _span_intervals(toks, body["little"])
+        big = _span_intervals(toks, body["big"])
+        return F.filter(
+            little, lambda a: F.exists(
+                big, lambda b: (b["s"] <= a["s"]) & (a["e"] <= b["e"])))
+    if kind == "span_containing":
+        # the containment pair, big side: BIG spans that contain some
+        # LITTLE span (SpanContainingQuery - the match unit is the
+        # big span)
+        little = _span_intervals(toks, body["little"])
+        big = _span_intervals(toks, body["big"])
+        return F.filter(
+            big, lambda b: F.exists(
+                little, lambda a: (b["s"] <= a["s"]) & (a["e"] <= b["e"])))
     raise ValueError(f"unsupported span clause {kind!r}")
 
 
@@ -229,7 +249,8 @@ def compile_query(q: dict, resolve=None) -> Column:
             for t in toks
         ]
         return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
-    if kind in ("span_near", "span_or", "span_not", "span_first"):
+    if kind in ("span_near", "span_or", "span_not", "span_first",
+                "span_within", "span_containing"):
         # The span family compiles through one position-INTERVAL
         # algebra (see _span_intervals): each span clause produces an
         # array<struct<s,e>> of matching token spans via higher-order
@@ -7989,3 +8010,83 @@ def a3dg_es_rank_eval(spark, sf_dir):
         k=10,
         relevant={"prefix": {"o_orderpriority": "1-"}},
         sort=[("o_totalprice", "desc"), ("o_orderkey", "asc")])
+
+
+# ---------------------------------------------------------------------------
+# Round 10 wave three: span containment pair - span_containing /
+# span_within, the two remaining span-family members
+# ---------------------------------------------------------------------------
+
+_SPAN_POS_SQL = """
+WITH pos AS (
+  SELECT doc_id, w, ord
+  FROM (SELECT doc_id,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w,
+               UNNEST(RANGE(1, LEN(STRING_SPLIT(LOWER(text), ' ')) + 1))
+                 AS ord
+        FROM documents)
+)"""
+
+
+@register("a3dh_es_span_containing", "A3+K4", _SPAN_POS_SQL + """,
+hits AS (
+  SELECT DISTINCT m.doc_id
+  FROM pos m JOIN pos j
+    ON j.doc_id = m.doc_id AND m.w = 'merge' AND j.w = 'join'
+   AND j.ord > m.ord AND j.ord - m.ord - 1 <= 4
+  WHERE EXISTS (SELECT 1 FROM pos s
+                WHERE s.doc_id = m.doc_id AND s.w = 'sort'
+                  AND s.ord >= m.ord AND s.ord <= j.ord)
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+""", "span_containing: BIG spans (merge .. join within 4 gaps, in "
+     "order) that CONTAIN a little span ('sort') - 'a merge-join "
+     "phrase that mentions sorting inside it', the enclosing side of "
+     "Lucene's containment pair. Compiles to filter(big, exists("
+     "little, enclosed)) over the same one-split interval algebra as "
+     "the rest of the span family - JVM lambdas, no explode, no "
+     "shuffle, per-document work bounded by term frequency. The "
+     "oracle restates containment as a position self-join + EXISTS.")
+def a3dh_es_span_containing(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    q = {"span_containing": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_term": {"text": "join"}},
+        ], "slop": 4, "in_order": True}},
+        "little": {"span_term": {"text": "sort"}},
+    }}
+    return es_search(d, q).select("doc_id", "source", "n_chars")
+
+
+@register("a3di_es_span_within", "A3+K4", _SPAN_POS_SQL + """,
+hits AS (
+  SELECT DISTINCT s.doc_id
+  FROM pos s
+  WHERE s.w = 'slow'
+    AND EXISTS (SELECT 1 FROM pos m JOIN pos j
+                  ON j.doc_id = m.doc_id AND m.w = 'data'
+                 AND j.w = 'line' AND j.ord > m.ord
+                 AND j.ord - m.ord - 1 <= 6
+                WHERE m.doc_id = s.doc_id
+                  AND m.ord <= s.ord AND s.ord <= j.ord)
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+""", "span_within: LITTLE spans ('slow') ENCLOSED by a big span "
+     "(data .. line within 6 gaps, in order) - the little side of "
+     "the containment pair ('slow mentioned inside a data-line "
+     "passage'). Same interval algebra, mirrored filter direction: "
+     "filter(little, exists(big, encloses)). Oracle: position EXISTS "
+     "over the enclosing pair.")
+def a3di_es_span_within(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    q = {"span_within": {
+        "little": {"span_term": {"text": "slow"}},
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "data"}},
+            {"span_term": {"text": "line"}},
+        ], "slop": 6, "in_order": True}},
+    }}
+    return es_search(d, q).select("doc_id", "source", "n_chars")

@@ -2036,3 +2036,45 @@ def test_rank_eval_hand_checked(spark):
         sort=[("score", "desc"), ("id", "asc")],
     )._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_span_containment_pair_hand_checked(spark):
+    """span_containing / span_within: the match unit differs (big vs
+    little span), equal spans count as contained, and a little span
+    OUTSIDE every big span never matches."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        compile_query,
+    )
+
+    rows = [
+        (1, "merge sort join x"),       # sort INSIDE merge..join
+        (2, "sort merge fast join"),    # sort OUTSIDE (before) the span
+        (3, "merge fast join sort"),    # sort after the span
+        (4, "merge join sort"),         # adjacent span, sort outside
+        (5, "sort x y z"),              # no big span at all
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    big = {"span_near": {"clauses": [
+        {"span_term": {"text": "merge"}},
+        {"span_term": {"text": "join"}},
+    ], "slop": 4, "in_order": True}}
+    little = {"span_term": {"text": "sort"}}
+
+    got = {r.id for r in df.filter(compile_query(
+        {"span_containing": {"big": big, "little": little}})).collect()}
+    assert got == {1}
+    got = {r.id for r in df.filter(compile_query(
+        {"span_within": {"little": little, "big": big}})).collect()}
+    assert got == {1}
+    # a zero-length little span EQUAL to a big span boundary is
+    # contained (s <= s, e <= e inclusive): little 'merge' within
+    # merge..join
+    got = {r.id for r in df.filter(compile_query(
+        {"span_within": {"little": {"span_term": {"text": "merge"}},
+                         "big": big}})).collect()}
+    assert got == {1, 2, 3, 4}
+    # cross-field containment is rejected (ES's one-field rule)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="share one field"):
+        compile_query({"span_within": {
+            "little": {"span_term": {"other": "x"}}, "big": big}})
