@@ -120,6 +120,7 @@ _FRONT = (
     # span containment pair): first in line past the front-50
     "a3de_es_terms_enum", "a3df_es_field_caps", "a3dg_es_rank_eval",
     "a3dh_es_span_containing", "a3di_es_span_within",
+    "a3dj_es_combined_fields",
     # the r9 front (driver-verified in CORRECTNESS_r09) and older
     # blocks queue directly after ---
     # ROTATION (round 9, VERDICT r8 #1): seventh rotation, BREADTH.

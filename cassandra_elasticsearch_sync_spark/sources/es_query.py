@@ -284,6 +284,35 @@ def compile_query(q: dict, resolve=None) -> Column:
         per_field = [compile_query({"match": {f: text}}, resolve)
                      for f in fields]
         return reduce(lambda a, b: a | b, per_field) if per_field else F.lit(False)
+    if kind == "combined_fields":
+        # ES combined_fields (7.13+): the listed fields are treated as
+        # ONE combined field - each query term may match in ANY field,
+        # and with operator=and ALL terms must match SOMEWHERE across
+        # them ('merge' in text, 'src1' in source both count). This is
+        # the cross-field semantic multi_match best_fields cannot
+        # express (there, operator=and requires all terms in one
+        # field). operator=or is the plain any-term disjunction.
+        # Boolean/filter context only (BM25F term-centric scoring is
+        # not reproducible - the house BM25 rule). Compiles to an
+        # AND-of-OR grid of word-boundary containments: JVM codegen,
+        # one scan, no UDF.
+        text, fields = body["query"], body["fields"]
+        op = str(body.get("operator", "or")).lower()
+        if op not in ("and", "or"):
+            raise ValueError(f"combined_fields operator must be and|or, "
+                             f"got {op!r}")
+        toks = [t for t in str(text).lower().split() if t]
+        if not toks or not fields:
+            return F.lit(False)
+        per_term = []
+        for t in toks:
+            in_any = [
+                F.array_contains(F.split(F.lower(resolve(f)), " "), t)
+                for f in fields]
+            per_term.append(reduce(lambda a, b: a | b, in_any))
+        combine = (lambda a, b: a & b) if op == "and" else \
+            (lambda a, b: a | b)
+        return reduce(combine, per_term)
     if kind == "bool":
         # Fully recursive: clauses may themselves be bool queries to
         # any depth ((A or (B and not C)) and D ...). `filter` is ES's
@@ -8090,3 +8119,27 @@ def a3di_es_span_within(spark, sf_dir):
         ], "slop": 6, "in_order": True}},
     }}
     return es_search(d, q).select("doc_id", "source", "n_chars")
+
+
+@register("a3dj_es_combined_fields", "A3+H1", """
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE (' ' || LOWER(text) || ' ' LIKE '% merge %'
+       OR ' ' || LOWER(source) || ' ' LIKE '% merge %')
+  AND (' ' || LOWER(text) || ' ' LIKE '% src1 %'
+       OR ' ' || LOWER(source) || ' ' LIKE '% src1 %')
+""", "ES combined_fields with operator=and: the query terms 'merge "
+     "src1' must EACH match somewhere across the combined (text, "
+     "source) fields - 'merge' matches in the body, 'src1' in the "
+     "source tag, and the document qualifies; multi_match "
+     "best_fields would demand both terms in ONE field and find "
+     "nothing. Boolean context per the house BM25F rule; compiles to "
+     "an AND-of-OR containment grid in whole-stage codegen. The "
+     "oracle is the word-boundary padded-LIKE restatement.")
+def a3dj_es_combined_fields(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_search(d, {"combined_fields": {
+        "query": "merge src1",
+        "fields": ["text", "source"],
+        "operator": "and",
+    }}).select("doc_id", "source", "lang", "n_chars")

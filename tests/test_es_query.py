@@ -2078,3 +2078,29 @@ def test_span_containment_pair_hand_checked(spark):
     with _pt.raises(ValueError, match="share one field"):
         compile_query({"span_within": {
             "little": {"span_term": {"other": "x"}}, "big": big}})
+
+
+def test_combined_fields_hand_checked(spark):
+    """combined_fields: terms match across the COMBINED fields -
+    operator=and passes when different terms land in different
+    fields (the case multi_match best_fields cannot express);
+    operator=or is any-term; bad operators rejected."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        compile_query,
+    )
+
+    rows = [(1, "merge join", "alpha"), (2, "sort scan", "merge"),
+            (3, "merge x", "beta"), (4, "y", "alpha")]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    q = {"combined_fields": {"query": "merge alpha",
+                             "fields": ["a", "b"], "operator": "and"}}
+    got = {r.id for r in df.filter(compile_query(q)).collect()}
+    # 1: merge in a, alpha in b (cross-field AND) - the key case
+    assert got == {1}
+    q["combined_fields"]["operator"] = "or"
+    got = {r.id for r in df.filter(compile_query(q)).collect()}
+    assert got == {1, 2, 3, 4}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="operator"):
+        compile_query({"combined_fields": {
+            "query": "x", "fields": ["a"], "operator": "not"}})
