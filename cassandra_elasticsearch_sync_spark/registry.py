@@ -120,7 +120,8 @@ _FRONT = (
     # span containment pair): first in line past the front-50
     "a3de_es_terms_enum", "a3df_es_field_caps", "a3dg_es_rank_eval",
     "a3dh_es_span_containing", "a3di_es_span_within",
-    "a3dj_es_combined_fields",
+    "a3dj_es_combined_fields", "a3dk_es_count",
+    "a3dl_es_geo_distance_sort", "a3dm_es_search_template",
     # the r9 front (driver-verified in CORRECTNESS_r09) and older
     # blocks queue directly after ---
     # ROTATION (round 9, VERDICT r8 #1): seventh rotation, BREADTH.

@@ -8143,3 +8143,150 @@ def a3dj_es_combined_fields(spark, sf_dir):
         "fields": ["text", "source"],
         "operator": "and",
     }}).select("doc_id", "source", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Round 10 wave four: the small search APIs - _count, _geo_distance
+# sort, _search/template
+# ---------------------------------------------------------------------------
+
+
+def es_count(df: DataFrame, query: dict | None = None) -> DataFrame:
+    """ES ``_count``: the number of documents matching a query - the
+    cheapest and most-called API a client library exposes. One
+    filtered COUNT (map-side partial, no shuffle of rows, one long
+    back); ES's response field name ``count`` kept."""
+    out = df if query is None else es_search(df, query)
+    return out.agg(F.count("*").alias("count"))
+
+
+@register("a3dk_es_count", "A3+D2", """
+SELECT COUNT(*) AS count
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice >= 150000
+""", "ES _count: open orders at or above 150k - the API every "
+     "dashboard tile and client health-check calls. Filtered "
+     "map-side-partial count; the filter pushes to the scan, one "
+     "number moves.")
+def a3dk_es_count(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_count(o, {"bool": {"filter": [
+        {"term": {"o_orderstatus": "O"}},
+        {"range": {"o_totalprice": {"gte": 150000}}},
+    ]}})
+
+
+def es_geo_distance_sort(df: DataFrame, query: dict, *,
+                         field: str, origin: tuple, tiebreak: str,
+                         size: int = 10) -> DataFrame:
+    """ES sort-by-``_geo_distance``: hits ordered by distance from an
+    origin point, nearest first - the store-locator page. The
+    distance rides along in meters (ES returns it as the hit's sort
+    value) rounded 6 dp; ordering uses the RAW double with the
+    caller's unique tiebreak (the house total-order rule), and the
+    page is one TakeOrderedAndProject over the filtered scan - no
+    global sort."""
+    lat, lon = float(origin[0]), float(origin[1])
+    dist = _haversine_m(F.col(f"{field}.lat"), F.col(f"{field}.lon"),
+                        F.lit(lat), F.lit(lon))
+    return (es_search(df, query)
+            .withColumn("_dist_m", dist)
+            .orderBy(F.col("_dist_m").asc(), F.col(tiebreak).asc())
+            .limit(int(size))
+            .withColumn("sort_dist_m", F.round(F.col("_dist_m"), 6))
+            .drop("_dist_m"))
+
+
+@register("a3dl_es_geo_distance_sort", "A3+F3", _GEO_SQL_PREFIX + """,
+d AS (
+  SELECT c_custkey, c_nationkey,
+         2.0 * 6371008.7714 * ASIN(SQRT(
+           SIN(RADIANS(40.7128 - lat) / 2) * SIN(RADIANS(40.7128 - lat) / 2)
+           + COS(RADIANS(lat)) * COS(RADIANS(40.7128))
+             * SIN(RADIANS(-74.006 - lon) / 2)
+             * SIN(RADIANS(-74.006 - lon) / 2))) AS dist_m
+  FROM geo
+  WHERE c_nationkey < 10
+)
+SELECT c_custkey, c_nationkey, ROUND(dist_m, 6) AS sort_dist_m
+FROM d
+ORDER BY dist_m ASC, c_custkey ASC
+LIMIT 15
+""", "ES sort by _geo_distance: the 15 customers nearest NYC among "
+     "nations 0-9, each hit carrying its distance as the sort value "
+     "- the store-locator response. Same in-plan haversine as "
+     "a3ad/a3ag (cross-engine agreement established there; ordering "
+     "on the raw double with the custkey tiebreak, distance rounded "
+     "6 dp for the hash); one TakeOrderedAndProject, no global "
+     "sort.")
+def a3dl_es_geo_distance_sort(spark, sf_dir):
+    g = _customer_geo(spark, sf_dir)
+    return es_geo_distance_sort(
+        g, {"range": {"c_nationkey": {"lt": 10}}},
+        field="location", origin=(40.7128, -74.006),
+        tiebreak="c_custkey", size=15,
+    ).select("c_custkey", "c_nationkey", "sort_dist_m")
+
+
+def es_render_search_template(source: dict, params: dict) -> dict:
+    """ES ``_render/template`` (and the ``_search/template`` body
+    step): substitute ``{{param}}`` placeholders into a query
+    template. The mustache subset real templates use for VALUES -
+    ``{{name}}`` only; sections/partials/defaults (``{{#..}}``,
+    ``{{>..}}``) are REJECTED loudly (they generate structure, not
+    values, and a silent partial render is a wrong query). A missing
+    parameter is an error, ES's own behavior. Rendering happens ONCE
+    at compile time - zero query-time cost."""
+    import json as _json
+    import re as _re
+
+    src = _json.dumps(source)
+    if _re.search(r"\{\{[#^/>&]", src):
+        raise ValueError("search_template supports value placeholders "
+                         "({{name}}) only; mustache sections/partials "
+                         "are rejected, not partially rendered")
+
+    def lookup(name: str):
+        if name not in params:
+            raise ValueError(f"search_template parameter {name!r} "
+                             "missing")
+        return params[name]
+
+    # two-pass, typed: a placeholder that IS the whole JSON string
+    # ("{{k}}") takes the param's JSON type (list -> array, number ->
+    # number); a placeholder embedded in a longer string stringifies
+    src = _re.sub(r'"\{\{(\w+)\}\}"',
+                  lambda m: _json.dumps(lookup(m.group(1))), src)
+    src = _re.sub(r"\{\{(\w+)\}\}", lambda m: str(lookup(m.group(1))), src)
+    return _json.loads(src)
+
+
+@register("a3dm_es_search_template", "A3+B3", """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 300000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 12
+""", "ES _search/template: the stored-search idiom - a query "
+     "template with {{status}}/{{floor}}/{{priorities}} value "
+     "placeholders rendered ONCE at compile time (typed: a list "
+     "param lands as a JSON array, a number as a number), then "
+     "compiled like any query. Sections/partials and missing params "
+     "reject loudly - a partially-rendered query is a wrong query. "
+     "Plan identical to the hand-written equivalent: one filtered "
+     "scan + TakeOrderedAndProject.")
+def a3dm_es_search_template(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    template = {"bool": {"filter": [
+        {"term": {"o_orderstatus": "{{status}}"}},
+        {"range": {"o_totalprice": {"gte": "{{floor}}"}}},
+        {"terms": {"o_orderpriority": "{{priorities}}"}},
+    ]}}
+    q = es_render_search_template(
+        template, {"status": "F", "floor": 300000,
+                   "priorities": ["1-URGENT", "2-HIGH"]})
+    return (es_search(o, q)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(12))

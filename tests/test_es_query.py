@@ -2104,3 +2104,30 @@ def test_combined_fields_hand_checked(spark):
     with _pt.raises(ValueError, match="operator"):
         compile_query({"combined_fields": {
             "query": "x", "fields": ["a"], "operator": "not"}})
+
+
+def test_search_template_hand_checked(spark):
+    """_render/template: typed whole-string substitution, embedded
+    stringification, missing params and mustache sections rejected."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_render_search_template,
+    )
+
+    out = es_render_search_template(
+        {"bool": {"filter": [
+            {"term": {"s": "{{status}}"}},
+            {"range": {"v": {"gte": "{{floor}}"}}},
+            {"terms": {"p": "{{vals}}"}},
+            {"prefix": {"name": "pre-{{tag}}"}},
+        ]}},
+        {"status": "F", "floor": 300, "vals": ["a", "b"], "tag": "x"})
+    f = out["bool"]["filter"]
+    assert f[0] == {"term": {"s": "F"}}
+    assert f[1] == {"range": {"v": {"gte": 300}}}      # typed: number
+    assert f[2] == {"terms": {"p": ["a", "b"]}}        # typed: array
+    assert f[3] == {"prefix": {"name": "pre-x"}}       # embedded: str
+    with pytest.raises(ValueError, match="missing"):
+        es_render_search_template({"term": {"s": "{{ghost}}"}}, {})
+    with pytest.raises(ValueError, match="sections"):
+        es_render_search_template(
+            {"term": {"s": "{{#cond}}x{{/cond}}"}}, {"cond": True})
