@@ -122,6 +122,7 @@ _FRONT = (
     "a3dh_es_span_containing", "a3di_es_span_within",
     "a3dj_es_combined_fields", "a3dk_es_count",
     "a3dl_es_geo_distance_sort", "a3dm_es_search_template",
+    "a3dn_es_mget",
     # the r9 front (driver-verified in CORRECTNESS_r09) and older
     # blocks queue directly after ---
     # ROTATION (round 9, VERDICT r8 #1): seventh rotation, BREADTH.

@@ -8290,3 +8290,59 @@ def a3dm_es_search_template(spark, sf_dir):
             .select("o_orderkey", "o_orderpriority", "o_totalprice")
             .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
             .limit(12))
+
+
+def es_mget(df: DataFrame, ids: list, id_col: str,
+            source_cols: list[str]) -> DataFrame:
+    """ES ``_mget``: fetch a batch of documents by id in ONE call -
+    the point-lookup batch every sync/cache layer issues. ES answers
+    EVERY requested id, present or not (``found``: true/false with
+    null _source for misses) - so the request list, not the corpus,
+    drives the output. Two joins, both broadcast-bounded by the
+    REQUEST size: (1) corpus INNER-join the broadcast id set - the
+    only scan-sized step, a BroadcastHashJoin with zero shuffle (an
+    outer join here would force the corpus to the build side, which
+    is exactly backwards at 100 TB); (2) the request list LEFT-joins
+    the <= |ids| found rows (also broadcast) to pad misses with
+    found=false. Duplicate requested ids are rejected (ES returns one
+    doc entry per request slot; a set keeps the relational shape
+    exact)."""
+    if len(set(ids)) != len(ids):
+        raise ValueError("_mget request ids must be unique here "
+                         "(one output row per id)")
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    req = spark.createDataFrame([(i,) for i in ids], f"{id_col} {id_type}")
+    found = (df.select(id_col, *source_cols)
+             .join(F.broadcast(req), id_col, "inner")
+             .withColumn("__present", F.lit(True)))
+    return (req.join(F.broadcast(found), id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("__present"), F.lit(False))
+                    .alias("found"),
+                    *source_cols))
+
+
+_MGET_IDS = [1, 2, 3, 7, 32, 900000901, 900000902, 38]
+
+
+@register("a3dn_es_mget", "A3+C2", """
+WITH req AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey
+             FROM (VALUES """
+           + ", ".join(f"({i})" for i in _MGET_IDS)
+           + """) AS t(o_orderkey))
+SELECT r.o_orderkey,
+       o.o_orderkey IS NOT NULL AS found,
+       o.o_orderstatus, o.o_totalprice
+FROM req r LEFT JOIN orders o ON r.o_orderkey = o.o_orderkey
+""", "ES _mget: eight requested order ids fetched in one call, two "
+     "of them absent from any corpus (the 9e8 range) - ES answers "
+     "every slot with found true/false and null _source for misses, "
+     "exactly this LEFT-JOIN-from-the-request shape. The request "
+     "list broadcasts (8-row hash table), the corpus streams: no "
+     "shuffle at any size. The id list is a shared literal so the "
+     "oracle VALUES and the Spark request cannot drift.")
+def a3dn_es_mget(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_mget(o, _MGET_IDS, "o_orderkey",
+                   ["o_orderstatus", "o_totalprice"])

@@ -2131,3 +2131,23 @@ def test_search_template_hand_checked(spark):
     with pytest.raises(ValueError, match="sections"):
         es_render_search_template(
             {"term": {"s": "{{#cond}}x{{/cond}}"}}, {"cond": True})
+
+
+def test_mget_hand_checked(spark):
+    """_mget: every requested id answered (found flag, null source on
+    misses), duplicate request ids rejected, corpus never shuffled."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_mget,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    rows = {r["k"]: r for r in es_mget(df, [2, 9], "k", ["v"]).collect()}
+    assert rows[2]["found"] is True and rows[2]["v"] == "b"
+    assert rows[9]["found"] is False and rows[9]["v"] is None
+    assert set(rows) == {2, 9}
+    with pytest.raises(ValueError, match="unique"):
+        es_mget(df, [1, 1], "k", ["v"])
+    plan = es_mget(df, [2, 9], "k", ["v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
