@@ -8,11 +8,18 @@ sf0.01 via tests/oracle_harness.compare. Rows-only queries are executed
 and row-counted (the driver's weaker check). Appends nothing; writes
 the log to stdout — redirect into PARITY_LOG_r{N}.txt.
 
-Usage: python tools/parity_sweep.py [sf_dir] [--limit N]
+Usage: python tools/parity_sweep.py [sf_dir] [--limit N] [--pandas]
 
 ``--limit N`` restricts the sweep to the first N registry keys in
 driver order — the exact shape of the driver's sampled run (one shared
 vanilla session, driver order, N queries), for driver-twin bisection.
+
+``--pandas`` compares through ``oracle_harness.pandas_compare`` — the
+DRIVER-FAITHFUL path (toPandas / .df(), factorize-backed sort, pandas'
+own row hash) instead of the str(v) normalizer. This is the mode that
+catches unhashable array cells and object-Decimal/float64 splits
+(VERDICT r9's two driver errs were invisible to the str(v) path);
+run it before any round where the front-50 rotates.
 """
 
 from __future__ import annotations
@@ -34,6 +41,9 @@ if "--limit" in argv:
 cluster = "--cluster" in argv
 if cluster:
     argv.remove("--cluster")
+pandas_mode = "--pandas" in argv
+if pandas_mode:
+    argv.remove("--pandas")
 # --heap SIZE / --cores N: resource sizing for big-SF sweeps (sf0.1
 # holds ~460 queries' localCheckpoint blocks in ONE JVM - the vanilla
 # 1g driver heap OOMs around query ~120; r7 run). Memory and core
@@ -57,7 +67,7 @@ sys.path.insert(0, "tests")
 
 from pyspark.sql import SparkSession  # noqa: E402
 
-from oracle_harness import compare, duck_connection  # noqa: E402
+from oracle_harness import compare, duck_connection, pandas_compare  # noqa: E402
 from cassandra_elasticsearch_sync_spark import registry  # noqa: E402
 
 builder = SparkSession.builder.master(f"local[{cores}]")
@@ -102,7 +112,8 @@ def _run_one(name, spec, attempt=1):
             print(f"{name}: ROWS-ONLY ({n} rows)", flush=True)
             n_rows_only += 1
             return
-        res = compare(name, df, con, spec.oracle)
+        cmp_fn = pandas_compare if pandas_mode else compare
+        res = cmp_fn(name, df, con, spec.oracle)
         print(res, flush=True)
         if res.ok:
             n_ok += 1
