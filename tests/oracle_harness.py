@@ -197,13 +197,29 @@ def _pandas_canon(df):
     name, multi-column sort_values (factorize-backed - list cells
     raise TypeError here, exactly the r9 driver `err`), then pandas'
     own per-row value hash (object-Decimal and float64 hash
-    DIFFERENTLY even when value-equal). Datetime columns normalize to
-    microseconds first so a pandas-version us/ns resolution split
-    can't manufacture a false diff."""
+    DIFFERENTLY even when value-equal). Two temporal normalizations
+    keep the emulation aligned with OBSERVED driver behavior rather
+    than stricter: datetime columns land on microseconds (a
+    pandas-version us/ns split must not manufacture a diff), and
+    object columns of datetime.date coerce to datetime64 - Spark
+    DATE arrives in pandas as date objects while DuckDB's .df()
+    hands back datetime64, and the driver demonstrably accepts raw
+    DATE outputs (k7o_cusum_changepoint was driver-GREEN in round 6
+    with exactly this shape), so flagging it would be a false
+    positive, unlike Decimal (driver hash-fails) and list cells
+    (driver errs)."""
+    import datetime as _dt
+
     import pandas as pd
 
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        if df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and all(
+                    isinstance(v, _dt.date)
+                    and not isinstance(v, _dt.datetime) for v in nn):
+                df[c] = pd.to_datetime(df[c])
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
     if len(df.columns):
