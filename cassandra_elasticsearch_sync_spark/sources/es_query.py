@@ -440,6 +440,17 @@ def compile_query(q: dict, resolve=None) -> Column:
                     "(this compiler's expansion is unbounded - a "
                     "recall superset of ES's 50-term default); drop "
                     "the parameter")
+            if "query" not in text:
+                raise ValueError(
+                    "match_phrase_prefix object form requires 'query'")
+            unsupported = set(text) - {"query"}
+            if unsupported:
+                # reject-loudly house rule: slop/analyzer/boost etc.
+                # would change semantics if silently dropped
+                raise ValueError(
+                    "match_phrase_prefix: unsupported parameters "
+                    f"{sorted(unsupported)!r} (only 'query' is "
+                    "representable under the whitespace analyzer)")
             text = text["query"]
         phrase = " ".join(str(text).lower().split())
         padded = F.concat(F.lit(" "), F.lower(resolve(field)), F.lit(" "))
@@ -7973,8 +7984,14 @@ def es_rank_eval(df: DataFrame, *, requests: list[dict], k: int,
     pass), the per-request top-k is a rank window Spark lowers to
     WindowGroupLimit (per-partition partial top-k - no single
     partition sees a request's full corpus), and the metrics fold in
-    one grouped aggregate: precision = relevant/k, MRR = 1/min(rank
-    of relevant) else 0, DCG = sum(rel / log2(rank+1))."""
+    one grouped aggregate: precision = relevant_retrieved/RETRIEVED
+    (ES's own denominator - a request retrieving fewer than k hits
+    divides by what it retrieved, not by k; ADVICE r10), MRR =
+    1/min(rank of relevant) else 0, DCG = sum(rel / log2(rank+1)).
+    A request whose query matches ZERO documents still emits a row
+    with zero metrics, exactly as ES reports it - the request list
+    left-joins the per-request aggregate (both sides are
+    request-bounded, so the join is free at any corpus size)."""
     from pyspark.sql import Window
 
     rel = compile_query(relevant)
@@ -7985,56 +8002,79 @@ def es_rank_eval(df: DataFrame, *, requests: list[dict], k: int,
     topk = (tagged.withColumn("__rank", F.row_number().over(w))
             .filter(F.col("__rank") <= int(k)))
     is_rel = F.when(rel, 1).otherwise(0)
-    return (topk.groupBy(F.col("__req").alias("request"))
-            .agg(
-                F.round(F.sum(is_rel) / F.lit(float(k)), 6)
+    metrics = (topk.groupBy(F.col("__req").alias("request"))
+               .agg(
+                   F.round(F.sum(is_rel) / F.count(F.lit(1)), 6)
+                   .alias(f"precision_at_{k}"),
+                   F.round(F.coalesce(
+                       F.lit(1.0) / F.min(F.when(rel, F.col("__rank"))),
+                       F.lit(0.0)), 6).alias("mrr"),
+                   F.round(F.sum(
+                       is_rel.cast("double")
+                       / F.log2(F.col("__rank") + F.lit(1.0))), 6)
+                   .alias(f"dcg_at_{k}")))
+    req = df.sparkSession.createDataFrame(
+        [(r["id"],) for r in requests], "request string")
+    return (req.join(metrics, "request", "left")
+            .select(
+                "request",
+                F.coalesce(F.col(f"precision_at_{k}"), F.lit(0.0))
                 .alias(f"precision_at_{k}"),
-                F.round(F.coalesce(
-                    F.lit(1.0) / F.min(F.when(rel, F.col("__rank"))),
-                    F.lit(0.0)), 6).alias("mrr"),
-                F.round(F.sum(
-                    is_rel.cast("double")
-                    / F.log2(F.col("__rank") + F.lit(1.0))), 6)
+                F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+                F.coalesce(F.col(f"dcg_at_{k}"), F.lit(0.0))
                 .alias(f"dcg_at_{k}"))
             .orderBy("request"))
 
 
 @register("a3dg_es_rank_eval", "A3+E4+D5", """
-WITH ranked AS (
+WITH reqs AS (SELECT UNNEST(['F', 'O', 'P', 'X']) AS request),
+ranked AS (
   SELECT o_orderstatus AS request, o_orderpriority,
          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
                             ORDER BY o_totalprice DESC, o_orderkey ASC)
            AS rnk
   FROM orders
+),
+m AS (
+  SELECT request,
+         ROUND(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 1
+                        ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS precision_at_10,
+         ROUND(COALESCE(1.0 / MIN(CASE WHEN o_orderpriority LIKE '1-%'
+                                       THEN rnk END), 0.0), 6) AS mrr,
+         ROUND(SUM(CASE WHEN o_orderpriority LIKE '1-%'
+                        THEN 1.0 / LOG2(rnk + 1.0) ELSE 0.0 END), 6)
+           AS dcg_at_10
+  FROM ranked
+  WHERE rnk <= 10
+  GROUP BY request
 )
-SELECT request,
-       ROUND(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 1
-                      ELSE 0 END) / 10.0, 6) AS precision_at_10,
-       ROUND(COALESCE(1.0 / MIN(CASE WHEN o_orderpriority LIKE '1-%'
-                                     THEN rnk END), 0.0), 6) AS mrr,
-       ROUND(SUM(CASE WHEN o_orderpriority LIKE '1-%'
-                      THEN 1.0 / LOG2(rnk + 1.0) ELSE 0.0 END), 6)
-         AS dcg_at_10
-FROM ranked
-WHERE rnk <= 10
-GROUP BY request
-ORDER BY request
-""", "ES _rank_eval: three ranked requests (one per order status, "
-     "ranked by totalprice under the explicit total order) graded "
-     "precision@10 / MRR / DCG@10 against the 'urgent priority' "
-     "rating predicate - the offline search-quality harness. One "
-     "scan stacks the request filters, the per-request top-10 "
-     "lowers to WindowGroupLimit partial top-k (no request's corpus "
-     "serializes through one task), metrics fold in one grouped "
-     "aggregate. Ratings are a predicate, not doc-id literals, so "
-     "the query is scale-factor-independent.")
+SELECT r.request,
+       COALESCE(m.precision_at_10, 0.0) AS precision_at_10,
+       COALESCE(m.mrr, 0.0) AS mrr,
+       COALESCE(m.dcg_at_10, 0.0) AS dcg_at_10
+FROM reqs r LEFT JOIN m ON m.request = r.request
+ORDER BY r.request
+""", "ES _rank_eval: four ranked requests (one per order status plus "
+     "the deliberately-empty status 'X', ranked by totalprice under "
+     "the explicit total order) graded precision@10 / MRR / DCG@10 "
+     "against the 'urgent priority' rating predicate - the offline "
+     "search-quality harness. ES semantics exactly: precision "
+     "divides by the RETRIEVED count (not k) and a zero-hit request "
+     "still emits a zero-metric row (ADVICE r10 - both edges now "
+     "exercised in-registry). One scan stacks the request filters, "
+     "the per-request top-10 lowers to WindowGroupLimit partial "
+     "top-k, metrics fold in one grouped aggregate, and the 4-row "
+     "request list left-joins the 4-row aggregate (request-bounded, "
+     "free at any scale). Ratings are a predicate, not doc-id "
+     "literals, so the query is scale-factor-independent.")
 def a3dg_es_rank_eval(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return es_rank_eval(
         o,
         requests=[
             {"id": s, "query": {"term": {"o_orderstatus": s}}}
-            for s in ("F", "O", "P")
+            for s in ("F", "O", "P", "X")
         ],
         k=10,
         relevant={"prefix": {"o_orderpriority": "1-"}},
@@ -8236,15 +8276,17 @@ def es_render_search_template(source: dict, params: dict) -> dict:
     ``{{>..}}``) are REJECTED loudly (they generate structure, not
     values, and a silent partial render is a wrong query). A missing
     parameter is an error, ES's own behavior. Rendering happens ONCE
-    at compile time - zero query-time cost."""
-    import json as _json
+    at compile time - zero query-time cost.
+
+    Substitution walks the PARSED structure, never re-serialized
+    text (ADVICE r10): a parameter VALUE is data, full stop - a
+    value that happens to contain ``{{other}}`` stays literal
+    instead of being re-expanded, and embedded quotes/backslashes
+    cannot corrupt the rendered query, because no JSON text is ever
+    rebuilt and re-scanned after parameter data enters it."""
     import re as _re
 
-    src = _json.dumps(source)
-    if _re.search(r"\{\{[#^/>&]", src):
-        raise ValueError("search_template supports value placeholders "
-                         "({{name}}) only; mustache sections/partials "
-                         "are rejected, not partially rendered")
+    ph = _re.compile(r"\{\{([#^/>&]?)(\w+)\}\}")
 
     def lookup(name: str):
         if name not in params:
@@ -8252,13 +8294,35 @@ def es_render_search_template(source: dict, params: dict) -> dict:
                              "missing")
         return params[name]
 
-    # two-pass, typed: a placeholder that IS the whole JSON string
-    # ("{{k}}") takes the param's JSON type (list -> array, number ->
-    # number); a placeholder embedded in a longer string stringifies
-    src = _re.sub(r'"\{\{(\w+)\}\}"',
-                  lambda m: _json.dumps(lookup(m.group(1))), src)
-    src = _re.sub(r"\{\{(\w+)\}\}", lambda m: str(lookup(m.group(1))), src)
-    return _json.loads(src)
+    def render_str(s: str, *, typed: bool):
+        for m in ph.finditer(s):
+            if m.group(1):
+                raise ValueError(
+                    "search_template supports value placeholders "
+                    "({{name}}) only; mustache sections/partials "
+                    "are rejected, not partially rendered")
+        whole = ph.fullmatch(s)
+        if whole and typed:
+            # a placeholder that IS the whole string value takes the
+            # param's JSON type (list -> array, number -> number)
+            return lookup(whole.group(2))
+        # embedded in a longer string (or a dict key): stringify;
+        # the substituted value is NOT rescanned for placeholders
+        return ph.sub(lambda m: str(lookup(m.group(2))), s)
+
+    def render(node):
+        if isinstance(node, dict):
+            return {
+                (render_str(k, typed=False) if isinstance(k, str) else k):
+                render(v)
+                for k, v in node.items()}
+        if isinstance(node, list):
+            return [render(v) for v in node]
+        if isinstance(node, str):
+            return render_str(node, typed=True)
+        return node
+
+    return render(source)
 
 
 @register("a3dm_es_search_template", "A3+B3", """
@@ -8306,17 +8370,23 @@ def es_mget(df: DataFrame, ids: list, id_col: str,
     the <= |ids| found rows (also broadcast) to pad misses with
     found=false. Duplicate requested ids are rejected (ES returns one
     doc entry per request slot; a set keeps the relational shape
-    exact)."""
+    exact). ES preserves REQUEST-SLOT order in the response, so the
+    result carries an explicit sort on the request index (ADVICE
+    r10: a caller zipping rows against their id list must not
+    mis-pair) - sorting <= |ids| rows is free at any corpus size."""
     if len(set(ids)) != len(ids):
         raise ValueError("_mget request ids must be unique here "
                          "(one output row per id)")
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    req = spark.createDataFrame([(i,) for i in ids], f"{id_col} {id_type}")
+    req = spark.createDataFrame(
+        [(slot, i) for slot, i in enumerate(ids)],
+        f"__slot int, {id_col} {id_type}")
     found = (df.select(id_col, *source_cols)
-             .join(F.broadcast(req), id_col, "inner")
+             .join(F.broadcast(req.select(id_col)), id_col, "inner")
              .withColumn("__present", F.lit(True)))
     return (req.join(F.broadcast(found), id_col, "left")
+            .orderBy("__slot")
             .select(id_col,
                     F.coalesce(F.col("__present"), F.lit(False))
                     .alias("found"),

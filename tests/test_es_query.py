@@ -1389,6 +1389,15 @@ def test_match_phrase_prefix_hand_checked(spark):
     with _pt.raises(ValueError, match="max_expansions"):
         compile_query({"match_phrase_prefix": {
             "text": {"query": "merge jo", "max_expansions": 50}}})
+    # object form validates its keys (ADVICE r10): no 'query' is a
+    # loud ValueError (not a raw KeyError), and real-ES parameters
+    # this compiler cannot honor (slop/analyzer/boost) are rejected,
+    # never silently ignored
+    with _pt.raises(ValueError, match="requires 'query'"):
+        compile_query({"match_phrase_prefix": {"text": {"slop": 2}}})
+    with _pt.raises(ValueError, match="unsupported parameters"):
+        compile_query({"match_phrase_prefix": {
+            "text": {"query": "merge jo", "slop": 2}}})
 
 
 def test_scoring_tier_hand_checked(spark):
@@ -2014,12 +2023,13 @@ def test_rank_eval_hand_checked(spark):
     df = spark.createDataFrame(
         [("q", 1, 10.0, "yes"), ("q", 2, 9.0, "no"), ("q", 3, 8.0, "yes"),
          ("q", 4, 7.0, "no"), ("q", 5, 6.0, "no"),
-         ("z", 6, 5.0, "no"), ("z", 7, 4.0, "no")],
+         ("z", 6, 5.0, "no"), ("z", 7, 4.0, "no"),
+         ("w", 8, 3.0, "yes"), ("w", 9, 2.0, "no")],
         "grp string, id long, score double, rated string")
     out = {r["request"]: r for r in es_rank_eval(
         df,
         requests=[{"id": g, "query": {"term": {"grp": g}}}
-                  for g in ("q", "z")],
+                  for g in ("q", "z", "w", "nope")],
         k=3, relevant={"term": {"rated": "yes"}},
         sort=[("score", "desc"), ("id", "asc")]).collect()}
     q = out["q"]
@@ -2029,6 +2039,17 @@ def test_rank_eval_hand_checked(spark):
     z = out["z"]
     assert z["precision_at_3"] == 0.0 and z["mrr"] == 0.0 \
         and z["dcg_at_3"] == 0.0
+    # ES denominator (ADVICE r10): 'w' retrieves only 2 docs for k=3,
+    # 1 relevant -> precision = 1/2 (relevant_retrieved / RETRIEVED),
+    # not 1/3
+    w = out["w"]
+    assert w["precision_at_3"] == 0.5 and w["mrr"] == 1.0
+    # ES zero-hit request (ADVICE r10): 'nope' matches nothing but
+    # still emits a row with zero metrics, never disappears
+    n = out["nope"]
+    assert n["precision_at_3"] == 0.0 and n["mrr"] == 0.0 \
+        and n["dcg_at_3"] == 0.0
+    assert set(out) == {"q", "z", "w", "nope"}
     # the per-request top-k lowers to a WindowGroupLimit partial
     plan = es_rank_eval(
         df, requests=[{"id": "q", "query": {"term": {"grp": "q"}}}],
@@ -2131,6 +2152,23 @@ def test_search_template_hand_checked(spark):
     with pytest.raises(ValueError, match="sections"):
         es_render_search_template(
             {"term": {"s": "{{#cond}}x{{/cond}}"}}, {"cond": True})
+    # injection holes closed (ADVICE r10): a parameter VALUE is data -
+    # one containing '{{other}}' stays literal (never re-expanded, no
+    # 'missing parameter' error), and embedded quotes/backslashes
+    # survive because nothing is re-serialized and re-scanned
+    out = es_render_search_template(
+        {"term": {"s": "{{v}}"}}, {"v": "keep {{other}} literal"})
+    assert out == {"term": {"s": "keep {{other}} literal"}}
+    out = es_render_search_template(
+        {"term": {"s": "{{v}}"}}, {"v": 'quote " and \\ slash'})
+    assert out == {"term": {"s": 'quote " and \\ slash'}}
+    out = es_render_search_template(
+        {"prefix": {"name": "x-{{v}}"}}, {"v": '"{{w}}"'})
+    assert out == {"prefix": {"name": 'x-"{{w}}"'}}
+    # placeholders in dict KEYS render too (stringified)
+    out = es_render_search_template(
+        {"term": {"{{field}}": "v"}}, {"field": "s"})
+    assert out == {"term": {"s": "v"}}
 
 
 def test_mget_hand_checked(spark):
@@ -2145,6 +2183,11 @@ def test_mget_hand_checked(spark):
     assert rows[2]["found"] is True and rows[2]["v"] == "b"
     assert rows[9]["found"] is False and rows[9]["v"] is None
     assert set(rows) == {2, 9}
+    # request-SLOT order preserved (ADVICE r10): ES answers in request
+    # order, so a caller zipping rows against their id list must not
+    # mis-pair - collect order IS the request order
+    got = [r["k"] for r in es_mget(df, [9, 2, 1], "k", ["v"]).collect()]
+    assert got == [9, 2, 1]
     with pytest.raises(ValueError, match="unique"):
         es_mget(df, [1, 1], "k", ["v"])
     plan = es_mget(df, [2, 9], "k", ["v"]) \
