@@ -72,6 +72,53 @@ def register(name: str, survey_id: str, oracle: str | None, doc: str = ""):
 # 164/442; this block converts 46 more. Previously-verified blocks
 # (r5, r4, r1-r3) sit directly after for larger budgets.
 _FRONT = (
+    # ROTATION (round 11, VERDICT r10 #1): ninth rotation. 143 of 537
+    # keys had never produced a driver row at the r10 close
+    # (cumulative 394); this front-50 is flagship + 49 keys weighted
+    # exactly as the r10 verdict prescribes: (a) the three
+    # DATE-output keys first (k7o - driver-green r6 but re-fronted to
+    # retire the pandas date-coercion adjudication with DIRECT driver
+    # evidence - plus never-sampled a3an/a3ao), (b) the 10 round-10
+    # keys the driver missed (judge-verified r10; driver evidence is
+    # the gold standard), (c) the three round-11 additions
+    # (geohex_grid / span_multi / ip_range), then the oldest
+    # never-sampled blocks - the CQL compiler variants and the
+    # K1/K2/K3 dedup+similarity tier - and the never-sampled ES
+    # analytics block. Converts up to 48 first-time keys
+    # (k7o re-samples); cumulative target ~442 of 540.
+    "flagship_pricing_summary",
+    # (a) the DATE-output keys (pandas date-coercion adjudication)
+    "k7o_cusum_changepoint", "a3an_es_auto_date_histogram",
+    "a3ao_es_sibling_bucket_stats",
+    # (b) round-10 waves two-four, never driver-sampled
+    "a3de_es_terms_enum", "a3df_es_field_caps", "a3dg_es_rank_eval",
+    "a3dh_es_span_containing", "a3di_es_span_within",
+    "a3dj_es_combined_fields", "a3dk_es_count",
+    "a3dl_es_geo_distance_sort", "a3dm_es_search_template",
+    "a3dn_es_mget",
+    # (c) the round-11 additions
+    "a3do_es_geohex_grid", "a3dp_es_span_multi", "a3dq_es_ip_range",
+    # CQL compiler variants, never sampled
+    "a2j_cql_filtering_toplimit", "a2v_cql_select_distinct_partitions",
+    "a2s_cql_indexed_lookup", "a2x_cql_pk_in_multi_partition",
+    "a2k_static_column_read",
+    # K1/K2/K3 dedup + similarity tier, never sampled
+    "k_simhash_fingerprint", "k2d_cluster_stats",
+    "k2j_near_dup_survivors", "k_dup_ngram_fraction",
+    "k1_decontamination", "k1e_incremental_dedup",
+    "k1g_sorted_neighborhood_dedup", "k_embedding_dup_pairs",
+    "k_quantize_embeddings", "k3d_partitioned_knn_join",
+    "k_semantic_dup_clusters", "k3h_hard_negative_mining",
+    "k3j_matryoshka_recall", "k3m_inbatch_negative_eval",
+    "k3n_rank_biased_overlap", "k_semdedup_prune",
+    # ES analytics block, never sampled
+    "a3s_es_moving_fn_serial_diff", "a3t_es_adjacency_matrix",
+    "a3u_es_bucket_script_selector_sort", "a3v_es_matrix_stats",
+    "a3w_es_terms_order_by_metric", "a3y_es_date_range_agg",
+    "a3aa_es_composite_paged_sweep", "a3ab_es_nested_path_query",
+    "a3ac_es_script_fields", "a3af_es_percentile_ranks",
+    "a3al_es_extended_stats", "a3am_es_fuzzy_phrase_search",
+    # --- end of the round-11 front-50 ---
     # ROTATION (round 10, VERDICT r9 #3): eighth rotation. The r9
     # driver sample went 48/50 with 2 shape-errs (a3bu/a3bz array
     # outputs); this front-50 is flagship + 49 never-driver-GREEN

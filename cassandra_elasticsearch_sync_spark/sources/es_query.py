@@ -48,13 +48,73 @@ _RANGE_OPS = {
 # size.
 # ---------------------------------------------------------------------------
 
+def _pred_intervals(toks: Column, pred) -> Column:
+    """Positions of tokens satisfying ``pred`` as zero-length spans
+    [(p, p), ...] - the generalization under both span_term (equality)
+    and span_multi (any multi-term token predicate)."""
+    idx = F.transform(
+        toks, lambda w, i: F.when(pred(w), i).otherwise(F.lit(-1)))
+    return F.transform(F.filter(idx, lambda x: x >= 0),
+                       lambda p: F.struct(p.alias("s"), p.alias("e")))
+
+
 def _point_intervals(toks: Column, term) -> Column:
     """Positions of one term as zero-length spans [(p, p), ...]."""
     t = str(term).lower()
-    idx = F.transform(
-        toks, lambda w, i: F.when(w == t, i).otherwise(F.lit(-1)))
-    return F.transform(F.filter(idx, lambda x: x >= 0),
-                       lambda p: F.struct(p.alias("s"), p.alias("e")))
+    return _pred_intervals(toks, lambda w: w == t)
+
+
+def _multi_term_token_pred(clause: dict):
+    """Compile a multi-term leaf (prefix/wildcard/regexp/fuzzy/range)
+    to ``(field, token_predicate)`` for use inside ``span_multi``: the
+    predicate evaluates ONE lowered token (Lucene rewrites the
+    multi-term query against index terms; with the whitespace
+    analyzer the token stream IS the term stream). An explicit
+    ``rewrite`` parameter is rejected loudly - the top-N rewrite cap
+    is unrepresentable without a term dictionary, and this compiler's
+    expansion is unbounded (a recall SUPERSET of ES's capped rewrite,
+    the match_phrase_prefix discipline)."""
+    kind, body = next(iter(clause.items()))
+    (field, spec), = body.items()
+    if isinstance(spec, dict) and "rewrite" in spec:
+        raise ValueError(
+            "span_multi rewrite is unrepresentable without an index "
+            "term dictionary (expansion here is unbounded - a recall "
+            "superset of ES's capped rewrite); drop the parameter")
+    if kind == "prefix":
+        v = str(spec["value"] if isinstance(spec, dict) else spec).lower()
+        return field, lambda w: w.startswith(v)
+    if kind == "wildcard":
+        raw = str(spec["value"] if isinstance(spec, dict) else spec).lower()
+        pat = (raw.replace("\\", "\\\\").replace("%", "\\%")
+               .replace("_", "\\_").replace("*", "%").replace("?", "_"))
+        return field, lambda w: w.like(pat)
+    if kind == "regexp":
+        raw = str(spec["value"] if isinstance(spec, dict) else spec).lower()
+        return field, lambda w: w.rlike(f"^(?:{raw})$")
+    if kind == "fuzzy":
+        if isinstance(spec, dict):
+            value = str(spec["value"]).lower()
+            fuzz = spec.get("fuzziness", "AUTO")
+        else:
+            value, fuzz = str(spec).lower(), "AUTO"
+        if fuzz == "AUTO":
+            n = len(value)
+            fuzz = 0 if n <= 2 else (1 if n <= 5 else 2)
+        edits = int(fuzz)
+        return field, (lambda w:
+                       F.levenshtein(w, F.lit(value)) <= F.lit(edits))
+    if kind == "range":
+        # lexicographic term range, Lucene's TermRangeQuery
+        conds = [(op, str(v).lower()) for op, v in spec.items()]
+        for op, _ in conds:
+            if op not in _RANGE_OPS:
+                raise ValueError(f"unsupported range op {op!r}")
+        return field, (lambda w: reduce(
+            lambda a, b: a & b,
+            [_RANGE_OPS[op](w, F.lit(v)) for op, v in conds]))
+    raise ValueError(f"span_multi cannot wrap {kind!r} (multi-term "
+                     "leaves only: prefix/wildcard/regexp/fuzzy/range)")
 
 
 def _combine_intervals(ia: Column, ib: Column, max_gaps: int,
@@ -99,6 +159,9 @@ def _span_field(clause: dict) -> str:
         fields = {_span_field(body["include"]), _span_field(body["exclude"])}
     elif kind == "span_first":
         fields = {_span_field(body["match"])}
+    elif kind == "span_multi":
+        field, _ = _multi_term_token_pred(body["match"])
+        fields = {field}
     elif kind in ("span_within", "span_containing"):
         fields = {_span_field(body["little"]), _span_field(body["big"])}
     else:
@@ -115,6 +178,14 @@ def _span_intervals(toks: Column, clause: dict) -> Column:
     if kind == "span_term":
         (_, term), = body.items()
         return _point_intervals(toks, term)
+    if kind == "span_multi":
+        # the span wrapper around a multi-term query: every token the
+        # wrapped prefix/wildcard/regexp/fuzzy/range leaf matches
+        # becomes a zero-length span, composable inside any span
+        # compound (Lucene's SpanMultiTermQueryWrapper). Expansion is
+        # unbounded - see _multi_term_token_pred's rewrite note.
+        _, pred = _multi_term_token_pred(body["match"])
+        return _pred_intervals(toks, pred)
     if kind == "span_near":
         # two-clause form; N>2 (ES's running-slop composition) is
         # rejected, not guessed. Sub-clauses may be ANY span kind.
@@ -250,7 +321,7 @@ def compile_query(q: dict, resolve=None) -> Column:
         ]
         return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
     if kind in ("span_near", "span_or", "span_not", "span_first",
-                "span_within", "span_containing"):
+                "span_within", "span_containing", "span_multi"):
         # The span family compiles through one position-INTERVAL
         # algebra (see _span_intervals): each span clause produces an
         # array<struct<s,e>> of matching token spans via higher-order
@@ -8416,3 +8487,321 @@ def a3dn_es_mget(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return es_mget(o, _MGET_IDS, "o_orderkey",
                    ["o_orderstatus", "o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the last named ES family members - span_multi (the span
+# wrapper around multi-term queries), ip_range (the IP-typed range
+# agg), geohex_grid (the hexagonal geo-grid)
+# ---------------------------------------------------------------------------
+
+@register("a3dp_es_span_multi", "A3+K4", _SPAN_POS_SQL + """,
+hits AS (
+  SELECT DISTINCT m.doc_id
+  FROM pos m JOIN pos j
+    ON j.doc_id = m.doc_id AND m.w = 'hash' AND j.w LIKE 's%'
+   AND j.ord > m.ord AND j.ord - m.ord - 1 <= 2
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+""", "ES span_multi: 'hash' followed within 2 gaps (in order) by ANY "
+     "token starting with 's' - the span wrapper around a prefix "
+     "query, Lucene's SpanMultiTermQueryWrapper composed inside "
+     "span_near. Every token the wrapped multi-term leaf matches "
+     "becomes a zero-length span in the SAME one-split interval "
+     "algebra as the rest of the span family: JVM lambdas, no "
+     "explode, no shuffle, per-document work bounded by term "
+     "frequency. The oracle restates the wrapped prefix as LIKE "
+     "'s%' over the position self-join. Expansion is unbounded (a "
+     "recall superset of ES's capped rewrite - the "
+     "match_phrase_prefix discipline); an explicit rewrite "
+     "parameter is rejected loudly.")
+def a3dp_es_span_multi(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    q = {"span_near": {"clauses": [
+        {"span_term": {"text": "hash"}},
+        {"span_multi": {"match": {"prefix": {"text": "s"}}}},
+    ], "slop": 2, "in_order": True}}
+    return es_search(d, q).select("doc_id", "source", "n_chars")
+
+
+# --- ip_range ---------------------------------------------------------------
+
+def _ip_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 string -> uint32 as BIGINT, pure JVM string
+    split + integer arithmetic (no UDF, codegen-friendly)."""
+    p = F.split(col, r"\.")
+    return (p[0].cast("long") * 16777216 + p[1].cast("long") * 65536
+            + p[2].cast("long") * 256 + p[3].cast("long"))
+
+
+def _ip_bucket_bounds(ranges: list[dict]) -> list[tuple]:
+    """Resolve ES ip_range bucket specs to (key, from_ip, to_ip, lo,
+    hi) - from inclusive, to EXCLUSIVE (ES's rule), CIDR masks
+    expanded to [network, broadcast+1). Driver-side, stdlib only."""
+    import ipaddress
+
+    out = []
+    for r in ranges:
+        if "mask" in r:
+            net = ipaddress.ip_network(r["mask"], strict=True)
+            lo = int(net.network_address)
+            hi = lo + net.num_addresses
+            key = r.get("key", r["mask"])
+            fr = str(net.network_address)
+            to = str(ipaddress.ip_address(hi)) if hi <= 0xFFFFFFFF else None
+        else:
+            if "from" not in r and "to" not in r:
+                raise ValueError("ip_range bucket needs from/to or mask")
+            fr = r.get("from")
+            to = r.get("to")
+            lo = int(ipaddress.ip_address(fr)) if fr is not None else None
+            hi = int(ipaddress.ip_address(to)) if to is not None else None
+            key = r.get("key", f"{fr or '*'}-{to or '*'}")
+        out.append((key, fr, to, lo, hi))
+    return out
+
+
+def es_ip_range_agg(df: DataFrame, field: str,
+                    ranges: list[dict]) -> DataFrame:
+    """ES ``ip_range`` aggregation: doc counts per IP range bucket,
+    buckets given as explicit from/to bounds (from INCLUSIVE, to
+    EXCLUSIVE - ES's half-open rule) or CIDR masks. Every requested
+    bucket is answered, zero-count included, in request order - ES's
+    response shape. Buckets may overlap; a doc counts in each bucket
+    it falls into. ``from``/``to`` come back as ``from_ip``/``to_ip``
+    string columns (NULL for unbounded) - renamed because bare
+    ``from`` is an SQL keyword in every downstream engine.
+
+    Compilation: the dotted-quad parses to uint32 JVM-side (one
+    split, integer arithmetic), each bucket is one conditional-sum in
+    a SINGLE global aggregate - map-side partials, one scan, no
+    shuffle of data rows, then the 1-row aggregate explodes into the
+    n-bucket response (bucket list is request-bounded). Scale-safe by
+    construction."""
+    buckets = _ip_bucket_bounds(ranges)
+    ipl = _ip_to_long(F.col(field))
+    aggs = []
+    for i, (_, _, _, lo, hi) in enumerate(buckets):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ipl >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (ipl < F.lit(hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__b{i}"))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("__slot"),
+                 F.lit(key).alias("key"),
+                 F.lit(fr).cast("string").alias("from_ip"),
+                 F.lit(to).cast("string").alias("to_ip"),
+                 F.col(f"__b{i}").alias("doc_count"))
+        for i, (key, fr, to, _, _) in enumerate(buckets)])
+    return (one.select(F.explode(rows).alias("b"))
+            .select("b.*").orderBy("__slot").drop("__slot"))
+
+
+def _ip_range_oracle(ranges: list[dict]) -> str:
+    """Generated DuckDB twin for the registered ip_range query: the
+    SAME Python-resolved bounds (shared literals - the _MGET_IDS
+    discipline) over the same derived-IP fixture."""
+    buckets = _ip_bucket_bounds(ranges)
+    parts = []
+    for key, fr, to, lo, hi in buckets:
+        conds = ["TRUE"]
+        if lo is not None:
+            conds.append(f"ipl >= {lo}")
+        if hi is not None:
+            conds.append(f"ipl < {hi}")
+        fr_sql = f"'{fr}'" if fr is not None else "CAST(NULL AS VARCHAR)"
+        to_sql = f"'{to}'" if to is not None else "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"SELECT '{key}' AS key, {fr_sql} AS from_ip, {to_sql} AS to_ip,\n"
+            f"       CAST(SUM(CASE WHEN {' AND '.join(conds)} THEN 1 ELSE 0 "
+            f"END) AS BIGINT) AS doc_count FROM ip")
+    return ("WITH ip AS (\n"
+            "  SELECT 10 * 16777216 + (c_custkey * 7 % 256) * 65536\n"
+            "         + (c_custkey * 13 % 256) * 256 + c_custkey % 256\n"
+            "         AS ipl\n"
+            "  FROM customer\n"
+            ")\n" + "\nUNION ALL\n".join(parts))
+
+
+def _customer_ip(spark, sf_dir) -> DataFrame:
+    """Customers with a deterministic synthetic IPv4 string: octets
+    are integer-arithmetic derivations of the key (the _customer_geo
+    precedent), all inside 10.0.0.0/8, so both engines reconstruct
+    the identical address space without an IP-typed column in the
+    corpus."""
+    c = load_table(spark, sf_dir, "customer")
+    ip = F.concat_ws(
+        ".", F.lit(10).cast("string"),
+        (F.col("c_custkey") * 7 % 256).cast("string"),
+        (F.col("c_custkey") * 13 % 256).cast("string"),
+        (F.col("c_custkey") % 256).cast("string"))
+    return c.withColumn("client_ip", ip)
+
+
+_IP_RANGES = [
+    {"key": "low-quarter", "from": "10.0.0.0", "to": "10.64.0.0"},
+    {"mask": "10.64.0.0/10"},
+    {"from": "10.128.0.0"},
+    {"to": "10.0.4.0"},
+    {"key": "empty-slice", "from": "10.255.255.0", "to": "10.255.255.16"},
+]
+
+
+@register("a3dq_es_ip_range", "A3+D5", _ip_range_oracle(_IP_RANGES),
+          "ES ip_range aggregation over a derived client-IP column "
+          "(the _customer_geo fixture precedent - octets from integer "
+          "key arithmetic, so no IP-typed corpus column is needed): "
+          "five buckets covering explicit from/to (half-open - from "
+          "inclusive, to EXCLUSIVE), a CIDR mask, both unbounded "
+          "directions, and a deliberately-EMPTY slice proving "
+          "zero-count buckets still answer (ES's response shape). "
+          "One scan, one global aggregate of conditional sums "
+          "(map-side partials, no shuffle of data rows); the bucket "
+          "bounds resolve ONCE driver-side via stdlib ipaddress and "
+          "the oracle is GENERATED from the same resolved literals, "
+          "so the two sides cannot drift.")
+def a3dq_es_ip_range(spark, sf_dir):
+    g = _customer_ip(spark, sf_dir)
+    return es_ip_range_agg(g, "client_ip", _IP_RANGES)
+
+
+# --- geohex_grid -------------------------------------------------------------
+#
+# DOCUMENTED DIVERGENCE (the BM25 / variable_width_histogram
+# discipline, stated loudly): real ES geohex_grid returns Uber H3
+# cell ids - an icosahedral gnomonic projection with aperture-7
+# hierarchical indexing and 12 pentagon cells. The H3 cell math is
+# unrepresentable here without adopting the H3 library (not in this
+# environment) or reimplementing the icosahedron face tables, and a
+# from-scratch reimplementation could not be oracle-checked by an
+# independent engine anyway. This implements the SEMANTICS of the
+# aggregation - hexagonal-lattice binning of geo_points with
+# aperture-7 area refinement per precision step (cell area shrinks
+# 7x per +1 precision, H3's ratio) - on a deterministic pointy-top
+# axial hex lattice over equirectangular lon/lat degrees. Cell keys
+# are 'precision/q/r' axial coordinates, not H3 ids; cells are true
+# hexagons in degree space (ground area varies with latitude, where
+# H3 is near-equal-area). Every arithmetic step is plain IEEE
+# double +-*/, floor, abs with Python-computed shared literals - no
+# libm transcendentals - so both engines compute bit-identical cell
+# assignments and the oracle is GENERATED from the same formula.
+
+_SQRT3_3 = 0.5773502691896258   # sqrt(3)/3, shared literal
+_ONE_3 = 0.3333333333333333     # 1/3
+_TWO_3 = 0.6666666666666666     # 2/3
+
+
+def _geohex_size(precision: int) -> float:
+    """Hex circumradius in degrees at ``precision``: 36deg at 0,
+    shrinking by sqrt(7) per step so cell AREA refines by 7x - H3's
+    aperture. Computed once driver-side; the resulting double is the
+    shared literal both engines bin with."""
+    if not 0 <= int(precision) <= 15:
+        raise ValueError("geohex_grid precision must be 0..15")
+    return 36.0 / (7.0 ** (precision / 2.0))
+
+
+def _geohex_qr(lat: Column, lon: Column, size: float) -> tuple:
+    """Axial (q, r) of the pointy-top hex containing (lat, lon):
+    fractional axial coords then cube rounding (round each of
+    x/y/z = q/-q-r/r to the nearest integer, then repair the one
+    with the largest rounding error so x+y+z stays 0 - the standard
+    nearest-hex-center assignment). round(v) is floor(v + 0.5) in
+    BOTH engines (no banker's rounding ambiguity)."""
+    qf = (F.lit(_SQRT3_3) * lon - F.lit(_ONE_3) * lat) / F.lit(size)
+    rf = (F.lit(_TWO_3) * lat) / F.lit(size)
+    yf = -qf - rf
+    rq = F.floor(qf + F.lit(0.5))
+    ry = F.floor(yf + F.lit(0.5))
+    rr = F.floor(rf + F.lit(0.5))
+    dq = F.abs(rq.cast("double") - qf)
+    dy = F.abs(ry.cast("double") - yf)
+    dr = F.abs(rr.cast("double") - rf)
+    fix_q = (dq > dy) & (dq > dr)
+    fix_r = (~fix_q) & (dr > dy)
+    q = F.when(fix_q, -ry - rr).otherwise(rq)
+    r = F.when(fix_r, -rq - ry).otherwise(rr)
+    return q, r
+
+
+def _geohex_qr_sql(lat_expr: str, lon_expr: str, size: float) -> str:
+    """The SAME hex assignment as _geohex_qr, generated as a DuckDB
+    scalar-subquery-free CTE chain (identical literals, identical
+    operation order - bit-identical doubles)."""
+    s = repr(size)
+    return f"""
+  SELECT *, CASE WHEN fix_q THEN -ry - rr ELSE rq END AS hq,
+         CASE WHEN (NOT fix_q) AND dr > dy THEN -rq - ry ELSE rr END AS hr
+  FROM (
+    SELECT *, (dq > dy AND dq > dr) AS fix_q
+    FROM (
+      SELECT *, ABS(rq - qf) AS dq, ABS(ry - yf) AS dy, ABS(rr - rf) AS dr
+      FROM (
+        SELECT *, CAST(FLOOR(qf + 0.5) AS BIGINT) AS rq,
+               CAST(FLOOR(yf + 0.5) AS BIGINT) AS ry,
+               CAST(FLOOR(rf + 0.5) AS BIGINT) AS rr
+        FROM (
+          SELECT *, -qf - rf AS yf
+          FROM (
+            SELECT *,
+                   ({_SQRT3_3!r} * ({lon_expr}) - {_ONE_3!r} * ({lat_expr}))
+                     / {s} AS qf,
+                   ({_TWO_3!r} * ({lat_expr})) / {s} AS rf
+            FROM geo
+          )
+        )
+      )
+    )
+  )"""
+
+
+def es_geohex_grid(df: DataFrame, field: str, precision: int,
+                   size: int = 40) -> DataFrame:
+    """ES ``geohex_grid`` aggregation (divergence note above): bucket
+    geo_points into hexagonal cells at ``precision``, count per cell,
+    top ``size`` cells by doc_count - geotile_grid's hexagonal
+    sibling. The cell key is computed map-side from plain arithmetic
+    (no UDF, whole-stage codegen), then ONE hash aggregate - scales
+    exactly like any groupBy: shuffle is |cells|-bounded, never
+    |rows|-bounded."""
+    hex_size = _geohex_size(precision)
+    q, r = _geohex_qr(F.col(f"{field}.lat"), F.col(f"{field}.lon"),
+                      hex_size)
+    cell = F.concat_ws("/", F.lit(int(precision)).cast("string"),
+                       q.cast("string"), r.cast("string"))
+    return (df.select(cell.alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("cell"))
+            .limit(int(size)))
+
+
+_GEOHEX_PRECISION = 2
+
+
+@register("a3do_es_geohex_grid", "A3+D1", _GEO_SQL_PREFIX + """
+, hx AS (""" + _geohex_qr_sql("lat", "lon", _geohex_size(_GEOHEX_PRECISION))
+          + """
+)
+SELECT CONCAT('2/', CAST(hq AS VARCHAR), '/', CAST(hr AS VARCHAR)) AS cell,
+       COUNT(*) AS doc_count
+FROM hx GROUP BY hq, hr
+ORDER BY doc_count DESC, cell ASC LIMIT 40
+""", "ES geohex_grid at precision 2: customers bucketed into "
+     "hexagonal lattice cells (pointy-top axial grid, cube-rounded "
+     "nearest-center assignment, aperture-7 area refinement per "
+     "precision step), top-40 cells by doc_count - geotile_grid's "
+     "hexagonal sibling. DOCUMENTED DIVERGENCE: keys are "
+     "'precision/q/r' axial coordinates on an equirectangular "
+     "lattice, not H3 icosahedral cell ids (see the module note). "
+     "All arithmetic is shared-literal IEEE +-*/, floor, abs - no "
+     "libm - so the GENERATED oracle bins bit-identically. One "
+     "map-side cell key + one hash aggregate: |cells|-bounded "
+     "shuffle at any corpus size.")
+def a3do_es_geohex_grid(spark, sf_dir):
+    g = _customer_geo(spark, sf_dir)
+    return es_geohex_grid(g, "location", _GEOHEX_PRECISION, size=40)

@@ -2194,3 +2194,162 @@ def test_mget_hand_checked(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_span_multi_hand_checked(spark):
+    """span_multi: each multi-term leaf kind produces the positions
+    ES's SpanMultiTermQueryWrapper would, composes inside span_near,
+    and DISAGREES with a plain span_term where expansion matters."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        compile_query,
+    )
+
+    rows = [
+        (1, "hash sort x"),        # 'hash' then s-word adjacent
+        (2, "hash x scan"),        # one gap
+        (3, "hash x y z spark"),   # 3 gaps - outside slop 2
+        (4, "sort hash x"),        # s-word BEFORE hash (order matters)
+        (5, "hash join x"),        # no s-word after
+        (6, "hash joins x"),       # 'joins' - prefix 'join' hits, term misses
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    def near(inner):
+        return {"span_near": {"clauses": [
+            {"span_term": {"text": "hash"}}, inner,
+        ], "slop": 2, "in_order": True}}
+
+    ids = lambda q: {r.id for r in df.filter(compile_query(q)).collect()}
+    # prefix: the registered-query shape
+    assert ids(near({"span_multi": {"match": {"prefix": {"text": "s"}}}})) \
+        == {1, 2}
+    # span_multi(prefix 'join') vs span_term 'join' DISAGREE on doc 6:
+    # the wrapper expands to 'joins', the exact term does not
+    assert ids(near({"span_multi": {"match": {"prefix": {"text": "join"}}}})) \
+        == {5, 6}
+    assert ids(near({"span_term": {"text": "join"}})) == {5}
+    # wildcard leaf: 's*n' hits scan only (not sort/spark)
+    assert ids(near({"span_multi": {"match": {"wildcard": {"text": "s*n"}}}})) \
+        == {2}
+    # regexp leaf is ANCHORED (whole token): 'jo.' misses 'joins'
+    assert ids(near({"span_multi": {"match":
+                                    {"regexp": {"text": "joins?"}}}})) \
+        == {5, 6}
+    assert ids(near({"span_multi": {"match": {"regexp": {"text": "jo."}}}})) \
+        == set()
+    # fuzzy leaf: 'scen' within 1 edit of 'scan' (AUTO ladder: len 4
+    # -> 1 edit)
+    assert ids(near({"span_multi": {"match": {"fuzzy": {"text": "scen"}}}})) \
+        == {2}
+    # lexicographic range leaf: tokens in [sc, sp) - scan/sort? no:
+    # 'sort' >= 'sp' is false ('so' < 'sp'), so scan AND sort hit
+    assert ids(near({"span_multi": {"match": {"range": {
+        "text": {"gte": "sc", "lt": "sp"}}}}})) == {1, 2}
+    # rewrite parameter rejected loudly (unrepresentable cap)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="rewrite"):
+        compile_query(near({"span_multi": {"match": {"prefix": {
+            "text": {"value": "s", "rewrite": "top_terms_10"}}}}}))
+    # non-multi-term leaves rejected
+    with _pt.raises(ValueError, match="multi-term"):
+        compile_query(near({"span_multi": {"match": {"term": {
+            "text": "hash"}}}}))
+    # bare span_multi works as a document predicate too
+    assert ids({"span_multi": {"match": {"prefix": {"text": "spar"}}}}) \
+        == {3}
+
+
+def test_ip_range_hand_checked(spark):
+    """ip_range: half-open bounds (from INCLUSIVE, to EXCLUSIVE),
+    CIDR mask expansion, overlapping buckets double-count, zero-count
+    buckets still answer, request order preserved."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_ip_range_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("10.0.0.0",), ("10.0.0.15",), ("10.0.0.16",), ("10.0.1.0",),
+         ("192.168.1.1",)], "ip string")
+    out = es_ip_range_agg(df, "ip", [
+        {"key": "a", "from": "10.0.0.0", "to": "10.0.0.16"},
+        {"mask": "10.0.0.0/24"},
+        {"key": "b", "from": "10.0.0.16"},
+        {"key": "c", "to": "10.0.0.1"},
+        {"key": "empty", "from": "172.16.0.0", "to": "172.16.0.1"},
+    ]).collect()
+    rows = {r["key"]: r for r in out}
+    # from inclusive (10.0.0.0 in), to EXCLUSIVE (10.0.0.16 out)
+    assert rows["a"]["doc_count"] == 2
+    assert rows["a"]["from_ip"] == "10.0.0.0" \
+        and rows["a"]["to_ip"] == "10.0.0.16"
+    # /24 mask = [10.0.0.0, 10.0.1.0): three docs, and the mask's
+    # resolved bounds are reported
+    m = rows["10.0.0.0/24"]
+    assert m["doc_count"] == 3
+    assert m["from_ip"] == "10.0.0.0" and m["to_ip"] == "10.0.1.0"
+    # unbounded-from / unbounded-to
+    assert rows["b"]["doc_count"] == 3 and rows["b"]["to_ip"] is None
+    assert rows["c"]["doc_count"] == 1 and rows["c"]["from_ip"] is None
+    # zero-count bucket still answered
+    assert rows["empty"]["doc_count"] == 0
+    # request order preserved
+    assert [r["key"] for r in out] == ["a", "10.0.0.0/24", "b", "c",
+                                       "empty"]
+    # a bucket with neither bounds nor mask is rejected
+    import pytest as _pt
+    with _pt.raises(ValueError, match="from/to or mask"):
+        es_ip_range_agg(df, "ip", [{"key": "x"}])
+
+
+def test_geohex_grid_hand_checked(spark):
+    """geohex: cube-rounded axial assignment == brute-force
+    nearest-hex-center (the defining property of the lattice),
+    aperture-7 area refinement, precision validation."""
+    import math
+
+    import pytest as _pt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        _geohex_qr, _geohex_size, es_geohex_grid,
+    )
+    from pyspark.sql import functions as F
+
+    size = _geohex_size(2)
+
+    def center(q, r):
+        # pointy-top axial -> lon/lat of the cell center (inverse of
+        # the fractional transform)
+        lon = size * math.sqrt(3.0) * (q + r / 2.0)
+        lat = size * 1.5 * r
+        return lat, lon
+
+    # 60 deterministic sample points; for each, the assigned cell's
+    # center must be the nearest center among a 5x5 axial
+    # neighborhood (brute force)
+    pts = [(((k * 37) % 120) - 60 + 0.123, ((k * 59) % 360) - 180 + 0.456)
+           for k in range(60)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    q, r = _geohex_qr(F.col("lat"), F.col("lon"), size)
+    got = df.select("lat", "lon", q.alias("q"), r.alias("r")).collect()
+    for row in got:
+        best = None
+        for dq in range(-2, 3):
+            for dr in range(-2, 3):
+                cq, cr = row["q"] + dq, row["r"] + dr
+                clat, clon = center(cq, cr)
+                d = (row["lat"] - clat) ** 2 + (row["lon"] - clon) ** 2
+                if best is None or d < best[0] - 1e-12:
+                    best = (d, cq, cr)
+        assert (best[1], best[2]) == (row["q"], row["r"]), row
+    # aperture 7: one precision step shrinks cell area (~size^2) 7x
+    assert _geohex_size(3) ** 2 * 7 == _pt.approx(_geohex_size(2) ** 2)
+    with _pt.raises(ValueError, match="precision"):
+        _geohex_size(16)
+    # the agg output: cells keyed 'p/q/r', count-desc with cell
+    # tiebreak, limited
+    g = df.select(F.struct(F.col("lat"), F.col("lon")).alias("location"))
+    out = es_geohex_grid(g, "location", 2, size=5).collect()
+    assert len(out) == 5
+    assert all(row["cell"].startswith("2/") for row in out)
+    counts = [row["doc_count"] for row in out]
+    assert counts == sorted(counts, reverse=True)
