@@ -8805,3 +8805,83 @@ ORDER BY doc_count DESC, cell ASC LIMIT 40
 def a3do_es_geohex_grid(spark, sf_dir):
     g = _customer_geo(spark, sf_dir)
     return es_geohex_grid(g, "location", _GEOHEX_PRECISION, size=40)
+
+
+def _long_to_ip(col: Column) -> Column:
+    """uint32 BIGINT -> dotted-quad string, pure JVM arithmetic."""
+    return F.concat_ws(
+        ".",
+        (col / 16777216).cast("long").cast("string"),
+        ((col / 65536).cast("long") % 256).cast("string"),
+        ((col / 256).cast("long") % 256).cast("string"),
+        (col % 256).cast("string"))
+
+
+def es_ip_prefix_agg(df: DataFrame, field: str, prefix_length: int,
+                     min_doc_count: int = 1) -> DataFrame:
+    """ES ``ip_prefix`` aggregation (8.x): bucket IP addresses by
+    their /``prefix_length`` network - ip_range's self-organizing
+    sibling (no bucket list in the request; the data's own networks
+    become the buckets). Response shape mirrors ES: ``key`` is the
+    network address, plus ``prefix_length``, ``netmask`` and
+    ``doc_count``, buckets ordered by key. ``min_doc_count`` prunes
+    sparse networks post-aggregate (ES's parameter; default 1 = only
+    occupied networks, exactly what one hash aggregate yields).
+
+    The network id is integer arithmetic on the parsed address
+    (floor-divide by 2^(32-p), re-multiply) computed map-side, so the
+    plan is the standard partial->final HashAggregate with a
+    |networks|-bounded shuffle - a groupBy at any corpus size, no
+    UDF."""
+    p = int(prefix_length)
+    if not 0 <= p <= 32:
+        raise ValueError("ip_prefix prefix_length must be 0..32")
+    block = 2 ** (32 - p)
+    ipl = _ip_to_long(F.col(field))
+    net = (ipl / F.lit(block)).cast("long") * F.lit(block)
+    mask = (2 ** 32 - block) if p else 0
+    mask_str = ".".join(str((mask >> s) & 255) for s in (24, 16, 8, 0))
+    return (df.select(net.alias("__net"))
+            .groupBy("__net")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .filter(F.col("doc_count") >= int(min_doc_count))
+            .select(_long_to_ip(F.col("__net")).alias("key"),
+                    F.lit(p).alias("prefix_length"),
+                    F.lit(mask_str).alias("netmask"),
+                    "doc_count",
+                    F.col("__net").alias("__ord"))
+            .orderBy("__ord").drop("__ord"))
+
+
+_IP_PREFIX_LEN = 18
+
+
+@register("a3dr_es_ip_prefix", "A3+D1", f"""
+WITH ip AS (
+  SELECT 10 * 16777216 + (c_custkey * 7 % 256) * 65536
+         + (c_custkey * 13 % 256) * 256 + c_custkey % 256 AS ipl
+  FROM customer
+), net AS (
+  SELECT CAST(FLOOR(ipl / {2 ** (32 - _IP_PREFIX_LEN)}.0) AS BIGINT)
+         * {2 ** (32 - _IP_PREFIX_LEN)} AS n, COUNT(*) AS doc_count
+  FROM ip GROUP BY 1
+)
+SELECT CONCAT(CAST(CAST(FLOOR(n / 16777216.0) AS BIGINT) AS VARCHAR), '.',
+              CAST(CAST(FLOOR(n / 65536.0) AS BIGINT) % 256 AS VARCHAR), '.',
+              CAST(CAST(FLOOR(n / 256.0) AS BIGINT) % 256 AS VARCHAR), '.',
+              CAST(n % 256 AS VARCHAR)) AS key,
+       {_IP_PREFIX_LEN} AS prefix_length,
+       '255.255.192.0' AS netmask,
+       doc_count
+FROM net
+ORDER BY n
+""", "ES ip_prefix aggregation at /18: the derived client-IP space "
+     "bucketed by its own /18 networks (ip_range's self-organizing "
+     "sibling - no request-side bucket list), each bucket carrying "
+     "key/prefix_length/netmask/doc_count exactly as ES responds, "
+     "ordered by network. The network id is floor-divide integer "
+     "arithmetic computed map-side; the plan is one partial->final "
+     "hash aggregate with a |networks|-bounded shuffle.")
+def a3dr_es_ip_prefix(spark, sf_dir):
+    g = _customer_ip(spark, sf_dir)
+    return es_ip_prefix_agg(g, "client_ip", _IP_PREFIX_LEN)

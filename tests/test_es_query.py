@@ -2353,3 +2353,38 @@ def test_geohex_grid_hand_checked(spark):
     assert all(row["cell"].startswith("2/") for row in out)
     counts = [row["doc_count"] for row in out]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_ip_prefix_hand_checked(spark):
+    """ip_prefix: network flooring at the prefix boundary, netmask
+    derivation, min_doc_count pruning, key ordering, /0 and /32
+    edges, bad length rejected."""
+    import pytest as _pt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_ip_prefix_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("10.0.0.1",), ("10.0.63.255",), ("10.0.64.0",), ("10.0.128.9",),
+         ("192.168.1.1",)], "ip string")
+    out = es_ip_prefix_agg(df, "ip", 18).collect()
+    rows = {r["key"]: r["doc_count"] for r in out}
+    # /18 blocks are 64 of the third octet: .0-.63 | .64-.127 | .128+
+    assert rows == {"10.0.0.0": 2, "10.0.64.0": 1, "10.0.128.0": 1,
+                    "192.168.0.0": 1}
+    assert all(r["prefix_length"] == 18 and r["netmask"] == "255.255.192.0"
+               for r in out)
+    # ordered by network address
+    assert [r["key"] for r in out] == [
+        "10.0.0.0", "10.0.64.0", "10.0.128.0", "192.168.0.0"]
+    # min_doc_count prunes sparse networks
+    kept = es_ip_prefix_agg(df, "ip", 18, min_doc_count=2).collect()
+    assert [(r["key"], r["doc_count"]) for r in kept] == [("10.0.0.0", 2)]
+    # /32 = identity buckets; /0 = one bucket holding everything
+    assert len(es_ip_prefix_agg(df, "ip", 32).collect()) == 5
+    all0 = es_ip_prefix_agg(df, "ip", 0).collect()
+    assert len(all0) == 1 and all0[0]["key"] == "0.0.0.0" \
+        and all0[0]["doc_count"] == 5 and all0[0]["netmask"] == "0.0.0.0"
+    with _pt.raises(ValueError, match="prefix_length"):
+        es_ip_prefix_agg(df, "ip", 33)
