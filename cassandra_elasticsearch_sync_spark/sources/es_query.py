@@ -8885,3 +8885,146 @@ ORDER BY n
 def a3dr_es_ip_prefix(spark, sf_dir):
     g = _customer_ip(spark, sf_dir)
     return es_ip_prefix_agg(g, "client_ip", _IP_PREFIX_LEN)
+
+
+# --- _termvectors / sparse_vector --------------------------------------------
+
+def es_termvectors(df: DataFrame, doc_id, *, id_col: str,
+                   text_col: str, term_statistics: bool = False
+                   ) -> DataFrame:
+    """ES ``_termvectors``: per-term statistics for ONE document -
+    term_freq and the position list (joined to a '|' string: the
+    driver-safe flattening rule), plus corpus-wide doc_freq and ttf
+    (total term frequency) when ``term_statistics`` is requested,
+    exactly the response clients use for keyword extraction and
+    more-like-this debugging.
+
+    Scale shape: the document side is ONE point lookup (partition-
+    prunable scan + explode of one token list). The corpus statistics
+    never aggregate the full vocabulary: the corpus token stream
+    inner-joins the BROADCAST distinct terms of the one document
+    first, so the grouped count is |doc's terms|-bounded, not
+    |vocab|-bounded - the request bounds the work, the ES discipline
+    everywhere in this module (_mget, rank_eval)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    doc = (df.filter(F.col(id_col) == F.lit(doc_id))
+           .select(F.posexplode(toks).alias("pos", "term")))
+    tv = (doc.groupBy("term")
+          .agg(F.count(F.lit(1)).alias("term_freq"),
+               F.array_join(F.transform(
+                   F.array_sort(F.collect_list("pos")),
+                   lambda p: p.cast("string")), "|").alias("positions")))
+    if not term_statistics:
+        return tv.orderBy("term")
+    corpus = df.select(F.col(id_col).alias("__doc"),
+                       F.explode(toks).alias("term"))
+    stats = (corpus.join(F.broadcast(tv.select("term")), "term", "inner")
+             .groupBy("term")
+             .agg(F.count_distinct("__doc").alias("doc_freq"),
+                  F.count(F.lit(1)).alias("ttf")))
+    return (tv.join(stats, "term", "left")
+            .select("term", "term_freq", "positions", "doc_freq", "ttf")
+            .orderBy("term"))
+
+
+@register("a3ds_es_termvectors", "A3+K4", """
+WITH doc AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term,
+         UNNEST(RANGE(0, LEN(STRING_SPLIT(LOWER(text), ' ')))) AS pos
+  FROM documents WHERE doc_id = 42
+), tv AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS term_freq,
+         STRING_AGG(CAST(pos AS VARCHAR), '|' ORDER BY pos) AS positions
+  FROM doc GROUP BY term
+), corpus AS (
+  SELECT doc_id AS __doc,
+         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+), stats AS (
+  SELECT c.term, CAST(COUNT(DISTINCT c.__doc) AS BIGINT) AS doc_freq,
+         CAST(COUNT(*) AS BIGINT) AS ttf
+  FROM corpus c JOIN (SELECT DISTINCT term FROM tv) t ON c.term = t.term
+  GROUP BY c.term
+)
+SELECT tv.term, tv.term_freq, tv.positions, s.doc_freq, s.ttf
+FROM tv LEFT JOIN stats s ON s.term = tv.term
+ORDER BY tv.term
+""", "ES _termvectors with term_statistics for document 42: per-term "
+     "term_freq + position list (array_sort'd, '|'-joined - the "
+     "driver-safe flattening), corpus doc_freq and total term "
+     "frequency. The corpus stats join the BROADCAST one-document "
+     "term set BEFORE grouping, so the aggregate is bounded by the "
+     "document's own vocabulary, never the corpus's. Positions sort "
+     "NUMERICALLY before stringifying in both engines.")
+def a3ds_es_termvectors(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_termvectors(d, 42, id_col="doc_id", text_col="text",
+                          term_statistics=True)
+
+
+def es_sparse_vector_query(df: DataFrame, *, text_col: str,
+                           query_vector: dict, id_cols: list[str],
+                           size: int) -> DataFrame:
+    """ES ``sparse_vector`` query with an explicit ``query_vector``
+    (the learned-sparse-retrieval shape - ELSER et al. - when the
+    client supplies pre-computed token weights instead of calling an
+    inference endpoint): score = sum over query tokens of
+    query_weight x doc token frequency, top ``size`` by score.
+
+    DOCUMENTED DIVERGENCE: the document-side weights here are raw
+    term frequencies (this corpus carries no learned rank_features
+    field); real ES multiplies stored per-token model weights. The
+    SCORING ALGEBRA - sparse dot product, query-side expansion
+    bounded by |query_vector| - is exact, which is what the operator
+    contributes at 100 TB: each query token is one array-count over
+    the split token stream (JVM lambdas, no explode of the corpus,
+    no shuffle before the top-k), then one TakeOrderedAndProject."""
+    if not query_vector:
+        raise ValueError("sparse_vector needs a non-empty query_vector")
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    score = None
+    for term, w in sorted(query_vector.items()):
+        tf = F.size(F.filter(toks, lambda t: t == str(term).lower()))
+        part = F.lit(float(w)) * tf.cast("double")
+        score = part if score is None else score + part
+    return (df.select(*id_cols, F.round(score, 6).alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), *[F.asc(c) for c in id_cols])
+            .limit(int(size)))
+
+
+_SPARSE_QV = {"merge": 2.5, "join": 1.8, "sort": 1.2, "vector": 0.7}
+
+
+@register("a3dt_es_sparse_vector", "A3+K3", """
+WITH scored AS (
+  SELECT doc_id, source,
+         ROUND(
+           2.5 * CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                      t -> t = 'merge')) AS DOUBLE)
+         + 1.8 * CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                      t -> t = 'join')) AS DOUBLE)
+         + 1.2 * CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                      t -> t = 'sort')) AS DOUBLE)
+         + 0.7 * CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                      t -> t = 'vector')) AS DOUBLE),
+           6) AS score
+  FROM documents
+)
+SELECT doc_id, source, score FROM scored
+WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""", "ES sparse_vector query with an explicit query_vector (the "
+     "learned-sparse / ELSER request shape): four weighted query "
+     "tokens dot-producted against document token frequencies, "
+     "top-20 by score. Document weights are raw term frequencies - "
+     "divergence documented (no learned rank_features field in this "
+     "corpus); the sparse-dot algebra and the "
+     "|query_vector|-bounded expansion are exact. Per-token counts "
+     "are JVM array lambdas over ONE split - the corpus is never "
+     "exploded - and the only ordering is TakeOrderedAndProject.")
+def a3dt_es_sparse_vector(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_sparse_vector_query(
+        d, text_col="text", query_vector=_SPARSE_QV,
+        id_cols=["doc_id", "source"], size=20)

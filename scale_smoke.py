@@ -71,7 +71,21 @@ PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
          # CDC->ES round trip (fold + 2PC render + wire parse-back)
          "d4b_hll_sketch_exact", "d4c_hll_by_group", "k_cms_sketch",
          "k_feature_hashing", "a3as_es_knn_search",
-         "l36_cdc_to_es_roundtrip")
+         "l36_cdc_to_es_roundtrip",
+         # round-11 additions (VERDICT r10 #7): a second decade for the
+         # round-10/11 fact- and doc-sized shapes - reverse_nested
+         # (child partial before the co-keyed parent join), PIT (ACID
+         # store built in-query at corpus size, then a FIXED 6-page
+         # walk: should grow like the build, never the walk), rank_eval
+         # (request-stacked explode + WindowGroupLimit), _mget
+         # (request-bounded broadcast against a 60x corpus - should be
+         # FLAT), span_multi (one-split interval filter over 30x docs).
+         # Dim-table shapes (geohex/ip_range/ip_prefix/terms_enum/
+         # variable_width over customer/part) get their decade from
+         # tools/decade_probe.py instead - SMALL dims don't replicate
+         # here.
+         "a3cz_es_reverse_nested", "a3dd_es_point_in_time",
+         "a3dg_es_rank_eval", "a3dn_es_mget", "a3dp_es_span_multi")
 
 SMALL = ("region", "nation", "customer", "supplier", "part")
 

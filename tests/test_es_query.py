@@ -2388,3 +2388,59 @@ def test_ip_prefix_hand_checked(spark):
         and all0[0]["doc_count"] == 5 and all0[0]["netmask"] == "0.0.0.0"
     with _pt.raises(ValueError, match="prefix_length"):
         es_ip_prefix_agg(df, "ip", 33)
+
+
+def test_termvectors_hand_checked(spark):
+    """_termvectors: term_freq, numeric position order, corpus
+    doc_freq/ttf, and the term_statistics=False shape."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_termvectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a c a"), (2, "a x"), (3, "y b")],
+        "id long, body string")
+    out = {r["term"]: r for r in es_termvectors(
+        df, 1, id_col="id", text_col="body",
+        term_statistics=True).collect()}
+    assert set(out) == {"a", "b", "c"}
+    # positions are NUMERIC order (0|2|4, never 0|10|2-style lexical)
+    assert out["a"]["term_freq"] == 3 and out["a"]["positions"] == "0|2|4"
+    assert out["b"]["positions"] == "1" and out["c"]["positions"] == "3"
+    # corpus stats: 'a' in docs 1+2 (doc_freq 2, ttf 4); 'c' only here
+    assert out["a"]["doc_freq"] == 2 and out["a"]["ttf"] == 4
+    assert out["b"]["doc_freq"] == 2 and out["b"]["ttf"] == 2
+    assert out["c"]["doc_freq"] == 1 and out["c"]["ttf"] == 1
+    # without term_statistics the corpus is never touched
+    slim = es_termvectors(df, 1, id_col="id", text_col="body")
+    assert slim.columns == ["term", "term_freq", "positions"]
+    # position 10+ sorts numerically after 2 (the lexical trap)
+    wide = spark.createDataFrame(
+        [(9, " ".join(["z"] * 12))], "id long, body string")
+    w = es_termvectors(wide, 9, id_col="id", text_col="body").collect()[0]
+    assert w["positions"] == "|".join(str(i) for i in range(12))
+
+
+def test_sparse_vector_hand_checked(spark):
+    """sparse_vector: weighted sparse dot product over token
+    frequencies, zero-score filtered, deterministic tiebreak."""
+    import pytest as _pt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_sparse_vector_query,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "merge join"), (2, "merge merge"), (3, "sort"),
+         (4, "nothing here")],
+        "id long, body string")
+    out = es_sparse_vector_query(
+        df, text_col="body", query_vector={"merge": 2.0, "join": 1.0},
+        id_cols=["id"], size=10).collect()
+    assert [(r["id"], r["score"]) for r in out] == [
+        (2, 4.0),   # 2 x merge
+        (1, 3.0),   # merge + join
+    ]                # 3 and 4 score 0 -> filtered
+    with _pt.raises(ValueError, match="query_vector"):
+        es_sparse_vector_query(df, text_col="body", query_vector={},
+                               id_cols=["id"], size=5)
