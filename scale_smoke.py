@@ -15,7 +15,13 @@ OUTPUT (the join is bounded by real work), not like corpus^2.
 embeddings replicate with fresh vec_ids (real corpus growth, constant
 dup structure), so k3 measures a genuinely 100x-larger ANN corpus.
 
-Usage: python scale_smoke.py [--quick]   (--quick = point A only)
+Usage: python scale_smoke.py [--quick] [--only k1,k2,...]
+  --quick        point A only
+  --only LIST    run only the named PICKS (comma list) - for focused
+                 new-operator second-decade runs; the corpus build and
+                 point structure are identical to the full run
+  --no-acid      skip the ACID-format probes (they are corpus-
+                 independent; skip when a focused query run is wanted)
 """
 
 from __future__ import annotations
@@ -141,10 +147,11 @@ def build(spark, root: str, facts_x: int, docs_x: int, emb_x: int) -> float:
     return time.perf_counter() - t0
 
 
-def run_point(spark, label: str, root: str) -> dict[str, float]:
+def run_point(spark, label: str, root: str,
+              picks=PICKS) -> dict[str, float]:
     specs = all_specs()
     out: dict[str, float] = {}
-    for name in PICKS:
+    for name in picks:
         t0 = time.perf_counter()
         specs[name].fn(spark, root).write.mode("overwrite").format("noop").save()
         out[name] = time.perf_counter() - t0
@@ -229,6 +236,13 @@ def acid_probe(spark, label: str, n_rows: int, n_slices: int) -> None:
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    picks = PICKS
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in names if n not in PICKS]
+        if unknown:
+            raise SystemExit(f"--only names not in PICKS: {unknown}")
+        picks = tuple(names)
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -236,23 +250,24 @@ def main() -> None:
     if not quick:
         points.append(("B(~sf6)", "/tmp/ces_scale_B", 60, 30, 100))
 
-    acid_probe(spark, "small", 1_500_000, 16)
-    if not quick:
-        acid_probe(spark, "10x", 15_000_000, 160)
+    if "--no-acid" not in sys.argv:
+        acid_probe(spark, "small", 1_500_000, 16)
+        if not quick:
+            acid_probe(spark, "10x", 15_000_000, 160)
 
     results = {}
     for label, root, fx, dx, ex in points:
         b = build(spark, root, fx, dx, ex)
         print(f"{label}: corpus built in {b:.0f}s "
               f"(facts x{fx}, docs x{dx}, embeddings x{ex})", flush=True)
-        results[label] = run_point(spark, label, root)
+        results[label] = run_point(spark, label, root, picks)
         shutil.rmtree(root, ignore_errors=True)
 
     if len(results) == 2:
         a, b = results["A(~sf1)"], results["B(~sf6)"]
         print("\nquery                              A(~sf1)  B(~sf6)  "
               "time-ratio (data-ratio 6x facts / 3x docs / 10x emb)")
-        for n in PICKS:
+        for n in picks:
             print(f"{n:34s} {a[n]:7.1f}  {b[n]:7.1f}  {b[n]/max(a[n],1e-9):5.1f}x")
 
 
