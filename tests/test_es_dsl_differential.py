@@ -44,6 +44,16 @@ leaf = st.one_of(
     st.sampled_from([("1-URGENT", 1), ("2-HIGH", 0), ("5-LOW", 2)]).map(
         lambda t: {"fuzzy": {"o_orderpriority":
                              {"value": t[0], "fuzziness": t[1]}}}),
+    # round-11: span_multi as a bare document predicate - the wrapped
+    # multi-term leaf matches PER TOKEN (priorities like
+    # '4-NOT SPECIFIED' are multi-token, so per-token vs whole-field
+    # disagreement is live)
+    st.sampled_from(["1-", "urg", "spec", "not", "5-l"]).map(
+        lambda v: {"span_multi": {"match":
+                                  {"prefix": {"o_orderpriority": v}}}}),
+    st.sampled_from(["*urgent*", "?-high", "spec*", "*ow"]).map(
+        lambda v: {"span_multi": {"match":
+                                  {"wildcard": {"o_orderpriority": v}}}}),
 )
 
 
@@ -95,6 +105,19 @@ def _sql(q) -> str:
         (f, spec), = body.items()
         return (f"levenshtein({f}, '{spec['value']}')"
                 f" <= {int(spec['fuzziness'])}")
+    if kind == "span_multi":
+        (ik, ib), = body["match"].items()
+        (f, v), = ib.items()
+        v = str(v).lower()
+        if ik == "prefix":
+            cond = f"t LIKE '{v}%'"
+        elif ik == "wildcard":
+            pat = v.replace("*", "%").replace("?", "_")
+            cond = f"t LIKE '{pat}'"
+        else:
+            raise AssertionError(ik)
+        return (f"LEN(LIST_FILTER(STRING_SPLIT(LOWER({f}), ' '), "
+                f"t -> {cond})) > 0")
     if kind == "bool":
         parts = [_sql(c) for c in body.get("must", [])]
         should = [_sql(c) for c in body.get("should", [])]

@@ -2444,3 +2444,28 @@ def test_sparse_vector_hand_checked(spark):
     with _pt.raises(ValueError, match="query_vector"):
         es_sparse_vector_query(df, text_col="body", query_vector={},
                                id_cols=["id"], size=5)
+
+
+def test_ip_conversion_roundtrip(spark):
+    """_ip_to_long / _long_to_ip agree with stdlib ipaddress on 300
+    LCG-scattered addresses plus the boundary values - one Spark job,
+    batch-checked."""
+    import ipaddress
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        _ip_to_long, _long_to_ip,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, 255, 256, 0xFFFFFFFF, 0x7FFFFFFF, 0x80000000]
+    x = 12345
+    for _ in range(300):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2 ** 64)
+        vals.append(x % (2 ** 32))
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    out = df.select(
+        "n", _long_to_ip(F.col("n")).alias("ip"),
+        _ip_to_long(_long_to_ip(F.col("n"))).alias("back")).collect()
+    for r in out:
+        assert r["back"] == r["n"]
+        assert r["ip"] == str(ipaddress.ip_address(r["n"]))
