@@ -9028,3 +9028,140 @@ def a3dt_es_sparse_vector(spark, sf_dir):
     return es_sparse_vector_query(
         d, text_col="text", query_vector=_SPARSE_QV,
         id_cols=["doc_id", "source"], size=20)
+
+
+def es_analyze(df: DataFrame, doc_id, *, id_col: str,
+               text_col: str) -> DataFrame:
+    """ES ``_analyze`` applied to one stored document's field: the
+    token stream the analysis chain produces - token, position,
+    start_offset/end_offset into the ORIGINAL text - the API clients
+    call to debug why a query does(n't) match. Analyzer is the house
+    whitespace+lowercase chain (single-space separators, the corpus
+    contract); lowercasing preserves lengths, so offsets index the
+    original text exactly.
+
+    Offsets are computed with pure array lambdas (aggregate over the
+    token prefix - O(tokens^2) on ONE document's tokens, all
+    JVM-side): no window function, no explode before the per-document
+    struct array is built, one point-lookup scan."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    entries = F.transform(
+        toks,
+        lambda t, i: F.struct(
+            t.alias("token"),
+            i.alias("position"),
+            F.aggregate(F.slice(toks, F.lit(1), i), F.lit(0),
+                        lambda acc, x: acc + F.length(x) + F.lit(1))
+            .alias("start_offset")))
+    return (df.filter(F.col(id_col) == F.lit(doc_id))
+            .select(F.explode(entries).alias("e"))
+            .select(F.col("e.token").alias("token"),
+                    F.col("e.position").cast("int").alias("position"),
+                    F.col("e.start_offset").alias("start_offset"),
+                    (F.col("e.start_offset")
+                     + F.length("e.token")).alias("end_offset"))
+            .orderBy("position"))
+
+
+@register("a3du_es_analyze", "A3+K4", """
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token,
+         UNNEST(RANGE(0, LEN(STRING_SPLIT(LOWER(text), ' ')))) AS position
+  FROM documents WHERE doc_id = 7
+)
+SELECT token, CAST(position AS INTEGER) AS position,
+       CAST(COALESCE(SUM(LEN(token) + 1) OVER (
+         ORDER BY position
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER)
+         AS start_offset,
+       CAST(COALESCE(SUM(LEN(token) + 1) OVER (
+         ORDER BY position
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        + LEN(token) AS INTEGER) AS end_offset
+FROM toks
+ORDER BY position
+""", "ES _analyze over document 7's text: the token stream with "
+     "position and start/end offsets into the original text - the "
+     "analysis-chain debugging API. Spark computes offsets with "
+     "prefix-aggregate array lambdas (no window, no shuffle - one "
+     "point lookup); the oracle restates them as a running window "
+     "sum. Lowercasing preserves lengths so offsets index the "
+     "original text; single-space separators are the corpus "
+     "contract.")
+def a3du_es_analyze(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_analyze(d, 7, id_col="doc_id", text_col="text")
+
+
+def es_mtermvectors(df: DataFrame, doc_ids: list, *, id_col: str,
+                    text_col: str, term_statistics: bool = False
+                    ) -> DataFrame:
+    """ES ``_mtermvectors``: _termvectors for a BATCH of documents in
+    one call - per (doc, term) rows. Same request-bounded discipline:
+    the document side is an isin point-lookup over |ids| documents,
+    and corpus statistics join the BROADCAST union of the requested
+    documents' terms before grouping, so the corpus aggregate stays
+    bounded by the request's vocabulary."""
+    if len(set(doc_ids)) != len(doc_ids):
+        raise ValueError("_mtermvectors ids must be unique")
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    doc = (df.filter(F.col(id_col).isin(*doc_ids))
+           .select(F.col(id_col).alias("doc"),
+                   F.posexplode(toks).alias("pos", "term")))
+    tv = (doc.groupBy("doc", "term")
+          .agg(F.count(F.lit(1)).alias("term_freq"),
+               F.array_join(F.transform(
+                   F.array_sort(F.collect_list("pos")),
+                   lambda p: p.cast("string")), "|").alias("positions")))
+    if not term_statistics:
+        return tv.orderBy("doc", "term")
+    corpus = df.select(F.col(id_col).alias("__doc"),
+                       F.explode(toks).alias("term"))
+    stats = (corpus.join(F.broadcast(tv.select("term").distinct()),
+                         "term", "inner")
+             .groupBy("term")
+             .agg(F.count_distinct("__doc").alias("doc_freq"),
+                  F.count(F.lit(1)).alias("ttf")))
+    return (tv.join(F.broadcast(stats), "term", "left")
+            .select("doc", "term", "term_freq", "positions",
+                    "doc_freq", "ttf")
+            .orderBy("doc", "term"))
+
+
+_MTV_IDS = [3, 11, 42]
+
+
+@register("a3dv_es_mtermvectors", "A3+K4", """
+WITH doc AS (
+  SELECT doc_id AS doc,
+         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term,
+         UNNEST(RANGE(0, LEN(STRING_SPLIT(LOWER(text), ' ')))) AS pos
+  FROM documents WHERE doc_id IN (3, 11, 42)
+), tv AS (
+  SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS term_freq,
+         STRING_AGG(CAST(pos AS VARCHAR), '|' ORDER BY pos) AS positions
+  FROM doc GROUP BY doc, term
+), corpus AS (
+  SELECT doc_id AS __doc,
+         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+), stats AS (
+  SELECT c.term, CAST(COUNT(DISTINCT c.__doc) AS BIGINT) AS doc_freq,
+         CAST(COUNT(*) AS BIGINT) AS ttf
+  FROM corpus c JOIN (SELECT DISTINCT term FROM tv) t ON c.term = t.term
+  GROUP BY c.term
+)
+SELECT tv.doc, tv.term, tv.term_freq, tv.positions, s.doc_freq, s.ttf
+FROM tv LEFT JOIN stats s ON s.term = tv.term
+ORDER BY tv.doc, tv.term
+""", "ES _mtermvectors with term_statistics for three documents: per "
+     "(doc, term) term_freq + numeric-ordered positions, corpus "
+     "doc_freq/ttf joined against the BROADCAST union of the "
+     "requested documents' terms - the batch form of _termvectors "
+     "under the same request-bounded discipline (the corpus "
+     "aggregate is bounded by the request's vocabulary, never the "
+     "corpus's).")
+def a3dv_es_mtermvectors(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return es_mtermvectors(d, _MTV_IDS, id_col="doc_id",
+                           text_col="text", term_statistics=True)

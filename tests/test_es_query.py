@@ -2469,3 +2469,50 @@ def test_ip_conversion_roundtrip(spark):
     for r in out:
         assert r["back"] == r["n"]
         assert r["ip"] == str(ipaddress.ip_address(r["n"]))
+
+
+def test_analyze_hand_checked(spark):
+    """_analyze: token/position/offset triples pinned by hand -
+    offsets index the ORIGINAL text (lowercasing preserves length)."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_analyze,
+    )
+
+    df = spark.createDataFrame([(1, "Alpha bb C")], "id long, body string")
+    out = es_analyze(df, 1, id_col="id", text_col="body").collect()
+    assert [(r["token"], r["position"], r["start_offset"], r["end_offset"])
+            for r in out] == [
+        ("alpha", 0, 0, 5),   # 'Alpha' occupies [0, 5)
+        ("bb", 1, 6, 8),
+        ("c", 2, 9, 10),
+    ]
+    # offsets slice the original text back out (modulo case)
+    orig = "Alpha bb C"
+    for r in out:
+        assert orig[r["start_offset"]:r["end_offset"]].lower() == r["token"]
+
+
+def test_mtermvectors_hand_checked(spark):
+    """_mtermvectors: per-(doc, term) stats, shared corpus doc_freq,
+    duplicate ids rejected."""
+    import pytest as _pt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_mtermvectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "c c")],
+        "id long, body string")
+    out = {(r["doc"], r["term"]): r for r in es_mtermvectors(
+        df, [1, 2], id_col="id", text_col="body",
+        term_statistics=True).collect()}
+    assert set(out) == {(1, "a"), (1, "b"), (2, "a"), (2, "c")}
+    assert out[(1, "a")]["term_freq"] == 2 \
+        and out[(1, "a")]["positions"] == "0|2"
+    # corpus stats shared across requested docs: 'a' in docs 1+2
+    assert out[(1, "a")]["doc_freq"] == 2 and out[(2, "a")]["doc_freq"] == 2
+    # 'c' stats include UNREQUESTED doc 3 (corpus-wide, as ES reports)
+    assert out[(2, "c")]["doc_freq"] == 2 and out[(2, "c")]["ttf"] == 3
+    with _pt.raises(ValueError, match="unique"):
+        es_mtermvectors(df, [1, 1], id_col="id", text_col="body")
