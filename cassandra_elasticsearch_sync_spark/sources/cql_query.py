@@ -107,6 +107,12 @@ _AGG_FNS = {"count", "sum", "min", "max", "avg"}
 # writetime/ttl shadow columns (the cell-metadata model the CQL
 # write path maintains - cql_write.apply_cql_writes).
 _SELECTOR_FNS = {"writetime", "ttl"}
+# Native CQL time-conversion scalar functions (system keyspace),
+# projectable on timestamp columns: toDate -> UTC date, toTimestamp
+# -> timestamp, toUnixTimestamp -> epoch MILLISECONDS (Cassandra's
+# unit). The timeuuid-argument forms are unrepresentable here (no
+# timeuuid columns in the model) and parse as unknown functions.
+_TIME_FNS = {"todate", "totimestamp", "tounixtimestamp"}
 # Cassandra 5.0 scalar vector functions, projectable in the select
 # list: similarity_cosine(col, [literal vector]) etc., all in [0, 1].
 _SIM_FNS = {"similarity_cosine", "similarity_euclidean",
@@ -239,7 +245,8 @@ def _parse_col(raw: str) -> CqlCol:
         fn = m.group("fn").lower()
         arg = m.group("arg")
         args = [a.strip() for a in arg.split(",")]
-        if fn not in _AGG_FNS and fn not in _SELECTOR_FNS:
+        if (fn not in _AGG_FNS and fn not in _SELECTOR_FNS
+                and fn not in _TIME_FNS):
             # user-defined function/aggregate (CREATE FUNCTION /
             # CREATE AGGREGATE) - resolved against the DDL registry
             from cassandra_elasticsearch_sync_spark.sources import (
@@ -490,6 +497,16 @@ def validate_cql(sel: CqlSelect) -> dict:
                       or any(c.fn in _AGG_FNS for c in sel.columns)):
         raise CqlError(
             "writetime()/ttl() cannot combine with GROUP BY/aggregates")
+
+    # Time-conversion scalar functions: plain-select projections only
+    # in this subset (combining them with GROUP BY/aggregates is
+    # rejected loudly, never mis-aggregated).
+    time_cols = [c for c in sel.columns if c.fn in _TIME_FNS]
+    if time_cols and (sel.group_by
+                      or any(c.fn in _AGG_FNS for c in sel.columns)):
+        raise CqlError(
+            "toDate()/toTimestamp()/toUnixTimestamp() cannot combine "
+            "with GROUP BY/aggregates in this subset")
 
     sim_cols = [c for c in sel.columns if c.fn in _SIM_FNS]
     for c in sim_cols:
@@ -797,6 +814,17 @@ def cql_select(df: DataFrame, stmt: str,
                     e = F.round(s, 6)
                     return (F.when(vn > 0, e) if vn is not None
                             else e).alias(c.out_name)
+                if c.fn in _TIME_FNS:
+                    # native time conversions; session TZ is pinned
+                    # UTC (catalog.load_table), matching Cassandra's
+                    # UTC-epoch semantics
+                    src = F.col(c.name)
+                    if c.fn == "todate":
+                        return F.to_date(src).alias(c.out_name)
+                    if c.fn == "totimestamp":
+                        return src.cast("timestamp").alias(c.out_name)
+                    return (F.unix_millis(src.cast("timestamp"))
+                            .alias(c.out_name))
                 if c.fn is not None and c.fn not in _AGG_FNS:
                     # scalar CREATE FUNCTION call: the DDL-compiled
                     # Catalyst expression over the argument columns
@@ -1241,3 +1269,24 @@ def a2aa_cql_sasi_like(spark, sf_dir):
         SELECT doc_id, lang, n_chars FROM documents
         WHERE text LIKE '%vector hash%'
     """)
+
+
+@register("a2ah_cql_time_functions", "A2+H2", """
+SELECT event_id, CAST(ts AS DATE) AS day,
+       CAST(epoch_ms(ts) AS BIGINT) AS ms
+FROM events WHERE user_id = 11
+""", "Native CQL time-conversion functions: `SELECT event_id, "
+     "toDate(ts) AS day, toUnixTimestamp(ts) AS ms FROM events WHERE "
+     "user_id = 11` - the time-slicing projections every Cassandra "
+     "time-series reader uses. toDate -> UTC date, toUnixTimestamp "
+     "-> epoch MILLISECONDS (Cassandra's unit, not seconds); both "
+     "compile to plain Catalyst conversions on the single-partition "
+     "slice read (partition-key equality pushes to the scan, no "
+     "ALLOW FILTERING needed). Combining them with GROUP BY / "
+     "aggregates is rejected loudly in this subset.")
+def a2ah_cql_time_functions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return cql_select(
+        ev,
+        "SELECT event_id, toDate(ts) AS day, toUnixTimestamp(ts) AS ms "
+        "FROM events WHERE user_id = 11")

@@ -453,3 +453,36 @@ def test_cql_sasi_like_rules(spark):
     n = cql_select(d, "SELECT doc_id FROM documents "
                       "WHERE text LIKE '%merge_%'").count()
     assert n == 0
+
+
+def test_time_functions_hand_checked(spark):
+    """toDate/toTimestamp/toUnixTimestamp: pinned conversions (UTC
+    date, epoch MILLISECONDS - Cassandra's unit), GROUP BY/aggregate
+    combination rejected, unknown timeuuid forms stay unknown."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        CQL_TABLES, CqlError, cql_select,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    CQL_TABLES.setdefault("tstab", {"partition": ["k"], "clustering": []})
+    try:
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 3, 5, 23, 59, 59))], "k long, ts timestamp")
+        row = cql_select(
+            df, "SELECT toDate(ts) AS d, toTimestamp(ts) AS t, "
+                "toUnixTimestamp(ts) AS ms FROM tstab WHERE k = 1"
+        ).collect()[0]
+        assert row["d"] == dt.date(2024, 3, 5)
+        assert row["t"] == dt.datetime(2024, 3, 5, 23, 59, 59)
+        assert row["ms"] == 1709683199000     # epoch ms, not seconds
+        with _pt.raises(CqlError, match="GROUP BY/aggregates"):
+            cql_select(df, "SELECT toDate(ts) AS d, count(*) "
+                           "FROM tstab WHERE k = 1")
+        with _pt.raises(CqlError, match="unsupported CQL function"):
+            cql_select(df, "SELECT minTimeuuid(ts) FROM tstab WHERE k = 1")
+    finally:
+        CQL_TABLES.pop("tstab", None)
