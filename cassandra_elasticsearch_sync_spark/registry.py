@@ -122,6 +122,7 @@ _FRONT = (
     # round-11 wave two: first in line past the front-50
     "a3dr_es_ip_prefix", "a3ds_es_termvectors", "a3dt_es_sparse_vector",
     "a3du_es_analyze", "a3dv_es_mtermvectors", "a2ah_cql_time_functions",
+    "a3dw_es_categorize_text", "a3dx_es_extended_stats_bucket",
     # ROTATION (round 10, VERDICT r9 #3): eighth rotation. The r9
     # driver sample went 48/50 with 2 shape-errs (a3bu/a3bz array
     # outputs); this front-50 is flagship + 49 never-driver-GREEN

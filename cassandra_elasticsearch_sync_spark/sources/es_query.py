@@ -9165,3 +9165,132 @@ def a3dv_es_mtermvectors(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return es_mtermvectors(d, _MTV_IDS, id_col="doc_id",
                            text_col="text", term_statistics=True)
+
+
+def es_categorize_text(df: DataFrame, field: str, *,
+                       size: int) -> DataFrame:
+    """ES ``categorize_text`` aggregation: group semi-structured log
+    messages by their TOKEN PATTERN - the ML-tier agg ops teams run
+    over error logs. DOCUMENTED DIVERGENCE (the variable_width /
+    BM25 discipline, stated loudly): real ES categorizes with an
+    incremental drain-style clusterer whose categories depend on
+    shard iteration order - unreproducible by construction; this is
+    the deterministic exact-pattern REFERENCE: the category key IS
+    the message's token sequence after dropping every token that
+    contains a digit (ES's categorization analyzer likewise strips
+    numeric/hex tokens so '42', 'k=69', 'a3f0' never split
+    categories). Deterministic, order-free, and the 'similar
+    messages bucket together' contract holds exactly for
+    template-generated logs - the workload the agg exists for.
+
+    One map-side key projection (split + filter + array_join JVM
+    lambdas) + one hash aggregate: |categories|-bounded shuffle,
+    terms-agg cost at any corpus size."""
+    toks = F.split(F.col(field), " ")
+    key = F.array_join(
+        F.filter(toks, lambda t: ~t.rlike("[0-9]")), " ")
+    return (df.select(key.alias("category"))
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("category"))
+            .limit(int(size)))
+
+
+@register("a3dw_es_categorize_text", "A3+K4", """
+WITH msg AS (
+  SELECT CONCAT(event_type, ' k=', CAST(props::JSON->>'k' AS VARCHAR),
+                CASE WHEN value > 30.0 THEN ' retry scheduled'
+                     ELSE ' completed ok' END) AS line
+  FROM events
+), cat AS (
+  SELECT ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT(line, ' '),
+                                     t -> NOT regexp_matches(t, '[0-9]')),
+                         ' ') AS category
+  FROM msg
+)
+SELECT category, COUNT(*) AS doc_count
+FROM cat GROUP BY category
+ORDER BY doc_count DESC, category ASC LIMIT 10
+""", "ES categorize_text over a derived event-log line ('<type> "
+     "k=<n> retry scheduled' / '... completed ok'): the ten "
+     "categories left after the digit-bearing tokens drop - per-type "
+     "retry/ok patterns, each with its doc_count, exactly the "
+     "error-log triage view the agg exists for. Deterministic "
+     "exact-pattern reference for ES's shard-order-dependent "
+     "clusterer (divergence documented in the compiler). Category "
+     "key is a map-side JVM lambda; one |categories|-bounded hash "
+     "aggregate.")
+def a3dw_es_categorize_text(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"), F.lit(" k="),
+        F.get_json_object("props", "$.k"),
+        F.when(F.col("value") > 30.0, F.lit(" retry scheduled"))
+        .otherwise(F.lit(" completed ok")))
+    return es_categorize_text(ev.select(line.alias("line")), "line",
+                              size=10)
+
+
+@register("a3dx_es_extended_stats_bucket", "A3+D5", """
+WITH buckets AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS key,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                   AS DECIMAL(38,2)) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT COUNT(*) AS n_buckets,
+       MIN(rev) AS min_bucket, MAX(rev) AS max_bucket,
+       ROUND(CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_bucket,
+       CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE) AS sum_bucket,
+       printf('%.10e',
+              CAST(SUM(CAST(rev AS DECIMAL(28,2)) * CAST(rev AS
+                       DECIMAL(28,2))) AS DOUBLE)) AS sum_of_squares,
+       printf('%.10e',
+              CAST(SUM(CAST(rev AS DECIMAL(28,2)) * CAST(rev AS
+                       DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+              - POW(CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE)
+                    / COUNT(*), 2)) AS variance_population,
+       printf('%.10e',
+              SQRT(CAST(SUM(CAST(rev AS DECIMAL(28,2)) * CAST(rev AS
+                           DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+                   - POW(CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE)
+                         / COUNT(*), 2))) AS std_deviation
+FROM buckets
+""", "ES extended_stats_bucket over the monthly-revenue bucket table "
+     "- stats_bucket's big sibling (a3ao), adding sum_of_squares / "
+     "population variance / std_deviation. The order-sensitivity "
+     "trap: summing 1e17-scale squares as doubles is "
+     "reorder-divergent across engines, so SUM and SUM-of-squares "
+     "fold as DECIMALS (exact, order-free - bucket revenues are "
+     "2-dp-exact doubles; operands widened to DECIMAL(28,2) so "
+     "DuckDB's int64 fast path cannot overflow the square). The "
+     "three 1e15+-magnitude outputs render as 10-significant-digit "
+     "scientific STRINGS: the engines' decimal->double casts differ "
+     "by one ulp at that magnitude (observed) and 6-dp rounding "
+     "cannot absorb it - fixed-significant-digit formatting is the "
+     "magnitude-proof form of the house float rule. Everything after the one fact aggregate is a "
+     "bucket-count-sized fold - free at any scale.")
+def a3dx_es_extended_stats_bucket(spark, sf_dir):
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    buckets = (o.groupBy(F.date_trunc("month", "o_orderdate")
+                         .cast("date").alias("key"))
+               .agg(dsum("o_totalprice", 2).alias("rev")))
+    d = F.col("rev").cast("decimal(28,2)")
+    n = F.count(F.lit(1))
+    dec_sum = F.sum(d)
+    dec_sos = F.sum(d * d)
+    avg = dec_sum.cast("double") / n
+    var = dec_sos.cast("double") / n - avg * avg
+    return buckets.agg(
+        n.alias("n_buckets"),
+        F.min("rev").alias("min_bucket"),
+        F.max("rev").alias("max_bucket"),
+        F.round(avg, 6).alias("avg_bucket"),
+        dec_sum.cast("double").alias("sum_bucket"),
+        F.format_string("%.10e", dec_sos.cast("double"))
+        .alias("sum_of_squares"),
+        F.format_string("%.10e", var).alias("variance_population"),
+        F.format_string("%.10e", F.sqrt(var)).alias("std_deviation"))

@@ -2516,3 +2516,57 @@ def test_mtermvectors_hand_checked(spark):
     assert out[(2, "c")]["doc_freq"] == 2 and out[(2, "c")]["ttf"] == 3
     with _pt.raises(ValueError, match="unique"):
         es_mtermvectors(df, [1, 1], id_col="id", text_col="body")
+
+
+def test_categorize_text_hand_checked(spark):
+    """categorize_text: digit-bearing tokens drop from the category
+    key, counts aggregate per pattern, deterministic ordering."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_categorize_text,
+    )
+
+    df = spark.createDataFrame(
+        [("error k=69 retry scheduled",),
+         ("error k=7 retry scheduled",),
+         ("view k=3 completed ok",),
+         ("node a3f0 went down",),   # hex-ish token drops too
+         ("node b212 went down",)],
+        "line string")
+    out = [(r["category"], r["doc_count"]) for r in
+           es_categorize_text(df, "line", size=10).collect()]
+    assert out == [
+        ("error retry scheduled", 2),
+        ("node went down", 2),
+        ("view completed ok", 1),
+    ]
+
+
+def test_extended_stats_bucket_matches_numpy(spark):
+    """a3dx: population variance / std / sum-of-squares over the
+    monthly bucket table agree with numpy recomputed from the same
+    buckets (independent formula check, not just the oracle twin)."""
+    import numpy as np
+
+    from cassandra_elasticsearch_sync_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    specs = all_specs()
+    row = specs["a3dx_es_extended_stats_bucket"].fn(spark, sf).collect()[0]
+    # recompute the bucket revenues exactly as the query does
+    from cassandra_elasticsearch_sync_spark.catalog import load_table
+    from cassandra_elasticsearch_sync_spark.parity import dsum
+    from pyspark.sql import functions as F
+    o = load_table(spark, sf, "orders")
+    revs = np.array([r["rev"] for r in (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                  .alias("key"))
+        .agg(dsum("o_totalprice", 2).alias("rev"))).collect()])
+    assert row["n_buckets"] == len(revs)
+    assert row["min_bucket"] == revs.min() and row["max_bucket"] == revs.max()
+    assert abs(row["sum_bucket"] - revs.sum()) < 1e-2
+    assert float(row["sum_of_squares"]) == pytest.approx(
+        float((revs.astype(float) ** 2).sum()), rel=1e-9)
+    assert float(row["variance_population"]) == pytest.approx(
+        float(np.var(revs)), rel=1e-6)
+    assert float(row["std_deviation"]) == pytest.approx(
+        float(np.std(revs)), rel=1e-6)
