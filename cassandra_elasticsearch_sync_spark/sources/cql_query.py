@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cassandra_elasticsearch_sync_spark.pipeline.hashing import portable_hash60
 
@@ -702,6 +703,23 @@ def cql_select(df: DataFrame, stmt: str,
     """Compile and run a CQL SELECT against the table's DataFrame."""
     sel = parse_cql(stmt)
     meta = validate_cql(sel)
+    # Argument-type rule for the native time conversions (ADVICE r11):
+    # Cassandra rejects toDate()/toTimestamp()/toUnixTimestamp() on
+    # non-temporal arguments at prepare time; Spark's lenient
+    # to_date/cast would instead yield silent NULLs on e.g. a text
+    # column. Check the actual DataFrame schema (the table's source of
+    # truth here) and reject loudly - the file's contract.
+    _temporal = (T.TimestampType, T.TimestampNTZType, T.DateType)
+    for c in sel.columns:
+        if c.fn in _TIME_FNS:
+            field = next((f for f in df.schema.fields
+                          if f.name == c.name), None)
+            if field is None:
+                raise CqlError(f"unknown column {c.name!r}")
+            if not isinstance(field.dataType, _temporal):
+                raise CqlError(
+                    f"{c.fn}() requires a timestamp/date argument; "
+                    f"{c.name!r} is {field.dataType.simpleString()}")
     out = df
     for col, op, val in sel.where:
         if col.startswith("token("):

@@ -86,13 +86,32 @@ def _multi_term_token_pred(clause: dict):
         return field, lambda w: w.startswith(v)
     if kind == "wildcard":
         raw = str(spec["value"] if isinstance(spec, dict) else spec).lower()
-        pat = (raw.replace("\\", "\\\\").replace("%", "\\%")
+        if "\\" in raw:
+            # ES treats backslash as an ESCAPE for the following
+            # metacharacter ('\*' is a literal star); the naive
+            # escape-then-substitute below would turn that into a
+            # literal backslash PLUS a live any-run wildcard - a
+            # silent semantic divergence. House rule for
+            # unrepresentable parameters: reject loudly.
+            raise ValueError(
+                "wildcard values containing a backslash use ES escape "
+                "semantics ('\\*' = literal star) which this compiler "
+                "does not implement; remove the backslash")
+        pat = (raw.replace("%", "\\%")
                .replace("_", "\\_").replace("*", "%").replace("?", "_"))
         return field, lambda w: w.like(pat)
     if kind == "regexp":
         raw = str(spec["value"] if isinstance(spec, dict) else spec).lower()
         return field, lambda w: w.rlike(f"^(?:{raw})$")
     if kind == "fuzzy":
+        # DIVERGENCE (documented, not silent): Spark's levenshtein()
+        # is CLASSIC edit distance, while ES fuzzy defaults to
+        # Damerau-Levenshtein (transpositions=true) - a transposed
+        # pair ('ahsh' vs 'hash') that ES matches at fuzziness 1
+        # needs 2 classic edits and is missed here, i.e. recall is a
+        # SUBSET of ES's on transposition-distance-1 tokens only.
+        # Same rule as the top-level fuzzy leaf; stated loudly per
+        # the geohex/categorize_text divergence discipline.
         if isinstance(spec, dict):
             value = str(spec["value"]).lower()
             fuzz = spec.get("fuzziness", "AUTO")
@@ -305,9 +324,17 @@ def compile_query(q: dict, resolve=None) -> Column:
     if kind == "wildcard":
         # ES wildcard: * = any run, ? = any one char. Compile to LIKE
         # with SQL metacharacters escaped so literal %/_ in the
-        # pattern stay literal.
+        # pattern stay literal. Backslash is ES's escape character
+        # ('\*' = literal star) - unimplemented here, so it is
+        # rejected loudly rather than silently mistranslated into a
+        # literal backslash + live wildcard.
         (field, value), = body.items()
-        pat = (str(value).replace("\\", "\\\\").replace("%", "\\%")
+        if "\\" in str(value):
+            raise ValueError(
+                "wildcard values containing a backslash use ES escape "
+                "semantics ('\\*' = literal star) which this compiler "
+                "does not implement; remove the backslash")
+        pat = (str(value).replace("%", "\\%")
                .replace("_", "\\_").replace("*", "%").replace("?", "_"))
         return resolve(field).like(pat)
     if kind == "match":
@@ -546,6 +573,12 @@ def compile_query(q: dict, resolve=None) -> Column:
         # ES fuzzy query: Levenshtein edit distance <= fuzziness.
         # "AUTO" follows ES's documented ladder: 0 edits for terms of
         # length 0-2, 1 for 3-5, 2 above.
+        # DIVERGENCE (documented, not silent): classic Levenshtein
+        # here vs ES's default Damerau-Levenshtein
+        # (transpositions=true) - a single transposition costs 2
+        # edits for us, so recall is a SUBSET of ES's on
+        # transposition-distance-1 terms. Same note as span_multi's
+        # fuzzy leaf (_multi_term_token_pred).
         (field, spec), = body.items()
         if isinstance(spec, dict):
             value = str(spec["value"])
@@ -8066,8 +8099,13 @@ def es_rank_eval(df: DataFrame, *, requests: list[dict], k: int,
     from pyspark.sql import Window
 
     rel = compile_query(relevant)
+    # Request ids ride as STRINGS on both the tag column and the
+    # padding frame below, whatever Python type the caller used -
+    # otherwise a non-string id (int request numbering is common)
+    # would hit createDataFrame('request string') with a type error
+    # or a join-type mismatch (ADVICE r11).
     tagged = df.withColumn("__req", F.explode(F.array_compact(F.array(*[
-        F.when(compile_query(r["query"]), F.lit(r["id"]))
+        F.when(compile_query(r["query"]), F.lit(str(r["id"])))
         for r in requests]))))
     w = Window.partitionBy("__req").orderBy(*_sort_spec_columns(sort))
     topk = (tagged.withColumn("__rank", F.row_number().over(w))
@@ -8085,7 +8123,7 @@ def es_rank_eval(df: DataFrame, *, requests: list[dict], k: int,
                        / F.log2(F.col("__rank") + F.lit(1.0))), 6)
                    .alias(f"dcg_at_{k}")))
     req = df.sparkSession.createDataFrame(
-        [(r["id"],) for r in requests], "request string")
+        [(str(r["id"]),) for r in requests], "request string")
     return (req.join(metrics, "request", "left")
             .select(
                 "request",
@@ -8787,7 +8825,8 @@ _GEOHEX_PRECISION = 2
 , hx AS (""" + _geohex_qr_sql("lat", "lon", _geohex_size(_GEOHEX_PRECISION))
           + """
 )
-SELECT CONCAT('2/', CAST(hq AS VARCHAR), '/', CAST(hr AS VARCHAR)) AS cell,
+SELECT CONCAT('""" + str(_GEOHEX_PRECISION) + """/', CAST(hq AS VARCHAR),
+              '/', CAST(hr AS VARCHAR)) AS cell,
        COUNT(*) AS doc_count
 FROM hx GROUP BY hq, hr
 ORDER BY doc_count DESC, cell ASC LIMIT 40

@@ -484,5 +484,22 @@ def test_time_functions_hand_checked(spark):
                            "FROM tstab WHERE k = 1")
         with _pt.raises(CqlError, match="unsupported CQL function"):
             cql_select(df, "SELECT minTimeuuid(ts) FROM tstab WHERE k = 1")
+        # ADVICE r11: non-temporal argument is a loud CqlError (the
+        # Cassandra prepare-time type check), never Spark's lenient
+        # cast-to-NULL
+        df2 = spark.createDataFrame(
+            [(1, "not-a-time")], "k long, ts string")
+        for fn in ("toDate", "toTimestamp", "toUnixTimestamp"):
+            with _pt.raises(CqlError, match="timestamp/date argument"):
+                cql_select(df2, f"SELECT {fn}(ts) AS x FROM tstab "
+                                "WHERE k = 1")
+        # DATE arguments remain accepted (Cassandra: toDate(date),
+        # toTimestamp(date) are valid overloads)
+        df3 = spark.createDataFrame(
+            [(1, dt.date(2024, 3, 5))], "k long, d date")
+        row3 = cql_select(
+            df3, "SELECT toDate(d) AS dd FROM tstab WHERE k = 1"
+        ).collect()[0]
+        assert row3["dd"] == dt.date(2024, 3, 5)
     finally:
         CQL_TABLES.pop("tstab", None)

@@ -2057,6 +2057,19 @@ def test_rank_eval_hand_checked(spark):
         sort=[("score", "desc"), ("id", "asc")],
     )._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+    # ADVICE r11: non-string request ids (int numbering) coerce to
+    # string on BOTH the tag column and the padding frame - no
+    # createDataFrame type error, no join-type mismatch, zero-hit
+    # padding still works
+    out_int = {r["request"]: r for r in es_rank_eval(
+        df,
+        requests=[{"id": 1, "query": {"term": {"grp": "q"}}},
+                  {"id": 2, "query": {"term": {"grp": "none"}}}],
+        k=3, relevant={"term": {"rated": "yes"}},
+        sort=[("score", "desc"), ("id", "asc")]).collect()}
+    assert set(out_int) == {"1", "2"}
+    assert out_int["1"]["mrr"] == 1.0
+    assert out_int["2"]["precision_at_3"] == 0.0
 
 
 def test_span_containment_pair_hand_checked(spark):
@@ -2254,6 +2267,15 @@ def test_span_multi_hand_checked(spark):
     with _pt.raises(ValueError, match="multi-term"):
         compile_query(near({"span_multi": {"match": {"term": {
             "text": "hash"}}}}))
+    # ADVICE r11: backslash in a wildcard value is ES ESCAPE syntax
+    # ('\*' = literal star) - unimplemented, rejected loudly in both
+    # the span_multi leaf and the top-level wildcard leaf (the silent
+    # mistranslation would have been literal-backslash + live %)
+    with _pt.raises(ValueError, match="backslash"):
+        compile_query(near({"span_multi": {"match": {"wildcard": {
+            "text": "s\\*n"}}}}))
+    with _pt.raises(ValueError, match="backslash"):
+        compile_query({"wildcard": {"text": "s\\*n"}})
     # bare span_multi works as a document predicate too
     assert ids({"span_multi": {"match": {"prefix": {"text": "spar"}}}}) \
         == {3}
