@@ -872,11 +872,21 @@ class AcidParquetTable:
     def update_where(self, condition: Column, assignments: dict[str, Column]) -> int:
         """``UPDATE t SET col=expr, ... WHERE condition`` as a
         copy-on-write commit. Assignments apply only to matching rows;
-        non-matching rows in affected files are rewritten unchanged."""
+        non-matching rows in affected files are rewritten unchanged.
+        SQL UPDATE semantics: every RHS is evaluated against the OLD
+        row (one simultaneous SELECT, never a sequential withColumn
+        chain), so ``SET a = b, b = a`` swaps - a cross-referencing
+        assignment must not observe a sibling assignment's result."""
         def _apply(df: DataFrame, c: Column) -> DataFrame:
-            for col, expr in assignments.items():
-                df = df.withColumn(col, F.when(c, expr).otherwise(F.col(col)))
-            return df
+            missing = set(assignments) - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"UPDATE SET targets unknown columns {sorted(missing)}; "
+                    "add columns via add_columns first")
+            return df.select(*[
+                (F.when(c, assignments[col]).otherwise(F.col(col))
+                 .alias(col)) if col in assignments else F.col(col)
+                for col in df.columns])
         return self._rewrite_where(condition, _apply)
 
     # -- merge-on-read deletes ---------------------------------------------

@@ -604,11 +604,31 @@ def compile_query(q: dict, resolve=None) -> Column:
         # `minimum_should_match` of the listed terms are present
         # (each DISTINCT term counts once). array_intersect is the
         # JVM-side set intersection - no explode, no shuffle.
+        # The PER-DOCUMENT threshold form -
+        # `minimum_should_match_field` names a numeric column holding
+        # each doc's own required count (ES's canonical use: a
+        # required_matches field written at index time) - compiles to
+        # the same intersection compared against that column.
+        # `minimum_should_match_script` is rejected loudly: general
+        # Painless-on-match-count needs machinery the bounded script
+        # subset does not model.
         (field, spec), = body.items()
+        if "minimum_should_match_script" in spec:
+            raise ValueError(
+                "terms_set minimum_should_match_script is not "
+                "supported; use minimum_should_match_field or a "
+                "constant minimum_should_match")
+        msm_field = spec.get("minimum_should_match_field")
+        if msm_field is not None and "minimum_should_match" in spec:
+            raise ValueError(
+                "terms_set takes minimum_should_match OR "
+                "minimum_should_match_field, not both")
         terms = [str(t) for t in spec["terms"]]
-        need = int(spec.get("minimum_should_match", len(terms)))
         hits = F.size(F.array_intersect(
             resolve(field), F.array(*[F.lit(t) for t in terms])))
+        if msm_field is not None:
+            return hits >= resolve(msm_field).cast("int")
+        need = int(spec.get("minimum_should_match", len(terms)))
         return hits >= F.lit(need)
     if kind == "dis_max":
         # dis_max: in ES the best-matching clause's score wins with a
@@ -9333,3 +9353,308 @@ def a3dx_es_extended_stats_bucket(spark, sf_dir):
         .alias("sum_of_squares"),
         F.format_string("%.10e", var).alias("variance_population"),
         F.format_string("%.10e", F.sqrt(var)).alias("std_deviation"))
+
+
+# ---------------------------------------------------------------------------
+# _explain: per-document relevance debugging (round 12)
+# ---------------------------------------------------------------------------
+
+def _explain_clauses(query: dict) -> list[tuple[str, int, dict]]:
+    """Decompose a query into its top-level explainable clauses.
+
+    A ``bool`` query explains one row per sub-clause in the ES
+    explanation's order (must, filter, should, must_not); any other
+    query is a single clause. Each clause re-enters ``compile_query``
+    whole, so every leaf the compiler supports explains for free."""
+    if "bool" in query and isinstance(query["bool"], dict):
+        out = []
+        for kind in ("must", "filter", "should", "must_not"):
+            sub = query["bool"].get(kind, [])
+            if isinstance(sub, dict):
+                sub = [sub]
+            out.extend((kind, i, c) for i, c in enumerate(sub))
+        if out:
+            return out
+    return [("query", 0, query)]
+
+
+def _clause_label(kind: str, i: int, clause: dict) -> str:
+    """Deterministic clause description: ``kind[i] leaf(field)``."""
+    leaf, body = next(iter(clause.items()))
+    if isinstance(body, dict) and "field" in body:
+        field = body["field"]
+    elif isinstance(body, dict):
+        field = next(iter(body.keys()), "")
+    else:
+        field = ""
+    return f"{kind}[{i}] {leaf}({field})"
+
+
+def es_explain(df: DataFrame, *, id_field: str, id_value, query: dict,
+               functions: list[dict] | None = None,
+               score_mode: str = "sum") -> DataFrame:
+    """ES ``GET index/_explain/<id>``: why did (or didn't) ONE document
+    match ``query``, and what is its score - the API a client hits
+    constantly when debugging relevance. Returns the explanation tree
+    FLATTENED to driver-safe scalar rows, ordered by ``ord``:
+
+    - one row per top-level clause (``_explain_clauses``): ``matched``
+      is that clause's own verdict on the doc (must_not rows show the
+      sub-query's match, exactly like ES's explanation detail);
+      ``value`` is the clause's score contribution,
+    - one row per scoring function when ``functions`` is given (the
+      es_function_score algebra verbatim): ``matched`` is the
+      function's own applicability (a filter function's filter), and
+      ``value`` its raw contribution on this doc,
+    - a final ``total`` row: ``matched`` is the WHOLE query's verdict
+      and ``value`` the doc's score - ZERO whenever the doc does not
+      match, however the sub-rows land (the ES contract).
+
+    Scoring follows the house deterministic model (BM25 divergence
+    documented at es_function_score / the module scoring notes):
+    without ``functions``, each matched must/should clause scores a
+    constant 1.0 (constant_score semantics - ES's BM25 term weights
+    are not reproducible without index statistics); with
+    ``functions``, the function_score replace model applies and the
+    clause rows score 0.0 (their relevance score is replaced).
+
+    Plan shape: ONE point lookup (the ``id_field == id_value``
+    predicate pushes to the scan) + a generate over a literal-built
+    struct array - request-bounded at any corpus size. A missing doc
+    raises loudly, ES's 404."""
+    matched = F.coalesce(compile_query(query), F.lit(False))
+    entries = []
+    total_terms = []
+    ord_n = 0
+    for kind, i, clause in _explain_clauses(query):
+        cm = F.coalesce(compile_query(clause), F.lit(False))
+        if functions is None and kind in ("must", "should", "query"):
+            val = F.when(cm, F.lit(1.0)).otherwise(F.lit(0.0))
+            total_terms.append(val)
+        else:
+            val = F.lit(0.0)
+        entries.append(F.struct(
+            F.lit(ord_n).alias("ord"),
+            F.lit(_clause_label(kind, i, clause)).alias("clause"),
+            cm.alias("matched"), val.alias("value")))
+        ord_n += 1
+    fn_terms = []
+    for i, fn in enumerate(functions or []):
+        if "field_value_factor" in fn:
+            body = fn["field_value_factor"]
+            term = (F.col(body["field"]).cast("double")
+                    * F.lit(float(body.get("factor", 1.0))))
+            fm = F.lit(True)
+            label = (f"function[{i}] field_value_factor"
+                     f"({body['field']} x {float(body.get('factor', 1.0))})")
+        elif "filter" in fn:
+            fm = F.coalesce(compile_query(fn["filter"]), F.lit(False))
+            w = float(fn.get("weight", 1.0))
+            term = F.when(fm, F.lit(w)).otherwise(F.lit(0.0))
+            label = f"function[{i}] filter(weight={w})"
+        else:
+            raise ValueError(f"unsupported scoring function {fn!r}")
+        fn_terms.append(term)
+        entries.append(F.struct(
+            F.lit(ord_n).alias("ord"), F.lit(label).alias("clause"),
+            fm.alias("matched"), term.alias("value")))
+        ord_n += 1
+    if functions is not None:
+        if not fn_terms:
+            raise ValueError("functions must hold at least one function")
+        score = fn_terms[0]
+        for t in fn_terms[1:]:
+            score = (score * t) if score_mode == "multiply" else (score + t)
+    else:
+        score = total_terms[0] if total_terms else F.lit(0.0)
+        for t in total_terms[1:]:
+            score = score + t
+    entries.append(F.struct(
+        F.lit(ord_n).alias("ord"), F.lit("total").alias("clause"),
+        matched.alias("matched"),
+        F.when(matched, score).otherwise(F.lit(0.0)).alias("value")))
+    point = df.filter(F.col(id_field) == F.lit(id_value))
+    if point.limit(1).count() == 0:
+        raise ValueError(
+            f"document {id_field}={id_value!r} not found (ES's 404)")
+    return (point.select(F.explode(F.array(*entries)).alias("e"))
+            .select(F.col("e.ord").alias("ord"),
+                    F.col("e.clause").alias("clause"),
+                    F.col("e.matched").alias("matched"),
+                    F.round(F.col("e.value"), 6).alias("value"))
+            .orderBy("ord"))
+
+
+@register("a3ea_es_explain", "A3", """
+WITH d AS (SELECT * FROM orders WHERE o_orderkey = 1)
+SELECT * FROM (
+  SELECT 0 AS ord, 'must[0] term(o_orderstatus)' AS clause,
+         (o_orderstatus = 'F') AS matched, 0.0 AS value FROM d
+  UNION ALL
+  SELECT 1, 'should[0] prefix(o_orderpriority)',
+         (o_orderpriority LIKE '1-%'), 0.0 FROM d
+  UNION ALL
+  SELECT 2, 'must_not[0] range(o_totalprice)',
+         (o_totalprice < 1000.0), 0.0 FROM d
+  UNION ALL
+  SELECT 3, 'function[0] field_value_factor(o_totalprice x 0.5)',
+         TRUE, ROUND(o_totalprice * 0.5, 6) FROM d
+  UNION ALL
+  SELECT 4, 'function[1] filter(weight=1000.0)',
+         (o_orderpriority LIKE '1-%'),
+         CASE WHEN o_orderpriority LIKE '1-%' THEN 1000.0 ELSE 0.0 END
+  FROM d
+  UNION ALL
+  SELECT 5, 'total',
+         (o_orderstatus = 'F' AND NOT coalesce(o_totalprice < 1000.0,
+                                               FALSE)),
+         CASE WHEN o_orderstatus = 'F'
+                   AND NOT coalesce(o_totalprice < 1000.0, FALSE)
+              THEN ROUND(o_totalprice * 0.5
+                         + CASE WHEN o_orderpriority LIKE '1-%'
+                                THEN 1000.0 ELSE 0.0 END, 6)
+              ELSE 0.0 END
+  FROM d
+) ORDER BY ord
+""", "ES _explain for one document (es_explain): order #1 explained "
+     "against a bool query (must term, should prefix, must_not "
+     "range) under a function_score scoring model - one row per "
+     "clause with its own matched verdict and contribution, one row "
+     "per scoring function, and a total row whose value is ZERO "
+     "unless the whole query matches. The per-clause rows are what a "
+     "relevance engineer reads to see WHICH leg failed. House "
+     "deterministic scoring (constant_score / function_score "
+     "replace; the BM25 divergence is documented on the scoring "
+     "module notes). One point-pruned scan + a literal struct-array "
+     "generate: request-bounded at any corpus size.")
+def a3ea_es_explain(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return es_explain(
+        o, id_field="o_orderkey", id_value=1,
+        query={"bool": {
+            "must": [{"term": {"o_orderstatus": "F"}}],
+            "should": [{"prefix": {"o_orderpriority": "1-"}}],
+            # ES's default when must is present: should is OPTIONAL
+            # (the house compiler's bare-should default is mandatory,
+            # so the ES default is spelled out)
+            "minimum_should_match": 0,
+            "must_not": [{"range": {"o_totalprice": {"lt": 1000.0}}}],
+        }},
+        functions=[
+            {"field_value_factor": {"field": "o_totalprice",
+                                    "factor": 0.5}},
+            {"filter": {"prefix": {"o_orderpriority": "1-"}},
+             "weight": 1000.0},
+        ])
+
+
+# ---------------------------------------------------------------------------
+# parent aggregation + terms_set per-doc threshold (round 12)
+# ---------------------------------------------------------------------------
+
+def es_parent_agg(parent_df: DataFrame, child_df: DataFrame, *,
+                  parent_key: str, child_key: str, bucket_field: str,
+                  parent_aggs: dict, size: int = 10) -> DataFrame:
+    """ES ``parent`` aggregation: buckets over a CHILD field whose
+    sub-aggs run over each bucket's PARENTS - the child-to-parent
+    reverse of ``es_children_agg`` (a3ce), completing the join-field
+    agg family. ES semantics pinned here: ``doc_count`` is the number
+    of DISTINCT parents the bucket's children reach (a parent with
+    many children in the bucket counts ONCE - what distinguishes this
+    agg from a plain join-and-group), and sub-aggs fold PARENT
+    fields.
+
+    Compilation follows reverse_nested's discipline - the grouped
+    partial comes BEFORE the co-keyed join: the child scan reduces to
+    DISTINCT (bucket, parent_key) pairs (map-side partial distinct,
+    |buckets x parents|-bounded shuffle), the parent relation projects
+    to key + referenced fields only, the equi-join is
+    AQE-broadcastable when the parent projection is small, and ONE
+    grouped aggregate folds the parent metrics per bucket. The child
+    scan is never widened and no step grows faster than the scans.
+    ``parent_aggs``: {name: (kind, parent_field)} with kind in
+    sum|avg|min|max|count (sums/avgs decimal-exact via dsum/davg)."""
+    from cassandra_elasticsearch_sync_spark.parity import davg, dsum
+
+    pairs = (child_df
+             .select(F.col(bucket_field).alias("key"),
+                     F.col(child_key).alias(parent_key))
+             .distinct())
+    fields = sorted({f for _, f in parent_aggs.values()})
+    proj = parent_df.select(parent_key, *fields)
+    joined = pairs.join(proj, parent_key, "inner")
+    aggs = [F.count("*").alias("doc_count")]
+    for name, (kind, field) in parent_aggs.items():
+        if kind == "sum":
+            aggs.append(dsum(F.col(field)).alias(name))
+        elif kind == "avg":
+            aggs.append(F.round(davg(F.col(field)), 6).alias(name))
+        elif kind == "min":
+            aggs.append(F.min(field).alias(name))
+        elif kind == "max":
+            aggs.append(F.max(field).alias(name))
+        elif kind == "count":
+            aggs.append(F.count(field).alias(name))
+        else:
+            raise ValueError(f"unsupported parent sub-agg {kind!r}")
+    return (joined.groupBy("key").agg(*aggs)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(int(size)))
+
+
+@register("a3ec_es_parent_agg", "A3+D1+C1", """
+WITH pairs AS (
+  SELECT DISTINCT l_returnflag AS key, l_orderkey FROM lineitem
+)
+SELECT p.key, COUNT(*) AS doc_count,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10)))
+                 AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+       MAX(o.o_orderpriority) AS max_priority
+FROM pairs p JOIN orders o ON p.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 5
+""", "ES parent aggregation - the child-to-parent REVERSE of the "
+     "children agg (a3ce), completing the join-field agg family: "
+     "CHILD lineitems bucket by return flag, and each bucket's "
+     "sub-aggs fold its DISTINCT PARENT orders (revenue sum "
+     "decimal-exact, max priority). doc_count is the distinct-parent "
+     "count - an order with five 'R' lines counts once - which is "
+     "what separates this agg from a plain join-and-group. The "
+     "grouped partial (DISTINCT bucket/parent-key pairs) comes "
+     "BEFORE the co-keyed join, reverse_nested's discipline, so the "
+     "child scan reduces map-side and the join is "
+     "|buckets x parents|-bounded at any corpus size.")
+def a3ec_es_parent_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return es_parent_agg(
+        o, li, parent_key="o_orderkey", child_key="l_orderkey",
+        bucket_field="l_returnflag",
+        parent_aggs={"revenue": ("sum", "o_totalprice"),
+                     "max_priority": ("max", "o_orderpriority")},
+        size=5)
+
+
+@register("a3eb_es_terms_set_field", "A3+B3", """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(text, ' '),
+          x -> x IN ('key', 'agg', 'row')))) >= (doc_id % 3)
+""", "ES terms_set with minimum_should_match_FIELD - the per-document "
+     "threshold form (a required_matches column written at index "
+     "time, ES's canonical pattern): each document requires its OWN "
+     "count of matching terms, here doc_id % 3 in {0, 1, 2}, so "
+     "zero-threshold always-match, single-term, and multi-term "
+     "requirements are all driver-visible in one result. Compiles to "
+     "the same JVM array_intersect as the constant form compared "
+     "against the threshold column - one scan, no explode, no "
+     "shuffle; minimum_should_match_script is rejected loudly.")
+def a3eb_es_terms_set_field(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    d = (d.withColumn("tokens", F.split(F.col("text"), " "))
+         .withColumn("required", (F.col("doc_id") % 3).cast("int")))
+    return (es_search(d, {"terms_set": {"tokens": {
+                "terms": ["key", "agg", "row"],
+                "minimum_should_match_field": "required"}}})
+            .select("doc_id", "lang", "n_chars"))

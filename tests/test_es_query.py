@@ -2209,6 +2209,147 @@ def test_mget_hand_checked(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_terms_set_per_doc_threshold(spark):
+    """terms_set minimum_should_match_field: thresholds 0 / 1 / n per
+    document, distinct-term counting, and the loud rejections."""
+    import pytest as _pt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        compile_query,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "x"], 0),    # 2 hits >= 0 -> match
+         (2, ["x", "y"], 0),         # 0 hits >= 0 -> match (trivial)
+         (3, ["a", "x"], 1),         # 1 hit  >= 1 -> match
+         (4, ["x", "y"], 1),         # 0 hits >= 1 -> miss
+         (5, ["a", "b", "c"], 3),    # 3 hits >= 3 -> match
+         (6, ["a", "a", "b"], 3),    # DISTINCT: 2 hits >= 3 -> miss
+         ], "id long, toks array<string>, req int")
+    q = {"terms_set": {"toks": {
+        "terms": ["a", "b", "c"],
+        "minimum_should_match_field": "req"}}}
+    got = sorted(r["id"] for r in df.filter(compile_query(q)).collect())
+    assert got == [1, 2, 3, 5]
+    # constant form still works and defaults to ALL terms
+    q2 = {"terms_set": {"toks": {"terms": ["a", "b"],
+                                 "minimum_should_match": 2}}}
+    assert sorted(r["id"] for r in
+                  df.filter(compile_query(q2)).collect()) == [1, 5, 6]
+    with _pt.raises(ValueError, match="not both"):
+        compile_query({"terms_set": {"toks": {
+            "terms": ["a"], "minimum_should_match": 1,
+            "minimum_should_match_field": "req"}}})
+    with _pt.raises(ValueError, match="script"):
+        compile_query({"terms_set": {"toks": {
+            "terms": ["a"],
+            "minimum_should_match_script": {"source": "params.n"}}}})
+
+
+def test_parent_agg_hand_checked(spark):
+    """parent agg: doc_count is the DISTINCT-parent count (a parent
+    with many children in the bucket counts once - what separates it
+    from the child doc_count a plain join-and-group would report),
+    and sub-aggs fold PARENT fields once per parent."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_parent_agg,
+    )
+
+    parents = spark.createDataFrame(
+        [(10, 100.0), (20, 200.0), (30, 300.0)],
+        "pk long, val double")
+    children = spark.createDataFrame(
+        [(1, 10, "r"), (2, 10, "r"), (3, 10, "r"),   # 3 kids, 1 parent
+         (4, 20, "r"),                                # 1 kid, 1 parent
+         (5, 20, "g"), (6, 30, "g")],                 # bucket g: 2 parents
+        "ck long, fk long, flag string")
+    out = {r["key"]: r for r in es_parent_agg(
+        parents, children, parent_key="pk", child_key="fk",
+        bucket_field="flag",
+        parent_aggs={"total": ("sum", "val"),
+                     "n_vals": ("count", "val")}).collect()}
+    # bucket 'r' has FOUR child docs but TWO distinct parents
+    assert out["r"]["doc_count"] == 2
+    assert out["r"]["total"] == 300.0      # 100 + 200, parent 10 once
+    assert out["g"]["doc_count"] == 2
+    assert out["g"]["total"] == 500.0
+    # children agg on the same data reports CHILD doc_count - the pair
+    # differs exactly where a parent has multiple children
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_children_agg,
+    )
+    ch = {r["key"]: r for r in es_children_agg(
+        parents.withColumnRenamed("val", "pval")
+               .withColumn("bucket", F.lit("all")),
+        children, parent_key="pk", child_key="fk",
+        bucket_field="bucket", child_aggs={}).collect()}
+    assert ch["all"]["doc_count"] == 6     # child count, not parent
+
+
+def test_explain_hand_checked(spark):
+    """_explain: per-clause verdicts, constant_score totals without
+    functions, function_score replace totals with them, a
+    NON-matching doc explains false with ZERO total, and a missing
+    doc raises (ES's 404)."""
+    import pytest as _pt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_explain,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "F", 100.0), (2, "O", 200.0)],
+        "id long, status string, price double")
+    q = {"bool": {"must": [{"term": {"status": "F"}}],
+                  "should": [{"range": {"price": {"gte": 50.0}}}]}}
+
+    # matching doc, no functions: constant_score - each matched
+    # must/should clause contributes 1.0
+    rows = es_explain(df, id_field="id", id_value=1, query=q).collect()
+    by = {r["clause"]: r for r in rows}
+    assert by["must[0] term(status)"]["matched"] is True
+    assert by["should[0] range(price)"]["matched"] is True
+    assert by["total"]["matched"] is True and by["total"]["value"] == 2.0
+    assert [r["ord"] for r in rows] == [0, 1, 2]
+
+    # non-matching doc: clause rows show WHICH leg failed, total is
+    # false with zero score
+    rows2 = {r["clause"]: r for r in es_explain(
+        df, id_field="id", id_value=2, query=q).collect()}
+    assert rows2["must[0] term(status)"]["matched"] is False
+    assert rows2["should[0] range(price)"]["matched"] is True
+    assert rows2["total"]["matched"] is False
+    assert rows2["total"]["value"] == 0.0
+
+    # function_score replace model: clause rows score 0, total is the
+    # function algebra - and still 0.0 on a non-matching doc
+    fns = [{"field_value_factor": {"field": "price", "factor": 2.0}}]
+    r1 = {r["clause"]: r for r in es_explain(
+        df, id_field="id", id_value=1, query=q, functions=fns).collect()}
+    assert r1["must[0] term(status)"]["value"] == 0.0
+    assert r1["function[0] field_value_factor(price x 2.0)"]["value"] \
+        == 200.0
+    assert r1["total"]["value"] == 200.0
+    r2 = {r["clause"]: r for r in es_explain(
+        df, id_field="id", id_value=2, query=q, functions=fns).collect()}
+    assert r2["total"]["matched"] is False and r2["total"]["value"] == 0.0
+    # the function row still reports its raw contribution (ES shows
+    # the detail; the gate is the total row)
+    assert r2["function[0] field_value_factor(price x 2.0)"]["value"] \
+        == 400.0
+
+    # missing doc: loud, ES's 404
+    with _pt.raises(ValueError, match="not found"):
+        es_explain(df, id_field="id", id_value=99, query=q)
+
+    # non-bool query explains as a single clause
+    r3 = {r["clause"]: r for r in es_explain(
+        df, id_field="id", id_value=1,
+        query={"term": {"status": "F"}}).collect()}
+    assert r3["query[0] term(status)"]["matched"] is True
+    assert r3["total"]["value"] == 1.0
+
+
 def test_span_multi_hand_checked(spark):
     """span_multi: each multi-term leaf kind produces the positions
     ES's SpanMultiTermQueryWrapper would, composes inside span_near,
