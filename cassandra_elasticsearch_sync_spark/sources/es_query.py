@@ -181,6 +181,11 @@ def _span_field(clause: dict) -> str:
     elif kind == "span_multi":
         field, _ = _multi_term_token_pred(body["match"])
         fields = {field}
+    elif kind == "span_field_masking":
+        # the whole point of the mask: the clause REPORTS the masked
+        # field to the enclosing compound's shared-field validation,
+        # while its intervals come from the inner clause's own field
+        fields = {body["field"]}
     elif kind in ("span_within", "span_containing"):
         fields = {_span_field(body["little"]), _span_field(body["big"])}
     else:
@@ -191,9 +196,25 @@ def _span_field(clause: dict) -> str:
     return fields.pop()
 
 
-def _span_intervals(toks: Column, clause: dict) -> Column:
-    """Compile a span clause to its interval set (module comment)."""
+def _span_intervals(toks: Column, clause: dict, toks_for=None) -> Column:
+    """Compile a span clause to its interval set (module comment).
+
+    ``toks_for(field)`` resolves the token-array column of ANOTHER
+    field - needed only by ``span_field_masking``, whose inner clause
+    evaluates over its OWN field's token stream while its positions
+    compose with the outer field's (Lucene's SpanFieldMaskingQuery:
+    the multi-analyzer same-text idiom; position streams line up
+    exactly when the masked field is an alternate analysis of the
+    same text, ES's documented caveat applies verbatim)."""
     kind, body = next(iter(clause.items()))
+    if kind == "span_field_masking":
+        if toks_for is None:
+            raise ValueError(
+                "span_field_masking needs a field-token resolver "
+                "(top-level span compilation provides one)")
+        inner = body["query"]
+        return _span_intervals(toks_for(_span_field(inner)), inner,
+                               toks_for)
     if kind == "span_term":
         (_, term), = body.items()
         return _point_intervals(toks, term)
@@ -212,11 +233,12 @@ def _span_intervals(toks: Column, clause: dict) -> Column:
         if len(clauses) != 2:
             raise ValueError("span_near supports exactly two clauses")
         return _combine_intervals(
-            _span_intervals(toks, clauses[0]),
-            _span_intervals(toks, clauses[1]),
+            _span_intervals(toks, clauses[0], toks_for),
+            _span_intervals(toks, clauses[1], toks_for),
             int(body.get("slop", 0)), bool(body.get("in_order", True)))
     if kind == "span_or":
-        arrays = [_span_intervals(toks, c) for c in body["clauses"]]
+        arrays = [_span_intervals(toks, c, toks_for)
+                  for c in body["clauses"]]
         if not arrays:
             raise ValueError("span_or needs at least one clause")
         return F.concat(*arrays) if len(arrays) > 1 else arrays[0]
@@ -224,8 +246,8 @@ def _span_intervals(toks: Column, clause: dict) -> Column:
         # include spans with NO exclude span inside the pre/post
         # neighborhood (pre tokens before .. post tokens after -
         # pre=post=0 is ES's default overlap-only exclusion)
-        inc = _span_intervals(toks, body["include"])
-        exc = _span_intervals(toks, body["exclude"])
+        inc = _span_intervals(toks, body["include"], toks_for)
+        exc = _span_intervals(toks, body["exclude"], toks_for)
         pre, post = int(body.get("pre", 0)), int(body.get("post", 0))
         return F.filter(
             inc, lambda a: ~F.exists(
@@ -234,15 +256,15 @@ def _span_intervals(toks: Column, clause: dict) -> Column:
     if kind == "span_first":
         # Lucene span ends are exclusive: a span ending at token p has
         # end position p+1, and span_first demands end <= `end`.
-        inner = _span_intervals(toks, body["match"])
+        inner = _span_intervals(toks, body["match"], toks_for)
         end = int(body["end"])
         return F.filter(inner, lambda a: a["e"] <= end - 1)
     if kind == "span_within":
         # the containment pair, little side: LITTLE spans enclosed by
         # some BIG span (Lucene's SpanWithinQuery - the match unit is
         # the little span)
-        little = _span_intervals(toks, body["little"])
-        big = _span_intervals(toks, body["big"])
+        little = _span_intervals(toks, body["little"], toks_for)
+        big = _span_intervals(toks, body["big"], toks_for)
         return F.filter(
             little, lambda a: F.exists(
                 big, lambda b: (b["s"] <= a["s"]) & (a["e"] <= b["e"])))
@@ -250,8 +272,8 @@ def _span_intervals(toks: Column, clause: dict) -> Column:
         # the containment pair, big side: BIG spans that contain some
         # LITTLE span (SpanContainingQuery - the match unit is the
         # big span)
-        little = _span_intervals(toks, body["little"])
-        big = _span_intervals(toks, body["big"])
+        little = _span_intervals(toks, body["little"], toks_for)
+        big = _span_intervals(toks, body["big"], toks_for)
         return F.filter(
             big, lambda b: F.exists(
                 little, lambda a: (b["s"] <= a["s"]) & (a["e"] <= b["e"])))
@@ -348,16 +370,21 @@ def compile_query(q: dict, resolve=None) -> Column:
         ]
         return reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
     if kind in ("span_near", "span_or", "span_not", "span_first",
-                "span_within", "span_containing", "span_multi"):
+                "span_within", "span_containing", "span_multi",
+                "span_field_masking"):
         # The span family compiles through one position-INTERVAL
         # algebra (see _span_intervals): each span clause produces an
         # array<struct<s,e>> of matching token spans via higher-order
         # transform/filter/flatten lambdas over one split - all
         # JVM-side, no explode, no UDF, one scan - and the document
         # matches when the clause's interval set is non-empty.
+        # toks_for resolves OTHER fields' token streams for
+        # span_field_masking sub-clauses (same one-split shape).
+        def toks_for(f):
+            return F.split(F.lower(resolve(f)), " ")
         field = _span_field({kind: body})
-        toks = F.split(F.lower(resolve(field)), " ")
-        return F.size(_span_intervals(toks, {kind: body})) > 0
+        toks = toks_for(field)
+        return F.size(_span_intervals(toks, {kind: body}, toks_for)) > 0
     if kind == "wrapper":
         # ES wrapper query: a base64-encoded JSON query (the escape
         # hatch clients use to embed queries in places that cannot
@@ -9658,3 +9685,222 @@ def a3eb_es_terms_set_field(spark, sf_dir):
                 "terms": ["key", "agg", "row"],
                 "minimum_should_match_field": "required"}}})
             .select("doc_id", "lang", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# TSDB tail: time_series + change_point aggs, span_field_masking (round 12)
+# ---------------------------------------------------------------------------
+
+def es_time_series(df: DataFrame, *, dimensions: list[str],
+                   metrics: dict | None = None,
+                   size: int = 10) -> DataFrame:
+    """ES TSDB ``time_series`` aggregation: one bucket per time-series
+    id (the tuple of DIMENSION field values), doc_count plus metric
+    sub-aggs per series - what a metrics UI calls to enumerate
+    series. The tsid key is returned FLATTENED to one output column
+    per dimension (driver-safe scalars; ES's key object carries the
+    same pairs), ordered by the dimension tuple ascending - ES's tsid
+    ordering - with the size cap as a total-ordered limit
+    (TakeOrderedAndProject). One hash aggregate with map-side
+    partials; |series|-bounded shuffle at any corpus size.
+    ``metrics``: {name: (kind, field)}, kind in sum|avg|min|max|count
+    (sums/avgs decimal-exact via dsum/davg)."""
+    from cassandra_elasticsearch_sync_spark.parity import davg, dsum
+
+    if not dimensions:
+        raise ValueError("time_series needs at least one dimension")
+    aggs = [F.count("*").alias("doc_count")]
+    for name, (kind, field) in (metrics or {}).items():
+        if kind == "sum":
+            aggs.append(dsum(F.col(field)).alias(name))
+        elif kind == "avg":
+            aggs.append(F.round(davg(F.col(field)), 6).alias(name))
+        elif kind == "min":
+            aggs.append(F.min(field).alias(name))
+        elif kind == "max":
+            aggs.append(F.max(field).alias(name))
+        elif kind == "count":
+            aggs.append(F.count(field).alias(name))
+        else:
+            raise ValueError(f"unsupported time_series metric {kind!r}")
+    return (df.groupBy(*dimensions).agg(*aggs)
+            .orderBy(*[F.asc(d) for d in dimensions])
+            .limit(int(size)))
+
+
+_CHANGE_POINT_MIN_BUCKETS = 22   # ES's documented minimum
+
+
+def es_change_point(buckets: DataFrame, *, series_col: str,
+                    key_col: str, value_col: str) -> DataFrame:
+    """ES ``change_point`` sibling pipeline agg: where did each
+    bucketed metric series most likely shift - the 'when did this
+    regress' primitive. Input is a BUCKET table (one row per
+    series/key, e.g. a date_histogram output - calendar-bounded
+    cardinality, the window-safety argument), ``value_col`` must be
+    an exact INTEGER metric (a count, or a caller-scaled fixed-point
+    value - k7o's cents discipline).
+
+    DOCUMENTED DIVERGENCE (the geohex/categorize_text style): ES
+    change_point runs a battery of ML tests (step_change, spike, dip,
+    trend_change, distribution_change) with simulation-based
+    p-values - not reproducible on any deterministic engine. This
+    compiler is the deterministic CUSUM step-change REFERENCE: the
+    change point is the key t* maximizing |n*S_t - t*S_n| (the
+    cross-multiplied CUSUM form - every quantity an exact integer,
+    bit-deterministic argmax, earliest-key tiebreak), `type` is
+    'step_change', and `score` is that max deviation in place of ES's
+    p_value. Series shorter than ES's documented 22-bucket minimum
+    answer type='indeterminable' with NULL change point and score,
+    exactly as ES reports too-short input.
+
+    One pass of partitioned windows over the bounded bucket series +
+    one grouped argmax - nothing scales with the RAW corpus, only
+    with |series x buckets|."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(series_col).orderBy(key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wp = Window.partitionBy(series_col)
+    v = F.col(value_col).cast("bigint")
+    cum = buckets.select(
+        F.col(series_col).alias("series"), F.col(key_col).alias("key"),
+        F.sum(v).over(w).alias("s_t"),
+        F.row_number().over(
+            Window.partitionBy(series_col).orderBy(key_col)).alias("t"),
+        F.sum(v).over(wp).alias("s_n"),
+        F.count("*").over(wp).alias("n"))
+    dev = cum.select(
+        "series", "key", "n",
+        F.abs(F.col("n") * F.col("s_t") - F.col("t") * F.col("s_n"))
+         .alias("dev"))
+    ok = F.col("n") >= _CHANGE_POINT_MIN_BUCKETS
+    return (dev.groupBy("series").agg(
+                F.max("n").alias("n"),
+                F.min_by("key", F.struct(F.negate(F.col("dev")),
+                                         F.col("key"))).alias("cp"),
+                F.max("dev").alias("max_dev"))
+            .select(
+                "series",
+                F.when(ok, F.lit("step_change"))
+                 .otherwise(F.lit("indeterminable")).alias("type"),
+                F.when(ok, F.col("cp")).alias("change_point"),
+                F.when(ok, F.col("max_dev")).alias("score"),
+                F.col("n").alias("n_buckets"))
+            .orderBy("series"))
+
+
+@register("a3ed_es_change_point", "A3+K7", """
+WITH daily AS (
+  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day, cnt,
+         SUM(cnt) OVER w AS s_t,
+         ROW_NUMBER() OVER w AS t,
+         SUM(cnt) OVER (PARTITION BY event_type) AS s_n,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+),
+dev AS (
+  SELECT event_type, day, n, ABS(n * s_t - t * s_n) AS dev FROM cum
+)
+SELECT event_type AS series,
+       CASE WHEN n >= 22 THEN 'step_change'
+            ELSE 'indeterminable' END AS type,
+       CASE WHEN n >= 22
+            THEN MIN(day) FILTER (WHERE dev = max_dev) END AS change_point,
+       CASE WHEN n >= 22 THEN CAST(max_dev AS BIGINT) END AS score,
+       n AS n_buckets
+FROM (SELECT *, MAX(dev) OVER (PARTITION BY event_type) AS max_dev
+      FROM dev)
+GROUP BY event_type, n, max_dev
+ORDER BY series
+""", "ES change_point agg over each event type's daily doc-count "
+     "series (the agg's canonical input: a date_histogram count) - "
+     "the deterministic CUSUM step-change reference for ES's "
+     "simulation-based detector, divergence documented on "
+     "es_change_point: argmax |n*S_t - t*S_n| in exact integers, "
+     "earliest-day tiebreak, series under ES's 22-bucket minimum "
+     "answer 'indeterminable' with NULL change point. The named ES "
+     "API over k7o's proven math; windows partition by series over "
+     "the calendar-bounded day table, never the raw scan.")
+def a3ed_es_change_point(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+                "event_type",
+                F.to_date(F.date_trunc("day", "ts")).alias("day"))
+             .agg(F.count("*").alias("cnt")))
+    return es_change_point(daily, series_col="event_type",
+                           key_col="day", value_col="cnt")
+
+
+@register("a3ee_es_time_series", "A3+D1", """
+SELECT event_type, CAST(user_id % 8 AS BIGINT) AS host,
+       COUNT(*) AS doc_count,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10)))
+                 AS DECIMAL(38,2)) AS DOUBLE) AS total_value,
+       MAX(event_id) AS last_event
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type ASC, host ASC
+LIMIT 20
+""", "ES TSDB time_series aggregation: one bucket per time-series id "
+     "- the (event_type, host) dimension tuple, host derived as "
+     "user_id % 8 the way a TSDB route key would be - with doc_count "
+     "and metric sub-aggs per series (decimal-exact sum), tsid-ASC "
+     "ordering and the size cap as ES pages it. The key is flattened "
+     "to one driver-safe column per dimension. ONE hash aggregate "
+     "with map-side partials; |series|-bounded shuffle, "
+     "TakeOrderedAndProject page at any corpus size.")
+def a3ee_es_time_series(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("host", (F.col("user_id") % 8).cast("bigint"))
+    return es_time_series(
+        ev, dimensions=["event_type", "host"],
+        metrics={"total_value": ("sum", "value"),
+                 "last_event": ("max", "event_id")},
+        size=20)
+
+
+@register("a3ef_es_span_field_masking", "A3+B3", """
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         STRING_SPLIT(LOWER(text), ' ') AS w
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM toks
+WHERE LEN(LIST_FILTER(RANGE(1, LEN(w)),
+          i -> w[i] = 'merge'
+               AND SUBSTRING(w[i + 1], 1, 1) = 'b')) > 0
+ORDER BY doc_id
+""", "ES span_field_masking: a span_near pairing span_term('merge') "
+     "on text with a span clause on a DIFFERENT field - 'initials' "
+     "(each token's first character, the alternate-analysis-of-the-"
+     "same-text idiom that is the mask's documented use) - masked AS "
+     "text so the compound's shared-field validation accepts it, "
+     "while its positions come from its own field's token stream "
+     "(Lucene's SpanFieldMaskingQuery). Matches documents where "
+     "'merge' is immediately followed by a b-initial token. Same "
+     "one-split interval algebra, one scan, no explode; ES's "
+     "position-alignment caveat applies verbatim and holds here by "
+     "construction.")
+def a3ef_es_span_field_masking(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "initials",
+        F.array_join(F.transform(F.split(F.lower(F.col("text")), " "),
+                                 lambda t: F.substring(t, 1, 1)), " "))
+    q = {"span_near": {"clauses": [
+        {"span_term": {"text": "merge"}},
+        {"span_field_masking": {
+            "query": {"span_term": {"initials": "b"}},
+            "field": "text"}},
+    ], "slop": 0, "in_order": True}}
+    return (es_search(d, q).select("doc_id", "lang", "n_chars")
+            .orderBy("doc_id"))

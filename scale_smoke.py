@@ -91,7 +91,28 @@ PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
          # tools/decade_probe.py instead - SMALL dims don't replicate
          # here.
          "a3cz_es_reverse_nested", "a3dd_es_point_in_time",
-         "a3dg_es_rank_eval", "a3dn_es_mget", "a3dp_es_span_multi")
+         "a3dg_es_rank_eval", "a3dn_es_mget", "a3dp_es_span_multi",
+         # round-12 additions (VERDICT r11 #7): second-decade points
+         # for the round-11 wave-3/4 doc/fact-sized shapes -
+         # _termvectors/_mtermvectors (corpus stats FILTERED by the
+         # broadcast request vocabulary: should grow like the doc
+         # scan), _analyze (one point-looked-up doc: FLAT),
+         # categorize_text (map-side key + |categories|-bounded agg),
+         # extended_stats_bucket (one fact aggregate then bucket-count
+         # folds) - plus the round-12 shapes: the two write-by-query
+         # paths (CoW rewrite of DSL-affected files over replicated
+         # corpora), _explain (point-pruned: FLAT), terms_set-field
+         # (one doc scan), parent agg (distinct pairs before the
+         # co-keyed join over 60x facts), change_point (calendar-
+         # bounded day windows: FLAT past the rollup), time_series
+         # (|series|-bounded hash agg), span_field_masking (two-split
+         # interval filter over 30x docs)
+         "a3ds_es_termvectors", "a3dv_es_mtermvectors", "a3du_es_analyze",
+         "a3dw_es_categorize_text", "a3dx_es_extended_stats_bucket",
+         "a3dy_es_update_by_query", "a3dz_es_delete_by_query",
+         "a3ea_es_explain", "a3eb_es_terms_set_field",
+         "a3ec_es_parent_agg", "a3ed_es_change_point",
+         "a3ee_es_time_series", "a3ef_es_span_field_masking")
 
 SMALL = ("region", "nation", "customer", "supplier", "part")
 

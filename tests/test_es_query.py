@@ -2209,6 +2209,102 @@ def test_mget_hand_checked(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_change_point_hand_checked(spark):
+    """change_point: pinned CUSUM argmax on a hand-planted step, the
+    earliest-key tiebreak, and the 22-bucket 'indeterminable' floor."""
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_change_point,
+    )
+
+    # series 'a': 22 buckets, flat 10 then flat 20 from t=12 - the
+    # step lands at the last low bucket (t=11, key 11) in CUSUM form;
+    # series 'b': 5 buckets - under the ES minimum
+    rows = [("a", k, 10 if k <= 11 else 20) for k in range(1, 23)]
+    rows += [("b", k, k) for k in range(1, 6)]
+    df = spark.createDataFrame(rows, "s string, k int, v long")
+    out = {r["series"]: r for r in es_change_point(
+        df, series_col="s", key_col="k", value_col="v").collect()}
+    a = out["a"]
+    assert a["type"] == "step_change" and a["n_buckets"] == 22
+    # dev_t = |n*S_t - t*S_n|; S_n = 11*10 + 11*20 = 330, n = 22.
+    # For t <= 11: S_t = 10t -> dev = |220t - 330t| = 110t, max at
+    # t = 11 (key 11, dev 1210); for t > 11 dev decreases. Pinned:
+    assert a["change_point"] == 11 and a["score"] == 1210
+    b = out["b"]
+    assert b["type"] == "indeterminable"
+    assert b["change_point"] is None and b["score"] is None
+    assert b["n_buckets"] == 5
+
+
+def test_time_series_agg_hand_checked(spark):
+    """time_series: one bucket per dimension tuple, tsid-ASC order,
+    size cap, and the no-dimension rejection."""
+    import pytest as _pt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_time_series,
+    )
+
+    df = spark.createDataFrame(
+        [("web", "h1", 1.0), ("web", "h1", 3.0), ("web", "h2", 5.0),
+         ("db", "h1", 7.0)],
+        "svc string, host string, v double")
+    out = es_time_series(df, dimensions=["svc", "host"],
+                         metrics={"mx": ("max", "v")}, size=10).collect()
+    assert [(r["svc"], r["host"], r["doc_count"], r["mx"])
+            for r in out] == [
+        ("db", "h1", 1, 7.0), ("web", "h1", 2, 3.0), ("web", "h2", 1, 5.0)]
+    # size caps in tsid order
+    capped = es_time_series(df, dimensions=["svc", "host"],
+                            size=1).collect()
+    assert [(r["svc"], r["host"]) for r in capped] == [("db", "h1")]
+    with _pt.raises(ValueError, match="dimension"):
+        es_time_series(df, dimensions=[], size=5)
+
+
+def test_span_field_masking_hand_checked(spark):
+    """span_field_masking: the inner clause's positions come from its
+    OWN field while the mask satisfies the compound's shared-field
+    rule - and an unmasked cross-field compound still rejects."""
+    import pytest as _pt
+
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        compile_query,
+    )
+
+    rows = [
+        (1, "merge big rows", "m b r"),      # b-initial right after merge
+        (2, "merge tiny rows", "m t r"),     # t-initial after merge
+        (3, "big merge rows", "b m r"),      # b BEFORE merge - order
+        (4, "merge", "m"),                   # nothing after
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, ini string")
+    q = {"span_near": {"clauses": [
+        {"span_term": {"text": "merge"}},
+        {"span_field_masking": {
+            "query": {"span_term": {"ini": "b"}}, "field": "text"}},
+    ], "slop": 0, "in_order": True}}
+    got = sorted(r["id"] for r in df.filter(compile_query(q)).collect())
+    assert got == [1]
+    # unordered form accepts doc 3 too (b adjacent, before)
+    q2 = {"span_near": {"clauses": q["span_near"]["clauses"],
+                        "slop": 0, "in_order": False}}
+    assert sorted(r["id"] for r in
+                  df.filter(compile_query(q2)).collect()) == [1, 3]
+    # WITHOUT the mask a cross-field compound is rejected - the rule
+    # the mask exists to satisfy
+    with _pt.raises(ValueError, match="share one field"):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_term": {"ini": "b"}},
+        ], "slop": 0, "in_order": True}})
+    # top-level masking clause works as a bare predicate
+    q3 = {"span_field_masking": {
+        "query": {"span_term": {"ini": "t"}}, "field": "text"}}
+    assert sorted(r["id"] for r in
+                  df.filter(compile_query(q3)).collect()) == [2]
+
+
 def test_terms_set_per_doc_threshold(spark):
     """terms_set minimum_should_match_field: thresholds 0 / 1 / n per
     document, distinct-term counting, and the loud rejections."""
