@@ -324,3 +324,238 @@ def a3dz_es_delete_by_query(spark, sf_dir):
                 .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# _reindex and single-document _update (round 12, second wave)
+# ---------------------------------------------------------------------------
+
+def es_reindex(source_df: DataFrame, dest: AcidParquetTable, *,
+               keys: list[str], query: dict | None = None,
+               script: str | None = None, op_type: str = "index",
+               conflicts: str = "abort") -> dict:
+    """ES ``POST _reindex``: copy the documents matching ``query``
+    from a source index into ``dest``, optionally transformed by a
+    bounded-Painless ``script`` - the migration/rebuild API every ES
+    operator runs. One ACID MERGE commit instead of ES's
+    scroll+bulk loop; the source side is any DataFrame (an A1/A2/A3
+    relation or another ACID table's ``read()``).
+
+    ``op_type``:
+    - ``"index"`` (ES default): upsert - existing dest docs with the
+      same key are overwritten, new keys insert. Response counts
+      ``created`` (keys absent from dest) and ``updated`` (keys
+      present), exactly ES's counters.
+    - ``"create"``: only-if-absent. ES counts each existing key as a
+      version conflict: ``conflicts="abort"`` (default) rejects the
+      whole operation if ANY key exists (the atomic-commit
+      strengthening of ES's first-conflict abort);
+      ``conflicts="proceed"`` skips existing keys and reports them in
+      ``version_conflicts`` - supported HERE (unlike
+      update/delete_by_query) because skip-existing is a pure
+      deterministic anti-join, no per-document version bookkeeping.
+
+    The script uses the ``_update_by_query`` compiler verbatim
+    (``compile_update_script``) and applies to every reindexed row
+    BEFORE the merge - ES's pipeline order."""
+    if op_type not in ("index", "create"):
+        raise EsWriteError(f"op_type must be 'index' or 'create', "
+                           f"got {op_type!r}")
+    if conflicts not in ("abort", "proceed"):
+        raise EsWriteError(f"unknown conflicts mode {conflicts!r}")
+    if conflicts == "proceed" and op_type == "index":
+        raise EsWriteError(
+            "conflicts=proceed is meaningless for op_type='index' "
+            "(an upsert has no version conflicts to skip)")
+    src = source_df
+    if query is not None:
+        src = src.filter(F.coalesce(compile_query(query), F.lit(False)))
+    if script is not None:
+        env = compile_update_script(script, src.columns)
+        src = src.select(*[
+            env[c].alias(c) if c in env else F.col(c) for c in src.columns])
+    # ES's snapshot counters: one aggregate job computing total and
+    # how many keys already exist in dest (the same information ES's
+    # initial scroll + per-doc version checks pay for)
+    dest_keys = dest.read().select(*keys)
+    existing = src.join(dest_keys, keys, "left_semi").count()
+    total = src.count()
+    created = total - existing
+    if op_type == "create":
+        if existing and conflicts == "abort":
+            raise EsWriteError(
+                f"op_type='create' found {existing} existing "
+                "documents and conflicts='abort' (the default); "
+                "nothing was applied - use conflicts='proceed' to "
+                "skip them")
+        fresh = src.join(dest_keys, keys, "left_anti")
+        if created:
+            dest.merge_into(fresh, keys)
+        return {"total": total, "created": created, "updated": 0,
+                "deleted": 0, "version_conflicts": existing,
+                "noops": 0}
+    dest.merge_into(src, keys)
+    return {"total": total, "created": created, "updated": existing,
+            "deleted": 0, "version_conflicts": 0, "noops": 0}
+
+
+def es_update(table: AcidParquetTable, *, id_field: str, id_value,
+              script: str | None = None, doc: dict | None = None,
+              upsert: dict | None = None,
+              detect_noop: bool = True) -> dict:
+    """ES ``POST index/_update/<id>``: partial-update ONE document by
+    id - the single-doc sibling of ``_update_by_query``. Exactly one
+    of ``script`` (bounded Painless, the shared compiler) or ``doc``
+    (partial field map, ES's merge form) must be given.
+
+    Missing id: with ``upsert`` the upsert document inserts (ES's
+    scripted-upsert/doc-upsert flow); without it the call raises -
+    ES's 404. ``detect_noop`` (ES default, ``doc`` form only): when
+    the partial doc would change nothing, NO commit happens and the
+    result is ``"noop"`` - checked with one point-pruned comparison,
+    the same read ES's noop detection does. Returns
+    ``{"result": "updated" | "created" | "noop"}``."""
+    if (script is None) == (doc is None):
+        raise EsWriteError("exactly one of script/doc is required")
+    cond = F.col(id_field) == F.lit(id_value)
+    point = table.read().filter(cond)
+    row_exists = point.limit(1).count() > 0
+    if not row_exists:
+        if upsert is None:
+            raise EsWriteError(
+                f"document {id_field}={id_value!r} not found and no "
+                "upsert was given (ES's 404)")
+        cols = table.read().columns
+        missing = set(cols) - set(upsert) - {id_field}
+        if missing:
+            raise EsWriteError(
+                f"upsert document must carry every column; missing "
+                f"{sorted(missing)}")
+        up = table.spark.createDataFrame(
+            [tuple({**upsert, id_field: id_value}[c] for c in cols)],
+            table.read().schema)
+        table.merge_into(up, [id_field])
+        return {"result": "created"}
+    if doc is not None:
+        unknown = set(doc) - set(table.read().columns)
+        if unknown:
+            raise EsWriteError(
+                f"doc fields {sorted(unknown)} are not in the schema; "
+                "evolve the schema first (add_columns)")
+        if detect_noop:
+            from functools import reduce
+            changed = point.filter(reduce(
+                lambda a, b: a | b,
+                [~F.col(k).eqNullSafe(F.lit(v)) for k, v in doc.items()]))
+            if changed.limit(1).count() == 0:
+                return {"result": "noop"}
+        assignments = {k: F.lit(v) for k, v in doc.items()}
+    else:
+        assignments = compile_update_script(script, table.read().columns)
+    table.update_where(cond, assignments)
+    return {"result": "updated"}
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (second wave)
+# ---------------------------------------------------------------------------
+
+@register("a3eg_es_reindex", "A3+A7+C5", """
+SELECT doc_id, lang, source, n_chars + 1000000 AS n_chars
+FROM documents
+WHERE list_contains(string_split(lower(text), ' '), 'merge')
+UNION ALL
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % 2 = 0
+  AND NOT list_contains(string_split(lower(text), ' '), 'merge')
+""", "ES _reindex end-to-end (sources/es_write.py es_reindex): a dest "
+     "index pre-loaded with the even documents receives every doc "
+     "matching match text:'merge' from the source corpus, transformed "
+     "by the Painless script 'ctx._source.n_chars = "
+     "ctx._source.n_chars + 1000000;' under op_type 'index' (upsert). "
+     "The response counters (created = odd matchers, updated = even "
+     "matchers) are asserted against independent counts, and the "
+     "post-state hash proves the three-way outcome: matched docs "
+     "carry the script's mark whatever their parity, unmatched even "
+     "docs survive untouched, unmatched odd docs never appear. ONE "
+     "MERGE commit in place of ES's scroll+bulk loop - file-pruned "
+     "CoW, same cost model as every ACID write.")
+def a3eg_es_reindex(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text")
+    root = tempfile.mkdtemp(prefix="ces_es_reindex_")
+    try:
+        dest = AcidParquetTable(spark, root)
+        dest.init(d.filter(F.col("doc_id") % 2 == 0)
+                  .select("doc_id", "lang", "source", "n_chars"))
+        src = d.withColumn(
+            "__match",
+            F.array_contains(F.split(F.lower(F.col("text")), " "),
+                             "merge"))
+        n_match = src.filter("__match").count()
+        n_even_match = src.filter(
+            F.col("__match") & (F.col("doc_id") % 2 == 0)).count()
+        resp = es_reindex(
+            d.select("doc_id", "lang", "source", "n_chars", "text"),
+            dest, keys=["doc_id"],
+            query={"match": {"text": "merge"}},
+            script="ctx._source.n_chars = ctx._source.n_chars "
+                   "+ 1000000;")
+        if resp["total"] != n_match or resp["updated"] != n_even_match \
+                or resp["created"] != n_match - n_even_match:
+            raise AssertionError(f"counters {resp} vs {n_match}/"
+                                 f"{n_even_match}")
+        return (dest.read().select("doc_id", "lang", "source", "n_chars")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("a3eh_es_update_doc", "A3+A7", """
+SELECT doc_id, lang,
+       CASE WHEN doc_id = 7 THEN n_chars + 500 ELSE n_chars END AS n_chars
+FROM documents
+UNION ALL
+SELECT 999999 AS doc_id, 'xx' AS lang, 42 AS n_chars
+""", "ES single-document _update (es_update): doc 7 partial-updates "
+     "via a Painless script (n_chars += 500), a doc-form update that "
+     "restates existing values returns 'noop' WITHOUT committing "
+     "(version pinned to prove it - ES's detect_noop), and a missing "
+     "id with an upsert document inserts ('created'). Post-state "
+     "hash-checks all three outcomes in one read; each update is a "
+     "point-pruned CoW commit touching only the file holding the "
+     "doc.")
+def a3eh_es_update_doc(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="ces_es_update_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(d)
+        r1 = es_update(t, id_field="doc_id", id_value=7,
+                       script="ctx._source.n_chars = "
+                              "ctx._source.n_chars + 500;")
+        # noop: restating doc 3's current values must not commit
+        cur3 = t.read().filter(F.col("doc_id") == 3).collect()[0]
+        v_before = t.current_version()
+        r2 = es_update(t, id_field="doc_id", id_value=3,
+                       doc={"lang": cur3["lang"],
+                            "n_chars": cur3["n_chars"]})
+        if t.current_version() != v_before:
+            raise AssertionError("noop update committed")
+        r3 = es_update(t, id_field="doc_id", id_value=999999,
+                       doc={"n_chars": 0},
+                       upsert={"lang": "xx", "n_chars": 42})
+        if (r1["result"], r2["result"], r3["result"]) != (
+                "updated", "noop", "created"):
+            raise AssertionError(f"{r1} {r2} {r3}")
+        return t.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

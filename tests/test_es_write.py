@@ -146,3 +146,82 @@ def test_conflict_aborts_whole_commit(spark, root):
     del t.current_version
     assert _rows(t.read()) == [(1, "F", 10.0, 0.0)]
     assert t.current_version() == base + 1
+
+
+def test_reindex_op_types_and_conflicts(spark, root):
+    from cassandra_elasticsearch_sync_spark.sources.es_write import (
+        es_reindex,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "F", 10.0, 0.0), (2, "O", 20.0, 0.0), (3, "F", 30.0, 0.0)],
+        "key bigint, status string, price double, bonus double")
+    dest = _table(spark, root, [(2, "O", -1.0, 0.0)])
+    # op_type index (default): upsert - key 2 overwrites, 1/3 insert
+    resp = es_reindex(src, dest, keys=["key"])
+    assert resp["total"] == 3 and resp["created"] == 2 \
+        and resp["updated"] == 1 and resp["version_conflicts"] == 0
+    assert _rows(dest.read()) == [
+        (1, "F", 10.0, 0.0), (2, "O", 20.0, 0.0), (3, "F", 30.0, 0.0)]
+
+    # op_type create + abort: ANY existing key rejects, nothing applies
+    dest2 = _table(spark, str(root) + "_2", [(2, "O", -1.0, 0.0)])
+    v = dest2.current_version()
+    with pytest.raises(EsWriteError, match="existing"):
+        es_reindex(src, dest2, keys=["key"], op_type="create")
+    assert dest2.current_version() == v
+
+    # op_type create + proceed: existing keys SKIP and count as
+    # version_conflicts; the skipped doc keeps its dest value
+    resp2 = es_reindex(src, dest2, keys=["key"], op_type="create",
+                       conflicts="proceed")
+    assert resp2["created"] == 2 and resp2["version_conflicts"] == 1
+    assert _rows(dest2.read()) == [
+        (1, "F", 10.0, 0.0), (2, "O", -1.0, 0.0), (3, "F", 30.0, 0.0)]
+
+    # query + script compose; proceed is meaningless for index
+    dest3 = _table(spark, str(root) + "_3", [])
+    r3 = es_reindex(src, dest3, keys=["key"],
+                    query={"term": {"status": "F"}},
+                    script="ctx._source.price = ctx._source.price "
+                           "* 2;")
+    assert r3["total"] == 2
+    assert _rows(dest3.read()) == [
+        (1, "F", 20.0, 0.0), (3, "F", 60.0, 0.0)]
+    with pytest.raises(EsWriteError, match="meaningless"):
+        es_reindex(src, dest3, keys=["key"], conflicts="proceed")
+
+
+def test_single_doc_update(spark, root):
+    from cassandra_elasticsearch_sync_spark.sources.es_write import (
+        es_update,
+    )
+
+    t = _table(spark, root, [(1, "F", 10.0, 0.0), (2, "O", 20.0, 5.0)])
+    # script form
+    assert es_update(t, id_field="key", id_value=1,
+                     script="ctx._source.price += 1;") \
+        == {"result": "updated"}
+    assert _rows(t.read())[0] == (1, "F", 11.0, 0.0)
+    # doc form, noop detection: restating current values commits NOTHING
+    v = t.current_version()
+    assert es_update(t, id_field="key", id_value=2,
+                     doc={"price": 20.0, "bonus": 5.0}) \
+        == {"result": "noop"}
+    assert t.current_version() == v
+    # doc form, real change
+    assert es_update(t, id_field="key", id_value=2,
+                     doc={"bonus": 9.0})["result"] == "updated"
+    assert _rows(t.read())[1] == (2, "O", 20.0, 9.0)
+    # missing id: 404 without upsert, created with one
+    with pytest.raises(EsWriteError, match="not found"):
+        es_update(t, id_field="key", id_value=99, doc={"bonus": 1.0})
+    assert es_update(t, id_field="key", id_value=99, doc={"bonus": 1.0},
+                     upsert={"status": "N", "price": 0.0, "bonus": 1.0}
+                     )["result"] == "created"
+    assert _rows(t.read())[2] == (99, "N", 0.0, 1.0)
+    # exactly one of script/doc; unknown doc fields loud
+    with pytest.raises(EsWriteError, match="exactly one"):
+        es_update(t, id_field="key", id_value=1)
+    with pytest.raises(EsWriteError, match="not in the schema"):
+        es_update(t, id_field="key", id_value=1, doc={"nope": 1})
