@@ -72,29 +72,35 @@ def register(name: str, survey_id: str, oracle: str | None, doc: str = ""):
 # 164/442; this block converts 46 more. Previously-verified blocks
 # (r5, r4, r1-r3) sit directly after for larger budgets.
 _FRONT = (
-    # ROTATION (round 12, VERDICT r11 #1): tenth rotation. 106 of 548
+    # ROTATION (round 12, VERDICT r11 #1): tenth rotation. 116 of 558
     # keys had never produced a driver row at the r11 close
     # (cumulative 442); this front-50 is flagship + 49 keys weighted
     # exactly as the r11 verdict prescribes: (a) the 8 round-11 keys
     # the driver missed (judge-verified r11 with an independent
-    # comparator, but driver evidence is the gold standard), (b) the
-    # 5 round-12 additions (_update_by_query / _delete_by_query /
-    # _explain / terms_set-field / parent agg), then (c) 36 of the
-    # oldest never-sampled oracle-checked keys across every tier
-    # still carrying none: the ES analytics tail (14), schema
-    # evolution, the scalar-function block, the relational/TPC-H
-    # stragglers, the K2 graph tier, the K4 text tier, and the K7/K8
-    # time-series tail. Streaming-backed and rows-only keys stay out
-    # of the front (weaker signal per driver-budget slot). Converts
-    # up to 49 first-time keys; cumulative target ~491 of 553.
+    # comparator, but driver evidence is the gold standard), (b) ALL
+    # 10 round-12 additions (_update_by_query / _delete_by_query /
+    # _explain / terms_set-field / parent agg / change_point /
+    # time_series / span_field_masking / _reindex / _update), then
+    # (c) 31 of the oldest never-sampled oracle-checked keys across
+    # every tier still carrying none: the ES analytics tail (14),
+    # schema evolution, the scalar-function block, the relational/
+    # TPC-H stragglers, the K2 graph tier, and the K7/K8 time-series
+    # tail (the K4 text tier rotates forward to round 13 to make room
+    # for the round-12 wave-two keys). Streaming-backed and rows-only
+    # keys stay out of the front (weaker signal per driver-budget
+    # slot). Converts up to 49 first-time keys; cumulative target
+    # ~492 of 558.
     "flagship_pricing_summary",
     # (a) round-11 wave two-four, judge-verified, never driver-sampled
     "a3dr_es_ip_prefix", "a3ds_es_termvectors", "a3dt_es_sparse_vector",
     "a3du_es_analyze", "a3dv_es_mtermvectors", "a2ah_cql_time_functions",
     "a3dw_es_categorize_text", "a3dx_es_extended_stats_bucket",
-    # (b) the round-12 additions
+    # (b) the round-12 additions, waves one and two
     "a3dy_es_update_by_query", "a3dz_es_delete_by_query",
     "a3ea_es_explain", "a3eb_es_terms_set_field", "a3ec_es_parent_agg",
+    "a3ed_es_change_point", "a3ee_es_time_series",
+    "a3ef_es_span_field_masking", "a3eg_es_reindex",
+    "a3eh_es_update_doc",
     # (c1) ES analytics tail, never sampled
     "a3ak_es_global_agg", "a3ai_es_filters_named_buckets",
     "a3aj_es_weighted_avg", "a3x_es_field_collapse",
@@ -112,10 +118,7 @@ _FRONT = (
     # (c4) K2 graph tier, never sampled
     "k2c_dup_clusters", "k2f_nation_pagerank",
     "k2h_triangle_degree_oriented", "k2i_bfs_shortest_hops",
-    # (c5) K4 text tier, never sampled
-    "k4c_char_trigrams", "k4d_tfidf_doc_similarity", "k4f_winnowing",
-    "k_pmi_cooccurrence", "k_bpe_top_merges",
-    # (c6) K7/K8 time-series tail, never sampled
+    # (c5) K7/K8 time-series tail, never sampled
     "k7s_seasonal_naive_backtest", "k7t_theil_sen_trend",
     "k8_incremental_topk",
     # --- end of the round-12 front-50 ---
