@@ -20,6 +20,14 @@ Cassandra's write semantics kept here:
   * ``IF NOT EXISTS`` / ``IF EXISTS`` (the LWT guards): a conditional
     insert on an existing key and a conditional update/delete on a
     missing key are no-ops;
+  * column-condition LWT (``UPDATE ... IF price > 5.0``, ``DELETE ...
+    IF tag != 'x'``, with =/!=/</<=/>/>= and IN): conditions evaluate
+    against the PRE-batch state via a bounded point-lookup read
+    (Cassandra's Paxos read-before-write) and the batch applies
+    all-or-nothing - one failing condition and nothing lands, exactly
+    the coordinator's [applied]=false path. A conditional batch must
+    stay in one partition and cannot carry USING TIMESTAMP - both of
+    Cassandra's own rules, both rejected loudly;
   * the WHERE clause of UPDATE/DELETE must equality-restrict the FULL
     primary key (Cassandra's write rule - no predicate writes).
 
@@ -60,7 +68,7 @@ _INSERT_JSON_RE = re.compile(
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)\s+"
     r"(?:USING\s+(?P<using>.+?)\s+)?SET\s+(?P<sets>.+?)\s+"
-    r"WHERE\s+(?P<where>.+?)\s*(?P<ie>IF\s+EXISTS)?\s*;?\s*$",
+    r"WHERE\s+(?P<where>.+?)(?:\s+IF\s+(?P<if_>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -85,8 +93,8 @@ _DELETE_RE = re.compile(
     # optional column list = Cassandra's CELL delete
     # (DELETE price, tags FROM t WHERE ...); absent = row delete
     r"^\s*DELETE\s+(?:(?P<cols>[A-Za-z_][\w]*(?:\s*,\s*\w+)*)\s+)?"
-    r"FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.+?)\s*"
-    r"(?P<ie>IF\s+EXISTS)?\s*;?\s*$",
+    r"FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.+?)"
+    r"(?:\s+IF\s+(?P<if_>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _BATCH_RE = re.compile(
@@ -235,6 +243,70 @@ class CqlWrite:
     # columns are written as NULL) or 'unset' (omitted columns left
     # untouched). None for every non-JSON statement form.
     json_default: str | None = None
+    # Column-condition LWT (``IF price > 5.0 AND tag != 'x'``):
+    # tuple of (column, op, literal) triples; op in
+    # {'=', '!=', '<', '<=', '>', '>=', 'in'}. Empty = unconditional.
+    if_conds: tuple = ()
+
+
+_IF_COND_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s*(?P<op>=|!=|<=|>=|<|>|\bIN\b)\s*(?P<val>.+?)\s*$",
+    re.IGNORECASE)
+
+
+def _parse_if_conds(raw: str) -> tuple:
+    """``IF col op literal [AND ...]`` -> ((col, op, value), ...).
+
+    Cassandra's LWT column conditions (CQL spec, `UPDATE ... IF`):
+    =, !=, <, <=, >, >= against a literal, and ``IN (a, b, ...)``.
+    ``IF EXISTS`` / ``IF NOT EXISTS`` are handled by the caller before
+    this parser runs; mixing them with column conditions is rejected
+    there (Cassandra's grammar does not allow the mix either)."""
+    conds = []
+    for part in re.split(r"\s+AND\s+", raw, flags=re.IGNORECASE):
+        m = _IF_COND_RE.match(part)
+        if not m:
+            raise CqlError(f"unsupported LWT condition: {part!r}")
+        col = m.group("col").lower()
+        op = m.group("op").lower()
+        rawv = m.group("val")
+        if op == "in":
+            lit = _parse_literal(rawv)
+            if not isinstance(lit, list):
+                raise CqlError(
+                    f"IN condition on {col!r} needs a parenthesized "
+                    f"list, got {rawv!r}")
+        elif rawv.strip().lower() == "null":
+            # `IF col = null` / `IF col != null` - Cassandra's unset
+            # test (valid CQL; _parse_literal has no null form because
+            # no other statement position accepts one)
+            lit = None
+        else:
+            lit = _parse_literal(rawv)
+        conds.append((col, op, lit))
+    return tuple(conds)
+
+
+def _classify_if(raw: str | None, key_cols: list[str]) -> tuple:
+    """The IF clause of an UPDATE/DELETE -> (guard, if_conds).
+
+    ``IF EXISTS`` / ``IF NOT EXISTS`` map to the existence guards;
+    anything else parses as column conditions. Conditions on primary
+    key columns are rejected (Cassandra: "PRIMARY KEY column ... cannot
+    have IF conditions")."""
+    if raw is None:
+        return (None, ())
+    word = raw.strip().lower()
+    if word == "exists":
+        return ("exists", ())
+    if re.fullmatch(r"not\s+exists", word):
+        return ("not_exists", ())
+    conds = _parse_if_conds(raw)
+    for col, _, _ in conds:
+        if col in key_cols:
+            raise CqlError(
+                f"PRIMARY KEY column {col!r} cannot have IF conditions")
+    return (None, conds)
 
 
 def _parse_where_key(where: str, key_cols: list[str], table: str) -> tuple:
@@ -325,15 +397,21 @@ def parse_cql_dml(stmt: str, key_cols: list[str]) -> list[CqlWrite]:
             sets[col] = val
         key = _parse_where_key(m.group("where"), key_cols, m.group("table"))
         ttl, ts = _parse_using(m.group("using"))
-        if ts is not None and m.group("ie"):
+        guard, conds = _classify_if(m.group("if_"), key_cols)
+        if ts is not None and (guard or conds):
             raise CqlError(
-                "cannot combine IF EXISTS with USING TIMESTAMP")
+                "cannot combine IF with USING TIMESTAMP "
+                "(Cassandra's own rule: LWT writes own their timestamps)")
+        if guard == "not_exists":
+            raise CqlError("UPDATE supports IF EXISTS, not IF NOT EXISTS")
         return [CqlWrite("W", m.group("table").lower(), key, sets,
-                         "exists" if m.group("ie") else None,
-                         ttl_s=ttl, ts_us=ts)]
+                         guard, ttl_s=ttl, ts_us=ts, if_conds=conds)]
     m = _DELETE_RE.match(stmt)
     if m:
         key = _parse_where_key(m.group("where"), key_cols, m.group("table"))
+        guard, conds = _classify_if(m.group("if_"), key_cols)
+        if guard == "not_exists":
+            raise CqlError("DELETE supports IF EXISTS, not IF NOT EXISTS")
         if m.group("cols"):
             # CELL delete (DELETE price, tags FROM ...): the listed
             # cells null out; the row's OTHER cells survive. Lowered
@@ -350,9 +428,10 @@ def parse_cql_dml(stmt: str, key_cols: list[str]) -> list[CqlWrite]:
                     raise CqlError(
                         f"cannot delete primary key column {c!r}")
             return [CqlWrite("W", m.group("table").lower(), key,
-                             {c: None for c in names}, "exists")]
+                             {c: None for c in names}, "exists",
+                             if_conds=conds)]
         return [CqlWrite("D", m.group("table").lower(), key, {},
-                         "exists" if m.group("ie") else None)]
+                         guard, if_conds=conds)]
     raise CqlError(f"unsupported CQL DML statement: {stmt!r}")
 
 
@@ -418,6 +497,42 @@ def _coerce(v, dtype: T.DataType):
     return v
 
 
+def _cond_holds(row: dict | None, conds: tuple, types: dict) -> bool:
+    """Evaluate one statement's LWT column conditions against the
+    stored row (Cassandra: a condition on a MISSING row fails - the
+    response is ``[applied] = false`` and the write does not create
+    the row, unlike an unconditional upsert). NULL cells: ``= null``
+    holds when the cell is unset, ``!= null`` when it is set, and the
+    ordering operators never hold against null on either side."""
+    if row is None:
+        return False
+    for col, op, lit in conds:
+        cell = row.get(col)
+        if op == "in":
+            want = [_coerce(x, types[col]) for x in lit]
+            ok = any((cell == x) if x is not None else cell is None
+                     for x in want)
+        else:
+            want = _coerce(lit, types[col])
+            if op == "=":
+                ok = (cell == want) if want is not None else cell is None
+            elif op == "!=":
+                ok = (cell != want) if want is not None else cell is not None
+            elif cell is None or want is None:
+                ok = False
+            elif op == "<":
+                ok = cell < want
+            elif op == "<=":
+                ok = cell <= want
+            elif op == ">":
+                ok = cell > want
+            else:
+                ok = cell >= want
+        if not ok:
+            return False
+    return True
+
+
 def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
                      stmts: list[str] | str,
                      now_us: int | None = None) -> int:
@@ -470,6 +585,47 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
             elif not isinstance(types.get(c), (T.ArrayType, T.MapType)):
                 raise CqlError(
                     f"collection op on non-collection column {c!r}")
+    # ---- column-condition LWT (``IF col op literal``) ----
+    # Cassandra's Paxos round is a read-before-write: every condition
+    # in the batch is evaluated against the PRE-batch state, and the
+    # batch applies ALL-OR-NOTHING - one failing condition and no
+    # statement lands (the coordinator replies [applied]=false).
+    # Evaluated here over the UNFOLDED statement list (so a condition
+    # on a statement the fold would collapse still votes), with one
+    # bounded point-lookup read for the conditioned keys - the batch
+    # is client-sized, so the read is request-bounded by construction.
+    conded = [w for w in writes if w.if_conds]
+    if conded:
+        if any(w.ts_us is not None for w in writes):
+            raise CqlError(
+                "a conditional batch cannot use client-supplied "
+                "timestamps (Cassandra: LWT writes own their timestamps)")
+        if len({w.key[0] for w in writes}) > 1:
+            raise CqlError(
+                "a batch with conditions cannot span multiple "
+                "partitions (Cassandra's conditional-batch rule)")
+        for w in conded:
+            for col, _, _ in w.if_conds:
+                if col not in value_cols:
+                    raise CqlError(
+                        f"unknown column {col!r} in LWT condition")
+        ckeys = sorted({tuple(_coerce(v, types[k])
+                              for k, v in zip(key_cols, w.key))
+                        for w in conded})
+        pred = F.lit(False)
+        for key in ckeys:
+            eq = F.lit(True)
+            for k, v in zip(key_cols, key):
+                eq = eq & (F.col(k) == F.lit(v))
+            pred = pred | eq
+        stored = {tuple(r[k] for k in key_cols): r.asDict()
+                  for r in table.read().filter(pred).collect()}
+        for w in conded:
+            key = tuple(_coerce(v, types[k])
+                        for k, v in zip(key_cols, w.key))
+            if not _cond_holds(stored.get(key), w.if_conds, types):
+                return table.current_version()
+
     folded = _fold(writes)
     if not with_meta and any(w.ttl_s is not None or w.ts_us is not None
                              for w in folded):
@@ -1058,5 +1214,73 @@ def a2ag_cql_cell_delete(spark, sf_dir):
         return (t.read()
                 .select("cust_id", "segment", "bal")
                 .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register("a2ai_cql_lwt_conditions", "A2+A7", """
+WITH side_a AS (
+  SELECT o_orderkey AS key, o_totalprice AS price, o_orderdate AS version
+  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+), ranked AS (
+  SELECT key, price, version, ROW_NUMBER() OVER (ORDER BY key) AS rn
+  FROM side_a
+)
+SELECT key,
+       CASE WHEN rn = 1 THEN -100.0
+            WHEN rn = 6 THEN -600.0
+            ELSE price END AS price,
+       STRFTIME(DATE_TRUNC('second', version), '%Y-%m-%d %H:%M:%S')
+         AS version_s
+FROM ranked
+WHERE rn <> 4
+""", "Cassandra's column-condition LWT (UPDATE/DELETE ... IF col op "
+     "literal) end-to-end on the ACID store: conditions evaluate "
+     "against the PRE-batch state via a bounded point-lookup read "
+     "(the Paxos read-before-write) and a conditional batch applies "
+     "all-or-nothing. Six probes, each pinned by the hash: a passing "
+     "`IF price > 0` update lands (-100 on the smallest key), a "
+     "failing `IF price < 0` update no-ops (row 2 keeps its price), "
+     "a condition on a MISSING key fails WITHOUT creating the row "
+     "(unconditional UPDATE would upsert - the row-count pins the "
+     "difference), a passing conditional DELETE removes row 4, a "
+     "same-partition BATCH whose one condition fails leaves BOTH "
+     "touched cells unchanged (all-or-nothing: row 5's version "
+     "string survives), and an `IN (...) AND !=` conjunction lands "
+     "-600 on row 6. Multi-partition conditional batches and "
+     "LWT + USING TIMESTAMP are rejected loudly, Cassandra's rules.")
+def a2ai_cql_lwt_conditions(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from cassandra_elasticsearch_sync_spark.parity import fmt_ts
+    from cassandra_elasticsearch_sync_spark.sync.ops import side_a
+
+    root = tempfile.mkdtemp(prefix="ces_cql_lwt_")
+    try:
+        t = AcidParquetTable(spark, root)
+        t.init(side_a(spark, sf_dir))
+        probes = side_a(spark, sf_dir).orderBy("key").limit(6).collect()
+        k = [r["key"] for r in probes]
+        p = [r["price"] for r in probes]
+        apply_cql_writes(t, ["key"], f"UPDATE kv SET price = -100.0 "
+                         f"WHERE key = {k[0]} IF price > 0.0")
+        apply_cql_writes(t, ["key"], f"UPDATE kv SET price = -200.0 "
+                         f"WHERE key = {k[1]} IF price < 0.0")
+        apply_cql_writes(t, ["key"], "UPDATE kv SET price = -300.0 "
+                         "WHERE key = 91000001 IF price = null")
+        apply_cql_writes(t, ["key"], f"DELETE FROM kv WHERE key = {k[3]} "
+                         f"IF price >= 0.0")
+        apply_cql_writes(t, ["key"], f"BEGIN BATCH "
+                         f"UPDATE kv SET version = '2005-01-01 00:00:00' "
+                         f"WHERE key = {k[4]}; "
+                         f"UPDATE kv SET price = -500.0 WHERE key = {k[4]} "
+                         f"IF price < 0.0; APPLY BATCH")
+        apply_cql_writes(t, ["key"], f"UPDATE kv SET price = -600.0 "
+                         f"WHERE key = {k[5]} "
+                         f"IF price IN ({p[5]!r}, -1.0) AND price != -1.0")
+        return t.read().select(
+            "key", "price", fmt_ts("version").alias("version_s")
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -469,3 +469,91 @@ def test_cell_delete_hand_checked(spark, tmp_path):
     assert w.kind == "D"
     with pytest.raises(CqlError, match="primary key"):
         parse_cql_dml("DELETE key FROM c WHERE key = 1", ["key"])
+
+
+def test_lwt_column_conditions(spark, table):
+    # passing condition applies; failing one no-ops WITHOUT a commit
+    apply_cql_writes(table, KEY,
+                     "UPDATE kv SET price = -1.0 WHERE key = 1 "
+                     "IF price >= 10.0 AND version = 100")
+    assert (1, -1.0, 100) in _rows(table)
+    v0 = table.current_version()
+    assert apply_cql_writes(
+        table, KEY,
+        "UPDATE kv SET price = -2.0 WHERE key = 2 IF price > 100.0") == v0
+    assert (2, 20.0, 100) in _rows(table)
+    # <, !=, IN forms
+    apply_cql_writes(table, KEY,
+                     "UPDATE kv SET price = -3.0 WHERE key = 3 "
+                     "IF price < 31.0 AND version != 99 AND price IN "
+                     "(30.0, 77.0)")
+    assert (3, -3.0, 100) in _rows(table)
+
+
+def test_lwt_condition_on_missing_row_fails_without_upsert(spark, table):
+    # an unconditional UPDATE would create key 42; a conditional one
+    # must not (Cassandra replies [applied]=false and writes nothing)
+    apply_cql_writes(table, KEY,
+                     "UPDATE kv SET price = 7.0 WHERE key = 42 "
+                     "IF price = null")
+    assert all(r[0] != 42 for r in _rows(table))
+
+
+def test_lwt_null_condition_semantics(spark, table):
+    apply_cql_writes(table, KEY, "DELETE version FROM kv WHERE key = 2")
+    # = null holds on the unset cell; ordering ops never hold vs null
+    apply_cql_writes(table, KEY, "UPDATE kv SET price = -2.0 "
+                                 "WHERE key = 2 IF version = null")
+    assert (2, -2.0, None) in _rows(table)
+    apply_cql_writes(table, KEY, "UPDATE kv SET price = -9.0 "
+                                 "WHERE key = 2 IF version >= 0")
+    assert (2, -2.0, None) in _rows(table)
+    # != null holds only on a set cell
+    apply_cql_writes(table, KEY, "DELETE FROM kv WHERE key = 2 "
+                                 "IF version != null")
+    assert (2, -2.0, None) in _rows(table)
+    apply_cql_writes(table, KEY, "DELETE FROM kv WHERE key = 3 "
+                                 "IF version != null")
+    assert all(r[0] != 3 for r in _rows(table))
+
+
+def test_lwt_conditional_batch_is_all_or_nothing(spark, table):
+    # one failing condition -> NOTHING in the batch lands, even the
+    # unconditional statement on the same partition
+    apply_cql_writes(table, KEY, """
+        BEGIN BATCH
+          UPDATE kv SET version = 999 WHERE key = 1;
+          UPDATE kv SET price = -5.0 WHERE key = 1 IF price < 0.0;
+        APPLY BATCH
+    """)
+    assert (1, 10.0, 100) in _rows(table)
+    # all conditions pass -> the whole batch lands atomically
+    v0 = table.current_version()
+    apply_cql_writes(table, KEY, """
+        BEGIN BATCH
+          UPDATE kv SET version = 999 WHERE key = 1;
+          UPDATE kv SET price = -5.0 WHERE key = 1 IF price > 0.0;
+        APPLY BATCH
+    """)
+    assert (1, -5.0, 999) in _rows(table)
+    assert table.current_version() == v0 + 1
+
+
+def test_lwt_condition_rules_rejected(spark, table):
+    with pytest.raises(CqlError, match="multiple partitions"):
+        apply_cql_writes(table, KEY, [
+            "UPDATE kv SET price = 1.0 WHERE key = 1",
+            "UPDATE kv SET price = 2.0 WHERE key = 2 IF price > 0.0",
+        ])
+    with pytest.raises(CqlError, match="TIMESTAMP"):
+        parse_cql_dml("UPDATE kv USING TIMESTAMP 5 SET price = 1.0 "
+                      "WHERE key = 1 IF price > 0.0", KEY)
+    with pytest.raises(CqlError, match="PRIMARY KEY"):
+        parse_cql_dml("UPDATE kv SET price = 1.0 WHERE key = 1 "
+                      "IF key = 1", KEY)
+    with pytest.raises(CqlError, match="unknown column"):
+        apply_cql_writes(table, KEY, "UPDATE kv SET price = 1.0 "
+                                     "WHERE key = 1 IF nope = 1")
+    with pytest.raises(CqlError, match="IF EXISTS"):
+        parse_cql_dml("UPDATE kv SET price = 1.0 WHERE key = 1 "
+                      "IF NOT EXISTS", KEY)
