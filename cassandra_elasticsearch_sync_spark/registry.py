@@ -521,6 +521,7 @@ def _ensure_loaded() -> None:
     )
     from cassandra_elasticsearch_sync_spark.sources import (  # noqa: F401
         cql_functions,
+        cql_mv,
         cql_query,
         cql_write,
         es_query,
