@@ -114,6 +114,14 @@ _SELECTOR_FNS = {"writetime", "ttl"}
 # unit). The timeuuid-argument forms are unrepresentable here (no
 # timeuuid columns in the model) and parse as unknown functions.
 _TIME_FNS = {"todate", "totimestamp", "tounixtimestamp"}
+# toJson(col): Cassandra's JSON-encoding projection (system keyspace).
+# Encodes per Cassandra's JSON rules: text -> quoted/escaped JSON
+# string, numbers plain, timestamp -> "yyyy-MM-dd HH:mm:ss.SSSZ"
+# (Cassandra's space-separated UTC form, not ISO-8601 'T'), date ->
+# "yyyy-MM-dd", collections -> JSON arrays/objects, null -> null.
+# The inverse, fromJson('...'), is a VALUE-position function and
+# parses in _parse_literal.
+_JSON_FNS = {"tojson"}
 # Cassandra 5.0 scalar vector functions, projectable in the select
 # list: similarity_cosine(col, [literal vector]) etc., all in [0, 1].
 _SIM_FNS = {"similarity_cosine", "similarity_euclidean",
@@ -189,10 +197,43 @@ _COL_RE = re.compile(
 )
 
 
+_FROM_JSON_RE = re.compile(
+    r"^fromJson\s*\(\s*'(?P<j>(?:[^']|'')*)'\s*\)$", re.IGNORECASE)
+
+
 def _parse_literal(raw: str):
     raw = raw.strip()
+    m = _FROM_JSON_RE.match(raw)
+    if m:
+        # fromJson('<json>'): Cassandra's VALUE-position JSON decoder
+        # ('' doubles a quote inside the CQL string literal). The
+        # decoded value flows wherever a plain literal would -
+        # INSERT/UPDATE values, WHERE comparisons, LWT conditions.
+        import json as _json
+        try:
+            return _json.loads(m.group("j").replace("''", "'"))
+        except ValueError as e:
+            raise CqlError(f"fromJson payload is not valid JSON: {e}")
     if raw.startswith("(") and raw.endswith(")"):
-        return [_parse_literal(p) for p in raw[1:-1].split(",")]
+        # depth- and quote-aware split: commas inside nested parens/
+        # brackets or inside '...' string literals (fromJson payloads,
+        # text values with commas) must not split the tuple
+        items, depth, inq, cur = [], 0, False, []
+        for ch in raw[1:-1]:
+            if ch == "'":
+                inq = not inq
+            elif not inq and ch in "([{":
+                depth += 1
+            elif not inq and ch in ")]}":
+                depth -= 1
+            if ch == "," and depth == 0 and not inq:
+                items.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur or items:
+            items.append("".join(cur))
+        return [_parse_literal(p) for p in items]
     if raw.startswith("'") and raw.endswith("'"):
         return raw[1:-1]
     if re.fullmatch(r"-?\d+", raw):
@@ -247,7 +288,7 @@ def _parse_col(raw: str) -> CqlCol:
         arg = m.group("arg")
         args = [a.strip() for a in arg.split(",")]
         if (fn not in _AGG_FNS and fn not in _SELECTOR_FNS
-                and fn not in _TIME_FNS):
+                and fn not in _TIME_FNS and fn not in _JSON_FNS):
             # user-defined function/aggregate (CREATE FUNCTION /
             # CREATE AGGREGATE) - resolved against the DDL registry
             from cassandra_elasticsearch_sync_spark.sources import (
@@ -509,6 +550,13 @@ def validate_cql(sel: CqlSelect) -> dict:
             "toDate()/toTimestamp()/toUnixTimestamp() cannot combine "
             "with GROUP BY/aggregates in this subset")
 
+    json_cols = [c for c in sel.columns if c.fn in _JSON_FNS]
+    if json_cols and (sel.group_by
+                      or any(c.fn in _AGG_FNS for c in sel.columns)):
+        raise CqlError(
+            "toJson() cannot combine with GROUP BY/aggregates in "
+            "this subset")
+
     sim_cols = [c for c in sel.columns if c.fn in _SIM_FNS]
     for c in sim_cols:
         if c.name not in meta.get("vector_indexes", {}):
@@ -698,6 +746,31 @@ def _selector_expr(c: CqlCol, df: DataFrame, now_us: int | None):
             .alias(c.out_name))
 
 
+def _to_json_expr(col: Column, dtype: T.DataType) -> Column:
+    """``toJson(col)``: Cassandra's JSON encoding of one cell.
+
+    Temporal types take Cassandra's own spellings (space-separated
+    UTC timestamp with milliseconds, bare date) rather than Spark's
+    ISO-8601 'T' form; everything else rides Spark's JSON writer -
+    encode the cell as a one-field struct and strip the wrapper, so
+    string escaping, numerics, arrays, maps and nested nulls all use
+    one engine-grade encoder instead of hand-rolled escaping."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit('"'),
+                     F.date_format(col.cast("timestamp"),
+                                   "yyyy-MM-dd HH:mm:ss.SSS"),
+                     F.lit('Z"')))
+    if isinstance(dtype, T.DateType):
+        return F.when(col.isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit('"'), F.date_format(col, "yyyy-MM-dd"),
+                     F.lit('"')))
+    wrapped = F.to_json(F.struct(col.alias("v")),
+                        {"ignoreNullFields": "false"})
+    # {"v":<encoded>} -> <encoded>  (5-char prefix, 1-char suffix)
+    return wrapped.substr(F.lit(6), F.length(wrapped) - F.lit(6))
+
+
 def cql_select(df: DataFrame, stmt: str,
                now_us: int | None = None) -> DataFrame:
     """Compile and run a CQL SELECT against the table's DataFrame."""
@@ -843,6 +916,13 @@ def cql_select(df: DataFrame, stmt: str,
                         return src.cast("timestamp").alias(c.out_name)
                     return (F.unix_millis(src.cast("timestamp"))
                             .alias(c.out_name))
+                if c.fn in _JSON_FNS:
+                    field = next((f for f in df.schema.fields
+                                  if f.name == c.name), None)
+                    if field is None:
+                        raise CqlError(f"unknown column {c.name!r}")
+                    return _to_json_expr(
+                        F.col(c.name), field.dataType).alias(c.out_name)
                 if c.fn is not None and c.fn not in _AGG_FNS:
                     # scalar CREATE FUNCTION call: the DDL-compiled
                     # Catalyst expression over the argument columns
@@ -1308,3 +1388,36 @@ def a2ah_cql_time_functions(spark, sf_dir):
         ev,
         "SELECT event_id, toDate(ts) AS day, toUnixTimestamp(ts) AS ms "
         "FROM events WHERE user_id = 11")
+
+
+@register("a2ak_cql_json_functions", "A2+H6", """
+SELECT o_orderkey,
+       CAST(to_json(o_totalprice) AS VARCHAR) AS price_json,
+       '"' || STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.000Z"'
+         AS date_json,
+       CAST(to_json(o_orderstatus) AS VARCHAR) AS status_json,
+       CAST(to_json(o_orderpriority) AS VARCHAR) AS priority_json
+FROM orders WHERE o_custkey = 37
+""", "Native CQL JSON functions: `SELECT o_orderkey, "
+     "toJson(o_totalprice), toJson(o_orderdate), toJson(o_orderstatus), "
+     "toJson(o_orderpriority) FROM orders WHERE o_custkey = 37` - "
+     "per-cell "
+     "JSON encoding under Cassandra's rules: doubles plain, text as "
+     "escaped JSON strings (Spark's engine-grade JSON writer via a "
+     "struct wrap/strip, DuckDB's to_json on the oracle side - two "
+     "independent encoders must agree byte-for-byte for the hash to "
+     "pass), and timestamps in Cassandra's space-separated UTC form "
+     "with milliseconds (NOT ISO-8601 'T' - the documented Cassandra "
+     "spelling). Partition-key equality pushes to the scan. The "
+     "inverse fromJson('...') decodes in any VALUE position "
+     "(INSERT/UPDATE/WHERE/LWT conditions) via _parse_literal; "
+     "toJson with GROUP BY/aggregates is rejected loudly.")
+def a2ak_cql_json_functions(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return cql_select(
+        o,
+        "SELECT o_orderkey, toJson(o_totalprice) AS price_json, "
+        "toJson(o_orderdate) AS date_json, "
+        "toJson(o_orderstatus) AS status_json, "
+        "toJson(o_orderpriority) AS priority_json "
+        "FROM orders WHERE o_custkey = 37")

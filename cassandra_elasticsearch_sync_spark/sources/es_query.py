@@ -9904,3 +9904,166 @@ def a3ef_es_span_field_masking(spark, sf_dir):
     ], "slop": 0, "in_order": True}}
     return (es_search(d, q).select("doc_id", "lang", "n_chars")
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# _validate/query (round 12)
+# ---------------------------------------------------------------------------
+
+def render_query(q: dict) -> str:
+    """Canonical Lucene-syntax rendering of a query-DSL dict - the
+    ``explanation`` string ES's ``_validate/query?explain=true``
+    returns (ES renders the REWRITTEN Lucene query; this renders the
+    house compiler's parse of the same clause tree, deterministically:
+    clause order preserved, range bounds in Lucene's ``[lo TO hi}``
+    bracket notation, bool occurs as ``+``/``-``/``#``). Leaves the
+    renderer does not know fall back to ``kind(<canonical json>)``
+    rather than guessing Lucene spellings."""
+    import json as _json
+
+    if not isinstance(q, dict) or len(q) != 1:
+        raise ValueError(f"expected a single-clause query dict, got {q!r}")
+    kind, body = next(iter(q.items()))
+    if kind == "match_all":
+        return "*:*"
+    if kind == "match_none":
+        return "-*:*"
+    if kind == "term":
+        (field, value), = body.items()
+        if isinstance(value, dict):
+            value = value["value"]
+        return f"{field}:{value}"
+    if kind == "terms":
+        (field, values), = body.items()
+        return f"{field}:(" + " OR ".join(str(v) for v in values) + ")"
+    if kind == "range":
+        (field, conds), = body.items()
+        lo = conds.get("gte", conds.get("gt"))
+        hi = conds.get("lte", conds.get("lt"))
+        lb = "[" if "gte" in conds or ("gt" not in conds) else "{"
+        rb = "]" if "lte" in conds or ("lt" not in conds) else "}"
+        return (f"{field}:{lb}{'*' if lo is None else lo} TO "
+                f"{'*' if hi is None else hi}{rb}")
+    if kind == "prefix":
+        (field, value), = body.items()
+        if isinstance(value, dict):
+            value = value["value"]
+        return f"{field}:{value}*"
+    if kind == "wildcard":
+        (field, value), = body.items()
+        if isinstance(value, dict):
+            value = value["value"]
+        return f"{field}:{value}"
+    if kind == "exists":
+        return f"_exists_:{body['field']}"
+    if kind == "ids":
+        vals = body["values"]
+        return "_id:(" + " OR ".join(str(v) for v in vals) + ")"
+    if kind == "match_phrase":
+        (field, value), = body.items()
+        if isinstance(value, dict):
+            value = value["query"]
+        return f'{field}:"{value}"'
+    if kind == "match":
+        (field, value), = body.items()
+        if isinstance(value, dict):
+            value = value["query"]
+        toks = str(value).split()
+        if len(toks) == 1:
+            return f"{field}:{toks[0]}"
+        return "(" + " ".join(f"{field}:{t}" for t in toks) + ")"
+    if kind == "bool":
+        parts = []
+        for occ, sig in (("must", "+"), ("filter", "#"),
+                         ("must_not", "-"), ("should", "")):
+            clauses = body.get(occ, [])
+            if isinstance(clauses, dict):
+                clauses = [clauses]
+            for c in clauses:
+                parts.append(f"{sig}({render_query(c)})")
+        return "(" + " ".join(parts) + ")"
+    return f"{kind}({_json.dumps(body, sort_keys=True)})"
+
+
+def es_validate_query(df: DataFrame, *, query: dict,
+                      explain: bool = False) -> DataFrame:
+    """ES ``GET index/_validate/query[?explain=true]``: does this DSL
+    body compile, without running it. ``valid`` is the house
+    compiler's verdict (the same ``compile_query`` every search API
+    uses - so a query this API blesses is exactly a query
+    ``es_search`` will accept); on failure ``error`` carries the
+    compiler's message (ES's ``explanations[0].error``), and with
+    ``explain=true`` a valid query also returns the canonical Lucene
+    rendering (ES returns the rewritten Lucene query; the rendering
+    divergence is documented on ``render_query``). Like ES, UNKNOWN
+    FIELDS do not invalidate a query - ES validates against the
+    mapping leniently (an unmapped field simply matches nothing), so
+    only structural/DSL errors fail. One literal row from the
+    session; no scan at all - validation is metadata work, constant
+    at any corpus size."""
+    spark = df.sparkSession
+    try:
+        compile_query(query)
+        valid, err = True, None
+        expl = render_query(query) if explain else None
+    except (ValueError, KeyError, TypeError) as e:
+        valid, err, expl = False, f"{type(e).__name__}: {e}", None
+    return spark.range(1).select(
+        F.lit(valid).alias("valid"),
+        F.lit(expl).cast("string").alias("explanation"),
+        F.lit(err).cast("string").alias("error"))
+
+
+@register("a3ei_es_validate_query", "A3", """
+SELECT 0 AS qid, TRUE AS valid,
+       CAST(NULL AS VARCHAR) AS explanation,
+       CAST(NULL AS VARCHAR) AS error
+UNION ALL
+SELECT 1, TRUE,
+       '(+(o_orderstatus:F) #(o_totalprice:[1000.0 TO *]) '
+       || '-(o_orderpriority:5-LOW*) (o_comment:"quick brown"))',
+       CAST(NULL AS VARCHAR)
+UNION ALL
+SELECT 2, FALSE, CAST(NULL AS VARCHAR),
+       'ValueError: unsupported ES query clause: made_up_clause'
+UNION ALL
+SELECT 3, FALSE, CAST(NULL AS VARCHAR),
+       'ValueError: wildcard values containing a backslash use ES '
+       || 'escape semantics (''\\*'' = literal star) which this '
+       || 'compiler does not implement; remove the backslash'
+UNION ALL
+SELECT 4, TRUE, 'o_totalprice:{500.0 TO 900.0}',
+       CAST(NULL AS VARCHAR)
+ORDER BY qid
+""", "ES _validate/query (es_validate_query): five request bodies "
+     "validated WITHOUT running them - a bare term (no explain), a "
+     "four-occur bool under explain=true returning the canonical "
+     "Lucene rendering (+must #filter -must_not should, phrase "
+     "quoting, prefix star), an unknown clause kind and an "
+     "ES-escape wildcard both INVALID with the compiler's loud "
+     "message in error (the exact message every search API raises - "
+     "validate and search share one compiler, so the blessing is "
+     "real), and an exclusive range rendered with Lucene's curly "
+     "bounds. Unknown FIELDS stay valid, ES's lenient-mapping rule. "
+     "No scan: validation is metadata work, constant at any corpus "
+     "size.")
+def a3ei_es_validate_query(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    probes = [
+        ({"term": {"o_orderstatus": "F"}}, False),
+        ({"bool": {
+            "must": [{"term": {"o_orderstatus": "F"}}],
+            "filter": [{"range": {"o_totalprice": {"gte": 1000.0}}}],
+            "must_not": [{"prefix": {"o_orderpriority": "5-LOW"}}],
+            "should": [{"match_phrase": {"o_comment": "quick brown"}}],
+        }}, True),
+        ({"made_up_clause": {"x": 1}}, True),
+        ({"wildcard": {"o_comment": "a\\*b"}}, True),
+        ({"range": {"o_totalprice": {"gt": 500.0, "lt": 900.0}}}, True),
+    ]
+    out = None
+    for i, (q, ex) in enumerate(probes):
+        one = es_validate_query(o, query=q, explain=ex).select(
+            F.lit(i).alias("qid"), "valid", "explanation", "error")
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("qid")

@@ -503,3 +503,69 @@ def test_time_functions_hand_checked(spark):
         assert row3["dd"] == dt.date(2024, 3, 5)
     finally:
         CQL_TABLES.pop("tstab", None)
+
+
+# -- toJson / fromJson (round 12) -------------------------------------------
+
+def test_tojson_encodings(spark):
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        cql_select,
+    )
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(1, 'he said "hi"', 5.5, dt.datetime(2001, 2, 3, 4, 5, 6),
+          ["a", "b"]),
+         (2, None, None, None, None)],
+        "key bigint, txt string, price double, ts timestamp, "
+        "tags array<string>")
+    out = {r["key"]: r for r in cql_select(
+        df, "SELECT key, toJson(txt) AS j_txt, toJson(price) AS j_price, "
+            "toJson(ts) AS j_ts, toJson(tags) AS j_tags FROM kv").collect()}
+    assert out[1]["j_txt"] == '"he said \\"hi\\""', "JSON string escaping"
+    assert out[1]["j_price"] == "5.5"
+    assert out[1]["j_ts"] == '"2001-02-03 04:05:06.000Z"', \
+        "Cassandra's space-separated UTC spelling, not ISO-8601 T"
+    assert out[1]["j_tags"] == '["a","b"]'
+    assert out[2]["j_txt"] == "null" and out[2]["j_ts"] == "null"
+
+
+def test_tojson_rejects_group_by(spark):
+    import pytest as _pytest
+
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        CqlError,
+        cql_select,
+    )
+    df = spark.createDataFrame([(1, 2.0)], "key bigint, price double")
+    with _pytest.raises(CqlError, match="toJson"):
+        cql_select(df, "SELECT toJson(price), count(*) FROM kv "
+                       "GROUP BY key")
+
+
+def test_fromjson_value_positions(spark, tmp_path):
+    from cassandra_elasticsearch_sync_spark.sources.acid import (
+        AcidParquetTable,
+    )
+    from cassandra_elasticsearch_sync_spark.sources.cql_query import (
+        _parse_literal,
+    )
+    from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+        apply_cql_writes,
+    )
+    assert _parse_literal("fromJson('\"abc\"')") == "abc"
+    assert _parse_literal("fromJson('5')") == 5
+    assert _parse_literal("fromJson('[1, 2]')") == [1, 2]
+    assert _parse_literal("fromJson('\"it''s\"')") == "it's"
+    # a fromJson payload with commas survives the VALUES tuple split
+    t = AcidParquetTable(spark, str(tmp_path / "kv"))
+    t.init(spark.createDataFrame([(1, "x", 0.0)],
+                                 "key bigint, txt string, price double"))
+    apply_cql_writes(t, ["key"],
+                     "INSERT INTO kv (key, txt, price) VALUES "
+                     "(2, fromJson('\"a,b\"'), fromJson('2.5'))")
+    # separate call: a conditional batch is confined to one partition
+    apply_cql_writes(t, ["key"],
+                     "UPDATE kv SET price = fromJson('9.25') WHERE key = 1 "
+                     "IF txt = fromJson('\"x\"')")
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, "x", 9.25), (2, "a,b", 2.5)]

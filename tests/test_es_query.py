@@ -2829,3 +2829,46 @@ def test_extended_stats_bucket_matches_numpy(spark):
         float(np.var(revs)), rel=1e-6)
     assert float(row["std_deviation"]) == pytest.approx(
         float(np.std(revs)), rel=1e-6)
+
+
+# -- _validate/query (round 12) ---------------------------------------------
+
+def test_render_query_lucene_forms():
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        render_query,
+    )
+    assert render_query({"match_all": {}}) == "*:*"
+    assert render_query({"term": {"f": "x"}}) == "f:x"
+    assert render_query({"term": {"f": {"value": "x"}}}) == "f:x"
+    assert render_query({"terms": {"f": ["a", "b"]}}) == "f:(a OR b)"
+    assert render_query(
+        {"range": {"f": {"gte": 1, "lt": 5}}}) == "f:[1 TO 5}"
+    assert render_query({"range": {"f": {"gt": 1}}}) == "f:{1 TO *]"
+    assert render_query({"exists": {"field": "f"}}) == "_exists_:f"
+    assert render_query({"prefix": {"f": "ab"}}) == "f:ab*"
+    assert render_query({"match_phrase": {"f": "a b"}}) == 'f:"a b"'
+    assert render_query({"match": {"f": "a b"}}) == "(f:a f:b)"
+    assert render_query({"ids": {"values": [1, 2]}}) == "_id:(1 OR 2)"
+    assert render_query({"bool": {
+        "must": [{"term": {"a": 1}}],
+        "must_not": [{"term": {"b": 2}}],
+    }}) == "(+(a:1) -(b:2))"
+    # unknown leaves fall back to canonical json, never guess
+    assert render_query({"fuzzy": {"f": {"value": "x"}}}) == (
+        'fuzzy({"f": {"value": "x"}})')
+
+
+def test_es_validate_query_verdicts(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_validate_query,
+    )
+    df = spark.createDataFrame([(1, "a")], "id long, txt string")
+    ok = es_validate_query(df, query={"term": {"txt": "a"}},
+                           explain=True).collect()[0]
+    assert ok.valid and ok.explanation == "txt:a" and ok.error is None
+    # unknown FIELD stays valid - ES's lenient mapping rule
+    lenient = es_validate_query(df, query={"term": {"nope": 1}}).collect()[0]
+    assert lenient.valid
+    bad = es_validate_query(df, query={"frobnicate": {}}).collect()[0]
+    assert not bad.valid and "unsupported ES query clause" in bad.error
+    assert bad.explanation is None
