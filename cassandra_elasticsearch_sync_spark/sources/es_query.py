@@ -10067,3 +10067,138 @@ def a3ei_es_validate_query(spark, sf_dir):
             F.lit(i).alias("qid"), "valid", "explanation", "error")
         out = one if out is None else out.unionByName(one)
     return out.orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# _search_shards (round 12)
+# ---------------------------------------------------------------------------
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86_32 (Austin Appleby's public-domain algorithm),
+    returned as Java's SIGNED 32-bit int - the hash under ES's
+    Murmur3HashFunction document routing."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def es_routing_hash(routing: str) -> int:
+    """ES's Murmur3HashFunction.hash(String): each UTF-16 code unit
+    packed as two little-endian bytes (charAt order, no surrogate
+    special-casing - Java's exact byte recipe), murmur3_32 seed 0."""
+    data = bytearray()
+    for ch in routing:
+        c = ord(ch)
+        if c > 0xFFFF:  # non-BMP: Java sees two surrogate chars
+            c -= 0x10000
+            for unit in (0xD800 + (c >> 10), 0xDC00 + (c & 0x3FF)):
+                data += bytes((unit & 0xFF, (unit >> 8) & 0xFF))
+        else:
+            data += bytes((c & 0xFF, (c >> 8) & 0xFF))
+    return _murmur3_32(bytes(data), 0)
+
+
+def es_default_routing_shards(num_shards: int) -> int:
+    """ES's calculateNumRoutingShards (indices created >= 7.0): the
+    largest num_shards * 2^n <= 1024, i.e. headroom to split in
+    factors of two up to 1024 shards; an index already over 1024
+    shards gets no headroom."""
+    if num_shards >= 1024:
+        return num_shards
+    log2 = (num_shards - 1).bit_length()  # ceil(log2(num_shards))
+    return num_shards << (10 - log2)
+
+
+def es_shard_for_routing(routing: str, num_shards: int,
+                         num_routing_shards: int | None = None) -> int:
+    """Which shard a routing value lands on - ES's OperationRouting:
+    ``floorMod(murmur3(routing), num_routing_shards) /
+    routing_factor`` with routing_factor = num_routing_shards /
+    num_shards. Python's % on a positive modulus IS floorMod."""
+    nrs = (es_default_routing_shards(num_shards)
+           if num_routing_shards is None else num_routing_shards)
+    if nrs % num_shards != 0:
+        raise ValueError(
+            f"num_routing_shards {nrs} must be a multiple of "
+            f"num_shards {num_shards} (ES's factor-of-two split rule)")
+    return (es_routing_hash(routing) % nrs) // (nrs // num_shards)
+
+
+def es_search_shards(spark, *, index: str, num_shards: int,
+                     routings: list[str],
+                     num_routing_shards: int | None = None) -> DataFrame:
+    """ES ``GET index/_search_shards?routing=...``: the shard each
+    routing value addresses - the API an operator uses to see where a
+    custom-routed document lives (and the math the ``_bulk`` sink
+    would partition by against a real cluster). The routing list is
+    the REQUEST - bounded by construction; the computation is the
+    exact Java byte-for-byte recipe (UTF-16LE code units, murmur3_32
+    seed 0, floorMod then routing-factor division), hand-tested
+    against the public murmurhash3 reference vectors. One literal
+    DataFrame; no scan at any corpus size."""
+    rows = [(index, r, es_shard_for_routing(r, num_shards,
+                                            num_routing_shards))
+            for r in routings]
+    return spark.createDataFrame(
+        rows, "index string, routing string, shard int")
+
+
+_SEARCH_SHARDS_ROUTINGS = [str(k) for k in range(1, 21)] + [
+    "user_a", "user_b", "tenant-1", "tenant-2"]
+
+
+def _search_shards_oracle() -> str:
+    """GENERATED shared-literal oracle (the geohash a3cl discipline):
+    the expected rows come from the same pure routing function the
+    query calls, itself pinned to the public murmur3 reference
+    vectors in the hand tests."""
+    rows = ", ".join(
+        f"('orders', '{r}', {es_shard_for_routing(r, 5)})"
+        for r in _SEARCH_SHARDS_ROUTINGS)
+    return ("SELECT * FROM (VALUES " + rows +
+            ') AS t("index", routing, shard)')
+
+
+@register("a3ej_es_search_shards", "A3", _search_shards_oracle(),
+          "ES _search_shards: shard placement for 24 routing values "
+          "on a five-shard index under the default "
+          "number_of_routing_shards (5*128=640, ES's factor-of-two "
+          "split headroom) - the exact Murmur3HashFunction recipe "
+          "(UTF-16LE code-unit bytes, seed 0, floorMod, routing "
+          "factor). The oracle is GENERATED from the same pure "
+          "function (the geohash shared-literal discipline) and the "
+          "hash itself is pinned to the public murmur3 reference "
+          "vectors in the hand tests; a routing value's shard is an "
+          "ES-portable fact a client can verify against a real "
+          "cluster. Request-bounded: no scan.")
+def a3ej_es_search_shards(spark, sf_dir):
+    return es_search_shards(spark, index="orders", num_shards=5,
+                            routings=_SEARCH_SHARDS_ROUTINGS)

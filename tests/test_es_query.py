@@ -2872,3 +2872,49 @@ def test_es_validate_query_verdicts(spark):
     bad = es_validate_query(df, query={"frobnicate": {}}).collect()[0]
     assert not bad.valid and "unsupported ES query clause" in bad.error
     assert bad.explanation is None
+
+
+# -- _search_shards (round 12) ----------------------------------------------
+
+def test_murmur3_public_reference_vectors():
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        _murmur3_32,
+    )
+    # the widely published murmurhash3 x86_32 test vectors
+    assert _murmur3_32(b"", 0) == 0
+    assert _murmur3_32(b"", 1) == 0x514E28B7
+    assert _murmur3_32(b"hello", 0) == 0x248BFA47
+    assert _murmur3_32(b"hello, world", 0) == 0x149BBB7F
+    assert (_murmur3_32(b"The quick brown fox jumps over the lazy dog",
+                        0) & 0xFFFFFFFF) == 0x2E4FF723
+
+
+def test_es_routing_shard_math():
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_default_routing_shards,
+        es_routing_hash,
+        es_shard_for_routing,
+    )
+    # Java's byte recipe: UTF-16 code units little-endian, seed 0
+    # ("a" = bytes 61 00)
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        _murmur3_32,
+    )
+    assert es_routing_hash("a") == _murmur3_32(b"a\x00", 0)
+    assert es_routing_hash("ab") == _murmur3_32(b"a\x00b\x00", 0)
+    # default number_of_routing_shards: largest n*2^k <= 1024
+    assert es_default_routing_shards(1) == 1024
+    assert es_default_routing_shards(3) == 768
+    assert es_default_routing_shards(5) == 640
+    assert es_default_routing_shards(1024) == 1024
+    assert es_default_routing_shards(2000) == 2000
+    # shard ids stay in range and are stable under the factor rule
+    for r in ("1", "user_a", "tenant-2", ""):
+        s = es_shard_for_routing(r, 5)
+        assert 0 <= s < 5
+        # explicit num_routing_shards equal to num_shards = factor 1
+        s1 = es_shard_for_routing(r, 5, num_routing_shards=5)
+        assert 0 <= s1 < 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple"):
+        es_shard_for_routing("x", 5, num_routing_shards=7)
