@@ -523,6 +523,7 @@ def _ensure_loaded() -> None:
         cql_functions,
         cql_mv,
         cql_query,
+        cql_static,
         cql_write,
         es_query,
         es_scripted_metric,

@@ -535,7 +535,8 @@ def _cond_holds(row: dict | None, conds: tuple, types: dict) -> bool:
 
 def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
                      stmts: list[str] | str,
-                     now_us: int | None = None) -> int:
+                     now_us: int | None = None,
+                     parsed: list[CqlWrite] | None = None) -> int:
     """Parse, fold, and apply CQL DML as ONE atomic merge commit.
 
     When the table carries ``writetime_us``/``ttl_s`` columns (the
@@ -551,7 +552,10 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
     resolution rule is the real one."""
     if isinstance(stmts, str):
         stmts = [stmts]
-    writes: list[CqlWrite] = []
+    # ``parsed`` lets a caller that routes statements itself (the
+    # static-column table splits one statement across two stores)
+    # hand over ready CqlWrite cells without re-rendering CQL text.
+    writes: list[CqlWrite] = list(parsed or [])
     for s in stmts:
         writes.extend(parse_cql_dml(s, key_cols))
     if not writes:
