@@ -10202,3 +10202,154 @@ def _search_shards_oracle() -> str:
 def a3ej_es_search_shards(spark, sf_dir):
     return es_search_shards(spark, index="orders", num_shards=5,
                             routings=_SEARCH_SHARDS_ROUTINGS)
+
+
+# ---------------------------------------------------------------------------
+# rule query (query rules, round 12)
+# ---------------------------------------------------------------------------
+
+def _rule_criterion_matches(criterion: dict, match_criteria: dict) -> bool:
+    """One query-rules criterion against the request's
+    ``match_criteria``. Public criterion types: ``always`` plus
+    metadata comparators, each matching when the request value matches
+    ANY of the criterion's values (ES's any-of rule). The fuzzy
+    criterion types are rejected loudly - ES's fuzzy uses
+    Damerau-Levenshtein with AUTO fuzziness, which this engine does
+    not reproduce (the same no-transpositions caution documented on
+    the fuzzy query leaves)."""
+    ctype = criterion.get("type")
+    if ctype == "always":
+        return True
+    if ctype in ("fuzzy", "exact_fuzzy"):
+        raise ValueError(
+            f"query-rules criterion type {ctype!r} (Damerau-Levenshtein "
+            "AUTO fuzziness) is not implemented; use exact/prefix/"
+            "suffix/contains")
+    meta = criterion["metadata"]
+    if meta not in match_criteria:
+        return False
+    got = match_criteria[meta]
+    values = criterion["values"]
+    if ctype == "exact":
+        return any(got == v for v in values)
+    if ctype == "prefix":
+        return any(str(got).startswith(str(v)) for v in values)
+    if ctype == "suffix":
+        return any(str(got).endswith(str(v)) for v in values)
+    if ctype == "contains":
+        return any(str(v) in str(got) for v in values)
+    if ctype in ("lt", "lte", "gt", "gte"):
+        import operator as _op
+        cmp = {"lt": _op.lt, "lte": _op.le,
+               "gt": _op.gt, "gte": _op.ge}[ctype]
+        return any(cmp(float(got), float(v)) for v in values)
+    raise ValueError(f"unsupported query-rules criterion type {ctype!r}")
+
+
+def es_rule_query(df: DataFrame, *, id_col: str, organic: dict,
+                  rulesets: list[dict], match_criteria: dict,
+                  sort: list[tuple[str, str]], size: int = 10) -> DataFrame:
+    """ES ``rule`` query (query rules): a curated layer over an
+    organic query - rules whose criteria ALL match the request's
+    ``match_criteria`` fire their actions: ``pinned`` ids rank first
+    (rule order, then id order - ES's processing order), ``exclude``
+    ids drop from the results entirely. The ruleset is search
+    CONFIGURATION (request-bounded by construction), so criteria
+    evaluate driver-side exactly like ES's coordinator does, and the
+    result compiles to the SAME one-scan plan as the pinned query
+    (organic-or-pinned filter, array_position rank, one
+    TakeOrderedAndProject) with the exclusion folded into the scan
+    filter. An id both pinned and excluded by matching rules is
+    rejected loudly - ES's interplay there is unspecified, and this
+    engine does not guess."""
+    pinned: list = []
+    excluded: list = []
+    for ruleset in rulesets:
+        for rule in ruleset["rules"]:
+            crits = rule.get("criteria", [])
+            if not all(_rule_criterion_matches(c, match_criteria)
+                       for c in crits):
+                continue
+            ids = rule["actions"]["ids"]
+            bucket = {"pinned": pinned, "exclude": excluded}.get(
+                rule["type"])
+            if bucket is None:
+                raise ValueError(
+                    f"unsupported query-rules rule type {rule['type']!r}")
+            bucket.extend(i for i in ids if i not in bucket)
+    both = [i for i in pinned if i in excluded]
+    if both:
+        raise ValueError(
+            f"ids {both} are pinned and excluded by matching rules; "
+            "ES leaves this interplay unspecified - fix the ruleset")
+    base = (df.filter(~F.col(id_col).isin(*excluded))
+            if excluded else df)
+    if pinned:
+        return es_pinned_search(base, id_col, pinned, organic, sort,
+                                size)
+    order = [(F.col(c).desc() if d == "desc" else F.col(c).asc())
+             for c, d in sort]
+    return (base.filter(compile_query(organic))
+            .orderBy(*order).limit(int(size)))
+
+
+@register("a3ek_es_rule_query", "A3+F3", """
+WITH pins AS (
+  SELECT CAST(k AS BIGINT) AS o_orderkey, pin
+  FROM (VALUES (11, 1), (7, 2), (4, 3)) AS t(k, pin)
+),
+hits AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+         COALESCE(p.pin, 4) AS pin
+  FROM orders o LEFT JOIN pins p ON o.o_orderkey = p.o_orderkey
+  WHERE ((o.o_orderstatus = 'F' AND o.o_totalprice > 350000)
+         OR p.pin IS NOT NULL)
+    AND o.o_orderkey NOT IN (32, 33)
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM hits
+ORDER BY pin ASC, o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""", "ES rule query (query rules): the curated search layer - an "
+     "exact user_query criterion pins orders 11 and 7, a contains "
+     "criterion on the same request pins 4 behind them (rule order = "
+     "pin order, ES's processing order), a gte criterion on the "
+     "request's price_floor metadata fires an EXCLUDE dropping "
+     "orders 32 and 33 from the organic results, and a non-matching "
+     "rule provably contributes nothing. Criteria evaluate on the "
+     "request's match_criteria driver-side (the ruleset is search "
+     "config, request-bounded) and the result is the SAME one-scan "
+     "pinned plan with the exclusion folded into the filter; "
+     "fuzzy criteria and pin/exclude collisions are rejected loudly.")
+def a3ek_es_rule_query(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    rulesets = [{"rules": [
+        {"rule_id": "promote-favorites", "type": "pinned",
+         "criteria": [{"type": "exact", "metadata": "user_query",
+                       "values": ["best orders", "top orders"]}],
+         "actions": {"ids": [11, 7]}},
+        {"rule_id": "promote-on-orders", "type": "pinned",
+         "criteria": [{"type": "contains", "metadata": "user_query",
+                       "values": ["orders"]}],
+         "actions": {"ids": [4]}},
+        {"rule_id": "hide-recalled", "type": "exclude",
+         "criteria": [{"type": "gte", "metadata": "price_floor",
+                       "values": [100000]}],
+         "actions": {"ids": [32, 33]}},
+        {"rule_id": "never-fires", "type": "pinned",
+         "criteria": [{"type": "prefix", "metadata": "user_query",
+                       "values": ["zzz"]}],
+         "actions": {"ids": [999]}},
+    ]}]
+    return es_rule_query(
+        o, id_col="o_orderkey",
+        organic={"bool": {"filter": [
+            {"term": {"o_orderstatus": "F"}},
+            {"range": {"o_totalprice": {"gt": 350000}}},
+        ]}},
+        rulesets=rulesets,
+        match_criteria={"user_query": "best orders",
+                        "price_floor": 250000},
+        sort=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        size=10,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")

@@ -2918,3 +2918,73 @@ def test_es_routing_shard_math():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="multiple"):
         es_shard_for_routing("x", 5, num_routing_shards=7)
+
+
+# -- rule query (round 12) --------------------------------------------------
+
+def test_rule_query_criteria_matching():
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        _rule_criterion_matches,
+    )
+    mc = {"user_query": "red shoes", "price": 42}
+    assert _rule_criterion_matches({"type": "always"}, mc)
+    assert _rule_criterion_matches(
+        {"type": "exact", "metadata": "user_query",
+         "values": ["red shoes", "blue"]}, mc)
+    assert not _rule_criterion_matches(
+        {"type": "exact", "metadata": "user_query", "values": ["blue"]},
+        mc)
+    assert _rule_criterion_matches(
+        {"type": "prefix", "metadata": "user_query", "values": ["red"]},
+        mc)
+    assert _rule_criterion_matches(
+        {"type": "suffix", "metadata": "user_query", "values": ["shoes"]},
+        mc)
+    assert _rule_criterion_matches(
+        {"type": "contains", "metadata": "user_query", "values": ["d sh"]},
+        mc)
+    assert _rule_criterion_matches(
+        {"type": "gte", "metadata": "price", "values": [42]}, mc)
+    assert not _rule_criterion_matches(
+        {"type": "lt", "metadata": "price", "values": [42]}, mc)
+    # a criterion on absent request metadata never matches
+    assert not _rule_criterion_matches(
+        {"type": "exact", "metadata": "nope", "values": ["x"]}, mc)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fuzzy"):
+        _rule_criterion_matches(
+            {"type": "fuzzy", "metadata": "user_query", "values": ["x"]},
+            mc)
+
+
+def test_rule_query_pin_exclude_and_collision(spark):
+    from cassandra_elasticsearch_sync_spark.sources.es_query import (
+        es_rule_query,
+    )
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(1, 8)],
+        "id bigint, score double")
+    rules = [{"rules": [
+        {"rule_id": "pin", "type": "pinned",
+         "criteria": [{"type": "always"}], "actions": {"ids": [6, 5]}},
+        {"rule_id": "hide", "type": "exclude",
+         "criteria": [{"type": "always"}], "actions": {"ids": [1]}},
+    ]}]
+    got = [r["id"] for r in es_rule_query(
+        df, id_col="id", organic={"range": {"id": {"lte": 3}}},
+        rulesets=rules, match_criteria={}, sort=[("score", "desc")],
+        size=10).collect()]
+    # pins first in rule order (even though organic excludes them),
+    # organic minus the excluded id follows by sort
+    assert got == [6, 5, 2, 3]
+    import pytest as _pytest
+    coll = [{"rules": [
+        {"rule_id": "a", "type": "pinned",
+         "criteria": [{"type": "always"}], "actions": {"ids": [2]}},
+        {"rule_id": "b", "type": "exclude",
+         "criteria": [{"type": "always"}], "actions": {"ids": [2]}},
+    ]}]
+    with _pytest.raises(ValueError, match="pinned and excluded"):
+        es_rule_query(df, id_col="id", organic={"match_all": {}},
+                      rulesets=coll, match_criteria={},
+                      sort=[("score", "desc")]).collect()
