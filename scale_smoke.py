@@ -112,7 +112,11 @@ PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
          "a3dy_es_update_by_query", "a3dz_es_delete_by_query",
          "a3ea_es_explain", "a3eb_es_terms_set_field",
          "a3ec_es_parent_agg", "a3ed_es_change_point",
-         "a3ee_es_time_series", "a3ef_es_span_field_masking")
+         "a3ee_es_time_series", "a3ef_es_span_field_masking",
+         "a3eg_es_reindex", "a3eh_es_update_doc",
+         "a2ai_cql_lwt_conditions", "a2aj_cql_materialized_view",
+         "a2ak_cql_json_functions", "a2al_cql_static_columns",
+         "a3ek_es_rule_query")
 
 SMALL = ("region", "nation", "customer", "supplier", "part")
 

@@ -121,3 +121,38 @@ def test_create_rules_rejected(spark, base):
            WHERE nope IS NOT NULL AND key IS NOT NULL
            PRIMARY KEY ((nope), key)""",
         "unknown columns")
+
+
+def test_refresh_diff_reads_only_changed_files(spark, tmp_path):
+    """The refresh diff must scale with the CHANGED data: after a
+    one-partition write to a multi-slice base, the manifest set
+    difference names only the rewritten slice(s), not the table."""
+    from pyspark.sql import functions as F
+
+    base = AcidParquetTable(spark, str(tmp_path / "base"))
+    df = spark.range(1000).select(
+        F.col("id").alias("key"), (F.col("id") % 5).alias("band"),
+        F.col("id").cast("double").alias("price"))
+    base.init_clustered(df, ["key"], n_slices=8)
+    root = str(tmp_path / "view")
+    mv = MaterializedView(spark, base, ["key"], """
+        CREATE MATERIALIZED VIEW v AS SELECT band, key, price FROM t
+        WHERE band IS NOT NULL AND key IS NOT NULL
+        PRIMARY KEY ((band), key)
+    """, root)
+    v_synced = mv._synced
+    apply_cql_writes(base, ["key"],
+                     "UPDATE t SET band = 99 WHERE key = 7")
+    mo = base._manifest(v_synced)
+    mn = base._manifest(base.current_version())
+    do, dn = MaterializedView._changed_dirs(mo, mn)
+    assert len(mo["files"]) == 8
+    assert len(do) < len(mo["files"]), \
+        "diff must not re-read unchanged slices"
+    assert len(dn) < len(mn["files"])
+    mv.refresh()
+    got = sorted(tuple(r) for r in mv.read().collect())
+    want = sorted(
+        tuple(r) for r in
+        mv._project(base.read()).select("band", "key", "price").collect())
+    assert got == want, "file-diff refresh must equal a full rebuild"
