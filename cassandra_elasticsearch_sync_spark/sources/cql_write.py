@@ -1288,3 +1288,26 @@ def a2ai_cql_lwt_conditions(spark, sf_dir):
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<table>\w+)\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def cql_truncate(table: AcidParquetTable, stmt: str) -> int:
+    """``TRUNCATE [TABLE] t``: remove every row as ONE atomic commit.
+
+    Cassandra's TRUNCATE removes all data immediately (no per-row
+    tombstones, snapshots aside) and is a standalone statement - it
+    cannot appear in a BATCH, and parse_cql_dml rejects it there the
+    same way. The table format keeps the schema and the version
+    history, so ``read(version=...)`` time travel still sees
+    pre-truncate snapshots - the engine's analogue of Cassandra's
+    auto_snapshot safety net."""
+    m = _TRUNCATE_RE.match(stmt)
+    if not m:
+        raise CqlError(f"not a TRUNCATE statement: {stmt!r}")
+    schema = table.read().schema
+    empty = table.spark.createDataFrame([], schema)
+    return table.replace_where(F.lit(True), empty)

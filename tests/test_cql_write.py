@@ -557,3 +557,23 @@ def test_lwt_condition_rules_rejected(spark, table):
     with pytest.raises(CqlError, match="IF EXISTS"):
         parse_cql_dml("UPDATE kv SET price = 1.0 WHERE key = 1 "
                       "IF NOT EXISTS", KEY)
+
+
+def test_truncate_is_one_commit_and_time_travels(spark, table):
+    from cassandra_elasticsearch_sync_spark.sources.cql_write import (
+        cql_truncate,
+    )
+    v0 = table.current_version()
+    v1 = cql_truncate(table, "TRUNCATE kv")
+    assert v1 == v0 + 1 and table.read().count() == 0
+    # schema survives; writes after the truncate land normally
+    apply_cql_writes(table, KEY,
+                     "INSERT INTO kv (key, price, version) VALUES "
+                     "(7, 70.0, 700)")
+    assert _rows(table) == [(7, 70.0, 700)]
+    # time travel still reads the pre-truncate snapshot
+    assert table.read(version=v0).count() == 3
+    with pytest.raises(CqlError, match="TRUNCATE"):
+        cql_truncate(table, "TRUNCATE")
+    with pytest.raises(CqlError, match="unsupported CQL DML"):
+        parse_cql_dml("TRUNCATE kv", KEY)
