@@ -23,10 +23,12 @@ rows live in a base ACID table keyed by the full primary key, and
 static cells live in a side ACID table keyed by the partition key
 alone (one static row per partition - exactly the cardinality
 Cassandra stores). The read view is ONE full-outer join on the
-partition key: co-partitioned by the join key, broadcastable when the
-static side is small, and partition-local at 100 TB because both
-sides hash-partition on the same columns; a static-only partition
-surfaces as the null-clustering row Cassandra shows.
+partition key - full outer because a static-only partition must
+surface (which also rules out a broadcast plan; Spark cannot
+broadcast full-outer sides). Both stores hash-partition on the same
+columns, so the join is co-partitioned: two key exchanges at worst,
+zero if either store is bucketed by the partition key - the shape
+that holds at 100 TB.
 
 Atomicity divergence (documented, not hidden): a single Cassandra
 statement writing regular + static cells commits atomically inside
