@@ -532,6 +532,7 @@ def _ensure_loaded() -> None:
         cql_query,
         cql_static,
         cql_write,
+        eql,
         es_query,
         es_scripted_metric,
         es_write,
