@@ -78,27 +78,27 @@ _FRONT = (
     # exactly as the r11 verdict prescribes: (a) the 8 round-11 keys
     # the driver missed (judge-verified r11 with an independent
     # comparator, but driver evidence is the gold standard), (b) ALL
-    # 17 round-12 additions (_update_by_query / _delete_by_query /
+    # 19 round-12 additions (_update_by_query / _delete_by_query /
     # _explain / terms_set-field / parent agg / change_point /
     # time_series / span_field_masking / _reindex / _update /
     # LWT column conditions / materialized views / toJson-fromJson /
     # static columns / _validate/query / _search_shards / rule
-    # query), then
-    # (c) 24 of the oldest never-sampled oracle-checked keys across
+    # query / EQL event + sequence), then
+    # (c) 22 of the oldest never-sampled oracle-checked keys across
     # every tier still carrying none: the ES analytics tail (14),
     # schema evolution, the scalar-function block, and the
     # relational/TPC-H stragglers (the K2 graph, K4 text and K7/K8
     # time-series tails rotate forward to round 13 to make room for
-    # all 17 round-12 additions). Streaming-backed and rows-only
+    # all 19 round-12 additions). Streaming-backed and rows-only
     # keys stay out of the front (weaker signal per driver-budget
     # slot). Converts up to 49 first-time keys; cumulative target
-    # ~491 of 565.
+    # ~491 of 567.
     "flagship_pricing_summary",
     # (a) round-11 wave two-four, judge-verified, never driver-sampled
     "a3dr_es_ip_prefix", "a3ds_es_termvectors", "a3dt_es_sparse_vector",
     "a3du_es_analyze", "a3dv_es_mtermvectors", "a2ah_cql_time_functions",
     "a3dw_es_categorize_text", "a3dx_es_extended_stats_bucket",
-    # (b) the round-12 additions, waves one to three (all 17)
+    # (b) the round-12 additions, waves one to four (all 19)
     "a3dy_es_update_by_query", "a3dz_es_delete_by_query",
     "a3ea_es_explain", "a3eb_es_terms_set_field", "a3ec_es_parent_agg",
     "a3ed_es_change_point", "a3ee_es_time_series",
@@ -107,7 +107,7 @@ _FRONT = (
     "a2ai_cql_lwt_conditions", "a2aj_cql_materialized_view",
     "a2ak_cql_json_functions", "a2al_cql_static_columns",
     "a3ei_es_validate_query", "a3ej_es_search_shards",
-    "a3ek_es_rule_query",
+    "a3ek_es_rule_query", "a3el_es_eql_event", "a3em_es_eql_sequence",
     # (c1) ES analytics tail, never sampled
     "a3ak_es_global_agg", "a3ai_es_filters_named_buckets",
     "a3aj_es_weighted_avg", "a3x_es_field_collapse",
@@ -121,8 +121,8 @@ _FRONT = (
     "h6_json_aggregate", "h4_explode", "h3b_math_funcs_ext",
     # (c3) relational / TPC-H stragglers, never sampled
     "q16_supplier_relationship", "skew_salted_join",
-    "funnel_conversion", "share_of_total",
     # --- end of the round-12 front-50 ---
+    "funnel_conversion", "share_of_total",
     # (K2 graph + K4 text + K7/K8 time-series tails rotate forward to
     # the round-13 front to make room for the 17 round-12 additions)
     "k2c_dup_clusters", "k2f_nation_pagerank",
