@@ -116,7 +116,8 @@ PICKS = ("flagship_pricing_summary", "q5_local_supplier_volume", "l3_lww_merge",
          "a3eg_es_reindex", "a3eh_es_update_doc",
          "a2ai_cql_lwt_conditions", "a2aj_cql_materialized_view",
          "a2ak_cql_json_functions", "a2al_cql_static_columns",
-         "a3ek_es_rule_query")
+         "a3ek_es_rule_query", "a3el_es_eql_event",
+         "a3em_es_eql_sequence")
 
 SMALL = ("region", "nation", "customer", "supplier", "part")
 
