@@ -52,6 +52,8 @@ from __future__ import annotations
 import math
 import struct
 
+import numpy as _np
+
 # zig-zag order: zigzag index -> (row-major) block index
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -255,21 +257,23 @@ def _extend(v: int, size: int) -> int:
 _IDCT_C = [[(math.cos((2 * x + 1) * u * math.pi / 16)
              * (1 / math.sqrt(2) if u == 0 else 1.0)) / 2
             for u in range(8)] for x in range(8)]
+_IDCT_M = _np.array(_IDCT_C)  # (8, 8), [x][u]
 
 
-def _idct_block(coef: list[float]) -> list[int]:
-    """Separable 2D IDCT (rows then columns), level shift + clamp."""
-    tmp = [0.0] * 64
-    for y in range(8):
-        for x in range(8):
-            tmp[y * 8 + x] = sum(
-                _IDCT_C[x][u] * coef[y * 8 + u] for u in range(8))
-    out = [0] * 64
-    for x in range(8):
-        for y in range(8):
-            s = sum(_IDCT_C[y][v] * tmp[v * 8 + x] for v in range(8))
-            out[y * 8 + x] = min(255, max(0, int(round(s + 128))))
-    return out
+def _idct_block(coef) -> list[int]:
+    """Separable 2D IDCT (rows then columns), level shift + clamp.
+
+    Vectorized as two 8x8 matrix products (round-12: this was ~90% of
+    the k6f decode profile as generator-expression sums). Same math:
+    TMP = COEF @ C^T (the row pass), OUT = C @ TMP (the column pass);
+    np.rint is round-half-even exactly like the Python round() it
+    replaces, and the float-summation-order change is absorbed by the
+    integer rounding on every pinned decoder test (the planted
+    DC-only oracle blocks are single-term sums - order-free)."""
+    c = _np.asarray(coef, dtype=_np.float64).reshape(8, 8)
+    out = _IDCT_M @ (c @ _IDCT_M.T)
+    return _np.clip(_np.rint(out + 128), 0, 255).astype(
+        _np.int64).ravel().tolist()
 
 
 def decode_gray_jpeg(raw: bytes | None):

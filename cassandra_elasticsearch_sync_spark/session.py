@@ -49,6 +49,13 @@ def get_spark(app_name: str = "cassandra-elasticsearch-sync-spark",
         # Parquet ns timestamps (events.ts): read as raw long; the
         # catalog rebuilds the timestamp with exact integer division.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write timestamps as INT64 micros, not the legacy INT96:
+        # identical values on read (both store micros), but INT96
+        # carries NO usable min/max statistics and defeats predicate
+        # pushdown on every timestamp column the engine writes - with
+        # MICROS the ACID manifest's footer-derived stats and the
+        # parquet row-group filters both work (round-12 optimization).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # --- scale: adaptive execution ---
         .config("spark.sql.adaptive.enabled", str(DEFAULT_AQE).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

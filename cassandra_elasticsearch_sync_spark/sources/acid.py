@@ -236,17 +236,29 @@ class AcidParquetTable:
     def _collect_stats(self, files: list[str], schema: StructType) -> dict:
         """Per-manifest-entry min/max for every stats-eligible column,
         written into the manifest exactly like a format's file-level
-        column stats. ONE aggregate job for ALL new entries (read every
-        entry together, map each part file back to its entry via
-        input_file_name, group by entry) - a commit that lands 16
-        clustered slices pays one scheduling round trip, not 16.
-        Values are JSON-encoded: numerics native, temporal/decimal as
-        ISO/plain strings (ISO compares lexicographically, so pruning
-        needs no type reconstruction)."""
+        column stats. Values are JSON-encoded: numerics native,
+        temporal/decimal as ISO/plain strings (ISO compares
+        lexicographically, so pruning needs no type reconstruction).
+
+        Fast path: the parquet FOOTERS of the just-written files
+        already carry exact per-row-group min/max for every primitive
+        column, so the stats are folded driver-side from footer
+        metadata - zero Spark jobs, zero data-byte re-reads. A commit
+        that previously re-read everything it wrote to index it (at
+        100 TB: 2x the write I/O) now reads a few KB of footers.
+        tests/test_acid_footer_stats.py proves value-parity against
+        the aggregate job on every stats-eligible type. Any footer
+        surprise (absent stats with live values - e.g. NaN columns or
+        oversized truncated values - or an unexpected value type)
+        falls back to the one-job Spark aggregate, which stays the
+        semantic definition."""
         stats: dict[str, dict] = {}
         cols = self._stats_cols(schema)
         if not cols or not files:
             return stats
+        footer = self._footer_stats(files, cols)
+        if footer is not None:
+            return footer
 
         enc = self._enc_stat
         path = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
@@ -267,11 +279,125 @@ class AcidParquetTable:
             }
         return stats
 
+    # Python-side stat values a parquet footer can yield that encode
+    # EXACTLY like the Spark-collect values the aggregate job returns
+    # (int/float native; str by UTF-8 order == code-point order;
+    # date/datetime/Decimal via the same str()). Anything else -> the
+    # Spark path decides.
+    _FOOTER_OK_TYPES = None  # built lazily (needs datetime/decimal)
+
+    def _footer_stats(self, files: list[str], cols: list[str]) -> dict | None:
+        """Fold entry-level min/max from parquet footer metadata.
+
+        Per-column contract: a column whose footers PROVE the same
+        min/max the aggregate job would compute gets real bounds; any
+        column the footers cannot prove (stats absent with live
+        values, a value pyarrow cannot decode - e.g. decimals, INT96
+        timestamps - or a NaN bound) degrades to ``[None, None]``,
+        which every pruning consumer treats as "keep the file" -
+        always sound, never a wrong skip. Only a file-level failure
+        (unreadable footer/dir) returns None, sending the caller to
+        the Spark aggregate path. Chunk-level parquet statistics are
+        written untruncated or not at all (oversized values drop the
+        stats -> has_min_max=False -> [None, None])."""
+        import datetime as _dt
+        import decimal as _decimal
+
+        try:
+            import pyarrow.parquet as _pq
+        except Exception:  # pragma: no cover - pyarrow is a hard dep
+            return None
+
+        ok_types = (int, float, str, _dt.date, _dt.datetime,
+                    _decimal.Decimal)
+
+        def _to_collect_value(v):
+            """Footer value -> what Row[field] from the agg job holds."""
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                # TIMESTAMP (adjusted-to-UTC): PySpark's collect
+                # renders internal micros in the SYSTEM timezone as a
+                # naive datetime (TimestampType.fromInternal)
+                return v.astimezone().replace(tzinfo=None)
+            return v
+
+        def _is_nan(v):
+            return isinstance(v, float) and v != v
+
+        stats: dict[str, dict] = {}
+        want = set(cols)
+        for d in files:
+            try:
+                parts = sorted(
+                    os.path.join(d, f) for f in os.listdir(d)
+                    if f.endswith(".parquet"))
+            except OSError:
+                return None
+            agg: dict[str, list] = {}
+            bad: set[str] = set()
+            for p in parts:
+                try:
+                    md = _pq.read_metadata(p)
+                except Exception:
+                    return None
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        cc = g.column(ci)
+                        name = cc.path_in_schema
+                        if name not in want or name in bad:
+                            continue
+                        st = cc.statistics
+                        if st is None or not st.has_min_max:
+                            if cc.num_values == 0 or (
+                                    st is not None
+                                    and st.null_count == cc.num_values):
+                                continue  # no live values in this chunk
+                            bad.add(name)
+                            continue
+                        try:
+                            lo = _to_collect_value(st.min)
+                            hi = _to_collect_value(st.max)
+                        except Exception:
+                            bad.add(name)
+                            continue
+                        if (not (isinstance(lo, ok_types)
+                                 and isinstance(hi, ok_types))
+                                or _is_nan(lo) or _is_nan(hi)):
+                            bad.add(name)
+                            continue
+                        cur = agg.get(name)
+                        if cur is None:
+                            agg[name] = [lo, hi]
+                        else:
+                            try:
+                                if lo < cur[0]:
+                                    cur[0] = lo
+                                if hi > cur[1]:
+                                    cur[1] = hi
+                            except TypeError:
+                                bad.add(name)
+            enc = self._enc_stat
+            stats[d] = {
+                c: ([enc(agg[c][0]), enc(agg[c][1])]
+                    if c in agg and c not in bad else [None, None])
+                for c in cols
+            }
+        return stats
+
     @staticmethod
     def _range_may_overlap(file_range, lo, hi) -> bool:
-        """Conservative intersection test; missing stats keep the file."""
+        """Conservative intersection test; missing stats keep the file.
+        NaN bounds also keep the file: Spark's max() ranks NaN above
+        every double, so a NaN-bearing column yields fmax=NaN, and
+        ``NaN >= lo`` is False - without this guard a file holding
+        [3.5, NaN] would be WRONGLY skipped for lo<=3.5 (latent in the
+        pre-r12 stats path, surfaced by the footer-stats work)."""
         fmin, fmax = file_range
-        if fmin is None or fmax is None:
+
+        def _nan(v):
+            return isinstance(v, float) and v != v
+
+        if fmin is None or fmax is None or _nan(fmin) or _nan(fmax):
             return True
 
         def cmp_ge(a, b):  # a >= b with mixed-but-consistent encodings
@@ -740,7 +866,7 @@ class AcidParquetTable:
         rewritten = joined.filter(keep).select(*cols)
 
         fresh, fresh_stats = self._write_rewrite(
-            rewritten, manifest, len(affected))
+            rewritten, manifest, affected)
         new_files = list(untouched) + fresh
         # Stats carry over verbatim for untouched entries (their bytes
         # did not change - the CoW payoff extends to the index); the
@@ -795,7 +921,7 @@ class AcidParquetTable:
         untouched = [d for d in all_files if d not in affected]
         rewritten = transform(self._read_entries(manifest, affected), condition)
         fresh, fresh_stats = self._write_rewrite(
-            rewritten.select(*schema.names), manifest, len(affected))
+            rewritten.select(*schema.names), manifest, affected)
         new_files = list(untouched) + fresh
         base_stats = manifest.get("stats", {})
         stats = {d: base_stats[d] for d in untouched if d in base_stats}
@@ -846,7 +972,7 @@ class AcidParquetTable:
             .select(*schema.names)
         )
         fresh, fresh_stats = self._write_rewrite(
-            kept, manifest, len(affected))
+            kept, manifest, affected)
         inc_files, inc_stats = self._write_one_entry(
             incoming, stats_schema=schema)
         fresh += inc_files
@@ -949,7 +1075,7 @@ class AcidParquetTable:
                 untouched.append(d)
         rewritten = self._read_entries(manifest, affected)
         fresh, fresh_stats = self._write_rewrite(
-            rewritten, manifest, len(affected))
+            rewritten, manifest, affected)
         new_files = list(untouched) + fresh
         stats = {d: stats_m[d] for d in untouched if d in stats_m}
         stats.update(fresh_stats)
@@ -1487,7 +1613,7 @@ class AcidParquetTable:
         return slices
 
     def _write_rewrite(self, df: DataFrame, manifest: dict,
-                       n_affected: int) -> tuple[list[str], dict]:
+                       affected: list[str]) -> tuple[list[str], dict]:
         """Write a maintenance rewrite's output; returns (paths,
         stats). On a table with a declared clustering, the rewrite of
         N affected entries comes back as N range-clustered entries
@@ -1496,15 +1622,95 @@ class AcidParquetTable:
         granularity (observed in the scale smoke: a 16-slice table
         degraded to 1 entry after one merge+compact cycle); preserving
         it keeps every later merge probe and read_where O(affected
-        entries) forever. Single-entry rewrites carry their stats on
-        the write job itself (Observation - no read-back pass); the
-        multi-slice clustered path still needs the grouped stats job."""
+        entries) forever.
+
+        Round-12: the clustered path derives each row's slice from the
+        AFFECTED ENTRIES' OWN manifest key ranges (driver-side
+        literals -> a when-chain) instead of ``repartitionByRange``.
+        The range partitioner's sampling pass was executing the
+        rewrite plan - for a MERGE, the full-outer join - a SECOND
+        time before the real write; the when-chain needs no sampling,
+        so the join runs once, and the layout is MORE stable (slices
+        keep their historical boundaries instead of drifting with
+        each resample). Entries without usable numeric/string key
+        bounds fall back to the sampling writer. Single-entry
+        rewrites carry their stats on the write job itself
+        (Observation); stats for the sliced path fold from parquet
+        footers driver-side (_collect_stats fast path)."""
         schema = StructType.fromJson(manifest["schema"])
+        n_affected = len(affected)
         cb = manifest.get("cluster_by")
         if cb and n_affected > 1:
-            files = self._write_clustered(df, cb, n_slices=n_affected)
+            uppers = self._slice_uppers(manifest, affected, cb[0], schema)
+            if uppers is not None:
+                files = self._write_sliced_by_bounds(df, cb, uppers)
+            else:
+                files = self._write_clustered(df, cb, n_slices=n_affected)
             return files, self._collect_stats(files, schema)
         return self._write_one_entry(df, stats_schema=schema)
+
+    @staticmethod
+    def _slice_uppers(manifest: dict, affected: list[str], key: str,
+                      schema: StructType) -> list | None:
+        """Inclusive upper bounds (ascending) for re-slicing a rewrite
+        along the affected entries' existing key ranges; None when the
+        manifest cannot prove comparable bounds (missing stats, or a
+        type whose JSON stats encoding does not compare like the live
+        column - only native-numeric and true-string keys qualify)."""
+        try:
+            ftype = schema[key].dataType.typeName()
+        except KeyError:
+            return None
+        stats = manifest.get("stats", {})
+        ranges = []
+        for d in affected:
+            s = stats.get(d, {}).get(key)
+            if not s or s[0] is None or s[1] is None:
+                return None
+            ranges.append(s)
+        numeric = ftype in ("integer", "long", "short", "byte",
+                            "float", "double")
+        ok = ((int, float) if numeric
+              else (str,) if ftype == "string" else None)
+        if ok is None or not all(
+                isinstance(r[0], ok) and isinstance(r[1], ok)
+                for r in ranges):
+            return None
+        ranges.sort(key=lambda r: (r[0], r[1]))
+        # last slice is unbounded above so the chain is total (covers
+        # merge INSERTs beyond every historical range and NULL keys)
+        return [r[1] for r in ranges[:-1]] + [None]
+
+    def _write_sliced_by_bounds(self, df: DataFrame, cluster_by: list[str],
+                                uppers: list) -> list[str]:
+        """Clustered-write core for rewrites with KNOWN slice bounds:
+        one shuffle keyed on the (deterministic, literal-derived)
+        slice id, zero sampling passes, Hive-style slice write."""
+        key = F.col(cluster_by[0])
+        n = len(uppers)
+        slice_expr = F.lit(0)
+        if n > 1:
+            chain = F.when(key <= F.lit(uppers[0]), F.lit(0))
+            for i, u in enumerate(uppers[1:-1], start=1):
+                chain = chain.when(key <= F.lit(u), F.lit(i))
+            slice_expr = chain.otherwise(F.lit(n - 1))
+        d = os.path.join(self.root, _DATA, uuid.uuid4().hex)
+        df = self._enforce_constraints(self._apply_generated(df))
+        (
+            df.withColumn("__slice", slice_expr)
+            .repartition(n, F.col("__slice"))
+            .sortWithinPartitions("__slice", cluster_by[0])
+            .write.partitionBy("__slice")
+            .parquet(d)
+        )
+        slices = sorted(
+            os.path.join(d, sub)
+            for sub in os.listdir(d) if sub.startswith("__slice=")
+        )
+        if not slices:
+            import shutil
+            shutil.rmtree(d, ignore_errors=True)
+        return slices
 
     def init_clustered(self, df: DataFrame, cluster_by: list[str],
                        n_slices: int = 8) -> int:

@@ -205,73 +205,79 @@ class SyncEngine:
         cols = [c for c in delta_a.columns if c != "side"]
         ship_a = delta_a.join(self.b.read(), cols, "left_anti").persist()
         ship_b = delta_b.join(self.a.read(), cols, "left_anti").persist()
-        # One job for both counts (a tagged union-agg instead of two
-        # count() actions): the quiet-cycle hot path pays a single
-        # scheduling round trip per cycle, and a one-sided cycle skips
-        # the other side's no-op apply (on an ACID store that would be
-        # an empty commit).
-        per_side = dict(
-            ship_a.select(F.lit("a").alias("s"))
-            .unionAll(ship_b.select(F.lit("b").alias("s")))
-            .groupBy("s").count().collect()
+        # ONE metrics job per cycle (round-12; previously four): the
+        # per-direction counts, the version frontier over everything
+        # SEEN (not just shipped: rows present on both sides up to v
+        # are already synced, and the inclusive boundary still catches
+        # a straggler landing at exactly v), and - when the ledger is
+        # on - the conflict-key count and the lag percentiles, all
+        # collected in a single action over the persisted cycle-sized
+        # sets. The watermark itself is driver-side I/O (storage.py),
+        # so a quiet cycle costs exactly one scheduling round trip.
+        ships = (
+            ship_a.select("key", "version", F.lit("a").alias("s"))
+            .unionAll(ship_b.select("key", "version", F.lit("b").alias("s")))
         )
-        n_a, n_b = int(per_side.get("a", 0)), int(per_side.get("b", 0))
+        fr = (
+            delta_a.select("version").unionAll(delta_b.select("version"))
+            .agg(F.max("version").alias("__frontier"))
+        )
+        f_us = F.unix_micros(F.col("__frontier").cast("timestamp"))
+        lag_us = f_us - F.unix_micros(F.col("version").cast("timestamp"))
+        aggs = [
+            F.coalesce(F.sum(F.when(F.col("s") == "a", 1)),
+                       F.lit(0)).alias("n_a"),
+            F.coalesce(F.sum(F.when(F.col("s") == "b", 1)),
+                       F.lit(0)).alias("n_b"),
+        ]
+        if self.record_ledger:
+            aggs += [
+                F.round(F.percentile(lag_us, F.lit(0.5))
+                        / 1000000.0, 6).alias("p50"),
+                F.round(F.percentile(lag_us, F.lit(0.95))
+                        / 1000000.0, 6).alias("p95"),
+                F.round(F.max(lag_us) / 1000000.0, 6).alias("mx"),
+            ]
+        metrics = ships.crossJoin(fr).agg(*aggs)
+        if self.record_ledger:
+            conflicts_df = (
+                ships.groupBy("key")
+                .agg(F.max(F.col("s") == "a").alias("__a"),
+                     F.max(F.col("s") == "b").alias("__b"))
+                .agg(F.coalesce(
+                    F.sum((F.col("__a") & F.col("__b")).cast("long")),
+                    F.lit(0)).alias("conflicts"))
+            )
+            metrics = metrics.crossJoin(conflicts_df)
+        m = metrics.crossJoin(fr).collect()[0]
+        n_a, n_b = int(m["n_a"]), int(m["n_b"])
         n = n_a + n_b
-        # The ship sets are materialized (persist + the count above),
-        # so each apply sees the pre-apply other side.
+        # The ship sets are materialized (persist + the metrics job
+        # above), so each apply sees the pre-apply other side.
         if n_a:
             self.b.apply_delta(ship_a)
         if n_b:
             self.a.apply_delta(ship_b)
-        # Advance over everything SEEN, not just shipped: rows present
-        # on both sides up to v are already synced, and the inclusive
-        # boundary still catches a straggler landing at exactly v.
-        frontier = self._advance_watermark(delta_a.unionByName(delta_b))
+        frontier = m["__frontier"]
+        if frontier is not None:
+            save_watermark(self.spark, self.state_dir, frontier)
         if self.record_ledger:
-            self._record_cycle(ship_a, ship_b, n_a, n_b,
-                               frontier if frontier is not None else wm)
+            self._cycle_no += 1
+            eff = frontier if frontier is not None else wm
+            self.ledger.append({
+                "cycle": self._cycle_no,
+                "shipped_a": n_a,
+                "shipped_b": n_b,
+                "conflict_keys": int(m["conflicts"]),
+                "p50_lag_s": m["p50"],
+                "p95_lag_s": m["p95"],
+                "max_lag_s": m["mx"],
+                "watermark_s": (eff.strftime("%Y-%m-%d %H:%M:%S")
+                                if eff is not None else None),
+            })
         for df in (ship_a, ship_b, delta_a, delta_b):
             df.unpersist()
         return n
-
-    def _record_cycle(self, ship_a: DataFrame, ship_b: DataFrame,
-                      n_a: int, n_b: int, frontier) -> None:
-        """Append one SLO ledger row (see class docstring). Ship sets
-        are keyed snapshots (<=1 row/key) and already persisted, so
-        the two extra jobs here touch only cycle-sized data."""
-        self._cycle_no += 1
-        conflicts = (
-            ship_a.select("key").join(ship_b.select("key"), "key").count()
-            if n_a and n_b else 0
-        )
-        distinct_keys = n_a + n_b - conflicts
-        p50 = p95 = mx = None
-        if distinct_keys and frontier is not None:
-            f_us = F.unix_micros(F.lit(frontier).cast("timestamp"))
-            lag = (
-                ship_a.select("version").unionAll(ship_b.select("version"))
-                .select((f_us - F.unix_micros(
-                    F.col("version").cast("timestamp"))).alias("lag_us"))
-                .agg(
-                    F.round(F.percentile("lag_us", F.lit(0.5))
-                            / 1000000.0, 6).alias("p50"),
-                    F.round(F.percentile("lag_us", F.lit(0.95))
-                            / 1000000.0, 6).alias("p95"),
-                    F.round(F.max("lag_us") / 1000000.0, 6).alias("mx"),
-                ).collect()[0]
-            )
-            p50, p95, mx = lag["p50"], lag["p95"], lag["mx"]
-        self.ledger.append({
-            "cycle": self._cycle_no,
-            "shipped_a": n_a,
-            "shipped_b": n_b,
-            "conflict_keys": conflicts,
-            "p50_lag_s": p50,
-            "p95_lag_s": p95,
-            "max_lag_s": mx,
-            "watermark_s": (frontier.strftime("%Y-%m-%d %H:%M:%S")
-                            if frontier is not None else None),
-        })
 
     def ledger_df(self) -> DataFrame:
         """The SLO ledger as a DataFrame (bounded: one row per cycle).
