@@ -2152,7 +2152,12 @@ def k_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = m.alias("b")
     dx = F.col("a.rev_cents") - F.col("b.rev_cents")
     dy = F.col("a.n_cust") - F.col("b.n_cust")
-    pairs = (a.join(b, F.col("a.nationkey") < F.col("b.nationkey"))
+    # Explicit broadcast (guide 3.1): the pair side is the 25-row
+    # nation aggregate, but a session without engine thresholds
+    # estimates it past the default autoBroadcast limit and falls to
+    # CartesianProduct (round-12 plan audit); the hint pins the
+    # bounded BroadcastNestedLoopJoin under ANY session config.
+    pairs = (a.join(F.broadcast(b), F.col("a.nationkey") < F.col("b.nationkey"))
              .select(
                  F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
                  F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
