@@ -89,6 +89,13 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return out
 
 
+# Encode-side code tables for the module's fixed canonical specs,
+# built once at import (round-12: rebuilding them per encode call was
+# ~30% of the planted-stream synth profile). Lookup-only downstream.
+_DC_CODES = _build_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
+
+
 class _BitWriter:
     def __init__(self):
         self.buf = bytearray()
@@ -142,8 +149,8 @@ def encode_gray_jpeg(width: int, height: int,
     MCUs, resetting the DC predictor - the camera-JPEG resync feature
     (spec B.2.4.4 / E.2.4)."""
     assert width % 8 == 0 and height % 8 == 0
-    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+    dc_codes = _DC_CODES
+    ac_codes = _AC_CODES
     w = _BitWriter()
     prev_dc = 0
     rst = 0
@@ -239,6 +246,32 @@ class _BitReader:
         return m
 
 
+# Decode-side Huffman tables memoized on the raw DHT payload bytes
+# (bits||vals). Every stream re-declares its tables (JPEG is
+# self-describing), but the table -> decode-dict construction is a
+# pure function of those bytes, and a decode workload sees the same
+# few table declarations millions of times - building the dict once
+# per distinct declaration per worker is the guide's "heavyweight
+# init once per task" discipline (§4.5), not result caching: the
+# entropy decode of every stream still runs in full. Bounded: real
+# workloads carry a handful of distinct tables; the reset guard keeps
+# a pathological adversarial corpus from growing the dict unboundedly.
+_DHT_CACHE: dict[bytes, dict[tuple[int, int], int]] = {}
+
+
+def _decode_table(seg: bytes) -> dict[tuple[int, int], int]:
+    """(code, length) -> symbol decode dict for one DHT payload
+    (16 bits-counts bytes followed by the value bytes)."""
+    tab = _DHT_CACHE.get(seg)
+    if tab is None:
+        codes = _build_codes(list(seg[:16]), list(seg[16:]))
+        tab = {(c, ln): sym for sym, (c, ln) in codes.items()}
+        if len(_DHT_CACHE) >= 256:
+            _DHT_CACHE.clear()
+        _DHT_CACHE[seg] = tab
+    return tab
+
+
 def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
     while length < 16:
@@ -274,6 +307,34 @@ def _idct_block(coef) -> list[int]:
     out = _IDCT_M @ (c @ _IDCT_M.T)
     return _np.clip(_np.rint(out + 128), 0, 255).astype(
         _np.int64).ravel().tolist()
+
+
+_ZIGZAG_NP = _np.array(ZIGZAG)
+
+
+def _idct_blocks(zz_rows: list[list[int]], q: list[int]) -> _np.ndarray:
+    """Dequantize + 2D IDCT a whole image's blocks in one numpy pass.
+
+    `zz_rows` is (nblocks, 64) quantized coefficients in ZIGZAG order;
+    returns (nblocks, 8, 8) uint8 pixels. Identical math to
+    `_idct_block` per block - the dequant products are exact int
+    values in float64, the scatter nat[:, ZIGZAG] = zz*q is the same
+    coef[bi] = zz[zi]*q[zi] assignment, and the two matmuls broadcast
+    per 8x8 slice (same per-slice kernel as the single-block call), so
+    the rounded integer outputs are bit-identical (fuzz-pinned in
+    tests against _idct_block). One numpy dispatch per image instead
+    of per block removes the dominant per-call overhead (round-12
+    profile: asarray/clip/rint/tolist per 8x8 block cost ~20x the
+    matmul itself)."""
+    # reshape(-1, 64) keeps the zero-block case (a stream declaring a
+    # zero dimension) a well-formed (0, 64) array, matching the old
+    # per-block loop's empty-image output instead of erroring.
+    zz = _np.asarray(zz_rows, dtype=_np.float64).reshape(-1, 64)
+    nat = _np.empty_like(zz)
+    nat[:, _ZIGZAG_NP] = zz * _np.asarray(q, dtype=_np.float64)
+    c = nat.reshape(-1, 8, 8)
+    out = _IDCT_M @ (c @ _IDCT_M.T)
+    return _np.clip(_np.rint(out + 128), 0, 255).astype(_np.uint8)
 
 
 def decode_gray_jpeg(raw: bytes | None):
@@ -313,12 +374,8 @@ def decode_gray_jpeg(raw: bytes | None):
                 j = 0
                 while j < len(body):
                     tc, th = body[j] >> 4, body[j] & 0x0F
-                    bits = list(body[j + 1:j + 17])
-                    nv = sum(bits)
-                    vals = list(body[j + 17:j + 17 + nv])
-                    codes = _build_codes(bits, vals)
-                    huff[(tc, th)] = {(c, ln): sym
-                                      for sym, (c, ln) in codes.items()}
+                    nv = sum(body[j + 1:j + 17])
+                    huff[(tc, th)] = _decode_table(body[j + 1:j + 17 + nv])
                     j += 17 + nv
             elif marker == 0xC0:             # SOF0 baseline
                 _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
@@ -346,7 +403,7 @@ def decode_gray_jpeg(raw: bytes | None):
         reader = _BitReader(raw[scan_start:end if end > 0 else n])
         bw = (width + 7) // 8
         bh = (height + 7) // 8
-        pixels = bytearray(bw * 8 * bh * 8)
+        zz_rows: list[list[int]] = []
         prev_dc = 0
         rst_expect = 0
         for by in range(bh):
@@ -377,22 +434,14 @@ def decode_gray_jpeg(raw: bytes | None):
                         raise ValueError("AC index overflow")
                     zz[k] = _extend(reader.bits(size), size)
                     k += 1
-                coef = [0.0] * 64
-                for zi, bi in enumerate(ZIGZAG):
-                    coef[bi] = zz[zi] * q[zi]
-                blk = _idct_block(coef)
-                row_w = bw * 8
-                for y in range(8):
-                    dst = (by * 8 + y) * row_w + bx * 8
-                    pixels[dst:dst + 8] = bytes(blk[y * 8:(y + 1) * 8])
-        # crop padding (dims here are multiples of 8 in practice)
-        if bw * 8 == width:
-            out = bytes(pixels[:height * width])
-        else:
-            row_w = bw * 8
-            out = b"".join(bytes(pixels[y * row_w:y * row_w + width])
-                           for y in range(height))
-        return (width, height, out)
+                zz_rows.append(zz)
+        # dequant + IDCT for every block at once, then block (by, bx)
+        # lands at rows by*8.., cols bx*8.. exactly as the per-block
+        # writes did; the slice crops the right/bottom padding.
+        blocks = _idct_blocks(zz_rows, q)
+        img = (blocks.reshape(bh, bw, 8, 8)
+               .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        return (width, height, img[:height, :width].tobytes())
     except (ValueError, IndexError, KeyError, struct.error):
         return None
 
@@ -468,8 +517,8 @@ def encode_ycbcr420_jpeg(width: int, height: int,
     predictors per component. Blocks are quantized zig-zag ints; MCU
     raster order; width/height multiples of 16."""
     assert width % 16 == 0 and height % 16 == 0
-    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+    dc_codes = _DC_CODES
+    ac_codes = _AC_CODES
     w = _BitWriter()
     mw, mh = width // 16, height // 16
     dc = {"y": 0, "cb": 0, "cr": 0}
@@ -577,12 +626,8 @@ def decode_ycbcr420_jpeg(raw: bytes | None):
                 j = 0
                 while j < len(body):
                     tc, th = body[j] >> 4, body[j] & 0x0F
-                    bits = list(body[j + 1:j + 17])
-                    nv = sum(bits)
-                    vals = list(body[j + 17:j + 17 + nv])
-                    codes = _build_codes(bits, vals)
-                    huff[(tc, th)] = {(c, ln): sym
-                                      for sym, (c, ln) in codes.items()}
+                    nv = sum(body[j + 1:j + 17])
+                    huff[(tc, th)] = _decode_table(body[j + 1:j + 17 + nv])
                     j += 17 + nv
             elif marker == 0xC0:
                 _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
@@ -712,6 +757,7 @@ def planted_ycbcr420_jpeg(width: int, height: int, y0: int, cb0: int,
 _AC_VALS_PROG = _AC_VALS + [(r << 4) for r in range(1, 15)]
 _AC_BITS_PROG = [0] * 16
 _AC_BITS_PROG[7] = len(_AC_VALS_PROG)
+_AC_CODES_PROG = _build_codes(_AC_BITS_PROG, _AC_VALS_PROG)
 
 # Default scan script: DC at Al=1 then refined, low AC band at Al=1
 # then refined, high band directly - exercises every progressive
@@ -853,8 +899,8 @@ def encode_gray_progressive_jpeg(width: int, height: int,
     restart resets the DC predictor AND terminates any open EOB run,
     with byte realignment; the marker index counts 0-7 per scan)."""
     assert width % 8 == 0 and height % 8 == 0
-    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _build_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+    dc_codes = _DC_CODES
+    ac_codes = _AC_CODES_PROG
     ri = restart_interval
     chunks = ([blocks[i:i + ri] for i in range(0, len(blocks), ri)]
               if ri else [blocks])
@@ -1060,12 +1106,8 @@ def decode_gray_progressive_jpeg(raw: bytes | None):
                 j = 0
                 while j < len(body):
                     tc, th = body[j] >> 4, body[j] & 0x0F
-                    bits = list(body[j + 1:j + 17])
-                    nv = sum(bits)
-                    vals = list(body[j + 17:j + 17 + nv])
-                    codes = _build_codes(bits, vals)
-                    huff[(tc, th)] = {(c, ln): sym
-                                      for sym, (c, ln) in codes.items()}
+                    nv = sum(body[j + 1:j + 17])
+                    huff[(tc, th)] = _decode_table(body[j + 1:j + 17 + nv])
                     j += 17 + nv
             elif marker == 0xC2:
                 _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
@@ -1211,8 +1253,8 @@ def encode_ycbcr420_progressive_jpeg(width: int, height: int,
     script; blocks in per-component RASTER order (same layout as the
     baseline encoder's inputs)."""
     assert width % 16 == 0 and height % 16 == 0
-    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _build_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+    dc_codes = _DC_CODES
+    ac_codes = _AC_CODES_PROG
     mw, mh = width // 16, height // 16
     comp_blocks = {1: y_blocks, 2: cb_blocks, 3: cr_blocks}
     payloads = []
@@ -1304,12 +1346,8 @@ def decode_ycbcr420_progressive_jpeg(raw: bytes | None):
                 j = 0
                 while j < len(body):
                     tc, th = body[j] >> 4, body[j] & 0x0F
-                    bits = list(body[j + 1:j + 17])
-                    nv = sum(bits)
-                    vals = list(body[j + 17:j + 17 + nv])
-                    codes = _build_codes(bits, vals)
-                    huff[(tc, th)] = {(c, ln): sym
-                                      for sym, (c, ln) in codes.items()}
+                    nv = sum(body[j + 1:j + 17])
+                    huff[(tc, th)] = _decode_table(body[j + 1:j + 17 + nv])
                     j += 17 + nv
             elif marker == 0xC2:
                 _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
@@ -1476,8 +1514,8 @@ def encode_ycbcr_jpeg(width: int, height: int, h: int, v: int,
     a multiple of 8h, height of 8v."""
     assert h in (1, 2) and v in (1, 2)
     assert width % (8 * h) == 0 and height % (8 * v) == 0
-    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+    dc_codes = _DC_CODES
+    ac_codes = _AC_CODES
     w = _BitWriter()
     mw, mh = width // (8 * h), height // (8 * v)
     dc = {"y": 0, "cb": 0, "cr": 0}
@@ -1550,12 +1588,8 @@ def decode_ycbcr_jpeg(raw: bytes | None):
                 j = 0
                 while j < len(body):
                     tc, th = body[j] >> 4, body[j] & 0x0F
-                    bits = list(body[j + 1:j + 17])
-                    nv = sum(bits)
-                    vals = list(body[j + 17:j + 17 + nv])
-                    codes = _build_codes(bits, vals)
-                    huff[(tc, th)] = {(c, ln): sym
-                                      for sym, (c, ln) in codes.items()}
+                    nv = sum(body[j + 1:j + 17])
+                    huff[(tc, th)] = _decode_table(body[j + 1:j + 17 + nv])
                     j += 17 + nv
             elif marker == 0xC0:
                 _, height, width, ncomp = struct.unpack(">BHHB", body[:6])

@@ -995,3 +995,68 @@ def test_arithmetic_jpeg_rejected_fail_closed():
         assert decode_ycbcr420_progressive_jpeg(
             with_sof(color420, sof)) is None
         assert decode_ycbcr_jpeg(with_sof(color444, sof)) is None
+
+
+def test_idct_blocks_matches_idct_block_exactly():
+    """Round-12 optimization guard: the whole-image batched IDCT
+    (`_idct_blocks`) must be BIT-IDENTICAL to the per-block
+    `_idct_block` - same dequant products, same per-8x8-slice matmuls,
+    same round-half-even - on random dense/sparse coefficient blocks.
+    A single differing pixel here would move k6f's analytic oracle
+    mean."""
+    import random
+
+    import numpy as np
+
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        ZIGZAG,
+        _idct_block,
+        _idct_blocks,
+    )
+
+    random.seed(41)
+    for _ in range(50):
+        nb = random.randint(1, 9)
+        q = [random.randint(1, 64) for _ in range(64)]
+        zz_rows = [[random.randint(-300, 300) for _ in range(64)]
+                   for _ in range(nb)]
+        batched = _idct_blocks(zz_rows, q)
+        for i, zz in enumerate(zz_rows):
+            coef = [0.0] * 64
+            for zi, bi in enumerate(ZIGZAG):
+                coef[bi] = zz[zi] * q[zi]
+            single = np.array(_idct_block(coef),
+                              dtype=np.uint8).reshape(8, 8)
+            assert (batched[i] == single).all()
+
+
+def test_dht_table_memoization_is_pure():
+    """Round-12 optimization guard: `_decode_table` memoizes decode
+    dicts on the raw DHT payload bytes. The cached and freshly-built
+    tables must be equal, distinct payloads must not collide, and a
+    truncated payload must still fail loudly (decoder returns None),
+    never cache a bad table."""
+    from cassandra_elasticsearch_sync_spark.pipeline.jpeg_codec import (
+        _DHT_CACHE,
+        _build_codes,
+        _decode_table,
+        decode_gray_jpeg,
+        planted_gray_jpeg,
+    )
+
+    _DHT_CACHE.clear()
+    bits = [0, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    vals = [7, 3, 1, 9]
+    seg = bytes(bits) + bytes(vals)
+    fresh = {(c, ln): sym
+             for sym, (c, ln) in _build_codes(bits, vals).items()}
+    assert _decode_table(seg) == fresh
+    assert _decode_table(seg) is _decode_table(seg)      # cached
+    other = bytes(bits) + bytes([7, 3, 1, 8])
+    assert _decode_table(other) != _decode_table(seg)    # no collision
+    # decoding is unchanged whether tables come cold or cached
+    raw = planted_gray_jpeg(16, 16, 97)
+    _DHT_CACHE.clear()
+    cold = decode_gray_jpeg(raw)
+    warm = decode_gray_jpeg(raw)
+    assert cold == warm and cold is not None
