@@ -45,6 +45,41 @@ from cassandra_elasticsearch_sync_spark.sources.storage import (
 from cassandra_elasticsearch_sync_spark.sync.ops import lww_merge
 
 
+def _overlap_commits(spark: SparkSession, fn_a, fn_b) -> None:
+    """Run two commit closures against INDEPENDENT stores from a
+    2-thread pool (guide §2.6): the second commit's jobs back-fill
+    executors freed by the first one's stragglers instead of waiting
+    for its full driver-sequenced protocol to finish.
+
+    Shipped in round 12 on a re-measurement: an earlier attempt was
+    reverted as "GIL-bound", but the end-of-round cProfile showed the
+    driver spends >90% of a commit sequence blocked in py4j socket
+    reads (GIL released) - and a quiet-box interleaved A/B of l38
+    measured overlap faster on every iteration (min 10.99 vs 12.87 s,
+    median 11.44 vs 12.93 s) with the ledger bit-identical. Safety:
+    callers only pass commits on DIFFERENT table roots whose inputs
+    are materialized (persisted + acted on) beforehand; ACID reads pin
+    the manifest at plan time and commits never delete entry files,
+    so even a cache-evicted recompute sees the pre-commit snapshot.
+    Both closures are always awaited before an exception is re-raised,
+    so a failure in one can never orphan the other mid-commit;
+    ``inheritable_thread_target`` propagates the job group/description
+    thread-locals."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    inherit = inheritable_thread_target(spark)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(inherit(fn_a))
+        fb = ex.submit(inherit(fn_b))
+        ea, eb = fa.exception(), fb.exception()
+    if ea is not None:
+        raise ea
+    if eb is not None:
+        raise eb
+
+
 class KeyedStore(Protocol):
     """What the engine needs from a side: snapshot read, bootstrap
     overwrite, and an LWW delta apply."""
@@ -178,8 +213,13 @@ class SyncEngine:
         """Scan both stores, resolve every key by LWW, write the
         converged snapshot to both sides, persist the watermark."""
         merged = lww_merge(self.a.read(), self.b.read()).persist()
-        self.a.overwrite(merged)
-        self.b.overwrite(merged)
+        # Materialize the converged snapshot ONCE so the two
+        # overlapped overwrites read the cache instead of racing to
+        # compute it; they touch different roots and are independent.
+        merged.count()
+        _overlap_commits(self.spark,
+                         lambda: self.a.overwrite(merged),
+                         lambda: self.b.overwrite(merged))
         self._advance_watermark(merged)
         merged.unpersist()
 
@@ -253,10 +293,16 @@ class SyncEngine:
         n_a, n_b = int(m["n_a"]), int(m["n_b"])
         n = n_a + n_b
         # The ship sets are materialized (persist + the metrics job
-        # above), so each apply sees the pre-apply other side.
-        if n_a:
+        # above), so each apply sees the pre-apply other side - which
+        # also makes the two directions independent commits on
+        # different roots: overlap them when both have news.
+        if n_a and n_b:
+            _overlap_commits(self.spark,
+                             lambda: self.b.apply_delta(ship_a),
+                             lambda: self.a.apply_delta(ship_b))
+        elif n_a:
             self.b.apply_delta(ship_a)
-        if n_b:
+        elif n_b:
             self.a.apply_delta(ship_b)
         frontier = m["__frontier"]
         if frontier is not None:

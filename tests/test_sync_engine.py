@@ -249,3 +249,38 @@ def test_ledger_records_slo_metrics(spark):
         assert eng2.ledger == []
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_overlap_commits_awaits_both_and_raises(spark):
+    """Round-12 optimization guard: `_overlap_commits` runs two
+    independent commits concurrently, but a failure in one must NEVER
+    orphan the other mid-commit - both closures are awaited before
+    the exception propagates, in either submission order."""
+    import time
+
+    from cassandra_elasticsearch_sync_spark.sync.engine import (
+        _overlap_commits,
+    )
+
+    done: list[str] = []
+
+    def slow_ok() -> None:
+        time.sleep(0.3)
+        done.append("ok")
+
+    def boom() -> None:
+        raise ValueError("commit failed")
+
+    with pytest.raises(ValueError, match="commit failed"):
+        _overlap_commits(spark, boom, slow_ok)
+    assert done == ["ok"]          # the healthy commit ran to completion
+
+    done.clear()
+    with pytest.raises(ValueError, match="commit failed"):
+        _overlap_commits(spark, slow_ok, boom)
+    assert done == ["ok"]
+
+    # and the success path returns only after BOTH are done
+    done.clear()
+    _overlap_commits(spark, slow_ok, lambda: done.append("b"))
+    assert sorted(done) == ["b", "ok"]
