@@ -542,8 +542,20 @@ class AcidParquetTable:
         not_matched_by_source_condition: Column | None = None,
         not_matched_by_source_assignments: dict[str, "Column"] | None = None,
         schema_evolution: bool = False,
+        source_stats: tuple | None = None,
     ) -> int:
         """ANSI-style MERGE with copy-on-write file rewrites.
+
+        ``source_stats`` (optional) is ``(n_rows, min_key, max_key)``
+        for a SINGLE-key merge, measured by the caller over the exact
+        materialized source it passes in (the sync engine reads them
+        off its cycle-metrics job): the merge then skips its own
+        source pre-pass aggregate job and feeds the values straight
+        into stats pruning and the probe's broadcast decision. The
+        values must be exact for the source AS GIVEN - a stale or
+        narrowed range could prune a file that holds a matched key -
+        so it is only accepted together with ``assume_unique_keys``
+        (the same caller-vouches-for-the-source contract).
 
         ``schema_evolution=True`` is Delta's ``mergeSchema`` contract:
         source columns absent from the target schema WIDEN the table
@@ -607,6 +619,10 @@ class AcidParquetTable:
             if last is not None and int(txn_version) <= int(last):
                 return base
             txns = {**manifest.get("txns", {}), txn_app_id: int(txn_version)}
+        if source_stats is not None and not assume_unique_keys:
+            raise ValueError(
+                "source_stats requires assume_unique_keys=True (both are "
+                "the caller vouching for the source it materialized)")
         return self._merge_against(
             manifest, source, keys,
             matched_condition, delete_condition,
@@ -615,7 +631,8 @@ class AcidParquetTable:
             assignments=assignments, txns=txns,
             nmbs_action=not_matched_by_source_action,
             nmbs_condition=not_matched_by_source_condition,
-            nmbs_assignments=not_matched_by_source_assignments)
+            nmbs_assignments=not_matched_by_source_assignments,
+            source_stats=source_stats)
 
     # Above this many SOURCE rows the merge file-probe stops
     # broadcasting the source-key set and falls back to a shuffle
@@ -659,7 +676,8 @@ class AcidParquetTable:
                        txns: dict | None = None,
                        nmbs_action: str | None = None,
                        nmbs_condition: Column | None = None,
-                       nmbs_assignments: dict | None = None) -> int:
+                       nmbs_assignments: dict | None = None,
+                       source_stats: tuple | None = None) -> int:
         schema = StructType.fromJson(manifest["schema"])
         if nmbs_action not in (None, "delete", "update"):
             raise ValueError(
@@ -690,7 +708,8 @@ class AcidParquetTable:
                 manifest, source, keys, matched_condition,
                 delete_condition, commit_dir, commit_base,
                 assume_unique_keys, assignments, txns,
-                nmbs_action, nmbs_condition, nmbs_assignments, schema)
+                nmbs_action, nmbs_condition, nmbs_assignments, schema,
+                source_stats)
         finally:
             source.unpersist()
 
@@ -699,7 +718,7 @@ class AcidParquetTable:
             delete_condition, commit_dir, commit_base,
             assume_unique_keys, assignments, txns,
             nmbs_action, nmbs_condition, nmbs_assignments,
-            schema) -> int:
+            schema, source_stats=None) -> int:
         # ONE fused source-side pre-pass (VERDICT r7 #2): the
         # <=1-row-per-key precondition, the stats-pruning key range,
         # and the broadcast-probe cardinality all come out of a single
@@ -712,7 +731,15 @@ class AcidParquetTable:
         n_src_rows: int | None = None
         key_bounds = None
         if assume_unique_keys:
-            if single_key_stats:
+            if source_stats is not None:
+                # Caller-measured (rows, lo, hi) over this exact
+                # materialized source: the pre-pass job is already
+                # paid for inside the caller's own metrics action.
+                n_src_rows = int(source_stats[0])
+                if (single_key_stats and source_stats[1] is not None
+                        and source_stats[2] is not None):
+                    key_bounds = (source_stats[1], source_stats[2])
+            elif single_key_stats:
                 pre = source.agg(
                     F.count("*").alias("__n"),
                     F.min(keys[0]).alias("__lo"),
@@ -744,7 +771,7 @@ class AcidParquetTable:
         # collect - the skipping index for entries stats can't rule
         # out).
         probe_dirs = list(manifest["files"])
-        if single_key_stats:
+        if single_key_stats and key_bounds is not None:
             lo, hi = key_bounds
             stats = manifest["stats"]
             probe_dirs = [

@@ -88,7 +88,8 @@ class KeyedStore(Protocol):
 
     def overwrite(self, df: DataFrame) -> None: ...
 
-    def apply_delta(self, delta: DataFrame) -> None: ...
+    def apply_delta(self, delta: DataFrame,
+                    key_stats: tuple | None = None) -> None: ...
 
 
 def _lww_ord_cols(columns: list[str]) -> list[str]:
@@ -119,10 +120,12 @@ class ParquetStore:
         self.version += 1
         df.write.mode("overwrite").parquet(self._path(self.version))
 
-    def apply_delta(self, delta: DataFrame) -> None:
+    def apply_delta(self, delta: DataFrame,
+                    key_stats: tuple | None = None) -> None:
         """Snapshot-swap apply: LWW-fold the delta into the full
         snapshot and rewrite it whole - correct, but a cycle costs
-        O(store), not O(delta)."""
+        O(store), not O(delta). ``key_stats`` (a file-pruning hint for
+        the ACID backend) has no use here and is ignored."""
         self.overwrite(lww_merge(self.read(), delta))
 
 
@@ -156,14 +159,20 @@ class AcidStore:
         write-then-rewrite."""
         self.table.init_clustered(df, ["key"], n_slices=self.n_slices)
 
-    def apply_delta(self, delta: DataFrame) -> None:
+    def apply_delta(self, delta: DataFrame,
+                    key_stats: tuple | None = None) -> None:
         ordcols = _lww_ord_cols(delta.columns)
         src_s = F.struct(*[F.col(f"src.`{c}`") for c in ordcols])
         tgt_s = F.struct(*[F.col(f"tgt.`{c}`") for c in ordcols])
         # Ship sets come from a keyed snapshot: <=1 row per key by
         # construction, so skip the merge's uniqueness probe job.
+        # ``key_stats`` = (rows, min key, max key) measured by the
+        # engine's own metrics job over the SAME materialized ship
+        # set: the merge skips its source pre-pass job too (round 12,
+        # guide 2.4 - two actions keyed the same way share one pass).
         self.table.merge_into(delta, ["key"], matched_condition=src_s > tgt_s,
-                              assume_unique_keys=True)
+                              assume_unique_keys=True,
+                              source_stats=key_stats)
 
 
 _LEDGER_COLS = ("cycle", "shipped_a", "shipped_b", "conflict_keys",
@@ -213,14 +222,18 @@ class SyncEngine:
         """Scan both stores, resolve every key by LWW, write the
         converged snapshot to both sides, persist the watermark."""
         merged = lww_merge(self.a.read(), self.b.read()).persist()
-        # Materialize the converged snapshot ONCE so the two
-        # overlapped overwrites read the cache instead of racing to
-        # compute it; they touch different roots and are independent.
-        merged.count()
+        # ONE action both materializes the converged snapshot (so the
+        # two overlapped overwrites read the cache instead of racing
+        # to compute it) AND measures the new watermark - previously a
+        # count() followed by a second max(version) job over the same
+        # cache (round 12, guide 2.4). The watermark is still saved
+        # only AFTER both commits succeed.
+        wm = merged.agg(F.max("version").alias("m")).collect()[0]["m"]
         _overlap_commits(self.spark,
                          lambda: self.a.overwrite(merged),
                          lambda: self.b.overwrite(merged))
-        self._advance_watermark(merged)
+        if wm is not None:
+            save_watermark(self.spark, self.state_dir, wm)
         merged.unpersist()
 
     # -- L7: one incremental cycle ---------------------------------------
@@ -269,6 +282,14 @@ class SyncEngine:
                        F.lit(0)).alias("n_a"),
             F.coalesce(F.sum(F.when(F.col("s") == "b", 1)),
                        F.lit(0)).alias("n_b"),
+            # Per-direction key bounds, measured in this same job and
+            # handed to the ACID merge as its source pre-pass (round
+            # 12): the apply then skips one whole aggregate job per
+            # direction - same values, same materialized ship set.
+            F.min(F.when(F.col("s") == "a", F.col("key"))).alias("lo_a"),
+            F.max(F.when(F.col("s") == "a", F.col("key"))).alias("hi_a"),
+            F.min(F.when(F.col("s") == "b", F.col("key"))).alias("lo_b"),
+            F.max(F.when(F.col("s") == "b", F.col("key"))).alias("hi_b"),
         ]
         if self.record_ledger:
             aggs += [
@@ -296,14 +317,16 @@ class SyncEngine:
         # above), so each apply sees the pre-apply other side - which
         # also makes the two directions independent commits on
         # different roots: overlap them when both have news.
+        stats_a = (n_a, m["lo_a"], m["hi_a"])
+        stats_b = (n_b, m["lo_b"], m["hi_b"])
         if n_a and n_b:
             _overlap_commits(self.spark,
-                             lambda: self.b.apply_delta(ship_a),
-                             lambda: self.a.apply_delta(ship_b))
+                             lambda: self.b.apply_delta(ship_a, stats_a),
+                             lambda: self.a.apply_delta(ship_b, stats_b))
         elif n_a:
-            self.b.apply_delta(ship_a)
+            self.b.apply_delta(ship_a, stats_a)
         elif n_b:
-            self.a.apply_delta(ship_b)
+            self.a.apply_delta(ship_b, stats_b)
         frontier = m["__frontier"]
         if frontier is not None:
             save_watermark(self.spark, self.state_dir, frontier)
@@ -343,13 +366,6 @@ class SyncEngine:
                            / distinct, 6)).alias("conflict_rate"),
             "p50_lag_s", "p95_lag_s", "max_lag_s", "watermark_s",
         )
-
-    def _advance_watermark(self, applied: DataFrame):
-        """Persist max(version) seen; returns it (None if no rows)."""
-        row = applied.agg(F.max("version").alias("m")).collect()[0]
-        if row["m"] is not None:
-            save_watermark(self.spark, self.state_dir, row["m"])
-        return row["m"]
 
     # -- invariant helpers (used by tests) --------------------------------
     def in_sync(self) -> bool:

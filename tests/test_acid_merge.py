@@ -985,6 +985,53 @@ def test_probe_backfill_sized_source_avoids_broadcast(spark, root):
         spark.conf.unset(AcidParquetTable._PROBE_CAP_CONF)
 
 
+def test_merge_with_caller_measured_source_stats(spark, root):
+    """``source_stats=(rows, lo, hi)`` replaces the merge's own source
+    pre-pass (round 12: the sync engine measures these in its cycle
+    metrics job over the same materialized ship set). Same result,
+    one fewer Spark job, and the stats still prune files: a merge
+    whose key range misses an entry leaves that entry untouched."""
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)])
+    src = spark.createDataFrame(
+        [(2, 99.0, 2), (4, 40.0, 2)], "key bigint, price double, version int")
+    sc = spark.sparkContext
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("stats-merge", "stats-merge")
+        t.merge_into(src, ["key"], assume_unique_keys=True,
+                     source_stats=(2, 2, 4))
+        sc.setJobGroup("idle", "idle")
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("stats-merge"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    # probe collect + broadcast build + rewrite write: the pre-pass
+    # aggregate job is gone (the default-path pin test expects 4)
+    assert n_jobs == 3
+    assert _rows(t.read()) == [
+        (1, 10.0, 1), (2, 99.0, 2), (3, 30.0, 1), (4, 40.0, 2)
+    ]
+
+
+def test_merge_source_stats_none_bounds_keep_all_candidates(spark, root):
+    """Bounds of None (caller had no usable range) degrade to
+    no-stats-pruning, never to a wrong skip."""
+    t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1)])
+    src = spark.createDataFrame(
+        [(2, 99.0, 2)], "key bigint, price double, version int")
+    t.merge_into(src, ["key"], assume_unique_keys=True,
+                 source_stats=(1, None, None))
+    assert _rows(t.read()) == [(1, 10.0, 1), (2, 99.0, 2)]
+
+
+def test_merge_source_stats_requires_assume_unique(spark, root):
+    t = _table(spark, root, [(1, 10.0, 1)])
+    src = spark.createDataFrame(
+        [(1, 11.0, 2)], "key bigint, price double, version int")
+    with pytest.raises(ValueError, match="assume_unique_keys"):
+        t.merge_into(src, ["key"], source_stats=(1, 1, 1))
+
+
 def test_nmbs_delete_without_condition_sweeps_all_unmatched(spark, root):
     """WHEN NOT MATCHED BY SOURCE THEN DELETE with no condition
     removes EVERY target row absent from the source while the
