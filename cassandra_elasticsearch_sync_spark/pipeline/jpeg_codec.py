@@ -103,15 +103,20 @@ class _BitWriter:
         self.n = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.buf.append(self.acc)
-                if self.acc == 0xFF:
-                    self.buf.append(0x00)   # byte stuffing
-                self.acc = 0
-                self.n = 0
+        # whole-code shift/mask instead of a per-bit loop (round 12,
+        # guide §4.2); emitted bytes - and the per-byte 0xFF00
+        # stuffing decisions - are identical to the bitwise version
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        n = self.n + length
+        buf = self.buf
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            buf.append(b)
+            if b == 0xFF:
+                buf.append(0x00)            # byte stuffing
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def pad_align(self) -> None:
         """Pad the partial byte with 1-bits to a boundary (spec F.1.2.3;
@@ -258,6 +263,135 @@ class _BitReader:
 # a pathological adversarial corpus from growing the dict unboundedly.
 _DHT_CACHE: dict[bytes, dict[tuple[int, int], int]] = {}
 
+# 16-bit-lookahead decode tables for the fast scan reader (same
+# memoization contract as _DHT_CACHE): lut[next16bits] = (symbol,
+# code length) for every prefix, None where no code <= 16 bits
+# matches. One list of 65536 slots per distinct DHT declaration.
+_DHT_LUT_CACHE: dict[bytes, list] = {}
+
+
+def _decode_lut(seg: bytes) -> list:
+    """(next 16 bits) -> (symbol, length) lookahead table for one DHT
+    payload. Huffman codes are prefix-free, so every 16-bit word has
+    at most one code as a prefix; filling each code's 2^(16-len)
+    extensions makes decode one peek + one list index instead of a
+    per-bit dict walk (round 12, guide §4.2)."""
+    lut = _DHT_LUT_CACHE.get(seg)
+    if lut is None:
+        codes = _build_codes(list(seg[:16]), list(seg[16:]))
+        lut = [None] * 65536
+        for sym, (code, ln) in codes.items():
+            base = code << (16 - ln)
+            cnt = 1 << (16 - ln)
+            lut[base:base + cnt] = [(sym, ln)] * cnt
+        if len(_DHT_LUT_CACHE) >= 256:
+            _DHT_LUT_CACHE.clear()
+        _DHT_LUT_CACHE[seg] = lut
+    return lut
+
+
+class _FastScanReader:
+    """Accelerated reader for ONE entropy-coded scan segment (round
+    12, guide §4.2): a single up-front pass unstuffs 0xFF00 and
+    records the byte-aligned RSTn marker positions; bit reads are
+    then O(1) shift/mask over the cleaned bytes and Huffman decode is
+    one 16-bit peek into a memoized lookahead table.
+
+    Error semantics are the lazy ``_BitReader``'s, preserved exactly:
+    the cleaning pass STOPS at the first byte the lazy reader would
+    reject (0xFF followed by anything but 0x00 or RSTn, or a trailing
+    lone 0xFF) and records it as a boundary instead of raising - the
+    bad byte, a marker, or end-of-data only raise when a read
+    actually tries to consume past it, so streams whose decode never
+    reaches the offending byte still decode (as they did lazily), and
+    streams that do reach it fail at the same consumption point."""
+
+    __slots__ = ("clean", "pos", "limit", "markers", "mk_i", "end_bits")
+
+    def __init__(self, data: bytes):
+        clean = bytearray()
+        markers: list[tuple[int, int]] = []   # (clean byte offset, idx)
+        i, n = 0, len(data)
+        end_off = None
+        while i < n:
+            j = data.find(b"\xff", i)
+            if j < 0:
+                clean += data[i:]
+                break
+            clean += data[i:j]
+            if j + 1 >= n:
+                end_off = len(clean)      # lone trailing 0xFF
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                clean.append(0xFF)        # unstuff
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                markers.append((len(clean), nxt - 0xD0))
+                i = j + 2
+            else:
+                end_off = len(clean)      # marker inside scan
+                break
+        self.clean = bytes(clean)
+        self.pos = 0
+        self.markers = markers
+        self.mk_i = 0
+        self.end_bits = 8 * (len(clean) if end_off is None else end_off)
+        self._set_limit()
+
+    def _set_limit(self) -> None:
+        """Readable bits end at the next restart marker (a marker mid-
+        read is the lazy reader's 'marker inside scan') or at the
+        data/error boundary."""
+        if self.mk_i < len(self.markers):
+            self.limit = 8 * self.markers[self.mk_i][0]
+        else:
+            self.limit = self.end_bits
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        pos = self.pos
+        if pos + k > self.limit:
+            raise ValueError("truncated scan")
+        o, r = pos >> 3, pos & 7
+        nb = (r + k + 7) >> 3
+        window = int.from_bytes(self.clean[o:o + nb], "big")
+        self.pos = pos + k
+        return (window >> (nb * 8 - r - k)) & ((1 << k) - 1)
+
+    def huff(self, lut: list) -> int:
+        pos = self.pos
+        o, r = pos >> 3, pos & 7
+        chunk = self.clean[o:o + 4]
+        if len(chunk) < 4:
+            chunk = chunk + b"\x00" * (4 - len(chunk))
+        peek = (int.from_bytes(chunk, "big") >> (16 - r)) & 0xFFFF
+        hit = lut[peek]
+        if hit is None:
+            # no code <= 16 bits matches; if the data also ran out
+            # mid-walk the lazy reader raised 'truncated' first - both
+            # are ValueError -> decode None, same observable result
+            raise ValueError("invalid Huffman code")
+        sym, ln = hit
+        if pos + ln > self.limit:
+            raise ValueError("truncated scan")
+        self.pos = pos + ln
+        return sym
+
+    def sync_restart(self) -> int:
+        """Byte-align and consume the RSTn expected HERE; returns its
+        index. Same contract as _BitReader.sync_restart: anything
+        other than a marker at the aligned position is corrupt."""
+        self.pos = (self.pos + 7) & ~7
+        if (self.mk_i >= len(self.markers)
+                or self.markers[self.mk_i][0] != self.pos >> 3):
+            raise ValueError("expected restart marker")
+        m = self.markers[self.mk_i][1]
+        self.mk_i += 1
+        self._set_limit()
+        return m
+
 
 def _decode_table(seg: bytes) -> dict[tuple[int, int], int]:
     """(code, length) -> symbol decode dict for one DHT payload
@@ -311,6 +445,27 @@ def _idct_block(coef) -> list[int]:
 
 _ZIGZAG_NP = _np.array(ZIGZAG)
 
+# 8 repeated bytes per gray level, for the DC-only constant-plane
+# fast path below (one small bytes object per level, built once).
+_CONST8 = [bytes([c]) * 8 for c in range(256)]
+# _IDCT_M[0][0] as a plain float: the DC basis coefficient
+# cos(0)*(1/sqrt(2))/2 used by the constant-plane shortcut.
+_IDCT_C00 = float(_IDCT_M[0, 0])
+
+
+def _dc_only_plane(dc: int, q0: int) -> int:
+    """Pixel value of a DC-only block: the IDCT of a lone [0,0]
+    coefficient is a constant plane. Bit-identical to _idct_blocks on
+    that block, operation for operation: dequant is fl(fl(dc)*fl(q0))
+    (the elementwise zz*q there), the matmuls reduce to two successive
+    rounded multiplications by C[0][0] (every other product is exactly
+    0.0, and adding zeros is exact), then rint (round-half-even, like
+    Python round) + clip. This is libjpeg's 1x1-IDCT shortcut: flat
+    blocks dominate real photos' backgrounds, not just synthetic
+    fixtures."""
+    v = round(((float(dc) * float(q0)) * _IDCT_C00) * _IDCT_C00 + 128.0)
+    return 0 if v < 0 else 255 if v > 255 else v
+
 
 def _idct_blocks(zz_rows: list[list[int]], q: list[int]) -> _np.ndarray:
     """Dequantize + 2D IDCT a whole image's blocks in one numpy pass.
@@ -349,7 +504,7 @@ def decode_gray_jpeg(raw: bytes | None):
     try:
         i, n = 2, len(raw)
         quant: dict[int, list[int]] = {}
-        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        huff: dict[tuple[int, int], bytes] = {}
         width = height = None
         qtab_id = None
         scan_start = None
@@ -375,7 +530,9 @@ def decode_gray_jpeg(raw: bytes | None):
                 while j < len(body):
                     tc, th = body[j] >> 4, body[j] & 0x0F
                     nv = sum(body[j + 1:j + 17])
-                    huff[(tc, th)] = _decode_table(body[j + 1:j + 17 + nv])
+                    # raw payload bytes; the lookahead table is built
+                    # (memoized) only for the tables the scan names
+                    huff[(tc, th)] = body[j + 1:j + 17 + nv]
                     j += 17 + nv
             elif marker == 0xC0:             # SOF0 baseline
                 _, height, width, ncomp = struct.unpack(">BHHB", body[:6])
@@ -397,15 +554,16 @@ def decode_gray_jpeg(raw: bytes | None):
         if None in (width, height, scan_start, qtab_id):
             return None
         q = quant[qtab_id]
-        dc_tab = huff[(0, dc_id)]
-        ac_tab = huff[(1, ac_id)]
+        dc_tab = _decode_lut(huff[(0, dc_id)])
+        ac_tab = _decode_lut(huff[(1, ac_id)])
         end = raw.rfind(b"\xff\xd9")
-        reader = _BitReader(raw[scan_start:end if end > 0 else n])
+        reader = _FastScanReader(raw[scan_start:end if end > 0 else n])
         bw = (width + 7) // 8
         bh = (height + 7) // 8
         zz_rows: list[list[int]] = []
         prev_dc = 0
         rst_expect = 0
+        ac_present = False
         for by in range(bh):
             for bx in range(bw):
                 mcu_i = by * bw + bx
@@ -416,13 +574,13 @@ def decode_gray_jpeg(raw: bytes | None):
                     rst_expect = (rst_expect + 1) % 8
                     prev_dc = 0
                 zz = [0] * 64
-                cat = _decode_huff(reader, dc_tab)
+                cat = reader.huff(dc_tab)
                 diff = _extend(reader.bits(cat), cat) if cat else 0
                 prev_dc += diff
                 zz[0] = prev_dc
                 k = 1
                 while k < 64:
-                    sym = _decode_huff(reader, ac_tab)
+                    sym = reader.huff(ac_tab)
                     if sym == 0x00:          # EOB
                         break
                     if sym == 0xF0:          # ZRL
@@ -433,8 +591,22 @@ def decode_gray_jpeg(raw: bytes | None):
                     if k > 63:
                         raise ValueError("AC index overflow")
                     zz[k] = _extend(reader.bits(size), size)
+                    ac_present = True        # _extend never yields 0
                     k += 1
                 zz_rows.append(zz)
+        if not ac_present:
+            # Every block is DC-only (EOB right after DC - flat
+            # blocks): each IDCT is a constant plane (_dc_only_plane,
+            # bit-identical to _idct_blocks), so the image assembles
+            # from repeated bytes with no numpy dispatch at all.
+            q0 = q[0]
+            rows: list[bytes] = []
+            for by in range(bh):
+                rowb = b"".join(
+                    _CONST8[_dc_only_plane(zz_rows[by * bw + bx][0], q0)]
+                    for bx in range(bw))[:width]
+                rows += [rowb] * min(8, height - by * 8)
+            return (width, height, b"".join(rows))
         # dequant + IDCT for every block at once, then block (by, bx)
         # lands at rows by*8.., cols bx*8.. exactly as the per-block
         # writes did; the slice crops the right/bottom padding.
