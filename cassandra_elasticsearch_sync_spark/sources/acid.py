@@ -1740,14 +1740,30 @@ class AcidParquetTable:
         return slices
 
     def init_clustered(self, df: DataFrame, cluster_by: list[str],
-                       n_slices: int = 8) -> int:
+                       n_slices: int = 8,
+                       slice_uppers: list | None = None) -> int:
         """Create a snapshot ALREADY range-clustered into ``n_slices``
         stats-carrying manifest entries - ``init`` + ``optimize`` fused
         into one write (a bootstrap that will be merged into
-        incrementally should never pay a write-then-rewrite)."""
+        incrementally should never pay a write-then-rewrite).
+
+        ``slice_uppers`` (optional): inclusive ascending upper bounds
+        for the slices, last entry None (unbounded), as a caller who
+        already aggregated the input can measure them (e.g. the sync
+        engine's quantile ladder) - the write then skips
+        ``repartitionByRange``'s sampling pass, which EXECUTES the
+        input plan a second time before the real write (round 12,
+        guide §2.4; the same fix `_write_rewrite` got for merges).
+        Slice boundaries only shape the file layout - row contents and
+        per-entry stats are measured from what lands in each slice
+        either way."""
         df = self._apply_generated(df)  # schema must include the column
         schema = df.schema
-        files = self._write_clustered(df, cluster_by, n_slices)
+        if slice_uppers is not None and len(slice_uppers) == n_slices:
+            files = self._write_sliced_by_bounds(df, cluster_by,
+                                                 slice_uppers)
+        else:
+            files = self._write_clustered(df, cluster_by, n_slices)
         stats = self._collect_stats(files, schema)
         return self._commit(self.current_version(), files, schema, stats,
                             cluster_by=cluster_by)

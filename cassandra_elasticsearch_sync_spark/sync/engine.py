@@ -86,7 +86,8 @@ class KeyedStore(Protocol):
 
     def read(self) -> DataFrame: ...
 
-    def overwrite(self, df: DataFrame) -> None: ...
+    def overwrite(self, df: DataFrame,
+                  key_quantiles: list | None = None) -> None: ...
 
     def apply_delta(self, delta: DataFrame,
                     key_stats: tuple | None = None) -> None: ...
@@ -116,7 +117,10 @@ class ParquetStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self._path(self.version))
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame,
+                  key_quantiles: list | None = None) -> None:
+        # key_quantiles is the ACID backend's layout hint; a snapshot
+        # swap has no slice layout to shape, so it is ignored here.
         self.version += 1
         df.write.mode("overwrite").parquet(self._path(self.version))
 
@@ -152,12 +156,23 @@ class AcidStore:
     def read(self) -> DataFrame:
         return self.table.read()
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame,
+                  key_quantiles: list | None = None) -> None:
         """Bootstrap/full-sync path: ONE clustered snapshot commit -
         key-range slices with per-entry key stats, so later incremental
         merges get manifest-level file skipping without a
-        write-then-rewrite."""
-        self.table.init_clustered(df, ["key"], n_slices=self.n_slices)
+        write-then-rewrite. ``key_quantiles`` (n_slices-1 ascending
+        key values, e.g. the engine's percentile ladder measured in
+        its own aggregate) lets the write slice deterministically
+        instead of paying repartitionByRange's sampling re-execution
+        of the input plan (round 12, guide §2.4)."""
+        uppers = None
+        if (key_quantiles is not None
+                and len(key_quantiles) == self.n_slices - 1):
+            # last slice unbounded above (covers max key and NULLs)
+            uppers = [*key_quantiles, None]
+        self.table.init_clustered(df, ["key"], n_slices=self.n_slices,
+                                  slice_uppers=uppers)
 
     def apply_delta(self, delta: DataFrame,
                     key_stats: tuple | None = None) -> None:
@@ -222,16 +237,27 @@ class SyncEngine:
         """Scan both stores, resolve every key by LWW, write the
         converged snapshot to both sides, persist the watermark."""
         merged = lww_merge(self.a.read(), self.b.read()).persist()
-        # ONE action both materializes the converged snapshot (so the
-        # two overlapped overwrites read the cache instead of racing
-        # to compute it) AND measures the new watermark - previously a
-        # count() followed by a second max(version) job over the same
-        # cache (round 12, guide 2.4). The watermark is still saved
-        # only AFTER both commits succeed.
-        wm = merged.agg(F.max("version").alias("m")).collect()[0]["m"]
+        # ONE action materializes the converged snapshot (so the two
+        # overlapped overwrites read the cache instead of racing to
+        # compute it), measures the new watermark, AND - when a store
+        # wants a sliced bootstrap layout - the key-quantile ladder
+        # that lets each overwrite slice deterministically instead of
+        # running repartitionByRange's sampling job over the cache.
+        # Previously three separate jobs (count + max(version) +
+        # 2 samplers); round 12, guide 2.4. The watermark is still
+        # saved only AFTER both commits succeed.
+        qn = max(getattr(self.a, "n_slices", 1),
+                 getattr(self.b, "n_slices", 1), 1)
+        aggs = [F.max("version").alias("m")]
+        if qn > 1:
+            aggs.append(F.percentile_approx(
+                "key", [i / qn for i in range(1, qn)]).alias("qs"))
+        row = merged.agg(*aggs).collect()[0]
+        wm = row["m"]
+        qs = list(row["qs"]) if qn > 1 and row["qs"] is not None else None
         _overlap_commits(self.spark,
-                         lambda: self.a.overwrite(merged),
-                         lambda: self.b.overwrite(merged))
+                         lambda: self.a.overwrite(merged, key_quantiles=qs),
+                         lambda: self.b.overwrite(merged, key_quantiles=qs))
         if wm is not None:
             save_watermark(self.spark, self.state_dir, wm)
         merged.unpersist()

@@ -687,6 +687,46 @@ def test_maintenance_preserves_clustered_layout(spark, root):
     assert len(set(after) & before) >= 7
 
 
+def test_init_clustered_with_caller_measured_bounds(spark, root):
+    """``slice_uppers`` (round 12: the sync engine's quantile ladder,
+    measured in its own materializing aggregate) slices the bootstrap
+    deterministically, skipping repartitionByRange's sampling pass.
+    Same rows, same entry count, stats-carrying entries, and narrow
+    merges still prune to one slice."""
+    t = AcidParquetTable(spark, root)
+    df = spark.createDataFrame(
+        [(i, float(i), 1) for i in range(4000)],
+        "key bigint, price double, version int")
+    uppers = [999, 1999, 2999, None]
+    t.init_clustered(df, ["key"], n_slices=4, slice_uppers=uppers)
+    m = t._manifest(t.current_version())
+    assert len(m["files"]) == 4
+    assert all(m["stats"].get(d, {}).get("key") for d in m["files"])
+    # slice bounds are exactly the declared uppers, not samples
+    his = sorted(m["stats"][d]["key"][1] for d in m["files"])
+    assert his == [999, 1999, 2999, 3999]
+    assert sorted(tuple(r) for r in t.read().collect()) == [
+        (i, float(i), 1) for i in range(4000)]
+    before = set(m["files"])
+    t.merge_into(spark.createDataFrame(
+        [(5, -1.0, 2)], "key bigint, price double, version int"), ["key"])
+    after = t._manifest(t.current_version())["files"]
+    assert len(set(after) & before) == 3, "narrow merge must prune to 1 slice"
+
+
+def test_init_clustered_bad_bounds_fall_back_to_sampling(spark, root):
+    """A ladder of the wrong length is ignored (sampled write), never
+    a crash or a mis-sliced table."""
+    t = AcidParquetTable(spark, root)
+    df = spark.createDataFrame(
+        [(i, float(i), 1) for i in range(100)],
+        "key bigint, price double, version int")
+    t.init_clustered(df, ["key"], n_slices=4, slice_uppers=[50, None])
+    m = t._manifest(t.current_version())
+    assert len(m["files"]) == 4
+    assert t.read().count() == 100
+
+
 def test_replace_where_swaps_slice_atomically(spark, root):
     t = _table(spark, root, [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 2)])
     pre = t.read()  # snapshot pinned before the replace
