@@ -788,7 +788,15 @@ class AcidParquetTable:
         else:
             probe = self.spark.createDataFrame([], schema)
         with_file = probe.withColumn("__f", F.input_file_name())
-        skeys = source.select(*keys).distinct()
+        # A source vouched unique (<=1 row per key) needs no distinct
+        # before the semi-join probe - the build side is already
+        # minimal, and the distinct was a pure extra exchange inside
+        # the broadcast build (guide §2.4: a distinct on data that is
+        # already unique). Without the vouch, dedup still bounds the
+        # broadcast relation.
+        skeys = source.select(*keys)
+        if not assume_unique_keys:
+            skeys = skeys.distinct()
         hit_rows = (
             self._probe_semi_join(with_file, skeys, source, keys,
                                   n_source_rows=n_src_rows)

@@ -82,7 +82,10 @@ def _overlap_commits(spark: SparkSession, fn_a, fn_b) -> None:
 
 class KeyedStore(Protocol):
     """What the engine needs from a side: snapshot read, bootstrap
-    overwrite, and an LWW delta apply."""
+    overwrite, and an LWW delta apply. A store may additionally expose
+    ``read_since(wm)`` - a read equal to ``read().filter(version >=
+    wm)`` that is allowed to prune the scan (the engine falls back to
+    the plain filtered read when absent)."""
 
     def read(self) -> DataFrame: ...
 
@@ -116,6 +119,11 @@ class ParquetStore:
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self._path(self.version))
+
+    def read_since(self, wm) -> DataFrame:
+        """Post-watermark rows. A snapshot swap has no file-level
+        stats to prune with - this is the plain filtered read."""
+        return extract_delta_since(self.read(), wm)
 
     def overwrite(self, df: DataFrame,
                   key_quantiles: list | None = None) -> None:
@@ -155,6 +163,19 @@ class AcidStore:
 
     def read(self) -> DataFrame:
         return self.table.read()
+
+    def read_since(self, wm) -> DataFrame:
+        """Delta read with manifest-level pruning (round 12, guide §6):
+        data entries whose version-range statistics provably end before
+        the watermark cannot hold post-watermark rows and are skipped at
+        PLANNING time - the CDC scan a table format serves from its
+        file-level stats. At 100 TB a 1%-delta cycle reads the freshly
+        written files, not the table. Rows are identical to
+        ``read().filter(version >= wm)`` (``read_where``'s contract;
+        entries without provable stats are always kept)."""
+        if wm is None:
+            return self.read()
+        return self.table.read_where("version", lo=wm)
 
     def overwrite(self, df: DataFrame,
                   key_quantiles: list | None = None) -> None:
@@ -262,6 +283,17 @@ class SyncEngine:
             save_watermark(self.spark, self.state_dir, wm)
         merged.unpersist()
 
+    @staticmethod
+    def _delta_since(store: KeyedStore, wm) -> DataFrame:
+        """Post-watermark rows from one side. A store that can prune
+        the scan exposes ``read_since`` (AcidStore: manifest
+        version-range stats); any other ``KeyedStore`` gets the plain
+        filtered read."""
+        rs = getattr(store, "read_since", None)
+        if rs is not None:
+            return rs(wm)
+        return extract_delta_since(store.read(), wm)
+
     # -- L7: one incremental cycle ---------------------------------------
     def incremental_cycle(self) -> int:
         """Read rows changed at-or-after the watermark on each side,
@@ -279,29 +311,39 @@ class SyncEngine:
         skips the no-op overwrite on quiet cycles.
         """
         wm = load_watermark(self.spark, self.state_dir)
-        delta_a = extract_delta_since(self.a.read(), wm).persist()
-        delta_b = extract_delta_since(self.b.read(), wm).persist()
+        delta_a = self._delta_since(self.a, wm).persist()
+        delta_b = self._delta_since(self.b, wm).persist()
         cols = [c for c in delta_a.columns if c != "side"]
         ship_a = delta_a.join(self.b.read(), cols, "left_anti").persist()
         ship_b = delta_b.join(self.a.read(), cols, "left_anti").persist()
-        # ONE metrics job per cycle (round-12; previously four): the
-        # per-direction counts, the version frontier over everything
-        # SEEN (not just shipped: rows present on both sides up to v
-        # are already synced, and the inclusive boundary still catches
-        # a straggler landing at exactly v), and - when the ledger is
-        # on - the conflict-key count and the lag percentiles, all
-        # collected in a single action over the persisted cycle-sized
-        # sets. The watermark itself is driver-side I/O (storage.py),
-        # so a quiet cycle costs exactly one scheduling round trip.
+        # The version frontier over everything SEEN (not just shipped:
+        # rows present on both sides up to v are already synced, and
+        # the inclusive boundary still catches a straggler landing at
+        # exactly v) - ONE scalar job, which also materializes the
+        # delta cache every later step reuses. Round 12: it previously
+        # rode the metrics plan as a crossJoined 1-row aggregate, which
+        # the plan evaluated TWICE (once feeding the lag expression,
+        # once re-attached for the watermark) - two broadcast builds
+        # each re-scanning both deltas.
+        frontier = (
+            delta_a.select("version").unionAll(delta_b.select("version"))
+            .agg(F.max("version").alias("__frontier")).collect()[0][0]
+        )
+        # ONE metrics job over the persisted cycle-sized ship sets:
+        # per-direction counts and key bounds, and - when the ledger is
+        # on - the lag percentiles (against the now-literal frontier)
+        # and the conflict-key count, folded into this same pass via
+        # inclusion-exclusion over exact distinct counts
+        # (|keys_a ∩ keys_b| = |keys_a| + |keys_b| - |keys_a ∪ keys_b|;
+        # sync keys are non-null by contract - every join in the
+        # pipeline is null-rejecting on them). Previously a separate
+        # groupBy-per-key subplan crossJoined as a 1-row broadcast.
+        # The watermark itself is driver-side I/O (storage.py).
         ships = (
             ship_a.select("key", "version", F.lit("a").alias("s"))
             .unionAll(ship_b.select("key", "version", F.lit("b").alias("s")))
         )
-        fr = (
-            delta_a.select("version").unionAll(delta_b.select("version"))
-            .agg(F.max("version").alias("__frontier"))
-        )
-        f_us = F.unix_micros(F.col("__frontier").cast("timestamp"))
+        f_us = F.unix_micros(F.lit(frontier).cast("timestamp"))
         lag_us = f_us - F.unix_micros(F.col("version").cast("timestamp"))
         aggs = [
             F.coalesce(F.sum(F.when(F.col("s") == "a", 1)),
@@ -324,19 +366,13 @@ class SyncEngine:
                 F.round(F.percentile(lag_us, F.lit(0.95))
                         / 1000000.0, 6).alias("p95"),
                 F.round(F.max(lag_us) / 1000000.0, 6).alias("mx"),
+                F.count_distinct(
+                    F.when(F.col("s") == "a", F.col("key"))).alias("ka"),
+                F.count_distinct(
+                    F.when(F.col("s") == "b", F.col("key"))).alias("kb"),
+                F.count_distinct(F.col("key")).alias("kab"),
             ]
-        metrics = ships.crossJoin(fr).agg(*aggs)
-        if self.record_ledger:
-            conflicts_df = (
-                ships.groupBy("key")
-                .agg(F.max(F.col("s") == "a").alias("__a"),
-                     F.max(F.col("s") == "b").alias("__b"))
-                .agg(F.coalesce(
-                    F.sum((F.col("__a") & F.col("__b")).cast("long")),
-                    F.lit(0)).alias("conflicts"))
-            )
-            metrics = metrics.crossJoin(conflicts_df)
-        m = metrics.crossJoin(fr).collect()[0]
+        m = ships.agg(*aggs).collect()[0]
         n_a, n_b = int(m["n_a"]), int(m["n_b"])
         n = n_a + n_b
         # The ship sets are materialized (persist + the metrics job
@@ -353,7 +389,6 @@ class SyncEngine:
             self.b.apply_delta(ship_a, stats_a)
         elif n_b:
             self.a.apply_delta(ship_b, stats_b)
-        frontier = m["__frontier"]
         if frontier is not None:
             save_watermark(self.spark, self.state_dir, frontier)
         if self.record_ledger:
@@ -363,7 +398,7 @@ class SyncEngine:
                 "cycle": self._cycle_no,
                 "shipped_a": n_a,
                 "shipped_b": n_b,
-                "conflict_keys": int(m["conflicts"]),
+                "conflict_keys": int(m["ka"]) + int(m["kb"]) - int(m["kab"]),
                 "p50_lag_s": m["p50"],
                 "p95_lag_s": m["p95"],
                 "max_lag_s": m["mx"],
@@ -382,10 +417,14 @@ class SyncEngine:
         tolerates no rounding-mode drift."""
         distinct = (F.col("shipped_a") + F.col("shipped_b")
                     - F.col("conflict_keys"))
+        # coalesce(1): a handful of driver-local rows would otherwise
+        # parallelize across defaultParallelism near-empty partitions
+        # (32 tasks to materialize 3 rows - round 12, guide §5); order
+        # is preserved (single-partition concatenation).
         return self.spark.createDataFrame(
             [tuple(r[c] for c in _LEDGER_COLS) for r in self.ledger],
             _LEDGER_SCHEMA,
-        ).select(
+        ).coalesce(1).select(
             "cycle", "shipped_a", "shipped_b", "conflict_keys",
             F.when(distinct > 0,
                    F.round(F.col("conflict_keys").cast("double")

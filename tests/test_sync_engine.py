@@ -284,3 +284,69 @@ def test_overlap_commits_awaits_both_and_raises(spark):
     done.clear()
     _overlap_commits(spark, slow_ok, lambda: done.append("b"))
     assert sorted(done) == ["b", "ok"]
+
+
+def test_acid_read_since_prunes_files_and_matches_filtered_read(spark):
+    """Round-12: `AcidStore.read_since` prunes the delta scan at the
+    manifest (version-range stats) - rows must equal the plain
+    filtered read, and the plan must actually read FEWER files when
+    only one slice holds post-watermark versions."""
+    ts = lambda d: dt.datetime(2001, 1, d)  # noqa: E731
+    root = tempfile.mkdtemp(prefix="ces_read_since_")
+    try:
+        rows = [(i, float(i), ts(1 + (i % 5)), "x") for i in range(64)]
+        init = spark.createDataFrame(
+            rows, "key bigint, price double, version timestamp, side string")
+        st = AcidStore(spark, f"{root}/t", init=init, n_slices=4)
+        # bump ONE key far past the rest: only its slice can hold
+        # post-watermark rows afterwards
+        st.table.update_where(
+            F.col("key") == 3,
+            {"version": F.lit(ts(20)).cast("timestamp")})
+        wm = ts(10)
+        got = st.read_since(wm)
+        want = st.read().filter(F.col("version") >= F.lit(wm))
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, want.collect()))
+        assert len(got.inputFiles()) < len(st.read().inputFiles())
+        # watermark None = everything (first sync)
+        assert st.read_since(None).count() == 64
+        # and a watermark below every version prunes nothing away
+        assert st.read_since(ts(1)).count() == 64
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_engine_delta_since_falls_back_without_read_since(spark):
+    """A custom KeyedStore without `read_since` still syncs - the
+    engine falls back to the plain filtered read (protocol compat)."""
+
+    class MinimalStore:
+        """ParquetStore minus read_since: only the protocol trio."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def read(self):
+            return self._inner.read()
+
+        def overwrite(self, df, key_quantiles=None):
+            self._inner.overwrite(df, key_quantiles=key_quantiles)
+
+        def apply_delta(self, delta, key_stats=None):
+            self._inner.apply_delta(delta, key_stats=key_stats)
+
+    root = tempfile.mkdtemp(prefix="ces_minimal_store_")
+    try:
+        a = MinimalStore(ParquetStore(
+            spark, f"{root}/a",
+            side_a(spark, SF_DIR).withColumn("side", F.lit("a"))))
+        b = MinimalStore(ParquetStore(
+            spark, f"{root}/b",
+            side_b(spark, SF_DIR).withColumn("side", F.lit("b"))))
+        eng = SyncEngine(spark, a, b, f"{root}/state")
+        eng.full_sync()
+        assert eng.in_sync()
+        assert eng.incremental_cycle() == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
