@@ -306,16 +306,29 @@ class SyncEngine:
         must still be picked up next cycle. Inclusive extraction would
         re-ship the boundary rows forever, so each delta is anti-joined
         on the full payload (every column but the provenance `side`)
-        against the other store: `n` counts only rows the other side
-        actually lacks, which keeps 0 an honest convergence signal AND
-        skips the no-op overwrite on quiet cycles.
+        against the other side's post-watermark rows - its own delta,
+        which is a provably sufficient match set because the payload
+        includes `version` (see the inline proof below): `n` counts
+        only rows the other side actually lacks, which keeps 0 an
+        honest convergence signal AND skips the no-op overwrite on
+        quiet cycles.
         """
         wm = load_watermark(self.spark, self.state_dir)
         delta_a = self._delta_since(self.a, wm).persist()
         delta_b = self._delta_since(self.b, wm).persist()
         cols = [c for c in delta_a.columns if c != "side"]
-        ship_a = delta_a.join(self.b.read(), cols, "left_anti").persist()
-        ship_b = delta_b.join(self.a.read(), cols, "left_anti").persist()
+        # The payload anti-join's match set is the OTHER SIDE'S DELTA,
+        # not its full snapshot (round 12, guide §2.3): the join keys
+        # include `version`, and every delta row has version >= wm, so
+        # a full-snapshot row can only match if its version >= wm -
+        # i.e. iff it is in that side's own delta (NULL versions never
+        # equality-match anything). Same ship sets, but each store is
+        # scanned ONCE per cycle instead of twice - and the anti-join's
+        # broadcast side is delta-sized instead of store-sized, which
+        # is what makes the shape hold at 100 TB. The deltas are the
+        # persisted DataFrames above, so the anti-joins read the cache.
+        ship_a = delta_a.join(delta_b, cols, "left_anti").persist()
+        ship_b = delta_b.join(delta_a, cols, "left_anti").persist()
         # The version frontier over everything SEEN (not just shipped:
         # rows present on both sides up to v are already synced, and
         # the inclusive boundary still catches a straggler landing at
