@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+from cassandra_elasticsearch_sync_spark.localdata import tiny_df
 
 _PID = "__do_pid"
 _ROFF = "__do_rank_off"
@@ -120,7 +121,7 @@ def with_global_order(
     rows = [(pid, ro, float(so) if is_float else int(so))
             for pid, ro, so in rows]
     off_schema = f"{_PID} int, {_ROFF} long, {_SOFF} {soff_t}"
-    offsets = spark.createDataFrame(rows, schema=off_schema)
+    offsets = tiny_df(spark, rows, off_schema)
     w = Window.partitionBy(_PID).orderBy(*order_exprs)
     out = rp.join(F.broadcast(offsets), _PID)
     if rank_col:
@@ -267,8 +268,8 @@ def with_grouped_order(
     gschema = ", ".join(
         f"`{g}` {dict(df.dtypes)[g]}" for g in group_cols
     )
-    offsets = spark.createDataFrame(
-        rows, schema=f"{_PID} int, {gschema}, {_ROFF} long, {_SOFF} long"
+    offsets = tiny_df(
+        spark, rows, f"{_PID} int, {gschema}, {_ROFF} long, {_SOFF} long"
     )
     w = Window.partitionBy(_PID, *group_cols).orderBy(*order_exprs)
     # NULL is a normal window partition: join offsets back null-safely so

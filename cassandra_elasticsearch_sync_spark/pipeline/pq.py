@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
 from cassandra_elasticsearch_sync_spark.registry import register
+from cassandra_elasticsearch_sync_spark.localdata import tiny_df
 
 DIM = 64
 M_SUB = 16           # subspaces
@@ -205,7 +206,8 @@ def pq_rerank(e: DataFrame, shortlist: DataFrame, qvecs,
     from pyspark.sql import Window
 
     spark = e.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = tiny_df(
+        spark,
         [(int(q), [float(x) for x in v]) for q, v in qvecs],
         "qid bigint, qe array<double>",
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table
 from cassandra_elasticsearch_sync_spark.registry import register
+from cassandra_elasticsearch_sync_spark.localdata import tiny_df
 
 # Scoring lexicon over the corpus's observed vocabulary (FIXTURES.md).
 # Defined once here; the oracle embeds the same pairs as a VALUES list.
@@ -59,19 +60,31 @@ n AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT tf.doc_id, tf.token,
        ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
 FROM tf JOIN df USING (token) CROSS JOIN n
-""", "TF-IDF per (doc, token): two aggregates + a broadcast join; the "
-     "corpus size joins in as a broadcast scalar, never a collect()")
+""", "TF-IDF per (doc, token): ONE tokenize pass - TF aggregate, then "
+     "DF as a count window over the aggregate; the corpus size joins "
+     "in as a broadcast scalar, never a collect()")
 def k4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
+    # Round 13 (VERDICT r12 #6, guide §2.4): the r12 shape computed TF
+    # and DF as two aggregates over `tok` - two SEPARATE subtrees in
+    # the physical plan, i.e. documents scanned and tokenized TWICE.
+    # TF already holds exactly one row per (doc, token), so DF(token)
+    # = COUNT(*) OVER (PARTITION BY token) on the TF relation - same
+    # value as countDistinct(doc_id) per token, derived from the
+    # aggregate instead of a second pass. One explicit repartition on
+    # token lets BOTH the (doc_id, token) aggregate and the window
+    # share ONE exchange (hash(token) co-locates every (doc_id, token)
+    # group - guide §2.4 "two operations keyed the same way share one
+    # exchange"); plan: 1 scan, 1 exchange (was 2 scans, 2 exchanges).
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    # Partial count-distinct: one exchange on token (map-side partial
-    # dedup of (token, doc_id)) instead of distinct()'s full-width
-    # shuffle followed by a second token shuffle.
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (tok.repartition("token")
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    df_over_token = F.count("*").over(Window.partitionBy("token"))
     n = d.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.withColumn("df", df_over_token)
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -124,8 +137,8 @@ GROUP BY doc_id
      "average (EDBT'16 pattern, SURVEY.md P:6)")
 def k5_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    lex = spark.createDataFrame(
-        sorted(LEXICON.items()), schema="word string, score double"
+    lex = tiny_df(
+        spark, sorted(LEXICON.items()), "word string, score double"
     )
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
     return (

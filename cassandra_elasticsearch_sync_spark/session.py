@@ -81,8 +81,11 @@ def get_spark(app_name: str = "cassandra-elasticsearch-sync-spark",
         # keeps a long-lived session's job constants flat (measured:
         # in-context l38 45.5 s -> 21.4 s); identical rationale on a
         # real cluster, where cleanup messages also free
-        # executor-side blocks.
-        .config("spark.cleaner.periodicGC.interval", "30s")
+        # executor-side blocks. Round 13: env-parameterised so the
+        # cold-bench posture can be A/B'd (VERDICT r12 #3); the
+        # default stays the measured resident-session value.
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30s"))
         # Local mode memory: the driver hosts all executors in local mode.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -693,7 +693,7 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
             row.append(int(wt))
             row.append(w.ttl_s)
         rows.append(tuple(row))
-    src = table.spark.createDataFrame(rows, T.StructType(src_fields))
+    src = tiny_df(table.spark, rows, T.StructType(src_fields))
 
     def _cell_value(c: str):
         """The value a write lands in cell ``c``: the src literal for
@@ -769,6 +769,7 @@ def apply_cql_writes(table: AcidParquetTable, key_cols: list[str],
 # -- registered, oracle-verified write-path query ---------------------------
 
 from cassandra_elasticsearch_sync_spark.registry import register  # noqa: E402
+from cassandra_elasticsearch_sync_spark.localdata import tiny_df
 
 
 @register("a2r_cql_write_path", "A2+A7+L4", """
@@ -875,7 +876,7 @@ def a2t_cql_using_ttl_timestamp(spark, sf_dir):
             T.StructField("writetime_us", T.LongType()),
             T.StructField("ttl_s", T.LongType()),
         ])
-        t.init(spark.createDataFrame([], schema))
+        t.init(tiny_df(spark, [], schema))
         apply_cql_writes(t, ["key"], [
             f"INSERT INTO kv (key, price) VALUES ({k}, {float(k)})"
             for k in range(100)
@@ -958,7 +959,7 @@ def a2w_cql_writetime_ttl_read(spark, sf_dir):
             T.StructField("writetime_us", T.LongType()),
             T.StructField("ttl_s", T.LongType()),
         ])
-        t.init(spark.createDataFrame([], schema))
+        t.init(tiny_df(spark, [], schema))
         apply_cql_writes(t, ["key"], [
             f"INSERT INTO kv (key, price) VALUES ({k}, {float(k)}) "
             f"USING TIMESTAMP 1000000"
@@ -1159,8 +1160,7 @@ def a2ad_cql_counter_increments(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="ces_cql_counter_")
     try:
         t = AcidParquetTable(spark, root)
-        t.init(spark.createDataFrame(
-            [], "key bigint, hits bigint"))
+        t.init(tiny_df(spark, [], "key bigint, hits bigint"))
         keys = [r[0] % 10 for r in load_table(spark, sf_dir, "orders")
                 .filter(F.col("o_orderkey") <= 800)
                 .select("o_orderkey").collect()]
@@ -1309,5 +1309,5 @@ def cql_truncate(table: AcidParquetTable, stmt: str) -> int:
     if not m:
         raise CqlError(f"not a TRUNCATE statement: {stmt!r}")
     schema = table.read().schema
-    empty = table.spark.createDataFrame([], schema)
+    empty = tiny_df(table.spark, [], schema)
     return table.replace_where(F.lit(True), empty)

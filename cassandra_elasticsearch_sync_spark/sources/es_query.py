@@ -939,6 +939,7 @@ def es_search(df: DataFrame, query: dict, now=None) -> DataFrame:
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table  # noqa: E402
 from cassandra_elasticsearch_sync_spark.registry import register  # noqa: E402
+from cassandra_elasticsearch_sync_spark.localdata import tiny_df
 
 _DSL_DEMO = {
     "bool": {
@@ -3219,7 +3220,7 @@ def es_composite_sweep(df: DataFrame, aggs: dict,
             break
     out_schema = T.StructType(
         [T.StructField("page", T.IntegerType())] + list(schema.fields))
-    return df.sparkSession.createDataFrame(rows_out, out_schema)
+    return tiny_df(df.sparkSession, rows_out, out_schema)
 
 
 @register("a3aa_es_composite_paged_sweep", "A3", """
@@ -4037,7 +4038,7 @@ def a3as_es_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 100).select("embedding").head()
     if qv is None:  # corpus smaller than the probe id - empty page
-        return spark.createDataFrame([], "vec_id long, _score double")
+        return tiny_df(spark, [], "vec_id long, _score double")
     knn = {
         "field": "embedding",
         "query_vector": [float(x) for x in qv[0]],
@@ -4204,7 +4205,7 @@ def es_term_suggest(df: DataFrame, text_field: str, terms: list[str],
         .filter(F.col("term") != "")
         .groupBy("term").agg(F.count("*").alias("freq"))
     )
-    inputs = spark.createDataFrame([(t,) for t in terms], "input string")
+    inputs = tiny_df(spark, [(t,) for t in terms], "input string")
     cand = (
         vocab.join(F.broadcast(inputs),
                    F.levenshtein(F.col("term"), F.col("input"),
@@ -7965,7 +7966,8 @@ def a3dd_es_point_in_time(spark, sf_dir):
                     t.delete_where(
                         F.col("o_orderkey") == F.lit(nxt[0]["o_orderkey"]))
                 t.merge_into(
-                    spark.createDataFrame(
+                    tiny_df(
+                        spark,
                         [(900000901, float(last["o_totalprice"]),
                           "1-URGENT", "F")],
                         "o_orderkey long, o_totalprice double, "
@@ -7975,8 +7977,8 @@ def a3dd_es_point_in_time(spark, sf_dir):
                         F.col("o_totalprice").cast(
                             o.schema["o_totalprice"].dataType)),
                     ["o_orderkey"], assume_unique_keys=True)
-        out = spark.createDataFrame(
-            pages, schema=es_pit_search_page(t, pit, query, sort).schema)
+        out = tiny_df(
+            spark, pages, es_pit_search_page(t, pit, query, sort).schema)
         return (out.select("o_orderkey", "o_totalprice", "o_orderpriority")
                 .localCheckpoint(eager=True))
     finally:
@@ -8084,9 +8086,9 @@ def es_field_caps(spark, tables: dict[str, DataFrame]) -> DataFrame:
                 raise ValueError(f"field_caps has no ES mapping for "
                                  f"{index}.{f.name}: {s}")
             rows.append((index, f.name, es_t, True, True))
-    return spark.createDataFrame(
-        rows, "index string, field string, es_type string, "
-              "searchable boolean, aggregatable boolean")
+    return tiny_df(
+        spark, rows, "index string, field string, es_type string, "
+                     "searchable boolean, aggregatable boolean")
 
 
 @register("a3df_es_field_caps", "A3+B4", """
@@ -8169,8 +8171,9 @@ def es_rank_eval(df: DataFrame, *, requests: list[dict], k: int,
                        is_rel.cast("double")
                        / F.log2(F.col("__rank") + F.lit(1.0))), 6)
                    .alias(f"dcg_at_{k}")))
-    req = df.sparkSession.createDataFrame(
-        [(str(r["id"]),) for r in requests], "request string")
+    req = tiny_df(
+        df.sparkSession, [(str(r["id"]),) for r in requests],
+        "request string")
     return (req.join(metrics, "request", "left")
             .select(
                 "request",
@@ -8535,8 +8538,8 @@ def es_mget(df: DataFrame, ids: list, id_col: str,
                          "(one output row per id)")
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    req = spark.createDataFrame(
-        [(slot, i) for slot, i in enumerate(ids)],
+    req = tiny_df(
+        spark, [(slot, i) for slot, i in enumerate(ids)],
         f"__slot int, {id_col} {id_type}")
     found = (df.select(id_col, *source_cols)
              .join(F.broadcast(req.select(id_col)), id_col, "inner")
@@ -10167,8 +10170,8 @@ def es_search_shards(spark, *, index: str, num_shards: int,
     rows = [(index, r, es_shard_for_routing(r, num_shards,
                                             num_routing_shards))
             for r in routings]
-    return spark.createDataFrame(
-        rows, "index string, routing string, shard int")
+    return tiny_df(
+        spark, rows, "index string, routing string, shard int")
 
 
 _SEARCH_SHARDS_ROUTINGS = [str(k) for k in range(1, 21)] + [

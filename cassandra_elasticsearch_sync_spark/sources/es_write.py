@@ -223,6 +223,7 @@ def es_delete_by_query(table: AcidParquetTable, query: dict, *,
 
 from cassandra_elasticsearch_sync_spark.catalog import load_table  # noqa: E402
 from cassandra_elasticsearch_sync_spark.registry import register  # noqa: E402
+from cassandra_elasticsearch_sync_spark.localdata import tiny_df
 
 _UBQ_PRED_SQL = "o_orderstatus = 'F' AND o_totalprice >= 150000.0"
 
@@ -431,7 +432,8 @@ def es_update(table: AcidParquetTable, *, id_field: str, id_value,
             raise EsWriteError(
                 f"upsert document must carry every column; missing "
                 f"{sorted(missing)}")
-        up = table.spark.createDataFrame(
+        up = tiny_df(
+            table.spark,
             [tuple({**upsert, id_field: id_value}[c] for c in cols)],
             table.read().schema)
         table.merge_into(up, [id_field])

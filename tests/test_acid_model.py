@@ -16,7 +16,13 @@ MoR deletes, clones carrying delete files, replayed txn batches after
 maintenance.
 """
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 import shutil
 import tempfile

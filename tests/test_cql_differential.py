@@ -4,7 +4,13 @@ Spark compiler (sources/cql_query.cql_select) and through an
 independent SQL rendering of CQL's semantics in DuckDB (including the
 token-order LIMIT and the clustering-ordered PER PARTITION LIMIT)."""
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 import duckdb
 import pytest

@@ -4,7 +4,13 @@ single-task window on ANY input - including the shapes that break
 naive implementations (one giant group, empty input, all-ties,
 single-row groups)."""
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

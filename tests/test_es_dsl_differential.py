@@ -5,7 +5,13 @@ rendering of the same tree to DuckDB SQL. Catches operator-precedence,
 null-handling, and clause-combination bugs the hand-picked demo
 queries never exercise."""
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 import duckdb
 import pytest

@@ -4,7 +4,13 @@ return the same customer set through the Spark compiler and through an
 independent DuckDB rendering of the same predicate (same haversine
 formula, same box semantics including the antimeridian wrap)."""
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 import duckdb
 import pytest

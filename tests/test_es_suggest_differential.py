@@ -5,7 +5,13 @@ phrase suggester; a TF-IDF selection + weighted-match scorer for
 more_like_this). Catches candidate-ranking, backoff-branch, gating,
 and tie-break bugs the hand-picked demo phrases never exercise."""
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 import math
 

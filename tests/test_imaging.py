@@ -1,7 +1,13 @@
 """Pure-python image header codec (pipeline/imaging.py): synthesis
 round-trips through the parser; malformed payloads degrade to None."""
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 import zlib
 

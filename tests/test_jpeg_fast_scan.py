@@ -12,7 +12,13 @@ decoders use them), so the reference decode here is assembled from
 those same primitives, frozen to the pre-round-12 loop shape.
 """
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 import random
 

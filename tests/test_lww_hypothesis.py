@@ -8,7 +8,13 @@ invariants must hold for ANY pair of snapshots, not just the fixture:
 - idempotence: merging the result with either input changes nothing
 """
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 import datetime as dt
 

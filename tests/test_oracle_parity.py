@@ -4,7 +4,13 @@ This mirrors the driver's sf0.01 correctness gate, run at sf0.001 for
 speed (set PARITY_SF_DIR=/root/testdata/sf0.01 for the full-size run).
 """
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 import os
 

@@ -321,6 +321,7 @@ _BOUNDED_WINDOW_ALLOWED = {
 }
 
 
+@pytest.mark.slow  # plans all 567 registry entries (~5 min) - round 13
 def test_registry_has_no_single_partition_window_or_cartesian(spark):
     """THE scale invariants, swept over every non-side-effectful
     registry entry: (1) no unpartitioned WindowExec - the plan shape

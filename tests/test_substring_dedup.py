@@ -4,7 +4,13 @@ positions whose 8-token window also occurs in another document -
 checked against the DEFINITION (window containment + maximality +
 completeness), not a re-implementation."""
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 import os
 import shutil

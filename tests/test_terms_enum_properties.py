@@ -6,7 +6,13 @@ term list, in order, with no duplicates and no gaps - for any corpus
 and any page size.
 """
 
+
 from __future__ import annotations
+
+import pytest as _pytest_slowmark
+
+pytestmark = _pytest_slowmark.mark.slow  # multi-minute tier (pytest.ini, round 13)
+
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
