@@ -60,31 +60,29 @@ n AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT tf.doc_id, tf.token,
        ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
 FROM tf JOIN df USING (token) CROSS JOIN n
-""", "TF-IDF per (doc, token): ONE tokenize pass - TF aggregate, then "
-     "DF as a count window over the aggregate; the corpus size joins "
-     "in as a broadcast scalar, never a collect()")
+""", "TF-IDF per (doc, token): two aggregates + a broadcast join; the "
+     "corpus size joins in as a broadcast scalar, never a collect()")
 def k4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
-    # Round 13 (VERDICT r12 #6, guide §2.4): the r12 shape computed TF
-    # and DF as two aggregates over `tok` - two SEPARATE subtrees in
-    # the physical plan, i.e. documents scanned and tokenized TWICE.
-    # TF already holds exactly one row per (doc, token), so DF(token)
-    # = COUNT(*) OVER (PARTITION BY token) on the TF relation - same
-    # value as countDistinct(doc_id) per token, derived from the
-    # aggregate instead of a second pass. One explicit repartition on
-    # token lets BOTH the (doc_id, token) aggregate and the window
-    # share ONE exchange (hash(token) co-locates every (doc_id, token)
-    # group - guide §2.4 "two operations keyed the same way share one
-    # exchange"); plan: 1 scan, 1 exchange (was 2 scans, 2 exchanges).
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
-    tf = (tok.repartition("token")
-          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
-    df_over_token = F.count("*").over(Window.partitionBy("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # Partial count-distinct: one exchange on token (map-side partial
+    # dedup of (token, doc_id)) instead of distinct()'s full-width
+    # shuffle followed by a second token shuffle.
+    #
+    # Round 13: the "tokenize once" rewrites (DF as a count window
+    # over the TF aggregate) were built and MEASURED SLOWER in an
+    # interleaved prepared A/B at sf0.1 - median 0.117 s (window after
+    # the two-exchange agg) and 0.179 s (single shared exchange via
+    # repartition(token), which forfeits map-side partial aggregation
+    # and ships the raw token stream) vs 0.090 s for this shape. The
+    # second documents scan is cheaper than the window sort at any
+    # scale where the scan is columnar and the token stream shrinks in
+    # the map-side partials; kept deliberately (guide §1.3).
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     return (
-        tf.withColumn("df", df_over_token)
+        tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

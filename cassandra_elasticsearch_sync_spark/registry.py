@@ -72,6 +72,41 @@ def register(name: str, survey_id: str, oracle: str | None, doc: str = ""):
 # 164/442; this block converts 46 more. Previously-verified blocks
 # (r5, r4, r1-r3) sit directly after for larger budgets.
 _FRONT = (
+    # ROTATION (round 13, VERDICT r12 #9): eleventh rotation. 67
+    # oracle-backed keys had never produced a driver row at the r12
+    # close (cumulative 491 of 567 sampled at least once); this
+    # front-50 is flagship + 49 of them: the K2 graph / K4 text /
+    # K7-K8 time-series tails the r12 rotation deferred, then the
+    # K-analytics block (experiment stats, privacy audits, sampling,
+    # feature engineering, LLM-data utilities). Streaming-backed keys
+    # (a10/a11/i9d) stay out of the front as before (weaker signal
+    # per driver-budget slot). Converts up to 49 first-time keys;
+    # cumulative target ~540 of 567. The 15 remaining never-sampled
+    # oracle keys (d4c_hll_by_group, the k_t*/k_u*/k_v*/k_w*/k_z*
+    # tail, util_table_counts) go next round.
+    "flagship_pricing_summary",
+    # deferred from the r12 rotation: K2 graph + K4 text + K7/K8 tails
+    "k2c_dup_clusters", "k2f_nation_pagerank",
+    "k2h_triangle_degree_oriented", "k2i_bfs_shortest_hops",
+    "k4c_char_trigrams", "k4d_tfidf_doc_similarity", "k4f_winnowing",
+    "k7s_seasonal_naive_backtest", "k7t_theil_sen_trend",
+    "k8_incremental_topk", "funnel_conversion", "share_of_total",
+    # K-analytics block, never sampled
+    "k_ab_ztest", "k_anonymity_audit", "k_apdex_score",
+    "k_benford_first_digit", "k_best_split_gain", "k_bloom_build",
+    "k_bootstrap_ci", "k_bpe_top_merges", "k_build_vocab",
+    "k_calibration_bins", "k_chat_template",
+    "k_chi_square_independence", "k_classification_report",
+    "k_cms_sketch", "k_cuped_adjustment", "k_data_mixture",
+    "k_dataset_card", "k_deterministic_sample", "k_epoch_shuffle",
+    "k_gini_coefficient", "k_global_median_exact", "k_group_sample",
+    "k_impute_missing", "k_item_cooccurrence", "k_kendall_tau",
+    "k_l_diversity_audit", "k_mad_outliers", "k_mixture_temperature",
+    "k_mutual_information", "k_pipeline_end_to_end",
+    "k_pmi_cooccurrence", "k_preference_pairs", "k_quantile_normalize",
+    "k_rolling_count_features", "k_session_paths", "k_span_corruption",
+    "k_spearman_corr",
+    # --- end of the round-13 front-50 ---
     # ROTATION (round 12, VERDICT r11 #1): tenth rotation. 116 of 558
     # keys had never produced a driver row at the r11 close
     # (cumulative 442); this front-50 is flagship + 49 keys weighted

