@@ -103,8 +103,8 @@ def main() -> None:
     print(json.dumps({
         "total": round(time.perf_counter() - t_all, 3),
         "steps": steps,
-        "overlap": os.environ.get("SPARK_GRAFT_SYNC_OVERLAP", "1"),
-        "periodic_gc": os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30s"),
+        "overlap": os.environ.get("SPARK_GRAFT_SYNC_OVERLAP", "0"),
+        "periodic_gc": os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30min"),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }))
 
