@@ -985,15 +985,27 @@ class AcidParquetTable:
         # a file whose only matching rows are MoR-deleted is rewritten
         # conservatively - harmless, since the rewrite content below
         # comes from the delete-applied read.
-        probe = self.spark.read.schema(schema).parquet(*all_files)
-        hit_rows = (
-            probe.withColumn("__f", F.input_file_name())
-            .filter(condition).select("__f").distinct().collect()
-        )
-        hits = {r["__f"][7:] if r["__f"].startswith("file://") else r["__f"]
-                for r in hit_rows}
-        affected = [d for d in all_files
-                    if any(h.startswith(d.rstrip("/") + "/") for h in hits)]
+        if len(all_files) == 1:
+            # One entry: the probe can only choose between "rewrite
+            # it" and "rewrite nothing"; rewriting a no-match entry
+            # reproduces its rows verbatim, so skipping the probe job
+            # trades at most one redundant single-entry write (tables
+            # stay single-entry only while small under the adaptive
+            # slicing) for one fewer Spark action on EVERY small
+            # update/delete (round 13, guide §2.4).
+            affected = list(all_files)
+        else:
+            probe = self.spark.read.schema(schema).parquet(*all_files)
+            hit_rows = (
+                probe.withColumn("__f", F.input_file_name())
+                .filter(condition).select("__f").distinct().collect()
+            )
+            hits = {r["__f"][7:]
+                    if r["__f"].startswith("file://") else r["__f"]
+                    for r in hit_rows}
+            affected = [
+                d for d in all_files
+                if any(h.startswith(d.rstrip("/") + "/") for h in hits)]
         untouched = [d for d in all_files if d not in affected]
         rewritten = transform(self._read_entries(manifest, affected), condition)
         fresh, fresh_stats = self._write_rewrite(
